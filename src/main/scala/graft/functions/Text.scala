@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text extraction / analysis Column functions.
+  *
+  * Everything here composes built-in Spark SQL functions so the whole
+  * pipeline stays inside whole-stage codegen — no UDFs on the hot path.
+  *
+  * The extraction functions re-express the reference pipeline's regex layer
+  * (see /root/reference/main.py): status classification (L106-133), Danish
+  * date parsing (L29-42, L217-232), generic date fallback (L246-256), ATC
+  * code extraction (L234-244), and header splitting (L147-156).
+  */
+object Text {
+
+  /** ATC code pattern, e.g. L01XC18 (main.py:242). */
+  val AtcPattern = "[A-Z][0-9]{2}[A-Z]{2}[0-9]{2}"
+
+  /** Whitespace tokens (text in the corpus is single-space separated). */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("[^ ]+"), lit(0))
+
+  /** BPE-ish sub-token pattern: letter runs, digit runs, single symbols. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Priority-ordered status classification (main.py:121-132). Most
+    * specific pattern wins; case-insensitive; null when nothing matches.
+    * (The reference's negative lookbehind is subsumed by the priority
+    * ordering, which also keeps the logic RE2-compatible for oracles.)
+    */
+  def classifyStatus(c: Column): Column =
+    when(c.rlike("(?i)Delvist\\s+anbefalet"), "Delvist anbefalet")
+      .when(c.rlike("(?i)Ikke\\s+anbefalet"), "Ikke anbefalet")
+      .when(c.rlike("(?i)Anbefalet"), "Anbefalet")
+      .otherwise(lit(null))
+
+  val ApprovedStatuses = Seq("Anbefalet", "Delvist anbefalet")
+
+  private val danishMonths = Seq(
+    "januar" -> 1, "februar" -> 2, "marts" -> 3, "april" -> 4,
+    "maj" -> 5, "juni" -> 6, "juli" -> 7, "august" -> 8,
+    "september" -> 9, "oktober" -> 10, "november" -> 11, "december" -> 12)
+
+  /** Parse "12. januar 2026" / "Godkendt den 3 maj 2024" → DATE.
+    * Unknown month names default to January like the reference
+    * (main.py:230); no match at all → null.
+    */
+  def parseDanishDate(c: Column): Column = {
+    val pat = "(\\d{1,2})\\.?\\s+([A-Za-zæøåÆØÅ]+)\\s+(\\d{4})"
+    val day = regexp_extract(c, pat, 1)
+    val monName = lower(regexp_extract(c, pat, 2))
+    val year = regexp_extract(c, pat, 3)
+    val mon = danishMonths.foldLeft(lit(null).cast("int")) { case (acc, (n, m)) =>
+      when(monName === n, lit(m)).otherwise(acc)
+    }
+    when(day =!= "",
+      make_date(year.cast("int"), coalesce(mon, lit(1)), day.cast("int")))
+      .otherwise(lit(null).cast("date"))
+  }
+
+  /** Generic numeric date fallback (main.py:246-256): first d.m.y or y.m.d
+    * styled substring, returned raw.
+    */
+  def extractDate(c: Column): Column = {
+    val p1 = regexp_extract(c, "(\\d{1,2}[./\\-]\\d{1,2}[./\\-]\\d{4})", 1)
+    val p2 = regexp_extract(c, "(\\d{4}[./\\-]\\d{1,2}[./\\-]\\d{1,2})", 1)
+    when(p1 =!= "", p1).when(p2 =!= "", p2).otherwise(lit(null))
+  }
+
+  def extractAtc(c: Column): Column = {
+    val m = regexp_extract(c, AtcPattern, 0)
+    when(m =!= "", m).otherwise(lit(null))
+  }
+
+  /** Split on the first occurrence of any separator (main.py:147-156).
+    * Returns struct(head, tail); tail null when no separator present.
+    * All reference separators are 3 chars (" - ", " – ", " — ").
+    */
+  def splitFirst(c: Column, seps: Seq[String] = Seq(" - ", " – ", " — ")): Column = {
+    val pos = least(seps.map(s => when(instr(c, s) > 0, instr(c, s))): _*)
+    struct(
+      when(pos.isNotNull, trim(c.substr(lit(1), pos - 1))).otherwise(trim(c)).as("head"),
+      when(pos.isNotNull, trim(c.substr(pos + 3, length(c)))).otherwise(lit(null)).as("tail"))
+  }
+
+  // ---- text analysis -------------------------------------------------
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Count of tokens present in `set` (with multiplicity). */
+  def countIn(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set: _*)))
+
+  /** Quality scoring: token volume, punctuation ratio, stopword ratio.
+    * Mirrors the shape of standard pretraining-corpus quality filters.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punctRatio = (nChars - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / nChars
+    val stopRatio = countIn(toks, Stopwords).cast("double") / nTokens
+    val quality = round(least(nTokens / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
+    Seq(nTokens.as("n_tokens"), round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"), quality.as("quality"))
+  }
+
+  /** Stopword-profile language ID. Deterministic argmax with fixed
+    * preference order on ties.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScores(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    LangProfiles.map { case (l, words) => countIn(toks, words).as(s"s_$l") }
+  }
+
+  /** Argmax over the profile scores; earlier profile wins ties. */
+  def langPredict(scores: Seq[Column]): Column = {
+    val langs = LangProfiles.map(_._1)
+    langs.indices.init.foldRight(lit(langs.last): Column) { (i, rest) =>
+      val isMax = langs.indices.filter(_ != i)
+        .map(j => scores(i) >= scores(j)).reduce(_ && _)
+      when(isMax, langs(i)).otherwise(rest)
+    }
+  }
+
+  /** Normalized-text md5 fingerprint (lowercase, collapsed whitespace). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Polynomial rolling hash over tokens — order-sensitive fingerprint. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(lower(text)), lit(1125899906842597L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** 60-bit SimHash over whitespace tokens. Per-token 60-bit hashes come
+    * from md5 hex (portable across engines for oracle verification); bit i
+    * of the signature is set when the +1/-1 vote over tokens is positive.
+    * Built as a SQL expression: the shift amount inside the lambda must be
+    * a column, which the Scala `shiftright` API doesn't expose.
+    */
+  def simhash(text: Column): Column = expr(simhashSql(text.toString))
+
+  /** SQL fragment computing the 60-bit simhash of a string column `col`. */
+  def simhashSql(col: String): String =
+    s"""aggregate(
+       |  transform(sequence(0, 59), i ->
+       |    CASE WHEN aggregate(
+       |        transform(regexp_extract_all($col, '[^ ]+', 0),
+       |                  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+       |        0, (acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+}

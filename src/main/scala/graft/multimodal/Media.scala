@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads travel as opaque `binary`
+  * columns with typed metadata, and per-item decode/feature-extraction runs
+  * batched over `mapPartitions` (the Scala analog of `mapInPandas`): one
+  * decoder instantiation per partition, items processed in bounded batches.
+  *
+  * The actual byte→pixels decode is STUBBED (no image/audio libs in this
+  * environment): `FakeDecoder` derives deterministic pseudo-features from
+  * an md5 of the payload, so the Spark-side plumbing — schema, batching,
+  * partitioning — is real and testable end-to-end.
+  */
+object Media {
+
+  case class MediaRecord(id: Long, payload: Array[Byte], mimeType: String)
+  case class MediaFeatures(id: Long, byteLen: Long, width: Int, height: Int,
+                           contentHash: String)
+
+  /** Deterministic stand-in for a real decoder. A real implementation
+    * would decode `payload` (JPEG/WAV/...) here; we derive fake dimensions
+    * from the content hash instead: width/height = 16 + 16 * (hash byte % 16).
+    */
+  object FakeDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+      val w = 16 + 16 * Integer.parseInt(hex.substring(0, 2), 16) % 256
+      val h = 16 + 16 * Integer.parseInt(hex.substring(2, 4), 16) % 256
+      MediaFeatures(r.id, r.payload.length.toLong, w, h, hex)
+    }
+  }
+
+  /** documents-style (id, text) → (id, payload binary, mimeType) frame. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).cast("binary").as("payload"),
+      lit("text/plain").as("mimeType"))
+
+  /** Batched stub decode over mapPartitions. batchSize bounds per-call
+    * memory exactly like an Arrow batch would for mapInPandas.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(FakeDecoder.decodeBatch)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Chunked batch enrichment — the Spark-native shape of the reference's
+  * LLM name-extraction stage (main.py:178-215, 262-305):
+  *
+  *   1. `distinct` the enrichment keys (the reference deduplicates
+  *      raw_drug_text into a set before calling the LLM) — at 100 TB this
+  *      is the step that turns billions of rows into thousands of calls;
+  *   2. batch keys into chunks of `chunkSize` per partition and call the
+  *      enricher once per chunk (`mapPartitions` + `grouped`);
+  *   3. join the small enriched dictionary back (broadcast).
+  *
+  * The Enricher SPI is where a real LLM/API client plugs in; it must be
+  * deterministic for replay/retry safety (Spark may re-run tasks).
+  */
+trait BatchEnricher extends Serializable {
+  /** Output field names appended to the key. */
+  def outputFields: Seq[String]
+  /** Enrich one chunk; missing keys fall back to (key, blanks) like the
+    * reference's LLM-miss path (main.py:297-300). */
+  def enrichBatch(keys: Seq[String]): Map[String, Seq[String]]
+}
+
+/** Deterministic rule-based enricher standing in for the LLM: splits a
+  * product name into an "active ingredient" (first token, uppercased) and
+  * a "trade name" (last token, capitalized).
+  */
+class NameRuleEnricher extends BatchEnricher {
+  override val outputFields: Seq[String] = Seq("active_ingredient", "trade_name")
+  override def enrichBatch(keys: Seq[String]): Map[String, Seq[String]] =
+    keys.map { k =>
+      val toks = k.split(" ")
+      val active = if (toks.nonEmpty) toks.head.toUpperCase else ""
+      val last = if (toks.nonEmpty) toks.last else ""
+      val trade = if (last.nonEmpty) last.substring(0, 1).toUpperCase + last.substring(1) else ""
+      k -> Seq(active, trade)
+    }.toMap
+}
+
+object BatchEnrich {
+
+  /** Left-join `df` with enrichment outputs keyed on `keyCol`. */
+  def enrich(df: DataFrame, keyCol: String, enricher: BatchEnricher,
+             chunkSize: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    val keySchema = StructType(
+      (keyCol +: enricher.outputFields).map(StructField(_, StringType, nullable = true)))
+    val keys = df.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val dictRdd = keys.rdd.mapPartitions { it =>
+      it.map(_.getString(0)).grouped(chunkSize).flatMap { chunk =>
+        val out = enricher.enrichBatch(chunk)
+        chunk.iterator.map { k =>
+          val vals = out.getOrElse(k, Seq(k) ++ Seq.fill(enricher.outputFields.size - 1)(""))
+          Row.fromSeq(k +: vals)
+        }
+      }
+    }
+    val dict = spark.createDataFrame(dictRdd, keySchema)
+    df.join(broadcast(dict), Seq(keyCol), "left")
+  }
+}

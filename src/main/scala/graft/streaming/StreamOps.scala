@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch operators. State is always
+  * bounded: watermarks cap the window state, and session state is per-key
+  * with an event-time timeout.
+  */
+object StreamOps {
+
+  case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+                   eventType: String, value: Double)
+  case class SessionOut(userId: Long, nEvents: Long, startSec: Long, endSec: Long)
+  private case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * streaming twin of q13_events_hourly.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization with flatMapGroupsWithState — streaming twin
+    * of Sessionize.sessions. Emits a session when `gapSeconds` of event
+    * time passes with no activity for the user (event-time timeout).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.startSec, s.endSec))
+          } else {
+            val secs = it.map(_.ts.getTime / 1000).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            secs.foreach { sec =>
+              cur match {
+                case Some(s) if sec - s.endSec <= gapSeconds =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, endSec = math.max(s.endSec, sec)))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.nEvents, s.startSec, s.endSec)
+                  cur = Some(SessionState(1, sec, sec))
+                case None =>
+                  cur = Some(SessionState(1, sec, sec))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endSec + gapSeconds) * 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
