@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{DedupQueries, Etl, Relational, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator family contributes its `queries` +
+  * `oracleSql` entries from graft.queries.*; entries present in `queries`
+  * but absent from `oracleSql` (sim_ann_lsh, streaming twins in tests) get
+  * the driver's weaker rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Etl.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Etl.oracle ++ TextQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle
 }

@@ -97,6 +97,9 @@ object Text {
 
   /** Quality scoring: token volume, punctuation ratio, stopword ratio.
     * Mirrors the shape of standard pretraining-corpus quality filters.
+    * Ratios are raw IEEE doubles (no rounding): identical formulas over
+    * exact integer inputs are bit-identical across engines, whereas round()
+    * implementations differ at ties.
     */
   def qualityColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)
@@ -104,9 +107,9 @@ object Text {
     val nTokens = size(toks)
     val punctRatio = (nChars - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / nChars
     val stopRatio = countIn(toks, Stopwords).cast("double") / nTokens
-    val quality = round(least(nTokens / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
-    Seq(nTokens.as("n_tokens"), round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stop_ratio"), quality.as("quality"))
+    val quality = least(nTokens / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)
+    Seq(nTokens.as("n_tokens"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"), quality.as("quality"))
   }
 
   /** Stopword-profile language ID. Deterministic argmax with fixed
@@ -143,13 +146,15 @@ object Text {
     aggregate(tokens(lower(text)), lit(1125899906842597L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
-  /** 60-bit SimHash over whitespace tokens. Per-token 60-bit hashes come
-    * from md5 hex (portable across engines for oracle verification); bit i
-    * of the signature is set when the +1/-1 vote over tokens is positive.
-    * Built as a SQL expression: the shift amount inside the lambda must be
-    * a column, which the Scala `shiftright` API doesn't expose.
+  /** 60-bit SimHash over whitespace tokens of the named string column.
+    * Per-token 60-bit hashes come from md5 hex (portable across engines for
+    * oracle verification); bit i of the signature is set when the +1/-1 vote
+    * over tokens is positive. Built as a SQL expression (the shift amount
+    * inside the lambda must be a column, which the Scala `shiftright` API
+    * doesn't expose), hence the column-NAME api — a composed Column doesn't
+    * round-trip through SQL text.
     */
-  def simhash(text: Column): Column = expr(simhashSql(text.toString))
+  def simhash(colName: String): Column = expr(simhashSql(colName))
 
   /** SQL fragment computing the 60-bit simhash of a string column `col`. */
   def simhashSql(col: String): String =

@@ -21,13 +21,18 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles of `textCol`. n=1 → token set. */
+  /** Distinct word n-gram shingles of `textCol`. n=1 → token set. Docs
+    * with fewer than n tokens (incl. empty text) yield an empty set — the
+    * guard matters because sequence(0, size-n) would otherwise descend.
+    */
   def shingles(textCol: String, n: Int): org.apache.spark.sql.Column = {
     val toks = Text.tokens(col(textCol))
     if (n == 1) array_distinct(toks)
     else array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Pairwise Jaccard ≥ minJaccard within blocks of `blockCol`. Output:
@@ -38,9 +43,12 @@ object Dedup {
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(textCol, n).as("sh"))
-    val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, a("blk") === b("blk") && col("a_id") < col("b_id"))
+    // distinct column names on the two sides: a self-join on a shared
+    // lineage would resolve `blk === blk` to the SAME attribute
+    // (trivially true) and silently degrade into a global cross join
+    val a = sh.select(col("blk").as("a_blk"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("blk").as("b_blk"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
@@ -49,17 +57,19 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
-    * k minhashes from salted xxhash64 over distinct token shingles; `bands`
-    * bands of `rowsPerBand` rows; docs sharing any band bucket become
+    * k minhashes from salted xxhash64 over distinct `n`-gram shingles;
+    * `bands` bands of k/bands rows; docs sharing any band bucket become
     * candidates; candidates are verified against exact Jaccard ≥ tau.
-    * With (k=128, b=16, r=8), P(miss | j=0.95) ≈ 3e-8 — the verified output
-    * equals the brute-force pair set w.h.p., which is what the oracle checks.
+    * With (k=128, b=32, r=4), P(miss | j=0.8) = (1-0.8^4)^32 ≈ 5e-8 — the
+    * verified output equals the brute-force pair set w.h.p., which is what
+    * the oracle checks — while a j=0.1 pair is a candidate with p≈0.003,
+    * keeping the verify stage linear-ish at corpus scale.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      tau: Double, k: Int = 128, bands: Int = 16): DataFrame = {
+                      tau: Double, n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    val toks = df.select(col(idCol).as("id"), shingles(textCol, 1).as("sh"))
+    val toks = df.select(col(idCol).as("id"), shingles(textCol, n).as("sh"))
       .where(size(col("sh")) > 0)
     val sig = toks.select(col("id"), col("sh"),
       array((0 until k).map(i =>
@@ -92,6 +102,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // 4 blocking quarters guarantee a shared quarter only for Hamming <= 3.
+    require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
     val sigs = simhashSignatures(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
     val quarters = sigs.select(col("id"), col("simhash"),
@@ -115,9 +127,9 @@ object Dedup {
                             blockCol: String, tau: Double): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       Vectors.toDoubleArray(col(vecCol)).as("v"))
-    val a = v.select(col("blk"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = v.select(col("blk"), col("id").as("b_id"), col("v").as("b_v"))
-    a.join(b, a("blk") === b("blk") && col("a_id") < col("b_id"))
+    val a = v.select(col("blk").as("a_blk"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = v.select(col("blk").as("b_blk"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (Vectors.dot(col("a_v"), col("b_v")) /
           (Vectors.norm(col("a_v")) * Vectors.norm(col("b_v")))).as("cosine"))

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query row. `queries` must be
-    * small (it is broadcast). Output: (q_id, n_id, cosine, rank); ranking
-    * on the 6-dp rounded cosine with id tiebreak makes order deterministic.
+    * small (it is broadcast). Output: (q_id, n_id, cosine, rank); the raw
+    * IEEE cosine with id tiebreak makes the ranking deterministic (the
+    * identical double arithmetic is reproducible across engines).
     */
   def topKCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
@@ -24,8 +25,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), Vectors.toDoubleArray(col(vecCol)).as("q_v"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(Vectors.dot(col("q_v"), col("n_v")) /
-          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v"))), 6).as("cosine"))
+        (Vectors.dot(col("q_v"), col("n_v")) /
+          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -46,8 +47,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(Vectors.dot(col("q_v"), col("n_v")) /
-          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v"))), 6).as("cosine"))
+        (Vectors.dot(col("q_v"), col("n_v")) /
+          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

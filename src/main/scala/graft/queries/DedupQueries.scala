@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication over documents / embeddings (SURVEY §2.D). */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    "dd_ngram_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairsBlocked(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+        .orderBy("a_id", "b_id")
+    },
+
+    "dd_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
+        .orderBy("a_id", "b_id")
+    },
+
+    "dd_simhash" -> { (s, dir) =>
+      Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "dd_embed_cosine" -> { (s, dir) =>
+      Dedup.embeddingPairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCol = "label", tau = 0.35)
+        .orderBy("a_id", "b_id")
+    }
+  )
+
+  private val normToks = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+  private val rawToks = "list_filter(string_split(text, ' '), t -> t != '')"
+  // distinct 3-gram shingles of the whitespace tokens
+  private val triShingles =
+    s"""list_distinct(CASE WHEN len($rawToks) >= 3
+       | THEN [array_to_string(list_slice($rawToks, i + 1, i + 3), ' ')
+       |       for i in generate_series(0, len($rawToks) - 3)]
+       | ELSE [] END)""".stripMargin
+  // left-fold double dot product of two double lists a, b (matches
+  // Spark aggregate(zip_with(...)) evaluation order: 0.0 + x1 + x2 + ...)
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""SELECT md5(array_to_string($normToks, ' ')) AS fp,
+         | MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, source, $triShingles AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // brute-force twin: LSH with (b=32, r=4) has ~1.0 recall at tau=0.8,
+    // and the exact-Jaccard verify step makes precision exact.
+    "dd_minhash_lsh" ->
+      s"""WITH s AS (SELECT doc_id, $triShingles AS sh FROM documents WHERE len($triShingles) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dd_simhash" ->
+      s"""SELECT doc_id, list_sum([
+         |  CASE WHEN list_sum([
+         |    CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+         |    for h in [('0x' || substring(md5(t), 1, 15))::BIGINT for t in $rawToks]]) > 0
+         |  THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |  for i in generate_series(0, 59)])::BIGINT AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_embed_cosine" ->
+      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.e", "b.e")} /
+         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin
+  )
+}

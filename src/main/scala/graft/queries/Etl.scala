@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{BatchEnrich, EtlOps, NameRuleEnricher}
+import graft.sources.Sources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** Reference ETL surface (SURVEY §2.A).
+  *
+  * The reference's inputs are scraped decision cards; here the card text is
+  * *synthesized deterministically* from the TPC-H-ish tables — the same
+  * construction is repeated in the DuckDB oracle, while the oracle's
+  * *expected output* comes from the ground-truth columns, so the graft
+  * extraction functions are verified against an independent answer.
+  * Reference behaviors re-expressed: status classification (main.py:106-133),
+  * approved filter (L258-260), header split (L140-176), Danish dates
+  * (L29-42, L217-232), ATC regex (L234-244), blank-fill (L307-327),
+  * dedup→chunk→enrich (L178-215, L262-305), CSV sink (L329-331).
+  */
+object Etl {
+
+  /** Synthetic status text, 4 variants cycling on o_orderkey. */
+  private def statusText: Column =
+    when(col("o_orderkey") % 4 === 0, "Sagen er Anbefalet af raadet")
+      .when(col("o_orderkey") % 4 === 1, "Delvist anbefalet efter mode")
+      .when(col("o_orderkey") % 4 === 2, "Ikke anbefalet desvaerre")
+      .otherwise("ingen beslutning endnu")
+
+  private val statusTextSql =
+    """CASE WHEN o_orderkey % 4 = 0 THEN 'Sagen er Anbefalet af raadet'
+      |     WHEN o_orderkey % 4 = 1 THEN 'Delvist anbefalet efter mode'
+      |     WHEN o_orderkey % 4 = 2 THEN 'Ikke anbefalet desvaerre'
+      |     ELSE 'ingen beslutning endnu' END""".stripMargin
+
+  /** Danish month name from o_orderdate, both dialects. */
+  private val monthNames = Seq("januar", "februar", "marts", "april", "maj",
+    "juni", "juli", "august", "september", "oktober", "november", "december")
+
+  private def danishDateText: Column = {
+    val mon = monthNames.zipWithIndex.foldLeft(lit("")) { case (acc, (n, i)) =>
+      when(month(col("o_orderdate")) === (i + 1), n).otherwise(acc)
+    }
+    when(col("o_orderkey") % 7 === 0, "ingen dato")
+      .otherwise(concat(lit("Godkendt den "),
+        dayofmonth(col("o_orderdate")).cast("string"), lit(". "),
+        mon, lit(" "), year(col("o_orderdate")).cast("string")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_status_classify" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Text.classifyStatus(statusText).as("status"))
+        .orderBy("o_orderkey")
+    },
+
+    "etl_filter_approved" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Text.classifyStatus(statusText).as("status"))
+        .where(col("status").isin(Text.ApprovedStatuses: _*))
+        .orderBy("o_orderkey")
+    },
+
+    "etl_split_first" -> { (s, dir) =>
+      val sep = when(col("p_partkey") % 3 === 0, " - ")
+        .when(col("p_partkey") % 3 === 1, " – ")  // en dash
+        .otherwise(" — ")                          // em dash
+      val header = when(col("p_size") % 5 === 0, col("p_name"))
+        .otherwise(concat(col("p_name"), sep, col("p_type")))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), Text.splitFirst(header).as("sp"))
+        .select(col("p_partkey"), col("sp.head").as("head"), col("sp.tail").as("tail"))
+        .orderBy("p_partkey")
+    },
+
+    "etl_danish_date" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Text.parseDanishDate(danishDateText).as("approval_date"))
+        .orderBy("o_orderkey")
+    },
+
+    "etl_regex_extract" -> { (s, dir) =>
+      val code = expr(
+        """concat(
+          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(o_orderkey % 26 AS INT) + 1, 1),
+          | lpad(CAST(CAST(FLOOR(o_orderkey / 7) AS BIGINT) % 100 AS STRING), 2, '0'),
+          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 3) AS BIGINT) % 26 AS INT) + 1, 1),
+          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 5) AS BIGINT) % 26 AS INT) + 1, 1),
+          | lpad(CAST(CAST(FLOOR(o_orderkey / 11) AS BIGINT) % 100 AS STRING), 2, '0'))""".stripMargin)
+      val atcText = when(col("o_orderkey") % 5 === 0, lit("ingen kode her"))
+        .otherwise(concat(lit("Behandling med "), code, lit(" godkendt")))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Text.extractAtc(atcText).as("atc"))
+        .orderBy("o_orderkey")
+    },
+
+    "etl_fill_missing" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).where(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      val joined = Tables.orders(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      EtlOps.conformSchema(joined, Seq(
+        ("o_orderkey", "order_id", lit(-1L)),
+        ("c_name", "customer_name", lit("")),
+        ("o_orderpriority", "priority", lit("")),
+        (null, "source_system", lit("legacy"))))
+        .orderBy("order_id")
+    },
+
+    "etl_enrich_batch" -> { (s, dir) =>
+      BatchEnrich.enrich(Tables.part(s, dir), "p_name", new NameRuleEnricher)
+        .select(col("p_partkey"), col("p_name"),
+          col("active_ingredient"), col("trade_name"))
+        .orderBy("p_partkey")
+    },
+
+    "src_csv_roundtrip" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+      Sources.writeCsv(Tables.nation(s, dir), out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Sources.readCsv(s, out, schema).orderBy("n_nationkey")
+    }
+  )
+
+  private val statusClassifySql =
+    s"""WITH cards AS (SELECT o_orderkey, $statusTextSql AS text FROM orders)
+       |SELECT o_orderkey,
+       | CASE WHEN regexp_matches(text, '(?i)Delvist\\s+anbefalet') THEN 'Delvist anbefalet'
+       |      WHEN regexp_matches(text, '(?i)Ikke\\s+anbefalet') THEN 'Ikke anbefalet'
+       |      WHEN regexp_matches(text, '(?i)Anbefalet') THEN 'Anbefalet'
+       |      ELSE NULL END AS status
+       |FROM cards""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "etl_status_classify" ->
+      s"""SELECT o_orderkey, status FROM ($statusClassifySql) ORDER BY o_orderkey""",
+
+    "etl_filter_approved" ->
+      s"""SELECT o_orderkey, status FROM ($statusClassifySql)
+         |WHERE status IN ('Anbefalet', 'Delvist anbefalet') ORDER BY o_orderkey""".stripMargin,
+
+    // ground truth: head/tail come straight from the construction inputs
+    "etl_split_first" ->
+      """SELECT p_partkey, trim(p_name) AS head,
+        | CASE WHEN p_size % 5 = 0 THEN NULL ELSE trim(p_type) END AS tail
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "etl_danish_date" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate::DATE END AS approval_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_regex_extract" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'ingen kode her'
+        |       ELSE 'Behandling med ' ||
+        |  substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', (o_orderkey % 26)::INT + 1, 1) ||
+        |  lpad(((FLOOR(o_orderkey / 7)::BIGINT) % 100)::VARCHAR, 2, '0') ||
+        |  substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', ((FLOOR(o_orderkey / 3)::BIGINT) % 26)::INT + 1, 1) ||
+        |  substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', ((FLOOR(o_orderkey / 5)::BIGINT) % 26)::INT + 1, 1) ||
+        |  lpad(((FLOOR(o_orderkey / 11)::BIGINT) % 100)::VARCHAR, 2, '0') || ' godkendt' END AS text
+        | FROM orders)
+        |SELECT o_orderkey,
+        | NULLIF(regexp_extract(text, '[A-Z][0-9]{2}[A-Z]{2}[0-9]{2}'), '') AS atc
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "etl_fill_missing" ->
+      """SELECT o_orderkey AS order_id, COALESCE(c_name, '') AS customer_name,
+        | COALESCE(o_orderpriority, '') AS priority, 'legacy' AS source_system
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+        | ON o_custkey = c_custkey
+        |ORDER BY order_id""".stripMargin,
+
+    "etl_enrich_batch" ->
+      """WITH t AS (SELECT p_partkey, p_name,
+        |  split_part(p_name, ' ', len(string_split(p_name, ' '))) AS last_tok
+        | FROM part)
+        |SELECT p_partkey, p_name,
+        | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
+        | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}

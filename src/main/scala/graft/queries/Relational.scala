@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics core (SURVEY §2.B) — TPC-H-shaped queries.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - money/quantity aggregates run in exact DECIMAL and are cast to DOUBLE
+  *    only at the end (sum order then cannot matter);
+  *  - ratios/averages are DOUBLE divisions of exact values with identical
+  *    association in both dialects (IEEE 754 ⇒ bit-identical);
+  *  - timestamps are emitted as epoch seconds (BIGINT);
+  *  - every query ends in a total ORDER BY (verification aid; at scale the
+  *    sort is the caller's choice, not the operator's).
+  */
+object Relational {
+
+  /** Exact decimal views of the 2-dp doubles in the test data. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(4,2)")
+  private def d(c: Column): Column = c.cast("double")
+
+  // revenue item: extendedprice * (1 - discount), exact
+  private def revItem: Column = dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("dsq"),
+          sum(dec(col("l_extendedprice"))).as("dsb"),
+          sum(revItem).as("dsd"),
+          sum((revItem.cast("decimal(18,4)") * (lit(1) + dec4(col("l_tax"))))).as("dsc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          d(col("dsq")).as("sum_qty"), d(col("dsb")).as("sum_base_price"),
+          d(col("dsd")).as("sum_disc_price"), d(col("dsc")).as("sum_charge"),
+          (d(col("dsq")) / col("count_order")).as("avg_qty"),
+          (d(col("dsb")) / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q2_filtered_projection" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), unix_timestamp(col("l_shipdate")).as("ship_sec"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q3_top_revenue" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).where(col("o_orderdate") < to_timestamp(lit("1998-07-01")))
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") > to_timestamp(lit("1998-07-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revItem).as("rev"))
+        .select(col("l_orderkey"), d(col("rev")).as("revenue"),
+          unix_timestamp(col("o_orderdate")).as("order_sec"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    "q4_region_revenue" -> { (s, dir) =>
+      val dims = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revItem).as("rev"))
+        .select(col("n_name"), d(col("rev")).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    "q5_window_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rank_in_cust", row_number().over(w))
+        .where(col("rank_in_cust") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank_in_cust"))
+        .orderBy("o_custkey", "rank_in_cust")
+    },
+
+    "q6_exists_semijoin" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir).where(col("l_quantity") > 45)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    "q7_not_exists_antijoin" -> { (s, dir) =>
+      val open = Tables.orders(s, dir).where(col("o_orderstatus") === "O")
+      Tables.customer(s, dir)
+        .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    "q8_distinct_count" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q9_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("dsq"), count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          d(col("dsq")).as("sum_qty"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    "q10_pivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(dec(col("o_totalprice"))))
+        .select(col("o_orderstatus"),
+          d(col("1-URGENT")).as("p_urgent"), d(col("2-HIGH")).as("p_high"),
+          d(col("3-MEDIUM")).as("p_medium"),
+          d(col("4-NOT SPECIFIED")).as("p_notspec"), d(col("5-LOW")).as("p_low"))
+        .orderBy("o_orderstatus")
+    },
+
+    "q11_union_distinct" -> { (s, dir) =>
+      val a = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      a.union(b).distinct().orderBy("c_custkey")
+    },
+
+    "q12_events_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          dec(col("value")).as("v"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"))
+        .select(col("k_val"), col("n_events"), d(col("sv")).as("sum_value"))
+        .orderBy("k_val")
+    },
+
+    "q13_events_hourly" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sv"))
+        .select(col("hour_sec"), col("event_type"), col("n_events"),
+          d(col("sv")).as("sum_value"))
+        .orderBy("hour_sec", "event_type")
+    },
+
+    "q14_sessionize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_id"))
+      graft.operators.Sessionize.sessions(ev, "user_id", "sec", "event_id", 1800L)
+        .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
+          col("n_events"), col("start_sec"), col("end_sec"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    "q15_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          d(sum(dec(col("value"))).over(w)).as("running_value"))
+        .orderBy("event_id")
+    },
+
+    "q16_above_avg" -> { (s, dir) =>
+      val avgs = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg((d(sum(dec(col("o_totalprice")))) / count(lit(1))).as("cust_avg"))
+      Tables.orders(s, dir)
+        .join(avgs, col("o_custkey") === col("ck"))
+        .where(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filtered_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | FLOOR(epoch(l_shipdate))::BIGINT AS ship_sec
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | FLOOR(epoch(o_orderdate))::BIGINT AS order_sec
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_region_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q5_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+        | FROM orders)
+        |WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""".stripMargin,
+
+    "q6_exists_semijoin" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q7_not_exists_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_distinct_count" ->
+      """SELECT l_returnflag, l_linestatus,
+        | COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q9_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q10_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_urgent,
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_high,
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_medium,
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_notspec,
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q11_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_events_json" ->
+      """SELECT json_extract_string(props, '$.k')::INT AS k_val, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+
+    "q13_events_hourly" ->
+      """SELECT FLOOR(epoch(date_trunc('hour', ts)))::BIGINT AS hour_sec, event_type,
+        | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_sec, event_type ORDER BY hour_sec, event_type""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, sec, event_id,
+        |   CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |y AS (
+        |  SELECT user_id, sec,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, COUNT(*) AS n_events,
+        | MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |FROM y GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q15_running_total" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q16_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
+        |JOIN (SELECT o_custkey AS ck,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+        |      FROM orders GROUP BY o_custkey) ON o_custkey = ck
+        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Media
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY §2.E) + multimodal columns (§2.F). */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_cosine" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKCosine(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // rows-only: LSH bucketing has no SQL-expressible oracle; recall vs the
+    // brute-force twin is asserted in SimilaritySpec.
+    "sim_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKCosineLsh(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nPlanes = 6, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+
+    "mm_meta" -> { (s, dir) =>
+      Media.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), col("mimeType").as("mime_type"),
+          length(col("payload")).as("byte_len"), md5(col("payload")).as("content_hash"))
+        .orderBy("id")
+    },
+
+    "mm_features" -> { (s, dir) =>
+      Media.extractFeatures(Media.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy("id")
+    }
+  )
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_cosine" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  ${dotSql("q.e", "n.e")} /
+         |   (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("n.e", "n.e")})) AS cosine
+         | FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+         |ranked AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored)
+         |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id AS id, 'text/plain' AS mime_type,
+        | octet_length(text::BLOB) AS byte_len, md5(text) AS content_hash
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the FakeDecoder's arithmetic (16 + (16*h) % 256 on the first md5
+    // bytes) is reproducible in SQL, so even the mapPartitions stub decode
+    // path gets a value-level oracle.
+    "mm_features" ->
+      """SELECT doc_id AS id, octet_length(text::BLOB) AS "byteLen",
+        | 16 + (16 * ('0x' || substring(md5(text), 1, 2))::INT) % 256 AS width,
+        | 16 + (16 * ('0x' || substring(md5(text), 3, 2))::INT) % 256 AS height,
+        | md5(text) AS "contentHash"
+        |FROM documents ORDER BY id""".stripMargin
+  )
+}

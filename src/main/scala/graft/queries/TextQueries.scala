@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the documents table (SURVEY §2.C). */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_ws_tokens"),
+          Text.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "ta_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: Text.qualityColumns(col("text")): _*)
+        .orderBy("doc_id")
+    },
+
+    "ta_langid" -> { (s, dir) =>
+      val scores = Text.langScores(col("text"))
+      Tables.documents(s, dir)
+        .select((col("doc_id") +: scores) :+
+          Text.langPredict(scores).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    },
+
+    "ta_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // DuckDB twin of Text.tokens: split on single spaces, drop empties.
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
+
+  val oracle: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens,
+         |  length(text) AS n_chars,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / len($toksSql) AS stop_ratio
+         | FROM documents)
+         |SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+         | least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','es','y'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter($toksSql, t -> t IN ('的','是','了'))) AS s_zh
+         | FROM documents)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS lang_pred
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(
+         |  list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -52,7 +52,10 @@ object StreamOps {
             secs.foreach { sec =>
               cur match {
                 case Some(s) if sec - s.endSec <= gapSeconds =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, endSec = math.max(s.endSec, sec)))
+                  // out-of-order (in-watermark) events can precede the
+                  // session start — min-update start like the batch twin
+                  cur = Some(SessionState(s.nEvents + 1,
+                    math.min(s.startSec, sec), math.max(s.endSec, sec)))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.nEvents, s.startSec, s.endSec)
                   cur = Some(SessionState(1, sec, sec))
