@@ -141,10 +141,16 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
-  /** Polynomial rolling hash over tokens — order-sensitive fingerprint. */
-  def rollingHash(text: Column): Column =
+  /** Polynomial rolling hash over tokens — order-sensitive fingerprint.
+    * The accumulator and per-token hash are masked to 42 bits before the
+    * multiply so the fold never overflows a signed long (ANSI mode errors
+    * on overflow instead of wrapping).
+    */
+  def rollingHash(text: Column): Column = {
+    val m = lit((1L << 42) - 1)
     aggregate(tokens(lower(text)), lit(1125899906842597L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+      (acc, t) => (acc.bitwiseAND(m)) * lit(1000003L) + (xxhash64(t).bitwiseAND(m)))
+  }
 
   /** 60-bit SimHash over whitespace tokens of the named string column.
     * Per-token 60-bit hashes come from md5 hex (portable across engines for

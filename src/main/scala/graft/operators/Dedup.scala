@@ -41,8 +41,11 @@ object Dedup {
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+    // docs with an empty shingle set can't be near anything and would
+    // divide by zero (ANSI) in the jaccard — drop them up front
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(textCol, n).as("sh"))
+      .where(size(col("sh")) > 0)
     // distinct column names on the two sides: a self-join on a shared
     // lineage would resolve `blk === blk` to the SAME attribute
     // (trivially true) and silently degrade into a global cross join

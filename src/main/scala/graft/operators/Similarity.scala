@@ -31,24 +31,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Approximate top-k via random-hyperplane LSH: corpus and queries get a
-    * bucket signature; a query is compared only against its bucket.
+  /** Approximate top-k via multi-table random-hyperplane LSH: `nTables`
+    * independent plane sets; a corpus row lands in one bucket per table and
+    * a query probes its own bucket in each table (candidates = union across
+    * tables, deduplicated). More tables → higher recall at linear cost —
+    * the standard recall/cost dial. The corpus side stays un-broadcast and
+    * shuffles by (table, bucket), so the plan is linear in corpus size.
     */
   def topKCosineLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nPlanes: Int = 8,
-                    dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = Vectors.makePlanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("n_id"),
-      Vectors.toDoubleArray(col(vecCol)).as("n_v"),
-      Vectors.lshBucket(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(idCol).as("q_id"),
-      Vectors.toDoubleArray(col(vecCol)).as("q_v"),
-      Vectors.lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+                    dim: Int = 64, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val tables = (0 until nTables).map(t => t -> Vectors.makePlanes(nPlanes, dim, seed + t))
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as(v),
+        explode(array(tables.map { case (t, planes) =>
+          struct(lit(t).as("tbl"), Vectors.lshBucket(col(vecCol), planes).as("bkt"))
+        }: _*)).as("b"))
+        .select(col(id), col(v), col("b.tbl"), col("b.bkt"))
+    val c = withBuckets(corpus, "n_id", "n_v")
+    val q = withBuckets(queries, "q_id", "q_v")
+    val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        (Vectors.dot(col("q_v"), col("n_v")) /
-          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.select(col("q_id"), col("n_id"),
+      (Vectors.dot(col("q_v"), col("n_v")) /
+        (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -57,7 +57,8 @@ object DedupQueries {
          |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH s AS (SELECT doc_id, source, $triShingles AS sh FROM documents)
+      s"""WITH s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          | len(list_intersect(a.sh, b.sh))::DOUBLE
          |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard

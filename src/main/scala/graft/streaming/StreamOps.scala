@@ -13,7 +13,8 @@ object StreamOps {
   case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
                    eventType: String, value: Double)
   case class SessionOut(userId: Long, nEvents: Long, startSec: Long, endSec: Long)
-  private case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
+  // NOT private: Spark's state-encoder codegen needs public accessors
+  case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * streaming twin of q13_events_hourly.

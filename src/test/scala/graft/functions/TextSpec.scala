@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T =
+    Seq(input).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("classifyStatus: priority order, case-insensitivity, null on no match") {
+    assert(one[String](Text.classifyStatus($"t"), "Delvist anbefalet i dag") == "Delvist anbefalet")
+    // 'Ikke anbefalet' contains 'anbefalet' — priority must pick the longer
+    assert(one[String](Text.classifyStatus($"t"), "blev IKKE ANBEFALET") == "Ikke anbefalet")
+    assert(one[String](Text.classifyStatus($"t"), "anbefalet af raadet") == "Anbefalet")
+    assert(one[String](Text.classifyStatus($"t"), "ingen beslutning") == null)
+  }
+
+  test("splitFirst: all three separators, earliest wins, no-sep → null tail") {
+    val df = Seq("head - tail", "a – b", "x — y", "plain", "a - b – c").toDF("t")
+      .select(Text.splitFirst($"t").as("s")).select($"s.head", $"s.tail")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == ("head", "tail"))
+    assert(rows(1) == ("a", "b"))
+    assert(rows(2) == ("x", "y"))
+    assert(rows(3) == ("plain", null))
+    assert(rows(4) == ("a", "b – c")) // first separator wins
+  }
+
+  test("parseDanishDate: normal, unknown month defaults to January, no match → null") {
+    assert(one[java.sql.Date](Text.parseDanishDate($"t"), "Godkendt den 12. januar 2026").toString == "2026-01-12")
+    assert(one[java.sql.Date](Text.parseDanishDate($"t"), "3 maj 2024").toString == "2024-05-03")
+    // unknown month name → January (reference main.py:230 behavior)
+    assert(one[java.sql.Date](Text.parseDanishDate($"t"), "5. blurgh 2020").toString == "2020-01-05")
+    assert(one[java.sql.Date](Text.parseDanishDate($"t"), "ingen dato") == null)
+  }
+
+  test("extractDate: d.m.y first, y-m-d fallback, null otherwise") {
+    assert(one[String](Text.extractDate($"t"), "frist 12.01.2026 slut") == "12.01.2026")
+    assert(one[String](Text.extractDate($"t"), "fra 2026-01-12") == "2026-01-12")
+    assert(one[String](Text.extractDate($"t"), "nothing") == null)
+  }
+
+  test("extractAtc: matches ATC shape only") {
+    assert(one[String](Text.extractAtc($"t"), "kode L01XC18 found") == "L01XC18")
+    assert(one[String](Text.extractAtc($"t"), "L1XC18 is wrong") == null)
+  }
+
+  test("tokens + counts on empty and punctuated text") {
+    assert(one[Int](size(Text.tokens($"t")), "") == 0)
+    assert(one[Int](size(Text.tokens($"t")), "a  b") == 2)
+    assert(one[Int](Text.bpeishTokenCount($"t"), "ab12,cd") == 4) // ab|12|,|cd
+  }
+
+  test("fingerprint is whitespace/case normalized; rollingHash is order-sensitive") {
+    val fp = Seq(("A  b C", "a b c"), ("x y", "y x")).toDF("l", "r")
+      .select(Text.fingerprint($"l") === Text.fingerprint($"r"),
+        Text.rollingHash($"l") === Text.rollingHash($"r")).collect()
+    assert(fp(0).getBoolean(0))  // same tokens → same fingerprint
+    assert(!fp(1).getBoolean(1)) // swapped order → different rolling hash
+  }
+
+  test("simhash of identical texts equal; near texts within small hamming") {
+    val df = Seq(("d1", "the quick brown fox jumps over the lazy dog today"),
+      ("d2", "the quick brown fox jumps over the lazy dog today"),
+      ("d3", "the quick brown fox jumps over the lazy cat today")).toDF("id", "text")
+    val sigs = df.select($"id", Text.simhash("text").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sigs("d1") == sigs("d2"))
+    assert(java.lang.Long.bitCount(sigs("d1") ^ sigs("d3")) <= 20)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  // 3 planted near-dup pairs + unrelated docs
+  private def corpus = Seq(
+    (1L, base, "s1"), (2L, base + " phi", "s1"),                    // ~0.87 trigram j
+    (3L, "one two three four five six seven eight nine ten", "s2"),
+    (4L, "one two three four five six seven eight nine ten", "s2"), // exact dup
+    (5L, "totally different words in this particular document here", "s3"),
+    (6L, "x", "s3"), (7L, "", "s3")                                  // shorter than n
+  ).toDF("doc_id", "text", "source")
+
+  test("shingles: short/empty docs yield empty set instead of crashing") {
+    val rows = corpus.select($"doc_id", Dedup.shingles("text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    assert(rows(6L) == 0 && rows(7L) == 0)
+    assert(rows(1L) == 18) // 20 tokens → 18 trigrams
+  }
+
+  test("exact dedup groups identical normalized text, keeps min id") {
+    val r = Dedup.exact(corpus, "doc_id", "text")
+      .where($"n_dups" > 1).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("keep_id") == 3L)
+  }
+
+  test("minhash LSH finds every planted pair a brute-force scan finds") {
+    val brute = Dedup.jaccardPairsBlocked(
+      corpus.withColumn("all", lit(1)), "doc_id", "text", "all", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", tau = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && lsh == brute)
+  }
+
+  test("simhashPairs: finds near-identical pair, rejects maxDist > 3") {
+    val pairs = Dedup.simhashPairs(corpus.where(length($"text") > 5), "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L))) // identical docs → hamming 0
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 4)
+    }
+  }
+
+  test("embedding near-dup pairs respect block + threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0), (4L, Array(1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairsBlocked(emb, "vec_id", "embedding", "label", 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 1-4 identical but cross-block; 1-3 orthogonal
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conformSchema: rename, per-row null fill, absent column default") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "name")
+    val out = EtlOps.conformSchema(df, Seq(
+      ("id", "order_id", lit(-1L)),
+      ("name", "customer_name", lit("")),
+      (null, "source_system", lit("legacy"))))
+    assert(out.columns.toSeq == Seq("order_id", "customer_name", "source_system"))
+    val rows = out.orderBy("order_id").collect()
+    assert(rows(1).getString(1) == "" && rows(0).getString(2) == "legacy")
+  }
+
+  test("batch enrich: distinct keys, chunked calls, broadcast join-back") {
+    val df = (1 to 100).map(i => (i.toLong, s"drug${i % 10} forte")).toDF("id", "raw_name")
+    val out = BatchEnrich.enrich(df, "raw_name", new NameRuleEnricher, chunkSize = 3)
+    assert(out.count() == 100)
+    val r = out.where($"raw_name" === "drug3 forte").select("active_ingredient", "trade_name")
+      .distinct().collect()
+    assert(r.length == 1 && r.head.getString(0) == "DRUG3" && r.head.getString(1) == "Forte")
+  }
+
+  test("sessionize: gap splits sessions, counts and bounds correct") {
+    val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 50L, 4L))
+      .toDF("user_id", "sec", "event_id")
+    val s = Sessionize.sessions(ev, "user_id", "sec", "event_id", 1800L)
+      .orderBy("user_id", "session_idx").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 2 && s(0).getAs[Long]("start_sec") == 0
+      && s(0).getAs[Long]("end_sec") == 100)
+    assert(s(1).getAs[Long]("n_events") == 1 && s(1).getAs[Long]("start_sec") == 2000)
+  }
+
+  test("vector math: dot/norm/cosine match hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(Vectors.toDoubleArray($"a"), Vectors.toDoubleArray($"b")).as("d"),
+      Vectors.norm(Vectors.toDoubleArray($"a")).as("n"),
+      Vectors.cosine($"a", $"b").as("c")).collect().head
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("media: batched stub decode is deterministic and schema-correct") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye")).toDF("doc_id", "text")
+    val f = graft.multimodal.Media.extractFeatures(
+      graft.multimodal.Media.asMedia(docs, "doc_id", "text"), batchSize = 2)
+      .collect().map(m => m.id -> m).toMap
+    assert(f(1L).contentHash == f(2L).contentHash && f(1L).width == f(2L).width)
+    assert(f(1L).contentHash != f(3L).contentHash)
+    assert(f(1L).byteLen == 11L)
+  }
+}

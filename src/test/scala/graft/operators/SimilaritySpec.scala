@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("topKCosine: k rows per query, descending, self excluded") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 5)
+    val out = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 3)
+      .orderBy("q_id", "rank").collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall { case Array(a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
+  test("multi-table LSH ANN recall vs brute force (>= 0.6 on random data)") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 20)
+    val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.topKCosineLsh(emb, q, "vec_id", "embedding", k = 5,
+      nPlanes = 4, nTables = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // every approx hit must still be a real neighbor pair (subset sanity)
+    assert(approx.forall { case (qid, nid) => qid != nid })
+  }
+}

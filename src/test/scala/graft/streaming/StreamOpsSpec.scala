@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("hourlyAgg: windowed counts with watermark, finalized after horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = StreamOps.hourlyAgg(
+      in.toDF().select($"ts", $"eventType".as("event_type"), $"value"))
+    val q = agg.writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(60), 1, "click", 1.0), Event(2, ts(120), 1, "click", 2.0),
+        Event(3, ts(200), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark way past hour 0 (2h watermark + 1h window)
+      in.addData(Event(4, ts(3600 * 12), 1, "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select($"window.start".cast("long").as("w"), $"event_type", $"n_events", $"sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(rows((0L, "click")) == ((2L, 3.0)))
+      assert(rows((0L, "view")) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dedup = StreamOps.dedupStream(in.toDF().withColumnRenamed("eventId", "event_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(5), 1, "a", 1.0),
+        Event(2, ts(10), 1, "b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions; out-of-order event min-updates start") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(in.toDS(), gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(100), 1, "a", 1.0), Event(2, ts(130), 1, "a", 1.0))
+      q.processAllAvailable()
+      // out-of-order but within watermark: must extend session start back
+      in.addData(Event(3, ts(80), 1, "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to time the session out
+      in.addData(Event(4, ts(10000), 2, "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess").as[SessionOut].collect().filter(_.userId == 1L)
+      assert(out.length == 1)
+      assert(out.head == SessionOut(1L, 3L, 80L, 130L))
+    } finally q.stop()
+  }
+}
