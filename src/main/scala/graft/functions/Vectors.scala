@@ -13,9 +13,14 @@ object Vectors {
 
   def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
-  /** Left-fold dot product in double. */
+  /** Left-fold dot product in double via the native `DotProduct` Catalyst
+    * expression (tight codegen'd loop; the `aggregate(zip_with(...))`
+    * formulation interprets its lambda per element and is ~1000× slower on
+    * pairwise hot paths). Sequential left fold from 0.0 — bit-identical to
+    * the lambda formulation and the oracle's list_reduce convention.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

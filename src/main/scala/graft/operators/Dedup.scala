@@ -24,6 +24,10 @@ object Dedup {
   /** Distinct word n-gram shingles of `textCol`. n=1 → token set. Docs
     * with fewer than n tokens (incl. empty text) yield an empty set — the
     * guard matters because sequence(0, size-n) would otherwise descend.
+    *
+    * Array-valued — fine for per-document use, but the lambda functions are
+    * interpreted per element; the pairwise operators below use the
+    * relational `shingleRows` form instead, which stays in codegen.
     */
   def shingles(textCol: String, n: Int): org.apache.spark.sql.Column = {
     val toks = Text.tokens(col(textCol))
@@ -35,26 +39,61 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct (id, shingle) rows — the relational (exploded) shingle form.
+    * posexplode + window `lead` builds each n-gram with codegen'd
+    * expressions only (measured ~10× faster than the array/lambda form at
+    * 5k docs, and the gap widens with document count). The shuffle is by
+    * doc id — linear in corpus size.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    if (n == 1) toks.select(col("id"), col("tok").as("s")).distinct()
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("pos")
+      val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+      toks.select(col("id"),
+          concat_ws(" ", (col("tok") +: leads): _*).as("s"),
+          leads.last.isNotNull.as("complete"))
+        .where(col("complete"))
+        .select(col("id"), col("s"))
+        .distinct()
+    }
+  }
+
   /** Pairwise Jaccard ≥ minJaccard within blocks of `blockCol`. Output:
-    * (a_id, b_id, jaccard), a_id < b_id. Jaccard is computed on distinct
-    * n-gram shingle sets and rounded to 6 places.
+    * (a_id, b_id, jaccard), a_id < b_id, on distinct n-gram shingle sets.
+    *
+    * Implemented as a postings join, not a block cross join: explode
+    * shingles → self-join on (block, shingle) → count shared shingles per
+    * pair → jaccard = inter / (|a| + |b| - inter). Work is proportional to
+    * Σ_shingle postings², i.e. only pairs that actually share a shingle are
+    * materialized, everything stays in whole-stage codegen, and the wide op
+    * is a shuffle on (block, shingle) — linear in corpus size. Pairs with
+    * no shared shingle (jaccard 0) are naturally absent.
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    // docs with an empty shingle set can't be near anything and would
-    // divide by zero (ANSI) in the jaccard — drop them up front
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(textCol, n).as("sh"))
-      .where(size(col("sh")) > 0)
-    // distinct column names on the two sides: a self-join on a shared
-    // lineage would resolve `blk === blk` to the SAME attribute
-    // (trivially true) and silently degrade into a global cross join
-    val a = sh.select(col("blk").as("a_blk"), col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("blk").as("b_blk"), col("id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+    // the shingle rows feed three plan branches (sizes + both join sides);
+    // persist so tokenization/windowing runs once (LRU-evicted later, the
+    // same pattern Spark ML uses for iterative intermediates)
+    val posts = shingleRows(df, idCol, textCol, n)
+      .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
+      .persist()
+    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = posts.select(col("blk").as("a_blk"), col("id").as("a_id"), col("s").as("a_s"))
+    val b = posts.select(col("blk").as("b_blk"), col("id").as("b_id"), col("s").as("b_s"))
+    val inter = a.join(b, col("a_blk") === col("b_blk") && col("a_s") === col("b_s") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -72,26 +111,46 @@ object Dedup {
                       tau: Double, n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    val toks = df.select(col(idCol).as("id"), shingles(textCol, n).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sig = toks.select(col("id"), col("sh"),
-      array((0 until k).map(i =>
-        array_min(transform(col("sh"), t => xxhash64(lit(i), t)))): _*).as("sig"))
+    // relational shingles: everything below stays in whole-stage codegen
+    // (requires spark.sql.codegen.maxFields >= k + a few — the k-aggregate
+    // signature row would otherwise silently fall back to interpreted agg).
+    // NOT persisted: identical branch subplans reuse one shuffle exchange,
+    // which measures faster here than a columnar cache boundary
+    val posts = shingleRows(df, idCol, textCol, n)
+    // signatures via k min-aggregates with map-side partial aggregation;
+    // the one wide op shuffles by id — linear in corpus size
+    val sig = posts
+      .groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
     val bandRows = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        j => struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh"))))
-        .as("b"))
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
+      }: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
-    val cand = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val candA = bandRows.select(col("band").as("a_band"), col("bh").as("a_bh"), col("id").as("a_id"))
+    val candB = bandRows.select(col("band").as("b_band"), col("bh").as("b_bh"), col("id").as("b_id"))
+    val cand = candA.join(candB,
+        col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
-    cand.join(toks.select(col("id"), col("sh").as("a_sh")), col("a_id") === col("id")).drop("id")
-      .join(toks.select(col("id"), col("sh").as("b_sh")), col("b_id") === col("id")).drop("id")
+    // exact-jaccard verify on the (small) candidate set, again as a
+    // postings join: broadcast the candidate pairs against the shingle rows
+    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = posts.select(col("id").as("a_id"), col("s").as("a_s"))
+      .join(broadcast(cand), "a_id")
+      .join(posts.select(col("id").as("bb_id"), col("s").as("b_s")),
+        col("b_id") === col("bb_id") && col("a_s") === col("b_s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
@@ -125,17 +184,23 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Embedding near-dup pairs: cosine ≥ tau within `blockCol` blocks. */
+  /** Embedding near-dup pairs: cosine ≥ tau within `blockCol` blocks.
+    * Norms are computed once per vector before pairing (linear); the
+    * per-pair dot is the native codegen'd DotProduct expression.
+    */
   def embeddingPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, tau: Double): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       Vectors.toDoubleArray(col(vecCol)).as("v"))
-    val a = v.select(col("blk").as("a_blk"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = v.select(col("blk").as("b_blk"), col("id").as("b_id"), col("v").as("b_v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = v.select(col("blk").as("a_blk"), col("id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = v.select(col("blk").as("b_blk"), col("id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
     a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (Vectors.dot(col("a_v"), col("b_v")) /
-          (Vectors.norm(col("a_v")) * Vectors.norm(col("b_v")))).as("cosine"))
+          (col("a_n") * col("b_n"))).as("cosine"))
       .where(col("cosine") >= tau)
   }
 }

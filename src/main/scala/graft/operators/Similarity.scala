@@ -22,11 +22,13 @@ object Similarity {
   def topKCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), Vectors.toDoubleArray(col(vecCol)).as("n_v"))
+      .withColumn("n_nrm", Vectors.norm(col("n_v")))
     val q = queries.select(col(idCol).as("q_id"), Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (Vectors.dot(col("q_v"), col("n_v")) /
-          (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -42,21 +44,21 @@ object Similarity {
                     vecCol: String, k: Int, nPlanes: Int = 8,
                     dim: Int = 64, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val tables = (0 until nTables).map(t => t -> Vectors.makePlanes(nPlanes, dim, seed + t))
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+    def withBuckets(df: DataFrame, id: String, v: String, nrm: String): DataFrame =
       df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as(v),
         explode(array(tables.map { case (t, planes) =>
           struct(lit(t).as("tbl"), Vectors.lshBucket(col(vecCol), planes).as("bkt"))
         }: _*)).as("b"))
-        .select(col(id), col(v), col("b.tbl"), col("b.bkt"))
-    val c = withBuckets(corpus, "n_id", "n_v")
-    val q = withBuckets(queries, "q_id", "q_v")
+        .select(col(id), col(v), Vectors.norm(col(v)).as(nrm), col("b.tbl"), col("b.bkt"))
+    val c = withBuckets(corpus, "n_id", "n_v", "n_nrm")
+    val q = withBuckets(queries, "q_id", "q_v", "q_nrm")
     val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"))
+      .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"), col("q_nrm"), col("n_nrm"))
       .dropDuplicates("q_id", "n_id")
     val scored = cand.select(col("q_id"), col("n_id"),
       (Vectors.dot(col("q_v"), col("n_v")) /
-        (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v")))).as("cosine"))
+        (col("q_nrm") * col("n_nrm"))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
