@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen'd query classes exhaust the default 240m code cache,
+  // after which the JIT disables itself and the tail queries run 5-10x
+  // slower interpreted (measured: full bench 137s -> 59s)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -75,12 +75,8 @@ object Dedup {
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    // the shingle rows feed three plan branches (sizes + both join sides);
-    // persist so tokenization/windowing runs once (LRU-evicted later, the
-    // same pattern Spark ML uses for iterative intermediates)
     val posts = shingleRows(df, idCol, textCol, n)
       .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
-      .persist()
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = posts.select(col("blk").as("a_blk"), col("id").as("a_id"), col("s").as("a_s"))
     val b = posts.select(col("blk").as("b_blk"), col("id").as("b_id"), col("s").as("b_s"))
