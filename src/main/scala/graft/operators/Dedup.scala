@@ -132,11 +132,11 @@ object Dedup {
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    // exact-jaccard verify on the (small) candidate set, again as a
-    // postings join: broadcast the candidate pairs against the shingle rows
+    // exact-jaccard verify as a postings join over the candidate set; no
+    // broadcast hint — candidates scale with the dup rate, so AQE decides
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = posts.select(col("id").as("a_id"), col("s").as("a_s"))
-      .join(broadcast(cand), "a_id")
+      .join(cand, "a_id")
       .join(posts.select(col("id").as("bb_id"), col("s").as("b_s")),
         col("b_id") === col("bb_id") && col("a_s") === col("b_s"))
       .groupBy(col("a_id"), col("b_id"))

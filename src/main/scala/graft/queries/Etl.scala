@@ -100,7 +100,7 @@ object Etl {
       val cust = Tables.customer(s, dir).where(col("c_acctbal") > 5000)
         .select(col("c_custkey"), col("c_name"))
       val joined = Tables.orders(s, dir)
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left")
       EtlOps.conformSchema(joined, Seq(
         ("o_orderkey", "order_id", lit(-1L)),
         ("c_name", "customer_name", lit("")),

@@ -60,8 +60,10 @@ object Relational {
       val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, dir).where(col("o_orderdate") < to_timestamp(lit("1998-07-01")))
       val li = Tables.lineitem(s, dir).where(col("l_shipdate") > to_timestamp(lit("1998-07-01")))
+      // customer scales with SF — no broadcast hint; AQE broadcasts it at
+      // small SF and shifts to shuffle join when it outgrows the threshold
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(revItem).as("rev"))
         .select(col("l_orderkey"), d(col("rev")).as("revenue"),
@@ -78,9 +80,11 @@ object Relational {
       val ord = Tables.orders(s, dir)
         .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      // nation⋈region is a fixed-size dim → broadcast hint; supplier and
+      // customer scale with SF → AQE picks the join strategy from stats
       Tables.lineitem(s, dir)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
