@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * AQE's skew-join handling (on by default in graft sessions) splits
+  * oversized shuffle partitions at runtime and is the first line of
+  * defense; salting is for the pathological case it can't fix — one join
+  * key carrying a double-digit percentage of a 100 TB fact table.
+  *
+  * The skewed (large) side gets a deterministic salt in [0, salt); the
+  * small side is replicated `salt` times; the join key becomes
+  * (key, salt), spreading one hot key over `salt` shuffle partitions.
+  * Deterministic salting (hash of the whole row, not rand()) keeps task
+  * retries and replays consistent.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+                     salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedLarge.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot is SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // one hot key (90% of rows) + a tail
+    val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedEquiJoin(large, small, "k", salt = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 901)
+    // left join keeps unmatched large-side rows exactly once
+    val leftPlain = large.join(small, Seq("k"), "left").count()
+    val leftSalted = SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "left").count()
+    assert(leftSalted == leftPlain)
+  }
+}
