@@ -115,10 +115,13 @@ object Dedup {
     val posts = shingleRows(df, idCol, textCol, n)
     // signatures via k min-aggregates with map-side partial aggregation;
     // the one wide op shuffles by id — linear in corpus size
+    // one pass emits both the k-minhash signature and the shingle-set size
+    // (spares a whole recompute of the shingle rows for the verify stage)
     val sig = posts
       .groupBy(col("id"))
       .agg(min(xxhash64(lit(0), col("s"))).as("m0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")) :+
+          count(lit(1)).as("sz"): _*)
     val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
@@ -134,7 +137,7 @@ object Dedup {
       .distinct()
     // exact-jaccard verify as a postings join over the candidate set; no
     // broadcast hint — candidates scale with the dup rate, so AQE decides
-    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = sig.select(col("id"), col("sz"))
     val inter = posts.select(col("id").as("a_id"), col("s").as("a_s"))
       .join(cand, "a_id")
       .join(posts.select(col("id").as("bb_id"), col("s").as("b_s")),

@@ -24,6 +24,15 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch joins the stream
+    * against a static dimension; Spark re-plans the static side per batch
+    * and broadcasts it when small. Left join keeps events with no match
+    * (blank-fill happens downstream via EtlOps.conformSchema).
+    */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame,
+                       keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(static, keys, joinType)
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

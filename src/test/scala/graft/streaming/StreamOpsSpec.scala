@@ -44,6 +44,21 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dims per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dims = Seq((1L, "alice"), (2L, "bob")).toDF("userId", "name")
+    val out = StreamOps.enrichWithStatic(in.toDF(), dims, Seq("userId"))
+    val q = out.writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 3, "b", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("userId", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L) == "alice" && rows(3L) == null)
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes sessions; out-of-order event min-updates start") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
