@@ -21,6 +21,18 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the full surviving row (lowest id per normalized-
+    * text fingerprint) — the "materialize the clean corpus" variant of
+    * `exact`. One shuffle on the fingerprint.
+    */
+  def keepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct word n-gram shingles of `textCol`. n=1 → token set. Docs
     * with fewer than n tokens (incl. empty text) yield an empty set — the
     * guard matters because sequence(0, size-n) would otherwise descend.

@@ -30,6 +30,12 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "dd_keep_first" -> { (s, dir) =>
+      Dedup.keepFirst(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "dd_embed_cosine" -> { (s, dir) =>
       Dedup.embeddingPairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCol = "label", tau = 0.35)
@@ -87,6 +93,12 @@ object DedupQueries {
          |  THEN 1::BIGINT << i ELSE 0::BIGINT END
          |  for i in generate_series(0, 59)])::BIGINT AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_keep_first" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |QUALIFY ROW_NUMBER() OVER (
+         |  PARTITION BY md5(array_to_string($normToks, ' ')) ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_embed_cosine" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),

@@ -199,6 +199,17 @@ object Relational {
         .orderBy("event_id")
     },
 
+    "q17_group_collect" -> { (s, dir) =>
+      // collect_list is order-nondeterministic after a shuffle — sort_array
+      // restores determinism; emitted as a joined string for the oracle
+      Tables.orders(s, dir)
+        .where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("big_orders"),
+          count(lit(1)).as("n_big"))
+        .orderBy("o_custkey")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -331,6 +342,13 @@ object Relational {
       """SELECT event_id, user_id,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_group_collect" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderkey)), ',') AS big_orders,
+        | COUNT(*) AS n_big
+        |FROM orders WHERE o_totalprice > 400000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders

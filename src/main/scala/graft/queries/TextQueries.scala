@@ -34,6 +34,27 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    "ta_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), size(Text.tokens(col("text"))).as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          expr("percentile(nt, 0.5d)").as("p50_tokens"),
+          expr("percentile(nt, 0.9d)").as("p90_tokens"))
+        .orderBy("lang")
+    },
+
+    "ta_wordcount" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
     }
   )
 
@@ -76,6 +97,19 @@ object TextQueries {
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(
          |  list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_stats" ->
+      s"""WITH t AS (SELECT lang, n_chars, len($toksSql) AS nt FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+         | MAX(n_chars) AS max_chars,
+         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         | quantile_cont(nt, 0.5) AS p50_tokens, quantile_cont(nt, 0.9) AS p90_tokens
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "ta_wordcount" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
   )
 }

@@ -48,6 +48,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
   }
 
+  test("partitioned parquet sink: partition pruning on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)).toDF("id", "part_key", "v")
+    graft.sources.Sources.writeParquet(df, dir, partitionBy = Seq("part_key"))
+    val back = graft.sources.Sources.readParquet(spark, dir).where($"part_key" === "a")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // partition filter must prune at the source, not post-scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part_key"))
+  }
+
+  test("keepFirst returns surviving full rows") {
+    val df = Seq((3L, "dup text", "x"), (1L, "dup text", "y"), (2L, "other", "z"))
+      .toDF("doc_id", "text", "meta")
+    val out = Dedup.keepFirst(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out == Set((1L, "y"), (2L, "z")))
+  }
+
   test("media: batched stub decode is deterministic and schema-correct") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye")).toDF("doc_id", "text")
     val f = graft.multimodal.Media.extractFeatures(
