@@ -210,6 +210,21 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    "q18_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+      val dim = ev.where(col("event_id") % 50 === 0)
+        .groupBy(col("user_id"), col("sec").as("dim_sec"))
+        .agg(max(col("value")).as("rate"))
+        .select(col("user_id"), col("dim_sec"), col("rate"))
+      graft.operators.AsOfJoin.asofLast(
+        ev.select(col("event_id"), col("user_id"), col("sec")), dim,
+        "user_id", "sec", "dim_sec")
+        .select(col("event_id"), col("user_id"), col("sec"), col("rate"))
+        .orderBy("event_id")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -349,6 +364,14 @@ object Relational {
         | COUNT(*) AS n_big
         |FROM orders WHERE o_totalprice > 400000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q18_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec, value FROM events),
+        |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
+        |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)
+        |SELECT e.event_id, e.user_id, e.sec, d.rate
+        |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.sec >= d.dim_sec
+        |ORDER BY event_id""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
