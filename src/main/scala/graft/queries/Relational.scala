@@ -225,6 +225,17 @@ object Relational {
         .orderBy("event_id")
     },
 
+    "q19_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      val iv = ev.where(col("event_id") % 100 === 0)
+        .select(col("event_id").as("iv_id"), col("sec").as("iv_start"),
+          (col("sec") + 600).as("iv_end"))
+      graft.operators.RangeJoin.intervalJoin(ev, iv, "sec", "iv_start", "iv_end", 600L)
+        .select(col("event_id"), col("iv_id"))
+        .orderBy("event_id", "iv_id")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -372,6 +383,14 @@ object Relational {
         |SELECT e.event_id, e.user_id, e.sec, d.rate
         |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.sec >= d.dim_sec
         |ORDER BY event_id""".stripMargin,
+
+    "q19_interval_join" ->
+      """WITH e AS (SELECT event_id, FLOOR(epoch(ts))::BIGINT AS sec FROM events),
+        |iv AS (SELECT event_id AS iv_id, sec AS iv_start, sec + 600 AS iv_end
+        |       FROM e WHERE event_id % 100 = 0)
+        |SELECT e.event_id, iv.iv_id FROM e JOIN iv
+        | ON e.sec >= iv.iv_start AND e.sec <= iv.iv_end
+        |ORDER BY event_id, iv_id""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
