@@ -127,12 +127,19 @@ object Dedup {
     val posts = shingleRows(df, idCol, textCol, n)
     // signatures via k min-aggregates with map-side partial aggregation;
     // the one wide op shuffles by id — linear in corpus size
-    // one pass emits both the k-minhash signature and the shingle-set size
-    // (spares a whole recompute of the shingle rows for the verify stage)
-    val sig = posts
+    // two-hash minhash family: h_i(s) = h1(s) + i*h2(s) — 2 string hashes
+    // per shingle instead of k, the rest is long arithmetic. 54-bit masks
+    // keep h1 + 127*h2 < 2^62 (ANSI mode errors on overflow); h2 forced odd
+    // so the k functions stay distinct. One pass emits the k minima AND the
+    // shingle-set size (spares a shingle recompute in the verify stage).
+    val m54 = lit((1L << 54) - 1)
+    val hashed = posts.select(col("id"),
+      xxhash64(col("s")).bitwiseAND(m54).as("h1"),
+      xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)).as("h2"))
+    val sig = hashed
       .groupBy(col("id"))
-      .agg(min(xxhash64(lit(0), col("s"))).as("m0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")) :+
+      .agg(min(col("h1")).as("m0"),
+        (1 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")) :+
           count(lit(1)).as("sz"): _*)
     val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map { j =>
