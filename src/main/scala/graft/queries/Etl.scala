@@ -123,6 +123,16 @@ object Etl {
         StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType)))
       Sources.readCsv(s, out, schema).orderBy("n_nationkey")
+    },
+
+    "src_json_roundtrip" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_json_roundtrip"
+      Sources.writeJson(Tables.region(s, dir), out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      Sources.readJson(s, out, schema)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
     }
   )
 
@@ -185,6 +195,9 @@ object Etl {
         |FROM t ORDER BY p_partkey""".stripMargin,
 
     "src_csv_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "src_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
   )
 }
