@@ -32,7 +32,12 @@ object Bench {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop references to finished shuffles/broadcasts so the
+        // ContextCleaner reclaims them; without this, state from 40+
+        // queries accumulates and later queries measure 5-20x slower
+        System.gc()
+        dt
       }
       name -> times.min
     }
