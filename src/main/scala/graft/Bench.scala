@@ -33,9 +33,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop references to finished shuffles/broadcasts so the
-        // ContextCleaner reclaims them; without this, state from 40+
-        // queries accumulates and later queries measure 5-20x slower
+        // drop operator-internal persists plus references to finished
+        // shuffles/broadcasts so the ContextCleaner reclaims them; without
+        // this, state from 40+ queries accumulates and later queries
+        // measure 5-20x slower
+        spark.sharedState.cacheManager.clearCache()
         System.gc()
         dt
       }

@@ -3,10 +3,10 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -68,8 +68,96 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH bucket ids for one vector, every table at
+  * once: output[t] has bit p set iff dot(vec, planes(t)(p)) >= 0.
+  *
+  * The composed-Column formulation (nTables × nPlanes DotProduct nodes,
+  * each with a dim-length literal-array child) works but costs seconds of
+  * analysis + codegen per query at 8×6×64 planes; here the plane matrix
+  * rides along as a single flattened reference object and the generated
+  * code is one three-level primitive loop.
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val nTables = planes.length
+  private val nPlanes = if (nTables == 0) 0 else planes(0).length
+  private val dim = if (nPlanes == 0) 0 else planes(0)(0).length
+  // layout [t][p][d] — one flat array referenced from generated code
+  private lazy val flat: Array[Double] = planes.flatten.flatten
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var acc = 0.0
+        val base = (t * nPlanes + p) * dim
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * flat(base + i); i += 1 }
+        if (acc >= 0) bits |= 1L << p
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bits = ctx.freshName("bits")
+      val base = ctx.freshName("base")
+      s"""
+         |long[] $out = new long[$nTables];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bits = 0L;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $acc = 0.0;
+         |    int $base = ($t * $nPlanes + $p) * $dim;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $v.getDouble($i) * $planesRef[$base + $i];
+         |    }
+         |    if ($acc >= 0.0) $bits |= 1L << $p;
+         |  }
+         |  $out[$t] = $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper: dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: per-table LSH bucket ids (array<long>) of a vector. */
+  def lshBuckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    Bridge.column(LshBuckets(Bridge.expression(v), planes))
 }

@@ -87,8 +87,12 @@ object Dedup {
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+    // posts feeds three branches (sizes, a-side, b-side); persist so the
+    // shingle window+distinct runs once, not per branch (exchange reuse
+    // does not fire across the differently-aliased join sides)
     val posts = shingleRows(df, idCol, textCol, n)
       .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = posts.select(col("blk").as("a_blk"), col("id").as("a_id"), col("s").as("a_s"))
     val b = posts.select(col("blk").as("b_blk"), col("id").as("b_id"), col("s").as("b_s"))
@@ -122,9 +126,11 @@ object Dedup {
     // relational shingles: everything below stays in whole-stage codegen
     // (requires spark.sql.codegen.maxFields >= k + a few — the k-aggregate
     // signature row would otherwise silently fall back to interpreted agg).
-    // NOT persisted: identical branch subplans reuse one shuffle exchange,
-    // which measures faster here than a columnar cache boundary
+    // posts feeds the signature pass AND both sides of the verify join;
+    // persisted so the shingle window+distinct runs once (exchange reuse
+    // does not fire across the differently-aliased branches)
     val posts = shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures via k min-aggregates with map-side partial aggregation;
     // the one wide op shuffles by id — linear in corpus size
     // two-hash minhash family: h_i(s) = h1(s) + i*h2(s) — 2 string hashes
@@ -136,11 +142,14 @@ object Dedup {
     val hashed = posts.select(col("id"),
       xxhash64(col("s")).bitwiseAND(m54).as("h1"),
       xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)).as("h2"))
+    // sig also feeds four branches (both band-join sides, both size
+    // lookups); tiny (one 129-col row per doc) so the cache is cheap
     val sig = hashed
       .groupBy(col("id"))
       .agg(min(col("h1")).as("m0"),
         (1 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")) :+
           count(lit(1)).as("sz"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),

@@ -43,22 +43,26 @@ object Similarity {
   def topKCosineLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nPlanes: Int = 8,
                     dim: Int = 64, nTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val tables = (0 until nTables).map(t => t -> Vectors.makePlanes(nPlanes, dim, seed + t))
+    val planes = (0 until nTables).map(t => Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
+    // norm before the explode (once per vector, not once per table row);
+    // all table buckets come from ONE native LshBuckets expression — the
+    // composed per-plane formulation costs seconds of analysis/codegen
     def withBuckets(df: DataFrame, id: String, v: String, nrm: String): DataFrame =
-      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as(v),
-        explode(array(tables.map { case (t, planes) =>
-          struct(lit(t).as("tbl"), Vectors.lshBucket(col(vecCol), planes).as("bkt"))
-        }: _*)).as("b"))
-        .select(col(id), col(v), Vectors.norm(col(v)).as(nrm), col("b.tbl"), col("b.bkt"))
+      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as(v))
+        .select(col(id), col(v), Vectors.norm(col(v)).as(nrm),
+          posexplode(graft.expressions.VectorExpressions.lshBuckets(col(v), planes))
+            .as(Seq("tbl", "bkt")))
     val c = withBuckets(corpus, "n_id", "n_v", "n_nrm")
     val q = withBuckets(queries, "q_id", "q_v", "q_nrm")
-    val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
+    // score BEFORE dedup: a pair colliding in several tables costs a few
+    // redundant codegen'd dot products, but the dedup shuffle then carries
+    // three scalars per candidate instead of two dim-length arrays
+    val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"), col("q_nrm"), col("n_nrm"))
+      .select(col("q_id"), col("n_id"),
+        (Vectors.dot(col("q_v"), col("n_v")) /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cand.select(col("q_id"), col("n_id"),
-      (Vectors.dot(col("q_v"), col("n_v")) /
-        (col("q_nrm") * col("n_nrm"))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
