@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * centroid-partitioned index (the structure behind FAISS's IVF family),
+  * expressed relationally:
+  *
+  *   1. pick centroids (deterministic stride sample — at 100 TB this is a
+  *      `TABLESAMPLE` + optional k-means refinement; stride keeps the
+  *      pipeline reproducible for verification),
+  *   2. assign every corpus vector to its max-cosine centroid — the
+  *      "inverted lists", one linear pass over the corpus with the
+  *      centroid set broadcast,
+  *   3. a query probes only the `nProbe` centroids closest to it, and
+  *      brute-forces the union of those lists.
+  *
+  * Scale shape: corpus-side work is O(N·C) dot products (C = #centroids,
+  * typically √N) in one broadcast-join stage — no shuffle of the corpus;
+  * the probe join shuffles only candidate lists for the probed centroids.
+  * Complementary to `Similarity.topKCosineLsh`: IVF gives tunable
+  * list-level pruning and a reusable materialized index; LSH avoids the
+  * centroid-build pass.
+  */
+object IvfIndex {
+
+  /** Deterministic centroid subset: every `stride`-th id. Output:
+    * (c_id, c_v, c_nrm), intended for broadcast.
+    */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+                stride: Long): DataFrame =
+    corpus.where(col(idCol) % stride === 0)
+      .select(col(idCol).as("c_id"), Vectors.toDoubleArray(col(vecCol)).as("c_v"))
+      .withColumn("c_nrm", Vectors.norm(col("c_v")))
+
+  /** Inverted-list assignment: each corpus vector to its single max-cosine
+    * centroid (ties broken toward the smaller centroid id). Output:
+    * (id, v, nrm, c_id, cosine).
+    */
+  def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
+             vecCol: String): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("nrm"), col("c_id"),
+        (Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("cosine"))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Approximate top-k cosine neighbors via IVF probing. `queries` must be
+    * small (broadcast). Output: (q_id, n_id, cosine, rank).
+    */
+  def topKCosineIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, stride: Long = 32,
+                    nProbe: Int = 8): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, stride)
+    // inverted lists, built once; reused across every query probe
+    val lists = assign(corpus, cents, idCol, vecCol)
+      .select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"),
+        col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(idCol).as("q_id"), Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
+    // nProbe closest centroids per query
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
+        (Vectors.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("p_cos"))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+    // brute-force within the probed lists only
+    val scored = lists.join(broadcast(probes), Seq("c_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (Vectors.dot(col("q_v"), col("n_v")) /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -49,7 +49,54 @@ object Etl {
         mon, lit(" "), year(col("o_orderdate")).cast("string")))
   }
 
+  /** Synthetic ATC-bearing text, no code on every 5th key. */
+  private def atcText: Column = {
+    val code = expr(
+      """concat(
+        | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(o_orderkey % 26 AS INT) + 1, 1),
+        | lpad(CAST(CAST(FLOOR(o_orderkey / 7) AS BIGINT) % 100 AS STRING), 2, '0'),
+        | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 3) AS BIGINT) % 26 AS INT) + 1, 1),
+        | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 5) AS BIGINT) % 26 AS INT) + 1, 1),
+        | lpad(CAST(CAST(FLOOR(o_orderkey / 11) AS BIGINT) % 100 AS STRING), 2, '0'))""".stripMargin)
+    when(col("o_orderkey") % 5 === 0, lit("ingen kode her"))
+      .otherwise(concat(lit("Behandling med "), code, lit(" godkendt")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the complete reference pipeline (main.py run_pipeline, L333-361) as
+    // ONE declarative plan: synth cards -> classify -> filter approved ->
+    // header split -> danish date -> ATC regex -> conform/blank-fill.
+    // Catalyst fuses every extraction into a single codegen'd stage over
+    // the scan — the reference runs these as seven sequential Python loops.
+    "etl_pipeline_e2e" -> { (s, dir) =>
+      val sep = when(col("o_orderkey") % 3 === 0, " - ")
+        .when(col("o_orderkey") % 3 === 1, " – ")
+        .otherwise(" — ")
+      val header = when(col("o_orderkey") % 5 === 0, col("o_orderpriority"))
+        .otherwise(concat(col("o_orderpriority"), sep, col("o_orderstatus")))
+      val cards = Tables.orders(s, dir).select(col("o_orderkey"),
+        statusText.as("card"), danishDateText.as("date_text"),
+        atcText.as("atc_text"), header.as("header"))
+      val approved = cards
+        .withColumn("status", Text.classifyStatus(col("card")))
+        .where(col("status").isin(Text.ApprovedStatuses: _*))
+      val parsed = approved
+        .withColumn("sp", Text.splitFirst(col("header")))
+        .select(col("o_orderkey"), col("status"),
+          col("sp.head").as("head"), col("sp.tail").as("tail"),
+          date_format(Text.parseDanishDate(col("date_text")), "yyyy-MM-dd").as("date_str"),
+          Text.extractAtc(col("atc_text")).as("atc_raw"))
+      EtlOps.conformSchema(parsed, Seq(
+        ("o_orderkey", "order_id", lit(-1L)),
+        ("status", "status", lit("")),
+        ("head", "drug_name", lit("")),
+        ("tail", "indication", lit("")),
+        ("date_str", "approval_date", lit("")),
+        ("atc_raw", "atc", lit("")),
+        (null, "source_system", lit("medicinraadet"))))
+        .orderBy("order_id")
+    },
+
     "etl_status_classify" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), Text.classifyStatus(statusText).as("status"))
@@ -82,15 +129,6 @@ object Etl {
     },
 
     "etl_regex_extract" -> { (s, dir) =>
-      val code = expr(
-        """concat(
-          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(o_orderkey % 26 AS INT) + 1, 1),
-          | lpad(CAST(CAST(FLOOR(o_orderkey / 7) AS BIGINT) % 100 AS STRING), 2, '0'),
-          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 3) AS BIGINT) % 26 AS INT) + 1, 1),
-          | substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', CAST(CAST(FLOOR(o_orderkey / 5) AS BIGINT) % 26 AS INT) + 1, 1),
-          | lpad(CAST(CAST(FLOOR(o_orderkey / 11) AS BIGINT) % 100 AS STRING), 2, '0'))""".stripMargin)
-      val atcText = when(col("o_orderkey") % 5 === 0, lit("ingen kode her"))
-        .otherwise(concat(lit("Behandling med "), code, lit(" godkendt")))
       Tables.orders(s, dir)
         .select(col("o_orderkey"), Text.extractAtc(atcText).as("atc"))
         .orderBy("o_orderkey")
@@ -145,7 +183,27 @@ object Etl {
        |      ELSE NULL END AS status
        |FROM cards""".stripMargin
 
+  // ground-truth ATC code construction (shared by two oracles)
+  private val atcCodeSql =
+    """substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', (o_orderkey % 26)::INT + 1, 1) ||
+      |  lpad(((FLOOR(o_orderkey / 7)::BIGINT) % 100)::VARCHAR, 2, '0') ||
+      |  substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', ((FLOOR(o_orderkey / 3)::BIGINT) % 26)::INT + 1, 1) ||
+      |  substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ', ((FLOOR(o_orderkey / 5)::BIGINT) % 26)::INT + 1, 1) ||
+      |  lpad(((FLOOR(o_orderkey / 11)::BIGINT) % 100)::VARCHAR, 2, '0')""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // ground truth from the construction inputs, not a re-run of the regexes
+    "etl_pipeline_e2e" ->
+      s"""SELECT o_orderkey AS order_id,
+         | CASE WHEN o_orderkey % 4 = 0 THEN 'Anbefalet' ELSE 'Delvist anbefalet' END AS status,
+         | trim(o_orderpriority) AS drug_name,
+         | CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE trim(o_orderstatus) END AS indication,
+         | CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS approval_date,
+         | CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE $atcCodeSql END AS atc,
+         | 'medicinraadet' AS source_system
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+         |ORDER BY order_id""".stripMargin,
+
     "etl_status_classify" ->
       s"""SELECT o_orderkey, status FROM ($statusClassifySql) ORDER BY o_orderkey""",
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Media
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,24 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.topKCosineLsh(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nPlanes = 6, dim = 64)
+        .orderBy("q_id", "rank")
+    },
+
+    // IVF inverted-list assignment: the index-build pass gets a full value
+    // oracle (cross-join argmax is SQL-expressible); the probe path is
+    // rows-only with recall asserted in SimilaritySpec.
+    "sim_ivf_assign" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      IvfIndex.assign(emb, IvfIndex.centroids(emb, "vec_id", "embedding", 32),
+        "vec_id", "embedding")
+        .select(col("id"), col("c_id"), col("cosine"))
+        .orderBy("id")
+    },
+
+    "sim_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      IvfIndex.topKCosineIvf(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, stride = 32, nProbe = 8)
         .orderBy("q_id", "rank")
     },
 
@@ -54,6 +72,18 @@ object SimilarityQueries {
          | FROM scored)
          |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ivf_assign" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |scored AS (SELECT v.vec_id AS id, c.c_id,
+         |  ${dotSql("v.e", "c.c_e")} /
+         |   (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("c.c_e", "c.c_e")})) AS cosine
+         | FROM v CROSS JOIN c),
+         |ranked AS (SELECT id, c_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, c_id) AS rn
+         | FROM scored)
+         |SELECT id, c_id, cosine FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,

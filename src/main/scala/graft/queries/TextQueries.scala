@@ -48,6 +48,33 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // TF-IDF top-3 terms per document. Postings + two linear aggregations
+    // (term freq by (doc, term); doc freq by term) — the corpus size joins
+    // in as a broadcast 1-row aggregate, never a driver-side count. At
+    // 100 TB every step is a linear shuffle on its key; the final per-doc
+    // top-k is a bounded window. IDF is the linear n_docs/df (not ln):
+    // libm ln() differs in the last ulp across engines, and exact-integer
+    // double division is the bit-reproducible choice per SURVEY §6.
+    "ta_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * (col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
     "ta_wordcount" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -110,6 +137,23 @@ object TextQueries {
     "ta_wordcount" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
-         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "ta_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term, tf, df, tf * (n_docs::DOUBLE / df) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, df, tfidf,
+         |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
   )
 }

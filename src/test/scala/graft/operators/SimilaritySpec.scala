@@ -36,4 +36,25 @@ class SimilaritySpec extends SparkSpec {
     // every approx hit must still be a real neighbor pair (subset sanity)
     assert(approx.forall { case (qid, nid) => qid != nid })
   }
+
+  test("IVF ANN: every vector gets exactly one list; probe recall >= 0.5") {
+    val emb = Tables.embeddings(spark, dir)
+    val nVec = emb.count()
+    val cents = IvfIndex.centroids(emb, "vec_id", "embedding", stride = 16)
+    val assigned = IvfIndex.assign(emb, cents, "vec_id", "embedding")
+    assert(assigned.count() == nVec)
+    assert(assigned.select("id").distinct().count() == nVec)
+
+    val q = emb.where($"vec_id" < 20)
+    val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ~31 lists at stride 16 over 500 vectors; probing 10 of them is the
+    // realistic accuracy/cost point for weakly-clustered random data
+    val approx = IvfIndex.topKCosineIvf(emb, q, "vec_id", "embedding", k = 5,
+      stride = 16, nProbe = 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(approx.forall { case (qid, nid) => qid != nid })
+  }
 }
