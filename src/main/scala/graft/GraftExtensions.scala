@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, LshBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
 
 /** Session extension wiring for the graft custom expressions, so SQL users
   * get them too:
@@ -27,10 +27,39 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "",
       "", "4.0.0", "", "built-in")
 
+  private def norm(v: Expression): Expression = Sqrt(DotProduct(v, v))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> columns"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("vec_norm",
+      info("vec_norm", "vec_norm(a) - L2 norm of an array<double> column"),
+      (args: Seq[Expression]) => norm(args.head)),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two array<double> columns"),
+      (args: Seq[Expression]) =>
+        Divide(DotProduct(args.head, args(1)), Multiply(norm(args.head), norm(args(1))))),
+    // lsh_buckets(v, nTables, nPlanes, dim, seed) - per-table random-
+    // hyperplane bucket ids; the trailing args must be integer literals
+    // (the plane matrix is generated at plan time from the seed)
+    ("lsh_buckets",
+      info("lsh_buckets",
+        "lsh_buckets(v, nTables, nPlanes, dim, seed) - array<long> of LSH bucket ids"),
+      (args: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e match {
+          case Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: $name must be an integer literal, got $other")
+        }
+        val nTables = intArg(args(1), "nTables")
+        val nPlanes = intArg(args(2), "nPlanes")
+        val dim = intArg(args(3), "dim")
+        val seed = intArg(args(4), "seed").toLong
+        val planes = (0 until nTables)
+          .map(t => graft.functions.Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
+        LshBuckets(args.head, planes)
+      }))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit =

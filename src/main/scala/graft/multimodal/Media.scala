@@ -18,6 +18,7 @@ object Media {
   case class MediaRecord(id: Long, payload: Array[Byte], mimeType: String)
   case class MediaFeatures(id: Long, byteLen: Long, width: Int, height: Int,
                            contentHash: String)
+  case class Frame(id: Long, frameIdx: Int, frameHash: String)
 
   /** Deterministic stand-in for a real decoder. A real implementation
     * would decode `payload` (JPEG/WAV/...) here; we derive fake dimensions
@@ -31,6 +32,23 @@ object Media {
       val h = 16 + 16 * Integer.parseInt(hex.substring(2, 4), 16) % 256
       MediaFeatures(r.id, r.payload.length.toLong, w, h, hex)
     }
+
+    private def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+
+    /** Stub frame sampler: a real decoder would demux the container and
+      * decode every `step`-th frame; the fake derives a deterministic
+      * frame count from the payload length (1 + len % 8) and per-frame
+      * hashes from (content hash, frame index).
+      */
+    def sampleFrames(batch: Seq[MediaRecord], step: Int): Seq[Frame] =
+      batch.flatMap { r =>
+        val hex = md5Hex(r.payload)
+        val nFrames = 1 + (r.payload.length % 8)
+        (0 until nFrames by step).map(i =>
+          Frame(r.id, i, md5Hex(s"$hex:$i".getBytes("UTF-8"))))
+      }
   }
 
   /** documents-style (id, text) → (id, payload binary, mimeType) frame. */
@@ -46,6 +64,19 @@ object Media {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(FakeDecoder.decodeBatch)
+    }
+  }
+
+  /** Batched frame sampling (1→N rows per media item) over mapPartitions —
+    * the video twin of `extractFeatures`. Output is narrow (id, idx, hash),
+    * so the row explosion happens after the wide payload column is dropped.
+    */
+  def sampleFrames(media: DataFrame, step: Int = 2,
+                   batchSize: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(FakeDecoder.sampleFrames(_, step))
     }
   }
 }

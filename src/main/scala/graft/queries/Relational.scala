@@ -236,6 +236,38 @@ object Relational {
         .orderBy("event_id", "iv_id")
     },
 
+    "q20_cube" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).as("dsp"), count(lit(1)).as("n_orders"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          d(col("dsp")).as("sum_price"), col("n_orders"))
+        .orderBy("status", "priority")
+    },
+
+    "q21_except" -> { (s, dir) =>
+      // customers with orders but none urgent: EXCEPT (left-anti on distinct)
+      val all = Tables.orders(s, dir).select(col("o_custkey"))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      all.except(urgent) // EXCEPT DISTINCT semantics
+        .orderBy("o_custkey")
+    },
+
+    "q22_scalar_subquery" -> { (s, dir) =>
+      // orders above the global average price: the scalar aggregate joins
+      // in as a broadcast single-row cross join, never a driver round-trip
+      val globalAvg = Tables.orders(s, dir)
+        .agg((d(sum(dec(col("o_totalprice")))) / count(lit(1))).as("global_avg"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(globalAvg))
+        .where(col("o_totalprice") > col("global_avg"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("global_avg"))
+        .orderBy("o_orderkey")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -391,6 +423,26 @@ object Relational {
         |SELECT e.event_id, iv.iv_id FROM e JOIN iv
         | ON e.sec >= iv.iv_start AND e.sec <= iv.iv_end
         |ORDER BY event_id, iv_id""".stripMargin,
+
+    "q20_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q21_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q22_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice, global_avg FROM orders
+        |CROSS JOIN (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |             / COUNT(*) AS global_avg FROM orders)
+        |WHERE o_totalprice > global_avg ORDER BY o_orderkey""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders

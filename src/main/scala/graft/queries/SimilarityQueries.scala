@@ -54,6 +54,13 @@ object SimilarityQueries {
       Media.extractFeatures(Media.asMedia(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
         .orderBy("id")
+    },
+
+    "mm_framesample" -> { (s, dir) =>
+      Media.sampleFrames(Media.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+        step = 2)
+        .toDF()
+        .orderBy("id", "frameIdx")
     }
   )
 
@@ -98,6 +105,16 @@ object SimilarityQueries {
         | 16 + (16 * ('0x' || substring(md5(text), 1, 2))::INT) % 256 AS width,
         | 16 + (16 * ('0x' || substring(md5(text), 3, 2))::INT) % 256 AS height,
         | md5(text) AS "contentHash"
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // stub frame-count/hash arithmetic is reproducible in SQL, so the
+    // 1->N mapPartitions explosion gets a value-level oracle too
+    "mm_framesample" ->
+      """WITH m AS (SELECT doc_id AS id, octet_length(text::BLOB) AS blen,
+        |  md5(text) AS hex FROM documents),
+        |f AS (SELECT id, hex,
+        |  unnest(generate_series(0, (blen % 8)::INT, 2)) AS fi FROM m)
+        |SELECT id, fi::INT AS "frameIdx", md5(hex || ':' || fi) AS "frameHash"
+        |FROM f ORDER BY id, "frameIdx"""".stripMargin
   )
 }

@@ -33,6 +33,22 @@ object StreamOps {
                        keys: Seq[String], joinType: String = "left"): DataFrame =
     stream.join(static, keys, joinType)
 
+  /** Stream-stream inner join within an event-time bound — the
+    * impression⋈click shape. Column names must be disjoint between the two
+    * sides (rename before calling); watermarks on BOTH sides plus the time
+    * range let Spark bound the join state: a left row is dropped once the
+    * right watermark passes leftTs + within, and vice versa.
+    */
+  def joinWithinTime(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTs: String, rightTs: String,
+                     within: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

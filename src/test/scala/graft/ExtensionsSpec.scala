@@ -13,6 +13,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("vec_norm / vec_cosine / lsh_buckets are SQL-callable") {
+    GraftExtensions.register(spark)
+    Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vecs2")
+    val row = spark.sql(
+      """SELECT vec_norm(a) AS n, vec_cosine(a, b) AS c,
+        | lsh_buckets(a, 4, 6, 2, 42) AS bk FROM vecs2""".stripMargin).collect().head
+    assert(row.getDouble(0) == 5.0)
+    assert(row.getDouble(1) == 1.0)
+    val buckets = row.getSeq[Long](2)
+    assert(buckets.length == 4 && buckets.forall(b => b >= 0 && b < 64))
+    // identical vector -> identical buckets (determinism across calls)
+    val again = spark.sql("SELECT lsh_buckets(b, 4, 6, 2, 42) AS bk FROM vecs2")
+      .collect().head.getSeq[Long](0)
+    assert(again == buckets)
+  }
+
   test("salted join equals plain join on skewed data") {
     // one hot key (90% of rows) + a tail
     val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")

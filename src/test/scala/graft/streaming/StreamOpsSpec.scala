@@ -59,6 +59,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinTime: stream-stream join pairs clicks within bound of views") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.joinWithinTime(
+      views.toDF().select($"eventId".as("view_id"), $"userId".as("view_user"), $"ts".as("view_ts")),
+      clicks.toDF().select($"eventId".as("click_id"), $"userId".as("click_user"), $"ts".as("click_ts")),
+      "view_user", "click_user", "view_ts", "click_ts",
+      within = "60 seconds", watermark = "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("vc").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(100), 1, "view", 0), Event(2, ts(500), 2, "view", 0))
+      clicks.addData(
+        Event(10, ts(130), 1, "click", 0),  // within 60s of view 1 -> joins
+        Event(11, ts(300), 1, "click", 0),  // too late for view 1 -> dropped
+        Event(12, ts(490), 2, "click", 0))  // before view 2 -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("vc").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes sessions; out-of-order event min-updates start") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
