@@ -29,4 +29,19 @@ object Sources {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed catalog table: rows hash-partitioned into `nBuckets` files
+    * per partition by `bucketCols`, sorted within each bucket. Two tables
+    * bucketed the same way equi-join on the bucket columns WITHOUT a
+    * shuffle (SortMergeJoin reads co-located buckets directly) — the
+    * pre-partitioning strategy for repeated fact-fact joins at 100 TB,
+    * where one write-time shuffle amortizes over every downstream join.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

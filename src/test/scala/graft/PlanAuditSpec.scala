@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape assertions: the properties that make queries survive a
+  * 100× scale-up are in the PLAN, not the output — filters reaching the
+  * parquet scan, projections pruning the read schema, fixed-size dims
+  * broadcast, scaling sides not broadcast. Guard them like unit tests so
+  * a refactor can't silently regress them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect { case s: FileSourceScanExec => s }
+
+  /** AQE wraps the plan in AdaptiveSparkPlanExec whose current plan is not
+    * reachable via `children` — unwrap to the underlying physical plan.
+    */
+  private def executedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q2: filters pushed to parquet; read schema pruned to used columns") {
+    val scan = scans(executedPlan("q2_filtered_projection")).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"filters not pushed: $pushed")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate"),
+      s"read schema not pruned: $readCols")
+  }
+
+  test("q1: aggregation reads only the grouped/aggregated columns") {
+    val scan = scans(executedPlan("q1_pricing_summary")).head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("l_orderkey") && !readCols.contains("l_partkey"),
+      s"read schema not pruned: $readCols")
+  }
+
+  test("q4: fixed-size dims broadcast; lineitem never broadcast") {
+    val plan = executedPlan("q4_region_revenue").toString
+    assert(plan.contains("BroadcastExchange"), "expected broadcast dim joins")
+    // the scaling fact table must not appear under a BroadcastExchange:
+    // check the lineitem scan's subtree path has no broadcast above it
+    val lines = plan.linesIterator.toSeq
+    val liLine = lines.indexWhere(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liLine >= 0)
+    val aboveLi = lines.take(liLine).reverse
+      .takeWhile(l => !l.contains("SortMergeJoin") || !l.contains("BroadcastHashJoin"))
+    assert(!aboveLi.exists(_.contains("BroadcastExchange")) ||
+      plan.indexOf("BroadcastExchange") != plan.lastIndexOf("BroadcastExchange"),
+      "lineitem should not be the broadcast side")
+  }
+
+  test("dedup pairwise ops: no cartesian product anywhere in the plan") {
+    for (name <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash")) {
+      val plan = executedPlan(name).toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
+
+  test("q13/q14 events queries scan without reading the props column") {
+    for (name <- Seq("q13_events_hourly", "q14_sessionize", "q15_running_total")) {
+      val sc = scans(executedPlan(name))
+      assert(sc.nonEmpty)
+      val readCols = sc.head.requiredSchema.fieldNames.toSet
+      assert(!readCols.contains("props"), s"$name reads unused props: $readCols")
+    }
+  }
+}

@@ -59,6 +59,24 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("part_key"))
   }
 
+  test("bucketed tables equi-join without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+      val dims = (0 to 99).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+      graft.sources.Sources.writeBucketed(facts, "b_facts", Seq("k"), 4, sortCols = Seq("k"))
+      graft.sources.Sources.writeBucketed(dims, "b_dims", Seq("k"), 4, sortCols = Seq("k"))
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      assert(joined.count() == 1000)
+      // both sides read their co-located buckets: no Exchange in the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"bucket scan not used:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("keepFirst returns surviving full rows") {
     val df = Seq((3L, "dup text", "x"), (1L, "dup text", "y"), (2L, "other", "z"))
       .toDF("doc_id", "text", "meta")
