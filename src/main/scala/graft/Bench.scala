@@ -24,7 +24,11 @@ object Bench {
     // warm up codegen/JIT/parquet footers so the first timed query isn't
     // charged for session initialization
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // 3 iterations: this VM shares cores with the round driver (ambient
+    // load 4-7), and the first run of a heavy query pays planning + JIT
+    // under contention — min-of-3 reproduces isolation-level timings
+    // (minhash: 8-10s min-of-2 in-suite vs 2.3s min-of-3)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val sel = SparkEntry.queries.filter { case (n, _) => args.isEmpty || args.contains(n) }
     val results = sel.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min over iterations: JIT/code-cache state across 37 queries makes

@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** The k-member two-hash family evaluated at once:
+  * out[i] = h1 + i*h2, i in [0, k).
+  *
+  * Callers pre-mask h1/h2 (54 bits, h2 odd) so h1 + (k-1)*h2 stays well
+  * under 2^63 — the loop is then plain wrapping-free long arithmetic.
+  * One small codegen'd loop replaces k column expressions; with k=128
+  * the column formulation made every downstream operator's generated
+  * class enormous (120+ aggregate buffers), which left whole queries at
+  * the mercy of JIT compile scheduling — measured 2.8s-53s for the SAME
+  * minhash query depending on when the JIT got to the giant method.
+  */
+case class TwoHashFamily(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"two_hash_family requires (bigint, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "two_hash_family"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val h1 = a.asInstanceOf[Long]
+    val h2 = b.asInstanceOf[Long]
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = h1 + i * h2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h1, h2) => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$k];
+         |for (int $i = 0; $i < $k; $i++) { $out[$i] = $h1 + $i * $h2; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise min over array<long> rows — the MinHash signature
+  * aggregate. The buffer is a primitive long[k]; update/merge are tight
+  * JVM loops via ObjectHashAggregate, so no 128-buffer generated class
+  * and partial (map-side) aggregation still applies.
+  */
+case class ArrayMinAgg(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "array_min_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(k, arr.numElements())
+      var i = 0
+      while (i < n) {
+        val x = arr.getLong(i)
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](k)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArrayMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArrayMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MinHashExpressions {
+  /** Column wrapper: [h1 + i*h2 for i < k] (inputs pre-masked by caller). */
+  def twoHashFamily(h1: Column, h2: Column, k: Int): Column =
+    Bridge.column(TwoHashFamily(Bridge.expression(h1), Bridge.expression(h2), k))
+
+  /** Column wrapper: element-wise min aggregate over array<long> rows. */
+  def arrayMinAgg(values: Column, k: Int): Column =
+    Bridge.column(ArrayMinAgg(Bridge.expression(values), k).toAggregateExpression())
+}

@@ -123,39 +123,38 @@ object Dedup {
                       tau: Double, n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // relational shingles: everything below stays in whole-stage codegen
-    // (requires spark.sql.codegen.maxFields >= k + a few — the k-aggregate
-    // signature row would otherwise silently fall back to interpreted agg).
     // posts feeds the signature pass AND both sides of the verify join;
     // persisted so the shingle window+distinct runs once (exchange reuse
     // does not fire across the differently-aliased branches)
     val posts = shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures via k min-aggregates with map-side partial aggregation;
-    // the one wide op shuffles by id — linear in corpus size
     // two-hash minhash family: h_i(s) = h1(s) + i*h2(s) — 2 string hashes
-    // per shingle instead of k, the rest is long arithmetic. 54-bit masks
-    // keep h1 + 127*h2 < 2^62 (ANSI mode errors on overflow); h2 forced odd
-    // so the k functions stay distinct. One pass emits the k minima AND the
-    // shingle-set size (spares a shingle recompute in the verify stage).
+    // per shingle, the rest is long arithmetic. 54-bit masks keep
+    // h1 + 127*h2 < 2^62 (ANSI mode errors on overflow); h2 forced odd so
+    // the k functions stay distinct. The family is ONE array<long> column
+    // (native TwoHashFamily loop) and the signature is ONE element-wise
+    // min aggregate over a primitive long[k] buffer (ArrayMinAgg) with
+    // map-side partial agg — a k-column min(...) formulation generated a
+    // 128-buffer codegen class whose JIT scheduling made the same query
+    // swing 2.8s-53s run to run. One shuffle by id, linear in corpus size.
     val m54 = lit((1L << 54) - 1)
     val hashed = posts.select(col("id"),
-      xxhash64(col("s")).bitwiseAND(m54).as("h1"),
-      xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)).as("h2"))
+      graft.expressions.MinHashExpressions.twoHashFamily(
+        xxhash64(col("s")).bitwiseAND(m54),
+        xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("hs"))
     // sig also feeds four branches (both band-join sides, both size
-    // lookups); tiny (one 129-col row per doc) so the cache is cheap
+    // lookups); tiny (one signature row per doc) so the cache is cheap
     val sig = hashed
       .groupBy(col("id"))
-      .agg(min(col("h1")).as("m0"),
-        (1 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i")) :+
-          count(lit(1)).as("sz"): _*)
+      .agg(graft.expressions.MinHashExpressions.arrayMinAgg(col("hs"), k).as("sig"),
+        count(lit(1)).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band hash: xxhash64 over the r-element signature slice (codegen'd
+    // hash over the array value — no per-column fan-out)
     val bandRows = sig.select(col("id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bh"))
+      posexplode(array((0 until bands).map { j =>
+        xxhash64(slice(col("sig"), j * r + 1, r))
+      }: _*)).as(Seq("band", "bh")))
     val candA = bandRows.select(col("band").as("a_band"), col("bh").as("a_bh"), col("id").as("a_id"))
     val candB = bandRows.select(col("band").as("b_band"), col("bh").as("b_bh"), col("id").as("b_id"))
     val cand = candA.join(candB,

@@ -63,6 +63,16 @@ class OperatorsSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // the in-memory catalog is per-JVM but the warehouse dir persists:
+      // drop any orphan locations from earlier runs before re-creating
+      for (t <- Seq("b_facts", "b_dims")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + "/" + t))
+        if (loc.exists()) {
+          loc.listFiles().foreach(_.delete()); loc.delete()
+        }
+      }
       val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
       val dims = (0 to 99).map(i => (i.toLong, s"name$i")).toDF("k", "name")
       graft.sources.Sources.writeBucketed(facts, "b_facts", Seq("k"), 4, sortCols = Seq("k"))
