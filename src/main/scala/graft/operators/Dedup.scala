@@ -214,6 +214,43 @@ object Dedup {
     * Norms are computed once per vector before pairing (linear); the
     * per-pair dot is the native codegen'd DotProduct expression.
     */
+  /** Embedding near-dup pairs WITHOUT a blocking column: candidates are
+    * pairs sharing a random-hyperplane LSH bucket in ANY of `nTables`
+    * tables, then exact-cosine verified. The scale path when no natural
+    * block key exists: the wide op is a shuffle on (table, bucket) —
+    * linear in corpus size — and candidate volume is tuned by
+    * nPlanes (bucket granularity) × nTables (recall). Size nPlanes to
+    * tau: P(two vectors at angle θ agree on one plane) = 1 - θ/π, so
+    * moderate-similarity targets (tau ~0.4 → θ ~66°) need FEW planes
+    * (p^nPlanes per table collapses fast at p≈0.6), while near-dup
+    * targets (tau ≥0.9) support 12+.
+    * Output: (a_id, b_id, cosine), a_id < b_id, cosine ≥ tau; recall < 1
+    * by construction (asserted against the blocked/brute path in tests).
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, nTables: Int = 8, nPlanes: Int = 4,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = (0 until nTables)
+      .map(t => Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
+    val v = df.select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(graft.expressions.VectorExpressions.lshBuckets(col("v"), planes))
+          .as(Seq("tbl", "bkt")))
+    val a = v.select(col("tbl"), col("bkt"), col("id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = v.select(col("tbl").as("b_tbl"), col("bkt").as("b_bkt"),
+      col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+    // score per collision, then dedup on the scalar triple — the distinct
+    // shuffle never carries vectors (same trick as topKCosineLsh)
+    a.join(b, col("tbl") === col("b_tbl") && col("bkt") === col("b_bkt") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (Vectors.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cosine"))
+      .where(col("cosine") >= tau)
+      .distinct()
+  }
+
   def embeddingPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, tau: Double): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),

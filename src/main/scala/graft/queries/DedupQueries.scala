@@ -40,6 +40,15 @@ object DedupQueries {
       Dedup.embeddingPairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCol = "label", tau = 0.35)
         .orderBy("a_id", "b_id")
+    },
+
+    // rows-only: bucket membership has no SQL twin; precision (every
+    // emitted pair really has cosine >= tau) and recall vs the brute
+    // path are asserted in DedupSpec.
+    "dd_embed_lsh" -> { (s, dir) =>
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = 0.4)
+        .orderBy("a_id", "b_id")
     }
   )
 

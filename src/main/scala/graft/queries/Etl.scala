@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{BatchEnrich, EtlOps, NameRuleEnricher}
+import graft.operators.{BatchEnrich, Cdc, EtlOps, NameRuleEnricher}
 import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -154,6 +154,23 @@ object Etl {
         .orderBy("p_partkey")
     },
 
+    // CDC merge: fold an orders-derived changelog (upserts + deletes,
+    // multiple changes per key, latest sequence wins) into the customer
+    // snapshot — the MERGE INTO shape without a table format.
+    "etl_cdc_merge" -> { (s, dir) =>
+      val snap = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 20 === 0, Cdc.OpDelete)
+          .otherwise(Cdc.OpUpsert).as("op"))
+      Cdc.applyChangelog(snap, changes, "c_custkey", "seq", "op")
+        .orderBy("c_custkey")
+    },
+
     "src_csv_roundtrip" -> { (s, dir) =>
       val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
       Sources.writeCsv(Tables.nation(s, dir), out)
@@ -251,6 +268,17 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "etl_cdc_merge" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),
+        |latest AS (SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY c_custkey ORDER BY seq DESC, (op = 'D') DESC) = 1),
+        |kept AS (SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
+        |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
 
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

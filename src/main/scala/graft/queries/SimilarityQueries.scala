@@ -43,6 +43,22 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // per-vector min-max int8-style scalar quantization, emitted in
+    // exploded (vec_id, pos, q) form so every quantized value is checked.
+    // floor (not round): round() half-way behavior differs across engines.
+    "sim_quantize" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDoubleArray(col("embedding")).as("v"))
+        .select(col("vec_id"), array_min(col("v")).as("mn"),
+          array_max(col("v")).as("mx"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255))
+            .cast("int").as("q"))
+        .orderBy("vec_id", "pos")
+    },
+
     "mm_meta" -> { (s, dir) =>
       Media.asMedia(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id"), col("mimeType").as("mime_type"),
@@ -91,6 +107,16 @@ object SimilarityQueries {
          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, c_id) AS rn
          | FROM scored)
          |SELECT id, c_id, cosine FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "sim_quantize" ->
+      """WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+        |b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+        |x AS (SELECT vec_id, mn, mx, unnest(e) AS xv,
+        |       unnest(generate_series(1, len(e))) AS p FROM b)
+        |SELECT vec_id, (p - 1)::INT AS pos,
+        | CASE WHEN mx = mn THEN 0
+        |      ELSE floor((xv - mn) / (mx - mn) * 255)::INT END AS q
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,

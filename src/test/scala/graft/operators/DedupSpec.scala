@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH pairs: exact precision, high recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.4 // max pair cosine in this synthetic data is ~0.48
+    // brute force = blocked path with a single constant block
+    val brute = Dedup.embeddingPairsBlocked(
+      emb.withColumn("all", lit(1)), "vec_id", "embedding", "all", tau)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (cosine verified); recall < 1
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    assert(brute.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall over ${brute.size} true pairs")
+  }
+
   test("embedding near-dup pairs respect block + threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f, 0.0f), 0),

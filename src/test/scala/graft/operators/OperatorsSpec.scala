@@ -87,6 +87,20 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cdc merge: latest change wins, deletes drop, new keys insert") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "a1", 11.0, 100L, "U"), (1L, "a2", 12.0, 200L, "U"), // latest wins
+      (2L, "b1", 0.0, 100L, "D"),                               // delete
+      (4L, "d", 40.0, 100L, "U"),                               // insert
+      (3L, "c1", 31.0, 100L, "U"), (3L, "cx", 0.0, 200L, "D"))  // upsert then delete
+      .toDF("k", "name", "bal", "seq", "op")
+    val out = Cdc.applyChangelog(snap, changes, "k", "seq", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a2", 12.0), (4L, "d", 40.0)))
+  }
+
   test("keepFirst returns surviving full rows") {
     val df = Seq((3L, "dup text", "x"), (1L, "dup text", "y"), (2L, "other", "z"))
       .toDF("doc_id", "text", "meta")
