@@ -49,6 +49,17 @@ object StreamOps {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Unwindowed running totals per key, for Update output mode: each
+    * micro-batch emits the keys it touched with their new running value.
+    * State is one row per key (no watermark needed — the aggregate is
+    * total-history by design; cap cardinality upstream if keys are
+    * unbounded).
+    */
+  def runningTotals(events: DataFrame, keyCol: String,
+                    valueCol: String): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total"))
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -29,6 +29,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == buckets)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // shrink the skew thresholds so test-sized data triggers the path
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      import spark.implicits._
+      // one key carries ~90% of the fact side
+      val large = (1 to 200000)
+        .map(i => (if (i <= 180000) 7L else i.toLong, s"payload_$i")).toDF("k", "v")
+      val small = (0 to 300000 by 7).map(i => (i.toLong, i * 2)).toDF("k", "w")
+      val joined = large.join(small, "k")
+      // execute THIS frame (count() plans a separate aggregate query and
+      // the adaptive plan only finalizes on execution)
+      val n = joined.collect().length
+      assert(n == 180000 + (1 to 200000).count(i => i > 180000 && i % 7 == 0))
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"skew split did not fire:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // one hot key (90% of rows) + a tail
     val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")

@@ -59,6 +59,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotals: update mode re-emits touched keys with new totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val totals = StreamOps.runningTotals(in.toDF().withColumnRenamed("userId", "user_id"),
+      "user_id", "value")
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0),
+        Event(3, ts(2), 2, "a", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(3), 1, "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .select("user_id", "n_events", "total").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch 1 emitted (1,2,3.0) and (2,1,5.0); batch 2 re-emitted user 1
+      assert(rows.contains((1L, 3L, 7.0)), s"missing final total in $rows")
+      assert(rows.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("joinWithinTime: stream-stream join pairs clicks within bound of views") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
