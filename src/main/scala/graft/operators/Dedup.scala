@@ -232,11 +232,14 @@ object Dedup {
                         dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = (0 until nTables)
       .map(t => Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
+    // bucketed rows feed both join sides; persist so scan+norm+bucketing
+    // runs once (same aliasing blind spot as the minhash branches)
     val v = df.select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .select(col("id"), col("v"), col("nrm"),
         posexplode(graft.expressions.VectorExpressions.lshBuckets(col("v"), planes))
           .as(Seq("tbl", "bkt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("tbl"), col("bkt"), col("id").as("a_id"),
       col("v").as("a_v"), col("nrm").as("a_n"))
     val b = v.select(col("tbl").as("b_tbl"), col("bkt").as("b_bkt"),

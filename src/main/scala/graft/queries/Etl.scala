@@ -180,6 +180,20 @@ object Etl {
       Sources.readCsv(s, out, schema).orderBy("n_nationkey")
     },
 
+    "src_orc_roundtrip" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+      Sources.writeOrc(Tables.supplier(s, dir), out)
+      Sources.readOrc(s, out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .orderBy("s_suppkey")
+    },
+
+    "src_text_roundtrip" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_text_roundtrip"
+      Sources.writeText(Tables.nation(s, dir).select(col("n_name")), out)
+      Sources.readText(s, out).orderBy("value")
+    },
+
     "src_json_roundtrip" -> { (s, dir) =>
       val out = sys.props("java.io.tmpdir") + "/graft_json_roundtrip"
       Sources.writeJson(Tables.region(s, dir), out)
@@ -284,6 +298,12 @@ object Etl {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "src_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "src_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+
+    "src_text_roundtrip" ->
+      "SELECT n_name AS value FROM nation ORDER BY value"
   )
 }

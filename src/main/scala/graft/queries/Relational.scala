@@ -268,6 +268,22 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    "q23_event_gaps" -> { (s, dir) =>
+      // lead/lag navigation: inter-event gap per user, bucketed histogram
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .select(
+          when(col("gap") < 60, "lt_1m").when(col("gap") < 600, "lt_10m")
+            .when(col("gap") < 3600, "lt_1h").otherwise("ge_1h").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("bucket")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -443,6 +459,15 @@ object Relational {
         |CROSS JOIN (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |             / COUNT(*) AS global_avg FROM orders)
         |WHERE o_totalprice > global_avg ORDER BY o_orderkey""".stripMargin,
+
+    "q23_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, FLOOR(epoch(ts))::BIGINT AS sec FROM events),
+        |g AS (SELECT sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e)
+        |SELECT CASE WHEN gap < 60 THEN 'lt_1m' WHEN gap < 600 THEN 'lt_10m'
+        |            WHEN gap < 3600 THEN 'lt_1h' ELSE 'ge_1h' END AS bucket,
+        | COUNT(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders

@@ -30,6 +30,19 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Line-oriented text sink/source (single string column). */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Bucketed catalog table: rows hash-partitioned into `nBuckets` files
     * per partition by `bucketCols`, sorted within each bucket. Two tables
     * bucketed the same way equi-join on the bucket columns WITHOUT a
