@@ -104,6 +104,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals the batch twin on real event data") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800L
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id AS eventId", "ts", "user_id AS userId",
+        "event_type AS eventType", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val batch = graft.operators.Sessionize.sessions(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .selectExpr("user_id", "CAST(FLOOR(unix_timestamp(ts)) AS LONG) AS sec", "event_id"),
+      "user_id", "sec", "event_id", gap)
+      .select("user_id", "n_events", "start_sec", "end_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gap).writeStream
+      .format("memory").queryName("twin").outputMode("append").start()
+    try {
+      // feed chronologically in 3 chunks, then advance the watermark far
+      // past every session end so all remaining state times out
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val flushTs = new java.sql.Timestamp(ev.last.ts.getTime + gap * 1000 * 10)
+      in.addData(Event(-1L, flushTs, -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("twin").as[SessionOut].collect()
+        .filter(_.userId >= 0)
+        .map(s => (s.userId, s.nEvents, s.startSec, s.endSec)).toSet
+      assert(stream == batch,
+        s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes sessions; out-of-order event min-updates start") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
