@@ -75,6 +75,23 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // the flagship training-data composition: quality filter -> language
+    // filter -> exact dedup (keep first) -> surviving docs. Every stage is
+    // a library operator; Catalyst fuses the three scalar filters into the
+    // scan and the only shuffles are the dedup window and final sort.
+    "pipe_corpus_clean" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scores = Text.langScores(col("text"))
+      val qual = docs.select(
+        (col("doc_id") +: col("text") +: Text.qualityColumns(col("text"))) :+
+          Text.langPredict(scores).as("lang_pred"): _*)
+      val filtered = qual.where(
+        col("n_tokens") >= 30 && col("lang_pred") === "en" && col("quality") > 0)
+      graft.operators.Dedup.keepFirst(filtered, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     "ta_wordcount" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -138,6 +155,33 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "pipe_corpus_clean" ->
+      s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / len($toksSql) AS stop_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','es','y'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter($toksSql, t -> t IN ('的','是','了'))) AS s_zh
+         | FROM documents),
+         |s AS (SELECT doc_id, text, n_tokens,
+         |  least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         | FROM q),
+         |f AS (SELECT * FROM s
+         |      WHERE n_tokens >= 30 AND lang_pred = 'en' AND quality > 0),
+         |k AS (SELECT doc_id, n_tokens, quality FROM f
+         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(
+         |        list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+         |        ORDER BY doc_id) = 1)
+         |SELECT doc_id, n_tokens, quality FROM k ORDER BY doc_id""".stripMargin,
 
     "ta_tfidf" ->
       s"""WITH tf AS (
