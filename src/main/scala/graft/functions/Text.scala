@@ -78,13 +78,24 @@ object Text {
 
   /** Split on the first occurrence of any separator (main.py:147-156).
     * Returns struct(head, tail); tail null when no separator present.
-    * All reference separators are 3 chars (" - ", " – ", " — ").
+    * Separators may have different lengths: the earliest match wins, ties
+    * broken toward the longer separator (so " -- " beats " - " at the
+    * same position when both are passed).
     */
   def splitFirst(c: Column, seps: Seq[String] = Seq(" - ", " – ", " — ")): Column = {
-    val pos = least(seps.map(s => when(instr(c, s) > 0, instr(c, s))): _*)
+    // least() over (pos, -len) structs = argmin by position then max len;
+    // absent separators rank last via MaxValue
+    val best = least(seps.map { s =>
+      struct(
+        when(instr(c, s) > 0, instr(c, s)).otherwise(lit(Int.MaxValue)).as("p"),
+        lit(-s.length).as("nl"))
+    }: _*)
+    val pos = best.getField("p")
+    val sepLen = -best.getField("nl")
+    val found = pos =!= Int.MaxValue
     struct(
-      when(pos.isNotNull, trim(c.substr(lit(1), pos - 1))).otherwise(trim(c)).as("head"),
-      when(pos.isNotNull, trim(c.substr(pos + 3, length(c)))).otherwise(lit(null)).as("tail"))
+      when(found, trim(c.substr(lit(1), pos - 1))).otherwise(trim(c)).as("head"),
+      when(found, trim(c.substr(pos + sepLen, length(c)))).otherwise(lit(null)).as("tail"))
   }
 
   // ---- text analysis -------------------------------------------------

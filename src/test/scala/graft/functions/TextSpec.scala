@@ -28,6 +28,16 @@ class TextSpec extends SparkSpec {
     assert(rows(4) == ("a", "b – c")) // first separator wins
   }
 
+  test("splitFirst: variable-length separators, longer wins at same position") {
+    val df = Seq("k :: v", "k : v :: w", "k|v").toDF("t")
+      .select(Text.splitFirst($"t", Seq(" : ", " :: ")).as("s"))
+      .select($"s.head", $"s.tail")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == ("k", "v"))      // " :: " matched as one separator
+    assert(rows(1) == ("k", "v :: w")) // earliest position still wins
+    assert(rows(2) == ("k|v", null))
+  }
+
   test("parseDanishDate: normal, unknown month defaults to January, no match → null") {
     assert(one[java.sql.Date](Text.parseDanishDate($"t"), "Godkendt den 12. januar 2026").toString == "2026-01-12")
     assert(one[java.sql.Date](Text.parseDanishDate($"t"), "3 maj 2024").toString == "2024-05-03")
