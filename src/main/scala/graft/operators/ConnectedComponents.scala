@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair graph — turns near-duplicate PAIRS
+  * (from Dedup.*Pairs*) into duplicate CLUSTERS (one canonical id per
+  * group), the final step of corpus dedup.
+  *
+  * Algorithm: min-label propagation to fixpoint. Each round every node
+  * takes the minimum label among itself and its neighbors; rounds are
+  * whole DataFrame joins (shuffle on node id — linear in edge count) and
+  * the loop converges in O(component diameter) rounds. Near-dup graphs
+  * have tiny components (dup groups), so a handful of rounds suffices;
+  * for adversarial long-chain graphs the same loop accepts a higher
+  * `maxIter` or the large-star/small-star variant (each round halves path
+  * lengths) — the per-round plan is identical.
+  *
+  * The driver loop only reads ONE scalar per round (the changed-count
+  * convergence check); all data stays distributed. Intermediate label
+  * tables are persisted and explicitly unpersisted so lineage doesn't
+  * grow across rounds.
+  */
+object ConnectedComponents {
+
+  /** (a, b) pairs → (id, cluster_id) where cluster_id is the minimum node
+    * id in the component. Nodes not appearing in any pair are absent (the
+    * caller unions singletons if needed).
+    */
+  def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+             maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("nbr_lbl")), "v")
+        .groupBy(col("u"))
+        .agg(min(col("nbr_lbl")).as("min_nbr"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("min_nbr")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
+        .where(col("lbl") =!= col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+}

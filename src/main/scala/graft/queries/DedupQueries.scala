@@ -42,6 +42,16 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // near-dup pairs -> duplicate clusters via min-label propagation;
+    // oracle is a DuckDB recursive-CTE transitive closure over the same
+    // pair set, so cluster assignments are value-checked end to end.
+    "dd_clusters" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairsBlocked(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      graft.operators.ConnectedComponents.labels(pairs)
+        .orderBy("id")
+    },
+
     // rows-only: bucket membership has no SQL twin; precision (every
     // emitted pair really has cosine >= tau) and recall vs the brute
     // path are asserted in DedupSpec.
@@ -108,6 +118,23 @@ object DedupQueries {
          |QUALIFY ROW_NUMBER() OVER (
          |  PARTITION BY md5(array_to_string($normToks, ' ')) ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_clusters" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "dd_embed_cosine" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),

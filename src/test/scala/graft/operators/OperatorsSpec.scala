@@ -87,6 +87,17 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("connected components: chains collapse to min label, parts stay apart") {
+    // component {1,2,3,4} as a chain (diameter 3), component {10,11},
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val out = ConnectedComponents.labels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("cdc merge: latest change wins, deletes drop, new keys insert") {
     val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")
