@@ -30,12 +30,16 @@ object ConnectedComponents {
     */
   def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
              maxIter: Int = 20): DataFrame = {
+    // pairs come in deduplicated with a < b, so the two directed copies
+    // are already distinct
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // seed with round 1 for free: lbl = min(self, all neighbors) is one
+    // aggregate over the edge list (also yields the node set)
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("min_nbr0"))
+      .select(col("u").as("id"), least(col("u"), col("min_nbr0")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
@@ -44,13 +48,14 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("v"), col("lbl").as("nbr_lbl")), "v")
         .groupBy(col("u"))
         .agg(min(col("nbr_lbl")).as("min_nbr"))
+      // carry the old label so convergence needs no second join
       val next = labels
         .join(nbrMin.select(col("u").as("id"), col("min_nbr")), Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"),
+          col("lbl").as("old_lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
-        .where(col("lbl") =!= col("old_lbl")).count()
+      changed = next.where(col("lbl") =!= col("old_lbl")).count()
       labels.unpersist()
       labels = next
       iter += 1
