@@ -284,6 +284,19 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // the aggregate top-k twin of q5: a bounded per-group heap with
+    // map-side combine — the shuffle carries <= k values per group per
+    // partition instead of sorting every row under a window
+    "q24_topk_agg" -> { (s, dir) =>
+      val cents = (dec(col("o_totalprice")) * 100).cast("long")
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(graft.expressions.TopKAgg.topK(cents, 3).as("tk"))
+        .select(col("o_custkey"),
+          concat_ws(",", transform(col("tk"), v => v.cast("string"))).as("top_cents"))
+        .orderBy("o_custkey")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -468,6 +481,12 @@ object Relational {
         | COUNT(*) AS n_gaps
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q24_topk_agg" ->
+      """SELECT o_custkey,
+        | array_to_string(list_slice(list_sort(
+        |   list((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT), 'desc'), 1, 3), ',') AS top_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders

@@ -87,6 +87,16 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("topK aggregate: desc order, ties kept, short groups returned whole") {
+    val df = Seq((1L, 5L), (1L, 9L), (1L, 9L), (1L, 2L), (1L, 7L), (2L, 4L))
+      .toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.expressions.TopKAgg.topK($"v", 3).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(out(1L) == Seq(9L, 9L, 7L)) // duplicate 9 retained
+    assert(out(2L) == Seq(4L))          // group smaller than k
+  }
+
   test("connected components: chains collapse to min label, parts stay apart") {
     // component {1,2,3,4} as a chain (diameter 3), component {10,11},
     // isolated pair {20,21}
