@@ -29,6 +29,12 @@ object GraftExtensions {
 
   private def norm(v: Expression): Expression = Sqrt(DotProduct(v, v))
 
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> columns"),
@@ -43,15 +49,14 @@ object GraftExtensions {
     // lsh_buckets(v, nTables, nPlanes, dim, seed) - per-table random-
     // hyperplane bucket ids; the trailing args must be integer literals
     // (the plane matrix is generated at plan time from the seed)
+    ("top_k_agg",
+      info("top_k_agg", "top_k_agg(v, k) - aggregate: k largest bigint values, desc-sorted"),
+      (args: Seq[Expression]) =>
+        graft.expressions.TopKAgg(args.head, intArg(args(1), "top_k_agg: k"))),
     ("lsh_buckets",
       info("lsh_buckets",
         "lsh_buckets(v, nTables, nPlanes, dim, seed) - array<long> of LSH bucket ids"),
       (args: Seq[Expression]) => {
-        def intArg(e: Expression, name: String): Int = e match {
-          case Literal(v: Number, _) => v.intValue()
-          case other => throw new IllegalArgumentException(
-            s"lsh_buckets: $name must be an integer literal, got $other")
-        }
         val nTables = intArg(args(1), "nTables")
         val nPlanes = intArg(args(2), "nPlanes")
         val dim = intArg(args(3), "dim")

@@ -83,6 +83,7 @@ case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
   private val nTables = planes.length
   private val nPlanes = if (nTables == 0) 0 else planes(0).length
   private val dim = if (nPlanes == 0) 0 else planes(0)(0).length
+  require(nPlanes <= 63, s"bucket bits are packed into a long; got $nPlanes planes")
   // layout [t][p][d] — one flat array referenced from generated code
   private lazy val flat: Array[Double] = planes.flatten.flatten
 

@@ -60,6 +60,24 @@ object StreamOps {
     events.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total"))
 
+  /** Continuous CDC apply: fold a changelog STREAM into a keyed snapshot,
+    * one micro-batch at a time, via foreachBatch + the batch Cdc operator.
+    * `onUpdate` receives the new snapshot after each batch (in production
+    * this is where a MERGE INTO a table format goes; the localCheckpoint
+    * keeps the snapshot's lineage flat across unbounded batches).
+    */
+  def applyChangelogStream(changes: DataFrame, initial: DataFrame,
+                           keyCol: String, seqCol: String, opCol: String)
+                          (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var snapshot = initial.localCheckpoint(true)
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      snapshot = graft.operators.Cdc
+        .applyChangelog(snapshot, batch, keyCol, seqCol, opCol)
+        .localCheckpoint(true)
+      onUpdate(snapshot)
+    }.start()
+  }
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -29,6 +29,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == buckets)
   }
 
+  test("top_k_agg is SQL-callable as an aggregate") {
+    GraftExtensions.register(spark)
+    Seq((1L, 5L), (1L, 9L), (1L, 7L), (1L, 2L), (2L, 3L)).toDF("g", "v")
+      .createOrReplaceTempView("tk")
+    val rows = spark.sql("SELECT g, top_k_agg(v, 2) AS t FROM tk GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(rows(1L) == Seq(9L, 7L) && rows(2L) == Seq(3L))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     val restore = Seq(
       "spark.sql.adaptive.enabled", "spark.sql.adaptive.coalescePartitions.enabled",

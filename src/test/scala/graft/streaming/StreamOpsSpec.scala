@@ -104,6 +104,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangelogStream folds micro-batches into the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Change(k: Long, name: String, seq: Long, op: String)
+    val in = MemoryStream[(Long, String, Long, String)]
+    val initial = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    @volatile var latest: org.apache.spark.sql.DataFrame = initial
+    val q = StreamOps.applyChangelogStream(
+      in.toDF().toDF("k", "name", "seq", "op"), initial, "k", "seq", "op")(
+      snap => latest = snap)
+    try {
+      in.addData((1L, "a1", 1L, "U"), (3L, "c", 1L, "U"))
+      q.processAllAvailable()
+      in.addData((2L, "", 2L, "D"), (1L, "a2", 2L, "U"))
+      q.processAllAvailable()
+      val rows = latest.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals the batch twin on real event data") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800L
