@@ -57,10 +57,17 @@ object Dedup {
     * 5k docs, and the gap widens with document count). The shuffle is by
     * doc id — linear in corpus size.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsAll(df, idCol, textCol, n).distinct()
+
+  /** Like [[shingleRows]] but WITH multiplicity (every n-gram occurrence,
+    * not the per-document set) — the n-gram counting shape for language-
+    * model statistics.
+    */
+  def shingleRowsAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-    if (n == 1) toks.select(col("id"), col("tok").as("s")).distinct()
+    if (n == 1) toks.select(col("id"), col("tok").as("s"))
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("pos")
@@ -70,7 +77,6 @@ object Dedup {
           leads.last.isNotNull.as("complete"))
         .where(col("complete"))
         .select(col("id"), col("s"))
-        .distinct()
     }
   }
 

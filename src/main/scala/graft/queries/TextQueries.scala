@@ -92,6 +92,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // top-10 bigram counts — the n-gram language-model counting shape,
+    // reusing the relational (codegen) shingle path with n=2
+    "ta_bigrams" -> { (s, dir) =>
+      graft.operators.Dedup.shingleRowsAll(Tables.documents(s, dir), "doc_id", "text", 2)
+        .groupBy(col("s").as("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(10)
+    },
+
     "ta_wordcount" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -182,6 +192,15 @@ object TextQueries {
          |        list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
          |        ORDER BY doc_id) = 1)
          |SELECT doc_id, n_tokens, quality FROM k ORDER BY doc_id""".stripMargin,
+
+    "ta_bigrams" ->
+      s"""WITH b AS (
+         |  SELECT [array_to_string(list_slice(t, i, i + 1), ' ')
+         |          for i in generate_series(1, len(t) - 1)] AS bg
+         |  FROM (SELECT $toksSql AS t FROM documents) WHERE len(t) >= 2)
+         |SELECT unnested.bigram, COUNT(*) AS n
+         |FROM (SELECT unnest(bg) AS bigram FROM b) unnested
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
 
     "ta_tfidf" ->
       s"""WITH tf AS (

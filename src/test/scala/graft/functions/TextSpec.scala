@@ -38,6 +38,14 @@ class TextSpec extends SparkSpec {
     assert(rows(2) == ("k|v", null))
   }
 
+  test("rollingHash: deterministic, case-normalized, order-sensitive") {
+    val df = Seq("alpha beta gamma", "Alpha BETA gamma", "gamma beta alpha").toDF("t")
+      .select(Text.rollingHash($"t").as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))  // lowercase normalization
+    assert(hs(0) != hs(2))  // order matters (unlike the set fingerprint)
+  }
+
   test("parseDanishDate: normal, unknown month defaults to January, no match → null") {
     assert(one[java.sql.Date](Text.parseDanishDate($"t"), "Godkendt den 12. januar 2026").toString == "2026-01-12")
     assert(one[java.sql.Date](Text.parseDanishDate($"t"), "3 maj 2024").toString == "2024-05-03")
