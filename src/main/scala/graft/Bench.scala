@@ -30,12 +30,18 @@ object Bench {
     // (minhash: 8-10s min-of-2 in-suite vs 2.3s min-of-3)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val sel = SparkEntry.queries.filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = sel.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over iterations: JIT/code-cache state across 37 queries makes
+      // min over iterations: JIT/code-cache state across the suite makes
       // single shots noisy by multiples
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          // a failure must be VISIBLE, not a suspiciously fast timing
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop operator-internal persists plus references to finished
         // shuffles/broadcasts so the ContextCleaner reclaims them; without
@@ -50,7 +56,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
