@@ -28,6 +28,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry returns rows; every query has oracle or rows-only") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a matching query (a dangling oracle would
+    // silently skip the driver's comparison for that name)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
   test("q2: filters pushed to parquet; read schema pruned to used columns") {
     val scan = scans(executedPlan("q2_filtered_projection")).head
     val pushed = scan.metadata("PushedFilters")
