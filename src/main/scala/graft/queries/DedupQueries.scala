@@ -30,6 +30,14 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // 4-quarter blocking guarantees every Hamming<=3 pair shares a
+    // quarter, so the LSH-candidate path equals the brute-force pair set
+    // EXACTLY and gets a full value oracle.
+    "dd_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_keep_first" -> { (s, dir) =>
       Dedup.keepFirst(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -112,6 +120,19 @@ object DedupQueries {
          |  THEN 1::BIGINT << i ELSE 0::BIGINT END
          |  for i in generate_series(0, 59)])::BIGINT AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, list_sum([
+         |  CASE WHEN list_sum([
+         |    CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+         |    for h in [('0x' || substring(md5(t), 1, 15))::BIGINT for t in $rawToks]]) > 0
+         |  THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |  for i in generate_series(0, 59)])::BIGINT AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | bit_count(xor(a.sh, b.sh))::INT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dd_keep_first" ->
       s"""SELECT doc_id, source, n_chars FROM documents
