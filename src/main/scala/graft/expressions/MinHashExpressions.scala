@@ -124,6 +124,73 @@ case class ArrayMinAgg(child: Expression, k: Int,
     copy(child = newChildren.head)
 }
 
+/** SimHash bit-vote aggregate: each input is a token hash; bit i of the
+  * result is set when the count of inputs with bit i set exceeds the count
+  * with it clear. Buffer is an int[bits] vote array with map-side partial
+  * aggregation — the column-expression formulation re-evaluates the whole
+  * token-hash array once PER BIT (60× the work, interpreted).
+  */
+case class SimHashAgg(child: Expression, bits: Int = 60,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+  require(bits > 0 && bits <= 63)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_agg"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < bits) {
+        if (((h >> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < bits) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < bits) { if (buf(i) > 0) out |= 1L << i; i += 1 }
+    out
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits * 4)
+    bb.asIntBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bits)
+    java.nio.ByteBuffer.wrap(bytes).asIntBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object MinHashExpressions {
   /** Column wrapper: [h1 + i*h2 for i < k] (inputs pre-masked by caller). */
   def twoHashFamily(h1: Column, h2: Column, k: Int): Column =
@@ -132,4 +199,8 @@ object MinHashExpressions {
   /** Column wrapper: element-wise min aggregate over array<long> rows. */
   def arrayMinAgg(values: Column, k: Int): Column =
     Bridge.column(ArrayMinAgg(Bridge.expression(values), k).toAggregateExpression())
+
+  /** Column wrapper: simhash bit-vote aggregate over token-hash rows. */
+  def simHashAgg(tokenHash: Column, bits: Int = 60): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(tokenHash), bits).toAggregateExpression())
 }

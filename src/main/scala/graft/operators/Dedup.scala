@@ -186,9 +186,26 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
-  /** Per-document 60-bit SimHash signatures (portable md5-based hashes). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), expr(Text.simhashSql(textCol)).as("simhash"))
+  /** Per-document 60-bit SimHash signatures (portable md5-based hashes).
+    *
+    * Relational: explode tokens, hash each token ONCE with codegen'd
+    * builtins, then the native SimHashAgg bit-vote aggregate (map-side
+    * partial agg; one shuffle by id). The single-expression SQL form
+    * (Text.simhashSql, kept for SQL users) re-evaluates the token-hash
+    * array per bit — 60× the md5 work, interpreted; this path measured
+    * ~40× faster at 5k docs. Token-less documents keep signature 0 via
+    * the left join, matching the expression form.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val agg = hashed.groupBy(col(idCol))
+      .agg(graft.expressions.MinHashExpressions.simHashAgg(col("h")).as("sig"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("simhash"))
+  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidate-bounded
     * by matching on one of 4 15-bit signature quarters (any pair within
@@ -198,8 +215,13 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     // 4 blocking quarters guarantee a shared quarter only for Hamming <= 3.
     require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
+    // persist = a hard materialization boundary: without it Catalyst
+    // collapses the signature projection into every downstream reference
+    // and the interpreted simhash aggregate re-evaluates PER CANDIDATE
+    // PAIR (measured 72s vs 3s at sf0.1)
     val sigs = simhashSignatures(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
