@@ -36,7 +36,10 @@ object Bench {
       // single shots noisy by multiples
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // noop sink, NOT count(): count() lets Catalyst prune every
+        // projection-only column, so extraction/hash/quantize queries
+        // would measure a parquet metadata count instead of their work
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           // a failure must be VISIBLE, not a suspiciously fast timing
           failed += name

@@ -40,9 +40,10 @@ object Etl {
     "juni", "juli", "august", "september", "oktober", "november", "december")
 
   private def danishDateText: Column = {
-    val mon = monthNames.zipWithIndex.foldLeft(lit("")) { case (acc, (n, i)) =>
-      when(month(col("o_orderdate")) === (i + 1), n).otherwise(acc)
-    }
+    // array lookup, not a 12-branch CASE: this text expression gets
+    // inlined several times by projection collapse inside the date parse,
+    // and each inlined CASE chain re-evaluated month() per branch
+    val mon = element_at(array(monthNames.map(lit): _*), month(col("o_orderdate")))
     when(col("o_orderkey") % 7 === 0, "ingen dato")
       .otherwise(concat(lit("Godkendt den "),
         dayofmonth(col("o_orderdate")).cast("string"), lit(". "),
