@@ -87,5 +87,10 @@ class TextSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sigs("d1") == sigs("d2"))
     assert(java.lang.Long.bitCount(sigs("d1") ^ sigs("d3")) <= 20)
+    // the relational SimHashAgg path must produce bit-identical signatures
+    // to the single-expression SQL form (it is what oracles verify)
+    val rel = graft.operators.Dedup.simhashSignatures(df, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel == sigs)
   }
 }
