@@ -78,6 +78,22 @@ object StreamOps {
     }.start()
   }
 
+  /** Stream → partitioned parquet data lake: append sink with a
+    * checkpoint (exactly-once via the file-sink commit log) partitioned
+    * by `partitionCols`. The partition columns should be low-cardinality
+    * derivations (date, hour, event type) or the sink degenerates to one
+    * file per key per micro-batch.
+    */
+  def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
+                           partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -104,6 +104,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toPartitionedParquet writes a partitioned file sink with commit log") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val in = MemoryStream[Event]
+    val q = StreamOps.toPartitionedParquet(
+      in.toDF().withColumn("etype", $"eventType"),
+      s"$base/data", s"$base/chk", Seq("etype"))
+    try {
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 1, "click", 3.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$base/data")
+      assert(back.count() == 3)
+      // partition pruning works on the read-back path
+      val clicks = back.where($"etype" === "click")
+      assert(clicks.count() == 2)
+      assert(new java.io.File(s"$base/data/etype=click").exists())
+      assert(new java.io.File(s"$base/chk").exists()) // commit log present
+    } finally q.stop()
+  }
+
   test("applyChangelogStream folds micro-batches into the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     case class Change(k: Long, name: String, seq: Long, op: String)
