@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Cdc, ConnectedComponents, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Randomized-reference tests: distributed operators vs naive in-memory
+  * references on seeded random inputs. Sizes stay small (the point is
+  * semantic coverage of edge shapes — ties, empty groups, chains — not
+  * volume). Seeded RNG keeps failures reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trials[A](n: Int)(gen: scala.util.Random => A)(body: A => Unit): Unit = {
+    val rng = new scala.util.Random(20260812L)
+    (1 to n).foreach(_ => body(gen(rng)))
+  }
+
+  test("TopKAgg equals sort-take on random multisets") {
+    trials(10)(r => List.fill(40)((r.nextInt(4) + 1L, r.nextLong() % 50))) { rows =>
+      {
+        val df = rows.toDF("g", "v")
+        val got = df.groupBy($"g")
+          .agg(graft.expressions.TopKAgg.topK($"v", 3).as("tk"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        val want = rows.groupBy(_._1).map { case (g, vs) =>
+          g -> vs.map(_._2).sorted(Ordering[Long].reverse).take(3)
+        }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("sessionize equals a naive per-user fold on random event times") {
+    trials(10)(r => List.fill(30)((r.nextInt(3) + 1L, r.nextInt(501).toLong))) { raw =>
+      {
+        val rows = raw.zipWithIndex.map { case ((u, sec), i) => (u, sec, i.toLong) }
+        val got = Sessionize.sessions(rows.toDF("user_id", "sec", "event_id"),
+          "user_id", "sec", "event_id", gapSeconds = 60L)
+          .select("user_id", "n_events", "start_sec", "end_sec").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+          val secs = es.map(_._2).sorted
+          val sessions = secs.foldLeft(List.empty[List[Long]]) {
+            case (cur :: rest, s) if s - cur.head <= 60L => (s :: cur) :: rest
+            case (acc, s) => List(s) :: acc
+          }
+          sessions.map(ss => (u, ss.length.toLong, ss.min, ss.max))
+        }.toSet
+        assert(got == want)
+      }
+    }
+  }
+
+  test("cdc merge equals a naive changelog fold") {
+    trials(10)(r => List.fill(20)((r.nextInt(6) + 1L, if (r.nextBoolean()) "U" else "D"))) { ops =>
+      val snap = (1L to 3L).map(k => (k, s"orig$k")).toDF("k", "name")
+      val changes = ops.zipWithIndex.map { case ((k, op), i) =>
+        (k, s"v$i", i.toLong, op)
+      }
+      val got = Cdc.applyChangelog(snap, changes.toDF("k", "name", "seq", "op"),
+        "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val latest = changes.groupBy(_._1).map { case (k, cs) => k -> cs.maxBy(_._3) }
+      val want = ((1L to 3L).map(k => k -> s"orig$k").toMap ++
+        latest.collect { case (k, (_, v, _, "U")) => k -> v })
+        .filterNot { case (k, _) => latest.get(k).exists(_._4 == "D") }
+      assert(got == want)
+    }
+  }
+
+  test("connected components equal a naive union-find on random edge sets") {
+    trials(6)(r => List.fill(15)((r.nextInt(10) + 1L, r.nextInt(10) + 1L))) { raw =>
+      val pairs = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+      if (pairs.nonEmpty) {
+        val got = ConnectedComponents.labels(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // naive union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = nodes.map(n => n -> find(n)).toMap
+        assert(got == want)
+      }
+    }
+  }
+}
