@@ -19,7 +19,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q2_filtered_projection", "q1_pricing_summary", "q4_region_revenue", "q16_above_avg")
+      else Seq("q2_filtered_projection", "q1_pricing_summary", "q4_region_revenue", "dd_minhash_lsh", "dd_clusters", "etl_pipeline_e2e")
     names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -135,6 +135,20 @@ object Etl {
         .orderBy("o_orderkey")
     },
 
+    // generic numeric-date fallback (main.py:246-256): first d.m.y or
+    // y.m.d styled substring, raw — the path taken when Danish-date
+    // parsing finds nothing
+    "etl_date_fallback" -> { (s, dir) =>
+      val text = when(col("o_orderkey") % 3 === 0,
+        concat(lit("pr. "), date_format(col("o_orderdate"), "d.M.yyyy")))
+        .when(col("o_orderkey") % 3 === 1,
+          concat(lit("opdateret "), date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .otherwise(lit("ingen dato her"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Text.extractDate(text).as("raw_date"))
+        .orderBy("o_orderkey")
+    },
+
     "etl_fill_missing" -> { (s, dir) =>
       val cust = Tables.customer(s, dir).where(col("c_acctbal") > 5000)
         .select(col("c_custkey"), col("c_name"))
@@ -267,6 +281,14 @@ object Etl {
         |SELECT o_orderkey,
         | NULLIF(regexp_extract(text, '[A-Z][0-9]{2}[A-Z]{2}[0-9]{2}'), '') AS atc
         |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    // ground truth from the date column itself, not a regex re-run
+    "etl_date_fallback" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%-d.%-m.%Y')
+        |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      ELSE NULL END AS raw_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "etl_fill_missing" ->
       """SELECT o_orderkey AS order_id, COALESCE(c_name, '') AS customer_name,
