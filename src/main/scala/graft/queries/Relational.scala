@@ -297,6 +297,36 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    "q25_range_frame" -> { (s, dir) =>
+      // RANGE frame: trailing 5-minute event-value sum per user — value-
+      // based frames, not row counts (q15 covers the ROWS variant)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-300L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          dec(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          d(sum(col("v")).over(w)).as("trailing_5m"))
+        .orderBy("event_id")
+    },
+
+    "q26_session_window" -> { (s, dir) =>
+      // Spark's NATIVE session_window grouped aggregation — the built-in
+      // twin of the custom Sessionize operator (q14); same output modulo
+      // the session index
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          timestamp_seconds(floor(unix_timestamp(col("ts"))).cast("long")).as("tss"))
+        .groupBy(col("user_id"), session_window(col("tss"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          unix_timestamp(col("session_window.start")).as("start_sec"),
+          // session_window.end is exclusive: last event + gap
+          (unix_timestamp(col("session_window.end")) - 1800L).as("last_sec"))
+        .orderBy("user_id", "start_sec")
+    },
+
     "q16_above_avg" -> { (s, dir) =>
       val avgs = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("ck"))
@@ -487,6 +517,25 @@ object Relational {
         | array_to_string(list_slice(list_sort(
         |   list((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT), 'desc'), 1, 3), ',') AS top_cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q25_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec,
+        |  CAST(value AS DECIMAL(12,2)) AS v FROM events)
+        |SELECT event_id, user_id, sec,
+        | CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY sec
+        |   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_5m
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q26_session_window" ->
+      """WITH e AS (SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec FROM events),
+        |x AS (SELECT user_id, sec,
+        |  CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |y AS (SELECT user_id, sec,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(sec) AS last_sec
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_sec""".stripMargin,
 
     "q16_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
