@@ -225,6 +225,23 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // same semantics as q18 through the NATIVE physical operator
+    // (custom LogicalPlan + Strategy + sort-merge SparkPlan)
+    "q27_asof_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+      val dim = ev.where(col("event_id") % 50 === 0)
+        .groupBy(col("user_id"), col("sec").as("dim_sec"))
+        .agg(max(col("value")).as("rate"))
+        .select(col("user_id"), col("dim_sec"), col("rate"))
+      graft.plans.AsOfJoinNative.asof(
+        ev.select(col("event_id"), col("user_id"), col("sec")), dim,
+        "user_id", "sec", "dim_sec")
+        .select(col("event_id"), col("user_id"), col("sec"), col("rate"))
+        .orderBy("event_id")
+    },
+
     "q19_interval_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
@@ -468,6 +485,14 @@ object Relational {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q18_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec, value FROM events),
+        |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
+        |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)
+        |SELECT e.event_id, e.user_id, e.sec, d.rate
+        |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.sec >= d.dim_sec
+        |ORDER BY event_id""".stripMargin,
+
+    "q27_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec, value FROM events),
         |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
         |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)

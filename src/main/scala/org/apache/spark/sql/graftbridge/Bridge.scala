@@ -1,15 +1,22 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. ExpressionUtils is private[sql] in Spark 4,
-  * so the graft custom expressions go through this sub-package shim — the
-  * conventional way for libraries to lift a Catalyst Expression into the
-  * public Column API.
+/** Column ⇄ Expression and DataFrame ⇄ LogicalPlan bridges. These Spark
+  * internals are private[sql] in Spark 4, so the graft custom expressions
+  * and plans go through this sub-package shim — the conventional way for
+  * libraries to lift Catalyst constructs into the public API.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

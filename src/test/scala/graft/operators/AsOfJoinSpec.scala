@@ -3,6 +3,26 @@ package graft.operators
 import graft.SparkSpec
 
 class AsOfJoinSpec extends SparkSpec {
+
+  test("native physical as-of join equals the composed operator on real events") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+    val dim = ev.where(col("event_id") % 50 === 0)
+      .groupBy(col("user_id"), col("sec").as("dim_sec"))
+      .agg(max(col("value")).as("rate"))
+      .select(col("user_id"), col("dim_sec"), col("rate"))
+    val leftSide = ev.select(col("event_id"), col("user_id"), col("sec"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "sec", "rate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val composed = canon(AsOfJoin.asofLast(leftSide, dim, "user_id", "sec", "dim_sec"))
+    val native = canon(graft.plans.AsOfJoinNative.asof(leftSide, dim, "user_id", "sec", "dim_sec"))
+    assert(native == composed)
+    assert(native.nonEmpty && native.exists(_._4.isDefined))
+  }
   import spark.implicits._
 
   test("asofLast: latest right row at or before left time, per key") {
