@@ -1,0 +1,65 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Split on the first occurrence of any separator → struct(head, tail);
+  * tail null when no separator matches; earliest match wins, longer
+  * separator wins a position tie; both parts trimmed.
+  *
+  * Native because the composed form (`least` over per-separator structs,
+  * then two getFields + a found-guard) re-evaluates the candidate struct —
+  * and therefore every instr over the input — up to four times per row,
+  * and codegen subexpression elimination does not reach across the
+  * conditional branches. One scan per separator here. CodegenFallback is
+  * fine: the eval is a few string scans, dwarfed by the duplicate
+  * evaluation it replaces.
+  */
+case class SplitFirst(child: Expression, seps: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(seps.nonEmpty && seps.forall(_.nonEmpty), "separators must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"split_first requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("head", StringType, nullable = true),
+    StructField("tail", StringType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "split_first"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var bestPos = -1
+    var bestLen = 0
+    seps.foreach { sep =>
+      val p = s.indexOf(sep)
+      if (p >= 0 && (bestPos < 0 || p < bestPos ||
+          (p == bestPos && sep.length > bestLen))) {
+        bestPos = p
+        bestLen = sep.length
+      }
+    }
+    if (bestPos < 0) InternalRow(UTF8String.fromString(s.trim), null)
+    else InternalRow(
+      UTF8String.fromString(s.substring(0, bestPos).trim),
+      UTF8String.fromString(s.substring(bestPos + bestLen).trim))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def splitFirst(c: Column, seps: Seq[String]): Column =
+    Bridge.column(SplitFirst(Bridge.expression(c), seps))
+}

@@ -84,23 +84,12 @@ object Text {
     * Returns struct(head, tail); tail null when no separator present.
     * Separators may have different lengths: the earliest match wins, ties
     * broken toward the longer separator (so " -- " beats " - " at the
-    * same position when both are passed).
+    * same position when both are passed). Backed by the native SplitFirst
+    * expression — the built-in composition re-evaluated every instr up to
+    * 4× per row.
     */
-  def splitFirst(c: Column, seps: Seq[String] = Seq(" - ", " – ", " — ")): Column = {
-    // least() over (pos, -len) structs = argmin by position then max len;
-    // absent separators rank last via MaxValue
-    val best = least(seps.map { s =>
-      struct(
-        when(instr(c, s) > 0, instr(c, s)).otherwise(lit(Int.MaxValue)).as("p"),
-        lit(-s.length).as("nl"))
-    }: _*)
-    val pos = best.getField("p")
-    val sepLen = -best.getField("nl")
-    val found = pos =!= Int.MaxValue
-    struct(
-      when(found, trim(c.substr(lit(1), pos - 1))).otherwise(trim(c)).as("head"),
-      when(found, trim(c.substr(pos + sepLen, length(c)))).otherwise(lit(null)).as("tail"))
-  }
+  def splitFirst(c: Column, seps: Seq[String] = Seq(" - ", " – ", " — ")): Column =
+    graft.expressions.TextExpressions.splitFirst(c, seps)
 
   // ---- text analysis -------------------------------------------------
 
