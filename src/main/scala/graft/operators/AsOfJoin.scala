@@ -26,19 +26,23 @@ object AsOfJoin {
     val leftCols = left.columns.filterNot(_ == keyCol).toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"overlapping value columns: ${rightVals.intersect(leftCols).mkString(",")}")
+    // Carry the right values as ONE struct so the window fill is atomic:
+    // per-column last(_, ignoreNulls) would mix columns from different right
+    // rows whenever a right value is NULL, and could never surface the
+    // latest row's legitimate NULL.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val lSel = Seq(col(keyCol).as("__k"), col(leftTimeCol).as("__t"), lit(1).as("__side")) ++
-      leftCols.map(left(_)) ++
-      rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+      leftCols.map(left(_)) :+
+      lit(null).cast(rStructType).as("__rv")
     val rSel = Seq(col(keyCol).as("__k"), col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
-      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rightVals.map(right(_))
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(rightVals.map(right(_)): _*).as("__rv")
     val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(col("__k").as(keyCol) +: (leftCols ++ rightVals).map(col): _*)
+      .select(col("__k").as(keyCol) +: (leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c))): _*)
   }
 }

@@ -61,6 +61,23 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    // Returning non-converged labels would silently split long-chain
+    // components into multiple clusters — fail loudly instead; the caller
+    // raises maxIter (rounds needed = component diameter).
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter — rounds needed " +
+          "= largest component diameter")
+    }
+    // localCheckpoint: hand back a lineage-free result whose blocks the
+    // ContextCleaner reclaims on GC, then drop the loop's persist — the
+    // caller gets no hidden cache entry to leak (labels ≪ corpus, so the
+    // momentary double-store is cheap)
+    val out = labels.select(col("id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    labels.unpersist()
+    out
   }
 }

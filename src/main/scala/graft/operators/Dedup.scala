@@ -93,12 +93,15 @@ object Dedup {
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    // posts feeds three branches (sizes, a-side, b-side); persist so the
-    // shingle window+distinct runs once, not per branch (exchange reuse
-    // does not fire across the differently-aliased join sides)
+    // posts feeds three branches (sizes, a-side, b-side); materialize via
+    // eager localCheckpoint so the shingle window+distinct runs once, not
+    // per branch (exchange reuse does not fire across the differently-
+    // aliased join sides). localCheckpoint, not persist: its blocks are
+    // reclaimed by the ContextCleaner once the result is dropped, so a
+    // long-lived session doesn't accumulate cache entries across calls.
     val posts = shingleRows(df, idCol, textCol, n)
       .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = posts.select(col("blk").as("a_blk"), col("id").as("a_id"), col("s").as("a_s"))
     val b = posts.select(col("blk").as("b_blk"), col("id").as("b_id"), col("s").as("b_s"))
@@ -130,10 +133,11 @@ object Dedup {
     require(k % bands == 0)
     val r = k / bands
     // posts feeds the signature pass AND both sides of the verify join;
-    // persisted so the shingle window+distinct runs once (exchange reuse
-    // does not fire across the differently-aliased branches)
+    // materialized (eager localCheckpoint — ContextCleaner-reclaimed, no
+    // session cache leak) so the shingle window+distinct runs once
+    // (exchange reuse does not fire across the differently-aliased branches)
     val posts = shingleRows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // two-hash minhash family: h_i(s) = h1(s) + i*h2(s) — 2 string hashes
     // per shingle, the rest is long arithmetic. 54-bit masks keep
     // h1 + 127*h2 < 2^62 (ANSI mode errors on overflow); h2 forced odd so
@@ -149,12 +153,12 @@ object Dedup {
         xxhash64(col("s")).bitwiseAND(m54),
         xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("hs"))
     // sig also feeds four branches (both band-join sides, both size
-    // lookups); tiny (one signature row per doc) so the cache is cheap
+    // lookups); tiny (one signature row per doc) so materializing is cheap
     val sig = hashed
       .groupBy(col("id"))
       .agg(graft.expressions.MinHashExpressions.arrayMinAgg(col("hs"), k).as("sig"),
         count(lit(1)).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // band hash: xxhash64 over the r-element signature slice (codegen'd
     // hash over the array value — no per-column fan-out)
     val bandRows = sig.select(col("id"),
@@ -215,13 +219,15 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     // 4 blocking quarters guarantee a shared quarter only for Hamming <= 3.
     require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
-    // persist = a hard materialization boundary: without it Catalyst
-    // collapses the signature projection into every downstream reference
-    // and the interpreted simhash aggregate re-evaluates PER CANDIDATE
-    // PAIR (measured 72s vs 3s at sf0.1)
+    // eager localCheckpoint = a hard materialization boundary: without it
+    // Catalyst collapses the signature projection into every downstream
+    // reference and the simhash aggregate re-evaluates PER CANDIDATE PAIR
+    // (measured 72s vs 3s at sf0.1). Checkpoint rather than persist so the
+    // blocks are ContextCleaner-reclaimed, not a session-lifetime cache
+    // entry the caller must clear.
     val sigs = simhashSignatures(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val quarters = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
@@ -260,14 +266,15 @@ object Dedup {
                         dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = (0 until nTables)
       .map(t => Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
-    // bucketed rows feed both join sides; persist so scan+norm+bucketing
-    // runs once (same aliasing blind spot as the minhash branches)
+    // bucketed rows feed both join sides; materialize (eager localCheckpoint,
+    // ContextCleaner-reclaimed) so scan+norm+bucketing runs once (same
+    // aliasing blind spot as the minhash branches)
     val v = df.select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .select(col("id"), col("v"), col("nrm"),
         posexplode(graft.expressions.VectorExpressions.lshBuckets(col("v"), planes))
           .as(Seq("tbl", "bkt")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val a = v.select(col("tbl"), col("bkt"), col("id").as("a_id"),
       col("v").as("a_v"), col("nrm").as("a_n"))
     val b = v.select(col("tbl").as("b_tbl"), col("bkt").as("b_bkt"),

@@ -60,11 +60,14 @@ object IvfIndex {
                     vecCol: String, k: Int, stride: Long = 32,
                     nProbe: Int = 8): DataFrame = {
     val cents = centroids(corpus, idCol, vecCol, stride)
-    // inverted lists, built once; reused across every query probe
+    // inverted lists, built once; reused across every query probe. Eager
+    // localCheckpoint rather than persist: blocks are ContextCleaner-
+    // reclaimed when the result is dropped, so repeated calls in one
+    // session don't accumulate cache entries.
     val lists = assign(corpus, cents, idCol, vecCol)
       .select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_nrm"),
         col("c_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val q = queries.select(col(idCol).as("q_id"), Vectors.toDoubleArray(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", Vectors.norm(col("q_v")))
     // nProbe closest centroids per query

@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val supportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // The small side is replicated `salt` times, so any join type that can
+    // emit unmatched SMALL-side rows (right/full outer) would emit each of
+    // them `salt` times — restrict to types where small-side rows only
+    // appear through a match.
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti, not $joinType " +
+        "(the replicated small side would duplicate unmatched right rows)")
     val saltedLarge = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt)))
     val replicated = small.withColumn("__salt",

@@ -85,5 +85,13 @@ class ExtensionsSpec extends SparkSpec {
     val leftPlain = large.join(small, Seq("k"), "left").count()
     val leftSalted = SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "left").count()
     assert(leftSalted == leftPlain)
+    // right/full outer would emit each unmatched small-side row `salt`
+    // times — rejected up front
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "full")
+    }
   }
 }

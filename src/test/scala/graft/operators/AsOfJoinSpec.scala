@@ -38,6 +38,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t4") == None)         // no quotes at all for key 3
   }
 
+  test("asofLast carries the latest right ROW atomically (legit NULLs survive)") {
+    // latest quote for k=1 at/before t=20 is (qt=15, px=null, sz=7): the
+    // output must surface that row's real NULL px, not mix in px=100 from
+    // the older row (per-column ignoreNulls fill would)
+    val trades = Seq((1L, 20L, "t1")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 5L, Some(100.0), 3L), (1L, 15L, None, 7L))
+      .toDF("k", "qt", "px", "sz")
+    val r = AsOfJoin.asofLast(trades, quotes, "k", "t", "qt").collect().head
+    assert(r.isNullAt(r.fieldIndex("px")))
+    assert(r.getLong(r.fieldIndex("sz")) == 7L)
+  }
+
   test("asofLast rejects overlapping value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "qt", "v")

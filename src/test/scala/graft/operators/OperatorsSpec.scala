@@ -108,6 +108,19 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: non-convergence at maxIter fails loudly") {
+    // a diameter-7 path needs more than 1 propagation round; silently
+    // returning split clusters would corrupt downstream dedup
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      ConnectedComponents.labels(chain, maxIter = 1).collect()
+    }
+    // and the same graph converges with enough rounds
+    val ok = ConnectedComponents.labels(chain, maxIter = 10).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("cdc merge: latest change wins, deletes drop, new keys insert") {
     val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")

@@ -23,6 +23,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vec_dot: mismatched lengths yield NULL, equal lengths the exact fold") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), // 32.0
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))       // malformed -> NULL, not 14.0
+    ).toDF("a", "b")
+    val out = df.select(
+      graft.expressions.VectorExpressions.vecDot($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+    // interpreted path (nullSafeEval, the codegen-fallback route) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def litArr(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
+    assert(graft.expressions.DotProduct(litArr(1, 2, 3), litArr(4, 5, 6)).eval(null) == 32.0)
+    assert(graft.expressions.DotProduct(litArr(1, 2, 3), litArr(4, 5)).eval(null) == null)
+  }
+
   test("multi-table LSH ANN recall vs brute force (>= 0.6 on random data)") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.where($"vec_id" < 20)
