@@ -217,6 +217,19 @@ object Etl {
       Sources.readJson(s, out, schema)
         .select(col("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey")
+    },
+
+    // PII-scrub shape: mask every digit run in a free-text event line —
+    // narrow per-row regexp map (codegen), no shuffle; at 100 TB this is a
+    // pure scan-transform-write pass
+    "etl_redact" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(
+            concat(col("event_type"), lit(" by user "),
+              col("user_id").cast("string"), lit(" "), col("props")),
+            "[0-9]+", "<NUM>").as("redacted"))
+        .orderBy("event_id")
     }
   )
 
@@ -327,6 +340,12 @@ object Etl {
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
 
     "src_text_roundtrip" ->
-      "SELECT n_name AS value FROM nation ORDER BY value"
+      "SELECT n_name AS value FROM nation ORDER BY value",
+
+    "etl_redact" ->
+      """SELECT event_id,
+        | regexp_replace(event_type || ' by user ' || CAST(user_id AS VARCHAR)
+        |   || ' ' || props, '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -353,6 +353,40 @@ object Relational {
         .where(col("o_totalprice") > col("cust_avg"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
         .orderBy("o_orderkey")
+    },
+
+    "q28_grouping_sets" -> { (s, dir) =>
+      // explicit GROUPING SETS (neither rollup nor cube): per-status,
+      // per-priority, and grand-total marginals in ONE pass over the fact
+      // table — one shuffle, Spark expands the sets map-side
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"),
+          sum(dec(col("o_totalprice"))).as("dsp"), count(lit(1)).as("n_orders"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"),
+          d(col("dsp")).as("sum_price"), col("n_orders"))
+        .orderBy("status", "priority")
+    },
+
+    "q29_ntile" -> { (s, dir) =>
+      // customer spend quartiles: ntile + the exact-rational rank ratios.
+      // The window is a TOTAL order — fine for a per-key aggregate output
+      // (rows = |customers|); at 100 TB the global sort is range-partitioned
+      // by the sort key, not a single partition
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("drev"))
+      val w = Window.orderBy(col("drev"), col("o_custkey"))
+      rev.select(col("o_custkey"), d(col("drev")).as("revenue"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -567,6 +601,27 @@ object Relational {
         |JOIN (SELECT o_custkey AS ck,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS cust_avg
         |      FROM orders GROUP BY o_custkey) ON o_custkey = ck
-        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin
+        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | GROUPING(o_orderstatus) AS g_status,
+        | GROUPING(o_orderpriority) AS g_priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q29_ntile" ->
+      """SELECT o_custkey, CAST(drev AS DOUBLE) AS revenue,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS drev
+        |      FROM orders GROUP BY o_custkey)
+        |WINDOW w AS (ORDER BY drev, o_custkey)
+        |ORDER BY o_custkey""".stripMargin
   )
 }

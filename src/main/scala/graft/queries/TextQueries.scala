@@ -109,6 +109,54 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // repeated-token ratio — the classic repetition quality signal for
+    // training corpora (1 - distinct/total); narrow per-row map, no shuffle
+    "ta_repetition" -> { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          when(col("n_tokens") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .otherwise(0.0).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // token-length histogram buckets — the sequence-packing / batching
+    // pre-step of a training pipeline (how much data sits at each length)
+    "ta_length_buckets" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(floor(nt / 32).cast("long").as("bucket"), nt.as("nt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+          min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+        .orderBy("bucket")
+    },
+
+    // train-corpus materialization: quality filter → exact dedup →
+    // deterministic hash sample → shard assignment. The sample and shard
+    // derive from md5(doc_id) so the split is reproducible and portable
+    // (no rand(), no engine-specific hash); each step is a linear pass or
+    // one shuffle (the dedup window) at corpus scale
+    "pipe_train_shard" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(Text.tokens(col("text")))
+      val filtered = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), nt.as("n_tokens"))
+        .where(col("n_tokens") >= 30)
+      val w = Window.partitionBy(Text.fingerprint(col("text"))).orderBy(col("doc_id"))
+      val deduped = filtered.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+      val h = md5(col("doc_id").cast("string"))
+      deduped
+        .where(substring(h, 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (ascii(substring(h, 2, 1)) % 4).as("shard"))
+        .orderBy("doc_id")
     }
   )
 
@@ -217,6 +265,35 @@ object TextQueries {
          |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
          |  FROM scored)
          |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "ta_repetition" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         | len(list_distinct($toksSql)) AS n_distinct,
+         | CASE WHEN len($toksSql) > 0
+         |  THEN 1.0 - CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql)
+         |  ELSE 0.0 END AS rep_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_length_buckets" ->
+      s"""SELECT CAST(FLOOR(len($toksSql) / 32) AS BIGINT) AS bucket,
+         | COUNT(*) AS n_docs,
+         | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+         | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipe_train_shard" ->
+      s"""WITH f AS (SELECT doc_id, lang, text, len($toksSql) AS n_tokens
+         |           FROM documents WHERE len($toksSql) >= 30),
+         |k AS (SELECT * FROM f
+         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(
+         |        list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+         |        ORDER BY doc_id) = 1)
+         |SELECT doc_id, lang, n_tokens,
+         | ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 4 AS shard
+         |FROM k
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7')
+         |ORDER BY doc_id""".stripMargin
   )
 }

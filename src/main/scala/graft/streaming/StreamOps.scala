@@ -15,6 +15,8 @@ object StreamOps {
   case class SessionOut(userId: Long, nEvents: Long, startSec: Long, endSec: Long)
   // NOT private: Spark's state-encoder codegen needs public accessors
   case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
+  case class DocSig(id: Long, sig: Long)
+  case class DupPair(aId: Long, bId: Long, hamming: Int)
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * streaming twin of q13_events_hourly.
@@ -98,6 +100,61 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming near-duplicate candidate pairs — the streaming twin of
+    * Dedup.simhashPairs. Each document gets a per-row 60-bit simhash
+    * (stateless expression — no windows/aggregates, so it composes with
+    * the stateful stage); its 4 signature quarters key a
+    * flatMapGroupsWithState bucket store, and a new document emits a pair
+    * against every stored bucket member within Hamming `maxDist`. Any pair
+    * within Hamming ≤ 3 shares at least one quarter, so recall matches the
+    * batch operator; a pair sharing several quarters is emitted once per
+    * shared quarter — downstream dedups (aId, bId), kept out of this
+    * operator so the plan has ONE stateful stage.
+    *
+    * State shape at scale: buckets are per-(quarter, value) lists capped at
+    * `maxBucket` members (beyond it, new docs still PAIR against stored
+    * members but are not stored — a hot bucket degrades recall, never
+    * memory). Production streams add an event-time timeout to age buckets
+    * out, exactly as `sessionize` does; omitted here so the operator works
+    * on processing-time streams too.
+    */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int = 3, maxBucket: Int = 64): Dataset[DupPair] = {
+    require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quartered = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Text.simhash(textCol).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until 4).map(q => struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 15).bitwiseAND(lit(0x7fffL)).as("qv"))): _*)).as("p"))
+      .select(col("id"), col("sig"), col("p.q").as("q"), col("p.qv").as("qv"))
+      .as[(Long, Long, Int, Long)]
+    quartered
+      .groupByKey { case (_, _, q, qv) => (q, qv) }
+      .flatMapGroupsWithState[List[DocSig], DupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[DocSig]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[DupPair]()
+          rows.foreach { case (id, sig, _, _) =>
+            if (!members.exists(_.id == id)) {
+              members.foreach { m =>
+                val h = java.lang.Long.bitCount(m.sig ^ sig)
+                if (h <= maxDist) {
+                  val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
+                  out += DupPair(a, b, h)
+                }
+              }
+              if (members.size < maxBucket) members = DocSig(id, sig) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
 
   /** Gap-based sessionization with flatMapGroupsWithState — streaming twin
     * of Sessionize.sessions. Emits a session when `gapSeconds` of event

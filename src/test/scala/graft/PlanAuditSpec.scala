@@ -75,6 +75,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("FULL INVENTORY: no query plans a cartesian product") {
+    // the one plan shape that can never survive scale-up; broadcast
+    // nested-loop (bounded side) is allowed, an unbounded cartesian is not
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = executedPlan(name).toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q13/q14 events queries scan without reading the props column") {
     for (name <- Seq("q13_events_hourly", "q14_sessionize", "q15_running_total")) {
       val sc = scans(executedPlan(name))

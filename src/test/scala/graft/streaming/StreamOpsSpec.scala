@@ -44,6 +44,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream: near-dups across micro-batches pair up, distinct docs don't") {
+    implicit val sqlCtx = spark.sqlContext
+    // 48 distinct tokens; appending one rare token moves the md5-vote
+    // simhash by Hamming 1 (deterministic — md5 is fixed), while the
+    // reversed-token doc sits at Hamming 28 from base
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
+      "red", "green", "blue", "cyan", "magenta", "yellow", "black", "white",
+      "gray", "pink", "brown", "violet", "one", "two", "three", "four",
+      "five", "six", "seven", "eight", "nine", "ten", "eleven", "twelve")
+    val base = words.mkString(" ")
+    val nearDup = base + " bonus"
+    val distinctDoc = words.map(_.reverse).mkString(" ")
+    // ground truth via the batch signature path: planted pair within 3
+    val batchSigs = graft.operators.Dedup.simhashSignatures(
+      Seq((1L, base), (2L, distinctDoc), (3L, nearDup)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(batchSigs(1L) ^ batchSigs(3L)) <= 3)
+    assert(java.lang.Long.bitCount(batchSigs(1L) ^ batchSigs(2L)) > 3)
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamOps.nearDupPairsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = pairs.writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      in.addData((1L, base), (2L, distinctDoc))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0) // no near-dups yet
+      in.addData((3L, nearDup))                   // arrives a batch later
+      q.processAllAvailable()
+      // pair may appear once per shared quarter — distinct (aId, bId)
+      val got = spark.table("neardup").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
