@@ -35,6 +35,12 @@ object GraftExtensions {
       s"$name must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, name: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> columns"),
@@ -64,6 +70,16 @@ object GraftExtensions {
         val planes = (0 until nTables)
           .map(t => graft.functions.Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
         LshBuckets(args.head, planes)
+      }),
+    // split_first(s, sep1[, sep2, ...]) - struct(head, tail) split at the
+    // EARLIEST occurrence of any separator (longest wins on position ties)
+    ("split_first",
+      info("split_first",
+        "split_first(s, sep, ...) - struct(head, tail) at the first separator hit"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "split_first needs a string and 1+ separators")
+        graft.expressions.SplitFirst(args.head,
+          args.tail.zipWithIndex.map { case (e, i) => stringArg(e, s"separator $i") })
       }))
 
   /** Imperative registration on an already-built session. */

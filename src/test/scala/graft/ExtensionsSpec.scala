@@ -38,6 +38,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1L) == Seq(9L, 7L) && rows(2L) == Seq(3L))
   }
 
+  test("split_first is SQL-callable with multiple separators") {
+    GraftExtensions.register(spark)
+    Seq(("Keytruda - pembrolizumab", 1), ("no separator here", 2))
+      .toDF("s", "i").createOrReplaceTempView("sf")
+    val rows = spark.sql(
+      "SELECT i, split_first(s, ' - ', ': ').head AS h, split_first(s, ' - ', ': ').tail AS t FROM sf")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(rows(1) == (("Keytruda", Some("pembrolizumab"))))
+    assert(rows(2) == (("no separator here", None)))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     val restore = Seq(
       "spark.sql.adaptive.enabled", "spark.sql.adaptive.coalescePartitions.enabled",
