@@ -2,24 +2,65 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway: schema/read probe for the test tables. */
+/** Throwaway profiling/probe main — reshaped per investigation; not part
+  * of the library surface.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.001"
-    for (t <- Tables.names) {
-      val df = Tables.load(spark, dir, t)
-      println(s"== $t ==")
-      df.printSchema()
-      if (t == "events") df.show(3, truncate = false)
+    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, dir)
+    orders.count() // warm
+
+    def time(name: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${ts.min}%.3f s")
     }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // decomposition of etl_danish_date
+    val dText = {
+      val monthNames = Seq("januar", "februar", "marts", "april", "maj",
+        "juni", "juli", "august", "september", "oktober", "november", "december")
+      val mon = element_at(array(monthNames.map(lit): _*), month(col("o_orderdate")))
+      when(col("o_orderkey") % 7 === 0, "ingen dato")
+        .otherwise(concat(lit("Godkendt den "),
+          dayofmonth(col("o_orderdate")).cast("string"), lit(". "),
+          mon, lit(" "), year(col("o_orderdate")).cast("string")))
+    }
+    time("construct only") { noop(orders.select(col("o_orderkey"), dText.as("t"))) }
+    time("construct+1 extract") {
+      noop(orders.select(col("o_orderkey"),
+        regexp_extract(dText, "(\\d{1,2})\\.?\\s+([A-Za-zæøåÆØÅ]+)\\s+(\\d{4})", 1).as("d")))
+    }
+    time("full parse, no sort") {
+      noop(orders.select(col("o_orderkey"),
+        graft.functions.Text.parseDanishDate(dText).as("approval_date")))
+    }
+    time("full parse + orderBy") {
+      noop(orders.select(col("o_orderkey"),
+        graft.functions.Text.parseDanishDate(dText).as("approval_date"))
+        .orderBy("o_orderkey"))
+    }
+    val sortFirst = orders.select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+      .select(col("o_orderkey"),
+        graft.functions.Text.parseDanishDate(dText).as("approval_date"))
+    time("sort first, parse after") { noop(sortFirst) }
+    sortFirst.explain("formatted")
     spark.stop()
   }
 }

@@ -51,34 +51,41 @@ object Text {
     */
   def parseDanishDate(c: Column): Column = {
     val pat = "(\\d{1,2})\\.?\\s+([A-Za-zæøåÆØÅ]+)\\s+(\\d{4})"
-    val day = regexp_extract(c, pat, 1)
-    val monName = lower(regexp_extract(c, pat, 2))
-    val year = regexp_extract(c, pat, 3)
-    // array_position does the name->number lookup in ONE monName
-    // evaluation; a 12-branch when() chain re-evaluates the regex (and
-    // whatever expression built `c`) per branch — codegen subexpression
-    // elimination does not reach across conditional branches, and this
-    // line was 10s of a 150k-row query before the rewrite
-    val mon = array_position(
-      array(danishMonths.map { case (n, _) => lit(n) }: _*), monName).cast("int")
-    when(day =!= "",
-      make_date(year.cast("int"), when(mon === 0, 1).otherwise(mon), day.cast("int")))
-      .otherwise(lit(null).cast("date"))
+    // BRANCH-FREE, single-reference form. The previous when(day =!= "", ...)
+    // guard referenced the extracts across CASE WHEN branches, and codegen
+    // subexpression elimination does not reach across conditional branches
+    // — the physical plan inlined the whole input expression (construction
+    // + full-text regex) FIVE times per row. Here:
+    //  - get(regexp_extract_all(_, pat, g), 0) is null on no-match (vs the
+    //    "" of regexp_extract), so make_date's null-intolerance replaces
+    //    the guard branch;
+    //  - greatest(pos, 1) replaces when(pos === 0, 1) for the reference's
+    //    unknown-month→January default (main.py:230) without a second
+    //    `pos` reference;
+    //  - every regex value is referenced exactly once, so the input
+    //    expression is CSE-shared across the three group extracts.
+    val day = get(regexp_extract_all(c, lit(pat), lit(1)), lit(0))
+    val monName = lower(get(regexp_extract_all(c, lit(pat), lit(2)), lit(0)))
+    val year = get(regexp_extract_all(c, lit(pat), lit(3)), lit(0))
+    val mon = greatest(array_position(
+      array(danishMonths.map { case (n, _) => lit(n) }: _*), monName), lit(1L))
+    make_date(year.cast("int"), mon.cast("int"), day.cast("int"))
   }
 
   /** Generic numeric date fallback (main.py:246-256): first d.m.y or y.m.d
     * styled substring, returned raw.
     */
   def extractDate(c: Column): Column = {
-    val p1 = regexp_extract(c, "(\\d{1,2}[./\\-]\\d{1,2}[./\\-]\\d{4})", 1)
-    val p2 = regexp_extract(c, "(\\d{4}[./\\-]\\d{1,2}[./\\-]\\d{1,2})", 1)
-    when(p1 =!= "", p1).when(p2 =!= "", p2).otherwise(lit(null))
+    // get(..., 0) is null on no-match, so coalesce chains the two styles
+    // with ONE reference each (the when(p =!= "", p) form evaluated every
+    // regex twice — CSE does not cross CASE WHEN branches)
+    val p1 = get(regexp_extract_all(c, lit("\\d{1,2}[./\\-]\\d{1,2}[./\\-]\\d{4}"), lit(0)), lit(0))
+    val p2 = get(regexp_extract_all(c, lit("\\d{4}[./\\-]\\d{1,2}[./\\-]\\d{1,2}"), lit(0)), lit(0))
+    coalesce(p1, p2)
   }
 
-  def extractAtc(c: Column): Column = {
-    val m = regexp_extract(c, AtcPattern, 0)
-    when(m =!= "", m).otherwise(lit(null))
-  }
+  def extractAtc(c: Column): Column =
+    get(regexp_extract_all(c, lit(AtcPattern), lit(0)), lit(0))
 
   /** Split on the first occurrence of any separator (main.py:147-156).
     * Returns struct(head, tail); tail null when no separator present.

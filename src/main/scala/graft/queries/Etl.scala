@@ -75,9 +75,16 @@ object Etl {
         .otherwise(" — ")
       val header = when(col("o_orderkey") % 5 === 0, col("o_orderpriority"))
         .otherwise(concat(col("o_orderpriority"), sep, col("o_orderstatus")))
-      val cards = Tables.orders(s, dir).select(col("o_orderkey"),
-        statusText.as("card"), danishDateText.as("date_text"),
-        atcText.as("atc_text"), header.as("header"))
+      // sort-first: order the narrow inputs before the extraction pipeline
+      // so the final ORDER BY's sampling never re-runs the whole pipeline
+      // (narrow projections and filters preserve the ordering)
+      val cards = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          statusText.as("card"), danishDateText.as("date_text"),
+          atcText.as("atc_text"), header.as("header"))
       val approved = cards
         .withColumn("status", Text.classifyStatus(col("card")))
         .where(col("status").isin(Text.ApprovedStatuses: _*))
@@ -100,6 +107,8 @@ object Etl {
 
     "etl_status_classify" -> { (s, dir) =>
       Tables.orders(s, dir)
+        .select(col("o_orderkey"))
+        .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.classifyStatus(statusText).as("status"))
         .orderBy("o_orderkey")
     },
@@ -123,14 +132,25 @@ object Etl {
         .orderBy("p_partkey")
     },
 
+    // SORT-FIRST shape (here and in the sibling extraction queries): the
+    // total ORDER BY contract is satisfied by sorting the NARROW input
+    // columns, then projecting — orderBy-after-projection makes the range
+    // partitioner's sampling pass execute the expensive extraction twice
+    // (measured 1.9s vs 1.0s on this query at sf0.1). The trailing
+    // orderBy is kept for the contract and erased by RemoveRedundantSorts
+    // (ordering already satisfied).
     "etl_danish_date" -> { (s, dir) =>
       Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.parseDanishDate(danishDateText).as("approval_date"))
         .orderBy("o_orderkey")
     },
 
     "etl_regex_extract" -> { (s, dir) =>
       Tables.orders(s, dir)
+        .select(col("o_orderkey"))
+        .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.extractAtc(atcText).as("atc"))
         .orderBy("o_orderkey")
     },
@@ -145,6 +165,8 @@ object Etl {
           concat(lit("opdateret "), date_format(col("o_orderdate"), "yyyy-MM-dd")))
         .otherwise(lit("ingen dato her"))
       Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.extractDate(text).as("raw_date"))
         .orderBy("o_orderkey")
     },
@@ -224,6 +246,8 @@ object Etl {
     // pure scan-transform-write pass
     "etl_redact" -> { (s, dir) =>
       Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("props"))
+        .orderBy("event_id")
         .select(col("event_id"),
           regexp_replace(
             concat(col("event_type"), lit(" by user "),

@@ -47,9 +47,14 @@ object SimilarityQueries {
     // exploded (vec_id, pos, q) form so every quantized value is checked.
     // floor (not round): round() half-way behavior differs across engines.
     "sim_quantize" -> { (s, dir) =>
+      // sort-first on vec_id BEFORE the explode: the final ORDER BY's
+      // sampling pass would otherwise re-run explode+quantize over every
+      // row; explode preserves the sort order and emits pos ascending, so
+      // the trailing orderBy is satisfied without a second sort
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
           graft.functions.Vectors.toDoubleArray(col("embedding")).as("v"))
+        .orderBy("vec_id")
         .select(col("vec_id"), array_min(col("v")).as("mn"),
           array_max(col("v")).as("mx"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("vec_id"), col("pos"),
