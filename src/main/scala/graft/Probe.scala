@@ -31,6 +31,48 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // decomposition of q1_pricing_summary
+    val li = Tables.lineitem(spark, dir)
+    li.count()
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    time("q1 scan+filter+count") {
+      noop(li.where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(count(lit(1))))
+    }
+    time("q1 + double sums") {
+      noop(li.where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          count(lit(1))))
+    }
+    time("q1 + 2 decimal sums") {
+      noop(li.where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))), sum(dec(col("l_extendedprice"))),
+          count(lit(1))))
+    }
+    time("q1 full decimal") {
+      val revItem = dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      noop(li.where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))), sum(dec(col("l_extendedprice"))),
+          sum(revItem),
+          sum(revItem.cast("decimal(12,4)") * (lit(1) + col("l_tax").cast("decimal(3,2)"))),
+          count(lit(1))))
+    }
+
+    time("q1 dec8 fast-path sums") {
+      val revItem = col("l_extendedprice").cast("decimal(8,2)") * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      noop(li.where(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(8,2)")),
+          sum(col("l_extendedprice").cast("decimal(8,2)")),
+          sum(revItem),
+          sum(revItem.cast("decimal(12,4)") * (lit(1) + col("l_tax").cast("decimal(3,2)"))),
+          count(lit(1))))
+    }
+
     // decomposition of etl_danish_date
     val dText = {
       val monthNames = Seq("januar", "februar", "marts", "april", "maj",
