@@ -31,6 +31,49 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // decomposition of dd_minhash_lsh
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    time("minhash: shingleRows") {
+      noop(graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3))
+    }
+    time("minhash: posts ckpt") {
+      graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .localCheckpoint(true)
+    }
+    time("minhash: full") {
+      noop(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.8))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    locally {
+      val posts = graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val m54 = lit((1L << 54) - 1)
+      val k = 128
+      def sigDf = posts.select(col("id"),
+        graft.expressions.MinHashExpressions.twoHashFamily(
+          xxhash64(col("s")).bitwiseAND(m54),
+          xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("hs"))
+        .groupBy(col("id"))
+        .agg(graft.expressions.MinHashExpressions.arrayMinAgg(col("hs"), k).as("sig"),
+          count(lit(1)).as("sz"))
+      time("minhash: sig from posts") { noop(sigDf) }
+      val sig = sigDf.localCheckpoint(true)
+      val bands = 32; val r = k / bands
+      def bandRows = sig.select(col("id"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64(slice(col("sig"), j * r + 1, r))
+        }: _*)).as(Seq("band", "bh")))
+      time("minhash: cand join") {
+        val candA = bandRows.select(col("band").as("a_band"), col("bh").as("a_bh"), col("id").as("a_id"))
+        val candB = bandRows.select(col("band").as("b_band"), col("bh").as("b_bh"), col("id").as("b_id"))
+        noop(candA.join(candB,
+          col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct())
+      }
+    }
+
     // decomposition of q1_pricing_summary
     val li = Tables.lineitem(spark, dir)
     li.count()

@@ -59,7 +59,67 @@ case class SplitFirst(child: Expression, seps: Seq[String])
     copy(child = newChild)
 }
 
+/** All word n-grams of a single-space-tokenized string in ONE pass —
+  * tokens, n-gram concatenation, and (optionally) per-document dedup
+  * inside one eval call.
+  *
+  * Native because the relational formulation (posexplode tokens → window
+  * `lead` → concat_ws → distinct) shuffles the whole token stream twice
+  * (by doc for the window sort, by (doc, shingle) for the distinct) just
+  * to compute a value that is a pure function of ONE row. At 100 TB those
+  * are the two largest shuffles of the dedup pipeline — gone. Token
+  * semantics match Text.tokens exactly: split on single spaces, empty
+  * tokens dropped; documents with fewer than n tokens yield an empty
+  * array. CodegenFallback: one interpreted call per document, all the
+  * work inside.
+  */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n-gram size must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(" ").filter(_.nonEmpty)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef](toks.length - n + 1)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen == null || seen.add(s)) out.add(UTF8String.fromString(s))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def splitFirst(c: Column, seps: Seq[String]): Column =
     Bridge.column(SplitFirst(Bridge.expression(c), seps))
+
+  def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))
 }

@@ -52,33 +52,28 @@ object Dedup {
   }
 
   /** Distinct (id, shingle) rows — the relational (exploded) shingle form.
-    * posexplode + window `lead` builds each n-gram with codegen'd
-    * expressions only (measured ~10× faster than the array/lambda form at
-    * 5k docs, and the gap widens with document count). The shuffle is by
-    * doc id — linear in corpus size.
+    * The n-grams come from the native single-pass WordNgrams expression
+    * (tokenize + concatenate + per-doc dedup inside one eval), so the form
+    * is a pure narrow projection + explode with ZERO shuffles. The earlier
+    * posexplode + window-`lead` + distinct relational build shuffled the
+    * full token stream twice — the two largest shuffles of the dedup
+    * pipeline at scale (and 0.6s of a 2.1s query at sf0.1); the array/
+    * lambda (transform+slice) form was 10× slower again, interpreted per
+    * ELEMENT rather than per document.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleRowsAll(df, idCol, textCol, n).distinct()
+    df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions.wordNgrams(
+        col(textCol), n, distinct = true)).as("s"))
 
   /** Like [[shingleRows]] but WITH multiplicity (every n-gram occurrence,
     * not the per-document set) — the n-gram counting shape for language-
     * model statistics.
     */
-  def shingleRowsAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-    if (n == 1) toks.select(col("id"), col("tok").as("s"))
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy("pos")
-      val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-      toks.select(col("id"),
-          concat_ws(" ", (col("tok") +: leads): _*).as("s"),
-          leads.last.isNotNull.as("complete"))
-        .where(col("complete"))
-        .select(col("id"), col("s"))
-    }
-  }
+  def shingleRowsAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions.wordNgrams(
+        col(textCol), n, distinct = false)).as("s"))
 
   /** Pairwise Jaccard ≥ minJaccard within blocks of `blockCol`. Output:
     * (a_id, b_id, jaccard), a_id < b_id, on distinct n-gram shingle sets.
