@@ -52,4 +52,24 @@ object Cdc {
       .select(dataCols.map(col): _*)
     kept.unionByName(upserted)
   }
+
+  /** Type-2 slowly-changing-dimension history from a keyed changelog:
+    * every upsert opens a version valid from its sequence number until the
+    * NEXT change of that key (upsert or delete); `valid_to` is null — and
+    * `is_current` true — only for a key's last change when that change is
+    * an upsert, so a trailing delete correctly closes the final version
+    * and leaves no current row.
+    *
+    * One shuffle on the key (the lead window); rows = changelog upserts.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+                  opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) === OpUpsert)
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol, opCol)
+  }
 }

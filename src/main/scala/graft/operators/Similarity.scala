@@ -33,6 +33,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact cosine RANGE search: every corpus neighbor with cosine ≥ tau
+    * per query row (the FAISS range_search twin of [[topKCosine]]).
+    * Same broadcast-query scan shape — one corpus pass, no shuffle of the
+    * big side; output size is data-dependent, which is the point of a
+    * threshold query.
+    */
+  def rangeCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), Vectors.toDoubleArray(col(vecCol)).as("n_v"))
+      .withColumn("n_nrm", Vectors.norm(col("n_v")))
+    val q = queries.select(col(idCol).as("q_id"), Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (Vectors.dot(col("q_v"), col("n_v")) /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH: `nTables`
     * independent plane sets; a corpus row lands in one bucket per table and
     * a query probes its own bucket in each table (candidates = union across

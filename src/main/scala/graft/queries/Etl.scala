@@ -208,6 +208,35 @@ object Etl {
         .orderBy("c_custkey")
     },
 
+    // type-2 SCD history from the same changelog construction: every
+    // upsert becomes a versioned row valid until the key's next change
+    "etl_scd2" -> { (s, dir) =>
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 20 === 0, Cdc.OpDelete)
+          .otherwise(Cdc.OpUpsert).as("op"))
+      Cdc.scd2History(changes, "c_custkey", "seq", "op")
+        .orderBy("c_custkey", "valid_from")
+    },
+
+    // partitioned parquet lake round-trip with partition pruning: write
+    // partitioned by status, read back ONE partition (the scan sees only
+    // that directory — PartitionFilters, asserted in OperatorsSpec)
+    "src_partitioned_prune" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_part_prune"
+      Sources.writeParquet(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        out, partitionBy = Seq("o_orderstatus"))
+      Sources.readParquet(s, out)
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     "src_csv_roundtrip" -> { (s, dir) =>
       val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
       Sources.writeCsv(Tables.nation(s, dir), out)
@@ -370,6 +399,21 @@ object Etl {
       """SELECT event_id,
         | regexp_replace(event_type || ' by user ' || CAST(user_id AS VARCHAR)
         |   || ' ' || props, '[0-9]+', '<NUM>', 'g') AS redacted
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),
+        |r AS (SELECT *, seq AS valid_from,
+        |  LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS valid_to
+        | FROM ch)
+        |SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to,
+        | (valid_to IS NULL) AS is_current
+        |FROM r WHERE op = 'U' ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "src_partitioned_prune" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -16,6 +16,14 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // threshold (range) search — the FAISS range_search twin of top-k
+    "sim_range_search" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rangeCosine(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        tau = 0.3)
+        .orderBy("q_id", "n_id")
+    },
+
     // rows-only: LSH bucketing has no SQL-expressible oracle; recall vs the
     // brute-force twin is asserted in SimilaritySpec.
     "sim_ann_lsh" -> { (s, dir) =>
@@ -100,6 +108,16 @@ object SimilarityQueries {
          | FROM scored)
          |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings)
+         |SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  ${dotSql("q.e", "n.e")} /
+         |   (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("n.e", "n.e")})) AS cosine
+         |FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id != q.vec_id
+         |WHERE ${dotSql("q.e", "n.e")} /
+         |   (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("n.e", "n.e")})) >= 0.3
+         |ORDER BY q_id, n_id""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

@@ -121,6 +121,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("scd2 history: versions chain, trailing delete closes, last upsert current") {
+    val changes = Seq(
+      (1L, "a1", 100L, "U"), (1L, "a2", 200L, "U"),            // two versions, second current
+      (2L, "b1", 100L, "U"), (2L, "bx", 200L, "D"),            // delete closes, no current row
+      (3L, "c1", 100L, "U"))                                   // single current version
+      .toDF("k", "name", "seq", "op")
+    val out = Cdc.scd2History(changes, "k", "seq", "op")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a1", 100L, Some(200L), false),
+      (1L, "a2", 200L, None, true),
+      (2L, "b1", 100L, Some(200L), false),
+      (3L, "c1", 100L, None, true)))
+  }
+
   test("cdc merge: latest change wins, deletes drop, new keys insert") {
     val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")
