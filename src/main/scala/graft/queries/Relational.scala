@@ -392,9 +392,9 @@ object Relational {
 
     "q29_ntile" -> { (s, dir) =>
       // customer spend quartiles: ntile + the exact-rational rank ratios.
-      // The window is a TOTAL order — fine for a per-key aggregate output
-      // (rows = |customers|); at 100 TB the global sort is range-partitioned
-      // by the sort key, not a single partition
+      // Built-in global window = ONE task — acceptable for a per-key
+      // aggregate output (rows = |customers|); q30 is the scale path for
+      // the same statistics
       val rev = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(dec(col("o_totalprice"))).as("drev"))
@@ -403,6 +403,24 @@ object Relational {
           ntile(4).over(w).as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey")
+    },
+
+    "q30_global_rank" -> { (s, dir) =>
+      // the SCALE path for global ranking: range-partitioned sort +
+      // per-partition offsets (GlobalRank) instead of the single-task
+      // Window.orderBy; quartile/percent-rank become per-row arithmetic
+      // over (rank, total) with the total as a broadcast 1-row aggregate
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("drev"))
+      val ranked = graft.operators.GlobalRank.withGlobalRank(
+        rev, Seq(col("drev"), col("o_custkey")))
+      val total = rev.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(total))
+        .select(col("o_custkey"), d(col("drev")).as("revenue"), col("rank"),
+          (expr("((rank - 1) * 4) DIV n_total") + 1).cast("int").as("bucket4"),
+          ((col("rank") - 1).cast("double") / (col("n_total") - 1)).as("pr"))
         .orderBy("o_custkey")
     }
   )
@@ -639,6 +657,18 @@ object Relational {
         |FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS drev
         |      FROM orders GROUP BY o_custkey)
         |WINDOW w AS (ORDER BY drev, o_custkey)
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q30_global_rank" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS drev
+        | FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, drev,
+        |  ROW_NUMBER() OVER (ORDER BY drev, o_custkey) AS rank,
+        |  COUNT(*) OVER () AS n_total FROM rev)
+        |SELECT o_custkey, CAST(drev AS DOUBLE) AS revenue, rank,
+        | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
+        | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
+        |FROM r ORDER BY o_custkey""".stripMargin
   )
 }

@@ -121,6 +121,17 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("global rank equals single-partition window row_number") {
+    val df = (1 to 500).map(i => ((i * 37) % 500, i.toLong)).toDF("v", "id")
+    val viaWindow = df.withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGlobal = GlobalRank.withGlobalRank(df, Seq($"v", $"id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGlobal == viaWindow)
+  }
+
   test("scd2 history: versions chain, trailing delete closes, last upsert current") {
     val changes = Seq(
       (1L, "a1", 100L, "U"), (1L, "a2", 200L, "U"),            // two versions, second current
