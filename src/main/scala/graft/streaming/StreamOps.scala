@@ -44,12 +44,18 @@ object StreamOps {
   def joinWithinTime(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
                      leftTs: String, rightTs: String,
-                     within: String, watermark: String): DataFrame =
+                     within: String, watermark: String,
+                     joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        // "left_outer" emits unmatched left rows (right side null) once
+        // the watermark proves no match can still arrive — the funnel
+        // "views that never clicked" shape; state stays bounded exactly
+        // as in the inner case
+        joinType)
 
   /** Unwindowed running totals per key, for Update output mode: each
     * micro-batch emits the keys it touched with their new running value.

@@ -142,6 +142,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinTime left_outer: unmatched views emit with null click after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.joinWithinTime(
+      views.toDF().select($"eventId".as("view_id"), $"userId".as("view_user"), $"ts".as("view_ts")),
+      clicks.toDF().select($"eventId".as("click_id"), $"userId".as("click_user"), $"ts".as("click_ts")),
+      "view_user", "click_user", "view_ts", "click_ts",
+      within = "60 seconds", watermark = "30 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("vc_outer").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(100), 1, "view", 0), Event(2, ts(100), 2, "view", 0))
+      clicks.addData(Event(10, ts(130), 1, "click", 0)) // user 1 clicks, user 2 never does
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view-time + within + watermark so
+      // the unmatched view 2 is provably unmatchable and emitted
+      views.addData(Event(3, ts(10000), 9, "view", 0))
+      clicks.addData(Event(99, ts(10000), 9, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("vc_outer").select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows(1L) == Some(10L))   // matched pair
+      assert(rows.get(2L) == Some(None)) // unmatched view emitted with null click
+    } finally q.stop()
+  }
+
   test("toPartitionedParquet writes a partitioned file sink with commit log") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
