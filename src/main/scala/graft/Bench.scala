@@ -56,11 +56,13 @@ object Bench {
       }
       name -> times.min
     }
-    // ms precision: the driver captures only the last 2000 chars of output
-    // and parses the JSON line out of that window — at 9-decimal precision
-    // a 67-query line is ~2600 chars and the parse silently fails
+    // 10ms precision: the driver captures only the last 2000 chars of
+    // output (incl. sbt's ~75-char success trailer) and parses the JSON
+    // line out of that window — at 9-decimal precision a 67-query line is
+    // ~2600 chars and the parse silently fails; at 3 decimals 78 queries
+    // already reach ~1890
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -142,6 +142,20 @@ object TextQueries {
     // derive from md5(doc_id) so the split is reproducible and portable
     // (no rand(), no engine-specific hash); each step is a linear pass or
     // one shuffle (the dedup window) at corpus scale
+    // importance (weighted) sampling: keep probability proportional to a
+    // quality proxy, decided by a deterministic md5-uniform — reproducible
+    // across engines and replays, unlike rand(); pure per-row map
+    "pipe_sample_weighted" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") / lit(65536.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nt.as("n_tokens"),
+          least(nt / 200.0, lit(1.0)).as("w"))
+        .where(u < col("w"))
+        .orderBy("doc_id")
+    },
+
     "pipe_train_shard" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val nt = size(Text.tokens(col("text")))
@@ -281,6 +295,14 @@ object TextQueries {
          | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
          | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipe_sample_weighted" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         | least(len($toksSql) / 200.0, 1.0) AS w
+         |FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+         |      / 65536.0 < least(len($toksSql) / 200.0, 1.0)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipe_train_shard" ->
       s"""WITH f AS (SELECT doc_id, lang, text, len($toksSql) AS n_tokens

@@ -31,6 +31,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WordNgrams equals naive sliding-window n-grams on random texts") {
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    trials(10) { r =>
+      // random token counts incl. 0 and < n; occasional double spaces
+      List.fill(6)((0 to 8).map(_ => vocab(r.nextInt(vocab.size)))
+        .take(r.nextInt(9)).mkString(if (r.nextBoolean()) " " else "  "))
+    } { texts =>
+      for (n <- 1 to 3) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val got = graft.operators.Dedup.shingleRows(df, "id", "text", n)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val want = texts.zipWithIndex.flatMap { case (t, i) =>
+          t.split(" ").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+            .map(g => (i.toLong, g.mkString(" "))).toSet
+        }.toSet
+        assert(got == want, s"n=$n texts=$texts")
+        // multiplicity form: counts must match, not just the set
+        val gotAll = graft.operators.Dedup.shingleRowsAll(df, "id", "text", n)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toList
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val wantAll = texts.zipWithIndex.flatMap { case (t, i) =>
+          t.split(" ").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+            .map(g => (i.toLong, g.mkString(" "))).toList
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        assert(gotAll == wantAll)
+      }
+    }
+  }
+
   test("sessionize equals a naive per-user fold on random event times") {
     trials(10)(r => List.fill(30)((r.nextInt(3) + 1L, r.nextInt(501).toLong))) { raw =>
       {
