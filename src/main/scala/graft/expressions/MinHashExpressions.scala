@@ -124,6 +124,76 @@ case class ArrayMinAgg(child: Expression, k: Int,
     copy(child = newChildren.head)
 }
 
+/** FUSED minhash signature aggregate: takes the two family seeds (h1, h2)
+  * per shingle row and min-updates sig[i] with h1 + i*h2 directly — the
+  * TwoHashFamily → ArrayMinAgg composition materializes a k-long array
+  * (plus its GenericArrayData box) per input row only for the min-merge
+  * to consume it once. Same buffer, serialization and map-side partial
+  * aggregation as ArrayMinAgg; callers pre-mask the seeds exactly as for
+  * TwoHashFamily (54 bits, h2 odd).
+  */
+case class MinHashAgg(h1: Expression, h2: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(h1, h2)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = h1.eval(input)
+    val b = h2.eval(input)
+    if (a != null && b != null) {
+      val x = a.asInstanceOf[Long]
+      val y = b.asInstanceOf[Long]
+      var i = 0
+      var v = x
+      while (i < k) {
+        if (v < buf(i)) buf(i) = v
+        v += y
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](k)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(h1 = newChildren(0), h2 = newChildren(1))
+}
+
 /** SimHash bit-vote aggregate: each input is a token hash; bit i of the
   * result is set when the count of inputs with bit i set exceeds the count
   * with it clear. Buffer is an int[bits] vote array with map-side partial
@@ -199,6 +269,14 @@ object MinHashExpressions {
   /** Column wrapper: element-wise min aggregate over array<long> rows. */
   def arrayMinAgg(values: Column, k: Int): Column =
     Bridge.column(ArrayMinAgg(Bridge.expression(values), k).toAggregateExpression())
+
+  /** Column wrapper: fused minhash signature aggregate over (h1, h2) seed
+    * rows (equals arrayMinAgg(twoHashFamily(h1, h2, k), k) without the
+    * per-row array).
+    */
+  def minHashAgg(h1: Column, h2: Column, k: Int): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(h1), Bridge.expression(h2), k)
+      .toAggregateExpression())
 
   /** Column wrapper: simhash bit-vote aggregate over token-hash rows. */
   def simHashAgg(tokenHash: Column, bits: Int = 60): Column =

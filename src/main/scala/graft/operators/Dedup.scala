@@ -143,15 +143,16 @@ object Dedup {
     // 128-buffer codegen class whose JIT scheduling made the same query
     // swing 2.8s-53s run to run. One shuffle by id, linear in corpus size.
     val m54 = lit((1L << 54) - 1)
-    val hashed = posts.select(col("id"),
-      graft.expressions.MinHashExpressions.twoHashFamily(
-        xxhash64(col("s")).bitwiseAND(m54),
-        xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("hs"))
     // sig also feeds four branches (both band-join sides, both size
-    // lookups); tiny (one signature row per doc) so materializing is cheap
-    val sig = hashed
+    // lookups); tiny (one signature row per doc) so materializing is cheap.
+    // The FUSED MinHashAgg consumes the two hash seeds directly — the
+    // earlier twoHashFamily → arrayMinAgg composition allocated a boxed
+    // k-long array per shingle row just to min-merge it once.
+    val sig = posts
       .groupBy(col("id"))
-      .agg(graft.expressions.MinHashExpressions.arrayMinAgg(col("hs"), k).as("sig"),
+      .agg(graft.expressions.MinHashExpressions.minHashAgg(
+        xxhash64(col("s")).bitwiseAND(m54),
+        xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("sig"),
         count(lit(1)).as("sz"))
       .localCheckpoint(eager = true)
     // band hash: xxhash64 over the r-element signature slice (codegen'd

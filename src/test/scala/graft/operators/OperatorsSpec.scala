@@ -121,6 +121,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("fused MinHashAgg equals twoHashFamily + arrayMinAgg composition") {
+    import org.apache.spark.sql.functions._
+    val m54 = lit((1L << 54) - 1)
+    val rows = Seq((1L, "aa bb"), (1L, "bb cc"), (1L, "dd"), (2L, "aa bb"), (3L, "zz"))
+      .toDF("id", "s")
+    def h1 = xxhash64($"s").bitwiseAND(m54)
+    def h2 = xxhash64(lit(1), $"s").bitwiseAND(m54).bitwiseOR(lit(1L))
+    val composed = rows.select($"id",
+        graft.expressions.MinHashExpressions.twoHashFamily(h1, h2, 16).as("hs"))
+      .groupBy($"id")
+      .agg(graft.expressions.MinHashExpressions.arrayMinAgg($"hs", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val fused = rows.groupBy($"id")
+      .agg(graft.expressions.MinHashExpressions.minHashAgg(h1, h2, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(fused == composed)
+  }
+
   test("global rank equals single-partition window row_number") {
     val df = (1 to 500).map(i => ((i * 37) % 500, i.toLong)).toDF("v", "id")
     val viaWindow = df.withColumn("rank",
