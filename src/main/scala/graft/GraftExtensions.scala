@@ -71,6 +71,19 @@ object GraftExtensions {
           .map(t => graft.functions.Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
         LshBuckets(args.head, planes)
       }),
+    // word_ngrams(s, n, distinct) - all word n-grams in one pass
+    ("word_ngrams",
+      info("word_ngrams",
+        "word_ngrams(s, n, distinct) - array of word n-grams (single-space tokens)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "word_ngrams needs (string, n, distinct)")
+        val distinct = args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams: distinct must be a boolean literal, got $other")
+        }
+        graft.expressions.WordNgrams(args.head, intArg(args(1), "n"), distinct)
+      }),
     // split_first(s, sep1[, sep2, ...]) - struct(head, tail) split at the
     // EARLIEST occurrence of any separator (longest wins on position ties)
     ("split_first",

@@ -143,23 +143,78 @@ object StreamOps {
       .flatMapGroupsWithState[List[DocSig], DupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[List[DocSig]]) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[DupPair]()
-          rows.foreach { case (id, sig, _, _) =>
-            if (!members.exists(_.id == id)) {
-              members.foreach { m =>
-                val h = java.lang.Long.bitCount(m.sig ^ sig)
-                if (h <= maxDist) {
-                  val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
-                  out += DupPair(a, b, h)
-                }
-              }
-              if (members.size < maxBucket) members = DocSig(id, sig) :: members
-            }
-          }
-          state.update(members)
-          out.iterator
+          pairAndStore(rows.map { case (id, sig, _, _) => (id, sig) },
+            state, maxDist, maxBucket)
       }
+  }
+
+  /** [[nearDupPairsStream]] with BOUNDED state: buckets idle longer than
+    * the watermark horizon are evicted via event-time timeout — the 100 TB
+    * shape, where dedup state must not grow with stream lifetime. Pairing
+    * semantics are identical within the horizon; a duplicate arriving
+    * after its bucket expired is missed by design (the same trade
+    * `dropDuplicatesWithinWatermark` makes). `tsCol` must be a timestamp
+    * column on `docs`.
+    */
+  def nearDupPairsStreamWatermarked(docs: DataFrame, idCol: String,
+                                    textCol: String, tsCol: String,
+                                    watermark: String, maxDist: Int = 3,
+                                    maxBucket: Int = 64): Dataset[DupPair] = {
+    require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quartered = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Text.simhash(textCol).as("sig"), col(tsCol).as("ts"))
+      .select(col("id"), col("sig"), col("ts"),
+        explode(array((0 until 4).map(q => struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 15).bitwiseAND(lit(0x7fffL)).as("qv"))): _*)).as("p"))
+      .select(col("id"), col("sig"), col("ts"), col("p.q").as("q"), col("p.qv").as("qv"))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+    quartered
+      .groupByKey { case (_, _, _, q, qv) => (q, qv) }
+      .flatMapGroupsWithState[List[DocSig], DupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[DocSig]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = pairAndStore(rows.map { case (id, sig, _, _, _) => (id, sig) },
+              state, maxDist, maxBucket)
+            // refresh the bucket's lease on every touch: evict only after
+            // a full watermark-horizon of inactivity
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1,
+              watermark)
+            out
+          }
+      }
+  }
+
+  /** Shared bucket logic: pair each new doc against stored members within
+    * Hamming `maxDist`, then store it (list capped at `maxBucket` — a hot
+    * bucket degrades recall, never memory).
+    */
+  private def pairAndStore(rows: Iterator[(Long, Long)],
+                           state: GroupState[List[DocSig]],
+                           maxDist: Int, maxBucket: Int): Iterator[DupPair] = {
+    var members = state.getOption.getOrElse(Nil)
+    val out = scala.collection.mutable.ListBuffer[DupPair]()
+    rows.foreach { case (id, sig) =>
+      if (!members.exists(_.id == id)) {
+        members.foreach { m =>
+          val h = java.lang.Long.bitCount(m.sig ^ sig)
+          if (h <= maxDist) {
+            val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
+            out += DupPair(a, b, h)
+          }
+        }
+        if (members.size < maxBucket) members = DocSig(id, sig) :: members
+      }
+    }
+    state.update(members)
+    out.iterator
   }
 
   /** Gap-based sessionization with flatMapGroupsWithState — streaming twin

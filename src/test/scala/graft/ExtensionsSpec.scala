@@ -38,6 +38,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1L) == Seq(9L, 7L) && rows(2L) == Seq(3L))
   }
 
+  test("word_ngrams is SQL-callable") {
+    GraftExtensions.register(spark)
+    Seq(("a b c d", 1)).toDF("s", "i").createOrReplaceTempView("wn")
+    val rows = spark.sql(
+      "SELECT word_ngrams(s, 2, true) AS g FROM wn").collect().head.getSeq[String](0)
+    assert(rows == Seq("a b", "b c", "c d"))
+  }
+
   test("split_first is SQL-callable with multiple separators") {
     GraftExtensions.register(spark)
     Seq(("Keytruda - pembrolizumab", 1), ("no separator here", 2))

@@ -82,6 +82,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsStreamWatermarked: in-horizon pairs emit, expired buckets forget") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
+      "red", "green", "blue", "cyan", "magenta", "yellow", "black", "white",
+      "gray", "pink", "brown", "violet", "one", "two", "three", "four",
+      "five", "six", "seven", "eight", "nine", "ten", "eleven", "twelve")
+    val base = words.mkString(" ")
+    val nearDup = base + " bonus"
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = StreamOps.nearDupPairsStreamWatermarked(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "60 seconds")
+    val q = pairs.writeStream.format("memory").queryName("neardup_wm")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(100), base))
+      q.processAllAvailable()
+      in.addData((2L, ts(120), nearDup)) // within horizon -> pairs with 1
+      q.processAllAvailable()
+      // push the watermark far past 120 + 60s so the bucket expires
+      in.addData((7L, ts(100000), "unrelated filler tokens here"))
+      q.processAllAvailable()
+      in.addData((8L, ts(100010), "unrelated filler tokens here two"))
+      q.processAllAvailable()
+      in.addData((3L, ts(100020), nearDup)) // bucket forgot 1 and 2 -> no pair
+      q.processAllAvailable()
+      val got = spark.table("neardup_wm").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
