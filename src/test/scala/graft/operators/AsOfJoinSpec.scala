@@ -48,6 +48,11 @@ class AsOfJoinSpec extends SparkSpec {
     val r = AsOfJoin.asofLast(trades, quotes, "k", "t", "qt").collect().head
     assert(r.isNullAt(r.fieldIndex("px")))
     assert(r.getLong(r.fieldIndex("sz")) == 7L)
+    // and the native physical operator agrees on the same null-bearing data
+    val n = graft.plans.AsOfJoinNative.asof(trades, quotes, "k", "t", "qt")
+      .collect().head
+    assert(n.isNullAt(n.fieldIndex("px")))
+    assert(n.getLong(n.fieldIndex("sz")) == 7L)
   }
 
   test("asofLast rejects overlapping value column names") {

@@ -116,6 +116,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs equal the batch simhashPairs on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").where(length($"text") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = graft.operators.Dedup.simhashPairs(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .where(length($"text") > 0), "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamOps.nearDupPairsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = pairs.writeStream.format("memory").queryName("neardup_eq")
+      .outputMode("append").start()
+    try {
+      // feed in three micro-batches to exercise cross-batch state
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("neardup_eq").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream-only: ${got -- batch}; batch-only: ${batch -- got}")
+      assert(batch.nonEmpty) // the corpus plants real near-dups
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
