@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   private val supportedJoinTypes =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      salt: Int = 16, joinType: String = "inner"): DataFrame = {

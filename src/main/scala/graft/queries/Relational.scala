@@ -411,9 +411,13 @@ object Relational {
       // per-partition offsets (GlobalRank) instead of the single-task
       // Window.orderBy; quartile/percent-rank become per-row arithmetic
       // over (rank, total) with the total as a broadcast 1-row aggregate
+      // checkpoint rev so the orders scan + aggregation runs once, not
+      // once per consumer (the rank pipeline executes it twice more via
+      // zipWithIndex's offset job otherwise)
       val rev = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(dec(col("o_totalprice"))).as("drev"))
+        .localCheckpoint(eager = true)
       val ranked = graft.operators.GlobalRank.withGlobalRank(
         rev, Seq(col("drev"), col("o_custkey")))
       val total = rev.agg(count(lit(1)).as("n_total"))

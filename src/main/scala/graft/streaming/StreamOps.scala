@@ -181,12 +181,18 @@ object StreamOps {
             state.remove()
             Iterator.empty
           } else {
-            val out = pairAndStore(rows.map { case (id, sig, _, _, _) => (id, sig) },
+            // materialize before draining: `rows` is single-pass
+            val batch = rows.toList
+            val out = pairAndStore(batch.iterator.map { case (id, sig, _, _, _) => (id, sig) },
               state, maxDist, maxBucket)
-            // refresh the bucket's lease on every touch: evict only after
-            // a full watermark-horizon of inactivity
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1,
-              watermark)
+            // lease = this batch's max EVENT time + horizon (the sessionize
+            // pattern): evict only after a full horizon of event-time
+            // inactivity. Basing the lease on the CURRENT watermark would
+            // anchor first-batch buckets near epoch 0 and evict them one
+            // batch later, silently dropping within-horizon pairs.
+            val maxTsMs = batch.iterator.map(_._3.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs() + 1), watermark)
             out
           }
       }

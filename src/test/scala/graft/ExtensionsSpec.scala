@@ -104,6 +104,9 @@ class ExtensionsSpec extends SparkSpec {
     val leftPlain = large.join(small, Seq("k"), "left").count()
     val leftSalted = SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "left").count()
     assert(leftSalted == leftPlain)
+    // Spark's short aliases stay accepted
+    assert(SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "semi").count() == 901)
+    assert(SkewJoin.saltedEquiJoin(large, small, "k", salt = 8, "anti").count() == 99)
     // right/full outer would emit each unmatched small-side row `salt`
     // times — rejected up front
     intercept[IllegalArgumentException] {

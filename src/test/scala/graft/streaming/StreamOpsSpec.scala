@@ -10,6 +10,20 @@ class StreamOpsSpec extends SparkSpec {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
+  // shared near-dup construction: 48 distinct tokens; appending one rare
+  // token moves the md5-vote simhash by Hamming 1 (deterministic), while
+  // the reversed-token doc sits at Hamming 28 from base
+  private val nearDupWords = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi",
+    "omega", "red", "green", "blue", "cyan", "magenta", "yellow", "black",
+    "white", "gray", "pink", "brown", "violet", "one", "two", "three",
+    "four", "five", "six", "seven", "eight", "nine", "ten", "eleven",
+    "twelve")
+  private val nearDupBase = nearDupWords.mkString(" ")
+  private val nearDupDoc = nearDupBase + " bonus"
+  private val distinctDocText = nearDupWords.map(_.reverse).mkString(" ")
+
   test("hourlyAgg: windowed counts with watermark, finalized after horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
@@ -46,21 +60,9 @@ class StreamOpsSpec extends SparkSpec {
 
   test("nearDupPairsStream: near-dups across micro-batches pair up, distinct docs don't") {
     implicit val sqlCtx = spark.sqlContext
-    // 48 distinct tokens; appending one rare token moves the md5-vote
-    // simhash by Hamming 1 (deterministic — md5 is fixed), while the
-    // reversed-token doc sits at Hamming 28 from base
-    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
-      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
-      "red", "green", "blue", "cyan", "magenta", "yellow", "black", "white",
-      "gray", "pink", "brown", "violet", "one", "two", "three", "four",
-      "five", "six", "seven", "eight", "nine", "ten", "eleven", "twelve")
-    val base = words.mkString(" ")
-    val nearDup = base + " bonus"
-    val distinctDoc = words.map(_.reverse).mkString(" ")
     // ground truth via the batch signature path: planted pair within 3
     val batchSigs = graft.operators.Dedup.simhashSignatures(
-      Seq((1L, base), (2L, distinctDoc), (3L, nearDup)).toDF("doc_id", "text"),
+      Seq((1L, nearDupBase), (2L, distinctDocText), (3L, nearDupDoc)).toDF("doc_id", "text"),
       "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(java.lang.Long.bitCount(batchSigs(1L) ^ batchSigs(3L)) <= 3)
@@ -70,10 +72,10 @@ class StreamOpsSpec extends SparkSpec {
       in.toDF().toDF("doc_id", "text"), "doc_id", "text")
     val q = pairs.writeStream.format("memory").queryName("neardup").outputMode("append").start()
     try {
-      in.addData((1L, base), (2L, distinctDoc))
+      in.addData((1L, nearDupBase), (2L, distinctDocText))
       q.processAllAvailable()
       assert(spark.table("neardup").count() == 0) // no near-dups yet
-      in.addData((3L, nearDup))                   // arrives a batch later
+      in.addData((3L, nearDupDoc))                // arrives a batch later
       q.processAllAvailable()
       // pair may appear once per shared quarter — distinct (aId, bId)
       val got = spark.table("neardup").select("aId", "bId").distinct()
@@ -84,14 +86,10 @@ class StreamOpsSpec extends SparkSpec {
 
   test("nearDupPairsStreamWatermarked: in-horizon pairs emit, expired buckets forget") {
     implicit val sqlCtx = spark.sqlContext
-    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
-      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
-      "red", "green", "blue", "cyan", "magenta", "yellow", "black", "white",
-      "gray", "pink", "brown", "violet", "one", "two", "three", "four",
-      "five", "six", "seven", "eight", "nine", "ten", "eleven", "twelve")
-    val base = words.mkString(" ")
-    val nearDup = base + " bonus"
+    // REALISTIC epoch timestamps: a lease anchored to the previous-batch
+    // watermark (instead of the batch's max event time) passes with
+    // near-epoch-0 times but evicts first-batch buckets immediately here
+    val t0 = 1765000000L
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
     val pairs = StreamOps.nearDupPairsStreamWatermarked(
       in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
@@ -99,16 +97,16 @@ class StreamOpsSpec extends SparkSpec {
     val q = pairs.writeStream.format("memory").queryName("neardup_wm")
       .outputMode("append").start()
     try {
-      in.addData((1L, ts(100), base))
+      in.addData((1L, ts(t0), nearDupBase))
       q.processAllAvailable()
-      in.addData((2L, ts(120), nearDup)) // within horizon -> pairs with 1
+      in.addData((2L, ts(t0 + 20), nearDupDoc)) // within horizon -> pairs with 1
       q.processAllAvailable()
-      // push the watermark far past 120 + 60s so the bucket expires
-      in.addData((7L, ts(100000), "unrelated filler tokens here"))
+      // push the watermark far past t0+20 + 60s so the bucket expires
+      in.addData((7L, ts(t0 + 100000), "unrelated filler tokens here"))
       q.processAllAvailable()
-      in.addData((8L, ts(100010), "unrelated filler tokens here two"))
+      in.addData((8L, ts(t0 + 100010), "unrelated filler tokens here two"))
       q.processAllAvailable()
-      in.addData((3L, ts(100020), nearDup)) // bucket forgot 1 and 2 -> no pair
+      in.addData((3L, ts(t0 + 100020), nearDupDoc)) // bucket forgot 1 and 2 -> no pair
       q.processAllAvailable()
       val got = spark.table("neardup_wm").select("aId", "bId").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
