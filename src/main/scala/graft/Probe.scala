@@ -31,6 +31,17 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // connected components alone (pairs pre-built)
+    locally {
+      val docs0 = Tables.documents(spark, dir)
+      val pairs = graft.operators.Dedup.jaccardPairsBlocked(docs0, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3).localCheckpoint(true)
+      time("cc labels only") {
+        noop(graft.operators.ConnectedComponents.labels(pairs))
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+
     // decomposition of dd_minhash_lsh
     val docs = Tables.documents(spark, dir)
     docs.count()

@@ -31,9 +31,13 @@ object ConnectedComponents {
   def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
              maxIter: Int = 20): DataFrame = {
     // pairs come in deduplicated with a < b, so the two directed copies
-    // are already distinct
+    // are already distinct. Pre-partition by v BEFORE caching: the cached
+    // relation keeps its hash partitioning, so the per-round labels join
+    // shuffles only the label table (O(V)) — not the full edge list
+    // (O(E)) every round.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with round 1 for free: lbl = min(self, all neighbors) is one
     // aggregate over the edge list (also yields the node set)
