@@ -290,6 +290,34 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    "q31_intersect" -> { (s, dir) =>
+      // customers with BOTH an urgent and a low-priority order: INTERSECT
+      // (left-semi on distinct — one shuffle per side, no pairwise blowup)
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val low = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      urgent.intersect(low) // INTERSECT DISTINCT semantics
+        .orderBy("o_custkey")
+    },
+
+    "q32_full_outer" -> { (s, dir) =>
+      // FULL OUTER join: per-customer order counts vs the negative-balance
+      // customer roster — unmatched rows survive from BOTH sides (active
+      // customers in good standing left-only, inactive debtors right-only)
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("n_orders"))
+      val debtors = Tables.customer(s, dir)
+        .where(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_name"))
+      counts.join(debtors, col("ck") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("ck"), col("c_custkey")).as("custkey"),
+          col("n_orders"), col("c_name"))
+        .orderBy("custkey")
+    },
+
     "q22_scalar_subquery" -> { (s, dir) =>
       // orders above the global average price: the scalar aggregate joins
       // in as a broadcast single-row cross join, never a driver round-trip
@@ -662,6 +690,21 @@ object Relational {
         |      FROM orders GROUP BY o_custkey)
         |WINDOW w AS (ORDER BY drev, o_custkey)
         |ORDER BY o_custkey""".stripMargin,
+
+    "q31_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q32_full_outer" ->
+      """SELECT COALESCE(ck, c_custkey) AS custkey, n_orders, c_name
+        |FROM (SELECT o_custkey AS ck, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) co
+        |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+        |                 WHERE c_acctbal < 0) de
+        |  ON ck = c_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q30_global_rank" ->
       """WITH rev AS (SELECT o_custkey,
