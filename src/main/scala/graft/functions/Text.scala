@@ -140,12 +140,16 @@ object Text {
 
   /** Argmax over the profile scores; earlier profile wins ties. */
   def langPredict(scores: Seq[Column]): Column = {
+    // branch-free argmax: array_position finds the FIRST index holding the
+    // max, which reproduces the old priority chain's tie-break (earlier
+    // language wins) — and references every score exactly ONCE. The
+    // previous nested when() chain referenced each score per comparison
+    // per branch, and codegen CSE does not reach across CASE WHEN
+    // branches, so each (interpreted) stopword count ran up to ~20× per
+    // row.
     val langs = LangProfiles.map(_._1)
-    langs.indices.init.foldRight(lit(langs.last): Column) { (i, rest) =>
-      val isMax = langs.indices.filter(_ != i)
-        .map(j => scores(i) >= scores(j)).reduce(_ && _)
-      when(isMax, langs(i)).otherwise(rest)
-    }
+    val pos = array_position(array(scores: _*), array_max(array(scores: _*)))
+    element_at(array(langs.map(lit): _*), pos.cast("int"))
   }
 
   /** Normalized-text md5 fingerprint (lowercase, collapsed whitespace). */
