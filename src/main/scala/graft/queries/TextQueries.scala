@@ -142,6 +142,23 @@ object TextQueries {
     // derive from md5(doc_id) so the split is reproducible and portable
     // (no rand(), no engine-specific hash); each step is a linear pass or
     // one shuffle (the dedup window) at corpus scale
+    // intra-document dedup: collapse repeated tokens to their first
+    // occurrence, order preserved — the within-doc cleaning shape. The
+    // whole transform is ONE WordNgrams(n=1, distinct) eval per row: the
+    // expression's insertion-ordered dedup IS first-occurrence order; no
+    // shuffle anywhere
+    "ta_dedup_tokens" -> { (s, dir) =>
+      def deduped = graft.expressions.TextExpressions.wordNgrams(
+        col("text"), 1, distinct = true)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(col("doc_id"),
+          array_join(deduped, " ").as("deduped_text"),
+          size(deduped).as("n_kept"))
+        .orderBy("doc_id")
+    },
+
     // importance (weighted) sampling: keep probability proportional to a
     // quality proxy, decided by a deterministic md5-uniform — reproducible
     // across engines and replays, unlike rand(); pure per-row map
@@ -295,6 +312,15 @@ object TextQueries {
          | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
          | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ta_dedup_tokens" ->
+      s"""SELECT doc_id,
+         | array_to_string([l[i] FOR i IN generate_series(1, len(l))
+         |                  IF list_position(l, l[i]) = i], ' ') AS deduped_text,
+         | len([l[i] FOR i IN generate_series(1, len(l))
+         |      IF list_position(l, l[i]) = i]) AS n_kept
+         |FROM (SELECT doc_id, $toksSql AS l FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipe_sample_weighted" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
