@@ -44,6 +44,22 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // fuzzy-match verify: simhash candidates re-scored with exact edit
+    // distance over a bounded prefix — levenshtein is O(len²) per pair, so
+    // it only ever runs on the LSH-bounded candidate set, never pairwise
+    "dd_editdist" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      val prefix = docs.select(col("doc_id"),
+        substring(lower(col("text")), 1, 120).as("pref"))
+      pairs
+        .join(prefix.select(col("doc_id").as("a_id"), col("pref").as("a_p")), "a_id")
+        .join(prefix.select(col("doc_id").as("b_id"), col("pref").as("b_p")), "b_id")
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          levenshtein(col("a_p"), col("b_p")).as("editdist"))
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_embed_cosine" -> { (s, dir) =>
       Dedup.embeddingPairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCol = "label", tau = 0.35)
@@ -139,6 +155,24 @@ object DedupQueries {
          |QUALIFY ROW_NUMBER() OVER (
          |  PARTITION BY md5(array_to_string($normToks, ' ')) ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_editdist" ->
+      s"""WITH s AS (SELECT doc_id, list_sum([
+         |  CASE WHEN list_sum([
+         |    CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+         |    for h in [('0x' || substring(md5(t), 1, 15))::BIGINT for t in $rawToks]]) > 0
+         |  THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |  for i in generate_series(0, 59)])::BIGINT AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sh, b.sh))::INT AS hamming
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT a_id, b_id, hamming,
+         | levenshtein(substring(lower(da.text), 1, 120),
+         |             substring(lower(db.text), 1, 120)) AS editdist
+         |FROM p JOIN documents da ON p.a_id = da.doc_id
+         |       JOIN documents db ON p.b_id = db.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dd_clusters" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents

@@ -303,6 +303,19 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    "q33_histogram" -> { (s, dir) =>
+      // fixed-width value histogram — one partial-agg pass; identical IEEE
+      // double division in both engines keeps bucket edges deterministic
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"),
+          d(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     "q32_full_outer" -> { (s, dir) =>
       // FULL OUTER join: per-customer order counts vs the negative-balance
       // customer roster — unmatched rows survive from BOTH sides (active
@@ -696,6 +709,12 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q33_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | COUNT(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q32_full_outer" ->
       """SELECT COALESCE(ck, c_custkey) AS custkey, n_orders, c_name
