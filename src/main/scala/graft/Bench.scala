@@ -56,19 +56,30 @@ object Bench {
       }
       name -> times.min
     }
-    // 10ms precision: the driver captures only the last 2000 chars of
-    // output (incl. sbt's ~75-char success trailer) and parses the JSON
-    // line out of that window — at 9-decimal precision a 67-query line is
-    // ~2600 chars and the parse silently fails; at 3 decimals 78 queries
-    // already reach ~1890
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // The driver captures only the LAST 2000 chars of output (including
+    // sbt's ~75-char success trailer) and parses the JSON line out of that
+    // window — r02's 9-decimal line was ~2600 chars and silently failed to
+    // parse. Every byte counts at 83+ queries: 10ms precision with
+    // trailing zeros stripped ("1.80"→"1.8"), sf as its basename, and the
+    // failed list emitted only when non-empty.
+    def fmtPrec(v: Double, prec: String): String = {
+      val s = String.format(java.util.Locale.ROOT, prec, Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    def fmt(v: Double): String = fmtPrec(v, "%.2f")
+    // per-query values at 0.1s resolution: 83 queries × ~2 extra chars
+    // each is the difference between fitting the tail window or not;
+    // profile individual queries with local runs, not this line
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtPrec(v, "%.1f") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    if (line.length > 1800)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}"""
+    if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")
     println(line)
     spark.stop()
