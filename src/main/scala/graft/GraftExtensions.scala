@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Session extension wiring for the graft custom expressions, so SQL users
   * get them too:
@@ -71,6 +72,34 @@ object GraftExtensions {
           .map(t => graft.functions.Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
         LshBuckets(args.head, planes)
       }),
+    // The reference-pipeline extraction functions, so the WHOLE pipeline
+    // can run as plain SQL: each builder lifts the Column-composition
+    // function through the bridge (the expression tree is identical to
+    // the DataFrame API's).
+    ("classify_status",
+      info("classify_status",
+        "classify_status(s) - priority-ordered decision status or NULL"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        graft.functions.Text.classifyStatus(Bridge.column(args.head)))),
+    ("danish_date",
+      info("danish_date",
+        "danish_date(s) - parse '12. januar 2026'-style dates to DATE"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        graft.functions.Text.parseDanishDate(Bridge.column(args.head)))),
+    ("extract_date",
+      info("extract_date",
+        "extract_date(s) - first d.m.y / y.m.d styled substring, raw"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        graft.functions.Text.extractDate(Bridge.column(args.head)))),
+    ("extract_atc",
+      info("extract_atc", "extract_atc(s) - first ATC code or NULL"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        graft.functions.Text.extractAtc(Bridge.column(args.head)))),
+    ("text_fingerprint",
+      info("text_fingerprint",
+        "text_fingerprint(s) - md5 of the normalized (lowered, re-tokenized) text"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        graft.functions.Text.fingerprint(Bridge.column(args.head)))),
     // word_ngrams(s, n, distinct) - all word n-grams in one pass
     ("word_ngrams",
       info("word_ngrams",

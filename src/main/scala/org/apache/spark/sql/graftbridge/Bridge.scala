@@ -14,6 +14,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → Expression conversion. `expression` wraps the
+    * column tree in a lazy ColumnNodeExpression, which is fine as a child
+    * of a custom expression inside a Dataset plan (the analyzer converts
+    * it) but UNEVALUABLE when returned from an injected SQL function
+    * builder — builders must hand the analyzer a real expression tree.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

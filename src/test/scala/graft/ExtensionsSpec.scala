@@ -38,6 +38,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1L) == Seq(9L, 7L) && rows(2L) == Seq(3L))
   }
 
+  test("the reference extraction pipeline runs as pure SQL") {
+    GraftExtensions.register(spark)
+    Seq(("Sagen er Anbefalet af raadet", "Godkendt den 3. maj 2024",
+        "Behandling med L01XC18 godkendt", "pr. 12.1.2024"))
+      .toDF("card", "date_text", "atc_text", "fallback")
+      .createOrReplaceTempView("cards_sql")
+    val r = spark.sql(
+      """SELECT classify_status(card) AS status,
+        | CAST(danish_date(date_text) AS STRING) AS d,
+        | extract_atc(atc_text) AS atc,
+        | extract_date(fallback) AS fd,
+        | text_fingerprint(card) AS fp FROM cards_sql""".stripMargin).collect().head
+    assert(r.getString(0) == "Anbefalet")
+    assert(r.getString(1) == "2024-05-03")
+    assert(r.getString(2) == "L01XC18")
+    assert(r.getString(3) == "12.1.2024")
+    assert(r.getString(4).length == 32) // md5 hex
+  }
+
   test("word_ngrams is SQL-callable") {
     GraftExtensions.register(spark)
     Seq(("a b c d", 1)).toDF("s", "i").createOrReplaceTempView("wn")
