@@ -261,7 +261,60 @@ case class SimHashAgg(child: Expression, bits: Int = 60,
     copy(child = newChildren.head)
 }
 
+/** Per-ROW minhash signature over an array<string> of shingles — the
+  * stateless form for STREAMING, where the grouped-aggregate path
+  * (shingle rows → MinHashAgg) isn't available without adding a second
+  * stateful stage. Hashes match the batch operator bit-for-bit: h1 =
+  * xxhash64(s) (seed 42), h2 = xxhash64(1, s) (int 1 then the bytes),
+  * both masked to 54 bits with h2 forced odd, family h1 + i*h2.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val m54 = (1L << 54) - 1
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val intOneSeed = XXH64.hashInt(1, 42L)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & m54
+      val h2 = (XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, intOneSeed) & m54) | 1L
+      var v = h1
+      var i = 0
+      while (i < k) {
+        if (v < sig(i)) sig(i) = v
+        v += h2
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpressions {
+  /** Column wrapper: per-row minhash signature of an array<string>. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
+
   /** Column wrapper: [h1 + i*h2 for i < k] (inputs pre-masked by caller). */
   def twoHashFamily(h1: Column, h2: Column, k: Int): Column =
     Bridge.column(TwoHashFamily(Bridge.expression(h1), Bridge.expression(h2), k))

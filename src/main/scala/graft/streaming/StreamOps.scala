@@ -17,6 +17,7 @@ object StreamOps {
   case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
   case class DocSig(id: Long, sig: Long)
   case class DupPair(aId: Long, bId: Long, hamming: Int)
+  case class MinHashPair(aId: Long, bId: Long, estJaccard: Double)
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * streaming twin of q13_events_hourly.
@@ -195,6 +196,64 @@ object StreamOps {
               math.max(maxTsMs, state.getCurrentWatermarkMs() + 1), watermark)
             out
           }
+      }
+  }
+
+  /** Streaming MinHash-LSH near-dup candidate pairs — the minhash twin of
+    * [[nearDupPairsStream]], for Jaccard-similarity dedup (vs simhash's
+    * Hamming). Per row (stateless, so one stateful stage total): distinct
+    * n-gram shingles via WordNgrams, a k-long signature via the
+    * MinHashSignature expression (bit-identical to the batch operator's
+    * hashes), and `bands` band hashes; a flatMapGroupsWithState bucket per
+    * (band, bandhash) pairs new docs against stored members, scored by
+    * the signature-agreement Jaccard ESTIMATE (matching minhashes / k —
+    * the state holds signatures, not shingle sets, so the verify is the
+    * estimator; route candidates to a batch exact-verify if needed).
+    * Pairs sharing several bands are emitted once per band — dedup
+    * (aId, bId) downstream.
+    */
+  def minhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         tau: Double, n: Int = 3, k: Int = 128,
+                         bands: Int = 32, maxBucket: Int = 64): Dataset[MinHashPair] = {
+    require(k % bands == 0)
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = graft.expressions.MinHashExpressions.minHashSignature(
+      graft.expressions.TextExpressions.wordNgrams(col(textCol), n, distinct = true), k)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64(slice(col("sig"), j * r + 1, r))
+        }: _*)).as(Seq("band", "bh")))
+      .as[(Long, Seq[Long], Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[List[(Long, Array[Long])], MinHashPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[MinHashPair]()
+          rows.foreach { case (id, sigSeq, _, _) =>
+            if (!members.exists(_._1 == id)) {
+              val s = sigSeq.toArray
+              members.foreach { case (mid, msig) =>
+                var matches = 0
+                var i = 0
+                while (i < k) {
+                  if (msig(i) == s(i)) matches += 1
+                  i += 1
+                }
+                val est = matches.toDouble / k
+                if (est >= tau)
+                  out += MinHashPair(math.min(mid, id), math.max(mid, id), est)
+              }
+              if (members.size < maxBucket) members = (id, s) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
       }
   }
 

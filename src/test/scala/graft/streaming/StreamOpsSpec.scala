@@ -114,6 +114,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row MinHashSignature matches the batch aggregate bit-for-bit") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    // batch path: shingle rows -> fused MinHashAgg
+    val m54 = lit((1L << 54) - 1)
+    val batch = graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .groupBy($"id")
+      .agg(graft.expressions.MinHashExpressions.minHashAgg(
+        xxhash64($"s").bitwiseAND(m54),
+        xxhash64(lit(1), $"s").bitwiseAND(m54).bitwiseOR(lit(1L)), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // per-row expression path
+    val perRow = docs.select($"doc_id",
+        graft.expressions.MinHashExpressions.minHashSignature(
+          graft.expressions.TextExpressions.wordNgrams($"text", 3, distinct = true), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // batch path omits docs with zero shingles; every doc it covers must match
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, sig) => assert(perRow(id) == sig, s"doc $id") }
+  }
+
+  test("minhashPairsStream: high-jaccard near-dups pair across batches, distinct docs don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamOps.minhashPairsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", tau = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, nearDupBase), (2L, distinctDocText))
+      q.processAllAvailable()
+      assert(spark.table("mh_stream").count() == 0)
+      in.addData((3L, nearDupDoc)) // ~0.96 shingle jaccard with base
+      q.processAllAvailable()
+      val got = spark.table("mh_stream").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)))
+      val est = spark.table("mh_stream").select("estJaccard")
+        .collect().map(_.getDouble(0)).max
+      assert(est >= 0.8 && est <= 1.0)
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs equal the batch simhashPairs on real documents") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
