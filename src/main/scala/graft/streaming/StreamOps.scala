@@ -233,27 +233,54 @@ object StreamOps {
       .flatMapGroupsWithState[List[(Long, Array[Long])], MinHashPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[MinHashPair]()
-          rows.foreach { case (id, sigSeq, _, _) =>
-            if (!members.exists(_._1 == id)) {
-              val s = sigSeq.toArray
-              members.foreach { case (mid, msig) =>
-                var matches = 0
-                var i = 0
-                while (i < k) {
-                  if (msig(i) == s(i)) matches += 1
-                  i += 1
-                }
-                val est = matches.toDouble / k
-                if (est >= tau)
-                  out += MinHashPair(math.min(mid, id), math.max(mid, id), est)
-              }
-              if (members.size < maxBucket) members = (id, s) :: members
-            }
+          minhashPairAndStore(
+            rows.map { case (id, sigSeq, _, _) => (id, sigSeq.toArray) },
+            state, tau, k, maxBucket)
+      }
+  }
+
+  /** [[minhashPairsStream]] with BOUNDED state: band buckets idle past the
+    * watermark horizon are evicted via event-time timeout, the same lease
+    * pattern as [[nearDupPairsStreamWatermarked]] (lease = the batch's max
+    * event time + horizon).
+    */
+  def minhashPairsStreamWatermarked(docs: DataFrame, idCol: String,
+                                    textCol: String, tsCol: String,
+                                    watermark: String, tau: Double,
+                                    n: Int = 3, k: Int = 128, bands: Int = 32,
+                                    maxBucket: Int = 64): Dataset[MinHashPair] = {
+    require(k % bands == 0)
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = graft.expressions.MinHashExpressions.minHashSignature(
+      graft.expressions.TextExpressions.wordNgrams(col(textCol), n, distinct = true), k)
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"), col(tsCol).as("ts"))
+      .select(col("id"), col("sig"), col("ts"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64(slice(col("sig"), j * r + 1, r))
+        }: _*)).as(Seq("band", "bh")))
+      .as[(Long, Seq[Long], java.sql.Timestamp, Int, Long)]
+    banded
+      .groupByKey { case (_, _, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[List[(Long, Array[Long])], MinHashPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toList
+            val out = minhashPairAndStore(
+              batch.iterator.map { case (id, sigSeq, _, _, _) => (id, sigSeq.toArray) },
+              state, tau, k, maxBucket)
+            val maxTsMs = batch.iterator.map(_._3.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs() + 1), watermark)
+            out
           }
-          state.update(members)
-          out.iterator
       }
   }
 
@@ -263,19 +290,46 @@ object StreamOps {
     */
   private def pairAndStore(rows: Iterator[(Long, Long)],
                            state: GroupState[List[DocSig]],
-                           maxDist: Int, maxBucket: Int): Iterator[DupPair] = {
+                           maxDist: Int, maxBucket: Int): Iterator[DupPair] =
+    bucketPairs[DocSig, DupPair](rows.map { case (id, sig) => DocSig(id, sig) },
+      state, _.id, (m, x) => {
+        val h = java.lang.Long.bitCount(m.sig ^ x.sig)
+        if (h <= maxDist)
+          Some(DupPair(math.min(m.id, x.id), math.max(m.id, x.id), h))
+        else None
+      }, maxBucket)
+
+  private def minhashPairAndStore(rows: Iterator[(Long, Array[Long])],
+                                  state: GroupState[List[(Long, Array[Long])]],
+                                  tau: Double, k: Int,
+                                  maxBucket: Int): Iterator[MinHashPair] =
+    bucketPairs[(Long, Array[Long]), MinHashPair](rows, state, _._1, (m, x) => {
+      var matches = 0
+      var i = 0
+      while (i < k) {
+        if (m._2(i) == x._2(i)) matches += 1
+        i += 1
+      }
+      val est = matches.toDouble / k
+      if (est >= tau)
+        Some(MinHashPair(math.min(m._1, x._1), math.max(m._1, x._1), est))
+      else None
+    }, maxBucket)
+
+  /** Generic bucket-store pairing: each new member is paired against every
+    * stored member via `pair`, then stored (list capped at `maxBucket` — a
+    * hot bucket degrades recall, never memory).
+    */
+  private def bucketPairs[M, P](rows: Iterator[M], state: GroupState[List[M]],
+                                idOf: M => Long, pair: (M, M) => Option[P],
+                                maxBucket: Int): Iterator[P] = {
     var members = state.getOption.getOrElse(Nil)
-    val out = scala.collection.mutable.ListBuffer[DupPair]()
-    rows.foreach { case (id, sig) =>
-      if (!members.exists(_.id == id)) {
-        members.foreach { m =>
-          val h = java.lang.Long.bitCount(m.sig ^ sig)
-          if (h <= maxDist) {
-            val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
-            out += DupPair(a, b, h)
-          }
-        }
-        if (members.size < maxBucket) members = DocSig(id, sig) :: members
+    val out = scala.collection.mutable.ListBuffer[P]()
+    rows.foreach { x =>
+      val id = idOf(x)
+      if (!members.exists(idOf(_) == id)) {
+        members.foreach(m => pair(m, x).foreach(out += _))
+        if (members.size < maxBucket) members = x :: members
       }
     }
     state.update(members)

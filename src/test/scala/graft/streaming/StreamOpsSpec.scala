@@ -157,6 +157,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashPairsStreamWatermarked: expired band buckets forget") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1765000000L
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = StreamOps.minhashPairsStreamWatermarked(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "60 seconds", tau = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("mh_wm")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(t0), nearDupBase))
+      q.processAllAvailable()
+      in.addData((2L, ts(t0 + 20), nearDupDoc)) // in-horizon near-dup -> pair
+      q.processAllAvailable()
+      in.addData((7L, ts(t0 + 100000), "wholly unrelated filler text alpha"))
+      q.processAllAvailable()
+      in.addData((8L, ts(t0 + 100010), "different watermark advancing doc"))
+      q.processAllAvailable()
+      in.addData((3L, ts(t0 + 100020), nearDupDoc)) // buckets expired -> no pair
+      q.processAllAvailable()
+      val got = spark.table("mh_wm").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs equal the batch simhashPairs on real documents") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
