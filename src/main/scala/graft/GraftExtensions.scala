@@ -100,6 +100,13 @@ object GraftExtensions {
         "text_fingerprint(s) - md5 of the normalized (lowered, re-tokenized) text"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
         graft.functions.Text.fingerprint(Bridge.column(args.head)))),
+    // simhash is authored as a SQL fragment (the lambda-bound shift amount
+    // has no Column API); re-embed the argument via its SQL form
+    ("simhash",
+      info("simhash", "simhash(s) - 60-bit md5-vote simhash of a string"),
+      (args: Seq[Expression]) => Bridge.resolvedExpression(
+        org.apache.spark.sql.functions.expr(
+          graft.functions.Text.simhashSql(args.head.sql)))),
     // word_ngrams(s, n, distinct) - all word n-grams in one pass
     ("word_ngrams",
       info("word_ngrams",

@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(4).length == 32) // md5 hex
   }
 
+  test("simhash is SQL-callable and matches the batch signature path") {
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql("SELECT simhash(text) AS s FROM sh_docs")
+      .collect().head.getLong(0)
+    val viaBatch = graft.operators.Dedup.simhashSignatures(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getLong(1)
+    assert(viaSql == viaBatch && viaSql != 0L)
+  }
+
   test("word_ngrams is SQL-callable") {
     GraftExtensions.register(spark)
     Seq(("a b c d", 1)).toDF("s", "i").createOrReplaceTempView("wn")
