@@ -36,6 +36,11 @@ object GraftExtensions {
       s"$name must be an integer literal, got $other")
   }
 
+  private def oneArg(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name takes exactly one argument, got ${args.length}")
+    args.head
+  }
+
   private def stringArg(e: Expression, name: String): String = e match {
     case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
@@ -80,33 +85,36 @@ object GraftExtensions {
       info("classify_status",
         "classify_status(s) - priority-ordered decision status or NULL"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
-        graft.functions.Text.classifyStatus(Bridge.column(args.head)))),
+        graft.functions.Text.classifyStatus(Bridge.column(oneArg(args, "classify_status"))))),
     ("danish_date",
       info("danish_date",
         "danish_date(s) - parse '12. januar 2026'-style dates to DATE"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
-        graft.functions.Text.parseDanishDate(Bridge.column(args.head)))),
+        graft.functions.Text.parseDanishDate(Bridge.column(oneArg(args, "danish_date"))))),
     ("extract_date",
       info("extract_date",
         "extract_date(s) - first d.m.y / y.m.d styled substring, raw"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
-        graft.functions.Text.extractDate(Bridge.column(args.head)))),
+        graft.functions.Text.extractDate(Bridge.column(oneArg(args, "extract_date"))))),
     ("extract_atc",
       info("extract_atc", "extract_atc(s) - first ATC code or NULL"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
-        graft.functions.Text.extractAtc(Bridge.column(args.head)))),
+        graft.functions.Text.extractAtc(Bridge.column(oneArg(args, "extract_atc"))))),
     ("text_fingerprint",
       info("text_fingerprint",
         "text_fingerprint(s) - md5 of the normalized (lowered, re-tokenized) text"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
-        graft.functions.Text.fingerprint(Bridge.column(args.head)))),
+        graft.functions.Text.fingerprint(Bridge.column(oneArg(args, "text_fingerprint"))))),
     // simhash is authored as a SQL fragment (the lambda-bound shift amount
-    // has no Column API); re-embed the argument via its SQL form
+    // has no Column API); re-embed the argument via its SQL form.
+    // LIMITATION: the argument must round-trip through Expression.sql —
+    // plain columns and function calls do; a lambda variable (e.g. inside
+    // transform(..., t -> simhash(t))) does not and fails analysis.
     ("simhash",
       info("simhash", "simhash(s) - 60-bit md5-vote simhash of a string"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
         org.apache.spark.sql.functions.expr(
-          graft.functions.Text.simhashSql(args.head.sql)))),
+          graft.functions.Text.simhashSql(oneArg(args, "simhash").sql)))),
     // word_ngrams(s, n, distinct) - all word n-grams in one pass
     ("word_ngrams",
       info("word_ngrams",

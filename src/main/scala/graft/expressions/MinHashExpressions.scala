@@ -315,6 +315,16 @@ object MinHashExpressions {
   def minHashSignature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
 
+  /** The LSH band hashes of a k-long signature: bands slices of r, each
+    * xxhash64'd. ONE definition — batch and streaming banding must agree
+    * bit-for-bit or cross-path recall silently degrades.
+    */
+  def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    org.apache.spark.sql.functions.array((0 until bands).map { j =>
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.slice(sig, j * r + 1, r))
+    }: _*)
+
   /** Column wrapper: [h1 + i*h2 for i < k] (inputs pre-masked by caller). */
   def twoHashFamily(h1: Column, h2: Column, k: Int): Column =
     Bridge.column(TwoHashFamily(Bridge.expression(h1), Bridge.expression(h2), k))

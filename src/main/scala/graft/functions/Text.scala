@@ -142,11 +142,11 @@ object Text {
   def langPredict(scores: Seq[Column]): Column = {
     // branch-free argmax: array_position finds the FIRST index holding the
     // max, which reproduces the old priority chain's tie-break (earlier
-    // language wins) — and references every score exactly ONCE. The
-    // previous nested when() chain referenced each score per comparison
-    // per branch, and codegen CSE does not reach across CASE WHEN
-    // branches, so each (interpreted) stopword count ran up to ~20× per
-    // row.
+    // language wins), with 2 structural references per score vs the old
+    // chain's per-comparison-per-branch fan-out. (Lambda-bearing score
+    // trees are EXCLUDED from codegen subexpression elimination, so
+    // reference count — not CSE — is what bounds the interpreted stopword
+    // counts here.)
     val langs = LangProfiles.map(_._1)
     val pos = array_position(array(scores: _*), array_max(array(scores: _*)))
     element_at(array(langs.map(lit): _*), pos.cast("int"))

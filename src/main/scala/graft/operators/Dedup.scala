@@ -156,11 +156,11 @@ object Dedup {
         count(lit(1)).as("sz"))
       .localCheckpoint(eager = true)
     // band hash: xxhash64 over the r-element signature slice (codegen'd
-    // hash over the array value — no per-column fan-out)
+    // hash over the array value — no per-column fan-out); the SHARED
+    // bandHashes definition keeps batch and streaming banding identical
     val bandRows = sig.select(col("id"),
-      posexplode(array((0 until bands).map { j =>
-        xxhash64(slice(col("sig"), j * r + 1, r))
-      }: _*)).as(Seq("band", "bh")))
+      posexplode(graft.expressions.MinHashExpressions.bandHashes(col("sig"), bands, r))
+        .as(Seq("band", "bh")))
     val candA = bandRows.select(col("band").as("a_band"), col("bh").as("a_bh"), col("id").as("a_id"))
     val candB = bandRows.select(col("band").as("b_band"), col("bh").as("b_bh"), col("id").as("b_id"))
     val cand = candA.join(candB,

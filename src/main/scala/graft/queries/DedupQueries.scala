@@ -50,8 +50,13 @@ object DedupQueries {
     "dd_editdist" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      // ASCII-restrict the prefix: DuckDB's levenshtein counts BYTES while
+      // Spark's counts CODEPOINTS, so any multi-byte character in the diff
+      // would break the exact-value oracle (today's corpus is ASCII; this
+      // keeps the query correct if that changes)
       val prefix = docs.select(col("doc_id"),
-        substring(lower(col("text")), 1, 120).as("pref"))
+        regexp_replace(substring(lower(col("text")), 1, 120),
+          "[^\\x00-\\x7F]", "?").as("pref"))
       pairs
         .join(prefix.select(col("doc_id").as("a_id"), col("pref").as("a_p")), "a_id")
         .join(prefix.select(col("doc_id").as("b_id"), col("pref").as("b_p")), "b_id")
@@ -168,8 +173,9 @@ object DedupQueries {
          | FROM s a JOIN s b ON a.doc_id < b.doc_id
          | WHERE bit_count(xor(a.sh, b.sh)) <= 3)
          |SELECT a_id, b_id, hamming,
-         | levenshtein(substring(lower(da.text), 1, 120),
-         |             substring(lower(db.text), 1, 120)) AS editdist
+         | levenshtein(
+         |   regexp_replace(substring(lower(da.text), 1, 120), '[^\\x00-\\x7F]', '?', 'g'),
+         |   regexp_replace(substring(lower(db.text), 1, 120), '[^\\x00-\\x7F]', '?', 'g')) AS editdist
          |FROM p JOIN documents da ON p.a_id = da.doc_id
          |       JOIN documents db ON p.b_id = db.doc_id
          |ORDER BY a_id, b_id""".stripMargin,

@@ -223,10 +223,14 @@ object StreamOps {
       graft.expressions.TextExpressions.wordNgrams(col(textCol), n, distinct = true), k)
     val banded = docs
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      // shingle-less docs (< n tokens) keep the all-MaxValue sentinel
+      // signature — they would ALL collide in every band and pair with
+      // each other at estJaccard 1.0. The batch twin has no shingle rows
+      // for them; drop them here too (sig(0) < MaxValue iff any shingle).
+      .where(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map { j =>
-          xxhash64(slice(col("sig"), j * r + 1, r))
-        }: _*)).as(Seq("band", "bh")))
+        posexplode(graft.expressions.MinHashExpressions.bandHashes(col("sig"), bands, r))
+          .as(Seq("band", "bh")))
       .as[(Long, Seq[Long], Int, Long)]
     banded
       .groupByKey { case (_, _, band, bh) => (band, bh) }
@@ -258,10 +262,11 @@ object StreamOps {
     val banded = docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("id"), sig.as("sig"), col(tsCol).as("ts"))
+      // drop shingle-less docs — see minhashPairsStream
+      .where(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .select(col("id"), col("sig"), col("ts"),
-        posexplode(array((0 until bands).map { j =>
-          xxhash64(slice(col("sig"), j * r + 1, r))
-        }: _*)).as(Seq("band", "bh")))
+        posexplode(graft.expressions.MinHashExpressions.bandHashes(col("sig"), bands, r))
+          .as(Seq("band", "bh")))
       .as[(Long, Seq[Long], java.sql.Timestamp, Int, Long)]
     banded
       .groupByKey { case (_, _, _, band, bh) => (band, bh) }

@@ -157,6 +157,22 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashPairsStream: shingle-less short docs never pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamOps.minhashPairsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", tau = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("mh_short")
+      .outputMode("append").start()
+    try {
+      // all under n=3 tokens: sentinel signatures would otherwise collide
+      // in every band and emit spurious estJaccard=1.0 pairs
+      in.addData((1L, "hi"), (2L, "bye now"), (3L, ""), (4L, "one two"))
+      q.processAllAvailable()
+      assert(spark.table("mh_short").count() == 0)
+    } finally q.stop()
+  }
+
   test("minhashPairsStreamWatermarked: expired band buckets forget") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1765000000L
