@@ -142,6 +142,25 @@ object TextQueries {
     // derive from md5(doc_id) so the split is reproducible and portable
     // (no rand(), no engine-specific hash); each step is a linear pass or
     // one shuffle (the dedup window) at corpus scale
+    // document chunking: overlapping fixed-size token windows (size 64,
+    // stride 48) — the training-data packing / retrieval-chunking shape.
+    // One explode per doc over codegen'd slice/array_join; chunk count =
+    // floor((n_tokens-1)/stride)+1 so every token is covered and the last
+    // chunk may run short
+    "ta_chunk" -> { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("nt"))
+        .where(col("nt") > 0)
+        .select(col("doc_id"), col("toks"), col("nt"),
+          explode(sequence(lit(0), floor((col("nt") - 1) / 48).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("toks"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)), " ")
+            .as("chunk_text"),
+          least(col("nt") - col("chunk_idx") * 48, lit(64)).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // intra-document dedup: collapse repeated tokens to their first
     // occurrence, order preserved — the within-doc cleaning shape. The
     // whole transform is ONE WordNgrams(n=1, distinct) eval per row: the
@@ -312,6 +331,19 @@ object TextQueries {
          | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
          | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ta_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l, len($toksSql) AS nt
+         |           FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, nt, unnest(generate_series(0, ((nt - 1) // 48)::BIGINT)) AS chunk_idx
+         |      FROM t),
+         |j AS (SELECT c.doc_id, c.chunk_idx,
+         |  array_to_string(list_slice(t.l, (c.chunk_idx * 48 + 1)::INT,
+         |                             (c.chunk_idx * 48 + 64)::INT), ' ') AS chunk_text,
+         |  least(c.nt - c.chunk_idx * 48, 64) AS chunk_tokens
+         | FROM c JOIN t ON c.doc_id = t.doc_id)
+         |SELECT doc_id, chunk_idx, chunk_text, chunk_tokens FROM j
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "ta_dedup_tokens" ->
       s"""SELECT doc_id,
