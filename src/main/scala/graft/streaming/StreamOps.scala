@@ -18,6 +18,7 @@ object StreamOps {
   case class DocSig(id: Long, sig: Long)
   case class DupPair(aId: Long, bId: Long, hamming: Int)
   case class MinHashPair(aId: Long, bId: Long, estJaccard: Double)
+  case class CosinePair(aId: Long, bId: Long, cosine: Double)
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * streaming twin of q13_events_hourly.
@@ -320,6 +321,54 @@ object StreamOps {
         Some(MinHashPair(math.min(m._1, x._1), math.max(m._1, x._1), est))
       else None
     }, maxBucket)
+
+  /** Streaming embedding near-dup pairs — the vector twin of
+    * [[minhashPairsStream]]. Each arriving embedding lands in one
+    * random-hyperplane LSH bucket per table (the same LshBuckets
+    * expression, planes and seed as the batch Dedup.embeddingPairsLsh, so
+    * candidate generation is identical); a bucket store pairs it against
+    * members by EXACT cosine ≥ tau (the vector travels with the row, so
+    * unlike minhash the verify is exact, not an estimate). Pairs sharing
+    * buckets in several tables are emitted once per table — dedup
+    * (aId, bId) downstream.
+    */
+  def embeddingPairsStream(vecs: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, nTables: Int = 8, nPlanes: Int = 4,
+                           dim: Int = 64, seed: Long = 42L,
+                           maxBucket: Int = 256): Dataset[CosinePair] = {
+    val planes = (0 until nTables)
+      .map(t => graft.functions.Vectors.makePlanes(nPlanes, dim, seed + t)).toArray
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bucketed = vecs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        graft.functions.Vectors.norm(col("v")).as("nrm"),
+        posexplode(graft.expressions.VectorExpressions.lshBuckets(col("v"), planes))
+          .as(Seq("tbl", "bkt")))
+      .as[(Long, Seq[Double], Double, Int, Long)]
+    bucketed
+      .groupByKey { case (_, _, _, tbl, bkt) => (tbl, bkt) }
+      .flatMapGroupsWithState[List[(Long, Array[Double], Double)], CosinePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Array[Double], Double)]]) =>
+          bucketPairs[(Long, Array[Double], Double), CosinePair](
+            rows.map { case (id, v, nrm, _, _) => (id, v.toArray, nrm) },
+            state, _._1, (m, x) => {
+              val (mid, mv, mn) = m
+              val (xid, xv, xn) = x
+              var acc = 0.0
+              var i = 0
+              val n = math.min(mv.length, xv.length)
+              while (i < n) { acc += mv(i) * xv(i); i += 1 }
+              val cos = acc / (mn * xn)
+              if (cos >= tau)
+                Some(CosinePair(math.min(mid, xid), math.max(mid, xid), cos))
+              else None
+            }, maxBucket)
+      }
+  }
 
   /** Generic bucket-store pairing: each new member is paired against every
     * stored member via `pair`, then stored (list capped at `maxBucket` — a

@@ -226,6 +226,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding pairs equal batch embeddingPairsLsh on real vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Dedup.embeddingPairsLsh(
+      emb, "vec_id", "embedding", tau = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = emb.select($"vec_id",
+        org.apache.spark.sql.functions.array_join($"embedding".cast("array<string>"), ","))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    // rebuild array<float> from the csv payload (MemoryStream needs a
+    // simple product encoder)
+    val vecDf = in.toDF().toDF("vec_id", "csv")
+      .select($"vec_id",
+        org.apache.spark.sql.functions.split($"csv", ",").cast("array<float>").as("embedding"))
+    val pairs = StreamOps.embeddingPairsStream(vecDf, "vec_id", "embedding", tau = 0.4)
+    val q = pairs.writeStream.format("memory").queryName("emb_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("emb_stream").select("aId", "bId").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream-only: ${got -- batch}; batch-only: ${batch -- got}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
