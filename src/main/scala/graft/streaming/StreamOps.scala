@@ -70,6 +70,16 @@ object StreamOps {
     events.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total"))
 
+  /** Update-mode running top-k per key via the native TopKAgg heap
+    * aggregate — custom TypedImperativeAggregates serialize into the
+    * streaming state store like any built-in, so the bounded per-group
+    * heap (≤ k values per key, ever) works on streams unchanged.
+    */
+  def runningTopK(events: DataFrame, keyCol: String, valueCol: String,
+                  k: Int): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(graft.expressions.TopKAgg.topK(col(valueCol), k).as("topk"))
+
   /** Continuous CDC apply: fold a changelog STREAM into a keyed snapshot,
     * one micro-batch at a time, via foreachBatch + the batch Cdc operator.
     * `onUpdate` receives the new snapshot after each batch (in production

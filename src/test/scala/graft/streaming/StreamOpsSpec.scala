@@ -271,6 +271,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTopK: custom heap aggregate holds streaming state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val topk = StreamOps.runningTopK(in.toDF().toDF("k", "v"), "k", "v", k = 2)
+    val q = topk.writeStream.format("memory").queryName("rtopk")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 5L), (1L, 9L), (2L, 3L))
+      q.processAllAvailable()
+      in.addData((1L, 7L)) // displaces 5 from key 1's heap
+      q.processAllAvailable()
+      val last = spark.table("rtopk").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last(1L) == List(9L, 7L)) // state carried 9 across batches
+      assert(last(2L) == List(3L))
+    } finally q.stop()
+  }
+
   test("runningTotals: update mode re-emits touched keys with new totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
