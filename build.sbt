@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked process's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", and the round driver
+// json-parses the bench line out of the output tail — a prefixed line never
+// parses (r01-r03 all recorded "parsed": null with the JSON line present).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

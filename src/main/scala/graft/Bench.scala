@@ -68,19 +68,50 @@ object Bench {
       else s
     }
     def fmt(v: Double): String = fmtPrec(v, "%.2f")
-    // per-query values at 0.1s resolution: 83 queries × ~2 extra chars
-    // each is the difference between fitting the tail window or not;
-    // profile individual queries with local runs, not this line
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtPrec(v, "%.1f") }
-      .mkString("{", ",", "}")
+    def dict(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}"""
-    if (line.length > 1850)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")
+    def mkLine(qs: String, extra: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$failedJson,"sf":"$sfName"}"""
+    // per-query values at 0.1s resolution: at 80+ queries every byte is the
+    // difference between fitting the tail window or not; profile individual
+    // queries with local runs, not this line
+    val perq = dict(results.map { case (k, v) => k -> fmtPrec(v, "%.1f") })
+    // Full per-query detail on a deliberately-non-JSON line ("perq " prefix
+    // keeps it from being mistaken for the result line); the driver's window
+    // may clip it, humans and later rounds read it from the full log.
+    println("perq " + perq)
+    val fullLine = mkLine(perq, "")
+    // The driver captures only the LAST 2000 chars of output (which also
+    // holds sbt's ~75-char success trailer) and parses the JSON line out of
+    // that window. If the full per-query line risks overflowing it, fall
+    // back to per-family totals plus the slowest queries by name, dropping
+    // detail until the line fits.
+    val line =
+      if (fullLine.length <= 1750) fullLine
+      else {
+        val families = dict(
+          results.groupBy { case (n, _) =>
+            // "q14_sessionize" and "q1_pricing_summary" are one "q" family
+            val p = n.takeWhile(_ != '_')
+            if (p.matches("q\\d+")) "q" else p
+          }.toSeq.sortBy(_._1)
+            .map { case (f, rs) => f -> fmt(rs.map(_._2).sum) })
+        val slowest = results.sortBy(-_._2)
+        val extra = s""","families":$families,"nq":${results.length}"""
+        Iterator.range(slowest.length, 0, -1)
+          .map { k =>
+            val qs = dict(slowest.take(k).sortBy(_._1)
+              .map { case (n, v) => n -> fmtPrec(v, "%.1f") })
+            mkLine(qs, extra)
+          }
+          .find(_.length <= 1700)
+          .getOrElse(mkLine("{}", extra))
+      }
     println(line)
     spark.stop()
   }
