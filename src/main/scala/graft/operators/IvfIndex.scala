@@ -53,6 +53,43 @@ object IvfIndex {
       .drop("__rn")
   }
 
+  /** Product-quantization encode: split each vector into `m` contiguous
+    * subvectors and snap each to its nearest codebook entry by squared L2
+    * (ties toward the smaller code id). The codebook is the same
+    * deterministic stride subset as [[centroids]], sliced per subspace —
+    * at 100 TB it would be k-means-refined, but the assignment plan shape
+    * is identical. Output: (id, sub_id, code, d2).
+    *
+    * Scale shape: the codebook is m×(N/stride) rows and broadcast; the
+    * corpus side is one linear pass emitting N·m subvector rows, each
+    * scored against its subspace's codes — O(N·m·k) codegen'd DotProduct
+    * loops, no corpus shuffle except the bounded per-(id, sub) argmin
+    * window. ‖a−b‖² is computed as dot(a,a) − 2·dot(a,b) + dot(b,b): three
+    * native DotProduct evaluations whose identical double arithmetic the
+    * DuckDB oracle reproduces bit-for-bit (a zip_with-difference lambda
+    * would interpret per element AND have no oracle-stable ordering).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, dim: Int, stride: Long): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val subDim = dim / m
+    def subs(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+        .select(col(id), posexplode(array((0 until m).map(i =>
+          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
+    val corpusSubs = subs(corpus, "id")
+    val codebook = subs(corpus.where(col(idCol) % stride === 0), "c_id")
+      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
+    val scored = corpusSubs.join(broadcast(codebook), col("sub_id") === col("c_sub"))
+      .select(col("id"), col("sub_id"), col("c_id"),
+        (Vectors.dot(col("sv"), col("sv"))
+          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
+          + Vectors.dot(col("cv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy("id", "sub_id").orderBy(col("d2").asc, col("c_id"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("id"), col("sub_id"), col("c_id").as("code"), col("d2"))
+  }
+
   /** Approximate top-k cosine neighbors via IVF probing. `queries` must be
     * small (broadcast). Output: (q_id, n_id, cosine, rank).
     */

@@ -52,6 +52,32 @@ object Similarity {
       .where(col("cosine") >= tau)
   }
 
+  /** Exact k-NN JOIN: top-k cosine neighbors for EVERY row (not a small
+    * query set), blocked by `blockCol` so candidate generation is a
+    * per-block equi-join — never a global cross join. Output:
+    * (a_id, b_id, cosine, rank).
+    *
+    * Scale shape: pair work is Σ block², bounded by the block key (shard,
+    * coarse cluster, IVF list id) exactly like the blocked dedup paths;
+    * the join shuffles on the block key and the final argmin window is
+    * bounded per row. Swap the block key for an LSH/IVF assignment when no
+    * natural key exists.
+    */
+  def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, k: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("__blk"), col(idCol).as("a_id"),
+      Vectors.toDoubleArray(col(vecCol)).as("a_v"))
+      .withColumn("a_nrm", Vectors.norm(col("a_v")))
+    val b = a.select(col("__blk"), col("a_id").as("b_id"), col("a_v").as("b_v"),
+      col("a_nrm").as("b_nrm"))
+    val scored = a.join(b, "__blk").where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (Vectors.dot(col("a_v"), col("b_v")) /
+          (col("a_nrm") * col("b_nrm"))).as("cosine"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH: `nTables`
     * independent plane sets; a corpus row lands in one bucket per table and
     * a query probes its own bucket in each table (candidates = union across

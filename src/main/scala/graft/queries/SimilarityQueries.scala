@@ -72,6 +72,24 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     },
 
+    // product-quantization encode: 8 subspaces × 16 stride-sampled codes;
+    // every (vector, subspace) argmin is value-checked, so the whole
+    // IVF-PQ compression path (centroids + codes) has exact oracles
+    "sim_pq_encode" -> { (s, dir) =>
+      IvfIndex.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 8, dim = 64, stride = 32)
+        .orderBy("id", "sub_id")
+    },
+
+    // exact k-NN JOIN (top-3 neighbors for EVERY vector, not a query set),
+    // label-blocked so the pair space is Σ block² — the all-pairs
+    // retrieval shape used for corpus-level embedding dedup/clustering
+    "sim_knn_join" -> { (s, dir) =>
+      Similarity.knnJoinBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCol = "label", k = 3)
+        .orderBy("a_id", "rank")
+    },
+
     "mm_meta" -> { (s, dir) =>
       Media.asMedia(Tables.documents(s, dir), "doc_id", "text")
         .select(col("id"), col("mimeType").as("mime_type"),
@@ -140,6 +158,31 @@ object SimilarityQueries {
         | CASE WHEN mx = mn THEN 0
         |      ELSE floor((xv - mn) / (mx - mn) * 255)::INT END AS q
         |FROM x ORDER BY vec_id, pos""".stripMargin,
+
+    "sim_pq_encode" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |s AS (SELECT vec_id, g.m AS sub_id, list_slice(e, g.m * 8 + 1, g.m * 8 + 8) AS sv
+         |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+         |c AS (SELECT vec_id AS c_id, sub_id, sv AS cv FROM s WHERE vec_id % 32 = 0),
+         |d AS (SELECT s.vec_id AS id, s.sub_id, c.c_id,
+         |  ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "c.cv")}
+         |    + ${dotSql("c.cv", "c.cv")} AS d2
+         | FROM s JOIN c ON s.sub_id = c.sub_id)
+         |SELECT id, sub_id, c_id AS code, d2 FROM d
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_id ORDER BY d2, c_id) = 1
+         |ORDER BY id, sub_id""".stripMargin,
+
+    "sim_knn_join" ->
+      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.e", "b.e")} /
+         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+         |r AS (SELECT a_id, b_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+         | FROM p)
+         |SELECT a_id, b_id, cosine, rank FROM r WHERE rank <= 3
+         |ORDER BY a_id, rank""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS id, 'text/plain' AS mime_type,

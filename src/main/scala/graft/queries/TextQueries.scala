@@ -192,6 +192,98 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // contiguous sequence packing: docs in (lang, doc_id) order fill
+    // 256-token bins; bin = floor(exclusive-prefix-tokens / cap), so a doc
+    // straddling a boundary overflows its bin (greedy contiguous packing).
+    // At 100 TB the per-lang ordered prefix sum is a range-partitioned
+    // sort + per-partition offsets (the GlobalRank shape), not one task
+    "pipe_pack_bins" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(Text.tokens(col("text")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), nt.as("n_tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(256.0)).cast("long"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // temperature-sampled mixture weights (α = 0.5): per-language token
+    // mass → sqrt-damped share → sampling rate against a fixed token
+    // budget (the domain-mixture reweighting step of a training pipeline).
+    // The Σ sqrt(mass) normalizer is read from a lang-ORDERED cumulative
+    // sum (its max), pinning the 5-double summation to the same
+    // left-to-right fold in both engines — an unordered SUM is free to
+    // associate differently and drift an ulp
+    "pipe_mixture" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(Text.tokens(col("text")))
+      val wCum = Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nt).as("sum_tokens"))
+        .withColumn("w", sqrt(col("sum_tokens").cast("double")))
+        .withColumn("z", max(sum(col("w")).over(wCum)).over(wAll))
+        .withColumn("share", col("w") / col("z"))
+        .select(col("lang"), col("n_docs"), col("sum_tokens"), col("share"),
+          least(lit(100000.0) * col("share") / col("sum_tokens"), lit(1.0)).as("rate"))
+        .orderBy("lang")
+    },
+
+    // benchmark decontamination: train docs sharing any 8-gram with the
+    // held-out set (doc_id % 50 = 0 stands in for the benchmark corpus).
+    // The benchmark shingle dictionary is tiny relative to the corpus →
+    // broadcast; the corpus side is ONE WordNgrams eval + explode per doc,
+    // so the whole check is a linear scan + broadcast semi-join at 100 TB
+    "pipe_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.expressions.TextExpressions.wordNgrams(
+          col("text"), 8, distinct = true)).as("s"))
+      val benchGrams = grams(docs.where(col("doc_id") % 50 === 0))
+        .select(col("s")).distinct()
+      grams(docs.where(col("doc_id") % 50 =!= 0))
+        .join(broadcast(benchGrams), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style composite quality rules: token-count bounds, mean word
+    // length, numeral-token ratio, repetition, stopword floor — each rule
+    // a named boolean plus the conjunction, all in one codegen'd pass
+    "ta_quality_rules" -> { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          length(translate(col("text"), " ", "")).as("tok_chars"),
+          size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_digit"),
+          size(array_distinct(toks)).as("n_distinct"),
+          Text.countIn(toks, Text.Stopwords).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
+            .otherwise(0.0).as("mean_wlen"),
+          when(col("n_tokens") > 0, col("n_digit").cast("double") / col("n_tokens"))
+            .otherwise(0.0).as("digit_ratio"),
+          when(col("n_tokens") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .otherwise(0.0).as("rep_ratio"),
+          col("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_wlen"),
+          col("digit_ratio"), col("rep_ratio"), col("n_stop"),
+          (col("n_tokens") >= 50 && col("n_tokens") <= 100000).as("r_len"),
+          (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("r_wlen"),
+          (col("digit_ratio") < 0.2).as("r_digit"),
+          (col("rep_ratio") < 0.3).as("r_rep"),
+          (col("n_stop") >= 2).as("r_stop"))
+        .withColumn("pass", col("r_len") && col("r_wlen") && col("r_digit") &&
+          col("r_rep") && col("r_stop"))
+        .orderBy("doc_id")
+    },
+
     "pipe_train_shard" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val nt = size(Text.tokens(col("text")))
@@ -361,6 +453,58 @@ object TextQueries {
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
          |      / 65536.0 < least(len($toksSql) / 200.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack_bins" ->
+      s"""SELECT doc_id, lang, len($toksSql) AS n_tokens,
+         | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
+         |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_mixture" ->
+      s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql)) AS sum_tokens
+         |           FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs, sum_tokens, sqrt(sum_tokens::DOUBLE) AS w FROM s),
+         |c AS (SELECT *, SUM(w) OVER (ORDER BY lang
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+         |z AS (SELECT *, MAX(cum) OVER () AS z FROM c)
+         |SELECT lang, n_docs, sum_tokens, w / z AS share,
+         | least(100000.0 * (w / z) / sum_tokens, 1.0) AS rate
+         |FROM z ORDER BY lang""".stripMargin,
+
+    "pipe_decontam" ->
+      s"""WITH g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+         |    THEN [array_to_string(list_slice(t, i + 1, i + 8), ' ')
+         |          for i in generate_series(0, len(t) - 8)]
+         |    ELSE [] END) AS gs
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |e AS (SELECT DISTINCT unnest(gs) AS s FROM g WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, unnest(gs) AS s FROM g WHERE doc_id % 50 != 0)
+         |SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN e USING (s)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk,
+         |  length(replace(text, ' ', '')) AS tok_chars FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens, tok_chars,
+         |  len(list_filter(tk, x -> regexp_matches(x, '^[0-9]+$$'))) AS n_digit,
+         |  len(list_distinct(tk)) AS n_distinct,
+         |  len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+         | FROM t),
+         |r AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END AS mean_wlen,
+         |  CASE WHEN n_tokens > 0 THEN n_digit::DOUBLE / n_tokens ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN n_tokens > 0 THEN 1.0 - n_distinct::DOUBLE / n_tokens ELSE 0.0 END AS rep_ratio,
+         |  n_stop FROM m)
+         |SELECT doc_id, n_tokens, mean_wlen, digit_ratio, rep_ratio, n_stop,
+         | (n_tokens >= 50 AND n_tokens <= 100000) AS r_len,
+         | (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_wlen,
+         | (digit_ratio < 0.2) AS r_digit,
+         | (rep_ratio < 0.3) AS r_rep,
+         | (n_stop >= 2) AS r_stop,
+         | (n_tokens >= 50 AND n_tokens <= 100000 AND mean_wlen >= 3.0
+         |  AND mean_wlen <= 10.0 AND digit_ratio < 0.2 AND rep_ratio < 0.3
+         |  AND n_stop >= 2) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "pipe_train_shard" ->
       s"""WITH f AS (SELECT doc_id, lang, text, len($toksSql) AS n_tokens

@@ -74,4 +74,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
     assert(approx.forall { case (qid, nid) => qid != nid })
   }
+
+  test("pqEncode: codebook vectors self-encode with d2 = 0; full coverage; codes are centroid ids") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = IvfIndex.pqEncode(emb, "vec_id", "embedding", m = 8, dim = 64, stride = 16)
+      .collect()
+    val nVec = emb.count()
+    assert(out.length == nVec * 8)
+    val centroidIds = emb.where($"vec_id" % 16 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => centroidIds.contains(r.getAs[Long]("code"))))
+    assert(out.forall(r => r.getAs[Double]("d2") >= 0.0))
+    // a centroid's own subvectors are at distance exactly 0 (x - 2x + x
+    // is IEEE-exact zero), and the min-id tiebreak can only pick an id
+    // at or below its own
+    out.filter(r => centroidIds.contains(r.getAs[Long]("id"))).foreach { r =>
+      assert(r.getAs[Double]("d2") == 0.0,
+        s"centroid ${r.getAs[Long]("id")} sub ${r.getAs[Int]("sub_id")} d2 != 0")
+      assert(r.getAs[Long]("code") <= r.getAs[Long]("id"))
+    }
+  }
+
+  test("knnJoinBlocked: <= k in-block neighbors per row, descending, agrees with brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.knnJoinBlocked(emb, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byA = out.groupBy(_.getAs[Long]("a_id"))
+    byA.foreach { case (aId, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.forall(r => labelOf(r.getAs[Long]("b_id")) == labelOf(aId)))
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+    // brute-force parity for one block: restrict the corpus to one label
+    // and the blocked join must equal topKCosine over that subset
+    val one = emb.where($"label" === 0)
+    val brute = Similarity.topKCosine(one, one, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = out.filter(r => labelOf(r.getAs[Long]("a_id")) == 0)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(blocked == brute)
+  }
 }
