@@ -60,17 +60,19 @@ object IvfIndex {
     * at 100 TB it would be k-means-refined, but the assignment plan shape
     * is identical. Output: (id, sub_id, code, d2).
     *
-    * Scale shape: the codebook is m×(N/stride) rows and broadcast; the
-    * corpus side is one linear pass emitting N·m subvector rows, each
-    * scored against its subspace's codes — O(N·m·k) codegen'd DotProduct
-    * loops, no corpus shuffle except the bounded per-(id, sub) argmin
-    * window. ‖a−b‖² is computed as dot(a,a) − 2·dot(a,b) + dot(b,b): three
-    * native DotProduct evaluations whose identical double arithmetic the
-    * DuckDB oracle reproduces bit-for-bit (a zip_with-difference lambda
-    * would interpret per element AND have no oracle-stable ordering).
+    * Scale shape: the codebook is a FIXED m×k rows (k entries per
+    * subspace, independent of corpus size — the defining property of PQ)
+    * and broadcast; the corpus side is one linear pass emitting N·m
+    * subvector rows, each scored against its subspace's codes — O(N·m·k)
+    * codegen'd DotProduct loops, no corpus shuffle except the bounded
+    * per-(id, sub) argmin window. ‖a−b‖² is computed as
+    * dot(a,a) − 2·dot(a,b) + dot(b,b): three native DotProduct
+    * evaluations whose identical double arithmetic the DuckDB oracle
+    * reproduces bit-for-bit (a zip_with-difference lambda would interpret
+    * per element AND have no oracle-stable ordering).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               m: Int, dim: Int, stride: Long): DataFrame = {
+               m: Int, dim: Int, stride: Long, k: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val subDim = dim / m
     def subs(df: DataFrame, id: String): DataFrame =
@@ -78,7 +80,8 @@ object IvfIndex {
         .select(col(id), posexplode(array((0 until m).map(i =>
           slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
     val corpusSubs = subs(corpus, "id")
-    val codebook = subs(corpus.where(col(idCol) % stride === 0), "c_id")
+    val codebook = subs(
+      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
       .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
     val scored = corpusSubs.join(broadcast(codebook), col("sub_id") === col("c_sub"))
       .select(col("id"), col("sub_id"), col("c_id"),

@@ -163,7 +163,8 @@ object SimilarityQueries {
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
          |s AS (SELECT vec_id, g.m AS sub_id, list_slice(e, g.m * 8 + 1, g.m * 8 + 8) AS sv
          |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
-         |c AS (SELECT vec_id AS c_id, sub_id, sv AS cv FROM s WHERE vec_id % 32 = 0),
+         |c AS (SELECT vec_id AS c_id, sub_id, sv AS cv FROM s
+         |      WHERE vec_id % 32 = 0 AND vec_id < 512),
          |d AS (SELECT s.vec_id AS id, s.sub_id, c.c_id,
          |  ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "c.cv")}
          |    + ${dotSql("c.cv", "c.cv")} AS d2

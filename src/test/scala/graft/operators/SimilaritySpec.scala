@@ -81,7 +81,7 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     val nVec = emb.count()
     assert(out.length == nVec * 8)
-    val centroidIds = emb.where($"vec_id" % 16 === 0)
+    val centroidIds = emb.where($"vec_id" % 16 === 0 && $"vec_id" < 16 * 16)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(out.forall(r => centroidIds.contains(r.getAs[Long]("code"))))
     assert(out.forall(r => r.getAs[Double]("d2") >= 0.0))
