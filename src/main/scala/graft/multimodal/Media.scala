@@ -19,6 +19,8 @@ object Media {
   case class MediaFeatures(id: Long, byteLen: Long, width: Int, height: Int,
                            contentHash: String)
   case class Frame(id: Long, frameIdx: Int, frameHash: String)
+  case class Resized(id: Long, origW: Int, origH: Int, outW: Int, outH: Int,
+                     scaleX: Double, scaleY: Double, resizedHash: String)
 
   /** Deterministic stand-in for a real decoder. A real implementation
     * would decode `payload` (JPEG/WAV/...) here; we derive fake dimensions
@@ -49,6 +51,21 @@ object Media {
         (0 until nFrames by step).map(i =>
           Frame(r.id, i, md5Hex(s"$hex:$i".getBytes("UTF-8"))))
       }
+
+    /** Stub resize: a real decoder would decode, rescale to outW×outH and
+      * re-encode; the fake reports the same deterministic source dims as
+      * [[decodeBatch]], the scale factors a real resampler would use, and
+      * a content hash of the (payload, target-size) pair standing in for
+      * the resized bytes.
+      */
+    def resizeBatch(batch: Seq[MediaRecord], outW: Int, outH: Int): Seq[Resized] =
+      batch.map { r =>
+        val hex = md5Hex(r.payload)
+        val w = 16 + 16 * Integer.parseInt(hex.substring(0, 2), 16) % 256
+        val h = 16 + 16 * Integer.parseInt(hex.substring(2, 4), 16) % 256
+        Resized(r.id, w, h, outW, outH, outW.toDouble / w, outH.toDouble / h,
+          md5Hex(s"$hex:${outW}x$outH".getBytes("UTF-8")))
+      }
   }
 
   /** documents-style (id, text) → (id, payload binary, mimeType) frame. */
@@ -77,6 +94,20 @@ object Media {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap(FakeDecoder.sampleFrames(_, step))
+    }
+  }
+
+  /** Batched stub resize to a fixed target — the image-preprocessing twin
+    * of `extractFeatures` (same batching, 1→1). The wide payload column is
+    * consumed inside the partition and only narrow metadata + the resized
+    * content hash leave it.
+    */
+  def resize(media: DataFrame, outW: Int = 64, outH: Int = 64,
+             batchSize: Int = 64): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(FakeDecoder.resizeBatch(_, outW, outH))
     }
   }
 }

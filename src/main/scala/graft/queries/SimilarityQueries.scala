@@ -108,6 +108,13 @@ object SimilarityQueries {
         step = 2)
         .toDF()
         .orderBy("id", "frameIdx")
+    },
+
+    "mm_resize" -> { (s, dir) =>
+      Media.resize(Media.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+        outW = 64, outH = 64)
+        .toDF()
+        .orderBy("id")
     }
   )
 
@@ -199,6 +206,18 @@ object SimilarityQueries {
         | 16 + (16 * ('0x' || substring(md5(text), 3, 2))::INT) % 256 AS height,
         | md5(text) AS "contentHash"
         |FROM documents ORDER BY id""".stripMargin,
+
+    // the resize stub's dims/scales/hash arithmetic is reproducible in
+    // SQL, so the batched preprocessing path gets a value-level oracle
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS id, md5(text) AS hex FROM documents),
+        |d AS (SELECT id, hex,
+        |  16 + (16 * ('0x' || substring(hex, 1, 2))::INT) % 256 AS ow,
+        |  16 + (16 * ('0x' || substring(hex, 3, 2))::INT) % 256 AS oh FROM m)
+        |SELECT id, ow AS "origW", oh AS "origH", 64 AS "outW", 64 AS "outH",
+        | 64.0 / ow AS "scaleX", 64.0 / oh AS "scaleY",
+        | md5(hex || ':64x64') AS "resizedHash"
+        |FROM d ORDER BY id""".stripMargin,
 
     // stub frame-count/hash arithmetic is reproducible in SQL, so the
     // 1->N mapPartitions explosion gets a value-level oracle too

@@ -198,4 +198,24 @@ class OperatorsSpec extends SparkSpec {
     assert(f(1L).contentHash != f(3L).contentHash)
     assert(f(1L).byteLen == 11L)
   }
+
+  test("media: stub resize reports decode dims, exact scale factors, distinct hashes per target") {
+    val docs = Seq((1L, "hello world"), (2L, "bye")).toDF("doc_id", "text")
+    val media = graft.multimodal.Media.asMedia(docs, "doc_id", "text")
+    val feats = graft.multimodal.Media.extractFeatures(media)
+      .collect().map(m => m.id -> m).toMap
+    val r = graft.multimodal.Media.resize(media, outW = 64, outH = 32)
+      .collect().map(m => m.id -> m).toMap
+    assert(r.size == 2)
+    r.foreach { case (id, m) =>
+      assert(m.origW == feats(id).width && m.origH == feats(id).height)
+      assert(m.outW == 64 && m.outH == 32)
+      assert(m.scaleX == 64.0 / m.origW && m.scaleY == 32.0 / m.origH)
+      assert(m.resizedHash != feats(id).contentHash)
+    }
+    // different target size -> different resized content
+    val r2 = graft.multimodal.Media.resize(media, outW = 32, outH = 32)
+      .collect().map(m => m.id -> m.resizedHash).toMap
+    assert(r.forall { case (id, m) => r2(id) != m.resizedHash })
+  }
 }
