@@ -105,16 +105,10 @@ object GraftExtensions {
         "text_fingerprint(s) - md5 of the normalized (lowered, re-tokenized) text"),
       (args: Seq[Expression]) => Bridge.resolvedExpression(
         graft.functions.Text.fingerprint(Bridge.column(oneArg(args, "text_fingerprint"))))),
-    // simhash is authored as a SQL fragment (the lambda-bound shift amount
-    // has no Column API); re-embed the argument via its SQL form.
-    // LIMITATION: the argument must round-trip through Expression.sql —
-    // plain columns and function calls do; a lambda variable (e.g. inside
-    // transform(..., t -> simhash(t))) does not and fails analysis.
     ("simhash",
       info("simhash", "simhash(s) - 60-bit md5-vote simhash of a string"),
-      (args: Seq[Expression]) => Bridge.resolvedExpression(
-        org.apache.spark.sql.functions.expr(
-          graft.functions.Text.simhashSql(oneArg(args, "simhash").sql)))),
+      (args: Seq[Expression]) =>
+        graft.expressions.SimHash(oneArg(args, "simhash"))),
     // word_ngrams(s, n, distinct) - all word n-grams in one pass
     ("word_ngrams",
       info("word_ngrams",

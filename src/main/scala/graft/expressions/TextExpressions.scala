@@ -116,9 +116,70 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Per-row 60-bit SimHash of a space-tokenized string: ONE tokenize, one
+  * md5 per token, and a tight bit-vote loop. Replaces both the relational
+  * explode→SimHashAgg build (a whole extra aggregate stage + join-back)
+  * and the SQL-lambda fragment (which re-evaluates the interpreted
+  * token-hash array once PER BIT — the measured 40× cliff).
+  *
+  * Bit-identical to both: h(token) = first 15 md5 hex chars as a 60-bit
+  * int (= conv(substring(md5(t),1,15),16,10)); output bit i is set iff
+  * Σ_tokens (+1 if (h>>i)&1 else −1) > 0. Empty input → 0L.
+  */
+case class SimHash(child: Expression, bits: Int = 60)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits > 0 && bits <= 60, s"simhash bits must be in (0, 60], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  // one digest per deserialized (= per-task) instance; digest() resets it
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ")
+    val votes = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      val s = toks(t)
+      if (s.nonEmpty) {
+        val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = top 60 bits of the first 8 digest bytes
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h >>>= 4
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def splitFirst(c: Column, seps: Seq[String]): Column =
     Bridge.column(SplitFirst(Bridge.expression(c), seps))
+
+  def simhash(c: Column): Column =
+    Bridge.column(SimHash(Bridge.expression(c)))
 
   def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))

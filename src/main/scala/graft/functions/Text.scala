@@ -169,22 +169,13 @@ object Text {
 
   /** 60-bit SimHash over whitespace tokens of the named string column.
     * Per-token 60-bit hashes come from md5 hex (portable across engines for
-    * oracle verification); bit i of the signature is set when the +1/-1 vote
-    * over tokens is positive. Built as a SQL expression (the shift amount
-    * inside the lambda must be a column, which the Scala `shiftright` API
-    * doesn't expose), hence the column-NAME api — a composed Column doesn't
-    * round-trip through SQL text.
+    * oracle verification); bit i of the signature is set when the +1/-1
+    * vote over tokens is positive. Backed by the native SimHash expression
+    * — one tokenize + one md5 per token + a tight vote loop per row (the
+    * earlier SQL-lambda fragment re-evaluated the interpreted token-hash
+    * array once per bit, and the relational explode→SimHashAgg build paid
+    * an aggregate stage + join-back).
     */
-  def simhash(colName: String): Column = expr(simhashSql(colName))
-
-  /** SQL fragment computing the 60-bit simhash of a string column `col`. */
-  def simhashSql(col: String): String =
-    s"""aggregate(
-       |  transform(sequence(0, 59), i ->
-       |    CASE WHEN aggregate(
-       |        transform(regexp_extract_all($col, '[^ ]+', 0),
-       |                  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
-       |        0, (acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0
-       |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
-       |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+  def simhash(colName: String): Column =
+    graft.expressions.TextExpressions.simhash(col(colName))
 }

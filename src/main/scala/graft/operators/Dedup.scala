@@ -188,24 +188,17 @@ object Dedup {
 
   /** Per-document 60-bit SimHash signatures (portable md5-based hashes).
     *
-    * Relational: explode tokens, hash each token ONCE with codegen'd
-    * builtins, then the native SimHashAgg bit-vote aggregate (map-side
-    * partial agg; one shuffle by id). The single-expression SQL form
-    * (Text.simhashSql, kept for SQL users) re-evaluates the token-hash
-    * array per bit — 60× the md5 work, interpreted; this path measured
-    * ~40× faster at 5k docs. Token-less documents keep signature 0 via
-    * the left join, matching the expression form.
+    * ONE native SimHash eval per row — tokenize + per-token md5 + bit
+    * votes in a single pass, zero shuffles. This replaced the relational
+    * explode→SimHashAgg→join-back build (an aggregate stage the plan
+    * doesn't need when the whole signature is per-row work; the same
+    * lesson as WordNgrams), which itself replaced the interpreted
+    * SQL-lambda form that re-evaluated the token-hash array per bit.
+    * Token-less documents hash to 0L in all three forms.
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col(idCol),
-        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val agg = hashed.groupBy(col(idCol))
-      .agg(graft.expressions.MinHashExpressions.simHashAgg(col("h")).as("sig"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("simhash"))
-  }
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.TextExpressions.simhash(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidate-bounded
     * by matching on one of 4 15-bit signature quarters (any pair within
