@@ -127,34 +127,32 @@ object Dedup {
                       tau: Double, n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // posts feeds the signature pass AND both sides of the verify join;
-    // materialized (eager localCheckpoint — ContextCleaner-reclaimed, no
-    // session cache leak) so the shingle window+distinct runs once
-    // (exchange reuse does not fire across the differently-aliased branches)
-    val posts = shingleRows(df, idCol, textCol, n)
+    // ONE WordNgrams eval per doc into an array column, materialized
+    // (eager localCheckpoint — ContextCleaner-reclaimed, no session cache
+    // leak) because it feeds BOTH the signature projection and the verify
+    // postings, and exchange reuse does not fire across the
+    // differently-aliased branches. Shingle-less docs are dropped here:
+    // their empty-set signatures would otherwise all collide (round-3 bug).
+    val docShingles = df.select(col(idCol).as("id"),
+      graft.expressions.TextExpressions.wordNgrams(
+        col(textCol), n, distinct = true).as("arr"))
+      .where(size(col("arr")) > 0)
       .localCheckpoint(eager = true)
-    // two-hash minhash family: h_i(s) = h1(s) + i*h2(s) — 2 string hashes
-    // per shingle, the rest is long arithmetic. 54-bit masks keep
-    // h1 + 127*h2 < 2^62 (ANSI mode errors on overflow); h2 forced odd so
-    // the k functions stay distinct. The family is ONE array<long> column
-    // (native TwoHashFamily loop) and the signature is ONE element-wise
-    // min aggregate over a primitive long[k] buffer (ArrayMinAgg) with
-    // map-side partial agg — a k-column min(...) formulation generated a
-    // 128-buffer codegen class whose JIT scheduling made the same query
-    // swing 2.8s-53s run to run. One shuffle by id, linear in corpus size.
-    val m54 = lit((1L << 54) - 1)
-    // sig also feeds four branches (both band-join sides, both size
-    // lookups); tiny (one signature row per doc) so materializing is cheap.
-    // The FUSED MinHashAgg consumes the two hash seeds directly — the
-    // earlier twoHashFamily → arrayMinAgg composition allocated a boxed
-    // k-long array per shingle row just to min-merge it once.
-    val sig = posts
-      .groupBy(col("id"))
-      .agg(graft.expressions.MinHashExpressions.minHashAgg(
-        xxhash64(col("s")).bitwiseAND(m54),
-        xxhash64(lit(1), col("s")).bitwiseAND(m54).bitwiseOR(lit(1L)), k).as("sig"),
-        count(lit(1)).as("sz"))
+    // Per-ROW signature: the native MinHashSignature expression computes
+    // the whole k-long minhash in one eval over the shingle array — no
+    // explode, no aggregate stage, no shuffle (the earlier explode →
+    // MinHashAgg build paid a full groupBy over every shingle row; before
+    // that, a 128-column min(...) formulation generated a codegen class
+    // whose JIT scheduling made the same query swing 2.8s-53s). The same
+    // expression drives the streaming twin, so batch and stream
+    // signatures are bit-identical by construction (asserted in specs).
+    // sig feeds four branches (both band-join sides, both size lookups);
+    // tiny (one row per doc) so materializing is cheap.
+    val sig = docShingles.select(col("id"),
+      graft.expressions.MinHashExpressions.minHashSignature(col("arr"), k).as("sig"),
+      size(col("arr")).as("sz"))
       .localCheckpoint(eager = true)
+    val posts = docShingles.select(col("id"), explode(col("arr")).as("s"))
     // band hash: xxhash64 over the r-element signature slice (codegen'd
     // hash over the array value — no per-column fan-out); the SHARED
     // bandHashes definition keeps batch and streaming banding identical
