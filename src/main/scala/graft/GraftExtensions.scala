@@ -109,6 +109,16 @@ object GraftExtensions {
       info("simhash", "simhash(s) - 60-bit md5-vote simhash of a string"),
       (args: Seq[Expression]) =>
         graft.expressions.SimHash(oneArg(args, "simhash"))),
+    // minhash_signature(shingles[, k]) - per-row k-long minhash signature
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(arr[, k]) - k-long minhash signature of an array<string>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "minhash_signature needs (array<string>[, k])")
+        val k = if (args.length == 2) intArg(args(1), "k") else 128
+        graft.expressions.MinHashSignature(args.head, k)
+      }),
     // word_ngrams(s, n, distinct) - all word n-grams in one pass
     ("word_ngrams",
       info("word_ngrams",

@@ -209,6 +209,27 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // the materialization step of pack_bins: concatenate each bin's docs
+    // (doc_id order) into one training-sequence payload. collect_list is
+    // shuffle-order-nondeterministic — sort_array over (doc_id, text)
+    // structs restores a total order before the join
+    "pipe_pack_payload" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(Text.tokens(col("text")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), nt.as("n_tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(256.0)).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)"),
+            " ").as("payload"))
+        .orderBy("lang", "bin")
+    },
+
     // temperature-sampled mixture weights (α = 0.5): per-language token
     // mass → sqrt-damped share → sampling rate against a fixed token
     // budget (the domain-mixture reweighting step of a training pipeline).
@@ -459,6 +480,16 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_pack_payload" ->
+      s"""WITH b AS (SELECT doc_id, lang, text, len($toksSql) AS n_tokens,
+         |  floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
+         | FROM documents)
+         |SELECT lang, bin, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         | string_agg(text, ' ' ORDER BY doc_id) AS payload
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "pipe_mixture" ->
       s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql)) AS sum_tokens

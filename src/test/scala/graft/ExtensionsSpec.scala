@@ -69,6 +69,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaBatch && viaSql != 0L)
   }
 
+  test("minhash_signature is SQL-callable and matches the Column API") {
+    GraftExtensions.register(spark)
+    Seq(("alpha beta gamma delta", 1)).toDF("text", "i")
+      .createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT minhash_signature(word_ngrams(text, 3, true), 16) AS sig FROM mh_docs")
+      .collect().head.getSeq[Long](0)
+    val viaCol = Seq(("alpha beta gamma delta", 1)).toDF("text", "i")
+      .select(graft.expressions.MinHashExpressions.minHashSignature(
+        graft.expressions.TextExpressions.wordNgrams($"text", 3, distinct = true), 16))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 16)
+    // default k
+    assert(spark.sql(
+      "SELECT size(minhash_signature(word_ngrams(text, 3, true))) FROM mh_docs")
+      .collect().head.getInt(0) == 128)
+  }
+
   test("word_ngrams is SQL-callable") {
     GraftExtensions.register(spark)
     Seq(("a b c d", 1)).toDF("s", "i").createOrReplaceTempView("wn")
