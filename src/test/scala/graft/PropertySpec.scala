@@ -60,6 +60,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native per-row SimHash equals the explode+SimHashAgg path on random texts") {
+    val vocab = Vector("alpha", "beta", "42", "x", "delta", "æøå")
+    trials(8)(r => (0 until 12).map(i =>
+      (i.toLong, List.fill(r.nextInt(9))(vocab(r.nextInt(vocab.size))).mkString(" ")))) { rows =>
+      {
+        val df = rows.toDF("doc_id", "text")
+        val perRow = graft.operators.Dedup.simhashSignatures(df, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the independent aggregate implementation: explode token hashes,
+        // bit-vote via SimHashAgg, empty docs default 0 via left join
+        val agg = df.select($"doc_id", explode(graft.functions.Text.tokens($"text")).as("tok"))
+          .select($"doc_id",
+            expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .groupBy($"doc_id")
+          .agg(graft.expressions.MinHashExpressions.simHashAgg($"h").as("sig"))
+        val viaAgg = df.select($"doc_id").join(agg, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"sig", lit(0L)))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(perRow == viaAgg)
+      }
+    }
+  }
+
   test("sessionize equals a naive per-user fold on random event times") {
     trials(10)(r => List.fill(30)((r.nextInt(3) + 1L, r.nextInt(501).toLong))) { raw =>
       {
