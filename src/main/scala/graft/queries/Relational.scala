@@ -303,6 +303,41 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // wide→long melt via the native unpivot API (stack); measures cast to
+    // a common double, sums made exact through the decimal path first
+    "q34_unpivot" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(d(sum(dec(col("c_acctbal")))).as("total_bal"),
+          count(lit(1)).cast("double").as("n_cust"),
+          max(col("c_acctbal")).as("max_bal"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("total_bal"), col("n_cust"), col("max_bal")),
+          "measure", "value")
+        .orderBy("c_nationkey", "measure")
+    },
+
+    // time-series gap fill: zero rows for hours with no events, per type.
+    // The grid is (distinct keys) × (hour range) — bounded by key
+    // cardinality times span, generated with sequence+explode, never
+    // collected to the driver; counts join back on (type, hour)
+    "q35_gapfill" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      val counts = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val bounds = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("hour_sec"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "hour_sec")
+    },
+
     "q33_histogram" -> { (s, dir) =>
       // fixed-width value histogram — one partial-agg pass; identical IEEE
       // double division in both engines keeps bucket edges deterministic
@@ -709,6 +744,31 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q34_unpivot" ->
+      """WITH m AS (SELECT c_nationkey,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS total_bal,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_cust, MAX(c_acctbal) AS max_bal
+        | FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, 'total_bal' AS measure, total_bal AS value FROM m
+        |UNION ALL SELECT c_nationkey, 'n_cust', n_cust FROM m
+        |UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM m
+        |ORDER BY c_nationkey, measure""".stripMargin,
+
+    "q35_gapfill" ->
+      """WITH e AS (SELECT event_type,
+        |  FLOOR(epoch(date_trunc('hour', ts)))::BIGINT AS h FROM events),
+        |c AS (SELECT event_type, h, COUNT(*) AS n_events FROM e
+        |      GROUP BY event_type, h),
+        |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM e),
+        |grid AS (SELECT t.event_type, u.h
+        |         FROM (SELECT DISTINCT event_type FROM e) t
+        |         CROSS JOIN b
+        |         CROSS JOIN unnest(generate_series(b.mn, b.mx, 3600)) AS u(h))
+        |SELECT grid.event_type, grid.h AS hour_sec,
+        | COALESCE(c.n_events, 0) AS n_events
+        |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
+        |ORDER BY grid.event_type, hour_sec""".stripMargin,
 
     "q33_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
