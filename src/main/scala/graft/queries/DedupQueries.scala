@@ -81,9 +81,9 @@ object DedupQueries {
         .orderBy("id")
     },
 
-    // rows-only: bucket membership has no SQL twin; precision (every
-    // emitted pair really has cosine >= tau) and recall vs the brute
-    // path are asserted in DedupSpec.
+    // value-oracled since round 4 (plane literals inlined in the SQL);
+    // precision/recall vs the brute path additionally asserted in
+    // DedupSpec.
     "dd_embed_lsh" -> { (s, dir) =>
       Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         tau = 0.4)
@@ -196,6 +196,27 @@ object DedupQueries {
          |  UNION
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // full value oracle: the 8×4 deterministic plane matrices are inlined
+    // as SQL literals, so bucket collisions and the exact-cosine verify
+    // are both value-checked (was rows-only before round 4)
+    "dd_embed_lsh" -> {
+      val planes = (0 until 8)
+        .map(t => graft.functions.Vectors.makePlanes(4, 64, 42L + t)).toArray
+      val bks = SimilarityQueries.bucketSqls("e", planes).zipWithIndex
+        .map { case (b, i) => s"$b AS b$i" }.mkString(",\n  ")
+      val anyMatch = (0 until 8).map(i => s"a.b$i = bb.b$i").mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |  $bks
+         | FROM v),
+         |p AS (SELECT a.vec_id AS a_id, bb.vec_id AS b_id,
+         |  ${dotSql("a.e", "bb.e")} /
+         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("bb.e", "bb.e")})) AS cosine
+         | FROM b a JOIN b bb ON a.vec_id < bb.vec_id AND ($anyMatch))
+         |SELECT DISTINCT a_id, b_id, cosine FROM p WHERE cosine >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "dd_embed_cosine" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),

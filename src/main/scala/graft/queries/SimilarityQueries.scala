@@ -24,8 +24,9 @@ object SimilarityQueries {
         .orderBy("q_id", "n_id")
     },
 
-    // rows-only: LSH bucketing has no SQL-expressible oracle; recall vs the
-    // brute-force twin is asserted in SimilaritySpec.
+    // value-oracled since round 4: the deterministic plane matrices are
+    // inlined into the oracle SQL; recall vs the brute-force twin is
+    // additionally asserted in SimilaritySpec.
     "sim_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.topKCosineLsh(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -33,9 +34,9 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
-    // IVF inverted-list assignment: the index-build pass gets a full value
-    // oracle (cross-join argmax is SQL-expressible); the probe path is
-    // rows-only with recall asserted in SimilaritySpec.
+    // IVF inverted-list assignment; both the index-build pass AND the
+    // probe path (sim_ann_ivf) carry full value oracles — assignment,
+    // probing and ranking replayed as SQL window queries.
     "sim_ivf_assign" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       IvfIndex.assign(emb, IvfIndex.centroids(emb, "vec_id", "embedding", 32),
@@ -121,7 +122,82 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** The LSH plane matrices inlined as SQL literals: `Double.toString`
+    * round-trips exactly, so the oracle evaluates the SAME planes the
+    * LshBuckets expression carries, and the left-fold dot product matches
+    * its accumulation order — bucket ids agree bit-for-bit.
+    */
+  private def planeLit(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** Per-table bucket id of vector expression `vec` (packed sign bits,
+    * LshBuckets twin). */
+  private[queries] def bucketSqls(vec: String,
+                                  tables: Array[Array[Array[Double]]]): Seq[String] =
+    tables.toSeq.map { tbl =>
+      tbl.zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN ${dotSql(vec, planeLit(pl))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+
   val oracle: Map[String, String] = Map(
+    // full value oracle for the IVF probe path: stride centroids, argmax
+    // assignment, top-nProbe probing and candidate ranking are all plain
+    // SQL over the same IEEE double formulas
+    "sim_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c.c_e")} DESC, c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+         |probes AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_e", "c.c_e")} DESC, c.c_id) AS pr
+         |  FROM q CROSS JOIN c) WHERE pr <= 8),
+         |cand AS (SELECT q.q_id, v.vec_id AS n_id, ${cosSql("q.q_e", "v.e")} AS cosine
+         |  FROM probes JOIN asg ON probes.c_id = asg.c_id
+         |  JOIN v ON asg.id = v.vec_id
+         |  JOIN q ON probes.q_id = q.q_id
+         |  WHERE v.vec_id != q.q_id),
+         |r AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM cand)
+         |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // full value oracle for multi-table LSH ANN: the deterministic plane
+    // matrices are inlined as SQL literals (Double.toString round-trips),
+    // so candidate buckets AND the final ranking are value-checked
+    "sim_ann_lsh" -> {
+      val planes = (0 until 8)
+        .map(t => graft.functions.Vectors.makePlanes(6, 64, 42L + t)).toArray
+      val bks = bucketSqls("e", planes).zipWithIndex
+        .map { case (b, i) => s"$b AS b$i" }.mkString(",\n  ")
+      val anyMatch = (0 until 8).map(i => s"q.b$i = n.b$i").mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |  $bks
+         | FROM v),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM b q JOIN b n ON q.vec_id < 10 AND n.vec_id != q.vec_id
+         |    AND ($anyMatch)),
+         |scored AS (SELECT cand.q_id, cand.n_id, ${cosSql("qa.e", "nb.e")} AS cosine
+         |  FROM cand JOIN v qa ON cand.q_id = qa.vec_id
+         |            JOIN v nb ON cand.n_id = nb.vec_id),
+         |r AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored)
+         |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
     "sim_topk_cosine" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
          |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
