@@ -93,4 +93,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!readCols.contains("props"), s"$name reads unused props: $readCols")
     }
   }
+
+  test("round-4 operators broadcast their bounded small sides") {
+    // pq codebook (m×k rows), decontam benchmark grams, gapfill bounds
+    // row: each is fixed-size by construction and must plan as a
+    // broadcast, never a shuffle of the corpus side
+    for (name <- Seq("sim_pq_encode", "pipe_decontam", "q35_gapfill")) {
+      val b = executedPlan(name).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(b.nonEmpty, s"$name: expected a broadcast small side")
+    }
+  }
 }
