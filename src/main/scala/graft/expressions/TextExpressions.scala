@@ -174,12 +174,93 @@ case class SimHash(child: Expression, bits: Int = 60)
     copy(child = newChild)
 }
 
+/** All per-token counting in ONE pass over a space-tokenized string:
+  * `[n_tokens, n_distinct, n_digit_tokens, token_chars, count(set_0), ...,
+  * count(set_m)]` (per-set counts WITH multiplicity, matching
+  * `size(filter(toks, isin(set)))`).
+  *
+  * Native because the composed form pays one interpreted higher-order
+  * `filter` per set per reference — and lambda-bearing trees are excluded
+  * from codegen subexpression elimination, so a 5-profile language argmax
+  * re-ran every count per structural reference. Here: one tokenize, one
+  * hash lookup per token, all counts in a single long[] row.
+  */
+case class TokenStats(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stats requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_stats"
+
+  // token -> indices of the sets containing it (sets are tiny, overlap
+  // allowed — "la"/"de" appear in two language profiles)
+  @transient private lazy val setOf: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (s, i) =>
+      s.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Long](4 + sets.length)
+    val seen = new java.util.HashSet[String]()
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i)
+          counts(0) += 1
+          if (seen.add(tok)) counts(1) += 1
+          var allDigit = true
+          var j = 0
+          while (j < tok.length && allDigit) {
+            val c = tok.charAt(j)
+            if (c < '0' || c > '9') allDigit = false
+            j += 1
+          }
+          if (allDigit) counts(2) += 1
+          // codepoints, matching length() semantics on non-ASCII text
+          counts(3) += tok.codePointCount(0, tok.length)
+          val hit = setOf.get(tok)
+          if (hit != null) {
+            var k = 0
+            while (k < hit.length) { counts(4 + hit(k)) += 1; k += 1 }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def splitFirst(c: Column, seps: Seq[String]): Column =
     Bridge.column(SplitFirst(Bridge.expression(c), seps))
 
   def simhash(c: Column): Column =
     Bridge.column(SimHash(Bridge.expression(c)))
+
+  def tokenStats(c: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(TokenStats(Bridge.expression(c), sets))
 
   def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))

@@ -145,6 +145,52 @@ object Text {
     LangProfiles.map { case (l, words) => countIn(toks, words).as(s"s_$l") }
   }
 
+  // ---- fused token statistics ---------------------------------------
+
+  /** Layout of [[tokenStats]]: 4 fixed slots then one count per set
+    * (Stopwords first, then the language profiles in order).
+    */
+  object Ts {
+    val NTokens = 0; val NDistinct = 1; val NDigit = 2; val TokChars = 3
+    val Stop = 4; val LangBase = 5
+  }
+
+  /** ONE native pass computing every per-token count the text-analysis
+    * queries need: token/distinct/digit-token/char counts plus stopword
+    * and language-profile hits. Project this ONCE into a column, then
+    * derive scores from `at(stats, i)` — the composed `countIn` filters
+    * interpret their lambda per token AND are excluded from codegen
+    * subexpression elimination, so every structural reference re-counted.
+    */
+  def tokenStats(text: Column): Column =
+    graft.expressions.TextExpressions.tokenStats(text,
+      Stopwords +: LangProfiles.map(_._2))
+
+  /** Integer element of a [[tokenStats]] column (original count columns
+    * were int-typed; keep schemas identical).
+    */
+  def ts(stats: Column, idx: Int): Column = stats.getItem(idx).cast("int")
+
+  /** Language score columns from a materialized [[tokenStats]] column. */
+  def langScoresFrom(stats: Column): Seq[Column] =
+    LangProfiles.zipWithIndex.map { case ((l, _), i) =>
+      ts(stats, Ts.LangBase + i).as(s"s_$l")
+    }
+
+  /** [[qualityColumns]] with the token counts taken from a materialized
+    * [[tokenStats]] column (identical formulas and output schema; the
+    * punctuation ratio stays character-based over the raw text).
+    */
+  def qualityColumnsFrom(text: Column, stats: Column): Seq[Column] = {
+    val nChars = length(text)
+    val nTokens = ts(stats, Ts.NTokens)
+    val punctRatio = (nChars - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / nChars
+    val stopRatio = ts(stats, Ts.Stop).cast("double") / nTokens
+    val quality = least(nTokens / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)
+    Seq(nTokens.as("n_tokens"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"), quality.as("quality"))
+  }
+
   /** Argmax over the profile scores; earlier profile wins ties. */
   def langPredict(scores: Seq[Column]): Column = {
     // branch-free argmax: array_position finds the FIRST index holding the

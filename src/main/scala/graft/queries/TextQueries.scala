@@ -16,17 +16,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ONE native TokenStats pass per row feeds every count (the composed
+    // filter() counts interpreted their lambda per token per reference)
     "ta_quality" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id") +: Text.qualityColumns(col("text")): _*)
+        .select(col("doc_id"), col("text"), Text.tokenStats(col("text")).as("__ts"))
+        .select(col("doc_id") +: Text.qualityColumnsFrom(col("text"), col("__ts")): _*)
         .orderBy("doc_id")
     },
 
     "ta_langid" -> { (s, dir) =>
-      val scores = Text.langScores(col("text"))
+      val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
       Tables.documents(s, dir)
-        .select((col("doc_id") +: scores) :+
-          Text.langPredict(scores).as("lang_pred"): _*)
+        .select(col("doc_id"), Text.tokenStats(col("text")).as("__ts"))
+        .select(col("doc_id") +: Text.langScoresFrom(col("__ts")): _*)
+        .select((col("doc_id") +: names) :+
+          Text.langPredict(names).as("lang_pred"): _*)
         .orderBy("doc_id")
     },
 
@@ -81,10 +86,14 @@ object TextQueries {
     // scan and the only shuffles are the dedup window and final sort.
     "pipe_corpus_clean" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val scores = Text.langScores(col("text"))
-      val qual = docs.select(
-        (col("doc_id") +: col("text") +: Text.qualityColumns(col("text"))) :+
-          Text.langPredict(scores).as("lang_pred"): _*)
+      val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
+      val qual = docs
+        .select(col("doc_id"), col("text"), Text.tokenStats(col("text")).as("__ts"))
+        .select(Seq(col("doc_id"), col("text")) ++
+          Text.qualityColumnsFrom(col("text"), col("__ts")) ++
+          Text.langScoresFrom(col("__ts")): _*)
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"),
+          Text.langPredict(names).as("lang_pred"))
       val filtered = qual.where(
         col("n_tokens") >= 30 && col("lang_pred") === "en" && col("quality") > 0)
       graft.operators.Dedup.keepFirst(filtered, "doc_id", "text")
@@ -114,10 +123,10 @@ object TextQueries {
     // repeated-token ratio — the classic repetition quality signal for
     // training corpora (1 - distinct/total); narrow per-row map, no shuffle
     "ta_repetition" -> { (s, dir) =>
-      val toks = Text.tokens(col("text"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct"))
+        .select(col("doc_id"), Text.tokenStats(col("text")).as("__ts"))
+        .select(col("doc_id"), Text.ts(col("__ts"), Text.Ts.NTokens).as("n_tokens"),
+          Text.ts(col("__ts"), Text.Ts.NDistinct).as("n_distinct"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           when(col("n_tokens") > 0,
             lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
@@ -277,13 +286,14 @@ object TextQueries {
     // length, numeral-token ratio, repetition, stopword floor — each rule
     // a named boolean plus the conjunction, all in one codegen'd pass
     "ta_quality_rules" -> { (s, dir) =>
-      val toks = Text.tokens(col("text"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), size(toks).as("n_tokens"),
-          length(translate(col("text"), " ", "")).as("tok_chars"),
-          size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_digit"),
-          size(array_distinct(toks)).as("n_distinct"),
-          Text.countIn(toks, Text.Stopwords).as("n_stop"))
+        .select(col("doc_id"), Text.tokenStats(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          Text.ts(col("__ts"), Text.Ts.NTokens).as("n_tokens"),
+          Text.ts(col("__ts"), Text.Ts.TokChars).as("tok_chars"),
+          Text.ts(col("__ts"), Text.Ts.NDigit).as("n_digit"),
+          Text.ts(col("__ts"), Text.Ts.NDistinct).as("n_distinct"),
+          Text.ts(col("__ts"), Text.Ts.Stop).as("n_stop"))
         .select(col("doc_id"), col("n_tokens"),
           when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
             .otherwise(0.0).as("mean_wlen"),

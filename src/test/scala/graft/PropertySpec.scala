@@ -60,6 +60,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenStats equals naive per-token counting on random texts") {
+    val vocab = Vector("the", "la", "42", "007", "x", "æble", "de", "")
+    trials(8)(r => (0 until 10).map(i =>
+      (i.toLong, List.fill(r.nextInt(12))(vocab(r.nextInt(vocab.size))).mkString(" ")))) { rows =>
+      {
+        val df = rows.toDF("id", "text")
+        val stats = df.select($"id", graft.functions.Text.tokenStats($"text").as("ts"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        rows.foreach { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty).toSeq
+          val got = stats(id)
+          assert(got(0) == toks.length)
+          assert(got(1) == toks.distinct.length)
+          assert(got(2) == toks.count(t => t.forall(c => c >= '0' && c <= '9')))
+          assert(got(3) == toks.map(t => t.codePointCount(0, t.length)).sum)
+          assert(got(4) == toks.count(graft.functions.Text.Stopwords.contains))
+          graft.functions.Text.LangProfiles.zipWithIndex.foreach { case ((_, words), i) =>
+            assert(got(5 + i) == toks.count(words.contains))
+          }
+        }
+      }
+    }
+  }
+
   test("native per-row SimHash equals the explode+SimHashAgg path on random texts") {
     val vocab = Vector("alpha", "beta", "42", "x", "delta", "æøå")
     trials(8)(r => (0 until 12).map(i =>
