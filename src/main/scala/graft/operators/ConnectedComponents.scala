@@ -27,16 +27,33 @@ object ConnectedComponents {
   /** (a, b) pairs → (id, cluster_id) where cluster_id is the minimum node
     * id in the component. Nodes not appearing in any pair are absent (the
     * caller unions singletons if needed).
+    *
+    * Two paths, same semantics: edge sets at or under `driverLimit`
+    * collapse via an in-driver union-find — after LSH/blocking dedup the
+    * pair graph is TINY relative to the corpus (edges ∝ true duplicates),
+    * and a multi-round distributed loop on a few thousand edges is pure
+    * scheduling overhead. Larger graphs run min-label propagation fully
+    * distributed. `driverLimit = 0` forces the distributed loop; the
+    * default (1M edges ≈ 16 MB) is far below driver heap risk.
     */
   def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-             maxIter: Int = 20): DataFrame = {
+             maxIter: Int = 20, driverLimit: Long = 1L << 20): DataFrame = {
+    // materialize the pair set ONCE: the union below feeds it into two
+    // differently-aliased branches, and exchange/subplan reuse does not
+    // fire across those — without this the (expensive) pair pipeline
+    // executes twice
+    val raw = pairs.select(col(aCol).cast("long").as("u0"),
+      col(bCol).cast("long").as("v0"))
+      .localCheckpoint(eager = true)
+    val nEdges = raw.count()
+    if (nEdges <= driverLimit) return driverUnionFind(raw)
     // pairs come in deduplicated with a < b, so the two directed copies
     // are already distinct. Pre-partition by v BEFORE caching: the cached
     // relation keeps its hash partitioning, so the per-round labels join
     // shuffles only the label table (O(V)) — not the full edge list
     // (O(E)) every round.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val edges = raw.select(col("u0").as("u"), col("v0").as("v"))
+      .union(raw.select(col("v0").as("u"), col("u0").as("v")))
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with round 1 for free: lbl = min(self, all neighbors) is one
@@ -88,5 +105,34 @@ object ConnectedComponents {
       .localCheckpoint(eager = true)
     labels.unpersist()
     out
+  }
+
+  /** Small-graph path: classic union-find with path compression on the
+    * collected edge list, min node id per component as the cluster id —
+    * identical output to the propagation fixpoint.
+    */
+  private def driverUnionFind(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val es = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(rv) = ru
+    }
+    val nodes = es.iterator.flatMap { case (u, v) => Iterator(u, v) }.toArray.distinct
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "cluster_id")
   }
 }

@@ -149,8 +149,14 @@ class PropertySpec extends SparkSpec {
     trials(6)(r => List.fill(15)((r.nextInt(10) + 1L, r.nextInt(10) + 1L))) { raw =>
       val pairs = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
       if (pairs.nonEmpty) {
+        // default path = driver union-find on small graphs
         val got = ConnectedComponents.labels(pairs.toDF("a_id", "b_id"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // distributed min-label propagation must agree exactly
+        val gotDist = ConnectedComponents.labels(pairs.toDF("a_id", "b_id"),
+          driverLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist == got)
         // naive union-find
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {

@@ -111,13 +111,15 @@ class OperatorsSpec extends SparkSpec {
   test("connected components: non-convergence at maxIter fails loudly") {
     // a diameter-7 path needs more than 1 propagation round; silently
     // returning split clusters would corrupt downstream dedup
+    // driverLimit = 0 forces the distributed loop (the small-graph
+    // union-find path has no iteration bound to trip)
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      ConnectedComponents.labels(chain, maxIter = 1).collect()
+      ConnectedComponents.labels(chain, maxIter = 1, driverLimit = 0).collect()
     }
     // and the same graph converges with enough rounds
-    val ok = ConnectedComponents.labels(chain, maxIter = 10).collect()
-      .map(r => r.getLong(1)).distinct
+    val ok = ConnectedComponents.labels(chain, maxIter = 10, driverLimit = 0)
+      .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq == Seq(1L))
   }
 
