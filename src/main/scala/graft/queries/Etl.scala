@@ -102,7 +102,8 @@ object Etl {
         ("date_str", "approval_date", lit("")),
         ("atc_raw", "atc", lit("")),
         (null, "source_system", lit("medicinraadet"))))
-        .orderBy("order_id")
+      // no trailing orderBy: the narrow inner sort's order survives the
+      // filters and projections (see etl_danish_date note)
     },
 
     "etl_status_classify" -> { (s, dir) =>
@@ -110,7 +111,6 @@ object Etl {
         .select(col("o_orderkey"))
         .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.classifyStatus(statusText).as("status"))
-        .orderBy("o_orderkey")
     },
 
     "etl_filter_approved" -> { (s, dir) =>
@@ -133,18 +133,20 @@ object Etl {
     },
 
     // SORT-FIRST shape (here and in the sibling extraction queries): the
-    // total ORDER BY contract is satisfied by sorting the NARROW input
+    // total-order contract is satisfied by sorting the NARROW input
     // columns, then projecting — orderBy-after-projection makes the range
     // partitioner's sampling pass execute the expensive extraction twice
-    // (measured 1.9s vs 1.0s on this query at sf0.1). The trailing
-    // orderBy is kept for the contract and erased by RemoveRedundantSorts
-    // (ordering already satisfied).
+    // (measured 1.9s vs 1.0s on this query at sf0.1). There is NO
+    // trailing orderBy: EliminateSorts treats the INNER sort as the
+    // redundant one when a downstream sort exists, silently undoing the
+    // whole pattern (measured: the trailing form re-ran the parse on the
+    // unsorted single-partition scan AND in the final sort's sampling,
+    // 1.3s vs 0.8s). Projections preserve the inner sort's order.
     "etl_danish_date" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderdate"))
         .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.parseDanishDate(danishDateText).as("approval_date"))
-        .orderBy("o_orderkey")
     },
 
     "etl_regex_extract" -> { (s, dir) =>
@@ -152,7 +154,6 @@ object Etl {
         .select(col("o_orderkey"))
         .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.extractAtc(atcText).as("atc"))
-        .orderBy("o_orderkey")
     },
 
     // generic numeric-date fallback (main.py:246-256): first d.m.y or
@@ -168,7 +169,6 @@ object Etl {
         .select(col("o_orderkey"), col("o_orderdate"))
         .orderBy("o_orderkey")
         .select(col("o_orderkey"), Text.extractDate(text).as("raw_date"))
-        .orderBy("o_orderkey")
     },
 
     "etl_fill_missing" -> { (s, dir) =>

@@ -56,10 +56,8 @@ object SimilarityQueries {
     // exploded (vec_id, pos, q) form so every quantized value is checked.
     // floor (not round): round() half-way behavior differs across engines.
     "sim_quantize" -> { (s, dir) =>
-      // sort-first on vec_id BEFORE the explode: the final ORDER BY's
-      // sampling pass would otherwise re-run explode+quantize over every
-      // row; explode preserves the sort order and emits pos ascending, so
-      // the trailing orderBy is satisfied without a second sort
+      // sort-first on vec_id BEFORE the explode: a final ORDER BY's
+      // sampling pass would re-run explode+quantize over every row
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
           graft.functions.Vectors.toDoubleArray(col("embedding")).as("v"))
@@ -70,7 +68,10 @@ object SimilarityQueries {
           when(col("mx") === col("mn"), lit(0))
             .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255))
             .cast("int").as("q"))
-        .orderBy("vec_id", "pos")
+      // no trailing orderBy: posexplode emits pos ascending within each
+      // vec_id, so the inner vec_id sort already yields (vec_id, pos)
+      // order — and a trailing sort makes EliminateSorts drop the inner
+      // one, pushing explode+quantize onto the unsorted single-core scan
     },
 
     // product-quantization encode: 8 subspaces × 16 stride-sampled codes;

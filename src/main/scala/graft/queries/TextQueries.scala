@@ -184,7 +184,8 @@ object TextQueries {
         .select(col("doc_id"),
           array_join(deduped, " ").as("deduped_text"),
           size(deduped).as("n_kept"))
-        .orderBy("doc_id")
+      // no trailing orderBy — EliminateSorts would drop the INNER sort
+      // instead and re-run the WordNgrams eval in the sampling pass
     },
 
     // importance (weighted) sampling: keep probability proportional to a
