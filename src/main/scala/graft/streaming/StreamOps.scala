@@ -119,6 +119,28 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus clean — the training-feed composition as ONE
+    * continuous query: quality gate (native TokenStats, stateless) →
+    * exact-dup drop on the normalized-text fingerprint, state bounded by
+    * the event-time watermark. Columns in: (doc_id, ts, text); out: the
+    * surviving rows plus n_tokens. The stateless filters fuse into the
+    * scan exactly like the batch twin; the ONE stateful stage is the
+    * fingerprint dedup store.
+    */
+  def corpusCleanStream(docs: DataFrame, minTokens: Int = 30,
+                        watermark: String = "2 hours"): DataFrame = {
+    docs
+      .withColumn("__stats", graft.functions.Text.tokenStats(col("text")))
+      .withColumn("n_tokens",
+        graft.functions.Text.ts(col("__stats"), graft.functions.Text.Ts.NTokens))
+      .drop("__stats")
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
   /** Streaming near-duplicate candidate pairs — the streaming twin of
     * Dedup.simhashPairs. Each document gets a per-row 60-bit simhash
     * (stateless expression — no windows/aggregates, so it composes with

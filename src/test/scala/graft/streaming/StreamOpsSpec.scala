@@ -456,4 +456,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.head == SessionOut(1L, 3L, 80L, 130L))
     } finally q.stop()
   }
+
+  test("corpusCleanStream: quality gate + watermarked exact dedup equals the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamOps.corpusCleanStream(docs, minTokens = 5, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("cclean").outputMode("append").start()
+    try {
+      val keepA = (1 to 6).map(i => s"tok$i").mkString(" ")   // 6 tokens, passes
+      val keepB = (1 to 8).map(i => s"word$i").mkString(" ")
+      val short = "too short"                                  // 2 tokens, gated
+      val dupA = "  " + keepA + "  "                           // same fingerprint as keepA
+      in.addData((1L, ts(3600), keepA), (2L, ts(3610), short))
+      q.processAllAvailable()
+      in.addData((3L, ts(3620), dupA), (4L, ts(3630), keepB))
+      q.processAllAvailable()
+      val got = spark.table("cclean").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+      // short gated by quality; dupA dropped as an exact dup of keepA
+      assert(got == Map(1L -> 6, 4L -> 8))
+      // the batch composition on the same rows agrees
+      val batch = Seq((1L, keepA), (2L, short), (3L, dupA), (4L, keepB))
+        .toDF("doc_id", "text")
+      val batchKept = graft.operators.Dedup.keepFirst(
+        batch.where(size(graft.functions.Text.tokens($"text")) >= 5), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.keySet == batchKept)
+    } finally q.stop()
+  }
 }
