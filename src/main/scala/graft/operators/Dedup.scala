@@ -215,11 +215,7 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
       .localCheckpoint(eager = true)
-    val quarters = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(q =>
-        struct(lit(q).as("q"),
-          (shiftright(col("simhash"), q * 15) bitwiseAND lit(0x7fffL)).as("qv"))): _*)).as("p"))
-      .select(col("id"), col("simhash"), col("p.q"), col("p.qv"))
+    val quarters = quarterRows(sigs)
     val cand = quarters.as("x").join(quarters.as("y"),
         col("x.q") === col("y.q") && col("x.qv") === col("y.qv") &&
           col("x.id") < col("y.id"))
@@ -229,6 +225,55 @@ object Dedup {
     cand.select(col("a_id"), col("b_id"),
         bit_count(col("a_sig") bitwiseXOR col("b_sig")).as("hamming"))
       .where(col("hamming") <= maxDist)
+  }
+
+  /** Incremental-dedup index: ONE pass over the corpus text producing the
+    * compact (id, exact fingerprint, simhash) triple that batch-vs-corpus
+    * dedup joins against. At 100 TB this is the table you STORE — new
+    * batches dedup against it without ever re-reading corpus text, and
+    * each batch's surviving rows append three small columns to it.
+    */
+  def dedupIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      Text.fingerprint(col(textCol)).as("fp"),
+      graft.expressions.TextExpressions.simhash(col(textCol)).as("simhash"))
+
+  // one row per 15-bit signature quarter — the simhash blocking key
+  private def quarterRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          (shiftright(col("simhash"), q * 15) bitwiseAND lit(0x7fffL)).as("qv"))): _*)).as("p"))
+      .select(col("id"), col("simhash"), col("p.q"), col("p.qv"))
+
+  /** Rows of `batch` that survive dedup against an existing corpus
+    * `index` (from [[dedupIndex]]): drops exact matches (fingerprint
+    * anti-join) and near-dups (simhash quarter-block candidates at
+    * Hamming ≤ maxDist — 4-quarter blocking has guaranteed recall there,
+    * so the result is exact, not approximate).
+    *
+    * Within-batch duplicates are deliberately NOT touched — compose with
+    * [[keepFirst]] for that. The corpus side of both joins carries only
+    * (hash, long) columns off the stored index; batch-side signatures are
+    * computed once (eager checkpoint — both legs reference them, and the
+    * near-dup leg must not re-evaluate simhash per candidate). The wide
+    * ops shuffle on fp / (q, qv); a small batch side broadcasts under AQE.
+    */
+  def incrementalSurvivors(batch: DataFrame, index: DataFrame,
+                           idCol: String, textCol: String,
+                           maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4-quarter blocking loses recall beyond Hamming 3 (got $maxDist)")
+    val bsig = dedupIndex(batch, idCol, textCol).localCheckpoint(eager = true)
+    val exactSurvivors = bsig.join(index.select(col("fp")), Seq("fp"), "left_anti")
+    val nearDropIds = quarterRows(exactSurvivors).as("b")
+      .join(quarterRows(index.select(col("id"), col("simhash"))).as("c"),
+        col("b.q") === col("c.q") && col("b.qv") === col("c.qv"))
+      .where(bit_count(col("b.simhash") bitwiseXOR col("c.simhash")) <= maxDist)
+      .select(col("b.id").as("id")).distinct()
+    val keepIds = exactSurvivors.select(col("id"))
+      .join(nearDropIds, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    batch.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau within `blockCol` blocks.

@@ -44,6 +44,20 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // incremental ingest: a 20% "new batch" deduped against the stored
+    // (fp, simhash) index of the other 80% — exact + Hamming<=3 drops,
+    // corpus text never re-read. Quarter blocking has guaranteed recall
+    // at <=3, so the brute-force SQL twin matches EXACTLY
+    "dd_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val index = Dedup.dedupIndex(corpus, "doc_id", "text")
+      Dedup.incrementalSurvivors(batch, index, "doc_id", "text", maxDist = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // fuzzy-match verify: simhash candidates re-scored with exact edit
     // distance over a bounded prefix — levenshtein is O(len²) per pair, so
     // it only ever runs on the LSH-bounded candidate set, never pairwise
@@ -160,6 +174,27 @@ object DedupQueries {
          |QUALIFY ROW_NUMBER() OVER (
          |  PARTITION BY md5(array_to_string($normToks, ' ')) ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_incremental" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |  md5(array_to_string($normToks, ' ')) AS fp,
+         |  list_sum([
+         |   CASE WHEN list_sum([
+         |     CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+         |     for h in [('0x' || substring(md5(t), 1, 15))::BIGINT for t in $rawToks]]) > 0
+         |   THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |   for i in generate_series(0, 59)])::BIGINT AS sh
+         | FROM documents),
+         |b AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+         |c AS (SELECT * FROM sig WHERE doc_id % 5 != 0),
+         |drops AS (
+         |  SELECT b.doc_id FROM b JOIN c ON b.fp = c.fp
+         |  UNION
+         |  SELECT b.doc_id FROM b JOIN c ON bit_count(xor(b.sh, c.sh)) <= 3)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_editdist" ->
       s"""WITH s AS (SELECT doc_id, list_sum([

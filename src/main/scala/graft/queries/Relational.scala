@@ -317,6 +317,44 @@ object Relational {
         .orderBy("c_nationkey", "measure")
     },
 
+    // grouped outlier detection (data-quality gate shape): per-priority
+    // mean/stddev from EXACT decimal sums (sx, sxx) cast to double at the
+    // edge, threshold arithmetic written with the same association as the
+    // oracle (sqrt is IEEE-exact, unlike ln). Stats are one partial agg
+    // over 5 groups => broadcast join-back; no second scan of the facts
+    "q37_outliers" -> { (s, dir) =>
+      val price = dec(col("o_totalprice"))
+      val stats = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(price)).as("sx"),
+          d(sum(price * price)).as("sxx"))
+      // 1.5 sigma, not 2: the synthetic prices are uniform, whose support
+      // ends at mean + 1.73 sigma - a 2 sigma gate would be vacuously empty
+      val thresh = col("sx") / col("n") +
+        lit(1.5) * sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+      Tables.orders(s, dir)
+        .join(broadcast(stats), Seq("o_orderpriority"))
+        .where(col("o_totalprice") > thresh)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // z-order layout: Morton code over (event time, user id) — the
+    // multi-dimension clustering key a 100 TB table is written in so
+    // row-group min/max stats prune scans on EITHER dimension. The query
+    // checks the exact per-row z-value; the layout/skipping property
+    // itself is asserted on real parquet file stats in ZOrderSpec
+    "q36_zorder" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("t"),
+          col("user_id").as("u"))
+      graft.operators.ZOrder
+        .withZValue(e, Seq("t" -> col("t"), "u" -> col("u")), bits = 8)
+        .select(col("event_id"), col("zval"))
+        .orderBy("event_id")
+    },
+
     // time-series gap fill: zero rows for hours with no events, per type.
     // The grid is (distinct keys) × (hour range) — bounded by key
     // cardinality times span, generated with sequence+explode, never
@@ -754,6 +792,37 @@ object Relational {
         |UNION ALL SELECT c_nationkey, 'n_cust', n_cust FROM m
         |UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM m
         |ORDER BY c_nationkey, measure""".stripMargin,
+
+    "q37_outliers" ->
+      """WITH st AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))
+        |           * CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS sxx
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        |FROM orders o JOIN st USING (o_orderpriority)
+        |WHERE o.o_totalprice >
+        |  sx / n + 1.5 * sqrt((sxx - sx * sx / n) / (n - 1))
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q36_zorder" -> {
+      // bit-interleave replayed literally: bit b of bucket d lands at
+      // position b*2+d (dims ordered t, u — same as the Spark fold)
+      val interleave = (0 until 8).flatMap { b =>
+        Seq(s"(((bt >> $b) & 1) << ${b * 2})",
+          s"(((bu >> $b) & 1) << ${b * 2 + 1})")
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, FLOOR(epoch(ts))::BIGINT AS t,
+         |  user_id AS u FROM events),
+         |bounds AS (SELECT MIN(t) AS mnt, MAX(t) AS mxt,
+         |  MIN(u) AS mnu, MAX(u) AS mxu FROM e),
+         |z AS (SELECT event_id,
+         |  ((t - mnt) * 256) // (mxt - mnt + 1) AS bt,
+         |  ((u - mnu) * 256) // (mxu - mnu + 1) AS bu
+         |  FROM e CROSS JOIN bounds)
+         |SELECT event_id, CAST($interleave AS BIGINT) AS zval
+         |FROM z ORDER BY event_id""".stripMargin
+    },
 
     "q35_gapfill" ->
       """WITH e AS (SELECT event_type,

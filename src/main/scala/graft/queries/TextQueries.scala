@@ -120,6 +120,28 @@ object TextQueries {
         .limit(20)
     },
 
+    // vocabulary build + per-doc OOV rate: the tokenizer-coverage check a
+    // training pipeline runs before committing to a vocab. Top-V by
+    // (count desc, token) — fully tie-broken, so the V boundary is
+    // deterministic in both engines; V=16 because the synthetic corpus
+    // only has ~31 distinct tokens (a top-50k vocab would make OOV
+    // degenerate-zero). The vocab is bounded ⇒ broadcast; the only wide
+    // op is the token count shuffle, linear in corpus size.
+    "ta_vocab_oov" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
     // repeated-token ratio — the classic repetition quality signal for
     // training corpora (1 - distinct/total); narrow per-row map, no shuffle
     "ta_repetition" -> { (s, dir) =>
@@ -387,6 +409,16 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "ta_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |v AS (SELECT token FROM toks GROUP BY token
+         |      ORDER BY COUNT(*) DESC, token LIMIT 16)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS oov_rate
+         |FROM toks LEFT JOIN v ON toks.token = v.token
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipe_corpus_clean" ->
       s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,

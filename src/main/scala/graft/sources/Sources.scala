@@ -57,4 +57,36 @@ object Sources {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)
   }
+
+  /** Compact a small-files parquet directory to ~`targetBytes` files: the
+    * maintenance pass a 100 TB table needs after streaming/incremental
+    * ingest, where thousands of KB-sized files per day make every
+    * downstream scan driver- and metadata-bound. Sizing reads ONLY file
+    * metadata (one driver listing, no data pass); the rewrite is one
+    * round-robin shuffle to exactly the partition count that lands files
+    * at the target size. Returns the output file count.
+    *
+    * Compaction and clustering compose: pass `sortCols` (e.g. the z-value
+    * column) to keep the rewritten files range-clustered instead of
+    * round-robin — repartitionByRange preserves min/max locality.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetBytes: Long = 128L << 20,
+                     sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0)
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(hadoopPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outPath)
+    nOut
+  }
 }

@@ -98,6 +98,32 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming incremental ingest dedup — the continuous form of
+    * `Dedup.incrementalSurvivors`: each micro-batch dedups within itself
+    * (keepFirst), then against the GROWING corpus index; survivors go to
+    * `onSurvivors` and their (id, fp, simhash) rows append to the index,
+    * so later batches drop duplicates of earlier survivors. In production
+    * the index is a stored table (the foreachBatch body reads/appends a
+    * table format) and corpus text is never re-read — the index rows are
+    * three small columns per document. Here the index folds in memory
+    * with flat lineage via localCheckpoint, as applyChangelogStream does.
+    */
+  def incrementalDedupStream(docs: DataFrame, initialIndex: DataFrame,
+                             idCol: String, textCol: String, maxDist: Int = 3)
+                            (onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var index = initialIndex.localCheckpoint(true)
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val inBatch = graft.operators.Dedup.keepFirst(batch, idCol, textCol)
+      val surv = graft.operators.Dedup
+        .incrementalSurvivors(inBatch, index, idCol, textCol, maxDist)
+        .localCheckpoint(true)
+      index = index.unionByName(
+        graft.operators.Dedup.dedupIndex(surv, idCol, textCol))
+        .localCheckpoint(true)
+      onSurvivors(surv)
+    }.start()
+  }
+
   /** Stream → partitioned parquet data lake: append sink with a
     * checkpoint (exactly-once via the file-sink commit log) partitioned
     * by `partitionCols`. The partition columns should be low-cardinality

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions: the properties that make queries survive a
   * 100× scale-up are in the PLAN, not the output — filters reaching the
@@ -92,6 +93,36 @@ class PlanAuditSpec extends SparkSpec {
       val readCols = sc.head.requiredSchema.fieldNames.toSet
       assert(!readCols.contains("props"), s"$name reads unused props: $readCols")
     }
+  }
+
+  test("runtime bloom filter injects into a selective shuffle join") {
+    // At 100 TB the fact side of a shuffled join must not ship rows the
+    // dim side's selective predicate already doomed — Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered
+    // creation side and applies might_contain at the application side's
+    // scan, cutting shuffle write before the exchange. Local scans are
+    // below the 10 GB application-side default, so lower that knob to
+    // prove the rewrite fires; everything else is stock.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "runtime bloom filter did not inject (no might_contain in plan)")
+      assert(joined.count() >= 1) // rewritten plan still executes correctly
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("round-4 operators broadcast their bounded small sides") {

@@ -59,6 +59,37 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("part_key"))
   }
 
+  test("compaction: many small files rewrite to the size-targeted count") {
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_comp").toString
+    val df = spark.range(2000).select($"id", ($"id" % 97).as("v"))
+    df.repartition(50).write.mode("overwrite").parquet(in) // 50 tiny files
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val smallBytes = parquetFiles(in).map(_.length()).sum
+    assert(parquetFiles(in).length == 50)
+    // target half the total => exactly 2 output files, data intact
+    val n = graft.sources.Sources.compactParquet(spark, in, out,
+      targetBytes = smallBytes / 2 + 1)
+    assert(n == 2 && parquetFiles(out).length == 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2000)
+    assert(back.agg(sum($"v")).head().getLong(0) ==
+      df.agg(sum($"v")).head().getLong(0))
+    // range-clustered variant keeps files min/max-disjoint on the sort key
+    val out2 = java.nio.file.Files.createTempDirectory("graft_comp2").toString
+    graft.sources.Sources.compactParquet(spark, in, out2,
+      targetBytes = smallBytes / 2 + 1, sortCols = Seq("id"))
+    val ranges = parquetFiles(out2).map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min($"id"), max($"id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.toSeq}")
+  }
+
   test("bucketed tables equi-join without a shuffle") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

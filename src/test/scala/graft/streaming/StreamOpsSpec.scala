@@ -485,4 +485,28 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.keySet == batchKept)
     } finally q.stop()
   }
+
+  test("incrementalDedupStream: batches dedup against corpus + earlier survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "seed corpus document number one")).toDF("doc_id", "text")
+    val idx0 = graft.operators.Dedup.dedupIndex(corpus, "doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val survivorsByBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = StreamOps.incrementalDedupStream(
+      in.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text") { surv =>
+      survivorsByBatch += surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      in.addData(
+        (10L, "fresh novel batch-one writing example"),
+        (11L, "Seed Corpus DOCUMENT number one"), // exact dup of corpus 1
+        (12L, "fresh novel batch-one writing example")) // in-batch dup of 10
+      q.processAllAvailable()
+      in.addData(
+        (20L, "fresh novel batch-one writing example"), // dup of survivor 10
+        (21L, "completely different batch-two content"))
+      q.processAllAvailable()
+      assert(survivorsByBatch.toSeq == Seq(Set(10L), Set(21L)))
+    } finally q.stop()
+  }
 }
