@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, Etl, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, Etl, QualityQueries, Relational, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      QualityQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++
+      QualityQueries.oracle
 }

@@ -283,6 +283,68 @@ object Etl {
               col("user_id").cast("string"), lit(" "), col("props")),
             "[0-9]+", "<NUM>").as("redacted"))
         .orderBy("event_id")
+    },
+
+    // typed PII detection + masking: find phone / email patterns in
+    // free text (synthesized deterministically from customer keys so the
+    // oracle can replay the construction), surface what was found, and
+    // mask it. Extraction and masking are per-row regexp maps — codegen,
+    // zero shuffles, the same scan-transform pass as etl_redact but with
+    // entity types instead of a blanket digit scrub
+    "etl_pii_scan" -> { (s, dir) =>
+      val k = col("c_custkey")
+      val phone = concat(
+        lpad((k % 90 + 10).cast("string"), 2, "0"), lit("-"),
+        lpad(((k * 7) % 900 + 100).cast("string"), 3, "0"), lit("-"),
+        lpad(((k * 13) % 9000 + 1000).cast("string"), 4, "0"))
+      val email = concat(lower(col("c_name")), lit("@example.com"))
+      val text = when(k % 3 === 0,
+          concat(lit("Kontakt os paa tlf "), phone, lit(" hurtigst muligt")))
+        .when(k % 3 === 1,
+          concat(lit("Skriv til "), email, lit(" for mere info")))
+        .otherwise(concat(lit("Ring "), phone, lit(" eller mail "), email))
+      val phonePat = "[0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val emailPat = "[a-z0-9#]+@example\\.com"
+      Tables.customer(s, dir)
+        .select(k.as("c_custkey"), text.as("text"))
+        .select(col("c_custkey"),
+          regexp_extract(col("text"), phonePat, 0).as("phone_found"),
+          regexp_extract(col("text"), emailPat, 0).as("email_found"),
+          regexp_replace(regexp_replace(col("text"), phonePat, "<PHONE>"),
+            emailPat, "<EMAIL>").as("masked"))
+        .orderBy("c_custkey")
+    },
+
+    // XML sink+source round-trip (Spark 4 ships XML natively; explicit
+    // schema on read like every source here)
+    "src_xml_roundtrip" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_xml_roundtrip"
+      Sources.writeXml(Tables.region(s, dir), out, "region")
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      Sources.readXml(s, out, "region", schema)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+
+    // schema evolution: two ingest epochs write different schemas (the
+    // second adds a column); a mergeSchema read unions them, NULL-filling
+    // the column history never had. Footer merge is driver metadata work —
+    // no data rewrite, which is the point at 100 TB
+    "src_merge_schema" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_merge_schema"
+      val o = Tables.orders(s, dir)
+      Sources.writeParquet(
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        s"$out/epoch1")
+      Sources.writeParquet(
+        o.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        s"$out/epoch2")
+      Sources.readParquetMergeSchema(s, out)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -394,6 +456,37 @@ object Etl {
 
     "src_text_roundtrip" ->
       "SELECT n_name AS value FROM nation ORDER BY value",
+
+    "src_xml_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "src_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE NULL END
+        |   AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_pii_scan" ->
+      """WITH parts AS (SELECT c_custkey,
+        |  lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-' ||
+        |  lpad(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR), 4, '0') AS ph,
+        |  lower(c_name) || '@example.com' AS em
+        | FROM customer),
+        |t AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0
+        |         THEN 'Kontakt os paa tlf ' || ph || ' hurtigst muligt'
+        |       WHEN c_custkey % 3 = 1
+        |         THEN 'Skriv til ' || em || ' for mere info'
+        |       ELSE 'Ring ' || ph || ' eller mail ' || em END AS text
+        | FROM parts)
+        |SELECT c_custkey,
+        |  regexp_extract(text, '[0-9]{2}-[0-9]{3}-[0-9]{4}', 0) AS phone_found,
+        |  regexp_extract(text, '[a-z0-9#]+@example\.com', 0) AS email_found,
+        |  regexp_replace(regexp_replace(text,
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[a-z0-9#]+@example\.com', '<EMAIL>', 'g') AS masked
+        |FROM t ORDER BY c_custkey""".stripMargin,
 
     "etl_redact" ->
       """SELECT event_id,

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / profiling surface (SURVEY §2.B) — the pre-ingest checks a
+  * production pipeline runs before trusting a feed (the Deequ/expectations
+  * shape). Everything is partial-agg friendly: profiles and rule checks are
+  * single aggregation passes, and the referential-integrity rule is a join
+  * whose violation count folds into the same output schema.
+  */
+object QualityQueries {
+
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-column profile in ONE aggregation pass over the scan. The three
+    // exact count(distinct)s plan as one Expand (×3 rows pre-shuffle) —
+    // at 100 TB swap exact for approx_count_distinct and Expand vanishes;
+    // min/max/count ride the same pass either way. The wide 1-row agg is
+    // stack()ed to long form driver-side-free.
+    "dq_profile" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val aggs = profileCols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))
+      }
+      val stackArgs = profileCols
+        .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS " +
+          "(col_name, non_null, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
+    },
+
+    // rule-based expectations: per-rule (violations, checked) counts.
+    // Each table contributes one conditional-sum aggregation pass; the
+    // referential-integrity rule (every lineitem has its order) is a left
+    // join + null-count — the join shuffles on the key like any fact-fact
+    // join and AQE handles skew; nothing here collects to the driver.
+    "dq_rules" -> { (s, dir) =>
+      def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val oAgg = o.agg(
+        viol(col("o_totalprice") <= 0).as("v1"),
+        viol(!col("o_orderstatus").isin("O", "F", "P")).as("v2"),
+        viol(col("o_orderdate").isNull).as("v3"),
+        count(lit(1)).as("n"))
+        .selectExpr("stack(3, " +
+          "'o_totalprice_positive', v1, n, " +
+          "'o_status_domain', v2, n, " +
+          "'o_orderdate_not_null', v3, n) AS (rule, n_violations, n_checked)")
+      val lAgg = li.agg(
+        viol(col("l_quantity") <= 0 || col("l_quantity") > 50).as("v1"),
+        viol(col("l_discount") < 0 || col("l_discount") > 0.5).as("v2"),
+        viol(col("l_shipdate").isNull).as("v3"),
+        count(lit(1)).as("n"))
+        .selectExpr("stack(3, " +
+          "'l_quantity_range', v1, n, " +
+          "'l_discount_range', v2, n, " +
+          "'l_shipdate_not_null', v3, n) AS (rule, n_violations, n_checked)")
+      val ri = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(viol(col("o_orderkey").isNull).as("v"), count(lit(1)).as("n"))
+        .select(lit("ri_lineitem_has_order").as("rule"),
+          col("v").as("n_violations"), col("n").as("n_checked"))
+      oAgg.unionByName(lAgg).unionByName(ri).orderBy("rule")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq_profile" ->
+      """SELECT col_name, non_null, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS non_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_val,
+        |    CAST(max(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE),
+        |    CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    count(DISTINCT l_discount),
+        |    CAST(min(l_discount) AS DOUBLE),
+        |    CAST(max(l_discount) AS DOUBLE) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    "dq_rules" ->
+      """SELECT rule, n_violations, n_checked FROM (
+        |  SELECT 'o_totalprice_positive' AS rule,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    count(*) AS n_checked FROM orders
+        |  UNION ALL
+        |  SELECT 'o_status_domain',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_not_null',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'l_quantity_range',
+        |    CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_range',
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate_not_null',
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ri_lineitem_has_order',
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |ORDER BY rule""".stripMargin
+  )
+}

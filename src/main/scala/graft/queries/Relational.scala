@@ -376,6 +376,58 @@ object Relational {
         .orderBy("event_type", "hour_sec")
     },
 
+    // distributed statistical aggregates WITHOUT float merge-order drift:
+    // corr/stddev over doubles hash-mismatch across engines because the
+    // partial-merge tree orders the additions differently. Here the ONE
+    // aggregation pass collects exact DECIMAL power sums (n, sx, sy, sxx,
+    // syy, sxy) — associative in any merge order — and Pearson r / stddev
+    // fall out as per-group double arithmetic afterwards (the q37 trick,
+    // extended to two variables)
+    "q38_corr_stats" -> { (s, dir) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val st = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(x)).as("sx"), d(sum(y)).as("sy"),
+          d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"),
+          d(sum(x * y)).as("sxy"))
+      val n = col("n").cast("double")
+      st.select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / n) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / n) *
+            sqrt(col("syy") - col("sy") * col("sy") / n))).as("corr_qty_price"),
+        sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0)))
+          .as("stddev_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // funnel analysis: how many users progressed signup → view → click →
+    // purchase IN ORDER. One conditional min-timestamp aggregation per
+    // user (partial-agg friendly, shuffles once on user_id), stage depth
+    // as pure arithmetic after — no self-joins, no per-stage passes
+    "q39_funnel" -> { (s, dir) =>
+      // epoch seconds, not raw ts: the determinism rule — parquet carries
+      // nanos, Spark sees micros, so stage comparisons use a precision
+      // both engines share
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      def stageTs(t: String): Column = min(when(col("event_type") === t, col("sec")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(stageTs("signup").as("t1"), stageTs("view").as("t2"),
+          stageTs("click").as("t3"), stageTs("purchase").as("t4"))
+      val s1 = col("t1").isNotNull
+      val s2 = s1 && col("t2") > col("t1")
+      val s3 = s2 && col("t3") > col("t2")
+      val s4 = s3 && col("t4") > col("t3")
+      perUser.select(
+        sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_purchased"))
+    },
+
     "q33_histogram" -> { (s, dir) =>
       // fixed-width value histogram — one partial-agg pass; identical IEEE
       // double division in both engines keeps bucket edges deterministic
@@ -804,6 +856,39 @@ object Relational {
         |WHERE o.o_totalprice >
         |  sx / n + 1.5 * sqrt((sxx - sx * sx / n) / (n - 1))
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q38_corr_stats" ->
+      """WITH st AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+        |           * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price,
+        |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_qty
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+
+    "q39_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  FLOOR(epoch(ts))::BIGINT AS sec FROM events),
+        |pu AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN sec END) AS t1,
+        |  min(CASE WHEN event_type = 'view' THEN sec END) AS t2,
+        |  min(CASE WHEN event_type = 'click' THEN sec END) AS t3,
+        |  min(CASE WHEN event_type = 'purchase' THEN sec END) AS t4
+        | FROM e GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM pu""".stripMargin,
 
     "q36_zorder" -> {
       // bit-interleave replayed literally: bit b of bucket d lands at

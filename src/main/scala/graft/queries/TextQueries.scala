@@ -224,6 +224,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // stratified sampling: fixed per-language rates (downsample the
+    // over-represented strata), decided by the same deterministic
+    // md5-uniform as pipe_sample_weighted — replayable across engines,
+    // retries and re-runs, unlike sampleBy's rand(). Pure scan-side
+    // filter: no shuffle, no per-stratum pass
+    "pipe_stratified" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "zh", 0.25).otherwise(1.0)
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") / lit(65536.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), rate.as("rate"))
+        .where(u < col("rate"))
+        .orderBy("doc_id")
+    },
+
+    // bigram language model: P(w2|w1) = c(w1 w2)/c(w1) for the top
+    // bigrams. Two linear counting shuffles (bigrams, unigrams) + one
+    // equi-join on the first word — the n-gram-LM estimation shape; at
+    // 100 TB both counts are partial-agg friendly and the join shuffles
+    // on vocabulary keys, never on documents
+    "ta_ngram_lm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(explode(Text.tokens(col("text"))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bi = graft.operators.Dedup.shingleRowsAll(docs, "doc_id", "text", 2)
+        .groupBy(col("s").as("bigram")).agg(count(lit(1)).as("c12"))
+      bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(uni, "w1")
+        .select(col("bigram"), col("c12"), col("c1"),
+          (col("c12").cast("double") / col("c1")).as("p_cond"))
+        .orderBy(col("c12").desc, col("bigram"))
+        .limit(20)
+    },
+
     // contiguous sequence packing: docs in (lang, doc_id) order fill
     // 256-token bins; bin = floor(exclusive-prefix-tokens / cap), so a doc
     // straddling a boundary overflows its bin (greedy contiguous packing).
@@ -517,6 +552,30 @@ object TextQueries {
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
          |      / 65536.0 < least(len($toksSql) / 200.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipe_stratified" ->
+      """SELECT doc_id, lang,
+        | CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.25
+        |           ELSE 1.0 END AS DOUBLE) AS rate
+        |FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |      / 65536.0 < CASE WHEN lang = 'en' THEN 0.5
+        |                       WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "ta_ngram_lm" ->
+      s"""WITH uni AS (
+         |  SELECT unnest($toksSql) AS w1 FROM documents),
+         |uc AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+         |b AS (
+         |  SELECT [array_to_string(list_slice(t, i, i + 1), ' ')
+         |          for i in generate_series(1, len(t) - 1)] AS bg
+         |  FROM (SELECT $toksSql AS t FROM documents) WHERE len(t) >= 2),
+         |bc AS (SELECT bigram, COUNT(*) AS c12
+         |  FROM (SELECT unnest(bg) AS bigram FROM b) GROUP BY bigram)
+         |SELECT bigram, c12, c1, c12::DOUBLE / c1 AS p_cond
+         |FROM bc JOIN uc ON string_split(bigram, ' ')[1] = uc.w1
+         |ORDER BY c12 DESC, bigram LIMIT 20""".stripMargin,
 
     "pipe_pack_bins" ->
       s"""SELECT doc_id, lang, len($toksSql) AS n_tokens,

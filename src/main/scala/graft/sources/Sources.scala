@@ -43,6 +43,30 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** XML sink/source (Spark 4 native XML data source; one row per
+    * `rowTag` element). Reads take an explicit schema like every other
+    * source here — XML inference is a full extra pass.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
+
+  /** Schema-evolution read: union the (compatible) schemas of every
+    * parquet file under `path`, filling columns absent from older files
+    * with NULL. Footer-merge is metadata work on the driver — no data
+    * pass — so an evolving table keeps its full history readable without
+    * a rewrite. recursiveFileLookup picks up non-partition subdirectories
+    * (each ingest epoch writing its own dir is the common layout).
+    */
+  def readParquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(path)
+
   /** Bucketed catalog table: rows hash-partitioned into `nBuckets` files
     * per partition by `bucketCols`, sorted within each bucket. Two tables
     * bucketed the same way equi-join on the bucket columns WITHOUT a
