@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{BatchEnrich, Cdc, EtlOps, NameRuleEnricher}
+import graft.operators.{BatchEnrich, Cdc, EtlOps, IncrementalAgg, NameRuleEnricher}
 import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -327,6 +327,29 @@ object Etl {
         .orderBy("r_regionkey")
     },
 
+    // incremental aggregate maintenance: the stored per-customer rollup
+    // absorbs a new batch WITHOUT re-reading history — state ⟗ delta on
+    // the key, measures merged as monoids (the materialized-view upkeep
+    // shape; exact decimal sums so merge order can't change the hash).
+    // The oracle recomputes from scratch — merge ≡ recompute is the claim
+    "etl_incr_agg" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def rollup(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(8,2)")).as("total"),
+          max(col("o_totalprice").cast("decimal(8,2)")).as("max_price"))
+      val state = rollup(o.where(col("o_orderkey") % 3 =!= 0))
+      val delta = rollup(o.where(col("o_orderkey") % 3 === 0))
+      IncrementalAgg.merge(state, delta, Seq("o_custkey"),
+        Seq("n_orders" -> IncrementalAgg.MergeSum,
+          "total" -> IncrementalAgg.MergeSum,
+          "max_price" -> IncrementalAgg.MergeMax))
+        .select(col("o_custkey"), col("n_orders"),
+          col("total").cast("double").as("total"),
+          col("max_price").cast("double").as("max_price"))
+        .orderBy("o_custkey")
+    },
+
     // schema evolution: two ingest epochs write different schemas (the
     // second adds a column); a mergeSchema read unions them, NULL-filling
     // the column history never had. Footer merge is driver metadata work —
@@ -459,6 +482,12 @@ object Etl {
 
     "src_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "etl_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS total,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "src_merge_schema" ->
       """SELECT o_orderkey, o_totalprice,

@@ -115,6 +115,29 @@ class QualityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("etl_incr_agg: folding batches one at a time equals the full recompute") {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(spark, dir)
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(8,2)")).as("total"),
+        max(col("o_totalprice").cast("decimal(8,2)")).as("max_price"))
+    val ops = Seq("n_orders" -> IncrementalAgg.MergeSum,
+      "total" -> IncrementalAgg.MergeSum, "max_price" -> IncrementalAgg.MergeMax)
+    // three sequential deltas folded into state, vs one-shot recompute
+    val folded = (1 until 4).map(i => rollup(o.where(col("o_orderkey") % 4 === i)))
+      .foldLeft(rollup(o.where(col("o_orderkey") % 4 === 0))) { (st, dl) =>
+        IncrementalAgg.merge(st, dl, Seq("o_custkey"), ops)
+      }
+    val full = rollup(o)
+    // merge widens decimal precision per fold — compare on doubles
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_custkey"), col("n_orders"),
+        col("total").cast("double"), col("max_price").cast("double"))
+    assert(norm(folded).exceptAll(norm(full)).isEmpty)
+    assert(folded.count() == full.count())
+  }
+
   test("src_xml_roundtrip: round-trips the region table exactly") {
     val out = SparkEntry.queries("src_xml_roundtrip")(spark, dir).collect()
       .map(r => (r.getAs[Int]("r_regionkey"), r.getAs[String]("r_name")))
