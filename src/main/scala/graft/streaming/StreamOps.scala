@@ -124,6 +124,35 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming materialized-view upkeep — the continuous form of
+    * `IncrementalAgg.merge`: each micro-batch is reduced by `rollup`
+    * (an aggregation to the state schema) and merged into the maintained
+    * state measure-wise; history is never re-aggregated. Merged measures
+    * are cast back to the state's declared types so the schema stays
+    * fixed across unbounded batches (decimal sums would otherwise widen
+    * one digit of precision per merge; size the state's decimals with
+    * headroom — ANSI mode errors loudly if they ever overflow). In
+    * production the state is a bucketed stored table (read + MERGE per
+    * batch, delta-only shuffle); here it folds in memory with flat
+    * lineage via localCheckpoint, as applyChangelogStream does.
+    */
+  def maintainAggregateStream(rows: DataFrame, initial: DataFrame,
+                              keys: Seq[String],
+                              rollup: DataFrame => DataFrame,
+                              measures: Seq[(String, graft.operators.IncrementalAgg.MergeOp)])
+                             (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = initial.schema
+    var state = initial.localCheckpoint(true)
+    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val merged = graft.operators.IncrementalAgg
+        .merge(state, rollup(batch), keys, measures)
+      state = merged
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+        .localCheckpoint(true)
+      onUpdate(state)
+    }.start()
+  }
+
   /** Stream → partitioned parquet data lake: append sink with a
     * checkpoint (exactly-once via the file-sink commit log) partitioned
     * by `partitionCols`. The partition columns should be low-cardinality

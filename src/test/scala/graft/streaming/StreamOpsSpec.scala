@@ -402,6 +402,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainAggregateStream: folded state equals a one-shot recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IncrementalAgg
+    val in = MemoryStream[(Long, Double)]
+    def rollup(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(8,2)")).cast("decimal(18,2)").as("total"),
+          max(col("v").cast("decimal(8,2)")).cast("decimal(18,2)").as("mx"))
+    val empty = rollup(Seq.empty[(Long, Double)].toDF("k", "v"))
+    @volatile var state: org.apache.spark.sql.DataFrame = empty
+    val q = StreamOps.maintainAggregateStream(
+      in.toDF().toDF("k", "v"), empty, Seq("k"), rollup,
+      Seq("n" -> IncrementalAgg.MergeSum, "total" -> IncrementalAgg.MergeSum,
+        "mx" -> IncrementalAgg.MergeMax))(st => state = st)
+    val all = Seq(1L -> 10.5, 2L -> 3.25, 1L -> 0.25, 3L -> 7.0,
+      2L -> 100.0, 1L -> 2.0)
+    try {
+      all.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val folded = state.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue()))
+      val full = rollup(all.toDF("k", "v")).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue()))
+      assert(folded.toSeq == full.toSeq)
+      // schema must not widen across merges — the state keeps its types
+      // (nullability legitimately relaxes through the full-outer merge)
+      assert(state.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        empty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals the batch twin on real event data") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800L
