@@ -72,6 +72,48 @@ object QualityQueries {
         .select(lit("ri_lineitem_has_order").as("rule"),
           col("v").as("n_violations"), col("n").as("n_checked"))
       oAgg.unionByName(lAgg).unionByName(ri).orderBy("rule")
+    },
+
+    // feed-volume anomaly detection: hours whose event count exceeds
+    // mean + 2σ of that type's hourly counts. Counts and power sums are
+    // exact LONGs (one partial-agg pass over the hourly rollup), the
+    // threshold is per-group double arithmetic after — the q37/q38
+    // determinism pattern on a time series. The per-type stats are a
+    // bounded broadcast (one row per event type)
+    "dq_anomaly" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"))
+        .groupBy(col("event_type"), col("hour_sec"))
+        .agg(count(lit(1)).as("n_events"))
+      val st = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_events")).as("sx"),
+          sum(col("n_events") * col("n_events")).as("sxx"))
+      val dsx = col("sx").cast("double")
+      val dsxx = col("sxx").cast("double")
+      val thresh = dsx / col("cnt") +
+        lit(2.0) * sqrt((dsxx - dsx * dsx / col("cnt")) / (col("cnt") - lit(1)))
+      hourly.join(broadcast(st), Seq("event_type"))
+        .where(col("n_events") > thresh)
+        .select(col("event_type"), col("hour_sec"), col("n_events"))
+        .orderBy("event_type", "hour_sec")
+    },
+
+    // bad-row routing (the dead-letter-queue shape): rows failing any
+    // expectation are materialized WITH their reasons — dq_rules counts
+    // violations, this quarantines them. One codegen'd scan-transform
+    // pass; concat_ws skips the NULL branches so reasons compose without
+    // a per-rule pass
+    "etl_quarantine" -> { (s, dir) =>
+      val reasons = concat_ws(",",
+        when(col("l_quantity") > 45, "qty_high"),
+        when(col("l_discount") > 0.08, "disc_high"),
+        when(col("l_tax") > 0.07, "tax_high"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), reasons.as("reasons"))
+        .where(col("reasons") =!= "")
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 
@@ -124,6 +166,37 @@ object QualityQueries {
         |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(*)
         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "dq_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, FLOOR(epoch(date_trunc('hour', ts)))::BIGINT AS hour_sec,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY event_type, hour_sec),
+        |st AS (
+        |  SELECT event_type, count(*) AS cnt,
+        |    CAST(sum(n_events) AS BIGINT) AS sx,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour_sec, h.n_events
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE h.n_events >
+        |  CAST(sx AS DOUBLE) / cnt +
+        |  2.0 * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt)
+        |             / (cnt - 1))
+        |ORDER BY event_type, hour_sec""".stripMargin,
+
+    "etl_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        | concat_ws(',',
+        |   CASE WHEN l_quantity > 45 THEN 'qty_high' END,
+        |   CASE WHEN l_discount > 0.08 THEN 'disc_high' END,
+        |   CASE WHEN l_tax > 0.07 THEN 'tax_high' END) AS reasons
+        |FROM lineitem
+        |WHERE concat_ws(',',
+        |   CASE WHEN l_quantity > 45 THEN 'qty_high' END,
+        |   CASE WHEN l_discount > 0.08 THEN 'disc_high' END,
+        |   CASE WHEN l_tax > 0.07 THEN 'tax_high' END) != ''
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -115,6 +115,36 @@ class QualityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_anomaly: flags only above-mean hours, and only a minority of them") {
+    val flagged = SparkEntry.queries("dq_anomaly")(spark, dir).collect()
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .groupBy("event_type", "h").count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    flagged.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val counts = hourly(t).map(_.getAs[Long]("count"))
+      val mean = counts.sum.toDouble / counts.length
+      assert(r.getAs[Long]("n_events") > mean, s"flagged hour not above mean for $t")
+    }
+    val totalHours = hourly.values.map(_.length).sum
+    assert(flagged.length > 0 && flagged.length < totalHours / 4,
+      s"${flagged.length} of $totalHours flagged — threshold not selective")
+  }
+
+  test("etl_quarantine: exactly the violating rows, with correct reasons") {
+    val out = SparkEntry.queries("etl_quarantine")(spark, dir).collect()
+    val direct = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 45 || col("l_discount") > 0.08 || col("l_tax") > 0.07)
+      .count()
+    assert(out.length.toLong == direct)
+    out.foreach { r =>
+      val reasons = r.getAs[String]("reasons").split(",").toSet
+      assert(reasons.nonEmpty && reasons.subsetOf(Set("qty_high", "disc_high", "tax_high")))
+    }
+  }
+
   test("etl_incr_agg: folding batches one at a time equals the full recompute") {
     import graft.operators.IncrementalAgg
     val o = Tables.orders(spark, dir)
