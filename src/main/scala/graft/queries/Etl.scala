@@ -327,6 +327,28 @@ object Etl {
         .orderBy("r_regionkey")
     },
 
+    // robust ingest: a feed with malformed rows (bad types) read in
+    // PERMISSIVE mode — parseable fields survive, busted fields NULL,
+    // the raw line captured for quarantine. Every 5th nation row is
+    // written deliberately broken; the oracle replays the construction
+    "src_csv_malformed" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_csv_malformed"
+      val lines = Tables.nation(s, dir).select(
+        when(col("n_nationkey") % 5 === 0,
+          concat(lit("notanint,"), col("n_name"), lit(",x")))
+          .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))).as("value"))
+      Sources.writeText(lines, out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("bad_line", StringType)))
+      Sources.readCsvPermissive(s, out, schema, "bad_line")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("bad_line"))
+        .orderBy("n_name")
+    },
+
     // incremental aggregate maintenance: the stored per-customer rollup
     // absorbs a new batch WITHOUT re-reading history — state ⟗ delta on
     // the key, measures merged as monoids (the materialized-view upkeep
@@ -482,6 +504,14 @@ object Etl {
 
     "src_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "src_csv_malformed" ->
+      """SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS n_nationkey,
+        | n_name,
+        | CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey,
+        | CASE WHEN n_nationkey % 5 = 0 THEN 'notanint,' || n_name || ',x'
+        |      ELSE NULL END AS bad_line
+        |FROM nation ORDER BY n_name""".stripMargin,
 
     "etl_incr_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,

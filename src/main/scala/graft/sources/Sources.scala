@@ -43,6 +43,22 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Malformed-tolerant CSV read (PERMISSIVE): fields that fail to parse
+    * come back NULL and the raw line lands in `corruptCol` (which must be
+    * a StringType field of `schema`). The ingest never aborts on a bad
+    * row — quarantine `corruptCol IS NOT NULL` downstream. At 100 TB a
+    * FAILFAST read of a feed with one bad line loses the whole job;
+    * this is the robust-ingest default.
+    */
+  def readCsvPermissive(spark: SparkSession, path: String, schema: StructType,
+                        corruptCol: String): DataFrame =
+    spark.read
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema)
+      .csv(path)
+
   /** XML sink/source (Spark 4 native XML data source; one row per
     * `rowTag` element). Reads take an explicit schema like every other
     * source here — XML inference is a full extra pass.

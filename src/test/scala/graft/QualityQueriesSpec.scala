@@ -168,6 +168,20 @@ class QualityQueriesSpec extends SparkSpec {
     assert(folded.count() == full.count())
   }
 
+  test("src_csv_malformed: bad rows keep parseable fields and capture the raw line") {
+    val rows = SparkEntry.queries("src_csv_malformed")(spark, dir).collect()
+    assert(rows.length == Tables.nation(spark, dir).count())
+    val (bad, good) = rows.partition(r => !r.isNullAt(r.fieldIndex("bad_line")))
+    assert(bad.nonEmpty && good.nonEmpty)
+    bad.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("n_nationkey"))) // busted int field
+      assert(r.isNullAt(r.fieldIndex("n_regionkey")))
+      assert(r.getAs[String]("n_name") != null)       // parseable field survives
+      assert(r.getAs[String]("bad_line").startsWith("notanint,"))
+    }
+    good.foreach(r => assert(!r.isNullAt(r.fieldIndex("n_nationkey"))))
+  }
+
   test("src_xml_roundtrip: round-trips the region table exactly") {
     val out = SparkEntry.queries("src_xml_roundtrip")(spark, dir).collect()
       .map(r => (r.getAs[Int]("r_regionkey"), r.getAs[String]("r_name")))
