@@ -86,6 +86,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("dq_anomaly/q37/q38: per-group stats joins broadcast the bounded stats side") {
+    for (name <- Seq("dq_anomaly", "q37_outliers")) {
+      val plan = executedPlan(name)
+      val broadcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(broadcasts.nonEmpty, s"$name: stats side (one row per group) not broadcast")
+    }
+  }
+
+  test("dq_profile: each union branch reads exactly its own column") {
+    val sc = scans(executedPlan("dq_profile"))
+    assert(sc.size == 3)
+    val reads = sc.map(_.requiredSchema.fieldNames.toSet)
+    assert(reads.forall(_.size == 1), s"branch reads more than its column: $reads")
+    assert(reads.flatten.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  test("etl_quarantine: expectation predicate is pushed into the scan") {
+    val scan = scans(executedPlan("etl_quarantine")).head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_discount", "l_tax"), s"read schema not pruned: $readCols")
+  }
+
   test("q13/q14 events queries scan without reading the props column") {
     for (name <- Seq("q13_events_hourly", "q14_sessionize", "q15_running_total")) {
       val sc = scans(executedPlan(name))
