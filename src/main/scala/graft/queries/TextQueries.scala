@@ -142,6 +142,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // tokenize-to-ids: the materialization step after the vocab commit —
+    // every token becomes its vocab id (OOV = -1), exploded to
+    // (doc, position, id) so every value is oracle-checked. The vocab is
+    // bounded (top-V, fully tie-broken) and broadcasts; the token stream
+    // maps in one linear pass — at 100 TB this is the id-corpus write
+    // that feeds sequence packing (pipe_pack_bins)
+    "pipe_tokenize_ids" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(16)
+      // 16-row window: the single-task sort is the bounded vocab, never data
+      val vocab = counts
+        .withColumn("token_id",
+          (row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+            .cast("int"))
+        .select(col("token"), col("token_id"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(-1)).as("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+
     // repeated-token ratio — the classic repetition quality signal for
     // training corpora (1 - distinct/total); narrow per-row map, no shuffle
     "ta_repetition" -> { (s, dir) =>
@@ -454,6 +480,20 @@ object TextQueries {
          | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS oov_rate
          |FROM toks LEFT JOIN v ON toks.token = v.token
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_tokenize_ids" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |pt AS (SELECT doc_id,
+         |  unnest([{'pos': i, 'tok': t[i]} for i in generate_series(1, len(t))]) AS s
+         |  FROM tk),
+         |toks AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM pt),
+         |v AS (SELECT token,
+         |  (ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1)::INT AS token_id
+         |  FROM (SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+         |        ORDER BY n DESC, token LIMIT 16))
+         |SELECT toks.doc_id, toks.pos, COALESCE(v.token_id, -1) AS token_id
+         |FROM toks LEFT JOIN v ON toks.token = v.token
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "pipe_corpus_clean" ->
       s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,

@@ -30,6 +30,26 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pipe_tokenize_ids: ids dense in [-1, V), positions contiguous, id 0 is the modal token") {
+    val rows = SparkEntry.queries("pipe_tokenize_ids")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"), r.getAs[Int]("token_id")))
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text")))).count()
+    assert(rows.length.toLong == totalTokens)
+    assert(rows.forall { case (_, _, id) => id >= -1 && id < 16 })
+    // positions are 1..n per doc with no gaps
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // id 0 must be the single most frequent token overall (ties broken by
+    // token text, but a strict modal winner exists in this corpus)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(1).collect()
+    val modalCount = counts.head.getAs[Long]("count")
+    assert(rows.count(_._3 == 0).toLong == modalCount)
+  }
+
   test("pipe_mixture: shares sum to 1, rates bounded, sqrt damping flattens") {
     val rows = SparkEntry.queries("pipe_mixture")(spark, dir).collect()
     assert(rows.length > 1)
