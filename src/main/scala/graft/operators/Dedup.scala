@@ -87,30 +87,52 @@ object Dedup {
     * no shared shingle (jaccard 0) are naturally absent.
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    // posts feeds three branches (sizes, a-side, b-side); materialize via
-    // eager localCheckpoint so the shingle window+distinct runs once, not
-    // per branch (exchange reuse does not fire across the differently-
-    // aliased join sides). localCheckpoint, not persist: its blocks are
-    // reclaimed by the ContextCleaner once the result is dropped, so a
-    // long-lived session doesn't accumulate cache entries across calls.
+                          blockCol: String, n: Int, minJaccard: Double): DataFrame =
+    pairOverlaps(df, idCol, textCol, blockCol, n)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+
+  /** Asymmetric containment ≥ minContainment within blocks: |A∩B| / min(|A|,
+    * |B|) on distinct n-gram shingle sets. Catches a short document quoted
+    * inside a longer one — a near-dup Jaccard misses because the size
+    * difference drowns the overlap (j = |A|/|B| for full containment, but
+    * containment = 1). Same postings join, same linear scale shape.
+    */
+  def containmentPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, n: Int,
+                              minContainment: Double): DataFrame =
+    pairOverlaps(df, idCol, textCol, blockCol, n)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          least(col("a_sz"), col("b_sz"))).as("containment"))
+      .where(col("containment") >= minContainment)
+
+  /** Shared postings-join core: per pair sharing ≥1 shingle in a block,
+    * (a_id, b_id, inter, a_sz, b_sz) with a_id < b_id.
+    *
+    * posts feeds three branches (sizes, a-side, b-side); materialize via
+    * eager localCheckpoint so the shingle build runs once, not per branch
+    * (exchange reuse does not fire across the differently-aliased join
+    * sides). localCheckpoint, not persist: its blocks are reclaimed by the
+    * ContextCleaner once the result is dropped, so a long-lived session
+    * doesn't accumulate cache entries across calls.
+    */
+  private def pairOverlaps(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, n: Int): DataFrame = {
     val posts = shingleRows(df, idCol, textCol, n)
       .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
       .localCheckpoint(eager = true)
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = posts.select(col("blk").as("a_blk"), col("id").as("a_id"), col("s").as("a_s"))
     val b = posts.select(col("blk").as("b_blk"), col("id").as("b_id"), col("s").as("b_s"))
-    val inter = a.join(b, col("a_blk") === col("b_blk") && col("a_s") === col("b_s") &&
+    a.join(b, col("a_blk") === col("b_blk") && col("a_s") === col("b_s") &&
         col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") /
-          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.

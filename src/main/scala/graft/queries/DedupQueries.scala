@@ -25,6 +25,16 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // asymmetric containment: |A∩B| / min(|A|,|B|) — flags a short doc
+    // quoted inside a long one, which Jaccard structurally misses (see
+    // Dedup.containmentPairsBlocked). Threshold below the jaccard query's
+    // so the asymmetric pairs actually differ from dd_ngram_jaccard's set
+    "dd_containment" -> { (s, dir) =>
+      Dedup.containmentPairsBlocked(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 3, minContainment = 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_simhash" -> { (s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -133,6 +143,17 @@ object DedupQueries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dd_containment" ->
+      s"""WITH s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / least(len(a.sh), len(b.sh)) AS containment
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |   / least(len(a.sh), len(b.sh)) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
     // brute-force twin: LSH with (b=32, r=4) has ~1.0 recall at tau=0.8,

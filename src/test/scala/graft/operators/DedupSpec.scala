@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getAs[Long]("keep_id") == 3L)
   }
 
+  test("containment flags a short doc quoted in a long one that jaccard misses") {
+    // doc 11 is the first quarter of doc 10: containment = 1.0, but the
+    // size gap pins jaccard near |A|/|B| ≈ 0.2 — the asymmetric case
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, long, "s1"), (11L, short, "s1"),
+      (12L, "unrelated other stuff entirely different", "s1"))
+      .toDF("doc_id", "text", "source")
+    val cont = Dedup.containmentPairsBlocked(docs, "doc_id", "text", "source",
+      n = 3, minContainment = 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    val jac = Dedup.jaccardPairsBlocked(docs, "doc_id", "text", "source",
+      n = 3, minJaccard = 0.5).collect()
+    assert(jac.isEmpty, "jaccard should miss the asymmetric pair")
+  }
+
   test("minhash LSH finds every planted pair a brute-force scan finds") {
     val brute = Dedup.jaccardPairsBlocked(
       corpus.withColumn("all", lit(1)), "doc_id", "text", "all", 3, 0.5)
