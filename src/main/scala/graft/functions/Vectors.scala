@@ -38,7 +38,7 @@ object Vectors {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = toDoubleArray(vec)
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vd, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
