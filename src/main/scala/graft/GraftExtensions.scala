@@ -65,6 +65,11 @@ object GraftExtensions {
       info("top_k_agg", "top_k_agg(v, k) - aggregate: k largest bigint values, desc-sorted"),
       (args: Seq[Expression]) =>
         graft.expressions.TopKAgg(args.head, intArg(args(1), "top_k_agg: k"))),
+    ("freq_sketch",
+      info("freq_sketch",
+        "freq_sketch(item, k) - aggregate: Misra-Gries top-frequency summary, <= k counters"),
+      (args: Seq[Expression]) =>
+        graft.expressions.FreqSketchAgg(args.head, intArg(args(1), "freq_sketch: k"))),
     ("lsh_buckets",
       info("lsh_buckets",
         "lsh_buckets(v, nTables, nPlanes, dim, seed) - array<long> of LSH bucket ids"),

@@ -80,6 +80,16 @@ object StreamOps {
     events.groupBy(col(keyCol))
       .agg(graft.expressions.TopKAgg.topK(col(valueCol), k).as("topk"))
 
+  /** Update-mode running heavy hitters per key: the Misra–Gries sketch as
+    * streaming state — ≤k counters per key in the state store regardless
+    * of how many distinct items flow past (an exact streaming word count
+    * would grow state with the vocabulary).
+    */
+  def runningHeavyHitters(events: DataFrame, keyCol: String, itemCol: String,
+                          k: Int): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(graft.expressions.FreqSketchAgg.freqSketch(col(itemCol), k).as("hh"))
+
   /** Continuous CDC apply: fold a changelog STREAM into a keyed snapshot,
     * one micro-batch at a time, via foreachBatch + the batch Cdc operator.
     * `onUpdate` receives the new snapshot after each batch (in production

@@ -38,6 +38,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1L) == Seq(9L, 7L) && rows(2L) == Seq(3L))
   }
 
+  test("freq_sketch is SQL-callable and exact on a small universe") {
+    GraftExtensions.register(spark)
+    (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("item")
+      .createOrReplaceTempView("fs")
+    val out = spark.sql("SELECT freq_sketch(item, 8) AS sk FROM fs")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out == Seq("a" -> 5L, "b" -> 3L, "c" -> 1L)) // est desc, exact here
+  }
+
   test("the reference extraction pipeline runs as pure SQL") {
     GraftExtensions.register(spark)
     Seq(("Sagen er Anbefalet af raadet", "Godkendt den 3. maj 2024",

@@ -290,6 +290,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningHeavyHitters: MG sketch state accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val hh = StreamOps.runningHeavyHitters(in.toDF().toDF("k", "item"), "k", "item", k = 4)
+    val q = hh.writeStream.format("memory").queryName("rhh")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq.fill(5)(1L -> "hot") ++ Seq((1L, "x"), (2L, "solo")): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(4)(1L -> "hot"): _*) // state must carry the 5
+      q.processAllAvailable()
+      val last = spark.table("rhh").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => e.getString(0) -> e.getLong(1)).toMap)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last(1L)("hot") == 9L) // 5 from batch 1 + 4 from batch 2
+      assert(last(2L) == Map("solo" -> 1L))
+    } finally q.stop()
+  }
+
   test("runningTotals: update mode re-emits touched keys with new totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
