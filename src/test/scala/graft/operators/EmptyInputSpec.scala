@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Empty-input robustness: a daily pipeline WILL eventually see an empty
+  * partition (a quiet source, an over-selective filter). Every operator
+  * must return an empty (or identity) result, not throw — an aborted DAG
+  * at 3am over zero rows is the classic production page.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private def someDocs = Seq((1L, "a b c d e f", "s1")).toDF("doc_id", "text", "source")
+
+  test("dedup family: empty corpus yields empty results") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.keepFirst(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.jaccardPairsBlocked(emptyDocs, "doc_id", "text", "source", 3, 0.3).isEmpty)
+    assert(Dedup.containmentPairsBlocked(emptyDocs, "doc_id", "text", "source", 3, 0.5).isEmpty)
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text", 0.8).isEmpty)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("incremental dedup: empty batch against a real index, and vice versa") {
+    val index = Dedup.dedupIndex(someDocs, "doc_id", "text")
+    assert(Dedup.incrementalSurvivors(emptyDocs, index, "doc_id", "text").isEmpty)
+    val emptyIndex = Dedup.dedupIndex(emptyDocs, "doc_id", "text")
+    assert(Dedup.incrementalSurvivors(someDocs, emptyIndex, "doc_id", "text").count() == 1)
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(ConnectedComponents.labels(noPairs, "a_id", "b_id").isEmpty)
+  }
+
+  test("as-of join: empty right side keeps lefts with NULL fills; empty left is empty") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "rv")
+    val out = AsOfJoin.asofLast(left, right, "k", "t", "t").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("rv")))
+    val noLeft = Seq.empty[(Long, Long, String)].toDF("k", "t", "lv")
+    val someRight = Seq((1L, 5L, 2.0)).toDF("k", "t", "rv")
+    assert(AsOfJoin.asofLast(noLeft, someRight, "k", "t", "t").isEmpty)
+  }
+
+  test("CDC: empty changelog is identity; empty snapshot takes upserts") {
+    val snap = Seq((1L, "a")).toDF("k", "name")
+    val noChanges = Seq.empty[(Long, String, Long, String)].toDF("k", "name", "seq", "op")
+    assert(Cdc.applyChangelog(snap, noChanges, "k", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    val emptySnap = Seq.empty[(Long, String)].toDF("k", "name")
+    val changes = Seq((2L, "b", 1L, "U")).toDF("k", "name", "seq", "op")
+    assert(Cdc.applyChangelog(emptySnap, changes, "k", "seq", "op").count() == 1)
+  }
+
+  test("incremental agg: empty delta is identity; empty state takes the delta") {
+    val state = Seq((1L, 2L, 30L)).toDF("k", "n", "total")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "n", "total")
+    val ops = Seq("n" -> IncrementalAgg.MergeSum, "total" -> IncrementalAgg.MergeSum)
+    assert(IncrementalAgg.merge(state, empty, Seq("k"), ops)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 30L)))
+    assert(IncrementalAgg.merge(empty, state, Seq("k"), ops).count() == 1)
+  }
+
+  test("sessionize and z-order survive empty inputs") {
+    val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "sec", "event_id")
+    assert(Sessionize.sessions(noEvents, "user_id", "sec", "event_id", 1800L).isEmpty)
+    val noRows = Seq.empty[(Long, Long)].toDF("t", "u")
+    assert(ZOrder.withZValue(noRows, Seq("t" -> col("t"), "u" -> col("u")), bits = 8).isEmpty)
+  }
+
+  test("global rank over an empty table is empty") {
+    val noRows = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(GlobalRank.withGlobalRank(noRows, Seq(col("v"), col("id"))).isEmpty)
+  }
+}
