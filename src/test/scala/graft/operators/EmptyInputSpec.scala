@@ -73,6 +73,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(ZOrder.withZValue(noRows, Seq("t" -> col("t"), "u" -> col("u")), bits = 8).isEmpty)
   }
 
+  test("NULL text: dedup and text functions drop or null out, never throw") {
+    val docs = Seq((1L, "a b c d", "s1"), (2L, null, "s1"), (3L, "a b c d", "s1"))
+      .toDF("doc_id", "text", "source")
+    // NULL text can't fingerprint — exact dedup must still pair 1 and 3
+    val kept = Dedup.keepFirst(docs, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(1L) && !kept.contains(3L))
+    val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text", "source", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 3L)))
+    val stats = docs.select(graft.functions.Text.tokenStats(col("text")).as("ts"))
+      .collect()
+    assert(stats.length == 3) // null row evaluates to null stats, no crash
+  }
+
   test("global rank over an empty table is empty") {
     val noRows = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(GlobalRank.withGlobalRank(noRows, Seq(col("v"), col("id"))).isEmpty)
