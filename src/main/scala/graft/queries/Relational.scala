@@ -376,6 +376,24 @@ object Relational {
         .orderBy("event_type", "hour_sec")
     },
 
+    // rank/dense_rank over genuine ties + navigation (lead, first_value):
+    // the gap in the window surface the other queries don't hit. Ties
+    // rank over the DATE ALONE (tied rows share the rank value, so the
+    // result is deterministic); navigation uses the fully-tiebroken order
+    "q40_rank_nav" -> { (s, dir) =>
+      val wTies = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"))
+      val wFull = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          lead(col("o_orderkey"), 1).over(wFull).as("next_key"),
+          first(col("o_orderkey")).over(wFull).as("first_key"))
+        .orderBy("o_orderkey")
+    },
+
     // distributed statistical aggregates WITHOUT float merge-order drift:
     // corr/stddev over doubles hash-mismatch across engines because the
     // partial-merge tree orders the additions differently. Here the ONE
@@ -856,6 +874,16 @@ object Relational {
         |WHERE o.o_totalprice >
         |  sx / n + 1.5 * sqrt((sxx - sx * sx / n) / (n - 1))
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q40_rank_nav" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS rnk,
+        | dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS drnk,
+        | lead(o_orderkey, 1) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_orderdate, o_orderkey) AS next_key,
+        | first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_orderdate, o_orderkey) AS first_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q38_corr_stats" ->
       """WITH st AS (SELECT l_returnflag, COUNT(*) AS n,
