@@ -327,6 +327,23 @@ object Etl {
         .orderBy("r_regionkey")
     },
 
+    // text normalization (the reference strips and normalizes scraped
+    // header text before matching): case-fold, drop punctuation, collapse
+    // whitespace runs, trim — one codegen'd per-row pass, no shuffle.
+    // Messy input synthesized deterministically so the oracle replays it
+    "etl_normalize_text" -> { (s, dir) =>
+      val messy = concat(
+        when(col("o_orderkey") % 2 === 0, "  ").otherwise(""),
+        upper(col("o_orderpriority")), lit("  --  "),
+        col("o_orderstatus"), lit(".,;  "),
+        when(col("o_orderkey") % 3 === 0, "extra   SPACES  here").otherwise("ok"))
+      val normalized = trim(regexp_replace(
+        regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), normalized.as("normalized"))
+        .orderBy("o_orderkey")
+    },
+
     // robust ingest: a feed with malformed rows (bad types) read in
     // PERMISSIVE mode — parseable fields survive, busted fields NULL,
     // the raw line captured for quarantine. Every 5th nation row is
@@ -504,6 +521,18 @@ object Etl {
 
     "src_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "etl_normalize_text" ->
+      """WITH m AS (SELECT o_orderkey,
+        |  (CASE WHEN o_orderkey % 2 = 0 THEN '  ' ELSE '' END) ||
+        |  upper(o_orderpriority) || '  --  ' || o_orderstatus || '.,;  ' ||
+        |  (CASE WHEN o_orderkey % 3 = 0 THEN 'extra   SPACES  here'
+        |        ELSE 'ok' END) AS messy
+        | FROM orders)
+        |SELECT o_orderkey,
+        | trim(regexp_replace(regexp_replace(lower(messy), '[^a-z0-9 ]', '', 'g'),
+        |                     ' +', ' ', 'g')) AS normalized
+        |FROM m ORDER BY o_orderkey""".stripMargin,
 
     "src_csv_malformed" ->
       """SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS n_nationkey,
