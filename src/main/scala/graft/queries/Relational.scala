@@ -376,6 +376,26 @@ object Relational {
         .orderBy("event_type", "hour_sec")
     },
 
+    // date arithmetic at scale: order→ship latency in days (datediff on
+    // the joined fact pair), exact integer day counts aggregated per
+    // priority; the shuffle is the fact-fact join on the order key, avg
+    // derives from exact long sums
+    "q41_ship_latency" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ordered"),
+          col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("ship"), col("ordered")).cast("long").as("lat"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("lat")).as("min_days"), max(col("lat")).as("max_days"),
+          (sum(col("lat")).cast("double") / count(lit(1))).as("avg_days"))
+        .orderBy("o_orderpriority")
+    },
+
     // rank/dense_rank over genuine ties + navigation (lead, first_value):
     // the gap in the window surface the other queries don't hit. Ties
     // rank over the DATE ALONE (tied rows share the rank value, so the
@@ -874,6 +894,17 @@ object Relational {
         |WHERE o.o_totalprice >
         |  sx / n + 1.5 * sqrt((sxx - sx * sx / n) / (n - 1))
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q41_ship_latency" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+        |                    CAST(l_shipdate AS DATE))) AS BIGINT) AS min_days,
+        | CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+        |                    CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days,
+        | CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |                    CAST(l_shipdate AS DATE))) AS DOUBLE) / COUNT(*) AS avg_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q40_rank_nav" ->
       """SELECT o_orderkey, o_orderpriority,
