@@ -16,6 +16,12 @@ object StreamOps {
   // NOT private: Spark's state-encoder codegen needs public accessors
   case class SessionState(nEvents: Long, startSec: Long, endSec: Long)
   case class DocSig(id: Long, sig: Long)
+  case class AsofLeft(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class AsofRight(key: Long, ts: java.sql.Timestamp, rate: Double)
+  case class AsofOut(key: Long, sec: Long, value: Double, rate: Option[Double])
+  case class AsofIn(side: Int, key: Long, ts: java.sql.Timestamp, v: Double)
+  case class AsofJoinState(rights: List[(Long, Double)],
+                           lefts: List[(Long, Double)])
   case class DupPair(aId: Long, bId: Long, hamming: Int)
   case class MinHashPair(aId: Long, bId: Long, estJaccard: Double)
   case class CosinePair(aId: Long, bId: Long, cosine: Double)
@@ -485,6 +491,65 @@ object StreamOps {
     }
     state.update(members)
     out.iterator
+  }
+
+  /** Streaming AS-OF join (stream-stream), which Spark has no native
+    * operator for: each left event joins the LATEST right row with
+    * right.ts <= left.ts for its key — the continuous form of
+    * AsOfJoin.asofLast / the native batch operator.
+    *
+    * Correctness from the shared watermark: a left is emitted only once
+    * the watermark passes its event time, at which point every right row
+    * at-or-before that time has provably arrived — late-but-in-watermark
+    * rows on either side reorder freely without changing the answer
+    * (asserted equal to the batch twin in the spec).
+    *
+    * State per key: lefts not yet past the watermark (bounded by the
+    * watermark horizon) + right rows newer than the watermark plus ONE
+    * latest right at-or-before it (the as-of carry). The carry is the
+    * inherent floor for as-of enrichment — one row per key, like any
+    * keyed latest-value cache; everything else is watermark-pruned.
+    */
+  def asofJoinStream(lefts: Dataset[AsofLeft], rights: Dataset[AsofRight],
+                     delay: String = "10 seconds"): Dataset[AsofOut] = {
+    val spark = lefts.sparkSession
+    import spark.implicits._
+    val unioned = lefts.map(l => AsofIn(1, l.key, l.ts, l.value))
+      .unionByName(rights.map(r => AsofIn(0, r.key, r.ts, r.rate)))
+      .withWatermark("ts", delay)
+    unioned.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofJoinState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[AsofJoinState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          var st = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            it.foreach { x =>
+              val sec = x.ts.getTime / 1000
+              st = if (x.side == 1) st.copy(lefts = (sec, x.v) :: st.lefts)
+              else st.copy(rights = (sec, x.v) :: st.rights)
+            }
+          }
+          val (ready, pending) = st.lefts.partition(_._1 <= wmSec)
+          val out = ready.sortBy(identity).map { case (lsec, lv) =>
+            val matches = st.rights.filter(_._1 <= lsec)
+            val rate = if (matches.isEmpty) None
+            else Some(matches.maxBy(identity)._2) // latest; value-tiebroken
+            AsofOut(key, lsec, lv, rate)
+          }
+          // prune rights to (latest at-or-before watermark) + in-flight
+          val (past, future) = st.rights.partition(_._1 <= wmSec)
+          val kept = (if (past.isEmpty) Nil else List(past.maxBy(identity))) ::: future
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofJoinState(kept, pending))
+            // wake this key when the watermark passes its oldest pending
+            // left (pending secs are > wmSec, so the timestamp is legal)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min * 1000 + 1)
+          }
+          out.iterator
+      }
   }
 
   /** Gap-based sessionization with flatMapGroupsWithState — streaming twin

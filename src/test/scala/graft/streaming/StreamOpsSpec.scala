@@ -422,6 +422,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStream equals the batch as-of join under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{AsofLeft, AsofRight}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val lIn = MemoryStream[AsofLeft]
+    val rIn = MemoryStream[AsofRight]
+    val q = StreamOps.asofJoinStream(lIn.toDS(), rIn.toDS(), "5 seconds")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    // the real rows (key 1 and 2); key 99 only advances the watermark
+    val lefts = Seq((1L, 5L, 10.0), (1L, 12L, 11.0), (1L, 20L, 12.0),
+      (2L, 30L, 20.0), (1L, 25L, 13.0))
+    val rights = Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 15L, 9.0))
+    try {
+      rIn.addData(AsofRight(1L, ts(10), 1.0))
+      lIn.addData(AsofLeft(1L, ts(5), 10.0), AsofLeft(1L, ts(12), 11.0))
+      q.processAllAvailable()
+      rIn.addData(AsofRight(1L, ts(11), 2.0), AsofRight(2L, ts(15), 9.0))
+      lIn.addData(AsofLeft(1L, ts(20), 12.0))
+      q.processAllAvailable()
+      lIn.addData(AsofLeft(2L, ts(30), 20.0), AsofLeft(1L, ts(25), 13.0))
+      q.processAllAvailable()
+      // advance the watermark well past every left, twice (emission runs
+      // the batch AFTER the watermark advances)
+      Seq(1000L, 2000L).foreach { t =>
+        lIn.addData(AsofLeft(99L, ts(t), 0.0))
+        rIn.addData(AsofRight(99L, ts(t), 0.0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("asof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .filter(_._1 != 99L).toSet
+      val batchOut = graft.operators.AsOfJoin.asofLast(
+        lefts.toDF("key", "sec", "value"), rights.toDF("key", "sec", "rate"),
+        "key", "sec", "sec").collect()
+        .map(r => (r.getLong(0), r.getLong(r.fieldIndex("sec")),
+          r.getDouble(r.fieldIndex("value")),
+          if (r.isNullAt(r.fieldIndex("rate"))) None
+          else Some(r.getDouble(r.fieldIndex("rate"))))).toSet
+      assert(got == batchOut, s"stream $got vs batch $batchOut")
+      assert(got.exists(_._4.isEmpty)) // the pre-any-right left got NULL
+    } finally q.stop()
+  }
+
   test("maintainAggregateStream: folded state equals a one-shot recompute") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IncrementalAgg
