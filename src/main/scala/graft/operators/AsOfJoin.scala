@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: attach to each left row the latest right row with
   * rightTime <= leftTime, per key — the standard event/time-series
@@ -44,5 +46,67 @@ object AsOfJoin {
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
       .select(col("__k").as(keyCol) +: (leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c))): _*)
+  }
+
+  /** Broadcast as-of join: for a SMALL right side (a dim history — rates,
+    * configs, slowly-changing attributes), ship the whole right table to
+    * every task and binary-search it per left row. The fact side is never
+    * shuffled, never sorted, never leaves its scan stage — the correct
+    * 100 TB plan when the right side fits in memory, exactly as Spark's
+    * own BroadcastHashJoin trades a driver-side materialization of the
+    * small side for a shuffle-free big side (asserted: zero Exchange in
+    * the physical plan). Output schema and semantics match [[asofLast]]:
+    * left columns + right value columns, NULL-filled when no right row
+    * precedes. The key and time columns must be simple types; `right`
+    * must be unique per (key, time) like asofLast.
+    */
+  def asofBroadcast(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val rightVals = right.columns.filterNot(c => c == keyCol || c == rightTimeCol).toSeq
+    val leftCols = left.columns.toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"overlapping value columns: ${rightVals.intersect(leftCols).mkString(",")}")
+    val outSchema = StructType(left.schema.fields ++
+      rightVals.map(c => right.schema(c).copy(name = c, nullable = true)))
+    val keyIdx = left.schema.fieldIndex(keyCol)
+    val timeIdx = left.schema.fieldIndex(leftTimeCol)
+    // the broadcast materialization — same driver-side trade as Spark's
+    // BroadcastExchange; the caller guarantees the right side is dim-sized
+    val table: Map[Any, Array[(Long, Seq[Any])]] = right
+      .select((keyCol +: rightTimeCol +: rightVals).map(col): _*)
+      .collect()
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => (asLong(r.get(1)),
+            rightVals.indices.map(i => r.get(i + 2)): Seq[Any]))
+          .sortBy(_._1)
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(table)
+    val nulls = Seq.fill(rightVals.size)(null)
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    left.mapPartitions { it =>
+      val t = bc.value
+      it.map { row =>
+        val hist = t.getOrElse(row.get(keyIdx), Array.empty[(Long, Seq[Any])])
+        val lt = asLong(row.get(timeIdx))
+        // binary search: last entry with time <= lt
+        var lo = 0; var hi = hist.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (hist(mid)._1 <= lt) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        val rv = if (ans < 0) nulls else hist(ans)._2
+        Row.fromSeq(row.toSeq ++ rv)
+      }
+    }(enc)
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case ts: java.sql.Timestamp => ts.getTime
+    case d: java.sql.Date => d.getTime
+    case other => throw new IllegalArgumentException(
+      s"unsupported as-of time type: ${other.getClass}")
   }
 }

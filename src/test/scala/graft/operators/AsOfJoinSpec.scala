@@ -25,6 +25,30 @@ class AsOfJoinSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("broadcast as-of equals the composed operator, with ZERO exchange in the plan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+    val dim = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") % 50 === 0)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("dim_sec"))
+      .groupBy(col("user_id"), col("dim_sec"))
+      .agg(count(lit(1)).cast("double").as("rate"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "sec", "rate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val broadcasted = AsOfJoin.asofBroadcast(ev, dim, "user_id", "sec", "dim_sec")
+    assert(canon(broadcasted) ==
+      canon(AsOfJoin.asofLast(ev, dim, "user_id", "sec", "dim_sec")))
+    // the scale claim: the fact side never shuffles or sorts
+    val plan = broadcasted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fact side shuffled:\n$plan")
+    assert(!plan.toLowerCase.contains("sortexec"), "fact side sorted")
+  }
+
   test("asofLast: latest right row at or before left time, per key") {
     val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"), (3L, 5L, "t4"))
       .toDF("k", "t", "trade")
