@@ -259,6 +259,23 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // the THIRD as-of tier: broadcast the dim history, binary-search per
+    // fact row — zero exchange/sort on the fact side (plan asserted in
+    // AsOfJoinSpec); same ASOF twin oracle as q18/q27
+    "q42_asof_broadcast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+      val dim = ev.where(col("event_id") % 50 === 0)
+        .groupBy(col("user_id"), col("sec").as("dim_sec"))
+        .agg(max(col("value")).as("rate"))
+        .select(col("user_id"), col("dim_sec"), col("rate"))
+      graft.operators.AsOfJoin.asofBroadcast(
+        ev.select(col("event_id"), col("user_id"), col("sec")), dim,
+        "user_id", "sec", "dim_sec")
+        .orderBy("event_id")
+    },
+
     "q19_interval_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
@@ -770,6 +787,14 @@ object Relational {
         |ORDER BY event_id""".stripMargin,
 
     "q27_asof_native" ->
+      """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec, value FROM events),
+        |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
+        |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)
+        |SELECT e.event_id, e.user_id, e.sec, d.rate
+        |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.sec >= d.dim_sec
+        |ORDER BY event_id""".stripMargin,
+
+    "q42_asof_broadcast" ->
       """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec, value FROM events),
         |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
         |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)
