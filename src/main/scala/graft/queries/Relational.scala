@@ -287,6 +287,21 @@ object Relational {
         .orderBy("event_id", "iv_id")
     },
 
+    // broadcast tier of the interval join: the small intervals table
+    // ships whole, points binary-search it — zero exchange on the fact
+    // side (plan asserted in RangeJoinSpec); same result as q19
+    "q43_interval_broadcast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      val iv = ev.where(col("event_id") % 100 === 0)
+        .select(col("event_id").as("iv_id"), col("sec").as("iv_start"),
+          (col("sec") + 600).as("iv_end"))
+      graft.operators.RangeJoin
+        .intervalJoinBroadcast(ev, iv, "sec", "iv_start", "iv_end")
+        .select(col("event_id"), col("iv_id"))
+        .orderBy("event_id", "iv_id")
+    },
+
     "q20_cube" -> { (s, dir) =>
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -803,6 +818,14 @@ object Relational {
         |ORDER BY event_id""".stripMargin,
 
     "q19_interval_join" ->
+      """WITH e AS (SELECT event_id, FLOOR(epoch(ts))::BIGINT AS sec FROM events),
+        |iv AS (SELECT event_id AS iv_id, sec AS iv_start, sec + 600 AS iv_end
+        |       FROM e WHERE event_id % 100 = 0)
+        |SELECT e.event_id, iv.iv_id FROM e JOIN iv
+        | ON e.sec >= iv.iv_start AND e.sec <= iv.iv_end
+        |ORDER BY event_id, iv_id""".stripMargin,
+
+    "q43_interval_broadcast" ->
       """WITH e AS (SELECT event_id, FLOOR(epoch(ts))::BIGINT AS sec FROM events),
         |iv AS (SELECT event_id AS iv_id, sec AS iv_start, sec + 600 AS iv_end
         |       FROM e WHERE event_id % 100 = 0)

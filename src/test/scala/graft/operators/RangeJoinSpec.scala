@@ -18,6 +18,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast == naive && naive.nonEmpty)
   }
 
+  test("intervalJoinBroadcast equals naive, overlapping intervals, zero exchange") {
+    val points = (0L to 100L by 7).map(t => (t, t)).toDF("pid", "t")
+    // overlaps, containment, zero-length, and a gap (points matching nothing)
+    val ivs = Seq((1L, 0L, 9L), (2L, 8L, 32L), (3L, 0L, 200L), (4L, 50L, 50L),
+      (5L, 90L, 95L)).toDF("iv", "s", "e")
+    val out = RangeJoin.intervalJoinBroadcast(points, ivs, "t", "s", "e")
+    val got = out.select("pid", "iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivs, $"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && naive.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fact side shuffled:\n$plan")
+  }
+
   test("approx sketches land within tolerance of exact") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(
