@@ -339,9 +339,12 @@ object Etl {
         when(col("o_orderkey") % 3 === 0, "extra   SPACES  here").otherwise("ok"))
       val normalized = trim(regexp_replace(
         regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " "))
+      // sort-first: range-partitioner sampling re-executes the child, so
+      // sorting the narrow input keeps the regex pass single-execution
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), normalized.as("normalized"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
         .orderBy("o_orderkey")
+        .select(col("o_orderkey"), normalized.as("normalized"))
     },
 
     // robust ingest: a feed with malformed rows (bad types) read in
