@@ -408,6 +408,27 @@ object Relational {
         .orderBy("event_type", "hour_sec")
     },
 
+    // day-N retention cohorts: of the users active on day D, how many
+    // returned on D+1 / D+7. ONE distinct (user, day) pass, then a
+    // self-join on user with day arithmetic — the cohort matrix shape;
+    // both sides shuffle once on user_id, no per-day passes
+    "q44_retention" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val ret = days.select(col("user_id"), col("day").as("d0"))
+        .join(days.select(col("user_id"), col("day").as("dn")), Seq("user_id"))
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("cohort"),
+          countDistinct(when(datediff(col("dn"), col("d0")) === 1,
+            col("user_id"))).as("d1_retained"),
+          countDistinct(when(datediff(col("dn"), col("d0")) === 7,
+            col("user_id"))).as("d7_retained"))
+      ret.select(unix_timestamp(col("d0").cast("timestamp")).as("d0_sec"),
+          col("cohort"), col("d1_retained"), col("d7_retained"))
+        .orderBy("d0_sec")
+    },
+
     // date arithmetic at scale: order→ship latency in days (datediff on
     // the joined fact pair), exact integer day counts aggregated per
     // priority; the shuffle is the fact-fact join on the order key, avg
@@ -942,6 +963,17 @@ object Relational {
         |WHERE o.o_totalprice >
         |  sx / n + 1.5 * sqrt((sxx - sx * sx / n) / (n - 1))
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q44_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT FLOOR(epoch(CAST(a.day AS TIMESTAMP)))::BIGINT AS d0_sec,
+        | count(DISTINCT a.user_id) AS cohort,
+        | count(DISTINCT CASE WHEN date_diff('day', a.day, b.day) = 1
+        |                     THEN a.user_id END) AS d1_retained,
+        | count(DISTINCT CASE WHEN date_diff('day', a.day, b.day) = 7
+        |                     THEN a.user_id END) AS d7_retained
+        |FROM days a JOIN days b ON a.user_id = b.user_id
+        |GROUP BY a.day ORDER BY d0_sec""".stripMargin,
 
     "q41_ship_latency" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
