@@ -43,6 +43,20 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Dynamic partition overwrite: rewrite ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the daily/hourly
+    * incremental rewrite pattern (reprocess one day without touching the
+    * other 3650). Static overwrite mode would delete the whole table
+    * first; dynamic scopes the delete to the partitions being written.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionBy: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+
   /** Malformed-tolerant CSV read (PERMISSIVE): fields that fail to parse
     * come back NULL and the raw line lands in `corruptCol` (which must be
     * a StringType field of `schema`). The ingest never aborts on a bad

@@ -88,6 +88,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(stats.length == 3) // null row evaluates to null stats, no crash
   }
 
+  test("overwritePartitions rewrites only the touched partition") {
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val v1 = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("p", "v")
+    Sources.overwritePartitions(v1, base, Seq("p"))
+    def filesOf(p: String) = new java.io.File(s"$base/p=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val bBefore = filesOf("b")
+    Thread.sleep(1100) // mtime resolution
+    // reprocess ONLY partition a; b must remain byte-for-byte untouched
+    Sources.overwritePartitions(Seq(("a", 99L)).toDF("p", "v"), base, Seq("p"))
+    assert(filesOf("b") == bBefore, "untouched partition was rewritten")
+    val back = spark.read.parquet(base).collect()
+      .map(r => (r.getAs[String]("p"), r.getAs[Long]("v"))).toSet
+    assert(back == Set(("a", 99L), ("b", 10L)))
+  }
+
   test("global rank over an empty table is empty") {
     val noRows = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(GlobalRank.withGlobalRank(noRows, Seq(col("v"), col("id"))).isEmpty)
