@@ -75,6 +75,7 @@ object AsOfJoin {
     val table: Map[Any, Array[(Long, Seq[Any])]] = right
       .select((keyCol +: rightTimeCol +: rightVals).map(col): _*)
       .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null key/time: unmatchable
       .groupBy(_.get(0))
       .map { case (k, rows) =>
         k -> rows.map(r => (asLong(r.get(1)),
@@ -87,15 +88,20 @@ object AsOfJoin {
     left.mapPartitions { it =>
       val t = bc.value
       it.map { row =>
-        val hist = t.getOrElse(row.get(keyIdx), Array.empty[(Long, Seq[Any])])
-        val lt = asLong(row.get(timeIdx))
-        // binary search: last entry with time <= lt
-        var lo = 0; var hi = hist.length - 1; var ans = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (hist(mid)._1 <= lt) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        // NULL key or time can never match (SQL join semantics) — emit
+        // the left row NULL-filled instead of crashing the task
+        val rv = if (row.isNullAt(keyIdx) || row.isNullAt(timeIdx)) nulls
+        else {
+          val hist = t.getOrElse(row.get(keyIdx), Array.empty[(Long, Seq[Any])])
+          val lt = asLong(row.get(timeIdx))
+          // binary search: last entry with time <= lt
+          var lo = 0; var hi = hist.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (hist(mid)._1 <= lt) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans < 0) nulls else hist(ans)._2
         }
-        val rv = if (ans < 0) nulls else hist(ans)._2
         Row.fromSeq(row.toSeq ++ rv)
       }
     }(enc)

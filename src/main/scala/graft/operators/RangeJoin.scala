@@ -50,6 +50,7 @@ object RangeJoin {
     val sorted: Array[(Long, Long, Seq[Any])] = intervals
       .select((startCol +: endCol +: ivVals).map(col): _*)
       .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null bounds: unmatchable
       .map(r => (r.getLong(0), r.getLong(1), (2 until r.length).map(r.get): Seq[Any]))
       .sortBy(iv => (iv._1, iv._2))
     // prefix running max of interval ends — the backward-scan stop bound
@@ -59,6 +60,7 @@ object RangeJoin {
     points.mapPartitions { it =>
       val (ivs, ends) = bc.value
       it.flatMap { row =>
+        if (row.isNullAt(tIdx)) Iterator.empty else {
         val t = row.getLong(tIdx)
         // binary search: first index with start > t
         var lo = 0; var hi = ivs.length
@@ -74,6 +76,7 @@ object RangeJoin {
           i -= 1
         }
         out.reverse
+        }
       }
     }(enc)
   }

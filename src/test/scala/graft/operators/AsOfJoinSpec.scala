@@ -47,6 +47,16 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = broadcasted.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"fact side shuffled:\n$plan")
     assert(!plan.toLowerCase.contains("sortexec"), "fact side sorted")
+    // NULL key/time on either side: unmatchable (NULL-filled left), no crash
+    val nl = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "t", "lv")
+    val nr = Seq((Some(1L), Some(5L), 1.0), (None, Some(5L), 2.0))
+      .toDF("k", "t", "rate")
+    val out = AsOfJoin.asofBroadcast(nl, nr, "k", "t", "t").collect()
+      .map(r => (r.getAs[String]("lv"),
+        if (r.isNullAt(r.fieldIndex("rate"))) None
+        else Some(r.getDouble(r.fieldIndex("rate"))))).toSet
+    assert(out == Set(("a", Some(1.0)), ("b", None), ("c", None)))
   }
 
   test("asofLast: latest right row at or before left time, per key") {

@@ -31,6 +31,13 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == naive && naive.nonEmpty)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"fact side shuffled:\n$plan")
+    // NULL time / NULL bounds are unmatchable, not a crash
+    val nullPts = Seq((1L, Some(5L)), (2L, None)).toDF("pid", "t")
+    val nullIvs = Seq((1L, Some(0L), Some(9L)), (2L, None, Some(9L)))
+      .toDF("iv", "s", "e")
+    val nd = RangeJoin.intervalJoinBroadcast(nullPts, nullIvs, "t", "s", "e")
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 1L)))
   }
 
   test("approx sketches land within tolerance of exact") {
