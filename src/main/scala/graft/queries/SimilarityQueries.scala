@@ -99,6 +99,16 @@ object SimilarityQueries {
         .orderBy("id")
     },
 
+    // exact dedup on the binary payload (content-hash groupBy — the
+    // image/audio dedup shape: identical bytes collapse regardless of
+    // filename/metadata); keeps min id per content group like dd_exact
+    "mm_dedup" -> { (s, dir) =>
+      Media.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(md5(col("payload")).as("content_hash"))
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+
     "mm_features" -> { (s, dir) =>
       Media.extractFeatures(Media.asMedia(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
@@ -273,6 +283,11 @@ object SimilarityQueries {
       """SELECT doc_id AS id, 'text/plain' AS mime_type,
         | octet_length(text::BLOB) AS byte_len, md5(text) AS content_hash
         |FROM documents ORDER BY id""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     // the FakeDecoder's arithmetic (16 + (16*h) % 256 on the first md5
     // bytes) is reproducible in SQL, so even the mapPartitions stub decode
