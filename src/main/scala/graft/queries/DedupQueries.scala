@@ -105,6 +105,21 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // the full near-dedup composition, pairs → clusters → CLEANED CORPUS:
+    // each duplicate cluster keeps its min-id representative and the rest
+    // anti-join away. This is the query a training pipeline actually
+    // ships — dd_clusters is its diagnostic view
+    "dd_near_dedup_corpus" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      val labels = graft.operators.ConnectedComponents.labels(pairs)
+      val drop = labels.where(col("id") =!= col("cluster_id")).select(col("id"))
+      docs.join(drop, docs("doc_id") === drop("id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // value-oracled since round 4 (plane literals inlined in the SQL);
     // precision/recall vs the brute path additionally asserted in
     // DedupSpec.
@@ -252,6 +267,27 @@ object DedupQueries {
          |  UNION
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd_near_dedup_corpus" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM labels WHERE id != cluster_id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // full value oracle: the 8×4 deterministic plane matrices are inlined
     // as SQL literals, so bucket collisions and the exact-cosine verify
