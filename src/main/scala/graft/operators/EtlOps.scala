@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Schema conformance: the reference's `to_dataframe` step (main.py:307-327)
@@ -18,5 +19,56 @@ object EtlOps {
       else default.as(name)
     }
     df.select(cols: _*)
+  }
+
+  /** Forward fill (last observation carried forward): for each column in
+    * `fillCols`, adds `<col>_filled` carrying the latest non-NULL value at
+    * or before the current row in (`orderCols`) order within each
+    * (`partitionCols`) group — the sparse-sensor / gap-repair shape.
+    *
+    * Scale shape: one window over the (partition, order) sort — the same
+    * shuffle any per-key ordered pass needs; the fill itself is a running
+    * `last(ignoreNulls)` carried through the frame, O(1) state per row.
+    * `orderCols` must be a total order within each partition or the fill
+    * is nondeterministic under shuffle (same contract as any LOCF).
+    */
+  def forwardFill(df: DataFrame, partitionCols: Seq[String],
+                  orderCols: Seq[String], fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Snapshot diff (table-compare): full-outer join `oldDf` and `newDf` on
+    * `keyCols` and classify every key as added / deleted / changed /
+    * unchanged, with old/new values side by side. The audit step of an
+    * incremental pipeline — "what did today's load actually change".
+    *
+    * Comparison is NULL-safe (`<=>`), so a NULL→value transition counts as
+    * changed, not unchanged. Scale shape: ONE shuffle on the key for both
+    * sides (AQE handles skew); no window, no collect. Keys must be unique
+    * per snapshot (it's a diff of keyed states, not multisets).
+    */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                    compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "deleted")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .drop("__in_old", "__in_new")
   }
 }

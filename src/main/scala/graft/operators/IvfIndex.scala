@@ -93,6 +93,39 @@ object IvfIndex {
       .select(col("id"), col("sub_id"), col("c_id").as("code"), col("d2"))
   }
 
+  /** One Lloyd (k-means) refinement step over the stride-seeded centroids:
+    * assign every vector to its max-cosine centroid, then recompute each
+    * centroid as the per-dimension mean of its members. Output exploded as
+    * (c_id, pos, n_members, mean) so every recomputed coordinate is
+    * oracle-checkable.
+    *
+    * Scale shape: the assignment is the same broadcast-centroid linear pass
+    * as [[assign]]; the mean is a per-(centroid, dimension) sorted window —
+    * each group holds one inverted list's coordinates, so the sort is a
+    * bounded per-group pass after ONE shuffle on (c_id, pos). The sum is an
+    * ORDERED left-to-right double fold (member-id order): pinning the
+    * association is what makes the float mean reproducible across engines
+    * and retries — an unordered SUM(double) is free to re-associate and
+    * drift ulps per run. (A decimal-exact unordered sum was measured as a
+    * dead end: decimal(38,15)→double conversion itself differs across
+    * engines by 1 ulp, so exactness upstream doesn't survive the cast.)
+    */
+  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+                stride: Long): DataFrame = {
+    val wCum = Window.partitionBy("c_id", "pos").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assign(corpus, centroids(corpus, idCol, vecCol, stride), idCol, vecCol)
+      .select(col("id"), col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("__cum", sum(col("x")).over(wCum))
+      .groupBy(col("c_id"), col("pos"))
+      // max over (id, cum) structs picks the fold's FINAL value — ids are
+      // unique so the struct max is the last-by-id row's cum
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("id"), col("__cum"))).getField("__cum").as("__sx"))
+      .select(col("c_id"), col("pos"), col("n_members"),
+        (col("__sx") / col("n_members")).as("mean"))
+  }
+
   /** Approximate top-k cosine neighbors via IVF probing. `queries` must be
     * small (broadcast). Output: (q_id, n_id, cosine, rank).
     */

@@ -392,6 +392,42 @@ object Etl {
         .orderBy("o_custkey")
     },
 
+    // forward fill (LOCF): sparse sensor readings (every 4th event carries
+    // a value) repaired per user in event-time order — the gap-repair step
+    // of a telemetry pipeline. One window shuffle on the key, O(1) running
+    // state per row; (ts, event_id) is a total order within each user so
+    // the fill is shuffle-deterministic
+    "etl_locf" -> { (s, dir) =>
+      val sparse = when(col("event_id") % 4 === 0, col("value"))
+      EtlOps.forwardFill(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), sparse.as("reading")),
+        partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        fillCols = Seq("reading"))
+        .select(col("event_id"), col("user_id"), col("reading"),
+          col("reading_filled"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // snapshot diff (the audit step of an incremental load): yesterday's
+    // and today's keyed states full-outer-joined and every key classified
+    // added / deleted / changed. Constructed drift: keys %7=0 are new
+    // today, %11=0 were removed, %5=0 changed price — the oracle replays
+    // the construction. ONE key shuffle, NULL-safe compares
+    "etl_snapshot_diff" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val oldSnap = o.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = o.where(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      EtlOps.diffSnapshots(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+        .where(col("change_type") =!= "unchanged")
+        .orderBy("o_orderkey")
+    },
+
     // schema evolution: two ingest epochs write different schemas (the
     // second adds a column); a mergeSchema read unions them, NULL-filling
     // the column history never had. Footer merge is driver metadata work —
@@ -598,6 +634,42 @@ object Etl {
 
     "src_partitioned_prune" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "etl_locf" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_id % 4 = 0 THEN value END AS reading,
+        | last_value(CASE WHEN event_id % 4 = 0 THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS reading_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "etl_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 != 0),
+        |n AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus FROM orders WHERE o_orderkey % 11 != 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  n.o_totalprice AS new_o_totalprice,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  (o.o_orderkey IS NOT NULL) AS in_old,
+        |  (n.o_orderkey IS NOT NULL) AS in_new
+        | FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        |c AS (SELECT o_orderkey, old_o_totalprice, old_o_orderstatus,
+        |  new_o_totalprice, new_o_orderstatus,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'deleted'
+        |       WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+        |         OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type
+        | FROM j)
+        |SELECT * FROM c WHERE change_type != 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

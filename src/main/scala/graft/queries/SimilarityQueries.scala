@@ -127,6 +127,39 @@ object SimilarityQueries {
         outW = 64, outH = 64)
         .toDF()
         .orderBy("id")
+    },
+
+    // WebDataset-style shard packing: media payloads in id order fill
+    // 4 KiB shards per language group (shard = floor(exclusive-prefix-bytes
+    // / cap), the same greedy-contiguous rule as pipe_pack_bins but over
+    // BYTE sizes — the tar-shard materialization a multimodal training
+    // pipeline writes). At 100 TB the per-group ordered prefix sum is a
+    // range-partitioned sort + per-partition offsets (GlobalRank shape)
+    "mm_shard_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang"),
+          length(col("text").cast("binary")).as("byte_len"))
+        .withColumn("shard",
+          floor(coalesce(sum(col("byte_len")).over(w), lit(0L)) / lit(4096.0))
+            .cast("long"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("shard_bytes"),
+          min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+        .orderBy("lang", "shard")
+    },
+
+    // one Lloyd (k-means) refinement step over the stride-seeded IVF
+    // centroids: broadcast-assign + per-(centroid, dim) ordered-fold means
+    // — the double summation order is PINNED by the member-id window, so
+    // the recomputed coordinates are engine/retry-reproducible (see
+    // IvfIndex.lloydStep for why exact decimals were a dead end here)
+    "sim_kmeans_step" -> { (s, dir) =>
+      IvfIndex.lloydStep(Tables.embeddings(s, dir), "vec_id", "embedding",
+        stride = 32)
+        .orderBy("c_id", "pos")
     }
   )
 
@@ -310,6 +343,35 @@ object SimilarityQueries {
         | 64.0 / ow AS "scaleX", 64.0 / oh AS "scaleY",
         | md5(hex || ':64x64') AS "resizedHash"
         |FROM d ORDER BY id""".stripMargin,
+
+    "mm_shard_pack" ->
+      """WITH m AS (SELECT doc_id AS id, lang, octet_length(text::BLOB) AS byte_len
+        |  FROM documents),
+        |p AS (SELECT id, lang, byte_len,
+        |  COALESCE(SUM(byte_len) OVER (PARTITION BY lang ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM m)
+        |SELECT lang, CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard,
+        | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
+        | MIN(id) AS first_id, MAX(id) AS last_id
+        |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    "sim_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id, e FROM (
+         |  SELECT v.vec_id AS id, v.e, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c.c_e")} DESC, c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |x AS (SELECT id, c_id, unnest(e) AS xv,
+         |  unnest(generate_series(1, len(e))) AS p FROM asg),
+         |cum AS (SELECT id, c_id, p, SUM(xv) OVER (PARTITION BY c_id, p
+         |  ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS cumsum FROM x)
+         |SELECT c_id, (p - 1)::INT AS pos, COUNT(*) AS n_members,
+         | max_by(cumsum, id) / COUNT(*) AS mean
+         |FROM cum GROUP BY c_id, p ORDER BY c_id, pos""".stripMargin,
 
     // stub frame-count/hash arithmetic is reproducible in SQL, so the
     // 1->N mapPartitions explosion gets a value-level oracle too

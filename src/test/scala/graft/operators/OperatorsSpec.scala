@@ -251,4 +251,61 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(m => m.id -> m.resizedHash).toMap
     assert(r.forall { case (id, m) => r2(id) != m.resizedHash })
   }
+
+  test("forwardFill: carries last non-null per key in order, leading nulls stay") {
+    val df = Seq(
+      (1L, 1L, None), (1L, 2L, Some(10.0)), (1L, 3L, None), (1L, 4L, Some(20.0)),
+      (2L, 1L, None), (2L, 2L, None))
+      .toDF("k", "seq", "v")
+    val out = EtlOps.forwardFill(df, Seq("k"), Seq("seq"), Seq("v"))
+      .orderBy("k", "seq").collect()
+    val filled = out.map(r => if (r.isNullAt(3)) null else r.getDouble(3))
+    assert(filled.toSeq == Seq(null, 10.0, 10.0, 20.0, null, null))
+  }
+
+  test("diffSnapshots: added/deleted/changed/unchanged classified null-safely") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("id", "v")
+    val nw = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")), (5L, Some("e")))
+      .toDF("id", "v")
+    val out = EtlOps.diffSnapshots(old, nw, Seq("id"), Seq("v"))
+      .select("id", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", // NULL -> value must count as changed
+      4L -> "deleted", 5L -> "added"))
+  }
+
+  test("lloydStep: single-member centroids reproduce their vector exactly") {
+    // stride 1: every vector is its own centroid -> each assigns to itself
+    // (cosine 1.0, ties to the smaller c_id = its own) and the "mean" of a
+    // one-element list is the coordinate itself, fold exact
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = IvfIndex.lloydStep(df, "vec_id", "embedding", stride = 1)
+      .orderBy("c_id", "pos").collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Long]("n_members") == 1L))
+    val m = out.map(r => (r.getAs[Long]("c_id"), r.getAs[Int]("pos")) ->
+      r.getAs[Double]("mean")).toMap
+    assert(m((2L, 0)) == -1.0 && m((2L, 1)) == 0.5 && m((0L, 0)) == 1.0)
+  }
+
+  test("lloydStep: two members average, counts match the assignment") {
+    // centroid stride 2 over colinear vectors: ids 0,1 both nearest c0 when
+    // cosine ties break toward smaller c_id; construct so assignment is
+    // unambiguous instead: c0=(1,0), c2=(0,1); members (0.9,0.1)->c0,
+    // (0.1,0.9)->c2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = IvfIndex.lloydStep(df, "vec_id", "embedding", stride = 2)
+      .orderBy("c_id", "pos").collect()
+    val m = out.map(r => (r.getAs[Long]("c_id"), r.getAs[Int]("pos")) ->
+      (r.getAs[Long]("n_members"), r.getAs[Double]("mean"))).toMap
+    assert(m((0L, 0))._1 == 2L && m((2L, 0))._1 == 2L)
+    assert(math.abs(m((0L, 0))._2 - (1.0 + 0.9f.toDouble) / 2) < 1e-12)
+    assert(math.abs(m((2L, 1))._2 - (1.0 + 0.9f.toDouble) / 2) < 1e-12)
+  }
 }
