@@ -428,6 +428,25 @@ object Etl {
         .orderBy("o_orderkey")
     },
 
+    // fixed-width feed round-trip through the graft DataSource V2
+    // connector (mainframe/feed-drop ingest): constant record length =
+    // byte-offset splittable with zero delimiter scanning, projected
+    // columns pruned down to their byte slices (both asserted in
+    // FixedWidthSourceSpec). splitSize forced low so even sf0.01 data
+    // exercises the multi-partition range-read path
+    "src_fixedwidth" -> { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_fixedwidth"
+      val layout = "s_suppkey:10:long,s_name:28:string,s_nationkey:6:int,s_acctbal:24:double"
+      Sources.writeFixedWidth(
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+        out, layout)
+      s.read.format("fixedwidth")
+        .option("layout", layout).option("splitSize", 4096)
+        .load(out)
+        .orderBy("s_suppkey")
+    },
+
     // schema evolution: two ingest epochs write different schemas (the
     // second adds a column); a mergeSchema read unions them, NULL-filling
     // the column history never had. Footer merge is driver metadata work —
@@ -635,6 +654,10 @@ object Etl {
     "src_partitioned_prune" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "src_fixedwidth" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
 
     "etl_locf" ->
       """SELECT event_id, user_id,

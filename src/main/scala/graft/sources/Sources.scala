@@ -97,6 +97,30 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .parquet(path)
 
+  /** Fixed-width record sink: format every row to the `layout` spec
+    * (name:width:type,... — numbers left-padded, strings right-padded,
+    * NULL as all spaces) and write line-oriented text. A value wider than
+    * its field raises rather than silently truncating — a fixed-width
+    * feed with clipped keys is corrupt in the worst possible way
+    * (plausible-looking wrong data). Read back with
+    * `spark.read.format("fixedwidth").option("layout", ...)`.
+    */
+  def writeFixedWidth(df: DataFrame, path: String, layout: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val fields = FixedWidth.parseLayout(layout).fields
+    val line = concat(fields.map { f =>
+      val s = coalesce(col(f.name).cast("string"), lit(""))
+      val guarded = when(length(s) > f.width,
+        raise_error(concat(lit(s"fixedwidth: ${f.name} overflows ${f.width} chars: "), s)))
+        .otherwise(s)
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => rpad(guarded, f.width, " ")
+        case _ => lpad(guarded, f.width, " ")
+      }
+    }: _*)
+    writeText(df.select(line.as("value")), path)
+  }
+
   /** Bucketed catalog table: rows hash-partitioned into `nBuckets` files
     * per partition by `bucketCols`, sorted within each bucket. Two tables
     * bucketed the same way equi-join on the bucket columns WITHOUT a
