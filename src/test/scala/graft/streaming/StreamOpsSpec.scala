@@ -381,6 +381,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinTime full_outer: unmatched rows from BOTH sides emit after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.joinWithinTime(
+      views.toDF().select($"eventId".as("view_id"), $"userId".as("view_user"), $"ts".as("view_ts")),
+      clicks.toDF().select($"eventId".as("click_id"), $"userId".as("click_user"), $"ts".as("click_ts")),
+      "view_user", "click_user", "view_ts", "click_ts",
+      within = "60 seconds", watermark = "30 seconds", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("vc_full").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(100), 1, "view", 0), Event(2, ts(100), 2, "view", 0))
+      // user 1 clicks in-bound; user 3 clicks with NO view at all
+      clicks.addData(Event(10, ts(130), 1, "click", 0), Event(11, ts(130), 3, "click", 0))
+      q.processAllAvailable()
+      // advance both watermarks so every unmatched row is provably final
+      views.addData(Event(4, ts(10000), 9, "view", 0))
+      clicks.addData(Event(99, ts(10000), 9, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("vc_full")
+        .select("view_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows.contains((Some(1L), Some(10L)))) // matched pair
+      assert(rows.contains((Some(2L), None)))      // view that never clicked
+      assert(rows.contains((None, Some(11L))))     // click with no view
+    } finally q.stop()
+  }
+
   test("toPartitionedParquet writes a partitioned file sink with commit log") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
