@@ -429,6 +429,21 @@ object Relational {
         .orderBy("d0_sec")
     },
 
+    // hierarchy flattening (org chart / BOM / taxonomy): every node of a
+    // parent-pointer tree resolved to its root + depth via POINTER
+    // JUMPING — ceil(log2(depth)) self-joins instead of depth rounds, the
+    // only transitive-closure shape that survives deep chains at 100 TB
+    // (Spark has no recursive CTE; DuckDB's is the oracle). Tree
+    // synthesized as parent = custkey div 2 over the dense customer keys
+    "q45_hierarchy" -> { (s, dir) =>
+      val nodes = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") <= 1, lit(null))
+          .otherwise(expr("c_custkey div 2")).as("parent"))
+      graft.operators.Hierarchy.flatten(nodes, "id", "parent")
+        .orderBy("id")
+    },
+
     // date arithmetic at scale: order→ship latency in days (datediff on
     // the joined fact pair), exact integer day counts aggregated per
     // priority; the shuffle is the fact-fact join on the order key, avg
@@ -974,6 +989,19 @@ object Relational {
         |                     THEN a.user_id END) AS d7_retained
         |FROM days a JOIN days b ON a.user_id = b.user_id
         |GROUP BY a.day ORDER BY d0_sec""".stripMargin,
+
+    "q45_hierarchy" ->
+      """WITH RECURSIVE nodes AS (SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey <= 1 THEN NULL ELSE c_custkey // 2 END AS parent
+        | FROM customer),
+        |walk AS (
+        |  SELECT id, id AS cur, 0 AS depth FROM nodes
+        |  UNION ALL
+        |  SELECT w.id, n.parent AS cur, w.depth + 1
+        |  FROM walk w JOIN nodes n ON w.cur = n.id
+        |  WHERE n.parent IS NOT NULL)
+        |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "q41_ship_latency" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
