@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,11 +107,89 @@ class FixedWidthTable(layout: FixedWidth.Layout, path: String, splitSize: Long)
 }
 
 class FixedWidthScanBuilder(layout: FixedWidth.Layout, path: String, splitSize: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = layout.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FixedWidthScan(layout, path, splitSize, required)
+
+  /** Row-level predicate pushdown: supported comparisons are evaluated on
+    * the sliced field BEFORE the row is materialized, so a selective scan
+    * never builds (or hands downstream) non-matching rows. Returns only
+    * the UNsupported filters as residual — pushed ones are exact, not
+    * stats-approximate like parquet row-group pruning, so Spark need not
+    * re-evaluate them (the plan shows no post-scan Filter; asserted in
+    * FixedWidthSourceSpec together with value equivalence).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(FixedWidthFilters.supported(layout, _))
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new FixedWidthScan(layout, path, splitSize, required, pushed)
+}
+
+/** Evaluation of pushed V1 `sources.Filter`s against parsed field values.
+  * NULL comparisons follow SQL WHERE semantics: any comparison with NULL
+  * is not-true → row dropped (IsNull/IsNotNull test nullness itself).
+  */
+object FixedWidthFilters {
+
+  private def isCol(layout: FixedWidth.Layout, name: String): Boolean =
+    layout.fields.exists(_.name == name)
+
+  def supported(layout: FixedWidth.Layout, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => isCol(layout, a)
+    case GreaterThan(a, _) => isCol(layout, a)
+    case GreaterThanOrEqual(a, _) => isCol(layout, a)
+    case LessThan(a, _) => isCol(layout, a)
+    case LessThanOrEqual(a, _) => isCol(layout, a)
+    case IsNull(a) => isCol(layout, a)
+    case IsNotNull(a) => isCol(layout, a)
+    case In(a, _) => isCol(layout, a)
+    case And(l, r) => supported(layout, l) && supported(layout, r)
+    case Or(l, r) => supported(layout, l) && supported(layout, r)
+    case Not(c) => supported(layout, c)
+    case _ => false
+  }
+
+  /** three-valued compare: None when either side is NULL */
+  private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (null, _) | (_, null) => None
+    case (a: String, b) => Some(a.compareTo(b.toString))
+    case (a: java.lang.Number, b: java.lang.Number)
+      if a.isInstanceOf[java.lang.Double] || b.isInstanceOf[java.lang.Double] =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+    case _ => None
+  }
+
+  def eval(f: Filter, value: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(value(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(value(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(value(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(value(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(value(a), v).exists(_ <= 0)
+    case IsNull(a) => value(a) == null
+    case IsNotNull(a) => value(a) != null
+    case In(a, vs) => vs.exists(v => cmp(value(a), v).contains(0))
+    case And(l, r) => eval(l, value) && eval(r, value)
+    case Or(l, r) => eval(l, value) || eval(r, value)
+    case Not(c) =>
+      // SQL NOT over three-valued logic: NOT(unknown) is unknown → drop.
+      // eval() collapses unknown to false, so Not(eval) would wrongly
+      // PASS a null comparison; guard by requiring the child's referenced
+      // columns non-null first
+      refs(c).forall(value(_) != null) && !eval(c, value)
+    case _ => false
+  }
+
+  private def refs(f: Filter): Seq[String] = f.references.toSeq
 }
 
 /** One partition = a record-aligned byte range of one file. */
@@ -119,7 +197,8 @@ case class FixedWidthPartition(file: String, startRecord: Long, nRecords: Long)
   extends InputPartition
 
 class FixedWidthScan(layout: FixedWidth.Layout, path: String, splitSize: Long,
-                     required: StructType) extends Scan with Batch {
+                     required: StructType, filters: Array[Filter])
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -153,27 +232,35 @@ class FixedWidthScan(layout: FixedWidth.Layout, path: String, splitSize: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(layout, required)
+    new FixedWidthReaderFactory(layout, required, filters)
 }
 
-class FixedWidthReaderFactory(layout: FixedWidth.Layout, required: StructType)
+class FixedWidthReaderFactory(layout: FixedWidth.Layout, required: StructType,
+                              filters: Array[Filter])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FixedWidthPartitionReader(layout, required,
+    new FixedWidthPartitionReader(layout, required, filters,
       partition.asInstanceOf[FixedWidthPartition])
 }
 
 class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
-                                part: FixedWidthPartition)
+                                filters: Array[Filter], part: FixedWidthPartition)
   extends PartitionReader[InternalRow] {
 
   private val recordLen = layout.recordLen
-  // only the projected fields' (offset, width, type) — pruned parsing
-  private val slices = required.fields.map { f =>
-    val fld = layout.fields.find(_.name == f.name).getOrElse(
-      throw new IllegalArgumentException(s"fixedwidth: unknown column ${f.name}"))
-    (layout.offsets(f.name), fld.width, fld.dataType)
-  }
+  // parse set = projected fields ∪ pushed-filter references (a filter on a
+  // non-projected column still needs its slice parsed — but nothing else)
+  private val filterRefs = filters.flatMap(_.references).toSet
+  private val parseNames =
+    (required.fieldNames ++ filterRefs.filterNot(required.fieldNames.contains)).toSeq
+  private val slices = parseNames.map { name =>
+    val fld = layout.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"fixedwidth: unknown column $name"))
+    (name, layout.offsets(name), fld.width, fld.dataType)
+  }.toArray
+  private val nameIdx = parseNames.zipWithIndex.toMap
+  // output projection: index into the parsed values per required field
+  private val outIdx = required.fieldNames.map(nameIdx)
 
   private val in = {
     val p = new Path(part.file)
@@ -188,27 +275,42 @@ class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (read >= part.nRecords) return false
-    in.readFully(buf)
-    read += 1
-    val values = new Array[Any](slices.length)
-    var i = 0
-    while (i < slices.length) {
-      val (off, w, dt) = slices(i)
-      // ASCII layout contract: byte offsets are char offsets
-      val s = new String(buf, off, w, "US-ASCII").trim
-      values(i) =
-        if (s.isEmpty) null
-        else dt match {
-          case IntegerType => s.toInt
-          case LongType => s.toLong
-          case DoubleType => s.toDouble
-          case _ => UTF8String.fromString(s)
+    while (read < part.nRecords) {
+      in.readFully(buf)
+      read += 1
+      val values = new Array[Any](slices.length)
+      var i = 0
+      while (i < slices.length) {
+        val (_, off, w, dt) = slices(i)
+        // ASCII layout contract: byte offsets are char offsets
+        val s = new String(buf, off, w, "US-ASCII").trim
+        values(i) =
+          if (s.isEmpty) null
+          else dt match {
+            case IntegerType => s.toInt
+            case LongType => s.toLong
+            case DoubleType => s.toDouble
+            case _ => s
+          }
+        i += 1
+      }
+      // pushed filters run on the parsed slices BEFORE row materialization
+      val value = (name: String) => values(nameIdx(name))
+      if (filters.forall(FixedWidthFilters.eval(_, value))) {
+        val out = new Array[Any](outIdx.length)
+        var j = 0
+        while (j < outIdx.length) {
+          out(j) = values(outIdx(j)) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+          j += 1
         }
-      i += 1
+        row = new GenericInternalRow(out)
+        return true
+      }
     }
-    row = new GenericInternalRow(values)
-    true
+    false
   }
 
   override def get(): InternalRow = row

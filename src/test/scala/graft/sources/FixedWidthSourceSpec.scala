@@ -55,6 +55,43 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(back.where($"id" === 11L).head.getString(1) == "row11")
   }
 
+  test("fixedwidth: pushed filters drop rows in the reader, no post-scan Filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    val df = (1 to 100).map(i =>
+      (i.toLong, Some(s"n$i"), if (i % 10 == 0) None else Some(i)))
+      .toDF("id", "name", "qty")
+    write(df, dir)
+    val q = read(dir).where($"qty" > 50 && $"id" <= 90).select("id", "qty")
+    // fully pushed -> Spark leaves no residual FilterExec above the scan
+    val hasFilter = q.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+    assert(!hasFilter, "expected all predicates pushed into the scan")
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = (51 to 90).filter(_ % 10 != 0).map(i => (i.toLong, i)).toSet
+    assert(got == want) // NULL qty rows (every 10th) dropped by the comparison
+  }
+
+  test("fixedwidth: filter on a non-projected column still prunes the output schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    write((1 to 50).map(i => (i.toLong, Some(s"n$i"), Some(i)))
+      .toDF("id", "name", "qty"), dir)
+    val q = read(dir).where($"qty" === 7).select("name")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("name"))
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("n7"))
+  }
+
+  test("fixedwidth: IS NULL / IS NOT NULL and IN push correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    write(Seq((1L, Some("a"), Some(1)), (2L, None, Some(2)), (3L, Some("c"), None))
+      .toDF("id", "name", "qty"), dir)
+    assert(read(dir).where($"name".isNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(read(dir).where($"qty".isNotNull).count() == 2)
+    assert(read(dir).where($"id".isin(1L, 3L)).count() == 2)
+  }
+
   test("fixedwidth: writer raises on field overflow instead of truncating") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
     val bad = Seq((1L, Some("this name is far too long for 12"), Some(1)))
