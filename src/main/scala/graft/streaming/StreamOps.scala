@@ -22,6 +22,12 @@ object StreamOps {
   case class AsofIn(side: Int, key: Long, ts: java.sql.Timestamp, v: Double)
   case class AsofJoinState(rights: List[(Long, Double)],
                            lefts: List[(Long, Double)])
+  case class FillIn(eventId: Long, ts: java.sql.Timestamp, key: Long,
+                    reading: Option[Double])
+  case class FillOut(key: Long, eventId: Long, sec: Long,
+                     reading: Option[Double], filled: Option[Double])
+  case class FillState(carrySec: Long, carryId: Long, carry: Option[Double],
+                       pending: List[(Long, Long, Option[Double])])
   case class DupPair(aId: Long, bId: Long, hamming: Int)
   case class MinHashPair(aId: Long, bId: Long, estJaccard: Double)
   case class CosinePair(aId: Long, bId: Long, cosine: Double)
@@ -545,6 +551,53 @@ object StreamOps {
             state.update(AsofJoinState(kept, pending))
             // wake this key when the watermark passes its oldest pending
             // left (pending secs are > wmSec, so the timestamp is legal)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min * 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming forward fill (LOCF) — the continuous twin of
+    * `EtlOps.forwardFill`: each event emits with the latest non-NULL
+    * reading at-or-before its event time for its key, correct under
+    * out-of-order delivery within the watermark.
+    *
+    * Same discipline as [[asofJoinStream]] (LOCF IS a self as-of join):
+    * events buffer per key until the watermark proves their prefix
+    * complete, then emit in (sec, eventId) order folding the carry
+    * forward. State per key = watermark-bounded pending buffer + ONE
+    * carry value — the keyed latest-value cache any streaming gap-repair
+    * needs, nothing more.
+    */
+  def forwardFillStream(events: Dataset[FillIn],
+                        delay: String = "10 seconds"): Dataset[FillOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FillState, FillOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[FillState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          var st = state.getOption.getOrElse(FillState(Long.MinValue, 0L, None, Nil))
+          if (!state.hasTimedOut) {
+            it.foreach { e =>
+              st = st.copy(pending =
+                (e.ts.getTime / 1000, e.eventId, e.reading) :: st.pending)
+            }
+          }
+          val (ready, pending) = st.pending.partition(_._1 <= wmSec)
+          var carrySec = st.carrySec
+          var carryId = st.carryId
+          var carry = st.carry
+          val out = ready.sortBy(r => (r._1, r._2)).map { case (sec, id, reading) =>
+            if (reading.isDefined) { carrySec = sec; carryId = id; carry = reading }
+            FillOut(key, id, sec, reading, carry)
+          }
+          if (pending.isEmpty && carry.isEmpty) state.remove()
+          else {
+            state.update(FillState(carrySec, carryId, carry, pending))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map(_._1).min * 1000 + 1)
           }

@@ -530,6 +530,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forwardFillStream equals batch forwardFill under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.FillIn
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[FillIn]
+    // 30s delay: the disorder below stays WITHIN the watermark bound —
+    // rows older than the watermark are dropped upstream by contract
+    // (same as any withWatermark operator), which is not what this test
+    // is probing
+    val q = StreamOps.forwardFillStream(in.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("locf").outputMode("append").start()
+    // key 1: null, 10.0, null, 20.0, null; key 2: all null; delivered
+    // out of order across batches (the fill must come from EVENT order)
+    val rows = Seq(
+      FillIn(1L, ts(10), 1L, None), FillIn(2L, ts(20), 1L, Some(10.0)),
+      FillIn(3L, ts(30), 1L, None), FillIn(4L, ts(40), 1L, Some(20.0)),
+      FillIn(5L, ts(50), 1L, None),
+      FillIn(6L, ts(15), 2L, None), FillIn(7L, ts(25), 2L, None))
+    try {
+      in.addData(rows(2), rows(0), rows(6)) // out of order
+      q.processAllAvailable()
+      in.addData(rows(1), rows(4), rows(3), rows(5))
+      q.processAllAvailable()
+      Seq(1000L, 2000L).foreach { t =>
+        in.addData(FillIn(99L, ts(t), 99L, None))
+        q.processAllAvailable()
+      }
+      val got = spark.table("locf").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .filter(_._1 != 99L).toSet
+      import spark.implicits._
+      val batch = graft.operators.EtlOps.forwardFill(
+        rows.map(x => (x.key, x.ts.getTime / 1000, x.eventId, x.reading))
+          .toDF("key", "sec", "event_id", "reading"),
+        Seq("key"), Seq("sec", "event_id"), Seq("reading"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains((1L, 3L, Some(10.0)))) // gap actually repaired
+      assert(got.contains((2L, 7L, None)))       // no-reading key stays null
+    } finally q.stop()
+  }
+
   test("maintainAggregateStream: folded state equals a one-shot recompute") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IncrementalAgg
