@@ -25,6 +25,14 @@ object IncrementalAgg {
   case object MergeSum extends MergeOp
   case object MergeMin extends MergeOp
   case object MergeMax extends MergeOp
+  /** HLL sketch union (DataSketches binary column from `hll_sketch_agg`):
+    * makes COUNT DISTINCT a mergeable measure — the one statistic a naive
+    * rollup can't maintain incrementally. Register-wise max-merge is
+    * associative/commutative/idempotent, so re-delivered batches can't
+    * inflate the estimate (unlike a count re-sum). Read the estimate out
+    * with `hll_sketch_estimate`.
+    */
+  case object MergeHllUnion extends MergeOp
 
   /** Merge `delta` (the new batch, already aggregated to the same schema)
     * into `state`. Both sides: `keys` ++ measure columns; output the same.
@@ -44,6 +52,9 @@ object IncrementalAgg {
         case MergeSum => coalesce(sc + dc, sc, dc)
         case MergeMin => least(sc, dc)   // least/greatest skip NULLs
         case MergeMax => greatest(sc, dc)
+        case MergeHllUnion =>
+          when(sc.isNull, dc).when(dc.isNull, sc)
+            .otherwise(hll_union(sc, dc))
       }).as(c)
     }
     s.join(d, keys, "full_outer")

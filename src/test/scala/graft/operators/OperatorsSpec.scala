@@ -252,6 +252,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall { case (id, m) => r2(id) != m.resizedHash })
   }
 
+  test("hll sketch rollup: incremental union equals direct estimate, idempotent") {
+    // distinct users per type, maintained incrementally: day-1 state + day-2
+    // delta merged sketch-wise must estimate exactly what one direct sketch
+    // over all rows does (register max-merge is split-invariant), and
+    // re-merging the same delta must NOT inflate it (idempotent — a
+    // re-delivered batch can't corrupt the rollup, unlike a count re-sum)
+    val rows = (1 to 400).map(i => (s"t${i % 3}", (i % 97).toLong)) ++
+      (1 to 200).map(i => (s"t${i % 3}", (i % 53 + 200).toLong))
+    val df = rows.toDF("etype", "user_id")
+    val (day1, day2) = (df.limit(400), df.exceptAll(df.limit(400)))
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("etype").agg(hll_sketch_agg($"user_id").as("users_sk"))
+    val merged = IncrementalAgg.merge(sk(day1), sk(day2), Seq("etype"),
+      Seq("users_sk" -> IncrementalAgg.MergeHllUnion))
+    def est(d: org.apache.spark.sql.DataFrame) =
+      d.select($"etype", hll_sketch_estimate($"users_sk").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = est(sk(df))
+    assert(est(merged) == direct)
+    val remerged = IncrementalAgg.merge(merged, sk(day2), Seq("etype"),
+      Seq("users_sk" -> IncrementalAgg.MergeHllUnion))
+    assert(est(remerged) == direct)
+    // sanity: the estimate is near the true distinct count per type
+    val truth = rows.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.size }
+    direct.foreach { case (t, e) =>
+      assert(math.abs(e - truth(t)) <= math.max(2, truth(t) / 20))
+    }
+  }
+
   test("forwardFill: carries last non-null per key in order, leading nulls stay") {
     val df = Seq(
       (1L, 1L, None), (1L, 2L, Some(10.0)), (1L, 3L, None), (1L, 4L, Some(20.0)),
