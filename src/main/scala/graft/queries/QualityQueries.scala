@@ -100,6 +100,41 @@ object QualityQueries {
         .orderBy("event_type", "hour_sec")
     },
 
+    // distribution drift between two ingest epochs (the feed-changed-
+    // under-us check): fixed price buckets, epoch histograms full-outer
+    // joined, per-bucket L1 contribution |cnt_a·tot_b − cnt_b·tot_a| as
+    // EXACT integer arithmetic — cross-multiplying by the totals instead
+    // of comparing float shares means no float accumulation exists
+    // anywhere, so distributed merge order can't move the score. The
+    // share_diff double derives per row from two exact longs (single
+    // IEEE division). Epoch B's price is shifted for every 3rd key so
+    // the drift is real. Totals broadcast as a one-row cross join (q22)
+    "dq_drift" -> { (s, dir) =>
+      def bucketOf(c: Column): Column =
+        least(floor(c / 20000).cast("long"), lit(9L))
+      val o = Tables.orders(s, dir)
+      val a = o.where(col("o_orderkey") % 2 === 0)
+        .groupBy(bucketOf(col("o_totalprice")).as("bucket"))
+        .agg(count(lit(1)).as("cnt_a"))
+      val shifted = when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10000)
+        .otherwise(col("o_totalprice"))
+      val b = o.where(col("o_orderkey") % 2 === 1)
+        .groupBy(bucketOf(shifted).as("bucket"))
+        .agg(count(lit(1)).as("cnt_b"))
+      val j = a.join(b, Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+      j.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+          abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+            .as("l1_num"),
+          (abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+            .cast("double") / (col("tot_a") * col("tot_b")).cast("double"))
+            .as("share_diff"))
+        .orderBy("bucket")
+    },
+
     // bad-row routing (the dead-letter-queue shape): rows failing any
     // expectation are materialized WITH their reasons — dq_rules counts
     // violations, this quarantines them. One codegen'd scan-transform
@@ -185,6 +220,28 @@ object QualityQueries {
         |  2.0 * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt)
         |             / (cnt - 1))
         |ORDER BY event_type, hour_sec""".stripMargin,
+
+    "dq_drift" ->
+      """WITH a AS (
+        |  SELECT LEAST(FLOOR(o_totalprice / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_a
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY bucket),
+        |b AS (
+        |  SELECT LEAST(FLOOR(
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10000
+        |          ELSE o_totalprice END) / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_b
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        | FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j)
+        |SELECT bucket, cnt_a, cnt_b,
+        | abs(cnt_a * tot_b - cnt_b * tot_a) AS l1_num,
+        | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
+        |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
+        |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "etl_quarantine" ->
       """SELECT l_orderkey, l_linenumber,
