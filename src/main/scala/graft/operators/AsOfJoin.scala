@@ -48,6 +48,60 @@ object AsOfJoin {
       .select(col("__k").as(keyCol) +: (leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c))): _*)
   }
 
+  /** Nearest-in-time join: attach the CLOSEST right row in either
+    * direction (|rightTime − leftTime| minimized; ties to the earlier
+    * right row) — the sensor-alignment variant of [[asofLast]], for when
+    * "latest before" is wrong because the nearest reading may be just
+    * ahead (clock skew between feeds, alignment of two samplers).
+    *
+    * Same single (key, time) shuffle+sort as [[asofLast]]: one window
+    * pass computes BOTH the backward carry (last right at-or-before) and
+    * the forward carry (first right after) as struct-atomic fills, then
+    * per-row arithmetic picks the closer. No range join, no per-row
+    * probing. Output: left columns + right value columns +
+    * `matched_<rightTimeCol>` (NULL when the key has no right rows).
+    * `right` must be unique per (key, time) — pre-aggregate otherwise.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val rightVals = right.columns.filterNot(c => c == keyCol || c == rightTimeCol).toSeq
+    val leftCols = left.columns.filterNot(_ == keyCol).toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"overlapping value columns: ${rightVals.intersect(leftCols).mkString(",")}")
+    val tType = right.schema(rightTimeCol).dataType
+    val rStructType = StructType(
+      StructType(Seq(right.schema(rightTimeCol).copy(name = "__rt"))) ++
+        rightVals.map(c => right.schema(c).copy(name = c)))
+    val lSel = Seq(col(keyCol).as("__k"), col(leftTimeCol).as("__t"),
+      lit(1).as("__side")) ++ leftCols.map(left(_)) :+
+      lit(null).cast(rStructType).as("__rv")
+    val rSel = Seq(col(keyCol).as("__k"), col(rightTimeCol).as("__t"),
+      lit(0).as("__side")) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(col(rightTimeCol).as("__rt") +: rightVals.map(right(_)): _*).as("__rv")
+    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // rights sort before lefts at equal times, so an equal-time right is
+    // in the BACKWARD frame (distance 0, unbeatable) and never double-
+    // counted by the forward frame
+    val ord = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wFwd))
+    val backD = col("__t").cast("long") - col("__back.__rt").cast("long")
+    val fwdD = col("__fwd.__rt").cast("long") - col("__t").cast("long")
+    val pick = when(col("__back").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__back"))
+      .when(backD <= fwdD, col("__back")) // tie → earlier (backward) row
+      .otherwise(col("__fwd"))
+    filled.where(col("__side") === 1)
+      .withColumn("__pick", pick)
+      .select(col("__k").as(keyCol) +: (leftCols.map(col) ++
+        (col("__pick.__rt").cast(tType).as(s"matched_$rightTimeCol") +:
+          rightVals.map(c => col(s"__pick.$c").as(c)))): _*)
+  }
+
   /** Broadcast as-of join: for a SMALL right side (a dim history — rates,
     * configs, slowly-changing attributes), ship the whole right table to
     * every task and binary-search it per left row. The fact side is never

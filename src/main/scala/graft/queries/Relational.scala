@@ -444,6 +444,27 @@ object Relational {
         .orderBy("id")
     },
 
+    // nearest-in-time join (sensor alignment): each click matched to the
+    // CLOSEST purchase by the same user in EITHER direction (ties to the
+    // earlier one) — where as-of's "latest before" is wrong because the
+    // nearest reading may be just ahead. One (key, time) window pass
+    // computes backward + forward carries, per-row arithmetic picks; no
+    // range join. Purchases pre-aggregated per (user, sec) to satisfy
+    // the right-side uniqueness contract
+    "q46_asof_nearest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("sec"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("sec").as("psec"))
+        .agg(max(col("value")).as("amount"))
+      graft.operators.AsOfJoin.asofNearest(clicks, purchases,
+        "user_id", "sec", "psec")
+        .orderBy("event_id")
+    },
+
     // date arithmetic at scale: order→ship latency in days (datediff on
     // the joined fact pair), exact integer day counts aggregated per
     // priority; the shuffle is the fact-fact join on the order key, avg
@@ -1002,6 +1023,21 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q46_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, FLOOR(epoch(ts))::BIGINT AS psec,
+        |  max(value) AS amount
+        | FROM events WHERE event_type = 'purchase' GROUP BY user_id, psec),
+        |best AS (SELECT l.event_id, r.psec, r.amount,
+        |  ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |    ORDER BY abs(r.psec - l.sec), r.psec) AS rn
+        | FROM l JOIN r USING (user_id))
+        |SELECT l.user_id, l.event_id, l.sec, b.psec AS matched_psec, b.amount
+        |FROM l LEFT JOIN (SELECT event_id, psec, amount FROM best WHERE rn = 1) b
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q41_ship_latency" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

@@ -89,6 +89,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n.getLong(n.fieldIndex("sz")) == 7L)
   }
 
+  test("asofNearest: closest right in either direction, ties to the earlier row") {
+    val trades = Seq(
+      (1L, 10L, "back"),   // quotes at 5 (d=5) and 30 (d=20) -> back
+      (1L, 28L, "fwd"),    // 5 (d=23) vs 30 (d=2) -> forward
+      (1L, 17L, "tiebrk"), // wait: 5 (d=12) vs 30 (d=13) -> back
+      (2L, 40L, "onlyfwd"),// key 2 has only a future quote
+      (3L, 40L, "none"))   // key 3 has no quotes
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 30L, 300.0), (2L, 99L, 900.0))
+      .toDF("k", "qt", "px")
+    val out = AsOfJoin.asofNearest(trades, quotes, "k", "t", "qt")
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(r.fieldIndex("matched_qt"))), Option(r.get(r.fieldIndex("px")))))
+      .toMap
+    assert(out("back") == (Some(5L), Some(100.0)))
+    assert(out("fwd") == (Some(30L), Some(300.0)))
+    assert(out("tiebrk") == (Some(5L), Some(100.0)))
+    assert(out("onlyfwd") == (Some(99L), Some(900.0)))
+    assert(out("none") == (None, None))
+    // exact tie: distances equal -> earlier (backward) row wins
+    val tie = Seq((1L, 15L, "tie")).toDF("k", "t", "trade")
+    val q2 = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)).toDF("k", "qt", "px")
+    val r = AsOfJoin.asofNearest(tie, q2, "k", "t", "qt").collect().head
+    assert(r.getLong(r.fieldIndex("matched_qt")) == 10L)
+  }
+
   test("asofLast rejects overlapping value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "qt", "v")

@@ -29,7 +29,7 @@ class HierarchySpec extends SparkSpec {
     // need ~200 rounds and throw here
     val chain = (1L to 200L).map(i => (i, if (i == 1) None else Some(i - 1)))
     val out = Hierarchy.flatten(chain.toDF("id", "parent"), "id", "parent",
-      maxIter = 9)
+      maxIter = 9, driverLimit = 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(out(200L) == (1L, 199))
     assert(out(1L) == (1L, 0))
@@ -42,16 +42,33 @@ class HierarchySpec extends SparkSpec {
     assert(out(7L) == (99L, 1) && out(8L) == (99L, 2))
   }
 
+  test("flatten: driver path equals the distributed doubling loop") {
+    val nodes = (1L to 300L).map(i => (i, if (i <= 1) None else Some(i / 2)))
+    val driver = Hierarchy.flatten(nodes.toDF("id", "parent"), "id", "parent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dist = Hierarchy.flatten(nodes.toDF("id", "parent"), "id", "parent",
+      driverLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(driver == dist)
+  }
+
   test("flatten: parent cycles fail loudly instead of fabricating roots") {
     val even = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, Some(1L)))
     val e1 = intercept[IllegalStateException] {
-      Hierarchy.flatten(even.toDF("id", "parent"), "id", "parent")
+      Hierarchy.flatten(even.toDF("id", "parent"), "id", "parent",
+        driverLimit = 0)
     }
     assert(e1.getMessage.contains("cycle"))
     val odd = Seq((1L, Some(2L)), (2L, Some(3L)), (3L, Some(1L)))
     val e2 = intercept[IllegalStateException] {
-      Hierarchy.flatten(odd.toDF("id", "parent"), "id", "parent", maxIter = 6)
+      Hierarchy.flatten(odd.toDF("id", "parent"), "id", "parent", maxIter = 6,
+        driverLimit = 0)
     }
     assert(e2.getMessage.contains("cycle") || e2.getMessage.contains("oscillating"))
+    // the driver path detects the same cycles
+    val e3 = intercept[IllegalStateException] {
+      Hierarchy.flatten(even.toDF("id", "parent"), "id", "parent")
+    }
+    assert(e3.getMessage.contains("cycle"))
   }
 }
