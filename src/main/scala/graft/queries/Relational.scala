@@ -444,6 +444,22 @@ object Relational {
         .orderBy("id")
     },
 
+    // grouped EXACT medians/percentiles over doubles (the reporting twin
+    // of the approx sketch path): percentile() sorts within each group —
+    // bounded per-group work after one shuffle; at 100 TB swap to
+    // percentile_approx and the sort disappears (bounds asserted in
+    // RangeJoinSpec). Interpolation formula matches quantile_cont
+    // bit-for-bit (same rank = p·(n−1) linear interpolation)
+    "q47_median" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5d)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.5d)").as("med_price"),
+          expr("percentile(l_extendedprice, 0.9d)").as("p90_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // nearest-in-time join (sensor alignment): each click matched to the
     // CLOSEST purchase by the same user in EITHER direction (ties to the
     // earlier one) — where as-of's "latest before" is wrong because the
@@ -1023,6 +1039,14 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q47_median" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, 0.5) AS med_price,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q46_asof_nearest" ->
       """WITH l AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec

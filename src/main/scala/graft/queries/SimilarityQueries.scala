@@ -151,6 +151,36 @@ object SimilarityQueries {
         .orderBy("lang", "shard")
     },
 
+    // Matryoshka-style two-stage retrieval: coarse top-32 by 16-dim
+    // PREFIX cosine (a quarter of the dot-product work; with MRL-trained
+    // embeddings the prefix preserves ranking), then exact full-dim
+    // rerank of just those candidates to top-5. At 100 TB stage 1 is the
+    // only corpus-wide pass and it reads a quarter of the vector bytes —
+    // store the prefix as its own column and the scan prunes to it
+    "sim_mrl_rerank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val V = graft.functions.Vectors
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("n_id"), V.toDoubleArray(col("embedding")).as("v"))
+        .withColumn("p", slice(col("v"), 1, 16))
+        .withColumn("nrm", V.norm(col("v")))
+        .withColumn("pnrm", V.norm(col("p")))
+      val q = v.where(col("n_id") < 10).select(
+        col("n_id").as("q_id"), col("v").as("q_v"), col("p").as("q_p"),
+        col("nrm").as("q_nrm"), col("pnrm").as("q_pnrm"))
+      val wCoarse = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("n_id"))
+      val coarse = v.crossJoin(broadcast(q)).where(col("q_id") =!= col("n_id"))
+        .withColumn("pcos", V.dot(col("p"), col("q_p")) / (col("pnrm") * col("q_pnrm")))
+        .withColumn("crank", row_number().over(wCoarse))
+        .where(col("crank") <= 32)
+      val wFine = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      coarse.select(col("q_id"), col("n_id"),
+          (V.dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wFine))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+
     // one Lloyd (k-means) refinement step over the stride-seeded IVF
     // centroids: broadcast-assign + per-(centroid, dim) ordered-fold means
     // — the double summation order is PINNED by the member-id window, so
@@ -355,6 +385,21 @@ object SimilarityQueries {
         | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
         | MIN(id) AS first_id, MAX(id) AS last_id
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    "sim_mrl_rerank" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, list_slice(e, 1, 16) AS p FROM v),
+         |q AS (SELECT vec_id AS q_id, e AS q_e, p AS q_p FROM b WHERE vec_id < 10),
+         |coarse AS (SELECT q.q_id, n.vec_id AS n_id, n.e AS n_e, q.q_e,
+         |  ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cosSql("n.p", "q.q_p")} DESC, n.vec_id) AS crank
+         | FROM b n JOIN q ON n.vec_id != q.q_id),
+         |fine AS (SELECT q_id, n_id, ${cosSql("n_e", "q_e")} AS cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSql("n_e", "q_e")} DESC, n_id) AS rank
+         | FROM coarse WHERE crank <= 32)
+         |SELECT q_id, n_id, cosine, rank FROM fine WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "sim_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
