@@ -109,4 +109,32 @@ class EmptyInputSpec extends SparkSpec {
     val noRows = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(GlobalRank.withGlobalRank(noRows, Seq(col("v"), col("id"))).isEmpty)
   }
+
+  test("hierarchy: empty node set is empty on both paths") {
+    val none = Seq.empty[(Long, Option[Long])].toDF("id", "parent")
+    assert(Hierarchy.flatten(none, "id", "parent").isEmpty)
+    assert(Hierarchy.flatten(none, "id", "parent", driverLimit = 0).isEmpty)
+  }
+
+  test("forwardFill / diffSnapshots / asofNearest tolerate empty inputs") {
+    val noEv = Seq.empty[(Long, Long, Option[Double])].toDF("k", "seq", "v")
+    assert(EtlOps.forwardFill(noEv, Seq("k"), Seq("seq"), Seq("v")).isEmpty)
+    val some = Seq((1L, Some("a"))).toDF("id", "v")
+    val none = Seq.empty[(Long, Option[String])].toDF("id", "v")
+    val d = EtlOps.diffSnapshots(some, none, Seq("id"), Seq("v"))
+      .select("change_type").collect().map(_.getString(0))
+    assert(d.toSeq == Seq("deleted"))
+    val d2 = EtlOps.diffSnapshots(none, some, Seq("id"), Seq("v"))
+      .select("change_type").collect().map(_.getString(0))
+    assert(d2.toSeq == Seq("added"))
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
+    val noRight = Seq.empty[(Long, Long, Double)].toDF("k", "qt", "px")
+    val out = AsOfJoin.asofNearest(left, noRight, "k", "t", "qt").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("px")))
+  }
+
+  test("lloydStep over an empty corpus is empty") {
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(IvfIndex.lloydStep(none, "vec_id", "embedding", 4).isEmpty)
+  }
 }
