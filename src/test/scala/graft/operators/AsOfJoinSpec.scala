@@ -115,6 +115,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("matched_qt")) == 10L)
   }
 
+  test("asofNearest plans ONE shuffle: no range join, both carries share the sort") {
+    val trades = Seq((1L, 10L, "t1"), (2L, 20L, "t2")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 5L, 1.0), (2L, 30L, 2.0)).toDF("k", "qt", "px")
+    val q = AsOfJoin.asofNearest(trades, quotes, "k", "t", "qt")
+    q.collect()
+    // AQE echoes the initial plan below the final one — audit the final only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"expected one key shuffle, plan:\n$plan")
+    // and ONE Window node computes BOTH carries over that single sort
+    assert("Window \\[".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "range-join shape crept in")
+  }
+
   test("asofLast rejects overlapping value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "qt", "v")

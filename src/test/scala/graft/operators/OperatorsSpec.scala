@@ -252,6 +252,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall { case (id, m) => r2(id) != m.resizedHash })
   }
 
+  test("pipeline observability: observe() metrics surface without a second pass") {
+    // production pipelines need row counts / checksums of what a job
+    // ACTUALLY wrote; observe() accumulates them on the one existing pass
+    // instead of a second count() scan over the output (which at 100 TB
+    // doubles the read and can disagree with what was written)
+    val obs = org.apache.spark.sql.Observation("etl_metrics")
+    val df = Seq((1L, 5.0), (2L, 7.0), (3L, -1.0)).toDF("id", "v")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when($"v" < 0, 1L).otherwise(0L)).as("n_negative"))
+      .where($"v" > 0) // observe sits ABOVE the filter: counts the input feed
+    assert(df.count() == 2)
+    assert(obs.get("n_rows") == 3L && obs.get("n_negative") == 1L)
+  }
+
   test("hll sketch rollup: incremental union equals direct estimate, idempotent") {
     // distinct users per type, maintained incrementally: day-1 state + day-2
     // delta merged sketch-wise must estimate exactly what one direct sketch
