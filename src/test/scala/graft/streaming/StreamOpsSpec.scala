@@ -608,6 +608,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming forward fill equals the batch twin on real event data") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{FillIn, FillOut}
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id AS eventId", "ts", "user_id AS key",
+        "CASE WHEN event_id % 4 = 0 THEN value END AS reading")
+      .as[FillIn].collect().sortBy(r => (r.ts.getTime, r.eventId))
+    val batch = graft.operators.EtlOps.forwardFill(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .selectExpr("event_id", "user_id",
+          "CAST(FLOOR(unix_timestamp(ts)) AS LONG) AS sec",
+          "CASE WHEN event_id % 4 = 0 THEN value END AS reading"),
+      Seq("user_id"), Seq("sec", "event_id"), Seq("reading"))
+      .select("event_id", "reading_filled").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val in = MemoryStream[FillIn]
+    val q = StreamOps.forwardFillStream(in.toDS(), "60 seconds").writeStream
+      .format("memory").queryName("locf_twin").outputMode("append").start()
+    try {
+      // chronological chunks keep delivery within the watermark bound;
+      // intra-chunk arrival order is whatever MemoryStream does
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val flushTs = new java.sql.Timestamp(ev.last.ts.getTime + 3600 * 1000L)
+      Seq(1, 2).foreach { i =>
+        in.addData(FillIn(-i.toLong, flushTs, -1L, None)); q.processAllAvailable()
+      }
+      val stream = spark.table("locf_twin").as[FillOut].collect()
+        .filter(_.eventId >= 0)
+        .map(o => o.eventId -> o.filled).toMap
+      assert(stream.size == batch.size)
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals the batch twin on real event data") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800L
