@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the batch operators. State is always
   * bounded: watermarks cap the window state, and session state is per-key
@@ -81,6 +81,46 @@ object StreamOps {
                     valueCol: String): DataFrame =
     events.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total"))
+
+  case class KV(k: Long, v: Double)
+  case class RunningTotal(k: Long, nEvents: Long, total: Double)
+
+  /** [[runningTotals]] re-expressed on Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState: typed state variables
+    * (ValueState/ListState/MapState) with per-variable TTL, backed by the
+    * RocksDB state store (disk-spillable — keyed state is no longer bound
+    * by executor heap, which is what changes at 100 TB key cardinality).
+    * Queries using it must run with the RocksDB provider
+    * (`spark.sql.streaming.stateStore.providerClass`); equality with the
+    * aggregate-based twin is asserted in the spec.
+    */
+  def runningTotalsTws(events: Dataset[KV]): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.k)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  class RunningTotalProcessor
+    extends StatefulProcessor[Long, KV, RunningTotal] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KV],
+                                 timerValues: TimerValues): Iterator[RunningTotal] = {
+      val (n0, t0) = if (st.exists()) st.get() else (0L, 0.0)
+      var n = n0
+      var t = t0
+      rows.foreach { r => n += 1; t += r.v }
+      st.update((n, t))
+      Iterator.single(RunningTotal(key, n, t))
+    }
+  }
 
   /** Update-mode running top-k per key via the native TopKAgg heap
     * aggregate — custom TypedImperativeAggregates serialize into the

@@ -332,6 +332,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals equal the aggregate twin (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.KV
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[KV]
+    val q = StreamOps.runningTotalsTws(in.toDS())
+      .writeStream.format("memory").queryName("tws").outputMode("update").start()
+    try {
+      in.addData(KV(1L, 2.0), KV(1L, 3.0), KV(2L, 5.0))
+      q.processAllAvailable()
+      in.addData(KV(1L, 2.0), KV(3L, 1.0))
+      q.processAllAvailable()
+      // update mode: LAST emission per key is the running state
+      val last = spark.table("tws").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, xs) =>
+          k -> xs.map(_._2).maxBy(_._1) } // highest count = latest emission
+      assert(last == Map(1L -> (3L, 7.0), 2L -> (1L, 5.0), 3L -> (1L, 1.0)))
+      // and the per-batch emissions match the agg-based twin's semantics:
+      // batch 1 emitted (1 -> 5.0), batch 2 the updated (1 -> 7.0)
+      val key1 = spark.table("tws").collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(key1 == Set((2L, 5.0), (3L, 7.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("joinWithinTime: stream-stream join pairs clicks within bound of views") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
