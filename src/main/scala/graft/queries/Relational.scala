@@ -444,6 +444,30 @@ object Relational {
         .orderBy("id")
     },
 
+    // semi-structured ingest: a nested JSON order document (id + items
+    // array) parsed with an EXPLICIT schema (from_json — schema-on-read,
+    // no inference pass) and flattened to child rows via posexplode. The
+    // document text is synthesized deterministically, and the oracle is
+    // the construction GROUND TRUTH — so the parse+flatten path is
+    // verified against an independent answer, not a JSON re-parse
+    "q48_json_flatten" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val itemsJson = array_join(
+        transform(sequence(lit(0L), k % 3),
+          i => concat(lit("{\"p\":"), (k * 10 + i).cast("string"),
+            lit(",\"q\":"), ((k + i) % 7).cast("string"), lit("}"))), ",")
+      val doc = concat(lit("{\"id\":"), k.cast("string"),
+        lit(",\"items\":["), itemsJson, lit("]}"))
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        "STRUCT<id: BIGINT, items: ARRAY<STRUCT<p: BIGINT, q: BIGINT>>>")
+      Tables.orders(s, dir)
+        .select(k)
+        .orderBy("o_orderkey")
+        .select(from_json(doc, schema).as("j"))
+        .select(col("j.id").as("id"), posexplode(col("j.items")).as(Seq("pos", "item")))
+        .select(col("id"), col("pos"), col("item.p").as("p"), col("item.q").as("q"))
+    },
+
     // grouped EXACT medians/percentiles over doubles (the reporting twin
     // of the approx sketch path): percentile() sorts within each group —
     // bounded per-group work after one shuffle; at 100 TB swap to
@@ -1039,6 +1063,13 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q48_json_flatten" ->
+      """SELECT o_orderkey AS id, i::INT AS pos,
+        | o_orderkey * 10 + i AS p, (o_orderkey + i) % 7 AS q
+        |FROM (SELECT o_orderkey,
+        |  unnest(generate_series(0, (o_orderkey % 3)::INT)) AS i FROM orders)
+        |ORDER BY id, pos""".stripMargin,
 
     "q47_median" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
