@@ -444,6 +444,22 @@ object Relational {
         .orderBy("id")
     },
 
+    // sliding (hopping) time windows — the overlapping twin of
+    // q13_events_hourly's tumbling windows: every event lands in 4
+    // epoch-aligned 1h windows at 15min hops. One groupBy after a 4×
+    // in-flight expand; measures are counts and min/max (order-free), no
+    // float accumulation. Session TZ is UTC so window alignment matches
+    // the oracle's epoch arithmetic exactly
+    "q49_sliding_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .select(unix_timestamp(col("window.start")).as("start_sec"),
+          col("event_type"), col("n"), col("min_v"), col("max_v"))
+        .orderBy("start_sec", "event_type")
+    },
+
     // semi-structured ingest: a nested JSON order document (id + items
     // array) parsed with an EXPLICIT schema (from_json — schema-on-read,
     // no inference pass) and flattened to child rows via posexplode. The
@@ -1063,6 +1079,13 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q49_sliding_window" ->
+      """SELECT (FLOOR(epoch(ts))::BIGINT // 900) * 900 - 900 * j AS start_sec,
+        | event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events, unnest([0, 1, 2, 3]) AS t(j)
+        |GROUP BY start_sec, event_type
+        |ORDER BY start_sec, event_type""".stripMargin,
 
     "q48_json_flatten" ->
       """SELECT o_orderkey AS id, i::INT AS pos,
