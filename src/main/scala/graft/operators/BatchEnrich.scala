@@ -52,7 +52,12 @@ object BatchEnrich {
     val keys = df.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
     val dictRdd = keys.rdd.mapPartitions { it =>
       it.map(_.getString(0)).grouped(chunkSize).flatMap { chunk =>
-        val out = enricher.enrichBatch(chunk)
+        // a failing chunk must not abort the job (the reference logs and
+        // continues, main.py:213-214): its keys take the same miss
+        // fallback as an enricher that returns no answer (main.py:297-300
+        // — first field carries the raw key, the rest blank)
+        val out = scala.util.Try(enricher.enrichBatch(chunk))
+          .getOrElse(Map.empty[String, Seq[String]])
         chunk.iterator.map { k =>
           val vals = out.getOrElse(k, Seq(k) ++ Seq.fill(enricher.outputFields.size - 1)(""))
           Row.fromSeq(k +: vals)

@@ -491,12 +491,16 @@ object Relational {
     // RangeJoinSpec). Interpolation formula matches quantile_cont
     // bit-for-bit (same rank = p·(n−1) linear interpolation)
     "q47_median" -> { (s, dir) =>
+      // both price percentiles from ONE aggregate buffer (array form):
+      // each percentile() is an object aggregate holding a value->count
+      // map, so asking twice doubles the heaviest buffer for nothing
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           expr("percentile(l_quantity, 0.5d)").as("med_qty"),
-          expr("percentile(l_extendedprice, 0.5d)").as("med_price"),
-          expr("percentile(l_extendedprice, 0.9d)").as("p90_price"))
+          expr("percentile(l_extendedprice, array(0.5d, 0.9d))").as("__p"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("med_qty"), col("__p")(0).as("med_price"), col("__p")(1).as("p90_price"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 

@@ -27,6 +27,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getString(0) == "DRUG3" && r.head.getString(1) == "Forte")
   }
 
+  test("batch enrich: a failing chunk degrades to the miss fallback, job survives") {
+    // chunks whose enricher call throws (a flaky API, the reference's
+    // caught-and-logged path) must yield (key, blanks-after-raw) rows,
+    // not a failed job; healthy chunks stay enriched
+    class FlakyEnricher extends BatchEnricher {
+      override val outputFields: Seq[String] = Seq("active_ingredient", "trade_name")
+      override def enrichBatch(keys: Seq[String]): Map[String, Seq[String]] = {
+        if (keys.exists(_.contains("poison"))) throw new RuntimeException("api down")
+        keys.map(k => k -> Seq(k.toUpperCase, "ok")).toMap
+      }
+    }
+    val df = Seq((1L, "alpha"), (2L, "poison pill"), (3L, "beta"))
+      .toDF("id", "raw_name")
+    val out = BatchEnrich.enrich(df, "raw_name", new FlakyEnricher, chunkSize = 1)
+      .select("raw_name", "active_ingredient", "trade_name")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("alpha") == ("ALPHA", "ok"))
+    assert(out("beta") == ("BETA", "ok"))
+    assert(out("poison pill") == ("poison pill", "")) // reference miss shape
+  }
+
   test("sessionize: gap splits sessions, counts and bounds correct") {
     val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 50L, 4L))
       .toDF("user_id", "sec", "event_id")
