@@ -645,6 +645,66 @@ object StreamOps {
       }
   }
 
+  /** [[sessionize]] on transformWithState with EVENT-TIME TIMERS — the
+    * timer half of the Spark 4 API ([[runningTotalsTws]] covers typed
+    * state): instead of GroupStateTimeout, the processor registers an
+    * explicit timer at session-end + gap and emits when the watermark
+    * fires it; new activity deletes and re-arms the timer. Equality with
+    * the flatMapGroupsWithState twin is asserted in the spec.
+    */
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.userId)
+      .transformWithState(new SessionProcessorTws(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  class SessionProcessorTws(gapSeconds: Long)
+    extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val secs = rows.map(_.ts.getTime / 1000).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      secs.foreach { sec =>
+        cur match {
+          case Some(s) if sec - s.endSec <= gapSeconds =>
+            cur = Some(SessionState(s.nEvents + 1,
+              math.min(s.startSec, sec), math.max(s.endSec, sec)))
+          case Some(s) =>
+            closed ::= SessionOut(key, s.nEvents, s.startSec, s.endSec)
+            cur = Some(SessionState(1, sec, sec))
+          case None =>
+            cur = Some(SessionState(1, sec, sec))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        // re-arm THE gap timer: one live timer per key, at end + gap
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer((s.endSec + gapSeconds) * 1000 + 1)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        st.clear()
+        Iterator.single(SessionOut(key, s.nEvents, s.startSec, s.endSec))
+      }
+    }
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState — streaming twin
     * of Sessionize.sessions. Emits a session when `gapSeconds` of event
     * time passes with no activity for the user (event-time timeout).

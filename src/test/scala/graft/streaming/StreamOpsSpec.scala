@@ -679,6 +679,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState timer sessionize equals the flatMapGroupsWithState twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[StreamOps.SessionOut],
+            name: String): Set[(Long, Long, Long, Long)] = {
+      val in = MemoryStream[Event]
+      val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(Event(1, ts(1000), 1, "a", 0), Event(2, ts(1100), 1, "a", 0))
+        q.processAllAvailable()
+        // gap > 1800 within one batch: in-batch session split
+        in.addData(Event(3, ts(5000), 1, "a", 0), Event(4, ts(5100), 1, "a", 0),
+          Event(5, ts(1050), 2, "a", 0))
+        q.processAllAvailable()
+        // push the watermark far out so every open session's timer fires
+        Seq(100000L, 200000L).foreach { t =>
+          in.addData(Event(99, ts(t), 99, "flush", 0)); q.processAllAvailable()
+        }
+        spark.table(name).as[StreamOps.SessionOut].collect()
+          .filter(_.userId != 99L)
+          .map(s => (s.userId, s.nEvents, s.startSec, s.endSec)).toSet
+      } finally q.stop()
+    }
+    try {
+      val tws = run(StreamOps.sessionizeTws(_, 1800L), "sess_tws")
+      val fmgws = run(StreamOps.sessionize(_, 1800L), "sess_fmgws")
+      assert(tws == fmgws, s"tws $tws vs fmgws $fmgws")
+      assert(tws.contains((1L, 2L, 1000L, 1100L))) // split first session
+      assert(tws.contains((1L, 2L, 5000L, 5100L))) // second session
+      assert(tws.contains((2L, 1L, 1050L, 1050L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionize equals the batch twin on real event data") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 1800L
