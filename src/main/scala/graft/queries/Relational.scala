@@ -444,6 +444,40 @@ object Relational {
         .orderBy("id")
     },
 
+    // the SCALE path for exact percentiles (q47's percentile() builds a
+    // value→count map per group — heap-bound on high-cardinality
+    // groups): rank arithmetic over a sorted window. r = 1 + p·(n−1);
+    // the answer interpolates between the floor(r)-th and ceil(r)-th
+    // values, so one sort + one conditional agg replaces the value map,
+    // and the sort range-partitions at 100 TB (GlobalRank shape). The
+    // interpolation arithmetic is replayed verbatim in the oracle —
+    // bit-identical regardless of how quantile_cont associates
+    "q50_median_scale" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").as("v"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("v")
+      val counts = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      def r(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
+      def lo(p: Double) = floor(r(p)).cast("long")
+      def hi(p: Double) = ceil(r(p)).cast("long")
+      def interp(p: Double, loV: Column, hiV: Column) =
+        loV + (hiV - loV) * (r(p) - floor(r(p)))
+      li.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), Seq("l_returnflag", "l_linestatus"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("n"))
+        .agg(max(when(col("rn") === lo(0.5), col("v"))).as("lo50"),
+          max(when(col("rn") === hi(0.5), col("v"))).as("hi50"),
+          max(when(col("rn") === lo(0.9), col("v"))).as("lo90"),
+          max(when(col("rn") === hi(0.9), col("v"))).as("hi90"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          interp(0.5, col("lo50"), col("hi50")).as("med_price"),
+          interp(0.9, col("lo90"), col("hi90")).as("p90_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // sliding (hopping) time windows — the overlapping twin of
     // q13_events_hourly's tumbling windows: every event lands in 4
     // epoch-aligned 1h windows at 15min hops. One groupBy after a 4×
@@ -1083,6 +1117,25 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q50_median_scale" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+        |    ORDER BY l_extendedprice) AS rn
+        | FROM lineitem),
+        |j AS (SELECT r.*, c.n FROM r JOIN c USING (l_returnflag, l_linestatus)),
+        |a AS (SELECT l_returnflag, l_linestatus, n,
+        |  max(CASE WHEN rn = FLOOR(1.0::DOUBLE + 0.5::DOUBLE * (n - 1))::BIGINT THEN v END) AS lo50,
+        |  max(CASE WHEN rn = CEIL(1.0::DOUBLE + 0.5::DOUBLE * (n - 1))::BIGINT THEN v END) AS hi50,
+        |  max(CASE WHEN rn = FLOOR(1.0::DOUBLE + 0.9::DOUBLE * (n - 1))::BIGINT THEN v END) AS lo90,
+        |  max(CASE WHEN rn = CEIL(1.0::DOUBLE + 0.9::DOUBLE * (n - 1))::BIGINT THEN v END) AS hi90
+        | FROM j GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, l_linestatus, n,
+        | lo50 + (hi50 - lo50) * (1.0::DOUBLE + 0.5::DOUBLE * (n - 1) - FLOOR(1.0::DOUBLE + 0.5::DOUBLE * (n - 1))) AS med_price,
+        | lo90 + (hi90 - lo90) * (1.0::DOUBLE + 0.9::DOUBLE * (n - 1) - FLOOR(1.0::DOUBLE + 0.9::DOUBLE * (n - 1))) AS p90_price
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q49_sliding_window" ->
       """SELECT (FLOOR(epoch(ts))::BIGINT // 900) * 900 - 900 * j AS start_sec,
