@@ -84,6 +84,24 @@ object TextQueries {
     // filter -> exact dedup (keep first) -> surviving docs. Every stage is
     // a library operator; Catalyst fuses the three scalar filters into the
     // scan and the only shuffles are the dedup window and final sort.
+    // the dataset card a corpus release ships with: per-(lang, source)
+    // document counts, token mass, length extremes and the exact-dup rate
+    // — ONE aggregation pass (count-distinct of the fingerprint is the
+    // only two-stage agg; swap to approx_count_distinct at 100 TB and the
+    // whole card is a single partial-agg scan)
+    "pipe_dataset_card" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), nt.as("nt"), md5(col("text")).as("fp"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_unique"))
+        .orderBy("lang", "source")
+    },
+
     "pipe_corpus_clean" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
@@ -494,6 +512,15 @@ object TextQueries {
          |SELECT toks.doc_id, toks.pos, COALESCE(v.token_id, -1) AS token_id
          |FROM toks LEFT JOIN v ON toks.token = v.token
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "pipe_dataset_card" ->
+      s"""WITH t AS (SELECT lang, source, len($toksSql) AS nt, md5(text) AS fp
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         | SUM(nt) AS sum_tokens, MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
+         | COUNT(DISTINCT fp) AS n_unique,
+         | COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+         |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "pipe_corpus_clean" ->
       s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,

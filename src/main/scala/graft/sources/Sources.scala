@@ -97,6 +97,19 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .parquet(path)
 
+  /** Corrupt-file-tolerant parquet read: a table directory with one
+    * truncated/garbage file (a killed writer, a bad disk) yields every
+    * readable file's rows instead of failing the whole scan — the batch
+    * sibling of PERMISSIVE CSV ingest. Scoped to THIS read via the
+    * option, not the session-wide conf, so strict reads elsewhere still
+    * fail fast; reconcile counts against the writer's manifest/observe
+    * metrics downstream. The schema is explicit — inference would read
+    * footers and can itself trip over the corrupt file (measured).
+    */
+  def readParquetLenient(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").schema(schema).parquet(path)
+
   /** Fixed-width record sink: format every row to the `layout` spec
     * (name:width:type,... — numbers left-padded, strings right-padded,
     * NULL as all spaces) and write line-oriented text. A value wider than

@@ -273,6 +273,41 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall { case (id, m) => r2(id) != m.resizedHash })
   }
 
+  test("Pipeline: stages fuse into one plan, per-stage row counts observed") {
+    val df = (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "m")
+    val result = Pipeline(df, Seq(
+      Pipeline.Stage("keep_even", _.where($"m" % 2 === 0)),
+      Pipeline.Stage("keep_small", _.where($"m" < 6)),
+      Pipeline.Stage("project", _.select("id"))))
+    assert(result.df.count() == 30) // m in {0,2,4}
+    assert(result.rowCounts == Map(
+      "keep_even" -> 50L, "keep_small" -> 30L, "project" -> 30L))
+    // stage taps must not break fusion: both filters still collapse into
+    // the scan stage (no exchange between them)
+    assert(!result.df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("readParquetLenient survives a corrupt file, strict read fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    // garbage where a parquet file should be (killed writer / bad disk)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    java.nio.file.Files.write(victim.toPath, Array.fill[Byte](64)(0x7f))
+    val strict = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    assert(strict.getMessage != null)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val rows = graft.sources.Sources.readParquetLenient(spark, dir, schema).count()
+    assert(rows > 0 && rows < 50) // readable files survive, victim's rows lost
+  }
+
   test("pipeline observability: observe() metrics surface without a second pass") {
     // production pipelines need row counts / checksums of what a job
     // ACTUALLY wrote; observe() accumulates them on the one existing pass
