@@ -151,6 +151,30 @@ object SimilarityQueries {
         .orderBy("lang", "shard")
     },
 
+    // shard materialization (the write step of mm_shard_pack): each
+    // shard's members concatenated in id order into one payload — the
+    // tar-member stream a WebDataset writer emits. collect_list is
+    // shuffle-order-nondeterministic, so sort_array over (id, payload)
+    // structs pins member order before the concat (pipe_pack_payload's
+    // rule applied to bytes); the oracle checks the payload's md5
+    "mm_shard_payload" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang"), col("text"),
+          length(col("text").cast("binary")).as("byte_len"))
+        .withColumn("shard",
+          floor(coalesce(sum(col("byte_len")).over(w), lit(0L)) / lit(4096.0))
+            .cast("long"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("shard_bytes"),
+          md5(array_join(expr(
+            "transform(sort_array(collect_list(struct(id, text))), x -> x.text)"),
+            "").cast("binary")).as("payload_md5"))
+        .orderBy("lang", "shard")
+    },
+
     // Matryoshka-style two-stage retrieval: coarse top-32 by 16-dim
     // PREFIX cosine (a quarter of the dot-product work; with MRL-trained
     // embeddings the prefix preserves ranking), then exact full-dim
@@ -384,6 +408,18 @@ object SimilarityQueries {
         |SELECT lang, CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard,
         | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
         | MIN(id) AS first_id, MAX(id) AS last_id
+        |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    "mm_shard_payload" ->
+      """WITH m AS (SELECT doc_id AS id, lang, text,
+        |  octet_length(text::BLOB) AS byte_len FROM documents),
+        |p AS (SELECT id, lang, text, byte_len,
+        |  COALESCE(SUM(byte_len) OVER (PARTITION BY lang ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM m)
+        |SELECT lang, CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard,
+        | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
+        | md5(string_agg(text, '' ORDER BY id)) AS payload_md5
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     "sim_mrl_rerank" ->

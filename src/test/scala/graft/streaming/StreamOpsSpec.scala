@@ -332,6 +332,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming observability: per-batch input rows and state size in progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningTotals(
+      in.toDF().withColumnRenamed("userId", "user_id"), "user_id", "value")
+      .writeStream.format("memory").queryName("obs_stream")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(10), 1, "a", 1.0), Event(2, ts(20), 2, "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(30), 1, "a", 3.0))
+      q.processAllAvailable()
+      // the ops surface a production stream is monitored by: input volume
+      // and state-store row counts per micro-batch, no extra query needed
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.map(_.numInputRows).sum == 3)
+      val lastState = progress.last.stateOperators
+      assert(lastState.nonEmpty && lastState.head.numRowsTotal == 2) // 2 keys
+    } finally q.stop()
+  }
+
   test("transformWithState running totals equal the aggregate twin (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.KV
