@@ -436,6 +436,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinTime left_semi: views that clicked emit ONCE, others never") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.joinWithinTime(
+      views.toDF().select($"eventId".as("view_id"), $"userId".as("view_user"), $"ts".as("view_ts")),
+      clicks.toDF().select($"eventId".as("click_id"), $"userId".as("click_user"), $"ts".as("click_ts")),
+      "view_user", "click_user", "view_ts", "click_ts",
+      within = "60 seconds", watermark = "30 seconds", joinType = "left_semi")
+    val q = joined.writeStream.format("memory").queryName("vc_semi").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(100), 1, "view", 0), Event(2, ts(100), 2, "view", 0))
+      // user 1 clicks TWICE in bound — semi join must still emit view 1 once
+      clicks.addData(Event(10, ts(110), 1, "click", 0), Event(11, ts(130), 1, "click", 0))
+      q.processAllAvailable()
+      views.addData(Event(3, ts(10000), 9, "view", 0))
+      clicks.addData(Event(99, ts(10000), 9, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("vc_semi").select("view_id").collect().map(_.getLong(0))
+      assert(got.count(_ == 1L) == 1) // exactly once despite two matches
+      assert(!got.contains(2L))       // never-clicked view never emits
+      // semi join output carries ONLY left columns
+      assert(spark.table("vc_semi").columns.toSeq ==
+        Seq("view_id", "view_user", "view_ts"))
+    } finally q.stop()
+  }
+
   test("joinWithinTime full_outer: unmatched rows from BOTH sides emit after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
