@@ -92,6 +92,25 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(read(dir).where($"id".isin(1L, 3L)).count() == 2)
   }
 
+  test("fixedwidth: a wrong-width layout fails the record-length integrity check") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    write(Seq((1L, Some("a"), Some(1))).toDF("id", "name", "qty"), dir)
+    // 2 bytes narrower than the written records: every offset would be
+    // torn — the reader must refuse loudly, not return shifted garbage
+    val e = intercept[Exception] {
+      spark.read.format("fixedwidth")
+        .option("layout", "id:8:long,name:10:string,qty:6:int").load(dir).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple of record length")))
+  }
+
+  test("fixedwidth: malformed layout specs error clearly") {
+    intercept[IllegalArgumentException] { FixedWidth.parseLayout("a:b") }
+    intercept[IllegalArgumentException] { FixedWidth.parseLayout("a:8:blob") }
+  }
+
   test("fixedwidth: writer raises on field overflow instead of truncating") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
     val bad = Seq((1L, Some("this name is far too long for 12"), Some(1)))
