@@ -406,7 +406,7 @@ object SimilarityQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         | FROM m)
         |SELECT lang, CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard,
-        | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
+        | COUNT(*) AS n_items, SUM(byte_len)::BIGINT AS shard_bytes,
         | MIN(id) AS first_id, MAX(id) AS last_id
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
@@ -418,7 +418,7 @@ object SimilarityQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         | FROM m)
         |SELECT lang, CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard,
-        | COUNT(*) AS n_items, SUM(byte_len) AS shard_bytes,
+        | COUNT(*) AS n_items, SUM(byte_len)::BIGINT AS shard_bytes,
         | md5(string_agg(text, '' ORDER BY id)) AS payload_md5
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 

@@ -494,7 +494,7 @@ object TextQueries {
          |v AS (SELECT token FROM toks GROUP BY token
          |      ORDER BY COUNT(*) DESC, token LIMIT 16)
          |SELECT doc_id, COUNT(*) AS n_tokens,
-         | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
          | SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS oov_rate
          |FROM toks LEFT JOIN v ON toks.token = v.token
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -517,7 +517,7 @@ object TextQueries {
       s"""WITH t AS (SELECT lang, source, len($toksSql) AS nt, md5(text) AS fp
          |  FROM documents)
          |SELECT lang, source, COUNT(*) AS n_docs,
-         | SUM(nt) AS sum_tokens, MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
+         | SUM(nt)::BIGINT AS sum_tokens, MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
          | COUNT(DISTINCT fp) AS n_unique,
          | COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
          |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
@@ -661,7 +661,7 @@ object TextQueries {
          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "pipe_mixture" ->
-      s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql)) AS sum_tokens
+      s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql))::BIGINT AS sum_tokens
          |           FROM documents GROUP BY lang),
          |w AS (SELECT lang, n_docs, sum_tokens, sqrt(sum_tokens::DOUBLE) AS w FROM s),
          |c AS (SELECT *, SUM(w) OVER (ORDER BY lang
