@@ -40,4 +40,92 @@ object GlobalRank {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Per-group 1-based rank + EXCLUSIVE running sum of `weight`, ordered by
+    * `sortCols` within `groupCols` — the scale-safe replacement for
+    * `Window.partitionBy(group).orderBy(ord)` when the group key has LOW
+    * cardinality (languages, return flags): a hash-partitioned window
+    * funnels each group through ONE task no matter the cluster size.
+    *
+    * Here the sort range-partitions on (group, sort) — one group SPANS many
+    * partitions, every partition stays bounded — then:
+    *
+    *   1. one scalar pre-pass collects per-partition per-group
+    *      (rowCount, weightSum); partitions hold contiguous key ranges, so
+    *      each touches only the few groups crossing its boundary — the
+    *      collect is O(partitions × boundary groups) scalars, never rows;
+    *   2. cumulative offsets per (partition, group) are broadcast back and
+    *      each partition emits rank/prefix with pure local arithmetic.
+    *
+    * Parallelism is therefore partition-bound, not group-bound. The shuffle
+    * files of step 0's exchange are reused by both jobs (Spark reuses
+    * shuffle output across jobs on the same lineage), so the pre-pass costs
+    * one extra within-partition sort, not a second shuffle.
+    *
+    * Determinism: as with any ranking, (groupCols ++ sortCols) must be a
+    * total order per group; `weight` must be integral (summed as Long,
+    * NULL counts as 0).
+    */
+  def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                           sortCols: Seq[Column], weight: Column,
+                           rankCol: String = "grp_rank",
+                           prefixCol: String = "grp_prefix"): DataFrame = {
+    val spark = df.sparkSession
+    val wName = "__gps_weight"
+    val keyed = df.withColumn(wName, weight.cast(LongType))
+    val orderCols = groupCols.map(org.apache.spark.sql.functions.col) ++ sortCols
+    val sorted = keyed.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val wIdx = sorted.schema.fieldIndex(wName)
+    val rdd = sorted.rdd
+
+    // pre-pass: per-partition per-group (count, weightSum) scalars
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long)]
+      it.foreach { r =>
+        val g = gIdx.map(r.get)
+        val w = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+        val (c, s) = m.getOrElse(g, (0L, 0L))
+        m.update(g, (c + 1L, s + w))
+      }
+      Iterator.single(pid -> m.toSeq)
+    }.collect()
+
+    // fold partition-local stats (in partition order) into per-(pid, group)
+    // starting offsets
+    val running = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Long)]
+    val offsets: Map[Int, Map[Seq[Any], (Long, Long)]] =
+      partStats.sortBy(_._1).map { case (pid, groups) =>
+        pid -> groups.map { case (g, (c, s)) =>
+          val (oc, os) = running.getOrElse(g, (0L, 0L))
+          running.update(g, (oc + c, os + s))
+          g -> (oc, os)
+        }.toMap
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false)
+        :+ StructField(prefixCol, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bc.value.getOrElse(pid, Map.empty[Seq[Any], (Long, Long)])
+      var curG: Seq[Any] = null
+      var cnt = 0L
+      var acc = 0L
+      it.map { r =>
+        val g = gIdx.map(r.get)
+        if (g != curG) { // groups are contiguous within a sorted partition
+          curG = g
+          val (oc, os) = offs.getOrElse(g, (0L, 0L))
+          cnt = oc; acc = os
+        }
+        cnt += 1L
+        val row = Row.fromSeq(r.toSeq :+ cnt :+ acc)
+        acc += (if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx))
+        row
+      }
+    }
+    spark.createDataFrame(out, outSchema).drop(wName)
+  }
 }

@@ -448,16 +448,17 @@ object Relational {
     // value→count map per group — heap-bound on high-cardinality
     // groups): rank arithmetic over a sorted window. r = 1 + p·(n−1);
     // the answer interpolates between the floor(r)-th and ceil(r)-th
-    // values, so one sort + one conditional agg replaces the value map,
-    // and the sort range-partitions at 100 TB (GlobalRank shape). The
-    // interpolation arithmetic is replayed verbatim in the oracle —
-    // bit-identical regardless of how quantile_cont associates
+    // values, so one sort + one conditional agg replaces the value map.
+    // The per-group rank is GlobalRank.withGroupedPrefixSum — a range-
+    // partitioned sort + offsets, so a ~6-value group key still uses
+    // every partition (a hash-partitioned window would funnel each group
+    // through ONE task). The interpolation arithmetic is replayed
+    // verbatim in the oracle — bit-identical regardless of how
+    // quantile_cont associates
     "q50_median_scale" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_extendedprice").as("v"))
-      val w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("v")
       val counts = li.groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"))
       def r(p: Double) = lit(1.0) + lit(p) * (col("n") - 1).cast("double")
@@ -465,7 +466,10 @@ object Relational {
       def hi(p: Double) = ceil(r(p)).cast("long")
       def interp(p: Double, loV: Column, hiV: Column) =
         loV + (hiV - loV) * (r(p) - floor(r(p)))
-      li.withColumn("rn", row_number().over(w))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          li, Seq("l_returnflag", "l_linestatus"), Seq(col("v")), lit(1L),
+          rankCol = "rn")
+        .drop("grp_prefix")
         .join(broadcast(counts), Seq("l_returnflag", "l_linestatus"))
         .groupBy(col("l_returnflag"), col("l_linestatus"), col("n"))
         .agg(max(when(col("rn") === lo(0.5), col("v"))).as("lo50"),

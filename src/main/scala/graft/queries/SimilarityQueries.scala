@@ -133,18 +133,17 @@ object SimilarityQueries {
     // 4 KiB shards per language group (shard = floor(exclusive-prefix-bytes
     // / cap), the same greedy-contiguous rule as pipe_pack_bins but over
     // BYTE sizes — the tar-shard materialization a multimodal training
-    // pipeline writes). At 100 TB the per-group ordered prefix sum is a
-    // range-partitioned sort + per-partition offsets (GlobalRank shape)
+    // pipeline writes). The per-group ordered prefix sum range-partitions
+    // (GlobalRank.withGroupedPrefixSum) — parallelism stays partition-
+    // bound, never one-task-per-lang
     "mm_shard_pack" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("lang"),
           length(col("text").cast("binary")).as("byte_len"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("id")), col("byte_len"))
         .withColumn("shard",
-          floor(coalesce(sum(col("byte_len")).over(w), lit(0L)) / lit(4096.0))
-            .cast("long"))
+          floor(col("grp_prefix") / lit(4096.0)).cast("long"))
         .groupBy(col("lang"), col("shard"))
         .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("shard_bytes"),
           min(col("id")).as("first_id"), max(col("id")).as("last_id"))
@@ -158,15 +157,13 @@ object SimilarityQueries {
     // structs pins member order before the concat (pipe_pack_payload's
     // rule applied to bytes); the oracle checks the payload's md5
     "mm_shard_payload" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("lang"), col("text"),
           length(col("text").cast("binary")).as("byte_len"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("id")), col("byte_len"))
         .withColumn("shard",
-          floor(coalesce(sum(col("byte_len")).over(w), lit(0L)) / lit(4096.0))
-            .cast("long"))
+          floor(col("grp_prefix") / lit(4096.0)).cast("long"))
         .groupBy(col("lang"), col("shard"))
         .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("shard_bytes"),
           md5(array_join(expr(

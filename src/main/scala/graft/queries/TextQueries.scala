@@ -306,17 +306,17 @@ object TextQueries {
     // contiguous sequence packing: docs in (lang, doc_id) order fill
     // 256-token bins; bin = floor(exclusive-prefix-tokens / cap), so a doc
     // straddling a boundary overflows its bin (greedy contiguous packing).
-    // At 100 TB the per-lang ordered prefix sum is a range-partitioned
-    // sort + per-partition offsets (the GlobalRank shape), not one task
+    // The per-lang ordered prefix sum is a range-partitioned sort +
+    // per-partition offsets (GlobalRank.withGroupedPrefixSum) — 5 langs
+    // over 100 TB still use EVERY partition, never one task per lang
     "pipe_pack_bins" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val nt = size(Text.tokens(col("text")))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), nt.as("n_tokens"))
-        .withColumn("bin",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(256.0)).cast("long"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("bin", floor(col("grp_prefix") / lit(256.0)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
         .orderBy("lang", "doc_id")
     },
 
@@ -325,14 +325,12 @@ object TextQueries {
     // shuffle-order-nondeterministic — sort_array over (doc_id, text)
     // structs restores a total order before the join
     "pipe_pack_payload" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val nt = size(Text.tokens(col("text")))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), nt.as("n_tokens"))
-        .withColumn("bin",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(256.0)).cast("long"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("bin", floor(col("grp_prefix") / lit(256.0)).cast("long"))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
           array_join(expr(

@@ -159,6 +159,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("packing family: no per-group single-task window in any plan") {
+    // these five partition their work by a LOW-cardinality key (lang,
+    // returnflag+linestatus); a Window.partitionBy on such a key funnels
+    // each group through ONE task at any cluster size. They must plan via
+    // GlobalRank.withGroupedPrefixSum (range-partitioned sort + offsets),
+    // i.e. contain no WindowExec at all
+    for (name <- Seq("q50_median_scale", "pipe_pack_bins", "pipe_pack_payload",
+        "mm_shard_pack", "mm_shard_payload")) {
+      val windows = executedPlan(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name plans a window — low-cardinality partitionBy is a scale cliff")
+    }
+  }
+
   test("round-4 operators broadcast their bounded small sides") {
     // pq codebook (m×k rows), decontam benchmark grams, gapfill bounds
     // row: each is fixed-size by construction and must plan as a

@@ -204,6 +204,40 @@ class OperatorsSpec extends SparkSpec {
     assert(viaGlobal == viaWindow)
   }
 
+  test("grouped prefix sum equals per-group window rank + exclusive running sum") {
+    // 1000 rows over 3 low-cardinality groups, many range partitions —
+    // exercises the cross-partition offset stitching
+    val df = (1 to 1000).map { i =>
+      (s"g${i % 3}", ((i * 37) % 1000).toLong, (i % 7 + 1).toLong)
+    }.toDF("grp", "ord", "w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"ord")
+    val viaWindow = df
+      .withColumn("grp_rank",
+        org.apache.spark.sql.functions.row_number().over(win).cast("long"))
+      .withColumn("grp_prefix", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum($"w").over(
+          win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        org.apache.spark.sql.functions.lit(0L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val viaOp = GlobalRank.withGroupedPrefixSum(df, Seq("grp"), Seq($"ord"), $"w")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(viaOp == viaWindow)
+  }
+
+  test("grouped prefix sum: empty input and single-group input") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("grp", "ord", "w")
+    assert(GlobalRank.withGroupedPrefixSum(empty, Seq("grp"), Seq($"ord"), $"w").isEmpty)
+    val one = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 11L)).toDF("grp", "ord", "w")
+    val got = GlobalRank.withGroupedPrefixSum(one, Seq("grp"), Seq($"ord"), $"w")
+      .orderBy("ord").collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 5L), (3L, 12L)))
+  }
+
   test("scd2 history: versions chain, trailing delete closes, last upsert current") {
     val changes = Seq(
       (1L, "a1", 100L, "U"), (1L, "a2", 200L, "U"),            // two versions, second current
