@@ -89,8 +89,11 @@ object AsOfJoin {
     val filled = unioned
       .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wBack))
       .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wFwd))
-    val backD = col("__t").cast("long") - col("__back.__rt").cast("long")
-    val fwdD = col("__fwd.__rt").cast("long") - col("__t").cast("long")
+    // distances at native precision: cast("long") on a timestamp truncates
+    // to whole seconds and mis-picks the nearest side at sub-second skew
+    val lType = left.schema(leftTimeCol).dataType
+    val backD = ticks(col("__t"), lType) - ticks(col("__back.__rt"), tType)
+    val fwdD = ticks(col("__fwd.__rt"), tType) - ticks(col("__t"), lType)
     val pick = when(col("__back").isNull, col("__fwd"))
       .when(col("__fwd").isNull, col("__back"))
       .when(backD <= fwdD, col("__back")) // tie → earlier (backward) row
@@ -115,7 +118,8 @@ object AsOfJoin {
     * must be unique per (key, time) like asofLast.
     */
   def asofBroadcast(left: DataFrame, right: DataFrame, keyCol: String,
-                    leftTimeCol: String, rightTimeCol: String): DataFrame = {
+                    leftTimeCol: String, rightTimeCol: String,
+                    maxBroadcastRows: Long = 10_000_000L): DataFrame = {
     val rightVals = right.columns.filterNot(c => c == keyCol || c == rightTimeCol).toSeq
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
@@ -125,7 +129,14 @@ object AsOfJoin {
     val keyIdx = left.schema.fieldIndex(keyCol)
     val timeIdx = left.schema.fieldIndex(leftTimeCol)
     // the broadcast materialization — same driver-side trade as Spark's
-    // BroadcastExchange; the caller guarantees the right side is dim-sized
+    // BroadcastExchange. "Dim-sized" is ENFORCED, not assumed: a mis-called
+    // fact side must fail loudly here, not OOM the driver mid-collect. The
+    // count is one cheap job (parquet answers it from footers).
+    val rightRows = right.count()
+    if (rightRows > maxBroadcastRows) throw new IllegalArgumentException(
+      s"asofBroadcast right side has $rightRows rows (> $maxBroadcastRows): " +
+        "this side would be collected to the driver; use asofLast for a " +
+        "fact-sized right side or raise maxBroadcastRows deliberately")
     val table: Map[Any, Array[(Long, Seq[Any])]] = right
       .select((keyCol +: rightTimeCol +: rightVals).map(col): _*)
       .collect()
@@ -161,10 +172,25 @@ object AsOfJoin {
     }(enc)
   }
 
+  /** Time column → comparable long ticks at NATIVE precision (micros for
+    * timestamps, days for dates, value for integrals) — `cast("long")`
+    * would truncate timestamps to whole seconds.
+    */
+  private def ticks(c: org.apache.spark.sql.Column,
+                    dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+      case _ => c.cast("long")
+    }
+
   private def asLong(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
-    case ts: java.sql.Timestamp => ts.getTime
+    case ts: java.sql.Timestamp => // micros, not getTime's millis
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + (ts.getNanos / 1000L) % 1000000L
     case d: java.sql.Date => d.getTime
     case other => throw new IllegalArgumentException(
       s"unsupported as-of time type: ${other.getClass}")

@@ -40,13 +40,22 @@ object RangeJoin {
     */
   def intervalJoinBroadcast(points: DataFrame, intervals: DataFrame,
                             pointTimeCol: String, startCol: String,
-                            endCol: String): DataFrame = {
+                            endCol: String,
+                            maxBroadcastRows: Long = 10_000_000L): DataFrame = {
     val ivVals = intervals.columns.filterNot(c => c == startCol || c == endCol).toSeq
     require(ivVals.intersect(points.columns.toSeq).isEmpty,
       s"overlapping columns: ${ivVals.intersect(points.columns.toSeq).mkString(",")}")
     val outSchema = StructType(points.schema.fields ++
       (Seq(startCol, endCol) ++ ivVals).map(c => intervals.schema(c).copy(name = c)))
     val tIdx = points.schema.fieldIndex(pointTimeCol)
+    // dim-sized is ENFORCED: a mis-called fact side fails loudly here
+    // instead of OOMing the driver mid-collect (one cheap count job)
+    val ivRows = intervals.count()
+    if (ivRows > maxBroadcastRows) throw new IllegalArgumentException(
+      s"intervalJoinBroadcast intervals side has $ivRows rows " +
+        s"(> $maxBroadcastRows): this side would be collected to the driver; " +
+        "use intervalJoin for a fact-sized intervals side or raise " +
+        "maxBroadcastRows deliberately")
     val sorted: Array[(Long, Long, Seq[Any])] = intervals
       .select((startCol +: endCol +: ivVals).map(col): _*)
       .collect()

@@ -130,6 +130,33 @@ class AsOfJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "range-join shape crept in")
   }
 
+  test("asofNearest compares timestamps at MICROSECOND precision") {
+    // quotes 400ms before and 900ms after: second-truncated distances are
+    // 0 and 0 (tie → backward would also pick back here), so separate the
+    // sub-second case where truncation flips the answer: back at -900ms,
+    // fwd at +400ms — cast("long") sees d_back=0 < d_fwd=1 and picks back;
+    // native micros must pick forward
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val trades = Seq((1L, ts(10900L), "t1")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, ts(10000L), 1.0), (1L, ts(11300L), 2.0))
+      .toDF("k", "qt", "px")
+    val r = AsOfJoin.asofNearest(trades, quotes, "k", "t", "qt").collect().head
+    assert(r.getDouble(r.fieldIndex("px")) == 2.0,
+      "sub-second distances truncated: nearest-side pick is wrong")
+  }
+
+  test("asofBroadcast enforces the dim-size contract loudly") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val r = (1L to 100L).map(i => (i, i, i.toDouble)).toDF("k", "qt", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBroadcast(l, r, "k", "t", "qt", maxBroadcastRows = 50L)
+    }
+    assert(e.getMessage.contains("100 rows"))
+    // at/below the cap it runs
+    assert(AsOfJoin.asofBroadcast(l, r, "k", "t", "qt",
+      maxBroadcastRows = 100L).count() == 1L)
+  }
+
   test("asofLast rejects overlapping value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "qt", "v")

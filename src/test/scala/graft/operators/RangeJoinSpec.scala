@@ -40,6 +40,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(nd == Set((1L, 1L)))
   }
 
+  test("intervalJoinBroadcast enforces the dim-size contract loudly") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val big = (1L to 100L).map(i => (i, i, i + 1)).toDF("iv", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoinBroadcast(points, big, "t", "s", "e",
+        maxBroadcastRows = 50L)
+    }
+    assert(e.getMessage.contains("100 rows"))
+    assert(RangeJoin.intervalJoinBroadcast(points, big, "t", "s", "e",
+      maxBroadcastRows = 100L).count() >= 1L)
+  }
+
   test("approx sketches land within tolerance of exact") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(
