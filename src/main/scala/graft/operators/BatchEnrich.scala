@@ -43,10 +43,32 @@ class NameRuleEnricher extends BatchEnricher {
 
 object BatchEnrich {
 
-  /** Left-join `df` with enrichment outputs keyed on `keyCol`. */
+  /** Left-join `df` with enrichment outputs keyed on `keyCol`.
+    *
+    * Join-back strategy is SIZE-AWARE: up to `broadcastMaxKeys` distinct
+    * keys the dictionary is broadcast (the common LLM-enrichment shape —
+    * thousands of keys); above it the hint is dropped and the join plans
+    * as a shuffle, with AQE free to convert at runtime from OBSERVED
+    * stats. An unconditional broadcast() of a 100M-key dictionary OOMs
+    * the driver. The key count reuses the distinct's shuffle files, so it
+    * costs one reduce pass, not a second scan of `df`.
+    *
+    * Failed chunks degrade to the miss fallback (the reference logs and
+    * continues, main.py:213-214) — but never silently: each failure is
+    * logged on the executor and counted in the returned accumulator
+    * (visible in the Spark UI as `graft.enrich.failedChunks`).
+    */
   def enrich(df: DataFrame, keyCol: String, enricher: BatchEnricher,
-             chunkSize: Int = 200): DataFrame = {
+             chunkSize: Int = 200,
+             broadcastMaxKeys: Long = 2_000_000L): DataFrame =
+    enrichCounted(df, keyCol, enricher, chunkSize, broadcastMaxKeys)._1
+
+  /** [[enrich]] + the failed-chunk accumulator for operators that alert. */
+  def enrichCounted(df: DataFrame, keyCol: String, enricher: BatchEnricher,
+                    chunkSize: Int = 200, broadcastMaxKeys: Long = 2_000_000L)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val spark = df.sparkSession
+    val failedChunks = spark.sparkContext.longAccumulator("graft.enrich.failedChunks")
     val keySchema = StructType(
       (keyCol +: enricher.outputFields).map(StructField(_, StringType, nullable = true)))
     val keys = df.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
@@ -56,8 +78,14 @@ object BatchEnrich {
         // continues, main.py:213-214): its keys take the same miss
         // fallback as an enricher that returns no answer (main.py:297-300
         // — first field carries the raw key, the rest blank)
-        val out = scala.util.Try(enricher.enrichBatch(chunk))
-          .getOrElse(Map.empty[String, Seq[String]])
+        val out = scala.util.Try(enricher.enrichBatch(chunk)) match {
+          case scala.util.Success(m) => m
+          case scala.util.Failure(e) =>
+            failedChunks.add(1L)
+            org.slf4j.LoggerFactory.getLogger("graft.BatchEnrich").warn(
+              s"enrich chunk of ${chunk.size} keys failed, using miss fallback", e)
+            Map.empty[String, Seq[String]]
+        }
         chunk.iterator.map { k =>
           val vals = out.getOrElse(k, Seq(k) ++ Seq.fill(enricher.outputFields.size - 1)(""))
           Row.fromSeq(k +: vals)
@@ -65,6 +93,9 @@ object BatchEnrich {
       }
     }
     val dict = spark.createDataFrame(dictRdd, keySchema)
-    df.join(broadcast(dict), Seq(keyCol), "left")
+    val joined =
+      if (keys.count() <= broadcastMaxKeys) df.join(broadcast(dict), Seq(keyCol), "left")
+      else df.join(dict, Seq(keyCol), "left") // AQE decides from runtime stats
+    (joined, failedChunks)
   }
 }

@@ -48,6 +48,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out("poison pill") == ("poison pill", "")) // reference miss shape
   }
 
+  test("batch enrich: failed chunks are COUNTED, not silently swallowed") {
+    class DownEnricher extends BatchEnricher {
+      override val outputFields: Seq[String] = Seq("a")
+      override def enrichBatch(keys: Seq[String]): Map[String, Seq[String]] =
+        throw new RuntimeException("api down")
+    }
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "raw_name")
+    val (out, failed) = BatchEnrich.enrichCounted(
+      df, "raw_name", new DownEnricher, chunkSize = 1)
+    assert(out.count() == 3) // job survives, rows take the miss fallback
+    assert(failed.value == 3L, s"expected 3 failed chunks, got ${failed.value}")
+  }
+
+  test("batch enrich: dictionary above broadcastMaxKeys does NOT plan a broadcast") {
+    val df = (1 to 50).map(i => (i.toLong, s"key$i")).toDF("id", "raw_name")
+    // 50 distinct keys > cap of 10 → no broadcast hint; the initial
+    // physical plan must be a shuffle join (AQE may still convert at
+    // runtime from OBSERVED stats — that path cannot OOM the driver on a
+    // mis-estimated dictionary, the unconditional hint could)
+    val big = BatchEnrich.enrich(df, "raw_name", new NameRuleEnricher,
+      chunkSize = 7, broadcastMaxKeys = 10L)
+    assert(!big.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "oversized dictionary still planned as a broadcast")
+    assert(big.count() == 50)
+    // under the cap the broadcast hint stays (the dim-sized fast path)
+    val small = BatchEnrich.enrich(df, "raw_name", new NameRuleEnricher,
+      chunkSize = 7, broadcastMaxKeys = 1000L)
+    assert(small.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("sessionize: gap splits sessions, counts and bounds correct") {
     val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 50L, 4L))
       .toDF("user_id", "sec", "event_id")
