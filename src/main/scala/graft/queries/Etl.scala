@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   */
 object Etl {
 
+  /** Per-run scratch dir for sink round-trip queries: scoped by the Spark
+    * application id so concurrent verify/bench runs on one host never race
+    * on the same path (one run's overwrite under another's read).
+    */
+  private[queries] def scratch(s: SparkSession, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${s.sparkContext.applicationId}/$name"
+
   /** Synthetic status text, 4 variants cycling on o_orderkey. */
   private def statusText: Column =
     when(col("o_orderkey") % 4 === 0, "Sagen er Anbefalet af raadet")
@@ -226,7 +233,7 @@ object Etl {
     // partitioned by status, read back ONE partition (the scan sees only
     // that directory — PartitionFilters, asserted in OperatorsSpec)
     "src_partitioned_prune" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_part_prune"
+      val out = scratch(s, "part_prune")
       Sources.writeParquet(
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice")),
@@ -238,7 +245,7 @@ object Etl {
     },
 
     "src_csv_roundtrip" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+      val out = scratch(s, "csv_roundtrip")
       Sources.writeCsv(Tables.nation(s, dir), out)
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -247,7 +254,7 @@ object Etl {
     },
 
     "src_orc_roundtrip" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+      val out = scratch(s, "orc_roundtrip")
       Sources.writeOrc(Tables.supplier(s, dir), out)
       Sources.readOrc(s, out)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
@@ -255,13 +262,13 @@ object Etl {
     },
 
     "src_text_roundtrip" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_text_roundtrip"
+      val out = scratch(s, "text_roundtrip")
       Sources.writeText(Tables.nation(s, dir).select(col("n_name")), out)
       Sources.readText(s, out).orderBy("value")
     },
 
     "src_json_roundtrip" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_json_roundtrip"
+      val out = scratch(s, "json_roundtrip")
       Sources.writeJson(Tables.region(s, dir), out)
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
@@ -318,7 +325,7 @@ object Etl {
     // XML sink+source round-trip (Spark 4 ships XML natively; explicit
     // schema on read like every source here)
     "src_xml_roundtrip" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_xml_roundtrip"
+      val out = scratch(s, "xml_roundtrip")
       Sources.writeXml(Tables.region(s, dir), out, "region")
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
@@ -352,7 +359,7 @@ object Etl {
     // the raw line captured for quarantine. Every 5th nation row is
     // written deliberately broken; the oracle replays the construction
     "src_csv_malformed" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_csv_malformed"
+      val out = scratch(s, "csv_malformed")
       val lines = Tables.nation(s, dir).select(
         when(col("n_nationkey") % 5 === 0,
           concat(lit("notanint,"), col("n_name"), lit(",x")))
@@ -435,7 +442,7 @@ object Etl {
     // FixedWidthSourceSpec). splitSize forced low so even sf0.01 data
     // exercises the multi-partition range-read path
     "src_fixedwidth" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_fixedwidth"
+      val out = scratch(s, "fixedwidth")
       val layout = "s_suppkey:10:long,s_name:28:string,s_nationkey:6:int,s_acctbal:24:double"
       Sources.writeFixedWidth(
         Tables.supplier(s, dir)
@@ -452,7 +459,7 @@ object Etl {
     // the column history never had. Footer merge is driver metadata work —
     // no data rewrite, which is the point at 100 TB
     "src_merge_schema" -> { (s, dir) =>
-      val out = sys.props("java.io.tmpdir") + "/graft_merge_schema"
+      val out = scratch(s, "merge_schema")
       val o = Tables.orders(s, dir)
       Sources.writeParquet(
         o.where(col("o_orderkey") % 2 === 0)

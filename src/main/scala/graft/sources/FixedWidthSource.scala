@@ -143,14 +143,19 @@ object FixedWidthFilters {
     layout.fields.exists(_.name == name)
 
   def supported(layout: FixedWidth.Layout, f: Filter): Boolean = f match {
-    case EqualTo(a, _) => isCol(layout, a)
-    case GreaterThan(a, _) => isCol(layout, a)
-    case GreaterThanOrEqual(a, _) => isCol(layout, a)
-    case LessThan(a, _) => isCol(layout, a)
-    case LessThanOrEqual(a, _) => isCol(layout, a)
+    // NULL literals are rejected (left as residual for Spark): eval()
+    // collapses UNKNOWN to false, which is correct under a WHERE — but a
+    // pushed filter is EXACT (never re-evaluated), and under Not(..) the
+    // collapse inverts wrongly: `x NOT IN (1, NULL)` is UNKNOWN (drop) for
+    // any non-matching x, while Not(eval(In)) would emit the row
+    case EqualTo(a, v) => isCol(layout, a) && v != null
+    case GreaterThan(a, v) => isCol(layout, a) && v != null
+    case GreaterThanOrEqual(a, v) => isCol(layout, a) && v != null
+    case LessThan(a, v) => isCol(layout, a) && v != null
+    case LessThanOrEqual(a, v) => isCol(layout, a) && v != null
     case IsNull(a) => isCol(layout, a)
     case IsNotNull(a) => isCol(layout, a)
-    case In(a, _) => isCol(layout, a)
+    case In(a, vs) => isCol(layout, a) && !vs.contains(null)
     case And(l, r) => supported(layout, l) && supported(layout, r)
     case Or(l, r) => supported(layout, l) && supported(layout, r)
     case Not(c) => supported(layout, c)
@@ -190,6 +195,23 @@ object FixedWidthFilters {
   }
 
   private def refs(f: Filter): Seq[String] = f.references.toSeq
+}
+
+/** Java-serializable Hadoop Configuration carrier (Configuration itself is
+  * Writable, not Serializable) — ships the DRIVER's conf to partition
+  * readers so s3a credentials / custom filesystem settings survive the
+  * executor hop.
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 /** One partition = a record-aligned byte range of one file. */
@@ -232,19 +254,23 @@ class FixedWidthScan(layout: FixedWidth.Layout, path: String, splitSize: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(layout, required, filters)
+    new FixedWidthReaderFactory(layout, required, filters,
+      // driver conf rides to the executors — a reader-side `new
+      // Configuration()` would drop s3a credentials / custom FS settings
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class FixedWidthReaderFactory(layout: FixedWidth.Layout, required: StructType,
-                              filters: Array[Filter])
+                              filters: Array[Filter], conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthPartitionReader(layout, required, filters,
-      partition.asInstanceOf[FixedWidthPartition])
+      partition.asInstanceOf[FixedWidthPartition], conf)
 }
 
 class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
-                                filters: Array[Filter], part: FixedWidthPartition)
+                                filters: Array[Filter], part: FixedWidthPartition,
+                                conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val recordLen = layout.recordLen
@@ -264,9 +290,7 @@ class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
 
   private val in = {
     val p = new Path(part.file)
-    // executor side: default Hadoop conf resolves file:// and cluster-default
-    // filesystems; custom FS conf would ride along via the reader factory
-    val stream = p.getFileSystem(new Configuration()).open(p)
+    val stream = p.getFileSystem(conf.value).open(p)
     stream.seek(part.startRecord * recordLen)
     stream
   }

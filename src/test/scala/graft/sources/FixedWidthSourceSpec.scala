@@ -92,6 +92,21 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(read(dir).where($"id".isin(1L, 3L)).count() == 2)
   }
 
+  test("fixedwidth: NOT IN with a NULL literal follows SQL three-valued logic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    write(Seq((1L, Some("a"), Some(1)), (2L, Some("b"), Some(2)),
+      (3L, Some("c"), None)).toDF("id", "name", "qty"), dir)
+    // `qty NOT IN (1, NULL)` is UNKNOWN for every row (never true): SQL
+    // returns ZERO rows. A pushed Not(In) that collapses UNKNOWN to false
+    // would wrongly emit id=2 — the null-bearing IN list must stay a
+    // residual for Spark to evaluate
+    val q = read(dir).where(!$"qty".isin(1, null))
+    assert(q.count() == 0, "x NOT IN (..., NULL) must drop every row")
+    // and plain IN with a NULL literal matches only real hits
+    assert(read(dir).where($"qty".isin(2, null)).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("fixedwidth: a wrong-width layout fails the record-length integrity check") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
     write(Seq((1L, Some("a"), Some(1))).toDF("id", "name", "qty"), dir)
