@@ -253,6 +253,19 @@ object Etl {
       Sources.readCsv(s, out, schema).orderBy("n_nationkey")
     },
 
+    // the reference's EXACT sink contract: save_to_csv writes utf-8-sig
+    // (main.py:330) so Excel decodes the Danish text. Values must
+    // round-trip unchanged — the BOM lives in the skipped header line,
+    // never in the data
+    "src_csv_bom" -> { (s, dir) =>
+      val out = scratch(s, "csv_bom")
+      Sources.writeCsvBom(Tables.nation(s, dir), out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Sources.readCsv(s, out, schema).orderBy("n_nationkey")
+    },
+
     "src_orc_roundtrip" -> { (s, dir) =>
       val out = scratch(s, "orc_roundtrip")
       Sources.writeOrc(Tables.supplier(s, dir), out)
@@ -573,6 +586,9 @@ object Etl {
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
 
     "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "src_csv_bom" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "src_json_roundtrip" ->

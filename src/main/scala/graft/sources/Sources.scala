@@ -13,6 +13,19 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** CSV sink with a UTF-8 BOM — the reference's exact sink contract
+    * (`utf-8-sig`, main.py:330; its implied consumer is Excel, which
+    * needs the BOM to decode UTF-8). The BOM rides as the first character
+    * of the first HEADER cell, so every part file starts with EF BB BF
+    * without any post-pass file rewrite — the write scales exactly like
+    * [[writeCsv]]. Read back with [[readCsv]]: header lines (BOM
+    * included) are skipped under an explicit schema.
+    */
+  def writeCsvBom(df: DataFrame, path: String): Unit = {
+    val first = df.columns.head
+    writeCsv(df.withColumnRenamed(first, "\uFEFF" + first), path)
+  }
+
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
