@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, Etl, QualityQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, Etl, QualityQueries, Relational, SimilarityQueries, StreamingQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      QualityQueries.queries
+      QualityQueries.queries ++ StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      QualityQueries.oracle
+      QualityQueries.oracle ++ StreamingQueries.oracle
 }

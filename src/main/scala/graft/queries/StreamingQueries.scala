@@ -1,0 +1,159 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Tables
+import graft.operators.{Cdc, IncrementalAgg}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Driver-gate entries that RUN Structured Streaming operators (SURVEY
+  * §2.G) over a bounded MemoryStream and dump the final result — turning
+  * three self-graded streaming specs into DuckDB-oracle rows. Each feeds
+  * real table data through the streaming operator in several ordered
+  * micro-batches, so cross-batch state (CDC fold, MV merge, LOCF carry)
+  * is genuinely exercised; the oracle is the equivalent batch SQL.
+  *
+  * The driver-side collect of the feed is the TEST HARNESS (MemoryStream
+  * is driver-resident by design), not the operator's scale path — the
+  * operators themselves run identically from a Kafka/file source.
+  */
+object StreamingQueries {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Fold `chunks` through a foreachBatch-style streaming op, one
+    * micro-batch per chunk, and return the last snapshot.
+    */
+  private def foldBatches[T](in: MemoryStream[T], chunks: Iterator[Seq[T]],
+                             q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    finally q.stop()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // continuous CDC apply: the etl_cdc_merge changelog fed as THREE
+    // seq-ordered micro-batches through applyChangelogStream; the folded
+    // snapshot must equal the one-shot batch merge (same oracle). Batches
+    // are split on seq ranges, so later batches overwrite earlier state —
+    // the cross-batch path a single-batch run would not exercise
+    "stream_cdc_apply" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val snap = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = Tables.orders(s, dir).select(
+          col("o_custkey"), concat(lit("upd_"), col("o_orderkey")),
+          col("o_totalprice"), col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 0, Cdc.OpDelete).otherwise(Cdc.OpUpsert))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._4)
+      val in = MemoryStream[(Long, String, Double, Long, String)]
+      @volatile var latest: DataFrame = snap
+      val q = StreamOps.applyChangelogStream(
+        in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "seq", "op"),
+        snap, "c_custkey", "seq", "op")(df => latest = df)
+      foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      latest.orderBy("c_custkey")
+    },
+
+    // streaming materialized-view upkeep: etl_incr_agg's rollup maintained
+    // across THREE micro-batches by maintainAggregateStream (merge-only,
+    // history never re-aggregated); final state equals the batch aggregate
+    "stream_mv_upkeep" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def rollup(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(8,2)")).as("total"),
+          max(col("o_totalprice").cast("decimal(8,2)")).as("max_price"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val rows = o.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, Double)]
+      val initial = rollup(o.where(lit(false))) // empty state, exact schema
+      @volatile var state: DataFrame = initial
+      val q = StreamOps.maintainAggregateStream(
+        in.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice"),
+        initial, Seq("o_custkey"), rollup,
+        Seq("n_orders" -> IncrementalAgg.MergeSum,
+          "total" -> IncrementalAgg.MergeSum,
+          "max_price" -> IncrementalAgg.MergeMax))(df => state = df)
+      foldBatches(in, rows.grouped(rows.length / 3 + 1).map(_.toSeq), q)
+      state
+        .select(col("o_custkey"), col("n_orders"),
+          col("total").cast("double").as("total"),
+          col("max_price").cast("double").as("max_price"))
+        .orderBy("o_custkey")
+    },
+
+    // streaming LOCF: etl_locf's forward fill run through the watermarked
+    // flatMapGroupsWithState operator; events arrive in event-id order
+    // across three micro-batches, sentinel rows advance the watermark so
+    // every pending row flushes. Timestamps are pre-truncated to whole
+    // seconds so the operator's (sec, event_id) order equals the oracle's
+    "stream_locf" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import StreamOps.FillIn
+      val ev = Tables.events(s, dir).select(
+          col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("user_id"),
+          when(col("event_id") % 4 === 0, col("value")).as("reading"))
+        .collect()
+        .map(r => FillIn(r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L),
+          r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(f => (f.ts.getTime, f.eventId))
+      val maxSec = ev.map(_.ts.getTime).max / 1000L
+      val sentinel = (i: Long) =>
+        FillIn(-i, new java.sql.Timestamp((maxSec + 3600L * i) * 1000L), -1L, None)
+      val in = MemoryStream[FillIn]
+      val name = s"stream_locf_sink_${sinkId.incrementAndGet()}"
+      val q = StreamOps.forwardFillStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // three data batches, then two watermark-advancing sentinel batches
+      // (emission happens the batch AFTER the watermark moves)
+      foldBatches(in,
+        ev.grouped(ev.length / 3 + 1).map(_.toSeq) ++
+          Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      s.table(name).where(col("key") =!= -1L)
+        .select(col("key").as("user_id"), col("eventId").as("event_id"),
+          col("sec"), col("reading"), col("filled").as("reading_filled"))
+        .orderBy("user_id", "event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_cdc_apply" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),
+        |latest AS (SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY c_custkey ORDER BY seq DESC, (op = 'D') DESC) = 1),
+        |kept AS (SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
+        |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_mv_upkeep" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS total,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "stream_locf" ->
+      """SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        | CASE WHEN event_id % 4 = 0 THEN value END AS reading,
+        | last_value(CASE WHEN event_id % 4 = 0 THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id
+        |         ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS reading_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+  )
+}
