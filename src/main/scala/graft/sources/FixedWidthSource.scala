@@ -92,21 +92,24 @@ class FixedWidthSource extends TableProvider with DataSourceRegister {
     val path = opts.get("path")
     require(path != null, "fixedwidth requires a path")
     new FixedWidthTable(layout(opts), path,
-      opts.getLong("splitSize", 128L * 1024 * 1024))
+      opts.getLong("splitSize", 128L * 1024 * 1024),
+      opts.getBoolean("columnar", true))
   }
 }
 
-class FixedWidthTable(layout: FixedWidth.Layout, path: String, splitSize: Long)
+class FixedWidthTable(layout: FixedWidth.Layout, path: String, splitSize: Long,
+                      columnar: Boolean = true)
   extends Table with SupportsRead {
   override def name(): String = s"fixedwidth:$path"
   override def schema(): StructType = layout.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixedWidthScanBuilder(layout, path, splitSize)
+    new FixedWidthScanBuilder(layout, path, splitSize, columnar)
 }
 
-class FixedWidthScanBuilder(layout: FixedWidth.Layout, path: String, splitSize: Long)
+class FixedWidthScanBuilder(layout: FixedWidth.Layout, path: String, splitSize: Long,
+                            columnar: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = layout.schema
@@ -130,7 +133,7 @@ class FixedWidthScanBuilder(layout: FixedWidth.Layout, path: String, splitSize: 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new FixedWidthScan(layout, path, splitSize, required, pushed)
+    new FixedWidthScan(layout, path, splitSize, required, pushed, columnar)
 }
 
 /** Evaluation of pushed V1 `sources.Filter`s against parsed field values.
@@ -219,7 +222,8 @@ case class FixedWidthPartition(file: String, startRecord: Long, nRecords: Long)
   extends InputPartition
 
 class FixedWidthScan(layout: FixedWidth.Layout, path: String, splitSize: Long,
-                     required: StructType, filters: Array[Filter])
+                     required: StructType, filters: Array[Filter],
+                     columnar: Boolean = true)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -257,25 +261,38 @@ class FixedWidthScan(layout: FixedWidth.Layout, path: String, splitSize: Long,
     new FixedWidthReaderFactory(layout, required, filters,
       // driver conf rides to the executors — a reader-side `new
       // Configuration()` would drop s3a credentials / custom FS settings
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      columnar)
 }
 
 class FixedWidthReaderFactory(layout: FixedWidth.Layout, required: StructType,
-                              filters: Array[Filter], conf: SerializableHadoopConf)
+                              filters: Array[Filter], conf: SerializableHadoopConf,
+                              columnar: Boolean = true)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixedWidthPartitionReader(layout, required, filters,
       partition.asInstanceOf[FixedWidthPartition], conf)
+
+  // vectorized path (parquet's shape): the planner inserts ColumnarToRow
+  // and downstream codegen reads columnar memory directly
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FixedWidthColumnarReader(layout, required, filters,
+      partition.asInstanceOf[FixedWidthPartition], conf)
 }
 
-class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
-                                filters: Array[Filter], part: FixedWidthPartition,
-                                conf: SerializableHadoopConf)
-  extends PartitionReader[InternalRow] {
-
+/** Shared record cursor for the row and columnar readers: range-seeks the
+  * file, parses exactly the needed byte slices per record (projected
+  * fields ∪ pushed-filter references) and applies pushed filters BEFORE
+  * any row/batch materialization.
+  */
+private[sources] class FixedWidthRecordCursor(layout: FixedWidth.Layout,
+                                              required: StructType,
+                                              filters: Array[Filter],
+                                              part: FixedWidthPartition,
+                                              conf: SerializableHadoopConf) {
   private val recordLen = layout.recordLen
-  // parse set = projected fields ∪ pushed-filter references (a filter on a
-  // non-projected column still needs its slice parsed — but nothing else)
   private val filterRefs = filters.flatMap(_.references).toSet
   private val parseNames =
     (required.fieldNames ++ filterRefs.filterNot(required.fieldNames.contains)).toSeq
@@ -285,8 +302,8 @@ class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
     (name, layout.offsets(name), fld.width, fld.dataType)
   }.toArray
   private val nameIdx = parseNames.zipWithIndex.toMap
-  // output projection: index into the parsed values per required field
-  private val outIdx = required.fieldNames.map(nameIdx)
+  /** index into the parsed values per required (output) field */
+  val outIdx: Array[Int] = required.fieldNames.map(nameIdx)
 
   private val in = {
     val p = new Path(part.file)
@@ -296,9 +313,11 @@ class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
   }
   private val buf = new Array[Byte](recordLen)
   private var read = 0L
-  private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  /** Parse set of the next record that passes every pushed filter, or
+    * null when the range is exhausted.
+    */
+  def nextPassing(): Array[Any] = {
     while (read < part.nRecords) {
       in.readFully(buf)
       read += 1
@@ -318,25 +337,180 @@ class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
           }
         i += 1
       }
-      // pushed filters run on the parsed slices BEFORE row materialization
       val value = (name: String) => values(nameIdx(name))
-      if (filters.forall(FixedWidthFilters.eval(_, value))) {
-        val out = new Array[Any](outIdx.length)
-        var j = 0
-        while (j < outIdx.length) {
-          out(j) = values(outIdx(j)) match {
-            case s: String => UTF8String.fromString(s)
-            case v => v
-          }
-          j += 1
-        }
-        row = new GenericInternalRow(out)
-        return true
-      }
+      if (filters.forall(FixedWidthFilters.eval(_, value))) return values
     }
-    false
+    null
+  }
+
+  def close(): Unit = in.close()
+}
+
+class FixedWidthPartitionReader(layout: FixedWidth.Layout, required: StructType,
+                                filters: Array[Filter], part: FixedWidthPartition,
+                                conf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
+
+  private val cursor = new FixedWidthRecordCursor(layout, required, filters, part, conf)
+  private val outIdx = cursor.outIdx
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val values = cursor.nextPassing()
+    if (values == null) return false
+    val out = new Array[Any](outIdx.length)
+    var j = 0
+    while (j < outIdx.length) {
+      out(j) = values(outIdx(j)) match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      j += 1
+    }
+    row = new GenericInternalRow(out)
+    true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** Vectorized reader: parses record bytes DIRECTLY into OnHeapColumnVector
+  * batches (the parquet vectorized shape). Unlike the row path — which
+  * allocates a java.lang.String per field plus a GenericInternalRow per
+  * record — the hot loop here is allocation-free: integral fields decode
+  * digit-by-digit from the record buffer, strings byte-copy straight into
+  * the vector (the ASCII layout contract makes every slice valid UTF-8).
+  * Downstream whole-stage codegen reads the vectors via ColumnarToRow.
+  * Pushed filters still run per record before anything materializes;
+  * filter-referenced fields are parsed boxed (filters are few), output
+  * fields are not.
+  */
+class FixedWidthColumnarReader(layout: FixedWidth.Layout, required: StructType,
+                               filters: Array[Filter], part: FixedWidthPartition,
+                               conf: SerializableHadoopConf, batchSize: Int = 4096)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val recordLen = layout.recordLen
+  // output fields parse straight into vectors; filter refs parse boxed
+  private val outSlices = required.fields.map { f =>
+    val fld = layout.fields.find(_.name == f.name).getOrElse(
+      throw new IllegalArgumentException(s"fixedwidth: unknown column ${f.name}"))
+    (layout.offsets(f.name), fld.width, fld.dataType)
+  }
+  private val filterNames = filters.flatMap(_.references).distinct
+  private val filterSlices = filterNames.map { name =>
+    val fld = layout.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"fixedwidth: unknown column $name"))
+    (name, layout.offsets(name), fld.width, fld.dataType)
+  }
+
+  private val in = {
+    val p = new Path(part.file)
+    val stream = p.getFileSystem(conf.value).open(p)
+    stream.seek(part.startRecord * recordLen)
+    stream
+  }
+  private val buf = new Array[Byte](recordLen)
+  private var read = 0L
+  private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  private val filterVals = new Array[Any](filterSlices.length)
+  private val filterValue: String => Any = {
+    val idx = filterNames.zipWithIndex.toMap
+    name => filterVals(idx(name))
+  }
+
+  /** [start, end) of the space-trimmed slice; start == end for all-blank */
+  @inline private def trimmed(off: Int, w: Int): Long = {
+    var s = off
+    val limit = off + w
+    while (s < limit && buf(s) == ' ') s += 1
+    var e = limit
+    while (e > s && buf(e - 1) == ' ') e -= 1
+    (s.toLong << 32) | e.toLong
+  }
+
+  /** Allocation-free ASCII long decode (layout numbers: optional sign +
+    * digits; anything else falls back to the String path for the exact
+    * NumberFormatException the row reader would raise).
+    */
+  private def parseLong(s: Int, e: Int): Long = {
+    var i = s
+    var neg = false
+    if (buf(i) == '-' || buf(i) == '+') { neg = buf(i) == '-'; i += 1 }
+    if (i >= e) return fallbackLong(s, e)
+    var v = 0L
+    while (i < e) {
+      val c = buf(i)
+      if (c < '0' || c > '9') return fallbackLong(s, e)
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    if (neg) -v else v
+  }
+  private def fallbackLong(s: Int, e: Int): Long =
+    new String(buf, s, e - s, "US-ASCII").toLong
+
+  private def boxedValue(off: Int, w: Int, dt: DataType): Any = {
+    val t = trimmed(off, w)
+    val s = (t >> 32).toInt; val e = t.toInt
+    if (s == e) null
+    else dt match {
+      case IntegerType => parseLong(s, e).toInt
+      case LongType => parseLong(s, e)
+      case DoubleType => new String(buf, s, e - s, "US-ASCII").toDouble
+      case _ => new String(buf, s, e - s, "US-ASCII")
+    }
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < batchSize && read < part.nRecords) {
+      in.readFully(buf)
+      read += 1
+      var pass = true
+      if (filters.nonEmpty) {
+        var f = 0
+        while (f < filterSlices.length) {
+          val (_, off, w, dt) = filterSlices(f)
+          filterVals(f) = boxedValue(off, w, dt)
+          f += 1
+        }
+        pass = filters.forall(FixedWidthFilters.eval(_, filterValue))
+      }
+      if (pass) {
+        var j = 0
+        while (j < outSlices.length) {
+          val (off, w, dt) = outSlices(j)
+          val t = trimmed(off, w)
+          val s = (t >> 32).toInt; val e = t.toInt
+          val vec = vectors(j)
+          if (s == e) vec.putNull(n)
+          else dt match {
+            case IntegerType => vec.putInt(n, parseLong(s, e).toInt)
+            case LongType => vec.putLong(n, parseLong(s, e))
+            case DoubleType =>
+              vec.putDouble(n, new String(buf, s, e - s, "US-ASCII").toDouble)
+            case _ => vec.putByteArray(n, buf, s, e - s) // ASCII ⊂ UTF-8
+          }
+          j += 1
+        }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    in.close()
+    batch.close()
+  }
 }

@@ -92,6 +92,27 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(read(dir).where($"id".isin(1L, 3L)).count() == 2)
   }
 
+  test("fixedwidth: columnar read is planned (ColumnarToRow) and equals the row path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    val df = (1 to 300).map(i => (i.toLong, if (i % 7 == 0) None else Some(s"row$i"),
+      if (i % 5 == 0) None else Some(i))).toDF("id", "name", "qty")
+    write(df, dir)
+    // batches span splits and filters (27-byte records, 10 per split)
+    val colQ = read(dir, splitSize = 270).where($"id" > 20)
+    assert(colQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "columnar path not planned")
+    val rowQ = spark.read.format("fixedwidth")
+      .option("layout", layout).option("splitSize", 270)
+      .option("columnar", "false").load(dir).where($"id" > 20)
+    assert(!rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def canon(q: org.apache.spark.sql.DataFrame) = q.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    val (c, w) = (canon(colQ), canon(rowQ))
+    assert(c == w && c.size == 280)
+    assert(c.exists(_._2 == null) && c.exists(_._3 == -1)) // NULLs survive both paths
+  }
+
   test("fixedwidth: NOT IN with a NULL literal follows SQL three-valued logic") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
     write(Seq((1L, Some("a"), Some(1)), (2L, Some("b"), Some(2)),
