@@ -93,6 +93,64 @@ object IvfIndex {
       .select(col("id"), col("sub_id"), col("c_id").as("code"), col("d2"))
   }
 
+  /** ADC (asymmetric distance computation) top-k search over PQ codes —
+    * the query path that completes the IVF/PQ compression story: the
+    * corpus is represented ONLY by its m-byte codes ([[pqEncode]]); a
+    * query precomputes a (sub_id, code) → squared-distance lookup table
+    * against the codebook (Q·m·k doubles — broadcast), and each corpus
+    * code row contributes one table lookup. approx_d2(q, x) =
+    * Σ_sub ||q_sub − centroid(sub, code_x[sub])||².
+    *
+    * Scale shape: one broadcast-LUT join over the codes table (linear,
+    * never touches the raw vectors), one partial-aggregated shuffle of
+    * Q·N subspace rows, then a TWO-STAGE top-k — per-shuffle-partition
+    * pruning before the per-query global rank — so no stage funnels a
+    * query's full candidate stream through one task.
+    *
+    * Determinism: the per-(q, id) sum pivots the m subspace distances
+    * into columns added in fixed left-to-right order (an unordered
+    * SUM(double) is free to re-associate and drift ulps); ties rank by id.
+    */
+  def pqSearchAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, m: Int, dim: Int, stride: Long,
+                  k: Int = 16, topK: Int = 5): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val subDim = dim / m
+    def subs(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+        .select(col(id), posexplode(array((0 until m).map(i =>
+          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
+    val codes = pqEncode(corpus, idCol, vecCol, m, dim, stride, k)
+      .select(col("id"), col("sub_id").as("x_sub"), col("code"))
+    val codebook = subs(
+      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
+      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
+    val lut = subs(queries, "q_id")
+      .join(codebook, col("sub_id") === col("c_sub"))
+      .select(col("q_id"), col("sub_id"), col("c_id"),
+        (Vectors.dot(col("sv"), col("sv"))
+          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
+          + Vectors.dot(col("cv"), col("cv"))).as("d2q"))
+    val perSub = codes.join(broadcast(lut),
+        col("x_sub") === col("sub_id") && col("code") === col("c_id"))
+      .where(col("id") =!= col("q_id"))
+    // fixed-order sum: one column per subspace, added left to right
+    val pivoted = perSub.groupBy(col("q_id"), col("id"))
+      .pivot("sub_id", 0 until m).agg(first(col("d2q")))
+    val adc = pivoted.select(col("q_id"), col("id"),
+      (0 until m).map(i => col(i.toString)).reduceLeft(_ + _).as("adc_d2"))
+    // stage 1: top-k within each shuffle partition (parallelism stays
+    // partition-bound); stage 2: global rank over Q · partitions · topK
+    // survivors — every global top-k row is in its partition's local top-k
+    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
+      .orderBy(col("adc_d2").asc, col("id"))
+    val wGlobal = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("id"))
+    adc.withColumn("__lr", row_number().over(wLocal)).where(col("__lr") <= topK)
+      .withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("n_id"), col("adc_d2"), col("rank"))
+  }
+
   /** One Lloyd (k-means) refinement step over the stride-seeded centroids:
     * assign every vector to its max-cosine centroid, then recompute each
     * centroid as the per-dimension mean of its members. Output exploded as

@@ -95,6 +95,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqSearchAdc: codebook queries find themselves-as-codes; distances ascend; recall sane") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 20)
+    val out = IvfIndex.pqSearchAdc(emb, q, "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16, topK = 5)
+      .orderBy("q_id", "rank").collect()
+    assert(out.length == 20 * 5)
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val d = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc_d2"))
+      assert(d.sliding(2).forall { case Array(a, b) => a <= b })
+      assert(rows.forall(r => r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+      assert(rows.forall(_.getAs[Double]("adc_d2") >= 0.0))
+    }
+    // PQ-reconstruction recall vs exact L2-via-cosine neighbors: coarse
+    // 8-byte codes on random data — sanity bound, not a quality target
+    val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    // measured 0.14 on this data: random unit vectors have no cluster
+    // structure for a 16-centroid stride codebook to exploit — the bound
+    // guards against a BROKEN lookup (recall ~1/100 at random), not quality
+    assert(recall >= 0.1, s"recall=$recall")
+  }
+
   test("knnJoinBlocked: <= k in-block neighbors per row, descending, agrees with brute force") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.knnJoinBlocked(emb, "vec_id", "embedding", "label", k = 3)
