@@ -222,6 +222,41 @@ object TextQueries {
     // One explode per doc over codegen'd slice/array_join; chunk count =
     // floor((n_tokens-1)/stride)+1 so every token is covered and the last
     // chunk may run short
+    // segment-level exact dedup across the CORPUS (the paragraph-dedup
+    // step of RefinedWeb/Dolma-style pipelines, where repeated boilerplate
+    // survives document-level dedup): docs split into non-overlapping
+    // 32-token segments; a segment survives only at its FIRST corpus
+    // occurrence (min (doc_id, seg_idx) — a map-side-combinable struct
+    // min, no window); docs reassemble from surviving segments in order.
+    // Scale shape: one linear shuffle on the segment text (high-cardinality
+    // key), one per-doc reassembly groupBy — no low-cardinality stage
+    "pipe_para_dedup" -> { (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("nt"))
+        .where(col("nt") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), floor((col("nt") - 1) / 32).cast("long"))).as("seg_idx"),
+          col("toks"))
+        .select(col("doc_id"), col("seg_idx"),
+          array_join(slice(col("toks"), (col("seg_idx") * 32 + 1).cast("int"), lit(32)), " ")
+            .as("seg_text"))
+      val kept = segs.groupBy(col("seg_text"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"),
+          col("seg_text"))
+      val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      val perDoc = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(expr(
+            "transform(sort_array(collect_list(struct(seg_idx, seg_text))), x -> x.seg_text)"),
+            " ").cast("binary")).as("kept_md5"))
+      tot.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+        .orderBy("doc_id")
+    },
+
     "ta_chunk" -> { (s, dir) =>
       val toks = Text.tokens(col("text"))
       Tables.documents(s, dir)
@@ -587,6 +622,24 @@ object TextQueries {
          | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
          | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipe_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l, len($toksSql) AS nt
+         |           FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, unnest(generate_series(0, ((nt - 1) // 32)::BIGINT)) AS seg_idx, l
+         |      FROM t),
+         |segs AS (SELECT doc_id, seg_idx,
+         |  array_to_string(list_slice(l, (seg_idx * 32 + 1)::INT, (seg_idx * 32 + 32)::INT), ' ') AS seg_text
+         | FROM c),
+         |kept AS (SELECT doc_id, seg_idx, seg_text FROM segs
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) = 1),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  md5(string_agg(seg_text, ' ' ORDER BY seg_idx)) AS kept_md5
+         | FROM kept GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_segs, COALESCE(ka.n_kept, 0)::BIGINT AS n_kept, ka.kept_md5
+         |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
 
     "ta_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS l, len($toksSql) AS nt
