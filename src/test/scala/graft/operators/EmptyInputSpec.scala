@@ -110,6 +110,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(GlobalRank.withGlobalRank(noRows, Seq(col("v"), col("id"))).isEmpty)
   }
 
+  test("pqSearchAdc: empty query set and empty corpus are empty, not a crash") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val noQ = emb.where(col("vec_id") < 0)
+    assert(IvfIndex.pqSearchAdc(emb, noQ, "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16).isEmpty)
+    // empty corpus: no codes, no codebook -> empty result for any queries
+    assert(IvfIndex.pqSearchAdc(emb.where(col("vec_id") < 0),
+      emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16).isEmpty)
+  }
+
   test("hierarchy: empty node set is empty on both paths") {
     val none = Seq.empty[(Long, Option[Long])].toDF("id", "parent")
     assert(Hierarchy.flatten(none, "id", "parent").isEmpty)
