@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Throwaway profiling/probe main — reshaped per investigation; not part
-  * of the library surface. Current shape: fixed-width columnar vs row
-  * read on a widened layout.
+  * of the library surface. Current shape: stream_locf harness cost
+  * breakdown + sim_ann_ivf stability.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -17,42 +17,38 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions._
 
     def time(name: String)(f: => Unit): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-32s ${ts.min}%.3f s")
+      println(f"$name%-32s min ${ts.min}%.3f s  all ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // widened layout: 12 fields, ~1M rows
-    val layout = (1 to 4).flatMap(i => Seq(
-      s"k$i:10:long", s"s$i:16:string", s"v$i:12:double")).mkString(",")
-    val dir = sys.props("java.io.tmpdir") + "/graft_probe_fw"
-    val df = spark.range(1000000).select(
-      (1 to 4).flatMap(i => Seq(
-        (col("id") * i).as(s"k$i"),
-        concat(lit(s"name$i"), col("id") % 1000).as(s"s$i"),
-        (col("id") * 0.5 + i).as(s"v$i"))): _*)
-    graft.sources.Sources.writeFixedWidth(df, dir, layout)
+    Tables.events(spark, dir).count() // warm
 
-    def read(columnar: Boolean) = spark.read.format("fixedwidth")
-      .option("layout", layout).option("splitSize", 4L << 20)
-      .option("columnar", columnar.toString).load(dir)
+    time("sim_ann_ivf") {
+      noop(queries.SimilarityQueries.queries("sim_ann_ivf")(spark, dir))
+    }
 
-    for (c <- Seq(true, false, true, false)) {
-      time(s"full scan agg columnar=$c") {
-        noop(read(c).agg(sum(col("k1")), sum(col("v2")), max(col("s3"))))
-      }
-      time(s"2-col projection columnar=$c") {
-        noop(read(c).select(col("k1"), col("v1")))
-      }
-      time(s"selective filter columnar=$c") {
-        noop(read(c).where(col("k2") % 997 === 0))
-      }
+    // stream_locf breakdown: collect vs streaming fold
+    locally {
+      val t0 = System.nanoTime()
+      val ev = Tables.events(spark, dir).where(col("event_id") % 5 === 0).select(
+          col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("user_id"),
+          when(col("event_id") % 4 === 0, col("value")).as("reading"))
+        .collect()
+      println(f"locf collect ${ev.length} rows      ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val users = ev.map(_.getLong(2)).distinct.length
+      println(s"locf distinct users $users")
+    }
+    time("stream_locf full") {
+      noop(queries.StreamingQueries.queries("stream_locf")(spark, dir))
     }
     spark.stop()
   }

@@ -70,21 +70,44 @@ object GlobalRank {
                            sortCols: Seq[Column], weight: Column,
                            rankCol: String = "grp_rank",
                            prefixCol: String = "grp_prefix"): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection}
+    import org.apache.spark.unsafe.types.UTF8String
+
     val spark = df.sparkSession
     val wName = "__gps_weight"
     val keyed = df.withColumn(wName, weight.cast(LongType))
     val orderCols = groupCols.map(org.apache.spark.sql.functions.col) ++ sortCols
     val sorted = keyed.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val gIdx = groupCols.map(sorted.schema.fieldIndex)
-    val wIdx = sorted.schema.fieldIndex(wName)
-    val rdd = sorted.rdd
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(schema.fields(_).dataType)
+    val wIdx = schema.fieldIndex(wName)
+    // stay in Tungsten binary rows: the external-Row encoder round trip
+    // (deserialize every column to Scala objects, re-serialize) costs more
+    // than the rank arithmetic itself
+    val rdd = sorted.queryExecution.toRdd
+
+    // group key detached from the scan's reused row buffer
+    def groupKey(r: InternalRow): Seq[Any] = {
+      val out = new Array[Any](gIdx.length)
+      var i = 0
+      while (i < gIdx.length) {
+        out(i) = r.get(gIdx(i), gTypes(i)) match {
+          case u: UTF8String => u.copy()
+          case v => v
+        }
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
 
     // pre-pass: per-partition per-group (count, weightSum) scalars
     val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long)]
       it.foreach { r =>
-        val g = gIdx.map(r.get)
+        val g = groupKey(r)
         val w = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
         val (c, s) = m.getOrElse(g, (0L, 0L))
         m.update(g, (c + 1L, s + w))
@@ -106,26 +129,31 @@ object GlobalRank {
     val bc = spark.sparkContext.broadcast(offsets)
 
     val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false)
+      schema.fields :+ StructField(rankCol, LongType, nullable = false)
         :+ StructField(prefixCol, LongType, nullable = false))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val offs = bc.value.getOrElse(pid, Map.empty[Seq[Any], (Long, Long)])
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outSchema)
       var curG: Seq[Any] = null
       var cnt = 0L
       var acc = 0L
       it.map { r =>
-        val g = gIdx.map(r.get)
+        val g = groupKey(r)
         if (g != curG) { // groups are contiguous within a sorted partition
           curG = g
           val (oc, os) = offs.getOrElse(g, (0L, 0L))
           cnt = oc; acc = os
         }
         cnt += 1L
-        val row = Row.fromSeq(r.toSeq :+ cnt :+ acc)
+        extra.setLong(0, cnt)
+        extra.setLong(1, acc)
         acc += (if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx))
-        row
+        proj(joined(r, extra)): InternalRow
       }
     }
-    spark.createDataFrame(out, outSchema).drop(wName)
+    org.apache.spark.sql.graftbridge.Bridge.ofInternalRows(spark, outSchema, out)
+      .drop(wName)
   }
 }

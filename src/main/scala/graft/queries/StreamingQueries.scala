@@ -32,6 +32,19 @@ object StreamingQueries {
     try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
     finally q.stop()
 
+  /** Run `body` (which STARTS the streaming query — the partition count is
+    * fixed at query start) under a small shuffle-partition count: each
+    * micro-batch commits one state-store delta PER partition, so a
+    * 32-partition session pays 32 × batches store commits for a
+    * driver-bounded feed — measured as the dominant cost (10s → ~2s).
+    * Production streams size this to their real key cardinality.
+    */
+  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // continuous CDC apply: the etl_cdc_merge changelog fed as THREE
@@ -53,10 +66,12 @@ object StreamingQueries {
         .sortBy(_._4)
       val in = MemoryStream[(Long, String, Double, Long, String)]
       @volatile var latest: DataFrame = snap
-      val q = StreamOps.applyChangelogStream(
-        in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "seq", "op"),
-        snap, "c_custkey", "seq", "op")(df => latest = df)
-      foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      withFewPartitions(s) {
+        val q = StreamOps.applyChangelogStream(
+          in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "seq", "op"),
+          snap, "c_custkey", "seq", "op")(df => latest = df)
+        foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      }
       latest.orderBy("c_custkey")
     },
 
@@ -78,13 +93,15 @@ object StreamingQueries {
       val in = MemoryStream[(Long, Long, Double)]
       val initial = rollup(o.where(lit(false))) // empty state, exact schema
       @volatile var state: DataFrame = initial
-      val q = StreamOps.maintainAggregateStream(
-        in.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice"),
-        initial, Seq("o_custkey"), rollup,
-        Seq("n_orders" -> IncrementalAgg.MergeSum,
-          "total" -> IncrementalAgg.MergeSum,
-          "max_price" -> IncrementalAgg.MergeMax))(df => state = df)
-      foldBatches(in, rows.grouped(rows.length / 3 + 1).map(_.toSeq), q)
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice"),
+          initial, Seq("o_custkey"), rollup,
+          Seq("n_orders" -> IncrementalAgg.MergeSum,
+            "total" -> IncrementalAgg.MergeSum,
+            "max_price" -> IncrementalAgg.MergeMax))(df => state = df)
+        foldBatches(in, rows.grouped(rows.length / 3 + 1).map(_.toSeq), q)
+      }
       state
         .select(col("o_custkey"), col("n_orders"),
           col("total").cast("double").as("total"),
@@ -101,7 +118,10 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import StreamOps.FillIn
-      val ev = Tables.events(s, dir).select(
+      // deterministic 1-in-5 subsample: the MemoryStream harness is
+      // driver-resident by design, so the feed must stay bounded at any sf;
+      // the oracle applies the same predicate
+      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0).select(
           col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
           col("user_id"),
           when(col("event_id") % 4 === 0, col("value")).as("reading"))
@@ -114,13 +134,15 @@ object StreamingQueries {
         FillIn(-i, new java.sql.Timestamp((maxSec + 3600L * i) * 1000L), -1L, None)
       val in = MemoryStream[FillIn]
       val name = s"stream_locf_sink_${sinkId.incrementAndGet()}"
-      val q = StreamOps.forwardFillStream(in.toDS())
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      // three data batches, then two watermark-advancing sentinel batches
-      // (emission happens the batch AFTER the watermark moves)
-      foldBatches(in,
-        ev.grouped(ev.length / 3 + 1).map(_.toSeq) ++
-          Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      withFewPartitions(s) {
+        val q = StreamOps.forwardFillStream(in.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        // three data batches, then two watermark-advancing sentinel batches
+        // (emission happens the batch AFTER the watermark moves)
+        foldBatches(in,
+          ev.grouped(ev.length / 3 + 1).map(_.toSeq) ++
+            Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      }
       s.table(name).where(col("key") =!= -1L)
         .select(col("key").as("user_id"), col("eventId").as("event_id"),
           col("sec"), col("reading"), col("filled").as("reading_filled"))
@@ -154,6 +176,7 @@ object StreamingQueries {
         |         ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS reading_filled
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events WHERE event_id % 5 = 0
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

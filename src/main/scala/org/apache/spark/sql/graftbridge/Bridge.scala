@@ -28,4 +28,15 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an RDD[InternalRow] (`df.queryExecution.toRdd` shape):
+    * the per-partition imperative operators (GlobalRank) stay in Tungsten
+    * binary rows end-to-end instead of round-tripping through the external
+    * Row encoder — the deserialize/reserialize pass dominates their cost.
+    */
+  def ofInternalRows(spark: SparkSession,
+                     schema: org.apache.spark.sql.types.StructType,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
