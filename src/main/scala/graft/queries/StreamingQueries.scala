@@ -147,10 +147,63 @@ object StreamingQueries {
         .select(col("key").as("user_id"), col("eventId").as("event_id"),
           col("sec"), col("reading"), col("filled").as("reading_filled"))
         .orderBy("user_id", "event_id")
+    },
+
+    // streaming gap sessionization (q14's twin) under the driver gate:
+    // the flatMapGroupsWithState operator closes sessions on event-time
+    // timeout; sentinel batches advance the watermark so every open
+    // session flushes. session_idx derives from per-user start order
+    // after the fold (sessions of one user can't share a start second)
+    "stream_sessionize" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import StreamOps.Event
+      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L),
+          r.getLong(2), r.getString(3), r.getDouble(4)))
+        .sortBy(e => (e.ts.getTime, e.eventId))
+      val maxSec = ev.map(_.ts.getTime).max / 1000L
+      val sentinel = (i: Long) =>
+        Event(-i, new java.sql.Timestamp((maxSec + 36000L * i) * 1000L), -1L, "s", 0.0)
+      val in = MemoryStream[Event]
+      val name = s"stream_sess_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.sessionize(in.toDS(), 1800L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in,
+          ev.grouped(ev.length / 3 + 1).map(_.toSeq) ++
+            Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("userId").orderBy("startSec")
+      s.table(name).where(col("userId") =!= -1L)
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select(col("userId").as("user_id"), col("session_idx"),
+          col("nEvents").as("n_events"), col("startSec").as("start_sec"),
+          col("endSec").as("end_sec"))
+        .orderBy("user_id", "session_idx")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec, event_id FROM events
+        |  WHERE event_id % 5 = 0),
+        |x AS (
+        |  SELECT user_id, sec, event_id,
+        |   CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |y AS (
+        |  SELECT user_id, sec,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, COUNT(*) AS n_events,
+        | MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |FROM y GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "stream_cdc_apply" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
         |  o_totalprice AS c_acctbal, o_orderkey AS seq,
