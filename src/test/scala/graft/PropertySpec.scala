@@ -107,6 +107,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped prefix sum equals a naive per-group scan on random data") {
+    trials(8) { r =>
+      // small group count (the cliff shape), random orders incl. ties in
+      // weight, unique sort keys per group
+      List.fill(60)((s"g${r.nextInt(3)}", r.nextLong() % 1000, r.nextInt(9).toLong))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toList // unique (g, ord)
+    } { rows =>
+      val df = rows.toDF("grp", "ord", "w").repartition(7)
+      val got = graft.operators.GlobalRank
+        .withGroupedPrefixSum(df, Seq("grp"), Seq($"ord"), $"w")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (_, grpRows) =>
+        grpRows.sortBy(_._2).zipWithIndex.scanLeft(
+          (("", 0L), (0L, 0L), 0L)) { case ((_, _, acc), ((g, o, w), i)) =>
+          ((g, o), (i + 1L, acc), acc + w)
+        }.drop(1).map { case (k, v, _) => k -> v }
+      }
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("sessionize equals a naive per-user fold on random event times") {
     trials(10)(r => List.fill(30)((r.nextInt(3) + 1L, r.nextInt(501).toLong))) { raw =>
       {
