@@ -222,6 +222,41 @@ object TextQueries {
     // One explode per doc over codegen'd slice/array_join; chunk count =
     // floor((n_tokens-1)/stride)+1 so every token is covered and the last
     // chunk may run short
+    // THE FLAGSHIP COMPOSITION: the full training-corpus build as ONE
+    // declarative plan — quality/language gate → exact dedup (normalized
+    // fingerprint) → near-dup removal (blocked 3-gram Jaccard pairs →
+    // connected components → min-id representative) → contiguous 256-token
+    // bin packing of the survivors. Every stage is an already-verified
+    // operator; the composition itself is what a pipeline ships. Scale: the
+    // gates fuse into the scan, pairs are postings-joined (never all-pairs),
+    // packing range-partitions (GlobalRank) — no stage is single-task
+    "pipe_corpus_e2e" -> { (s, dir) =>
+      val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
+      val qual = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          Text.tokenStats(col("text")).as("__ts"))
+        .select(Seq(col("doc_id"), col("source"), col("text")) ++
+          Text.qualityColumnsFrom(col("text"), col("__ts")) ++
+          Text.langScoresFrom(col("__ts")): _*)
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+          col("quality"), Text.langPredict(names).as("lang_pred"))
+      val filtered = qual.where(
+        col("n_tokens") >= 30 && col("lang_pred") === "en" && col("quality") > 0)
+      val exact = graft.operators.Dedup.keepFirst(filtered, "doc_id", "text")
+      val pairs = graft.operators.Dedup.jaccardPairsBlocked(exact, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      val drop = graft.operators.ConnectedComponents.labels(pairs)
+        .where(col("id") =!= col("cluster_id")).select(col("id"))
+      val surv = exact.join(drop, exact("doc_id") === drop("id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          surv.withColumn("g", lit("all")), Seq("g"), Seq(col("doc_id")),
+          col("n_tokens"))
+        .withColumn("bin", floor(col("grp_prefix") / lit(256.0)).cast("long"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     // segment-level exact dedup across the CORPUS (the paragraph-dedup
     // step of RefinedWeb/Dolma-style pipelines, where repeated boilerplate
     // survives document-level dedup): docs split into non-overlapping
@@ -622,6 +657,62 @@ object TextQueries {
          | CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
          | MIN(len($toksSql)) AS min_tokens, MAX(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pipe_corpus_e2e" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id, source, text, len($toksSql) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / len($toksSql) AS stop_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','es','y'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter($toksSql, t -> t IN ('的','是','了'))) AS s_zh
+         | FROM documents),
+         |sq AS (SELECT doc_id, source, text, n_tokens,
+         |  least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         | FROM q),
+         |f AS (SELECT * FROM sq
+         |      WHERE n_tokens >= 30 AND lang_pred = 'en' AND quality > 0),
+         |k AS (SELECT doc_id, source, text, n_tokens FROM f
+         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(
+         |        list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+         |        ORDER BY doc_id) = 1),
+         |sh AS (SELECT doc_id, source,
+         |  list_distinct(CASE WHEN len($toksSql) >= 3
+         |    THEN [array_to_string(list_slice($toksSql, i + 1, i + 3), ' ')
+         |          for i in generate_series(0, len($toksSql) - 3)]
+         |    ELSE [] END) AS sh
+         | FROM k),
+         |shn AS (SELECT * FROM sh WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM shn a JOIN shn b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM labels WHERE id != cluster_id),
+         |surv AS (SELECT doc_id, n_tokens FROM k
+         |         WHERE doc_id NOT IN (SELECT id FROM dropped)),
+         |p AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         | FROM surv)
+         |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+         | FLOOR(prefix / 256.0)::BIGINT AS bin
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "pipe_para_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS l, len($toksSql) AS nt
