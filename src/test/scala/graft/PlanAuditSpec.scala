@@ -179,7 +179,8 @@ class PlanAuditSpec extends SparkSpec {
     // pq codebook (m×k rows), decontam benchmark grams, gapfill bounds
     // row: each is fixed-size by construction and must plan as a
     // broadcast, never a shuffle of the corpus side
-    for (name <- Seq("sim_pq_encode", "pipe_decontam", "q35_gapfill")) {
+    for (name <- Seq("sim_pq_encode", "pipe_decontam", "q35_gapfill",
+        "sim_pq_search")) {
       val b = executedPlan(name).collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
       }
