@@ -298,6 +298,54 @@ object Dedup {
     batch.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  /** Bloom-prefiltered incremental EXACT dedup: rows of `batch` whose
+    * normalized-text fingerprint does not appear in `corpusFps` (a
+    * DataFrame with a single `fp` column, e.g. the `fp` leg of
+    * [[dedupIndex]]).
+    *
+    * The result is EXACT — the bloom filter only routes rows. A compact
+    * sketch is aggregated over the corpus fingerprints (distributed
+    * partial aggregation, one merged sketch on the driver — the same
+    * trade as a BroadcastExchange, and the same machinery Spark's own
+    * InjectRuntimeFilter uses). Batch rows the sketch definitely hasn't
+    * seen (no false negatives) are emitted WITHOUT touching the shuffle;
+    * only bloom-positive rows (true dups + the fpp tail) enter the exact
+    * anti-join. At 100 TB with a mostly-novel batch this collapses the
+    * join input from |batch| to ≈ |dups| + fpp·|batch|, and the corpus
+    * side is never re-scanned for the definite-novel rows.
+    *
+    * `expectedItems`/`numBits` size the sketch: numBits/8 bytes land on
+    * the driver (guarded below) — size them to the corpus cardinality,
+    * not the batch. Sketch bytes = numBits/8; the default 8 bits/item
+    * gives ≈2% fpp.
+    */
+  def bloomSurvivors(batch: DataFrame, corpusFps: DataFrame,
+                     idCol: String, textCol: String,
+                     expectedItems: Long, numBits: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bits = if (numBits > 0) numBits else expectedItems * 8L
+    require(bits <= 8L * 256 * 1024 * 1024,
+      s"bloom sketch would be ${bits / 8 / 1024 / 1024} MiB on the driver; " +
+        "size numBits below 256 MiB or shard the corpus")
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("fp"))),
+      Literal(expectedItems), Literal(bits)).toAggregateExpression()
+    val sketch = corpusFps.select(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bsig = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .localCheckpoint(eager = true)
+    if (sketch == null) return bsig.drop("__fp") // empty corpus: all survive
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("__fp")))))
+    val definiteNovel = bsig.where(!mightContain)
+    val rescuedFalsePositives = bsig.where(mightContain)
+      .join(corpusFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    definiteNovel.unionByName(rescuedFalsePositives).drop("__fp")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau within `blockCol` blocks.
     * Norms are computed once per vector before pairing (linear); the
     * per-pair dot is the native codegen'd DotProduct expression.

@@ -68,6 +68,21 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // bloom-prefiltered incremental EXACT dedup: same batch/corpus split
+    // as dd_incremental but exact-only, with a corpus-fingerprint bloom
+    // sketch routing definite-novel rows around the anti-join shuffle
+    // entirely (no false negatives ⇒ result exact; bloom-positive rows
+    // are rescued by the exact anti-join)
+    "dd_bloom_prefilter" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpusFps = docs.where(col("doc_id") % 5 =!= 0)
+        .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      Dedup.bloomSurvivors(docs.where(col("doc_id") % 5 === 0), corpusFps,
+        "doc_id", "text", expectedItems = 100000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // fuzzy-match verify: simhash candidates re-scored with exact edit
     // distance over a bounded prefix — levenshtein is O(len²) per pair, so
     // it only ever runs on the LSH-bounded candidate set, never pairwise
@@ -230,6 +245,16 @@ object DedupQueries {
          |SELECT d.doc_id, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id % 5 = 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_bloom_prefilter" ->
+      s"""WITH fps AS (SELECT doc_id, md5(array_to_string($normToks, ' ')) AS fp
+         |             FROM documents)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN fps b ON d.doc_id = b.doc_id
+         |WHERE d.doc_id % 5 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM fps c
+         |                  WHERE c.doc_id % 5 != 0 AND c.fp = b.fp)
          |ORDER BY d.doc_id""".stripMargin,
 
     "dd_editdist" ->

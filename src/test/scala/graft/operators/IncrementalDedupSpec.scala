@@ -47,6 +47,59 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
   }
 
+  test("bloom prefilter path equals the plain exact anti-join") {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val corpusFps = corpus
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val got = Dedup.bloomSurvivors(batch, corpusFps, "doc_id", "text",
+      expectedItems = 10000L)
+    // same columns, same rows as the naive anti-join on the fingerprint
+    assert(got.columns.toSeq === batch.columns.toSeq)
+    val expected = batch
+      .withColumn("__fp", graft.functions.Text.fingerprint(col("text")))
+      .join(corpusFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === expected)
+    assert(expected.nonEmpty, "degenerate test: no batch row survived")
+  }
+
+  test("bloom prefilter with a tiny (high-fpp) sketch is still exact") {
+    val docs = Tables.documents(spark, dir)
+    val corpusFps = docs.where(col("doc_id") % 5 =!= 0)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    // 64 bits for thousands of items: nearly every probe is a false
+    // positive, so nearly every row takes the anti-join rescue path —
+    // the answer must not change
+    val tiny = Dedup.bloomSurvivors(batch, corpusFps, "doc_id", "text",
+      expectedItems = 8L, numBits = 64L)
+    val sized = Dedup.bloomSurvivors(batch, corpusFps, "doc_id", "text",
+      expectedItems = 10000L)
+    assert(tiny.select("doc_id").as[Long].collect().toSet ===
+      sized.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("bloom prefilter: empty corpus lets the whole batch through") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noFps = spark.emptyDataFrame
+      .select(lit("x").as("fp")).where(lit(false))
+    val out = Dedup.bloomSurvivors(batch, noFps, "doc_id", "text",
+      expectedItems = 10L)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("bloom prefilter rejects a driver-hostile sketch size") {
+    val batch = Seq((1L, "a")).toDF("doc_id", "text")
+    val fps = Seq("f").toDF("fp")
+    assertThrows[IllegalArgumentException] {
+      Dedup.bloomSurvivors(batch, fps, "doc_id", "text",
+        expectedItems = 1L, numBits = 8L * 300 * 1024 * 1024)
+    }
+  }
+
   test("append flow: a later batch dedups against earlier survivors") {
     val corpus = Seq((1L, "seed corpus document number one")).toDF("doc_id", "text")
     val batch1 = Seq(
