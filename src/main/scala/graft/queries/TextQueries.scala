@@ -373,6 +373,27 @@ object TextQueries {
         .limit(20)
     },
 
+    // per-domain quality quota: keep the top-20 docs per source by the
+    // ta_quality score (tiebreak doc_id) — the "cap any one domain's share
+    // of the corpus" stage of a crawl pipeline. The per-source rank is the
+    // range-partitioned grouped rank, NOT Window.partitionBy(source):
+    // source cardinality is far below cluster parallelism, and the window
+    // form would funnel each domain through one task at 100 TB
+    "pipe_domain_cap" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          Text.tokenStats(col("text")).as("__ts"))
+        .select(Seq(col("doc_id"), col("source")) ++
+          Text.qualityColumnsFrom(col("text"), col("__ts")): _*)
+        .select(col("doc_id"), col("source"), col("quality"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          scored, Seq("source"), Seq(col("quality").desc, col("doc_id")),
+          lit(0L), rankCol = "src_rank")
+        .where(col("src_rank") <= 20)
+        .select(col("doc_id"), col("source"), col("quality"), col("src_rank"))
+        .orderBy("source", "src_rank")
+    },
+
     // contiguous sequence packing: docs in (lang, doc_id) order fill
     // 256-token bins; bin = floor(exclusive-prefix-tokens / cap), so a doc
     // straddling a boundary overflows its bin (greedy contiguous packing).
@@ -511,6 +532,21 @@ object TextQueries {
       s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / len($toksSql) AS stop_ratio
+         | FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality
+         | FROM t),
+         |r AS (SELECT doc_id, source, quality,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS src_rank
+         | FROM q)
+         |SELECT doc_id, source, quality, src_rank FROM r WHERE src_rank <= 20
+         |ORDER BY source, src_rank""".stripMargin,
 
     "ta_quality" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens,
