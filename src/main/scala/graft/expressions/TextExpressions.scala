@@ -252,6 +252,64 @@ case class TokenStats(child: Expression, sets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Per-document lexical-diversity scalars in ONE interpreted pass over the
+  * whitespace tokens: [n_tokens, n_types, Σ count(token)²].
+  *
+  * The squared-count mass feeds the Gini–Simpson diversity 1 − Σc²/n²
+  * (and n_types/n is the type-token ratio). Gini–Simpson is chosen over
+  * Shannon entropy DELIBERATELY: every accumulator is integer, so the
+  * final metric is one IEEE division away from exact — any SQL oracle
+  * agrees bit-for-bit, where log2-based entropy differs in the last ulp
+  * across libm implementations and breaks a hash-exact compare.
+  *
+  * Zero shuffles at any scale: the relational form (explode tokens →
+  * count by (doc, token) → re-aggregate by doc) shuffles the entire
+  * token stream twice for what is a per-document quantity.
+  */
+case class TokenDiversity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_diversity requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_diversity"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var nTokens = 0L
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i)
+          nTokens += 1L
+          val c = counts.get(tok)
+          if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sumSq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); sumSq += c * c }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(nTokens, counts.size.toLong, sumSq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def splitFirst(c: Column, seps: Seq[String]): Column =
     Bridge.column(SplitFirst(Bridge.expression(c), seps))
@@ -264,4 +322,7 @@ object TextExpressions {
 
   def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))
+
+  def tokenDiversity(c: Column): Column =
+    Bridge.column(TokenDiversity(Bridge.expression(c)))
 }

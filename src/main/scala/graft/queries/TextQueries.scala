@@ -373,6 +373,28 @@ object TextQueries {
         .limit(20)
     },
 
+    // lexical diversity (repetitiveness quality signal): type-token ratio
+    // + Gini–Simpson index 1 − Σc²/n², from ONE native per-row pass
+    // (TokenDiversity) — zero shuffles; the relational form would shuffle
+    // the whole token stream twice for a per-document quantity. Integer
+    // accumulators keep the doubles one IEEE division from exact, so the
+    // DuckDB oracle matches bit-for-bit (Shannon entropy would not)
+    "ta_diversity" -> { (s, dir) =>
+      val d = graft.expressions.TextExpressions.tokenDiversity(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("__d"))
+        .select(col("doc_id"),
+          col("__d").getItem(0).as("n_tokens"),
+          col("__d").getItem(1).as("n_types"),
+          (col("__d").getItem(1).cast("double") /
+            col("__d").getItem(0).cast("double")).as("ttr"),
+          (lit(1.0) - col("__d").getItem(2).cast("double") /
+            (col("__d").getItem(0) * col("__d").getItem(0)).cast("double"))
+            .as("gini_simpson"))
+        .where(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    },
+
     // per-domain quality quota: keep the top-20 docs per source by the
     // ta_quality score (tiebreak doc_id) — the "cap any one domain's share
     // of the corpus" stage of a crawl pipeline. The per-source rank is the
@@ -532,6 +554,18 @@ object TextQueries {
       s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t
+         |             FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+         |a AS (SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*) AS n_types,
+         |        SUM(c * c)::BIGINT AS s2
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens, n_types,
+         |  n_types::DOUBLE / n::DOUBLE AS ttr,
+         |  1.0 - s2::DOUBLE / (n * n)::DOUBLE AS gini_simpson
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "pipe_domain_cap" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens,

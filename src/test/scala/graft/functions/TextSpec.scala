@@ -79,6 +79,34 @@ class TextSpec extends SparkSpec {
     assert(!fp(1).getBoolean(1)) // swapped order → different rolling hash
   }
 
+  test("tokenDiversity equals the relational explode-and-count on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = graft.expressions.TextExpressions.tokenDiversity($"text")
+    val got = docs.select($"doc_id", d.as("d"))
+      .select($"doc_id", $"d" (0).as("n"), $"d" (1).as("ty"), $"d" (2).as("s2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val naive = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("n"), count(lit(1)).as("ty"),
+        sum($"count" * $"count").as("s2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.filter(_._2._1 > 0) === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("tokenDiversity edges: empty, single token, all-same, all-distinct") {
+    val d = graft.expressions.TextExpressions.tokenDiversity($"t")
+    def div(t: String): Seq[Long] =
+      Seq(t).toDF("t").select(d).head().getSeq[Long](0)
+    assert(div("") === Seq(0L, 0L, 0L))
+    assert(div("hello") === Seq(1L, 1L, 1L))
+    assert(div("a a a a") === Seq(4L, 1L, 16L))
+    assert(div("a b c d") === Seq(4L, 4L, 4L))
+    assert(div("a  b a") === Seq(3L, 2L, 5L)) // double space: no empty token
+  }
+
   test("simhash of identical texts equal; near texts within small hamming") {
     val df = Seq(("d1", "the quick brown fox jumps over the lazy dog today"),
       ("d2", "the quick brown fox jumps over the lazy dog today"),
