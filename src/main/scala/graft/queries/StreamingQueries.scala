@@ -149,6 +149,47 @@ object StreamingQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // update-mode running totals on Spark 4's transformWithState (typed
+    // ValueState on the RocksDB store — the disk-spillable successor to
+    // flatMapGroupsWithState) under the driver gate: events fold through
+    // FOUR micro-batches; the final update per key (max n_events — the
+    // count strictly increases per touch) must equal the batch aggregate.
+    // Values feed as integer cents (floor(value·100) is IEEE-exact), so
+    // the stream's arrival-order accumulation and the oracle's unordered
+    // SUM agree bit-for-bit — raw double addition would not associate
+    "stream_running_total" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import StreamOps.KV
+      val rows = Tables.events(s, dir).where(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), KV(r.getLong(1), r.getLong(2).toDouble)))
+        .sortBy(_._1).map(_._2)
+      val in = MemoryStream[KV]
+      val name = s"stream_rt_sink_${sinkId.incrementAndGet()}"
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        withFewPartitions(s) {
+          val q = StreamOps.runningTotalsTws(in.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          foldBatches(in, rows.grouped(rows.length / 4 + 1).map(_.toSeq), q)
+        }
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table(name)
+        .groupBy(col("k").as("user_id"))
+        .agg(max(col("nEvents")).as("n_events"),
+          max_by(col("total"), col("nEvents")).as("total_cents"))
+        .orderBy("user_id")
+    },
+
     // streaming gap sessionization (q14's twin) under the driver gate:
     // the flatMapGroupsWithState operator closes sessions on event-time
     // timeout; sentinel batches advance the watermark so every open
@@ -220,6 +261,12 @@ object StreamingQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS total,
         | CAST(max(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS max_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "stream_running_total" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | SUM(FLOOR(value * 100)) AS total_cents
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_locf" ->
       """SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
