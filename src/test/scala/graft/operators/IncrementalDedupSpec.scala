@@ -100,6 +100,58 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed stored index: anti-join leg never shuffles the index side") {
+    // the production shape for continuous ingest: the (id, fp, simhash)
+    // index lives as a table bucketed by fp, so every batch's exact-dup
+    // anti-join reads co-located index buckets directly — one write-time
+    // shuffle amortized over every subsequent ingest batch; only the
+    // (small) batch side shuffles per batch
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS dd_index_bkt")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir") + "/dd_index_bkt"))
+      if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      graft.sources.Sources.writeBucketed(
+        Dedup.dedupIndex(corpus, "doc_id", "text"), "dd_index_bkt",
+        Seq("fp"), 8, sortCols = Seq("fp"))
+      val stored = spark.table("dd_index_bkt")
+
+      // same survivors as the in-memory-index run
+      val got = Dedup.incrementalSurvivors(batch, stored, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val expected = Dedup.incrementalSurvivors(batch,
+        Dedup.dedupIndex(corpus, "doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected)
+
+      // the exact-dup anti-join: exactly ONE shuffle (the batch side);
+      // the index side must be the bucketed scan
+      val leg = Dedup.dedupIndex(batch, "doc_id", "text")
+        .join(stored.select($"fp"), Seq("fp"), "left_anti")
+      leg.collect()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        // AQE wraps materialized stages: children is Nil, recurse via plan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          1 + s.children.map(shuffles).sum
+        case o => o.children.map(shuffles).sum
+      }
+      assert(shuffles(leg.queryExecution.executedPlan) === 1,
+        s"expected only the batch-side shuffle:\n${leg.queryExecution.executedPlan}")
+      val plan = leg.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"bucketed index scan not used:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("append flow: a later batch dedups against earlier survivors") {
     val corpus = Seq((1L, "seed corpus document number one")).toDF("doc_id", "text")
     val batch1 = Seq(
