@@ -135,6 +135,24 @@ object QualityQueries {
         .orderBy("bucket")
     },
 
+    // ingestion freshness: per-event-type lag behind the stream head —
+    // the "is a source stalled" monitor over a landed event table. The
+    // head is a 1-row aggregate broadcast back (never a driver count);
+    // one linear shuffle on event_type
+    "dq_freshness" -> { (s, dir) =>
+      val per = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("sec")).as("latest_sec"))
+      val head = per.agg(max(col("latest_sec")).as("head_sec"))
+      per.crossJoin(broadcast(head))
+        .select(col("event_type"), col("n_events"), col("latest_sec"),
+          (col("head_sec") - col("latest_sec")).as("lag_sec"),
+          (col("head_sec") - col("latest_sec") > 3600).as("stalled"))
+        .orderBy("event_type")
+    },
+
     // bad-row routing (the dead-letter-queue shape): rows failing any
     // expectation are materialized WITH their reasons — dq_rules counts
     // violations, this quarantines them. One codegen'd scan-transform
@@ -220,6 +238,17 @@ object QualityQueries {
         |  2.0 * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt)
         |             / (cnt - 1))
         |ORDER BY event_type, hour_sec""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS latest_sec
+        |  FROM events GROUP BY event_type),
+        |h AS (SELECT MAX(latest_sec) AS head_sec FROM per)
+        |SELECT event_type, n_events, latest_sec,
+        |  head_sec - latest_sec AS lag_sec,
+        |  (head_sec - latest_sec) > 3600 AS stalled
+        |FROM per, h ORDER BY event_type""".stripMargin,
 
     "dq_drift" ->
       """WITH a AS (
