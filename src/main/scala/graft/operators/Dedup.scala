@@ -406,4 +406,35 @@ object Dedup {
           (col("a_n") * col("b_n"))).as("cosine"))
       .where(col("cosine") >= tau)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    * CLUSTER blocking instead of a natural key — assign every embedding to
+    * its nearest centroid ([[IvfIndex.assign]]), compute cosine pairs only
+    * within a cluster, and drop every vector that has a >= tau duplicate
+    * with a smaller id (the paper keeps one representative per ε-ball;
+    * min-id is its deterministic tie-break). Returns the SURVIVING corpus
+    * as (id, c_id).
+    *
+    * Scale shape: the centroid set is O(N/stride) and broadcast, the
+    * assignment is one linear pass, and pairwise work is Σ cluster² — the
+    * whole point of SemDeDup is that k-means blocking bounds the quadratic
+    * term when no natural blocking key (label, source) exists. The drop
+    * set is an aggregated anti-join, never a driver collect.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               stride: Long, tau: Double): DataFrame = {
+    val cents = IvfIndex.centroids(df, idCol, vecCol, stride)
+    val asg = IvfIndex.assign(df, cents, idCol, vecCol)
+      .select(col("id"), col("c_id"), col("v"), col("nrm"))
+    val a = asg.select(col("c_id").as("a_c"), col("id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = asg.select(col("c_id").as("b_c"), col("id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
+    val dropped = a.join(b, col("a_c") === col("b_c") && col("a_id") < col("b_id"))
+      .where(Vectors.dot(col("a_v"), col("b_v")) /
+        (col("a_n") * col("b_n")) >= tau)
+      .select(col("b_id")).distinct()
+    asg.join(dropped, asg("id") === dropped("b_id"), "left_anti")
+      .select(col("id"), col("c_id"))
+  }
 }

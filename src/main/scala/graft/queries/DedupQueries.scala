@@ -110,6 +110,17 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // SemDeDup: cluster-blocked semantic dedup for corpora with NO natural
+    // blocking key — k-means-style assignment bounds the pair space where
+    // dd_embed_cosine relies on `label` and dd_embed_lsh on hyperplane
+    // buckets. Output is the surviving corpus with its cluster.
+    "dd_semdedup" -> { (s, dir) =>
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        stride = 32, tau = 0.35)
+        .select(col("id").as("vec_id"), col("c_id"))
+        .orderBy("vec_id")
+    },
+
     // near-dup pairs -> duplicate clusters via min-label propagation;
     // oracle is a DuckDB recursive-CTE transitive closure over the same
     // pair set, so cluster assignments are value-checked end to end.
@@ -341,6 +352,28 @@ object DedupQueries {
          |  ${dotSql("a.e", "b.e")} /
          |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
          | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin
+         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    // full replay of SemDeDup: centroid pick, nearest-centroid assignment
+    // (same IEEE cosine + tie-break as sim_ivf_assign's oracle), in-cluster
+    // pair threshold, min-id survivor rule
+    "dd_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.e", "c.c_e")} /
+         |        (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("c.c_e", "c.c_e")})) DESC,
+         |        c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.id AS b_id
+         |  FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.id < b.id
+         |  JOIN v va ON a.id = va.vec_id
+         |  JOIN v vb ON b.id = vb.vec_id
+         |  WHERE ${dotSql("va.e", "vb.e")} /
+         |    (sqrt(${dotSql("va.e", "va.e")}) * sqrt(${dotSql("vb.e", "vb.e")})) >= 0.35)
+         |SELECT id AS vec_id, c_id FROM asg
+         |WHERE id NOT IN (SELECT b_id FROM dropped) ORDER BY vec_id""".stripMargin
   )
 }

@@ -52,6 +52,29 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // recall@10 audit of the IVF index against the exact scan — the
+    // "measure, don't guess" companion to sim_ann_ivf. nProbe=4 is
+    // deliberately below sim_ann_ivf's 8 so the probe set misses some true
+    // neighbors and the metric is informative, not vacuously 1.0. At
+    // 100 TB this runs on a sampled query set; both sides reuse the
+    // broadcast-query / two-stage-top-k plans of their parent operators.
+    "sim_recall_audit" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id"))
+      val approx = IvfIndex.topKCosineIvf(emb, q, "vec_id", "embedding",
+          k = 10, stride = 32, nProbe = 4)
+        .select(col("q_id").as("i_q"), col("n_id").as("i_n"))
+      exact.join(approx,
+          col("q_id") === col("i_q") && col("n_id") === col("i_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("i_n")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10.0)).as("recall"))
+        .orderBy("q_id")
+    },
+
     // per-vector min-max int8-style scalar quantization, emitted in
     // exploded (vec_id, pos, q) form so every quantized value is checked.
     // floor (not round): round() half-way behavior differs across engines.
@@ -278,6 +301,41 @@ object SimilarityQueries {
          | FROM cand)
          |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // recall audit: replay BOTH retrieval paths (exact scan and the
+    // nProbe=4 IVF probe) and count the overlap per query
+    "sim_recall_audit" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+         |ex AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, n.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_e", "n.e")} DESC, n.vec_id) AS rank
+         |  FROM q JOIN v n ON n.vec_id != q.q_id) WHERE rank <= 10),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c.c_e")} DESC, c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |probes AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_e", "c.c_e")} DESC, c.c_id) AS pr
+         |  FROM q CROSS JOIN c) WHERE pr <= 4),
+         |iv AS (SELECT q_id, n_id FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.q_id
+         |      ORDER BY cand.cosine DESC, cand.n_id) AS rank
+         |  FROM (SELECT q.q_id, v.vec_id AS n_id, ${cosSql("q.q_e", "v.e")} AS cosine
+         |    FROM probes JOIN asg ON probes.c_id = asg.c_id
+         |    JOIN v ON asg.id = v.vec_id
+         |    JOIN q ON probes.q_id = q.q_id
+         |    WHERE v.vec_id != q.q_id) cand) WHERE rank <= 10)
+         |SELECT ex.q_id, COUNT(iv.n_id) AS n_hit,
+         | COUNT(iv.n_id)::DOUBLE / 10.0 AS recall
+         |FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
 
     // full value oracle for multi-table LSH ANN: the deterministic plane
     // matrices are inlined as SQL literals (Double.toString round-trips),

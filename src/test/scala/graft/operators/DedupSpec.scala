@@ -91,4 +91,23 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L))) // 1-4 identical but cross-block; 1-3 orthogonal
   }
+
+  test("semDedup drops the higher-id member of each in-cluster near-dup pair") {
+    // stride=2 → centroids are the even ids. 1 is a near-dup of 0 (same
+    // cluster), 3 of 2; 5 has no >= tau neighbor and must survive even
+    // though it shares cluster 0 (cosine to centroids 0 and 2 ties at
+    // 0.707 → smaller c_id wins)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.15f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semDedup(emb, "vec_id", "embedding", stride = 2, tau = 0.95)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(0L, 2L, 4L, 5L), s"survivors=${r.keySet}")
+    assert(r(5L) == 0L, s"tie must break toward the smaller centroid: ${r(5L)}")
+  }
 }
