@@ -41,7 +41,7 @@ object StreamingQueries {
     */
   private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -57,7 +57,9 @@ object StreamingQueries {
       import s.implicits._
       val snap = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      val changes = Tables.orders(s, dir).select(
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") < 20000)
+        .select(
           col("o_custkey"), concat(lit("upd_"), col("o_orderkey")),
           col("o_totalprice"), col("o_orderkey"),
           when(col("o_orderkey") % 20 === 0, Cdc.OpDelete).otherwise(Cdc.OpUpsert))
@@ -85,8 +87,8 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(8,2)")).as("total"),
           max(col("o_totalprice").cast("decimal(8,2)")).as("max_price"))
-      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice"))
+      val o = Tables.orders(s, dir).where(col("o_orderkey") < 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val rows = o.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(_._1)
@@ -118,10 +120,12 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import StreamOps.FillIn
-      // deterministic 1-in-5 subsample: the MemoryStream harness is
-      // driver-resident by design, so the feed must stay bounded at any sf;
-      // the oracle applies the same predicate
-      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0).select(
+      // deterministic 1-in-5 subsample PLUS a fixed id cap: the
+      // MemoryStream harness is driver-resident by design, so the feed
+      // must stay CONSTANT in sf, not linear (the cap sits above the
+      // gate sf's whole id range, so sf0.01 results are unchanged); the
+      // oracle applies the same predicate
+      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0 && col("event_id") < 25000).select(
           col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
           col("user_id"),
           when(col("event_id") % 4 === 0, col("value")).as("reading"))
@@ -161,7 +165,7 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import StreamOps.KV
-      val rows = Tables.events(s, dir).where(col("event_id") % 5 === 0)
+      val rows = Tables.events(s, dir).where(col("event_id") % 5 === 0 && col("event_id") < 25000)
         .select(col("event_id"), col("user_id"),
           floor(col("value") * 100).as("cents"))
         .collect()
@@ -199,7 +203,7 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import StreamOps.Event
-      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0)
+      val ev = Tables.events(s, dir).where(col("event_id") % 5 === 0 && col("event_id") < 25000)
         .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
           col("user_id"), col("event_type"), col("value"))
         .collect()
@@ -233,7 +237,7 @@ object StreamingQueries {
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec, event_id FROM events
-        |  WHERE event_id % 5 = 0),
+        |  WHERE event_id % 5 = 0 AND event_id < 25000),
         |x AS (
         |  SELECT user_id, sec, event_id,
         |   CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
@@ -248,7 +252,8 @@ object StreamingQueries {
     "stream_cdc_apply" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
         |  o_totalprice AS c_acctbal, o_orderkey AS seq,
-        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders
+        |  WHERE o_orderkey < 20000),
         |latest AS (SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY c_custkey ORDER BY seq DESC, (op = 'D') DESC) = 1),
         |kept AS (SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
@@ -260,12 +265,12 @@ object StreamingQueries {
       """SELECT o_custkey, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS total,
         | CAST(max(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS max_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+        |FROM orders WHERE o_orderkey < 20000 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "stream_running_total" ->
       """SELECT user_id, COUNT(*) AS n_events,
         | SUM(FLOOR(value * 100)) AS total_cents
-        |FROM events WHERE event_id % 5 = 0
+        |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_locf" ->
@@ -276,7 +281,7 @@ object StreamingQueries {
         |         ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS reading_filled
-        |FROM events WHERE event_id % 5 = 0
+        |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |ORDER BY user_id, event_id""".stripMargin
   )
 }
