@@ -186,6 +186,30 @@ object TextQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // budget-constrained selection: per language, take documents in
+    // lexical-diversity order until a fixed token budget fills (greedy,
+    // boundary doc included) — the "best docs under an N-token budget"
+    // mixture step. The order-then-prefix-sum is the range-partitioned
+    // GlobalRank helper, NOT a per-lang window: a 5-value partition key
+    // would funnel each language through one task at 100 TB. The order
+    // key (n_types) is integral so the cross-engine sort is exact.
+    "pipe_token_budget" -> { (s, dir) =>
+      val d = graft.expressions.TextExpressions.tokenDiversity(col("text"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), d.as("__d"))
+        .select(col("doc_id"), col("lang"),
+          col("__d").getItem(0).as("n_tokens"),
+          col("__d").getItem(1).as("n_types"))
+        .where(col("n_tokens") > 0)
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("n_types").desc, col("doc_id")),
+          col("n_tokens"), prefixCol = "pre")
+        .where(col("pre") < 2000)
+        .select(col("lang"), col("doc_id"), col("n_types"), col("n_tokens"),
+          (col("pre") + col("n_tokens")).as("cum_tokens"))
+        .orderBy(col("lang"), col("n_types").desc, col("doc_id"))
+    },
+
     // repeated-token ratio — the classic repetition quality signal for
     // training corpora (1 - distinct/total); narrow per-row map, no shuffle
     "ta_repetition" -> { (s, dir) =>
@@ -599,6 +623,23 @@ object TextQueries {
          |  n_types::DOUBLE / n::DOUBLE AS ttr,
          |  1.0 - s2::DOUBLE / (n * n)::DOUBLE AS gini_simpson
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the window form here is the ORACLE ONLY — the engine side range-
+    // partitions (see the query's comment); cum/pre are HUGEINT-cast per
+    // the §6 rule
+    "pipe_token_budget" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS t
+         |             FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, lang, t, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, t),
+         |a AS (SELECT doc_id, lang, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_types
+         |      FROM c GROUP BY doc_id, lang),
+         |p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |        ORDER BY n_types DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |      FROM a)
+         |SELECT lang, doc_id, n_types, n_tokens,
+         | (pre + n_tokens)::BIGINT AS cum_tokens
+         |FROM p WHERE pre < 2000 ORDER BY lang, n_types DESC, doc_id""".stripMargin,
 
     "pipe_domain_cap" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens,
