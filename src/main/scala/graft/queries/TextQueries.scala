@@ -186,6 +186,27 @@ object TextQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // one BPE merge step — the tokenizer-training primitive: count
+    // adjacent character pairs across the corpus WEIGHTED by word
+    // frequency and surface the top merge candidates. The pair scan runs
+    // over the aggregated VOCABULARY (types × word length), not the raw
+    // token stream — the classic BPE trick that makes each merge iteration
+    // corpus-size-independent after one linear counting pass. Integer
+    // counts end to end; `substring(tok, i, 2)` enumerates pairs without
+    // an explode-to-chars blowup.
+    "pipe_bpe_step" -> { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      wc.where(length(col("tok")) >= 2)
+        .select(col("tok"), col("c"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"), col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)
+    },
+
     // budget-constrained selection: per language, take documents in
     // lexical-diversity order until a fixed token budget fills (greedy,
     // boundary doc included) — the "best docs under an N-token budget"
@@ -623,6 +644,15 @@ object TextQueries {
          |  n_types::DOUBLE / n::DOUBLE AS ttr,
          |  1.0 - s2::DOUBLE / (n * n)::DOUBLE AS gini_simpson
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "pipe_bpe_step" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |wc AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY tok),
+         |p AS (SELECT unnest([substring(tok, i, 2)
+         |        for i in generate_series(1, length(tok) - 1)]) AS pair, c
+         |      FROM wc WHERE length(tok) >= 2)
+         |SELECT pair, SUM(c)::BIGINT AS freq FROM p GROUP BY pair
+         |ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
 
     // the window form here is the ORACLE ONLY — the engine side range-
     // partitions (see the query's comment); cum/pre are HUGEINT-cast per
