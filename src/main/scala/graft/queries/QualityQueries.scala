@@ -153,6 +153,42 @@ object QualityQueries {
         .orderBy("event_type")
     },
 
+    // referential-integrity sweep over the FK graph: per edge, total rows
+    // and orphans (fact keys with no matching dimension row). Each edge is
+    // one left-anti join — linear shuffles, no collect; the per-edge
+    // 1-row aggregates union into the report. At 100 TB the big edges
+    // (lineitem→orders) are plain shuffle joins AQE can re-plan; the small
+    // dims broadcast automatically.
+    "dq_referential" -> { (s, dir) =>
+      def edge(name: String, fact: DataFrame, fk: Seq[String],
+               dim: DataFrame, pk: Seq[String]): DataFrame = {
+        // plain equality, not null-safe: a NULL fk matches nothing and
+        // counts as an orphan, same as the oracle's NOT EXISTS
+        val cond = fk.zip(pk).map { case (f, p) => fact(f) === dim(p) }
+          .reduce(_ && _)
+        val orphans = fact.join(dim, cond, "left_anti")
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      val edges = Seq(
+        edge("customer.nationkey", Tables.customer(s, dir), Seq("c_nationkey"),
+          Tables.nation(s, dir), Seq("n_nationkey")),
+        edge("lineitem.orderkey", Tables.lineitem(s, dir), Seq("l_orderkey"),
+          Tables.orders(s, dir), Seq("o_orderkey")),
+        edge("lineitem.partkey", Tables.lineitem(s, dir), Seq("l_partkey"),
+          Tables.part(s, dir), Seq("p_partkey")),
+        edge("lineitem.suppkey", Tables.lineitem(s, dir), Seq("l_suppkey"),
+          Tables.supplier(s, dir), Seq("s_suppkey")),
+        edge("nation.regionkey", Tables.nation(s, dir), Seq("n_regionkey"),
+          Tables.region(s, dir), Seq("r_regionkey")),
+        edge("orders.custkey", Tables.orders(s, dir), Seq("o_custkey"),
+          Tables.customer(s, dir), Seq("c_custkey")),
+        edge("supplier.nationkey", Tables.supplier(s, dir), Seq("s_nationkey"),
+          Tables.nation(s, dir), Seq("n_nationkey")))
+      edges.reduce(_ unionAll _).orderBy("fk")
+    },
+
     // bad-row routing (the dead-letter-queue shape): rows failing any
     // expectation are materialized WITH their reasons — dq_rules counts
     // violations, this quarantines them. One codegen'd scan-transform
@@ -249,6 +285,24 @@ object QualityQueries {
         |  head_sec - latest_sec AS lag_sec,
         |  (head_sec - latest_sec) > 3600 AS stalled
         |FROM per, h ORDER BY event_type""".stripMargin,
+
+    "dq_referential" -> {
+      def e(name: String, fact: String, fk: String, dim: String, pk: String) =
+        s"""SELECT '$name' AS fk,
+           | (SELECT COUNT(*) FROM $fact) AS n_rows,
+           | (SELECT COUNT(*) FROM $fact f
+           |  WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)) AS n_orphans"""
+          .stripMargin
+      Seq(
+        e("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+        e("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        e("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
 
     "dq_drift" ->
       """WITH a AS (
