@@ -153,6 +153,22 @@ object QualityQueries {
         .orderBy("event_type")
     },
 
+    // the Misra–Gries heavy-hitters aggregate under the VALUE gate: with
+    // capacity (64) above the key cardinality (11 event types) the sketch
+    // never decrements, so its estimates are exactly the true counts on
+    // ANY merge tree and the custom TypedImperativeAggregate is
+    // value-checked against a plain GROUP BY. At real cardinalities the
+    // same plan ships k counters per partition instead of shuffling the
+    // key stream — the approximation regime is bounds-asserted in
+    // FreqSketchSpec.
+    "dq_heavy_hitters" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(graft.expressions.FreqSketchAgg.freqSketch(col("event_type"), 64).as("sk"))
+        .select(explode(col("sk")).as("s"))
+        .select(col("s.item").as("event_type"), col("s.est").as("n_events"))
+        .orderBy(col("n_events").desc, col("event_type"))
+    },
+
     // referential-integrity sweep over the FK graph: per edge, total rows
     // and orphans (fact keys with no matching dimension row). Each edge is
     // one left-anti join — linear shuffles, no collect; the per-edge
@@ -285,6 +301,10 @@ object QualityQueries {
         |  head_sec - latest_sec AS lag_sec,
         |  (head_sec - latest_sec) > 3600 AS stalled
         |FROM per, h ORDER BY event_type""".stripMargin,
+
+    "dq_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY n_events DESC, event_type""".stripMargin,
 
     "dq_referential" -> {
       def e(name: String, fact: String, fk: String, dim: String, pk: String) =

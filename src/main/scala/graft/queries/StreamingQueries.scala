@@ -194,6 +194,76 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    // streaming exact dedup under the driver gate: every event is fed
+    // TWICE, the duplicate always one batch later than the original, so
+    // dropDuplicatesWithinWatermark's cross-batch state is what drops it
+    // (in-batch dedup alone would fail). The long watermark pins state
+    // for the bounded feed — eviction-under-watermark is proven in
+    // StreamOpsSpec; here the gate checks exact first-occurrence output
+    "stream_dedup" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L), r.getLong(2)))
+        .sortBy(_._1)
+      val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+      // batch k carries chunk k plus a full repeat of chunk k-1
+      val feed = chunks.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else c ++ chunks(i - 1)
+      } :+ chunks.last
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val name = s"stream_dedup_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.dedupStream(
+            in.toDF().toDF("event_id", "ts", "user_id"), watermark = "3650 days")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, feed.iterator.map(_.toSeq), q)
+      }
+      s.table(name)
+        .select(col("event_id"), col("user_id"))
+        .orderBy("event_id")
+    },
+
+    // streaming tumbling-window aggregation (q13's twin) under the driver
+    // gate: watermarked 1 h windows fold across three micro-batches;
+    // sentinel batches advance the watermark so every real window closes
+    // and append mode flushes it. Values feed as integral cents (exact in
+    // doubles), so cross-batch accumulation order cannot drift the sum
+    "stream_window_agg" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_type"), floor(col("value") * 100).cast("double").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L),
+          r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val maxSec = rows.map(_._2.getTime).max / 1000L
+      val sentinel = (i: Long) =>
+        (-i, new java.sql.Timestamp((maxSec + 36000L * i) * 1000L), "__s", 0.0)
+      val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val name = s"stream_wagg_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.hourlyAgg(
+            in.toDF().toDF("event_id", "ts", "event_type", "value")
+              .select(col("ts"), col("event_type"), col("value")))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in,
+          rows.grouped(rows.length / 3 + 1).map(_.toSeq) ++
+            Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      }
+      s.table(name).where(col("event_type") =!= "__s")
+        .select(unix_timestamp(col("window.start")).as("hour_sec"),
+          col("event_type"), col("n_events"), col("sum_value").as("sum_cents"))
+        .orderBy("hour_sec", "event_type")
+    },
+
     // streaming gap sessionization (q14's twin) under the driver gate:
     // the flatMapGroupsWithState operator closes sessions on event-time
     // timeout; sentinel batches advance the watermark so every open
@@ -234,6 +304,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_id % 5 = 0 AND event_id < 25000
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_window_agg" ->
+      """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,
+        | event_type, COUNT(*) AS n_events,
+        | SUM(FLOOR(value * 100)) AS sum_cents
+        |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
+        |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec, event_id FROM events
