@@ -31,6 +31,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalSurvivors(someDocs, emptyIndex, "doc_id", "text").count() == 1)
   }
 
+  test("semDedup: empty corpus yields empty survivors, singleton survives") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(emptyEmb, "vec_id", "embedding", 2, 0.9).isEmpty)
+    // a lone vector is its own centroid and must survive
+    val one = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(one, "vec_id", "embedding", 2, 0.9).count() == 1)
+  }
+
   test("connected components: empty edge set yields empty labels") {
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(ConnectedComponents.labels(noPairs, "a_id", "b_id").isEmpty)
