@@ -146,6 +146,33 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // keep-BEST near-dedup: same clusters as dd_near_dedup_corpus, but the
+    // representative is the highest-quality member (lexical diversity,
+    // min-id tie-break), not the min id — the policy a training pipeline
+    // actually wants when duplicates differ in cleanliness. The per-cluster
+    // choice is one map-side-combinable max_by(doc_id, (n_types, -doc_id))
+    // — no window, no collect
+    "pipe_dedup_best" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      val labels = graft.operators.ConnectedComponents.labels(pairs)
+      val qual = docs.select(col("doc_id"),
+        graft.expressions.TextExpressions.tokenDiversity(col("text"))
+          .getItem(1).as("n_types"))
+      val lab = qual.join(labels, qual("doc_id") === labels("id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_types"))
+      val rep = lab.groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_types"), -col("doc_id"))).as("keep_id"))
+      val dropIds = lab.join(rep, "cluster_id")
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("drop_id"))
+      docs.join(dropIds, docs("doc_id") === dropIds("drop_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // value-oracled since round 4 (plane literals inlined in the SQL);
     // precision/recall vs the brute path additionally asserted in
     // DedupSpec.
@@ -353,6 +380,34 @@ object DedupQueries {
          |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
          | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    "pipe_dedup_best" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |t AS (SELECT doc_id, len(list_distinct($rawToks)) AS n_types FROM documents),
+         |lab AS (SELECT l.id, l.cluster_id, t.n_types FROM labels l
+         |        JOIN t ON t.doc_id = l.id),
+         |rep AS (SELECT cluster_id, id AS keep_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_types DESC, id) AS rn FROM lab) WHERE rn = 1),
+         |dropped AS (SELECT lab.id FROM lab JOIN rep USING (cluster_id)
+         |            WHERE lab.id != rep.keep_id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // full replay of SemDeDup: centroid pick, nearest-centroid assignment
     // (same IEEE cosine + tie-break as sim_ivf_assign's oracle), in-cluster

@@ -264,6 +264,39 @@ object StreamingQueries {
         .orderBy("hour_sec", "event_type")
     },
 
+    // update-mode running top-k per key under the driver gate (q24's
+    // streaming twin): the bounded-heap TopKAgg as cross-batch streaming
+    // state, folded over four micro-batches. The paired running count
+    // strictly increases per touch, so max_by(topk, n) picks each key's
+    // LAST update from the memory sink; integral cents keep values exact
+    "stream_topk" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), col("user_id"), floor(col("value") * 100).cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).map(t => (t._2, t._3))
+      val in = MemoryStream[(Long, Long)]
+      val name = s"stream_topk_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("user_id", "cents")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            graft.expressions.TopKAgg.topK(col("cents"), 3).as("tk"))
+          .writeStream.format("memory").queryName(name).outputMode("update").start()
+        foldBatches(in, rows.grouped(rows.length / 4 + 1).map(_.toSeq), q)
+      }
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          max_by(col("tk"), col("n")).as("tk"))
+        .select(col("user_id"), col("n_events"),
+          concat_ws(",", transform(col("tk"), v => v.cast("string"))).as("top_cents"))
+        .orderBy("user_id")
+    },
+
     // streaming gap sessionization (q14's twin) under the driver gate:
     // the flatMapGroupsWithState operator closes sessions on event-time
     // timeout; sentinel batches advance the watermark so every open
@@ -315,6 +348,14 @@ object StreamingQueries {
         | SUM(FLOOR(value * 100)) AS sum_cents
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    "stream_topk" ->
+      """WITH c AS (SELECT user_id, FLOOR(value * 100)::BIGINT AS cents
+        |  FROM events WHERE event_id % 5 = 0 AND event_id < 25000)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | array_to_string(list_slice(list(cents ORDER BY cents DESC), 1, 3), ',')
+        |   AS top_cents
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (
