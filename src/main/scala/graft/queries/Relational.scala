@@ -452,6 +452,23 @@ object Relational {
     // The per-group rank is GlobalRank.withGroupedPrefixSum — a range-
     // partitioned sort + offsets, so a ~6-value group key still uses
     // every partition (a hash-partitioned window would funnel each group
+    // grouped MODE: the most frequent priority per status via count-then-
+    // argmax — two hash aggregations (both map-side combinable), never a
+    // per-group sort. min_by over (−cnt, value) pins the tie toward the
+    // lexicographically smaller value in both engines
+    "q51_mode" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min_by(struct(col("o_orderpriority"), col("cnt")),
+          struct(-col("cnt"), col("o_orderpriority"))).as("m"))
+        .select(col("o_orderstatus"),
+          col("m.o_orderpriority").as("mode_priority"),
+          col("m.cnt").as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // through ONE task). The interpolation arithmetic is replayed
     // verbatim in the oracle — bit-identical regardless of how
     // quantile_cont associates
@@ -1122,8 +1139,16 @@ object Relational {
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
+    "q51_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
     "q50_median_scale" ->
-      """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+"""WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
         |  FROM lineitem GROUP BY 1, 2),
         |r AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus

@@ -196,4 +196,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("semDedup equals a naive assign-then-drop on random unit-ish vectors") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    trials(6)(r => (0 until 12).map(i =>
+      (i.toLong, Array.fill(4)(r.nextInt(5).toFloat + (if (r.nextBoolean()) 0.5f else 0f) + 0.1f))).toList) { vecs =>
+      val stride = 3L
+      val tau = 0.98
+      val got = graft.operators.Dedup.semDedup(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", stride, tau)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive reference: nearest centroid (max cosine, min-id tie), then
+      // drop any vector with a same-cluster >= tau neighbor of smaller id
+      val cents = vecs.filter(_._1 % stride == 0)
+      val asg = vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, c) => (-c, cid) }._1
+        (id, best)
+      }.toMap
+      val dropped = vecs.collect { case (id, v) if vecs.exists { case (oid, ov) =>
+        oid < id && asg(oid) == asg(id) && cos(ov, v) >= tau } => id }.toSet
+      val want = vecs.collect { case (id, _) if !dropped(id) => id -> asg(id) }.toMap
+      assert(got == want, s"vecs=${vecs.map(_._1)}")
+    }
+  }
 }
