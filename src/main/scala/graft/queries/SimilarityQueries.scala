@@ -52,6 +52,21 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // threshold-sensitivity sweep: near-dup pair counts at five taus from
+    // ONE pair materialization (score once at the loosest threshold, then
+    // conditional-count) — the tuning query run before committing a dedup
+    // threshold, instead of re-running the pair join per candidate tau
+    "sim_tau_sweep" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup.embeddingPairsBlocked(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", tau = 0.25)
+      val taus = Seq(0.25, 0.30, 0.35, 0.40, 0.45)
+      pairs.select(col("cosine"),
+          explode(array(taus.map(lit(_)): _*)).as("tau"))
+        .where(col("cosine") >= col("tau"))
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("tau")
+    },
+
     // recall@10 audit of the IVF index against the exact scan — the
     // "measure, don't guess" companion to sim_ann_ivf. nProbe=4 is
     // deliberately below sim_ann_ivf's 8 so the probe set misses some true
@@ -301,6 +316,17 @@ object SimilarityQueries {
          | FROM cand)
          |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_tau_sweep" ->
+      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cosSql("a.e", "b.e")} AS cosine
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |f AS (SELECT cosine FROM p WHERE cosine >= 0.25),
+         |t AS (SELECT unnest([0.25::DOUBLE, 0.30::DOUBLE, 0.35::DOUBLE,
+         |                     0.40::DOUBLE, 0.45::DOUBLE]) AS tau)
+         |SELECT tau, COUNT(*) AS n_pairs FROM f, t WHERE cosine >= tau
+         |GROUP BY tau ORDER BY tau""".stripMargin,
 
     // recall audit: replay BOTH retrieval paths (exact scan and the
     // nProbe=4 IVF probe) and count the overlap per query
