@@ -264,6 +264,48 @@ object StreamingQueries {
         .orderBy("hour_sec", "event_type")
     },
 
+    // stream-stream interval join under the driver gate: the
+    // impression⋈click shape over TWO MemoryStreams fed in lockstep
+    // micro-batches — cross-batch buffering is exercised because a click
+    // can arrive batches before or after its impression; the full inner
+    // result must equal the batch interval join regardless of emission
+    // timing. Long watermark pins state for the bounded feed (bounded-
+    // state eviction is proven in StreamOpsSpec)
+    "stream_interval_join" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def feed(rem: Int) = Tables.events(s, dir)
+        .where(col("event_id") % 10 === rem && col("event_id") < 25000)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2) * 1000L)))
+        .sortBy(_._1)
+      val imps = feed(0)
+      val clicks = feed(5)
+      val inL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val inR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val name = s"stream_ij_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.joinWithinTime(
+            inL.toDF().toDF("i_id", "i_user", "i_ts"),
+            inR.toDF().toDF("c_id", "c_user", "c_ts"),
+            "i_user", "c_user", "i_ts", "c_ts",
+            within = "30 minutes", watermark = "3650 days")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        type Row3 = (Long, Long, java.sql.Timestamp)
+        val lc = imps.grouped(imps.length / 3 + 1).map(_.toSeq).toSeq
+        val rc = clicks.grouped(clicks.length / 3 + 1).map(_.toSeq).toSeq
+        try lc.zipAll(rc, Seq.empty[Row3], Seq.empty[Row3]).foreach { case (cl, cr) =>
+          inL.addData(cl); inR.addData(cr); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name)
+        .select(col("i_user").as("user_id"), col("i_id"), col("c_id"),
+          (unix_timestamp(col("c_ts")) - unix_timestamp(col("i_ts"))).as("lag_sec"))
+        .orderBy("user_id", "i_id", "c_id")
+    },
+
     // update-mode running top-k per key under the driver gate (q24's
     // streaming twin): the bounded-heap TopKAgg as cross-batch streaming
     // state, folded over four micro-batches. The paired running count
@@ -348,6 +390,18 @@ object StreamingQueries {
         | SUM(FLOOR(value * 100)) AS sum_cents
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    "stream_interval_join" ->
+      """WITH i AS (SELECT event_id AS i_id, user_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS i_sec FROM events
+        |  WHERE event_id % 10 = 0 AND event_id < 25000),
+        |c AS (SELECT event_id AS c_id, user_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS c_sec FROM events
+        |  WHERE event_id % 10 = 5 AND event_id < 25000)
+        |SELECT i.user_id AS user_id, i.i_id, c.c_id, c.c_sec - i.i_sec AS lag_sec
+        |FROM i JOIN c ON i.user_id = c.user_id
+        | AND c.c_sec >= i.i_sec AND c.c_sec <= i.i_sec + 1800
+        |ORDER BY i.user_id, i_id, c_id""".stripMargin,
 
     "stream_topk" ->
       """WITH c AS (SELECT user_id, FLOOR(value * 100)::BIGINT AS cents
