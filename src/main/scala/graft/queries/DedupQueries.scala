@@ -173,6 +173,27 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // leakage-aware train/val/test split: assignment hashes the near-dup
+    // CLUSTER id (singletons are their own cluster), so no near-duplicate
+    // pair ever straddles train and test — the eval-hygiene property a
+    // doc-id hash split silently violates. Deterministic md5-uniform, no
+    // rand(); one closure + one per-doc map beyond the pair join
+    "pipe_leakage_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      val labels = graft.operators.ConnectedComponents.labels(pairs)
+      val withCluster = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val u = conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") / lit(65536.0)
+      withCluster
+        .select(col("doc_id"), col("cluster_id"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // value-oracled since round 4 (plane literals inlined in the SQL);
     // precision/recall vs the brute path additionally asserted in
     // DedupSpec.
@@ -380,6 +401,32 @@ object DedupQueries {
          |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
          | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    "pipe_leakage_split" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
+         |      FROM documents LEFT JOIN labels l ON l.id = doc_id),
+         |x AS (SELECT doc_id, cluster_id,
+         |  ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INT::DOUBLE
+         |    / 65536.0 AS u FROM d)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "pipe_dedup_best" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
