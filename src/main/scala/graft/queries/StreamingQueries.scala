@@ -264,6 +264,36 @@ object StreamingQueries {
         .orderBy("hour_sec", "event_type")
     },
 
+    // stream-static enrichment join under the driver gate: each
+    // micro-batch left-joins the landing orders stream against the static
+    // customer dimension (re-planned and auto-broadcast per batch);
+    // output over the bounded feed ≡ the batch left join. Stateless —
+    // this gate proves the per-batch join path, not a state store
+    "stream_enrich" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val rows = Tables.orders(s, dir).where(col("o_orderkey") < 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, Double)]
+      val name = s"stream_enrich_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.enrichWithStatic(
+            in.toDF().toDF("o_orderkey", "c_custkey", "o_totalprice"),
+            dim, Seq("c_custkey"), "left")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, rows.grouped(rows.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.table(name)
+        .select(col("o_orderkey"), col("c_custkey").as("o_custkey"),
+          col("o_totalprice"), col("c_name"), col("c_nationkey"))
+        .orderBy("o_orderkey")
+    },
+
     // stream-stream interval join under the driver gate: the
     // impression⋈click shape over TWO MemoryStreams fed in lockstep
     // micro-batches — cross-batch buffering is exercised because a click
@@ -390,6 +420,12 @@ object StreamingQueries {
         | SUM(FLOOR(value * 100)) AS sum_cents
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 20000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "stream_interval_join" ->
       """WITH i AS (SELECT event_id AS i_id, user_id,
