@@ -166,7 +166,8 @@ class PlanAuditSpec extends SparkSpec {
     // GlobalRank.withGroupedPrefixSum (range-partitioned sort + offsets),
     // i.e. contain no WindowExec at all
     for (name <- Seq("q50_median_scale", "pipe_pack_bins", "pipe_pack_payload",
-        "mm_shard_pack", "mm_shard_payload", "pipe_domain_cap")) {
+        "mm_shard_pack", "mm_shard_payload", "pipe_domain_cap",
+        "pipe_token_budget", "pipe_corpus_e2e")) {
       val windows = executedPlan(name).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
