@@ -52,6 +52,37 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // PQ-compression quality audit: recall@5 of the ADC search (corpus
+    // seen only through its m-byte codes) against the exact-L2 scan over
+    // the raw vectors — quantifies what the 64→8-byte compression costs,
+    // per query. Both engines compute the identical IEEE d² formula; the
+    // 10-query window is bounded by the query set, never the corpus
+    "sim_pq_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val V = graft.functions.Vectors
+      val c = emb.select(col("vec_id").as("n_id"), V.toDoubleArray(col("embedding")).as("nv"))
+      val qq = q.select(col("vec_id").as("q_id"), V.toDoubleArray(col("embedding")).as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
+      val exact = c.join(broadcast(qq), col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("nv"))
+            + V.dot(col("nv"), col("nv"))).as("d2"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val approx = IvfIndex.pqSearchAdc(emb, q, "vec_id", "embedding",
+          m = 8, dim = 64, stride = 32, topK = 5)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+
     // threshold-sensitivity sweep: near-dup pair counts at five taus from
     // ONE pair materialization (score once at the loosest threshold, then
     // conditional-count) — the tuning query run before committing a dedup
@@ -316,6 +347,46 @@ object SimilarityQueries {
          | FROM cand)
          |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // exact-L2 top-5 vs the full ADC replay, overlap counted per query
+    "sim_pq_recall" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |s AS (SELECT vec_id, g.m AS sub_id, list_slice(e, g.m * 8 + 1, g.m * 8 + 8) AS sv
+         |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+         |c AS (SELECT vec_id AS c_id, sub_id, sv AS cv FROM s
+         |      WHERE vec_id % 32 = 0 AND vec_id < 512),
+         |d AS (SELECT s.vec_id AS id, s.sub_id, c.c_id,
+         |  ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "c.cv")}
+         |    + ${dotSql("c.cv", "c.cv")} AS d2
+         | FROM s JOIN c ON s.sub_id = c.sub_id),
+         |codes AS (SELECT id, sub_id, c_id AS code FROM d
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_id ORDER BY d2, c_id) = 1),
+         |q AS (SELECT vec_id AS q_id, sub_id, sv AS qv FROM s WHERE vec_id < 10),
+         |lut AS (SELECT q.q_id, q.sub_id, c.c_id,
+         |  ${dotSql("q.qv", "q.qv")} - 2.0 * ${dotSql("q.qv", "c.cv")}
+         |    + ${dotSql("c.cv", "c.cv")} AS d2q
+         | FROM q JOIN c ON q.sub_id = c.sub_id),
+         |per AS (SELECT l.q_id, x.id, x.sub_id, l.d2q
+         | FROM codes x JOIN lut l ON x.sub_id = l.sub_id AND x.code = l.c_id
+         | WHERE x.id <> l.q_id),
+         |piv AS (SELECT q_id, id,
+         |  ${(0 until 8).map(i => s"MAX(CASE WHEN sub_id = $i THEN d2q END) AS d$i").mkString(", ")}
+         | FROM per GROUP BY q_id, id),
+         |adc AS (SELECT q_id, id, ${(0 until 8).map(i => s"d$i").mkString(" + ")} AS adc_d2 FROM piv),
+         |approx AS (SELECT q_id, id AS n_id FROM (
+         |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc_d2, id) AS rank FROM adc) WHERE rank <= 5),
+         |qe AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+         |ex AS (SELECT q_id, n_id FROM (
+         |  SELECT qe.q_id, n.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qe.q_id ORDER BY
+         |      ${dotSql("qe.qe", "qe.qe")} - 2.0 * ${dotSql("qe.qe", "n.e")}
+         |        + ${dotSql("n.e", "n.e")}, n.vec_id) AS rank
+         |  FROM qe JOIN v n ON n.vec_id != qe.q_id) WHERE rank <= 5)
+         |SELECT ex.q_id, COUNT(a.n_id) AS n_hit,
+         | COUNT(a.n_id)::DOUBLE / 5.0 AS recall
+         |FROM ex LEFT JOIN approx a ON ex.q_id = a.q_id AND ex.n_id = a.n_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
 
     "sim_tau_sweep" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
