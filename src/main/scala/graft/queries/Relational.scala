@@ -452,6 +452,28 @@ object Relational {
     // The per-group rank is GlobalRank.withGroupedPrefixSum — a range-
     // partitioned sort + offsets, so a ~6-value group key still uses
     // every partition (a hash-partitioned window would funnel each group
+    // per-key EWMA (exponentially weighted moving average) — the
+    // order-dependent time-series smoother: y = α·x + (1−α)·y_prev folded
+    // over event order. The fold order is pinned by (sec, event_id) in
+    // both engines, and α = 0.5 with identical op order makes every
+    // intermediate IEEE-identical — a window can't express the recursion
+    // and a UDAF would lose codegen; the sorted-collect fold is bounded
+    // by each user's history
+    "q52_ewma" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("sec"), col("event_id"), col("value")))),
+              x => x.getField("value")),
+            lit(0.0), (acc, x) => lit(0.5) * x + lit(0.5) * acc).as("ewma"))
+        .orderBy("user_id")
+    },
+
     // grouped MODE: the most frequent priority per status via count-then-
     // argmax — two hash aggregations (both map-side combinable), never a
     // per-group sort. min_by over (−cnt, value) pins the tie toward the
@@ -1138,6 +1160,14 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q52_ewma" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  event_id, value FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | list_reduce(list_prepend(0.0, list(value ORDER BY sec, event_id)),
+        |   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q51_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
