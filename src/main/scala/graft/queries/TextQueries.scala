@@ -555,6 +555,33 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // epoch planning for data-constrained training (the Muennighoff et al.
+    // 2023 question: how many PASSES over each subset does the target
+    // budget imply?): sqrt-weighted shares as pipe_mixture, then
+    // epochs = budget·share / available tokens, ceil'd to whole passes,
+    // with subsets needing > 4 epochs flagged (where repeating stops
+    // helping). Same bounded 5-row post-aggregation window as the mixture
+    "pipe_epoch_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(Text.tokens(col("text")))
+      val wCum = Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nt).as("sum_tokens"))
+        .withColumn("w", sqrt(col("sum_tokens").cast("double")))
+        .withColumn("z", max(sum(col("w")).over(wCum)).over(wAll))
+        .withColumn("share", col("w") / col("z"))
+        .withColumn("epochs",
+          lit(500000.0) * col("share") / col("sum_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_tokens"), col("share"),
+          col("epochs"), ceil(col("epochs")).as("n_passes"),
+          (col("epochs") > 4.0).as("data_constrained"))
+        .orderBy("lang")
+    },
+
     // benchmark decontamination: train docs sharing any 8-gram with the
     // held-out set (doc_id % 50 = 0 stands in for the benchmark corpus).
     // The benchmark shingle dictionary is tiny relative to the corpus →
@@ -1009,6 +1036,19 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, w / z AS share,
          | least(100000.0 * (w / z) / sum_tokens, 1.0) AS rate
          |FROM z ORDER BY lang""".stripMargin,
+
+    "pipe_epoch_plan" ->
+      s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql))::BIGINT AS sum_tokens
+         |           FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs, sum_tokens, sqrt(sum_tokens::DOUBLE) AS w FROM s),
+         |c AS (SELECT *, SUM(w) OVER (ORDER BY lang
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+         |z AS (SELECT *, MAX(cum) OVER () AS z FROM c),
+         |e AS (SELECT lang, n_docs, sum_tokens, w / z AS share,
+         |        500000.0 * (w / z) / sum_tokens AS epochs FROM z)
+         |SELECT lang, n_docs, sum_tokens, share, epochs,
+         | CEIL(epochs)::BIGINT AS n_passes, epochs > 4.0 AS data_constrained
+         |FROM e ORDER BY lang""".stripMargin,
 
     "pipe_decontam" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
