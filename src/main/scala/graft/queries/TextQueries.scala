@@ -555,6 +555,50 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // vocab coverage curve for tokenizer sizing: what fraction of the
+    // corpus token MASS do the top-k types cover, at k = 4/8/16? The
+    // cumulative window runs over the k-row TOP PREFIX (bounded by max k,
+    // never the vocabulary), after one linear count shuffle; the totals
+    // row is a 1-row broadcast
+    "ta_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(16)
+        .withColumn("k", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .withColumn("cum", sum(col("n")).over(Window.orderBy(col("n").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      top.where(col("k").isin(4, 8, 16))
+        .crossJoin(broadcast(total))
+        .select(col("k").cast("long").as("k"), col("cum").as("top_mass"),
+          col("total"), (col("cum").cast("double") / col("total")).as("coverage"))
+        .orderBy("k")
+    },
+
+    // deterministic round-robin interleave across sources — the training
+    // ORDER a multi-source run reads: position = within-source rank ×
+    // n_sources + source index, so consecutive reads rotate sources. The
+    // within-source rank is the range-partitioned grouped rank (GlobalRank
+    // helper), never a per-source window — the same de-cliffing as the
+    // packing family. The distinct-source collect is a bounded dimension
+    // (like a broadcast dim side), folded into a literal CASE at plan time
+    "pipe_interleave" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val srcIdx = docs.select(col("source")).distinct()
+        .orderBy("source").collect().map(_.getString(0)).zipWithIndex.toMap
+      val nSrc = srcIdx.size
+      val idxCol = srcIdx.foldLeft(lit(-1)) { case (acc, (s0, i)) =>
+        when(col("source") === s0, lit(i)).otherwise(acc)
+      }
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          docs, Seq("source"), Seq(col("doc_id")), lit(1L), rankCol = "rk")
+        .select(col("doc_id"), col("source"),
+          ((col("rk") - 1) * nSrc + idxCol).cast("long").as("pos"))
+        .orderBy("pos")
+    },
+
     // epoch planning for data-constrained training (the Muennighoff et al.
     // 2023 question: how many PASSES over each subset does the target
     // budget imply?): sqrt-weighted shares as pipe_mixture, then
@@ -1036,6 +1080,30 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, w / z AS share,
          | least(100000.0 * (w / z) / sum_tokens, 1.0) AS rate
          |FROM z ORDER BY lang""".stripMargin,
+
+    "ta_vocab_coverage" ->
+      s"""WITH c AS (SELECT tok, COUNT(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+         |t AS (SELECT SUM(n)::BIGINT AS total FROM c),
+         |top AS (SELECT tok, n,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS k,
+         |  SUM(n) OVER (ORDER BY n DESC, tok
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         | FROM c QUALIFY k <= 16)
+         |SELECT k::BIGINT AS k, cum AS top_mass, total,
+         | cum::DOUBLE / total AS coverage
+         |FROM top, t WHERE k IN (4, 8, 16) ORDER BY k""".stripMargin,
+
+    "pipe_interleave" ->
+      """WITH si AS (SELECT source,
+        |  ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+        |  COUNT(*) OVER () AS nsrc
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, ((rk - 1) * nsrc + sidx)::BIGINT AS pos
+        |FROM r JOIN si USING (source) ORDER BY pos""".stripMargin,
 
     "pipe_epoch_plan" ->
       s"""WITH s AS (SELECT lang, COUNT(*) AS n_docs, SUM(len($toksSql))::BIGINT AS sum_tokens
