@@ -459,6 +459,46 @@ object Relational {
     // intermediate IEEE-identical — a window can't express the recursion
     // and a UDAF would lose codegen; the sorted-collect fold is bounded
     // by each user's history
+    // 2-D skyline (Pareto frontier) over per-customer stats: customers no
+    // other customer beats on BOTH total spend and order count. The oracle
+    // is the O(n²) NOT EXISTS dominance test; the Spark plan is the
+    // Skyline operator's sort-based frontier — per-x max, range-partitioned
+    // DESC scan with a broadcast prior-partition max, then a join back
+    // (see Skyline.scala for why that is the 100 TB shape). Spend is exact
+    // cents so dominance never depends on float comparison
+    "q53_skyline" -> { (s, dir) =>
+      val agg = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      graft.operators.Skyline.skyline2D(agg, "spend_cents", "n_orders")
+        .orderBy("o_custkey")
+    },
+
+    // market-basket co-occurrence: part pairs appearing in the same order,
+    // counted and ranked. The pair explosion is bounded by lines-per-order
+    // (≤7 here, Σk² per order at scale) — a per-order local pair build,
+    // NEVER a global self-join of lineitem against itself: distinct parts
+    // per order are collected, sorted, and paired in-flight, then one hash
+    // aggregation counts pairs. Ties at the cut rank are broken by the pair
+    // key so the top-k is deterministic
+    "q54_copurchase" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val pairs = li.select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          // all ordered pairs (i < j) from the sorted distinct-part array
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+      pairs.groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+
     "q52_ewma" -> { (s, dir) =>
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -1160,6 +1200,30 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q53_skyline" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT a.o_custkey, a.spend_cents, a.n_orders
+        |FROM agg a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM agg b
+        |  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+        |    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))
+        |ORDER BY a.o_custkey""".stripMargin,
+
+    "q54_copurchase" ->
+      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM dp a JOIN dp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, COUNT(*) AS n_orders
+        |FROM pairs GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     "q52_ewma" ->
       """WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,

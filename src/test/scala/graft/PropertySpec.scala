@@ -130,6 +130,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skyline2D equals the naive dominance test on random points") {
+    trials(10) { r =>
+      // small value domain forces x-ties, y-ties, and exact duplicates
+      List.fill(50)((r.nextInt(12).toLong, r.nextInt(12).toLong, r.nextLong()))
+    } { rows =>
+      val df = rows.toDF("x", "y", "id").repartition(7)
+      val got = graft.operators.Skyline.skyline2D(df, "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.filter { case (x, y, _) =>
+        !rows.exists { case (bx, by, _) =>
+          bx >= x && by >= y && (bx > x || by > y)
+        }
+      }.toSet
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
+  test("skyline2D: empty input, single row, total-tie input") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(graft.operators.Skyline.skyline2D(empty, "x", "y").isEmpty)
+    val one = Seq((3L, 4L)).toDF("x", "y")
+    assert(graft.operators.Skyline.skyline2D(one, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 4L)))
+    // identical points never dominate each other: all survive
+    val ties = Seq((5L, 5L), (5L, 5L), (5L, 5L)).toDF("x", "y")
+    assert(graft.operators.Skyline.skyline2D(ties, "x", "y").count() == 3)
+  }
+
   test("sessionize equals a naive per-user fold on random event times") {
     trials(10)(r => List.fill(30)((r.nextInt(3) + 1L, r.nextInt(501).toLong))) { raw =>
       {
