@@ -77,6 +77,34 @@ object StreamingQueries {
       latest.orderBy("c_custkey")
     },
 
+    // streaming type-2 SCD upkeep: etl_scd2's changelog fed as THREE
+    // seq-ordered micro-batches through scd2Stream; versions must chain
+    // ACROSS batches (an open version closes when its key's next change
+    // arrives a batch later), and the folded history equals the one-shot
+    // batch scd2History (same oracle shape, capped feed)
+    "stream_scd2" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") < 20000)
+        .select(
+          col("o_custkey"), concat(lit("upd_"), col("o_orderkey")),
+          col("o_totalprice"), col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 0, Cdc.OpDelete).otherwise(Cdc.OpUpsert))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._4)
+      val in = MemoryStream[(Long, String, Double, Long, String)]
+      @volatile var hist: DataFrame = null
+      withFewPartitions(s) {
+        val q = StreamOps.scd2Stream(
+          in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "seq", "op"),
+          "c_custkey", "seq", "op")(df => hist = df)
+        foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      }
+      hist.orderBy("c_custkey", "valid_from")
+    },
+
     // streaming materialized-view upkeep: etl_incr_agg's rollup maintained
     // across THREE micro-batches by maintainAggregateStream (merge-only,
     // history never re-aggregated); final state equals the batch aggregate
@@ -473,6 +501,18 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_scd2" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders
+        |  WHERE o_orderkey < 20000),
+        |r AS (SELECT *, seq AS valid_from,
+        |  LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS valid_to
+        | FROM ch)
+        |SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to,
+        | (valid_to IS NULL) AS is_current
+        |FROM r WHERE op = 'U' ORDER BY c_custkey, valid_from""".stripMargin,
 
     "stream_mv_upkeep" ->
       """SELECT o_custkey, count(*) AS n_orders,

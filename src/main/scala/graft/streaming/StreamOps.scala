@@ -160,6 +160,54 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming type-2 SCD upkeep — the continuous form of
+    * `Cdc.scd2History`: each micro-batch of keyed changes extends the
+    * maintained version history. Closed versions are immutable — only the
+    * OPEN (is_current) version of a key seen in the batch can change: it
+    * is replayed as an upsert at its own valid_from and re-folded with the
+    * batch through the batch operator, so the incremental fold equals a
+    * one-shot scd2History over the whole changelog PROVIDED per-key
+    * sequence numbers arrive monotonically across batches (the changelog
+    * contract; within a batch any order is fine — the fold sorts).
+    *
+    * Scale shape: per batch, one semi-join of the history's open slice
+    * against the batch's keys (AQE broadcasts the batch side — a
+    * micro-batch is small by construction) + the batch-sized scd2 window.
+    * History rows for untouched keys are never shuffled. In production
+    * the history is a stored table MERGEd per batch; here it folds in
+    * memory with flat lineage via localCheckpoint, as
+    * applyChangelogStream does.
+    */
+  def scd2Stream(changes: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String)
+                (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var history: DataFrame = null
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      history = if (history == null) {
+        graft.operators.Cdc.scd2History(batch, keyCol, seqCol, opCol)
+          .localCheckpoint(true)
+      } else {
+        val keys = batch.select(col(keyCol)).distinct()
+          .withColumn("__affected", lit(true))
+        val marked = history.join(keys, Seq(keyCol), "left")
+        val keep = marked.where(!col("is_current") || col("__affected").isNull)
+          .drop("__affected")
+        val dataCols = history.columns.toSeq
+          .filterNot(Set("valid_from", "valid_to", "is_current"))
+        val replayedOpen = marked
+          .where(col("is_current") && col("__affected").isNotNull)
+          .select(dataCols.map(col) :+ col("valid_from").as(seqCol)
+            :+ lit(graft.operators.Cdc.OpUpsert).as(opCol): _*)
+        val refolded = graft.operators.Cdc.scd2History(
+          replayedOpen.unionByName(
+            batch.select(dataCols.map(col) :+ col(seqCol) :+ col(opCol): _*)),
+          keyCol, seqCol, opCol)
+        keep.unionByName(refolded).localCheckpoint(true)
+      }
+      onUpdate(history)
+    }.start()
+  }
+
   /** Streaming incremental ingest dedup — the continuous form of
     * `Dedup.incrementalSurvivors`: each micro-batch dedups within itself
     * (keepFirst), then against the GROWING corpus index; survivors go to

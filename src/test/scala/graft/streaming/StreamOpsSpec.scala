@@ -568,6 +568,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream chains versions across micro-batches, equals batch scd2History") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String)]
+    @volatile var hist: org.apache.spark.sql.DataFrame = null
+    val q = StreamOps.scd2Stream(
+      in.toDF().toDF("k", "name", "seq", "op"), "k", "seq", "op")(h => hist = h)
+    // key 1: versions open and close ACROSS batches; key 2: delete arrives a
+    // batch after the upsert; key 3: born in the last batch
+    val batches = Seq(
+      Seq((1L, "a1", 1L, "U"), (2L, "b1", 2L, "U")),
+      Seq((1L, "a2", 3L, "U"), (2L, "", 4L, "D")),
+      Seq((1L, "a3", 5L, "U"), (3L, "c1", 6L, "U")))
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    val got = canon(hist.select("k", "name", "valid_from", "valid_to", "is_current"))
+    val batch = graft.operators.Cdc.scd2History(
+      batches.flatten.toDF("k", "name", "seq", "op"), "k", "seq", "op")
+    val want = canon(batch.select("k", "name", "valid_from", "valid_to", "is_current"))
+    assert(got == want)
+    assert(got == Set(
+      (1L, "a1", 1L, Some(3L), false), (1L, "a2", 3L, Some(5L), false),
+      (1L, "a3", 5L, None, true),
+      (2L, "b1", 2L, Some(4L), false),
+      (3L, "c1", 6L, None, true)))
+  }
+
   test("asofJoinStream equals the batch as-of join under out-of-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.{AsofLeft, AsofRight}
