@@ -412,6 +412,33 @@ object Etl {
         .orderBy("o_custkey")
     },
 
+    // winsorization: clip a measure at its per-group p05/p95 — the
+    // outlier-repair twin of q37's outlier DETECTION. Percentiles are
+    // exact nearest-rank values (rank = ceil(p·n), a real data value, no
+    // interpolation) from the range-partitioned grouped rank, so the
+    // low-cardinality group key never funnels one task; thresholds are a
+    // rows-per-group-sized broadcast joined back onto the fact scan
+    "etl_winsorize" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.GlobalRank.withGroupedPrefixSum(
+          li, Seq("flag"), Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+          lit(1L), rankCol = "rn")
+        .drop("grp_prefix")
+      val th = ranked.join(broadcast(counts), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(max(when(col("rn") ===
+            ceil(lit(0.05) * col("n")).cast("long"), col("v"))).as("p05"),
+          max(when(col("rn") ===
+            ceil(lit(0.95) * col("n")).cast("long"), col("v"))).as("p95"))
+      li.join(broadcast(th), Seq("flag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("v"),
+          least(greatest(col("v"), col("p05")), col("p95")).as("v_clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // forward fill (LOCF): sparse sensor readings (every 4th event carries
     // a value) repaired per user in event-time order — the gap-repair step
     // of a telemetry pipeline. One window shuffle on the key, O(1) running
@@ -681,6 +708,21 @@ object Etl {
     "src_fixedwidth" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+
+    "etl_winsorize" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+        |  l_extendedprice AS v FROM lineitem),
+        |c AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY flag),
+        |r AS (SELECT flag, v, ROW_NUMBER() OVER (PARTITION BY flag
+        |  ORDER BY v, l_orderkey, l_linenumber) AS rn FROM li),
+        |t AS (SELECT r.flag,
+        |  MAX(CASE WHEN rn = CEIL(0.05::DOUBLE * n)::BIGINT THEN v END) AS p05,
+        |  MAX(CASE WHEN rn = CEIL(0.95::DOUBLE * n)::BIGINT THEN v END) AS p95
+        | FROM r JOIN c USING (flag) GROUP BY r.flag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.flag, l.v,
+        | LEAST(GREATEST(l.v, t.p05), t.p95) AS v_clipped
+        |FROM li l JOIN t USING (flag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "etl_locf" ->
       """SELECT event_id, user_id,

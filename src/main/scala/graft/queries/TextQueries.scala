@@ -500,6 +500,49 @@ object TextQueries {
     // The per-lang ordered prefix sum is a range-partitioned sort +
     // per-partition offsets (GlobalRank.withGroupedPrefixSum) — 5 langs
     // over 100 TB still use EVERY partition, never one task per lang
+    // GPT-style sequence packing: the corpus is ONE token stream in doc
+    // order, chunked at a fixed context length — documents SPLIT across
+    // sequence boundaries (pipe_pack_bins never splits; real pretraining
+    // packing does). Per doc the output is pure arithmetic over the
+    // GLOBAL exclusive token prefix sum — computed range-partitioned
+    // (one synthetic group spanning all partitions), so the "global
+    // running total" that is a one-task window in the naive plan stays
+    // partition-parallel at any scale
+    "pipe_pack_split" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), nt.cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .withColumn("__g", lit(0))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("__g"), Seq(col("doc_id")), col("n_tokens"),
+          prefixCol = "prefix_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"),
+          floor(col("prefix_tokens") / 512.0).cast("long").as("start_seq"),
+          floor((col("prefix_tokens") + col("n_tokens") - 1) / 512.0).cast("long")
+            .as("end_seq"))
+        .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+        .orderBy("doc_id")
+    },
+
+    // curriculum ordering: short-to-long buckets, deterministically
+    // shuffled WITHIN each bucket by a content hash (reproducible across
+    // retries/replays — the md5-as-randomness rule every sampling query
+    // here follows). The global curriculum position comes from
+    // GlobalRank's range-partitioned rank, not a one-task window
+    "pipe_curriculum" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), nt.cast("long").as("n_tokens"),
+          md5(col("text")).as("shuffle_key"))
+        .withColumn("bucket", floor(col("n_tokens") / lit(16.0)).cast("long"))
+      graft.operators.GlobalRank.withGlobalRank(base,
+          Seq(col("bucket"), col("shuffle_key"), col("doc_id")), rankCol = "pos")
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("shuffle_key"), col("pos"))
+        .orderBy("pos")
+    },
+
     "pipe_pack_bins" -> { (s, dir) =>
       val nt = size(Text.tokens(col("text")))
       val base = Tables.documents(s, dir)
@@ -1053,6 +1096,29 @@ object TextQueries {
          | FROM p GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, sum_p, sum_p / n_bigrams AS mean_p, min_p
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack_split" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents
+         |  WHERE len($toksSql) > 0),
+         |p AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS prefix_tokens
+         | FROM t)
+         |SELECT doc_id, n_tokens, prefix_tokens,
+         | FLOOR(prefix_tokens / 512.0)::BIGINT AS start_seq,
+         | FLOOR((prefix_tokens + n_tokens - 1) / 512.0)::BIGINT AS end_seq,
+         | FLOOR((prefix_tokens + n_tokens - 1) / 512.0)::BIGINT
+         |   - FLOOR(prefix_tokens / 512.0)::BIGINT + 1 AS n_seqs
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "pipe_curriculum" ->
+      s"""WITH b AS (SELECT doc_id, len($toksSql) AS n_tokens,
+         |  md5(text) AS shuffle_key,
+         |  FLOOR(len($toksSql) / 16.0)::BIGINT AS bucket FROM documents)
+         |SELECT doc_id, n_tokens, bucket, shuffle_key,
+         | ROW_NUMBER() OVER (ORDER BY bucket, shuffle_key, doc_id) AS pos
+         |FROM b ORDER BY pos""".stripMargin,
 
     "pipe_pack_bins" ->
       s"""SELECT doc_id, lang, len($toksSql) AS n_tokens,

@@ -167,7 +167,8 @@ class PlanAuditSpec extends SparkSpec {
     // i.e. contain no WindowExec at all
     for (name <- Seq("q50_median_scale", "pipe_pack_bins", "pipe_pack_payload",
         "mm_shard_pack", "mm_shard_payload", "pipe_domain_cap",
-        "pipe_token_budget", "pipe_corpus_e2e")) {
+        "pipe_token_budget", "pipe_corpus_e2e", "pipe_pack_split",
+        "etl_winsorize", "q53_skyline")) {
       val windows = executedPlan(name).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
