@@ -153,6 +153,23 @@ object QualityQueries {
         .orderBy("event_type")
     },
 
+    // per-day completeness trend of a sparse measure (the "did a field
+    // quietly stop arriving" monitor): one partial-agg pass over the feed,
+    // grouped by UTC epoch day — count(col) vs count(*) gives the null
+    // share without a second scan. The trend complements dq_anomaly
+    // (volume) and dq_freshness (lag) as the third per-day health signal
+    "dq_completeness" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day_num"),
+          when(col("event_id") % 4 === 0, col("value")).as("reading"))
+        .groupBy(col("day_num"))
+        .agg(count(lit(1)).as("n_rows"), count(col("reading")).as("n_present"))
+        .select(col("day_num"), col("n_rows"), col("n_present"),
+          (col("n_present").cast("double") / col("n_rows").cast("double"))
+            .as("completeness"))
+        .orderBy("day_num")
+    },
+
     // the Misra–Gries heavy-hitters aggregate under the VALUE gate: with
     // capacity (64) above the key cardinality (11 event types) the sketch
     // never decrements, so its estimates are exactly the true counts on
@@ -301,6 +318,14 @@ object QualityQueries {
         |  head_sec - latest_sec AS lag_sec,
         |  (head_sec - latest_sec) > 3600 AS stalled
         |FROM per, h ORDER BY event_type""".stripMargin,
+
+    "dq_completeness" ->
+      """SELECT FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT AS day_num,
+        | COUNT(*) AS n_rows,
+        | COUNT(CASE WHEN event_id % 4 = 0 THEN value END) AS n_present,
+        | COUNT(CASE WHEN event_id % 4 = 0 THEN value END)::DOUBLE
+        |   / COUNT(*)::DOUBLE AS completeness
+        |FROM events GROUP BY day_num ORDER BY day_num""".stripMargin,
 
     "dq_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n_events FROM events

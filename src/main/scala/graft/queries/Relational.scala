@@ -459,6 +459,40 @@ object Relational {
     // intermediate IEEE-identical — a window can't express the recursion
     // and a UDAF would lose codegen; the sorted-collect fold is bounded
     // by each user's history
+    // fixed-iteration PageRank over the q45 referral tree (child →
+    // parent c//2): two damped power-iteration steps from uniform init.
+    // Each step is ONE shuffle of (dst, contribution) — the iterative
+    // join+agg pattern CC and pointer-jumping also use; at 100 TB edges
+    // pre-partition on dst once and every iteration reuses that exchange.
+    // The per-node contribution sum is an order-pinned left fold over
+    // src order (collect_list is shuffle-order-nondeterministic and
+    // double addition does not associate — the q52/pipe_lm_score rule),
+    // so every intermediate is IEEE-identical to the oracle's
+    // list_reduce. In-degree here is ≤ 2; for power-law graphs the fold
+    // list is bounded by in-degree — production keeps the unordered sum
+    // and a tolerance, the pinned fold is the exact-oracle trade.
+    "q55_pagerank" -> { (s, dir) =>
+      val nodes = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      val edges = nodes.where(col("id") > 1)
+        .select(col("id").as("src"), floor(col("id") / 2).cast("long").as("dst"))
+        .localCheckpoint(true)
+      def step(ranks: DataFrame): DataFrame = {
+        val contrib = edges.join(ranks, col("src") === col("id"))
+          .select(col("dst"), col("src"), col("r"))
+        val sums = contrib.groupBy(col("dst"))
+          .agg(aggregate(
+            transform(array_sort(collect_list(struct(col("src"), col("r")))),
+              x => x.getField("r")),
+            lit(0.0), (acc, x) => acc + x).as("s"))
+        nodes.join(sums, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+      }
+      val r2 = step(step(nodes.withColumn("r", lit(1.0))))
+      r2.select(col("id").as("c_custkey"), col("r").as("pagerank"))
+        .orderBy("c_custkey")
+    },
+
     // 2-D skyline (Pareto frontier) over per-customer stats: customers no
     // other customer beats on BOTH total spend and order count. The oracle
     // is the O(n²) NOT EXISTS dominance test; the Spark plan is the
@@ -1200,6 +1234,25 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q55_pagerank" ->
+      """WITH n AS (SELECT c_custkey AS id FROM customer),
+        |e AS (SELECT id AS src, id // 2 AS dst FROM n WHERE id > 1),
+        |s1 AS (SELECT e.dst,
+        |  list_reduce(list_prepend(0.0, list(1.0::DOUBLE ORDER BY e.src)),
+        |    (a, b) -> a + b) AS s
+        | FROM e GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |  0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s1.s, 0.0::DOUBLE) AS r
+        | FROM n LEFT JOIN s1 ON s1.dst = n.id),
+        |s2 AS (SELECT e.dst,
+        |  list_reduce(list_prepend(0.0, list(r1.r ORDER BY e.src)),
+        |    (a, b) -> a + b) AS s
+        | FROM e JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |  0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s2.s, 0.0::DOUBLE) AS r
+        | FROM n LEFT JOIN s2 ON s2.dst = n.id)
+        |SELECT id AS c_custkey, r AS pagerank FROM r2 ORDER BY c_custkey""".stripMargin,
 
     "q53_skyline" ->
       """WITH agg AS (
