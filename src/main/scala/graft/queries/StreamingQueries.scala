@@ -105,6 +105,42 @@ object StreamingQueries {
       hist.orderBy("c_custkey", "valid_from")
     },
 
+    // streaming incremental ingest dedup under the driver gate: three
+    // batches of NEW docs fold through incrementalDedupStream against the
+    // stored corpus index — each batch dedups in-batch (keepFirst), then
+    // exactly + near (simhash Hamming ≤ 3) against the GROWING index, and
+    // its survivors' (fp, simhash) rows append so LATER batches drop
+    // near-dups of EARLIER survivors. The oracle unrolls the three-step
+    // recursion in SQL (batch slices are static modulo predicates).
+    // Corpus text is only ever read to build the index DataFrame — the
+    // stored-index contract dd_incremental proves in batch form
+    "stream_ingest_dedup" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val index = graft.operators.Dedup
+        .dedupIndex(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      // capped feed: constant driver cost in sf (cap above the gate sf's
+      // whole id range); batch k = (doc_id/5) mod 3 == k, a static
+      // predicate the oracle replays
+      val feed = docs.where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val batches = (0 until 3).map(k => feed.filter(t => (t._1 / 5) % 3 == k).toSeq)
+      val in = MemoryStream[(Long, String, String, Long)]
+      val surv = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      withFewPartitions(s) {
+        val q = StreamOps.incrementalDedupStream(
+          in.toDF().toDF("doc_id", "text", "source", "n_chars"),
+          index, "doc_id", "text", maxDist = 3)(b => surv += b)
+        foldBatches(in, batches.iterator, q)
+      }
+      surv.reduce(_ unionByName _)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // streaming materialized-view upkeep: etl_incr_agg's rollup maintained
     // across THREE micro-batches by maintainAggregateStream (merge-only,
     // history never re-aggregated); final state equals the batch aggregate
@@ -436,7 +472,53 @@ object StreamingQueries {
     }
   )
 
+  // DuckDB replay fragments for the dedup signature (same forms as
+  // DedupQueries' oracles: whitespace tokens, md5 fingerprint of the
+  // lowercased token stream, 60-bit token-vote simhash)
+  private val normToksSql = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+  private val rawToksSql = "list_filter(string_split(text, ' '), t -> t != '')"
+  private val simhashSql =
+    s"""list_sum([
+       |  CASE WHEN list_sum([
+       |    CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+       |    for h in [('0x' || substring(md5(t), 1, 15))::BIGINT for t in $rawToksSql]]) > 0
+       |  THEN 1::BIGINT << i ELSE 0::BIGINT END
+       |  for i in generate_series(0, 59)])::BIGINT""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "stream_ingest_dedup" -> {
+      def kf(b: String) =
+        s"(SELECT * FROM $b QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)"
+      def surv(kfName: String, idx: String) =
+        s"""SELECT k.doc_id, k.fp, k.sh FROM $kfName k
+           | WHERE NOT EXISTS (SELECT 1 FROM $idx i WHERE i.fp = k.fp)
+           |   AND NOT EXISTS (SELECT 1 FROM $idx i
+           |                   WHERE bit_count(xor(i.sh, k.sh)) <= 3)""".stripMargin
+      s"""WITH sig AS (SELECT doc_id,
+         |  md5(array_to_string($normToksSql, ' ')) AS fp,
+         |  $simhashSql AS sh
+         | FROM documents),
+         |c AS (SELECT doc_id, fp, sh FROM sig WHERE doc_id % 5 != 0),
+         |b1 AS (SELECT * FROM sig WHERE doc_id % 5 = 0 AND doc_id < 2500
+         |       AND (doc_id // 5) % 3 = 0),
+         |b2 AS (SELECT * FROM sig WHERE doc_id % 5 = 0 AND doc_id < 2500
+         |       AND (doc_id // 5) % 3 = 1),
+         |b3 AS (SELECT * FROM sig WHERE doc_id % 5 = 0 AND doc_id < 2500
+         |       AND (doc_id // 5) % 3 = 2),
+         |kf1 AS ${kf("b1")},
+         |s1 AS (${surv("kf1", "c")}),
+         |i1 AS (SELECT fp, sh FROM c UNION ALL SELECT fp, sh FROM s1),
+         |kf2 AS ${kf("b2")},
+         |s2 AS (${surv("kf2", "i1")}),
+         |i2 AS (SELECT * FROM i1 UNION ALL SELECT fp, sh FROM s2),
+         |kf3 AS ${kf("b3")},
+         |s3 AS (${surv("kf3", "i2")})
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |JOIN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+         |      UNION ALL SELECT doc_id FROM s3) s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "stream_dedup" ->
       """SELECT event_id, user_id FROM events
         |WHERE event_id % 5 = 0 AND event_id < 25000
