@@ -459,6 +459,28 @@ object Relational {
     // intermediate IEEE-identical — a window can't express the recursion
     // and a UDAF would lose codegen; the sorted-collect fold is bounded
     // by each user's history
+    // OHLC time-series rollup: per (type, hour) open/high/low/close —
+    // the metrics-downsampling shape. open/close are min_by/max_by on an
+    // exact integer (sec, event_id) order key (one partial-agg pass,
+    // map-side combinable — never a per-group sort or window); high/low
+    // are plain min/max. The composite key packs into one BIGINT so the
+    // oracle's arg_min/arg_max compare the identical scalar
+    "q56_ohlc" -> { (s, dir) =>
+      val ord = col("sec") * lit(10000000L) + col("event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_id"), col("value"))
+        .withColumn("hour_sec", (floor(col("sec") / 3600) * 3600).cast("long"))
+        .groupBy(col("event_type"), col("hour_sec"))
+        .agg(min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "hour_sec")
+    },
+
     // fixed-iteration PageRank over the q45 referral tree (child →
     // parent c//2): two damped power-iteration steps from uniform init.
     // Each step is ONE shuffle of (dst, contribution) — the iterative
@@ -1234,6 +1256,18 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q56_ohlc" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  event_id, value FROM events)
+        |SELECT event_type,
+        | (FLOOR(sec / 3600)::BIGINT * 3600) AS hour_sec,
+        | arg_min(value, sec * 10000000 + event_id) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | arg_max(value, sec * 10000000 + event_id) AS close,
+        | COUNT(*) AS n_events
+        |FROM e GROUP BY event_type, hour_sec
+        |ORDER BY event_type, hour_sec""".stripMargin,
 
     "q55_pagerank" ->
       """WITH n AS (SELECT c_custkey AS id FROM customer),
