@@ -131,6 +131,28 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // the dedup AUDIT report: duplicate-cluster size histogram over the
+    // WHOLE corpus (docs in no pair are size-1 clusters), answering "how
+    // duplicated is this corpus and in what shape" before any rows are
+    // dropped. Labels come from the same CC as dd_clusters; the histogram
+    // is two more bounded hash aggregations
+    "dd_cluster_sizes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      val labels = graft.operators.ConnectedComponents.labels(pairs)
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     // the full near-dedup composition, pairs → clusters → CLEANED CORPUS:
     // each duplicate cluster keeps its min-id representative and the rest
     // anti-join away. This is the query a training pipeline actually
@@ -351,6 +373,30 @@ object DedupQueries {
          |  UNION
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd_cluster_sizes" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents
+         |           WHERE len($triShingles) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |alllab AS (SELECT COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM alllab GROUP BY cluster_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "dd_near_dedup_corpus" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents

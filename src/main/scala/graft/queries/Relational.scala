@@ -459,6 +459,26 @@ object Relational {
     // intermediate IEEE-identical — a window can't express the recursion
     // and a UDAF would lose codegen; the sorted-collect fold is bounded
     // by each user's history
+    // cumulative distinct users per day (the growth-curve query): distinct
+    // is resolved ONCE as min(first_day) per user — one hash shuffle on
+    // the high-cardinality key — and the running total then runs over the
+    // per-day rollup, a DIM-sized input (one row per day), where a window
+    // is fine at any corpus scale. Never a running count(distinct) over
+    // the fact table.
+    "q57_cume_users" -> { (s, dir) =>
+      val firstDay = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day_num"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day_num")).as("first_day"))
+      val perDay = firstDay.groupBy(col("first_day").as("day_num"))
+        .agg(count(lit(1)).as("n_new_users"))
+      val w = Window.orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("cume_users", sum(col("n_new_users")).over(w))
+        .orderBy("day_num")
+    },
+
     // OHLC time-series rollup: per (type, hour) open/high/low/close —
     // the metrics-downsampling shape. open/close are min_by/max_by on an
     // exact integer (sec, event_id) order key (one partial-agg pass,
@@ -1256,6 +1276,17 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q57_cume_users" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT) AS first_day
+        | FROM events GROUP BY user_id),
+        |p AS (SELECT first_day AS day_num, COUNT(*) AS n_new_users
+        | FROM f GROUP BY first_day)
+        |SELECT day_num, n_new_users,
+        | CAST(SUM(n_new_users) OVER (ORDER BY day_num
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+        |FROM p ORDER BY day_num""".stripMargin,
 
     "q56_ohlc" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,

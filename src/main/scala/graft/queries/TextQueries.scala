@@ -500,6 +500,35 @@ object TextQueries {
     // The per-lang ordered prefix sum is a range-partitioned sort +
     // per-partition offsets (GlobalRank.withGroupedPrefixSum) — 5 langs
     // over 100 TB still use EVERY partition, never one task per lang
+    // T5/UL2-style span-corruption mask construction: ~15% of tokens in
+    // length-3 spans per doc, span positions drawn DETERMINISTICALLY from
+    // md5(doc_id:span_idx) — the md5-as-randomness rule, so retries and
+    // replays mask identical spans. Strata (one span per equal slice of
+    // the doc) guarantee non-overlap without any rejection loop. Pure
+    // per-row arithmetic + a bounded explode; no shuffle at all
+    "pipe_span_mask" -> { (s, dir) =>
+      val spanLen = 3
+      val nt = size(Text.tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nt.cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= 20)
+        .withColumn("n_spans",
+          floor(col("n_tokens") * 0.15 / spanLen).cast("long"))
+        .where(col("n_spans") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+        .withColumn("stratum_len",
+          floor(col("n_tokens") / col("n_spans")).cast("long"))
+        .withColumn("offset",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("span_idx").cast("string"))), 1, 15), 16, 10).cast("long")
+            % greatest(col("stratum_len") - (spanLen - 1), lit(1L)))
+        .select(col("doc_id"), col("span_idx"),
+          (col("span_idx") * col("stratum_len") + col("offset")).as("start_tok"),
+          lit(spanLen.toLong).as("span_len"))
+        .orderBy("doc_id", "span_idx")
+    },
+
     // GPT-style sequence packing: the corpus is ONE token stream in doc
     // order, chunked at a fixed context length — documents SPLIT across
     // sequence boundaries (pipe_pack_bins never splits; real pretraining
@@ -1096,6 +1125,25 @@ object TextQueries {
          | FROM p GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, sum_p, sum_p / n_bigrams AS mean_p, min_p
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipe_span_mask" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents
+         |  WHERE len($toksSql) >= 20),
+         |n AS (SELECT doc_id, n_tokens,
+         |  FLOOR(n_tokens * 0.15::DOUBLE / 3)::BIGINT AS n_spans
+         | FROM t),
+         |x AS (SELECT doc_id, n_tokens, n_spans,
+         |  UNNEST(generate_series(0, n_spans - 1)) AS span_idx
+         | FROM n WHERE n_spans > 0),
+         |y AS (SELECT doc_id, span_idx,
+         |  FLOOR(n_tokens / n_spans)::BIGINT AS stratum_len
+         | FROM x)
+         |SELECT doc_id, span_idx,
+         | span_idx * stratum_len +
+         |   ('0x' || substring(md5(doc_id || ':' || span_idx), 1, 15))::BIGINT
+         |     % GREATEST(stratum_len - 2, 1) AS start_tok,
+         | 3::BIGINT AS span_len
+         |FROM y ORDER BY doc_id, span_idx""".stripMargin,
 
     "pipe_pack_split" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents
