@@ -119,6 +119,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the cleaning-funnel report: per-stage retention of the
+    // pipe_corpus_clean rules, in pipeline order — the drop-accounting
+    // every corpus release publishes ("which rule cost how many docs").
+    // n_pass_alone is each rule independently, n_surviving is cumulative.
+    // Doc-level counts are ONE conditional-sum aggregation pass; the two
+    // dedup counts come from a fingerprint rollup (count-distinct via
+    // groupBy, not a multi-distinct Expand — the dq_profile lesson), and
+    // the two 1-row frames cross-join into the stacked report
+    "pipe_clean_funnel" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
+      val base = docs
+        .select(col("doc_id"), col("text"), Text.tokenStats(col("text")).as("__ts"))
+        .select(Seq(col("doc_id"), col("text")) ++
+          Text.qualityColumnsFrom(col("text"), col("__ts")) ++
+          Text.langScoresFrom(col("__ts")): _*)
+        .select(col("doc_id"),
+          graft.functions.Text.fingerprint(col("text")).as("fp"),
+          (col("n_tokens") >= 30).cast("long").as("p1"),
+          (Text.langPredict(names) === "en").cast("long").as("p2"),
+          (col("quality") > 0).cast("long").as("p3"))
+      val docCounts = base.agg(
+        count(lit(1)).as("n_input"),
+        sum(col("p1")).as("a1"), sum(col("p2")).as("a2"), sum(col("p3")).as("a3"),
+        sum(col("p1") * col("p2")).as("c2"),
+        sum(col("p1") * col("p2") * col("p3")).as("c3"))
+      val dedupCounts = base.groupBy(col("fp"))
+        .agg(max(col("p1") * col("p2") * col("p3")).as("anyPass"))
+        .agg(count(lit(1)).as("dd_alone"), sum(col("anyPass")).as("dd_cum"))
+      docCounts.crossJoin(dedupCounts)
+        .selectExpr("stack(5, " +
+          "0L, 'input', n_input, n_input, " +
+          "1L, 'min_tokens', a1, a1, " +
+          "2L, 'lang_en', a2, c2, " +
+          "3L, 'quality_pos', a3, c3, " +
+          "4L, 'dedup', dd_alone, dd_cum) " +
+          "AS (stage_idx, stage, n_pass_alone, n_surviving)")
+        .orderBy("stage_idx")
+    },
+
     // top-10 bigram counts — the n-gram language-model counting shape,
     // reusing the relational (codegen) shingle path with n=2
     "ta_bigrams" -> { (s, dir) =>
@@ -1125,6 +1165,48 @@ object TextQueries {
          | FROM p GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, sum_p, sum_p / n_bigrams AS mean_p, min_p
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipe_clean_funnel" ->
+      s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / len($toksSql) AS stop_ratio,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','es','y'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter($toksSql, t -> t IN ('的','是','了'))) AS s_zh
+         | FROM documents),
+         |s AS (SELECT doc_id, text, n_tokens,
+         |  least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         | FROM q),
+         |b AS (SELECT doc_id,
+         |  md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp,
+         |  CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS p1,
+         |  CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END AS p2,
+         |  CASE WHEN quality > 0 THEN 1 ELSE 0 END AS p3
+         | FROM s),
+         |d AS (SELECT COUNT(*) AS n_input,
+         |  CAST(SUM(p1) AS BIGINT) AS a1, CAST(SUM(p2) AS BIGINT) AS a2,
+         |  CAST(SUM(p3) AS BIGINT) AS a3,
+         |  CAST(SUM(p1 * p2) AS BIGINT) AS c2,
+         |  CAST(SUM(p1 * p2 * p3) AS BIGINT) AS c3 FROM b),
+         |dd AS (SELECT COUNT(*) AS dd_alone,
+         |  CAST(SUM(anyPass) AS BIGINT) AS dd_cum FROM
+         |  (SELECT fp, MAX(p1 * p2 * p3) AS anyPass FROM b GROUP BY fp))
+         |SELECT stage_idx, stage, n_pass_alone, n_surviving FROM (
+         |  SELECT 0::BIGINT AS stage_idx, 'input' AS stage,
+         |    n_input AS n_pass_alone, n_input AS n_surviving FROM d
+         |  UNION ALL SELECT 1, 'min_tokens', a1, a1 FROM d
+         |  UNION ALL SELECT 2, 'lang_en', a2, c2 FROM d
+         |  UNION ALL SELECT 3, 'quality_pos', a3, c3 FROM d
+         |  UNION ALL SELECT 4, 'dedup', dd_alone, dd_cum FROM d, dd)
+         |ORDER BY stage_idx""".stripMargin,
 
     "pipe_span_mask" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents
