@@ -328,6 +328,41 @@ object StreamingQueries {
         .orderBy("hour_sec", "event_type")
     },
 
+    // streaming OHLC downsampling (q56's twin) under the driver gate:
+    // watermarked hourly windows with min_by/max_by open/close state fold
+    // across three micro-batches + sentinel flushes; the packed (sec,
+    // event_id) order key makes first/last exact under any arrival order
+    "stream_ohlc" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L),
+          r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val maxSec = rows.map(_._2.getTime).max / 1000L
+      val sentinel = (i: Long) =>
+        (-i, new java.sql.Timestamp((maxSec + 36000L * i) * 1000L), "__s", 0.0)
+      val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val name = s"stream_ohlc_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.hourlyOhlc(
+            in.toDF().toDF("event_id", "ts", "event_type", "value"))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in,
+          rows.grouped(rows.length / 3 + 1).map(_.toSeq) ++
+            Iterator(Seq(sentinel(1)), Seq(sentinel(2))), q)
+      }
+      s.table(name).where(col("event_type") =!= "__s")
+        .select(unix_timestamp(col("window.start")).as("hour_sec"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n_events"))
+        .orderBy("hour_sec", "event_type")
+    },
+
     // stream-static enrichment join under the driver gate: each
     // micro-batch left-joins the landing orders stream against the static
     // customer dimension (re-planned and auto-broadcast per batch);
@@ -530,6 +565,18 @@ object StreamingQueries {
         | SUM(FLOOR(value * 100)) AS sum_cents
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  event_id, value FROM events
+        | WHERE event_id % 5 = 0 AND event_id < 25000)
+        |SELECT (FLOOR(sec / 3600)::BIGINT * 3600) AS hour_sec, event_type,
+        | arg_min(value, sec * 10000000 + event_id) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | arg_max(value, sec * 10000000 + event_id) AS close,
+        | COUNT(*) AS n_events
+        |FROM e GROUP BY hour_sec, event_type
+        |ORDER BY hour_sec, event_type""".stripMargin,
 
     "stream_enrich" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey

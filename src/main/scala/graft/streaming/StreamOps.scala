@@ -40,6 +40,24 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Streaming OHLC downsampling (q56's continuous twin): watermarked
+    * tumbling windows with open/close as min_by/max_by on an exact packed
+    * (sec, event_id) BIGINT order key — declarative aggregates, so the
+    * state store holds one (value, key) pair per extreme per window, and
+    * cross-batch merge keeps exact first/last semantics regardless of
+    * arrival order within the watermark.
+    */
+  def hourlyOhlc(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ord = unix_timestamp(col("ts")) * lit(10000000L) + col("event_id")
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins the stream
     * against a static dimension; Spark re-plans the static side per batch
     * and broadcasts it when small. Left join keeps events with no match
