@@ -153,6 +153,33 @@ object QualityQueries {
         .orderBy("event_type")
     },
 
+    // key-uniqueness expectations (the Deequ uniqueness shape): per
+    // candidate key, total rows, duplicated key values, and rows involved
+    // in a duplicate — declared PKs should report zeros, the weaker
+    // business keys report their true collision mass. Each key is one
+    // groupBy count + a filtered 1-row rollup; keys union into the report
+    "dq_uniqueness" -> { (s, dir) =>
+      def key(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+        val grouped = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        val dups = grouped.where(col("cnt") > 1)
+          .agg(count(lit(1)).as("n_dup_keys"), sum(col("cnt")).as("n_dup_rows"))
+        df.agg(count(lit(1)).as("n_rows")).crossJoin(dups)
+          .select(lit(name).as("key_name"), col("n_rows"),
+            coalesce(col("n_dup_keys"), lit(0L)).as("n_dup_keys"),
+            coalesce(col("n_dup_rows"), lit(0L)).as("n_dup_rows"))
+      }
+      Seq(
+        key("orders.pk", Tables.orders(s, dir), Seq("o_orderkey")),
+        key("lineitem.pk", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber")),
+        key("lineitem.order_part", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_partkey")),
+        key("orders.cust_date", Tables.orders(s, dir),
+          Seq("o_custkey", "o_orderdate")),
+        key("events.pk", Tables.events(s, dir), Seq("event_id")))
+        .reduce(_ unionAll _).orderBy("key_name")
+    },
+
     // per-day completeness trend of a sparse measure (the "did a field
     // quietly stop arriving" monitor): one partial-agg pass over the feed,
     // grouped by UTC epoch day — count(col) vs count(*) gives the null
@@ -318,6 +345,24 @@ object QualityQueries {
         |  head_sec - latest_sec AS lag_sec,
         |  (head_sec - latest_sec) > 3600 AS stalled
         |FROM per, h ORDER BY event_type""".stripMargin,
+
+    "dq_uniqueness" -> {
+      def k(name: String, table: String, cols: String) =
+        s"""SELECT '$name' AS key_name,
+           | (SELECT COUNT(*) FROM $table) AS n_rows,
+           | COALESCE(COUNT(*), 0) AS n_dup_keys,
+           | COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS n_dup_rows
+           |FROM (SELECT $cols, COUNT(*) AS cnt FROM $table
+           |      GROUP BY $cols HAVING COUNT(*) > 1)"""
+          .stripMargin
+      Seq(
+        k("orders.pk", "orders", "o_orderkey"),
+        k("lineitem.pk", "lineitem", "l_orderkey, l_linenumber"),
+        k("lineitem.order_part", "lineitem", "l_orderkey, l_partkey"),
+        k("orders.cust_date", "orders", "o_custkey, o_orderdate"),
+        k("events.pk", "events", "event_id"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+    },
 
     "dq_completeness" ->
       """SELECT FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT AS day_num,

@@ -459,6 +459,27 @@ object Relational {
     // intermediate IEEE-identical — a window can't express the recursion
     // and a UDAF would lose codegen; the sorted-collect fold is bounded
     // by each user's history
+    // rolling 7-day active users per day (the WAU-per-day metric).
+    // Rolling DISTINCT does not decompose — sum of dailies double-counts —
+    // so presence rows explode to the ≤7 window-end days they support
+    // (bounded constant fan-out, then distinct + count: two linear
+    // shuffles), never a running count(distinct) window. Reported only
+    // for days that exist in the feed
+    "q58_rolling_active" -> { (s, dir) =>
+      val presence = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+        .distinct()
+      val days = presence.select(col("d").as("day_num")).distinct()
+      presence
+        .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("day_num"))
+        .distinct()
+        .join(days, Seq("day_num"), "left_semi")
+        .groupBy(col("day_num"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("day_num")
+    },
+
     // cumulative distinct users per day (the growth-curve query): distinct
     // is resolved ONCE as min(first_day) per user — one hash shuffle on
     // the high-cardinality key — and the running total then runs over the
@@ -1276,6 +1297,16 @@ object Relational {
         |  WHERE n.parent IS NOT NULL)
         |SELECT id, arg_max(cur, depth) AS root_id, max(depth) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q58_rolling_active" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |  FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day_num FROM p),
+        |x AS (SELECT DISTINCT user_id, d + g.i AS day_num
+        |  FROM p CROSS JOIN generate_series(0, 6) g(i))
+        |SELECT x.day_num, COUNT(*) AS active_users
+        |FROM x JOIN days USING (day_num)
+        |GROUP BY x.day_num ORDER BY day_num""".stripMargin,
 
     "q57_cume_users" ->
       """WITH f AS (SELECT user_id,

@@ -119,6 +119,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // temperature-scaled mixture smoothing (the multilingual up-sampling
+    // rule): per-source share re-weighted as share^T with T = 0.5 — sqrt
+    // exactly, because sqrt is IEEE-correctly-rounded in BOTH engines
+    // while pow/ln are libm calls that drift an ulp (the pipe_lm_score
+    // lesson: pick the exponent the hardware can do exactly). The weight
+    // normalizer is an order-pinned fold over the bounded source dim
+    "pipe_mixture_temp" -> { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("n_total"))
+      val raw = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_total").cast("double")).as("share"))
+        .withColumn("w_raw", sqrt(col("share")))
+      val wtot = raw.agg(aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("w_raw")))),
+          x => x.getField("w_raw")),
+        lit(0.0), (acc, x) => acc + x).as("w_sum"))
+      raw.crossJoin(broadcast(wtot))
+        .select(col("source"), col("n_docs"), col("share"),
+          (col("w_raw") / col("w_sum")).as("weight"),
+          floor(col("w_raw") / col("w_sum") * 100000).cast("long").as("per_100k"))
+        .orderBy("source")
+    },
+
     // the cleaning-funnel report: per-stage retention of the
     // pipe_corpus_clean rules, in pipeline order — the drop-accounting
     // every corpus release publishes ("which rule cost how many docs").
@@ -1165,6 +1190,19 @@ object TextQueries {
          | FROM p GROUP BY doc_id)
          |SELECT doc_id, n_bigrams, sum_p, sum_p / n_bigrams AS mean_p, min_p
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipe_mixture_temp" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per),
+        |raw AS (SELECT source, n_docs,
+        |  n_docs::DOUBLE / n_total::DOUBLE AS share,
+        |  sqrt(n_docs::DOUBLE / n_total::DOUBLE) AS w_raw
+        | FROM per CROSS JOIN t),
+        |w AS (SELECT list_reduce(list_prepend(0.0, list(w_raw ORDER BY source)),
+        |  (a, b) -> a + b) AS w_sum FROM raw)
+        |SELECT source, n_docs, share, w_raw / w_sum AS weight,
+        | FLOOR(w_raw / w_sum * 100000)::BIGINT AS per_100k
+        |FROM raw CROSS JOIN w ORDER BY source""".stripMargin,
 
     "pipe_clean_funnel" ->
       s"""WITH q AS (SELECT doc_id, text, len($toksSql) AS n_tokens,
