@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables
 import graft.operators.{Cdc, IncrementalAgg}
 import graft.streaming.StreamOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -328,6 +328,53 @@ object StreamingQueries {
         .orderBy("hour_sec", "event_type")
     },
 
+    // continuous distribution-drift monitor (dq_drift's streaming twin):
+    // the landing epoch's price histogram is maintained as streaming
+    // state by maintainAggregateStream (MergeSum per bucket — counts
+    // merge, history never re-aggregated) across three micro-batches,
+    // then compared against the reference epoch with dq_drift's exact
+    // cross-multiplied integer L1 — no float accumulation anywhere, so
+    // arrival order cannot move the drift score
+    "stream_drift" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def bucketOf(c: Column): Column =
+        least(floor(c / 20000).cast("long"), lit(9L))
+      val o = Tables.orders(s, dir)
+      val refHist = o.where(col("o_orderkey") % 2 === 0)
+        .groupBy(bucketOf(col("o_totalprice")).as("bucket"))
+        .agg(count(lit(1)).as("cnt_a"))
+      val shifted = when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10000)
+        .otherwise(col("o_totalprice"))
+      val feed = o.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 20000)
+        .select(col("o_orderkey"), shifted.as("price"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1)
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(bucketOf(col("price")).as("bucket"))
+          .agg(count(lit(1)).as("cnt_b"))
+      val in = MemoryStream[(Long, Double)]
+      val initial = rollup(feed.take(0).toSeq.toDF("o_orderkey", "price"))
+      @volatile var state: DataFrame = initial
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("o_orderkey", "price"),
+          initial, Seq("bucket"), rollup,
+          Seq("cnt_b" -> IncrementalAgg.MergeSum))(df => state = df)
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      val j = refHist.join(state, Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+      j.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+          abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+            .as("l1_num"))
+        .orderBy("bucket")
+    },
+
     // streaming OHLC downsampling (q56's twin) under the driver gate:
     // watermarked hourly windows with min_by/max_by open/close state fold
     // across three micro-batches + sentinel flushes; the packed (sec,
@@ -565,6 +612,27 @@ object StreamingQueries {
         | SUM(FLOOR(value * 100)) AS sum_cents
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
         |GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+
+    "stream_drift" ->
+      """WITH a AS (
+        |  SELECT LEAST(FLOOR(o_totalprice / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_a
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY bucket),
+        |b AS (
+        |  SELECT LEAST(FLOOR(
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10000
+        |          ELSE o_totalprice END) / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_b
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey < 20000
+        |  GROUP BY bucket),
+        |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        | FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j)
+        |SELECT bucket, cnt_a, cnt_b,
+        | abs(cnt_a * tot_b - cnt_b * tot_a) AS l1_num
+        |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
