@@ -249,6 +249,51 @@ object QualityQueries {
       edges.reduce(_ unionAll _).orderBy("fk")
     },
 
+    // Benford first-digit audit (the fabricated-feed smell test): observed
+    // leading-digit distribution of order totals. The digit comes from the
+    // DECIMAL STRING of exact integer cents — never floor(x/10^floor(log10 x)),
+    // whose log10 drifts an ulp across engines at decade boundaries. Share
+    // is exact parts-per-million integer division (single-pass counts + a
+    // broadcast 1-row total); comparing against the Benford expectation is
+    // the caller's last step
+    "dq_benford" -> { (s, dir) =>
+      val digits = Tables.orders(s, dir)
+        .select(substring(floor(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div total").as("ppm"))
+        .orderBy("digit")
+    },
+
+    // per-user out-of-order arrival audit (the watermark-sizing input):
+    // how disordered is the feed, per emitting key? lag() over the HIGH-
+    // cardinality user key in arrival order (event_id) flags events whose
+    // event time steps backwards, and the max backstep bounds the
+    // watermark delay a streaming consumer needs. One window pass over a
+    // per-user partition — the sessionize scaling contract, never a
+    // global or low-cardinality window
+    "dq_out_of_order" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("sec") < col("prev_sec"), 1L).otherwise(0L))
+            .as("n_backsteps"),
+          max(when(col("sec") < col("prev_sec"), col("prev_sec") - col("sec")))
+            .as("max_backstep_sec"))
+        .select(col("user_id"), col("n_events"), col("n_backsteps"),
+          coalesce(col("max_backstep_sec"), lit(0L)).as("max_backstep_sec"))
+        .orderBy("user_id")
+    },
+
     // bad-row routing (the dead-letter-queue shape): rows failing any
     // expectation are materialized WITH their reasons — dq_rules counts
     // violations, this quarantines them. One codegen'd scan-transform
@@ -415,6 +460,28 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS digit, count(*) AS n
+        |  FROM orders GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+        |SELECT digit, n, (n * 1000000) // total AS ppm
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "dq_out_of_order" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS prev_sec
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CASE WHEN sec < prev_sec THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_backsteps,
+        | COALESCE(MAX(CASE WHEN sec < prev_sec THEN prev_sec - sec END), 0)
+        |   AS max_backstep_sec
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_quarantine" ->
       """SELECT l_orderkey, l_linenumber,

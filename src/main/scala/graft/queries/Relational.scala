@@ -480,6 +480,79 @@ object Relational {
         .orderBy("day_num")
     },
 
+    // interval-union coverage (time-on-site shape): each event opens a
+    // 300 s attention interval; per user, the UNION length of those
+    // overlapping intervals — the classic sweep: sort per user, carry the
+    // running max end over PRIOR rows, clamp each interval's contribution
+    // to what extends past that frontier. All integer-second arithmetic
+    // (exact), one window pass over the HIGH-cardinality user partition
+    "q61_interval_coverage" -> { (s, dir) =>
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("s0"),
+          col("event_id"))
+        .withColumn("e0", col("s0") + 300)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("prev_end", max(col("e0")).over(w))
+        .withColumn("contrib", greatest(lit(0L),
+          col("e0") - greatest(col("s0"), coalesce(col("prev_end"), col("s0")))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("contrib")).as("covered_sec"))
+        .orderBy("user_id")
+    },
+
+    // event-sequence pattern matching (the MATCH_RECOGNIZE shape): each
+    // user's event history becomes one ordered type-letter string — built
+    // by a single hash aggregation on the HIGH-cardinality user key (the
+    // per-user payload is bounded by events-per-user, the same contract as
+    // sessionization) — and behavioral patterns are then counted by plain
+    // regex over that string: view→click ("vc") and the full
+    // view→click→purchase path. Both engines scan regex matches
+    // left-to-right non-overlapping on literal patterns, so counts agree
+    // exactly; order inside the string is pinned by (sec, event_id)
+    "q59_pattern_seq" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("letter"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("sec"), col("event_id"), col("letter")))),
+          x => x.getField("letter"))).as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+          regexp_count(col("seq"), lit("vc")).cast("long").as("n_view_click"),
+          regexp_count(col("seq"), lit("vcp")).cast("long").as("n_full_path"),
+          (regexp_count(col("seq"), lit("vcp")) > 0).as("converted"))
+        .orderBy("user_id")
+    },
+
+    // time-decayed rollup (decayed counters / trending-score shape): each
+    // event's integer-cent value is halved once per whole day of age
+    // relative to the stream head, then summed per type. The decay is
+    // EXACT integer arithmetic end-to-end — floor-divide by 1<<age_days —
+    // so the aggregate is merge-order-proof (an exp()/pow() decay would
+    // re-associate float error per run and engine). The stream head is a
+    // 1-row scalar aggregate broadcast back (q22/dq_freshness pattern);
+    // everything else is one linear partial-agg pass
+    "q60_decayed_sum" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val head = e.agg(max(col("sec")).as("head_sec"))
+      e.crossJoin(broadcast(head))
+        .withColumn("age_days",
+          expr("cast(least((head_sec - sec) div 86400, 62) as int)"))
+        .withColumn("decayed", expr("cents div shiftleft(1L, age_days)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("decayed")).as("decayed_cents"),
+          sum(col("cents")).as("raw_cents"))
+        .orderBy("event_type")
+    },
+
     // cumulative distinct users per day (the growth-curve query): distinct
     // is resolved ONCE as min(first_day) per user — one hash shuffle on
     // the high-cardinality key — and the running total then runs over the
@@ -1307,6 +1380,42 @@ object Relational {
         |SELECT x.day_num, COUNT(*) AS active_users
         |FROM x JOIN days USING (day_num)
         |GROUP BY x.day_num ORDER BY day_num""".stripMargin,
+
+    "q61_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s0,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 300 AS e0, event_id FROM events),
+        |x AS (SELECT user_id, s0, e0,
+        |  MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        | FROM iv)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        | CAST(SUM(GREATEST(0, e0 - GREATEST(s0, COALESCE(prev_end, s0)))) AS BIGINT)
+        |   AS covered_sec
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q59_pattern_seq" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  event_id, substr(event_type, 1, 1) AS letter FROM events),
+        |s AS (SELECT user_id,
+        |  string_agg(letter, '' ORDER BY sec, event_id) AS seq
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, length(seq)::BIGINT AS n_events,
+        | len(regexp_extract_all(seq, 'vc'))::BIGINT AS n_view_click,
+        | len(regexp_extract_all(seq, 'vcp'))::BIGINT AS n_full_path,
+        | len(regexp_extract_all(seq, 'vcp')) > 0 AS converted
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q60_decayed_sum" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT MAX(sec) AS head_sec FROM e),
+        |d AS (SELECT event_type, cents,
+        |  LEAST((head_sec - sec) // 86400, 62) AS age_days
+        | FROM e CROSS JOIN h)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(cents // (1::BIGINT << age_days)) AS BIGINT) AS decayed_cents,
+        | CAST(SUM(cents) AS BIGINT) AS raw_cents
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q57_cume_users" ->
       """WITH f AS (SELECT user_id,

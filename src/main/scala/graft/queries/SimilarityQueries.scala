@@ -292,6 +292,28 @@ object SimilarityQueries {
       IvfIndex.lloydStep(Tables.embeddings(s, dir), "vec_id", "embedding",
         stride = 32)
         .orderBy("c_id", "pos")
+    },
+
+    // per-dimension corpus statistics (the whitening / feature-scaling
+    // pre-pass an embedding pipeline runs before quantization or PCA):
+    // min/max are exact float comparisons; the mean is an ordered fold
+    // over vec_id — the kmeans/pagerank determinism trade (production
+    // keeps the unordered double sum and a tolerance; the pinned fold is
+    // what makes the oracle exact). One explode + one 64-group hash agg
+    "sim_dim_stats" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(
+          graft.functions.Vectors.toDoubleArray(col("embedding")))
+          .as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_v"), max(col("x")).as("max_v"),
+          aggregate(transform(
+            array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            t => t.getField("x")), lit(0.0), (a, b) => a + b).as("sum_v"))
+        .select(col("pos"), col("n"), col("min_v"), col("max_v"),
+          (col("sum_v") / col("n")).as("mean_v"))
+        .orderBy("pos")
     }
   )
 
@@ -629,6 +651,16 @@ object SimilarityQueries {
          | FROM coarse WHERE crank <= 32)
          |SELECT q_id, n_id, cosine, rank FROM fine WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_dim_stats" ->
+      """WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+        |x AS (SELECT vec_id, unnest(e) AS xv,
+        |  unnest(generate_series(1, len(e))) AS p FROM v)
+        |SELECT (p - 1)::INT AS pos, COUNT(*) AS n,
+        | MIN(xv) AS min_v, MAX(xv) AS max_v,
+        | list_reduce(list_prepend(0.0, list(xv ORDER BY vec_id)),
+        |   (a, b) -> a + b) / COUNT(*) AS mean_v
+        |FROM x GROUP BY p ORDER BY pos""".stripMargin,
 
     "sim_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

@@ -515,6 +515,87 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    // streaming funnel upkeep (q39's continuous twin) under the driver
+    // gate: per-user stage-first-seen minima maintained across THREE
+    // micro-batches by maintainAggregateStream with MergeMin measures —
+    // least() skips NULLs, so a stage first seen in batch 3 lands exactly
+    // like the batch conditional-min. A user's stages arriving in
+    // DIFFERENT batches is the cross-batch path; the funnel counts are
+    // computed from the final folded state only
+    "stream_funnel" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def rollup(df: DataFrame): DataFrame = {
+        def stageTs(t: String): Column = min(when(col("event_type") === t, col("sec")))
+        df.groupBy(col("user_id"))
+          .agg(stageTs("signup").as("t1"), stageTs("view").as("t2"),
+            stageTs("click").as("t3"), stageTs("purchase").as("t4"))
+      }
+      val base = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      val rows = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, String, Long)]
+      val initial = rollup(base.where(lit(false)))
+      @volatile var state: DataFrame = initial
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("event_id", "user_id", "event_type", "sec"),
+          initial, Seq("user_id"), rollup,
+          Seq("t1" -> IncrementalAgg.MergeMin, "t2" -> IncrementalAgg.MergeMin,
+            "t3" -> IncrementalAgg.MergeMin, "t4" -> IncrementalAgg.MergeMin))(df => state = df)
+        foldBatches(in, rows.grouped(rows.length / 3 + 1).map(_.toSeq), q)
+      }
+      val s1 = col("t1").isNotNull
+      val s2 = s1 && col("t2") > col("t1")
+      val s3 = s2 && col("t3") > col("t2")
+      val s4 = s3 && col("t4") > col("t3")
+      state.select(
+        sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_purchased"))
+    },
+
+    // update-mode running heavy hitters under the driver gate: the
+    // Misra–Gries FreqSketchAgg as cross-batch streaming state, in the
+    // VALUE regime (40 bounded user buckets per type < capacity 64 ⇒ the
+    // sketch never decrements and its estimates are exactly the true
+    // counts no matter how the four micro-batches split the stream — the
+    // dq_heavy_hitters gating argument, now across state-store folds).
+    // The paired running count strictly increases per touch, so
+    // max_by(hh, n) picks each key's LAST update from the memory sink
+    "stream_heavy_hitters" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), col("event_type"),
+          concat(lit("u"), col("user_id") % 40).as("item"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).map(t => (t._2, t._3))
+      val in = MemoryStream[(String, String)]
+      val name = s"stream_hh_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("event_type", "item")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.expressions.FreqSketchAgg.freqSketch(col("item"), 64).as("hh"))
+          .writeStream.format("memory").queryName(name).outputMode("update").start()
+        foldBatches(in, rows.grouped(rows.length / 4 + 1).map(_.toSeq), q)
+      }
+      s.table(name).groupBy(col("event_type"))
+        .agg(max_by(col("hh"), col("n")).as("hh"))
+        .select(col("event_type"), explode(col("hh")).as("x"))
+        .select(col("event_type"), col("x.item").as("item"),
+          col("x.est").as("n_events"))
+        .orderBy("event_type", "item")
+    },
+
     // streaming gap sessionization (q14's twin) under the driver gate:
     // the flatMapGroupsWithState operator closes sessions on event-time
     // timeout; sentinel batches advance the watermark so every open
@@ -671,6 +752,31 @@ object StreamingQueries {
         | array_to_string(list_slice(list(cents ORDER BY cents DESC), 1, 3), ',')
         |   AS top_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  FLOOR(epoch(ts))::BIGINT AS sec FROM events
+        |  WHERE event_id % 5 = 0 AND event_id < 25000),
+        |pu AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN sec END) AS t1,
+        |  min(CASE WHEN event_type = 'view' THEN sec END) AS t2,
+        |  min(CASE WHEN event_type = 'click' THEN sec END) AS t3,
+        |  min(CASE WHEN event_type = 'purchase' THEN sec END) AS t4
+        | FROM e GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM pu""".stripMargin,
+
+    "stream_heavy_hitters" ->
+      """WITH e AS (SELECT event_type,
+        |  'u' || CAST(user_id % 40 AS VARCHAR) AS item FROM events
+        |  WHERE event_id % 5 = 0 AND event_id < 25000)
+        |SELECT event_type, item, COUNT(*) AS n_events
+        |FROM e GROUP BY event_type, item
+        |ORDER BY event_type, item""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (

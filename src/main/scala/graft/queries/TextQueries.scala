@@ -194,6 +194,55 @@ object TextQueries {
         .limit(10)
     },
 
+    // collocation mining (PMI shape, log-free): bigram lift
+    // P(w1w2)/(P(w1)P(w2)) = c12·N² / (B·c1·c2) with EXACT BIGINT numerator
+    // and denominator (log-PMI is rejected for the same 1-ulp ln() drift
+    // pipe_lm_score measured; the ratio ranks identically since log is
+    // monotone). Two linear counting shuffles (unigrams, bigrams) + two
+    // joins of the bigram table against the vocabulary — vocab-sized
+    // sides, AQE broadcasts them when they fit; the 1-row totals broadcast
+    // explicitly. Top-20 fully tie-broken. The exact integer products are
+    // test-scale-bounded (< 2^53 so the DOUBLE division is exact); the
+    // production form at 100 TB keeps only the double ratio
+    "ta_pmi_lift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n_tokens"))
+      val bgc = graft.operators.Dedup.shingleRowsAll(docs, "doc_id", "text", 2)
+        .select(split(col("s"), " ").as("p"))
+        .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val bt = bgc.agg(sum(col("c12")).as("n_bigrams"))
+      bgc
+        .join(uni.select(col("token").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("token").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(bt))
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("c12") * col("n_tokens") * col("n_tokens")).as("num"),
+          (col("n_bigrams") * col("c1") * col("c2")).as("den"))
+        .withColumn("lift", col("num").cast("double") / col("den").cast("double"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
+    // hashing-trick featurization (the fixed-width bag-of-words encode
+    // feeding a linear quality classifier): every token hashes into one of
+    // 16 buckets via md5 — engine-portable and replay-stable like every
+    // other sampling/sharding hash here (a JVM String.hashCode would pin
+    // the oracle to Java). One explode + one (doc, bucket) hash count —
+    // linear, and the output width is FIXED at the bucket count no matter
+    // the vocabulary, which is the point of the trick at 100 TB
+    "pipe_hash_features" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .withColumn("bucket",
+          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % 16)
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    },
+
     "ta_wordcount" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -1007,6 +1056,36 @@ object TextQueries {
          |SELECT unnested.bigram, COUNT(*) AS n
          |FROM (SELECT unnest(bg) AS bigram FROM b) unnested
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
+
+    "pipe_hash_features" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |SELECT doc_id,
+         | ('0x' || substring(md5(token), 1, 15))::BIGINT % 16 AS bucket,
+         | COUNT(*) AS cnt
+         |FROM t GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
+    "ta_pmi_lift" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_tokens FROM t),
+         |b AS (
+         |  SELECT [array_to_string(list_slice(tk, i, i + 1), ' ')
+         |          for i in generate_series(1, len(tk) - 1)] AS bg
+         |  FROM (SELECT $toksSql AS tk FROM documents) WHERE len(tk) >= 2),
+         |bgc AS (
+         |  SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2, COUNT(*) AS c12
+         |  FROM (SELECT unnest(bg) AS bigram FROM b) GROUP BY w1, w2),
+         |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM bgc),
+         |sel AS (
+         |  SELECT g.w1, g.w2, g.c12,
+         |    g.c12 * n.n_tokens * n.n_tokens AS num,
+         |    bt.n_bigrams * u1.c * u2.c AS den
+         |  FROM bgc g JOIN uni u1 ON u1.token = g.w1
+         |    JOIN uni u2 ON u2.token = g.w2
+         |    CROSS JOIN n CROSS JOIN bt)
+         |SELECT w1, w2, c12, num, den, num::DOUBLE / den::DOUBLE AS lift
+         |FROM sel ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "ta_tfidf" ->
       s"""WITH tf AS (
