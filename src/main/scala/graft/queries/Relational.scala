@@ -480,6 +480,30 @@ object Relational {
         .orderBy("day_num")
     },
 
+    // behavioral transition matrix (first-order Markov counts): adjacent
+    // event-type pairs in each user's time-ordered stream via ONE lead()
+    // pass over the high-cardinality user partition, then two bounded
+    // hash aggregations (type², a dim); transition probability is a
+    // single IEEE division of exact counts. The next-page / next-action
+    // model a product-analytics pipeline feeds from the same events table
+    "q62_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+      val cnt = e.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      cnt.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // interval-union coverage (time-on-site shape): each event opens a
     // 300 s attention interval; per user, the UNION length of those
     // overlapping intervals — the classic sweep: sort per user, carry the
@@ -1380,6 +1404,21 @@ object Relational {
         |SELECT x.day_num, COUNT(*) AS active_users
         |FROM x JOIN days USING (day_num)
         |GROUP BY x.day_num ORDER BY day_num""".stripMargin,
+
+    "q62_transitions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type FROM events),
+        |x AS (SELECT user_id, event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |    AS next_type FROM e),
+        |cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  COUNT(*) AS n FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        | FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | c.n::DOUBLE / t.n_from::DOUBLE AS p
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q61_interval_coverage" ->
       """WITH iv AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s0,

@@ -294,6 +294,31 @@ object SimilarityQueries {
         .orderBy("c_id", "pos")
     },
 
+    // cluster-label purity audit (the "is this clustering meaningful"
+    // check run after any IVF/kmeans build): per centroid, member count
+    // and the majority label's share. Assignment reuses the broadcast
+    // argmax-cosine pass; purity is count-then-argmax (the q51_mode
+    // shape, map-side combinable, tie-pinned toward the smaller label) —
+    // never a per-cluster sort
+    "sim_cluster_purity" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val asg = IvfIndex.assign(emb,
+        IvfIndex.centroids(emb, "vec_id", "embedding", 32),
+        "vec_id", "embedding").select(col("id"), col("c_id"))
+      val cnt = asg.join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        .groupBy(col("c_id"), col("label")).agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("c_id")).agg(sum(col("n")).as("n_members"))
+      cnt.groupBy(col("c_id"))
+        .agg(min_by(struct(col("label"), col("n")),
+          struct(-col("n"), col("label"))).as("m"))
+        .join(tot, Seq("c_id"))
+        .select(col("c_id"), col("n_members"),
+          col("m.label").as("top_label"), col("m.n").as("n_top"),
+          (col("m.n").cast("double") / col("n_members").cast("double"))
+            .as("purity"))
+        .orderBy("c_id")
+    },
+
     // per-dimension corpus statistics (the whitening / feature-scaling
     // pre-pass an embedding pipeline runs before quantization or PCA):
     // min/max are exact float comparisons; the mean is an ordered fold
@@ -651,6 +676,27 @@ object SimilarityQueries {
          | FROM coarse WHERE crank <= 32)
          |SELECT q_id, n_id, cosine, rank FROM fine WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |scored AS (SELECT v.vec_id AS id, c.c_id,
+         |  ${dotSql("v.e", "c.c_e")} /
+         |   (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("c.c_e", "c.c_e")})) AS cosine
+         | FROM v CROSS JOIN c),
+         |asg AS (SELECT id, c_id FROM (SELECT id, c_id,
+         |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, c_id) AS rn
+         | FROM scored) WHERE rn = 1),
+         |j AS (SELECT a.c_id, e.label FROM asg a
+         |  JOIN embeddings e ON e.vec_id = a.id),
+         |cnt AS (SELECT c_id, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+         |tot AS (SELECT c_id, COUNT(*) AS n_members FROM j GROUP BY 1),
+         |top AS (SELECT c_id, label AS top_label, n AS n_top FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_id
+         |    ORDER BY n DESC, label) AS rn FROM cnt) WHERE rn = 1)
+         |SELECT t.c_id, tot.n_members, t.top_label, t.n_top,
+         |  t.n_top::DOUBLE / tot.n_members::DOUBLE AS purity
+         |FROM top t JOIN tot USING (c_id) ORDER BY c_id""".stripMargin,
 
     "sim_dim_stats" ->
       """WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

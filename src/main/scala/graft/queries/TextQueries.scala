@@ -830,6 +830,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // cross-source contamination matrix (pipe_decontam's census twin:
+    // WHICH sources leak into which): distinct (source, 8-gram) postings
+    // self-joined on the gram, shared-gram counts per source pair. Pair
+    // work per gram is bounded by its SOURCE posting count (≤ n_sources,
+    // a dim), never documents² — the same postings-join scale argument as
+    // dd_ngram_jaccard; one WordNgrams eval per doc feeds everything
+    "pipe_contam_matrix" -> { (s, dir) =>
+      val sg = Tables.documents(s, dir)
+        .select(col("source"), explode(
+          graft.expressions.TextExpressions.wordNgrams(
+            col("text"), 8, distinct = true)).as("g"))
+        .distinct()
+      sg.select(col("source").as("source_a"), col("g"))
+        .join(sg.select(col("source").as("source_b"), col("g")), Seq("g"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Gopher-style composite quality rules: token-count bounds, mean word
     // length, numeral-token ratio, repetition, stopword floor — each rule
     // a named boolean plus the conjunction, all in one codegen'd pass
@@ -1430,6 +1450,18 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, share, epochs,
          | CEIL(epochs)::BIGINT AS n_passes, epochs > 4.0 AS data_constrained
          |FROM e ORDER BY lang""".stripMargin,
+
+    "pipe_contam_matrix" ->
+      s"""WITH g0 AS (SELECT source, list_distinct(CASE WHEN len(t) >= 8
+         |    THEN [array_to_string(list_slice(t, i + 1, i + 8), ' ')
+         |          for i in generate_series(0, len(t) - 8)]
+         |    ELSE [] END) AS gs
+         |  FROM (SELECT source, $toksSql AS t FROM documents)),
+         |sg AS (SELECT DISTINCT source, unnest(gs) AS g FROM g0)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared_ngrams
+         |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipe_decontam" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
