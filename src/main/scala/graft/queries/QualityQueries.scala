@@ -249,6 +249,32 @@ object QualityQueries {
       edges.reduce(_ unionAll _).orderBy("fk")
     },
 
+    // cross-table consistency rules (the expectations dq_rules can't see:
+    // they need the JOINED pair). One fact-fact join on the order key —
+    // shuffled, AQE-replannable, like any lineitem⋈orders — then one
+    // conditional-sum pass stacked into per-rule rows. Exact integer day
+    // diffs (q41's idiom); no second scan per rule
+    "dq_cross_field" -> { (s, dir) =>
+      def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"),
+          col("l_extendedprice"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ordered"),
+            col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(
+          viol(col("ship") < col("ordered")).as("v1"),
+          viol(datediff(col("ship"), col("ordered")) > 60).as("v2"),
+          viol(col("l_extendedprice") > col("o_totalprice")).as("v3"),
+          count(lit(1)).as("n"))
+        .selectExpr("stack(3, " +
+          "'ship_before_order', v1, n, " +
+          "'ship_over_60d', v2, n, " +
+          "'line_exceeds_order_total', v3, n) AS (rule, n_violations, n_checked)")
+        .orderBy("rule")
+    },
+
     // Benford first-digit audit (the fabricated-feed smell test): observed
     // leading-digit distribution of order totals. The digit comes from the
     // DECIMAL STRING of exact integer cents — never floor(x/10^floor(log10 x)),
@@ -460,6 +486,25 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "dq_cross_field" ->
+      """WITH j AS (SELECT CAST(l_shipdate AS DATE) AS ship,
+        |  CAST(o_orderdate AS DATE) AS ordered, l_extendedprice, o_totalprice
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT rule, n_violations, n_checked FROM (
+        |  SELECT 'ship_before_order' AS rule,
+        |    CAST(SUM(CASE WHEN ship < ordered THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    COUNT(*) AS n_checked FROM j
+        |  UNION ALL
+        |  SELECT 'ship_over_60d',
+        |    CAST(SUM(CASE WHEN date_diff('day', ordered, ship) > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM j
+        |  UNION ALL
+        |  SELECT 'line_exceeds_order_total',
+        |    CAST(SUM(CASE WHEN l_extendedprice > o_totalprice
+        |      THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM j)
+        |ORDER BY rule""".stripMargin,
 
     "dq_benford" ->
       """WITH d AS (

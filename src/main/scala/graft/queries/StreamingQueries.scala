@@ -515,6 +515,37 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    // continuous transition matrix (q62's streaming twin) under the driver
+    // gate: the time-sorted feed splits into THREE contiguous micro-batch
+    // slices, so many users' adjacent pairs STRADDLE batch boundaries —
+    // exactly the pairs transitionsStream's per-user carry state exists to
+    // form (a stateless per-batch lead() would drop them and the oracle
+    // would catch the shortfall). Final counts ≡ the batch lead() pass
+    "stream_transitions" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._3, t._2))
+      val in = MemoryStream[(Long, Long, Long, String)]
+      @volatile var counts: DataFrame = null
+      withFewPartitions(s) {
+        val q = StreamOps.transitionsStream(
+          in.toDF().toDF("user_id", "event_id", "sec", "event_type"))(df => counts = df)
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      val tot = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      counts.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // streaming funnel upkeep (q39's continuous twin) under the driver
     // gate: per-user stage-first-seen minima maintained across THREE
     // micro-batches by maintainAggregateStream with MergeMin measures —
@@ -752,6 +783,22 @@ object StreamingQueries {
         | array_to_string(list_slice(list(cents ORDER BY cents DESC), 1, 3), ',')
         |   AS top_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_transitions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type FROM events
+        |  WHERE event_id % 5 = 0 AND event_id < 25000),
+        |x AS (SELECT user_id, event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |    AS next_type FROM e),
+        |cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  COUNT(*) AS n FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        | FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | c.n::DOUBLE / t.n_from::DOUBLE AS p
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "stream_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -264,6 +264,60 @@ object StreamOps {
     * batch, delta-only shuffle); here it folds in memory with flat
     * lineage via localCheckpoint, as applyChangelogStream does.
     */
+  /** Continuous first-order transition counts (the batch q62's streaming
+    * twin): a foreachBatch fold that carries each key's LAST event across
+    * micro-batches, so adjacent-event pairs FORM ACROSS batch boundaries —
+    * the part a stateless per-batch lead() would silently drop.
+    *
+    * Contract: batches arrive in event-time order per key (a keyed Kafka
+    * partition's delivery order; the harness feeds time-sorted slices).
+    * State is two bounded tables: the (from, to) count matrix (type², a
+    * dim) and ONE carry row per key — both localCheckpointed so lineage
+    * stays flat over unbounded batches. `events` needs columns
+    * (user_id, event_id, sec, event_type).
+    */
+  def transitionsStream(events: DataFrame)
+                       (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    var counts: DataFrame = null
+    var carry: DataFrame = null // (user_id, event_type) — last event seen
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val b = batch.localCheckpoint(true)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val inBatch = b.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val firsts = b.groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), struct(col("sec"), col("event_id")))
+          .as("first_type"))
+      val boundary =
+        if (carry == null) inBatch.where(lit(false))
+        else carry.join(firsts, Seq("user_id"))
+          .groupBy(col("event_type").as("from_type"),
+            col("first_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      val delta = inBatch.unionByName(boundary)
+        .groupBy(col("from_type"), col("to_type")).agg(sum(col("n")).as("n"))
+      counts =
+        (if (counts == null) delta
+         else graft.operators.IncrementalAgg.merge(counts, delta,
+           Seq("from_type", "to_type"),
+           Seq("n" -> graft.operators.IncrementalAgg.MergeSum)))
+          .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
+          .localCheckpoint(true)
+      val lasts = b.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), struct(col("sec"), col("event_id")))
+          .as("event_type"))
+      carry =
+        (if (carry == null) lasts
+         else lasts.unionByName(
+           carry.join(lasts.select(col("user_id")), Seq("user_id"), "left_anti")))
+          .localCheckpoint(true)
+      onUpdate(counts)
+    }.start()
+  }
+
   def maintainAggregateStream(rows: DataFrame, initial: DataFrame,
                               keys: Seq[String],
                               rollup: DataFrame => DataFrame,
