@@ -904,4 +904,27 @@ class StreamOpsSpec extends SparkSpec {
       assert(survivorsByBatch.toSeq == Seq(Set(10L), Set(21L)))
     } finally q.stop()
   }
+
+  test("transitionsStream: pairs form across batch boundaries via the carry") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    @volatile var counts: org.apache.spark.sql.DataFrame = null
+    val q = StreamOps.transitionsStream(
+      in.toDF().toDF("user_id", "event_id", "sec", "event_type"))(df => counts = df)
+    try {
+      // user 1: a→b in batch 1, then (nothing in batch 2), then c in batch 3
+      //   ⇒ b→c must form from a carry that SURVIVED an idle batch.
+      // user 2: d at the end of batch 1, e at the start of batch 2
+      //   ⇒ d→e is a plain boundary pair.
+      in.addData((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (2L, 3L, 30L, "d"))
+      q.processAllAvailable()
+      in.addData((2L, 4L, 40L, "e"))
+      q.processAllAvailable()
+      in.addData((1L, 5L, 50L, "c"))
+      q.processAllAvailable()
+      val got = counts.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("d", "e") -> 1L))
+    } finally q.stop()
+  }
 }
