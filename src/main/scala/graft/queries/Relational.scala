@@ -480,6 +480,26 @@ object Relational {
         .orderBy("day_num")
     },
 
+    // month-over-month growth (the KPI-trend shape): exact-cent monthly
+    // revenue rollup (one linear partial-agg shuffle on the fact table),
+    // then lag + growth ratio over the MONTH rollup — a dim-sized input
+    // (one row per month) where a global window is fine at any scale, the
+    // q57 argument. Growth is one IEEE division of exact longs minus 1.0
+    "q63_mom_growth" -> { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .select((year(to_date(col("o_orderdate"))) * 100 +
+          month(to_date(col("o_orderdate")))).cast("long").as("ym"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      val w = Window.orderBy("ym")
+      m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .select(col("ym"), col("n_orders"), col("rev_cents"),
+          (col("rev_cents").cast("double") / col("prev_cents").cast("double")
+            - lit(1.0)).as("mom_growth"))
+        .orderBy("ym")
+    },
+
     // behavioral transition matrix (first-order Markov counts): adjacent
     // event-type pairs in each user's time-ordered stream via ONE lead()
     // pass over the high-cardinality user partition, then two bounded
@@ -1404,6 +1424,18 @@ object Relational {
         |SELECT x.day_num, COUNT(*) AS active_users
         |FROM x JOIN days USING (day_num)
         |GROUP BY x.day_num ORDER BY day_num""".stripMargin,
+
+    "q63_mom_growth" ->
+      """WITH m AS (SELECT (year(CAST(o_orderdate AS DATE)) * 100 +
+        |    month(CAST(o_orderdate AS DATE)))::BIGINT AS ym,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        | FROM orders GROUP BY ym)
+        |SELECT ym, n_orders, rev_cents,
+        | rev_cents::DOUBLE / (LAG(rev_cents) OVER (ORDER BY ym))::DOUBLE - 1.0
+        |   AS mom_growth
+        |FROM m ORDER BY ym""".stripMargin,
 
     "q62_transitions" ->
       """WITH e AS (SELECT user_id, event_id,

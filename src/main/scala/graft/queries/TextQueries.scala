@@ -830,6 +830,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-source exact-duplicate rate (the dataset-card slice a crawl
+    // pipeline watches per feed): a doc is "duplicated" when its
+    // normalized fingerprint occurs on OTHER docs too. One fingerprint
+    // rollup (linear), joined back, one per-source conditional count —
+    // the fingerprint is the same single WordNgrams/md5 eval dd_exact
+    // keys on, so dup semantics match the dedup pipeline exactly
+    "pipe_dup_rate_by_source" -> { (s, dir) =>
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"))
+      val occ = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+      fp.join(occ, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("source")
+    },
+
     // cross-source contamination matrix (pipe_decontam's census twin:
     // WHICH sources leak into which): distinct (source, 8-gram) postings
     // self-joined on the gram, shared-gram counts per source pair. Pair
@@ -1450,6 +1471,19 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, share, epochs,
          | CEIL(epochs)::BIGINT AS n_passes, epochs > 4.0 AS data_constrained
          |FROM e ORDER BY lang""".stripMargin,
+
+    "pipe_dup_rate_by_source" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |  md5(array_to_string(
+        |    list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp
+        | FROM documents),
+        |occ AS (SELECT fp, COUNT(*) AS n_occ FROM fp GROUP BY fp)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |   / COUNT(*)::DOUBLE AS dup_rate
+        |FROM fp JOIN occ USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "pipe_contam_matrix" ->
       s"""WITH g0 AS (SELECT source, list_distinct(CASE WHEN len(t) >= 8
