@@ -249,6 +249,25 @@ object QualityQueries {
       edges.reduce(_ unionAll _).orderBy("fk")
     },
 
+    // weekday seasonality profile (the expected-volume baseline the
+    // anomaly monitor calibrates against): per day-of-week event counts +
+    // exact ppm share. Day-of-week is pure integer arithmetic on the
+    // epoch day ((day + 4) % 7, day 0 = Thursday) — engine dayofweek()
+    // builtins disagree on 0- vs 1-based and week start, integer math
+    // can't. One partial-agg pass + a broadcast 1-row total
+    "dq_weekday_profile" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7")
+          .cast("long").as("dow"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = d.agg(sum(col("n_events")).as("total"))
+      d.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_events"),
+          expr("(n_events * 1000000) div total").as("ppm"))
+        .orderBy("dow")
+    },
+
     // cross-table consistency rules (the expectations dq_rules can't see:
     // they need the JOINED pair). One fact-fact join on the order key —
     // shuffled, AQE-replannable, like any lineitem⋈orders — then one
@@ -486,6 +505,14 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "dq_weekday_profile" ->
+      """WITH d AS (SELECT ((FLOOR(EPOCH(ts))::BIGINT // 86400 + 4) % 7)::BIGINT AS dow,
+        |  COUNT(*) AS n_events
+        | FROM events GROUP BY dow),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM d)
+        |SELECT dow, n_events, (n_events * 1000000) // total AS ppm
+        |FROM d CROSS JOIN t ORDER BY dow""".stripMargin,
 
     "dq_cross_field" ->
       """WITH j AS (SELECT CAST(l_shipdate AS DATE) AS ship,

@@ -35,6 +35,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // language-ID confusion matrix (the classifier-quality audit run
+    // before trusting ta_langid's labels for filtering): predicted vs
+    // TRUE lang counts — the documents table carries ground truth, so the
+    // heuristic's per-language precision/recall falls out of one bounded
+    // (lang × lang) aggregation over the same one-pass TokenStats scores
+    "ta_lang_confusion" -> { (s, dir) =>
+      val names = Text.LangProfiles.map { case (l, _) => col(s"s_$l") }
+      Tables.documents(s, dir)
+        .select(col("lang"), Text.tokenStats(col("text")).as("__ts"))
+        .select(col("lang") +: Text.langScoresFrom(col("__ts")): _*)
+        .select(col("lang"), Text.langPredict(names).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
     "ta_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -1010,6 +1026,24 @@ object TextQueries {
          |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
          |      ELSE 'zh' END AS lang_pred
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ta_lang_confusion" ->
+      s"""WITH t AS (SELECT lang,
+         |  len(list_filter($toksSql, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','es','y'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter($toksSql, t -> t IN ('的','是','了'))) AS s_zh
+         | FROM documents),
+         |p AS (SELECT lang,
+         | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS lang_pred
+         |FROM t)
+         |SELECT lang, lang_pred, COUNT(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(
