@@ -52,6 +52,29 @@ object EtlOps {
     * sides (AQE handles skew); no window, no collect. Keys must be unique
     * per snapshot (it's a diff of keyed states, not multisets).
     */
+  /** Per-key union length of possibly-overlapping `[start, end)` integer
+    * intervals — the time-on-site / sensor-uptime sweep. Sort per key by
+    * start, carry the running max end over PRIOR rows (the frontier), and
+    * clamp each interval's contribution to what extends past it. The sum
+    * is the true union length under ANY tie order (a tied interval either
+    * extends the frontier or contributes 0), so the result is
+    * shuffle-deterministic; one window pass over the key partition — the
+    * key must be the scaling dimension (users, devices), as with
+    * sessionization. Output: (key, n_intervals, covered).
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prev_end", max(col(endCol)).over(w))
+      .withColumn("__contrib", greatest(lit(0L),
+        col(endCol) -
+          greatest(col(startCol), coalesce(col("__prev_end"), col(startCol)))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("__contrib")).as("covered"))
+  }
+
   def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
                     compareCols: Seq[String]): DataFrame = {
     val o = oldDf.select(

@@ -136,6 +136,25 @@ object DedupQueries {
     // duplicated is this corpus and in what shape" before any rows are
     // dropped. Labels come from the same CC as dd_clusters; the histogram
     // is two more bounded hash aggregations
+    // postings-list size census over 3-gram shingles — the distribution
+    // that GOVERNS every postings-join's cost (pair work = Σ p·(p−1)/2
+    // per shingle): per posting-count magnitude (decimal digit count —
+    // exact in both engines where floor(log2) would drift at powers),
+    // how many shingles and how many candidate pairs they contribute.
+    // This is the pre-flight "can we afford the pair join" answer, from
+    // two linear aggregations — the "measure, don't guess" rule applied
+    // to the dedup planner itself
+    "dd_postings_census" -> { (s, dir) =>
+      Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3)
+        .groupBy(col("s")).agg(count(lit(1)).as("p"))
+        .select(col("p"), length(col("p").cast("string")).cast("long").as("mag"))
+        .groupBy(col("mag"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("p")).as("n_postings"),
+          sum(expr("p * (p - 1) div 2")).as("n_cand_pairs"))
+        .orderBy("mag")
+    },
+
     "dd_cluster_sizes" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
@@ -373,6 +392,15 @@ object DedupQueries {
          |  UNION
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd_postings_census" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($triShingles) AS s FROM documents),
+         |p AS (SELECT s, COUNT(*) AS p FROM sh GROUP BY s),
+         |m AS (SELECT p, LENGTH(p::VARCHAR)::BIGINT AS mag FROM p)
+         |SELECT mag, COUNT(*) AS n_shingles,
+         | CAST(SUM(p) AS BIGINT) AS n_postings,
+         | CAST(SUM(p * (p - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM m GROUP BY mag ORDER BY mag""".stripMargin,
 
     "dd_cluster_sizes" ->
       s"""WITH RECURSIVE s AS (SELECT doc_id, source, $triShingles AS sh FROM documents

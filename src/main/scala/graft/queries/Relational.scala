@@ -531,19 +531,13 @@ object Relational {
     // to what extends past that frontier. All integer-second arithmetic
     // (exact), one window pass over the HIGH-cardinality user partition
     "q61_interval_coverage" -> { (s, dir) =>
-      val iv = Tables.events(s, dir)
-        .select(col("user_id"),
-          floor(unix_timestamp(col("ts"))).cast("long").as("s0"),
-          col("event_id"))
-        .withColumn("e0", col("s0") + 300)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("s0"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      iv.withColumn("prev_end", max(col("e0")).over(w))
-        .withColumn("contrib", greatest(lit(0L),
-          col("e0") - greatest(col("s0"), coalesce(col("prev_end"), col("s0")))))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_intervals"), sum(col("contrib")).as("covered_sec"))
+      graft.operators.EtlOps.intervalCoverage(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            floor(unix_timestamp(col("ts"))).cast("long").as("s0"))
+          .withColumn("e0", col("s0") + 300),
+        "user_id", "s0", "e0")
+        .withColumnRenamed("covered", "covered_sec")
         .orderBy("user_id")
     },
 

@@ -846,6 +846,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic global training shuffle (the most common corpus op of
+    // all): every doc gets a replay-stable uniform position via the
+    // md5-of-key order — GlobalRank range-partitions the sort, so the
+    // "shuffle" is an ordinary parallel range exchange, never a
+    // single-task Window.orderBy (and never rand(), which re-draws per
+    // retry/engine). doc_id breaks md5 ties so the order is total
+    "pipe_shuffle_order" -> { (s, dir) =>
+      graft.operators.GlobalRank.withGlobalRank(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h")),
+        Seq(col("h"), col("doc_id")), rankCol = "pos")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")
+    },
+
     // per-source exact-duplicate rate (the dataset-card slice a crawl
     // pipeline watches per feed): a doc is "duplicated" when its
     // normalized fingerprint occurs on OTHER docs too. One fingerprint
@@ -1505,6 +1521,11 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, share, epochs,
          | CEIL(epochs)::BIGINT AS n_passes, epochs > 4.0 AS data_constrained
          |FROM e ORDER BY lang""".stripMargin,
+
+    "pipe_shuffle_order" ->
+      """SELECT doc_id,
+        | ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "pipe_dup_rate_by_source" ->
       """WITH fp AS (SELECT doc_id, source,

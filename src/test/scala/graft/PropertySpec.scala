@@ -130,6 +130,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalCoverage equals a naive point-set union on random intervals") {
+    trials(8) { r =>
+      List.fill(50) {
+        val s = r.nextInt(60).toLong
+        (s"k${r.nextInt(4)}", s, s + 1 + r.nextInt(12))
+      }
+    } { rows =>
+      val got = graft.operators.EtlOps.intervalCoverage(
+        rows.toDF("k", "s0", "e0").repartition(5), "k", "s0", "e0")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> (rs.size.toLong,
+          rs.flatMap { case (_, s, e) => s until e }.toSet.size.toLong)
+      }
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("skyline2D equals the naive dominance test on random points") {
     trials(10) { r =>
       // small value domain forces x-ties, y-ties, and exact duplicates
