@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Text, Vectors}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document / embedding corpora.
@@ -200,6 +200,106 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** EXACT similarity self-join via prefix filtering (the All-Pairs /
+    * PPJoin family): all pairs with n-gram-shingle Jaccard ≥ tau, with NO
+    * block key and NO probabilistic recall caveat.
+    *
+    * Every document's shingles are ordered by ascending global document
+    * frequency (rarest first, shingle string as tiebreaker — a total
+    * order); if J(A,B) ≥ tau then A and B must share a shingle within
+    * their first |d| − ⌈tau·|d|⌉ + 1 shingles of that order (the prefix-
+    * filter lemma), so joining ONLY the prefixes yields a candidate
+    * superset with zero false negatives. Candidates are then verified
+    * with the exact Jaccard.
+    *
+    * Scale shape: the candidate join's work is Σ postings² over PREFIX
+    * postings only, and prefixes hold each corpus's RAREST shingles — the
+    * short postings lists — so the quadratic term collapses versus the
+    * full postings join of [[jaccardPairsBlocked]] while staying exact
+    * (vs [[minhashLshPairs]]'s w.h.p. recall). Verification carries the
+    * per-doc shingle arrays through two hash joins (no second postings
+    * shuffle); work is O(candidates × doc size).
+    *
+    * `tau` should be exactly representable in binary (0.5, 0.75, ...) so
+    * the prefix lengths are reproducible across platforms; correctness
+    * holds for any tau.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tau: Double): DataFrame = {
+    // posts feeds the frequency count and the per-doc rebuild; docs feeds
+    // the prefix explode and both verify sides — materialize each once
+    // (ContextCleaner-reclaimed, same rationale as pairOverlaps).
+    val posts = shingleRows(df, idCol, textCol, n).localCheckpoint(eager = true)
+    val freq = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val docs = posts.join(freq, "s")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("id"),
+        expr("transform(ord, x -> x.s)").as("tk"),
+        size(col("ord")).cast("long").as("sz"))
+      .withColumn("p", col("sz") - ceil(lit(tau) * col("sz")).cast("long") + 1)
+      .localCheckpoint(eager = true)
+    val pre = docs.select(col("id"), explode(slice(col("tk"), lit(1), col("p"))).as("s"))
+    val cand = pre.select(col("id").as("a_id"), col("s"))
+      .join(pre.select(col("id").as("b_id"), col("s")), Seq("s"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("a_id"), col("tk").as("a_tk"), col("sz").as("a_sz")), "a_id")
+      .join(docs.select(col("id").as("b_id"), col("tk").as("b_tk"), col("sz").as("b_sz")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_tk"), col("b_tk"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** Sorted-neighborhood dedup blocking (the classic SNM): docs are
+    * totally ordered by a cheap domain sort key (id tiebreak), each doc is
+    * compared only against its `w` successors in that order, and surviving
+    * pairs are verified with exact n-gram Jaccard ≥ tau.
+    *
+    * Recall is heuristic by design (a near-dup pair sorting far apart is
+    * missed — that's the method's contract, not a bug); the win is the
+    * candidate bound: exactly w·N pairs regardless of key skew, where a
+    * hash-blocking key with a hot value goes quadratic in the hot block.
+    *
+    * Scale shape: the total order comes from [[GlobalRank]]'s range-
+    * partitioned sort (parallel — never a single-task `Window.orderBy`);
+    * the "compare within w" band is an EQUI-join on the rank bucket
+    * `(rank−1) div w` (the a-side probes its own and the next bucket, so
+    * every pair with 1 ≤ Δrank ≤ w matches exactly once) — no theta join,
+    * no nested loop.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              sortKey: Column, w: Int, n: Int,
+                              tau: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), sortKey.as("k"),
+        graft.expressions.TextExpressions.wordNgrams(
+          col(textCol), n, distinct = true).as("tk"))
+      .where(size(col("tk")) > 0)
+    // ranked feeds both band-join sides; the RDD zipWithIndex hop would
+    // otherwise run twice
+    val ranked = GlobalRank.withGlobalRank(base, Seq(col("k"), col("id")), "r")
+      .withColumn("bkt", expr(s"(r - 1) div $w"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("sz"),
+        col("r"), col("bkt"))
+      .localCheckpoint(eager = true)
+    val a = ranked.select(col("id").as("a_id"), col("tk").as("a_tk"),
+        col("sz").as("a_sz"), col("r").as("ra"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
+    val b = ranked.select(col("id").as("b_id"), col("tk").as("b_tk"),
+      col("sz").as("b_sz"), col("r").as("rb"), col("bkt").as("jb"))
+    a.join(b, Seq("jb"))
+      .where(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= w)
+      .withColumn("inter", size(array_intersect(col("a_tk"), col("b_tk"))).cast("long"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))

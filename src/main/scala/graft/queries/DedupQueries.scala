@@ -144,6 +144,27 @@ object DedupQueries {
     // This is the pre-flight "can we afford the pair join" answer, from
     // two linear aggregations — the "measure, don't guess" rule applied
     // to the dedup planner itself
+    // EXACT global similarity self-join via prefix filtering (All-Pairs/
+    // PPJoin): no block key, no w.h.p. caveat — rarest-first prefixes
+    // bound the candidate join, exact Jaccard verifies. The deterministic
+    // exact twin of dd_minhash_lsh (see Dedup.prefixJaccardPairs)
+    "dd_prefix_join" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // classic sorted-neighborhood blocking: total-order by a cheap key
+    // (first 24 chars of lowercased text), compare each doc only with its
+    // 5 successors, verify exact Jaccard. Candidates are w·N regardless
+    // of key skew; the order is a range-partitioned GlobalRank and the
+    // neighborhood band an equi-join on the rank bucket — no theta join
+    "dd_sorted_neighborhood" -> { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text",
+        sortKey = substring(lower(col("text")), 1, 24), w = 5, n = 3, tau = 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_postings_census" -> { (s, dir) =>
       Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3)
         .groupBy(col("s")).agg(count(lit(1)).as("p"))
@@ -392,6 +413,31 @@ object DedupQueries {
          |  UNION
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // brute-force twin: the prefix filter is exact (zero false negatives),
+    // so the full O(N²) pair scan at sf0.01 must match the filtered join
+    "dd_prefix_join" ->
+      s"""WITH t AS (SELECT doc_id, $triShingles AS tk FROM documents
+         |           WHERE len($triShingles) > 0),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.tk, b.tk)) AS i, len(a.tk) AS sa, len(b.tk) AS sb
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, i::DOUBLE / (sa + sb - i) AS jaccard
+         |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dd_sorted_neighborhood" ->
+      s"""WITH t AS (SELECT doc_id, substring(lower(text), 1, 24) AS k,
+         |             $triShingles AS tk
+         |           FROM documents WHERE len($triShingles) > 0),
+         |r AS (SELECT doc_id, tk,
+         |  ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rr FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.tk, b.tk)) AS i, len(a.tk) AS sa, len(b.tk) AS sb
+         |  FROM r a JOIN r b ON b.rr - a.rr BETWEEN 1 AND 5)
+         |SELECT a_id, b_id, i::DOUBLE / (sa + sb - i) AS jaccard
+         |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dd_postings_census" ->
       s"""WITH sh AS (SELECT doc_id, unnest($triShingles) AS s FROM documents),

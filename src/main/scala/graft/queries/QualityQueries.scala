@@ -255,6 +255,24 @@ object QualityQueries {
     // epoch day ((day + 4) % 7, day 0 = Thursday) — engine dayofweek()
     // builtins disagree on 0- vs 1-based and week start, integer math
     // can't. One partial-agg pass + a broadcast 1-row total
+    // join-key skew census (the "measure, don't guess" preflight for every
+    // shuffle join on this key): the 10 heaviest l_partkey values with
+    // their row share. One linear hash count, then a DISTRIBUTED top-k
+    // (orderBy+limit plans TakeOrdered — per-partition heaps + driver
+    // merge of 10 rows, never a global sort or single-task window). Total
+    // via a 1-row broadcast; share = one IEEE division of exact longs.
+    // A key landing here is the salting / skew-join candidate list
+    "dq_key_skew" -> { (s, dir) =>
+      val c = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum(col("cnt")).as("total"))
+      c.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("share"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(10)
+    },
+
     "dq_weekday_profile" -> { (s, dir) =>
       val d = Tables.events(s, dir)
         .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7")
@@ -505,6 +523,14 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "dq_key_skew" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT l_partkey, cnt, cnt::DOUBLE / total AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
 
     "dq_weekday_profile" ->
       """WITH d AS (SELECT ((FLOOR(EPOCH(ts))::BIGINT // 86400 + 4) % 7)::BIGINT AS dow,

@@ -480,6 +480,55 @@ object Relational {
         .orderBy("day_num")
     },
 
+    // triangle census of the co-purchase graph (the community-structure
+    // KPI over any entity graph): edges = part pairs co-bought in ≥2
+    // orders (per-order local pair build, support threshold prunes the
+    // hay). Counting uses DEGREE ORIENTATION — each edge directed from
+    // its (deg, id)-smaller endpoint, so out-degree is O(√m) and wedge
+    // generation is Σ out-deg² ≤ O(m^1.5) TOTAL, never Σ deg² (a hub's
+    // deg² explodes; its out-deg² cannot). Wedge pairs keep the same
+    // (deg, id) order, so the closing edge is always oriented v→w and the
+    // triangle test is ONE equi-join. Clustering coeff = one IEEE
+    // division of exact counts
+    "q64_triangles" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val edges = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = true) // feeds degrees + both orientation lookups
+      val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keyed = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val out = keyed.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .localCheckpoint(eager = true) // feeds both wedge sides + closing probe
+      val tri = out.as("e1").join(out.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            (struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v"))))
+        .select(col("e1.v").as("x"), col("e2.v").as("y"))
+        .join(out.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          expr("sum(deg) div 2").as("n_edges"),
+          expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+        .crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          ((col("n_triangles") * 3).cast("double") / col("n_wedges")).as("global_cc"))
+    },
+
     // month-over-month growth (the KPI-trend shape): exact-cent monthly
     // revenue rollup (one linear partial-agg shuffle on the fact table),
     // then lag + growth ratio over the MONTH rollup — a dim-sized input
@@ -1418,6 +1467,28 @@ object Relational {
         |SELECT x.day_num, COUNT(*) AS active_users
         |FROM x JOIN days USING (day_num)
         |GROUP BY x.day_num ORDER BY day_num""".stripMargin,
+
+    // unoriented twin: edges stored a<b, so triangle a<b<c is counted
+    // once by the two-hop join; orientation is a Spark-side execution
+    // strategy, the count is the same
+    "q64_triangles" ->
+      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+        |  FROM dp a JOIN dp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM pc WHERE n >= 2),
+        |d AS (SELECT v, COUNT(*) AS deg FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |g AS (SELECT COUNT(*) AS n_nodes,
+        |  CAST(SUM(deg) AS BIGINT) // 2 AS n_edges,
+        |  CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM d)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        | (n_triangles * 3)::DOUBLE / n_wedges AS global_cc
+        |FROM g, tri""".stripMargin,
 
     "q63_mom_growth" ->
       """WITH m AS (SELECT (year(CAST(o_orderdate AS DATE)) * 100 +

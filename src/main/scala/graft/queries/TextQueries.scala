@@ -846,6 +846,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Zipf head of the corpus vocabulary: top-50 tokens by occurrence
+    // count with their global rank and the rank×freq product (≈constant
+    // under Zipf's law — the sanity plot every corpus card carries). One
+    // linear token count (vocab-sized output), then the rank via the
+    // range-partitioned GlobalRank — vocab ranking stays parallel where a
+    // global Window.orderBy would funnel the whole vocabulary through one
+    // task. All-integer output, nothing float to drift
+    "ta_zipf" -> { (s, dir) =>
+      val tf = graft.operators.Dedup
+        .shingleRowsAll(Tables.documents(s, dir), "doc_id", "text", 1)
+        .groupBy(col("s")).agg(count(lit(1)).as("freq"))
+      graft.operators.GlobalRank.withGlobalRank(
+          tf, Seq(col("freq").desc, col("s")), rankCol = "rank")
+        .where(col("rank") <= 50)
+        .select(col("rank"), col("s").as("token"), col("freq"),
+          (col("rank") * col("freq")).as("rank_freq"))
+        .orderBy("rank")
+    },
+
     // deterministic global training shuffle (the most common corpus op of
     // all): every doc gets a replay-stable uniform position via the
     // md5-of-key order — GlobalRank range-partitions the sort, so the
@@ -1521,6 +1540,15 @@ object TextQueries {
          |SELECT lang, n_docs, sum_tokens, share, epochs,
          | CEIL(epochs)::BIGINT AS n_passes, epochs > 4.0 AS data_constrained
          |FROM e ORDER BY lang""".stripMargin,
+
+    "ta_zipf" ->
+      """WITH f AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> t != '')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS freq FROM f GROUP BY token),
+        |r AS (SELECT token, freq,
+        |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM c)
+        |SELECT rank, token, freq, rank * freq AS rank_freq
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "pipe_shuffle_order" ->
       """SELECT doc_id,

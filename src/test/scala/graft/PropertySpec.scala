@@ -148,6 +148,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs equals brute-force Jaccard on random near-dup texts") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def naiveShingles(t: String, n: Int): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    trials(6) { r =>
+      // clusters of mutated copies so near-dup pairs actually exist
+      val bases = List.fill(4)((0 until 8).map(_ => vocab(r.nextInt(vocab.size))))
+      (0 until 20).map { i =>
+        val b = bases(r.nextInt(bases.size)).toArray
+        if (r.nextBoolean()) b(r.nextInt(b.length)) = vocab(r.nextInt(vocab.size))
+        (i.toLong, b.mkString(" "))
+      }.toList
+    } { docs =>
+      for (tau <- Seq(0.5, 0.75)) {
+        val got = graft.operators.Dedup.prefixJaccardPairs(
+          docs.toDF("id", "text").repartition(4), "id", "text", n = 2, tau = tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sh = docs.map { case (i, t) => i -> naiveShingles(t, 2) }
+          .filter(_._2.nonEmpty)
+        val want = (for {
+          (a, sa) <- sh; (b, sb) <- sh if a < b
+          i = (sa & sb).size
+          if i.toDouble / (sa.size + sb.size - i) >= tau
+        } yield (a, b)).toSet
+        assert(got == want, s"tau=$tau docs=$docs")
+      }
+    }
+  }
+
+  test("sortedNeighborhoodPairs equals the naive rank-window method") {
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def naiveShingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    trials(6) { r =>
+      (0 until 25).map { i =>
+        (i.toLong, (0 until 2 + r.nextInt(5))
+          .map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      }.toList
+    } { docs =>
+      val w = 3
+      val got = graft.operators.Dedup.sortedNeighborhoodPairs(
+        docs.toDF("id", "text").repartition(4), "id", "text",
+        sortKey = substring(col("text"), 1, 4), w = w, n = 2, tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ranked = docs.map { case (i, t) => (i, t, naiveShingles(t)) }
+        .filter(_._3.nonEmpty)
+        .sortBy { case (i, t, _) => (t.take(4), i) }
+      val want = (for {
+        ((a, _, sa), ai) <- ranked.zipWithIndex
+        (b, _, sb) <- ranked.slice(ai + 1, ai + 1 + w)
+        i = (sa & sb).size
+        if i.toDouble / (sa.size + sb.size - i) >= 0.5
+      } yield (a, b)).toSet
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("skyline2D equals the naive dominance test on random points") {
     trials(10) { r =>
       // small value domain forces x-ties, y-ties, and exact duplicates
