@@ -24,15 +24,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.ts is a nanosecond parquet timestamp, which Spark's vectorized
-    * reader rejects. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw nanos long is then
-    * normalized here to a microsecond TIMESTAMP (truncation — matches what
-    * engines with native ns support produce for second/hour arithmetic).
+  /** events.ts normalization — the generated layout has shipped BOTH ways:
+    * as a nanosecond parquet timestamp (Spark's vectorized reader rejects
+    * it; with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a
+    * raw nanos LONG, truncated here to a microsecond TIMESTAMP) and as a
+    * plain microsecond timestamp (surfacing as TIMESTAMP_NTZ, cast to
+    * session-local TIMESTAMP — sessions run UTC, so the instant is
+    * unchanged). Branching on the OBSERVED dtype keeps every query working
+    * against either vintage of the testdata.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1153,6 +1153,64 @@ object Relational {
           (expr("((rank - 1) * 4) DIV n_total") + 1).cast("int").as("bucket4"),
           ((col("rank") - 1).cast("double") / (col("n_total") - 1)).as("pr"))
         .orderBy("o_custkey")
+    },
+
+    // gaps-and-islands: per-user activity streaks over consecutive UTC
+    // days (the engagement-streak shape). Island id = day − row_number in
+    // day order, constant exactly across a consecutive run — two hash
+    // aggregations plus ONE window partitioned on the high-cardinality
+    // user key (each user's distinct-day list is tiny and bounded by the
+    // calendar, so per-task work never concentrates). best_start picks
+    // the longest streak's start in one map-side-combinable min_by on an
+    // exact packed (−len, start) BIGINT key — no second per-user pass
+    "q65_streaks" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day_num"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      val streaks = days
+        .withColumn("grp", col("day_num") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day_num")).as("start_day"))
+      streaks.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"),
+          max(col("len")).as("max_streak"),
+          min_by(col("start_day"),
+            col("start_day") - col("len") * lit(100000000L)).as("best_start"))
+        .orderBy("user_id")
+    },
+
+    // weighted percentiles (median / p90 of price weighted by units sold):
+    // the "which price point splits the VOLUME in half" query. Exact-cents
+    // values first collapse to the (flag, value) DISTINCT domain — the
+    // prefix sum then runs over value counts, not rows — and the per-flag
+    // cumulative weight is GlobalRank.withGroupedPrefixSum (range-
+    // partitioned, partition-bound parallelism; a Window.partitionBy on a
+    // 3-value flag would funnel each group through one task at 100 TB).
+    // Both thresholds resolve from ONE pass via conditional mins; ceil is
+    // exact integer arithmetic, so no float ever decides a boundary
+    "q66_weighted_median" -> { (s, dir) =>
+      val byVal = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          floor(col("l_quantity")).cast("long").as("w"))
+        .groupBy(col("flag"), col("price_cents"))
+        .agg(sum(col("w")).as("wsum"))
+      val pre = graft.operators.GlobalRank.withGroupedPrefixSum(
+        byVal, Seq("flag"), Seq(col("price_cents")), col("wsum"),
+        rankCol = "vrank", prefixCol = "cum_before")
+      val tot = byVal.groupBy(col("flag")).agg(sum(col("wsum")).as("wtot"))
+      val cum = col("cum_before") + col("wsum")
+      pre.join(broadcast(tot), "flag")
+        .groupBy(col("flag"))
+        .agg(min(col("wtot")).as("w_total"),
+          min(when(cum >= expr("(wtot + 1) DIV 2"), col("price_cents")))
+            .as("wmedian_cents"),
+          min(when(cum >= expr("(9 * wtot + 9) DIV 10"), col("price_cents")))
+            .as("wp90_cents"))
+        .orderBy("flag")
     }
   )
 
@@ -1804,6 +1862,37 @@ object Relational {
         |SELECT o_custkey, CAST(drev AS DOUBLE) AS revenue, rank,
         | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
         | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
-        |FROM r ORDER BY o_custkey""".stripMargin
+        |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "q65_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT AS day_num FROM events),
+        |isl AS (SELECT user_id, day_num,
+        |  day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY day_num) AS grp FROM days),
+        |streaks AS (SELECT user_id, grp, COUNT(*) AS len,
+        |  MIN(day_num) AS start_day FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, COUNT(*) AS n_streaks,
+        | SUM(len)::BIGINT AS n_active_days, MAX(len) AS max_streak,
+        | arg_min(start_day, start_day - len * 100000000) AS best_start
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q66_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |v AS (SELECT flag, price_cents, SUM(w)::BIGINT AS wsum
+        |  FROM li GROUP BY flag, price_cents),
+        |p AS (SELECT flag, price_cents, wsum,
+        |  COALESCE(SUM(wsum) OVER (PARTITION BY flag ORDER BY price_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |  SUM(wsum) OVER (PARTITION BY flag) AS wtot FROM v)
+        |SELECT flag, MIN(wtot)::BIGINT AS w_total,
+        | MIN(CASE WHEN cum_before + wsum >= (wtot + 1) // 2
+        |   THEN price_cents END) AS wmedian_cents,
+        | MIN(CASE WHEN cum_before + wsum >= (9 * wtot + 9) // 10
+        |   THEN price_cents END) AS wp90_cents
+        |FROM p GROUP BY flag ORDER BY flag""".stripMargin
   )
 }
