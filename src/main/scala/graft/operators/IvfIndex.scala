@@ -151,6 +151,76 @@ object IvfIndex {
       .select(col("q_id"), col("id").as("n_id"), col("adc_d2"), col("rank"))
   }
 
+  /** IVF-PQ search — the two prunings composed, which is the FAISS
+    * `IVFx,PQy` shape an actual 100 TB vector corpus runs: IVF probing
+    * bounds WHICH corpus rows are scored (nProbe inverted lists per query,
+    * never the full corpus) and PQ/ADC bounds WHAT is read per scored row
+    * (the m-byte code, never the raw vector). [[pqSearchAdc]] alone still
+    * scans every code row per query; [[topKCosineIvf]] alone still reads
+    * full vectors for the probed lists — this is the missing quadrant.
+    *
+    * Scale shape: candidate build is inverted-lists ⋈ broadcast(probes) —
+    * corpus-partition-local, no corpus shuffle; scoring joins the codes
+    * table on id (both sides corpus-keyed; at scale the codes table is
+    * bucketed by id and the join is exchange-free) with the broadcast
+    * (q, sub, code) → d² LUT; the per-(q, id) sum is the fixed-order
+    * pivot (unordered double SUMs re-associate), and the final top-k is
+    * TWO-STAGE (per-partition prune, then the bounded global rank).
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, m: Int, dim: Int, stride: Long,
+                  k: Int = 16, nProbe: Int = 8, topK: Int = 5): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val subDim = dim / m
+    val cents = centroids(corpus, idCol, vecCol, stride)
+    val lists = assign(corpus, cents, idCol, vecCol)
+      .select(col("id"), col("c_id"))
+      .localCheckpoint(eager = true)
+    val q = queries.select(col(idCol).as("q_id"),
+        Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (Vectors.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("p_cos"))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("q_id"), col("c_id"))
+    val cand = lists.join(broadcast(probes), Seq("c_id"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"))
+    def subs(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+        .select(col(id), posexplode(array((0 until m).map(i =>
+          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
+    val codes = pqEncode(corpus, idCol, vecCol, m, dim, stride, k)
+      .select(col("id"), col("sub_id").as("x_sub"), col("code"))
+    val codebook = subs(
+      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
+      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
+    val lut = subs(queries, "q_id")
+      .join(codebook, col("sub_id") === col("c_sub"))
+      .select(col("q_id").as("l_q"), col("sub_id"), col("c_id"),
+        (Vectors.dot(col("sv"), col("sv"))
+          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
+          + Vectors.dot(col("cv"), col("cv"))).as("d2q"))
+    val perSub = codes.join(cand, Seq("id"))
+      .join(broadcast(lut),
+        col("x_sub") === col("sub_id") && col("code") === col("c_id")
+          && col("q_id") === col("l_q"))
+    val pivoted = perSub.groupBy(col("q_id"), col("id"))
+      .pivot("sub_id", 0 until m).agg(first(col("d2q")))
+    val adc = pivoted.select(col("q_id"), col("id"),
+      (0 until m).map(i => col(i.toString)).reduceLeft(_ + _).as("adc_d2"))
+    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
+      .orderBy(col("adc_d2").asc, col("id"))
+    val wGlobal = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("id"))
+    adc.withColumn("__lr", row_number().over(wLocal)).where(col("__lr") <= topK)
+      .withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("n_id"), col("adc_d2"), col("rank"))
+  }
+
   /** One Lloyd (k-means) refinement step over the stride-seeded centroids:
     * assign every vector to its max-cosine centroid, then recompute each
     * centroid as the per-dimension mean of its members. Output exploded as

@@ -152,6 +152,18 @@ object SimilarityQueries {
         .orderBy("id", "sub_id")
     },
 
+    // IVF-PQ: the two prunings composed (FAISS IVFx,PQy — the actual
+    // 100 TB index shape): IVF probing bounds WHICH rows are scored,
+    // PQ/ADC bounds WHAT is read per row (m-byte codes, never raw
+    // vectors). Probe-restricted candidates, broadcast LUT, fixed-order
+    // pivot sum, two-stage top-k — fully replayed in the oracle
+    "sim_ivfpq_search" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      IvfIndex.ivfPqSearch(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        m = 8, dim = 64, stride = 32, nProbe = 8, topK = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ADC search over the PQ codes — the query path of the compression
     // story: corpus touched only through its m-byte codes, per-query
     // (sub, code) → d² lookup table broadcast, two-stage top-k (no
@@ -550,6 +562,54 @@ object SimilarityQueries {
         | CASE WHEN mx = mn THEN 0
         |      ELSE floor((xv - mn) / (mx - mn) * 255)::INT END AS q
         |FROM x ORDER BY vec_id, pos""".stripMargin,
+
+    // IVF assignment/probing (full-vector cosine) composed with the PQ
+    // encode + LUT + ADC ranking — candidates restricted to the probed
+    // inverted lists before any code is scored
+    "sim_ivfpq_search" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c64 AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c64.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c64.c_e")} DESC, c64.c_id) AS rn
+         |  FROM v CROSS JOIN c64) WHERE rn = 1),
+         |qf AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+         |probes AS (SELECT q_id, c_id FROM (
+         |  SELECT qf.q_id, c64.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qf.q_id
+         |      ORDER BY ${cosSql("qf.q_e", "c64.c_e")} DESC, c64.c_id) AS pr
+         |  FROM qf CROSS JOIN c64) WHERE pr <= 8),
+         |cand AS (SELECT probes.q_id, asg.id
+         |  FROM probes JOIN asg ON probes.c_id = asg.c_id
+         |  WHERE asg.id != probes.q_id),
+         |s AS (SELECT vec_id, g.m AS sub_id, list_slice(e, g.m * 8 + 1, g.m * 8 + 8) AS sv
+         |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+         |c AS (SELECT vec_id AS c_id, sub_id, sv AS cv FROM s
+         |      WHERE vec_id % 32 = 0 AND vec_id < 512),
+         |d AS (SELECT s.vec_id AS id, s.sub_id, c.c_id,
+         |  ${dotSql("s.sv", "s.sv")} - 2.0 * ${dotSql("s.sv", "c.cv")}
+         |    + ${dotSql("c.cv", "c.cv")} AS d2
+         | FROM s JOIN c ON s.sub_id = c.sub_id),
+         |codes AS (SELECT id, sub_id, c_id AS code FROM d
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_id ORDER BY d2, c_id) = 1),
+         |q AS (SELECT vec_id AS q_id, sub_id, sv AS qv FROM s WHERE vec_id < 10),
+         |lut AS (SELECT q.q_id, q.sub_id, c.c_id,
+         |  ${dotSql("q.qv", "q.qv")} - 2.0 * ${dotSql("q.qv", "c.cv")}
+         |    + ${dotSql("c.cv", "c.cv")} AS d2q
+         | FROM q JOIN c ON q.sub_id = c.sub_id),
+         |per AS (SELECT l.q_id, x.id, x.sub_id, l.d2q
+         | FROM codes x JOIN cand ON cand.id = x.id
+         | JOIN lut l ON x.sub_id = l.sub_id AND x.code = l.c_id
+         |   AND l.q_id = cand.q_id),
+         |piv AS (SELECT q_id, id,
+         |  ${(0 until 8).map(i => s"MAX(CASE WHEN sub_id = $i THEN d2q END) AS d$i").mkString(", ")}
+         | FROM per GROUP BY q_id, id),
+         |adc AS (SELECT q_id, id, ${(0 until 8).map(i => s"d$i").mkString(" + ")} AS adc_d2 FROM piv),
+         |ranked AS (SELECT q_id, id AS n_id, adc_d2,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, id) AS rank FROM adc)
+         |SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "sim_pq_search" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

@@ -361,6 +361,33 @@ object TextQueries {
         .orderBy(col("lang"), col("n_types").desc, col("doc_id"))
     },
 
+    // CCNet-style quality tiers: per language, documents ranked by an
+    // integral quality proxy (type count — the cross-engine-exact order
+    // key) and cut into head/middle/tail TERCILES by pure rank arithmetic,
+    // (3·(rank−1)) DIV n_lang. The per-lang rank is the range-partitioned
+    // grouped rank (never a 5-value Window.partitionBy), per-lang totals
+    // are a bounded dim broadcast back — so tiering 100 TB is one sort
+    // shuffle plus arithmetic, no second pass over the corpus
+    "pipe_quality_tiers" -> { (s, dir) =>
+      val d = graft.expressions.TextExpressions.tokenDiversity(col("text"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), d.as("__d"))
+        .select(col("doc_id"), col("lang"),
+          col("__d").getItem(0).as("n_tokens"),
+          col("__d").getItem(1).as("n_types"))
+        .where(col("n_tokens") > 0)
+        .drop("n_tokens")
+      val ranked = graft.operators.GlobalRank.withGroupedPrefixSum(
+        base, Seq("lang"), Seq(col("n_types").desc, col("doc_id")),
+        lit(0L), rankCol = "lang_rank")
+      val tot = base.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(tot), "lang")
+        .select(col("doc_id"), col("lang"), col("n_types"), col("lang_rank"),
+          expr("CASE (3 * (lang_rank - 1)) DIV n_lang WHEN 0 THEN 'head' " +
+            "WHEN 1 THEN 'middle' ELSE 'tail' END").as("tier"))
+        .orderBy("lang", "lang_rank")
+    },
+
     // repeated-token ratio — the classic repetition quality signal for
     // training corpora (1 - distinct/total); narrow per-row map, no shuffle
     "ta_repetition" -> { (s, dir) =>
@@ -1019,6 +1046,21 @@ object TextQueries {
          |SELECT lang, doc_id, n_types, n_tokens,
          | (pre + n_tokens)::BIGINT AS cum_tokens
          |FROM p WHERE pre < 2000 ORDER BY lang, n_types DESC, doc_id""".stripMargin,
+
+    "pipe_quality_tiers" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS t
+         |             FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, lang, t FROM tok GROUP BY doc_id, lang, t),
+         |a AS (SELECT doc_id, lang, COUNT(*) AS n_types
+         |      FROM c GROUP BY doc_id, lang),
+         |r AS (SELECT doc_id, lang, n_types,
+         |  ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY n_types DESC, doc_id) AS lang_rank,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM a)
+         |SELECT doc_id, lang, n_types, lang_rank,
+         | CASE (3 * (lang_rank - 1)) // n_lang WHEN 0 THEN 'head'
+         |   WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM r ORDER BY lang, lang_rank""".stripMargin,
 
     "pipe_domain_cap" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens,
