@@ -1155,6 +1155,49 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // bounded-hop BFS reachability over the co-purchase graph (the
+    // "blast radius" / related-items expansion shape): min-hop label for
+    // every node within 3 hops of a seed set. Frontier-join BFS — each
+    // round is ONE join of the (pre-partitioned, checkpointed) adjacency
+    // against the CURRENT frontier plus an anti-join against the reached
+    // set, so round cost tracks the frontier's edge boundary, not the
+    // graph; rounds are a fixed constant (the bounded-hop contract), and
+    // the seed predicate is arithmetic (v % 50), not a driver-side list.
+    // Pointer-jumping (q45) is the unbounded-depth closure; this is the
+    // bounded-radius twin every recommender/graph-feature pipeline runs
+    "q67_bfs_reach" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val e = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("a"), col("b"))
+      val adj = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(eager = true)
+      val nodes = adj.select(col("src").as("v")).distinct()
+      var reached = nodes.where(col("v") % 50 === 0)
+        .select(col("v"), lit(0L).as("hop"))
+        .localCheckpoint(eager = true)
+      var frontier = reached.select(col("v"))
+      for (h <- 1 to 3) {
+        val next = adj.join(frontier.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v")).distinct()
+          .join(reached.select(col("v")), Seq("v"), "left_anti")
+          .select(col("v"), lit(h.toLong).as("hop"))
+          .localCheckpoint(eager = true)
+        reached = reached.unionAll(next).localCheckpoint(eager = true)
+        frontier = next.select(col("v"))
+      }
+      reached.orderBy("v")
+    },
+
     // gaps-and-islands: per-user activity streaks over consecutive UTC
     // days (the engagement-streak shape). Island id = day − row_number in
     // day order, constant exactly across a consecutive run — two hash
@@ -1863,6 +1906,29 @@ object Relational {
         | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
         | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
         |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "q67_bfs_reach" ->
+      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+        |  FROM dp a JOIN dp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM pc WHERE n >= 2),
+        |adj AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |h0 AS (SELECT DISTINCT src AS v FROM adj WHERE src % 50 = 0),
+        |h1 AS (SELECT DISTINCT adj.dst AS v FROM adj JOIN h0 ON adj.src = h0.v
+        |       EXCEPT SELECT v FROM h0),
+        |h2 AS (SELECT DISTINCT adj.dst AS v FROM adj JOIN h1 ON adj.src = h1.v
+        |       EXCEPT (SELECT v FROM h0 UNION ALL SELECT v FROM h1)),
+        |h3 AS (SELECT DISTINCT adj.dst AS v FROM adj JOIN h2 ON adj.src = h2.v
+        |       EXCEPT (SELECT v FROM h0 UNION ALL SELECT v FROM h1
+        |               UNION ALL SELECT v FROM h2))
+        |SELECT v, 0::BIGINT AS hop FROM h0
+        |UNION ALL SELECT v, 1::BIGINT FROM h1
+        |UNION ALL SELECT v, 2::BIGINT FROM h2
+        |UNION ALL SELECT v, 3::BIGINT FROM h3
+        |ORDER BY v""".stripMargin,
 
     "q65_streaks" ->
       """WITH days AS (
