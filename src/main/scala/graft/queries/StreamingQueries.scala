@@ -553,6 +553,44 @@ object StreamingQueries {
     // like the batch conditional-min. A user's stages arriving in
     // DIFFERENT batches is the cross-batch path; the funnel counts are
     // computed from the final folded state only
+    // continuous growth curve: q57's cumulative-distinct-users twin. The
+    // distinct is maintained as per-user MergeMin(first_day) state across
+    // FOUR micro-batches (a user's earliest day can arrive in a LATER
+    // batch — the fold must take the min, not first-write-wins, which is
+    // exactly what a naive dropDuplicates-on-user stream gets wrong);
+    // the day rollup + running total then run over the final state's
+    // dim-sized per-day table. State is one row per user (the 100 TB
+    // cardinality knob), never a running count(distinct) over the feed
+    "stream_cume_users" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def rollup(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+        .agg(min(col("day_num")).as("first_day"))
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day_num"))
+      val rows = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, Long)]
+      val initial = rollup(base.where(lit(false)))
+      @volatile var state: DataFrame = initial
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("event_id", "user_id", "day_num"),
+          initial, Seq("user_id"), rollup,
+          Seq("first_day" -> IncrementalAgg.MergeMin))(df => state = df)
+        foldBatches(in, rows.grouped(rows.length / 4 + 1).map(_.toSeq), q)
+      }
+      val perDay = state.groupBy(col("first_day").as("day_num"))
+        .agg(count(lit(1)).as("n_new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day_num")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDay.withColumn("cume_users", sum(col("n_new_users")).over(w))
+        .orderBy("day_num")
+    },
+
     "stream_funnel" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -863,6 +901,17 @@ object StreamingQueries {
         |SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to,
         | (valid_to IS NULL) AS is_current
         |FROM r WHERE op = 'U' ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "stream_cume_users" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(FLOOR(FLOOR(EPOCH(ts)) / 86400)::BIGINT) AS first_day
+        | FROM events GROUP BY user_id),
+        |p AS (SELECT first_day AS day_num, COUNT(*) AS n_new_users
+        | FROM f GROUP BY first_day)
+        |SELECT day_num, n_new_users,
+        | CAST(SUM(n_new_users) OVER (ORDER BY day_num
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+        |FROM p ORDER BY day_num""".stripMargin,
 
     "stream_mv_upkeep" ->
       """SELECT o_custkey, count(*) AS n_orders,
