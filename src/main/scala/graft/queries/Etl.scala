@@ -198,6 +198,44 @@ object Etl {
         .orderBy("p_partkey")
     },
 
+    // golden-record survivorship (the MDM merge shape): the same entity
+    // arrives from two feeds with different freshness, priority and
+    // per-column gaps; the survivor is chosen PER COLUMN — freshest
+    // non-null value, source priority breaking update-time ties — via one
+    // map-side-combinable struct-max per column over an exact packed
+    // (updated_at, 9−priority) BIGINT order key. One hash shuffle on the
+    // entity key regardless of feed count; no per-entity sort, no window.
+    // Feeds are synthesized deterministically from customer (modular null
+    // knockouts), so the full rule matrix — A-only, B-only, both, neither
+    // — is exercised and the oracle replays it verbatim
+    "etl_survivorship" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey").as("k"), lit(1L).as("pri"),
+        (col("c_custkey") % 90).cast("long").as("upd"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("segment"))
+      val b = c.select(col("c_custkey").as("k"), lit(2L).as("pri"),
+        ((col("c_custkey") * 7) % 90).cast("long").as("upd"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("crm_"), col("c_name"))).as("name"),
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(lit(null).cast("double")).as("acctbal"),
+        when(col("c_custkey") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+      val all = a.unionAll(b)
+        .withColumn("ord", col("upd") * 10 + (lit(9L) - col("pri")))
+      def surv(name: String) =
+        max(when(col(name).isNotNull, struct(col("ord"), col(name))))
+          .getField(name).as(name)
+      all.groupBy(col("k").as("c_custkey"))
+        .agg(count(lit(1)).as("n_sources"),
+          surv("name"), surv("acctbal"), surv("segment"))
+        .orderBy("c_custkey")
+    },
+
     // CDC merge: fold an orders-derived changelog (upserts + deletes,
     // multiple changes per key, latest sequence wins) into the customer
     // snapshot — the MERGE INTO shape without a table format.
@@ -591,6 +629,28 @@ object Etl {
         |FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
         | ON o_custkey = c_custkey
         |ORDER BY order_id""".stripMargin,
+
+    "etl_survivorship" ->
+      """WITH a AS (SELECT c_custkey AS k, 1 AS pri,
+        |  (c_custkey % 90)::BIGINT AS upd,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acctbal,
+        |  c_mktsegment AS segment FROM customer),
+        |b AS (SELECT c_custkey AS k, 2 AS pri,
+        |  ((c_custkey * 7) % 90)::BIGINT AS upd,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE 'crm_' || c_name END AS name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+        |    ELSE NULL END AS acctbal,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |    ELSE c_mktsegment END AS segment FROM customer),
+        |u AS (SELECT *, upd * 10 + (9 - pri) AS ord
+        |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        |SELECT k AS c_custkey, COUNT(*) AS n_sources,
+        | arg_max(name, ord) FILTER (name IS NOT NULL) AS name,
+        | arg_max(acctbal, ord) FILTER (acctbal IS NOT NULL) AS acctbal,
+        | arg_max(segment, ord) FILTER (segment IS NOT NULL) AS segment
+        |FROM u GROUP BY k ORDER BY c_custkey""".stripMargin,
 
     "etl_enrich_batch" ->
       """WITH t AS (SELECT p_partkey, p_name,
