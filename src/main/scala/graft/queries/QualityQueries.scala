@@ -357,6 +357,42 @@ object QualityQueries {
         .orderBy("user_id")
     },
 
+    // full pairwise correlation matrix of the feed's numeric columns in
+    // ONE aggregation pass (the profiling matrix Deequ/EDA tools emit):
+    // 4 columns → 14 exact DECIMAL power sums (n, Σx, Σx², Σxy per pair)
+    // computed as independent map-side-combinable sums — no Expand, no
+    // per-pair scan (6 corr() calls would plan 6 passes over the fact
+    // table); the 1×1 result explodes into 6 pair rows and every r is the
+    // same IEEE association as q38, so float arithmetic happens only
+    // after aggregation on already-exact values
+    "dq_corr_matrix" -> { (s, dir) =>
+      val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dc(n: String): Column = col(n).cast("decimal(8,2)")
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        names.map(n => sum(dc(n)).cast("double").as(s"s_$n")) ++
+        names.map(n => sum(dc(n) * dc(n)).cast("double").as(s"ss_$n")) ++
+        pairs.map { case (a, b) =>
+          sum(dc(a) * dc(b)).cast("double").as(s"sp_${a}_$b")
+        }
+      val st = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      val pairStructs = array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"),
+          col(s"sp_${a}_$b").as("sxy"))
+      }: _*)
+      val nd = col("n").cast("double")
+      st.select(col("n"), explode(pairStructs).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("n"),
+          ((col("p.sxy") - col("p.sx") * col("p.sy") / nd) /
+            (sqrt(col("p.sxx") - col("p.sx") * col("p.sx") / nd) *
+              sqrt(col("p.syy") - col("p.sy") * col("p.sy") / nd))).as("corr"))
+        .orderBy("col_a", "col_b")
+    },
+
     // bad-row routing (the dead-letter-queue shape): rows failing any
     // expectation are materialized WITH their reasons — dq_rules counts
     // violations, this quarantines them. One codegen'd scan-transform
@@ -392,6 +428,36 @@ object QualityQueries {
         |    CAST(min(l_discount) AS DOUBLE),
         |    CAST(max(l_discount) AS DOUBLE) FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    "dq_corr_matrix" ->
+      """WITH st AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS s_e,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS s_t,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS ss_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS ss_e,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS ss_d,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS ss_t,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sp_qe,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_qd,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_qt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_ed,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_et,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_dt
+        | FROM lineitem),
+        |p AS (
+        | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |   s_q AS sx, s_e AS sy, ss_q AS sxx, ss_e AS syy, sp_qe AS sxy FROM st
+        | UNION ALL SELECT 'l_quantity', 'l_discount', n, s_q, s_d, ss_q, ss_d, sp_qd FROM st
+        | UNION ALL SELECT 'l_quantity', 'l_tax', n, s_q, s_t, ss_q, ss_t, sp_qt FROM st
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount', n, s_e, s_d, ss_e, ss_d, sp_ed FROM st
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax', n, s_e, s_t, ss_e, ss_t, sp_et FROM st
+        | UNION ALL SELECT 'l_discount', 'l_tax', n, s_d, s_t, ss_d, ss_t, sp_dt FROM st)
+        |SELECT col_a, col_b, n,
+        | (sxy - sx * sy / n) /
+        |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
+        |FROM p ORDER BY col_a, col_b""".stripMargin,
 
     "dq_rules" ->
       """SELECT rule, n_violations, n_checked FROM (
