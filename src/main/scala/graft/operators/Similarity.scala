@@ -78,6 +78,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** One NN-descent refinement iteration (Dong et al., WWW'11 — the
+    * offline k-NN-graph construction loop behind HNSW-style indexes):
+    * expand every node's candidate set to its neighbors' neighbors over
+    * the SYMMETRIZED current graph (a near neighbor of my near neighbor
+    * is probably my near neighbor), score candidates exactly, keep the
+    * best k. Iterated to convergence this turns any cheap seed graph
+    * (LSH, block-local) into a near-exact one — each step lets neighbors
+    * ESCAPE the seed's blocking, which is precisely what block-local k-NN
+    * cannot do.
+    *
+    * Scale shape: candidate growth is bounded by (2k)² per node — the
+    * two-hop join fans out each directed edge once per incident edge,
+    * never corpus² — and both vector lookups are equi-joins on the id key
+    * (bucket the corpus by id and they are exchange-free). The final
+    * top-k is the bounded per-node window over ≤(2k)²+2k candidates.
+    *
+    * `knn`: current graph as (a_id, b_id) directed edges. Output:
+    * (a_id, b_id, cosine, rank) — the refined top-k graph.
+    */
+  def nnDescentStep(corpus: DataFrame, idCol: String, vecCol: String,
+                    knn: DataFrame, k: Int): DataFrame = {
+    val und = knn.select(col("a_id"), col("b_id"))
+      .unionAll(knn.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(eager = true) // feeds both sides of the two-hop join
+    val non = und.as("e1").join(und.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a_id"), col("e2.b_id").as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+    val cands = und.unionAll(non).distinct()
+    val v = corpus.select(col(idCol).as("__id"),
+        Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+    val scored = cands
+      .join(v.select(col("__id").as("a_id"), col("__v").as("a_v"),
+        col("__nrm").as("a_nrm")), "a_id")
+      .join(v.select(col("__id").as("b_id"), col("__v").as("b_v"),
+        col("__nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (Vectors.dot(col("a_v"), col("b_v")) /
+          (col("a_nrm") * col("b_nrm"))).as("cosine"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH: `nTables`
     * independent plane sets; a corpus row lands in one bucket per table and
     * a query probes its own bucket in each table (candidates = union across

@@ -176,6 +176,22 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // one NN-descent iteration (Dong et al. WWW'11) refining the
+    // label-blocked seed graph: candidates expand to neighbors-of-
+    // neighbors over the symmetrized graph — (2k)² work per node, never
+    // corpus² — scored exactly, top-3 kept. The step lets true neighbors
+    // ESCAPE the seed's label blocking, which block-local k-NN cannot;
+    // iterated, this is how a 100 TB corpus builds a near-exact k-NN
+    // graph from any cheap seed
+    "sim_nn_descent" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val seed = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
+          blockCol = "label", k = 3)
+        .select(col("a_id"), col("b_id"))
+      Similarity.nnDescentStep(emb, "vec_id", "embedding", seed, k = 3)
+        .orderBy("a_id", "rank")
+    },
+
     // exact k-NN JOIN (top-3 neighbors for EVERY vector, not a query set),
     // label-blocked so the pair space is Σ block² — the all-pairs
     // retrieval shape used for corpus-level embedding dedup/clustering
@@ -653,6 +669,34 @@ object SimilarityQueries {
          |SELECT id, sub_id, c_id AS code, d2 FROM d
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_id ORDER BY d2, c_id) = 1
          |ORDER BY id, sub_id""".stripMargin,
+
+    // seed graph (label-blocked top-3) → symmetrize → two-hop expansion →
+    // exact re-score → re-rank, replayed stepwise
+    "sim_nn_descent" ->
+      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.e", "b.e")} /
+         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+         |seed AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+         |und AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a_id, b_id FROM seed
+         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
+         |nn AS (SELECT e1.a_id, e2.b_id FROM und e1
+         |  JOIN und e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+         |cand AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a_id, b_id FROM und UNION ALL SELECT a_id, b_id FROM nn)),
+         |sc AS (SELECT c.a_id, c.b_id,
+         |  ${dotSql("a.e", "b.e")} /
+         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+         | FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id),
+         |r AS (SELECT a_id, b_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rank
+         | FROM sc)
+         |SELECT a_id, b_id, cosine, rank FROM r WHERE rank <= 3
+         |ORDER BY a_id, rank""".stripMargin,
 
     "sim_knn_join" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
