@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{BatchEnrich, Cdc, EtlOps, IncrementalAgg, NameRuleEnricher}
+import graft.operators.{AsOfJoin, BatchEnrich, Cdc, EtlOps, IncrementalAgg, NameRuleEnricher}
 import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -265,6 +265,38 @@ object Etl {
           .otherwise(Cdc.OpUpsert).as("op"))
       Cdc.scd2History(changes, "c_custkey", "seq", "op")
         .orderBy("c_custkey", "valid_from")
+    },
+
+    // point-in-time join (the feature-store / audit correctness shape):
+    // each fact joined to the dimension VERSION that was live at the
+    // fact's own time — the join a plain snapshot join silently gets
+    // wrong (training-serving skew / lookahead leakage). Composed as
+    // scd2History → AsOfJoin.asofLast on (key, seq): ONE linear
+    // (key, time) shuffle+sort, never the quadratic range join; a
+    // version CLOSED before the fact's time (trailing delete, no
+    // successor ≤ t) correctly yields no attributes — the subtlety the
+    // oracle's CASE on valid_to replays
+    "etl_pit_join" -> { (s, dir) =>
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 20 === 0, Cdc.OpDelete)
+          .otherwise(Cdc.OpUpsert).as("op"))
+      val hist = Cdc.scd2History(changes, "c_custkey", "seq", "op")
+        .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+          col("c_name"), col("c_acctbal"))
+      val facts = Tables.orders(s, dir).where(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val j = AsOfJoin.asofLast(facts, hist,
+        "c_custkey", "o_orderkey", "valid_from")
+      val live = col("valid_to").isNull || col("valid_to") > col("o_orderkey")
+      j.select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+          when(live, col("c_name")).as("pit_name"),
+          when(live, col("c_acctbal")).as("pit_acctbal"))
+        .orderBy("o_orderkey")
     },
 
     // partitioned parquet lake round-trip with partition pruning: write
@@ -660,6 +692,28 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "etl_pit_join" ->
+      """WITH ch AS (SELECT o_custkey AS k, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),
+        |h AS (SELECT k, c_name, c_acctbal, seq AS valid_from,
+        |  LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to, op FROM ch),
+        |hist AS (SELECT * FROM h WHERE op = 'U'),
+        |f AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 3 = 0),
+        |pick AS (SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
+        |  hist.c_name, hist.c_acctbal, hist.valid_to,
+        |  ROW_NUMBER() OVER (PARTITION BY f.o_orderkey
+        |    ORDER BY hist.valid_from DESC) AS rn
+        | FROM f LEFT JOIN hist
+        |   ON hist.k = f.o_custkey AND hist.valid_from <= f.o_orderkey)
+        |SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        | CASE WHEN valid_to IS NULL OR valid_to > o_orderkey
+        |   THEN c_name END AS pit_name,
+        | CASE WHEN valid_to IS NULL OR valid_to > o_orderkey
+        |   THEN c_acctbal END AS pit_acctbal
+        |FROM pick WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "etl_cdc_merge" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
