@@ -259,6 +259,29 @@ object SimilarityQueries {
         .orderBy("lang", "shard")
     },
 
+    // shard member INDEX (the .idx sidecar a WebDataset/tar reader needs
+    // for random access): each member's byte offset inside its shard's
+    // concatenated payload = global prefix − the shard's first prefix.
+    // The rebase runs as a window over (lang, shard) — a HIGH-cardinality
+    // key (one group per ~4 KiB of corpus) with 4 KiB-bounded groups, so
+    // unlike a per-lang window this parallelizes at any scale
+    "mm_shard_index" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang"),
+          length(col("text").cast("binary")).as("byte_len"))
+      val pre = graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("id")), col("byte_len"))
+        .withColumn("shard",
+          floor(col("grp_prefix") / lit(4096.0)).cast("long"))
+      val w = Window.partitionBy("lang", "shard")
+      pre.withColumn("byte_offset",
+          col("grp_prefix") - min(col("grp_prefix")).over(w))
+        .select(col("lang"), col("shard"), col("id"), col("byte_offset"),
+          col("byte_len"))
+        .orderBy("lang", "shard", "id")
+    },
+
     // shard materialization (the write step of mm_shard_pack): each
     // shard's members concatenated in id order into one payload — the
     // tar-member stream a WebDataset writer emits. collect_list is
@@ -753,6 +776,21 @@ object SimilarityQueries {
         | COUNT(*) AS n_items, SUM(byte_len)::BIGINT AS shard_bytes,
         | MIN(id) AS first_id, MAX(id) AS last_id
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    "mm_shard_index" ->
+      """WITH m AS (SELECT doc_id AS id, lang, octet_length(text::BLOB) AS byte_len
+        |  FROM documents),
+        |p AS (SELECT id, lang, byte_len,
+        |  COALESCE(SUM(byte_len) OVER (PARTITION BY lang ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM m),
+        |sh AS (SELECT id, lang, byte_len, prefix,
+        |  CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard FROM p)
+        |SELECT lang, shard, id,
+        | (prefix - MIN(prefix) OVER (PARTITION BY lang, shard))::BIGINT
+        |   AS byte_offset,
+        | byte_len
+        |FROM sh ORDER BY lang, shard, id""".stripMargin,
 
     "mm_shard_payload" ->
       """WITH m AS (SELECT doc_id AS id, lang, text,
