@@ -83,10 +83,12 @@ object Similarity {
     * expand every node's candidate set to its neighbors' neighbors over
     * the SYMMETRIZED current graph (a near neighbor of my near neighbor
     * is probably my near neighbor), score candidates exactly, keep the
-    * best k. Iterated to convergence this turns any cheap seed graph
-    * (LSH, block-local) into a near-exact one — each step lets neighbors
-    * ESCAPE the seed's blocking, which is precisely what block-local k-NN
-    * cannot do.
+    * best k. Iterated to convergence this turns a cheap seed graph into a
+    * near-exact one. The seed MUST contain cross-block links for the step
+    * to improve on block-local k-NN: two-hop expansion of purely
+    * within-block edges stays within the block, which is exactly why the
+    * original algorithm seeds each node with RANDOM neighbors — good
+    * neighbors then propagate along those long-range links step by step.
     *
     * Scale shape: candidate growth is bounded by (2k)² per node — the
     * two-hop join fans out each directed edge once per incident edge,

@@ -176,19 +176,28 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
-    // one NN-descent iteration (Dong et al. WWW'11) refining the
-    // label-blocked seed graph: candidates expand to neighbors-of-
-    // neighbors over the symmetrized graph — (2k)² work per node, never
-    // corpus² — scored exactly, top-3 kept. The step lets true neighbors
-    // ESCAPE the seed's label blocking, which block-local k-NN cannot;
-    // iterated, this is how a 100 TB corpus builds a near-exact k-NN
-    // graph from any cheap seed
+    // one NN-descent iteration (Dong et al. WWW'11): the seed graph is
+    // the label-blocked top-3 UNION three deterministic pseudo-random
+    // links per node ((a·131 + t·9973) mod N — vec_ids are contiguous;
+    // the md5-as-randomness rule in arithmetic form). The random links
+    // matter: two-hop expansion of purely within-block edges can never
+    // leave the block, which is why the original algorithm seeds each
+    // node randomly — candidates expand to neighbors-of-neighbors over
+    // the symmetrized graph ((2k)² per node, never corpus²), score
+    // exactly, keep top-3. Iterated, this builds a near-exact k-NN graph
+    // over a 100 TB corpus from any cheap seed
     "sim_nn_descent" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val seed = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
+      val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
           blockCol = "label", k = 3)
         .select(col("a_id"), col("b_id"))
-      Similarity.nnDescentStep(emb, "vec_id", "embedding", seed, k = 3)
+      val n = emb.agg(count(lit(1)).as("__n"))
+      val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
+        .select(col("a_id"), explode(array((1 to 3).map(t =>
+          (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
+        .where(col("b_id") =!= col("a_id"))
+      Similarity.nnDescentStep(emb, "vec_id", "embedding",
+          blocked.unionAll(rand), k = 3)
         .orderBy("a_id", "rank")
     },
 
@@ -693,17 +702,24 @@ object SimilarityQueries {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY id, sub_id ORDER BY d2, c_id) = 1
          |ORDER BY id, sub_id""".stripMargin,
 
-    // seed graph (label-blocked top-3) → symmetrize → two-hop expansion →
-    // exact re-score → re-rank, replayed stepwise
+    // seed graph (label-blocked top-3 ∪ arithmetic pseudo-random links) →
+    // symmetrize → two-hop expansion → exact re-score → re-rank, stepwise
     "sim_nn_descent" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
          |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  ${dotSql("a.e", "b.e")} /
          |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
          | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
-         |seed AS (SELECT a_id, b_id FROM (
+         |blocked AS (SELECT a_id, b_id FROM (
          |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
          |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+         |nq AS (SELECT COUNT(*) AS n FROM v),
+         |rnd AS (SELECT a.vec_id AS a_id,
+         |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
+         | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
+         | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
+         |seed AS (SELECT a_id, b_id FROM blocked
+         |  UNION ALL SELECT a_id, b_id FROM rnd),
          |und AS (SELECT DISTINCT a_id, b_id FROM (
          |  SELECT a_id, b_id FROM seed
          |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),

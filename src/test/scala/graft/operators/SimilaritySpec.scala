@@ -120,6 +120,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("nnDescentStep: never worse than the seed; random seed links let neighbors cross blocks") {
+    val emb = Tables.embeddings(spark, dir)
+    val seed = Similarity.knnJoinBlocked(emb, "vec_id", "embedding", "label", k = 3)
+    // a PURELY block-local seed can never cross blocks: two-hop expansion
+    // of within-block edges stays within the block
+    val localOnly = Similarity.nnDescentStep(emb, "vec_id", "embedding",
+      seed.select("a_id", "b_id"), k = 3).collect()
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(localOnly.forall(r =>
+      labelOf(r.getAs[Long]("a_id")) == labelOf(r.getAs[Long]("b_id"))))
+    // with cross-block seed links (the real algorithm's random init), the
+    // expansion DOES surface cross-label neighbors
+    val n = emb.count()
+    val rand = emb.select($"vec_id".as("a_id"))
+      .select($"a_id", explode(array((1 to 3).map(t =>
+        ($"a_id" * 131 + lit(t * 9973)) % n): _*)).as("b_id"))
+      .where($"b_id" =!= $"a_id")
+    val refined = Similarity.nnDescentStep(emb, "vec_id", "embedding",
+      seed.select("a_id", "b_id").unionAll(rand), k = 3).collect()
+    val crossLabel = refined.count(r =>
+      labelOf(r.getAs[Long]("a_id")) != labelOf(r.getAs[Long]("b_id")))
+    assert(crossLabel > 0, "no neighbor crossed blocks despite random seed links")
+    // monotone improvement: every seed edge stays in the candidate set, so
+    // each node's refined best cosine can only match or beat the seed's
+    val seedBest = seed.where($"rank" === 1)
+      .select("a_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refinedBest = refined.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("a_id") -> r.getAs[Double]("cosine")).toMap
+    seedBest.foreach { case (a, c) =>
+      assert(refinedBest(a) >= c, s"node $a regressed: ${refinedBest(a)} < $c")
+    }
+    // bounded output, descending per node
+    refined.groupBy(_.getAs[Long]("a_id")).values.foreach { rows =>
+      assert(rows.length <= 3)
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("knnJoinBlocked: <= k in-block neighbors per row, descending, agrees with brute force") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.knnJoinBlocked(emb, "vec_id", "embedding", "label", k = 3)
