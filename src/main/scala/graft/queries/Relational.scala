@@ -1155,6 +1155,58 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // peak concurrency (max interval overlap — the "how many sessions
+    // were live at once" capacity query) by sweep line: each 300 s
+    // activity interval contributes a +1 start and a −1 end point, the
+    // running sum over (time, delta, id) order is the live count, its max
+    // per type is the answer. The per-type running sum is the range-
+    // partitioned grouped prefix sum (event_type is low-cardinality — a
+    // per-type window would funnel each type through ONE task at 100 TB);
+    // (t, delta, event_id) is a total order, and −1 sorting before +1 at
+    // equal t gives half-open [s, s+300) semantics in both engines
+    "q68_peak_concurrency" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"),
+          col("event_id"))
+      val pts = ev.select(col("event_type"), col("sec").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(ev.select(col("event_type"), (col("sec") + 300).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          pts, Seq("event_type"),
+          Seq(col("t"), col("delta"), col("event_id")), col("delta"),
+          prefixCol = "pre")
+        .select(col("event_type"), col("delta"),
+          (col("pre") + col("delta")).as("concurrent"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"),
+          max(col("concurrent")).as("max_concurrent"))
+        .orderBy("event_type")
+    },
+
+    // duplicate-payment audit (the double-charge reconciliation check):
+    // customers with MULTIPLE orders on the same day, reported with their
+    // exact-cent amount spread (spread 0 = identical amounts — the classic
+    // double-submit). ONE hash aggregation on the composite key — the
+    // pair/window formulations of this audit do strictly more work for
+    // the same answer
+    "dq_double_charge" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+            .as("day_num"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("day_num"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_ok"),
+          max(col("o_orderkey")).as("last_ok"),
+          (max(col("cents")) - min(col("cents"))).as("cents_spread"))
+        .where(col("n_orders") > 1)
+        .orderBy("o_custkey", "day_num")
+    },
+
     // bounded-hop BFS reachability over the co-purchase graph (the
     // "blast radius" / related-items expansion shape): min-hop label for
     // every node within 3 hops of a seed set. Frontier-join BFS — each
@@ -1906,6 +1958,32 @@ object Relational {
         | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
         | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
         |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "q68_peak_concurrency" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  event_id FROM events),
+        |pts AS (SELECT event_type, sec AS t, 1::BIGINT AS delta, event_id FROM e
+        |  UNION ALL
+        |  SELECT event_type, sec + 300, -1::BIGINT, event_id FROM e),
+        |run AS (SELECT event_type, delta,
+        |  SUM(delta) OVER (PARTITION BY event_type
+        |    ORDER BY t, delta, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS concurrent FROM pts)
+        |SELECT event_type,
+        | SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals,
+        | MAX(concurrent)::BIGINT AS max_concurrent
+        |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dq_double_charge" ->
+      """WITH o AS (SELECT o_custkey,
+        |  FLOOR(FLOOR(EPOCH(o_orderdate)) / 86400)::BIGINT AS day_num,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        | FROM orders)
+        |SELECT o_custkey, day_num, COUNT(*) AS n_orders,
+        | MIN(o_orderkey) AS first_ok, MAX(o_orderkey) AS last_ok,
+        | (MAX(cents) - MIN(cents))::BIGINT AS cents_spread
+        |FROM o GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY o_custkey, day_num""".stripMargin,
 
     "q67_bfs_reach" ->
       """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
