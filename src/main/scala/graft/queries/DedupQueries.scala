@@ -416,9 +416,13 @@ object DedupQueries {
 
     // brute-force twin: the prefix filter is exact (zero false negatives),
     // so the full O(N²) pair scan at sf0.01 must match the filtered join
+    // brute-force twin over the SAME portable md5-long shingle domain the
+    // operator verifies in (both engines hash identically, so parity is
+    // unconditional)
     "dd_prefix_join" ->
-      s"""WITH t AS (SELECT doc_id, $triShingles AS tk FROM documents
-         |           WHERE len($triShingles) > 0),
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform($triShingles,
+         |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS tk
+         |  FROM documents WHERE len($triShingles) > 0),
          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  len(list_intersect(a.tk, b.tk)) AS i, len(a.tk) AS sa, len(b.tk) AS sb
          |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
