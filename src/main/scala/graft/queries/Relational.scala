@@ -1287,12 +1287,15 @@ object Relational {
     // Both thresholds resolve from ONE pass via conditional mins; ceil is
     // exact integer arithmetic, so no float ever decides a boundary
     "q66_weighted_median" -> { (s, dir) =>
+      // checkpoint: byVal feeds both the prefix-sum pipeline and the
+      // per-flag totals — without it the fact-table scan+agg runs twice
       val byVal = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
           floor(col("l_quantity")).cast("long").as("w"))
         .groupBy(col("flag"), col("price_cents"))
         .agg(sum(col("w")).as("wsum"))
+        .localCheckpoint(eager = true)
       val pre = graft.operators.GlobalRank.withGroupedPrefixSum(
         byVal, Seq("flag"), Seq(col("price_cents")), col("wsum"),
         rankCol = "vrank", prefixCol = "cum_before")
