@@ -740,6 +740,31 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // packing-efficiency audit (measure the packer, don't trust it):
+    // per-language bin-utilization histogram from the same greedy
+    // pack_bins construction — bins bucketed by fill decile (bucket 10 =
+    // overflow: a boundary doc pushed the bin past capacity, the greedy
+    // rule's documented trade). Two bounded aggregations over the per-bin
+    // rollup; all-integer arithmetic
+    "pipe_pack_stats" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), nt.as("n_tokens"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("bin", floor(col("grp_prefix") / lit(256.0)).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(col("n_tokens")).as("bin_tokens"))
+        .select(col("lang"),
+          expr("least((bin_tokens * 10) DIV 256, 10)").as("util_bucket"),
+          col("bin_tokens"))
+        .groupBy(col("lang"), col("util_bucket"))
+        .agg(count(lit(1)).as("n_bins"),
+          min(col("bin_tokens")).as("min_tokens"),
+          max(col("bin_tokens")).as("max_tokens"))
+        .orderBy("lang", "util_bucket")
+    },
+
     // the materialization step of pack_bins: concatenate each bin's docs
     // (doc_id order) into one training-sequence payload. collect_list is
     // shuffle-order-nondeterministic — sort_array over (doc_id, text)
@@ -1524,6 +1549,18 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_pack_stats" ->
+      s"""WITH b AS (SELECT doc_id, lang, len($toksSql) AS n_tokens,
+         |  floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
+         | FROM documents),
+         |bins AS (SELECT lang, bin, SUM(n_tokens)::BIGINT AS bin_tokens
+         |  FROM b GROUP BY lang, bin)
+         |SELECT lang, LEAST((bin_tokens * 10) // 256, 10)::BIGINT AS util_bucket,
+         | COUNT(*) AS n_bins, MIN(bin_tokens)::BIGINT AS min_tokens,
+         | MAX(bin_tokens)::BIGINT AS max_tokens
+         |FROM bins GROUP BY 1, 2 ORDER BY lang, util_bucket""".stripMargin,
 
     "pipe_pack_payload" ->
       s"""WITH b AS (SELECT doc_id, lang, text, len($toksSql) AS n_tokens,

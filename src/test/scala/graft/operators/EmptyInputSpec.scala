@@ -129,6 +129,18 @@ class EmptyInputSpec extends SparkSpec {
       m = 8, dim = 64, stride = 16).isEmpty)
   }
 
+  test("ivfPqSearch and nnDescentStep: empty inputs are empty, not a crash") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val noQ = emb.where(col("vec_id") < 0)
+    assert(IvfIndex.ivfPqSearch(emb, noQ, "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16).isEmpty)
+    assert(IvfIndex.ivfPqSearch(noQ, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", m = 8, dim = 64, stride = 16).isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Similarity.nnDescentStep(emb, "vec_id", "embedding",
+      noEdges, k = 3).isEmpty)
+  }
+
   test("hierarchy: empty node set is empty on both paths") {
     val none = Seq.empty[(Long, Option[Long])].toDF("id", "parent")
     assert(Hierarchy.flatten(none, "id", "parent").isEmpty)
