@@ -124,6 +124,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Greedy beam search over a k-NN graph (the query half of graph-ANN —
+    * [[nnDescentStep]] is the build half; together they are the
+    * HNSW-without-layers shape): start each query's beam at fixed entry
+    * points, repeatedly expand the beam with its graph neighbors, score
+    * candidates exactly, keep the best `beamWidth`, and after `rounds`
+    * expansions return the top `topK`.
+    *
+    * Scale shape: per round, ONE equi-join of the beam (Q·beamWidth rows)
+    * against the graph's adjacency (bucketed by source id → exchange-free
+    * at scale) plus one bounded per-query rank — the corpus is touched
+    * only through the candidate ids' vector lookups, Q·beamWidth·degree
+    * rows per round, independent of corpus size. Recall grows with
+    * beamWidth/rounds — the classic graph-ANN dial.
+    *
+    * `graph`: directed edges (a_id, b_id); symmetrized internally.
+    * `entries`: the per-query starting ids (joined to every query).
+    */
+  def graphBeamSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, graph: DataFrame, entries: DataFrame,
+                      beamWidth: Int, rounds: Int, topK: Int): DataFrame = {
+    val und = graph.select(col("a_id"), col("b_id"))
+      .unionAll(graph.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val v = corpus.select(col(idCol).as("__id"),
+        Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+      .localCheckpoint(eager = true)
+    val q = queries.select(col(idCol).as("q_id"),
+        Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
+      .localCheckpoint(eager = true)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v.select(col("__id").as("id"), col("__v"), col("__nrm")), "id")
+        .join(broadcast(q), "q_id")
+        .where(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"),
+          (Vectors.dot(col("q_v"), col("__v")) /
+            (col("q_nrm") * col("__nrm"))).as("cosine"))
+    def top(scored: DataFrame, k: Int): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+    var beam = top(score(q.select(col("q_id")).crossJoin(
+        entries.select(col(idCol).as("id")))), beamWidth)
+      .select(col("q_id"), col("id"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val cand = beam
+        .unionAll(beam.join(und.withColumnRenamed("a_id", "id"), "id")
+          .select(col("q_id"), col("b_id").as("id")))
+        .distinct()
+      beam = top(score(cand), beamWidth)
+        .select(col("q_id"), col("id"))
+        .localCheckpoint(eager = true)
+    }
+    top(score(beam), topK)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH: `nTables`
     * independent plane sets; a corpus row lands in one bucket per table and
     * a query probes its own bucket in each table (candidates = union across
