@@ -70,6 +70,31 @@ object Etl {
       .otherwise(concat(lit("Behandling med "), code, lit(" godkendt")))
   }
 
+  /** The two survivorship feeds (ERP pri=1, CRM pri=2) synthesized from
+    * customer with deterministic modular null knockouts — shared by the
+    * batch golden-record query and its streaming twin. Columns:
+    * (k, pri, upd, name, acctbal, segment).
+    */
+  private[queries] def survivorshipFeeds(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.select(col("c_custkey").as("k"), lit(1L).as("pri"),
+      (col("c_custkey") % 90).cast("long").as("upd"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val b = c.select(col("c_custkey").as("k"), lit(2L).as("pri"),
+      ((col("c_custkey") * 7) % 90).cast("long").as("upd"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("crm_"), col("c_name"))).as("name"),
+      when(col("c_custkey") % 2 === 0, col("c_acctbal") + lit(100.0))
+        .otherwise(lit(null).cast("double")).as("acctbal"),
+      when(col("c_custkey") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    a.unionAll(b)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the complete reference pipeline (main.py run_pipeline, L333-361) as
     // ONE declarative plan: synth cards -> classify -> filter approved ->
@@ -209,23 +234,7 @@ object Etl {
     // knockouts), so the full rule matrix — A-only, B-only, both, neither
     // — is exercised and the oracle replays it verbatim
     "etl_survivorship" -> { (s, dir) =>
-      val c = Tables.customer(s, dir)
-      val a = c.select(col("c_custkey").as("k"), lit(1L).as("pri"),
-        (col("c_custkey") % 90).cast("long").as("upd"),
-        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
-          .otherwise(col("c_name")).as("name"),
-        when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
-          .otherwise(col("c_acctbal")).as("acctbal"),
-        col("c_mktsegment").as("segment"))
-      val b = c.select(col("c_custkey").as("k"), lit(2L).as("pri"),
-        ((col("c_custkey") * 7) % 90).cast("long").as("upd"),
-        when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
-          .otherwise(concat(lit("crm_"), col("c_name"))).as("name"),
-        when(col("c_custkey") % 2 === 0, col("c_acctbal") + lit(100.0))
-          .otherwise(lit(null).cast("double")).as("acctbal"),
-        when(col("c_custkey") % 4 === 0, lit(null).cast("string"))
-          .otherwise(col("c_mktsegment")).as("segment"))
-      val all = a.unionAll(b)
+      val all = survivorshipFeeds(s, dir)
         .withColumn("ord", col("upd") * 10 + (lit(9L) - col("pri")))
       def surv(name: String) =
         max(when(col(name).isNotNull, struct(col("ord"), col(name))))

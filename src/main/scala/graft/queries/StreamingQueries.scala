@@ -553,6 +553,53 @@ object StreamingQueries {
     // like the batch conditional-min. A user's stages arriving in
     // DIFFERENT batches is the cross-batch path; the funnel counts are
     // computed from the final folded state only
+    // streaming golden-record upkeep: etl_survivorship's per-column
+    // freshest-non-null merge maintained as cross-batch state. Feed A
+    // (ERP) and feed B (CRM) arrive in SEPARATE micro-batches, so every
+    // entity's survivor is decided across a state fold — the per-column
+    // struct-max over the packed (updated_at, 9−priority) key is a
+    // MONOID (greatest() of structs), which is exactly what makes MDM
+    // maintainable incrementally: a new feed merges into stored state
+    // without re-reading earlier feeds. Final state ≡ the one-shot batch
+    // survivorship (same oracle)
+    "stream_survivorship" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def rollup(df: DataFrame): DataFrame = {
+        val w = df.withColumn("ord", col("upd") * 10 + (lit(9L) - col("pri")))
+        def surv(c: String) =
+          max(when(col(c).isNotNull, struct(col("ord"), col(c)))).as(s"${c}_s")
+        w.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_sources"),
+            surv("name"), surv("acctbal"), surv("segment"))
+      }
+      val feeds = Etl.survivorshipFeeds(s, dir)
+      val rows = feeds.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        Option(r.getString(5))))
+      val batches = Seq(rows.filter(_._2 == 1L).toSeq.sortBy(_._1),
+        rows.filter(_._2 == 2L).toSeq.sortBy(_._1))
+      val in = MemoryStream[(Long, Long, Long, Option[String], Option[Double], Option[String])]
+      val initial = rollup(feeds.where(lit(false)))
+      @volatile var state: DataFrame = initial
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("k", "pri", "upd", "name", "acctbal", "segment"),
+          initial, Seq("k"), rollup,
+          Seq("n_sources" -> IncrementalAgg.MergeSum,
+            "name_s" -> IncrementalAgg.MergeMax,
+            "acctbal_s" -> IncrementalAgg.MergeMax,
+            "segment_s" -> IncrementalAgg.MergeMax))(df => state = df)
+        foldBatches(in, batches.iterator, q)
+      }
+      state.select(col("k").as("c_custkey"), col("n_sources"),
+          col("name_s").getField("name").as("name"),
+          col("acctbal_s").getField("acctbal").as("acctbal"),
+          col("segment_s").getField("segment").as("segment"))
+        .orderBy("c_custkey")
+    },
+
     // continuous growth curve: q57's cumulative-distinct-users twin. The
     // distinct is maintained as per-user MergeMin(first_day) state across
     // FOUR micro-batches (a user's earliest day can arrive in a LATER
@@ -901,6 +948,28 @@ object StreamingQueries {
         |SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to,
         | (valid_to IS NULL) AS is_current
         |FROM r WHERE op = 'U' ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "stream_survivorship" ->
+      """WITH a AS (SELECT c_custkey AS k, 1 AS pri,
+        |  (c_custkey % 90)::BIGINT AS upd,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acctbal,
+        |  c_mktsegment AS segment FROM customer),
+        |b AS (SELECT c_custkey AS k, 2 AS pri,
+        |  ((c_custkey * 7) % 90)::BIGINT AS upd,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE 'crm_' || c_name END AS name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+        |    ELSE NULL END AS acctbal,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |    ELSE c_mktsegment END AS segment FROM customer),
+        |u AS (SELECT *, upd * 10 + (9 - pri) AS ord
+        |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        |SELECT k AS c_custkey, COUNT(*) AS n_sources,
+        | arg_max(name, ord) FILTER (name IS NOT NULL) AS name,
+        | arg_max(acctbal, ord) FILTER (acctbal IS NOT NULL) AS acctbal,
+        | arg_max(segment, ord) FILTER (segment IS NOT NULL) AS segment
+        |FROM u GROUP BY k ORDER BY c_custkey""".stripMargin,
 
     "stream_cume_users" ->
       """WITH f AS (SELECT user_id,
