@@ -276,6 +276,30 @@ object Etl {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // the one-object-per-asset ingest path (how a 100 TB image/audio
+    // corpus actually lands): assets written as individual files, read
+    // back through Spark's binaryFile source — content as bytes, asset id
+    // recovered from the PATH (the partitionBy directory), integrity
+    // checked by md5. At scale binaryFile lists/reads in parallel and
+    // pathGlobFilter prunes non-data files at the listing, before any
+    // read. The text-sink newline is part of the byte contract and the
+    // oracle replays it
+    "src_binaryfile" -> { (s, dir) =>
+      val out = scratch(s, "binfiles")
+      Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(out)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+
     // point-in-time join (the feature-store / audit correctness shape):
     // each fact joined to the dimension VERSION that was live at the
     // fact's own time — the join a plain snapshot join silently gets
@@ -701,6 +725,12 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "src_binaryfile" ->
+      """SELECT doc_id,
+        | octet_length((text || chr(10))::BLOB) AS byte_len,
+        | md5(text || chr(10)) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "etl_pit_join" ->
       """WITH ch AS (SELECT o_custkey AS k, 'upd_' || o_orderkey AS c_name,
