@@ -276,6 +276,27 @@ object Etl {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // dynamic partition overwrite under the value gate (the daily
+    // restatement flow: reprocess ONE partition without touching the
+    // rest): epoch 1 lands the full table, epoch 2 rewrites only the 'F'
+    // partition with corrected exact-cent amounts. Static overwrite mode
+    // would delete the WHOLE table first; dynamic scopes the delete to
+    // the partitions present in the incoming frame — the read-back
+    // proves 'F' rows changed and every other partition is untouched
+    "src_partition_overwrite" -> { (s, dir) =>
+      val out = scratch(s, "part_overwrite")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      Sources.writeParquet(base, out, partitionBy = Seq("o_orderstatus"))
+      val restated = base.where(col("o_orderstatus") === "F")
+        .withColumn("cents", expr("(cents * 11) DIV 10"))
+      Sources.overwritePartitions(restated, out, Seq("o_orderstatus"))
+      Sources.readParquet(s, out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+        .orderBy("o_orderkey")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -725,6 +746,13 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "src_partition_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CASE WHEN o_orderstatus = 'F'
+        |   THEN (CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 11) // 10
+        |   ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "src_binaryfile" ->
       """SELECT doc_id,
