@@ -740,6 +740,24 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // fixed-size balanced eval sample: EXACTLY 20 docs per language,
+    // chosen by md5(doc_id) order — the deterministic "random" draw
+    // (replayable across engines/retries, unlike rand()) that a held-out
+    // eval split wants when per-group RATES (pipe_stratified) would give
+    // variable counts. The per-lang rank is the range-partitioned grouped
+    // rank, never a 5-value window partition
+    "pipe_eval_sample" -> { (s, dir) =>
+      val u = md5(col("doc_id").cast("string"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), u.as("draw"))
+      graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("draw"), col("doc_id")),
+          lit(0L), rankCol = "draw_rank")
+        .where(col("draw_rank") <= 20)
+        .select(col("lang"), col("draw_rank"), col("doc_id"))
+        .orderBy("lang", "draw_rank")
+    },
+
     // packing-efficiency audit (measure the packer, don't trust it):
     // per-language bin-utilization histogram from the same greedy
     // pack_bins construction — bins bucketed by fill decile (bucket 10 =
@@ -1549,6 +1567,14 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_eval_sample" ->
+      """WITH r AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS draw,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS draw_rank
+        | FROM documents)
+        |SELECT lang, draw_rank, doc_id FROM r WHERE draw_rank <= 20
+        |ORDER BY lang, draw_rank""".stripMargin,
 
     "pipe_pack_stats" ->
       s"""WITH b AS (SELECT doc_id, lang, len($toksSql) AS n_tokens,
