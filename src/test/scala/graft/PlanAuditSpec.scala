@@ -168,7 +168,9 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("q50_median_scale", "pipe_pack_bins", "pipe_pack_payload",
         "mm_shard_pack", "mm_shard_payload", "pipe_domain_cap",
         "pipe_token_budget", "pipe_corpus_e2e", "pipe_pack_split",
-        "etl_winsorize", "q53_skyline", "pipe_shuffle_order")) {
+        "etl_winsorize", "q53_skyline", "pipe_shuffle_order",
+        "q66_weighted_median", "q68_peak_concurrency", "pipe_quality_tiers",
+        "pipe_eval_sample", "pipe_pack_stats")) {
       val windows = executedPlan(name).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
