@@ -553,6 +553,53 @@ object StreamingQueries {
     // like the batch conditional-min. A user's stages arriving in
     // DIFFERENT batches is the cross-batch path; the funnel counts are
     // computed from the final folded state only
+    // continuous duplicate-payment monitor: dq_double_charge's state
+    // maintained across FOUR micro-batches — a same-day pair whose two
+    // orders arrive in DIFFERENT batches is only detectable through the
+    // cross-batch fold (count MergeSum, key extremes MergeMin/Max, the
+    // spread from maintained cent extremes); the >1 filter applies to the
+    // FINAL state, never per batch. Every measure is a monoid, which is
+    // what lets the audit run continuously without re-scanning history
+    "stream_double_charge" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(col("o_custkey"), col("day_num"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_ok"),
+          max(col("o_orderkey")).as("last_ok"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      val base = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+            .as("day_num"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      val rows = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4)
+      val in = MemoryStream[(Long, Long, Long, Long)]
+      val initial = rollup(base.where(lit(false)))
+      @volatile var state: DataFrame = initial
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("o_custkey", "day_num", "cents", "o_orderkey"),
+          initial, Seq("o_custkey", "day_num"), rollup,
+          Seq("n_orders" -> IncrementalAgg.MergeSum,
+            "first_ok" -> IncrementalAgg.MergeMin,
+            "last_ok" -> IncrementalAgg.MergeMax,
+            "min_cents" -> IncrementalAgg.MergeMin,
+            "max_cents" -> IncrementalAgg.MergeMax))(df => state = df)
+        foldBatches(in, rows.grouped(rows.length / 4 + 1).map(_.toSeq), q)
+      }
+      state.where(col("n_orders") > 1)
+        .select(col("o_custkey"), col("day_num"), col("n_orders"),
+          col("first_ok"), col("last_ok"),
+          (col("max_cents") - col("min_cents")).as("cents_spread"))
+        .orderBy("o_custkey", "day_num")
+    },
+
     // streaming golden-record upkeep: etl_survivorship's per-column
     // freshest-non-null merge maintained as cross-batch state. Feed A
     // (ERP) and feed B (CRM) arrive in SEPARATE micro-batches, so every
@@ -948,6 +995,17 @@ object StreamingQueries {
         |SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to,
         | (valid_to IS NULL) AS is_current
         |FROM r WHERE op = 'U' ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "stream_double_charge" ->
+      """WITH o AS (SELECT o_custkey,
+        |  FLOOR(FLOOR(EPOCH(o_orderdate)) / 86400)::BIGINT AS day_num,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        | FROM orders)
+        |SELECT o_custkey, day_num, COUNT(*) AS n_orders,
+        | MIN(o_orderkey) AS first_ok, MAX(o_orderkey) AS last_ok,
+        | (MAX(cents) - MIN(cents))::BIGINT AS cents_spread
+        |FROM o GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY o_custkey, day_num""".stripMargin,
 
     "stream_survivorship" ->
       """WITH a AS (SELECT c_custkey AS k, 1 AS pri,
