@@ -357,6 +357,26 @@ object QualityQueries {
         .orderBy("user_id")
     },
 
+    // equi-depth histogram (the ANALYZE-style stats a range partitioner
+    // needs — q33 is the equi-WIDTH twin): 8 buckets of equal row count,
+    // boundaries from exact rank arithmetic over the range-partitioned
+    // GlobalRank (never a single-task ntile window); per-bucket min/max
+    // ARE the split points, exact cents end to end
+    "dq_equidepth" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      val ranked = graft.operators.GlobalRank.withGlobalRank(
+        base, Seq(col("cents"), col("o_orderkey")), "r")
+      val tot = base.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("((r - 1) * 8) DIV n").as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy("bucket")
+    },
+
     // full pairwise correlation matrix of the feed's numeric columns in
     // ONE aggregation pass (the profiling matrix Deequ/EDA tools emit):
     // 4 columns → 14 exact DECIMAL power sums (n, Σx, Σx², Σxy per pair)
@@ -428,6 +448,16 @@ object QualityQueries {
         |    CAST(min(l_discount) AS DOUBLE),
         |    CAST(max(l_discount) AS DOUBLE) FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    "dq_equidepth" ->
+      """WITH o AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderkey FROM orders),
+        |r AS (SELECT cents,
+        |  ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+        |  COUNT(*) OVER () AS n FROM o)
+        |SELECT ((rn - 1) * 8) // n AS bucket, COUNT(*) AS n_rows,
+        | MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "dq_corr_matrix" ->
       """WITH st AS (SELECT COUNT(*) AS n,
