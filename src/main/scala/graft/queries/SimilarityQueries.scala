@@ -226,6 +226,36 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // recall@5 of the graph beam search vs the exact scan — completes the
+    // measure-don't-guess audit trio (sim_recall_audit: IVF,
+    // sim_pq_recall: PQ, this: graph-ANN); beam 8 over 3 rounds is
+    // deliberately modest so the metric is informative, not vacuously 1.0
+    "sim_graph_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
+          blockCol = "label", k = 3)
+        .select(col("a_id"), col("b_id"))
+      val n = emb.agg(count(lit(1)).as("__n"))
+      val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
+        .select(col("a_id"), explode(array((1 to 3).map(t =>
+          (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
+        .where(col("b_id") =!= col("a_id"))
+      val got = Similarity.graphBeamSearch(emb, q, "vec_id", "embedding",
+          blocked.unionAll(rand), emb.where(col("vec_id") % 100 === 0),
+          beamWidth = 8, rounds = 3, topK = 5)
+        .select(col("q_id").as("g_q"), col("id").as("g_id"))
+      val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(got,
+          col("q_id") === col("g_q") && col("n_id") === col("g_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("g_id")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+
     // exact k-NN JOIN (top-3 neighbors for EVERY vector, not a query set),
     // label-blocked so the pair space is Σ block² — the all-pairs
     // retrieval shape used for corpus-level embedding dedup/clustering
@@ -450,6 +480,54 @@ object SimilarityQueries {
         s"(CASE WHEN ${dotSql(vec, planeLit(pl))} >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }
+
+  /** The graph-beam-search replay (blocked ∪ pseudo-random graph, entry
+    * scoring, three expand/score/keep-8 rounds) as a WITH-body shared by
+    * the sim_graph_search oracle and the sim_graph_recall audit.
+    */
+  private lazy val graphSearchCtes: String = {
+    def round(i: Int): String =
+      s"""c$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM b${i - 1}
+         |  UNION ALL SELECT b${i - 1}.q_id, und.b_id AS id
+         |  FROM b${i - 1} JOIN und ON und.a_id = b${i - 1}.id)),
+         |s$i AS (SELECT c.q_id, c.id,
+         |  ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM c$i c JOIN v x ON x.vec_id = c.id
+         | JOIN qf q ON q.q_id = c.q_id WHERE c.id != c.q_id),
+         |b$i AS (SELECT q_id, id, cosine, rank FROM (
+         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM s$i) WHERE rank <= 8)""".stripMargin
+    s"""v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${dotSql("a.e", "b.e")} /
+       |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+       | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blocked AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+       |nq AS (SELECT COUNT(*) AS n FROM v),
+       |rnd AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
+       | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
+       |seed AS (SELECT a_id, b_id FROM blocked
+       |  UNION ALL SELECT a_id, b_id FROM rnd),
+       |und AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seed
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
+       |qf AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+       |s0 AS (SELECT qf.q_id, x.vec_id AS id,
+       |  ${cosSql("qf.q_e", "x.e")} AS cosine
+       | FROM qf CROSS JOIN v x
+       | WHERE x.vec_id % 100 = 0 AND x.vec_id != qf.q_id),
+       |b0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM s0) WHERE rank <= 8),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // full value oracle for the IVF probe path: stride centroids, argmax
@@ -729,51 +807,27 @@ object SimilarityQueries {
 
     // entry scoring + three expand/score/keep-8 rounds over the same
     // blocked ∪ pseudo-random graph, replayed round by round
-    "sim_graph_search" -> {
-      def round(i: Int): String =
-        s"""c$i AS (SELECT DISTINCT q_id, id FROM (
-           |  SELECT q_id, id FROM b${i - 1}
-           |  UNION ALL SELECT b${i - 1}.q_id, und.b_id AS id
-           |  FROM b${i - 1} JOIN und ON und.a_id = b${i - 1}.id)),
-           |s$i AS (SELECT c.q_id, c.id,
-           |  ${cosSql("q.q_e", "x.e")} AS cosine
-           | FROM c$i c JOIN v x ON x.vec_id = c.id
-           | JOIN qf q ON q.q_id = c.q_id WHERE c.id != c.q_id),
-           |b$i AS (SELECT q_id, id, cosine, rank FROM (
-           |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
-           |    ORDER BY cosine DESC, id) AS rank FROM s$i) WHERE rank <= 8)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
-         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  ${dotSql("a.e", "b.e")} /
-         |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
-         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
-         |blocked AS (SELECT a_id, b_id FROM (
-         |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
-         |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
-         |nq AS (SELECT COUNT(*) AS n FROM v),
-         |rnd AS (SELECT a.vec_id AS a_id,
-         |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
-         | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
-         | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
-         |seed AS (SELECT a_id, b_id FROM blocked
-         |  UNION ALL SELECT a_id, b_id FROM rnd),
-         |und AS (SELECT DISTINCT a_id, b_id FROM (
-         |  SELECT a_id, b_id FROM seed
-         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
-         |qf AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
-         |s0 AS (SELECT qf.q_id, x.vec_id AS id,
-         |  ${cosSql("qf.q_e", "x.e")} AS cosine
-         | FROM qf CROSS JOIN v x
-         | WHERE x.vec_id % 100 = 0 AND x.vec_id != qf.q_id),
-         |b0 AS (SELECT q_id, id, cosine, rank FROM (
-         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY cosine DESC, id) AS rank FROM s0) WHERE rank <= 8),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "sim_graph_search" ->
+      s"""WITH $graphSearchCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM b3 WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin
-    },
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // the beam replay joined against the exact scan — recall@5 per query
+    "sim_graph_recall" ->
+      s"""WITH $graphSearchCtes,
+         |ex AS (SELECT qf.q_id, x.vec_id AS id,
+         |  ${cosSql("qf.q_e", "x.e")} AS cosine
+         | FROM qf CROSS JOIN v x WHERE x.vec_id != qf.q_id),
+         |exact AS (SELECT q_id, id FROM (
+         |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ex) WHERE rank <= 5),
+         |got AS (SELECT q_id, id FROM b3 WHERE rank <= 5),
+         |hits AS (SELECT exact.q_id, COUNT(got.id) AS n_hit
+         | FROM exact LEFT JOIN got
+         |   ON got.q_id = exact.q_id AND got.id = exact.id
+         | GROUP BY exact.q_id)
+         |SELECT q_id, n_hit, n_hit::DOUBLE / 5.0 AS recall
+         |FROM hits ORDER BY q_id""".stripMargin,
 
     // seed graph (label-blocked top-3 ∪ arithmetic pseudo-random links) →
     // symmetrize → two-hop expansion → exact re-score → re-rank, stepwise
