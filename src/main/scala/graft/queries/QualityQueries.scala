@@ -391,11 +391,14 @@ object QualityQueries {
       val pairs = for {
         i <- names.indices; j <- names.indices if i < j
       } yield (names(i), names(j))
+      // string-bridged casts: see Relational.dstr — native decimal→double
+      // diverges by 1 ulp across engines past 2^53 unscaled
+      def ds(c: Column): Column = c.cast("string").cast("double")
       val aggs = Seq(count(lit(1)).as("n")) ++
-        names.map(n => sum(dc(n)).cast("double").as(s"s_$n")) ++
-        names.map(n => sum(dc(n) * dc(n)).cast("double").as(s"ss_$n")) ++
+        names.map(n => ds(sum(dc(n))).as(s"s_$n")) ++
+        names.map(n => ds(sum(dc(n) * dc(n))).as(s"ss_$n")) ++
         pairs.map { case (a, b) =>
-          sum(dc(a) * dc(b)).cast("double").as(s"sp_${a}_$b")
+          ds(sum(dc(a) * dc(b))).as(s"sp_${a}_$b")
         }
       val st = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
       val pairStructs = array(pairs.map { case (a, b) =>
@@ -461,10 +464,10 @@ object QualityQueries {
 
     "dq_corr_matrix" ->
       """WITH st AS (SELECT COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS s_e,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS s_t,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_q,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_e,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_d,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_t,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS ss_q,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS ss_e,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS ss_d,

@@ -33,6 +33,17 @@ object Relational {
   private def dec4(c: Column): Column = c.cast("decimal(4,2)")
   private def d(c: Column): Column = c.cast("double")
 
+  /** decimal → double through the decimal's EXACT string. The engines'
+    * native decimal→double casts can differ by 1 ulp once the unscaled
+    * value exceeds 2^53 (measured: q38's sxx at sf0.001 — Spark
+    * -0.020151421273443982 vs DuckDB ...98), but string→double parsing
+    * is correctly rounded in BOTH (Double.parseDouble / fast_float), and
+    * the decimal's string is exact — so the bridged cast is bit-identical
+    * cross-engine at any magnitude. Use for POWER sums (Σx², Σxy), whose
+    * unscaled values blow past 2^53 long before the plain sums do.
+    */
+  private def dstr(c: Column): Column = c.cast("string").cast("double")
+
   // revenue item: extendedprice * (1 - discount), exact
   private def revItem: Column = dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))
 
@@ -359,8 +370,8 @@ object Relational {
       val stats = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          d(sum(price)).as("sx"),
-          d(sum(price * price)).as("sxx"))
+          dstr(sum(price)).as("sx"),
+          dstr(sum(price * price)).as("sxx"))
       // 1.5 sigma, not 2: the synthetic prices are uniform, whose support
       // ends at mean + 1.73 sigma - a 2 sigma gate would be vacuously empty
       val thresh = col("sx") / col("n") +
@@ -950,9 +961,9 @@ object Relational {
       val st = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          d(sum(x)).as("sx"), d(sum(y)).as("sy"),
-          d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"),
-          d(sum(x * y)).as("sxy"))
+          dstr(sum(x)).as("sx"), dstr(sum(y)).as("sy"),
+          dstr(sum(x * x)).as("sxx"), dstr(sum(y * y)).as("syy"),
+          dstr(sum(x * y)).as("sxy"))
       val n = col("n").cast("double")
       st.select(col("l_returnflag"), col("n"),
         ((col("sxy") - col("sx") * col("sy") / n) /
@@ -1580,9 +1591,9 @@ object Relational {
 
     "q37_outliers" ->
       """WITH st AS (SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))
-        |           * CAST(o_totalprice AS DECIMAL(8,2))) AS DOUBLE) AS sxx
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))
+        |           * CAST(o_totalprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxx
         | FROM orders GROUP BY o_orderpriority)
         |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
         |FROM orders o JOIN st USING (o_orderpriority)
@@ -1870,14 +1881,14 @@ object Relational {
 
     "q38_corr_stats" ->
       """WITH st AS (SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
-        |           * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
-        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
-        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+        |           * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+        |           * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  (sxy - sx * sy / n) /
