@@ -1166,6 +1166,24 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // Spark 4 VARIANT ingestion (the open-format answer to shredded
+    // semi-structured columns): props parsed ONCE into the binary variant
+    // encoding, fields then typed-accessed without re-parsing —
+    // try_variant_get pushes the extraction into the scan stage, and at
+    // 100 TB variant shredding stores hot fields columnar so the scan
+    // prunes like any column. q12/q48 are the string-JSON twins; this is
+    // the path a lakehouse actually lands event payloads on
+    "q69_variant" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("try_variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // peak concurrency (max interval overlap — the "how many sessions
     // were live at once" capacity query) by sweep line: each 300 s
     // activity interval contributes a +1 start and a −1 end point, the
@@ -1972,6 +1990,13 @@ object Relational {
         | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
         | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
         |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "q69_variant" ->
+      """WITH e AS (SELECT event_type,
+        |  json_extract(props, '$.k')::BIGINT AS k FROM events)
+        |SELECT event_type, COUNT(k) AS n_k, SUM(k)::BIGINT AS sum_k,
+        | MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q68_peak_concurrency" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
