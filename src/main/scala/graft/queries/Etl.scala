@@ -276,6 +276,23 @@ object Etl {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // keyed pseudonymization (the GDPR-pipeline shape): raw user ids
+    // replaced by a keyed-hash token — consistent per user, so joins,
+    // sessionization and counts still work downstream, but the raw id
+    // never leaves the trust boundary. Pure codegen scan-transform, no
+    // shuffle beyond the verification rollup; the md5-of-peppered-string
+    // is the engine-portable stand-in for an HMAC (key rotation =
+    // changing the pepper). The rollup proves token↔user is 1:1
+    "etl_pseudonymize" -> { (s, dir) =>
+      val token = md5(concat(lit("pepper-v1:"), col("user_id").cast("string")))
+      Tables.events(s, dir)
+        .select(token.as("user_token"), col("event_type"))
+        .groupBy(col("user_token"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_token")
+    },
+
     // dynamic partition overwrite under the value gate (the daily
     // restatement flow: reprocess ONE partition without touching the
     // rest): epoch 1 lands the full table, epoch 2 rewrites only the 'F'
@@ -746,6 +763,13 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "etl_pseudonymize" ->
+      """WITH t AS (SELECT md5('pepper-v1:' || user_id::VARCHAR) AS user_token,
+        |  event_type FROM events)
+        |SELECT user_token, COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_type) AS n_types
+        |FROM t GROUP BY user_token ORDER BY user_token""".stripMargin,
 
     "src_partition_overwrite" ->
       """SELECT o_orderkey, o_orderstatus,
