@@ -226,6 +226,24 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // the SQL front door under the value gate: the same engine surface a
+    // SQL-only user gets — GraftExtensions-registered vec_cosine (the
+    // native codegen'd DotProduct expression, not a UDF) over temp views,
+    // the whole query authored as spark.sql text. Proves the extension
+    // wiring end-to-end where the specs only prove it in isolation
+    "sim_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_emb_sql")
+      s.sql("""
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               vec_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                          CAST(b.embedding AS ARRAY<DOUBLE>)) AS cosine
+        FROM graft_emb_sql a JOIN graft_emb_sql b
+          ON a.label = b.label AND a.vec_id != b.vec_id
+        WHERE a.vec_id < 5
+        ORDER BY q_id, n_id""")
+    },
+
     // recall@5 of the graph beam search vs the exact scan — completes the
     // measure-don't-guess audit trio (sim_recall_audit: IVF,
     // sim_pq_recall: PQ, this: graph-ANN); beam 8 over 3 rounds is
@@ -811,6 +829,14 @@ object SimilarityQueries {
       s"""WITH $graphSearchCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM b3 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_sql_surface" ->
+      s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings)
+         |SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |  ${cosSql("a.e", "b.e")} AS cosine
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+         |WHERE a.vec_id < 5
+         |ORDER BY q_id, n_id""".stripMargin,
 
     // the beam replay joined against the exact scan — recall@5 per query
     "sim_graph_recall" ->
