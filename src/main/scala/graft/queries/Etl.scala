@@ -394,6 +394,27 @@ object Etl {
       Sources.readCsv(s, out, schema).orderBy("n_nationkey")
     },
 
+    // CSV with embedded newlines (the quoted-multiline ingest pain
+    // point): values containing record separators round-trip only when
+    // the reader parses quotes across lines — multiLine=true. The SCALE
+    // COST is real and deliberate: a multiline CSV file is not
+    // byte-splittable (a newline no longer proves a record boundary), so
+    // each file parses as ONE task — the query documents the trade the
+    // format forces, and why parquet/fixed-width feeds beat CSV at 100 TB
+    "src_csv_multiline" -> { (s, dir) =>
+      val out = scratch(s, "csv_multiline")
+      val src = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("\n"), col("c_mktsegment")).as("note"))
+      Sources.writeCsv(src, out)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(StructType(Seq(
+          StructField("c_custkey", org.apache.spark.sql.types.LongType),
+          StructField("note", StringType))))
+        .csv(out)
+        .orderBy("c_custkey")
+    },
+
     // the reference's EXACT sink contract: save_to_csv writes utf-8-sig
     // (main.py:330) so Excel decodes the Danish text. Values must
     // round-trip unchanged — the BOM lives in the skipped header line,
@@ -763,6 +784,10 @@ object Etl {
         | UPPER(split_part(p_name, ' ', 1)) AS active_ingredient,
         | UPPER(substr(last_tok, 1, 1)) || substr(last_tok, 2) AS trade_name
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "src_csv_multiline" ->
+      """SELECT c_custkey, c_name || chr(10) || c_mktsegment AS note
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "etl_pseudonymize" ->
       """WITH t AS (SELECT md5('pepper-v1:' || user_id::VARCHAR) AS user_token,

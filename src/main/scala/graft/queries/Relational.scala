@@ -1083,6 +1083,21 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // FORWARD-looking RANGE frame (q25 is the trailing twin): events in
+    // the next 10 minutes per user — the "what happens after X" feature
+    // window a lookahead label builder uses. Same single (user, sec)
+    // shuffle+sort; counts are exact longs
+    "q71_forward_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(1L, 600L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          coalesce(count(lit(1)).over(w), lit(0L)).as("next_10m_events"))
+        .orderBy("event_id")
+    },
+
     "q26_session_window" -> { (s, dir) =>
       // Spark's NATIVE session_window grouped aggregation — the built-in
       // twin of the custom Sessionize operator (q14); same output modulo
@@ -1543,6 +1558,14 @@ object Relational {
         | array_to_string(list_slice(list_sort(
         |   list((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT), 'desc'), 1, 3), ',') AS top_cents
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q71_forward_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  FLOOR(EPOCH(ts))::BIGINT AS sec FROM events)
+        |SELECT event_id, user_id, sec,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+        |   RANGE BETWEEN 1 FOLLOWING AND 600 FOLLOWING) AS next_10m_events
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q25_range_frame" ->
       """WITH e AS (SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS sec,
