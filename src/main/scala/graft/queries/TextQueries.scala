@@ -740,6 +740,43 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // padding-waste audit: WHY length-ordered batching matters. Docs are
+    // batched 32 at a time under two orders — length-sorted vs an
+    // md5-shuffled baseline — and each batch pays max_len·n − Σlen of
+    // padding; the report compares the two totals (all-integer, ppm by
+    // integer division). Both orders are range-partitioned GlobalRanks;
+    // the length sort is exactly the curriculum/bucketing pre-pass a
+    // trainer runs, and the delta is the measured GPU-hours argument for
+    // it. One corpus scan per strategy, batch rollups are linear
+    "pipe_pad_waste" -> { (s, dir) =>
+      val nt = size(Text.tokens(col("text")))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), nt.cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .localCheckpoint(eager = true)
+      def waste(ordered: DataFrame, label: String): DataFrame =
+        ordered.withColumn("batch", expr("(rank - 1) DIV 32"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("toks"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("toks")).as("total_tokens"),
+            sum(col("mx") * col("bn") - col("toks")).as("total_pad"))
+          .select(lit(label).as("strategy"), col("n_batches"),
+            col("total_tokens"),
+            col("total_pad"),
+            expr("(total_pad * 1000000) DIV (total_pad + total_tokens)")
+              .as("pad_ppm"))
+      val bySorted = graft.operators.GlobalRank.withGlobalRank(
+        base, Seq(col("n_tokens"), col("doc_id")))
+      val byShuffle = graft.operators.GlobalRank.withGlobalRank(
+        base.withColumn("u", md5(col("doc_id").cast("string"))),
+        Seq(col("u"), col("doc_id")))
+      waste(bySorted, "length_sorted")
+        .unionAll(waste(byShuffle, "shuffled"))
+        .orderBy("strategy")
+    },
+
     // fixed-size balanced eval sample: EXACTLY 20 docs per language,
     // chosen by md5(doc_id) order — the deterministic "random" draw
     // (replayable across engines/retries, unlike rand()) that a held-out
@@ -1567,6 +1604,28 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_pad_waste" ->
+      s"""WITH base AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens
+         |  FROM documents WHERE len($toksSql) > 0),
+         |so AS (SELECT n_tokens, ((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id)
+         |  - 1) // 32)::BIGINT AS batch FROM base),
+         |sh AS (SELECT n_tokens, ((ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+         |  - 1) // 32)::BIGINT AS batch FROM base),
+         |sob AS (SELECT batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+         |  SUM(n_tokens)::BIGINT AS toks FROM so GROUP BY batch),
+         |shb AS (SELECT batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+         |  SUM(n_tokens)::BIGINT AS toks FROM sh GROUP BY batch),
+         |soa AS (SELECT 'length_sorted' AS strategy, COUNT(*) AS n_batches,
+         |  SUM(toks)::BIGINT AS total_tokens,
+         |  SUM(mx * bn - toks)::BIGINT AS total_pad FROM sob),
+         |sha AS (SELECT 'shuffled' AS strategy, COUNT(*) AS n_batches,
+         |  SUM(toks)::BIGINT AS total_tokens,
+         |  SUM(mx * bn - toks)::BIGINT AS total_pad FROM shb),
+         |u AS (SELECT * FROM soa UNION ALL SELECT * FROM sha)
+         |SELECT strategy, n_batches, total_tokens, total_pad,
+         | ((total_pad * 1000000) // (total_pad + total_tokens))::BIGINT AS pad_ppm
+         |FROM u ORDER BY strategy""".stripMargin,
 
     "pipe_eval_sample" ->
       """WITH r AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS draw,
