@@ -740,6 +740,31 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // hashed-BoW document embedding (the text→vector bridge into the
+    // similarity stack): md5-bucketed token counts as a 16-dim sparse
+    // vector, L2-normalized. The norm comes from an EXACT integer Σcnt²
+    // (int64→double conversion is uniquely defined), so val = cnt/√norm²
+    // is one IEEE division both engines compute bit-identically — no
+    // float accumulation anywhere. One explode + one (doc, bucket) count;
+    // emitted sparse (doc_id, bucket, val), the layout a downstream
+    // cosine join consumes directly
+    "pipe_hash_embed" -> { (s, dir) =>
+      val buckets = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % 16)
+            .as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val norms = buckets.groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("cnt")).as("norm2"))
+      buckets.join(norms, "doc_id")
+        .select(col("doc_id"), col("bucket"),
+          (col("cnt").cast("double") / sqrt(col("norm2").cast("double")))
+            .as("val"))
+        .orderBy("doc_id", "bucket")
+    },
+
     // padding-waste audit: WHY length-ordered batching matters. Docs are
     // batched 32 at a time under two orders — length-sorted vs an
     // md5-shuffled baseline — and each batch pays max_len·n − Σlen of
@@ -1604,6 +1629,18 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |b AS (SELECT doc_id,
+         |  ('0x' || substring(md5(token), 1, 15))::BIGINT % 16 AS bucket,
+         |  COUNT(*) AS cnt FROM t GROUP BY doc_id, bucket),
+         |n AS (SELECT doc_id, SUM(cnt * cnt)::BIGINT AS norm2
+         |  FROM b GROUP BY doc_id)
+         |SELECT b.doc_id, b.bucket,
+         | b.cnt::DOUBLE / sqrt(n.norm2::DOUBLE) AS val
+         |FROM b JOIN n ON n.doc_id = b.doc_id
+         |ORDER BY b.doc_id, b.bucket""".stripMargin,
 
     "pipe_pad_waste" ->
       s"""WITH base AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens
