@@ -276,6 +276,31 @@ object Etl {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // currency normalization (the multi-region consolidation ETL shape):
+    // order amounts converted to a reporting currency through a per-nation
+    // rate dimension — rates as integer PARTS-PER-MILLION, conversion as
+    // cents·ppm DIV 1e6, so the whole path is exact integer arithmetic
+    // (float rates drift differently per engine and per merge order; a
+    // finance pipeline wants neither). The rate dim derives from nation
+    // (bounded, broadcast); the orders⋈customer hop is the ordinary
+    // fact-dim join AQE plans
+    "etl_fx_normalize" -> { (s, dir) =>
+      val rates = Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          (lit(500000L) + col("n_nationkey") * 37000L).as("rate_ppm"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rates), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("nationkey"),
+          col("cents"), col("rate_ppm"),
+          expr("(cents * rate_ppm) DIV 1000000").as("usd_cents"))
+        .orderBy("o_orderkey")
+    },
+
     // keyed pseudonymization (the GDPR-pipeline shape): raw user ids
     // replaced by a keyed-hash token — consistent per user, so joins,
     // sessionization and counts still work downstream, but the raw id
@@ -788,6 +813,18 @@ object Etl {
     "src_csv_multiline" ->
       """SELECT c_custkey, c_name || chr(10) || c_mktsegment AS note
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "etl_fx_normalize" ->
+      """WITH r AS (SELECT n_nationkey,
+        |  (500000 + n_nationkey * 37000)::BIGINT AS rate_ppm FROM nation)
+        |SELECT o.o_orderkey, c.c_nationkey AS nationkey,
+        | CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents, r.rate_ppm,
+        | (CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * r.rate_ppm)
+        |   // 1000000 AS usd_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN r ON c.c_nationkey = r.n_nationkey
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "etl_pseudonymize" ->
       """WITH t AS (SELECT md5('pepper-v1:' || user_id::VARCHAR) AS user_token,
