@@ -740,6 +740,25 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // tokenizer fertility per language (tokens per character — the
+    // standard tokenizer-efficiency metric a multilingual corpus card
+    // reports; high fertility = the tokenizer fragments that language and
+    // its docs pay more sequence length per content). Exact long sums in
+    // one partial-agg pass; fertility is a single IEEE division
+    "ta_fertility" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        .where(col("nc") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"), sum(col("nc")).as("sum_chars"),
+          (sum(col("nt")).cast("double") / sum(col("nc")).cast("double"))
+            .as("fertility"))
+        .orderBy("lang")
+    },
+
     // hashed-BoW document embedding (the text→vector bridge into the
     // similarity stack): md5-bucketed token counts as a 16-dim sparse
     // vector, L2-normalized. The norm comes from an EXACT integer Σcnt²
@@ -1629,6 +1648,14 @@ object TextQueries {
          | floor(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY lang ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)::BIGINT AS bin
          |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "ta_fertility" ->
+      s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS nt,
+         |  length(text)::BIGINT AS nc FROM documents WHERE length(text) > 0)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | SUM(nt)::BIGINT AS sum_tokens, SUM(nc)::BIGINT AS sum_chars,
+         | SUM(nt)::BIGINT::DOUBLE / SUM(nc)::BIGINT::DOUBLE AS fertility
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_hash_embed" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
