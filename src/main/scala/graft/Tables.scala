@@ -40,7 +40,11 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unrecognized dtype $other — a new testdata vintage? " +
+          "Add an explicit normalization branch in Tables.events rather than " +
+          "letting it flow downstream unnormalized.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -66,10 +66,20 @@ object GlobalRank {
     * total order per group; `weight` must be integral (summed as Long,
     * NULL counts as 0).
     */
+  /** Guard for the scalar pre-pass collect: with range-partitioned input a
+    * partition only sees the groups crossing its key range, so real
+    * (dim-sized) group keys stay far below this. A HIGH-cardinality group
+    * key would make the collect O(rows) and fail by driver OOM — this
+    * bound turns that misuse into a loud error instead, mirroring
+    * `AsOfJoin.asofBroadcast`'s maxBroadcastRows.
+    */
+  val defaultMaxGroupsPerPartition: Int = 65536
+
   def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
                            sortCols: Seq[Column], weight: Column,
                            rankCol: String = "grp_rank",
-                           prefixCol: String = "grp_prefix"): DataFrame = {
+                           prefixCol: String = "grp_prefix",
+                           maxGroupsPerPartition: Int = defaultMaxGroupsPerPartition): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection}
     import org.apache.spark.unsafe.types.UTF8String
@@ -110,6 +120,13 @@ object GlobalRank {
         val g = groupKey(r)
         val w = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
         val (c, s) = m.getOrElse(g, (0L, 0L))
+        if (c == 0L && m.size >= maxGroupsPerPartition)
+          throw new IllegalArgumentException(
+            s"withGroupedPrefixSum: partition $pid holds >$maxGroupsPerPartition " +
+              s"distinct groups of ${groupCols.mkString("(", ", ", ")")} — the " +
+              "group key is too high-cardinality for the scalar offset collect. " +
+              "Use withGlobalRank on (group, sort) or a plain hash-partitioned " +
+              "window, which parallelizes fine when groups are many.")
         m.update(g, (c + 1L, s + w))
       }
       Iterator.single(pid -> m.toSeq)

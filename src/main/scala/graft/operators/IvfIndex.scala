@@ -27,6 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Per-subspace explode: (outId, sub_id, sv) — each vector split into `m`
+    * contiguous `subDim`-slices. The single source of truth for the PQ
+    * subvector layout shared by encode, ADC search and IVF-PQ: a drifted
+    * copy would decode codes against a different slicing, a correctness
+    * failure the compiler can't catch.
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         outId: String, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as(outId), Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .select(col(outId), posexplode(array((0 until m).map(i =>
+        slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
+
+  /** The PQ codebook: the deterministic stride subset
+    * (id % stride == 0 && id < k·stride) sliced per subspace →
+    * (c_id, c_sub, cv). Single source of truth for the codebook-selection
+    * rule shared by [[pqEncode]], [[pqSearchAdc]] and [[ivfPqSearch]] — if
+    * the rule changes, every ADC LUT follows automatically instead of
+    * silently decoding against a different codebook.
+    */
+  private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int, stride: Long, k: Int): DataFrame =
+    subvectors(
+        corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride),
+        idCol, vecCol, "c_id", m, subDim)
+      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
+
+  /** ‖a−b‖² as dot(a,a) − 2·dot(a,b) + dot(b,b): three native DotProduct
+    * evaluations whose identical double arithmetic the DuckDB oracle
+    * reproduces bit-for-bit.
+    */
+  private def sqDist(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Vectors.dot(a, a) - lit(2.0) * Vectors.dot(a, b) + Vectors.dot(b, b)
+
   /** Deterministic centroid subset: every `stride`-th id. Output:
     * (c_id, c_v, c_nrm), intended for broadcast.
     */
@@ -75,19 +109,11 @@ object IvfIndex {
                m: Int, dim: Int, stride: Long, k: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val subDim = dim / m
-    def subs(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
-        .select(col(id), posexplode(array((0 until m).map(i =>
-          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
-    val corpusSubs = subs(corpus, "id")
-    val codebook = subs(
-      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
-      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
+    val corpusSubs = subvectors(corpus, idCol, vecCol, "id", m, subDim)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, subDim, stride, k)
     val scored = corpusSubs.join(broadcast(codebook), col("sub_id") === col("c_sub"))
       .select(col("id"), col("sub_id"), col("c_id"),
-        (Vectors.dot(col("sv"), col("sv"))
-          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
-          + Vectors.dot(col("cv"), col("cv"))).as("d2"))
+        sqDist(col("sv"), col("cv")).as("d2"))
     val w = Window.partitionBy("id", "sub_id").orderBy(col("d2").asc, col("c_id"))
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col("id"), col("sub_id"), col("c_id").as("code"), col("d2"))
@@ -116,21 +142,13 @@ object IvfIndex {
                   k: Int = 16, topK: Int = 5): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val subDim = dim / m
-    def subs(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
-        .select(col(id), posexplode(array((0 until m).map(i =>
-          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
     val codes = pqEncode(corpus, idCol, vecCol, m, dim, stride, k)
       .select(col("id"), col("sub_id").as("x_sub"), col("code"))
-    val codebook = subs(
-      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
-      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
-    val lut = subs(queries, "q_id")
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, subDim, stride, k)
+    val lut = subvectors(queries, idCol, vecCol, "q_id", m, subDim)
       .join(codebook, col("sub_id") === col("c_sub"))
       .select(col("q_id"), col("sub_id"), col("c_id"),
-        (Vectors.dot(col("sv"), col("sv"))
-          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
-          + Vectors.dot(col("cv"), col("cv"))).as("d2q"))
+        sqDist(col("sv"), col("cv")).as("d2q"))
     val perSub = codes.join(broadcast(lut),
         col("x_sub") === col("sub_id") && col("code") === col("c_id"))
       .where(col("id") =!= col("q_id"))
@@ -189,21 +207,13 @@ object IvfIndex {
     val cand = lists.join(broadcast(probes), Seq("c_id"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"))
-    def subs(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), Vectors.toDoubleArray(col(vecCol)).as("__v"))
-        .select(col(id), posexplode(array((0 until m).map(i =>
-          slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("sub_id", "sv")))
     val codes = pqEncode(corpus, idCol, vecCol, m, dim, stride, k)
       .select(col("id"), col("sub_id").as("x_sub"), col("code"))
-    val codebook = subs(
-      corpus.where(col(idCol) % stride === 0 && col(idCol) < k * stride), "c_id")
-      .select(col("c_id"), col("sub_id").as("c_sub"), col("sv").as("cv"))
-    val lut = subs(queries, "q_id")
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, subDim, stride, k)
+    val lut = subvectors(queries, idCol, vecCol, "q_id", m, subDim)
       .join(codebook, col("sub_id") === col("c_sub"))
       .select(col("q_id").as("l_q"), col("sub_id"), col("c_id"),
-        (Vectors.dot(col("sv"), col("sv"))
-          - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
-          + Vectors.dot(col("cv"), col("cv"))).as("d2q"))
+        sqDist(col("sv"), col("cv")).as("d2q"))
     val perSub = codes.join(cand, Seq("id"))
       .join(broadcast(lut),
         col("x_sub") === col("sub_id") && col("code") === col("c_id")

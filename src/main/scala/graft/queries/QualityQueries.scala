@@ -468,16 +468,16 @@ object QualityQueries {
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_e,
         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_d,
         |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s_t,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS ss_q,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS ss_e,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS ss_d,
-        |  CAST(SUM(CAST(l_tax AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS ss_t,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sp_qe,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_qd,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_qt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sp_ed,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_et,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sp_dt
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS ss_q,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS ss_e,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS ss_d,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS ss_t,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_qe,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_qd,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_qt,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_ed,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_et,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sp_dt
         | FROM lineitem),
         |p AS (
         | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,

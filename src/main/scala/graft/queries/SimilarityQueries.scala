@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 /** Similarity search (SURVEY §2.E) + multimodal columns (§2.F). */
 object SimilarityQueries {
 
+  /** Shared seed graph for the graph-ANN trio (sim_nn_descent,
+    * sim_graph_search, sim_graph_recall): label-blocked top-3 UNION three
+    * deterministic pseudo-random links per node ((a·131 + t·9973) mod N —
+    * vec_ids are contiguous; the md5-as-randomness rule in arithmetic
+    * form). Hoisted so the recall audit provably measures the SAME graph
+    * the search query walks — and so the oracle-side graphSearchCtes stays
+    * the single SQL twin of a single Scala definition.
+    */
+  private def seedGraph(emb: DataFrame): DataFrame = {
+    val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
+        blockCol = "label", k = 3)
+      .select(col("a_id"), col("b_id"))
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
+      .select(col("a_id"), explode(array((1 to 3).map(t =>
+        (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
+      .where(col("b_id") =!= col("a_id"))
+    blocked.unionAll(rand)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -188,16 +208,8 @@ object SimilarityQueries {
     // over a 100 TB corpus from any cheap seed
     "sim_nn_descent" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
-          blockCol = "label", k = 3)
-        .select(col("a_id"), col("b_id"))
-      val n = emb.agg(count(lit(1)).as("__n"))
-      val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
-        .select(col("a_id"), explode(array((1 to 3).map(t =>
-          (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
-        .where(col("b_id") =!= col("a_id"))
       Similarity.nnDescentStep(emb, "vec_id", "embedding",
-          blocked.unionAll(rand), k = 3)
+          seedGraph(emb), k = 3)
         .orderBy("a_id", "rank")
     },
 
@@ -210,16 +222,8 @@ object SimilarityQueries {
     // Q·beam·degree — independent of corpus size
     "sim_graph_search" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
-          blockCol = "label", k = 3)
-        .select(col("a_id"), col("b_id"))
-      val n = emb.agg(count(lit(1)).as("__n"))
-      val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
-        .select(col("a_id"), explode(array((1 to 3).map(t =>
-          (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
-        .where(col("b_id") =!= col("a_id"))
       Similarity.graphBeamSearch(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", blocked.unionAll(rand),
+          "vec_id", "embedding", seedGraph(emb),
           emb.where(col("vec_id") % 100 === 0), beamWidth = 8, rounds = 3,
           topK = 5)
         .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rank"))
@@ -251,16 +255,8 @@ object SimilarityQueries {
     "sim_graph_recall" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 10)
-      val blocked = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
-          blockCol = "label", k = 3)
-        .select(col("a_id"), col("b_id"))
-      val n = emb.agg(count(lit(1)).as("__n"))
-      val rand = emb.select(col("vec_id").as("a_id")).crossJoin(broadcast(n))
-        .select(col("a_id"), explode(array((1 to 3).map(t =>
-          (col("a_id") * 131 + lit(t * 9973)) % col("__n")): _*)).as("b_id"))
-        .where(col("b_id") =!= col("a_id"))
       val got = Similarity.graphBeamSearch(emb, q, "vec_id", "embedding",
-          blocked.unionAll(rand), emb.where(col("vec_id") % 100 === 0),
+          seedGraph(emb), emb.where(col("vec_id") % 100 === 0),
           beamWidth = 8, rounds = 3, topK = 5)
         .select(col("q_id").as("g_q"), col("id").as("g_id"))
       val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)

@@ -130,6 +130,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped prefix sum rejects a high-cardinality group key loudly") {
+    // every row its own group, one partition: the scalar pre-pass would
+    // collect O(rows) — the guard must throw, not drift toward driver OOM
+    val df = (0 until 50).map(i => (s"g$i", i.toLong, 1L)).toDF("grp", "ord", "w")
+      .repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.GlobalRank
+        .withGroupedPrefixSum(df, Seq("grp"), Seq($"ord"), $"w",
+          maxGroupsPerPartition = 10)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("too high-cardinality")), ex.getMessage)
+  }
+
   test("intervalCoverage equals a naive point-set union on random intervals") {
     trials(8) { r =>
       List.fill(50) {
