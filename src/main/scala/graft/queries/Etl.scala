@@ -339,6 +339,42 @@ object Etl {
         .orderBy("o_orderkey")
     },
 
+    // MERGE INTO through the graft DSv2 catalog (SupportsRowLevelOperations,
+    // group-based copy-on-write) — the SQL front door for the restatement
+    // flow: etl_cdc_merge proves the DataFrame semantics, this proves a
+    // SQL-only user gets them as `MERGE INTO graft.db.t USING changes`.
+    // All five merge paths exercised: matched-update (%7==4, %3!=0),
+    // matched-delete (%7==4, %3==0), not-matched-insert (%7 in 5..6,
+    // %3!=0), not-matched-delete-noop, and untouched rows. Runtime group
+    // filtering restricts the copy-on-write rewrite to files holding
+    // matches (file-level asserted in GraftCatalogSpec); the oracle
+    // replays MERGE as the classic left-join CASE + anti-join union
+    "etl_merge_into" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.snap")
+      s.sql("CREATE TABLE graft_wh.mrg.snap (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_merge_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.snap
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_merge_orders WHERE o_orderkey % 7 < 5""".stripMargin)
+      s.sql("""MERGE INTO graft_wh.mrg.snap t
+              |USING (SELECT o_orderkey AS id,
+              |              CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+              |              'R' AS status,
+              |              CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 11 AS cents
+              |       FROM graft_merge_orders WHERE o_orderkey % 7 >= 4) c
+              |ON t.id = c.id
+              |WHEN MATCHED AND c.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET status = c.status, cents = c.cents
+              |WHEN NOT MATCHED AND c.op <> 'D' THEN
+              |  INSERT (id, status, cents) VALUES (c.id, c.status, c.cents)
+              |""".stripMargin)
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.snap ORDER BY id")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -839,6 +875,29 @@ object Etl {
         |   THEN (CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 11) // 10
         |   ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_merge_into" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 < 5),
+        |chg AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         'R' AS status,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 11 AS cents
+        |  FROM orders WHERE o_orderkey % 7 >= 4)
+        |SELECT id, status, cents FROM (
+        |  SELECT t.id AS id,
+        |    CASE WHEN c.id IS NOT NULL THEN c.status ELSE t.status END AS status,
+        |    CASE WHEN c.id IS NOT NULL THEN c.cents ELSE t.cents END AS cents
+        |  FROM tgt t LEFT JOIN chg c ON t.id = c.id
+        |  WHERE c.id IS NULL OR c.op <> 'D'
+        |  UNION ALL
+        |  SELECT c.id, c.status, c.cents
+        |  FROM chg c LEFT JOIN tgt t ON c.id = t.id
+        |  WHERE t.id IS NULL AND c.op <> 'D')
+        |ORDER BY id""".stripMargin,
 
     "src_binaryfile" ->
       """SELECT doc_id,

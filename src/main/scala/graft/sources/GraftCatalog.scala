@@ -1,0 +1,516 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal lakehouse catalog with SQL row-level operations — the front
+  * door that turns the engine's `Cdc.merge`/`scd2History` DataFrame
+  * semantics into the lakehouse verbs a 100 TB restatement flow actually
+  * uses:
+  *
+  *   MERGE INTO graft.db.t USING changes ON ... WHEN MATCHED THEN ...
+  *   UPDATE graft.db.t SET ... WHERE ...
+  *   DELETE FROM graft.db.t WHERE ...
+  *
+  * (the reference's merge-back stage — add_details merging batch results
+  * into the frame, main.py:288-303 — is the single-node analog of MERGE.)
+  *
+  * Wiring: `spark.sql.catalog.graft = graft.sources.GraftCatalog` +
+  * `spark.sql.catalog.graft.warehouse = <dir>`. Tables are plain parquet
+  * directories (`part-*.parquet` + a `_graft_table.json` schema file),
+  * readable by ANY parquet reader; the scan/write paths speak real
+  * parquet through [[ParquetRowIO]] (Spark's own converters), so
+  * `spark.read.parquet(tableDir)` sees identical bytes.
+  *
+  * Row-level ops are GROUP-BASED COPY-ON-WRITE (the Iceberg/Delta COW
+  * strategy): the table exposes a `_file` metadata column; Spark's
+  * `RewriteMergeIntoTable` / `RewriteUpdateTable` / `RewriteDeleteFromTable`
+  * rules rewrite the command into a `ReplaceData` plan over the affected
+  * groups, and `RowLevelOperationRuntimeGroupFiltering` injects a runtime
+  * IN-subquery on `_file` — the scan implements
+  * [[SupportsRuntimeV2Filtering]], so ONLY files that actually contain
+  * matching rows are re-read and rewritten; untouched files are never
+  * opened by the replacement write (plan + file-level asserted in
+  * GraftCatalogSpec). At 100 TB with date-bucketed files this is the
+  * difference between rewriting a day and rewriting the table.
+  *
+  * Scope kept deliberately tight (this is a catalog, not a table format):
+  * no partition transforms (file-level grouping IS the pruning unit), no
+  * time travel, single-writer commits (a concurrent writer can interleave
+  * between list and rename — lakehouse formats solve this with an atomic
+  * metadata pointer, orthogonal to the operator semantics proven here).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null, s"catalog $name requires a 'warehouse' option")
+    warehouse = new Path(wh)
+  }
+  override def name(): String = catalogName
+
+  private def fs: FileSystem =
+    warehouse.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  private def tableDir(ident: Identifier): Path =
+    new Path((ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _)).toString)
+  private def nsDir(ns: Array[String]): Path =
+    new Path(ns.foldLeft(warehouse)(new Path(_, _)).toString)
+  private def metaFile(dir: Path): Path = new Path(dir, GraftTable.MetaFile)
+
+  private def isTableDir(dir: Path): Boolean = fs.exists(metaFile(dir))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val in = fs.open(metaFile(dir))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    new GraftTable(ident.toString, dir.toString,
+      DataType.fromJson(json).asInstanceOf[StructType])
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables do not support partition transforms; " +
+        "file-level grouping is the copy-on-write pruning unit")
+    val dir = tableDir(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(dir)
+    val out = fs.create(metaFile(dir), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    new GraftTable(ident.toString, dir.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isTableDir(tableDir(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (isTableDir(tableDir(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(tableDir(newIdent).getParent)
+    fs.rename(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  // --- namespaces: directories without a table meta file ---
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!fs.exists(nsDir(namespace))) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}
+
+object GraftTable {
+  val MetaFile = "_graft_table.json"
+  val FileCol = "_file"
+
+  /** Data files of a table directory, deterministic order. */
+  def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString).sorted
+}
+
+class GraftTable(ident: String, val dir: String, tableSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftTable.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row (copy-on-write group id)"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this, info.schema(), truncate = false)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
+}
+
+/** Group-based copy-on-write row-level operation. The SAME operation
+  * instance backs the rewrite's scan and write, which is the channel that
+  * carries "which files are affected" from read side to commit: Spark's
+  * runtime group filtering calls `scan.filter(IN(_file, matching))` before
+  * the replacement query plans its partitions, so at commit time the
+  * scan's surviving file list IS the affected-group set to replace.
+  */
+class GraftRowLevelOperation(table: GraftTable,
+                             cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** The scan of the ReplaceData plan (shared by the runtime-filter
+    * subquery, which reads it pre-filter — correct: matches are sought in
+    * all files). Set when the rewrite builds its scan.
+    */
+  @volatile private[sources] var configuredScan: Option[GraftScan] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation[$cmd, copy-on-write]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftReplaceDataWriteBuilder(table, info.schema(), this)
+
+  /** Keep `_file` flowing through the rewritten plan so the runtime
+    * group-filter subquery can project it.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftTable.FileCol))
+}
+
+class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema()
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val scan = new GraftScan(table, required, op.isDefined)
+    op.foreach { o =>
+      // first-built scan wins: the rewrite builds the ReplaceData read
+      // before the optimizer derives the filter subquery from the same
+      // relation (same Scan instance, fresh expr ids)
+      if (o.configuredScan.isEmpty) o.configuredScan = Some(scan)
+    }
+    scan
+  }
+}
+
+/** One partition per data file (the file is the copy-on-write group; at
+  * 100 TB the managed files are write-sized ~128 MB so file==split is the
+  * right granularity — a compaction pass owns the file-size invariant).
+  */
+case class GraftFilePartition(file: String) extends InputPartition
+
+class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  // listed once at scan creation: the snapshot the whole operation (both
+  // the filter subquery and the replacement read) sees, and the base set
+  // runtime filtering prunes toward the affected groups
+  private val allFiles: Seq[String] = {
+    val p = new Path(table.dir)
+    GraftTable.dataFiles(p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+  @volatile private var files: Seq[String] = allFiles
+
+  /** Surviving (affected) files after runtime group filtering. */
+  private[sources] def currentFiles: Seq[String] = files
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft ${table.name()} cols=${required.fieldNames.mkString(",")}" +
+      (if (rowLevel) " (row-level)" else "")
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (rowLevel) Array(Expressions.column(GraftTable.FileCol)) else Array.empty
+
+  /** Runtime group filtering: keep only files named by IN/= predicates on
+    * `_file`. Unrecognized predicates are ignored — a superset of affected
+    * groups is always safe (rows are rewritten verbatim), it just prunes
+    * less.
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = predicates.flatMap(fileSet)
+    if (keep.nonEmpty) {
+      val allowed = keep.flatten.toSet
+      files = files.filter(allowed.contains)
+    }
+  }
+
+  private def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(GraftTable.FileCol))
+      case _ => false
+    }
+
+  private def litString(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case l: Literal[_] if l.dataType() == StringType && l.value() != null =>
+        Some(l.value().toString)
+      case _ => None
+    }
+
+  private def fileSet(p: Predicate): Option[Seq[String]] = p.name() match {
+    case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+      Some(p.children().drop(1).toSeq.flatMap(litString))
+    case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+      Some(litString(p.children()(1)).toSeq)
+    case "=" if p.children().length == 2 && isFileRef(p.children()(1)) =>
+      Some(litString(p.children()(0)).toSeq)
+    case _ => None
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(GraftFilePartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+class GraftReaderFactory(required: StructType, conf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(required,
+      partition.asInstanceOf[GraftFilePartition].file, conf)
+}
+
+/** Reads one parquet file, emitting `required`-shaped rows; the `_file`
+  * metadata column (any position) is synthesized from the partition path,
+  * every other column comes column-pruned from parquet.
+  */
+class GraftPartitionReader(required: StructType, file: String,
+                           conf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
+
+  private val dataSchema = StructType(
+    required.fields.filter(_.name != GraftTable.FileCol))
+  private val reader =
+    ParquetRowIO.reader(new Path(file), dataSchema, conf.value)
+  private val filePath = UTF8String.fromString(file)
+  // required-field → (isFile, index in parquet row)
+  private val plan: Array[Int] = {
+    var di = -1
+    required.fields.map { f =>
+      if (f.name == GraftTable.FileCol) -1 else { di += 1; di }
+    }
+  }
+  private val needsProject = plan.exists(_ == -1)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val r = reader.read()
+    if (r == null) return false
+    row = if (!needsProject) r else {
+      val out = new GenericInternalRow(plan.length)
+      var i = 0
+      while (i < plan.length) {
+        if (plan(i) == -1) out.update(i, filePath)
+        else if (r.isNullAt(plan(i))) out.setNullAt(i)
+        else out.update(i, r.get(plan(i), dataSchema.fields(plan(i)).dataType))
+        i += 1
+      }
+      out
+    }
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+// --- write path ---
+
+case class GraftCommit(files: Seq[String]) extends WriterCommitMessage
+
+/** Append / truncate-overwrite write: tasks stage parquet files under
+  * `.staging-<uuid>/`, the driver commit renames them into the table dir
+  * (+ deletes the previous files when truncating).
+  */
+class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
+                        truncate: Boolean)
+  extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(table, writeSchema, truncate = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(table, writeSchema, replaceFiles = None,
+        truncateAll = truncate)
+  }
+}
+
+/** ReplaceData write for the row-level operation: commit swaps exactly the
+  * affected files (the operation scan's post-runtime-filter list) for the
+  * staged replacements.
+  */
+class GraftReplaceDataWriteBuilder(table: GraftTable, writeSchema: StructType,
+                                   op: GraftRowLevelOperation)
+  extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val scan = op.configuredScan.getOrElse(throw new IllegalStateException(
+        "row-level write built before its scan — no affected groups known"))
+      new GraftBatchWrite(table, writeSchema,
+        replaceFiles = Some(() => scan.currentFiles), truncateAll = false)
+    }
+  }
+}
+
+class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
+                      replaceFiles: Option[() => Seq[String]],
+                      truncateAll: Boolean) extends BatchWrite {
+
+  private val stagingDir = new Path(table.dir, s".staging-${UUID.randomUUID()}")
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    fs.mkdirs(stagingDir)
+    // replacement rows may carry metadata columns (_file) — write only the
+    // table's data columns, whatever the incoming attribute order
+    val tableSchema = table.schema()
+    val proj = tableSchema.fields.map(f => writeSchema.fieldIndex(f.name))
+    new GraftWriterFactory(stagingDir.toString, tableSchema, writeSchema, proj,
+      new SerializableHadoopConf(hadoopConf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    val dir = new Path(table.dir)
+    val staged = messages.flatMap { case GraftCommit(fls) => fls }
+    // delete-then-rename: replaced groups (row-level) or everything
+    // (truncate) leave before the replacements land
+    if (truncateAll)
+      GraftTable.dataFiles(fs, dir).foreach(f => fs.delete(new Path(f), false))
+    replaceFiles.foreach(_.apply().foreach(f => fs.delete(new Path(f), false)))
+    staged.foreach { f =>
+      val p = new Path(f)
+      fs.rename(p, new Path(dir, p.getName))
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    fs.delete(stagingDir, true)
+  }
+}
+
+class GraftWriterFactory(stagingDir: String, tableSchema: StructType,
+                         writeSchema: StructType, proj: Array[Int],
+                         conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(stagingDir, tableSchema, writeSchema, proj, partitionId,
+      taskId, conf)
+}
+
+/** Writes one parquet part file per non-empty task (lazily created — empty
+  * partitions leave nothing to commit, so a delete-everything ReplaceData
+  * stages zero files).
+  */
+class GraftDataWriter(stagingDir: String, tableSchema: StructType,
+                      writeSchema: StructType, proj: Array[Int],
+                      partitionId: Int, taskId: Long,
+                      conf: SerializableHadoopConf)
+  extends DataWriter[InternalRow] {
+
+  private val isIdentity = proj.length == writeSchema.length &&
+    proj.zipWithIndex.forall { case (p, i) => p == i }
+  private val path = new Path(stagingDir,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private val reuse = new GenericInternalRow(proj.length)
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null)
+      writer = ParquetRowIO.writer(path, tableSchema, conf.value)
+    val out = if (isIdentity) record else {
+      var i = 0
+      while (i < proj.length) {
+        val src = proj(i)
+        if (record.isNullAt(src)) reuse.setNullAt(i)
+        else reuse.update(i, record.get(src, writeSchema.fields(src).dataType))
+        i += 1
+      }
+      reuse
+    }
+    writer.write(out)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) GraftCommit(Nil)
+    else { writer.close(); GraftCommit(Seq(path.toString)) }
+  }
+
+  override def abort(): Unit = if (writer != null) writer.close()
+  override def close(): Unit = ()
+}

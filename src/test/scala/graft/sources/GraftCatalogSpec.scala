@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The lakehouse front door: CREATE/INSERT/SELECT on the graft catalog,
+  * then the row-level verbs (DELETE / UPDATE / MERGE INTO) with the
+  * copy-on-write contract asserted at the FILE level — affected files are
+  * replaced, untouched files keep their exact paths (runtime group
+  * filtering pruned them out of the rewrite).
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_cat_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.db")
+  }
+
+  private def listFiles(table: String): Seq[String] = {
+    val dir = new java.io.File(s"$warehouse/db/$table")
+    dir.listFiles().toSeq.map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+  }
+
+  test("create / insert / select round trip, parquet interop, metadata column") {
+    sql("CREATE TABLE graft_test.db.t1 (id BIGINT, name STRING, score DOUBLE)")
+    sql("INSERT INTO graft_test.db.t1 VALUES (1, 'a', 1.5), (2, 'b', NULL), (3, NULL, 3.25)")
+    val got = sql("SELECT id, name, score FROM graft_test.db.t1 ORDER BY id").collect()
+    assert(got.toSeq == Seq(Row(1L, "a", 1.5), Row(2L, "b", null), Row(3L, null, 3.25)))
+
+    // the table dir is PLAIN parquet: Spark's native reader sees the same rows
+    val native = spark.read.parquet(s"$warehouse/db/t1")
+      .orderBy("id").collect()
+    assert(native.toSeq == got.toSeq)
+
+    // _file metadata column resolves and points at a real data file
+    val files = sql("SELECT DISTINCT _file FROM graft_test.db.t1").collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+  }
+
+  test("DELETE rewrites only the files holding matching rows") {
+    sql("CREATE TABLE graft_test.db.t2 (id BIGINT, v STRING)")
+    // two separate inserts → two part files, disjoint id ranges
+    sql("INSERT INTO graft_test.db.t2 SELECT id, concat('lo', id) FROM range(0, 50, 1, 1)")
+    sql("INSERT INTO graft_test.db.t2 SELECT id, concat('hi', id) FROM range(100, 150, 1, 1)")
+    val before = listFiles("t2")
+    assert(before.size == 2, s"expected 2 part files, got $before")
+    val loFile = sql("SELECT DISTINCT _file FROM graft_test.db.t2 WHERE id < 50")
+      .collect().map(_.getString(0))
+    assert(loFile.length == 1)
+
+    sql("DELETE FROM graft_test.db.t2 WHERE id = 7")
+
+    assert(sql("SELECT count(*) FROM graft_test.db.t2").head().getLong(0) == 99)
+    assert(sql("SELECT count(*) FROM graft_test.db.t2 WHERE id = 7").head().getLong(0) == 0)
+    val after = listFiles("t2")
+    // the hi file survived with its exact name; the lo file was replaced
+    val untouched = before.toSet.intersect(after.toSet)
+    val loName = new java.io.File(new java.net.URI(loFile.head).getPath).getName
+    assert(!after.contains(loName), "affected file must be rewritten")
+    assert(untouched.size == 1 && !untouched.contains(loName),
+      s"untouched file must keep its path: before=$before after=$after")
+  }
+
+  test("UPDATE applies assignments to matching rows only") {
+    sql("CREATE TABLE graft_test.db.t3 (id BIGINT, status STRING, amt DOUBLE)")
+    sql("INSERT INTO graft_test.db.t3 VALUES (1, 'new', 10.0), (2, 'new', 20.0), (3, 'done', 30.0)")
+    sql("UPDATE graft_test.db.t3 SET status = 'done', amt = amt * 2 WHERE id <= 2")
+    val got = sql("SELECT id, status, amt FROM graft_test.db.t3 ORDER BY id").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, "done", 20.0), Row(2L, "done", 40.0), Row(3L, "done", 30.0)))
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    import spark.implicits._
+    sql("CREATE TABLE graft_test.db.tgt (id BIGINT, v STRING, amt BIGINT)")
+    sql("INSERT INTO graft_test.db.tgt VALUES (1, 'keep', 10), (2, 'upd', 20), (3, 'del', 30)")
+    Seq((2L, "updated", 200L), (3L, "whatever", 0L), (4L, "inserted", 40L))
+      .toDF("id", "v", "amt").createOrReplaceTempView("changes")
+
+    sql("""MERGE INTO graft_test.db.tgt t USING changes c ON t.id = c.id
+          |WHEN MATCHED AND c.v = 'whatever' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = c.v, amt = c.amt
+          |WHEN NOT MATCHED THEN INSERT (id, v, amt) VALUES (c.id, c.v, c.amt)
+          |""".stripMargin)
+
+    val got = sql("SELECT id, v, amt FROM graft_test.db.tgt ORDER BY id").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, "keep", 10L), Row(2L, "updated", 200L), Row(4L, "inserted", 40L)))
+  }
+
+  test("MERGE INTO leaves unaffected files untouched (runtime group filtering)") {
+    sql("CREATE TABLE graft_test.db.tgt2 (id BIGINT, v BIGINT)")
+    sql("INSERT INTO graft_test.db.tgt2 SELECT id, id * 10 FROM range(0, 50, 1, 1)")
+    sql("INSERT INTO graft_test.db.tgt2 SELECT id, id * 10 FROM range(100, 150, 1, 1)")
+    val before = listFiles("tgt2")
+    assert(before.size == 2)
+
+    spark.range(5).selectExpr("id", "id * 1000 AS v").createOrReplaceTempView("changes2")
+    sql("""MERGE INTO graft_test.db.tgt2 t USING changes2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET v = c.v
+          |""".stripMargin)
+
+    assert(sql("SELECT sum(CASE WHEN v = id * 1000 THEN 1 ELSE 0 END) FROM graft_test.db.tgt2 WHERE id < 5")
+      .head().getLong(0) == 5)
+    assert(sql("SELECT count(*) FROM graft_test.db.tgt2").head().getLong(0) == 100)
+    val after = listFiles("tgt2")
+    assert(before.toSet.intersect(after.toSet).size == 1,
+      s"exactly the unaffected file survives: before=$before after=$after")
+  }
+
+  test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
+    sql("CREATE TABLE graft_test.db.t4 (id BIGINT)")
+    sql("INSERT INTO graft_test.db.t4 VALUES (1), (2)")
+    sql("INSERT OVERWRITE graft_test.db.t4 VALUES (9)")
+    assert(sql("SELECT id FROM graft_test.db.t4").collect().toSeq == Seq(Row(9L)))
+    sql("DROP TABLE graft_test.db.t4")
+    assert(!new java.io.File(s"$warehouse/db/t4").exists())
+    assert(sql("SHOW TABLES IN graft_test.db").collect()
+      .map(_.getString(1)).toSet.contains("t1"))
+  }
+}
