@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
   }
 }
 
@@ -148,10 +151,64 @@ object GraftExtensions {
           args.tail.zipWithIndex.map { case (e, i) => stringArg(e, s"separator $i") })
       }))
 
+  /** Table-valued functions lifting the OPERATOR tier (as-of join,
+    * interval join, dedup) into pure SQL — the surface a SQL-only user
+    * needs to reach the engine's best operators. Relations are passed as
+    * temp-view NAMES (string literals): the builder resolves them against
+    * the active session at analysis time, applies the Scala operator, and
+    * returns its logical plan — so the SQL text and the Scala API produce
+    * the IDENTICAL plan (value-gated by the *_sql_surface oracle entries).
+    *
+    *   SELECT * FROM graft_asof_join('facts', 'dim', 'k', 't', 'dim_t')
+    *   SELECT * FROM graft_interval_join('pts', 'ivs', 'sec', 's', 'e', 600)
+    *   SELECT * FROM graft_dedup_exact('docs', 'doc_id', 'text')
+    */
+  val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_asof_join",
+      info("graft_asof_join",
+        "graft_asof_join(left_view, right_view, key_col, time_col, right_time_col) " +
+          "- last right row at-or-before each left row's time, per key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_asof_join(left_view, right_view, key_col, time_col, right_time_col)")
+        val a = args.map(stringArg(_, "graft_asof_join argument"))
+        val s = SparkSession.active
+        Bridge.logicalPlan(graft.operators.AsOfJoin.asofLast(
+          s.table(a(0)), s.table(a(1)), a(2), a(3), a(4)))
+      }),
+    ("graft_interval_join",
+      info("graft_interval_join",
+        "graft_interval_join(points_view, intervals_view, point_col, start_col, end_col, max_len) " +
+          "- points matched to enclosing intervals (bounded length)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_interval_join(points_view, intervals_view, point_col, start_col, end_col, max_len)")
+        val a = args.take(5).map(stringArg(_, "graft_interval_join argument"))
+        val maxLen = intArg(args(5), "graft_interval_join: max_len").toLong
+        val s = SparkSession.active
+        Bridge.logicalPlan(graft.operators.RangeJoin.intervalJoin(
+          s.table(a(0)), s.table(a(1)), a(2), a(3), a(4), maxLen))
+      }),
+    ("graft_dedup_exact",
+      info("graft_dedup_exact",
+        "graft_dedup_exact(view, id_col, text_col) " +
+          "- exact normalized-text dedup groups (fp, keep_id, n_dups)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_dedup_exact(view, id_col, text_col)")
+        val a = args.map(stringArg(_, "graft_dedup_exact argument"))
+        val s = SparkSession.active
+        Bridge.logicalPlan(graft.operators.Dedup.exact(s.table(a(0)), a(1), a(2)))
+      }))
+
   /** Imperative registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+  }
 }

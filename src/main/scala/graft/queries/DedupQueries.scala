@@ -20,6 +20,17 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // exact dedup from pure SQL via the graft_dedup_exact TVF
+    // (GraftExtensions.tableFunctions); same oracle as dd_exact — the
+    // SQL-only user reaches the identical operator
+    "dedup_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql("""SELECT fp, keep_id, n_dups
+              |FROM graft_dedup_exact('graft_sql_docs', 'doc_id', 'text')
+              |ORDER BY fp""".stripMargin)
+    },
+
     "dd_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
         .orderBy("a_id", "b_id")
@@ -279,7 +290,7 @@ object DedupQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "dd_exact" ->
       s"""SELECT md5(array_to_string($normToks, ' ')) AS fp,
          | MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -601,5 +612,8 @@ object DedupQueries {
          |    (sqrt(${dotSql("va.e", "va.e")}) * sqrt(${dotSql("vb.e", "vb.e")})) >= 0.35)
          |SELECT id AS vec_id, c_id FROM asg
          |WHERE id NOT IN (SELECT b_id FROM dropped) ORDER BY vec_id""".stripMargin
-  )
+    )
+
+  val oracle: Map[String, String] = oracleBase +
+    ("dedup_sql_surface" -> oracleBase("dd_exact"))
 }

@@ -287,6 +287,45 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // the operator tier through PURE SQL: graft_asof_join is a registered
+    // table-valued function (GraftExtensions.tableFunctions) resolving
+    // temp-view names and returning AsOfJoin.asofLast's logical plan —
+    // authored entirely as spark.sql text, hash-matched against the SAME
+    // oracle as q18 (identical values = identical operator reached)
+    "asof_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+        .createOrReplaceTempView("graft_sql_ev")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_sql_facts AS
+              |SELECT event_id, user_id, sec FROM graft_sql_ev""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_sql_dim AS
+              |SELECT user_id, sec AS dim_sec, MAX(value) AS rate
+              |FROM graft_sql_ev WHERE event_id % 50 = 0
+              |GROUP BY user_id, sec""".stripMargin)
+      s.sql("""SELECT event_id, user_id, sec, rate
+              |FROM graft_asof_join('graft_sql_facts', 'graft_sql_dim',
+              |                     'user_id', 'sec', 'dim_sec')
+              |ORDER BY event_id""".stripMargin)
+    },
+
+    // interval join from pure SQL via the graft_interval_join TVF; same
+    // oracle as q19
+    "interval_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .createOrReplaceTempView("graft_sql_pts")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_sql_ivs AS
+              |SELECT event_id AS iv_id, sec AS iv_start, sec + 600 AS iv_end
+              |FROM graft_sql_pts WHERE event_id % 100 = 0""".stripMargin)
+      s.sql("""SELECT event_id, iv_id
+              |FROM graft_interval_join('graft_sql_pts', 'graft_sql_ivs',
+              |                         'sec', 'iv_start', 'iv_end', 600)
+              |ORDER BY event_id, iv_id""".stripMargin)
+    },
+
     "q19_interval_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
@@ -1356,7 +1395,7 @@ object Relational {
     }
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -2100,5 +2139,12 @@ object Relational {
         | MIN(CASE WHEN cum_before + wsum >= (9 * wtot + 9) // 10
         |   THEN price_cents END) AS wp90_cents
         |FROM p GROUP BY flag ORDER BY flag""".stripMargin
-  )
+    )
+
+  /** The *_sql_surface twins assert SQL-text authorship produces the
+    * IDENTICAL values as the Scala operator API — same oracle, verbatim.
+    */
+  val oracle: Map[String, String] = oracleBase +
+    ("asof_sql_surface" -> oracleBase("q18_asof_join")) +
+    ("interval_sql_surface" -> oracleBase("q19_interval_join"))
 }
