@@ -795,6 +795,138 @@ object StreamingQueries {
           col("nEvents").as("n_events"), col("startSec").as("start_sec"),
           col("endSec").as("end_sec"))
         .orderBy("user_id", "session_idx")
+    },
+
+    // streaming MinHash-LSH near-dup pairs under the driver gate: the full
+    // documents table fed in THREE batches through minhashPairsStream
+    // (per-row native signature, shared bandHashes — bit-identical to the
+    // batch banding by construction); state stores band-bucket members so
+    // pairs form ACROSS batches. Streamed candidates are then verified
+    // with the exact shingle Jaccard (the same verify the batch operator
+    // fuses in), so the oracle is dd_minhash_lsh's, verbatim
+    "stream_minhash_pairs" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val feed = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val in = MemoryStream[(Long, String)]
+      val name = s"stream_mh_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.minhashPairsStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text", tau = 0.8)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      val cand = s.table(name)
+        .select(col("aId").as("a_id"), col("bId").as("b_id")).distinct()
+      val shing = docs.select(col("doc_id").as("id"),
+          graft.expressions.TextExpressions.wordNgrams(
+            col("text"), 3, distinct = true).as("arr"))
+        .where(size(col("arr")) > 0)
+        .select(col("id"), col("arr"), size(col("arr")).cast("long").as("sz"))
+      cand
+        .join(shing.select(col("id").as("a_id"), col("arr").as("a_arr"),
+          col("sz").as("a_sz")), "a_id")
+        .join(shing.select(col("id").as("b_id"), col("arr").as("b_arr"),
+          col("sz").as("b_sz")), "b_id")
+        .withColumn("inter",
+          size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") /
+            (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+        .orderBy("a_id", "b_id")
+    },
+
+    // streaming embedding near-dup pairs under the driver gate: the full
+    // embeddings table fed in THREE batches through embeddingPairsStream —
+    // random-hyperplane LSH buckets as state keys, each arrival scored
+    // EXACTLY (left-to-right dot product, the oracle's fixed association)
+    // against stored bucket members, so cross-batch pairs form with exact
+    // cosines. DISTINCT collapses multi-table rediscovery of the same
+    // pair; the oracle is dd_embed_lsh's, verbatim
+    "stream_embed_pairs" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDoubleArray(col("embedding")).as("e"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val in = MemoryStream[(Long, Seq[Double])]
+      val name = s"stream_emb_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.embeddingPairsStream(
+            in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", tau = 0.4)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.table(name)
+        .select(col("aId").as("a_id"), col("bId").as("b_id"), col("cosine"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
+
+    // stream → partitioned parquet data lake under the driver gate: a
+    // capped events feed lands in an event_type-partitioned parquet sink
+    // (file-sink commit log = exactly-once) across three micro-batches;
+    // the read-back must reproduce the feed exactly — every row once,
+    // values byte-exact through the parquet round trip
+    "stream_parquet_sink" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = Etl.scratch(s, s"stream_sink_${sinkId.incrementAndGet()}")
+      val feed = Tables.events(s, dir).where(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+      val in = MemoryStream[(Long, String, Double)]
+      withFewPartitions(s) {
+        val q = StreamOps.toPartitionedParquet(
+          in.toDF().toDF("event_id", "event_type", "value"),
+          s"$base/data", s"$base/chk", Seq("event_type"))
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.read.parquet(s"$base/data")
+        .select(col("event_id"), col("event_type").cast("string"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // checkpoint recovery under the driver gate: two batches commit, the
+    // query STOPS, a NEW query against the SAME checkpoint + sink resumes
+    // from a replacement source that re-serves the committed offsets (as
+    // a replayable source like Kafka would) — the recovered query re-reads
+    // the last batch and the file-sink commit log must drop it. The
+    // read-back equals the feed exactly once: a duplicated replay or a
+    // lost batch both break the row/hash gate
+    "stream_checkpoint_recovery" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = Etl.scratch(s, s"stream_recover_${sinkId.incrementAndGet()}")
+      val feed = Tables.events(s, dir).where(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+      val Seq(b1, b2, b3) = feed.grouped(feed.length / 3 + 1).map(_.toSeq).toSeq
+      withFewPartitions(s) {
+        val in1 = MemoryStream[(Long, String, Double)]
+        val q1 = StreamOps.toPartitionedParquet(
+          in1.toDF().toDF("event_id", "event_type", "value"),
+          s"$base/data", s"$base/chk", Seq("event_type"))
+        in1.addData(b1); q1.processAllAvailable()
+        in1.addData(b2); q1.processAllAvailable()
+        q1.stop()
+        val in2 = MemoryStream[(Long, String, Double)]
+        in2.addData(b1); in2.addData(b2) // cover committed offsets: replay
+        val q2 = StreamOps.toPartitionedParquet(
+          in2.toDF().toDF("event_id", "event_type", "value"),
+          s"$base/data", s"$base/chk", Seq("event_type"))
+        try { in2.addData(b3); q2.processAllAvailable() } finally q2.stop()
+      }
+      s.read.parquet(s"$base/data")
+        .select(col("event_id"), col("event_type").cast("string"), col("value"))
+        .orderBy("event_id")
     }
   )
 
@@ -1061,6 +1193,20 @@ object StreamingQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS reading_filled
         |FROM events WHERE event_id % 5 = 0 AND event_id < 25000
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // the streaming LSH pair entries share their BATCH twins' oracles
+    // verbatim: identical pair sets + identical doubles = the streaming
+    // operator reached the same answer as the batch operator
+    "stream_minhash_pairs" -> DedupQueries.oracle("dd_minhash_lsh"),
+    "stream_embed_pairs" -> DedupQueries.oracle("dd_embed_lsh"),
+
+    "stream_parquet_sink" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id < 3000 ORDER BY event_id""".stripMargin,
+
+    "stream_checkpoint_recovery" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id < 2000 ORDER BY event_id""".stripMargin
   )
 }
