@@ -375,6 +375,42 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.snap ORDER BY id")
     },
 
+    // SQL UPDATE through the same row-level path (group-based COW +
+    // runtime group filtering); oracle replays the assignment as CASE
+    "etl_update_where" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.upd")
+      s.sql("CREATE TABLE graft_wh.mrg.upd (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_update_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.upd
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_update_orders""".stripMargin)
+      s.sql("""UPDATE graft_wh.mrg.upd
+              |SET status = 'R', cents = (cents * 11) DIV 10
+              |WHERE status = 'F' AND id % 3 = 0""".stripMargin)
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.upd ORDER BY id")
+    },
+
+    // SQL DELETE through the row-level path; oracle is the complement
+    // filter
+    "etl_delete_where" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.del")
+      s.sql("CREATE TABLE graft_wh.mrg.del (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_delete_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.del
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_delete_orders""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.del WHERE id % 10 = 3 OR cents < 500000")
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.del ORDER BY id")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -897,6 +933,23 @@ object Etl {
         |  SELECT c.id, c.status, c.cents
         |  FROM chg c LEFT JOIN tgt t ON c.id = t.id
         |  WHERE t.id IS NULL AND c.op <> 'D')
+        |ORDER BY id""".stripMargin,
+
+    "etl_update_where" ->
+      """SELECT o_orderkey AS id,
+        | CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+        |   THEN 'R' ELSE o_orderstatus END AS status,
+        | CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+        |   THEN (CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 11) // 10
+        |   ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "etl_delete_where" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 3
+        |           OR CAST(FLOOR(o_totalprice * 100) AS BIGINT) < 500000)
         |ORDER BY id""".stripMargin,
 
     "src_binaryfile" ->

@@ -868,6 +868,30 @@ object StreamingQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // streaming simhash near-dup pairs under the driver gate: the full
+    // documents table in three batches through nearDupPairsStream (per-row
+    // 60-bit simhash, 4-quarter bucket state — guaranteed recall at
+    // Hamming ≤ 3); a pair sharing several quarters re-emits per quarter,
+    // DISTINCT collapses it. Oracle is dd_simhash_pairs's, verbatim
+    "stream_simhash_pairs" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val in = MemoryStream[(Long, String)]
+      val name = s"stream_sh_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.nearDupPairsStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxDist = 3)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.table(name)
+        .select(col("aId").as("a_id"), col("bId").as("b_id"), col("hamming"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
+
     // stream → partitioned parquet data lake under the driver gate: a
     // capped events feed lands in an event_type-partitioned parquet sink
     // (file-sink commit log = exactly-once) across three micro-batches;
@@ -1200,6 +1224,7 @@ object StreamingQueries {
     // operator reached the same answer as the batch operator
     "stream_minhash_pairs" -> DedupQueries.oracle("dd_minhash_lsh"),
     "stream_embed_pairs" -> DedupQueries.oracle("dd_embed_lsh"),
+    "stream_simhash_pairs" -> DedupQueries.oracle("dd_simhash_pairs"),
 
     "stream_parquet_sink" ->
       """SELECT event_id, event_type, value FROM events
