@@ -892,6 +892,33 @@ object StreamingQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // streaming corpus clean under the driver gate: the training-feed
+    // composition as ONE continuous query — stateless TokenStats quality
+    // gate fused into the scan, then the single stateful stage (exact-dup
+    // drop on the normalized-text fingerprint) — fed in three batches
+    // with synthetic event times inside one watermark horizon
+    "stream_corpus_clean" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val feed = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        .map { case (id, t) =>
+          (id, new java.sql.Timestamp(1700000000000L + id * 1000L), t)
+        }
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val name = s"stream_cc_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.corpusCleanStream(
+            in.toDF().toDF("doc_id", "ts", "text"), minTokens = 30,
+            watermark = "3650 days")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.table(name)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // stream → partitioned parquet data lake under the driver gate: a
     // capped events feed lands in an event_type-partitioned parquet sink
     // (file-sink commit log = exactly-once) across three micro-batches;
@@ -1225,6 +1252,15 @@ object StreamingQueries {
     "stream_minhash_pairs" -> DedupQueries.oracle("dd_minhash_lsh"),
     "stream_embed_pairs" -> DedupQueries.oracle("dd_embed_lsh"),
     "stream_simhash_pairs" -> DedupQueries.oracle("dd_simhash_pairs"),
+
+    "stream_corpus_clean" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  len(${TextQueries.toksSql}) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens FROM t WHERE n_tokens >= 30
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(
+         |  list_filter(string_split(lower(text), ' '), tk -> tk != ''), ' '))
+         |  ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "stream_parquet_sink" ->
       """SELECT event_id, event_type, value FROM events

@@ -1125,7 +1125,7 @@ object TextQueries {
   )
 
   // DuckDB twin of Text.tokens: split on single spaces, drop empties.
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
+  private[queries] val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   val oracle: Map[String, String] = Map(
     "ta_tokens" ->
