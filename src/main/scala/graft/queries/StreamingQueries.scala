@@ -892,6 +892,63 @@ object StreamingQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // streaming AS-OF join (stream-stream) under the driver gate — the
+    // continuous q18: facts and dim rates feed as two MemoryStreams in
+    // lockstep TIME-sliced batches (after slice i the union watermark is
+    // ≤ the slice boundary, so every right at-or-before any emitted left
+    // has provably arrived — the exactness invariant, count-slices would
+    // only approximate it); sentinel rows push the watermark past the
+    // last real event so every pending left flushes. Oracle: DuckDB's
+    // native ASOF LEFT JOIN over the same capped feed
+    "stream_asof" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import StreamOps.{AsofLeft, AsofRight}
+      val ev = Tables.events(s, dir)
+        .where(col("event_id") % 5 === 0 && col("event_id") < 25000)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"), col("value"))
+        .localCheckpoint(eager = true)
+      val facts = ev.select(col("user_id"), col("sec"), col("value")).collect()
+        .map(r => AsofLeft(r.getLong(0),
+          new java.sql.Timestamp(r.getLong(1) * 1000L), r.getDouble(2)))
+      val dim = ev.where(col("event_id") % 50 === 0)
+        .groupBy(col("user_id"), col("sec")).agg(max(col("value")).as("rate"))
+        .collect()
+        .map(r => AsofRight(r.getLong(0),
+          new java.sql.Timestamp(r.getLong(1) * 1000L), r.getDouble(2)))
+      val lo = facts.map(_.ts.getTime).min
+      val hi = facts.map(_.ts.getTime).max
+      val cut = (1 to 2).map(i => lo + (hi - lo) * i / 3)
+      def slice[T](xs: Array[T], ts: T => Long): Seq[Seq[T]] = Seq(
+        xs.filter(x => ts(x) <= cut(0)).toSeq,
+        xs.filter(x => ts(x) > cut(0) && ts(x) <= cut(1)).toSeq,
+        xs.filter(x => ts(x) > cut(1)).toSeq)
+      val lb = slice[AsofLeft](facts, _.ts.getTime)
+      val rb = slice[AsofRight](dim, _.ts.getTime)
+      val inL = MemoryStream[AsofLeft]
+      val inR = MemoryStream[AsofRight]
+      val name = s"stream_asof_sink_${sinkId.incrementAndGet()}"
+      withFewPartitions(s) {
+        val q = StreamOps.asofJoinStream(inL.toDS(), inR.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          (0 until 3).foreach { i =>
+            inR.addData(rb(i)); inL.addData(lb(i)); q.processAllAvailable()
+          }
+          (1 to 2).foreach { k => // sentinels: advance the watermark, flush
+            val t = new java.sql.Timestamp(hi + k * 86400000L)
+            inR.addData(AsofRight(-1L, t, 0.0))
+            inL.addData(AsofLeft(-1L, t, 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(name).where(col("key") =!= -1L)
+        .select(col("key").as("user_id"), col("sec"), col("value"), col("rate"))
+        .orderBy("user_id", "sec", "value", "rate")
+    },
+
     // streaming corpus clean under the driver gate: the training-feed
     // composition as ONE continuous query — stateless TokenStats quality
     // gate fused into the scan, then the single stateful stage (exact-dup
@@ -1252,6 +1309,15 @@ object StreamingQueries {
     "stream_minhash_pairs" -> DedupQueries.oracle("dd_minhash_lsh"),
     "stream_embed_pairs" -> DedupQueries.oracle("dd_embed_lsh"),
     "stream_simhash_pairs" -> DedupQueries.oracle("dd_simhash_pairs"),
+
+    "stream_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, value
+        |          FROM events WHERE event_id % 5 = 0 AND event_id < 25000),
+        |d AS (SELECT user_id, sec AS dim_sec, MAX(value) AS rate FROM e
+        |      WHERE event_id % 50 = 0 GROUP BY user_id, sec)
+        |SELECT e.user_id AS user_id, e.sec AS sec, e.value AS value, d.rate AS rate
+        |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.sec >= d.dim_sec
+        |ORDER BY e.user_id, e.sec, e.value, d.rate""".stripMargin,
 
     "stream_corpus_clean" ->
       s"""WITH t AS (SELECT doc_id, text,
