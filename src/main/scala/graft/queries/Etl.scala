@@ -411,6 +411,32 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.del ORDER BY id")
     },
 
+    // snapshot time travel: a HISTORY table (manifest commits — nothing
+    // deleted, the exclusive manifest create is the atomic commit point)
+    // takes an UPDATE, and the query reads VERSION AS OF the pre-update
+    // snapshot — the audit/reproducibility verb (training-data lineage:
+    // "which exact rows did the run see?"). The oracle is simply the
+    // pre-update state, proving the old snapshot is byte-intact even
+    // though the current version rewrote those rows copy-on-write
+    "etl_time_travel" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.tt")
+      s.sql("""CREATE TABLE graft_wh.mrg.tt (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_tt_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.tt
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_tt_orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql("""UPDATE graft_wh.mrg.tt
+              |SET status = 'X', cents = 0 WHERE id % 8 = 0""".stripMargin)
+      // v1 create, v2 insert, v3 update — read the pre-update snapshot
+      s.sql("""SELECT id, status, cents FROM graft_wh.mrg.tt VERSION AS OF 2
+              |ORDER BY id""".stripMargin)
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -950,6 +976,12 @@ object Etl {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 3
         |           OR CAST(FLOOR(o_totalprice * 100) AS BIGINT) < 500000)
+        |ORDER BY id""".stripMargin,
+
+    "etl_time_travel" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 = 0
         |ORDER BY id""".stripMargin,
 
     "src_binaryfile" ->

@@ -87,13 +87,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
+  private def readSchema(dir: Path): StructType = {
+    val in = fs.open(metaFile(dir))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  private def isHistory(dir: Path): Boolean =
+    fs.exists(new Path(dir, GraftTable.PropsFile))
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val in = fs.open(metaFile(dir))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    new GraftTable(ident.toString, dir.toString,
-      DataType.fromJson(json).asInstanceOf[StructType])
+    new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir))
+  }
+
+  /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
+    * manifest `n`.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isHistory(dir)) throw new UnsupportedOperationException(
+      s"$ident is not a history table — create it with TBLPROPERTIES " +
+        s"('${GraftTable.HistoryProp}'='true') to enable VERSION AS OF")
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF on $ident must be a manifest number, got '$version'")
+    }
+    if (!fs.exists(GraftTable.manifestPath(dir, v)))
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (have: ${GraftTable.manifestVersions(fs, dir).mkString(", ")})")
+    new GraftTable(ident.toString, dir.toString, readSchema(dir),
+      history = true, pinnedVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -107,7 +133,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dir)
     val out = fs.create(metaFile(dir), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    new GraftTable(ident.toString, dir.toString, schema)
+    val history = "true".equalsIgnoreCase(
+      properties.getOrDefault(GraftTable.HistoryProp, "false"))
+    if (history) {
+      val p = fs.create(new Path(dir, GraftTable.PropsFile), true)
+      try p.write(s"${GraftTable.HistoryProp}=true".getBytes("UTF-8")) finally p.close()
+      GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
+    }
+    new GraftTable(ident.toString, dir.toString, schema, history)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -166,7 +199,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftTable {
   val MetaFile = "_graft_table.json"
+  val PropsFile = "_graft_props.txt"
   val FileCol = "_file"
+  val HistoryProp = "history"
 
   /** Data files of a table directory, deterministic order. */
   def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
@@ -176,9 +211,53 @@ object GraftTable {
         st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(_.getPath.toString).sorted
+
+  // --- snapshot manifests (history tables) ---
+  // One newline-separated list of data-file NAMES per version; the
+  // exclusive create of the next manifest is the atomic commit point.
+  private val ManifestRe = """_graft_manifest_(\d+)\.txt""".r
+
+  def manifestPath(dir: Path, v: Long): Path =
+    new Path(dir, f"_graft_manifest_$v%08d.txt")
+
+  def manifestVersions(fs: FileSystem, dir: Path): Seq[Long] =
+    fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestRe(v) if st.isFile => Some(v.toLong)
+      case _ => None
+    }).sorted
+
+  def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
+    val in = fs.open(manifestPath(dir, v))
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    names.filter(_.nonEmpty).map(n => new Path(dir, n).toString)
+  }
+
+  /** Exclusive create: a concurrent committer racing to the same version
+    * fails LOUDLY here instead of silently clobbering the snapshot — the
+    * optimistic-concurrency commit point every table format centers on.
+    */
+  def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(dir, v), false)
+    try out.write(files.map(f => new Path(f).getName).sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 }
 
-class GraftTable(ident: String, val dir: String, tableSchema: StructType)
+/** @param history snapshot mode (opt-in via TBLPROPERTIES
+  *   ('history'='true')): commits never delete data files — each writes
+  *   the next manifest, whose exclusive create is the atomic commit
+  *   point — so `VERSION AS OF n` time travel works and concurrent
+  *   committers fail loudly instead of clobbering. Default tables keep
+  *   eager-delete commits and stay directly readable as a plain parquet
+  *   directory (the interop contract GraftCatalogSpec asserts); history
+  *   tables trade that for snapshots + `GraftMaintenance.vacuum`.
+  * @param pinnedVersion a time-travel read pin; writes are rejected.
+  */
+class GraftTable(ident: String, val dir: String, tableSchema: StructType,
+                 val history: Boolean = false,
+                 val pinnedVersion: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -187,6 +266,24 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** The read snapshot: manifest-driven for history tables (pinned or
+    * latest version), directory listing otherwise.
+    */
+  private[sources] def currentDataFiles(fs: FileSystem): Seq[String] = {
+    val p = new Path(dir)
+    if (!history) GraftTable.dataFiles(fs, p)
+    else {
+      val v = pinnedVersion.getOrElse(
+        GraftTable.manifestVersions(fs, p).lastOption.getOrElse(
+          throw new IllegalStateException(s"history table $ident has no manifest")))
+      GraftTable.readManifest(fs, p, v)
+    }
+  }
+
+  private def rejectPinnedWrite(): Unit =
+    if (pinnedVersion.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot write to $ident pinned at VERSION AS OF ${pinnedVersion.get}")
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -199,12 +296,16 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    rejectPinnedWrite()
     new GraftWriteBuilder(this, info.schema(), truncate = false)
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    rejectPinnedWrite()
     () => new GraftRowLevelOperation(this, info.command())
+  }
 }
 
 /** Group-based copy-on-write row-level operation. The SAME operation
@@ -269,13 +370,13 @@ case class GraftFilePartition(file: String) extends InputPartition
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  // listed once at scan creation: the snapshot the whole operation (both
-  // the filter subquery and the replacement read) sees, and the base set
-  // runtime filtering prunes toward the affected groups
+  // resolved once at scan creation: the snapshot the whole operation
+  // (both the filter subquery and the replacement read) sees, and the
+  // base set runtime filtering prunes toward the affected groups
   private val allFiles: Seq[String] = {
     val p = new Path(table.dir)
-    GraftTable.dataFiles(p.getFileSystem(
-      SparkSession.active.sessionState.newHadoopConf()), p)
+    table.currentDataFiles(p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf()))
   }
   @volatile private var files: Seq[String] = allFiles
 
@@ -447,14 +548,38 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
     val staged = messages.flatMap { case GraftCommit(fls) => fls }
-    // delete-then-rename: replaced groups (row-level) or everything
-    // (truncate) leave before the replacements land
-    if (truncateAll)
-      GraftTable.dataFiles(fs, dir).foreach(f => fs.delete(new Path(f), false))
-    replaceFiles.foreach(_.apply().foreach(f => fs.delete(new Path(f), false)))
-    staged.foreach { f =>
-      val p = new Path(f)
-      fs.rename(p, new Path(dir, p.getName))
+    if (table.history) {
+      // snapshot commit: staged files land, NOTHING is deleted, and the
+      // exclusive create of manifest v+1 is the atomic (and loudly
+      // conflict-detecting) commit point
+      val landed: Seq[String] = staged.toSeq.map { f =>
+        val p = new Path(f)
+        val tgt = new Path(dir, p.getName)
+        fs.rename(p, tgt)
+        tgt.toString
+      }
+      val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
+      val old = if (v == 0L) Nil else GraftTable.readManifest(fs, dir, v)
+      val newList =
+        if (truncateAll) landed
+        else replaceFiles match {
+          case Some(f) =>
+            val affected = f().map(new Path(_).getName).toSet
+            old.filterNot(x => affected.contains(new Path(x).getName)) ++ landed
+          case None => old ++ landed
+        }
+      GraftTable.writeManifest(fs, dir, v + 1, newList)
+    } else {
+      // eager commit: delete-then-rename — replaced groups (row-level) or
+      // everything (truncate) leave before the replacements land, and the
+      // directory stays directly readable as plain parquet
+      if (truncateAll)
+        GraftTable.dataFiles(fs, dir).foreach(f => fs.delete(new Path(f), false))
+      replaceFiles.foreach(_.apply().foreach(f => fs.delete(new Path(f), false)))
+      staged.foreach { f =>
+        val p = new Path(f)
+        fs.rename(p, new Path(dir, p.getName))
+      }
     }
     fs.delete(stagingDir, true)
   }

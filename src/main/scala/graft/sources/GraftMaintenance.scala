@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance passes for graft-catalog tables. Copy-on-write MERGE plus
+  * streaming/incremental ingest both shed small files; at 100 TB the
+  * resulting listing/metadata cost is THE operational scan bottleneck, so
+  * compaction is a first-class verb next to the write paths (Iceberg's
+  * rewrite_data_files / Delta's OPTIMIZE).
+  */
+object GraftMaintenance {
+
+  /** In-place compaction of a graft-catalog table directory to
+    * ~`targetBytes` files. Sizing reads only file metadata (one listing);
+    * the rewrite is one shuffle to exactly the output count; the swap is
+    * the same delete-then-rename the row-level writes use (single-writer,
+    * like every commit on this catalog). Pass `sortCols` to leave the
+    * rewritten files range-clustered (min/max-prunable) instead of
+    * round-robin. Returns (files before, files after).
+    */
+  def compactTable(spark: SparkSession, tableDir: String,
+                   targetBytes: Long = 128L << 20,
+                   sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0)
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val history = fs.exists(new Path(dir, GraftTable.PropsFile))
+    val files =
+      if (!history) GraftTable.dataFiles(fs, dir)
+      else GraftTable.manifestVersions(fs, dir).lastOption
+        .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+    if (files.isEmpty) return (0, 0)
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(files: _*)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
+    shaped.write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (history) {
+      // snapshot semantics: old files stay (past versions reference
+      // them); the rewrite is just the next manifest
+      val landed = staged.map { p =>
+        val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
+      }
+      val v = GraftTable.manifestVersions(fs, dir).last
+      GraftTable.writeManifest(fs, dir, v + 1, landed)
+    } else {
+      files.foreach(f => fs.delete(new Path(f), false))
+      staged.foreach(p => fs.rename(p, new Path(dir, p.getName)))
+    }
+    fs.delete(staging, true)
+    (files.size, staged.size)
+  }
+
+  /** Expire old snapshots of a history table: keep the last `keepLast`
+    * manifests, delete older manifests and every data file no kept
+    * snapshot references. Returns (manifests removed, data files removed).
+    * The retention/cost dial every snapshot table needs — without it,
+    * copy-on-write history grows without bound.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1)
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(dir, GraftTable.PropsFile)),
+      s"vacuum: $tableDir is not a history table")
+    val versions = GraftTable.manifestVersions(fs, dir)
+    val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (expire.isEmpty) return (0, 0)
+    val referenced = keep.flatMap(GraftTable.readManifest(fs, dir, _))
+      .map(new Path(_).getName).toSet
+    val orphans = GraftTable.dataFiles(fs, dir)
+      .filterNot(f => referenced.contains(new Path(f).getName))
+    orphans.foreach(f => fs.delete(new Path(f), false))
+    expire.foreach(v => fs.delete(GraftTable.manifestPath(dir, v), false))
+    (expire.size, orphans.size)
+  }
+}

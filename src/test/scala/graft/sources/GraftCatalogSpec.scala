@@ -119,6 +119,74 @@ class GraftCatalogSpec extends SparkSpec {
       s"exactly the unaffected file survives: before=$before after=$after")
   }
 
+  test("compactTable collapses small files in place; row-level ops still work") {
+    sql("CREATE TABLE graft_test.db.t5 (id BIGINT, v BIGINT)")
+    (0 until 5).foreach { i =>
+      sql(s"INSERT INTO graft_test.db.t5 SELECT id, id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    }
+    assert(listFiles("t5").size == 5)
+    val (before, after) = GraftMaintenance.compactTable(
+      spark, s"$warehouse/db/t5", targetBytes = 1L << 30)
+    assert(before == 5 && after == 1, s"$before -> $after")
+    assert(listFiles("t5").size == 1)
+    assert(sql("SELECT count(*), sum(id) FROM graft_test.db.t5").head().toSeq
+      == Seq(50L, (0 until 50).map(_.toLong).sum))
+    // the compacted table still takes row-level commands
+    sql("DELETE FROM graft_test.db.t5 WHERE id % 2 = 1")
+    assert(sql("SELECT count(*) FROM graft_test.db.t5").head().getLong(0) == 25)
+  }
+
+  test("history table: snapshot commits, VERSION AS OF, vacuum") {
+    sql("""CREATE TABLE graft_test.db.h (id BIGINT, v STRING)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.h SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO graft_test.db.h SELECT id, concat('b', id) FROM range(10, 20, 1, 1)")
+    sql("DELETE FROM graft_test.db.h WHERE id < 5")
+    // current = v4 (v1 empty, v2 +10, v3 +20, v4 delete)
+    assert(sql("SELECT count(*) FROM graft_test.db.h").head().getLong(0) == 15)
+    assert(sql("SELECT count(*) FROM graft_test.db.h VERSION AS OF 1").head().getLong(0) == 0)
+    assert(sql("SELECT count(*) FROM graft_test.db.h VERSION AS OF 2").head().getLong(0) == 10)
+    assert(sql("SELECT count(*) FROM graft_test.db.h VERSION AS OF 3").head().getLong(0) == 20)
+    // the pre-delete rows are still READABLE at v3 even though v4 dropped
+    // them — copy-on-write kept the replaced file for the old snapshot
+    assert(sql("SELECT count(*) FROM graft_test.db.h VERSION AS OF 3 WHERE id < 5")
+      .head().getLong(0) == 5)
+    // a write against a pinned version is rejected
+    intercept[Exception] {
+      sql("DELETE FROM graft_test.db.h VERSION AS OF 2 WHERE id = 1")
+    }
+    // vacuum to the latest snapshot: old manifests + unreferenced files go
+    val dirF = new java.io.File(s"$warehouse/db/h")
+    def manifests() = dirF.listFiles().count(_.getName.startsWith("_graft_manifest_"))
+    assert(manifests() == 4)
+    val (mGone, fGone) = GraftMaintenance.vacuum(spark, s"$warehouse/db/h", keepLast = 1)
+    assert(mGone == 3 && fGone >= 1, s"$mGone manifests, $fGone files")
+    assert(manifests() == 1)
+    // current snapshot unaffected; expired version now errors
+    assert(sql("SELECT count(*) FROM graft_test.db.h").head().getLong(0) == 15)
+    intercept[Exception] {
+      sql("SELECT count(*) FROM graft_test.db.h VERSION AS OF 2").collect()
+    }
+  }
+
+  test("history table MERGE keeps past snapshots intact") {
+    import spark.implicits._
+    sql("""CREATE TABLE graft_test.db.h2 (id BIGINT, amt BIGINT)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.h2 SELECT id, id * 10 FROM range(0, 20, 1, 1)")
+    Seq((1L, 999L), (50L, 500L)).toDF("id", "amt").createOrReplaceTempView("hchg")
+    sql("""MERGE INTO graft_test.db.h2 t USING hchg c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET amt = c.amt
+          |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (c.id, c.amt)
+          |""".stripMargin)
+    assert(sql("SELECT amt FROM graft_test.db.h2 WHERE id = 1").head().getLong(0) == 999L)
+    assert(sql("SELECT count(*) FROM graft_test.db.h2").head().getLong(0) == 21)
+    // the pre-merge snapshot still answers with the original values
+    assert(sql("SELECT amt FROM graft_test.db.h2 VERSION AS OF 2 WHERE id = 1")
+      .head().getLong(0) == 10L)
+    assert(sql("SELECT count(*) FROM graft_test.db.h2 VERSION AS OF 2").head().getLong(0) == 20)
+  }
+
   test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
     sql("CREATE TABLE graft_test.db.t4 (id BIGINT)")
     sql("INSERT INTO graft_test.db.t4 VALUES (1), (2)")
