@@ -122,6 +122,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       history = true, pinnedVersion = Some(v))
   }
 
+  /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
+    * manifest committed at-or-before t — commit wall-clock is the manifest
+    * file's modification time (the same as-of-last semantics as the
+    * engine's AsOfJoin, applied to the commit log).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isHistory(dir)) throw new UnsupportedOperationException(
+      s"$ident is not a history table — create it with TBLPROPERTIES " +
+        s"('${GraftTable.HistoryProp}'='true') to enable TIMESTAMP AS OF")
+    val tsMillis = timestampMicros / 1000L
+    val v = GraftTable.manifestVersions(fs, dir)
+      .filter(v => fs.getFileStatus(GraftTable.manifestPath(dir, v))
+        .getModificationTime <= tsMillis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"$ident has no snapshot at or before timestamp $tsMillis ms"))
+    new GraftTable(ident.toString, dir.toString, readSchema(dir),
+      history = true, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -143,8 +164,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.toString, dir.toString, schema, history)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+  /** Schema evolution, metadata-only (the footer-merge discipline of
+    * `src_merge_schema`, as a catalog verb): ADD COLUMN rewrites ONLY the
+    * schema file — existing parquet files are never touched; the read
+    * path NULL-fills requested-but-absent columns (Spark's clipped
+    * parquet schema), so old files surface the new column as NULL.
+    * DROP COLUMN is likewise metadata-only (parquet column pruning means
+    * dropped data simply stops being read). Type changes / renames are
+    * rejected: a rename would silently orphan the column's data in every
+    * existing file (parquet matches by name), which is data loss wearing
+    * a metadata costume — lakehouse formats need field IDs for that.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val updated = changes.foldLeft(readSchema(dir)) { (schema, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft catalog: nested ADD COLUMN not supported")
+          require(add.isNullable,
+            "graft catalog: added columns must be nullable (existing files NULL-fill)")
+          require(!schema.fieldNames.contains(add.fieldNames().head),
+            s"column ${add.fieldNames().head} already exists")
+          schema.add(StructField(add.fieldNames().head, add.dataType(),
+            nullable = true))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            "graft catalog: nested DROP COLUMN not supported")
+          val name = del.fieldNames().head
+          if (!schema.fieldNames.contains(name)) {
+            if (del.ifExists()) schema
+            else throw new IllegalArgumentException(s"no such column: $name")
+          } else {
+            require(schema.length > 1, "cannot drop the last column")
+            StructType(schema.fields.filterNot(_.name == name))
+          }
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported table change $other (add/drop column only)")
+      }
+    }
+    val out = fs.create(metaFile(dir), true)
+    try out.write(updated.json.getBytes("UTF-8")) finally out.close()
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

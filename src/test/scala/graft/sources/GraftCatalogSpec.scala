@@ -169,6 +169,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the latest snapshot at-or-before t") {
+    sql("""CREATE TABLE graft_test.db.h3 (id BIGINT)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.h3 VALUES (1)")
+    Thread.sleep(1100) // mtime granularity: commits land in distinct seconds
+    sql("INSERT INTO graft_test.db.h3 VALUES (2)")
+    // a timestamp between the two commits sees only the first insert
+    val m2 = new java.io.File(s"$warehouse/db/h3/_graft_manifest_00000002.txt")
+    val m3 = new java.io.File(s"$warehouse/db/h3/_graft_manifest_00000003.txt")
+    assert(m2.exists() && m3.exists())
+    val mid = (m2.lastModified() + m3.lastModified()) / 2
+    val midTs = new java.sql.Timestamp(mid)
+    assert(sql(s"SELECT count(*) FROM graft_test.db.h3 TIMESTAMP AS OF '$midTs'")
+      .head().getLong(0) == 1)
+    assert(sql(s"SELECT count(*) FROM graft_test.db.h3 TIMESTAMP AS OF '${new java.sql.Timestamp(m3.lastModified() + 1000)}'")
+      .head().getLong(0) == 2)
+    intercept[Exception] { // before the first commit: no snapshot
+      sql("SELECT * FROM graft_test.db.h3 TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
   test("history table MERGE keeps past snapshots intact") {
     import spark.implicits._
     sql("""CREATE TABLE graft_test.db.h2 (id BIGINT, amt BIGINT)
@@ -185,6 +206,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT amt FROM graft_test.db.h2 VERSION AS OF 2 WHERE id = 1")
       .head().getLong(0) == 10L)
     assert(sql("SELECT count(*) FROM graft_test.db.h2 VERSION AS OF 2").head().getLong(0) == 20)
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN is metadata-only; old files NULL-fill") {
+    sql("CREATE TABLE graft_test.db.ev (id BIGINT, v STRING)")
+    sql("INSERT INTO graft_test.db.ev VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = listFiles("ev")
+    sql("ALTER TABLE graft_test.db.ev ADD COLUMN score DOUBLE")
+    // existing parquet files untouched — evolution is a schema-file write
+    assert(listFiles("ev") == filesBefore)
+    sql("INSERT INTO graft_test.db.ev VALUES (3, 'c', 1.5)")
+    val got = sql("SELECT id, v, score FROM graft_test.db.ev ORDER BY id").collect()
+    assert(got.toSeq == Seq(Row(1L, "a", null), Row(2L, "b", null), Row(3L, "c", 1.5)))
+    // the new column participates in row-level commands immediately
+    sql("UPDATE graft_test.db.ev SET score = 0.0 WHERE score IS NULL")
+    assert(sql("SELECT count(*) FROM graft_test.db.ev WHERE score IS NULL")
+      .head().getLong(0) == 0)
+    sql("ALTER TABLE graft_test.db.ev DROP COLUMN v")
+    assert(sql("SELECT * FROM graft_test.db.ev").columns.toSeq == Seq("id", "score"))
+    // rename would orphan data by parquet name-matching: rejected loudly
+    intercept[Exception] {
+      sql("ALTER TABLE graft_test.db.ev RENAME COLUMN score TO s2")
+    }
   }
 
   test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
