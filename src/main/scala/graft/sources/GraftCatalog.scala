@@ -431,7 +431,8 @@ class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
 case class GraftFilePartition(file: String) extends InputPartition
 
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
-  extends Scan with Batch with SupportsRuntimeV2Filtering {
+  extends Scan with Batch with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // resolved once at scan creation: the snapshot the whole operation
   // (both the filter subquery and the replacement read) sees, and the
@@ -489,6 +490,24 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
     case "=" if p.children().length == 2 && isFileRef(p.children()(1)) =>
       Some(litString(p.children()(0)).toSeq)
     case _ => None
+  }
+
+  /** File-size statistics (metadata-only, like parquet's), so Catalyst
+    * auto-broadcasts small graft tables in joins — without this a DSv2
+    * scan defaults to `defaultSizeInBytes` (huge) and a dim-sized catalog
+    * table shuffles where it should ship. Reflects runtime group
+    * filtering: a pruned row-level scan reports only surviving files.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val bytes = files.map { f =>
+      val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =

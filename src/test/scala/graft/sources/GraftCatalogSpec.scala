@@ -230,6 +230,16 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("small catalog tables broadcast in joins (file-size statistics)") {
+    sql("CREATE TABLE graft_test.db.dim (k BIGINT, label STRING)")
+    sql("INSERT INTO graft_test.db.dim SELECT id, concat('l', id) FROM range(0, 100, 1, 1)")
+    val joined = spark.range(0, 100000).toDF("k")
+      .join(spark.table("graft_test.db.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dim-sized graft table should broadcast:\n$plan")
+  }
+
   test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
     sql("CREATE TABLE graft_test.db.t4 (id BIGINT)")
     sql("INSERT INTO graft_test.db.t4 VALUES (1), (2)")
