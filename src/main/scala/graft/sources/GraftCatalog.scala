@@ -405,15 +405,40 @@ class GraftRowLevelOperation(table: GraftTable,
 }
 
 class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = table.schema()
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** INEXACT parquet pushdown (the native source's contract): pushed
+    * filters prune row groups by min/max stats in the reader, and every
+    * filter is ALSO returned as residual so Spark re-evaluates exactly —
+    * stats pruning is a superset filter, never the final answer.
+    *
+    * NEVER for a row-level scan: Spark pushes the command's condition
+    * into the ReplaceData read, but a copy-on-write rewrite must read
+    * EVERY row of an affected file (the carried-over rows are the
+    * complement of the condition) — predicate pruning below group
+    * granularity there silently deletes the carried-over rows (caught by
+    * GraftCatalogSpec the moment pushdown landed; group pruning is the
+    * runtime `_file` filter's job).
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    if (op.isEmpty)
+      pushed = filters.filter(f =>
+        GraftParquetFilters.convertible(table.schema(), f))
+    filters // all residual: row-group stats are approximate by design
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = {
-    val scan = new GraftScan(table, required, op.isDefined)
+    val scan = new GraftScan(table, required, op.isDefined, pushed)
     op.foreach { o =>
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -424,13 +449,47 @@ class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
   }
 }
 
+/** Spark `sources.Filter` → parquet `FilterPredicate` conversion for the
+  * graft reader, through Spark's own `ParquetFilters` against the SAME
+  * message type the writer produced — so stats pruning sees exactly the
+  * physical types it wrote.
+  */
+object GraftParquetFilters {
+  import org.apache.parquet.schema.MessageType
+  import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, SparkToParquetSchemaConverter}
+  import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+
+  private def messageType(schema: StructType): MessageType =
+    new SparkToParquetSchemaConverter(
+      ParquetRowIO.writeConf(new org.apache.hadoop.conf.Configuration(false), schema))
+      .convert(schema)
+
+  private def filters(schema: StructType): ParquetFilters =
+    new ParquetFilters(messageType(schema),
+      true, true, true, true, 10, false,
+      RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+
+  def convertible(schema: StructType, f: org.apache.spark.sql.sources.Filter): Boolean =
+    filters(schema).createFilter(f).isDefined
+
+  def predicate(schema: StructType,
+                fs: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    val conv = filters(schema)
+    fs.flatMap(conv.createFilter(_)).reduceOption(
+      org.apache.parquet.filter2.predicate.FilterApi.and)
+  }
+}
+
 /** One partition per data file (the file is the copy-on-write group; at
   * 100 TB the managed files are write-sized ~128 MB so file==split is the
   * right granularity — a compaction pass owns the file-size invariant).
   */
 case class GraftFilePartition(file: String) extends InputPartition
 
-class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
+class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
+                pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -451,6 +510,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ${table.name()} cols=${required.fieldNames.mkString(",")}" +
+      (if (pushedFilters.nonEmpty)
+        s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
       (if (rowLevel) " (row-level)" else "")
 
   override def filterAttributes(): Array[NamedReference] =
@@ -514,14 +575,16 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean)
     files.map(GraftFilePartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required,
+    new GraftReaderFactory(required, table.schema(), pushedFilters,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class GraftReaderFactory(required: StructType, conf: SerializableHadoopConf)
+class GraftReaderFactory(required: StructType, tableSchema: StructType,
+                         pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+                         conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(required,
+    new GraftPartitionReader(required, tableSchema, pushedFilters,
       partition.asInstanceOf[GraftFilePartition].file, conf)
 }
 
@@ -529,14 +592,16 @@ class GraftReaderFactory(required: StructType, conf: SerializableHadoopConf)
   * metadata column (any position) is synthesized from the partition path,
   * every other column comes column-pruned from parquet.
   */
-class GraftPartitionReader(required: StructType, file: String,
-                           conf: SerializableHadoopConf)
+class GraftPartitionReader(required: StructType, tableSchema: StructType,
+                           pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+                           file: String, conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val dataSchema = StructType(
     required.fields.filter(_.name != GraftTable.FileCol))
   private val reader =
-    ParquetRowIO.reader(new Path(file), dataSchema, conf.value)
+    ParquetRowIO.reader(new Path(file), dataSchema, conf.value,
+      GraftParquetFilters.predicate(tableSchema, pushedFilters.toSeq))
   private val filePath = UTF8String.fromString(file)
   // required-field → (isFile, index in parquet row)
   private val plan: Array[Int] = {

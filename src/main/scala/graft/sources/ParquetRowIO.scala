@@ -64,17 +64,21 @@ object ParquetRowIO {
 
   /** Open a reader producing `requestedSchema`-shaped InternalRows
     * (column-pruned at the parquet level — unprojected columns are never
-    * decoded). The returned rows may be reused between `read()` calls, per
-    * the `PartitionReader.get` contract.
+    * decoded; an optional pushed predicate prunes row groups by min/max
+    * stats before any page is read). The returned rows may be reused
+    * between `read()` calls, per the `PartitionReader.get` contract.
     */
-  def reader(path: Path, requestedSchema: StructType,
-             base: Configuration): ParquetReader[InternalRow] = {
+  def reader(path: Path, requestedSchema: StructType, base: Configuration,
+             predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : ParquetReader[InternalRow] = {
     val support = new ParquetReadSupport(
       None, enableVectorizedReader = false,
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
       RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
-    ParquetReader.builder[InternalRow](support, path)
+    val b = ParquetReader.builder[InternalRow](support, path)
       .withConf(readConf(base, requestedSchema))
+    predicate.fold(b)(p =>
+        b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p)))
       .build()
   }
 }

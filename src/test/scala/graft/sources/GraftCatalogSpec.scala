@@ -240,6 +240,21 @@ class GraftCatalogSpec extends SparkSpec {
       s"dim-sized graft table should broadcast:\n$plan")
   }
 
+  test("filters reach the parquet reader (pushed + residual, values exact)") {
+    sql("CREATE TABLE graft_test.db.pf (id BIGINT, grp STRING, x DOUBLE)")
+    sql("""INSERT INTO graft_test.db.pf
+          |SELECT id, CASE WHEN id < 500 THEN 'lo' ELSE 'hi' END, id * 0.5
+          |FROM range(0, 1000, 1, 1)""".stripMargin)
+    val q = sql("SELECT id, x FROM graft_test.db.pf WHERE id >= 990 AND grp = 'hi'")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters") && desc.contains("990"),
+      s"pushed filters must show in the scan description:\n$desc")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (990L until 1000L))
+    // filter on a column the projection drops still evaluates correctly
+    assert(sql("SELECT count(*) FROM graft_test.db.pf WHERE grp = 'lo'")
+      .head().getLong(0) == 500)
+  }
+
   test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
     sql("CREATE TABLE graft_test.db.t4 (id BIGINT)")
     sql("INSERT INTO graft_test.db.t4 VALUES (1), (2)")
