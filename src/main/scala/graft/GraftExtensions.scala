@@ -198,6 +198,29 @@ object GraftExtensions {
         val a = args.map(stringArg(_, "graft_dedup_exact argument"))
         val s = SparkSession.active
         Bridge.logicalPlan(graft.operators.Dedup.exact(s.table(a(0)), a(1), a(2)))
+      }),
+    // DESCRIBE HISTORY for graft-catalog snapshot tables:
+    //   SELECT * FROM graft_history('graft_wh', 'db.t')
+    ("graft_history",
+      info("graft_history",
+        "graft_history(catalog, table) - snapshot log of a history table: " +
+          "(version, committed_at millis, n_files, bytes)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_history(catalog_name, 'namespace.table')")
+        val cat = stringArg(args.head, "graft_history: catalog")
+        val tbl = stringArg(args(1), "graft_history: table")
+        val s = SparkSession.active
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_history: catalog $cat is ${other.getClass.getName}, not a GraftCatalog")
+        }
+        val parts = tbl.split('.')
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init, parts.last)
+        import s.implicits._
+        Bridge.logicalPlan(plugin.snapshots(ident)
+          .toDF("version", "committed_at", "n_files", "bytes"))
       }))
 
   /** Imperative registration on an already-built session. */

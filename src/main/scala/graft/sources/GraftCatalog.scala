@@ -143,6 +143,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       history = true, pinnedVersion = Some(v))
   }
 
+  /** Snapshot log of a history table: (version, commit millis, data-file
+    * count, total bytes) per manifest — the DESCRIBE HISTORY surface,
+    * exposed to SQL via the `graft_history` TVF.
+    */
+  def snapshots(ident: Identifier): Seq[(Long, Long, Long, Long)] = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    require(isHistory(dir), s"$ident is not a history table")
+    GraftTable.manifestVersions(fs, dir).map { v =>
+      val files = GraftTable.readManifest(fs, dir, v)
+      val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      (v, fs.getFileStatus(GraftTable.manifestPath(dir, v)).getModificationTime,
+        files.size.toLong, bytes)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -29,6 +29,11 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Registered catalog plugin by name (CatalogManager is private[sql]). */
+  def catalogPlugin(spark: SparkSession,
+                    name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
   /** DataFrame over an RDD[InternalRow] (`df.queryExecution.toRdd` shape):
     * the per-partition imperative operators (GlobalRank) stay in Tungsten
     * binary rows end-to-end instead of round-tripping through the external

@@ -190,6 +190,20 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("graft_history TVF lists the snapshot log from SQL") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_test.db.hlog (id BIGINT)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.hlog VALUES (1), (2)")
+    sql("INSERT INTO graft_test.db.hlog VALUES (3)")
+    val rows = sql("SELECT version, n_files FROM graft_history('graft_test', 'db.hlog') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one snapshot per commit; file counts grow with each append (the
+    // per-insert part-file count is a parallelism detail)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), rows.toSeq)
+    assert(rows(0)._2 == 0L && rows(1)._2 > 0L && rows(2)._2 > rows(1)._2, rows.toSeq)
+  }
+
   test("history table MERGE keeps past snapshots intact") {
     import spark.implicits._
     sql("""CREATE TABLE graft_test.db.h2 (id BIGINT, amt BIGINT)
