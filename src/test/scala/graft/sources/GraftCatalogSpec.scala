@@ -269,6 +269,34 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 500)
   }
 
+  test("clustered compaction yields range-disjoint files (stats-prunable)") {
+    sql("CREATE TABLE graft_test.db.cc (id BIGINT, v BIGINT)")
+    // interleaved inserts: every pre-compaction file spans the whole id
+    // domain, so min/max stats prune nothing
+    (0 until 4).foreach { k =>
+      sql(s"INSERT INTO graft_test.db.cc SELECT id * 4 + $k, id FROM range(0, 250, 1, 1)")
+    }
+    val total = listFiles("cc").map(n =>
+      new java.io.File(s"$warehouse/db/cc/$n").length).sum
+    val (before, after) = GraftMaintenance.compactTable(
+      spark, s"$warehouse/db/cc", targetBytes = total / 3 + 1, sortCols = Seq("id"))
+    assert(before == 4 && after >= 2, s"$before -> $after")
+    // per-file id ranges are pairwise disjoint after the range-clustered
+    // rewrite — exactly what lets min/max stats skip whole files
+    val ranges = listFiles("cc").map { n =>
+      val r = spark.read.parquet(s"$warehouse/db/cc/$n")
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $ranges")
+      case _ =>
+    }
+    assert(sql("SELECT count(*), sum(v) FROM graft_test.db.cc").head().toSeq
+      == Seq(1000L, 4L * (0 until 250).map(_.toLong).sum))
+  }
+
   test("INSERT OVERWRITE truncates, DROP TABLE removes the directory") {
     sql("CREATE TABLE graft_test.db.t4 (id BIGINT)")
     sql("INSERT INTO graft_test.db.t4 VALUES (1), (2)")
