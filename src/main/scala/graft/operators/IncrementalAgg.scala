@@ -33,6 +33,14 @@ object IncrementalAgg {
     * with `hll_sketch_estimate`.
     */
   case object MergeHllUnion extends MergeOp
+  /** KLL quantile-sketch merge (`graft.expressions.KllSketchAgg` binary
+    * column): makes grouped PERCENTILES a mergeable measure. Associative
+    * and commutative over any merge tree (KLL rank-error guarantee), but
+    * NOT idempotent — unlike the HLL register max, a re-delivered delta
+    * double-counts, so feed deltas exactly once (the catalogUpsertBatch
+    * marker discipline). Read estimates out with `KllQuantile`.
+    */
+  case object MergeKll extends MergeOp
 
   /** Merge `delta` (the new batch, already aggregated to the same schema)
     * into `state`. Both sides: `keys` ++ measure columns; output the same.
@@ -55,6 +63,7 @@ object IncrementalAgg {
         case MergeHllUnion =>
           when(sc.isNull, dc).when(dc.isNull, sc)
             .otherwise(hll_union(sc, dc))
+        case MergeKll => graft.expressions.KllSketchAgg.kllMerge(sc, dc)
       }).as(c)
     }
     s.join(d, keys, "full_outer")

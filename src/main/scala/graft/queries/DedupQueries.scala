@@ -31,6 +31,44 @@ object DedupQueries {
               |ORDER BY fp""".stripMargin)
     },
 
+    // entity-resolution match scoring (the Fellegi–Sunter shape, with
+    // deterministic agreement weights): two customer feeds — B carries
+    // planted perturbations (case-folded names, nudged balances) — are
+    // blocked on (nation, coarse balance bucket) so candidates stay
+    // bounded (Σ block² — never the N² cross join), then each candidate
+    // pair scores integer field-agreement weights (name 50, balance-
+    // within-1 30, segment 20) and pairs ≥ 70 link. All comparisons are
+    // exact (integer weights, IEEE-identical float compare), so the
+    // oracle replays bit-for-bit
+    "dd_er_score" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val a = c.where(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        col("c_nationkey").as("nat"), col("c_acctbal").as("a_bal"),
+        col("c_mktsegment").as("a_seg"))
+        .withColumn("blk", floor(col("a_bal") / 1000).cast("long"))
+      val b = c.select(
+        (col("c_custkey") + 1000000L).as("b_id"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("b_name"),
+        col("c_nationkey").as("nat"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.5)
+          .otherwise(col("c_acctbal")).as("b_bal"),
+        col("c_mktsegment").as("b_seg"))
+        .withColumn("blk", floor(col("b_bal") / 1000).cast("long"))
+      val name_m = lower(col("a_name")) === lower(col("b_name"))
+      val bal_m = abs(col("a_bal") - col("b_bal")) <= 1.0
+      val seg_m = col("a_seg") === col("b_seg")
+      a.join(b, Seq("nat", "blk"))
+        .select(col("a_id"), col("b_id"),
+          (when(name_m, 50L).otherwise(0L)
+            + when(bal_m, 30L).otherwise(0L)
+            + when(seg_m, 20L).otherwise(0L)).as("score"),
+          name_m.as("name_match"), bal_m.as("bal_match"), seg_m.as("seg_match"))
+        .where(col("score") >= 70)
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
         .orderBy("a_id", "b_id")
@@ -291,6 +329,29 @@ object DedupQueries {
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
   private val oracleBase: Map[String, String] = Map(
+    "dd_er_score" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+        |  c_nationkey AS nat, c_acctbal AS a_bal, c_mktsegment AS a_seg,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS blk
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |b AS (SELECT c_custkey + 1000000 AS b_id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_name) ELSE c_name END AS b_name,
+        |  c_nationkey AS nat,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5 ELSE c_acctbal END AS b_bal,
+        |  c_mktsegment AS b_seg,
+        |  CAST(FLOOR(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+        |    ELSE c_acctbal END / 1000) AS BIGINT) AS blk
+        | FROM customer),
+        |s AS (SELECT a_id, b_id,
+        |  (CASE WHEN LOWER(a_name) = LOWER(b_name) THEN 50 ELSE 0 END
+        |   + CASE WHEN ABS(a_bal - b_bal) <= 1.0 THEN 30 ELSE 0 END
+        |   + CASE WHEN a_seg = b_seg THEN 20 ELSE 0 END)::BIGINT AS score,
+        |  LOWER(a_name) = LOWER(b_name) AS name_match,
+        |  ABS(a_bal - b_bal) <= 1.0 AS bal_match,
+        |  a_seg = b_seg AS seg_match
+        | FROM a JOIN b ON a.nat = b.nat AND a.blk = b.blk)
+        |SELECT * FROM s WHERE score >= 70 ORDER BY a_id, b_id""".stripMargin,
+
     "dd_exact" ->
       s"""SELECT md5(array_to_string($normToks, ' ')) AS fp,
          | MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

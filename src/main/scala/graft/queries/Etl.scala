@@ -437,6 +437,32 @@ object Etl {
               |ORDER BY id""".stripMargin)
     },
 
+    // snapshot RESTORE (rollback as a commit): a bad UPDATE lands on a
+    // history table, GraftMaintenance.restore rolls back to the pre-update
+    // snapshot by committing a NEW manifest that re-points at the old
+    // files — zero data rewritten (O(manifest), the only rollback that
+    // works at 100 TB), and the mistaken version stays queryable for
+    // audit. The oracle is the pre-update state read from the CURRENT
+    // table — proving the rollback is live, not just time-travel-visible
+    "etl_restore" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.rst")
+      s.sql("""CREATE TABLE graft_wh.mrg.rst (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_rst_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.rst
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_rst_orders WHERE o_orderkey % 4 = 1""".stripMargin)
+      s.sql("""UPDATE graft_wh.mrg.rst
+              |SET status = 'OOPS', cents = -1 WHERE id % 8 = 1""".stripMargin)
+      graft.sources.GraftMaintenance.restore(s, s"$wh/mrg/rst", 2L)
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.rst ORDER BY id")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -982,6 +1008,12 @@ object Etl {
       """SELECT o_orderkey AS id, o_orderstatus AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY id""".stripMargin,
+
+    "etl_restore" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 = 1
         |ORDER BY id""".stripMargin,
 
     "src_binaryfile" ->

@@ -135,6 +135,69 @@ object QualityQueries {
         .orderBy("bucket")
     },
 
+    // incrementally-maintained grouped percentiles: two epoch deltas each
+    // aggregate a per-nation KLL quantile sketch (values never shuffle —
+    // one ~O(k) sketch per group per partial), then IncrementalAgg.merge
+    // folds delta into state with MergeKll exactly as a stored rollup
+    // would, and p50/p95 read out of the MERGED sketch. Runs in the
+    // sketch's EXACT regime (k=8192 ≥ any group size through sf1 — no
+    // compaction ever happens), so merged quantiles ARE the order
+    // statistics at rank ceil(r·n) and DuckDB replays them by ROW_NUMBER
+    // pick; the approximation regime is bounds-asserted in KllSketchSpec
+    // (mirrors dq_heavy_hitters' VALUE-gate split)
+    "dq_quantile_rollup" -> { (s, dir) =>
+      import graft.expressions.KllSketchAgg
+      val c = Tables.customer(s, dir)
+      def delta(p: Int): DataFrame = c.where(col("c_custkey") % 2 === p)
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(KllSketchAgg.kllSketch(col("c_acctbal"), 8192).as("sk"))
+      val merged = graft.operators.IncrementalAgg.merge(
+        delta(0), delta(1), Seq("nation"),
+        Seq("sk" -> graft.operators.IncrementalAgg.MergeKll))
+      merged.select(col("nation"),
+        KllSketchAgg.kllCount(col("sk")).as("n_vals"),
+        KllSketchAgg.kllQuantile(col("sk"), 0.5).as("p50"),
+        KllSketchAgg.kllQuantile(col("sk"), 0.95).as("p95"))
+        .orderBy("nation")
+    },
+
+    // Kolmogorov–Smirnov drift statistic between the same two epochs as
+    // dq_drift: max CDF gap over the bucketed distribution, kept EXACT by
+    // cross-multiplied integers (|cum_a·tot_b − cum_b·tot_a| — no float
+    // CDF anywhere, so merge order and engine cannot move the answer).
+    // The cumulative runs over the FIXED bucket domain (≤10 rows — a
+    // bounded rollup, not a data-sized window); ks_ppm fits a LONG
+    // through ~sf10, widen to decimal beyond (same plan)
+    "dq_ks" -> { (s, dir) =>
+      def bucketOf(c: Column): Column =
+        least(floor(c / 20000).cast("long"), lit(9L))
+      val o = Tables.orders(s, dir)
+      val a = o.where(col("o_orderkey") % 2 === 0)
+        .groupBy(bucketOf(col("o_totalprice")).as("bucket"))
+        .agg(count(lit(1)).as("cnt_a"))
+      val shifted = when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10000)
+        .otherwise(col("o_totalprice"))
+      val b = o.where(col("o_orderkey") % 2 === 1)
+        .groupBy(bucketOf(shifted).as("bucket"))
+        .agg(count(lit(1)).as("cnt_b"))
+      val j = a.join(b, Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = j.select(col("bucket"),
+        sum(col("cnt_a")).over(w).as("cum_a"),
+        sum(col("cnt_b")).over(w).as("cum_b"))
+      val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+      cum.crossJoin(broadcast(tot))
+        .agg(
+          max(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+            .as("ks_num"),
+          max(col("tot_a")).as("tot_a"), max(col("tot_b")).as("tot_b"))
+        .select(col("ks_num"), col("tot_a"), col("tot_b"),
+          expr("ks_num * 1000000L div (tot_a * tot_b)").as("ks_ppm"))
+    },
+
     // ingestion freshness: per-event-type lag behind the stream head —
     // the "is a source stalled" monitor over a landed event table. The
     // head is a 1-row aggregate broadcast back (never a driver count);
@@ -622,6 +685,44 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "dq_quantile_rollup" ->
+      """WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer)
+        |SELECT nation, CAST(MAX(n) AS BIGINT) AS n_vals,
+        |  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN c_acctbal END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN c_acctbal END) AS p95
+        |FROM v GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "dq_ks" ->
+      """WITH a AS (
+        |  SELECT LEAST(FLOOR(o_totalprice / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_a
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY bucket),
+        |b AS (
+        |  SELECT LEAST(FLOOR(
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10000
+        |          ELSE o_totalprice END) / 20000)::BIGINT, 9) AS bucket,
+        |    count(*) AS cnt_b
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        | FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |c AS (SELECT bucket,
+        |  CAST(SUM(cnt_a) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |  CAST(SUM(cnt_b) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        | FROM j),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j),
+        |k AS (SELECT CAST(MAX(ABS(cum_a * tot_b - cum_b * tot_a)) AS BIGINT) AS ks_num,
+        |  MAX(tot_a) AS tot_a, MAX(tot_b) AS tot_b
+        | FROM c CROSS JOIN t)
+        |SELECT ks_num, tot_a, tot_b,
+        |  ks_num * 1000000 // (tot_a * tot_b) AS ks_ppm
+        |FROM k""".stripMargin,
 
     "dq_key_skew" ->
       """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem

@@ -838,6 +838,105 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // min-cost supplier per part (the TPC-H Q2 shape without partsupp:
+    // observed unit cost from lineitem): two map-side-combinable hash
+    // aggs — (part, supp) min cents, then per-part argmin via struct-min
+    // (tie pinned to the smaller suppkey) — then broadcast joins to the
+    // supplier/nation dims. Never a per-part sort; the correlated-subquery
+    // formulation Q2 uses would re-scan per part
+    "q72_min_cost_supplier" -> { (s, dir) =>
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+      val best = cost.groupBy(col("l_partkey"))
+        .agg(min(struct(col("cost_cents"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey").as("part_key"),
+          col("m.cost_cents").as("cost_cents"),
+          col("m.l_suppkey").as("supp_key"))
+      best
+        .join(broadcast(Tables.supplier(s, dir)), col("supp_key") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("part_key"), col("supp_key"), col("s_name"), col("n_name"),
+          col("cost_cents"))
+        .orderBy("part_key")
+    },
+
+    // market share (the TPC-H Q8 shape): per (order year, supplier
+    // region), the revenue share contributed by one nation's suppliers.
+    // Exact integer cents end-to-end; the share is ppm by integer
+    // division so no float ratio crosses engines. Fact side shuffles once
+    // for the orders join; supplier→nation→region are broadcast dims.
+    // (num·1e6 fits a LONG through ~sf10; at 100 TB widen to decimal —
+    // same plan shape)
+    "q73_market_share" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      val supNation = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey").as("sk"), col("n_name"), col("r_name"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("r_name"))
+        .agg(
+          sum(when(col("n_name") === "NATION_7", cents).otherwise(0L)).as("num_cents"),
+          sum(cents).as("den_cents"))
+        .select(col("o_year"), col("r_name"), col("num_cents"), col("den_cents"),
+          expr("num_cents * 1000000L div den_cents").as("share_ppm"))
+        .orderBy("o_year", "r_name")
+    },
+
+    // promo revenue share per ship month (the TPC-H Q14 shape): one
+    // broadcast join to the part dim, one month rollup, exact cents and
+    // a ppm integer share — the marketing KPI computed without a single
+    // cross-engine float ratio
+    "q74_promo_share" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L)).as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("ship_month"), col("promo_cents"), col("total_cents"),
+          expr("promo_cents * 1000000L div total_cents").as("promo_ppm"))
+        .orderBy("ship_month")
+    },
+
+    // RFM customer segmentation (the CRM staple): recency / frequency /
+    // monetary per customer, each scored into quintiles by EXACT rank
+    // arithmetic — three GlobalRank passes (range-partitioned, no
+    // single-task global window) + per-row ((rank−1)·5) div n + 1, then
+    // two hash joins reassemble the scores. Rows are bounded by
+    // |customers|; ties pin on custkey so every rank is total-ordered
+    "q76_rfm" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")).as("recency_day"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      val tot = base.agg(count(lit(1)).as("n_cust"))
+      def quintile(metric: String, score: String): DataFrame =
+        graft.operators.GlobalRank
+          .withGlobalRank(base.select(col("o_custkey"), col(metric)),
+            Seq(col(metric), col("o_custkey")), "__r")
+          .crossJoin(broadcast(tot))
+          .select(col("o_custkey"),
+            expr("(__r - 1) * 5 div n_cust + 1").as(score))
+      val r = quintile("recency_day", "r_score")
+      val f = quintile("frequency", "f_score")
+      val m = quintile("monetary_cents", "m_score")
+      base.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+        .select(col("o_custkey"), col("recency_day"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+        .orderBy("o_custkey")
+    },
+
     // through ONE task). The interpolation arithmetic is replayed
     // verbatim in the oracle — bit-identical regardless of how
     // quantile_cont associates
@@ -1881,6 +1980,70 @@ object Relational {
         |  ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n
         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q72_min_cost_supplier" ->
+      """WITH c AS (SELECT l_partkey, l_suppkey,
+        |  MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |  ORDER BY cost_cents, l_suppkey) AS rn FROM c)
+        |SELECT r.l_partkey AS part_key, r.l_suppkey AS supp_key,
+        |  s.s_name, n.n_name, r.cost_cents
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE rn = 1 ORDER BY part_key""".stripMargin,
+
+    "q73_market_share" ->
+      """WITH f AS (SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+        |  n.n_name, rg.r_name,
+        |  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS cents
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region rg ON n.n_regionkey = rg.r_regionkey),
+        |g AS (SELECT o_year, r_name,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN cents ELSE 0 END) AS BIGINT) AS num_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS den_cents
+        | FROM f GROUP BY 1, 2)
+        |SELECT o_year, r_name, num_cents, den_cents,
+        |  num_cents * 1000000 // den_cents AS share_ppm
+        |FROM g ORDER BY o_year, r_name""".stripMargin,
+
+    "q74_promo_share" ->
+      """WITH f AS (SELECT
+        |  CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS BIGINT) AS ship_month,
+        |  p.p_type,
+        |  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS cents
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        | FROM f GROUP BY 1)
+        |SELECT ship_month, promo_cents, total_cents,
+        |  promo_cents * 1000000 // total_cents AS promo_ppm
+        |FROM g ORDER BY ship_month""".stripMargin,
+
+    "q76_rfm" ->
+      """WITH base AS (SELECT o_custkey,
+        |  MAX(CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT)) AS recency_day,
+        |  COUNT(*) AS frequency,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_cust FROM base),
+        |r AS (SELECT o_custkey, (ROW_NUMBER() OVER (ORDER BY recency_day, o_custkey) - 1)
+        |  * 5 // n_cust + 1 AS r_score FROM base CROSS JOIN tot),
+        |f AS (SELECT o_custkey, (ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1)
+        |  * 5 // n_cust + 1 AS f_score FROM base CROSS JOIN tot),
+        |m AS (SELECT o_custkey, (ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1)
+        |  * 5 // n_cust + 1 AS m_score FROM base CROSS JOIN tot)
+        |SELECT b.o_custkey, b.recency_day, b.frequency, b.monetary_cents,
+        |  r.r_score, f.f_score, m.m_score,
+        |  r.r_score * 100 + f.f_score * 10 + m.m_score AS rfm_code
+        |FROM base b JOIN r ON b.o_custkey = r.o_custkey
+        |JOIN f ON b.o_custkey = f.o_custkey
+        |JOIN m ON b.o_custkey = m.o_custkey
+        |ORDER BY b.o_custkey""".stripMargin,
 
     "q50_median_scale" ->
 """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n

@@ -77,6 +77,45 @@ object StreamingQueries {
       latest.orderBy("c_custkey")
     },
 
+    // streaming upsert into a REAL graft-catalog table: the same CDC feed
+    // as stream_cdc_apply, but each micro-batch lands as a SQL MERGE INTO
+    // through catalogUpsertStream — the production lakehouse sink where
+    // applyChangelogStream's in-memory snapshot becomes a stored table.
+    // Cross-batch semantics (later batches overwrite, deletes drop) now
+    // ride on the catalog's copy-on-write MERGE + the committed-batch
+    // marker, and the final TABLE state must equal the one-shot batch
+    // fold (same oracle as stream_cdc_apply)
+    "stream_catalog_upsert" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.scu")
+      s.sql("CREATE TABLE graft_wh.mrg.scu (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_scu_customer")
+      s.sql("""INSERT INTO graft_wh.mrg.scu
+              |SELECT c_custkey, c_name, c_acctbal FROM graft_scu_customer""".stripMargin)
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") < 20000)
+        .select(
+          col("o_custkey"), concat(lit("upd_"), col("o_orderkey")),
+          col("o_totalprice"), col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 0, Cdc.OpDelete).otherwise(Cdc.OpUpsert))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._4)
+      val in = MemoryStream[(Long, String, Double, Long, String)]
+      withFewPartitions(s) {
+        val q = StreamOps.catalogUpsertStream(
+          in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "seq", "op"),
+          "graft_wh.mrg.scu", s"$wh/mrg/scu", "c_custkey", "seq", "op")
+        foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft_wh.mrg.scu ORDER BY c_custkey")
+    },
+
     // streaming type-2 SCD upkeep: etl_scd2's changelog fed as THREE
     // seq-ordered micro-batches through scd2Stream; versions must chain
     // ACROSS batches (an open version closes when its key's next change
@@ -1213,6 +1252,18 @@ object StreamingQueries {
         | MIN(sec) AS start_sec, MAX(sec) AS end_sec
         |FROM y GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "stream_cdc_apply" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
+        |  o_totalprice AS c_acctbal, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders
+        |  WHERE o_orderkey < 20000),
+        |latest AS (SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY c_custkey ORDER BY seq DESC, (op = 'D') DESC) = 1),
+        |kept AS (SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
+        |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_catalog_upsert" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
         |  o_totalprice AS c_acctbal, o_orderkey AS seq,
         |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op FROM orders

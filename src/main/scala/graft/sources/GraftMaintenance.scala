@@ -62,6 +62,31 @@ object GraftMaintenance {
     (files.size, staged.size)
   }
 
+  /** Roll a history table back to snapshot `version` by committing a NEW
+    * manifest whose file list equals that snapshot's (Delta RESTORE /
+    * Iceberg rollback semantics): the rollback is itself a commit, so the
+    * mistaken versions stay queryable for audit and vacuum's retention
+    * dial still governs when their files actually go away. Rewriting zero
+    * data makes restore O(manifest) — at 100 TB that is the difference
+    * between an instant rollback and re-copying the table. Returns the new
+    * version. Fails loudly on non-history tables (nothing to restore from)
+    * and unknown versions.
+    */
+  def restore(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(dir, GraftTable.PropsFile)),
+      s"restore: $tableDir is not a history table")
+    val versions = GraftTable.manifestVersions(fs, dir)
+    require(versions.contains(version),
+      s"restore: version $version not in ${versions.mkString("[", ",", "]")}" +
+        " (vacuumed or never committed)")
+    val files = GraftTable.readManifest(fs, dir, version)
+    val next = versions.last + 1
+    GraftTable.writeManifest(fs, dir, next, files)
+    next
+  }
+
   /** Expire old snapshots of a history table: keep the last `keepLast`
     * manifests, delete older manifests and every data file no kept
     * snapshot references. Returns (manifests removed, data files removed).

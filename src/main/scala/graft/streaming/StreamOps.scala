@@ -178,6 +178,69 @@ object StreamOps {
     }.start()
   }
 
+  /** Apply ONE micro-batch of keyed changes to a graft-catalog table via
+    * SQL MERGE INTO, idempotently: a committed-batch watermark file inside
+    * the table directory records the highest applied batch id, and a
+    * replayed id ≤ watermark is skipped without touching the table.
+    * Returns true if the batch was applied, false if skipped.
+    *
+    * Exactly-once argument (the Delta `txn` discipline, approximated with
+    * a marker + an idempotent fold): Structured Streaming only ever
+    * replays the LAST batch whose checkpoint commit did not land, and a
+    * batch is first deduped to its latest change per key — so a re-MERGE
+    * of that batch writes the exact same state (upserts set identical
+    * values, deletes stay deleted). The marker makes the common replay a
+    * metadata no-op and the observable table state equal to exactly-once
+    * application even though delivery is at-least-once.
+    */
+  def catalogUpsertBatch(batch: DataFrame, batchId: Long, targetTable: String,
+                         tableDir: String, keyCol: String, seqCol: String,
+                         opCol: String): Boolean = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
+    val applied =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId <= applied) return false
+    val latest = graft.operators.Cdc.latestChanges(batch, keyCol, seqCol, opCol)
+    val dataCols = batch.columns.toSeq.filterNot(Set(keyCol, seqCol, opCol))
+    val view = s"graft_upsert_src_${math.abs(targetTable.hashCode)}"
+    latest.createOrReplaceTempView(view)
+    val insCols = (keyCol +: dataCols).mkString(", ")
+    val insVals = (keyCol +: dataCols).map(c => s"s.$c").mkString(", ")
+    val setList = dataCols.map(c => s"t.$c = s.$c").mkString(", ")
+    spark.sql(
+      s"""MERGE INTO $targetTable t USING $view s ON t.$keyCol = s.$keyCol
+         |WHEN MATCHED AND s.$opCol = '${graft.operators.Cdc.OpDelete}' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET $setList
+         |WHEN NOT MATCHED AND s.$opCol <> '${graft.operators.Cdc.OpDelete}'
+         |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Continuous streaming upsert into a graft-catalog table: foreachBatch
+    * + `catalogUpsertBatch` — the production form of applyChangelogStream
+    * where the snapshot is a real table instead of in-memory state. The
+    * catalog's copy-on-write MERGE rewrites only files holding matched
+    * keys (runtime group filtering), so per-batch write cost scales with
+    * the batch's key spread, not the table.
+    */
+  def catalogUpsertStream(changes: DataFrame, targetTable: String,
+                          tableDir: String, keyCol: String, seqCol: String,
+                          opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      catalogUpsertBatch(batch, batchId, targetTable, tableDir, keyCol, seqCol, opCol)
+      ()
+    }.start()
+
   /** Streaming type-2 SCD upkeep — the continuous form of
     * `Cdc.scd2History`: each micro-batch of keyed changes extends the
     * maintained version history. Closed versions are immutable — only the

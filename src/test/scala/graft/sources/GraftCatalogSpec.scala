@@ -169,6 +169,67 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert batch: MERGE applies once, replay is a marker no-op") {
+    import spark.implicits._
+    sql("CREATE TABLE graft_test.db.su (id BIGINT, v STRING)")
+    sql("INSERT INTO graft_test.db.su SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    val b0 = Seq(
+      (5L, "x5", 1L, "U"), (5L, "ignored", 0L, "U"), // in-batch latest wins
+      (100L, "new", 2L, "U"), (3L, "", 3L, "D"))
+      .toDF("id", "v", "seq", "op")
+    val dir = s"$warehouse/db/su"
+    assert(graft.streaming.StreamOps.catalogUpsertBatch(
+      b0, 0L, "graft_test.db.su", dir, "id", "seq", "op"))
+    def state() = sql("SELECT id, v FROM graft_test.db.su ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val after0 = state()
+    assert(after0.contains((5L, "x5")) && after0.contains((100L, "new"))
+      && !after0.exists(_._1 == 3L), s"$after0")
+    // replayed batch id: skipped entirely — same state, ZERO file churn
+    val filesBefore = listFiles("su")
+    assert(!graft.streaming.StreamOps.catalogUpsertBatch(
+      b0, 0L, "graft_test.db.su", dir, "id", "seq", "op"))
+    assert(state() == after0 && listFiles("su") == filesBefore)
+    // the next batch id applies normally
+    val b1 = Seq((5L, "y5", 4L, "U")).toDF("id", "v", "seq", "op")
+    assert(graft.streaming.StreamOps.catalogUpsertBatch(
+      b1, 1L, "graft_test.db.su", dir, "id", "seq", "op"))
+    assert(state().contains((5L, "y5")))
+  }
+
+  test("restore rolls back by committing, rewrites nothing, keeps audit trail") {
+    sql("""CREATE TABLE graft_test.db.rb (id BIGINT, v STRING)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.rb SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    val dataFilesBefore = listFiles("rb")
+    sql("UPDATE graft_test.db.rb SET v = 'BAD' WHERE id < 7")
+    assert(sql("SELECT count(*) FROM graft_test.db.rb WHERE v = 'BAD'")
+      .head().getLong(0) == 7)
+    // roll back to the pre-update snapshot (v1 create, v2 insert, v3 bad)
+    val newV = GraftMaintenance.restore(spark, s"$warehouse/db/rb", 2L)
+    assert(newV == 4L)
+    // live table is the restored state...
+    assert(sql("SELECT count(*) FROM graft_test.db.rb WHERE v = 'BAD'")
+      .head().getLong(0) == 0)
+    assert(sql("SELECT v FROM graft_test.db.rb WHERE id = 3").head().getString(0) == "a3")
+    // ...the restore wrote ZERO data files (manifest-only commit): every
+    // file of the restored snapshot is one of v2's original files
+    val dirF = new java.io.File(s"$warehouse/db/rb")
+    val v4Files = GraftTable.readManifest(
+      org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(dirF.getAbsolutePath), 4L)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    assert(v4Files.nonEmpty && v4Files.forall(dataFilesBefore.contains),
+      s"restore must re-point at v2's files, got $v4Files vs $dataFilesBefore")
+    // the mistaken version stays queryable for audit
+    assert(sql("SELECT count(*) FROM graft_test.db.rb VERSION AS OF 3 WHERE v = 'BAD'")
+      .head().getLong(0) == 7)
+    // unknown version / non-history table fail loudly
+    intercept[IllegalArgumentException] {
+      GraftMaintenance.restore(spark, s"$warehouse/db/rb", 99L)
+    }
+  }
+
   test("TIMESTAMP AS OF resolves to the latest snapshot at-or-before t") {
     sql("""CREATE TABLE graft_test.db.h3 (id BIGINT)
           |TBLPROPERTIES ('history'='true')""".stripMargin)
