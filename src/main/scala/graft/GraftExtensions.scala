@@ -73,6 +73,24 @@ object GraftExtensions {
         "freq_sketch(item, k) - aggregate: Misra-Gries top-frequency summary, <= k counters"),
       (args: Seq[Expression]) =>
         graft.expressions.FreqSketchAgg(args.head, intArg(args(1), "freq_sketch: k"))),
+    ("kll_sketch",
+      info("kll_sketch",
+        "kll_sketch(v, k) - aggregate: KLL quantile sketch of a double column (binary)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.KllSketchAgg(args.head, intArg(args(1), "kll_sketch: k"))),
+    ("kll_merge",
+      info("kll_merge", "kll_merge(a, b) - merge two serialized KLL sketches"),
+      (args: Seq[Expression]) =>
+        graft.expressions.KllMerge(args.head, args(1))),
+    ("kll_quantile",
+      info("kll_quantile",
+        "kll_quantile(sk, r) - quantile at normalized rank r from a KLL sketch"),
+      (args: Seq[Expression]) =>
+        graft.expressions.KllQuantile(args.head, args(1))),
+    ("kll_count",
+      info("kll_count", "kll_count(sk) - total update count of a KLL sketch"),
+      (args: Seq[Expression]) =>
+        graft.expressions.KllCount(args.head)),
     ("lsh_buckets",
       info("lsh_buckets",
         "lsh_buckets(v, nTables, nPlanes, dim, seed) - array<long> of LSH bucket ids"),

@@ -161,6 +161,29 @@ object QualityQueries {
         .orderBy("nation")
     },
 
+    // the same incremental-quantile fold authored as PURE SQL through the
+    // GraftExtensions-registered kll_* functions (sketch, merge via
+    // full-outer join, quantile/count read-out) — the SQL-only user
+    // reaches the identical mergeable-percentiles machinery; same oracle
+    // as dq_quantile_rollup
+    "kll_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.customer(s, dir).createOrReplaceTempView("graft_kll_customer")
+      s.sql("""WITH d0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+              |    kll_sketch(c_acctbal, 8192) AS sk
+              |  FROM graft_kll_customer WHERE c_custkey % 2 = 0 GROUP BY 1),
+              |d1 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+              |    kll_sketch(c_acctbal, 8192) AS sk
+              |  FROM graft_kll_customer WHERE c_custkey % 2 = 1 GROUP BY 1),
+              |m AS (SELECT COALESCE(d0.nation, d1.nation) AS nation,
+              |    kll_merge(d0.sk, d1.sk) AS sk
+              |  FROM d0 FULL OUTER JOIN d1 ON d0.nation = d1.nation)
+              |SELECT nation, kll_count(sk) AS n_vals,
+              |  kll_quantile(sk, CAST(0.5 AS DOUBLE)) AS p50,
+              |  kll_quantile(sk, CAST(0.95 AS DOUBLE)) AS p95
+              |FROM m ORDER BY nation""".stripMargin)
+    },
+
     // Kolmogorov–Smirnov drift statistic between the same two epochs as
     // dq_drift: max CDF gap over the bucketed distribution, kept EXACT by
     // cross-multiplied integers (|cum_a·tot_b − cum_b·tot_a| — no float
@@ -685,6 +708,15 @@ object QualityQueries {
         | CAST(abs(cnt_a * tot_b - cnt_b * tot_a) AS DOUBLE)
         |   / CAST(tot_a * tot_b AS DOUBLE) AS share_diff
         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "kll_sql_surface" ->
+      """WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer)
+        |SELECT nation, CAST(MAX(n) AS BIGINT) AS n_vals,
+        |  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN c_acctbal END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN c_acctbal END) AS p95
+        |FROM v GROUP BY nation ORDER BY nation""".stripMargin,
 
     "dq_quantile_rollup" ->
       """WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,

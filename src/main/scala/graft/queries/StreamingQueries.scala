@@ -77,6 +77,43 @@ object StreamingQueries {
       latest.orderBy("c_custkey")
     },
 
+    // the lakehouse table as a STREAM SOURCE: a history graft-catalog
+    // table takes three INSERT commits, and a Structured Streaming query
+    // reads them INCREMENTALLY off the manifest log (GraftMicroBatchStream
+    // — offsets are manifest versions, each batch reads only the files
+    // that commit appended) into a running complete-mode aggregate. The
+    // final aggregate must equal the batch rollup over everything
+    // committed — proving no commit was lost or double-delivered across
+    // the incremental batches
+    "stream_catalog_source" -> { (s, dir) =>
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.src")
+      s.sql("""CREATE TABLE graft_wh.mrg.src (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_src_orders")
+      val sink = s"graft_catalog_src_sink_${sinkId.incrementAndGet()}"
+      val q = withFewPartitions(s) {
+        s.readStream.table("graft_wh.mrg.src")
+          .groupBy(col("status"))
+          .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+      }
+      try {
+        for (m <- 0 until 3) {
+          s.sql(s"""INSERT INTO graft_wh.mrg.src
+                   |SELECT o_orderkey, o_orderstatus,
+                   |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   |FROM graft_src_orders WHERE o_orderkey % 3 = $m""".stripMargin)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy("status")
+    },
+
     // streaming upsert into a REAL graft-catalog table: the same CDC feed
     // as stream_cdc_apply, but each micro-batch lands as a SQL MERGE INTO
     // through catalogUpsertStream — the production lakehouse sink where
@@ -1262,6 +1299,12 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_catalog_source" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "stream_catalog_upsert" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,

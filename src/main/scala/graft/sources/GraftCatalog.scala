@@ -342,9 +342,14 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val base: Set[TableCapability] =
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    // manifests are the commit log a streaming read resumes from; plain
+    // tables have none, so only history tables advertise the capability
+    (if (history) base + TableCapability.MICRO_BATCH_READ else base).asJava
+  }
 
   /** The read snapshot: manifest-driven for history tables (pinned or
     * latest version), directory listing otherwise.
@@ -524,6 +529,12 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(table.history,
+      s"streaming read of ${table.name()}: only history tables have a commit log")
+    new GraftMicroBatchStream(table, required,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
   override def description(): String =
     s"graft ${table.name()} cols=${required.fieldNames.mkString(",")}" +
       (if (pushedFilters.nonEmpty)

@@ -169,6 +169,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("history table streams its appends; rewrites fail the stream loudly") {
+    sql("""CREATE TABLE graft_test.db.strm (id BIGINT, v STRING)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_test.db.strm SELECT id, concat('a', id) FROM range(0, 5, 1, 1)")
+    val q = spark.readStream.table("graft_test.db.strm")
+      .writeStream.format("memory").queryName("graft_strm_sink")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 1: the full snapshot since creation
+      assert(spark.table("graft_strm_sink").count() == 5)
+      // a new commit streams incrementally — only the appended rows
+      sql("INSERT INTO graft_test.db.strm SELECT id, concat('b', id) FROM range(10, 13, 1, 1)")
+      q.processAllAvailable()
+      val got = spark.table("graft_strm_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == ((0L until 5L).map(i => (i, s"a$i")) ++
+        (10L until 13L).map(i => (i, s"b$i"))).toSet)
+      // a copy-on-write rewrite breaks the append-only contract: the
+      // stream must fail loudly, never silently double-count
+      sql("UPDATE graft_test.db.strm SET v = 'x' WHERE id = 0")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("append") || ex.getCause.getMessage.contains("append"),
+        s"expected append-only violation, got: ${ex.getMessage}")
+    } finally q.stop()
+    // non-history tables advertise no streaming capability
+    sql("CREATE TABLE graft_test.db.nostrm (id BIGINT)")
+    intercept[Exception] {
+      spark.readStream.table("graft_test.db.nostrm").writeStream
+        .format("memory").queryName("graft_nostrm_sink").start().processAllAvailable()
+    }
+  }
+
   test("streaming upsert batch: MERGE applies once, replay is a marker no-op") {
     import spark.implicits._
     sql("CREATE TABLE graft_test.db.su (id BIGINT, v STRING)")
