@@ -838,6 +838,33 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // bitemporal as-of (valid time × transaction time — the feature-store
+    // / audit double cut): each change carries WHEN it is business-
+    // effective (valid_seq) and WHEN it was recorded (tx_seq, late for
+    // some feed lags). "State as KNOWN at tx T, effective at V" = filter
+    // tx_seq <= T, then latest valid_seq <= V per key — one codegen
+    // filter + one map-side-combinable argmax (max_by over (valid_seq,
+    // tx_seq), tie-pinned), never a window or range join. Late-recorded
+    // rows (tx > T) correctly vanish from the reconstruction — the
+    // lookahead-leakage mistake a plain as-of silently makes
+    "q77_bitemporal" -> { (s, dir) =>
+      val changes = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"),
+          col("o_orderkey").as("valid_seq"),
+          (col("o_orderkey") + col("o_custkey") % 7 * 1000).as("tx_seq"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val (txT, validV) = (30000L, 25000L)
+      changes
+        .where(col("tx_seq") <= txT && col("valid_seq") <= validV)
+        .groupBy(col("k"))
+        .agg(max_by(
+          struct(col("valid_seq"), col("tx_seq"), col("cents")),
+          struct(col("valid_seq"), col("tx_seq"))).as("m"))
+        .select(col("k"), col("m.valid_seq").as("valid_seq"),
+          col("m.tx_seq").as("tx_seq"), col("m.cents").as("cents"))
+        .orderBy("k")
+    },
+
     // min-cost supplier per part (the TPC-H Q2 shape without partsupp:
     // observed unit cost from lineitem): two map-side-combinable hash
     // aggs — (part, supp) min cents, then per-part argmin via struct-min
@@ -1980,6 +2007,16 @@ object Relational {
         |  ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n
         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q77_bitemporal" ->
+      """WITH ch AS (SELECT o_custkey AS k, o_orderkey AS valid_seq,
+        |  o_orderkey + (o_custkey % 7) * 1000 AS tx_seq,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |  ORDER BY valid_seq DESC, tx_seq DESC) AS rn
+        | FROM ch WHERE tx_seq <= 30000 AND valid_seq <= 25000)
+        |SELECT k, valid_seq, tx_seq, cents FROM r WHERE rn = 1 ORDER BY k""".stripMargin,
 
     "q72_min_cost_supplier" ->
       """WITH c AS (SELECT l_partkey, l_suppkey,

@@ -114,6 +114,61 @@ object StreamingQueries {
       s.table(sink).orderBy("status")
     },
 
+    // the full lakehouse loop (bronze→silver medallion): a BRONZE history
+    // table takes three INSERT commits; a streaming query consumes them
+    // incrementally through GraftMicroBatchStream, aggregates each
+    // micro-batch, and MERGEs the delta rollup into a SILVER catalog
+    // table via catalogUpsertBatch — source offsets, the COW MERGE, and
+    // the committed-batch marker all exercised in ONE pipeline. Per-batch
+    // partial rollups of DISJOINT key slices would collide on re-merge,
+    // so the fold re-aggregates running totals keyed by status: each
+    // batch's delta is (status, sum, n) and MERGE adds it into the stored
+    // row via the update path — here modeled as upsert-with-replace over
+    // the running total carried in the batch (monoid fold proven ≡ batch)
+    "stream_medallion" -> { (s, dir) =>
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.bronze")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.silver")
+      s.sql("""CREATE TABLE graft_wh.mrg.bronze (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      s.sql("CREATE TABLE graft_wh.mrg.silver (status STRING, sum_cents BIGINT, n BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_med_orders")
+      val q = withFewPartitions(s) {
+        s.readStream.table("graft_wh.mrg.bronze")
+          .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            // delta rollup of THIS batch + the stored silver state →
+            // merged running totals, upserted back (seq = batchId so the
+            // in-batch latest-per-key dedupe is a no-op)
+            val delta = batch.groupBy(col("status"))
+              .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+            val stored = batch.sparkSession.table("graft_wh.mrg.silver")
+            val merged = graft.operators.IncrementalAgg.merge(
+              stored, delta, Seq("status"),
+              Seq("sum_cents" -> graft.operators.IncrementalAgg.MergeSum,
+                "n" -> graft.operators.IncrementalAgg.MergeSum))
+              .withColumn("seq", lit(batchId))
+              .withColumn("op", lit(graft.operators.Cdc.OpUpsert))
+              .localCheckpoint(true)
+            StreamOps.catalogUpsertBatch(merged, batchId, "graft_wh.mrg.silver",
+              s"$wh/mrg/silver", "status", "seq", "op")
+            ()
+          }.start()
+      }
+      try {
+        for (m <- 0 until 3) {
+          s.sql(s"""INSERT INTO graft_wh.mrg.bronze
+                   |SELECT o_orderkey, o_orderstatus,
+                   |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   |FROM graft_med_orders WHERE o_orderkey % 3 = $m""".stripMargin)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.sql("SELECT status, sum_cents, n FROM graft_wh.mrg.silver ORDER BY status")
+    },
+
     // streaming upsert into a REAL graft-catalog table: the same CDC feed
     // as stream_cdc_apply, but each micro-batch lands as a SQL MERGE INTO
     // through catalogUpsertStream — the production lakehouse sink where
@@ -1299,6 +1354,12 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_medallion" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "stream_catalog_source" ->
       """SELECT o_orderstatus AS status,
