@@ -75,6 +75,33 @@ object EtlOps {
       .agg(count(lit(1)).as("n_intervals"), sum(col("__contrib")).as("covered"))
   }
 
+  /** Incremental view maintenance for an APPEND-ONLY inner equi-join view
+    * V = A ⋈ B: given deltas dA, dB, the new view rows are the standard
+    * delta-join identity
+    *
+    *   dV = (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+    *      = (dA ⋈ (B ∪ dB)) ∪ (A ⋈ dB)
+    *
+    * so the view APPENDS dV — the stored join output is never re-scanned
+    * or re-shuffled (the aggregate twin is IncrementalAgg.merge; this is
+    * the join half of view maintenance). Exact for append-only bases;
+    * updates/deletes need retraction rows, which an append-only view by
+    * definition does not carry.
+    *
+    * Scale shape: two equi-joins whose LEFT sides are delta-sized. With A
+    * and B stored bucketed on the key (Sources.writeBucketed), neither
+    * base re-shuffles — each join shuffles only its delta and streams the
+    * bucketed base; AQE broadcasts a small-enough delta outright. Pass
+    * the PRE-delta bases: rows in both `a` and `da` would otherwise pair
+    * with dB twice.
+    */
+  def incrementalJoinDelta(a: DataFrame, b: DataFrame,
+                           da: DataFrame, db: DataFrame,
+                           keyCols: Seq[String]): DataFrame = {
+    val newB = b.unionByName(db)
+    da.join(newB, keyCols).unionByName(a.join(db, keyCols))
+  }
+
   def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
                     compareCols: Seq[String]): DataFrame = {
     val o = oldDf.select(

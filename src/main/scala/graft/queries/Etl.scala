@@ -700,6 +700,27 @@ object Etl {
         .orderBy("n_name")
     },
 
+    // incremental view maintenance for a JOIN view (the join half of MV
+    // upkeep, next to etl_incr_agg's aggregate half): stored V = A ⋈ B
+    // absorbs deltas on BOTH sides via the delta-join identity
+    // dV = (dA ⋈ (B ∪ dB)) ∪ (A ⋈ dB) — the stored view is appended,
+    // never re-joined; each delta join shuffles only the delta against
+    // (ideally bucketed) bases. The oracle is the from-scratch full join
+    // — maintained ≡ recomputed, row multiplicities included
+    "etl_incr_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val (a, da) = (o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1))
+      val (b, db) = (li.where(col("o_orderkey") % 3 === 0),
+        li.where(col("o_orderkey") % 3 =!= 0))
+      val stored = a.join(b, Seq("o_orderkey"))
+      val delta = EtlOps.incrementalJoinDelta(a, b, da, db, Seq("o_orderkey"))
+      stored.unionByName(delta).orderBy("o_orderkey", "l_linenumber")
+    },
+
     // incremental aggregate maintenance: the stored per-customer rollup
     // absorbs a new batch WITHOUT re-reading history — state ⟗ delta on
     // the key, measures merged as monoids (the materialized-view upkeep
@@ -1092,6 +1113,12 @@ object Etl {
         | CASE WHEN n_nationkey % 5 = 0 THEN 'notanint,' || n_name || ',x'
         |      ELSE NULL END AS bad_line
         |FROM nation ORDER BY n_name""".stripMargin,
+
+    "etl_incr_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber,
+        | CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
 
     "etl_incr_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,

@@ -838,6 +838,29 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // disjunctive multi-clause predicate (the TPC-H Q19 shape): an OR of
+    // brand/size/quantity AND-clauses across the part join. The plan
+    // property that matters: Catalyst's CNF conversion extracts the
+    // single-side conjuncts (p_size >= 1, quantity bounds envelope) and
+    // pushes them INTO each scan before the join, so the broadcast join
+    // sees pre-filtered inputs instead of evaluating the full disjunction
+    // post-join; exact cents end-to-end
+    "q78_disjunctive" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      val clause = (
+        col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1, 20)) || (
+        col("p_brand") === "Brand#2" && col("p_size").between(1, 20)
+          && col("l_quantity").between(10, 30)) || (
+        col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
+          && col("l_quantity").between(20, 40))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .where(clause)
+        .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_items"))
+    },
+
     // bitemporal as-of (valid time × transaction time — the feature-store
     // / audit double cut): each change carries WHEN it is business-
     // effective (valid_seq) and WHEN it was recorded (tx_seq, late for
@@ -2007,6 +2030,18 @@ object Relational {
         |  ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n
         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q78_disjunctive" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100)
+        |  AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q77_bitemporal" ->
       """WITH ch AS (SELECT o_custkey AS k, o_orderkey AS valid_seq,
