@@ -501,6 +501,22 @@ object GraftParquetFilters {
     fs.flatMap(conv.createFilter(_)).reduceOption(
       org.apache.parquet.filter2.predicate.FilterApi.and)
   }
+
+  /** True iff any row group of `path` survives stats filtering under
+    * `pred` — opening the reader with a record filter makes parquet apply
+    * its row-group stats/dictionary pruning in the constructor, so an
+    * all-pruned file reports zero row groups without reading data pages.
+    */
+  def fileMayMatch(path: Path,
+                   conf: org.apache.hadoop.conf.Configuration,
+                   pred: org.apache.parquet.filter2.predicate.FilterPredicate): Boolean = {
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
+      .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+      .build()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf), opts)
+    try !r.getRowGroups.isEmpty finally r.close()
+  }
 }
 
 /** One partition per data file (the file is the copy-on-write group; at
@@ -598,8 +614,28 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(GraftFilePartition).toArray
+  /** Whole-FILE stats skipping before any task launches: with pushed
+    * filters, each candidate file's footer is tested and files where
+    * every row group is stats-pruned never become partitions — on a
+    * range-clustered table (compactTable sortCols / Z-order) a selective
+    * predicate plans a handful of tasks instead of |files|. The footer
+    * read is driver-side O(files) metadata; at 100 TB a table format
+    * lifts these stats into the manifest (Iceberg's per-file min/max) to
+    * make this a pure metadata-log operation — same pruning decision,
+    * amortized IO. Never applied to row-level scans (pushdown is disabled
+    * there: pruning the ReplaceData read would DELETE carried-over rows).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept =
+      if (rowLevel || pushedFilters.isEmpty) files
+      else GraftParquetFilters.predicate(table.schema(), pushedFilters.toSeq) match {
+        case None => files
+        case Some(pred) =>
+          val conf = SparkSession.active.sessionState.newHadoopConf()
+          files.filter(f => GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
+      }
+    kept.map(GraftFilePartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, table.schema(), pushedFilters,

@@ -169,6 +169,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("pushed filters skip whole files at planning (no task per pruned file)") {
+    sql("CREATE TABLE graft_test.db.skip (id BIGINT, v STRING)")
+    for ((a, b) <- Seq((0, 10), (10, 20), (20, 30)))
+      sql(s"INSERT INTO graft_test.db.skip SELECT id, concat('v', id) FROM range($a, $b, 1, 1)")
+    assert(listFiles("skip").size == 3)
+    // selective predicate: two of three files are stats-pruned before any
+    // task launches — the scan plans ONE partition, not three
+    val q = spark.sql("SELECT id, v FROM graft_test.db.skip WHERE id = 15")
+    assert(q.rdd.getNumPartitions == 1, s"got ${q.rdd.getNumPartitions} partitions")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((15L, "v15")))
+    // no filter → all files plan
+    assert(spark.table("graft_test.db.skip").rdd.getNumPartitions == 3)
+    // values stay exact across a range predicate spanning two files
+    val r2 = spark.sql("SELECT count(*) FROM graft_test.db.skip WHERE id BETWEEN 5 AND 24")
+    assert(r2.head().getLong(0) == 20)
+  }
+
   test("history table streams its appends; rewrites fail the stream loudly") {
     sql("""CREATE TABLE graft_test.db.strm (id BIGINT, v STRING)
           |TBLPROPERTIES ('history'='true')""".stripMargin)
