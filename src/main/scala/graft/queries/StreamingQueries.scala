@@ -114,6 +114,46 @@ object StreamingQueries {
       s.table(sink).orderBy("status")
     },
 
+    // running per-key quantiles as cross-batch streaming state: KLL
+    // sketches (binary measure columns) fold across THREE micro-batches
+    // through maintainAggregateStream + MergeKll — values never cross a
+    // batch boundary, only ~O(k) sketches do. Fixed-id feed, k well above
+    // the feed size ⇒ the sketch never compacts and the folded p50/p95
+    // ARE the ceil(r·n) order statistics (ROW_NUMBER oracle); the
+    // approximation regime is bounds-asserted in KllSketchSpec
+    "stream_quantiles" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.expressions.KllSketchAgg
+      val feed = Tables.events(s, dir).where(col("event_id") < 3000)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._3)
+      val in = MemoryStream[(String, Double, Long)]
+      val initial = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sk",
+            org.apache.spark.sql.types.BinaryType))))
+      @volatile var latest: DataFrame = null
+      withFewPartitions(s) {
+        val q = StreamOps.maintainAggregateStream(
+          in.toDF().toDF("event_type", "value", "event_id"),
+          initial, Seq("event_type"),
+          b => b.groupBy(col("event_type"))
+            .agg(KllSketchAgg.kllSketch(col("value"), 8192).as("sk")),
+          Seq("sk" -> IncrementalAgg.MergeKll))(df => latest = df)
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      latest.select(col("event_type"),
+        KllSketchAgg.kllCount(col("sk")).as("n_vals"),
+        KllSketchAgg.kllQuantile(col("sk"), 0.5).as("p50"),
+        KllSketchAgg.kllQuantile(col("sk"), 0.95).as("p95"))
+        .orderBy("event_type")
+    },
+
     // the full lakehouse loop (bronze→silver medallion): a BRONZE history
     // table takes three INSERT commits; a streaming query consumes them
     // incrementally through GraftMicroBatchStream, aggregates each
@@ -1354,6 +1394,16 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_quantiles" ->
+      """WITH v AS (SELECT event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE event_id < 3000)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_vals,
+        |  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN value END) AS p95
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_medallion" ->
       """SELECT o_orderstatus AS status,

@@ -23,8 +23,12 @@ object GraftMaintenance {
     */
   def compactTable(spark: SparkSession, tableDir: String,
                    targetBytes: Long = 128L << 20,
-                   sortCols: Seq[String] = Nil): (Int, Int) = {
+                   sortCols: Seq[String] = Nil,
+                   zorderCols: Seq[String] = Nil): (Int, Int) = {
     require(targetBytes > 0)
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "compactTable: pass sortCols (linear clustering) OR zorderCols " +
+        "(multi-dim clustering), not both")
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val history = fs.exists(new Path(dir, GraftTable.PropsFile))
@@ -37,7 +41,15 @@ object GraftMaintenance {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(files: _*)
     val shaped =
-      if (sortCols.nonEmpty)
+      if (zorderCols.nonEmpty)
+        // multi-dimensional clustering: files become Morton-curve
+        // segments, so a point/range predicate on EITHER dim stats-prunes
+        // files (linear sortCols only prunes its leading column) — feeds
+        // the whole-file skipping in GraftScan.planInputPartitions
+        graft.operators.ZOrder.zorderBy(df,
+          zorderCols.map(c => c -> org.apache.spark.sql.functions.col(c)),
+          numPartitions = nOut)
+      else if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nOut)

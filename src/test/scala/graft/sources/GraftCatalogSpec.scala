@@ -186,6 +186,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.head().getLong(0) == 20)
   }
 
+  test("z-order compaction prunes files on BOTH dims at planning") {
+    sql("CREATE TABLE graft_test.db.zc (a BIGINT, b BIGINT, v STRING)")
+    // 64x64 grid, a and b independent — a linear sort on a would leave b
+    // unprunable (every file spans all of b)
+    sql("""INSERT INTO graft_test.db.zc
+          |SELECT id DIV 64, id % 64, concat('v', id) FROM range(0, 4096, 1, 1)""".stripMargin)
+    val dir = s"$warehouse/db/zc"
+    val total = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.length()).sum
+    val (_, nAfter) = GraftMaintenance.compactTable(spark, dir,
+      targetBytes = math.max(1L, total / 16), zorderCols = Seq("a", "b"))
+    assert(nAfter >= 8, s"expected a multi-file z-layout, got $nAfter files")
+    def planned(pred: String): Int =
+      spark.sql(s"SELECT a, b FROM graft_test.db.zc WHERE $pred").rdd.getNumPartitions
+    val pa = planned("a = 3")
+    val pb = planned("b = 7")
+    // Morton layout: a point predicate on EITHER dim intersects only the
+    // curve blocks crossing that row/column — a strict subset of files
+    assert(pa <= nAfter / 2, s"a=3 planned $pa of $nAfter files")
+    assert(pb <= nAfter / 2, s"b=7 planned $pb of $nAfter files")
+    // values intact
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.zc WHERE a = 3").head().getLong(0) == 64)
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.zc WHERE b = 7").head().getLong(0) == 64)
+  }
+
   test("history table streams its appends; rewrites fail the stream loudly") {
     sql("""CREATE TABLE graft_test.db.strm (id BIGINT, v STRING)
           |TBLPROPERTIES ('history'='true')""".stripMargin)
