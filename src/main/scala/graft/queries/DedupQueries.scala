@@ -69,6 +69,39 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // blocking-quality audit for the ER pipeline (the measure-don't-guess
+    // twin of dd_er_score): TRUE matches are known by construction (B is
+    // A's perturbed copy — b_id = a_id + 1e6), so pairs completeness
+    // (share of true matches surviving the (nation, balance-bucket)
+    // blocking) and the reduction ratio (candidates vs the full cross
+    // product) are both exact integers. The audit every blocking scheme
+    // needs: completeness says what recall costs, reduction says what it
+    // buys
+    "dd_er_blocking" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val a = c.where(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("a_id"), col("c_nationkey").as("nat"),
+        col("c_acctbal").as("a_bal"))
+        .withColumn("blk", floor(col("a_bal") / 1000).cast("long"))
+      val b = c.select(
+        (col("c_custkey") + 1000000L).as("b_id"),
+        col("c_nationkey").as("nat"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.5)
+          .otherwise(col("c_acctbal")).as("b_bal"))
+        .withColumn("blk", floor(col("b_bal") / 1000).cast("long"))
+      val cand = a.join(b, Seq("nat", "blk")).select(col("a_id"), col("b_id"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nTrue = a.agg(count(lit(1)).as("n_true"))
+      val nA = a.agg(count(lit(1)).as("n_a"))
+      val nB = b.agg(count(lit(1)).as("n_b"))
+      val trueHit = cand.where(col("b_id") === col("a_id") + 1000000L)
+        .agg(count(lit(1)).as("n_true_in_cand"))
+      nTrue.crossJoin(trueHit).crossJoin(nCand).crossJoin(nA).crossJoin(nB)
+        .select(col("n_true"), col("n_true_in_cand"), col("n_cand"),
+          expr("n_true_in_cand * 1000000L div n_true").as("completeness_ppm"),
+          expr("n_cand * 1000000L div (n_a * n_b)").as("candidate_share_ppm"))
+    },
+
     "dd_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
         .orderBy("a_id", "b_id")
@@ -329,6 +362,26 @@ object DedupQueries {
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
   private val oracleBase: Map[String, String] = Map(
+    "dd_er_blocking" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_nationkey AS nat,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS blk
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |b AS (SELECT c_custkey + 1000000 AS b_id, c_nationkey AS nat,
+        |  CAST(FLOOR(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+        |    ELSE c_acctbal END / 1000) AS BIGINT) AS blk
+        | FROM customer),
+        |cand AS (SELECT a_id, b_id FROM a JOIN b ON a.nat = b.nat AND a.blk = b.blk),
+        |m AS (SELECT
+        |  (SELECT COUNT(*) FROM a) AS n_true,
+        |  (SELECT COUNT(*) FROM cand WHERE b_id = a_id + 1000000) AS n_true_in_cand,
+        |  (SELECT COUNT(*) FROM cand) AS n_cand,
+        |  (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM b) AS n_b)
+        |SELECT n_true, n_true_in_cand, n_cand,
+        |  n_true_in_cand * 1000000 // n_true AS completeness_ppm,
+        |  n_cand * 1000000 // (n_a * n_b) AS candidate_share_ppm
+        |FROM m""".stripMargin,
+
     "dd_er_score" ->
       """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
         |  c_nationkey AS nat, c_acctbal AS a_bal, c_mktsegment AS a_seg,

@@ -463,6 +463,40 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.rst ORDER BY id")
     },
 
+    // snapshot version diff (the audit verb on top of time travel): what
+    // changed between two committed versions of a history table, computed
+    // by EtlOps.diffSnapshots over two VERSION AS OF reads — added /
+    // deleted / changed / unchanged per key in ONE full-outer join, no
+    // change log required (CDF-lite: commit-granularity, which is what
+    // copy-on-write actually records)
+    "etl_version_diff" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.vd")
+      s.sql("""CREATE TABLE graft_wh.mrg.vd (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_vd_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.vd
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_vd_orders WHERE o_orderkey % 4 = 2""".stripMargin)
+      // v3: a restatement touches some rows, drops others, adds new ones
+      s.sql("DELETE FROM graft_wh.mrg.vd WHERE id % 16 = 2")
+      s.sql("UPDATE graft_wh.mrg.vd SET cents = cents + 7 WHERE id % 16 = 6")
+      s.sql("""INSERT INTO graft_wh.mrg.vd
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_vd_orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000""".stripMargin)
+      val before = s.sql("SELECT id, status, cents FROM graft_wh.mrg.vd VERSION AS OF 2")
+      val after = s.sql("SELECT id, status, cents FROM graft_wh.mrg.vd")
+      graft.operators.EtlOps.diffSnapshots(before, after, Seq("id"),
+        Seq("status", "cents"))
+        .select(col("id"), col("change_type"), col("new_cents"))
+        .where(col("change_type") =!= "unchanged")
+        .orderBy("id")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -1029,6 +1063,19 @@ object Etl {
       """SELECT o_orderkey AS id, o_orderstatus AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY id""".stripMargin,
+
+    "etl_version_diff" ->
+      """SELECT o_orderkey AS id, 'added' AS change_type,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS new_cents
+        |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000
+        |UNION ALL
+        |SELECT o_orderkey, 'deleted', CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 16 = 2
+        |UNION ALL
+        |SELECT o_orderkey, 'changed',
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7
+        |FROM orders WHERE o_orderkey % 16 = 6
         |ORDER BY id""".stripMargin,
 
     "etl_restore" ->

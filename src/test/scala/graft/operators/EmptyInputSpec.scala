@@ -31,6 +31,36 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalSurvivors(someDocs, emptyIndex, "doc_id", "text").count() == 1)
   }
 
+  test("incremental join view: empty deltas contribute nothing, empty bases work") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "av")
+    val b = Seq((1L, 10.0), (3L, 30.0)).toDF("k", "bv")
+    val emptyA = Seq.empty[(Long, String)].toDF("k", "av")
+    val emptyB = Seq.empty[(Long, Double)].toDF("k", "bv")
+    // both deltas empty → no new view rows
+    assert(EtlOps.incrementalJoinDelta(a, b, emptyA, emptyB, Seq("k")).isEmpty)
+    // empty bases: the whole join comes from the deltas
+    assert(EtlOps.incrementalJoinDelta(emptyA, emptyB, a, b, Seq("k")).count() == 1)
+    // one-sided delta joins against base ∪ delta on the other side
+    val da = Seq((3L, "z")).toDF("k", "av")
+    assert(EtlOps.incrementalJoinDelta(a, b, da, emptyB, Seq("k")).count() == 1)
+  }
+
+  test("KLL: empty input and NULL-only input yield NULL quantiles, zero count") {
+    import graft.expressions.KllSketchAgg
+    val empty = Seq.empty[java.lang.Double].toDF("v")
+    val r = empty.agg(KllSketchAgg.kllSketch(col("v"), 64).as("sk"))
+      .select(KllSketchAgg.kllQuantile(col("sk"), 0.5).as("q"),
+        KllSketchAgg.kllCount(col("sk")).as("n"))
+      .collect().head
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+    val nulls = Seq[java.lang.Double](null, null).toDF("v")
+    val r2 = nulls.agg(KllSketchAgg.kllSketch(col("v"), 64).as("sk"))
+      .select(KllSketchAgg.kllQuantile(col("sk"), 0.5).as("q"),
+        KllSketchAgg.kllCount(col("sk")).as("n"))
+      .collect().head
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+
   test("semDedup: empty corpus yields empty survivors, singleton survives") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Dedup.semDedup(emptyEmb, "vec_id", "embedding", 2, 0.9).isEmpty)
