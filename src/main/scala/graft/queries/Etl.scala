@@ -411,6 +411,62 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.del ORDER BY id")
     },
 
+    // DELETE on a MERGE-ON-READ table (TBLPROPERTIES merge-on-read=true):
+    // the row-level op goes through SupportsDelta — matching row ids
+    // (_file,_pos) land in Roaring64 deletion-vector sidecars and NO data
+    // file is rewritten (file-level asserted in GraftMorSpec; at 100 TB
+    // this turns a restatement delete from re-copying gigabytes into a
+    // few-KB bitmap write). The read-back proves the DV-aware scan: same
+    // oracle shape as etl_delete_where, different predicate
+    "etl_delete_mor" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.delmor")
+      s.sql("""CREATE TABLE graft_wh.mrg.delmor (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_delmor_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.delmor
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_delmor_orders""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.delmor WHERE id % 10 = 7 OR cents >= 25000000")
+      s.sql("DELETE FROM graft_wh.mrg.delmor WHERE status = 'P' AND id % 2 = 0")
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.delmor ORDER BY id")
+    },
+
+    // MERGE INTO the merge-on-read table: matched updates become DV
+    // deletes + appended rows (representUpdateAsDeleteAndInsert), matched
+    // deletes become DV entries, not-matched inserts append — original
+    // files stay byte-identical. Same replay oracle shape as
+    // etl_merge_into with a different change-set carve
+    "etl_merge_mor" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.snapmor")
+      s.sql("""CREATE TABLE graft_wh.mrg.snapmor (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_mergemor_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.snapmor
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_mergemor_orders WHERE o_orderkey % 5 < 3""".stripMargin)
+      s.sql("""MERGE INTO graft_wh.mrg.snapmor t
+              |USING (SELECT o_orderkey AS id,
+              |              CASE WHEN o_orderkey % 4 = 1 THEN 'D' ELSE 'U' END AS op,
+              |              'M' AS status,
+              |              CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+              |       FROM graft_mergemor_orders WHERE o_orderkey % 5 >= 2) c
+              |ON t.id = c.id
+              |WHEN MATCHED AND c.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET status = c.status, cents = c.cents
+              |WHEN NOT MATCHED AND c.op <> 'D' THEN
+              |  INSERT (id, status, cents) VALUES (c.id, c.status, c.cents)
+              |""".stripMargin)
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.snapmor ORDER BY id")
+    },
+
     // snapshot time travel: a HISTORY table (manifest commits — nothing
     // deleted, the exclusive manifest create is the atomic commit point)
     // takes an UPDATE, and the query reads VERSION AS OF the pre-update
@@ -1057,6 +1113,38 @@ object Etl {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 3
         |           OR CAST(FLOOR(o_totalprice * 100) AS BIGINT) < 500000)
+        |ORDER BY id""".stripMargin,
+
+    "etl_delete_mor" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 7
+        |           OR CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 25000000)
+        |  AND NOT (o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+        |ORDER BY id""".stripMargin,
+
+    "etl_merge_mor" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 < 3),
+        |chg AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderkey % 4 = 1 THEN 'D' ELSE 'U' END AS op,
+        |         'M' AS status,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 5 >= 2)
+        |SELECT id, status, cents FROM (
+        |  SELECT t.id AS id,
+        |    CASE WHEN c.id IS NOT NULL THEN c.status ELSE t.status END AS status,
+        |    CASE WHEN c.id IS NOT NULL THEN c.cents ELSE t.cents END AS cents
+        |  FROM tgt t LEFT JOIN chg c ON t.id = c.id
+        |  WHERE c.id IS NULL OR c.op <> 'D'
+        |  UNION ALL
+        |  SELECT c.id, c.status, c.cents
+        |  FROM chg c LEFT JOIN tgt t ON c.id = t.id
+        |  WHERE t.id IS NULL AND c.op <> 'D')
         |ORDER BY id""".stripMargin,
 
     "etl_time_travel" ->

@@ -94,12 +94,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def isHistory(dir: Path): Boolean =
-    fs.exists(new Path(dir, GraftTable.PropsFile))
+    GraftTable.readProps(fs, dir).get(GraftTable.HistoryProp).contains("true")
+  private def isMor(dir: Path): Boolean =
+    GraftTable.readProps(fs, dir).get(GraftTable.MorProp).contains("true")
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir))
+    new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
+      mor = isMor(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -172,12 +175,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     val history = "true".equalsIgnoreCase(
       properties.getOrDefault(GraftTable.HistoryProp, "false"))
-    if (history) {
-      val p = fs.create(new Path(dir, GraftTable.PropsFile), true)
-      try p.write(s"${GraftTable.HistoryProp}=true".getBytes("UTF-8")) finally p.close()
-      GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
+    val mor = "true".equalsIgnoreCase(
+      properties.getOrDefault(GraftTable.MorProp, "false"))
+    require(!(history && mor),
+      "graft catalog: merge-on-read and history snapshots cannot be combined " +
+        "yet — deletion-vector sidecars are not versioned in the manifest log " +
+        "(a DV commit would mutate past snapshots)")
+    if (history || mor) {
+      GraftTable.writeProps(fs, dir, Map(
+        GraftTable.HistoryProp -> history.toString,
+        GraftTable.MorProp -> mor.toString).filter(_._2 == "true"))
+      if (history)
+        GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
-    new GraftTable(ident.toString, dir.toString, schema, history)
+    new GraftTable(ident.toString, dir.toString, schema, history, mor = mor)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -280,7 +291,34 @@ object GraftTable {
   val MetaFile = "_graft_table.json"
   val PropsFile = "_graft_props.txt"
   val FileCol = "_file"
+  val PosCol = "_pos"
   val HistoryProp = "history"
+  val MorProp = "merge-on-read"
+
+  /** Table properties: newline-separated key=value lines in PropsFile
+    * (absent file = no properties, i.e. a plain eager-commit COW table).
+    */
+  def readProps(fs: FileSystem, dir: Path): Map[String, String] = {
+    val p = new Path(dir, PropsFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  def writeProps(fs: FileSystem, dir: Path, props: Map[String, String]): Unit = {
+    val out = fs.create(new Path(dir, PropsFile), true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Data files of a table directory, deterministic order. */
   def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
@@ -333,10 +371,23 @@ object GraftTable {
   *   directory (the interop contract GraftCatalogSpec asserts); history
   *   tables trade that for snapshots + `GraftMaintenance.vacuum`.
   * @param pinnedVersion a time-travel read pin; writes are rejected.
+  * @param mor merge-on-read (TBLPROPERTIES ('merge-on-read'='true')):
+  *   row-level operations become DELTA-based ([[GraftDeltaOperation]],
+  *   Spark's `SupportsDelta`) — DELETE/UPDATE/MERGE write positional
+  *   deletion-vector sidecars (`_graft_dv_<file>.bin`, Roaring64) plus
+  *   appended files instead of rewriting affected files. At 100 TB this
+  *   is the difference between an 8 KB sidecar write and re-copying a
+  *   1 GB file to delete 100 rows; the read path pays one bitmap probe
+  *   per row until `GraftMaintenance.materializeDeletes` folds the DVs
+  *   in. Trade-off: the directory is no longer directly readable as
+  *   plain parquet (deleted rows would resurface), and parquet record
+  *   filters are disabled on the reader (row positions must count every
+  *   physical row) — whole-file stats skipping still applies.
   */
 class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val history: Boolean = false,
-                 val pinnedVersion: Option[Long] = None)
+                 val pinnedVersion: Option[Long] = None,
+                 val mor: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -375,6 +426,13 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "data file path of the row (copy-on-write group id)"
+    },
+    new MetadataColumn {
+      override def name(): String = GraftTable.PosCol
+      override def dataType(): DataType = org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row position within its data file (merge-on-read row id)"
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -388,7 +446,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     rejectPinnedWrite()
-    () => new GraftRowLevelOperation(this, info.command())
+    if (mor) () => new GraftDeltaOperation(this, info.command())
+    else () => new GraftRowLevelOperation(this, info.command())
   }
 }
 
@@ -425,12 +484,15 @@ class GraftRowLevelOperation(table: GraftTable,
     Array(Expressions.column(GraftTable.FileCol))
 }
 
-class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
+class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = table.schema()
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // the COPY-ON-WRITE rewrite scan (ReplaceData); a merge-on-read delta
+  // scan is row-level too but never rewrites whole groups
+  private def cowRewrite = op.exists(_.isInstanceOf[GraftRowLevelOperation])
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -440,17 +502,20 @@ class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
     * filter is ALSO returned as residual so Spark re-evaluates exactly —
     * stats pruning is a superset filter, never the final answer.
     *
-    * NEVER for a row-level scan: Spark pushes the command's condition
-    * into the ReplaceData read, but a copy-on-write rewrite must read
-    * EVERY row of an affected file (the carried-over rows are the
+    * NEVER for a copy-on-write row-level scan: Spark pushes the command's
+    * condition into the ReplaceData read, but a copy-on-write rewrite must
+    * read EVERY row of an affected file (the carried-over rows are the
     * complement of the condition) — predicate pruning below group
     * granularity there silently deletes the carried-over rows (caught by
     * GraftCatalogSpec the moment pushdown landed; group pruning is the
-    * runtime `_file` filter's job).
+    * runtime `_file` filter's job). A merge-on-read DELTA scan DOES push
+    * (it only needs matching rows — pruned files simply contribute no row
+    * ids), but GraftScan confines the pushed filters to whole-file
+    * skipping there: record/row-group filters would break `_pos`.
     */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    if (op.isEmpty)
+    if (!cowRewrite)
       pushed = filters.filter(f =>
         GraftParquetFilters.convertible(table.schema(), f))
     filters // all residual: row-group stats are approximate by design
@@ -460,11 +525,13 @@ class GraftScanBuilder(table: GraftTable, op: Option[GraftRowLevelOperation])
 
   override def build(): Scan = {
     val scan = new GraftScan(table, required, op.isDefined, pushed)
-    op.foreach { o =>
+    op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
       // relation (same Scan instance, fresh expr ids)
-      if (o.configuredScan.isEmpty) o.configuredScan = Some(scan)
+      case o: GraftRowLevelOperation =>
+        if (o.configuredScan.isEmpty) o.configuredScan = Some(scan)
+      case _ => // delta (merge-on-read) ops carry no group state
     }
     scan
   }
@@ -522,8 +589,10 @@ object GraftParquetFilters {
 /** One partition per data file (the file is the copy-on-write group; at
   * 100 TB the managed files are write-sized ~128 MB so file==split is the
   * right granularity — a compaction pass owns the file-size invariant).
+  * `dv` is the file's deletion-vector sidecar, if any (merge-on-read).
   */
-case class GraftFilePartition(file: String) extends InputPartition
+case class GraftFilePartition(file: String, dv: Option[String] = None)
+  extends InputPartition
 
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
@@ -626,64 +695,112 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     * there: pruning the ReplaceData read would DELETE carried-over rows).
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // whole-file skipping is safe for EVERY scan flavor except the COW
+    // rewrite read (where carried-over rows live in "non-matching" files'
+    // complement — there pushdown is off entirely): a merge-on-read delta
+    // scan pruned of a file just yields no row ids from it, and deletion
+    // vectors only ever REMOVE rows, so a stats-pruned file stays prunable
+    val cowRewrite = rowLevel && !table.mor
     val kept =
-      if (rowLevel || pushedFilters.isEmpty) files
+      if (cowRewrite || pushedFilters.isEmpty) files
       else GraftParquetFilters.predicate(table.schema(), pushedFilters.toSeq) match {
         case None => files
         case Some(pred) =>
           val conf = SparkSession.active.sessionState.newHadoopConf()
           files.filter(f => GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
       }
-    kept.map(GraftFilePartition).toArray
+    // deletion-vector sidecars: one listing, keyed by data-file name
+    val dvByName: Map[String, String] =
+      if (!table.mor) Map.empty
+      else {
+        val p = new Path(table.dir)
+        val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+        fs.listStatus(p).toSeq
+          .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
+          .map(st => GraftDv.dataFileName(st.getPath.getName) -> st.getPath.toString)
+          .toMap
+      }
+    kept.map(f => GraftFilePartition(f, dvByName.get(new Path(f).getName))).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, table.schema(), pushedFilters,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // parquet record filters skip rows (and row groups) inside the file,
+    // which would desynchronize `_pos` from physical row position — so any
+    // scan that must see true positions (merge-on-read tables, or an
+    // explicit `_pos` projection) reads files in full; whole-file skipping
+    // above still applies
+    val readerFilters =
+      if (table.mor || required.fieldNames.contains(GraftTable.PosCol))
+        Array.empty[org.apache.spark.sql.sources.Filter]
+      else pushedFilters
+    new GraftReaderFactory(required, table.schema(), readerFilters,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
 }
 
 class GraftReaderFactory(required: StructType, tableSchema: StructType,
                          pushedFilters: Array[org.apache.spark.sql.sources.Filter],
                          conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(required, tableSchema, pushedFilters,
-      partition.asInstanceOf[GraftFilePartition].file, conf)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftPartitionReader(required, tableSchema, pushedFilters, p.file, p.dv,
+      conf)
+  }
 }
 
-/** Reads one parquet file, emitting `required`-shaped rows; the `_file`
-  * metadata column (any position) is synthesized from the partition path,
-  * every other column comes column-pruned from parquet.
+/** Reads one parquet file, emitting `required`-shaped rows; the `_file` /
+  * `_pos` metadata columns (any position) are synthesized from the
+  * partition path and the physical row position, every other column comes
+  * column-pruned from parquet. Rows whose position is in the partition's
+  * deletion vector are skipped (merge-on-read); position counting assumes
+  * an unfiltered sequential read — the scan never hands this reader a
+  * record filter when a DV or a `_pos` projection is in play.
   */
 class GraftPartitionReader(required: StructType, tableSchema: StructType,
                            pushedFilters: Array[org.apache.spark.sql.sources.Filter],
-                           file: String, conf: SerializableHadoopConf)
+                           file: String, dv: Option[String],
+                           conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
-  private val dataSchema = StructType(
-    required.fields.filter(_.name != GraftTable.FileCol))
+  private val dataSchema = StructType(required.fields.filter(f =>
+    f.name != GraftTable.FileCol && f.name != GraftTable.PosCol))
   private val reader =
     ParquetRowIO.reader(new Path(file), dataSchema, conf.value,
       GraftParquetFilters.predicate(tableSchema, pushedFilters.toSeq))
   private val filePath = UTF8String.fromString(file)
-  // required-field → (isFile, index in parquet row)
+  private val deleted: org.roaringbitmap.longlong.Roaring64Bitmap =
+    dv.map { d =>
+      val p = new Path(d)
+      GraftDv.read(p.getFileSystem(conf.value), p)
+    }.orNull
+  // required-field → parquet index, or -1 = _file, -2 = _pos
   private val plan: Array[Int] = {
     var di = -1
     required.fields.map { f =>
-      if (f.name == GraftTable.FileCol) -1 else { di += 1; di }
+      if (f.name == GraftTable.FileCol) -1
+      else if (f.name == GraftTable.PosCol) -2
+      else { di += 1; di }
     }
   }
-  private val needsProject = plan.exists(_ == -1)
+  private val needsProject = plan.exists(_ < 0)
+  private var pos: Long = -1L
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val r = reader.read()
+    var r = reader.read()
+    pos += 1
+    while (r != null && deleted != null && deleted.contains(pos)) {
+      r = reader.read()
+      pos += 1
+    }
     if (r == null) return false
     row = if (!needsProject) r else {
       val out = new GenericInternalRow(plan.length)
       var i = 0
       while (i < plan.length) {
         if (plan(i) == -1) out.update(i, filePath)
+        else if (plan(i) == -2) out.update(i, pos)
         else if (r.isNullAt(plan(i))) out.setNullAt(i)
         else out.update(i, r.get(plan(i), dataSchema.fields(plan(i)).dataType))
         i += 1
@@ -783,8 +900,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // eager commit: delete-then-rename — replaced groups (row-level) or
       // everything (truncate) leave before the replacements land, and the
       // directory stays directly readable as plain parquet
-      if (truncateAll)
+      if (truncateAll) {
         GraftTable.dataFiles(fs, dir).foreach(f => fs.delete(new Path(f), false))
+        // truncate also clears merge-on-read deletion vectors: a sidecar
+        // surviving its data file is an orphan at best, a stale delete at
+        // worst (a future file reusing the name would lose rows)
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
       replaceFiles.foreach(_.apply().foreach(f => fs.delete(new Path(f), false)))
       staged.foreach { f =>
         val p = new Path(f)

@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+/** Positional deletion-vector sidecars for merge-on-read tables: one
+  * Roaring64 bitmap of deleted row positions per data file, stored as
+  * `_graft_dv_<dataFile>.bin` next to the data (the underscore keeps it
+  * invisible to `GraftTable.dataFiles` and any plain parquet listing).
+  * This is the Delta Lake / Iceberg v2 position-delete shape: deleting k
+  * rows from a 1 GB file costs a few-KB sidecar write instead of a 1 GB
+  * rewrite, and the read path pays one bitmap probe per row until
+  * [[GraftMaintenance.materializeDeletes]] folds the vector in.
+  */
+object GraftDv {
+  private val Prefix = "_graft_dv_"
+  private val Suffix = ".bin"
+
+  def dvName(dataFileName: String): String = s"$Prefix$dataFileName$Suffix"
+  def isDv(name: String): Boolean = name.startsWith(Prefix) && name.endsWith(Suffix)
+  def dataFileName(dvName: String): String =
+    dvName.stripPrefix(Prefix).stripSuffix(Suffix)
+
+  def read(fs: FileSystem, path: Path): Roaring64Bitmap = {
+    val in = new DataInputStream(fs.open(path))
+    try { val bm = new Roaring64Bitmap; bm.deserialize(in); bm } finally in.close()
+  }
+
+  def write(fs: FileSystem, path: Path, bm: Roaring64Bitmap): Unit = {
+    bm.runOptimize()
+    val out = new DataOutputStream(fs.create(path, true))
+    try bm.serialize(out) finally out.close()
+  }
+
+  def toBytes(bm: Roaring64Bitmap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    bm.serialize(out); out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap
+    bm.deserialize(new DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+}
+
+/** Delta-based (merge-on-read) row-level operation — Spark's
+  * `SupportsDelta` path: `RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` plan a `WriteDelta` that feeds this operation
+  * only the CHANGED rows, keyed by row id (`_file`, `_pos`), instead of
+  * rewriting whole affected files. Deletes land as deletion-vector
+  * sidecars; inserts append new files; updates are split into
+  * delete+insert (`representUpdateAsDeleteAndInsert`). The scan side may
+  * push filters for whole-file skipping (a file with no matching rows
+  * contributes no row ids — pruning it is exact), but never record
+  * filters (row positions must count every physical row).
+  */
+class GraftDeltaOperation(table: GraftTable, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDeltaOperation[$cmd, merge-on-read]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new GraftDeltaWriteBuilder(table, info)
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftTable.FileCol), Expressions.column(GraftTable.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+}
+
+class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+  extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def toBatch: DeltaBatchWrite = {
+      val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+        new IllegalStateException("delta write without a row-id schema"))
+      new GraftDeltaBatchWrite(table, info.schema(), rowIdSchema)
+    }
+  }
+}
+
+/** Per-task delta results: appended data files plus per-data-file
+  * serialized deletion bitmaps. Bitmaps ride the commit message (positions
+  * per task are bounded by the task's matched rows); at 100 TB scale the
+  * same protocol holds — a task's delete set is proportional to its slice
+  * of the change set, not to table size — though a format would stage DV
+  * files and commit references instead of bytes-in-message.
+  */
+case class GraftDeltaCommit(inserted: Seq[String],
+                            deletes: Map[String, Array[Byte]])
+  extends WriterCommitMessage
+
+class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
+                           rowIdSchema: StructType) extends DeltaBatchWrite {
+
+  private val stagingDir =
+    new Path(table.dir, s".staging-${java.util.UUID.randomUUID()}")
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    fs.mkdirs(stagingDir)
+    val tableSchema = table.schema()
+    // a pure DELETE plans no data columns (empty row schema) — the insert
+    // projection is never consulted then
+    val proj =
+      if (rowSchema.isEmpty) Array.empty[Int]
+      else tableSchema.fields.map(f => rowSchema.fieldIndex(f.name))
+    new GraftDeltaWriterFactory(stagingDir.toString, tableSchema, rowSchema,
+      proj, rowIdSchema.fieldIndex(GraftTable.FileCol),
+      rowIdSchema.fieldIndex(GraftTable.PosCol),
+      new SerializableHadoopConf(hadoopConf))
+  }
+
+  /** Commit: OR each file's new delete positions into its existing
+    * sidecar (idempotent merge), then land appended files. Single-writer,
+    * like every commit on this catalog.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    val dir = new Path(table.dir)
+    val merged = mutable.Map.empty[String, Roaring64Bitmap]
+    val staged = mutable.Buffer.empty[String]
+    messages.foreach { case GraftDeltaCommit(ins, dels) =>
+      staged ++= ins
+      dels.foreach { case (file, bytes) =>
+        val bm = GraftDv.fromBytes(bytes)
+        merged.get(file) match {
+          case Some(acc) => acc.or(bm)
+          case None => merged(file) = bm
+        }
+      }
+    }
+    merged.foreach { case (file, bm) =>
+      val dvPath = new Path(dir, GraftDv.dvName(new Path(file).getName))
+      if (fs.exists(dvPath)) bm.or(GraftDv.read(fs, dvPath))
+      GraftDv.write(fs, dvPath, bm)
+    }
+    staged.foreach { f =>
+      val p = new Path(f)
+      fs.rename(p, new Path(dir, p.getName))
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    fs.delete(stagingDir, true)
+  }
+}
+
+class GraftDeltaWriterFactory(stagingDir: String, tableSchema: StructType,
+                              rowSchema: StructType, proj: Array[Int],
+                              fileIdx: Int, posIdx: Int,
+                              conf: SerializableHadoopConf)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, tableSchema, rowSchema, proj, fileIdx,
+      posIdx, partitionId, taskId, conf)
+}
+
+/** Accumulates delete positions per data file in Roaring bitmaps and
+  * appends inserted rows through the same parquet writer the batch path
+  * uses. `update` is never called (updates are represented as
+  * delete+insert) — it throws rather than silently half-applying.
+  */
+class GraftDeltaWriter(stagingDir: String, tableSchema: StructType,
+                       rowSchema: StructType, proj: Array[Int],
+                       fileIdx: Int, posIdx: Int,
+                       partitionId: Int, taskId: Long,
+                       conf: SerializableHadoopConf)
+  extends DeltaWriter[InternalRow] {
+
+  private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
+  private val inserts = new GraftDataWriter(stagingDir, tableSchema, rowSchema,
+    proj, partitionId, taskId, conf)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(fileIdx).toString
+    deletes.getOrElseUpdate(file, new Roaring64Bitmap).addLong(id.getLong(posIdx))
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft delta writer represents updates as delete+insert")
+
+  override def commit(): WriterCommitMessage = {
+    val ins = inserts.commit() match { case GraftCommit(files) => files }
+    GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap)
+  }
+
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
+}

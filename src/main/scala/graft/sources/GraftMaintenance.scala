@@ -31,7 +31,12 @@ object GraftMaintenance {
         "(multi-dim clustering), not both")
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val history = fs.exists(new Path(dir, GraftTable.PropsFile))
+    val props = GraftTable.readProps(fs, dir)
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    // merge-on-read: fold outstanding deletion vectors in first, so the
+    // bulk rewrite below can read the files as plain parquet
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, tableDir)
     val files =
       if (!history) GraftTable.dataFiles(fs, dir)
       else GraftTable.manifestVersions(fs, dir).lastOption
@@ -72,6 +77,65 @@ object GraftMaintenance {
     }
     fs.delete(staging, true)
     (files.size, staged.size)
+  }
+
+  /** Fold merge-on-read deletion vectors into their data files: each file
+    * with a sidecar is rewritten without its deleted positions and the
+    * sidecar removed — after this the directory is again directly readable
+    * as plain parquet. Per-file rewrite jobs (parquet's `_metadata
+    * .row_index` supplies the physical position; the DV rides a broadcast
+    * anti-join, no UDF); files without sidecars are untouched. This is the
+    * read-amplification dial of the MOR trade: run it when a file's DV
+    * density crosses the point where bitmap probes cost more than one
+    * rewrite (Delta's OPTIMIZE / Iceberg's rewrite_position_deletes).
+    * Returns the number of files rewritten.
+    */
+  def materializeDeletes(spark: SparkSession, tableDir: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvs = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
+    dvs.foreach { st =>
+      val dataName = GraftDv.dataFileName(st.getPath.getName)
+      val dataPath = new Path(dir, dataName)
+      if (fs.exists(dataPath)) {
+        val bm = GraftDv.read(fs, st.getPath)
+        val positions = {
+          val it = bm.getLongIterator
+          val b = Seq.newBuilder[java.lang.Long]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        import scala.jdk.CollectionConverters._
+        val posDf = spark.createDataFrame(
+          positions.map(org.apache.spark.sql.Row(_)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__pos",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val kept = spark.read.parquet(dataPath.toString)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(broadcast(posDf), Seq("__pos"), "left_anti")
+          .drop("__pos")
+        val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
+        kept.write.mode("overwrite").parquet(staging.toString)
+        val staged = fs.listStatus(staging).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+        fs.delete(dataPath, false)
+        // keep the original name for the first staged part so external
+        // references stay valid; extra parts (rare: a huge file split by
+        // maxPartitionBytes) land under fresh names
+        staged.zipWithIndex.foreach { case (p, i) =>
+          val tgt = if (i == 0) dataPath
+            else new Path(dir, s"${dataName.stripSuffix(".parquet")}-m$i.parquet")
+          fs.rename(p, tgt)
+        }
+        fs.delete(staging, true)
+      }
+      fs.delete(st.getPath, false)
+    }
+    dvs.size
   }
 
   /** Roll a history table back to snapshot `version` by committing a NEW

@@ -74,7 +74,7 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         "change-data capture); stream from append-only tables or restart " +
         "from the current snapshot")
     after.filterNot(f => before.contains(new Path(f).getName))
-      .map(GraftFilePartition).toArray
+      .map(GraftFilePartition(_)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
