@@ -217,6 +217,36 @@ object GraftExtensions {
         val s = SparkSession.active
         Bridge.logicalPlan(graft.operators.Dedup.exact(s.table(a(0)), a(1), a(2)))
       }),
+    // Change data feed between two snapshots of a history table — the
+    // Delta `table_changes` verb: row-level added/deleted/changed(+
+    // old_/new_ values) derived from two VERSION AS OF reads through one
+    // full-outer key join (EtlOps.diffSnapshots). Commit-granularity CDC
+    // without any extra stored state — the manifests ARE the change log:
+    //   SELECT * FROM graft_table_changes('graft_wh', 'db.t', 2, 4, 'id')
+    ("graft_table_changes",
+      info("graft_table_changes",
+        "graft_table_changes(catalog, table, from_v, to_v, key_col, ...) - " +
+          "row-level change feed (change_type + old_/new_ columns) between " +
+          "two snapshots of a history table"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 5,
+          "graft_table_changes(catalog, 'ns.t', from_v, to_v, key_col[, ...])")
+        val cat = stringArg(args.head, "graft_table_changes: catalog")
+        val tbl = stringArg(args(1), "graft_table_changes: table")
+        val fromV = intArg(args(2), "graft_table_changes: from_v")
+        val toV = intArg(args(3), "graft_table_changes: to_v")
+        val keys = args.drop(4).map(stringArg(_, "graft_table_changes: key col"))
+        val s = SparkSession.active
+        val before = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF $fromV")
+        val after = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF $toV")
+        val missing = keys.filterNot(before.columns.contains)
+        require(missing.isEmpty,
+          s"graft_table_changes: key column(s) ${missing.mkString(", ")} not in " +
+            s"table schema ${before.columns.mkString(", ")}")
+        val valueCols = before.columns.toSeq.filterNot(keys.contains)
+        Bridge.logicalPlan(graft.operators.EtlOps.diffSnapshots(
+          before, after, keys, valueCols))
+      }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')
     ("graft_history",

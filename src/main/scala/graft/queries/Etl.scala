@@ -553,6 +553,36 @@ object Etl {
         .orderBy("id")
     },
 
+    // the same change feed authored as PURE SQL through the
+    // graft_table_changes TVF (the Delta table_changes verb): the TVF
+    // resolves both VERSION AS OF snapshots and returns
+    // diffSnapshots' plan, so SQL text and Scala API hash-match the
+    // identical oracle. v2 = post-insert, v5 = after delete+update+insert
+    // (DELETE and UPDATE each commit a manifest)
+    "etl_changes_sql" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.cdf")
+      s.sql("""CREATE TABLE graft_wh.mrg.cdf (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cdf_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.cdf
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_cdf_orders WHERE o_orderkey % 4 = 2""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.cdf WHERE id % 16 = 2")
+      s.sql("UPDATE graft_wh.mrg.cdf SET cents = cents + 7 WHERE id % 16 = 6")
+      s.sql("""INSERT INTO graft_wh.mrg.cdf
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_cdf_orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000""".stripMargin)
+      s.sql("""SELECT id, change_type, new_cents
+              |FROM graft_table_changes('graft_wh', 'mrg.cdf', 2, 5, 'id')
+              |WHERE change_type <> 'unchanged'
+              |ORDER BY id""".stripMargin)
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -1154,6 +1184,19 @@ object Etl {
         |ORDER BY id""".stripMargin,
 
     "etl_version_diff" ->
+      """SELECT o_orderkey AS id, 'added' AS change_type,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS new_cents
+        |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000
+        |UNION ALL
+        |SELECT o_orderkey, 'deleted', CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 16 = 2
+        |UNION ALL
+        |SELECT o_orderkey, 'changed',
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7
+        |FROM orders WHERE o_orderkey % 16 = 6
+        |ORDER BY id""".stripMargin,
+
+    "etl_changes_sql" ->
       """SELECT o_orderkey AS id, 'added' AS change_type,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS new_cents
         |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000

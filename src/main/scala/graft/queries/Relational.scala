@@ -987,6 +987,122 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // late-order priority census (the TPC-H Q4 shape): orders with at
+    // least one lineitem shipped >45 days after order date, counted per
+    // priority. EXISTS compiles to ONE left-semi hash join on the order
+    // key with the non-equi ship-lag residual evaluated in the join —
+    // no distinct pass, each order emitted at most once, fact side
+    // shuffles once on its natural key
+    "q75_order_priority" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // customer order-count distribution (the TPC-H Q13 shape): LEFT join
+    // keeps order-less customers (their count 0 IS the interesting
+    // bucket), then a second rollup over the per-customer counts — the
+    // classic histogram-of-a-groupBy; both aggregations partial-combine
+    "q79_cust_orders_dist" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("c_count"))
+    },
+
+    // parts-supplier relationship census (the TPC-H Q16 shape): distinct
+    // (part, supplier) pairs from lineitem (the partsupp proxy), suppliers
+    // in deficit excluded by a BROADCAST anti-join (the complaint list is
+    // dim-sized), one excluded brand, then COUNT DISTINCT suppliers per
+    // (brand, type, size). The distinct-pairs pass runs FIRST so the dim
+    // joins and final rollup see |partsupp|, not |lineitem|, rows
+    "q80_parts_supplier_cnt" -> { (s, dir) =>
+      val deficitSupp = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(deficitSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(Tables.part(s, dir).where(col("p_brand") =!= "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy("p_brand", "p_type", "p_size")
+    },
+
+    // waiting-supplier audit (the TPC-H Q21 shape, shipdate-adapted): on
+    // finalized multi-supplier orders, count per supplier the lines no
+    // OTHER supplier out-shipped. The doubly-correlated EXISTS/NOT EXISTS
+    // is NOT executed as two self-joins at lineitem granularity — per
+    // (order, supplier) maxima roll up first, then per order the top ship
+    // date, its achiever count and the runner-up are enough to derive
+    // max-over-OTHER-suppliers for every row: two partial-combinable
+    // aggregations + joins back on the order key, no O(lines²-per-order)
+    // pairing (the oracle replays the literal EXISTS form, proving the
+    // aggregate derivation equivalent)
+    "q81_waiting_supplier" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val suppMax = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("supp_max"))
+      val top = suppMax.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), max(col("supp_max")).as("m1"))
+      val stats = suppMax.join(top, "l_orderkey")
+        .groupBy(col("l_orderkey"), col("n_supp"), col("m1"))
+        .agg(
+          sum(when(col("supp_max") === col("m1"), 1L).otherwise(0L)).as("cnt_m1"),
+          max(when(col("supp_max") < col("m1"), col("supp_max"))).as("m2"))
+      val maxOther = when(col("supp_max") === col("m1") && col("cnt_m1") === 1L,
+        col("m2")).otherwise(col("m1"))
+      li.join(suppMax, Seq("l_orderkey", "l_suppkey"))
+        .join(stats, "l_orderkey")
+        .where(col("n_supp") >= 2 && col("l_shipdate") >= maxOther)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+    },
+
+    // dormant high-balance customers per segment (the TPC-H Q22 shape):
+    // customers above the average positive balance with no order since
+    // 2000-01-01 (every synthetic customer has SOME order, so dormancy is
+    // a recency window — the realistic churn-audit form anyway). The
+    // scalar-subquery average is one broadcast row, and the threshold
+    // compare is CROSS-MULTIPLIED integer cents (bal·n > sum) so no
+    // float division crosses engines; the dormancy test is a left-anti
+    // join against the date-filtered orders (filter pushed to the scan)
+    "q82_idle_customers" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = cust.where(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey"))
+      cust
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .where(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totbal_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // through ONE task). The interpolation arithmetic is replayed
     // verbatim in the oracle — bit-identical regardless of how
     // quantile_cont associates
@@ -2116,6 +2232,60 @@ object Relational {
         |JOIN f ON b.o_custkey = f.o_custkey
         |JOIN m ON b.o_custkey = m.o_custkey
         |ORDER BY b.o_custkey""".stripMargin,
+
+    "q75_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_cust_orders_dist" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_parts_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND ps.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q81_waiting_supplier" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q82_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+        |    COUNT(*) AS n_pos FROM c WHERE bal_cents > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents
+        |FROM c CROSS JOIN t
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_median_scale" ->
 """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
