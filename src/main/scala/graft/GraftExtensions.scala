@@ -247,6 +247,30 @@ object GraftExtensions {
         Bridge.logicalPlan(graft.operators.EtlOps.diffSnapshots(
           before, after, keys, valueCols))
       }),
+    // Deletion-vector density for merge-on-read tables — the dial that
+    // tells an operator when to run materializeDeletes:
+    //   SELECT * FROM graft_dv_stats('graft_wh', 'db.t')
+    ("graft_dv_stats",
+      info("graft_dv_stats",
+        "graft_dv_stats(catalog, table) - per data file of a merge-on-read " +
+          "table: (file, file_rows, deleted_rows, live_rows)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dv_stats(catalog_name, 'namespace.table')")
+        val cat = stringArg(args.head, "graft_dv_stats: catalog")
+        val tbl = stringArg(args(1), "graft_dv_stats: table")
+        val s = SparkSession.active
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_dv_stats: catalog $cat is ${other.getClass.getName}, not a GraftCatalog")
+        }
+        val parts = tbl.split('.')
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init, parts.last)
+        import s.implicits._
+        Bridge.logicalPlan(plugin.dvStats(ident)
+          .toDF("file", "file_rows", "deleted_rows", "live_rows"))
+      }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')
     ("graft_history",

@@ -435,6 +435,56 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.delmor ORDER BY id")
     },
 
+    // identity-PARTITIONED catalog table (PARTITIONED BY (status)):
+    // Hive-style col=value dirs, partition values from the PATH (not
+    // parquet bytes), clustered write distribution, partition-directory
+    // pruning at planning (zero-IO, before footer stats — GraftPartition-
+    // Spec asserts the task-count drop), and a partition-scoped COW
+    // DELETE restatement riding the same pruning. The read-back exercises
+    // path-synthesized values + an IN partition predicate + a rollup
+    "etl_partitioned_catalog" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.pt")
+      s.sql("""CREATE TABLE graft_wh.mrg.pt (id BIGINT, cents BIGINT, status STRING)
+              |PARTITIONED BY (status)""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_pt_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.pt
+              |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+              |       o_orderstatus
+              |FROM graft_pt_orders""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.pt WHERE status = 'P' AND id % 3 = 0")
+      s.sql("""SELECT status, COUNT(*) AS n_orders,
+              |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_wh.mrg.pt WHERE status IN ('F', 'P')
+              |GROUP BY status ORDER BY status""".stripMargin)
+    },
+
+    // the DV density report through the graft_dv_stats TVF: physical vs
+    // deleted vs live rows summed over the table's files after two
+    // stacked DELETEs — footer row counts + bitmap cardinalities, the
+    // when-to-materialize dial, value-gated (per-file rows are write-task
+    // dependent, so the oracle pins the file-independent rollup)
+    "etl_dv_stats" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.dvstats")
+      s.sql("""CREATE TABLE graft_wh.mrg.dvstats (id BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_dvstats_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.dvstats
+              |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_dvstats_orders""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.dvstats WHERE id % 5 = 2")
+      s.sql("DELETE FROM graft_wh.mrg.dvstats WHERE cents < 300000")
+      s.sql("""SELECT CAST(SUM(file_rows) AS BIGINT) AS physical_rows,
+              |       CAST(SUM(deleted_rows) AS BIGINT) AS deleted_rows,
+              |       CAST(SUM(live_rows) AS BIGINT) AS live_rows
+              |FROM graft_dv_stats('graft_wh', 'mrg.dvstats')""".stripMargin)
+    },
+
     // MERGE INTO the merge-on-read table: matched updates become DV
     // deletes + appended rows (representUpdateAsDeleteAndInsert), matched
     // deletes become DV entries, not-matched inserts append — original
@@ -1153,6 +1203,24 @@ object Etl {
         |           OR CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 25000000)
         |  AND NOT (o_orderstatus = 'P' AND o_orderkey % 2 = 0)
         |ORDER BY id""".stripMargin,
+
+    "etl_partitioned_catalog" ->
+      """WITH pt AS (SELECT o_orderkey AS id,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status FROM orders),
+        |kept AS (SELECT * FROM pt WHERE NOT (status = 'P' AND id % 3 = 0))
+        |SELECT status, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM kept WHERE status IN ('F', 'P')
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_dv_stats" ->
+      """WITH base AS (SELECT o_orderkey AS id,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |del AS (SELECT * FROM base WHERE id % 5 = 2 OR cents < 300000)
+        |SELECT (SELECT COUNT(*) FROM base) AS physical_rows,
+        |       (SELECT COUNT(*) FROM del) AS deleted_rows,
+        |       (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM del) AS live_rows""".stripMargin,
 
     "etl_merge_mor" ->
       """WITH tgt AS (

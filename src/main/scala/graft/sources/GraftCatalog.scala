@@ -98,11 +98,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isMor(dir: Path): Boolean =
     GraftTable.readProps(fs, dir).get(GraftTable.MorProp).contains("true")
 
+  private def partCols(dir: Path): Seq[String] =
+    GraftTable.readProps(fs, dir).get(GraftTable.PartitionProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
-      mor = isMor(dir))
+      mor = isMor(dir), partitionCols = partCols(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -122,7 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$ident has no version $v (have: ${GraftTable.manifestVersions(fs, dir).mkString(", ")})")
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v))
+      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
@@ -143,7 +147,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"$ident has no snapshot at or before timestamp $tsMillis ms"))
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v))
+      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir))
   }
 
   /** Snapshot log of a history table: (version, commit millis, data-file
@@ -162,12 +166,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Deletion-vector density report for a merge-on-read table: per data
+    * file (name, physical rows, deleted rows, live rows). Physical row
+    * counts come from parquet footers (driver-side O(files) metadata, like
+    * `snapshots`); deleted counts are bitmap cardinalities. This is the
+    * operational dial for `GraftMaintenance.materializeDeletes` — when
+    * deleted/physical crosses the read-amplification threshold, fold the
+    * DV in. Exposed to SQL via the `graft_dv_stats` TVF.
+    */
+  def dvStats(ident: Identifier): Seq[(String, Long, Long, Long)] = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    require(isMor(dir), s"$ident is not a merge-on-read table")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    GraftTable.dataFiles(fs, dir).map { f =>
+      val p = new Path(f)
+      val rows = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }
+      val dvPath = new Path(dir, GraftDv.dvName(p.getName))
+      val deleted =
+        if (fs.exists(dvPath)) GraftDv.read(fs, dvPath).getLongCardinality else 0L
+      (p.getName, rows, deleted, rows - deleted)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables do not support partition transforms; " +
-        "file-level grouping is the copy-on-write pruning unit")
+    // IDENTITY partition transforms only (PARTITIONED BY (col, ...)):
+    // bucket/days/years need either physical bucket files or derived-value
+    // directories — the identity case covers the dominant date/tenant
+    // layout and keeps `col=value/` dirs Spark-discoverable
+    val pcols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $other " +
+          "(identity column transforms only)")
+    }
+    pcols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
+      schema(c).dataType match {
+        case StringType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: partition column $c has type $other — use string/" +
+            "integral/boolean (derive a string day column for dates)")
+      }
+    }
+    require(pcols.size < schema.length,
+      "graft catalog: at least one non-partition column required")
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
@@ -181,14 +236,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft catalog: merge-on-read and history snapshots cannot be combined " +
         "yet — deletion-vector sidecars are not versioned in the manifest log " +
         "(a DV commit would mutate past snapshots)")
-    if (history || mor) {
-      GraftTable.writeProps(fs, dir, Map(
+    if (history || mor || pcols.nonEmpty) {
+      GraftTable.writeProps(fs, dir, (Map(
         GraftTable.HistoryProp -> history.toString,
-        GraftTable.MorProp -> mor.toString).filter(_._2 == "true"))
+        GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
+        ++ (if (pcols.nonEmpty) Map(GraftTable.PartitionProp -> pcols.mkString(","))
+            else Map.empty)))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
-    new GraftTable(ident.toString, dir.toString, schema, history, mor = mor)
+    new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
+      partitionCols = pcols)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -220,6 +278,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(del.fieldNames().length == 1,
             "graft catalog: nested DROP COLUMN not supported")
           val name = del.fieldNames().head
+          require(!partCols(dir).contains(name),
+            s"graft catalog: cannot drop partition column $name " +
+              "(the directory layout depends on it)")
           if (!schema.fieldNames.contains(name)) {
             if (del.ifExists()) schema
             else throw new IllegalArgumentException(s"no such column: $name")
@@ -294,6 +355,57 @@ object GraftTable {
   val PosCol = "_pos"
   val HistoryProp = "history"
   val MorProp = "merge-on-read"
+  val PartitionProp = "partition-cols"
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition-value ↔ path-segment codec, delegated to Spark's own Hive
+    * path escaping so `spark.read.parquet(tableDir)` partition discovery
+    * decodes the directories identically.
+    */
+  def escapeSeg(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+  def unescapeSeg(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Typed partition values of `file`, parsed from its `col=value` path
+    * segments under `tableDir`, aligned with `partCols`. Fails loudly on
+    * layout drift (a missing segment means the directory tree was edited
+    * by hand).
+    */
+  def parsePartValues(tableDir: String, file: String,
+                      partCols: Seq[StructField]): Array[Any] = {
+    val rel = relativize(new Path(tableDir), new Path(file))
+    val segs = rel.split('/').dropRight(1).flatMap { s =>
+      s.split("=", 2) match {
+        case Array(k, v) => Some(k -> unescapeSeg(v))
+        case _ => None
+      }
+    }.toMap
+    partCols.map { f =>
+      val raw = segs.getOrElse(f.name, throw new IllegalStateException(
+        s"file $file lacks a ${f.name}= partition segment"))
+      if (raw == NullPartition) null
+      else f.dataType match {
+        case StringType => UTF8String.fromString(raw)
+        case org.apache.spark.sql.types.LongType => raw.toLong
+        case org.apache.spark.sql.types.IntegerType => raw.toInt
+        case org.apache.spark.sql.types.ShortType => raw.toShort
+        case org.apache.spark.sql.types.ByteType => raw.toByte
+        case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+        case other => throw new IllegalStateException(
+          s"unsupported partition type $other for ${f.name}")
+      }
+    }.toArray
+  }
+
+  /** Path of `file` relative to `dir` (manifest entries and partition
+    * parsing both key on this; plain file name when not nested).
+    */
+  def relativize(dir: Path, file: Path): String = {
+    val d = dir.toUri.getPath.stripSuffix("/")
+    val f = file.toUri.getPath
+    if (f.startsWith(d + "/")) f.substring(d.length + 1) else file.getName
+  }
 
   /** Table properties: newline-separated key=value lines in PropsFile
     * (absent file = no properties, i.e. a plain eager-commit COW table).
@@ -320,14 +432,20 @@ object GraftTable {
     finally out.close()
   }
 
-  /** Data files of a table directory, deterministic order. */
-  def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
-    fs.listStatus(dir).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(_.getPath.toString).sorted
+  /** Data files of a table directory, deterministic order. Recurses into
+    * partition subdirectories (`col=value/...`); dot/underscore dirs
+    * (staging, metadata) are never entered.
+    */
+  def dataFiles(fs: FileSystem, dir: Path): Seq[String] = {
+    def walk(d: Path): Seq[String] = fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) walk(st.getPath)
+      else if (st.isFile && n.endsWith(".parquet")) Seq(st.getPath.toString)
+      else Nil
+    }
+    walk(dir).sorted
+  }
 
   // --- snapshot manifests (history tables) ---
   // One newline-separated list of data-file NAMES per version; the
@@ -357,7 +475,10 @@ object GraftTable {
     */
   def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit = {
     val out = fs.create(manifestPath(dir, v), false)
-    try out.write(files.map(f => new Path(f).getName).sorted.mkString("\n").getBytes("UTF-8"))
+    // entries are dir-relative (plain names for flat tables, col=value/
+    // subpaths for partitioned ones)
+    try out.write(files.map(f => relativize(dir, new Path(f)))
+      .sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 }
@@ -387,12 +508,28 @@ object GraftTable {
 class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val history: Boolean = false,
                  val pinnedVersion: Option[Long] = None,
-                 val mor: Boolean = false)
+                 val mor: Boolean = false,
+                 val partitionCols: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+
+  /** Identity partitioning (PARTITIONED BY): rows live under Hive-style
+    * `col=value/` directories; partition values come from the PATH, never
+    * the parquet bytes, so `spark.read.parquet(dir)` partition discovery
+    * sees the identical table.
+    */
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(Expressions.identity).toArray
+
+  /** Columns physically stored in parquet = schema minus partition cols. */
+  def physicalSchema: StructType =
+    StructType(tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+
+  /** Partition-column fields in declaration order. */
+  def partitionFields: Seq[StructField] = partitionCols.map(tableSchema(_))
   override def capabilities(): util.Set[TableCapability] = {
     val base: Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -490,6 +627,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
 
   private var required: StructType = table.schema()
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   // the COPY-ON-WRITE rewrite scan (ReplaceData); a merge-on-read delta
   // scan is row-level too but never rewrites whole groups
   private def cowRewrite = op.exists(_.isInstanceOf[GraftRowLevelOperation])
@@ -515,16 +653,28 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
     */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    if (!cowRewrite)
-      pushed = filters.filter(f =>
-        GraftParquetFilters.convertible(table.schema(), f))
+    // partition-column-only filters prune whole directories at planning —
+    // safe for EVERY scan flavor, even the COW rewrite (a pruned-out
+    // partition contains no matching rows, hence no affected groups)
+    val (part, rest) = filters.partition(f =>
+      f.references.nonEmpty && f.references.forall(table.partitionCols.contains))
+    partFilters = part
+    if (!cowRewrite) {
+      // parquet-pushable filters are judged against the PHYSICAL schema:
+      // partition columns have no parquet bytes, so a predicate naming one
+      // must never reach the reader
+      val phys = table.physicalSchema
+      pushed = rest.filter(f =>
+        f.references.forall(phys.fieldNames.contains) &&
+          GraftParquetFilters.convertible(phys, f))
+    }
     filters // all residual: row-group stats are approximate by design
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan = {
-    val scan = new GraftScan(table, required, op.isDefined, pushed)
+    val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -586,6 +736,88 @@ object GraftParquetFilters {
   }
 }
 
+/** Partition-directory pruning: evaluates partition-column filters against
+  * a file's path-derived partition values, THREE-VALUED (None = unknown) so
+  * `Not` composes soundly — a null partition value makes any comparison
+  * unknown, exactly SQL's semantics, and unknown never prunes.
+  */
+object GraftPartitionPruning {
+  import org.apache.spark.sql.sources._
+
+  private def norm(a: Any): Any = a match {
+    case n: Number => n.longValue()
+    case other => other
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def eq(a: Any, b: Any): Option[Boolean] = (norm(a), norm(b)) match {
+    case (x: Boolean, y: Boolean) => Some(x == y)
+    case (x, y) => cmp(x, y).map(_ == 0)
+  }
+
+  /** Some(true/false) when decidable from partition values alone. */
+  def eval(f: Filter, vals: Map[String, Any]): Option[Boolean] = f match {
+    case EqualTo(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) None else eq(vals(c), v)
+    case EqualNullSafe(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) Some(vals(c) == null && v == null)
+      else eq(vals(c), v)
+    case In(c, vs) if vals.contains(c) =>
+      if (vals(c) == null) None
+      else {
+        val hits = vs.toSeq.map(v => if (v == null) None else eq(vals(c), v))
+        if (hits.contains(Some(true))) Some(true)
+        else if (hits.forall(_ == Some(false))) Some(false)
+        else None
+      }
+    case IsNull(c) if vals.contains(c) => Some(vals(c) == null)
+    case IsNotNull(c) if vals.contains(c) => Some(vals(c) != null)
+    case GreaterThan(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) None else cmp(vals(c), v).map(_ > 0)
+    case GreaterThanOrEqual(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) None else cmp(vals(c), v).map(_ >= 0)
+    case LessThan(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) None else cmp(vals(c), v).map(_ < 0)
+    case LessThanOrEqual(c, v) if vals.contains(c) =>
+      if (vals(c) == null || v == null) None else cmp(vals(c), v).map(_ <= 0)
+    case And(l, r) => (eval(l, vals), eval(r, vals)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, vals), eval(r, vals)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(inner) => eval(inner, vals).map(!_)
+    case _ => None
+  }
+
+  /** A file survives unless some filter is decidably false. */
+  def survives(filters: Seq[Filter], vals: Map[String, Any]): Boolean =
+    filters.forall(f => eval(f, vals).getOrElse(true))
+
+  /** External-typed (String/Long/Boolean/null) partition values of a file,
+    * for pruning comparisons against `sources.Filter` literals.
+    */
+  def externalValues(tableDir: String, file: String,
+                     partFields: Seq[StructField]): Map[String, Any] = {
+    val internal = GraftTable.parsePartValues(tableDir, file, partFields)
+    partFields.zip(internal).map { case (f, v) =>
+      f.name -> (v match {
+        case u: UTF8String => u.toString
+        case other => other
+      })
+    }.toMap
+  }
+}
+
 /** One partition per data file (the file is the copy-on-write group; at
   * 100 TB the managed files are write-sized ~128 MB so file==split is the
   * right granularity — a compaction pass owns the file-size invariant).
@@ -595,7 +827,8 @@ case class GraftFilePartition(file: String, dv: Option[String] = None)
   extends InputPartition
 
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
-                pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -695,19 +928,30 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     * there: pruning the ReplaceData read would DELETE carried-over rows).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    // whole-file skipping is safe for EVERY scan flavor except the COW
-    // rewrite read (where carried-over rows live in "non-matching" files'
-    // complement — there pushdown is off entirely): a merge-on-read delta
-    // scan pruned of a file just yields no row ids from it, and deletion
-    // vectors only ever REMOVE rows, so a stats-pruned file stays prunable
+    // partition-directory pruning first (pure path metadata, zero IO):
+    // safe for every scan flavor — a pruned partition holds no matching
+    // rows, hence no affected groups and no row ids
+    val partKept =
+      if (partFilters.isEmpty || table.partitionCols.isEmpty) files
+      else {
+        val pf = table.partitionFields
+        files.filter(f => GraftPartitionPruning.survives(partFilters.toSeq,
+          GraftPartitionPruning.externalValues(table.dir, f, pf)))
+      }
+    // whole-file stats skipping is safe for EVERY scan flavor except the
+    // COW rewrite read (where carried-over rows live in "non-matching"
+    // files' complement — there pushdown is off entirely): a merge-on-read
+    // delta scan pruned of a file just yields no row ids from it, and
+    // deletion vectors only ever REMOVE rows, so a stats-pruned file stays
+    // prunable
     val cowRewrite = rowLevel && !table.mor
     val kept =
-      if (cowRewrite || pushedFilters.isEmpty) files
-      else GraftParquetFilters.predicate(table.schema(), pushedFilters.toSeq) match {
-        case None => files
+      if (cowRewrite || pushedFilters.isEmpty) partKept
+      else GraftParquetFilters.predicate(table.physicalSchema, pushedFilters.toSeq) match {
+        case None => partKept
         case Some(pred) =>
           val conf = SparkSession.active.sessionState.newHadoopConf()
-          files.filter(f => GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
+          partKept.filter(f => GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
       }
     // deletion-vector sidecars: one listing, keyed by data-file name
     val dvByName: Map[String, String] =
@@ -733,53 +977,64 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
       if (table.mor || required.fieldNames.contains(GraftTable.PosCol))
         Array.empty[org.apache.spark.sql.sources.Filter]
       else pushedFilters
-    new GraftReaderFactory(required, table.schema(), readerFilters,
+    new GraftReaderFactory(required, table.physicalSchema, table.dir,
+      table.partitionFields, readerFilters,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
-class GraftReaderFactory(required: StructType, tableSchema: StructType,
+class GraftReaderFactory(required: StructType, physicalSchema: StructType,
+                         tableDir: String, partFields: Seq[StructField],
                          pushedFilters: Array[org.apache.spark.sql.sources.Filter],
                          conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    new GraftPartitionReader(required, tableSchema, pushedFilters, p.file, p.dv,
-      conf)
+    new GraftPartitionReader(required, physicalSchema, tableDir, partFields,
+      pushedFilters, p.file, p.dv, conf)
   }
 }
 
 /** Reads one parquet file, emitting `required`-shaped rows; the `_file` /
-  * `_pos` metadata columns (any position) are synthesized from the
-  * partition path and the physical row position, every other column comes
-  * column-pruned from parquet. Rows whose position is in the partition's
-  * deletion vector are skipped (merge-on-read); position counting assumes
-  * an unfiltered sequential read — the scan never hands this reader a
-  * record filter when a DV or a `_pos` projection is in play.
+  * `_pos` metadata columns and any PARTITION columns (any position) are
+  * synthesized from the partition path and the physical row position,
+  * every other column comes column-pruned from parquet. Rows whose
+  * position is in the partition's deletion vector are skipped
+  * (merge-on-read); position counting assumes an unfiltered sequential
+  * read — the scan never hands this reader a record filter when a DV or a
+  * `_pos` projection is in play.
   */
-class GraftPartitionReader(required: StructType, tableSchema: StructType,
+class GraftPartitionReader(required: StructType, physicalSchema: StructType,
+                           tableDir: String, partFields: Seq[StructField],
                            pushedFilters: Array[org.apache.spark.sql.sources.Filter],
                            file: String, dv: Option[String],
                            conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
+  private val partNames = partFields.map(_.name)
   private val dataSchema = StructType(required.fields.filter(f =>
-    f.name != GraftTable.FileCol && f.name != GraftTable.PosCol))
+    f.name != GraftTable.FileCol && f.name != GraftTable.PosCol &&
+      !partNames.contains(f.name)))
   private val reader =
     ParquetRowIO.reader(new Path(file), dataSchema, conf.value,
-      GraftParquetFilters.predicate(tableSchema, pushedFilters.toSeq))
+      GraftParquetFilters.predicate(physicalSchema, pushedFilters.toSeq))
   private val filePath = UTF8String.fromString(file)
+  private val partValues: Array[Any] =
+    if (partFields.isEmpty) Array.empty
+    else GraftTable.parsePartValues(tableDir, file, partFields)
   private val deleted: org.roaringbitmap.longlong.Roaring64Bitmap =
     dv.map { d =>
       val p = new Path(d)
       GraftDv.read(p.getFileSystem(conf.value), p)
     }.orNull
-  // required-field → parquet index, or -1 = _file, -2 = _pos
+  // required-field → parquet index, or -1 = _file, -2 = _pos,
+  // -(3+k) = partition column k
   private val plan: Array[Int] = {
     var di = -1
     required.fields.map { f =>
       if (f.name == GraftTable.FileCol) -1
       else if (f.name == GraftTable.PosCol) -2
+      else if (partNames.contains(f.name)) -(3 + partNames.indexOf(f.name))
       else { di += 1; di }
     }
   }
@@ -801,6 +1056,10 @@ class GraftPartitionReader(required: StructType, tableSchema: StructType,
       while (i < plan.length) {
         if (plan(i) == -1) out.update(i, filePath)
         else if (plan(i) == -2) out.update(i, pos)
+        else if (plan(i) <= -3) {
+          val v = partValues(-plan(i) - 3)
+          if (v == null) out.setNullAt(i) else out.update(i, v)
+        }
         else if (r.isNullAt(plan(i))) out.setNullAt(i)
         else out.update(i, r.get(plan(i), dataSchema.fields(plan(i)).dataType))
         i += 1
@@ -818,9 +1077,31 @@ class GraftPartitionReader(required: StructType, tableSchema: StructType,
 
 case class GraftCommit(files: Seq[String]) extends WriterCommitMessage
 
+/** Clustered-by-partition write distribution: each partition value lands
+  * in one task, so a task opens ONE file per partition it owns instead of
+  * every task opening every partition's file — at 100 TB the difference
+  * between |partitions| and |tasks|·|partitions| output files. Best-effort
+  * (not strictly required): writers handle any row mix correctly, the
+  * clustering is a small-file/memory optimization.
+  */
+private[sources] trait GraftWriteDistribution
+  extends RequiresDistributionAndOrdering {
+  def table: GraftTable
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (table.partitionCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      table.partitionCols.map(c =>
+        Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+}
+
 /** Append / truncate-overwrite write: tasks stage parquet files under
-  * `.staging-<uuid>/`, the driver commit renames them into the table dir
-  * (+ deletes the previous files when truncating).
+  * `.staging-<uuid>/` (partitioned tables: under `col=value/` subdirs),
+  * the driver commit renames them into the table dir (+ deletes the
+  * previous files when truncating).
   */
 class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
                         truncate: Boolean)
@@ -829,10 +1110,14 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(table, writeSchema, truncate = true)
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftBatchWrite(table, writeSchema, replaceFiles = None,
-        truncateAll = truncate)
+  override def build(): Write = {
+    val t = table
+    new Write with GraftWriteDistribution {
+      override def table: GraftTable = t
+      override def toBatch: BatchWrite =
+        new GraftBatchWrite(t, writeSchema, replaceFiles = None,
+          truncateAll = truncate)
+    }
   }
 }
 
@@ -843,12 +1128,16 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
 class GraftReplaceDataWriteBuilder(table: GraftTable, writeSchema: StructType,
                                    op: GraftRowLevelOperation)
   extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val scan = op.configuredScan.getOrElse(throw new IllegalStateException(
-        "row-level write built before its scan — no affected groups known"))
-      new GraftBatchWrite(table, writeSchema,
-        replaceFiles = Some(() => scan.currentFiles), truncateAll = false)
+  override def build(): Write = {
+    val t = table
+    new Write with GraftWriteDistribution {
+      override def table: GraftTable = t
+      override def toBatch: BatchWrite = {
+        val scan = op.configuredScan.getOrElse(throw new IllegalStateException(
+          "row-level write built before its scan — no affected groups known"))
+        new GraftBatchWrite(t, writeSchema,
+          replaceFiles = Some(() => scan.currentFiles), truncateAll = false)
+      }
     }
   }
 }
@@ -864,10 +1153,12 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
     // replacement rows may carry metadata columns (_file) — write only the
-    // table's data columns, whatever the incoming attribute order
-    val tableSchema = table.schema()
-    val proj = tableSchema.fields.map(f => writeSchema.fieldIndex(f.name))
-    new GraftWriterFactory(stagingDir.toString, tableSchema, writeSchema, proj,
+    // table's PHYSICAL columns (partition values become directories),
+    // whatever the incoming attribute order
+    val proj = table.physicalSchema.fields.map(f => writeSchema.fieldIndex(f.name))
+    val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
+    new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
+      writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf))
   }
 
@@ -875,16 +1166,19 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
     val staged = messages.flatMap { case GraftCommit(fls) => fls }
+    // land under the same staging-relative subpath (partition dirs)
+    def land(f: String): Path = {
+      val p = new Path(f)
+      val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
+      if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
+      fs.rename(p, tgt)
+      tgt
+    }
     if (table.history) {
       // snapshot commit: staged files land, NOTHING is deleted, and the
       // exclusive create of manifest v+1 is the atomic (and loudly
       // conflict-detecting) commit point
-      val landed: Seq[String] = staged.toSeq.map { f =>
-        val p = new Path(f)
-        val tgt = new Path(dir, p.getName)
-        fs.rename(p, tgt)
-        tgt.toString
-      }
+      val landed: Seq[String] = staged.toSeq.map(f => land(f).toString)
       val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
       val old = if (v == 0L) Nil else GraftTable.readManifest(fs, dir, v)
       val newList =
@@ -908,12 +1202,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
         fs.listStatus(dir).toSeq
           .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
           .foreach(st => fs.delete(st.getPath, false))
+        // and empties out partition directories (a col=value dir with no
+        // files is dead weight; the overwrite recreates what it writes)
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .foreach(st => fs.delete(st.getPath, true))
       }
       replaceFiles.foreach(_.apply().foreach(f => fs.delete(new Path(f), false)))
-      staged.foreach { f =>
-        val p = new Path(f)
-        fs.rename(p, new Path(dir, p.getName))
-      }
+      staged.foreach(land)
     }
     fs.delete(stagingDir, true)
   }
@@ -924,34 +1221,58 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   }
 }
 
-class GraftWriterFactory(stagingDir: String, tableSchema: StructType,
+class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          writeSchema: StructType, proj: Array[Int],
+                         partFields: Seq[StructField], partIdx: Array[Int],
                          conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, tableSchema, writeSchema, proj, partitionId,
-      taskId, conf)
+    new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
+      partFields, partIdx, partitionId, taskId, conf)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
   * partitions leave nothing to commit, so a delete-everything ReplaceData
-  * stages zero files).
+  * stages zero files). Partitioned tables route each row to a per-
+  * partition-value writer under a `col=value/` staging subdir; under the
+  * clustered write distribution a task normally owns whole partition
+  * values, so the writer map stays small.
   */
-class GraftDataWriter(stagingDir: String, tableSchema: StructType,
+class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       writeSchema: StructType, proj: Array[Int],
+                      partFields: Seq[StructField], partIdx: Array[Int],
                       partitionId: Int, taskId: Long,
                       conf: SerializableHadoopConf)
   extends DataWriter[InternalRow] {
 
-  private val isIdentity = proj.length == writeSchema.length &&
+  private val isIdentity = partFields.isEmpty &&
+    proj.length == writeSchema.length &&
     proj.zipWithIndex.forall { case (p, i) => p == i }
-  private val path = new Path(stagingDir,
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  private val paths = scala.collection.mutable.Buffer.empty[Path]
   private val reuse = new GenericInternalRow(proj.length)
 
+  private def open(subdir: String): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val base = if (subdir.isEmpty) new Path(stagingDir) else new Path(stagingDir, subdir)
+    val p = new Path(base,
+      f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
+    paths += p
+    ParquetRowIO.writer(p, physicalSchema, conf.value)
+  }
+
+  private def partSubdir(record: InternalRow): String =
+    partFields.indices.map { k =>
+      val i = partIdx(k)
+      val seg =
+        if (record.isNullAt(i)) GraftTable.NullPartition
+        else GraftTable.escapeSeg(
+          record.get(i, partFields(k).dataType).toString)
+      s"${partFields(k).name}=$seg"
+    }.mkString("/")
+
   override def write(record: InternalRow): Unit = {
-    if (writer == null)
-      writer = ParquetRowIO.writer(path, tableSchema, conf.value)
+    val key = if (partFields.isEmpty) "" else partSubdir(record)
+    val writer = writers.getOrElseUpdate(key, open(key))
     val out = if (isIdentity) record else {
       var i = 0
       while (i < proj.length) {
@@ -966,10 +1287,10 @@ class GraftDataWriter(stagingDir: String, tableSchema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) GraftCommit(Nil)
-    else { writer.close(); GraftCommit(Seq(path.toString)) }
+    writers.values.foreach(_.close())
+    GraftCommit(paths.map(_.toString).toSeq)
   }
 
-  override def abort(): Unit = if (writer != null) writer.close()
+  override def abort(): Unit = writers.values.foreach(_.close())
   override def close(): Unit = ()
 }

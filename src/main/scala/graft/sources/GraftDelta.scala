@@ -121,14 +121,18 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
-    val tableSchema = table.schema()
     // a pure DELETE plans no data columns (empty row schema) — the insert
     // projection is never consulted then
     val proj =
       if (rowSchema.isEmpty) Array.empty[Int]
-      else tableSchema.fields.map(f => rowSchema.fieldIndex(f.name))
-    new GraftDeltaWriterFactory(stagingDir.toString, tableSchema, rowSchema,
-      proj, rowIdSchema.fieldIndex(GraftTable.FileCol),
+      else table.physicalSchema.fields.map(f => rowSchema.fieldIndex(f.name))
+    val partIdx =
+      if (rowSchema.isEmpty) Array.empty[Int]
+      else table.partitionFields.map(f => rowSchema.fieldIndex(f.name)).toArray
+    new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
+      rowSchema, proj,
+      if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
+      rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
       new SerializableHadoopConf(hadoopConf))
   }
@@ -159,7 +163,9 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     }
     staged.foreach { f =>
       val p = new Path(f)
-      fs.rename(p, new Path(dir, p.getName))
+      val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
+      if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
+      fs.rename(p, tgt)
     }
     fs.delete(stagingDir, true)
   }
@@ -170,14 +176,16 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
   }
 }
 
-class GraftDeltaWriterFactory(stagingDir: String, tableSchema: StructType,
+class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               rowSchema: StructType, proj: Array[Int],
+                              partFields: Seq[org.apache.spark.sql.types.StructField],
+                              partIdx: Array[Int],
                               fileIdx: Int, posIdx: Int,
                               conf: SerializableHadoopConf)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(stagingDir, tableSchema, rowSchema, proj, fileIdx,
-      posIdx, partitionId, taskId, conf)
+    new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
+      partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf)
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -185,16 +193,18 @@ class GraftDeltaWriterFactory(stagingDir: String, tableSchema: StructType,
   * uses. `update` is never called (updates are represented as
   * delete+insert) — it throws rather than silently half-applying.
   */
-class GraftDeltaWriter(stagingDir: String, tableSchema: StructType,
+class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        rowSchema: StructType, proj: Array[Int],
+                       partFields: Seq[org.apache.spark.sql.types.StructField],
+                       partIdx: Array[Int],
                        fileIdx: Int, posIdx: Int,
                        partitionId: Int, taskId: Long,
                        conf: SerializableHadoopConf)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
-  private val inserts = new GraftDataWriter(stagingDir, tableSchema, rowSchema,
-    proj, partitionId, taskId, conf)
+  private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
+    rowSchema, proj, partFields, partIdx, partitionId, taskId, conf)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString

@@ -33,6 +33,10 @@ object GraftMaintenance {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val props = GraftTable.readProps(fs, dir)
     val history = props.get(GraftTable.HistoryProp).contains("true")
+    require(!props.contains(GraftTable.PartitionProp),
+      "compactTable: partitioned tables need per-partition compaction " +
+        "(a bulk rewrite would collapse the col=value directory layout); " +
+        "compact one partition directory at a time")
     // merge-on-read: fold outstanding deletion vectors in first, so the
     // bulk rewrite below can read the files as plain parquet
     if (props.get(GraftTable.MorProp).contains("true"))
@@ -96,9 +100,13 @@ object GraftMaintenance {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val dvs = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
+    // data files may live in partition subdirs; sidecars sit at the root
+    // keyed by (uuid-unique) file name
+    val byName = GraftTable.dataFiles(fs, dir)
+      .map(f => new Path(f).getName -> new Path(f)).toMap
     dvs.foreach { st =>
       val dataName = GraftDv.dataFileName(st.getPath.getName)
-      val dataPath = new Path(dir, dataName)
+      val dataPath = byName.getOrElse(dataName, new Path(dir, dataName))
       if (fs.exists(dataPath)) {
         val bm = GraftDv.read(fs, st.getPath)
         val positions = {
@@ -128,7 +136,8 @@ object GraftMaintenance {
         // maxPartitionBytes) land under fresh names
         staged.zipWithIndex.foreach { case (p, i) =>
           val tgt = if (i == 0) dataPath
-            else new Path(dir, s"${dataName.stripSuffix(".parquet")}-m$i.parquet")
+            else new Path(dataPath.getParent,
+              s"${dataName.stripSuffix(".parquet")}-m$i.parquet")
           fs.rename(p, tgt)
         }
         fs.delete(staging, true)

@@ -78,7 +78,8 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, table.schema(), Array.empty, conf)
+    new GraftReaderFactory(required, table.physicalSchema, table.dir,
+      table.partitionFields, Array.empty, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -166,6 +166,20 @@ class GraftMorSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(7L, "z", 70L)))
   }
 
+  test("graft_dv_stats reports per-file physical/deleted/live rows") {
+    graft.GraftExtensions.register(spark)
+    mkTable("s1", "(1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)")
+    sql("DELETE FROM graft_mor.db.s1 WHERE id IN (2, 3)")
+    val stats = sql("SELECT * FROM graft_dv_stats('graft_mor', 'db.s1')").collect()
+    assert(stats.map(_.getLong(1)).sum == 4L) // physical
+    assert(stats.map(_.getLong(2)).sum == 2L) // deleted
+    assert(stats.map(_.getLong(3)).sum == 2L) // live
+    stats.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(dataFiles("s1").contains(r.getString(0)))
+    }
+  }
+
   test("merge-on-read cannot combine with history snapshots (loud reject)") {
     val e = intercept[Exception] {
       sql("""CREATE TABLE graft_mor.db.bad (id BIGINT)
