@@ -375,6 +375,62 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.snap ORDER BY id")
     },
 
+    // MERGE with WHEN NOT MATCHED BY SOURCE — the FULL-SYNC verb (mirror a
+    // snapshot into the target: update the overlap, insert the new, delete
+    // what the source no longer has). Runs through the same group-based
+    // copy-on-write rewrite; at 100 TB this replaces the
+    // truncate-and-reload a naive sync does.
+    "etl_merge_sync" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.sync")
+      s.sql("CREATE TABLE graft_wh.mrg.sync (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sync_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.sync
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_sync_orders WHERE o_orderkey % 5 < 3""".stripMargin)
+      s.sql("""MERGE INTO graft_wh.mrg.sync t
+              |USING (SELECT o_orderkey AS id,
+              |              CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+              |       FROM graft_sync_orders WHERE o_orderkey % 5 >= 2) c
+              |ON t.id = c.id
+              |WHEN MATCHED THEN UPDATE SET status = 'S', cents = c.cents
+              |WHEN NOT MATCHED THEN INSERT (id, status, cents) VALUES (c.id, 'N', c.cents)
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE
+              |""".stripMargin)
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.sync ORDER BY id")
+    },
+
+    // Bucketed catalog tables + storage-partitioned join: both sides hash
+    // into bucket(8, custkey) files at write time, the scans report
+    // KeyGroupedPartitioning through the catalog's bucket function, and
+    // the join plans ZERO Exchange (plan-asserted in GraftBucketSpec) —
+    // at 100 TB this deletes the dominant fact-fact shuffle. Values are
+    // bucketing-invariant, so DuckDB replays the plain join.
+    "etl_bucket_spj" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.spj")
+      s.sql("DROP TABLE IF EXISTS graft_wh.spj.cust")
+      s.sql("DROP TABLE IF EXISTS graft_wh.spj.ords")
+      s.sql("""CREATE TABLE graft_wh.spj.cust (ck BIGINT, seg STRING)
+              |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+      s.sql("""CREATE TABLE graft_wh.spj.ords (ck BIGINT, cents BIGINT)
+              |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+      Tables.customer(s, dir).createOrReplaceTempView("graft_spj_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_spj_orders")
+      s.sql("""INSERT INTO graft_wh.spj.cust
+              |SELECT c_custkey, c_mktsegment FROM graft_spj_customer""".stripMargin)
+      s.sql("""INSERT INTO graft_wh.spj.ords
+              |SELECT o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_spj_orders""".stripMargin)
+      s.sql("""SELECT c.seg, COUNT(*) AS n_orders, SUM(o.cents) AS sum_cents
+              |FROM graft_wh.spj.ords o JOIN graft_wh.spj.cust c ON o.ck = c.ck
+              |GROUP BY c.seg ORDER BY c.seg""".stripMargin)
+    },
+
     // SQL UPDATE through the same row-level path (group-based COW +
     // runtime group filtering); oracle replays the assignment as CASE
     "etl_update_where" -> { (s, dir) =>
@@ -479,6 +535,7 @@ object Etl {
               |FROM graft_dvstats_orders""".stripMargin)
       s.sql("DELETE FROM graft_wh.mrg.dvstats WHERE id % 5 = 2")
       s.sql("DELETE FROM graft_wh.mrg.dvstats WHERE cents < 300000")
+      graft.GraftExtensions.register(s)
       s.sql("""SELECT CAST(SUM(file_rows) AS BIGINT) AS physical_rows,
               |       CAST(SUM(deleted_rows) AS BIGINT) AS deleted_rows,
               |       CAST(SUM(live_rows) AS BIGINT) AS live_rows
@@ -627,6 +684,7 @@ object Etl {
               |SELECT o_orderkey, o_orderstatus,
               |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
               |FROM graft_cdf_orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000""".stripMargin)
+      graft.GraftExtensions.register(s)
       s.sql("""SELECT id, change_type, new_cents
               |FROM graft_table_changes('graft_wh', 'mrg.cdf', 2, 5, 'id')
               |WHERE change_type <> 'unchanged'
@@ -1177,6 +1235,19 @@ object Etl {
         |  FROM chg c LEFT JOIN tgt t ON c.id = t.id
         |  WHERE t.id IS NULL AND c.op <> 'D')
         |ORDER BY id""".stripMargin,
+
+    "etl_merge_sync" ->
+      """SELECT o_orderkey AS id,
+        | CASE WHEN o_orderkey % 5 = 2 THEN 'S' ELSE 'N' END AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |FROM orders WHERE o_orderkey % 5 >= 2
+        |ORDER BY id""".stripMargin,
+
+    "etl_bucket_spj" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_update_where" ->
       """SELECT o_orderkey AS id,

@@ -8,12 +8,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +58,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * between list and rename — lakehouse formats solve this with an atomic
   * metadata pointer, orthogonal to the operator semantics proven here).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -102,11 +105,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable.readProps(fs, dir).get(GraftTable.PartitionProp)
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
+  private def bucketSpec(dir: Path): Option[(String, Int)] = {
+    val props = GraftTable.readProps(fs, dir)
+    for (c <- props.get(GraftTable.BucketColProp);
+         n <- props.get(GraftTable.BucketCountProp)) yield (c, n.toInt)
+  }
+
+  // --- FunctionCatalog: serves the `bucket` transform function, which is
+  // what lets Catalyst resolve two bucketed graft tables' partitioning to
+  // the SAME function and plan a storage-partitioned (zero-Exchange) join.
+  // Catalyst looks transforms up under the empty namespace
+  // (V2ExpressionUtils.loadV2FunctionOpt), listFunctions serves users.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftBucket.FunctionName))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase(GraftBucket.FunctionName))
+      new GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase(GraftBucket.FunctionName)
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
-      mor = isMor(dir), partitionCols = partCols(dir))
+      mor = isMor(dir), partitionCols = partCols(dir),
+      bucketSpec = bucketSpec(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -126,7 +152,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$ident has no version $v (have: ${GraftTable.manifestVersions(fs, dir).mkString(", ")})")
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir))
+      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir),
+      bucketSpec = bucketSpec(dir))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
@@ -147,7 +174,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"$ident has no snapshot at or before timestamp $tsMillis ms"))
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir))
+      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir),
+      bucketSpec = bucketSpec(dir))
   }
 
   /** Snapshot log of a history table: (version, commit millis, data-file
@@ -196,17 +224,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    // IDENTITY partition transforms only (PARTITIONED BY (col, ...)):
-    // bucket/days/years need either physical bucket files or derived-value
-    // directories — the identity case covers the dominant date/tenant
-    // layout and keeps `col=value/` dirs Spark-discoverable
-    val pcols: Seq[String] = partitions.toSeq.map {
+    // IDENTITY partition transforms (PARTITIONED BY (col, ...)) or ONE
+    // bucket transform (PARTITIONED BY (bucket(n, col))): identity covers
+    // the dominant date/tenant layout with `col=value/` dirs; bucket hashes
+    // rows into n stable buckets (bucket id in the file NAME) so two
+    // co-bucketed tables join without an Exchange (storage-partitioned
+    // join). days/years derived transforms are not supported.
+    var bucket: Option[(String, Int)] = None
+    val pcols: Seq[String] = partitions.toSeq.flatMap {
       case t if t.name == "identity" && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
-        t.references.head.fieldNames.head
+        Some(t.references.head.fieldNames.head)
+      case t if t.name == GraftBucket.FunctionName =>
+        require(bucket.isEmpty,
+          "graft catalog: at most one bucket(n, col) transform")
+        val n = t.arguments()(0) match {
+          case l: Literal[_] if l.dataType() == org.apache.spark.sql.types.IntegerType =>
+            l.value().asInstanceOf[Int]
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: bucket count must be an INT literal, got $other")
+        }
+        require(n > 0, s"graft catalog: bucket count must be positive, got $n")
+        val col = t.references match {
+          case Array(r) if r.fieldNames.length == 1 => r.fieldNames.head
+          case _ => throw new UnsupportedOperationException(
+            "graft catalog: bucket(n, col) takes exactly one top-level column")
+        }
+        bucket = Some(col -> n)
+        None
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported partition transform $other " +
-          "(identity column transforms only)")
+          "(identity columns or one bucket(n, col))")
+    }
+    require(bucket.isEmpty || pcols.isEmpty,
+      "graft catalog: identity partitions and bucketing cannot be combined " +
+        "yet — bucket files are top-level (the directory layout is the " +
+        "identity partitions' namespace)")
+    bucket.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
+      require(GraftBucket.supportedKeyType(schema(c).dataType),
+        s"graft catalog: bucket column $c has type ${schema(c).dataType} — " +
+          "use BIGINT/INT/STRING")
     }
     pcols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column $c not in schema")
@@ -236,17 +294,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft catalog: merge-on-read and history snapshots cannot be combined " +
         "yet — deletion-vector sidecars are not versioned in the manifest log " +
         "(a DV commit would mutate past snapshots)")
-    if (history || mor || pcols.nonEmpty) {
+    require(!(mor && bucket.nonEmpty),
+      "graft catalog: merge-on-read and bucketing cannot be combined yet — " +
+        "materializeDeletes rewrites files and would need bucket-aware " +
+        "renaming to keep the bNNNNN- name contract")
+    if (history || mor || pcols.nonEmpty || bucket.nonEmpty) {
       GraftTable.writeProps(fs, dir, (Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
         ++ (if (pcols.nonEmpty) Map(GraftTable.PartitionProp -> pcols.mkString(","))
-            else Map.empty)))
+            else Map.empty)
+        ++ bucket.map { case (c, n) => Map(
+             GraftTable.BucketColProp -> c,
+             GraftTable.BucketCountProp -> n.toString) }.getOrElse(Map.empty)))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
-      partitionCols = pcols)
+      partitionCols = pcols, bucketSpec = bucket)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -281,6 +346,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(!partCols(dir).contains(name),
             s"graft catalog: cannot drop partition column $name " +
               "(the directory layout depends on it)")
+          require(!bucketSpec(dir).exists(_._1 == name),
+            s"graft catalog: cannot drop bucket column $name " +
+              "(row placement depends on it)")
           if (!schema.fieldNames.contains(name)) {
             if (del.ifExists()) schema
             else throw new IllegalArgumentException(s"no such column: $name")
@@ -356,6 +424,8 @@ object GraftTable {
   val HistoryProp = "history"
   val MorProp = "merge-on-read"
   val PartitionProp = "partition-cols"
+  val BucketColProp = "bucket-col"
+  val BucketCountProp = "bucket-count"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Partition-value ↔ path-segment codec, delegated to Spark's own Hive
@@ -509,7 +579,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val history: Boolean = false,
                  val pinnedVersion: Option[Long] = None,
                  val mor: Boolean = false,
-                 val partitionCols: Seq[String] = Nil)
+                 val partitionCols: Seq[String] = Nil,
+                 val bucketSpec: Option[(String, Int)] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -519,10 +590,14 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   /** Identity partitioning (PARTITIONED BY): rows live under Hive-style
     * `col=value/` directories; partition values come from the PATH, never
     * the parquet bytes, so `spark.read.parquet(dir)` partition discovery
-    * sees the identical table.
+    * sees the identical table. Bucketing (`bucket(n, col)`): rows hash
+    * into n stable buckets carried in the file NAME — the scan reports
+    * `KeyGroupedPartitioning` over this transform, which is the
+    * storage-partitioned-join contract.
     */
   override def partitioning(): Array[Transform] =
-    partitionCols.map(Expressions.identity).toArray
+    partitionCols.map(Expressions.identity).toArray ++
+      bucketSpec.map { case (c, n) => Expressions.bucket(n, c) }
 
   /** Columns physically stored in parquet = schema minus partition cols. */
   def physicalSchema: StructType =
@@ -823,13 +898,31 @@ object GraftPartitionPruning {
   * right granularity — a compaction pass owns the file-size invariant).
   * `dv` is the file's deletion-vector sidecar, if any (merge-on-read).
   */
+sealed trait GraftPartition extends InputPartition {
+  def file: String
+  def dv: Option[String]
+}
+
 case class GraftFilePartition(file: String, dv: Option[String] = None)
-  extends InputPartition
+  extends GraftPartition
+
+/** A bucketed table's file split: carries its bucket id as the partition
+  * KEY, which is what lets `BatchScanExec` group splits per bucket and
+  * report catalyst `KeyGroupedPartitioning` — the join side of the
+  * storage-partitioned-join handshake.
+  */
+case class GraftBucketedFilePartition(file: String, bucketId: Int,
+                                      dv: Option[String] = None)
+  extends GraftPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // resolved once at scan creation: the snapshot the whole operation
@@ -964,7 +1057,34 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           .map(st => GraftDv.dataFileName(st.getPath.getName) -> st.getPath.toString)
           .toMap
       }
-    kept.map(f => GraftFilePartition(f, dvByName.get(new Path(f).getName))).toArray
+    kept.map { f =>
+      val name = new Path(f).getName
+      table.bucketSpec match {
+        case Some(_) =>
+          val b = GraftBucket.fileBucketId(name).getOrElse(
+            throw new IllegalStateException(
+              s"bucketed table ${table.name()}: data file $name lacks the " +
+                "bNNNNN- bucket prefix — write through the catalog, not " +
+                "directly into the directory"))
+          GraftBucketedFilePartition(f, b, dvByName.get(name))
+        case None => GraftFilePartition(f, dvByName.get(name))
+      }
+    }.toArray
+  }
+
+  /** Bucketed tables report `KeyGroupedPartitioning` over the table's
+    * bucket transform; with `spark.sql.sources.v2.bucketing.enabled` Spark
+    * groups the splits per bucket id and two co-bucketed scans join with
+    * ZERO Exchange (storage-partitioned join) — at 100 TB this deletes the
+    * dominant shuffle of every fact-fact equi-join on the bucket key. The
+    * transform's function resolves through [[GraftCatalog.loadFunction]];
+    * partition-value alignment across sides is Spark's pushPartValues
+    * machinery (missing buckets become empty partitions).
+    */
+  override def outputPartitioning(): Partitioning = table.bucketSpec match {
+    case Some((c, n)) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), files.size)
+    case None => new UnknownPartitioning(0)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -989,7 +1109,7 @@ class GraftReaderFactory(required: StructType, physicalSchema: StructType,
                          conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = partition.asInstanceOf[GraftPartition]
     new GraftPartitionReader(required, physicalSchema, tableDir, partFields,
       pushedFilters, p.file, p.dv, conf)
   }
@@ -1088,11 +1208,21 @@ private[sources] trait GraftWriteDistribution
   extends RequiresDistributionAndOrdering {
   def table: GraftTable
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (table.partitionCols.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      table.partitionCols.map(c =>
-        Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (table.partitionCols.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        table.partitionCols.map(c =>
+          Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else table.bucketSpec match {
+      // cluster incoming rows by bucket id (the transform resolves through
+      // the catalog's bucket function), so a task owns whole buckets and
+      // writes ONE file per bucket instead of |tasks|·|buckets| files
+      case Some((c, n)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.bucket(n, c):
+            org.apache.spark.sql.connector.expressions.Expression))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
   override def distributionStrictlyRequired(): Boolean = false
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     Array.empty
@@ -1157,9 +1287,13 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     // whatever the incoming attribute order
     val proj = table.physicalSchema.fields.map(f => writeSchema.fieldIndex(f.name))
     val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
+    val bucket = table.bucketSpec.map { case (c, n) =>
+      val i = writeSchema.fieldIndex(c)
+      (i, writeSchema.fields(i).dataType, n)
+    }
     new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(hadoopConf), bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1224,10 +1358,12 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
 class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          writeSchema: StructType, proj: Array[Int],
                          partFields: Seq[StructField], partIdx: Array[Int],
-                         conf: SerializableHadoopConf) extends DataWriterFactory {
+                         conf: SerializableHadoopConf,
+                         bucket: Option[(Int, DataType, Int)] = None)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
-      partFields, partIdx, partitionId, taskId, conf)
+      partFields, partIdx, partitionId, taskId, conf, bucket)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -1241,7 +1377,8 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       writeSchema: StructType, proj: Array[Int],
                       partFields: Seq[StructField], partIdx: Array[Int],
                       partitionId: Int, taskId: Long,
-                      conf: SerializableHadoopConf)
+                      conf: SerializableHadoopConf,
+                      bucket: Option[(Int, DataType, Int)] = None)
   extends DataWriter[InternalRow] {
 
   private val isIdentity = partFields.isEmpty &&
@@ -1252,10 +1389,15 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
   private val paths = scala.collection.mutable.Buffer.empty[Path]
   private val reuse = new GenericInternalRow(proj.length)
 
-  private def open(subdir: String): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+  /** `subdir` routes identity-partition rows into `col=value/` staging
+    * subdirs; `namePrefix` routes bucketed rows into `bNNNNN-` files (the
+    * name survives the commit rename, so the scan recovers the bucket id
+    * from the landed file).
+    */
+  private def open(subdir: String, namePrefix: String = ""): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     val base = if (subdir.isEmpty) new Path(stagingDir) else new Path(stagingDir, subdir)
     val p = new Path(base,
-      f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
+      f"${namePrefix}part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
     paths += p
     ParquetRowIO.writer(p, physicalSchema, conf.value)
   }
@@ -1270,9 +1412,21 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       s"${partFields(k).name}=$seg"
     }.mkString("/")
 
+  private def bucketId(record: InternalRow): Int = {
+    val (i, dt, n) = bucket.get
+    val v = if (record.isNullAt(i)) null else record.get(i, dt)
+    GraftBucket.bucket(dt, v, n)
+  }
+
   override def write(record: InternalRow): Unit = {
-    val key = if (partFields.isEmpty) "" else partSubdir(record)
-    val writer = writers.getOrElseUpdate(key, open(key))
+    val writer =
+      if (bucket.nonEmpty) {
+        val b = bucketId(record)
+        writers.getOrElseUpdate(s"b$b", open("", GraftBucket.fileName(b, "")))
+      } else {
+        val key = if (partFields.isEmpty) "" else partSubdir(record)
+        writers.getOrElseUpdate(key, open(key))
+      }
     val out = if (isIdentity) record else {
       var i = 0
       while (i < proj.length) {

@@ -37,6 +37,10 @@ object GraftMaintenance {
       "compactTable: partitioned tables need per-partition compaction " +
         "(a bulk rewrite would collapse the col=value directory layout); " +
         "compact one partition directory at a time")
+    require(!props.contains(GraftTable.BucketColProp),
+      "compactTable: bucketed tables need per-bucket compaction (a bulk " +
+        "rewrite would mix buckets and break the bNNNNN- placement " +
+        "contract); use compactBucketedTable")
     // merge-on-read: fold outstanding deletion vectors in first, so the
     // bulk rewrite below can read the files as plain parquet
     if (props.get(GraftTable.MorProp).contains("true"))
@@ -81,6 +85,62 @@ object GraftMaintenance {
     }
     fs.delete(staging, true)
     (files.size, staged.size)
+  }
+
+  /** Bucket-preserving compaction for bucketed catalog tables: each
+    * bucket's files are rewritten to ONE file carrying the same `bNNNNN-`
+    * name prefix, so the storage-partitioned-join placement contract
+    * survives the rewrite (rows never change buckets — compaction only
+    * merges a bucket with itself). Buckets already at one file are
+    * untouched. Returns (files before, files after).
+    */
+  def compactBucketedTable(spark: SparkSession, tableDir: String): (Int, Int) = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    require(props.contains(GraftTable.BucketColProp),
+      s"compactBucketedTable: $tableDir is not a bucketed table")
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    val files =
+      if (!history) GraftTable.dataFiles(fs, dir)
+      else GraftTable.manifestVersions(fs, dir).lastOption
+        .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+    if (files.isEmpty) return (0, 0)
+    val byBucket = files.groupBy { f =>
+      val n = new Path(f).getName
+      GraftBucket.fileBucketId(n).getOrElse(throw new IllegalStateException(
+        s"bucketed table file $n lacks the bNNNNN- prefix"))
+    }
+    val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
+    val rewritten = byBucket.toSeq.sortBy(_._1).filter(_._2.size > 1)
+    val landed = rewritten.map { case (b, fls) =>
+      val out = new Path(staging, s"b$b")
+      spark.read.parquet(fls: _*).coalesce(1)
+        .write.mode("overwrite").parquet(out.toString)
+      val part = fs.listStatus(out).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath) match {
+        case Seq(one) => one
+        case many => throw new IllegalStateException(
+          s"bucket $b compaction produced ${many.size} files")
+      }
+      val tgt = new Path(dir, GraftBucket.fileName(b,
+        s"part-compact-${UUID.randomUUID()}.parquet"))
+      b -> (part, tgt)
+    }
+    val replaced = rewritten.flatMap(_._2).toSet
+    if (history) {
+      landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
+      val keep = files.filterNot(replaced.contains) ++
+        landed.map(_._2._2.toString)
+      val v = GraftTable.manifestVersions(fs, dir).last
+      GraftTable.writeManifest(fs, dir, v + 1, keep)
+    } else {
+      replaced.foreach(f => fs.delete(new Path(f), false))
+      landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
+    }
+    fs.delete(staging, true)
+    (files.size, files.size - replaced.size + landed.size)
   }
 
   /** Fold merge-on-read deletion vectors into their data files: each file

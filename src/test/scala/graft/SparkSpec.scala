@@ -18,6 +18,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // storage-partitioned joins over bucketed graft-catalog tables
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     .config("spark.sql.warehouse.dir",
       sys.props("java.io.tmpdir") + "/graft_warehouse")
     .config("spark.ui.enabled", "false")

@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed graft-catalog tables and the storage-partitioned join: rows
+  * hash into `bucket(n, col)` buckets carried in the file name, the scan
+  * reports `KeyGroupedPartitioning`, the catalog serves the bucket
+  * function, and two co-bucketed tables join with ZERO shuffle — the plan
+  * shape that, at 100 TB, deletes the dominant Exchange of a fact-fact
+  * equi-join. Assertions are at the PLAN level (no ShuffleExchange) plus
+  * value-level equality with the unbucketed replay.
+  */
+class GraftBucketSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_bucket_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft_bk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_bk.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_bk.db")
+  }
+
+  private def listFiles(table: String): Seq[String] = {
+    val dir = new java.io.File(s"$warehouse/db/$table")
+    dir.listFiles().toSeq.map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+  }
+
+  /** Final-plan string (descending into AQE's wrapper — `collect` over
+    * `executedPlan` does not reach the adaptively-final tree).
+    */
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def hasShuffle(df: DataFrame): Boolean = planString(df).contains("Exchange")
+
+  /** Run `body` with broadcast joins disabled, so small spec tables take
+    * the storage-partitioned-join path a 100 TB fact-fact join would.
+    */
+  private def noBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed create/insert/select round trip; bucket ids in file names") {
+    sql("""CREATE TABLE graft_bk.db.t1 (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("INSERT INTO graft_bk.db.t1 SELECT id, concat('v', id) FROM range(0, 1000)")
+    assert(sql("SELECT count(*) FROM graft_bk.db.t1").head.getLong(0) == 1000L)
+    val files = listFiles("t1")
+    assert(files.nonEmpty && files.forall(_.matches("""b\d{5}-.*""")),
+      s"every data file must carry its bucket id: $files")
+    val buckets = files.flatMap(GraftBucket.fileBucketId(_)).distinct.sorted
+    assert(buckets.forall(b => b >= 0 && b < 4))
+    // clustered write distribution: one file per (bucket, write), not
+    // one per (task, bucket)
+    assert(files.size == buckets.size,
+      s"clustered write should leave one file per bucket: $files")
+    // plain parquet interop: same rows, no phantom columns
+    val native = spark.read.parquet(s"$warehouse/db/t1")
+    assert(native.columns.toSeq.sorted == Seq("k", "v"))
+    assert(native.count() == 1000L)
+  }
+
+  test("co-bucketed join plans ZERO shuffles (storage-partitioned join)") {
+    sql("""CREATE TABLE graft_bk.db.fact (k BIGINT, amt DOUBLE)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("""CREATE TABLE graft_bk.db.dim2 (k BIGINT, label STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("INSERT INTO graft_bk.db.fact SELECT id % 500, id * 1.5 FROM range(0, 5000)")
+    sql("INSERT INTO graft_bk.db.dim2 SELECT id, concat('d', id) FROM range(0, 600)")
+    noBroadcast {
+      val j = sql("""SELECT f.k, count(*) AS n, sum(f.amt) AS s
+                    |FROM graft_bk.db.fact f JOIN graft_bk.db.dim2 d ON f.k = d.k
+                    |GROUP BY f.k""".stripMargin)
+      val plan = planString(j)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled-family join operator:\n$plan")
+      assert(!plan.contains("Exchange"),
+        "co-bucketed graft tables must join without an Exchange " +
+          s"(storage-partitioned join):\n$plan")
+      // values match the unbucketed replay
+      val expect = spark.range(0, 5000)
+        .selectExpr("id % 500 AS k", "CAST(id * 1.5 AS DOUBLE) AS amt")
+        .join(spark.range(0, 600).selectExpr("id AS k"), "k")
+        .groupBy("k").agg(
+          org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.sum("amt").as("s"))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val exp = expect.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("mismatched bucket counts fall back to a correct shuffled join") {
+    sql("""CREATE TABLE graft_bk.db.odd (k BIGINT, x STRING)
+          |PARTITIONED BY (bucket(3, k))""".stripMargin)
+    sql("INSERT INTO graft_bk.db.odd SELECT id, concat('x', id) FROM range(0, 300)")
+    noBroadcast {
+      val j = sql("""SELECT count(*) AS n FROM graft_bk.db.fact f
+                    |JOIN graft_bk.db.odd o ON f.k = o.k""".stripMargin)
+      // correctness first: bucket(4) vs bucket(3) cannot co-locate
+      assert(j.head.getLong(0) ==
+        spark.range(0, 5000).selectExpr("id % 500 AS k")
+          .join(spark.range(0, 300).selectExpr("id AS k"), "k").count())
+      assert(hasShuffle(j), "incompatible bucket counts must shuffle")
+    }
+  }
+
+  test("string bucket keys work and null keys land deterministically") {
+    sql("""CREATE TABLE graft_bk.db.skey (name STRING, n BIGINT)
+          |PARTITIONED BY (bucket(4, name))""".stripMargin)
+    sql("""INSERT INTO graft_bk.db.skey
+          |SELECT CASE WHEN id % 10 = 0 THEN NULL ELSE concat('u', id % 97) END, id
+          |FROM range(0, 500)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_bk.db.skey").head.getLong(0) == 500L)
+    assert(sql("SELECT count(*) FROM graft_bk.db.skey WHERE name IS NULL")
+      .head.getLong(0) == 50L)
+    sql("""CREATE TABLE graft_bk.db.skey2 (name STRING, tag STRING)
+          |PARTITIONED BY (bucket(4, name))""".stripMargin)
+    sql("""INSERT INTO graft_bk.db.skey2
+          |SELECT concat('u', id), concat('t', id) FROM range(0, 97)""".stripMargin)
+    noBroadcast {
+      val j = sql("""SELECT count(*) AS n FROM graft_bk.db.skey a
+                    |JOIN graft_bk.db.skey2 b ON a.name = b.name""".stripMargin)
+      assert(j.head.getLong(0) == 450L) // null names never match
+      assert(!hasShuffle(sql(
+        """SELECT a.name FROM graft_bk.db.skey a
+          |JOIN graft_bk.db.skey2 b ON a.name = b.name""".stripMargin)),
+        "co-bucketed string-key join must be storage-partitioned")
+    }
+  }
+
+  test("row-level UPDATE preserves bucket placement; SPJ survives") {
+    sql("UPDATE graft_bk.db.fact SET amt = amt + 1000 WHERE k < 50")
+    val files = listFiles("fact")
+    assert(files.forall(_.matches("""b\d{5}-.*""")),
+      s"rewritten files must keep bucket prefixes: $files")
+    noBroadcast {
+      val j = sql("""SELECT f.k FROM graft_bk.db.fact f
+                    |JOIN graft_bk.db.dim2 d ON f.k = d.k""".stripMargin)
+      assert(!hasShuffle(j), "SPJ must survive a copy-on-write UPDATE")
+    }
+    // the update applied
+    val lifted = sql("SELECT min(amt) FROM graft_bk.db.fact WHERE k < 50").head.getDouble(0)
+    assert(lifted >= 1000.0)
+  }
+
+  test("per-bucket compaction keeps placement and the shuffle-free join") {
+    sql("INSERT INTO graft_bk.db.fact SELECT id % 500, id * 0.5 FROM range(0, 1000)")
+    sql("INSERT INTO graft_bk.db.fact SELECT id % 500, id * 0.25 FROM range(0, 1000)")
+    val before = listFiles("fact")
+    assert(before.size > 4, s"need multiple files per bucket, got $before")
+    val (nBefore, nAfter) =
+      GraftMaintenance.compactBucketedTable(spark, s"$warehouse/db/fact")
+    assert(nBefore == before.size && nAfter == 4,
+      s"compaction should leave one file per bucket: $nBefore -> $nAfter")
+    val files = listFiles("fact")
+    assert(files.size == 4 && files.forall(_.matches("""b\d{5}-.*""")))
+    noBroadcast {
+      val j = sql("""SELECT count(*) AS n, sum(f.amt) AS s
+                    |FROM graft_bk.db.fact f JOIN graft_bk.db.dim2 d ON f.k = d.k""".stripMargin)
+      assert(!hasShuffle(sql(
+        """SELECT f.k FROM graft_bk.db.fact f
+          |JOIN graft_bk.db.dim2 d ON f.k = d.k""".stripMargin)),
+        "SPJ must survive compaction")
+      // every fact row's key is in [0, 500) ⊂ dim2's [0, 600) keys
+      assert(j.head.getLong(0) == 5000L + 1000L + 1000L)
+    }
+  }
+
+  test("rejections: identity+bucket, mor+bucket, drop bucket column") {
+    intercept[Exception] {
+      sql("""CREATE TABLE graft_bk.db.bad1 (k BIGINT, p STRING, v STRING)
+            |PARTITIONED BY (p, bucket(4, k))""".stripMargin)
+    }
+    intercept[Exception] {
+      sql("""CREATE TABLE graft_bk.db.bad2 (k BIGINT, v STRING)
+            |PARTITIONED BY (bucket(4, k))
+            |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
+    }
+    intercept[Exception] {
+      sql("ALTER TABLE graft_bk.db.t1 DROP COLUMN k")
+    }
+    // unsupported key type fails loudly at CREATE
+    intercept[Exception] {
+      sql("""CREATE TABLE graft_bk.db.bad3 (k DOUBLE, v STRING)
+            |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    }
+  }
+}
