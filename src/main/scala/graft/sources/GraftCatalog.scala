@@ -542,14 +542,62 @@ object GraftTable {
   /** Exclusive create: a concurrent committer racing to the same version
     * fails LOUDLY here instead of silently clobbering the snapshot — the
     * optimistic-concurrency commit point every table format centers on.
+    *
+    * On HDFS-like filesystems `create(overwrite=false)` IS the atomic
+    * primitive; on the LOCAL filesystem Hadoop's create is check-then-open
+    * (two racing committers can both pass the check), so there the bytes
+    * go to a temp file and a hard LINK into place is the commit — POSIX
+    * `link(2)` fails with EEXIST atomically.
     */
   def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit = {
-    val out = fs.create(manifestPath(dir, v), false)
     // entries are dir-relative (plain names for flat tables, col=value/
     // subpaths for partitioned ones)
-    try out.write(files.map(f => relativize(dir, new Path(f)))
-      .sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val bytes = files.map(f => relativize(dir, new Path(f)))
+      .sorted.mkString("\n").getBytes("UTF-8")
+    val target = manifestPath(dir, v)
+    if (fs.getScheme == "file") {
+      val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
+      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(nioTarget, nioTmp)
+      finally fs.delete(tmp, false)
+    } else {
+      val out = fs.create(target, false)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Optimistic-concurrency commit loop for ADDITIVE commits: read the
+    * latest snapshot, derive the next file list via `update`, attempt the
+    * exclusive manifest create; when a racing committer wins the version,
+    * re-derive against ITS snapshot and try again (the standard
+    * append-vs-append resolution — additive updates commute, so replaying
+    * `update` on the refreshed list is exactly the serial outcome). Callers
+    * whose `update` is NOT a pure addition must not use this: replaying a
+    * snapshot-derived replacement over a newer snapshot is a lost update.
+    * Returns the committed version.
+    */
+  def commitRetrying(fs: FileSystem, dir: Path, maxRetries: Int = 20)(
+      update: Seq[String] => Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val v = manifestVersions(fs, dir).lastOption.getOrElse(0L)
+      val old = if (v == 0L) Nil else readManifest(fs, dir, v)
+      try {
+        writeManifest(fs, dir, v + 1, update(old))
+        return v + 1
+      } catch {
+        case e: java.io.IOException =>
+          // conflict iff the version we raced for now exists; anything
+          // else (permissions, disk) stays loud
+          if (!fs.exists(manifestPath(dir, v + 1)) || attempt >= maxRetries)
+            throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 }
 
@@ -1311,19 +1359,26 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     if (table.history) {
       // snapshot commit: staged files land, NOTHING is deleted, and the
       // exclusive create of manifest v+1 is the atomic (and loudly
-      // conflict-detecting) commit point
+      // conflict-detecting) commit point. Pure APPENDS retry against the
+      // refreshed manifest on conflict (additive commits cannot conflict
+      // logically — the optimistic-concurrency protocol every table
+      // format runs); replace/truncate commits stay LOUD, because their
+      // file list was derived from a snapshot a racing commit just made
+      // stale — blind retry there is the lost-update bug.
       val landed: Seq[String] = staged.toSeq.map(f => land(f).toString)
-      val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
-      val old = if (v == 0L) Nil else GraftTable.readManifest(fs, dir, v)
-      val newList =
-        if (truncateAll) landed
-        else replaceFiles match {
-          case Some(f) =>
-            val affected = f().map(new Path(_).getName).toSet
+      if (!truncateAll && replaceFiles.isEmpty)
+        GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
+      else {
+        val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
+        val old = if (v == 0L) Nil else GraftTable.readManifest(fs, dir, v)
+        val newList =
+          if (truncateAll) landed
+          else {
+            val affected = replaceFiles.get().map(new Path(_).getName).toSet
             old.filterNot(x => affected.contains(new Path(x).getName)) ++ landed
-          case None => old ++ landed
-        }
-      GraftTable.writeManifest(fs, dir, v + 1, newList)
+          }
+        GraftTable.writeManifest(fs, dir, v + 1, newList)
+      }
     } else {
       // eager commit: delete-then-rename — replaced groups (row-level) or
       // everything (truncate) leave before the replacements land, and the
