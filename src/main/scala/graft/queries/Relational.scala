@@ -1103,6 +1103,141 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // local-supplier volume (the TPC-H Q5 shape): revenue where the
+    // customer and the supplier share a nation, per nation. The two fact
+    // tables shuffle once each on their join keys; supplier/nation/region
+    // are broadcast dims; the co-nation condition rides the supplier join
+    // as an equi-key (no residual filter pass). Exact integer cents
+    "q83_local_volume" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      val supNation = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey").as("sk"), col("s_nationkey").as("snk"),
+          col("n_name"), col("r_name"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNation),
+          col("l_suppkey") === col("sk") && col("c_nationkey") === col("snk"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // returned-item revenue per customer (the TPC-H Q10 shape): who sent
+    // the most money back. lineitem⋈orders on the natural key, one
+    // customer join, nation broadcast — no top-k cutoff so the oracle is
+    // tie-free; ordered by key
+    "q84_returned_revenue" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(cents).as("returned_cents"), count(lit(1)).as("n_returns"))
+        .orderBy("c_custkey")
+    },
+
+    // top supplier by quarter revenue (the TPC-H Q15 shape): the MAX is a
+    // one-row broadcast back over the supplier rollup — no global sort,
+    // no window; ties all surface (the oracle is deterministic either way)
+    "q85_top_supplier" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2000-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("total_cents"))
+      val mx = rev.agg(max(col("total_cents")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_cents") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    },
+
+    // small-quantity revenue (the TPC-H Q17 shape): lineitems below 20%
+    // of their part's average quantity, one brand. The correlated
+    // average is a part-key rollup joined back; the 0.2·avg comparison is
+    // EXACT integer arithmetic (qty·5·count < sum — l_quantity is
+    // integral), so no float ratio crosses engines
+    "q86_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_brand") === "Brand#11")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(avgq, "l_partkey")
+        .where(col("qty") * 5 * col("n_li") < col("sum_qty"))
+        .agg(sum(col("cents")).as("small_qty_cents"), count(lit(1)).as("n_small"))
+        .select(col("small_qty_cents"), col("n_small"))
+    },
+
+    // large-order customers (the TPC-H Q18 shape): orders whose total
+    // quantity exceeds the threshold, with their customer. The HAVING
+    // rollup runs on the lineitem natural key (one shuffle), then two
+    // key joins; quantities stay integral longs
+    "q87_large_orders" -> { (s, dir) =>
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 150L)
+      qty.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+            .as("order_day"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // bilateral shipping volume (the TPC-H Q7 shape): revenue flowing
+    // between two nations in both directions, per ship year. Supplier and
+    // customer nations resolve through broadcast dims; the direction pair
+    // is the group key so one aggregation serves both legs
+    "q88_nation_volume" -> { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      // the two-nation filter lands on the DIMS, so the fact side drops
+      // to the relevant ~2/|nations| slice inside the joins instead of
+      // carrying every row to a residual filter
+      val pair = Seq("NATION_1", "NATION_2")
+      val supN = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).where(col("n_name").isin(pair: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"), col("n_name").as("supp_nation"))
+      val custN = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir).where(col("n_name").isin(pair: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("sk"))
+        .join(custN, col("o_custkey") === col("ck"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(cents).as("volume_cents"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    },
+
     // through ONE task). The interpolation arithmetic is replayed
     // verbatim in the oracle — bit-identical regardless of how
     // quantile_cont associates
@@ -2286,6 +2421,83 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_local_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS returned_cents,
+        | COUNT(*) AS n_returns
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY c_custkey""".stripMargin,
+
+    "q85_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q86_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11'),
+        |a AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |             COUNT(*) AS n_li FROM li GROUP BY 1)
+        |SELECT CAST(SUM(cents) AS BIGINT) AS small_qty_cents,
+        |       COUNT(*) AS n_small
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+
+    "q87_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS order_day,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  total_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q88_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q50_median_scale" ->
 """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
