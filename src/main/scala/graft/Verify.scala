@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
       // the 128-aggregate minhash signature row must stay in codegen
       .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")

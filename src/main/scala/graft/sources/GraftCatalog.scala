@@ -971,6 +971,7 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // resolved once at scan creation: the snapshot the whole operation
@@ -1135,6 +1136,25 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     case None => new UnknownPartitioning(0)
   }
 
+  /** When every bucket holds exactly ONE file, rows arrive key-sorted
+    * (the write path always sorts within bucket files; per-bucket
+    * compaction preserves it) — reporting that ordering lets a
+    * storage-partitioned merge join skip its Sort nodes entirely. With
+    * multiple files per bucket the grouped partition is a concatenation,
+    * so no ordering is claimed (compaction restores it).
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    table.bucketSpec match {
+      case Some((c, _)) =>
+        val ids = files.map(f => GraftBucket.fileBucketId(new Path(f).getName))
+        if (ids.nonEmpty && ids.forall(_.isDefined) &&
+            ids.flatten.distinct.size == ids.size)
+          Array(Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        else Array.empty
+      case None => Array.empty
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // parquet record filters skip rows (and row groups) inside the file,
     // which would desynchronize `_pos` from physical row position — so any
@@ -1272,8 +1292,17 @@ private[sources] trait GraftWriteDistribution
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   override def distributionStrictlyRequired(): Boolean = false
+  /** Bucketed tables additionally SORT within each written file by the
+    * bucket key (ordering, unlike distribution, is always enforced by
+    * Spark) — so a one-file-per-bucket scan can report its ordering and a
+    * storage-partitioned join drops the Sort nodes too.
+    */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    table.bucketSpec match {
+      case Some((c, _)) => Array(Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 }
 
 /** Append / truncate-overwrite write: tasks stage parquet files under

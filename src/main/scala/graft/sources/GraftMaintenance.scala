@@ -113,9 +113,14 @@ object GraftMaintenance {
     }
     val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
     val rewritten = byBucket.toSeq.sortBy(_._1).filter(_._2.size > 1)
+    // keep the per-file key sort the catalog writer guarantees — the scan
+    // reports ordering on one-file-per-bucket layouts, so an unsorted
+    // compacted file would silently break merge joins
+    val bucketCol = props(GraftTable.BucketColProp)
     val landed = rewritten.map { case (b, fls) =>
       val out = new Path(staging, s"b$b")
       spark.read.parquet(fls: _*).coalesce(1)
+        .sortWithinPartitions(bucketCol)
         .write.mode("overwrite").parquet(out.toString)
       val part = fs.listStatus(out).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

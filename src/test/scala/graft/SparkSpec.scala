@@ -21,6 +21,7 @@ object SparkSpec {
     // storage-partitioned joins over bucketed graft-catalog tables
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
     .config("spark.sql.warehouse.dir",
       sys.props("java.io.tmpdir") + "/graft_warehouse")
     .config("spark.ui.enabled", "false")

@@ -184,6 +184,51 @@ class GraftBucketSpec extends SparkSpec {
     }
   }
 
+  test("one-file-per-bucket scans report ordering: SPJ drops its Sorts") {
+    sql("""CREATE TABLE graft_bk.db.sf (k BIGINT, amt BIGINT)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("""CREATE TABLE graft_bk.db.sd (k BIGINT, tag STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // ONE insert each -> clustered+sorted write leaves one key-sorted
+    // file per bucket -> the scan reports [k ASC] and the merge join
+    // needs neither Exchange nor Sort
+    sql("INSERT INTO graft_bk.db.sf SELECT id % 400, id FROM range(0, 4000)")
+    sql("INSERT INTO graft_bk.db.sd SELECT id, concat('t', id) FROM range(0, 450)")
+    noBroadcast {
+      val j = sql("""SELECT f.k, f.amt, d.tag FROM graft_bk.db.sf f
+                    |JOIN graft_bk.db.sd d ON f.k = d.k""".stripMargin)
+      val plan = planString(j)
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"expected zero shuffles:\n$plan")
+      assert(!plan.contains(" Sort ["),
+        s"one-file-per-bucket SPJ must not re-sort:\n$plan")
+      assert(j.count() ==
+        spark.range(0, 4000).selectExpr("id % 400 AS k")
+          .join(spark.range(0, 450).selectExpr("id AS k"), "k").count())
+    }
+    // a second insert doubles the files per bucket -> ordering claim is
+    // withdrawn (concatenated buckets are unsorted) but results stay right
+    sql("INSERT INTO graft_bk.db.sf SELECT id % 400, id + 9000 FROM range(0, 400)")
+    noBroadcast {
+      val j2 = sql("""SELECT f.k FROM graft_bk.db.sf f
+                     |JOIN graft_bk.db.sd d ON f.k = d.k""".stripMargin)
+      val plan2 = planString(j2)
+      assert(plan2.contains(" Sort ["),
+        s"multi-file buckets must re-sort before the merge join:\n$plan2")
+      assert(j2.count() == 4400)
+    }
+    // per-bucket compaction restores the single sorted file and the claim
+    GraftMaintenance.compactBucketedTable(spark, s"$warehouse/db/sf")
+    noBroadcast {
+      val j3 = sql("""SELECT f.k, f.amt, d.tag FROM graft_bk.db.sf f
+                     |JOIN graft_bk.db.sd d ON f.k = d.k""".stripMargin)
+      val plan3 = planString(j3)
+      assert(!plan3.contains(" Sort [") && !plan3.contains("Exchange"),
+        s"compaction must restore the sort-free SPJ:\n$plan3")
+      assert(j3.count() == 4400)
+    }
+  }
+
   test("rejections: identity+bucket, mor+bucket, drop bucket column") {
     intercept[Exception] {
       sql("""CREATE TABLE graft_bk.db.bad1 (k BIGINT, p STRING, v STRING)
