@@ -248,6 +248,46 @@ object StreamingQueries {
       s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft_wh.mrg.scu ORDER BY c_custkey")
     },
 
+    // streaming append into a BUCKETED catalog table: three micro-batches
+    // land through the catalog writer (bucket routing + per-file key sort
+    // per batch), and the final read joins a co-bucketed dim — the
+    // storage-partitioned join works on a table a stream just built
+    // (plan shape asserted in GraftBucketSpec; values here)
+    "stream_bucket_sink" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.spj")
+      s.sql("DROP TABLE IF EXISTS graft_wh.spj.ssink")
+      s.sql("DROP TABLE IF EXISTS graft_wh.spj.sdim")
+      s.sql("""CREATE TABLE graft_wh.spj.ssink (ck BIGINT, cents BIGINT)
+              |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+      s.sql("""CREATE TABLE graft_wh.spj.sdim (ck BIGINT, seg STRING)
+              |PARTITIONED BY (bucket(8, ck))""".stripMargin)
+      Tables.customer(s, dir).createOrReplaceTempView("graft_sbs_customer")
+      s.sql("""INSERT INTO graft_wh.spj.sdim
+              |SELECT c_custkey, c_mktsegment FROM graft_sbs_customer""".stripMargin)
+      val feed = Tables.orders(s, dir)
+        .where(col("o_orderkey") < 20000)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long"), col("o_orderkey"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3)
+      val in = MemoryStream[(Long, Long, Long)]
+      withFewPartitions(s) {
+        val q = StreamOps.catalogAppendStream(
+          in.toDF().toDF("ck", "cents", "seq").drop("seq"),
+          "graft_wh.spj.ssink")
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      s.sql("""SELECT d.seg, COUNT(*) AS n_orders, SUM(o.cents) AS sum_cents
+              |FROM graft_wh.spj.ssink o JOIN graft_wh.spj.sdim d ON o.ck = d.ck
+              |GROUP BY d.seg ORDER BY d.seg""".stripMargin)
+    },
+
     // streaming type-2 SCD upkeep: etl_scd2's changelog fed as THREE
     // seq-ordered micro-batches through scd2Stream; versions must chain
     // ACROSS batches (an open version closes when its key's next change
@@ -1428,6 +1468,13 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_bucket_sink" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 20000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_scd2" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,

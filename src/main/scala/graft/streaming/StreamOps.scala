@@ -241,6 +241,24 @@ object StreamOps {
       ()
     }.start()
 
+  /** Streaming APPEND into a graft-catalog table: each micro-batch lands
+    * through the catalog's batch writer, so everything the table declares
+    * applies per batch — bucket routing + per-file key sort on bucketed
+    * tables (the landed table is storage-partitioned-join-ready the
+    * moment the batch commits), partition-directory layout on partitioned
+    * ones, manifest append-retry on history ones. Append-only sources
+    * need no dedupe marker; a redelivering source pairs this with
+    * `catalogUpsertBatch`'s committed-batch marker instead. At 100 TB the
+    * per-batch small files are the trade — `compactBucketedTable` /
+    * `compactTable` own the file-size invariant.
+    */
+  def catalogAppendStream(rows: DataFrame,
+                          targetTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.writeTo(targetTable).append()
+      ()
+    }.start()
+
   /** Streaming type-2 SCD upkeep — the continuous form of
     * `Cdc.scd2History`: each micro-batch of keyed changes extends the
     * maintained version history. Closed versions are immutable — only the
