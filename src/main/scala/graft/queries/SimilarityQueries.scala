@@ -36,6 +36,40 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // hybrid retrieval with reciprocal-rank fusion (the RAG/retrieval
+    // staple): a lexical leg (distinct-token overlap on the documents
+    // table) and a vector leg (exact cosine on the aligned embeddings)
+    // each rank top-20 per query, then RRF 1/(60+r) fuses the lists so a
+    // doc strong in EITHER modality surfaces. Queries are few by
+    // construction (broadcast); each leg's rank is a window over
+    // |queries| partitions; the fusion terms are exact IEEE divisions
+    // summed in pinned order, so the oracle hash-matches
+    "sim_rrf_fusion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val vec = Similarity.topKCosine(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 20)
+        .select(col("q_id"), col("n_id"), col("rank").as("v_rank"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Text.tokens(col("text"))).as("toks"))
+      val qd = docs.where(col("doc_id") < 8)
+        .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+      val wl = Window.partitionBy("q_id").orderBy(col("ovl").desc, col("n_id"))
+      val lex = docs.join(broadcast(qd), col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id").as("n_id"),
+          size(array_intersect(col("toks"), col("q_toks"))).as("ovl"))
+        .withColumn("l_rank", row_number().over(wl)).where(col("l_rank") <= 20)
+        .select(col("q_id"), col("n_id"), col("l_rank"))
+      val fused = vec.join(lex, Seq("q_id", "n_id"), "full_outer")
+        .select(col("q_id"), col("n_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("v_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("l_rank")), lit(0.0))).as("rrf"))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+      fused.withColumn("rank", row_number().over(wf)).where(col("rank") <= 10)
+        .orderBy("q_id", "rank")
+    },
+
     // threshold (range) search — the FAISS range_search twin of top-k
     "sim_range_search" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -694,6 +728,32 @@ object SimilarityQueries {
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          | FROM scored)
          |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_rrf_fusion" ->
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |cos AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  ${cosSql("q.e", "n.e")} AS cosine
+         | FROM v q JOIN v n ON q.vec_id < 8 AND n.vec_id != q.vec_id),
+         |vr AS (SELECT q_id, n_id, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY cosine DESC, n_id) AS v_rank FROM cos),
+         |vr20 AS (SELECT * FROM vr WHERE v_rank <= 20),
+         |t AS (SELECT doc_id, list_distinct(${TextQueries.toksSql}) AS toks FROM documents),
+         |lexs AS (SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+         |  len(list_intersect(n.toks, q.toks)) AS ovl
+         | FROM t q JOIN t n ON q.doc_id < 8 AND n.doc_id != q.doc_id),
+         |lr AS (SELECT q_id, n_id, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY ovl DESC, n_id) AS l_rank FROM lexs),
+         |lr20 AS (SELECT * FROM lr WHERE l_rank <= 20),
+         |f AS (SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+         |  COALESCE(v.n_id, l.n_id) AS n_id,
+         |  COALESCE(1.0::DOUBLE / (60 + v.v_rank), 0.0)
+         |    + COALESCE(1.0::DOUBLE / (60 + l.l_rank), 0.0) AS rrf
+         | FROM vr20 v FULL OUTER JOIN lr20 l
+         |   ON v.q_id = l.q_id AND v.n_id = l.n_id),
+         |r AS (SELECT q_id, n_id, rrf, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank FROM f)
+         |SELECT q_id, n_id, rrf, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
     "sim_range_search" ->
