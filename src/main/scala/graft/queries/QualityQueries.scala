@@ -145,6 +145,33 @@ object QualityQueries {
     // statistics at rank ceil(r·n) and DuckDB replays them by ROW_NUMBER
     // pick; the approximation regime is bounds-asserted in KllSketchSpec
     // (mirrors dq_heavy_hitters' VALUE-gate split)
+    // audience overlap via theta sketches (the set-algebra statistic HLL
+    // cannot answer): per event_type, the distinct-user set of heavy
+    // users (>=8 events of that type) as ONE mergeable sketch; every
+    // pairwise intersection then reads from the 5-row rollup — at 100 TB
+    // the raw-key re-shuffle per pair is replaced by kilobytes of stored
+    // state. Runs in the theta EXACT regime (k >> users), so estimates
+    // are true cardinalities and DuckDB replays them as exact counts
+    "dq_overlap_sketch" -> { (s, dir) =>
+      import graft.expressions.ThetaSketchAgg
+      val heavy = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 8)
+      val sk = heavy.groupBy(col("event_type"))
+        .agg(ThetaSketchAgg.thetaSketch(col("user_id"), 4096).as("sk"),
+          count(lit(1)).as("n_users"))
+        .localCheckpoint()
+      sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.n_users").as("n_a"), col("b.n_users").as("n_b"),
+          ThetaSketchAgg.thetaIntersectCount(col("a.sk"), col("b.sk"))
+            .as("n_overlap"))
+        .orderBy("type_a", "type_b")
+    },
+
     "dq_quantile_rollup" -> { (s, dir) =>
       import graft.expressions.KllSketchAgg
       val c = Tables.customer(s, dir)
@@ -726,6 +753,22 @@ object QualityQueries {
         |  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN c_acctbal END) AS p50,
         |  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN c_acctbal END) AS p95
         |FROM v GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "dq_overlap_sketch" ->
+      """WITH s AS (SELECT event_type, user_id FROM events
+        |  GROUP BY 1, 2 HAVING count(*) >= 8),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_overlap
+        |  FROM s a JOIN s b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  CAST(COALESCE(p.n_overlap, 0) AS BIGINT) AS n_overlap
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+        |ORDER BY 1, 2""".stripMargin,
 
     "dq_ks" ->
       """WITH a AS (
