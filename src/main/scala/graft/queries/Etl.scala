@@ -403,6 +403,101 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.sync ORDER BY id")
     },
 
+    // Materialized view with TRANSPARENT query rewrite (MatView +
+    // MvRewrite optimizer rule): the rollup at (flag, status) grain is
+    // built once; a COARSER aggregate over the BASE table is then
+    // rewritten by the optimizer to read the MV instead — query text
+    // unchanged, scan replaced (the query itself asserts the plan reads
+    // the MV, so a silently-dead rewrite cannot pass as green). At 100 TB
+    // this swaps a fact-table scan+shuffle for a scan smaller by the
+    // rollup ratio. The oracle recomputes from RAW lineitem — the MV
+    // path must agree with first principles, not with itself.
+    "etl_mv_rewrite" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mvd")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mvd.li")
+      s.sql("""CREATE TABLE graft_wh.mvd.li
+              |(flag STRING, status STRING, qty DECIMAL(12,2), cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_mv_lineitem")
+      s.sql("""INSERT INTO graft_wh.mvd.li
+              |SELECT l_returnflag, l_linestatus,
+              |       CAST(l_quantity AS DECIMAL(12,2)),
+              |       CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+              |FROM graft_mv_lineitem""".stripMargin)
+      graft.plans.MatView.create(s, "graft_wh", "mvd.li", "mvd.li_rollup",
+        Seq("flag", "status"),
+        Seq(graft.plans.MatView.Measure("sum_qty", "sum", "qty"),
+          graft.plans.MatView.Measure("n_rows", "count", ""),
+          graft.plans.MatView.Measure("min_cents", "min", "cents"),
+          graft.plans.MatView.Measure("max_cents", "max", "cents")))
+      graft.plans.MatView.install(s)
+      val q = s.table("graft_wh.mvd.li")
+        .where(col("status") === "F")
+        .groupBy(col("flag"))
+        .agg(sum(col("qty")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("flag")
+      val servedByMv = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.description().contains("li_rollup") => r
+      }.nonEmpty
+      require(servedByMv, "etl_mv_rewrite: the MV rewrite did not fire " +
+        "(plan reads the base table) — the feature is dead, fail loudly")
+      q
+    },
+
+    // MV INCREMENTAL refresh from the manifest diff: the base appends an
+    // epoch-2 slice, refresh() reads ONLY the appended files (delta
+    // rollup MERGEd into the MV: sums add, counts add, min/max fold) —
+    // never the historical fact table — and the refreshed MV serves the
+    // coarser query again. The mode is asserted "incremental" in-query;
+    // the oracle recomputes over BOTH epochs from raw lineitem.
+    "etl_mv_refresh" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mvd")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mvd.li2")
+      s.sql("""CREATE TABLE graft_wh.mvd.li2
+              |(flag STRING, status STRING, qty DECIMAL(12,2), cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_mv_lineitem2")
+      s.sql("""INSERT INTO graft_wh.mvd.li2
+              |SELECT l_returnflag, l_linestatus,
+              |       CAST(l_quantity AS DECIMAL(12,2)),
+              |       CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+              |FROM graft_mv_lineitem2 WHERE l_orderkey % 4 < 3""".stripMargin)
+      graft.plans.MatView.create(s, "graft_wh", "mvd.li2", "mvd.li2_rollup",
+        Seq("flag", "status"),
+        Seq(graft.plans.MatView.Measure("sum_qty", "sum", "qty"),
+          graft.plans.MatView.Measure("n_rows", "count", ""),
+          graft.plans.MatView.Measure("max_cents", "max", "cents")))
+      graft.plans.MatView.install(s)
+      s.sql("""INSERT INTO graft_wh.mvd.li2
+              |SELECT l_returnflag, l_linestatus,
+              |       CAST(l_quantity AS DECIMAL(12,2)),
+              |       CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+              |FROM graft_mv_lineitem2 WHERE l_orderkey % 4 = 3""".stripMargin)
+      val mode = graft.plans.MatView.refresh(s, "graft_wh", "mvd.li2_rollup")
+      require(mode == "incremental",
+        s"etl_mv_refresh: expected an incremental refresh, got $mode")
+      val q = s.table("graft_wh.mvd.li2")
+        .groupBy(col("flag"), col("status"))
+        .agg(sum(col("qty")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("flag", "status")
+      val servedByMv = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.description().contains("li2_rollup") => r
+      }.nonEmpty
+      require(servedByMv, "etl_mv_refresh: refreshed MV did not serve the query")
+      q
+    },
+
     // Bucketed catalog tables + storage-partitioned join: both sides hash
     // into bucket(8, custkey) files at write time, the scans report
     // KeyGroupedPartitioning through the catalog's bucket function, and
@@ -1242,6 +1337,23 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
         |FROM orders WHERE o_orderkey % 5 >= 2
         |ORDER BY id""".stripMargin,
+
+    "etl_mv_rewrite" ->
+      """SELECT l_returnflag AS flag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+        | MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS max_cents
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_mv_refresh" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS max_cents
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "etl_bucket_spj" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,

@@ -974,6 +974,13 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  /** The scanned table / row-level flag, exposed for the MV rewrite rule
+    * (graft.plans.MatView): the rule must identify which base table an
+    * Aggregate reads, and must never rewrite a row-level (COW/delta) scan.
+    */
+  private[graft] def graftTable: GraftTable = table
+  private[graft] def isRowLevelScan: Boolean = rowLevel
+
   // resolved once at scan creation: the snapshot the whole operation
   // (both the filter subquery and the replacement read) sees, and the
   // base set runtime filtering prunes toward the affected groups

@@ -25,6 +25,13 @@ object Bridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Fully-optimized plan of a DataFrame — used by the MV rewrite rule to
+    * splice an already-planned replacement subtree into a plan that is
+    * itself past the main optimizer batches (so the replacement must not
+    * re-enter them).
+    */
+  def optimizedPlan(df: DataFrame): LogicalPlan = df.queryExecution.optimizedPlan
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)

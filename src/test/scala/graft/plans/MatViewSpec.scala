@@ -1,0 +1,182 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+/** Materialized-view lifecycle: transparent rewrite fires only when it is
+  * safe (fresh MV, grain-covered grouping/filters, derivable measures),
+  * answers are ALWAYS identical to the base-scan answer, and refresh is
+  * incremental exactly when the base only appended.
+  */
+class MatViewSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_mv_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft_mv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mv.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_mv.db")
+    MatView.install(spark)
+    sql("DROP TABLE IF EXISTS graft_mv.db.sales")
+    sql("""CREATE TABLE graft_mv.db.sales
+          |(region STRING, status STRING, qty DECIMAL(8,2), cents BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_mv.db.sales VALUES
+          |('EU','O',CAST(1.50 AS DECIMAL(8,2)),100),
+          |('EU','O',CAST(2.25 AS DECIMAL(8,2)),250),
+          |('EU','F',CAST(4.00 AS DECIMAL(8,2)),50),
+          |('US','O',CAST(8.00 AS DECIMAL(8,2)),75),
+          |('US','F',NULL,900),
+          |(NULL,'F',CAST(3.00 AS DECIMAL(8,2)),10)""".stripMargin)
+  }
+
+  override def afterAll(): Unit = {
+    MatView.clearRegistry()
+    super.afterAll()
+  }
+
+  private def scansMv(df: DataFrame, mvName: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation if r.scan.description().contains(mvName) => r
+    }.nonEmpty
+
+  private def freshMeta() = MatView.create(spark, "graft_mv", "db.sales",
+    "db.sales_mv", Seq("region", "status"),
+    Seq(MatView.Measure("sum_qty", "sum", "qty"),
+      MatView.Measure("n_rows", "count", ""),
+      MatView.Measure("n_qty", "countnn", "qty"),
+      MatView.Measure("min_cents", "min", "cents"),
+      MatView.Measure("max_cents", "max", "cents")))
+
+  test("coarser aggregate rewrites to the MV and matches the base answer") {
+    freshMeta()
+    val q = spark.table("graft_mv.db.sales")
+      .where(col("status") === "O")
+      .groupBy(col("region"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .orderBy("region")
+    assert(scansMv(q, "sales_mv"), "rewrite should read the MV")
+
+    MatView.clearRegistry()
+    val base = spark.table("graft_mv.db.sales")
+      .where(col("status") === "O")
+      .groupBy(col("region"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .orderBy("region")
+    assert(!scansMv(base, "sales_mv"))
+    assert(q.collect().toSeq == base.collect().toSeq)
+    assert(q.schema == base.schema)
+  }
+
+  test("NULL group keys and all-NULL measure groups survive the rewrite") {
+    freshMeta()
+    val q = spark.table("graft_mv.db.sales")
+      .groupBy(col("region"))
+      .agg(sum(col("qty")).as("sq"), count(col("qty")).as("nq"))
+      .orderBy(col("region").asc_nulls_first)
+    assert(scansMv(q, "sales_mv"))
+    val got = q.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)).map(_.toString), r.getLong(2)))
+    MatView.clearRegistry()
+    val want = spark.table("graft_mv.db.sales")
+      .groupBy(col("region"))
+      .agg(sum(col("qty")).as("sq"), count(col("qty")).as("nq"))
+      .orderBy(col("region").asc_nulls_first)
+      .collect().map(r =>
+        (Option(r.get(0)), Option(r.get(1)).map(_.toString), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("non-derivable or off-grain queries do NOT rewrite") {
+    freshMeta()
+    // filter on a non-grain column
+    val q1 = spark.table("graft_mv.db.sales")
+      .where(col("cents") > 60)
+      .groupBy(col("region")).agg(sum(col("qty")).as("sq"))
+    assert(!scansMv(q1, "sales_mv"))
+    // grouping on a non-grain column
+    val q2 = spark.table("graft_mv.db.sales")
+      .groupBy(col("cents")).agg(count(lit(1)).as("n"))
+    assert(!scansMv(q2, "sales_mv"))
+    // AVG is not a registered measure shape
+    val q3 = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(avg(col("qty")).as("a"))
+    assert(!scansMv(q3, "sales_mv"))
+    // DISTINCT aggregate
+    val q4 = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(countDistinct(col("status")).as("d"))
+    assert(!scansMv(q4, "sales_mv"))
+  }
+
+  test("stale MV falls back to the base scan until refresh; append refresh is incremental") {
+    freshMeta()
+    sql("""INSERT INTO graft_mv.db.sales VALUES
+          |('EU','O',CAST(9.75 AS DECIMAL(8,2)),4000),
+          |('AP','O',CAST(1.00 AS DECIMAL(8,2)),1)""".stripMargin)
+    // a DataFrame's queryExecution is lazily CACHED — build it fresh per
+    // staleness state, like a user re-running the same query text
+    def q() = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(sum(col("qty")).as("sq"),
+        count(lit(1)).as("n"), max(col("cents")).as("mx"))
+      .orderBy(col("region").asc_nulls_first)
+    assert(!scansMv(q(), "sales_mv"), "stale MV must not serve the query")
+    val fromBase = q().collect().toSeq
+
+    assert(MatView.refresh(spark, "graft_mv", "db.sales_mv") == "incremental")
+    assert(scansMv(q(), "sales_mv"), "refreshed MV should serve the query again")
+    assert(q().collect().toSeq == fromBase)
+    assert(MatView.refresh(spark, "graft_mv", "db.sales_mv") == "noop")
+  }
+
+  test("rewrite-producing base change forces a FULL refresh and stays correct") {
+    freshMeta()
+    sql("DELETE FROM graft_mv.db.sales WHERE status = 'F' AND cents = 900")
+    assert(MatView.refresh(spark, "graft_mv", "db.sales_mv") == "full")
+    val q = spark.table("graft_mv.db.sales")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+      .orderBy("status")
+    assert(scansMv(q, "sales_mv"))
+    MatView.clearRegistry()
+    val want = spark.table("graft_mv.db.sales")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+      .orderBy("status").collect().toSeq
+    assert(q.collect().toSeq == want)
+  }
+
+  test("narrow-decimal SUM (DecimalAggregates MakeDecimal shape) still matches") {
+    freshMeta()
+    // decimal(8,2) SUM goes through Sum(UnscaledValue)/MakeDecimal in the
+    // optimizer — the matcher must see through that rewrite
+    val q = spark.table("graft_mv.db.sales")
+      .groupBy(col("region"), col("status"))
+      .agg(sum(col("qty")).as("sq"))
+      .orderBy(col("region").asc_nulls_first, col("status"))
+    assert(scansMv(q, "sales_mv"))
+    MatView.clearRegistry()
+    val want = spark.table("graft_mv.db.sales")
+      .groupBy(col("region"), col("status"))
+      .agg(sum(col("qty")).as("sq"))
+      .orderBy(col("region").asc_nulls_first, col("status")).collect().toSeq
+    assert(q.collect().toSeq == want)
+  }
+
+  test("registration survives a registry wipe via persisted table properties") {
+    freshMeta()
+    MatView.clearRegistry()
+    val meta = MatView.register(spark, "graft_mv", "db.sales_mv")
+    assert(meta.group == Seq("region", "status") && meta.measures.length == 5)
+    val q = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(sum(col("qty")).as("sq"))
+    assert(scansMv(q, "sales_mv"))
+  }
+}
