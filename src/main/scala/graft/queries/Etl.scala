@@ -403,6 +403,119 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.sync ORDER BY id")
     },
 
+    // Write-time CHECK constraints (GraftConstraints): the quality gate at
+    // the table DOOR — every write path (append / COW rewrite / MOR delta)
+    // evaluates the declared predicates per row inside the writer; the
+    // first violation fails the task naming the constraint, and the
+    // atomic manifest commit means the failed batch leaves NO partial
+    // state (asserted in-query via version + count). Contrast dq_rules /
+    // etl_quarantine, which AUDIT bad rows downstream — this REFUSES
+    // them upstream. SQL CHECK semantics: NULL passes unless the column
+    // is declared NOT NULL. The oracle replays the admissible subset.
+    "etl_check_constraint" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ck")
+      s.sql("DROP TABLE IF EXISTS graft_wh.ck.orders")
+      s.sql("""CREATE TABLE graft_wh.ck.orders
+              |(id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true',
+              |  'graft.check.cents_positive'='cents > 0',
+              |  'graft.check.status_domain'='status IN (''O'',''F'',''P'')')
+              |""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_ck_orders")
+      s.sql("""INSERT INTO graft_wh.ck.orders
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_ck_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      val vBefore = graft.plans.MatView.currentVersion(
+        s, s"${scratch(s, "wh")}/ck/orders")
+      val nBefore = s.table("graft_wh.ck.orders").count()
+      // the poisoned batch: every 50th key negates its cents — the WHOLE
+      // batch must be refused, valid rows included (atomic commit)
+      val poisoned = try {
+        s.sql("""INSERT INTO graft_wh.ck.orders
+                |SELECT o_orderkey, o_orderstatus,
+                |       CASE WHEN o_orderkey % 50 = 1
+                |            THEN -1 * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                |            ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END
+                |FROM graft_ck_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+        false
+      } catch { case e: Exception =>
+        var c: Throwable = e; var hit = false
+        while (c != null && !hit) {
+          hit = Option(c.getMessage).exists(_.contains("cents_positive")); c = c.getCause
+        }
+        require(hit, s"expected a cents_positive violation, got: ${e.getMessage}")
+        true
+      }
+      require(poisoned, "etl_check_constraint: the poisoned batch was admitted")
+      require(graft.plans.MatView.currentVersion(
+        s, s"${scratch(s, "wh")}/ck/orders") == vBefore,
+        "failed write must not commit a manifest version")
+      require(s.table("graft_wh.ck.orders").count() == nBefore,
+        "failed write must leave the row count unchanged")
+      // the repaired batch (violating rows filtered upstream) is admitted
+      s.sql("""INSERT INTO graft_wh.ck.orders
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_ck_orders
+              |WHERE o_orderkey % 3 = 1 AND o_orderkey % 50 <> 1""".stripMargin)
+      s.sql("SELECT id, status, cents FROM graft_wh.ck.orders ORDER BY id")
+    },
+
+    // Write–Audit–Publish (GraftWap): the staged batch lands NEXT TO the
+    // table (dot-dir, invisible to the manifest AND to plain-parquet
+    // interop), audits run against the staged rows, then publish appends
+    // them in one optimistic-retry manifest commit — or abort leaves no
+    // trace. The poisoned first attempt is caught by the BUILT-IN audit
+    // (declared CHECK constraints replayed over the staged batch),
+    // aborted, and the repaired batch published; invisibility, version
+    // stability and the publish version bump are asserted in-query.
+    // At 100 TB this is how ingestion avoids restatements: audit the
+    // would-be state, not yesterday's mistake.
+    "etl_wap" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.wap")
+      s.sql("DROP TABLE IF EXISTS graft_wh.wap.orders")
+      s.sql("""CREATE TABLE graft_wh.wap.orders
+              |(id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true',
+              |  'graft.check.cents_positive'='cents > 0')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_wap_orders")
+      s.sql("""INSERT INTO graft_wh.wap.orders
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_wap_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      val tableDir = s"${scratch(s, "wh")}/wap/orders"
+      val v0 = graft.plans.MatView.currentVersion(s, tableDir)
+      val n0 = s.table("graft_wh.wap.orders").count()
+      val poisoned = s.sql(
+        """SELECT o_orderkey AS id, o_orderstatus AS status,
+          |       CASE WHEN o_orderkey % 50 = 1
+          |            THEN -1 * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+          |            ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+          |FROM graft_wap_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      val badToken = graft.sources.GraftWap.stage(s, "graft_wh", "wap.orders", poisoned)
+      require(s.table("graft_wh.wap.orders").count() == n0 &&
+        graft.plans.MatView.currentVersion(s, tableDir) == v0,
+        "etl_wap: staging must be invisible and commit nothing")
+      val nBad = graft.sources.GraftWap.checkViolations(
+        s, "graft_wh", "wap.orders", badToken).count()
+      require(nBad > 0, "etl_wap: the built-in audit missed the poisoned rows")
+      val refused = try {
+        graft.sources.GraftWap.publish(s, "graft_wh", "wap.orders", badToken); false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "etl_wap: publish admitted a violating batch")
+      graft.sources.GraftWap.abort(s, "graft_wh", "wap.orders", badToken)
+      val repaired = poisoned.where(col("cents") > 0)
+      val token = graft.sources.GraftWap.stage(s, "graft_wh", "wap.orders", repaired)
+      val v1 = graft.sources.GraftWap.publish(s, "graft_wh", "wap.orders", token)
+      require(v1 == v0 + 1, s"etl_wap: publish must be ONE commit ($v0 -> $v1)")
+      s.sql("SELECT id, status, cents FROM graft_wh.wap.orders ORDER BY id")
+    },
+
     // Materialized view with TRANSPARENT query rewrite (MatView +
     // MvRewrite optimizer rule): the rollup at (flag, status) grain is
     // built once; a COARSER aggregate over the BASE table is then
@@ -1336,6 +1449,22 @@ object Etl {
         | CASE WHEN o_orderkey % 5 = 2 THEN 'S' ELSE 'N' END AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
         |FROM orders WHERE o_orderkey % 5 >= 2
+        |ORDER BY id""".stripMargin,
+
+    "etl_wap" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 50 <> 1)
+        |ORDER BY id""".stripMargin,
+
+    "etl_check_constraint" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |   OR (o_orderkey % 3 = 1 AND o_orderkey % 50 <> 1)
         |ORDER BY id""".stripMargin,
 
     "etl_mv_rewrite" ->

@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BasePredicate, Expression, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
@@ -127,12 +127,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def functionExists(ident: Identifier): Boolean =
     ident.name().equalsIgnoreCase(GraftBucket.FunctionName)
 
+  private def checksOf(dir: Path): Seq[(String, String)] =
+    GraftTable.readProps(fs, dir).toSeq
+      .filter(_._1.startsWith(GraftConstraints.Prefix))
+      .map { case (k, v) => (k.stripPrefix(GraftConstraints.Prefix), v) }
+      .sortBy(_._1)
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
       mor = isMor(dir), partitionCols = partCols(dir),
-      bucketSpec = bucketSpec(dir))
+      bucketSpec = bucketSpec(dir), checks = checksOf(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -283,6 +289,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: at least one non-partition column required")
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    // CHECK constraints validate BEFORE any filesystem write — a bad
+    // constraint must not leave a half-created table behind
+    val checks = properties.asScala.toSeq
+      .filter(_._1.startsWith(GraftConstraints.Prefix))
+      .map { case (k, v) => (k.stripPrefix(GraftConstraints.Prefix), v) }
+      .sortBy(_._1)
+    if (checks.nonEmpty)
+      GraftConstraints.validate(SparkSession.active, schema, checks)
     fs.mkdirs(dir)
     val out = fs.create(metaFile(dir), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
@@ -298,7 +312,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: merge-on-read and bucketing cannot be combined yet — " +
         "materializeDeletes rewrites files and would need bucket-aware " +
         "renaming to keep the bNNNNN- name contract")
-    if (history || mor || pcols.nonEmpty || bucket.nonEmpty) {
+    if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty) {
       GraftTable.writeProps(fs, dir, (Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -306,12 +320,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else Map.empty)
         ++ bucket.map { case (c, n) => Map(
              GraftTable.BucketColProp -> c,
-             GraftTable.BucketCountProp -> n.toString) }.getOrElse(Map.empty)))
+             GraftTable.BucketCountProp -> n.toString) }.getOrElse(Map.empty)
+        ++ checks.map { case (n, t) => s"${GraftConstraints.Prefix}$n" -> t }))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
-      partitionCols = pcols, bucketSpec = bucket)
+      partitionCols = pcols, bucketSpec = bucket, checks = checks)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -360,6 +375,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: unsupported table change $other (add/drop column only)")
       }
     }
+    // dropping a column a CHECK references must fail the DDL, not poison
+    // every future write with an unresolvable constraint
+    val checks = checksOf(dir)
+    if (checks.nonEmpty)
+      try GraftConstraints.validate(SparkSession.active, updated, checks)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"graft catalog: schema change on $ident breaks a CHECK constraint " +
+            s"(${e.getMessage}) — drop the constraint first", e)
+      }
     val out = fs.create(metaFile(dir), true)
     try out.write(updated.json.getBytes("UTF-8")) finally out.close()
     loadTable(ident)
@@ -628,7 +653,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val pinnedVersion: Option[Long] = None,
                  val mor: Boolean = false,
                  val partitionCols: Seq[String] = Nil,
-                 val bucketSpec: Option[(String, Int)] = None)
+                 val bucketSpec: Option[(String, Int)] = None,
+                 val checks: Seq[(String, String)] = Nil)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1377,7 +1403,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     }
     new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
-      new SerializableHadoopConf(hadoopConf), bucket)
+      new SerializableHadoopConf(hadoopConf), bucket,
+      GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1450,11 +1477,12 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          writeSchema: StructType, proj: Array[Int],
                          partFields: Seq[StructField], partIdx: Array[Int],
                          conf: SerializableHadoopConf,
-                         bucket: Option[(Int, DataType, Int)] = None)
+                         bucket: Option[(Int, DataType, Int)] = None,
+                         violations: Seq[(String, Expression)] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
-      partFields, partIdx, partitionId, taskId, conf, bucket)
+      partFields, partIdx, partitionId, taskId, conf, bucket, violations)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -1469,8 +1497,16 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       partFields: Seq[StructField], partIdx: Array[Int],
                       partitionId: Int, taskId: Long,
                       conf: SerializableHadoopConf,
-                      bucket: Option[(Int, DataType, Int)] = None)
+                      bucket: Option[(Int, DataType, Int)] = None,
+                      violations: Seq[(String, Expression)] = Nil)
   extends DataWriter[InternalRow] {
+
+  // CHECK / NOT NULL enforcement: driver-bound violation predicates
+  // compiled once per writer (codegen'd — zero cost when none declared)
+  private val checkPreds: Array[(String, BasePredicate)] =
+    violations.map { case (n, e) =>
+      (n, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+    }.toArray
 
   private val isIdentity = partFields.isEmpty &&
     proj.length == writeSchema.length &&
@@ -1510,6 +1546,18 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
   }
 
   override def write(record: InternalRow): Unit = {
+    var ci = 0
+    while (ci < checkPreds.length) {
+      if (checkPreds(ci)._2.eval(record)) {
+        val rendered = writeSchema.fieldNames
+          .zip(record.toSeq(writeSchema)).map { case (n, v) => s"$n=$v" }
+          .mkString(", ")
+        throw new IllegalStateException(
+          s"CHECK constraint '${checkPreds(ci)._1}' violated by row ($rendered) " +
+            "— the write is aborted; the atomic commit leaves the table unchanged")
+      }
+      ci += 1
+    }
     val writer =
       if (bucket.nonEmpty) {
         val b = bucketId(record)

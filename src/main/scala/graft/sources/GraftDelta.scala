@@ -129,12 +129,18 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val partIdx =
       if (rowSchema.isEmpty) Array.empty[Int]
       else table.partitionFields.map(f => rowSchema.fieldIndex(f.name)).toArray
+    // CHECK / NOT NULL constraints apply to delta INSERTS too (a MOR
+    // MERGE/UPDATE writing a violating value must fail like the COW path);
+    // a pure DELETE plans no data columns, so nothing to check
+    val violations =
+      if (rowSchema.isEmpty) Nil
+      else GraftConstraints.violationPredicates(SparkSession.active, table, rowSchema)
     new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
       rowSchema, proj,
       if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
       rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(hadoopConf), violations)
   }
 
   /** Commit: OR each file's new delete positions into its existing
@@ -181,11 +187,12 @@ class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               partFields: Seq[org.apache.spark.sql.types.StructField],
                               partIdx: Array[Int],
                               fileIdx: Int, posIdx: Int,
-                              conf: SerializableHadoopConf)
+                              conf: SerializableHadoopConf,
+                              violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
-      partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf)
+      partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf, violations)
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -199,12 +206,14 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        partIdx: Array[Int],
                        fileIdx: Int, posIdx: Int,
                        partitionId: Int, taskId: Long,
-                       conf: SerializableHadoopConf)
+                       conf: SerializableHadoopConf,
+                       violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
   private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
-    rowSchema, proj, partFields, partIdx, partitionId, taskId, conf)
+    rowSchema, proj, partFields, partIdx, partitionId, taskId, conf,
+    violations = violations)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString
