@@ -464,6 +464,46 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.ck.orders ORDER BY id")
     },
 
+    // HIDDEN day partitioning (PARTITIONED BY (days(ts)), the Iceberg
+    // transform): the raw timestamp stays a normal column, the catalog
+    // derives ts_day=N/ directories at write time, and a predicate on the
+    // RAW ts prunes whole days at planning — asserted in-query: the
+    // one-week scan plans EXACTLY 7 of the 30 day directories (no phantom
+    // day column the user must remember to filter on, no identity-column
+    // drift). At 100 TB this is THE fact-table layout: time-range queries
+    // touch only their days. Values are layout-invariant, so DuckDB
+    // replays the plain filter over raw events.
+    "etl_day_partition" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.day")
+      s.sql("DROP TABLE IF EXISTS graft_wh.day.ev")
+      s.sql("""CREATE TABLE graft_wh.day.ev
+              |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+              |PARTITIONED BY (days(ts))""".stripMargin)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .writeTo("graft_wh.day.ev").append()
+      // window = [corpus first day + 7, + 14): derived from the data (and
+      // replayed identically by the oracle), so a regenerated testdata
+      // epoch can't strand a hardcoded date range
+      val firstDay = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val week = s.table("graft_wh.day.ev")
+        .where(col("ts") >= date_add(lit(firstDay), 7).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 14).cast("timestamp"))
+      val plannedDirs = week.rdd.getNumPartitions
+      val totalDirs = new java.io.File(s"${scratch(s, "wh")}/day/ev")
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("ts_day="))
+      require(plannedDirs <= 7 && plannedDirs < totalDirs,
+        s"etl_day_partition: week scan planned $plannedDirs of $totalDirs day " +
+          "dirs — hidden-partition pruning is broken")
+      week.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .orderBy("day")
+    },
+
     // Write–Audit–Publish (GraftWap): the staged batch lands NEXT TO the
     // table (dot-dir, invisible to the manifest AND to plain-parquet
     // interop), audits run against the staged rows, then publish appends
@@ -1450,6 +1490,16 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
         |FROM orders WHERE o_orderkey % 5 >= 2
         |ORDER BY id""".stripMargin,
+
+    "etl_day_partition" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
+        |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_wap" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -117,15 +117,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // Catalyst looks transforms up under the empty namespace
   // (V2ExpressionUtils.loadV2FunctionOpt), listFunctions serves users.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, GraftBucket.FunctionName))
+    Array(Identifier.of(namespace, GraftBucket.FunctionName),
+      Identifier.of(namespace, GraftDaysFunction.FunctionName))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase(GraftBucket.FunctionName))
       new GraftBucketFunction
+    else if (ident.name().equalsIgnoreCase(GraftDaysFunction.FunctionName))
+      new GraftDaysFunction
     else throw new NoSuchFunctionException(ident)
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.name().equalsIgnoreCase(GraftBucket.FunctionName)
+    ident.name().equalsIgnoreCase(GraftBucket.FunctionName) ||
+      ident.name().equalsIgnoreCase(GraftDaysFunction.FunctionName)
+
+  private def dayColOf(dir: Path): Option[String] =
+    GraftTable.readProps(fs, dir).get(GraftTable.DayColProp)
 
   private def checksOf(dir: Path): Seq[(String, String)] =
     GraftTable.readProps(fs, dir).toSeq
@@ -138,7 +145,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
       mor = isMor(dir), partitionCols = partCols(dir),
-      bucketSpec = bucketSpec(dir), checks = checksOf(dir))
+      bucketSpec = bucketSpec(dir), checks = checksOf(dir),
+      dayCol = dayColOf(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -237,10 +245,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // co-bucketed tables join without an Exchange (storage-partitioned
     // join). days/years derived transforms are not supported.
     var bucket: Option[(String, Int)] = None
+    var dayCol: Option[String] = None
     val pcols: Seq[String] = partitions.toSeq.flatMap {
       case t if t.name == "identity" && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
         Some(t.references.head.fieldNames.head)
+      case t if t.name == "days" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+        // HIDDEN day partitioning (Iceberg's days(ts) transform): the raw
+        // column stays in parquet; the layout derives <col>_day=N/ dirs
+        require(dayCol.isEmpty,
+          "graft catalog: at most one days(col) transform")
+        dayCol = Some(t.references.head.fieldNames.head)
+        None
       case t if t.name == GraftBucket.FunctionName =>
         require(bucket.isEmpty,
           "graft catalog: at most one bucket(n, col) transform")
@@ -266,6 +283,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: identity partitions and bucketing cannot be combined " +
         "yet — bucket files are top-level (the directory layout is the " +
         "identity partitions' namespace)")
+    require(dayCol.isEmpty || (pcols.isEmpty && bucket.isEmpty),
+      "graft catalog: days(col) cannot be combined with identity partitions " +
+        "or bucketing yet — one directory-layout owner per table")
+    dayCol.foreach { c =>
+      require(schema.fieldNames.contains(c), s"days() column $c not in schema")
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.DateType => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: days($c) needs TIMESTAMP or DATE, got $other")
+      }
+    }
     bucket.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
       require(GraftBucket.supportedKeyType(schema(c).dataType),
@@ -312,7 +341,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: merge-on-read and bucketing cannot be combined yet — " +
         "materializeDeletes rewrites files and would need bucket-aware " +
         "renaming to keep the bNNNNN- name contract")
-    if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty) {
+    require(!(mor && dayCol.nonEmpty),
+      "graft catalog: merge-on-read and days() partitioning cannot be " +
+        "combined yet — deletion-vector sidecars live at the table root")
+    if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
+        dayCol.nonEmpty) {
       GraftTable.writeProps(fs, dir, (Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -321,12 +354,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ++ bucket.map { case (c, n) => Map(
              GraftTable.BucketColProp -> c,
              GraftTable.BucketCountProp -> n.toString) }.getOrElse(Map.empty)
-        ++ checks.map { case (n, t) => s"${GraftConstraints.Prefix}$n" -> t }))
+        ++ checks.map { case (n, t) => s"${GraftConstraints.Prefix}$n" -> t }
+        ++ dayCol.map(GraftTable.DayColProp -> _)))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
-      partitionCols = pcols, bucketSpec = bucket, checks = checks)
+      partitionCols = pcols, bucketSpec = bucket, checks = checks,
+      dayCol = dayCol)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -450,6 +485,7 @@ object GraftTable {
   val MorProp = "merge-on-read"
   val PartitionProp = "partition-cols"
   val BucketColProp = "bucket-col"
+  val DayColProp = "partition-days-col"
   val BucketCountProp = "bucket-count"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -654,7 +690,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val mor: Boolean = false,
                  val partitionCols: Seq[String] = Nil,
                  val bucketSpec: Option[(String, Int)] = None,
-                 val checks: Seq[(String, String)] = Nil)
+                 val checks: Seq[(String, String)] = Nil,
+                 val dayCol: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -671,7 +708,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     */
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray ++
-      bucketSpec.map { case (c, n) => Expressions.bucket(n, c) }
+      bucketSpec.map { case (c, n) => Expressions.bucket(n, c) } ++
+      dayCol.map(Expressions.days)
 
   /** Columns physically stored in parquet = schema minus partition cols. */
   def physicalSchema: StructType =
@@ -777,6 +815,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
   private var required: StructType = table.schema()
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   // the COPY-ON-WRITE rewrite scan (ReplaceData); a merge-on-read delta
   // scan is row-level too but never rewrites whole groups
   private def cowRewrite = op.exists(_.isInstanceOf[GraftRowLevelOperation])
@@ -808,6 +847,13 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
     val (part, rest) = filters.partition(f =>
       f.references.nonEmpty && f.references.forall(table.partitionCols.contains))
     partFilters = part
+    // hidden day partitioning: predicates on the RAW source column prune
+    // whole day directories — safe for every scan flavor (same argument
+    // as identity partition pruning: a pruned day holds no matching rows)
+    table.dayCol.foreach { dc =>
+      dayFilters = rest.filter(f =>
+        f.references.nonEmpty && f.references.forall(_ == dc))
+    }
     if (!cowRewrite) {
       // parquet-pushable filters are judged against the PHYSICAL schema:
       // partition columns have no parquet bytes, so a predicate naming one
@@ -823,7 +869,8 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan = {
-    val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters)
+    val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
+      dayFilters)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -879,9 +926,16 @@ object GraftParquetFilters {
     val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
       .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
       .build()
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf), opts)
-    try !r.getRowGroups.isEmpty finally r.close()
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf), opts)
+      try !r.getRowGroups.isEmpty finally r.close()
+    } catch {
+      // a file whose physical types diverge from the expected message type
+      // (e.g. INT96 timestamps written by a foreign tool) cannot be
+      // stats-judged — keep it; the residual filter stays exact
+      case _: IllegalArgumentException => true
+    }
   }
 }
 
@@ -994,7 +1048,8 @@ case class GraftBucketedFilePartition(file: String, bucketId: Int,
 
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1106,13 +1161,22 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     // partition-directory pruning first (pure path metadata, zero IO):
     // safe for every scan flavor — a pruned partition holds no matching
     // rows, hence no affected groups and no row ids
-    val partKept =
+    val partKept0 =
       if (partFilters.isEmpty || table.partitionCols.isEmpty) files
       else {
         val pf = table.partitionFields
         files.filter(f => GraftPartitionPruning.survives(partFilters.toSeq,
           GraftPartitionPruning.externalValues(table.dir, f, pf)))
       }
+    // hidden day-partition pruning: interval logic over the raw column's
+    // per-directory bounds (pure path metadata, zero IO)
+    val partKept = (table.dayCol, dayFilters.isEmpty) match {
+      case (Some(dc), false) =>
+        val dt = table.schema()(dc).dataType
+        partKept0.filter(f =>
+          GraftDayPartition.survives(dayFilters.toSeq, table.dir, f, dc, dt))
+      case _ => partKept0
+    }
     // whole-file stats skipping is safe for EVERY scan flavor except the
     // COW rewrite read (where carried-over rows live in "non-matching"
     // files' complement — there pushdown is off entirely): a merge-on-read
@@ -1321,8 +1385,16 @@ private[sources] trait GraftWriteDistribution
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           Array(Expressions.bucket(n, c):
             org.apache.spark.sql.connector.expressions.Expression))
-      case None =>
-        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      case None => table.dayCol match {
+        // hidden day partitioning: cluster by the days() transform so a
+        // task owns whole days — one file per day per write, not per task
+        case Some(c) =>
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(Expressions.days(c):
+              org.apache.spark.sql.connector.expressions.Expression))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      }
     }
   override def distributionStrictlyRequired(): Boolean = false
   /** Bucketed tables additionally SORT within each written file by the
@@ -1401,10 +1473,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       val i = writeSchema.fieldIndex(c)
       (i, writeSchema.fields(i).dataType, n)
     }
+    val day = table.dayCol.map { c =>
+      val i = writeSchema.fieldIndex(c)
+      (i, writeSchema.fields(i).dataType, c)
+    }
     new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
-      GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema))
+      GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
+      day)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1478,11 +1555,12 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          partFields: Seq[StructField], partIdx: Array[Int],
                          conf: SerializableHadoopConf,
                          bucket: Option[(Int, DataType, Int)] = None,
-                         violations: Seq[(String, Expression)] = Nil)
+                         violations: Seq[(String, Expression)] = Nil,
+                         day: Option[(Int, DataType, String)] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
-      partFields, partIdx, partitionId, taskId, conf, bucket, violations)
+      partFields, partIdx, partitionId, taskId, conf, bucket, violations, day)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -1498,7 +1576,8 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       partitionId: Int, taskId: Long,
                       conf: SerializableHadoopConf,
                       bucket: Option[(Int, DataType, Int)] = None,
-                      violations: Seq[(String, Expression)] = Nil)
+                      violations: Seq[(String, Expression)] = Nil,
+                      day: Option[(Int, DataType, String)] = None)
   extends DataWriter[InternalRow] {
 
   // CHECK / NOT NULL enforcement: driver-bound violation predicates
@@ -1562,6 +1641,14 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       if (bucket.nonEmpty) {
         val b = bucketId(record)
         writers.getOrElseUpdate(s"b$b", open("", GraftBucket.fileName(b, "")))
+      } else if (day.nonEmpty) {
+        // hidden day partitioning: route by derived epoch day, keep the
+        // raw column in the parquet bytes (proj is identity here)
+        val (i, dt, name) = day.get
+        val d = GraftDayPartition.dayOf(dt,
+          if (record.isNullAt(i)) null else record.get(i, dt))
+        val key = GraftDayPartition.dirName(name, d)
+        writers.getOrElseUpdate(key, open(key))
       } else {
         val key = if (partFields.isEmpty) "" else partSubdir(record)
         writers.getOrElseUpdate(key, open(key))

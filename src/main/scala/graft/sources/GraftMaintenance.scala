@@ -13,6 +13,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftMaintenance {
 
+  /** Maintenance rewrites go through Spark's parquet writer, which still
+    * defaults timestamps to INT96 — while the catalog's own writer
+    * (ParquetRowIO) and its stats-skipping predicates are TIMESTAMP_MICROS.
+    * Pin micros for the duration of a rewrite so compacted files keep the
+    * same physical types the scan's row-group/whole-file pruning expects.
+    */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** In-place compaction of a graft-catalog table directory to
     * ~`targetBytes` files. Sizing reads only file metadata (one listing);
     * the rewrite is one shuffle to exactly the output count; the swap is
@@ -41,6 +58,10 @@ object GraftMaintenance {
       "compactTable: bucketed tables need per-bucket compaction (a bulk " +
         "rewrite would mix buckets and break the bNNNNN- placement " +
         "contract); use compactBucketedTable")
+    require(!props.contains(GraftTable.DayColProp),
+      "compactTable: days()-partitioned tables need per-day compaction (a " +
+        "bulk rewrite would collapse the ts_day=N layout and silently kill " +
+        "hidden-partition pruning); use compactDayTable")
     // merge-on-read: fold outstanding deletion vectors in first, so the
     // bulk rewrite below can read the files as plain parquet
     if (props.get(GraftTable.MorProp).contains("true"))
@@ -67,7 +88,9 @@ object GraftMaintenance {
           .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nOut)
     val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
-    shaped.write.mode("overwrite").parquet(staging.toString)
+    withMicrosTimestamps(spark) {
+      shaped.write.mode("overwrite").parquet(staging.toString)
+    }
     val staged = fs.listStatus(staging).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
@@ -119,9 +142,11 @@ object GraftMaintenance {
     val bucketCol = props(GraftTable.BucketColProp)
     val landed = rewritten.map { case (b, fls) =>
       val out = new Path(staging, s"b$b")
-      spark.read.parquet(fls: _*).coalesce(1)
-        .sortWithinPartitions(bucketCol)
-        .write.mode("overwrite").parquet(out.toString)
+      withMicrosTimestamps(spark) {
+        spark.read.parquet(fls: _*).coalesce(1)
+          .sortWithinPartitions(bucketCol)
+          .write.mode("overwrite").parquet(out.toString)
+      }
       val part = fs.listStatus(out).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath) match {
@@ -143,6 +168,64 @@ object GraftMaintenance {
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
+    }
+    fs.delete(staging, true)
+    (files.size, files.size - replaced.size + landed.size)
+  }
+
+  /** Day-preserving compaction for `days(col)`-partitioned tables: each
+    * day directory's files are rewritten to ONE file IN PLACE (sorted by
+    * the raw time column, so range predicates within the day stats-prune
+    * row groups), keeping the hidden-partition layout — and its pruning —
+    * intact. Days already at one file are untouched. The streaming-ingest
+    * companion verb: micro-batches leave one small file per day per
+    * batch; this folds each day back to one. Returns (before, after).
+    */
+  def compactDayTable(spark: SparkSession, tableDir: String): (Int, Int) = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val dayCol = props.getOrElse(GraftTable.DayColProp,
+      throw new IllegalArgumentException(
+        s"compactDayTable: $tableDir is not a days()-partitioned table"))
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    val files =
+      if (!history) GraftTable.dataFiles(fs, dir)
+      else GraftTable.manifestVersions(fs, dir).lastOption
+        .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+    if (files.isEmpty) return (0, 0)
+    val byDay = files.groupBy(f => new Path(f).getParent.getName)
+      .filter(_._1.startsWith(s"${dayCol}_day=")) // pre-layout flat files stay
+    val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
+    val rewritten = byDay.toSeq.sortBy(_._1).filter(_._2.size > 1)
+    val landed = rewritten.map { case (daySeg, fls) =>
+      val out = new Path(staging, daySeg)
+      withMicrosTimestamps(spark) {
+        spark.read.parquet(fls: _*).coalesce(1)
+          .sortWithinPartitions(dayCol)
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      val part = fs.listStatus(out).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath) match {
+        case Seq(one) => one
+        case many => throw new IllegalStateException(
+          s"day $daySeg compaction produced ${many.size} files")
+      }
+      val tgt = new Path(new Path(dir, daySeg),
+        s"part-compact-${UUID.randomUUID()}.parquet")
+      (part, tgt)
+    }
+    val replaced = rewritten.flatMap(_._2).toSet
+    if (history) {
+      landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
+      val keep = files.filterNot(replaced.contains) ++
+        landed.map(_._2.toString)
+      val v = GraftTable.manifestVersions(fs, dir).last
+      GraftTable.writeManifest(fs, dir, v + 1, keep)
+    } else {
+      replaced.foreach(f => fs.delete(new Path(f), false))
+      landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
     }
     fs.delete(staging, true)
     (files.size, files.size - replaced.size + landed.size)
@@ -191,7 +274,9 @@ object GraftMaintenance {
           .join(broadcast(posDf), Seq("__pos"), "left_anti")
           .drop("__pos")
         val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
-        kept.write.mode("overwrite").parquet(staging.toString)
+        withMicrosTimestamps(spark) {
+          kept.write.mode("overwrite").parquet(staging.toString)
+        }
         val staged = fs.listStatus(staging).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hidden day partitioning (`PARTITIONED BY (days(ts))`): the raw
+  * timestamp stays a normal column, the LAYOUT derives day directories,
+  * and predicates on the raw column prune whole days at planning — no
+  * phantom partition column anywhere.
+  */
+class GraftDayPartitionSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_day_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft_day", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_day.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_day.db")
+    sql("""CREATE TABLE graft_day.db.ev (id BIGINT, ts TIMESTAMP, v BIGINT)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    // three days plus a NULL-ts row; includes exact day-boundary instants
+    sql("""INSERT INTO graft_day.db.ev VALUES
+          |(1, TIMESTAMP '2026-08-01 00:00:00', 10),
+          |(2, TIMESTAMP '2026-08-01 23:59:59.999999', 11),
+          |(3, TIMESTAMP '2026-08-02 00:00:00', 20),
+          |(4, TIMESTAMP '2026-08-02 12:00:00', 21),
+          |(5, TIMESTAMP '2026-08-03 08:00:00', 30),
+          |(6, NULL, 99)""".stripMargin)
+  }
+
+  private def planned(df: DataFrame): Int = df.rdd.getNumPartitions
+
+  test("round trip, raw column in parquet, day directories on disk") {
+    assert(sql("SELECT count(*) FROM graft_day.db.ev").collect().head.getLong(0) == 6L)
+    val dirs = new java.io.File(s"$warehouse/db/ev").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.count(_.startsWith("ts_day=")) == 4, // 3 days + null dir
+      s"expected 4 day dirs, got ${dirs.mkString(",")}")
+    // raw ts survives INSIDE the parquet bytes (hidden partitioning, not
+    // identity: no column was hoisted out of the data)
+    val native = spark.read.parquet(s"$warehouse/db/ev/ts_day=20666")
+    assert(native.columns.contains("ts") && native.count() == 2)
+  }
+
+  test("predicates on the raw timestamp prune whole day directories") {
+    val all = spark.table("graft_day.db.ev").where(col("v") >= 0)
+    assert(planned(all) == 4, s"unpruned scan should plan all 4 day dirs")
+
+    val oneDay = spark.table("graft_day.db.ev")
+      .where(col("ts") >= lit("2026-08-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-08-03 00:00:00").cast("timestamp"))
+    assert(planned(oneDay) == 1, "a one-day range must plan exactly one dir")
+    assert(oneDay.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(3L, 4L))
+
+    val fromDay2 = spark.table("graft_day.db.ev")
+      .where(col("ts") >= lit("2026-08-02 00:00:00").cast("timestamp"))
+    assert(planned(fromDay2) == 2)
+
+    // boundary exactness: the 23:59:59.999999 row is day 1, midnight is day 2
+    val ltBoundary = spark.table("graft_day.db.ev")
+      .where(col("ts") < lit("2026-08-02 00:00:00").cast("timestamp"))
+    assert(planned(ltBoundary) == 1)
+    assert(ltBoundary.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("NULL timestamps route to the null day dir; IS [NOT] NULL prunes") {
+    val isNull = spark.table("graft_day.db.ev").where(col("ts").isNull)
+    assert(planned(isNull) == 1)
+    assert(isNull.select("id").collect().map(_.getLong(0)).toSeq == Seq(6L))
+    val notNull = spark.table("graft_day.db.ev").where(col("ts").isNotNull)
+    assert(planned(notNull) == 3)
+    assert(notNull.count() == 5)
+  }
+
+  test("copy-on-write UPDATE keeps the day layout and pruning intact") {
+    sql("UPDATE graft_day.db.ev SET v = v + 100 WHERE id = 4")
+    val day2 = spark.table("graft_day.db.ev")
+      .where(col("ts") >= lit("2026-08-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-08-03 00:00:00").cast("timestamp"))
+    assert(planned(day2) == 1, "rewritten rows must land back in their day dir")
+    assert(day2.orderBy("id").select("v").collect().map(_.getLong(0)).toSeq
+      == Seq(20L, 121L))
+  }
+
+  test("days() combines with history snapshots; DATE columns work too") {
+    sql("""CREATE TABLE graft_day.db.hist (id BIGINT, d DATE)
+          |PARTITIONED BY (days(d))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_day.db.hist VALUES
+          |(1, DATE '2026-08-01'), (2, DATE '2026-08-02')""".stripMargin)
+    sql("INSERT INTO graft_day.db.hist VALUES (3, DATE '2026-08-03')")
+    val eq = spark.table("graft_day.db.hist")
+      .where(col("d") === lit("2026-08-02").cast("date"))
+    assert(planned(eq) == 1, "DATE equality must prune to one day dir")
+    assert(sql("SELECT count(*) FROM graft_day.db.hist VERSION AS OF 2")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("per-day compaction folds each day to one file, layout and pruning intact") {
+    sql("""CREATE TABLE graft_day.db.cmp (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    // two writes → two files per day
+    for (round <- 0 to 1)
+      sql(s"""INSERT INTO graft_day.db.cmp VALUES
+             |(${round * 10 + 1}, TIMESTAMP '2026-08-01 01:00:00'),
+             |(${round * 10 + 2}, TIMESTAMP '2026-08-02 01:00:00')""".stripMargin)
+    val tdir = s"$warehouse/db/cmp"
+    // bulk compaction must refuse (it would flatten the layout)
+    val e = intercept[IllegalArgumentException](
+      GraftMaintenance.compactTable(spark, tdir))
+    assert(e.getMessage.contains("compactDayTable"))
+    val (before, after) = GraftMaintenance.compactDayTable(spark, tdir)
+    assert(before == 4 && after == 2, s"got ($before, $after)")
+    val day1 = spark.table("graft_day.db.cmp")
+      .where(col("ts") < lit("2026-08-02 00:00:00").cast("timestamp"))
+    assert(planned(day1) == 1, "pruning must survive compaction")
+    assert(day1.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 11L))
+  }
+
+  test("days() rejects unsupported combinations and types") {
+    intercept[Exception](sql(
+      """CREATE TABLE graft_day.db.bad1 (id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (days(id))""".stripMargin))
+    intercept[Exception](sql(
+      """CREATE TABLE graft_day.db.bad2 (id BIGINT, ts TIMESTAMP, g STRING)
+        |PARTITIONED BY (g, days(ts))""".stripMargin))
+    intercept[Exception](sql(
+      """CREATE TABLE graft_day.db.bad3 (id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))
+        |TBLPROPERTIES('merge-on-read'='true')""".stripMargin))
+  }
+}
