@@ -464,6 +464,45 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.ck.orders ORDER BY id")
     },
 
+    // PURGE, the right-to-erasure verb (GraftMaintenance.purge): DELETE
+    // hides rows from the current snapshot but their BYTES survive in
+    // past snapshots (time travel resurrects them); purge composes
+    // DELETE + snapshot expiry (+ DV materialization on merge-on-read)
+    // and the query PROVES erasure by re-reading every remaining parquet
+    // byte raw — purgedCompletely is the externally-checkable guarantee
+    // a compliance audit needs, not a trust-me flag. Oracle replays the
+    // surviving subset.
+    "etl_purge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.pg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.pg.orders")
+      s.sql("""CREATE TABLE graft_wh.pg.orders
+              |(id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_pg_orders")
+      // two commits, so the erased keys live in MULTIPLE snapshots
+      s.sql("""INSERT INTO graft_wh.pg.orders
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_pg_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_wh.pg.orders
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_pg_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      val cond = "id % 10 = 3"
+      require(!graft.sources.GraftMaintenance.purgedCompletely(
+        s, "graft_wh", "pg.orders", cond),
+        "etl_purge: precondition — the keys must exist on disk first")
+      val erased = graft.sources.GraftMaintenance.purge(
+        s, "graft_wh", "pg.orders", cond)
+      require(erased > 0, "etl_purge: nothing was erased")
+      require(graft.sources.GraftMaintenance.purgedCompletely(
+        s, "graft_wh", "pg.orders", cond),
+        "etl_purge: purged keys still present in raw parquet bytes")
+      s.sql("SELECT id, status, cents FROM graft_wh.pg.orders ORDER BY id")
+    },
+
     // HIDDEN day partitioning (PARTITIONED BY (days(ts)), the Iceberg
     // transform): the raw timestamp stays a normal column, the catalog
     // derives ts_day=N/ directories at write time, and a predicate on the
@@ -1489,6 +1528,12 @@ object Etl {
         | CASE WHEN o_orderkey % 5 = 2 THEN 'S' ELSE 'N' END AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
         |FROM orders WHERE o_orderkey % 5 >= 2
+        |ORDER BY id""".stripMargin,
+
+    "etl_purge" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 3
         |ORDER BY id""".stripMargin,
 
     "etl_day_partition" ->

@@ -253,6 +253,66 @@ object StreamingQueries {
     // per batch), and the final read joins a co-bucketed dim — the
     // storage-partitioned join works on a table a stream just built
     // (plan shape asserted in GraftBucketSpec; values here)
+    // streaming ingest into a HIDDEN-day-partitioned catalog table: three
+    // micro-batches append through the catalog sink, each routed into
+    // ts_day=N/ dirs by the days(ts) transform (one file per day PER
+    // BATCH), then compactDayTable folds every day back to one file and
+    // the read-back proves pruning survived the whole loop — a raw-ts
+    // range filter plans strictly fewer day dirs than exist. This is the
+    // production ingest shape at 100 TB: stream lands small per-day
+    // files all day, maintenance folds them, time-range readers never
+    // scan outside their days. Values are layout-invariant — DuckDB
+    // replays the plain filter over raw events.
+    "stream_day_ingest" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.day")
+      s.sql("DROP TABLE IF EXISTS graft_wh.day.sev")
+      s.sql("""CREATE TABLE graft_wh.day.sev
+              |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+              |PARTITIONED BY (days(ts))""".stripMargin)
+      val feed = Tables.events(s, dir)
+        .where(col("event_id") < 10000)
+        .select(col("event_id"),
+          unix_micros(col("ts")), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, Double)]
+      withFewPartitions(s) {
+        val q = StreamOps.catalogAppendStream(
+          in.toDF().toDF("event_id", "us", "value")
+            .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+              col("value")),
+          "graft_wh.day.sev")
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      val (nBefore, nAfter) =
+        graft.sources.GraftMaintenance.compactDayTable(s, s"$wh/day/sev")
+      require(nAfter < nBefore,
+        s"stream_day_ingest: 3 batches must leave multi-file days to fold " +
+          s"($nBefore -> $nAfter)")
+      val firstDay = Tables.events(s, dir)
+        .where(col("event_id") < 10000)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val window = s.table("graft_wh.day.sev")
+        .where(col("ts") >= date_add(lit(firstDay), 3).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 6).cast("timestamp"))
+      val planned = window.rdd.getNumPartitions
+      val totalDirs = new java.io.File(s"$wh/day/sev")
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("ts_day="))
+      require(planned <= 3 && planned < totalDirs,
+        s"stream_day_ingest: window planned $planned of $totalDirs day dirs " +
+          "— pruning did not survive the ingest+compact loop")
+      window.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .orderBy("day")
+    },
+
     "stream_bucket_sink" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1468,6 +1528,18 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_day_ingest" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events
+        |            WHERE event_id < 10000)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_id < 10000
+        |  AND ts >= CAST((SELECT d FROM d0) + 3 AS TIMESTAMP)
+        |  AND ts < CAST((SELECT d FROM d0) + 6 AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_bucket_sink" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders,

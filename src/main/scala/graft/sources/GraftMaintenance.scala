@@ -345,4 +345,62 @@ object GraftMaintenance {
     expire.foreach(v => fs.delete(GraftTable.manifestPath(dir, v), false))
     (expire.size, orphans.size)
   }
+
+  /** PURGE: the right-to-erasure verb. A plain `DELETE` hides rows from
+    * the CURRENT snapshot but the bytes survive — in past snapshots of a
+    * history table (time travel would resurrect them) or in deletion-
+    * vector-masked files of a merge-on-read table. Purge composes the
+    * verbs that actually destroy them: DELETE matching rows, fold DVs
+    * into rewritten files (merge-on-read), then expire every old
+    * snapshot so no manifest references the pre-delete files and their
+    * bytes are removed (history). Returns the number of rows erased.
+    *
+    * The guarantee is checkable from the outside: after purge, no parquet
+    * file under the table directory contains a matching row —
+    * [[purgedCompletely]] proves it by brute-force re-reading every
+    * remaining byte, and the spec/oracle entries run that proof.
+    */
+  def purge(spark: SparkSession, catalog: String, table: String,
+            condition: String): Long = {
+    val t = spark.table(s"$catalog.$table")
+    val n = t.where(condition).count()
+    spark.sql(s"DELETE FROM $catalog.$table WHERE $condition")
+    val dir = tableDirOf(spark, catalog, table)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, new Path(dir))
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, dir)
+    if (props.get(GraftTable.HistoryProp).contains("true"))
+      vacuum(spark, dir, keepLast = 1)
+    n
+  }
+
+  /** TRUE iff no parquet file under the table dir holds a row matching
+    * `condition` — the externally-checkable erasure proof (reads raw
+    * files, NOT the catalog, so deletion vectors can't mask anything).
+    */
+  def purgedCompletely(spark: SparkSession, catalog: String, table: String,
+                       condition: String): Boolean = {
+    val dir = tableDirOf(spark, catalog, table)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val files = GraftTable.dataFiles(fs, new Path(dir))
+    files.isEmpty ||
+      spark.read.parquet(files: _*).where(condition).isEmpty
+  }
+
+  private def tableDirOf(spark: SparkSession, catalog: String,
+                         table: String): String = {
+    val parts = table.split('.')
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.init, parts.last)
+    org.apache.spark.sql.graftbridge.Bridge.catalogPlugin(spark, catalog) match {
+      case g: GraftCatalog => g.loadTable(ident) match {
+        case t: GraftTable => t.dir
+        case other => throw new IllegalArgumentException(
+          s"purge: $catalog.$table is ${other.getClass.getName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"purge: catalog $catalog is ${other.getClass.getName}")
+    }
+  }
 }
