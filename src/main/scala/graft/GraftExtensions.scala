@@ -91,6 +91,26 @@ object GraftExtensions {
       info("kll_count", "kll_count(sk) - total update count of a KLL sketch"),
       (args: Seq[Expression]) =>
         graft.expressions.KllCount(args.head)),
+    // theta sketch family: mergeable distinct SETS with intersection
+    // algebra (HLL only unions) — audience overlap from stored rollups
+    ("theta_sketch",
+      info("theta_sketch",
+        "theta_sketch(key, k) - aggregate: theta distinct-set sketch (binary)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.ThetaSketchAgg(args.head, intArg(args(1), "theta_sketch: k"))),
+    ("theta_union",
+      info("theta_union", "theta_union(a, b) - union of two theta sketches"),
+      (args: Seq[Expression]) =>
+        graft.expressions.ThetaUnion(args.head, args(1))),
+    ("theta_intersect_count",
+      info("theta_intersect_count",
+        "theta_intersect_count(a, b) - intersection cardinality of two theta sketches"),
+      (args: Seq[Expression]) =>
+        graft.expressions.ThetaIntersectCount(args.head, args(1))),
+    ("theta_count",
+      info("theta_count", "theta_count(sk) - distinct-count estimate of a theta sketch"),
+      (args: Seq[Expression]) =>
+        graft.expressions.ThetaCount(args.head)),
     ("lsh_buckets",
       info("lsh_buckets",
         "lsh_buckets(v, nTables, nPlanes, dim, seed) - array<long> of LSH bucket ids"),

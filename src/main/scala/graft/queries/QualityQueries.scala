@@ -193,6 +193,28 @@ object QualityQueries {
     // full-outer join, quantile/count read-out) — the SQL-only user
     // reaches the identical mergeable-percentiles machinery; same oracle
     // as dq_quantile_rollup
+    // the theta set-algebra machinery reached from PURE SQL (the
+    // GraftExtensions-registered theta_* functions): dq_overlap_sketch's
+    // audience overlap authored as spark.sql text, PLUS the union
+    // cardinality theta_count(theta_union(a,b)) — all four registered
+    // functions in one statement. Exact regime (k >> users), so DuckDB
+    // replays exact counts: n_union must equal n_a + n_b − n_overlap
+    "theta_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("graft_theta_events")
+      s.sql("""WITH heavy AS (SELECT event_type, user_id
+              |  FROM graft_theta_events GROUP BY 1, 2 HAVING count(*) >= 8),
+              |sk AS (SELECT event_type, theta_sketch(user_id, 4096) AS sk,
+              |    count(*) AS n_users
+              |  FROM heavy GROUP BY 1)
+              |SELECT a.event_type AS type_a, b.event_type AS type_b,
+              |  a.n_users AS n_a, b.n_users AS n_b,
+              |  theta_intersect_count(a.sk, b.sk) AS n_overlap,
+              |  theta_count(theta_union(a.sk, b.sk)) AS n_union
+              |FROM sk a JOIN sk b ON a.event_type < b.event_type
+              |ORDER BY 1, 2""".stripMargin)
+    },
+
     "kll_sql_surface" -> { (s, dir) =>
       graft.GraftExtensions.register(s)
       Tables.customer(s, dir).createOrReplaceTempView("graft_kll_customer")
@@ -753,6 +775,23 @@ object QualityQueries {
         |  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN c_acctbal END) AS p50,
         |  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN c_acctbal END) AS p95
         |FROM v GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "theta_sql_surface" ->
+      """WITH s AS (SELECT event_type, user_id FROM events
+        |  GROUP BY 1, 2 HAVING count(*) >= 8),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_overlap
+        |  FROM s a JOIN s b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  CAST(COALESCE(p.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(ca.n + cb.n - COALESCE(p.n_overlap, 0) AS BIGINT) AS n_union
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+        |ORDER BY 1, 2""".stripMargin,
 
     "dq_overlap_sketch" ->
       """WITH s AS (SELECT event_type, user_id FROM events
