@@ -117,22 +117,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // Catalyst looks transforms up under the empty namespace
   // (V2ExpressionUtils.loadV2FunctionOpt), listFunctions serves users.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, GraftBucket.FunctionName),
-      Identifier.of(namespace, GraftDaysFunction.FunctionName))
+    (GraftBucket.FunctionName +: GraftTimeUnitFunction.Names)
+      .map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase(GraftBucket.FunctionName))
       new GraftBucketFunction
-    else if (ident.name().equalsIgnoreCase(GraftDaysFunction.FunctionName))
-      new GraftDaysFunction
-    else throw new NoSuchFunctionException(ident)
+    else GraftTimeUnitFunction.Names.find(_.equalsIgnoreCase(ident.name()))
+      .map(new GraftTimeUnitFunction(_))
+      .getOrElse(throw new NoSuchFunctionException(ident))
 
   override def functionExists(ident: Identifier): Boolean =
     ident.name().equalsIgnoreCase(GraftBucket.FunctionName) ||
-      ident.name().equalsIgnoreCase(GraftDaysFunction.FunctionName)
+      GraftTimeUnitFunction.Names.exists(_.equalsIgnoreCase(ident.name()))
 
   private def dayColOf(dir: Path): Option[String] =
     GraftTable.readProps(fs, dir).get(GraftTable.DayColProp)
+
+  private def timeUnitOf(dir: Path): String =
+    GraftTable.readProps(fs, dir).getOrElse(GraftTable.TimeUnitProp, "days")
 
   private def checksOf(dir: Path): Seq[(String, String)] =
     GraftTable.readProps(fs, dir).toSeq
@@ -146,7 +149,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
       mor = isMor(dir), partitionCols = partCols(dir),
       bucketSpec = bucketSpec(dir), checks = checksOf(dir),
-      dayCol = dayColOf(dir))
+      dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -246,17 +249,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // join). days/years derived transforms are not supported.
     var bucket: Option[(String, Int)] = None
     var dayCol: Option[String] = None
+    var timeUnit: String = "days"
     val pcols: Seq[String] = partitions.toSeq.flatMap {
       case t if t.name == "identity" && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
         Some(t.references.head.fieldNames.head)
-      case t if t.name == "days" && t.references.length == 1 &&
+      case t if GraftDayPartition.Units.contains(t.name) &&
+        t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
-        // HIDDEN day partitioning (Iceberg's days(ts) transform): the raw
-        // column stays in parquet; the layout derives <col>_day=N/ dirs
+        // HIDDEN time partitioning (Iceberg's hours/days/months
+        // transforms): the raw column stays in parquet; the layout
+        // derives <col>_<unit>=N/ dirs
         require(dayCol.isEmpty,
-          "graft catalog: at most one days(col) transform")
+          "graft catalog: at most one hours/days/months(col) transform")
         dayCol = Some(t.references.head.fieldNames.head)
+        timeUnit = t.name
         None
       case t if t.name == GraftBucket.FunctionName =>
         require(bucket.isEmpty,
@@ -287,13 +294,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: days(col) cannot be combined with identity partitions " +
         "or bucketing yet — one directory-layout owner per table")
     dayCol.foreach { c =>
-      require(schema.fieldNames.contains(c), s"days() column $c not in schema")
-      schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.DateType => ()
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog: days($c) needs TIMESTAMP or DATE, got $other")
-      }
+      require(schema.fieldNames.contains(c),
+        s"$timeUnit() column $c not in schema")
+      if (!GraftDayPartition.supported(timeUnit, schema(c).dataType))
+        throw new UnsupportedOperationException(
+          s"graft catalog: $timeUnit($c) does not support " +
+            s"${schema(c).dataType} (hours: TIMESTAMP; days/months: " +
+            "TIMESTAMP or DATE)")
     }
     bucket.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
@@ -355,13 +362,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
              GraftTable.BucketColProp -> c,
              GraftTable.BucketCountProp -> n.toString) }.getOrElse(Map.empty)
         ++ checks.map { case (n, t) => s"${GraftConstraints.Prefix}$n" -> t }
-        ++ dayCol.map(GraftTable.DayColProp -> _)))
+        ++ dayCol.map(GraftTable.DayColProp -> _)
+        ++ (if (dayCol.nonEmpty && timeUnit != "days")
+              Map(GraftTable.TimeUnitProp -> timeUnit) else Map.empty)))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
       partitionCols = pcols, bucketSpec = bucket, checks = checks,
-      dayCol = dayCol)
+      dayCol = dayCol, timeUnit = timeUnit)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -486,6 +495,7 @@ object GraftTable {
   val PartitionProp = "partition-cols"
   val BucketColProp = "bucket-col"
   val DayColProp = "partition-days-col"
+  val TimeUnitProp = "partition-time-unit"
   val BucketCountProp = "bucket-count"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -691,7 +701,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val partitionCols: Seq[String] = Nil,
                  val bucketSpec: Option[(String, Int)] = None,
                  val checks: Seq[(String, String)] = Nil,
-                 val dayCol: Option[String] = None)
+                 val dayCol: Option[String] = None,
+                 val timeUnit: String = "days")
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -709,7 +720,11 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray ++
       bucketSpec.map { case (c, n) => Expressions.bucket(n, c) } ++
-      dayCol.map(Expressions.days)
+      dayCol.map(c => timeUnit match {
+        case "hours" => Expressions.hours(c)
+        case "months" => Expressions.months(c)
+        case _ => Expressions.days(c)
+      })
 
   /** Columns physically stored in parquet = schema minus partition cols. */
   def physicalSchema: StructType =
@@ -1173,8 +1188,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     val partKept = (table.dayCol, dayFilters.isEmpty) match {
       case (Some(dc), false) =>
         val dt = table.schema()(dc).dataType
-        partKept0.filter(f =>
-          GraftDayPartition.survives(dayFilters.toSeq, table.dir, f, dc, dt))
+        partKept0.filter(f => GraftDayPartition.survives(
+          dayFilters.toSeq, table.dir, f, dc, dt, table.timeUnit))
       case _ => partKept0
     }
     // whole-file stats skipping is safe for EVERY scan flavor except the
@@ -1386,12 +1401,16 @@ private[sources] trait GraftWriteDistribution
           Array(Expressions.bucket(n, c):
             org.apache.spark.sql.connector.expressions.Expression))
       case None => table.dayCol match {
-        // hidden day partitioning: cluster by the days() transform so a
-        // task owns whole days — one file per day per write, not per task
+        // hidden time partitioning: cluster by the transform so a task
+        // owns whole units — one file per unit per write, not per task
         case Some(c) =>
+          val t = table.timeUnit match {
+            case "hours" => Expressions.hours(c)
+            case "months" => Expressions.months(c)
+            case _ => Expressions.days(c)
+          }
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            Array(Expressions.days(c):
-              org.apache.spark.sql.connector.expressions.Expression))
+            Array(t: org.apache.spark.sql.connector.expressions.Expression))
         case None =>
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       }
@@ -1475,7 +1494,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     }
     val day = table.dayCol.map { c =>
       val i = writeSchema.fieldIndex(c)
-      (i, writeSchema.fields(i).dataType, c)
+      (i, writeSchema.fields(i).dataType, c, table.timeUnit)
     }
     new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
@@ -1556,7 +1575,7 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          conf: SerializableHadoopConf,
                          bucket: Option[(Int, DataType, Int)] = None,
                          violations: Seq[(String, Expression)] = Nil,
-                         day: Option[(Int, DataType, String)] = None)
+                         day: Option[(Int, DataType, String, String)] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
@@ -1577,7 +1596,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       conf: SerializableHadoopConf,
                       bucket: Option[(Int, DataType, Int)] = None,
                       violations: Seq[(String, Expression)] = Nil,
-                      day: Option[(Int, DataType, String)] = None)
+                      day: Option[(Int, DataType, String, String)] = None)
   extends DataWriter[InternalRow] {
 
   // CHECK / NOT NULL enforcement: driver-bound violation predicates
@@ -1642,12 +1661,12 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
         val b = bucketId(record)
         writers.getOrElseUpdate(s"b$b", open("", GraftBucket.fileName(b, "")))
       } else if (day.nonEmpty) {
-        // hidden day partitioning: route by derived epoch day, keep the
+        // hidden time partitioning: route by derived unit index, keep the
         // raw column in the parquet bytes (proj is identity here)
-        val (i, dt, name) = day.get
-        val d = GraftDayPartition.dayOf(dt,
+        val (i, dt, name, unit) = day.get
+        val d = GraftDayPartition.unitOf(unit, dt,
           if (record.isNullAt(i)) null else record.get(i, dt))
-        val key = GraftDayPartition.dirName(name, d)
+        val key = GraftDayPartition.dirName(name, unit, d)
         writers.getOrElseUpdate(key, open(key))
       } else {
         val key = if (partFields.isEmpty) "" else partSubdir(record)

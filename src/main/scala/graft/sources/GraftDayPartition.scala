@@ -23,29 +23,61 @@ import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 object GraftDayPartition {
 
   val MicrosPerDay: Long = 86_400_000_000L
+  val MicrosPerHour: Long = 3_600_000_000L
 
-  /** Directory segment for a row's day: `<col>_day=<epochDay>`. */
-  def dirName(col: String, day: Option[Long]): String =
-    s"${col}_day=${day.map(_.toString).getOrElse(GraftTable.NullPartition)}"
+  /** Iceberg transform-name → directory-segment suffix. */
+  val Units: Map[String, String] =
+    Map("hours" -> "hour", "days" -> "day", "months" -> "month")
 
-  /** Epoch day of a raw column value at write time. */
-  def dayOf(dt: DataType, v: Any): Option[Long] = Option(v).map { x =>
-    dt match {
-      case TimestampType => Math.floorDiv(x.asInstanceOf[Long], MicrosPerDay)
-      case DateType => x.asInstanceOf[Int].toLong
-      case other => throw new IllegalStateException(
-        s"days(...) over unsupported type $other")
-    }
+  def supported(unit: String, dt: DataType): Boolean = (unit, dt) match {
+    case ("hours", TimestampType) => true
+    case ("days" | "months", TimestampType | DateType) => true
+    case _ => false
   }
 
-  /** Parse `<col>_day=...` from a file's path under the table dir. Returns
-    * None when the file carries no day segment (pre-existing flat files —
-    * never pruned), Some(None) for the null-day directory.
+  /** Directory segment for a row's time unit: `<col>_<unit>=<n>`. */
+  def dirName(col: String, unit: String, n: Option[Long]): String =
+    s"${col}_${Units(unit)}=${n.map(_.toString).getOrElse(GraftTable.NullPartition)}"
+
+  private def epochDayToMonth(epochDay: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+  }
+
+  private def monthStartDay(m: Long): Long = {
+    val y = 1970 + Math.floorDiv(m, 12).toInt
+    val mo = Math.floorMod(m, 12).toInt + 1
+    java.time.LocalDate.of(y, mo, 1).toEpochDay
+  }
+
+  /** Unit index of a raw column value at write time (UTC, like Iceberg). */
+  def unitOf(unit: String, dt: DataType, v: Any): Option[Long] =
+    Option(v).map { x =>
+      (unit, dt) match {
+        case ("hours", TimestampType) =>
+          Math.floorDiv(x.asInstanceOf[Long], MicrosPerHour)
+        case ("days", TimestampType) =>
+          Math.floorDiv(x.asInstanceOf[Long], MicrosPerDay)
+        case ("days", DateType) => x.asInstanceOf[Int].toLong
+        case ("months", TimestampType) =>
+          epochDayToMonth(Math.floorDiv(x.asInstanceOf[Long], MicrosPerDay))
+        case ("months", DateType) => epochDayToMonth(x.asInstanceOf[Int].toLong)
+        case other => throw new IllegalStateException(
+          s"time partition over unsupported (unit, type) $other")
+      }
+    }
+
+  /** Back-compat alias used by the days write path. */
+  def dayOf(dt: DataType, v: Any): Option[Long] = unitOf("days", dt, v)
+
+  /** Parse `<col>_<unit>=...` from a file's path under the table dir.
+    * None when the file carries no segment (pre-existing flat files —
+    * never pruned), Some(None) for the null directory.
     */
-  def dayOfFile(tableDir: String, file: String,
-                col: String): Option[Option[Long]] = {
+  def unitOfFile(tableDir: String, file: String, col: String,
+                 unit: String): Option[Option[Long]] = {
     val rel = file.stripPrefix(tableDir).stripPrefix("/")
-    val prefix = s"${col}_day="
+    val prefix = s"${col}_${Units(unit)}="
     rel.split('/').find(_.startsWith(prefix)).map { seg =>
       val raw = seg.stripPrefix(prefix)
       if (raw == GraftTable.NullPartition) None else Some(raw.toLong)
@@ -66,18 +98,28 @@ object GraftDayPartition {
     case _ => None
   }
 
-  /** Value interval [lo, hi] (inclusive) of rows in day `d`. */
-  private def bounds(dt: DataType, d: Long): (Long, Long) = dt match {
-    case TimestampType => (d * MicrosPerDay, (d + 1) * MicrosPerDay - 1)
-    case _ => (d, d)
-  }
+  /** Value interval [lo, hi] (inclusive) of rows in unit `n`: micros for
+    * timestamps (month widths from the calendar), days for dates.
+    */
+  private def bounds(unit: String, dt: DataType, n: Long): (Long, Long) =
+    (unit, dt) match {
+      case ("hours", TimestampType) =>
+        (n * MicrosPerHour, (n + 1) * MicrosPerHour - 1)
+      case ("days", TimestampType) =>
+        (n * MicrosPerDay, (n + 1) * MicrosPerDay - 1)
+      case ("days", DateType) => (n, n)
+      case ("months", TimestampType) =>
+        (monthStartDay(n) * MicrosPerDay, monthStartDay(n + 1) * MicrosPerDay - 1)
+      case ("months", DateType) => (monthStartDay(n), monthStartDay(n + 1) - 1)
+      case other => throw new IllegalStateException(s"bounds: $other")
+    }
 
   /** Three-valued interval evaluation: Some(true) = every row in the day
     * matches, Some(false) = none can, None = mixed/undecidable.
     */
-  def eval(f: Filter, col: String, dt: DataType,
+  def eval(f: Filter, col: String, dt: DataType, unit: String,
            day: Option[Long]): Option[Boolean] = {
-    def interval: Option[(Long, Long)] = day.map(bounds(dt, _))
+    def interval: Option[(Long, Long)] = day.map(bounds(unit, dt, _))
     f match {
       case IsNull(c) if c == col => Some(day.isEmpty)
       case IsNotNull(c) if c == col => Some(day.nonEmpty)
@@ -132,18 +174,18 @@ object GraftDayPartition {
           }
         }
       case And(a, b) =>
-        (eval(a, col, dt, day), eval(b, col, dt, day)) match {
+        (eval(a, col, dt, unit, day), eval(b, col, dt, unit, day)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)
           case (Some(true), Some(true)) => Some(true)
           case _ => None
         }
       case Or(a, b) =>
-        (eval(a, col, dt, day), eval(b, col, dt, day)) match {
+        (eval(a, col, dt, unit, day), eval(b, col, dt, unit, day)) match {
           case (Some(true), _) | (_, Some(true)) => Some(true)
           case (Some(false), Some(false)) => Some(false)
           case _ => None
         }
-      case Not(a) => eval(a, col, dt, day).map(!_)
+      case Not(a) => eval(a, col, dt, unit, day).map(!_)
       case _ => None
     }
   }
@@ -152,49 +194,56 @@ object GraftDayPartition {
     * file without a day segment is never pruned (pre-layout data).
     */
   def survives(filters: Seq[Filter], tableDir: String, file: String,
-               col: String, dt: DataType): Boolean =
-    dayOfFile(tableDir, file, col) match {
+               col: String, dt: DataType, unit: String): Boolean =
+    unitOfFile(tableDir, file, col, unit) match {
       case None => true
       case Some(day) =>
-        filters.forall(f => eval(f, col, dt, day).getOrElse(true))
+        filters.forall(f => eval(f, col, dt, unit, day).getOrElse(true))
     }
 }
 
-/** `FunctionCatalog` entry for the `days` transform, so Spark can resolve
-  * the clustered write distribution (and, symmetrically to bucket, reason
-  * about the transform) through the catalog. Epoch day as INT.
+/** `FunctionCatalog` entries for the `hours` / `days` / `months`
+  * transforms, so Spark can resolve the clustered write distribution
+  * (and, symmetrically to bucket, reason about the transform) through
+  * the catalog. Unit index as INT.
   */
-class GraftDaysFunction
+class GraftTimeUnitFunction(unit: String)
   extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
-  override def name(): String = GraftDaysFunction.FunctionName
+  override def name(): String = unit
   override def description(): String =
-    "days(col): epoch day of a TIMESTAMP/DATE column"
+    s"$unit(col): epoch ${GraftDayPartition.Units(unit)} of a TIMESTAMP/DATE column"
   override def bind(inputType: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
     require(inputType.length == 1,
-      s"days(col) takes exactly one column, got ${inputType.length}")
+      s"$unit(col) takes exactly one column, got ${inputType.length}")
     val dt = inputType(0).dataType
-    require(dt == TimestampType || dt == DateType,
-      s"days() needs TIMESTAMP or DATE, got $dt")
-    GraftDaysBound(dt)
+    require(GraftDayPartition.supported(unit, dt),
+      s"$unit() does not support $dt")
+    GraftTimeUnitBound(unit, dt)
   }
 }
+
+class GraftDaysFunction extends GraftTimeUnitFunction("days")
 
 object GraftDaysFunction {
   val FunctionName = "days"
 }
 
-case class GraftDaysBound(keyType: DataType)
+object GraftTimeUnitFunction {
+  val Names: Seq[String] = Seq("hours", "days", "months")
+}
+
+case class GraftTimeUnitBound(unit: String, keyType: DataType)
   extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(keyType)
   override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
-  override def name(): String = GraftDaysFunction.FunctionName
+  override def name(): String = unit
   override def canonicalName(): String =
-    s"graft.days(${keyType.simpleString})"
+    s"graft.$unit(${keyType.simpleString})"
   override def isResultNullable: Boolean = true
   override def produceResult(
       input: org.apache.spark.sql.catalyst.InternalRow): Integer =
     if (input.isNullAt(0)) null
-    else GraftDayPartition.dayOf(keyType, input.get(0, keyType))
+    else GraftDayPartition.unitOf(unit, keyType, input.get(0, keyType))
       .map(d => Integer.valueOf(d.toInt)).orNull
 }

@@ -187,7 +187,9 @@ object GraftMaintenance {
     val props = GraftTable.readProps(fs, dir)
     val dayCol = props.getOrElse(GraftTable.DayColProp,
       throw new IllegalArgumentException(
-        s"compactDayTable: $tableDir is not a days()-partitioned table"))
+        s"compactDayTable: $tableDir is not a time-partitioned table"))
+    val unitSeg = GraftDayPartition.Units(
+      props.getOrElse(GraftTable.TimeUnitProp, "days"))
     val history = props.get(GraftTable.HistoryProp).contains("true")
     val files =
       if (!history) GraftTable.dataFiles(fs, dir)
@@ -195,7 +197,7 @@ object GraftMaintenance {
         .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
     if (files.isEmpty) return (0, 0)
     val byDay = files.groupBy(f => new Path(f).getParent.getName)
-      .filter(_._1.startsWith(s"${dayCol}_day=")) // pre-layout flat files stay
+      .filter(_._1.startsWith(s"${dayCol}_$unitSeg=")) // pre-layout flat files stay
     val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
     val rewritten = byDay.toSeq.sortBy(_._1).filter(_._2.size > 1)
     val landed = rewritten.map { case (daySeg, fls) =>

@@ -127,6 +127,57 @@ class GraftDayPartitionSpec extends SparkSpec {
       == Seq(1L, 11L))
   }
 
+  test("hours() partitions at hour grain and prunes from raw-ts predicates") {
+    sql("""CREATE TABLE graft_day.db.hr (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (hours(ts))""".stripMargin)
+    sql("""INSERT INTO graft_day.db.hr VALUES
+          |(1, TIMESTAMP '2026-08-01 00:30:00'),
+          |(2, TIMESTAMP '2026-08-01 01:59:59.999999'),
+          |(3, TIMESTAMP '2026-08-01 02:00:00'),
+          |(4, TIMESTAMP '2026-08-01 03:15:00')""".stripMargin)
+    val dirs = new java.io.File(s"$warehouse/db/hr").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("ts_hour=")) == 4)
+    val twoHours = spark.table("graft_day.db.hr")
+      .where(col("ts") >= lit("2026-08-01 01:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-08-01 03:00:00").cast("timestamp"))
+    assert(planned(twoHours) == 2, "a two-hour range must plan two hour dirs")
+    assert(twoHours.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L))
+    // hours over DATE is meaningless and must be rejected
+    intercept[Exception](sql(
+      """CREATE TABLE graft_day.db.hrbad (id BIGINT, d DATE)
+        |PARTITIONED BY (hours(d))""".stripMargin))
+  }
+
+  test("months() partitions at calendar-month grain with exact boundaries") {
+    sql("""CREATE TABLE graft_day.db.mo (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (months(ts))""".stripMargin)
+    // straddles a month boundary AND a leap-February
+    sql("""INSERT INTO graft_day.db.mo VALUES
+          |(1, TIMESTAMP '2028-01-31 23:59:59.999999'),
+          |(2, TIMESTAMP '2028-02-01 00:00:00'),
+          |(3, TIMESTAMP '2028-02-29 23:59:59.999999'),
+          |(4, TIMESTAMP '2028-03-01 00:00:00')""".stripMargin)
+    val dirs = new java.io.File(s"$warehouse/db/mo").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("ts_month=")) == 3, dirs.mkString(","))
+    val feb = spark.table("graft_day.db.mo")
+      .where(col("ts") >= lit("2028-02-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2028-03-01 00:00:00").cast("timestamp"))
+    assert(planned(feb) == 1, "February (leap) must plan exactly one month dir")
+    assert(feb.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L))
+    // compaction is unit-aware: the clustered write left ONE file per
+    // month per insert (3 + 1), and the second Feb file folds away
+    sql("INSERT INTO graft_day.db.mo VALUES (5, TIMESTAMP '2028-02-15 12:00:00')")
+    val (b, a) = GraftMaintenance.compactDayTable(spark, s"$warehouse/db/mo")
+    assert(b == 4 && a == 3, s"got ($b, $a)")
+    assert(planned(spark.table("graft_day.db.mo")
+      .where(col("ts") >= lit("2028-02-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2028-03-01 00:00:00").cast("timestamp"))) == 1)
+  }
+
   test("days() rejects unsupported combinations and types") {
     intercept[Exception](sql(
       """CREATE TABLE graft_day.db.bad1 (id BIGINT, ts TIMESTAMP)
