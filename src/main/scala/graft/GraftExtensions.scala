@@ -291,6 +291,56 @@ object GraftExtensions {
         Bridge.logicalPlan(plugin.dvStats(ident)
           .toDF("file", "file_rows", "deleted_rows", "live_rows"))
       }),
+    // DESCRIBE DETAIL for graft-catalog tables: the layout contract as
+    // (key, value) rows — storage flavor, snapshotting, partition /
+    // bucket / time-transform spec, CHECK constraints, live file count:
+    //   SELECT * FROM graft_detail('graft_wh', 'db.t')
+    ("graft_detail",
+      info("graft_detail",
+        "graft_detail(catalog, table) - table layout detail as (key, value) rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_detail(catalog_name, 'namespace.table')")
+        val cat = stringArg(args.head, "graft_detail: catalog")
+        val tbl = stringArg(args(1), "graft_detail: table")
+        val s = SparkSession.active
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_detail: catalog $cat is ${other.getClass.getName}, not a GraftCatalog")
+        }
+        val parts = tbl.split('.')
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init, parts.last)
+        val t = plugin.loadTable(ident) match {
+          case g: graft.sources.GraftTable => g
+          case other => throw new IllegalArgumentException(
+            s"graft_detail: $tbl is ${other.getClass.getName}")
+        }
+        val fs = new org.apache.hadoop.fs.Path(t.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val rows: Seq[(String, String)] = Seq(
+          "format" -> "graft/parquet",
+          "history" -> t.history.toString,
+          "merge_on_read" -> t.mor.toString,
+          "partition_cols" -> t.partitionCols.mkString(","),
+          "bucket" -> t.bucketSpec.map { case (c, n) => s"bucket($n, $c)" }.getOrElse(""),
+          "time_partition" -> t.dayCol.map(c => s"${t.timeUnit}($c)").getOrElse(""),
+          "checks" -> t.checks.map { case (n, x) => s"$n: $x" }.mkString("; "),
+          "n_columns" -> t.schema().length.toString) ++ {
+          val p = new org.apache.hadoop.fs.Path(t.dir)
+          if (t.history) {
+            // live files = the CURRENT snapshot's manifest (past-version
+            // files still on disk are not part of the table)
+            val v = graft.sources.GraftTable.manifestVersions(fs, p).last
+            Seq("n_data_files" ->
+              graft.sources.GraftTable.readManifest(fs, p, v).size.toString,
+              "current_version" -> v.toString)
+          } else Seq("n_data_files" ->
+            graft.sources.GraftTable.dataFiles(fs, p).size.toString)
+        }
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF("key", "value"))
+      }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')
     ("graft_history",

@@ -464,6 +464,34 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.ck.orders ORDER BY id")
     },
 
+    // DESCRIBE DETAIL from SQL (graft_detail TVF): the table's layout
+    // CONTRACT — storage flavor, snapshotting, time transform, CHECK
+    // constraints, commit version — as queryable rows; the ops
+    // discoverability surface every table format ships. The oracle is
+    // the closed-form contract of the CREATE + two commits (file counts
+    // are excluded — they depend on write parallelism, not the contract).
+    "etl_detail" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.det")
+      s.sql("DROP TABLE IF EXISTS graft_wh.det.ev")
+      s.sql("""CREATE TABLE graft_wh.det.ev
+              |(event_id BIGINT, ts TIMESTAMP, cents BIGINT)
+              |PARTITIONED BY (days(ts))
+              |TBLPROPERTIES('history'='true',
+              |  'graft.check.cents_pos'='cents > 0')""".stripMargin)
+      Tables.events(s, dir).createOrReplaceTempView("graft_det_events")
+      s.sql("""INSERT INTO graft_wh.det.ev
+              |SELECT event_id, ts, CAST(FLOOR(value * 100) + 1 AS BIGINT)
+              |FROM graft_det_events WHERE event_id % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_wh.det.ev
+              |SELECT event_id, ts, CAST(FLOOR(value * 100) + 1 AS BIGINT)
+              |FROM graft_det_events WHERE event_id % 2 = 1""".stripMargin)
+      s.sql("""SELECT key, value FROM graft_detail('graft_wh', 'det.ev')
+              |WHERE key <> 'n_data_files' ORDER BY key""".stripMargin)
+    },
+
     // PURGE, the right-to-erasure verb (GraftMaintenance.purge): DELETE
     // hides rows from the current snapshot but their BYTES survive in
     // past snapshots (time travel resurrects them); purge composes
@@ -1529,6 +1557,19 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
         |FROM orders WHERE o_orderkey % 5 >= 2
         |ORDER BY id""".stripMargin,
+
+    "etl_detail" ->
+      """SELECT * FROM (VALUES
+        |  ('checks', 'cents_pos: cents > 0'),
+        |  ('current_version', '3'),
+        |  ('format', 'graft/parquet'),
+        |  ('history', 'true'),
+        |  ('merge_on_read', 'false'),
+        |  ('n_columns', '3'),
+        |  ('partition_cols', ''),
+        |  ('bucket', ''),
+        |  ('time_partition', 'days(ts)')
+        |) AS t(key, value) ORDER BY key""".stripMargin,
 
     "etl_purge" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -709,6 +709,29 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   override def name(): String = ident
   override def schema(): StructType = tableSchema
 
+  /** Table properties, surfaced so `DESCRIBE TABLE EXTENDED` (and any
+    * catalog tooling) shows the layout contract: history/mor flags, time
+    * transform, bucket spec, CHECK constraints, pinned version.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (history) m.put(GraftTable.HistoryProp, "true")
+    if (mor) m.put(GraftTable.MorProp, "true")
+    if (partitionCols.nonEmpty)
+      m.put(GraftTable.PartitionProp, partitionCols.mkString(","))
+    bucketSpec.foreach { case (c, n) =>
+      m.put(GraftTable.BucketColProp, c)
+      m.put(GraftTable.BucketCountProp, n.toString)
+    }
+    dayCol.foreach { c =>
+      m.put(GraftTable.DayColProp, c)
+      m.put(GraftTable.TimeUnitProp, timeUnit)
+    }
+    checks.foreach { case (n, t) => m.put(s"${GraftConstraints.Prefix}$n", t) }
+    pinnedVersion.foreach(v => m.put("pinned-version", v.toString))
+    m
+  }
+
   /** Identity partitioning (PARTITIONED BY): rows live under Hive-style
     * `col=value/` directories; partition values come from the PATH, never
     * the parquet bytes, so `spark.read.parquet(dir)` partition discovery

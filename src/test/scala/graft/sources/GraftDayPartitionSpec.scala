@@ -178,6 +178,14 @@ class GraftDayPartitionSpec extends SparkSpec {
         col("ts") < lit("2028-03-01 00:00:00").cast("timestamp"))) == 1)
   }
 
+  test("DESCRIBE TABLE EXTENDED surfaces the layout contract via properties()") {
+    val rows = sql("DESCRIBE TABLE EXTENDED graft_day.db.ev").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val props = rows.getOrElse("Table Properties", "")
+    assert(props.contains("partition-days-col=ts"),
+      s"expected the days transform in table properties, got: $props")
+  }
+
   test("days() rejects unsupported combinations and types") {
     intercept[Exception](sql(
       """CREATE TABLE graft_day.db.bad1 (id BIGINT, ts TIMESTAMP)
