@@ -556,12 +556,17 @@ object StreamOps {
     * n-gram shingles via WordNgrams, a k-long signature via the
     * MinHashSignature expression (bit-identical to the batch operator's
     * hashes), and `bands` band hashes; a flatMapGroupsWithState bucket per
-    * (band, bandhash) pairs new docs against stored members, scored by
-    * the signature-agreement Jaccard ESTIMATE (matching minhashes / k —
-    * the state holds signatures, not shingle sets, so the verify is the
-    * estimator; route candidates to a batch exact-verify if needed).
-    * Pairs sharing several bands are emitted once per band — dedup
-    * (aId, bId) downstream.
+    * (band, bandhash) pairs new docs against stored members. EVERY
+    * band-collision pair is emitted (the batch operator's candidate
+    * contract — gating on the attached signature-agreement ESTIMATE
+    * would silently drop pairs whose exact jaccard clears tau while the
+    * estimate falls short of it, a real divergence caught at sf0.001),
+    * with estJaccard (matching minhashes / k) attached for triage; the
+    * exact verify against shingle sets is the downstream stage, exactly
+    * as in batch. Pairs sharing several bands are emitted once per
+    * band — dedup (aId, bId) downstream. `tau` documents the intended
+    * verify threshold for that downstream stage; candidates below it in
+    * ESTIMATE still flow (they may verify above it exactly).
     */
   def minhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
                          tau: Double, n: Int = 3, k: Int = 128,
@@ -666,10 +671,13 @@ object StreamOps {
         if (m._2(i) == x._2(i)) matches += 1
         i += 1
       }
+      // NO estimate gate: the batch operator emits every band-collision
+      // candidate and filters on EXACT jaccard downstream — an estimate
+      // gate here drops pairs whose exact similarity clears tau while
+      // the k-sample estimate lands below it (stddev ≈ √(τ(1−τ)/k), so
+      // at k=128, τ=0.8 a true-0.82 pair misses ~30% of the time)
       val est = matches.toDouble / k
-      if (est >= tau)
-        Some(MinHashPair(math.min(m._1, x._1), math.max(m._1, x._1), est))
-      else None
+      Some(MinHashPair(math.min(m._1, x._1), math.max(m._1, x._1), est))
     }, maxBucket)
 
   /** Streaming embedding near-dup pairs — the vector twin of
