@@ -55,9 +55,10 @@ object GraftWap {
     require(t.history,
       s"WAP on $catalog.$table needs a history table — the manifest log is " +
         "what makes staged files invisible (TBLPROPERTIES('history'='true'))")
-    require(t.partitionCols.isEmpty && t.bucketSpec.isEmpty,
-      "WAP staging of partitioned/bucketed tables is not supported yet — " +
-        "staged files would need partition routing on publish")
+    require(t.partitionCols.isEmpty && t.bucketSpec.isEmpty && t.dayCol.isEmpty,
+      "WAP staging of partitioned/bucketed/time-partitioned tables is not " +
+        "supported yet — staged files would need layout routing on publish " +
+        "(a flat publish would read correctly but silently lose pruning)")
     val phys = t.physicalSchema
     require(df.columns.toSeq == phys.fieldNames.toSeq,
       s"WAP batch columns ${df.columns.mkString(",")} must match table " +

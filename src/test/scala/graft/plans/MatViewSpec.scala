@@ -170,6 +170,32 @@ class MatViewSpec extends SparkSpec {
     assert(q.collect().toSeq == want)
   }
 
+  test("MV over a HIDDEN-day-partitioned history base: rewrite + incremental refresh compose") {
+    sql("DROP TABLE IF EXISTS graft_mv.db.dsales")
+    sql("""CREATE TABLE graft_mv.db.dsales
+          |(region STRING, ts TIMESTAMP, cents BIGINT)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_mv.db.dsales VALUES
+          |('EU', TIMESTAMP '2026-08-01 10:00:00', 100),
+          |('US', TIMESTAMP '2026-08-02 10:00:00', 250)""".stripMargin)
+    MatView.create(spark, "graft_mv", "db.dsales", "db.dsales_mv",
+      Seq("region"), Seq(MatView.Measure("sum_cents", "sum", "cents"),
+        MatView.Measure("n", "count", "")))
+    // the base appends into its day layout; incremental refresh must read
+    // ONLY the appended files (which carry all columns — hidden
+    // partitioning keeps raw data in the bytes) and the rewrite resumes
+    sql("""INSERT INTO graft_mv.db.dsales VALUES
+          |('EU', TIMESTAMP '2026-08-03 10:00:00', 40)""".stripMargin)
+    assert(MatView.refresh(spark, "graft_mv", "db.dsales_mv") == "incremental")
+    def q() = spark.table("graft_mv.db.dsales")
+      .groupBy(col("region")).agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+      .orderBy("region")
+    assert(scansMv(q(), "dsales_mv"))
+    assert(q().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("EU", 140L, 2L), ("US", 250L, 1L)))
+  }
+
   test("registration survives a registry wipe via persisted table properties") {
     freshMeta()
     MatView.clearRegistry()
