@@ -178,6 +178,28 @@ class GraftDayPartitionSpec extends SparkSpec {
         col("ts") < lit("2028-03-01 00:00:00").cast("timestamp"))) == 1)
   }
 
+  test("a day-partitioned history table streams its appends (bronze tail over the layout)") {
+    sql("""CREATE TABLE graft_day.db.strm (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_day.db.strm VALUES
+          |(1, TIMESTAMP '2026-08-01 01:00:00'),
+          |(2, TIMESTAMP '2026-08-02 01:00:00')""".stripMargin)
+    val q = spark.readStream.table("graft_day.db.strm")
+      .writeStream.format("memory").queryName("graft_day_strm")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_day_strm").count() == 2)
+      // appended files live under ts_day=N/ subdirs — the manifest-diff
+      // stream must resolve and read them there
+      sql("INSERT INTO graft_day.db.strm VALUES (3, TIMESTAMP '2026-08-03 01:00:00')")
+      q.processAllAvailable()
+      assert(spark.table("graft_day_strm").select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("DESCRIBE TABLE EXTENDED surfaces the layout contract via properties()") {
     val rows = sql("DESCRIBE TABLE EXTENDED graft_day.db.ev").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
