@@ -50,6 +50,25 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
+  /** Resolve `catalog`.`ns.table` to its GraftTable (shared by the
+    * maintenance TVFs).
+    */
+  private def graftTableOf(cat: String, tbl: String): graft.sources.GraftTable = {
+    val s = SparkSession.active
+    val plugin = Bridge.catalogPlugin(s, cat) match {
+      case g: graft.sources.GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"catalog $cat is ${other.getClass.getName}, not a GraftCatalog")
+    }
+    val parts = tbl.split('.')
+    plugin.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.init, parts.last)) match {
+      case t: graft.sources.GraftTable => t
+      case other => throw new IllegalArgumentException(
+        s"$cat.$tbl is ${other.getClass.getName}, not a graft table")
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> columns"),
@@ -155,6 +174,14 @@ object GraftExtensions {
       info("simhash", "simhash(s) - 60-bit md5-vote simhash of a string"),
       (args: Seq[Expression]) =>
         graft.expressions.SimHash(oneArg(args, "simhash"))),
+    ("bitmap_contains",
+      info("bitmap_contains",
+        "bitmap_contains(dv, pos) - membership of a bigint position in a " +
+          "serialized Roaring64 bitmap (deletion-vector probe)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bitmap_contains needs (binary, bigint)")
+        graft.expressions.BitmapContains(args.head, args(1))
+      }),
     // minhash_signature(shingles[, k]) - per-row k-long minhash signature
     ("minhash_signature",
       info("minhash_signature",
@@ -340,6 +367,107 @@ object GraftExtensions {
         }
         import s.implicits._
         Bridge.logicalPlan(rows.toDF("key", "value"))
+      }),
+    // --- CALL-style maintenance procedures, as TVFs (the pattern every
+    // real lakehouse ships: Iceberg CALL rewrite_data_files / Delta
+    // OPTIMIZE / VACUUM / RESTORE). The verb RUNS when the statement is
+    // analyzed and the returned row is its receipt — so a SQL-only
+    // operator can run the whole maintenance playbook:
+    //   SELECT * FROM graft_compact('graft_wh', 'db.t')
+    //   SELECT * FROM graft_vacuum('graft_wh', 'db.t', 2)
+    //   SELECT * FROM graft_restore('graft_wh', 'db.t', 3)
+    //   SELECT * FROM graft_purge('graft_wh', 'db.t', 'id % 10 = 3')
+    //   SELECT * FROM graft_mv_refresh('graft_wh', 'db.t_mv')
+    ("graft_compact",
+      info("graft_compact",
+        "graft_compact(catalog, table[, target_mb]) - compact a graft " +
+          "table's data files (layout-aware: flat/bucketed/time-partitioned); " +
+          "returns (mode, files_before, files_after)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_compact(catalog, 'ns.t'[, target_mb])")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_compact: catalog"),
+          stringArg(args(1), "graft_compact: table"))
+        val (mode, before, after) =
+          if (t.bucketSpec.nonEmpty) {
+            val (b, a) = graft.sources.GraftMaintenance.compactBucketedTable(s, t.dir)
+            ("bucketed", b, a)
+          } else if (t.dayCol.nonEmpty) {
+            val (b, a) = graft.sources.GraftMaintenance.compactDayTable(s, t.dir)
+            ("per-" + t.timeUnit.stripSuffix("s"), b, a)
+          } else {
+            val targetBytes =
+              if (args.length == 3)
+                intArg(args(2), "graft_compact: target_mb").toLong << 20
+              else 128L << 20
+            val (b, a) = graft.sources.GraftMaintenance.compactTable(
+              s, t.dir, targetBytes)
+            ("bulk", b, a)
+          }
+        import s.implicits._
+        Bridge.logicalPlan(Seq((mode, before, after))
+          .toDF("mode", "files_before", "files_after"))
+      }),
+    ("graft_vacuum",
+      info("graft_vacuum",
+        "graft_vacuum(catalog, table, keep_last) - expire old snapshots of " +
+          "a history table; returns (manifests_removed, files_removed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_vacuum(catalog, 'ns.t', keep_last)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_vacuum: catalog"),
+          stringArg(args(1), "graft_vacuum: table"))
+        val (m, f) = graft.sources.GraftMaintenance.vacuum(s, t.dir,
+          intArg(args(2), "graft_vacuum: keep_last"))
+        import s.implicits._
+        Bridge.logicalPlan(Seq((m, f))
+          .toDF("manifests_removed", "files_removed"))
+      }),
+    ("graft_restore",
+      info("graft_restore",
+        "graft_restore(catalog, table, version) - roll a history table " +
+          "back to a snapshot (O(manifest), zero data rewritten); returns " +
+          "(restored_to, new_version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_restore(catalog, 'ns.t', version)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_restore: catalog"),
+          stringArg(args(1), "graft_restore: table"))
+        val target = intArg(args(2), "graft_restore: version").toLong
+        val v = graft.sources.GraftMaintenance.restore(s, t.dir, target)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((target, v)).toDF("restored_to", "new_version"))
+      }),
+    ("graft_purge",
+      info("graft_purge",
+        "graft_purge(catalog, table, condition) - right-to-erasure: DELETE " +
+          "+ DV fold + snapshot expiry, then PROVE erasure by re-reading " +
+          "raw bytes; returns (rows_erased, purged_completely)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_purge(catalog, 'ns.t', condition)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_purge: catalog")
+        val tbl = stringArg(args(1), "graft_purge: table")
+        val cond = stringArg(args(2), "graft_purge: condition")
+        val n = graft.sources.GraftMaintenance.purge(s, cat, tbl, cond)
+        val clean = graft.sources.GraftMaintenance.purgedCompletely(s, cat, tbl, cond)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((n, clean)).toDF("rows_erased", "purged_completely"))
+      }),
+    ("graft_mv_refresh",
+      info("graft_mv_refresh",
+        "graft_mv_refresh(catalog, mv_table) - catch a materialized view " +
+          "up to its base (incremental when the base only appended); " +
+          "returns (mode)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mv_refresh(catalog, 'ns.mv')")
+        val s = SparkSession.active
+        val mode = graft.plans.MatView.refresh(s,
+          stringArg(args.head, "graft_mv_refresh: catalog"),
+          stringArg(args(1), "graft_mv_refresh: mv_table"))
+        import s.implicits._
+        Bridge.logicalPlan(Seq(mode).toDF("mode"))
       }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')

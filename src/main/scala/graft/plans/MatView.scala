@@ -347,10 +347,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     meta.measures.find(m => m.fn == fn && src.forall(_ == m.src) &&
       (src.nonEmpty || m.fn == "count"))
 
-  /** What each original output column maps to on the MV side. */
+  /** What each original output column maps to on the MV side.
+    * `countLike` marks count-family measures, whose re-aggregation must
+    * return 0 (not NULL) on an UNGROUPED aggregate over an empty base —
+    * `SELECT COUNT(*)` over an empty table is 0, but SUM(mv.count) over
+    * the (equally empty) MV is NULL, so the combine is wrapped in
+    * COALESCE(…, 0) when there are no grouping keys.
+    */
   private sealed trait Out
   private case class GroupOut(name: String) extends Out
-  private case class AggOut(mvAlias: String, combine: String) extends Out
+  private case class AggOut(mvAlias: String, combine: String,
+                            countLike: Boolean) extends Out
 
   private def fresh(spark: SparkSession, meta: MvMeta): Boolean =
     try MatView.currentVersion(spark, meta.baseDir) == meta.baseVersion
@@ -390,14 +397,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                     case "min" => "min"
                     case "max" => "max"
                   }
-                  AggOut(m.alias, combine)
+                  AggOut(m.alias, combine,
+                    countLike = fn == "count" || fn == "countnn")
                 }
               }
             case _ => None
           }
           if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
         }
-        outs.filter(_ => fresh(spark, meta)).map(o => build(agg, meta, conds, o))
+        outs.filter(_ => fresh(spark, meta))
+          .map(o => build(agg, meta, conds, groupNames, o))
       }
     }.nextOption()
   }
@@ -409,18 +418,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     })
 
   private def build(agg: Aggregate, meta: MvMeta, conds: Seq[Expression],
-                    outs: Seq[Out]): LogicalPlan = {
+                    groupNames: Seq[String], outs: Seq[Out]): LogicalPlan = {
     val mv0 = spark.table(s"${meta.catalog}.${meta.mvTable}")
     val filtered = conds.foldLeft(mv0)((df, c) => df.where(overMv(c)))
-    val groupCols = outs.collect { case GroupOut(n) => n }.distinct
+    // group by the ORIGINAL grouping keys, never the output-derived ones:
+    // column pruning can strip a grouping key from the aggregate's output
+    // (e.g. `COUNT(*) over (… GROUP BY k)`), and regrouping by the pruned
+    // output would silently collapse distinct-k rows into a global row
+    val groupCols = groupNames.distinct
     val aggCols = outs.zipWithIndex.collect {
-      case (AggOut(alias, combine), i) =>
+      case (AggOut(alias, combine, countLike), i) =>
         val c = col(s"`$alias`")
-        (combine match {
+        val combined = combine match {
           case "sum" => sum(c)
           case "min" => min(c)
           case "max" => max(c)
-        }).as(s"__mv_$i")
+        }
+        // ungrouped COUNT over an empty base must be 0, not SUM-of-nothing
+        (if (countLike && agg.groupingExpressions.isEmpty)
+          coalesce(combined, lit(0L))
+        else combined).as(s"__mv_$i")
     }
     val aggsOrDummy =
       if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).as("__mv_dummy"))
@@ -432,7 +449,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val resultExprs = agg.output.zipWithIndex.map { case (orig, i) =>
       val srcAttr = outs(i) match {
         case GroupOut(n) => byName(n)
-        case AggOut(_, _) => byName(s"__mv_$i")
+        case _: AggOut => byName(s"__mv_$i")
       }
       var e: Expression = srcAttr
       if (e.dataType != orig.dataType) e = Cast(e, orig.dataType)

@@ -1006,6 +1006,140 @@ object Etl {
               |ORDER BY id""".stripMargin)
     },
 
+    // the CHANGE DATA FEED as a metadata table (graft.db.t.changes — the
+    // Iceberg changelog-table shape): row-level insert/delete images per
+    // commit, derived purely from the manifest log. A COW restatement's
+    // images are file-granular (carried-over rows appear as delete+insert
+    // pairs in the SAME commit), so the feed's CONTRACT is that folding
+    // `state ∖ deletes ∪ inserts` per commit reproduces the table exactly
+    // — which is what this query does, after asserting that a compaction
+    // commit contributed ZERO images (multiset-neutral reorganizations
+    // are skipped, not replayed). The oracle replays the final state.
+    "etl_changes_feed" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.cfd")
+      s.sql("""CREATE TABLE graft_wh.mrg.cfd (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cfd_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.cfd
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_cfd_orders WHERE o_orderkey % 4 = 2""".stripMargin)
+      s.sql("DELETE FROM graft_wh.mrg.cfd WHERE id % 16 = 2")
+      s.sql("UPDATE graft_wh.mrg.cfd SET cents = cents + 7 WHERE id % 16 = 6")
+      s.sql("""INSERT INTO graft_wh.mrg.cfd
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_cfd_orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000""".stripMargin)
+      graft.sources.GraftMaintenance.compactTable(s, s"$wh/mrg/cfd")
+      val vCompact = graft.plans.MatView.currentVersion(s, s"$wh/mrg/cfd")
+      val changes = s.table("graft_wh.mrg.cfd.changes")
+      require(changes.where(col("_commit_version") === vCompact).count() == 0,
+        "etl_changes_feed: a compaction commit must contribute no change images")
+      val versions = changes.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(versions.nonEmpty && versions.forall(_ < vCompact))
+      var state = s.table("graft_wh.mrg.cfd").limit(0)
+      versions.foreach { v =>
+        val ofV = changes.where(col("_commit_version") === v)
+        val del = ofV.where(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version")
+        val ins = ofV.where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        state = state.exceptAll(del).unionAll(ins).localCheckpoint(true)
+      }
+      val tbl = s.table("graft_wh.mrg.cfd")
+      require(state.exceptAll(tbl).isEmpty && tbl.exceptAll(state).isEmpty,
+        "etl_changes_feed: folded change images must reproduce the table state")
+      state.orderBy("id")
+    },
+
+    // RESTORE as pure SQL (graft_restore TVF — the CALL-procedure surface
+    // every lakehouse ships): the same rollback as etl_restore, reachable
+    // by a SQL-only operator; the receipt row is asserted in-query and the
+    // restored table hash-matches etl_restore's oracle verbatim.
+    "restore_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.rsq")
+      s.sql("""CREATE TABLE graft_wh.mrg.rsq (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_rsq_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.rsq
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_rsq_orders WHERE o_orderkey % 4 = 1""".stripMargin)
+      s.sql("""UPDATE graft_wh.mrg.rsq
+              |SET status = 'OOPS', cents = -1 WHERE id % 8 = 1""".stripMargin)
+      val receipt = s.sql(
+        "SELECT * FROM graft_restore('graft_wh', 'mrg.rsq', 2)").collect().head
+      require(receipt.getLong(0) == 2L && receipt.getLong(1) == 4L,
+        s"restore_sql_surface: unexpected receipt $receipt")
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.rsq ORDER BY id")
+    },
+
+    // OPTIMIZE as pure SQL (graft_compact TVF): three append commits shed
+    // small files, one SQL statement folds them (history commit marked
+    // `compact`, so streams skip it as a no-op), and the table reads back
+    // unchanged — file-count receipt asserted in-query, values oracled.
+    "compact_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.cpq")
+      s.sql("""CREATE TABLE graft_wh.mrg.cpq (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cpq_orders")
+      for (m <- 0 until 3)
+        s.sql(s"""INSERT INTO graft_wh.mrg.cpq
+                 |SELECT o_orderkey, o_orderstatus,
+                 |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                 |FROM graft_cpq_orders WHERE o_orderkey % 3 = $m""".stripMargin)
+      val receipt = s.sql(
+        "SELECT * FROM graft_compact('graft_wh', 'mrg.cpq')").collect().head
+      require(receipt.getString(0) == "bulk" &&
+        receipt.getInt(1) > receipt.getInt(2),
+        s"compact_sql_surface: expected a shrinking bulk compaction, got $receipt")
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.cpq ORDER BY id")
+    },
+
+    // PURGE as pure SQL (graft_purge TVF): the right-to-erasure verb with
+    // its PROOF in the receipt — rows_erased and the raw-bytes re-read
+    // check, then the surviving table hash-matches etl_purge's oracle.
+    "purge_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.pgq")
+      s.sql("""CREATE TABLE graft_wh.mrg.pgq (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_pgq_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.pgq
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_pgq_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_wh.mrg.pgq
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_pgq_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      val receipt = s.sql(
+        "SELECT * FROM graft_purge('graft_wh', 'mrg.pgq', 'id % 10 = 3')")
+        .collect().head
+      require(receipt.getLong(0) > 0L && receipt.getBoolean(1),
+        s"purge_sql_surface: erasure receipt must prove completion, got $receipt")
+      s.sql("SELECT id, status, cents FROM graft_wh.mrg.pgq ORDER BY id")
+    },
+
     // the one-object-per-asset ingest path (how a 100 TB image/audio
     // corpus actually lands): assets written as individual files, read
     // back through Spark's binaryFile source — content as bytes, asset id
@@ -1572,6 +1706,33 @@ object Etl {
         |) AS t(key, value) ORDER BY key""".stripMargin,
 
     "etl_purge" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |ORDER BY id""".stripMargin,
+
+    "etl_changes_feed" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   + CASE WHEN o_orderkey % 16 = 6 THEN 7 ELSE 0 END AS cents
+        |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 16 <> 2
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey < 8000
+        |ORDER BY id""".stripMargin,
+
+    "restore_sql_surface" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |ORDER BY id""".stripMargin,
+
+    "compact_sql_surface" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY id""".stripMargin,
+
+    "purge_sql_surface" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 10 <> 3

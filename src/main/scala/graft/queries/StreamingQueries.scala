@@ -248,6 +248,68 @@ object StreamingQueries {
       s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft_wh.mrg.scu ORDER BY c_custkey")
     },
 
+    // tailing a table that receives MERGEs — the thing the plain append
+    // source must refuse: a stream over the CHANGE FEED metadata table
+    // (graft.db.t.changes) consumes row-level insert/delete images per
+    // commit (offsets = manifest versions) while the table takes an
+    // INSERT, a COW MERGE and a DELETE; folding `state ∖ deletes ∪
+    // inserts` per commit inside foreachBatch must land exactly on the
+    // table's final state (asserted in-query both directions; the oracle
+    // replays the merge arithmetic). This is the flagship lakehouse loop
+    // closed: stream_catalog_upsert WRITES merges, this reads them back
+    // incrementally.
+    "stream_catalog_cdf" -> { (s, dir) =>
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.cdfs")
+      s.sql("""CREATE TABLE graft_wh.mrg.cdfs (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cdfs_orders")
+      @volatile var state: DataFrame = s.table("graft_wh.mrg.cdfs").limit(0)
+      val q = withFewPartitions(s) {
+        s.readStream.table("graft_wh.mrg.cdfs.changes")
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            val versions = batch.select("_commit_version").distinct()
+              .collect().map(_.getLong(0)).sorted
+            versions.foreach { v =>
+              val ofV = batch.where(col("_commit_version") === v)
+              val del = ofV.where(col("_change_type") === "delete")
+                .drop("_change_type", "_commit_version")
+              val ins = ofV.where(col("_change_type") === "insert")
+                .drop("_change_type", "_commit_version")
+              state = state.exceptAll(del).unionAll(ins).localCheckpoint(true)
+            }
+            batch.unpersist()
+            ()
+          }.start()
+      }
+      try {
+        s.sql("""INSERT INTO graft_wh.mrg.cdfs
+                |SELECT o_orderkey, o_orderstatus,
+                |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                |FROM graft_cdfs_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        q.processAllAvailable()
+        s.sql("""MERGE INTO graft_wh.mrg.cdfs t
+                |USING (SELECT o_orderkey AS id,
+                |              CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+                |       FROM graft_cdfs_orders WHERE o_orderkey % 5 = 0) c
+                |ON t.id = c.id
+                |WHEN MATCHED THEN UPDATE SET status = 'S', cents = c.cents
+                |WHEN NOT MATCHED THEN INSERT (id, status, cents)
+                |  VALUES (c.id, 'N', c.cents)""".stripMargin)
+        q.processAllAvailable()
+        s.sql("DELETE FROM graft_wh.mrg.cdfs WHERE id % 7 = 0")
+        q.processAllAvailable()
+      } finally q.stop()
+      val tbl = s.sql("SELECT id, status, cents FROM graft_wh.mrg.cdfs")
+      require(state.exceptAll(tbl).isEmpty && tbl.exceptAll(state).isEmpty,
+        "stream_catalog_cdf: streamed change images must fold to the table state")
+      state.orderBy("id")
+    },
+
     // streaming append into a BUCKETED catalog table: three micro-batches
     // land through the catalog writer (bucket routing + per-file key sort
     // per batch), and the final read joins a co-bucketed dim — the
@@ -1360,6 +1422,24 @@ object StreamingQueries {
       """SELECT event_id, user_id FROM events
         |WHERE event_id % 5 = 0 AND event_id < 25000
         |ORDER BY event_id""".stripMargin,
+
+    "stream_catalog_cdf" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey AS id,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        | FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        | SELECT b.id,
+        |  CASE WHEN c.id IS NOT NULL THEN 'S' ELSE b.status END AS status,
+        |  CASE WHEN c.id IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+        | FROM base b LEFT JOIN chg c ON b.id = c.id
+        | UNION ALL
+        | SELECT c.id, 'N', c.cents FROM chg c LEFT JOIN base b ON c.id = b.id
+        | WHERE b.id IS NULL)
+        |SELECT id, status, cents FROM merged WHERE id % 7 <> 0
+        |ORDER BY id""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,

@@ -145,7 +145,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) {
+      // Iceberg-style metadata table: `db.t.changes` is the CHANGELOG of
+      // history table `db.t` — row-level change images (insert/delete +
+      // commit version) derived from the manifest log, batch- and
+      // stream-readable. Resolved here so plain SQL reaches it:
+      //   SELECT * FROM graft.db.t.changes
+      //   spark.readStream.table("graft.db.t.changes")
+      if (ident.name() == GraftChanges.Suffix && ident.namespace().nonEmpty) {
+        val baseIdent = Identifier.of(
+          ident.namespace().init, ident.namespace().last)
+        val bdir = tableDir(baseIdent)
+        if (isTableDir(bdir) && isHistory(bdir))
+          return new GraftChangesTable(
+            loadTable(baseIdent).asInstanceOf[GraftTable])
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
       mor = isMor(dir), partitionCols = partCols(dir),
       bucketSpec = bucketSpec(dir), checks = checksOf(dir),
@@ -168,10 +184,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(GraftTable.manifestPath(dir, v)))
       throw new IllegalArgumentException(
         s"$ident has no version $v (have: ${GraftTable.manifestVersions(fs, dir).mkString(", ")})")
-    new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir),
-      bucketSpec = bucketSpec(dir))
+    pinnedTable(ident, dir, v)
   }
+
+  /** A pinned (time-travel) load carries the SAME layout spec as the
+    * unpinned one — dropping dayCol/timeUnit here would silently lose
+    * hidden-partition pruning on `VERSION AS OF` reads of a days() table
+    * (correct answers, full-scan plans), and dropping mor/checks would
+    * mis-read a merge-on-read history snapshot.
+    */
+  private def pinnedTable(ident: Identifier, dir: Path, v: Long): GraftTable =
+    new GraftTable(ident.toString, dir.toString, readSchema(dir),
+      history = true, pinnedVersion = Some(v), mor = isMor(dir),
+      partitionCols = partCols(dir), bucketSpec = bucketSpec(dir),
+      checks = checksOf(dir), dayCol = dayColOf(dir),
+      timeUnit = timeUnitOf(dir))
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -190,9 +217,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getModificationTime <= tsMillis)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"$ident has no snapshot at or before timestamp $tsMillis ms"))
-    new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v), partitionCols = partCols(dir),
-      bucketSpec = bucketSpec(dir))
+    pinnedTable(ident, dir, v)
   }
 
   /** Snapshot log of a history table: (version, commit millis, data-file
@@ -591,6 +616,11 @@ object GraftTable {
   // --- snapshot manifests (history tables) ---
   // One newline-separated list of data-file NAMES per version; the
   // exclusive create of the next manifest is the atomic commit point.
+  // A line may carry a TAB-separated deletion-vector sidecar name after
+  // the data file (merge-on-read history tables): DVs are then VERSIONED
+  // like data files — each delta commit writes a fresh merged sidecar and
+  // re-points the entry, so past snapshots keep their own delete state
+  // and time travel resurrects deleted rows exactly.
   private val ManifestRe = """_graft_manifest_(\d+)\.txt""".r
 
   def manifestPath(dir: Path, v: Long): Path =
@@ -602,13 +632,25 @@ object GraftTable {
       case _ => None
     }).sorted
 
-  def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
+  /** Manifest entries of version `v`: (absolute data file, optional
+    * absolute deletion-vector sidecar).
+    */
+  def readEntries(fs: FileSystem, dir: Path, v: Long): Seq[(String, Option[String])] = {
     val in = fs.open(manifestPath(dir, v))
-    val names =
+    val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    names.filter(_.nonEmpty).map(n => new Path(dir, n).toString)
+    lines.filter(_.nonEmpty).map { l =>
+      l.split("\t", 2) match {
+        case Array(f, dv) if dv.nonEmpty =>
+          (new Path(dir, f).toString, Some(new Path(dir, dv).toString))
+        case _ => (new Path(dir, l.split("\t", 2).head).toString, None)
+      }
+    }
   }
+
+  def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] =
+    readEntries(fs, dir, v).map(_._1)
 
   /** Exclusive create: a concurrent committer racing to the same version
     * fails LOUDLY here instead of silently clobbering the snapshot — the
@@ -620,10 +662,18 @@ object GraftTable {
     * go to a temp file and a hard LINK into place is the commit — POSIX
     * `link(2)` fails with EEXIST atomically.
     */
-  def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit = {
+  def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit =
+    writeEntries(fs, dir, v, files.map(_ -> None))
+
+  def writeEntries(fs: FileSystem, dir: Path, v: Long,
+                   entries: Seq[(String, Option[String])]): Unit = {
     // entries are dir-relative (plain names for flat tables, col=value/
-    // subpaths for partitioned ones)
-    val bytes = files.map(f => relativize(dir, new Path(f)))
+    // subpaths for partitioned ones); DV sidecars live at the root
+    val bytes = entries
+      .map { case (f, dv) =>
+        relativize(dir, new Path(f)) +
+          dv.map(d => "\t" + relativize(dir, new Path(d))).getOrElse("")
+      }
       .sorted.mkString("\n").getBytes("UTF-8")
     val target = manifestPath(dir, v)
     if (fs.getScheme == "file") {
@@ -655,9 +705,13 @@ object GraftTable {
     var attempt = 0
     while (true) {
       val v = manifestVersions(fs, dir).lastOption.getOrElse(0L)
-      val old = if (v == 0L) Nil else readManifest(fs, dir, v)
+      val oldEntries = if (v == 0L) Nil else readEntries(fs, dir, v)
+      // the file-list update function preserves the DV annotation of every
+      // surviving file (additive updates never touch delete state)
+      val oldDv = oldEntries.toMap
       try {
-        writeManifest(fs, dir, v + 1, update(old))
+        writeEntries(fs, dir, v + 1,
+          update(oldEntries.map(_._1)).map(f => f -> oldDv.getOrElse(f, None)))
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -669,6 +723,39 @@ object GraftTable {
       }
     }
     -1L // unreachable
+  }
+
+  // --- commit-kind markers ---
+  // `_graft_commit_<v>.txt` records WHAT a commit was (append / replace /
+  // overwrite / delta / compact / restore), written right after the
+  // manifest's atomic create. Pure observability plus one load-bearing
+  // bit: `compact` marks a commit as a row-multiset-NEUTRAL
+  // reorganization, which is what lets streaming readers skip it instead
+  // of failing (append tail) or re-emitting the whole table (change
+  // feed). The marker is written after the commit point, so a reader may
+  // briefly see a manifest without one — every consumer treats a missing
+  // marker conservatively (unknown ≠ compact).
+  val KindAppend = "append"
+  val KindReplace = "replace"
+  val KindOverwrite = "overwrite"
+  val KindDelta = "delta"
+  val KindCompact = "compact"
+  val KindRestore = "restore"
+
+  def commitKindPath(dir: Path, v: Long): Path =
+    new Path(dir, f"_graft_commit_$v%08d.txt")
+
+  def writeCommitKind(fs: FileSystem, dir: Path, v: Long, kind: String): Unit = {
+    val out = fs.create(commitKindPath(dir, v), true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readCommitKind(fs: FileSystem, dir: Path, v: Long): Option[String] = {
+    val p = commitKindPath(dir, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    finally in.close()
   }
 }
 
@@ -1331,7 +1418,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
                            tableDir: String, partFields: Seq[StructField],
                            pushedFilters: Array[org.apache.spark.sql.sources.Filter],
                            file: String, dv: Option[String],
-                           conf: SerializableHadoopConf)
+                           conf: SerializableHadoopConf,
+                           keepOnly: Option[org.roaringbitmap.longlong.Roaring64Bitmap] = None)
   extends PartitionReader[InternalRow] {
 
   private val partNames = partFields.map(_.name)
@@ -1365,10 +1453,13 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
   private var pos: Long = -1L
   private var row: InternalRow = _
 
+  private val keep: org.roaringbitmap.longlong.Roaring64Bitmap = keepOnly.orNull
+
   override def next(): Boolean = {
     var r = reader.read()
     pos += 1
-    while (r != null && deleted != null && deleted.contains(pos)) {
+    while (r != null && ((deleted != null && deleted.contains(pos)) ||
+        (keep != null && !keep.contains(pos)))) {
       r = reader.read()
       pos += 1
     }
@@ -1548,18 +1639,23 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // file list was derived from a snapshot a racing commit just made
       // stale — blind retry there is the lost-update bug.
       val landed: Seq[String] = staged.toSeq.map(f => land(f).toString)
-      if (!truncateAll && replaceFiles.isEmpty)
-        GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
-      else {
+      if (!truncateAll && replaceFiles.isEmpty) {
+        val cv = GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
+        GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend)
+      } else {
         val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
-        val old = if (v == 0L) Nil else GraftTable.readManifest(fs, dir, v)
-        val newList =
-          if (truncateAll) landed
+        val old = if (v == 0L) Nil else GraftTable.readEntries(fs, dir, v)
+        val newList: Seq[(String, Option[String])] =
+          if (truncateAll) landed.map(_ -> None)
           else {
+            // surviving files keep their DV annotation; replaced ones drop
             val affected = replaceFiles.get().map(new Path(_).getName).toSet
-            old.filterNot(x => affected.contains(new Path(x).getName)) ++ landed
+            old.filterNot { case (x, _) => affected.contains(new Path(x).getName) } ++
+              landed.map(_ -> None)
           }
-        GraftTable.writeManifest(fs, dir, v + 1, newList)
+        GraftTable.writeEntries(fs, dir, v + 1, newList)
+        GraftTable.writeCommitKind(fs, dir, v + 1,
+          if (truncateAll) GraftTable.KindOverwrite else GraftTable.KindReplace)
       }
     } else {
       // eager commit: delete-then-rename — replaced groups (row-level) or

@@ -102,6 +102,7 @@ object GraftMaintenance {
       }
       val v = GraftTable.manifestVersions(fs, dir).last
       GraftTable.writeManifest(fs, dir, v + 1, landed)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
     } else {
       files.foreach(f => fs.delete(new Path(f), false))
       staged.foreach(p => fs.rename(p, new Path(dir, p.getName)))
@@ -165,6 +166,7 @@ object GraftMaintenance {
         landed.map(_._2._2.toString)
       val v = GraftTable.manifestVersions(fs, dir).last
       GraftTable.writeManifest(fs, dir, v + 1, keep)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
@@ -225,6 +227,7 @@ object GraftMaintenance {
         landed.map(_._2.toString)
       val v = GraftTable.manifestVersions(fs, dir).last
       GraftTable.writeManifest(fs, dir, v + 1, keep)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
@@ -236,13 +239,19 @@ object GraftMaintenance {
   /** Fold merge-on-read deletion vectors into their data files: each file
     * with a sidecar is rewritten without its deleted positions and the
     * sidecar removed — after this the directory is again directly readable
-    * as plain parquet. Per-file rewrite jobs (parquet's `_metadata
-    * .row_index` supplies the physical position; the DV rides a broadcast
-    * anti-join, no UDF); files without sidecars are untouched. This is the
+    * as plain parquet. ONE distributed job rewrites every DV'd file: the
+    * SERIALIZED bitmaps ride a broadcast join keyed by file name (a few KB
+    * per file — never a driver-side expansion to a position list, which at
+    * a 10⁸-position DV would box 10⁸ Longs on the driver), and each task
+    * filters with the native codegen'd `bitmap_contains(dv,
+    * _metadata.row_index)` probe against a per-executor bitmap cache.
+    * `partitionBy` on the source file name preserves file boundaries, so
+    * each rewritten file keeps its original name (external references stay
+    * valid); files without sidecars are untouched. This is the
     * read-amplification dial of the MOR trade: run it when a file's DV
     * density crosses the point where bitmap probes cost more than one
     * rewrite (Delta's OPTIMIZE / Iceberg's rewrite_position_deletes).
-    * Returns the number of files rewritten.
+    * Returns the number of sidecars folded.
     */
   def materializeDeletes(spark: SparkSession, tableDir: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -254,34 +263,54 @@ object GraftMaintenance {
     // keyed by (uuid-unique) file name
     val byName = GraftTable.dataFiles(fs, dir)
       .map(f => new Path(f).getName -> new Path(f)).toMap
-    dvs.foreach { st =>
-      val dataName = GraftDv.dataFileName(st.getPath.getName)
-      val dataPath = byName.getOrElse(dataName, new Path(dir, dataName))
-      if (fs.exists(dataPath)) {
-        val bm = GraftDv.read(fs, st.getPath)
-        val positions = {
-          val it = bm.getLongIterator
-          val b = Seq.newBuilder[java.lang.Long]
-          while (it.hasNext) b += it.next()
-          b.result()
-        }
-        import scala.jdk.CollectionConverters._
-        val posDf = spark.createDataFrame(
-          positions.map(org.apache.spark.sql.Row(_)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__pos",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        val kept = spark.read.parquet(dataPath.toString)
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(broadcast(posDf), Seq("__pos"), "left_anti")
-          .drop("__pos")
-        val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
-        withMicrosTimestamps(spark) {
-          kept.write.mode("overwrite").parquet(staging.toString)
-        }
-        val staged = fs.listStatus(staging).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
+    // orphan sidecars (data file already gone) are just removed below
+    val pairs: Seq[(Path, Path)] = dvs.flatMap { st =>
+      byName.get(GraftDv.dataFileName(st.getPath.getName)).map(_ -> st.getPath)
+    }
+    if (pairs.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val NameCol = "__graft_dv_name"
+      val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(NameCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__graft_dv",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))
+      val dvDf = spark.createDataFrame(
+        pairs.map { case (data, dv) =>
+          val bytes = {
+            val in = fs.open(dv)
+            val bos = new java.io.ByteArrayOutputStream()
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 << 10)
+            finally in.close()
+            bos.toByteArray
+          }
+          org.apache.spark.sql.Row(data.getName, bytes)
+        }.asJava, dvSchema)
+      val alive = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Not(
+          graft.expressions.BitmapContains(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_dv"),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_pos"))))
+      val kept = spark.read.parquet(pairs.map(_._1.toString): _*)
+        .withColumn(NameCol, col("_metadata.file_name"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(broadcast(dvDf), Seq(NameCol))
+        .where(alive)
+        .drop("__graft_dv", "__graft_pos")
+      val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
+      withMicrosTimestamps(spark) {
+        kept.write.partitionBy(NameCol).mode("overwrite")
+          .parquet(staging.toString)
+      }
+      pairs.foreach { case (dataPath, _) =>
+        val dataName = dataPath.getName
+        val stagedDir = new Path(staging,
+          s"$NameCol=${GraftTable.escapeSeg(dataName)}")
+        val staged =
+          if (!fs.exists(stagedDir)) Nil // every row deleted → empty file set
+          else fs.listStatus(stagedDir).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).sortBy(_.getName)
         fs.delete(dataPath, false)
         // keep the original name for the first staged part so external
         // references stay valid; extra parts (rare: a huge file split by
@@ -292,10 +321,10 @@ object GraftMaintenance {
               s"${dataName.stripSuffix(".parquet")}-m$i.parquet")
           fs.rename(p, tgt)
         }
-        fs.delete(staging, true)
       }
-      fs.delete(st.getPath, false)
+      fs.delete(staging, true)
     }
+    dvs.foreach(st => fs.delete(st.getPath, false))
     dvs.size
   }
 
@@ -318,9 +347,11 @@ object GraftMaintenance {
     require(versions.contains(version),
       s"restore: version $version not in ${versions.mkString("[", ",", "]")}" +
         " (vacuumed or never committed)")
-    val files = GraftTable.readManifest(fs, dir, version)
     val next = versions.last + 1
-    GraftTable.writeManifest(fs, dir, next, files)
+    // restore the ENTRIES (files + their deletion-vector state), so a
+    // merge-on-read table rolls back its delete state too
+    GraftTable.writeEntries(fs, dir, next, GraftTable.readEntries(fs, dir, version))
+    GraftTable.writeCommitKind(fs, dir, next, GraftTable.KindRestore)
     next
   }
 
@@ -344,7 +375,10 @@ object GraftMaintenance {
     val orphans = GraftTable.dataFiles(fs, dir)
       .filterNot(f => referenced.contains(new Path(f).getName))
     orphans.foreach(f => fs.delete(new Path(f), false))
-    expire.foreach(v => fs.delete(GraftTable.manifestPath(dir, v), false))
+    expire.foreach { v =>
+      fs.delete(GraftTable.manifestPath(dir, v), false)
+      fs.delete(GraftTable.commitKindPath(dir, v), false)
+    }
     (expire.size, orphans.size)
   }
 

@@ -58,23 +58,44 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
 
+  /** Per-COMMIT iteration (not an endpoint diff): each commit in
+    * `(start, end]` is judged on its own. A commit MARKED `compact` is a
+    * row-multiset-neutral reorganization — its rewritten files hold rows
+    * this stream already emitted, so the whole commit is SKIPPED (the
+    * compaction-breaks-the-tail failure mode is gone). Any OTHER commit
+    * that removes files still fails loudly: re-emitting rewritten files
+    * would double-count rows, and real change capture lives in the
+    * `.changes` table, which the error now points at.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
-    val before = GraftTable.readManifest(fs, dir, s)
+    val vs = versions
+    val pairs = vs.zip(vs.tail).filter { case (_, v) => v > s && v <= e }
+    // files already delivered (or skipped as reorganizations) so far —
+    // a skipped compaction's outputs must never be re-emitted by a later
+    // append commit's diff
+    var seen = GraftTable.readManifest(fs, dir, s)
       .map(f => new Path(f).getName).toSet
-    val after = GraftTable.readManifest(fs, dir, e)
-    val afterNames = after.map(f => new Path(f).getName).toSet
-    val removed = before -- afterNames
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"streaming read of ${table.name()}: commit range ($s, $e] removed " +
-        s"files ${removed.toSeq.sorted.take(3).mkString(", ")}… — only " +
-        "append commits are streamable (copy-on-write rewrites need " +
-        "change-data capture); stream from append-only tables or restart " +
-        "from the current snapshot")
-    after.filterNot(f => before.contains(new Path(f).getName))
-      .map(GraftFilePartition(_)).toArray
+    pairs.flatMap { case (_, v) =>
+      val after = GraftTable.readManifest(fs, dir, v)
+      val afterNames = after.map(f => new Path(f).getName).toSet
+      if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact)) {
+        seen = afterNames // outputs cover already-emitted rows: skip them
+        Nil
+      } else {
+        val removed = seen -- afterNames
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"streaming read of ${table.name()}: commit $v removed files " +
+            s"${removed.toSeq.sorted.take(3).mkString(", ")}… — only append " +
+            "commits are streamable here (compactions are skipped as no-ops); " +
+            s"for rewrites, tail the change feed: ${table.name()}.changes")
+        val added = after.filterNot(f => seen.contains(new Path(f).getName))
+        seen = afterNames
+        added.map(GraftFilePartition(_))
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -196,6 +196,45 @@ class MatViewSpec extends SparkSpec {
       .toSeq == Seq(("EU", 140L, 2L), ("US", 250L, 1L)))
   }
 
+  test("ungrouped COUNT over an EMPTY base is 0 through the rewrite, not NULL") {
+    sql("DROP TABLE IF EXISTS graft_mv.db.empty")
+    sql("""CREATE TABLE graft_mv.db.empty (k STRING, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    MatView.create(spark, "graft_mv", "db.empty", "db.empty_mv", Seq("k"),
+      Seq(MatView.Measure("n", "count", ""),
+        MatView.Measure("nv", "countnn", "v"),
+        MatView.Measure("sv", "sum", "v")))
+    val q = spark.table("graft_mv.db.empty")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        sum(col("v")).as("sv"))
+    assert(scansMv(q, "empty_mv"), "the global aggregate should rewrite to the MV")
+    val r = q.collect().head
+    // COUNT over an empty base is 0; SUM stays NULL (both match the base scan)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+    // grouped aggregates over the empty base return zero rows either way
+    val grouped = spark.table("graft_mv.db.empty")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(scansMv(grouped, "empty_mv") && grouped.count() == 0)
+    MatView.clearRegistry()
+  }
+
+  test("COUNT over a grouped subquery (grouping keys pruned from output) stays per-group") {
+    freshMeta()
+    // Dataset.count() over a groupBy prunes every aggregate output — the
+    // inner Aggregate keeps its grouping keys with NO output column, and
+    // the rewrite must still group by them (a global regroup would return
+    // 1 instead of the distinct-key count)
+    val perRegion = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(sum(col("qty")).as("sq"))
+    assert(scansMv(perRegion, "sales_mv"))
+    val rewritten = perRegion.count()
+    MatView.clearRegistry()
+    val base = spark.table("graft_mv.db.sales")
+      .groupBy(col("region")).agg(sum(col("qty")).as("sq")).count()
+    assert(rewritten == base && base > 1,
+      s"rewritten distinct-group count $rewritten must equal base $base")
+  }
+
   test("registration survives a registry wipe via persisted table properties") {
     freshMeta()
     MatView.clearRegistry()

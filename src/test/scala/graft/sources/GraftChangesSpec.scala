@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The change-data feed (`graft.db.t.changes` metadata table): row-level
+  * insert/delete images derived from the manifest log. Contract under
+  * test: (1) folding `state ∖ deletes ∪ inserts` per commit reproduces
+  * every table state; (2) append commits contribute EXACT insert images;
+  * (3) compaction commits are skipped as multiset-neutral reorganizations
+  * — by the change feed AND by the plain append stream source; (4) the
+  * feed is streamable with manifest-version offsets.
+  */
+class GraftChangesSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_cdf_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft_cdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdf.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cdf.db")
+  }
+
+  private def foldTo(changes: DataFrame, zero: DataFrame): DataFrame = {
+    val versions = changes.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foldLeft(zero) { (state, v) =>
+      val ofV = changes.where(col("_commit_version") === v)
+      state.exceptAll(ofV.where(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version"))
+        .unionAll(ofV.where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version"))
+        .localCheckpoint(true)
+    }
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("append commits yield exact insert images; COW rewrites fold to state") {
+    sql("""CREATE TABLE graft_cdf.db.t (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.t SELECT id, id * 10 FROM range(0, 100)") // v2
+    val afterInsert = spark.table("graft_cdf.db.t.changes")
+    // a pure append's images ARE the appended rows, all inserts at v2
+    assert(afterInsert.where(col("_change_type") =!= "insert").count() == 0)
+    assert(sameRows(
+      afterInsert.drop("_change_type", "_commit_version"),
+      spark.range(0, 100).selectExpr("id", "id * 10 AS v")))
+    assert(afterInsert.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    sql("DELETE FROM graft_cdf.db.t WHERE id % 3 = 0") // v3, COW rewrite
+    sql("UPDATE graft_cdf.db.t SET v = v + 1 WHERE id % 10 = 1") // v4
+    val changes = spark.table("graft_cdf.db.t.changes")
+    // COW images are file-granular but must FOLD exactly to the table
+    val folded = foldTo(changes, spark.table("graft_cdf.db.t").limit(0))
+    assert(sameRows(folded, spark.table("graft_cdf.db.t")))
+    // and the delete commit's NET effect is exactly the deleted keys
+    val v3 = changes.where(col("_commit_version") === 3)
+    val net = v3.where(col("_change_type") === "delete")
+      .drop("_change_type", "_commit_version")
+      .exceptAll(v3.where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
+    assert(sameRows(net,
+      spark.range(0, 100).where(col("id") % 3 === 0)
+        .selectExpr("id", "id * 10 AS v")))
+  }
+
+  test("compaction commits contribute nothing: change feed AND append tail skip them") {
+    sql("""CREATE TABLE graft_cdf.db.c (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.c SELECT id, id FROM range(0, 50)")
+    sql("INSERT INTO graft_cdf.db.c SELECT id, id FROM range(50, 100)")
+    val dir = s"$warehouse/db/c"
+    val (before, after) = GraftMaintenance.compactTable(spark, dir)
+    assert(before > after, s"compaction should fold files ($before -> $after)")
+    val vCompact = graft.plans.MatView.currentVersion(spark, dir)
+    val changes = spark.table("graft_cdf.db.c.changes")
+    assert(changes.where(col("_commit_version") === vCompact).count() == 0,
+      "a compact-marked commit must emit zero change images")
+    assert(changes.where(col("_change_type") === "delete").count() == 0)
+    assert(sameRows(changes.drop("_change_type", "_commit_version"),
+      spark.table("graft_cdf.db.c")))
+
+    // the plain append tail consumes BOTH inserts across the compaction
+    // without failing and without double-delivery
+    val sink = "graft_cdf_skip_sink"
+    val q = spark.readStream.table("graft_cdf.db.c")
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      sql("INSERT INTO graft_cdf.db.c SELECT id, id FROM range(100, 120)")
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table(sink).collect().head
+    assert(r.getLong(0) == 120L && r.getLong(1) == (0L until 120L).sum,
+      s"append tail across a compaction must deliver each row once, got $r")
+  }
+
+  test("the change feed is streamable: a MERGEd table tails to its own state") {
+    sql("""CREATE TABLE graft_cdf.db.m (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    @volatile var state: DataFrame = spark.table("graft_cdf.db.m").limit(0)
+    val q = spark.readStream.table("graft_cdf.db.m.changes")
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        state = foldTo(batch, state)
+        batch.unpersist()
+        ()
+      }.start()
+    try {
+      sql("INSERT INTO graft_cdf.db.m SELECT id, id FROM range(0, 40)")
+      q.processAllAvailable()
+      sql("""MERGE INTO graft_cdf.db.m t
+            |USING (SELECT id, id * 100 AS v FROM range(20, 60)) c
+            |ON t.id = c.id
+            |WHEN MATCHED THEN UPDATE SET v = c.v
+            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (c.id, c.v)""".stripMargin)
+      q.processAllAvailable()
+      sql("DELETE FROM graft_cdf.db.m WHERE id % 4 = 2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sameRows(state, spark.table("graft_cdf.db.m")),
+      "streamed change images must fold to the table's final state")
+    assert(state.count() > 0)
+  }
+
+  test("restore commits feed restatement images; vacuum moves the baseline") {
+    sql("""CREATE TABLE graft_cdf.db.r (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.r SELECT id, id FROM range(0, 30)") // v2
+    sql("UPDATE graft_cdf.db.r SET v = -1 WHERE id < 10") // v3 (the mistake)
+    GraftMaintenance.restore(spark, s"$warehouse/db/r", 2L) // v4
+    val changes = spark.table("graft_cdf.db.r.changes")
+    val folded = foldTo(changes, spark.table("graft_cdf.db.r").limit(0))
+    assert(sameRows(folded, spark.table("graft_cdf.db.r")),
+      "a restore commit's images must restate the rollback")
+    assert(sameRows(folded, spark.range(0, 30).selectExpr("id", "id AS v")))
+
+    GraftMaintenance.vacuum(spark, s"$warehouse/db/r", keepLast = 1)
+    // earliest retained snapshot becomes the baseline: no images remain
+    assert(spark.table("graft_cdf.db.r.changes").count() == 0)
+    // and the table itself still reads
+    assert(spark.table("graft_cdf.db.r").count() == 30)
+  }
+
+  test("changes table resolves only for history tables; schema is base + meta") {
+    sql("CREATE TABLE graft_cdf.db.plain (id BIGINT)")
+    val e = intercept[Exception](spark.table("graft_cdf.db.plain.changes").collect())
+    assert(e.getMessage.toLowerCase.contains("not") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    val sch = spark.table("graft_cdf.db.t.changes").schema
+    assert(sch.fieldNames.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    // column pruning through the feed: a meta-only projection runs
+    val counts = spark.table("graft_cdf.db.t.changes")
+      .groupBy("_change_type").count().collect()
+    assert(counts.nonEmpty)
+  }
+}

@@ -105,6 +105,27 @@ class GraftDayPartitionSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("VERSION AS OF keeps hidden-day pruning (pinned loads carry the layout)") {
+    sql("""CREATE TABLE graft_day.db.tt (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_day.db.tt VALUES
+          |(1, TIMESTAMP '2026-08-01 06:00:00'),
+          |(2, TIMESTAMP '2026-08-02 06:00:00'),
+          |(3, TIMESTAMP '2026-08-03 06:00:00')""".stripMargin) // v2
+    sql("INSERT INTO graft_day.db.tt VALUES (4, TIMESTAMP '2026-08-04 06:00:00')") // v3
+    val pinned = sql("SELECT * FROM graft_day.db.tt VERSION AS OF 2")
+      .where(col("ts") >= lit("2026-08-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-08-03 00:00:00").cast("timestamp"))
+    assert(planned(pinned) == 1,
+      "a one-day range over a pinned snapshot must plan exactly one day dir")
+    assert(pinned.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // and the pinned read still excludes the post-snapshot day entirely
+    val late = sql("SELECT * FROM graft_day.db.tt VERSION AS OF 2")
+      .where(col("ts") >= lit("2026-08-04 00:00:00").cast("timestamp"))
+    assert(late.count() == 0)
+  }
+
   test("per-day compaction folds each day to one file, layout and pruning intact") {
     sql("""CREATE TABLE graft_day.db.cmp (id BIGINT, ts TIMESTAMP)
           |PARTITIONED BY (days(ts))""".stripMargin)

@@ -188,6 +188,46 @@ class GraftMorSpec extends SparkSpec {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("materializeDeletes folds a dense DV in ONE job, off the driver") {
+    sql("DROP TABLE IF EXISTS graft_mor.db.dense")
+    sql("""CREATE TABLE graft_mor.db.dense (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
+    // two data files; the first takes a dense (10^5-position) DV — the
+    // serialized-bitmap broadcast path must fold it without ever building
+    // a driver-side position list
+    spark.range(0, 200000).selectExpr("id", "id * 3 AS v")
+      .coalesce(1).writeTo("graft_mor.db.dense").append()
+    spark.range(200000, 200100).selectExpr("id", "id * 3 AS v")
+      .coalesce(1).writeTo("graft_mor.db.dense").append()
+    sql("DELETE FROM graft_mor.db.dense WHERE id < 200000 AND id % 2 = 0")
+    assert(dvFiles("dense").size == 1)
+    val before = dataFiles("dense")
+    val folded = GraftMaintenance.materializeDeletes(spark, dir("dense").getPath)
+    assert(folded == 1 && dvFiles("dense").isEmpty)
+    // the rewritten file keeps its original name; the untouched file its bytes
+    val after = dataFiles("dense")
+    assert(after.keySet == before.keySet,
+      s"file names must survive the fold: $before -> $after")
+    assert(sql("SELECT count(*), sum(v) FROM graft_mor.db.dense").collect()
+      .head.toSeq == Seq(100100L,
+        (0L until 200000L).filter(_ % 2 == 1).map(_ * 3).sum +
+          (200000L until 200100L).map(_ * 3).sum))
+  }
+
+  test("materializeDeletes drops a fully-deleted file entirely") {
+    mkTable("wipe", "(1,'a',10),(2,'a',20)")
+    sql("INSERT INTO graft_mor.db.wipe VALUES (3,'b',30),(4,'b',40)")
+    val before = dataFiles("wipe")
+    assert(before.size >= 2)
+    sql("DELETE FROM graft_mor.db.wipe WHERE grp = 'a'") // kills file 1 outright
+    GraftMaintenance.materializeDeletes(spark, dir("wipe").getPath)
+    assert(dvFiles("wipe").isEmpty)
+    assert(dataFiles("wipe").size < before.size,
+      "a file whose every row is deleted must disappear, not land empty")
+    assert(sql("SELECT id FROM graft_mor.db.wipe ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
   test("filters on MOR reads stay exact (no record filter, values re-checked)") {
     mkTable("f1", "(1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)")
     sql("DELETE FROM graft_mor.db.f1 WHERE id = 2")
