@@ -623,6 +623,64 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.wap.orders ORDER BY id")
     },
 
+    // WAP into a LAYOUT table: at 100 TB the table you most want to
+    // write-audit-publish into is the day-partitioned fact table. Staged
+    // bytes are flat parquet in the invisible dot-dir; PUBLISH re-routes
+    // them through the catalog writer, so published rows land in their
+    // ts_day=N dirs and hidden-partition pruning survives — asserted
+    // in-query: a post-publish one-week raw-ts filter plans at most 7 of
+    // the table's day dirs. Invisibility before publish and the built-in
+    // CHECK audit are asserted too. Values are layout-invariant — the
+    // oracle replays the plain filter over raw events.
+    "etl_wap_days" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.wap")
+      s.sql("DROP TABLE IF EXISTS graft_wh.wap.ev")
+      s.sql("""CREATE TABLE graft_wh.wap.ev
+              |(event_id BIGINT, ts TIMESTAMP, cents BIGINT)
+              |PARTITIONED BY (days(ts))
+              |TBLPROPERTIES('history'='true',
+              |  'graft.check.cents_pos'='cents > 0')""".stripMargin)
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          (floor(col("value") * 100) + 1).cast("long").as("cents"))
+      // first half lands normally; the second half goes through WAP
+      events.where(col("event_id") % 2 === 0)
+        .writeTo("graft_wh.wap.ev").append()
+      val tableDir = s"$wh/wap/ev"
+      val v0 = graft.plans.MatView.currentVersion(s, tableDir)
+      val n0 = s.table("graft_wh.wap.ev").count()
+      val token = graft.sources.GraftWap.stage(s, "graft_wh", "wap.ev",
+        events.where(col("event_id") % 2 === 1))
+      require(s.table("graft_wh.wap.ev").count() == n0 &&
+        graft.plans.MatView.currentVersion(s, tableDir) == v0,
+        "etl_wap_days: staging must be invisible and commit nothing")
+      require(graft.sources.GraftWap.checkViolations(
+        s, "graft_wh", "wap.ev", token).isEmpty,
+        "etl_wap_days: the batch should pass the declared checks")
+      graft.sources.GraftWap.publish(s, "graft_wh", "wap.ev", token)
+      // append + publish leave two files per day; the maintenance verb
+      // folds each day back to one (a compact-kind commit streams skip)
+      graft.sources.GraftMaintenance.compactDayTable(s, tableDir)
+      val firstDay = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val week = s.table("graft_wh.wap.ev")
+        .where(col("ts") >= date_add(lit(firstDay), 7).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 14).cast("timestamp"))
+      val plannedDirs = week.rdd.getNumPartitions
+      val totalDirs = new java.io.File(tableDir)
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("ts_day="))
+      require(plannedDirs <= 7 && plannedDirs < totalDirs,
+        s"etl_wap_days: week scan planned $plannedDirs of $totalDirs day dirs " +
+          "— publish did not route the staged batch into the day layout")
+      week.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    },
+
     // Materialized view with TRANSPARENT query rewrite (MatView +
     // MvRewrite optimizer rule): the rollup at (flag, status) grain is
     // built once; a COARSER aggregate over the BASE table is then
@@ -1004,6 +1062,71 @@ object Etl {
               |FROM graft_table_changes('graft_wh', 'mrg.cdf', 2, 5, 'id')
               |WHERE change_type <> 'unchanged'
               |ORDER BY id""".stripMargin)
+    },
+
+    // merge-on-read × history: deletion-vector sidecars VERSIONED in the
+    // manifest — a DELETE on a MOR history table writes a kilobyte
+    // sidecar (no data file rewritten, asserted on the file set) and the
+    // manifest re-points the entry, so every snapshot keeps its own
+    // delete state: the query returns the PRE-delete snapshot via
+    // VERSION AS OF, proving time travel resurrects DV-deleted rows
+    // exactly. At 100 TB this is the restatement-safe delete: KB of
+    // sidecar per commit, zero copy, full audit trail.
+    "etl_mor_time_travel" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.mtt")
+      s.sql("""CREATE TABLE graft_wh.mrg.mtt (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true', 'merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_mtt_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.mtt
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_mtt_orders WHERE o_orderkey % 4 = 3""".stripMargin)
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/mrg/mtt")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val filesBefore = graft.sources.GraftTable.dataFiles(fs, tdir).toSet
+      s.sql("DELETE FROM graft_wh.mrg.mtt WHERE id % 8 = 3")
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).toSet == filesBefore,
+        "etl_mor_time_travel: a MOR delete must not rewrite any data file")
+      val v = graft.sources.GraftTable.manifestVersions(fs, tdir).last
+      require(graft.sources.GraftTable.readEntries(fs, tdir, v)
+        .exists(_._2.isDefined),
+        "etl_mor_time_travel: the delete must version a DV sidecar in the manifest")
+      require(s.table("graft_wh.mrg.mtt").count() <
+        s.sql("SELECT * FROM graft_wh.mrg.mtt VERSION AS OF 2").count(),
+        "etl_mor_time_travel: the delete must be live in the current snapshot")
+      s.sql("""SELECT id, status, cents FROM graft_wh.mrg.mtt VERSION AS OF 2
+              |ORDER BY id""".stripMargin)
+    },
+
+    // the change feed over MOR deltas is PRECISE (not file-granular):
+    // a DELETE's images come from the deletion-vector DIFF, naming
+    // exactly the deleted positions — so the raw feed itself is
+    // deterministic and oracle-able (insert images of the append commit
+    // + exact delete images of each delete commit, version-stamped).
+    // MOR deltas ARE the change set; nothing else needs recording.
+    "etl_changes_mor" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.cmor")
+      s.sql("""CREATE TABLE graft_wh.mrg.cmor (id BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('history'='true', 'merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cmor_orders")
+      s.sql("""INSERT INTO graft_wh.mrg.cmor
+              |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_cmor_orders WHERE o_orderkey % 4 = 0""".stripMargin) // v2
+      s.sql("DELETE FROM graft_wh.mrg.cmor WHERE id % 16 = 4") // v3
+      s.sql("DELETE FROM graft_wh.mrg.cmor WHERE id % 16 = 8") // v4
+      s.table("graft_wh.mrg.cmor.changes")
+        .select(col("id"), col("cents"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("commit_version", "id")
     },
 
     // the CHANGE DATA FEED as a metadata table (graft.db.t.changes — the
@@ -1711,6 +1834,24 @@ object Etl {
         |FROM orders WHERE o_orderkey % 10 <> 3
         |ORDER BY id""".stripMargin,
 
+    "etl_mor_time_travel" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY id""".stripMargin,
+
+    "etl_changes_mor" ->
+      """WITH base AS (SELECT o_orderkey AS id,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT id, cents, 'insert' AS change_type,
+        |  CAST(2 AS BIGINT) AS commit_version FROM base
+        |UNION ALL
+        |SELECT id, cents, 'delete', CAST(3 AS BIGINT) FROM base WHERE id % 16 = 4
+        |UNION ALL
+        |SELECT id, cents, 'delete', CAST(4 AS BIGINT) FROM base WHERE id % 16 = 8
+        |ORDER BY commit_version, id""".stripMargin,
+
     "etl_changes_feed" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT)
@@ -1743,6 +1884,16 @@ object Etl {
         |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
+        |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_wap_days" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | COUNT(*) AS n_events,
+        | SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS sum_cents
         |FROM events
         |WHERE ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
         |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)

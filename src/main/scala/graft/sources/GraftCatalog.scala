@@ -249,16 +249,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     require(isMor(dir), s"$ident is not a merge-on-read table")
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    GraftTable.dataFiles(fs, dir).map { f =>
+    // history tables: the CURRENT snapshot's entries carry the DV mapping;
+    // plain tables: directory listing + name-keyed sidecars
+    val entries: Seq[(String, Option[String])] =
+      if (isHistory(dir))
+        GraftTable.readEntries(fs, dir,
+          GraftTable.manifestVersions(fs, dir).last)
+      else GraftTable.dataFiles(fs, dir).map { f =>
+        val dvPath = new Path(dir, GraftDv.dvName(new Path(f).getName))
+        f -> (if (fs.exists(dvPath)) Some(dvPath.toString) else None)
+      }
+    entries.map { case (f, dv) =>
       val p = new Path(f)
       val rows = {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
         try r.getRecordCount finally r.close()
       }
-      val dvPath = new Path(dir, GraftDv.dvName(p.getName))
       val deleted =
-        if (fs.exists(dvPath)) GraftDv.read(fs, dvPath).getLongCardinality else 0L
+        dv.map(d => GraftDv.read(fs, new Path(d)).getLongCardinality).getOrElse(0L)
       (p.getName, rows, deleted, rows - deleted)
     }
   }
@@ -365,10 +374,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.getOrDefault(GraftTable.HistoryProp, "false"))
     val mor = "true".equalsIgnoreCase(
       properties.getOrDefault(GraftTable.MorProp, "false"))
-    require(!(history && mor),
-      "graft catalog: merge-on-read and history snapshots cannot be combined " +
-        "yet — deletion-vector sidecars are not versioned in the manifest log " +
-        "(a DV commit would mutate past snapshots)")
+    // merge-on-read + history COMPOSE: deletion-vector sidecars are
+    // versioned in the manifest (each delta commit writes a fresh merged
+    // sidecar and re-points its entry), so past snapshots keep their own
+    // delete state — time travel resurrects, vacuum expires the sidecars
     require(!(mor && bucket.nonEmpty),
       "graft catalog: merge-on-read and bucketing cannot be combined yet — " +
         "materializeDeletes rewrites files and would need bucket-aware " +
@@ -852,18 +861,25 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   }
 
   /** The read snapshot: manifest-driven for history tables (pinned or
-    * latest version), directory listing otherwise.
+    * latest version), directory listing otherwise. Entries carry the
+    * per-file deletion-vector sidecar of THAT snapshot (merge-on-read
+    * history tables version their DVs in the manifest, so a pinned read
+    * sees the delete state as of its version — time travel resurrects
+    * deleted rows exactly).
     */
-  private[sources] def currentDataFiles(fs: FileSystem): Seq[String] = {
+  private[sources] def currentEntries(fs: FileSystem): Seq[(String, Option[String])] = {
     val p = new Path(dir)
-    if (!history) GraftTable.dataFiles(fs, p)
+    if (!history) GraftTable.dataFiles(fs, p).map(_ -> None)
     else {
       val v = pinnedVersion.getOrElse(
         GraftTable.manifestVersions(fs, p).lastOption.getOrElse(
           throw new IllegalStateException(s"history table $ident has no manifest")))
-      GraftTable.readManifest(fs, p, v)
+      GraftTable.readEntries(fs, p, v)
     }
   }
+
+  private[sources] def currentDataFiles(fs: FileSystem): Seq[String] =
+    currentEntries(fs).map(_._1)
 
   private def rejectPinnedWrite(): Unit =
     if (pinnedVersion.nonEmpty) throw new UnsupportedOperationException(
@@ -1190,11 +1206,12 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
   // resolved once at scan creation: the snapshot the whole operation
   // (both the filter subquery and the replacement read) sees, and the
   // base set runtime filtering prunes toward the affected groups
-  private val allFiles: Seq[String] = {
+  private val allEntries: Seq[(String, Option[String])] = {
     val p = new Path(table.dir)
-    table.currentDataFiles(p.getFileSystem(
+    table.currentEntries(p.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf()))
   }
+  private val allFiles: Seq[String] = allEntries.map(_._1)
   @volatile private var files: Seq[String] = allFiles
 
   /** Surviving (affected) files after runtime group filtering. */
@@ -1317,9 +1334,14 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           val conf = SparkSession.active.sessionState.newHadoopConf()
           partKept.filter(f => GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
       }
-    // deletion-vector sidecars: one listing, keyed by data-file name
+    // deletion-vector sidecars: history tables carry the mapping in the
+    // manifest (versioned per snapshot — the scan's entries already
+    // reflect any pinned version); plain MOR tables key sidecars by
+    // data-file name from one directory listing
     val dvByName: Map[String, String] =
       if (!table.mor) Map.empty
+      else if (table.history)
+        allEntries.collect { case (f, Some(d)) => new Path(f).getName -> d }.toMap
       else {
         val p = new Path(table.dir)
         val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())

@@ -32,6 +32,16 @@ object GraftDv {
   def dataFileName(dvName: String): String =
     dvName.stripPrefix(Prefix).stripSuffix(Suffix)
 
+  /** VERSIONED sidecar name for merge-on-read HISTORY tables: each delta
+    * commit writes a fresh merged bitmap under a unique name and re-points
+    * the manifest entry — past snapshots keep referencing their own
+    * sidecar, which is what makes DV state time-travelable. (The uuid
+    * suffix also keeps these from ever matching a directory-listing
+    * lookup keyed by `dvName`, which only plain MOR tables use.)
+    */
+  def versionedDvName(dataFileName: String): String =
+    s"$Prefix$dataFileName.${java.util.UUID.randomUUID().toString.take(8)}$Suffix"
+
   def read(fs: FileSystem, path: Path): Roaring64Bitmap = {
     val in = new DataInputStream(fs.open(path))
     try { val bm = new Roaring64Bitmap; bm.deserialize(in); bm } finally in.close()
@@ -145,7 +155,11 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
 
   /** Commit: OR each file's new delete positions into its existing
     * sidecar (idempotent merge), then land appended files. Single-writer,
-    * like every commit on this catalog.
+    * like every commit on this catalog. On a HISTORY table the merged
+    * bitmaps land under fresh VERSIONED sidecar names and the next
+    * manifest re-points the affected entries — past snapshots keep their
+    * own delete state, so `VERSION AS OF` a pre-delete version resurrects
+    * the rows and vacuum expires superseded sidecars like data files.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
@@ -162,16 +176,42 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
         }
       }
     }
-    merged.foreach { case (file, bm) =>
-      val dvPath = new Path(dir, GraftDv.dvName(new Path(file).getName))
-      if (fs.exists(dvPath)) bm.or(GraftDv.read(fs, dvPath))
-      GraftDv.write(fs, dvPath, bm)
-    }
-    staged.foreach { f =>
+    def landStaged(): Seq[String] = staged.toSeq.map { f =>
       val p = new Path(f)
       val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
       if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
       fs.rename(p, tgt)
+      tgt.toString
+    }
+    if (table.history) {
+      val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"history table ${table.name()} has no manifest"))
+      val mergedByName = merged.map { case (f, bm) =>
+        new Path(f).getName -> bm
+      }
+      val updated = GraftTable.readEntries(fs, dir, v).map { case (f, dvOld) =>
+        mergedByName.get(new Path(f).getName) match {
+          case Some(bm) =>
+            dvOld.foreach(d => bm.or(GraftDv.read(fs, new Path(d))))
+            val dvPath = new Path(dir,
+              GraftDv.versionedDvName(new Path(f).getName))
+            GraftDv.write(fs, dvPath, bm)
+            (f, Some(dvPath.toString))
+          case None => (f, dvOld)
+        }
+      }
+      val landed = landStaged()
+      GraftTable.writeEntries(fs, dir, v + 1,
+        updated ++ landed.map(_ -> (None: Option[String])))
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta)
+    } else {
+      merged.foreach { case (file, bm) =>
+        val dvPath = new Path(dir, GraftDv.dvName(new Path(file).getName))
+        if (fs.exists(dvPath)) bm.or(GraftDv.read(fs, dvPath))
+        GraftDv.write(fs, dvPath, bm)
+      }
+      landStaged()
     }
     fs.delete(stagingDir, true)
   }

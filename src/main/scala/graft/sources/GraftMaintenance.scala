@@ -254,9 +254,11 @@ object GraftMaintenance {
     * Returns the number of sidecars folded.
     */
   def materializeDeletes(spark: SparkSession, tableDir: String): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    if (props.get(GraftTable.HistoryProp).contains("true"))
+      return materializeDeletesHistory(spark, fs, dir)
     val dvs = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName))
     // data files may live in partition subdirs; sidecars sit at the root
@@ -268,53 +270,15 @@ object GraftMaintenance {
       byName.get(GraftDv.dataFileName(st.getPath.getName)).map(_ -> st.getPath)
     }
     if (pairs.nonEmpty) {
-      import scala.jdk.CollectionConverters._
-      val NameCol = "__graft_dv_name"
-      val dvSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(NameCol,
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__graft_dv",
-          org.apache.spark.sql.types.BinaryType, nullable = false)))
-      val dvDf = spark.createDataFrame(
-        pairs.map { case (data, dv) =>
-          val bytes = {
-            val in = fs.open(dv)
-            val bos = new java.io.ByteArrayOutputStream()
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 << 10)
-            finally in.close()
-            bos.toByteArray
-          }
-          org.apache.spark.sql.Row(data.getName, bytes)
-        }.asJava, dvSchema)
-      val alive = org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.Not(
-          graft.expressions.BitmapContains(
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_dv"),
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_pos"))))
-      val kept = spark.read.parquet(pairs.map(_._1.toString): _*)
-        .withColumn(NameCol, col("_metadata.file_name"))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
-        .join(broadcast(dvDf), Seq(NameCol))
-        .where(alive)
-        .drop("__graft_dv", "__graft_pos")
-      val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
-      withMicrosTimestamps(spark) {
-        kept.write.partitionBy(NameCol).mode("overwrite")
-          .parquet(staging.toString)
-      }
+      val staging = stageDvRewrites(spark, fs, dir, pairs)
       pairs.foreach { case (dataPath, _) =>
         val dataName = dataPath.getName
-        val stagedDir = new Path(staging,
-          s"$NameCol=${GraftTable.escapeSeg(dataName)}")
-        val staged =
-          if (!fs.exists(stagedDir)) Nil // every row deleted → empty file set
-          else fs.listStatus(stagedDir).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath).sortBy(_.getName)
+        val staged = stagedPartsFor(fs, staging, dataName)
         fs.delete(dataPath, false)
         // keep the original name for the first staged part so external
         // references stay valid; extra parts (rare: a huge file split by
-        // maxPartitionBytes) land under fresh names
+        // maxPartitionBytes) land under fresh names; a fully-deleted file
+        // simply disappears
         staged.zipWithIndex.foreach { case (p, i) =>
           val tgt = if (i == 0) dataPath
             else new Path(dataPath.getParent,
@@ -326,6 +290,107 @@ object GraftMaintenance {
     }
     dvs.foreach(st => fs.delete(st.getPath, false))
     dvs.size
+  }
+
+  /** History-table variant: referenced data files and sidecars are
+    * IMMUTABLE (past snapshots point at them), so the rewritten files
+    * land under fresh names and a new manifest re-points the DV'd
+    * entries — kind-marked `compact` (the fold is row-multiset neutral:
+    * visible rows are identical before and after), so streams skip it.
+    * Old files and superseded sidecars stay until vacuum expires them.
+    */
+  private def materializeDeletesHistory(spark: SparkSession,
+                                        fs: org.apache.hadoop.fs.FileSystem,
+                                        dir: Path): Int = {
+    val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
+      throw new IllegalStateException(s"$dir: history table has no manifest"))
+    val entries = GraftTable.readEntries(fs, dir, v)
+    val pairs: Seq[(Path, Path)] = entries.collect {
+      case (f, Some(d)) => (new Path(f), new Path(d))
+    }
+    if (pairs.isEmpty) return 0
+    val staging = stageDvRewrites(spark, fs, dir, pairs)
+    val rewrittenByName: Map[String, Seq[String]] = pairs.map { case (dataPath, _) =>
+      val dataName = dataPath.getName
+      val landed = stagedPartsFor(fs, staging, dataName).zipWithIndex.map {
+        case (p, i) =>
+          val tgt = new Path(dir,
+            s"${dataName.stripSuffix(".parquet")}-dvm$i-" +
+              s"${UUID.randomUUID().toString.take(8)}.parquet")
+          fs.rename(p, tgt)
+          tgt.toString
+      }
+      dataName -> landed
+    }.toMap
+    fs.delete(staging, true)
+    val updated = entries.flatMap { case (f, dv) =>
+      if (dv.isEmpty) Seq(f -> (None: Option[String]))
+      else rewrittenByName(new Path(f).getName).map(_ -> (None: Option[String]))
+    }
+    GraftTable.writeEntries(fs, dir, v + 1, updated)
+    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    pairs.size
+  }
+
+  /** ONE distributed job shared by both variants: read every DV'd file,
+    * drop deleted positions via a broadcast of the SERIALIZED bitmaps and
+    * the codegen'd `bitmap_contains(dv, _metadata.row_index)` probe
+    * (never a driver-side position expansion), and stage the survivors
+    * partitioned by source-file name so file boundaries survive.
+    */
+  private def stageDvRewrites(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              dir: Path, pairs: Seq[(Path, Path)]): Path = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import scala.jdk.CollectionConverters._
+    val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(DvNameCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__graft_dv",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val dvDf = spark.createDataFrame(
+      pairs.map { case (data, dv) =>
+        val bytes = {
+          val in = fs.open(dv)
+          val bos = new java.io.ByteArrayOutputStream()
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 << 10)
+          finally in.close()
+          bos.toByteArray
+        }
+        org.apache.spark.sql.Row(data.getName, bytes)
+      }.asJava, dvSchema)
+    val alive = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Not(
+        graft.expressions.BitmapContains(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_dv"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_pos"))))
+    val kept = spark.read.parquet(pairs.map(_._1.toString): _*)
+      .withColumn(DvNameCol, col("_metadata.file_name"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(broadcast(dvDf), Seq(DvNameCol))
+      .where(alive)
+      .drop("__graft_dv", "__graft_pos")
+    val staging = new Path(dir, s".dv-materialize-${UUID.randomUUID()}")
+    withMicrosTimestamps(spark) {
+      kept.write.partitionBy(DvNameCol).mode("overwrite")
+        .parquet(staging.toString)
+    }
+    staging
+  }
+
+  private val DvNameCol = "__graft_dv_name"
+
+  /** Survivor parts of one source file after [[stageDvRewrites]] — empty
+    * when every row of the file was deleted.
+    */
+  private def stagedPartsFor(fs: org.apache.hadoop.fs.FileSystem,
+                             staging: Path, dataName: String): Seq[Path] = {
+    val stagedDir = new Path(staging,
+      s"$DvNameCol=${GraftTable.escapeSeg(dataName)}")
+    if (!fs.exists(stagedDir)) Nil
+    else fs.listStatus(stagedDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
   }
 
   /** Roll a history table back to snapshot `version` by committing a NEW
@@ -370,16 +435,24 @@ object GraftMaintenance {
     val versions = GraftTable.manifestVersions(fs, dir)
     val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     if (expire.isEmpty) return (0, 0)
-    val referenced = keep.flatMap(GraftTable.readManifest(fs, dir, _))
-      .map(new Path(_).getName).toSet
+    val keptEntries = keep.flatMap(GraftTable.readEntries(fs, dir, _))
+    val referenced = keptEntries.map(e => new Path(e._1).getName).toSet
     val orphans = GraftTable.dataFiles(fs, dir)
       .filterNot(f => referenced.contains(new Path(f).getName))
     orphans.foreach(f => fs.delete(new Path(f), false))
+    // deletion-vector sidecars are versioned like data files on MOR
+    // history tables: expire every sidecar no kept snapshot points at
+    val referencedDv = keptEntries.flatMap(_._2).map(new Path(_).getName).toSet
+    val dvOrphans = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName) &&
+        !referencedDv.contains(st.getPath.getName))
+      .map(_.getPath)
+    dvOrphans.foreach(fs.delete(_, false))
     expire.foreach { v =>
       fs.delete(GraftTable.manifestPath(dir, v), false)
       fs.delete(GraftTable.commitKindPath(dir, v), false)
     }
-    (expire.size, orphans.size)
+    (expire.size, orphans.size + dvOrphans.size)
   }
 
   /** PURGE: the right-to-erasure verb. A plain `DELETE` hides rows from

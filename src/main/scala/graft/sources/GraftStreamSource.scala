@@ -73,27 +73,40 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     if (e <= s) return Array.empty
     val vs = versions
     val pairs = vs.zip(vs.tail).filter { case (_, v) => v > s && v <= e }
-    // files already delivered (or skipped as reorganizations) so far —
-    // a skipped compaction's outputs must never be re-emitted by a later
-    // append commit's diff
-    var seen = GraftTable.readManifest(fs, dir, s)
-      .map(f => new Path(f).getName).toSet
+    // (name → dv sidecar) delivered (or skipped as reorganizations) so
+    // far — a skipped compaction's outputs must never be re-emitted by a
+    // later append commit's diff, and a CHANGED sidecar on a retained
+    // file is a row-level delete this append tail cannot represent
+    var seen: Map[String, Option[String]] = GraftTable.readEntries(fs, dir, s)
+      .map { case (f, dv) => new Path(f).getName -> dv }.toMap
     pairs.flatMap { case (_, v) =>
-      val after = GraftTable.readManifest(fs, dir, v)
-      val afterNames = after.map(f => new Path(f).getName).toSet
+      val after = GraftTable.readEntries(fs, dir, v)
+      val afterByName = after.map { case (f, dv) => new Path(f).getName -> dv }.toMap
       if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact)) {
-        seen = afterNames // outputs cover already-emitted rows: skip them
+        seen = afterByName // outputs cover already-emitted rows: skip them
         Nil
       } else {
-        val removed = seen -- afterNames
+        val removed = seen.keySet -- afterByName.keySet
         if (removed.nonEmpty) throw new IllegalStateException(
           s"streaming read of ${table.name()}: commit $v removed files " +
             s"${removed.toSeq.sorted.take(3).mkString(", ")}… — only append " +
             "commits are streamable here (compactions are skipped as no-ops); " +
             s"for rewrites, tail the change feed: ${table.name()}.changes")
-        val added = after.filterNot(f => seen.contains(new Path(f).getName))
-        seen = afterNames
-        added.map(GraftFilePartition(_))
+        val dvChanged = afterByName.exists { case (n, dv) =>
+          seen.contains(n) && seen(n) != dv
+        }
+        if (dvChanged) throw new IllegalStateException(
+          s"streaming read of ${table.name()}: commit $v changed deletion " +
+            "vectors on already-delivered files — an append tail cannot " +
+            "represent row-level deletes; tail the change feed instead: " +
+            s"${table.name()}.changes")
+        val added = after.filterNot { case (f, _) =>
+          seen.contains(new Path(f).getName)
+        }
+        seen = afterByName
+        // a newly-added entry may carry a DV (e.g. committed with deletes
+        // in flight): its VISIBLE rows are the file minus the sidecar
+        added.map { case (f, dv) => GraftFilePartition(f, dv) }
       }
     }.toArray
   }

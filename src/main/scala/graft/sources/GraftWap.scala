@@ -47,7 +47,9 @@ object GraftWap {
 
   /** Stage `df` against `catalog.table`; returns the WAP token. The data
     * is written (schema-checked against the table) but NO reader of the
-    * table can see it until [[publish]].
+    * table can see it until [[publish]]. Staged bytes are plain flat
+    * parquet whatever the table's layout — layout routing (day dirs,
+    * identity partitions, bucket files) happens at publish time.
     */
   def stage(spark: SparkSession, catalog: String, table: String,
             df: DataFrame): String = {
@@ -55,19 +57,15 @@ object GraftWap {
     require(t.history,
       s"WAP on $catalog.$table needs a history table — the manifest log is " +
         "what makes staged files invisible (TBLPROPERTIES('history'='true'))")
-    require(t.partitionCols.isEmpty && t.bucketSpec.isEmpty && t.dayCol.isEmpty,
-      "WAP staging of partitioned/bucketed/time-partitioned tables is not " +
-        "supported yet — staged files would need layout routing on publish " +
-        "(a flat publish would read correctly but silently lose pruning)")
-    val phys = t.physicalSchema
-    require(df.columns.toSeq == phys.fieldNames.toSeq,
+    val sch = t.schema()
+    require(df.columns.toSeq == sch.fieldNames.toSeq,
       s"WAP batch columns ${df.columns.mkString(",")} must match table " +
-        s"columns ${phys.fieldNames.mkString(",")} (same order)")
+        s"columns ${sch.fieldNames.mkString(",")} (same order)")
     val token = java.util.UUID.randomUUID().toString.take(8)
     val target = wapDir(t, token)
-    // cast to the exact physical types so publish-time reads see table-
+    // cast to the exact table types so publish-time reads see table-
     // typed parquet, then land as plain parquet under the dot-dir
-    val casted = df.select(phys.fields.map(f =>
+    val casted = df.select(sch.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     casted.write.parquet(target.toString)
     token
@@ -91,7 +89,7 @@ object GraftWap {
 
   private def staged(spark: SparkSession, t: GraftTable,
                      token: String): DataFrame =
-    spark.read.schema(t.physicalSchema).parquet(wapDir(t, token).toString)
+    spark.read.schema(t.schema()).parquet(wapDir(t, token).toString)
 
   /** Rows of the staged batch violating the table's DECLARED checks — the
     * built-in audit. Empty means the batch would pass the writer's gate.
@@ -110,9 +108,16 @@ object GraftWap {
     }
   }
 
-  /** Make the staged batch visible: enforce declared checks, move the
-    * files into the table dir, append them to the manifest in ONE
-    * optimistic-retry commit. Returns the new snapshot version.
+  /** Make the staged batch visible: enforce declared checks, then commit
+    * in ONE atomic manifest append. Flat tables take the fast path (the
+    * staged files are MOVED in — zero rewrite); tables with a layout
+    * (days()/identity partitions/bucketing) RE-ROUTE the staged rows
+    * through the catalog writer at publish time, so published data lands
+    * in the table's own directory/file contract and pruning and
+    * storage-partitioned joins survive — at 100 TB the table you most
+    * want to write-audit-publish into IS the day-partitioned fact table.
+    * Either way the append commit is the same optimistic-retry manifest
+    * create as any INSERT. Returns the new snapshot version.
     */
   def publish(spark: SparkSession, catalog: String, table: String,
               token: String): Long = {
@@ -124,15 +129,27 @@ object GraftWap {
     val fs = fsOf(spark, t)
     val src = wapDir(t, token)
     val dir = new Path(t.dir)
-    val landed = fs.listStatus(src).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val tgt = new Path(dir, s"wap-$token-${st.getPath.getName}")
-        if (!fs.rename(st.getPath, tgt))
-          throw new java.io.IOException(s"WAP publish: rename failed for $tgt")
-        tgt.toString
-      }
-    val v = GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
+    val hasLayout =
+      t.partitionCols.nonEmpty || t.bucketSpec.nonEmpty || t.dayCol.nonEmpty
+    val v = if (hasLayout) {
+      // layout routing: the catalog writer owns day/partition/bucket
+      // placement (and re-runs the constraint gate per row); its commit
+      // is the atomic manifest append
+      staged(spark, t, token).writeTo(s"$catalog.$table").append()
+      GraftTable.manifestVersions(fs, dir).last
+    } else {
+      val landed = fs.listStatus(src).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val tgt = new Path(dir, s"wap-$token-${st.getPath.getName}")
+          if (!fs.rename(st.getPath, tgt))
+            throw new java.io.IOException(s"WAP publish: rename failed for $tgt")
+          tgt.toString
+        }
+      val cv = GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
+      GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend)
+      cv
+    }
     fs.delete(src, true)
     v
   }

@@ -180,13 +180,8 @@ class GraftMorSpec extends SparkSpec {
     }
   }
 
-  test("merge-on-read cannot combine with history snapshots (loud reject)") {
-    val e = intercept[Exception] {
-      sql("""CREATE TABLE graft_mor.db.bad (id BIGINT)
-            |TBLPROPERTIES ('merge-on-read'='true', 'history'='true')""".stripMargin)
-    }
-    assert(e.getMessage.contains("merge-on-read"))
-  }
+  // merge-on-read × history composition (versioned DV sidecars, time
+  // travel, vacuum, change feed) is covered in GraftMorHistorySpec
 
   test("materializeDeletes folds a dense DV in ONE job, off the driver") {
     sql("DROP TABLE IF EXISTS graft_mor.db.dense")

@@ -83,4 +83,53 @@ class GraftWapSpec extends SparkSpec {
         spark.range(1, 2).selectExpr("id AS other", "id AS qty")))
     assert(e.getMessage.contains("must match table"))
   }
+
+  test("publish routes a staged batch into a days() layout; pruning survives") {
+    spark.sql("""CREATE TABLE graft_wap.db.dayt (id BIGINT, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))
+                |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.sql("""INSERT INTO graft_wap.db.dayt VALUES
+                |(1, TIMESTAMP '2026-08-01 06:00:00'),
+                |(2, TIMESTAMP '2026-08-02 06:00:00')""".stripMargin)
+    val batch = spark.sql(
+      """SELECT * FROM VALUES
+        |(3, TIMESTAMP '2026-08-02 18:00:00'),
+        |(4, TIMESTAMP '2026-08-03 06:00:00') AS t(id, ts)""".stripMargin)
+    val token = GraftWap.stage(spark, "graft_wap", "db.dayt", batch)
+    assert(spark.table("graft_wap.db.dayt").count() == 2,
+      "staged rows must be invisible on a layout table too")
+    GraftWap.publish(spark, "graft_wap", "db.dayt", token)
+    assert(spark.table("graft_wap.db.dayt").count() == 4)
+    // published rows live in their ts_day=N dirs, not flat at the root
+    val dirs = new java.io.File(s"$warehouse/db/dayt").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ts_day=")).map(_.getName)
+    assert(dirs.length == 3, s"expected 3 day dirs, got ${dirs.mkString(",")}")
+    val oneDay = spark.table("graft_wap.db.dayt")
+      .where(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("2026-08-03 00:00:00").cast("timestamp"))
+    assert(oneDay.rdd.getNumPartitions == 1,
+      "a one-day filter must prune to the published batch's day dir")
+    assert(oneDay.collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("publish routes a staged batch into a bucket layout; SPJ contract survives") {
+    spark.sql("""CREATE TABLE graft_wap.db.bkt (k BIGINT, v BIGINT)
+                |PARTITIONED BY (bucket(4, k))
+                |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft_wap.db.bkt SELECT id, id * 10 FROM range(0, 20)")
+    val token = GraftWap.stage(spark, "graft_wap", "db.bkt",
+      spark.range(20, 40).selectExpr("id AS k", "id * 10 AS v"))
+    GraftWap.publish(spark, "graft_wap", "db.bkt", token)
+    assert(spark.table("graft_wap.db.bkt").count() == 40)
+    // every data file in the CURRENT manifest carries the bNNNNN- prefix
+    // (a flat-published file would break the bucket placement contract)
+    val fs = new org.apache.hadoop.fs.Path(s"$warehouse/db/bkt")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/bkt")
+    val v = GraftTable.manifestVersions(fs, dir).last
+    val names = GraftTable.readManifest(fs, dir, v)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+    assert(names.nonEmpty && names.forall(GraftBucket.fileBucketId(_).isDefined),
+      s"published files must keep bucket naming: $names")
+  }
 }
