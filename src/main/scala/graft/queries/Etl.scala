@@ -1102,6 +1102,52 @@ object Etl {
               |ORDER BY id""".stripMargin)
     },
 
+    // merge-on-read × days(): the 100 TB fact-table delete — a DELETE on
+    // a day-partitioned MOR table writes a KB sidecar (no day file
+    // rewritten, asserted on the file set; sidecars sit at the root
+    // keyed by uuid-unique file names) and hidden-partition pruning
+    // survives the DV-aware scan: the one-week read plans ≤7 of the 30
+    // day dirs, asserted in-query. Values are layout-invariant — the
+    // oracle replays filter + complement over raw events.
+    "etl_mor_days" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.day")
+      s.sql("DROP TABLE IF EXISTS graft_wh.day.mev")
+      s.sql("""CREATE TABLE graft_wh.day.mev
+              |(event_id BIGINT, ts TIMESTAMP, cents BIGINT)
+              |PARTITIONED BY (days(ts))
+              |TBLPROPERTIES('merge-on-read'='true')""".stripMargin)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          (floor(col("value") * 100) + 1).cast("long").as("cents"))
+        .writeTo("graft_wh.day.mev").append()
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/day/mev")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val filesBefore = graft.sources.GraftTable.dataFiles(fs, tdir).toSet
+      s.sql("DELETE FROM graft_wh.day.mev WHERE event_id % 5 = 2")
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).toSet == filesBefore,
+        "etl_mor_days: a MOR delete must not rewrite any day file")
+      require(fs.listStatus(tdir).exists(st =>
+        graft.sources.GraftDv.isDv(st.getPath.getName)),
+        "etl_mor_days: the delete must land deletion-vector sidecars")
+      val firstDay = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val week = s.table("graft_wh.day.mev")
+        .where(col("ts") >= date_add(lit(firstDay), 7).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 14).cast("timestamp"))
+      val plannedDirs = week.rdd.getNumPartitions
+      val totalDirs = new java.io.File(tdir.toString)
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("ts_day="))
+      require(plannedDirs <= 7 && plannedDirs < totalDirs,
+        s"etl_mor_days: week scan planned $plannedDirs of $totalDirs day " +
+          "dirs — pruning must survive the DV-aware scan")
+      week.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    },
+
     // the change feed over MOR deltas is PRECISE (not file-granular):
     // a DELETE's images come from the deletion-vector DIFF, naming
     // exactly the deleted positions — so the raw feed itself is
@@ -1833,6 +1879,17 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 10 <> 3
         |ORDER BY id""".stripMargin,
+
+    "etl_mor_days" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | COUNT(*) AS n_events,
+        | SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS sum_cents
+        |FROM events
+        |WHERE event_id % 5 <> 2
+        |  AND ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
+        |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_mor_time_travel" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -374,17 +374,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.getOrDefault(GraftTable.HistoryProp, "false"))
     val mor = "true".equalsIgnoreCase(
       properties.getOrDefault(GraftTable.MorProp, "false"))
-    // merge-on-read + history COMPOSE: deletion-vector sidecars are
-    // versioned in the manifest (each delta commit writes a fresh merged
-    // sidecar and re-points its entry), so past snapshots keep their own
-    // delete state — time travel resurrects, vacuum expires the sidecars
-    require(!(mor && bucket.nonEmpty),
-      "graft catalog: merge-on-read and bucketing cannot be combined yet — " +
-        "materializeDeletes rewrites files and would need bucket-aware " +
-        "renaming to keep the bNNNNN- name contract")
-    require(!(mor && dayCol.nonEmpty),
-      "graft catalog: merge-on-read and days() partitioning cannot be " +
-        "combined yet — deletion-vector sidecars live at the table root")
+    // merge-on-read COMPOSES with history snapshots (deletion-vector
+    // sidecars versioned in the manifest — each delta commit writes a
+    // fresh merged sidecar and re-points its entry, so past snapshots
+    // keep their own delete state), with days() partitioning (sidecars
+    // sit at the root keyed by the uuid-unique file NAME; delta inserts
+    // route through the day layout; materializeDeletes lands rewrites
+    // next to their originals) and with bucketing (delta inserts carry
+    // the bNNNNN- prefix; rewrites keep the original name or a
+    // prefix-preserving -dvm name)
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
         dayCol.nonEmpty) {
       GraftTable.writeProps(fs, dir, (Map(

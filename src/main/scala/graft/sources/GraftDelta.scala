@@ -145,12 +145,27 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val violations =
       if (rowSchema.isEmpty) Nil
       else GraftConstraints.violationPredicates(SparkSession.active, table, rowSchema)
+    // delta INSERTS route through the table's layout exactly like the
+    // batch writer: bucket prefix in the file name, days() subdirs —
+    // a MOR MERGE's appended rows must not break pruning or SPJ placement
+    val bucket =
+      if (rowSchema.isEmpty) None
+      else table.bucketSpec.map { case (c, n) =>
+        val i = rowSchema.fieldIndex(c)
+        (i, rowSchema.fields(i).dataType, n)
+      }
+    val day =
+      if (rowSchema.isEmpty) None
+      else table.dayCol.map { c =>
+        val i = rowSchema.fieldIndex(c)
+        (i, rowSchema.fields(i).dataType, c, table.timeUnit)
+      }
     new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
       rowSchema, proj,
       if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
       rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
-      new SerializableHadoopConf(hadoopConf), violations)
+      new SerializableHadoopConf(hadoopConf), violations, bucket, day)
   }
 
   /** Commit: OR each file's new delete positions into its existing
@@ -228,11 +243,14 @@ class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               partIdx: Array[Int],
                               fileIdx: Int, posIdx: Int,
                               conf: SerializableHadoopConf,
-                              violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+                              violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+                              bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
+                              day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
-      partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf, violations)
+      partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf,
+      violations, bucket, day)
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -247,13 +265,15 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        fileIdx: Int, posIdx: Int,
                        partitionId: Int, taskId: Long,
                        conf: SerializableHadoopConf,
-                       violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+                       violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+                       bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
+                       day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
   private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
     rowSchema, proj, partFields, partIdx, partitionId, taskId, conf,
-    violations = violations)
+    bucket, violations, day)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString

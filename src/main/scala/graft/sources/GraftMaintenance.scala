@@ -124,6 +124,10 @@ object GraftMaintenance {
     val props = GraftTable.readProps(fs, dir)
     require(props.contains(GraftTable.BucketColProp),
       s"compactBucketedTable: $tableDir is not a bucketed table")
+    // merge-on-read: fold deletion vectors first (keeps names / commits a
+    // compact-kind manifest), so the per-bucket rewrite reads plain files
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, tableDir)
     val history = props.get(GraftTable.HistoryProp).contains("true")
     val files =
       if (!history) GraftTable.dataFiles(fs, dir)
@@ -192,6 +196,10 @@ object GraftMaintenance {
         s"compactDayTable: $tableDir is not a time-partitioned table"))
     val unitSeg = GraftDayPartition.Units(
       props.getOrElse(GraftTable.TimeUnitProp, "days"))
+    // merge-on-read: fold deletion vectors first, so the per-day rewrite
+    // reads plain files (and day subdirs survive the fold)
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, tableDir)
     val history = props.get(GraftTable.HistoryProp).contains("true")
     val files =
       if (!history) GraftTable.dataFiles(fs, dir)
@@ -314,7 +322,9 @@ object GraftMaintenance {
       val dataName = dataPath.getName
       val landed = stagedPartsFor(fs, staging, dataName).zipWithIndex.map {
         case (p, i) =>
-          val tgt = new Path(dir,
+          // land NEXT TO the original (day/partition subdirs survive);
+          // the -dvm suffix keeps any bNNNNN- bucket prefix intact
+          val tgt = new Path(dataPath.getParent,
             s"${dataName.stripSuffix(".parquet")}-dvm$i-" +
               s"${UUID.randomUUID().toString.take(8)}.parquet")
           fs.rename(p, tgt)

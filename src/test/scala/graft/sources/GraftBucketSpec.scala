@@ -243,16 +243,12 @@ class GraftBucketSpec extends SparkSpec {
     assert(q.count() == expect)
   }
 
-  test("rejections: identity+bucket, mor+bucket, drop bucket column") {
+  test("rejections: identity+bucket, drop bucket column, bad key type") {
     intercept[Exception] {
       sql("""CREATE TABLE graft_bk.db.bad1 (k BIGINT, p STRING, v STRING)
             |PARTITIONED BY (p, bucket(4, k))""".stripMargin)
     }
-    intercept[Exception] {
-      sql("""CREATE TABLE graft_bk.db.bad2 (k BIGINT, v STRING)
-            |PARTITIONED BY (bucket(4, k))
-            |TBLPROPERTIES ('merge-on-read'='true')""".stripMargin)
-    }
+    // merge-on-read now COMPOSES with bucketing (GraftMorLayoutSpec)
     intercept[Exception] {
       sql("ALTER TABLE graft_bk.db.t1 DROP COLUMN k")
     }

@@ -236,9 +236,6 @@ class GraftDayPartitionSpec extends SparkSpec {
     intercept[Exception](sql(
       """CREATE TABLE graft_day.db.bad2 (id BIGINT, ts TIMESTAMP, g STRING)
         |PARTITIONED BY (g, days(ts))""".stripMargin))
-    intercept[Exception](sql(
-      """CREATE TABLE graft_day.db.bad3 (id BIGINT, ts TIMESTAMP)
-        |PARTITIONED BY (days(ts))
-        |TBLPROPERTIES('merge-on-read'='true')""".stripMargin))
+    // merge-on-read now COMPOSES with days() (GraftMorLayoutSpec)
   }
 }
