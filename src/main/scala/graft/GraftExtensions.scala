@@ -426,15 +426,27 @@ object GraftExtensions {
       }),
     ("graft_restore",
       info("graft_restore",
-        "graft_restore(catalog, table, version) - roll a history table " +
-          "back to a snapshot (O(manifest), zero data rewritten); returns " +
-          "(restored_to, new_version)"),
+        "graft_restore(catalog, table, version_or_tag) - roll a history " +
+          "table back to a snapshot or named ref (O(manifest), zero data " +
+          "rewritten); returns (restored_to, new_version)"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_restore(catalog, 'ns.t', version)")
         val s = SparkSession.active
         val t = graftTableOf(stringArg(args.head, "graft_restore: catalog"),
           stringArg(args(1), "graft_restore: table"))
-        val target = intArg(args(2), "graft_restore: version").toLong
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val target = args(2) match {
+          case e if e.dataType == org.apache.spark.sql.types.StringType =>
+            val name = stringArg(e, "graft_restore: version_or_tag")
+            try name.toLong catch {
+              case _: NumberFormatException =>
+                graft.sources.GraftRefs.resolve(fs, p, name).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"graft_restore: '$name' is neither a version nor a tag"))
+            }
+          case e => intArg(e, "graft_restore: version").toLong
+        }
         val v = graft.sources.GraftMaintenance.restore(s, t.dir, target)
         import s.implicits._
         Bridge.logicalPlan(Seq((target, v)).toDF("restored_to", "new_version"))
@@ -468,6 +480,136 @@ object GraftExtensions {
           stringArg(args(1), "graft_mv_refresh: mv_table"))
         import s.implicits._
         Bridge.logicalPlan(Seq(mode).toDF("mode"))
+      }),
+    ("graft_analyze",
+      info("graft_analyze",
+        "graft_analyze(catalog, table) - backfill manifest-lifted file " +
+          "statistics (size/rows/min/max/nulls) for current data files " +
+          "missing them, ONE distributed footer-read job; returns " +
+          "(files_analyzed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_analyze(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_analyze: catalog"),
+          stringArg(args(1), "graft_analyze: table"))
+        val n = graft.sources.GraftMaintenance.analyzeTable(s, t.dir)
+        import s.implicits._
+        Bridge.logicalPlan(Seq(n).toDF("files_analyzed"))
+      }),
+    // --- named snapshot refs (tags): retention by MEANING. A tag makes a
+    // snapshot addressable ("VERSION AS OF 'golden'") and vacuum-proof
+    // until dropped.
+    ("graft_tag",
+      info("graft_tag",
+        "graft_tag(catalog, table, name[, version]) - tag a snapshot of a " +
+          "history table (default: current); tagged snapshots survive " +
+          "vacuum and resolve in VERSION AS OF; returns (name, version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "graft_tag(catalog, 'ns.t', name[, version])")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_tag: catalog"),
+          stringArg(args(1), "graft_tag: table"))
+        val name = stringArg(args(2), "graft_tag: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val v =
+          if (args.length == 4) intArg(args(3), "graft_tag: version").toLong
+          else graft.sources.GraftTable.manifestVersions(fs, p).lastOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft_tag: ${t.name()} has no snapshots"))
+        graft.sources.GraftRefs.set(fs, p, name, v)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((name, v)).toDF("name", "version"))
+      }),
+    ("graft_drop_tag",
+      info("graft_drop_tag",
+        "graft_drop_tag(catalog, table, name) - drop a snapshot tag (its " +
+          "snapshot becomes vacuumable again); returns (name, existed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_drop_tag(catalog, 'ns.t', name)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_drop_tag: catalog"),
+          stringArg(args(1), "graft_drop_tag: table"))
+        val name = stringArg(args(2), "graft_drop_tag: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val existed = graft.sources.GraftRefs.drop(fs, p, name)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((name, existed)).toDF("name", "existed"))
+      }),
+    ("graft_refs",
+      info("graft_refs",
+        "graft_refs(catalog, table) - list snapshot tags of a history " +
+          "table; returns (name, version) rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_refs(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_refs: catalog"),
+          stringArg(args(1), "graft_refs: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val rows = graft.sources.GraftRefs.readAll(fs, p).toSeq.sorted
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF("name", "version"))
+      }),
+    // --- `.files` metadata surface: the current snapshot's data files
+    // with their manifest-lifted statistics — size and row counts come
+    // from the stats log, NOT from per-file IO, so this is the
+    // prove-the-metadata query (Iceberg's `db.t.files`).
+    ("graft_files",
+      info("graft_files",
+        "graft_files(catalog, table) - the current snapshot's data files: " +
+          "(file, size_bytes, row_count, dv). size/rows come from the " +
+          "manifest-lifted stats log (row_count NULL for unrecorded files)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_files(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_files: catalog"),
+          stringArg(args(1), "graft_files: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val entries: Seq[(String, Option[String])] =
+          if (t.history) {
+            val v = graft.sources.GraftTable.manifestVersions(fs, p).last
+            graft.sources.GraftTable.readEntries(fs, p, v)
+          } else graft.sources.GraftTable.dataFiles(fs, p).map { f =>
+            val dvPath = new org.apache.hadoop.fs.Path(p,
+              graft.sources.GraftDv.dvName(new org.apache.hadoop.fs.Path(f).getName))
+            f -> (if (fs.exists(dvPath)) Some(dvPath.toString) else None)
+          }
+        val stats = graft.sources.GraftStats.readAll(fs, p)
+        val rows: Seq[(String, Long, Option[Long], Option[String])] =
+          entries.map { case (f, dv) =>
+            val name = new org.apache.hadoop.fs.Path(f).getName
+            val st = stats.get(name)
+            (name,
+              st.map(_.size).getOrElse(fs.getFileStatus(
+                new org.apache.hadoop.fs.Path(f)).getLen),
+              st.map(_.rows),
+              dv.map(d => new org.apache.hadoop.fs.Path(d).getName))
+          }
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF("file", "size_bytes", "row_count", "dv"))
+      }),
+    ("graft_remove_orphans",
+      info("graft_remove_orphans",
+        "graft_remove_orphans(catalog, table[, grace_minutes]) - delete " +
+          "files no manifest references (crashed-commit debris), older " +
+          "than the grace window (default 3 days); returns (files_removed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_remove_orphans(catalog, 'ns.t'[, grace_minutes])")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_remove_orphans: catalog"),
+          stringArg(args(1), "graft_remove_orphans: table"))
+        val grace =
+          if (args.length == 3)
+            intArg(args(2), "graft_remove_orphans: grace_minutes").toLong * 60000L
+          else 3L * 24 * 3600 * 1000
+        val n = graft.sources.GraftMaintenance.removeOrphans(s, t.dir, grace)
+        import s.implicits._
+        Bridge.logicalPlan(Seq(n).toDF("files_removed"))
       }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')

@@ -1148,6 +1148,118 @@ object Etl {
         .orderBy("day")
     },
 
+    // manifest-lifted file statistics: the write path tracks per-file
+    // min/max/nulls/rows in the writer's hot loop and commits them to the
+    // stats log, so a selective scan plans from METADATA alone — asserted
+    // in-query: fewer files planned than exist AND zero parquet footers
+    // opened during planning (the footerProbes counter is the proof). At
+    // 100 TB this is the difference between O(files) driver footer reads
+    // per query and a handful of sequential stats-log reads. Values are
+    // layout-invariant; the oracle replays the filter over raw orders.
+    "etl_stats_prune" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_sp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sp.stats")
+      s.sql("DROP TABLE IF EXISTS graft_sp.stats.ord")
+      s.sql("""CREATE TABLE graft_sp.stats.ord
+              |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)""".stripMargin)
+      // range-cluster into 8 key-disjoint files at ANY scale factor: the
+      // writer keeps incoming partitioning, one file per task
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .writeTo("graft_sp.stats.ord").append()
+      val maxk = Tables.orders(s, dir)
+        .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val thresh = maxk / 10
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/stats/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val q = s.table("graft_sp.stats.ord")
+        .where(col("o_orderkey") <= thresh)
+      val plannedFiles = q.rdd.getNumPartitions
+      val probed = graft.sources.GraftParquetFilters.footerProbes.get() - before
+      require(plannedFiles < total,
+        s"etl_stats_prune: stats must prune ($plannedFiles of $total planned)")
+      require(probed == 0,
+        s"etl_stats_prune: planning must be metadata-only ($probed footers opened)")
+      q.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // NAMED SNAPSHOT REFS (tags): `graft_tag` pins "the state we trained
+    // on" under a stable name; a later restatement overwrite moves the
+    // table on, `VERSION AS OF 'golden'` still reads the tagged snapshot,
+    // and vacuum PROVABLY spares it (retention by meaning, not by count —
+    // asserted in-query: the untagged middle snapshot expires, the tagged
+    // one survives keepLast=1). Oracle replays the original insert.
+    "etl_tag_read" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_tg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tg.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tg.db")
+      s.sql("DROP TABLE IF EXISTS graft_tg.db.tr")
+      s.sql("""CREATE TABLE graft_tg.db.tr (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_tr_orders")
+      s.sql("""INSERT INTO graft_tg.db.tr
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_tr_orders WHERE o_orderkey % 4 = 1""".stripMargin) // v2
+      s.sql("SELECT * FROM graft_tag('graft_tg', 'db.tr', 'golden')").collect()
+      // two restatements move the table on (v3 appends noise, v4 rewrites)
+      s.sql("INSERT INTO graft_tg.db.tr VALUES (-1, 'NOISE', 0)") // v3
+      s.sql("""INSERT OVERWRITE graft_tg.db.tr
+              |SELECT id, 'RESTATED', cents DIV 2 FROM graft_tg.db.tr""".stripMargin) // v4
+      val (expired, _) = graft.sources.GraftMaintenance.vacuum(
+        s, s"$wh/db/tr", keepLast = 1)
+      require(expired >= 1, "etl_tag_read: vacuum must expire untagged snapshots")
+      val fs = new org.apache.hadoop.fs.Path(s"$wh/db/tr")
+        .getFileSystem(s.sessionState.newHadoopConf())
+      require(fs.exists(graft.sources.GraftTable.manifestPath(
+        new org.apache.hadoop.fs.Path(s"$wh/db/tr"), 2L)),
+        "etl_tag_read: the tagged snapshot must survive keepLast=1")
+      s.sql("""SELECT id, status, cents FROM graft_tg.db.tr
+              |VERSION AS OF 'golden' ORDER BY id""".stripMargin)
+    },
+
+    // `.files` metadata surface (graft_files TVF): per-file size and row
+    // counts served from the manifest-lifted stats log — the in-query
+    // requires prove every file carries recorded stats and the oracle
+    // proves the metadata row counts equal REALITY (sum == count(*)).
+    "etl_files_meta" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_fm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_fm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fm.db")
+      s.sql("DROP TABLE IF EXISTS graft_fm.db.fm")
+      s.sql("""CREATE TABLE graft_fm.db.fm (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_fm_orders")
+      s.sql("""INSERT INTO graft_fm.db.fm
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_fm_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_fm.db.fm
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_fm_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      val files = s.sql("SELECT * FROM graft_files('graft_fm', 'db.fm')").collect()
+      require(files.nonEmpty && files.forall(r => !r.isNullAt(2)),
+        "etl_files_meta: every catalog-written file must carry recorded stats")
+      require(files.forall(_.getLong(1) > 0),
+        "etl_files_meta: recorded sizes must be positive")
+      s.sql("""SELECT CAST(SUM(row_count) AS BIGINT) AS n_rows
+              |FROM graft_files('graft_fm', 'db.fm')""".stripMargin)
+    },
+
     // the change feed over MOR deltas is PRECISE (not file-granular):
     // a DELETE's images come from the deletion-vector DIFF, naming
     // exactly the deleted positions — so the raw feed itself is
@@ -1890,6 +2002,22 @@ object Etl {
         |  AND ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
         |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_stats_prune" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 10 FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_tag_read" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |ORDER BY id""".stripMargin,
+
+    "etl_files_meta" ->
+      "SELECT COUNT(*) AS n_rows FROM orders",
 
     "etl_mor_time_travel" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,

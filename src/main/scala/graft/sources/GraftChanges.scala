@@ -81,37 +81,49 @@ object GraftChanges {
       if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact))
         Nil // multiset-neutral reorganization: nothing changed, emit nothing
       else {
-        val before = GraftTable.readEntries(fs, dir, prev)
-          .map { case (f, dv) => new Path(f).getName -> (f, dv) }.toMap
-        val after = GraftTable.readEntries(fs, dir, v)
-          .map { case (f, dv) => new Path(f).getName -> (f, dv) }.toMap
+        val before = GraftTable.readFullEntries(fs, dir, prev)
+          .map(e => new Path(e.file).getName -> e).toMap
+        val after = GraftTable.readFullEntries(fs, dir, v)
+          .map(e => new Path(e.file).getName -> e).toMap
         val inserts = (after.keySet -- before.keySet).toSeq.sorted.map { n =>
-          val (f, dv) = after(n)
-          // rows visible at v: physical rows minus the file's DV (if any)
-          GraftChangePartition(f, v, Insert, skipDv = dv)
+          val e = after(n)
+          // rows visible at v: physical rows minus the file's masks
+          GraftChangePartition(e.file, v, Insert, skipDv = e.dv,
+            skipEqs = e.eqs)
         }
         val deletes = (before.keySet -- after.keySet).toSeq.sorted.map { n =>
-          val (f, dv) = before(n)
-          // rows visible at prev — already-deleted positions are NOT
-          // re-deleted
-          GraftChangePartition(f, v, Delete, skipDv = dv)
+          val e = before(n)
+          // rows visible at prev — already-masked rows are NOT re-deleted
+          GraftChangePartition(e.file, v, Delete, skipDv = e.dv,
+            skipEqs = e.eqs)
         }
         // files present in BOTH versions whose DV changed: the bitmap
         // diffs are the precise row-level change set (merge-on-read
         // deltas; restore can shrink a DV, resurrecting rows as inserts)
         val dvChanges = (before.keySet & after.keySet).toSeq.sorted.flatMap { n =>
-          val (f, dvBefore) = before(n)
-          val dvAfter = after(n)._2
-          if (dvBefore == dvAfter) Nil
+          val eB = before(n); val eA = after(n)
+          if (eB.dv == eA.dv) Nil
           else {
-            val newlyDeleted = diffBitmap(fs, dvAfter, dvBefore)
-              .map(b => GraftChangePartition(f, v, Delete, keepBytes = Some(b)))
-            val resurrected = diffBitmap(fs, dvBefore, dvAfter)
-              .map(b => GraftChangePartition(f, v, Insert, keepBytes = Some(b)))
+            val newlyDeleted = diffBitmap(fs, eA.dv, eB.dv)
+              .map(b => GraftChangePartition(eA.file, v, Delete,
+                keepBytes = Some(b), skipEqs = eB.eqs))
+            val resurrected = diffBitmap(fs, eB.dv, eA.dv)
+              .map(b => GraftChangePartition(eA.file, v, Insert,
+                keepBytes = Some(b), skipEqs = eA.eqs))
             newlyDeleted.toSeq ++ resurrected.toSeq
           }
         }
-        inserts ++ deletes ++ dvChanges
+        // files whose EQUALITY mask set grew (upsert-by-key commits): the
+        // delete images are exactly the rows visible at prev that MATCH
+        // the new masks' keys — precise, like the DV diff
+        val eqChanges = (before.keySet & after.keySet).toSeq.sorted.flatMap { n =>
+          val eB = before(n); val eA = after(n)
+          val newEqs = eA.eqs.filterNot(eB.eqs.contains)
+          if (newEqs.isEmpty) Nil
+          else Seq(GraftChangePartition(eB.file, v, Delete, skipDv = eB.dv,
+            skipEqs = eB.eqs, matchEqs = newEqs))
+        }
+        inserts ++ deletes ++ dvChanges ++ eqChanges
       }
     }.toArray
   }
@@ -125,7 +137,9 @@ object GraftChanges {
 case class GraftChangePartition(file: String, version: Long,
                                 changeType: String,
                                 skipDv: Option[String] = None,
-                                keepBytes: Option[Array[Byte]] = None)
+                                keepBytes: Option[Array[Byte]] = None,
+                                skipEqs: Seq[String] = Nil,
+                                matchEqs: Seq[String] = Nil)
   extends InputPartition
 
 class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
@@ -245,7 +259,8 @@ class GraftChangeRowReader(required: StructType, physicalSchema: StructType,
     f.name != GraftChanges.TypeCol && f.name != GraftChanges.VersionCol))
   private val keep: Option[Roaring64Bitmap] = p.keepBytes.map(GraftDv.fromBytes)
   private val inner = new GraftPartitionReader(dataRequired, physicalSchema,
-    tableDir, partFields, Array.empty, p.file, p.skipDv, conf, keep)
+    tableDir, partFields, Array.empty, p.file, p.skipDv, conf, keep,
+    skipEqs = p.skipEqs, matchEqs = p.matchEqs)
   private val typeVal = UTF8String.fromString(p.changeType)
   // required index → inner index, or -1 = _change_type, -2 = _commit_version
   private val plan: Array[Int] = {

@@ -118,7 +118,8 @@ class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   * files and commit references instead of bytes-in-message.
   */
 case class GraftDeltaCommit(inserted: Seq[String],
-                            deletes: Map[String, Array[Byte]])
+                            deletes: Map[String, Array[Byte]],
+                            stats: Map[String, GraftStats.FileStats] = Map.empty)
   extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
@@ -181,8 +182,10 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val dir = new Path(table.dir)
     val merged = mutable.Map.empty[String, Roaring64Bitmap]
     val staged = mutable.Buffer.empty[String]
-    messages.foreach { case GraftDeltaCommit(ins, dels) =>
+    val stagedStats = mutable.Map.empty[String, GraftStats.FileStats]
+    messages.foreach { case GraftDeltaCommit(ins, dels, sts) =>
       staged ++= ins
+      stagedStats ++= sts
       dels.foreach { case (file, bytes) =>
         val bm = GraftDv.fromBytes(bytes)
         merged.get(file) match {
@@ -191,12 +194,19 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
         }
       }
     }
-    def landStaged(): Seq[String] = staged.toSeq.map { f =>
-      val p = new Path(f)
-      val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
-      if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
-      fs.rename(p, tgt)
-      tgt.toString
+    def landStaged(): Seq[String] = {
+      val landed = staged.toSeq.map { f =>
+        val p = new Path(f)
+        val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
+        if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
+        fs.rename(p, tgt)
+        tgt.toString
+      }
+      // delta INSERTS carry tracked stats like batch appends (keyed by
+      // landed name — rename preserves it)
+      GraftStats.writeCommitStats(fs, dir,
+        stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+      landed
     }
     if (table.history) {
       val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
@@ -205,20 +215,20 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
       val mergedByName = merged.map { case (f, bm) =>
         new Path(f).getName -> bm
       }
-      val updated = GraftTable.readEntries(fs, dir, v).map { case (f, dvOld) =>
-        mergedByName.get(new Path(f).getName) match {
+      val updated = GraftTable.readFullEntries(fs, dir, v).map { e =>
+        mergedByName.get(new Path(e.file).getName) match {
           case Some(bm) =>
-            dvOld.foreach(d => bm.or(GraftDv.read(fs, new Path(d))))
+            e.dv.foreach(d => bm.or(GraftDv.read(fs, new Path(d))))
             val dvPath = new Path(dir,
-              GraftDv.versionedDvName(new Path(f).getName))
+              GraftDv.versionedDvName(new Path(e.file).getName))
             GraftDv.write(fs, dvPath, bm)
-            (f, Some(dvPath.toString))
-          case None => (f, dvOld)
+            e.copy(dv = Some(dvPath.toString)) // equality masks survive
+          case None => e
         }
       }
       val landed = landStaged()
-      GraftTable.writeEntries(fs, dir, v + 1,
-        updated ++ landed.map(_ -> (None: Option[String])))
+      GraftTable.writeFullEntries(fs, dir, v + 1,
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)))
       GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta)
     } else {
       merged.foreach { case (file, bm) =>
@@ -287,8 +297,10 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
       "graft delta writer represents updates as delete+insert")
 
   override def commit(): WriterCommitMessage = {
-    val ins = inserts.commit() match { case GraftCommit(files) => files }
-    GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap)
+    val (ins, insStats) = inserts.commit() match {
+      case GraftCommit(files, st) => (files, st)
+    }
+    GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap, insStats)
   }
 
   override def abort(): Unit = inserts.abort()

@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EQUALITY DELETES (Iceberg v2 equality-delete files): upsert-by-key
+  * WITHOUT reading the target. A positional delete (MERGE through the
+  * delta writer) must first scan the table to find each victim's
+  * (file, pos); an equality delete just writes the KEYS — a parquet
+  * sidecar of key tuples — and annotates the manifest: every data file
+  * that existed before the commit gains a reference to the eq file, and
+  * a row is masked when its key appears in any of its file's references.
+  * Appended files never carry older references, so the NEW row versions
+  * written by the same commit stay visible — last-writer-wins upserts in
+  * one O(change-set) commit, no target scan, no file rewritten.
+  *
+  * Scale shape: the commit cost is the change set (write + one distinct),
+  * never the table. STATS-SCOPED references keep the read cost bounded
+  * too: a file whose recorded min/max provably cannot contain any changed
+  * key does NOT get the reference (asserted in spec), so old cold files
+  * never probe the key set. References are VERSIONED per manifest entry —
+  * time travel sees each snapshot's own masks, restore rolls them back,
+  * vacuum expires unreferenced eq files, and
+  * [[materializeEqDeletes]] folds masks into rewritten files (a
+  * `compact`-kind commit streams skip). PURGE composes: the eq sidecars
+  * hold raw KEY BYTES, so purge folds them away and vacuum destroys them.
+  */
+object GraftEqDelete {
+
+  // NOT underscore-prefixed (Spark's file index ignores `_`/`.` basenames
+  // and the fold job reads these through spark.read) and NOT `.parquet`
+  // (GraftTable.dataFiles and purgedCompletely's raw sweep must never
+  // mistake a key sidecar for table data)
+  private val Prefix = "eqdel-"
+  def isEq(name: String): Boolean =
+    name.startsWith(Prefix) && name.endsWith(".eqdel")
+  private def freshName(): String =
+    s"$Prefix${UUID.randomUUID().toString.replace("-", "")}.eqdel"
+
+  /** Per-executor cache of eq-file key sets (files are immutable and
+    * uuid-named; a set is a few KB to a few MB — the change-set size).
+    */
+  private val cache =
+    new ConcurrentHashMap[String, (Array[String], Set[Vector[Any]])]()
+
+  /** (key column names, key tuple set) of one eq file. Key VALUES use the
+    * same InternalRow representations the data reader produces
+    * (UTF8String / Long / ...), so probe equality is representation-exact.
+    */
+  def keySet(eqFile: String, physicalSchema: StructType,
+             conf: org.apache.hadoop.conf.Configuration): (Array[String], Set[Vector[Any]]) = {
+    val cached = cache.get(eqFile)
+    if (cached != null) return cached
+    val p = new Path(eqFile)
+    val names: Array[String] = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toArray
+      } finally r.close()
+    }
+    val schema = StructType(names.map(n => physicalSchema.fields
+      .find(_.name == n).getOrElse(throw new IllegalStateException(
+        s"equality-delete file $eqFile keys on column '$n' which is not " +
+          "in the table's physical schema (dropped?) — fold the masks " +
+          "(materializeEqDeletes) before evolving key columns"))))
+    val reader = ParquetRowIO.reader(p, schema, conf, None)
+    val set = Set.newBuilder[Vector[Any]]
+    try {
+      var r = reader.read()
+      while (r != null) {
+        set += keyVector(r, schema.fields.indices.toArray,
+          schema.fields.map(_.dataType), copy = true)
+        r = reader.read()
+      }
+    } finally reader.close()
+    val built = (names, set.result())
+    cache.put(eqFile, built)
+    built
+  }
+
+  /** Key tuple of a row. `copy` clones buffer-backed values (UTF8String)
+    * for retention; probe-side lookups pass copy=false.
+    */
+  def keyVector(r: org.apache.spark.sql.catalyst.InternalRow,
+                idx: Array[Int], dts: Array[DataType],
+                copy: Boolean): Vector[Any] = {
+    val b = Vector.newBuilder[Any]
+    var i = 0
+    while (i < idx.length) {
+      val v = if (r.isNullAt(idx(i))) null else r.get(idx(i), dts(i))
+      b += (v match {
+        case u: UTF8String if copy => u.clone()
+        case other => other
+      })
+      i += 1
+    }
+    b.result()
+  }
+
+  /** Upsert-by-key: one atomic commit = appended row versions + ONE
+    * equality-delete sidecar masking the old versions. `changes` must
+    * carry exactly one row per key (last-writer-wins needs a writer-side
+    * order; enforce it before calling). Returns the committed version.
+    *
+    * Flat history tables only for now: identity/bucket/days() layouts
+    * route appends through their own writers — composing those with the
+    * eq sidecar commit is future work, rejected loudly here.
+    */
+  def upsert(spark: SparkSession, catalog: String, table: String,
+             changes: DataFrame, keyCols: Seq[String]): Long = {
+    val t = tableOf(spark, catalog, table)
+    require(t.history,
+      s"upsert: $catalog.$table is not a history table — equality deletes " +
+        "are versioned in the manifest, which only history tables have")
+    require(t.partitionCols.isEmpty && t.bucketSpec.isEmpty && t.dayCol.isEmpty,
+      s"upsert: $catalog.$table has a partition/bucket/time layout — " +
+        "equality-delete upserts compose with flat history tables only " +
+        "for now (layout-routed appends + eq sidecars are future work)")
+    require(keyCols.nonEmpty &&
+      keyCols.forall(c => t.schema().fieldNames.contains(c)),
+      s"upsert: key columns ${keyCols.mkString(",")} must exist in the table")
+    val dir = new Path(t.dir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // LWW needs one row per key IN the change set itself
+    val nRows = changes.count()
+    val nKeys = changes.select(keyCols.map(col): _*).distinct().count()
+    require(nRows == nKeys,
+      s"upsert: change set has $nRows rows but $nKeys distinct keys — " +
+        "collapse to one row per key (latest wins) before upserting")
+
+    val staging = new Path(dir, s".upsert-${UUID.randomUUID()}")
+    val physCols = t.physicalSchema.fieldNames.toSeq
+    withMicros(spark) {
+      changes.select(physCols.map(col): _*)
+        .write.mode("overwrite").parquet(new Path(staging, "data").toString)
+      changes.select(keyCols.map(col): _*).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(new Path(staging, "keys").toString)
+    }
+    def parts(sub: String): Seq[Path] =
+      fs.listStatus(new Path(staging, sub)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    val landed = parts("data").map { p =>
+      val tgt = new Path(dir,
+        s"part-upsert-${UUID.randomUUID().toString.take(12)}.parquet")
+      fs.rename(p, tgt); tgt.toString
+    }
+    val eqTarget = new Path(dir, freshName())
+    parts("keys") match {
+      case Seq(one) => fs.rename(one, eqTarget)
+      case many => throw new IllegalStateException(
+        s"upsert: key sidecar staged ${many.size} parts")
+    }
+    fs.delete(staging, true)
+    GraftStats.liftFromFooters(spark, dir, landed, t.physicalSchema)
+
+    // stats-scoped references: the changed keys' bounding box (per key
+    // column min/max) — a file whose recorded range provably cannot hold
+    // any changed key skips the reference entirely
+    val bounds: Seq[org.apache.spark.sql.sources.Filter] = {
+      val aggs = keyCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c")))
+      val row = changes.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keyCols.zipWithIndex.flatMap { case (c, i) =>
+        val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
+        if (mn == null || mx == null) Nil
+        else Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(c, mn),
+          org.apache.spark.sql.sources.LessThanOrEqual(c, mx))
+      }
+    }
+    val stats = GraftStats.readAll(fs, dir)
+    val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
+      throw new IllegalStateException(s"$catalog.$table has no manifest"))
+    val old = GraftTable.readFullEntries(fs, dir, v)
+    val updated = old.map { e =>
+      val skippable = bounds.nonEmpty &&
+        stats.get(new Path(e.file).getName)
+          .exists(st => GraftStats.canDrop(bounds, t.physicalSchema, st))
+      if (skippable) e else e.copy(eqs = e.eqs :+ eqTarget.toString)
+    }
+    GraftTable.writeFullEntries(fs, dir, v + 1,
+      updated ++ landed.map(GraftTable.GraftEntry(_, None)))
+    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindEqDelta)
+    v + 1
+  }
+
+  /** Fold equality masks into rewritten data files (the eq analog of
+    * materializeDeletes): every masked entry's file is rewritten without
+    * its masked rows and re-pointed under a fresh name; the new manifest
+    * carries no eq references and the commit is kind-marked `compact`
+    * (row-multiset neutral — streams skip it). Positional DVs are folded
+    * FIRST so the rewrite reads plain files. Returns entries folded.
+    */
+  def materializeEqDeletes(spark: SparkSession, tableDir: String): Int = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    require(props.get(GraftTable.HistoryProp).contains("true"),
+      s"materializeEqDeletes: $tableDir is not a history table")
+    if (GraftTable.manifestVersions(fs, dir).isEmpty) return 0
+    def latest = GraftTable.manifestVersions(fs, dir).last
+    if (GraftTable.readFullEntries(fs, dir, latest).exists(_.dv.nonEmpty))
+      GraftMaintenance.materializeDeletes(spark, tableDir)
+    val v = latest
+    val entries = GraftTable.readFullEntries(fs, dir, v)
+    val masked = entries.filter(_.eqs.nonEmpty)
+    if (masked.isEmpty) return 0
+    val staging = new Path(dir, s".eqfold-${UUID.randomUUID()}")
+    // group files sharing a mask set: one read + anti-join job per group,
+    // survivors staged per source file so boundaries (and counts) hold
+    val rewrittenByName = scala.collection.mutable.Map.empty[String, Seq[String]]
+    masked.groupBy(_.eqs.toSet).foreach { case (eqSet, group) =>
+      var df = spark.read.parquet(group.map(_.file): _*)
+        .withColumn("__graft_src",
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.split(
+              col("_metadata.file_path"), "/"), -1))
+      eqSet.toSeq.sorted.foreach { eq =>
+        val keys = spark.read.parquet(eq)
+        df = df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      }
+      val out = new Path(staging, UUID.randomUUID().toString.take(8))
+      withMicros(spark) {
+        df.write.partitionBy("__graft_src").mode("overwrite")
+          .parquet(out.toString)
+      }
+      group.foreach { e =>
+        val name = new Path(e.file).getName
+        // part file names are [A-Za-z0-9.-] — no partition-value escaping
+        val sub = new Path(out, s"__graft_src=$name")
+        val landed =
+          if (!fs.exists(sub)) Nil // fully-masked file vanishes
+          else fs.listStatus(sub).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).zipWithIndex.map { case (p, i) =>
+              val tgt = new Path(dir,
+                s"${name.stripSuffix(".parquet")}-eqm$i-" +
+                  s"${UUID.randomUUID().toString.take(8)}.parquet")
+              fs.rename(p, tgt); tgt.toString
+            }
+        rewrittenByName(name) = landed
+      }
+    }
+    fs.delete(staging, true)
+    val updated = entries.flatMap { e =>
+      if (e.eqs.isEmpty) Seq(e)
+      else rewrittenByName(new Path(e.file).getName)
+        .map(GraftTable.GraftEntry(_, None))
+    }
+    GraftTable.writeFullEntries(fs, dir, v + 1, updated)
+    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    val allLanded = rewrittenByName.values.flatten.toSeq
+    if (allLanded.nonEmpty)
+      GraftStats.liftFromFooters(spark, dir, allLanded,
+        spark.read.parquet(allLanded.head).schema)
+    masked.size
+  }
+
+  private def withMicros[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def tableOf(spark: SparkSession, catalog: String,
+                      table: String): GraftTable = {
+    val parts = table.split('.')
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.init, parts.last)
+    org.apache.spark.sql.graftbridge.Bridge.catalogPlugin(spark, catalog) match {
+      case g: GraftCatalog => g.loadTable(ident) match {
+        case t: GraftTable => t
+        case other => throw new IllegalArgumentException(
+          s"upsert: $catalog.$table is ${other.getClass.getName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"upsert: catalog $catalog is ${other.getClass.getName}")
+    }
+  }
+}

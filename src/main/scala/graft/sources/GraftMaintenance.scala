@@ -63,9 +63,13 @@ object GraftMaintenance {
         "bulk rewrite would collapse the ts_day=N layout and silently kill " +
         "hidden-partition pruning); use compactDayTable")
     // merge-on-read: fold outstanding deletion vectors in first, so the
-    // bulk rewrite below can read the files as plain parquet
+    // bulk rewrite below can read the files as plain parquet; likewise
+    // fold equality masks (a raw re-read would resurrect masked rows)
     if (props.get(GraftTable.MorProp).contains("true"))
       materializeDeletes(spark, tableDir)
+    if (history && GraftTable.manifestVersions(fs, dir).lastOption.exists(v =>
+        GraftTable.readFullEntries(fs, dir, v).exists(_.eqs.nonEmpty)))
+      GraftEqDelete.materializeEqDeletes(spark, tableDir)
     val files =
       if (!history) GraftTable.dataFiles(fs, dir)
       else GraftTable.manifestVersions(fs, dir).lastOption
@@ -94,19 +98,31 @@ object GraftMaintenance {
     val staged = fs.listStatus(staging).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-    if (history) {
-      // snapshot semantics: old files stay (past versions reference
-      // them); the rewrite is just the next manifest
-      val landed = staged.map { p =>
-        val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
+    val landed: Seq[String] =
+      if (history) {
+        // snapshot semantics: old files stay (past versions reference
+        // them); the rewrite is just the next manifest
+        val l = staged.map { p =>
+          val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
+        }
+        val v = GraftTable.manifestVersions(fs, dir).last
+        GraftTable.writeManifest(fs, dir, v + 1, l)
+        GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+        l
+      } else {
+        val gone = files.map(f => new Path(f).getName).toSet
+        files.foreach(f => fs.delete(new Path(f), false))
+        val l = staged.map { p =>
+          val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
+        }
+        GraftStats.retain(fs, dir, n => !gone.contains(n))
+        l
       }
-      val v = GraftTable.manifestVersions(fs, dir).last
-      GraftTable.writeManifest(fs, dir, v + 1, landed)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
-    } else {
-      files.foreach(f => fs.delete(new Path(f), false))
-      staged.foreach(p => fs.rename(p, new Path(dir, p.getName)))
-    }
+    // compaction wrote through Spark's parquet writer (no in-loop stats
+    // tracker) — lift the rewritten files' stats from the footers they
+    // just produced, ONE distributed job, so the clustered layout prunes
+    // from the metadata log on the very next scan
+    GraftStats.liftFromFooters(spark, dir, landed, df.schema)
     fs.delete(staging, true)
     (files.size, staged.size)
   }
@@ -174,6 +190,15 @@ object GraftMaintenance {
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
+      if (replaced.nonEmpty) {
+        val gone = replaced.map(f => new Path(f).getName)
+        GraftStats.retain(fs, dir, n => !gone.contains(n))
+      }
+    }
+    if (landed.nonEmpty) {
+      val landedPaths = landed.map(_._2._2.toString)
+      GraftStats.liftFromFooters(spark, dir, landedPaths,
+        spark.read.parquet(landedPaths.head).schema)
     }
     fs.delete(staging, true)
     (files.size, files.size - replaced.size + landed.size)
@@ -239,6 +264,15 @@ object GraftMaintenance {
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
+      if (replaced.nonEmpty) {
+        val gone = replaced.map(f => new Path(f).getName)
+        GraftStats.retain(fs, dir, n => !gone.contains(n))
+      }
+    }
+    if (landed.nonEmpty) {
+      val landedPaths = landed.map(_._2.toString)
+      GraftStats.liftFromFooters(spark, dir, landedPaths,
+        spark.read.parquet(landedPaths.head).schema)
     }
     fs.delete(staging, true)
     (files.size, files.size - replaced.size + landed.size)
@@ -279,6 +313,8 @@ object GraftMaintenance {
     }
     if (pairs.nonEmpty) {
       val staging = stageDvRewrites(spark, fs, dir, pairs)
+      val landed = scala.collection.mutable.Buffer.empty[String]
+      val vanished = scala.collection.mutable.Buffer.empty[String]
       pairs.foreach { case (dataPath, _) =>
         val dataName = dataPath.getName
         val staged = stagedPartsFor(fs, staging, dataName)
@@ -287,14 +323,26 @@ object GraftMaintenance {
         // references stay valid; extra parts (rare: a huge file split by
         // maxPartitionBytes) land under fresh names; a fully-deleted file
         // simply disappears
+        if (staged.isEmpty) vanished += dataName
         staged.zipWithIndex.foreach { case (p, i) =>
           val tgt = if (i == 0) dataPath
             else new Path(dataPath.getParent,
               s"${dataName.stripSuffix(".parquet")}-m$i.parquet")
           fs.rename(p, tgt)
+          landed += tgt.toString
         }
       }
       fs.delete(staging, true)
+      // folded files keep their names — re-lift from the fresh footers so
+      // the stale (sound but loose) pre-fold entries are superseded;
+      // fully-deleted files take their stats with them
+      if (vanished.nonEmpty) {
+        val gone = vanished.toSet
+        GraftStats.retain(fs, dir, n => !gone.contains(n))
+      }
+      if (landed.nonEmpty)
+        GraftStats.liftFromFooters(spark, dir, landed.toSeq,
+          spark.read.parquet(landed.head).schema)
     }
     dvs.foreach(st => fs.delete(st.getPath, false))
     dvs.size
@@ -312,9 +360,9 @@ object GraftMaintenance {
                                         dir: Path): Int = {
     val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
       throw new IllegalStateException(s"$dir: history table has no manifest"))
-    val entries = GraftTable.readEntries(fs, dir, v)
+    val entries = GraftTable.readFullEntries(fs, dir, v)
     val pairs: Seq[(Path, Path)] = entries.collect {
-      case (f, Some(d)) => (new Path(f), new Path(d))
+      case GraftTable.GraftEntry(f, Some(d), _) => (new Path(f), new Path(d))
     }
     if (pairs.isEmpty) return 0
     val staging = stageDvRewrites(spark, fs, dir, pairs)
@@ -333,12 +381,19 @@ object GraftMaintenance {
       dataName -> landed
     }.toMap
     fs.delete(staging, true)
-    val updated = entries.flatMap { case (f, dv) =>
-      if (dv.isEmpty) Seq(f -> (None: Option[String]))
-      else rewrittenByName(new Path(f).getName).map(_ -> (None: Option[String]))
+    val updated = entries.flatMap { e =>
+      if (e.dv.isEmpty) Seq(e)
+      // the fold applied only the POSITIONAL mask — equality masks carry
+      // over to the rewritten pieces untouched
+      else rewrittenByName(new Path(e.file).getName)
+        .map(f => GraftTable.GraftEntry(f, None, e.eqs))
     }
-    GraftTable.writeEntries(fs, dir, v + 1, updated)
+    GraftTable.writeFullEntries(fs, dir, v + 1, updated)
     GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    val allLanded = rewrittenByName.values.flatten.toSeq
+    if (allLanded.nonEmpty)
+      GraftStats.liftFromFooters(spark, dir, allLanded,
+        spark.read.parquet(allLanded.head).schema)
     pairs.size
   }
 
@@ -425,7 +480,8 @@ object GraftMaintenance {
     val next = versions.last + 1
     // restore the ENTRIES (files + their deletion-vector state), so a
     // merge-on-read table rolls back its delete state too
-    GraftTable.writeEntries(fs, dir, next, GraftTable.readEntries(fs, dir, version))
+    GraftTable.writeFullEntries(fs, dir, next,
+      GraftTable.readFullEntries(fs, dir, version))
     GraftTable.writeCommitKind(fs, dir, next, GraftTable.KindRestore)
     next
   }
@@ -443,24 +499,40 @@ object GraftMaintenance {
     require(fs.exists(new Path(dir, GraftTable.PropsFile)),
       s"vacuum: $tableDir is not a history table")
     val versions = GraftTable.manifestVersions(fs, dir)
-    val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // TAGGED snapshots are retention-proof: a named ref means "keep this
+    // state addressable" — its manifest and files survive any keepLast
+    // window until the tag is dropped
+    val tagged = GraftRefs.readAll(fs, dir).values.toSet
+    val keep = versions.takeRight(keepLast).toSet ++ tagged
+    val expire = versions.filterNot(keep.contains)
     if (expire.isEmpty) return (0, 0)
-    val keptEntries = keep.flatMap(GraftTable.readEntries(fs, dir, _))
-    val referenced = keptEntries.map(e => new Path(e._1).getName).toSet
+    val keptEntries = versions.filter(keep.contains)
+      .flatMap(GraftTable.readFullEntries(fs, dir, _))
+    val referenced = keptEntries.map(e => new Path(e.file).getName).toSet
     val orphans = GraftTable.dataFiles(fs, dir)
       .filterNot(f => referenced.contains(new Path(f).getName))
     orphans.foreach(f => fs.delete(new Path(f), false))
-    // deletion-vector sidecars are versioned like data files on MOR
-    // history tables: expire every sidecar no kept snapshot points at
-    val referencedDv = keptEntries.flatMap(_._2).map(new Path(_).getName).toSet
+    // deletion-vector and equality-delete sidecars are versioned like
+    // data files: expire every sidecar no kept snapshot points at
+    val referencedDv = keptEntries.flatMap(_.dv).map(new Path(_).getName).toSet
+    val referencedEq = keptEntries.flatMap(_.eqs).map(new Path(_).getName).toSet
     val dvOrphans = fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && GraftDv.isDv(st.getPath.getName) &&
-        !referencedDv.contains(st.getPath.getName))
+      .filter(st => st.isFile &&
+        ((GraftDv.isDv(st.getPath.getName) &&
+          !referencedDv.contains(st.getPath.getName)) ||
+         (GraftEqDelete.isEq(st.getPath.getName) &&
+          !referencedEq.contains(st.getPath.getName))))
       .map(_.getPath)
     dvOrphans.foreach(fs.delete(_, false))
     expire.foreach { v =>
       fs.delete(GraftTable.manifestPath(dir, v), false)
       fs.delete(GraftTable.commitKindPath(dir, v), false)
+    }
+    // expired files take their statistics with them (min/max hold real
+    // data values — PURGE's erasure guarantee extends to the stats log)
+    if (orphans.nonEmpty) {
+      val gone = orphans.map(f => new Path(f).getName).toSet
+      GraftStats.retain(fs, dir, n => !gone.contains(n))
     }
     (expire.size, orphans.size + dvOrphans.size)
   }
@@ -482,6 +554,19 @@ object GraftMaintenance {
   def purge(spark: SparkSession, catalog: String, table: String,
             condition: String): Long = {
     val t = spark.table(s"$catalog.$table")
+    // snapshot tags make snapshots vacuum-proof — a purge would silently
+    // leave the matching rows reachable through them. Fail LOUDLY rather
+    // than either breaking the erasure guarantee or dropping user tags.
+    locally {
+      val dir0 = new Path(tableDirOf(spark, catalog, table))
+      val fs0 = dir0.getFileSystem(spark.sessionState.newHadoopConf())
+      val refs = GraftRefs.readAll(fs0, dir0)
+      val names = refs.keys.toSeq.sorted.mkString(", ")
+      require(refs.isEmpty,
+        s"purge: $catalog.$table has snapshot tags ($names) that would " +
+          "keep pre-purge snapshots alive — drop them first " +
+          "(graft_drop_tag), then purge")
+    }
     val n = t.where(condition).count()
     spark.sql(s"DELETE FROM $catalog.$table WHERE $condition")
     val dir = tableDirOf(spark, catalog, table)
@@ -489,8 +574,17 @@ object GraftMaintenance {
     val props = GraftTable.readProps(fs, new Path(dir))
     if (props.get(GraftTable.MorProp).contains("true"))
       materializeDeletes(spark, dir)
-    if (props.get(GraftTable.HistoryProp).contains("true"))
+    if (props.get(GraftTable.HistoryProp).contains("true")) {
+      // equality-delete sidecars hold raw KEY BYTES (possibly the very
+      // values being purged): fold the masks so no live entry references
+      // them, then vacuum destroys the sidecars with the old snapshots
+      val p = new Path(dir)
+      val fsp = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (GraftTable.manifestVersions(fsp, p).lastOption.exists(v =>
+          GraftTable.readFullEntries(fsp, p, v).exists(_.eqs.nonEmpty)))
+        GraftEqDelete.materializeEqDeletes(spark, dir)
       vacuum(spark, dir, keepLast = 1)
+    }
     n
   }
 
@@ -505,6 +599,69 @@ object GraftMaintenance {
     val files = GraftTable.dataFiles(fs, new Path(dir))
     files.isEmpty ||
       spark.read.parquet(files: _*).where(condition).isEmpty
+  }
+
+  /** Remove ORPHAN files from a history table directory: parquet files and
+    * DV sidecars on disk that NO manifest references — the debris of
+    * crashed commits (landed after rename, manifest never written) and
+    * foreign copy-ins. Only files older than `graceMillis` go (a racing
+    * commit's just-landed files are younger than any sane grace window —
+    * Iceberg's remove_orphan_files ships the same dial, default 3 days).
+    * Staging dot-dirs are never entered. Returns the number removed.
+    */
+  def removeOrphans(spark: SparkSession, tableDir: String,
+                    graceMillis: Long = 3L * 24 * 3600 * 1000): Int = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    require(props.get(GraftTable.HistoryProp).contains("true"),
+      s"removeOrphans: $tableDir is not a history table — a plain table " +
+        "IS its directory listing, every file on disk is referenced")
+    val referenced: Set[String] = GraftTable.manifestVersions(fs, dir)
+      .flatMap(GraftTable.readEntries(fs, dir, _))
+      .flatMap { case (f, dv) => Seq(new Path(f).getName) ++
+        dv.map(d => new Path(d).getName) }.toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    def candidates(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) candidates(st.getPath)
+        else if (st.isFile &&
+          (n.endsWith(".parquet") || GraftDv.isDv(n))) Seq(st)
+        else Nil
+      }
+    val orphans = candidates(dir).filter(st =>
+      !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    if (orphans.nonEmpty) {
+      val gone = orphans.map(_.getPath.getName).toSet
+      GraftStats.retain(fs, dir, n => !gone.contains(n))
+    }
+    orphans.size
+  }
+
+  /** Backfill manifest-lifted stats for current data files that have no
+    * entry (tables written before the stats log existed, or files landed
+    * by foreign tools): ONE distributed footer-read job appends their
+    * stats — the ANALYZE TABLE verb. Returns the number of files lifted.
+    */
+  def analyzeTable(spark: SparkSession, tableDir: String): Int = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val files =
+      if (props.get(GraftTable.HistoryProp).contains("true"))
+        GraftTable.manifestVersions(fs, dir).lastOption
+          .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+      else GraftTable.dataFiles(fs, dir)
+    val have = GraftStats.readAll(fs, dir).keySet
+    val missing = files.filterNot(f => have.contains(new Path(f).getName))
+    if (missing.nonEmpty)
+      GraftStats.liftFromFooters(spark, dir, missing,
+        spark.read.parquet(missing.head).schema)
+    missing.size
   }
 
   private def tableDirOf(spark: SparkSession, catalog: String,

@@ -1,0 +1,544 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-lifted per-file column statistics — the metadata a real table
+  * format (Iceberg's manifest min/max, Delta's file stats) carries so scan
+  * planning never opens data files. Each commit writes one append-only
+  * stats file under `_graft_filestats/` holding, per landed data file:
+  * size, row count, and per-column (nullCount, min, max). The write path
+  * tracks them in the writer's hot loop (zero extra IO); maintenance
+  * rewrites lift them from the footers they just wrote; `analyzeTable`
+  * backfills old tables. Scan planning evaluates pushed filters against
+  * the recorded ranges with a sound canDrop/allMatch pair and only falls
+  * back to a footer probe for files without stats — at 100 TB the
+  * difference between O(files) driver footer reads and a handful of
+  * sequential metadata-log reads.
+  *
+  * Soundness notes:
+  *  - values are canonical strings; BOTH producer and consumer order them
+  *    with the same comparator per type (strings: unsigned byte-wise, the
+  *    UTF8String/parquet ordering; floats: widened exactly to double), so
+  *    a pruning decision can never disagree with the data.
+  *  - a float/double column that ever sees NaN is poisoned (no min/max —
+  *    NaN breaks total ordering); null counts remain.
+  *  - footer-lifted string bounds may be parquet-truncated; truncation is
+  *    conservative (min a prefix, max incremented), so pruning stays safe.
+  *  - deletion vectors only REMOVE rows, so recorded bounds stay sound
+  *    over-approximations on merge-on-read tables.
+  */
+object GraftStats {
+
+  val StatsDirName = "_graft_filestats"
+
+  /** nulls = -1 means unknown (footer without null counts). min/max are
+    * canonical strings; None = no bound recorded (all-null column, NaN
+    * poisoning, or unsupported type).
+    */
+  case class ColStats(nulls: Long, min: Option[String], max: Option[String])
+  case class FileStats(size: Long, rows: Long, cols: Map[String, ColStats])
+
+  // ---- storage -----------------------------------------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+  private def encOpt(o: Option[String]): String = o.map("v" + enc(_)).getOrElse("")
+  private def decOpt(s: String): Option[String] =
+    if (s.startsWith("v")) Some(dec(s.substring(1))) else None
+
+  private[sources] def encodeLine(name: String, st: FileStats): String = {
+    val cols = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}"
+    }.mkString(";")
+    s"${enc(name)}\t${st.size}\t${st.rows}\t$cols"
+  }
+
+  private[sources] def decodeLine(l: String): Option[(String, FileStats)] = {
+    val parts = l.split("\t", -1)
+    if (parts.length < 3) return None
+    val cols =
+      if (parts.length < 4 || parts(3).isEmpty) Map.empty[String, ColStats]
+      else parts(3).split(";", -1).toSeq.flatMap { ce =>
+        ce.split(",", -1) match {
+          case Array(c, n, mn, mx) =>
+            Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx)))
+          case _ => None
+        }
+      }.toMap
+    Some(dec(parts(0)) -> FileStats(parts(1).toLong, parts(2).toLong, cols))
+  }
+
+  private def statsDir(dir: Path) = new Path(dir, StatsDirName)
+
+  /** Append one commit's stats (no-op on empty). File name is uuid-unique:
+    * append-only, no read-modify-write, concurrent committers can't lose
+    * each other's entries.
+    */
+  def writeCommitStats(fs: FileSystem, dir: Path,
+                       entries: Seq[(String, FileStats)]): Unit = {
+    if (entries.isEmpty) return
+    val d = statsDir(dir)
+    fs.mkdirs(d)
+    // zero-padded millis prefix: readAll applies files in name order, so
+    // a re-lift of an in-place rewrite (same file name) wins over the
+    // stale entry it supersedes
+    val out = fs.create(
+      new Path(d, f"stats-${System.currentTimeMillis()}%013d-" +
+        s"${UUID.randomUUID().toString.take(8)}.txt"), false)
+    try out.write(entries.map { case (n, st) => encodeLine(n, st) }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** All recorded stats, keyed by data-file NAME (names are uuid-unique
+    * for the file's lifetime). Reading is O(commits) tiny sequential
+    * metadata reads — the manifest-log cost model, not O(data files).
+    */
+  def readAll(fs: FileSystem, dir: Path): Map[String, FileStats] = {
+    val d = statsDir(dir)
+    if (!fs.exists(d)) return Map.empty
+    val files = fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .map(_.getPath).sortBy(_.getName)
+    files.flatMap { p =>
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).flatMap(decodeLine)
+    }.toMap
+  }
+
+  /** Drop entries whose file name fails `live`, consolidating the log to
+    * one file. Called where data files are DESTROYED (COW replace,
+    * truncate, vacuum, purge): stats hold real data values (min/max), so
+    * a purge that erases the bytes must erase their statistics too — and
+    * the consolidation keeps the stats log O(live files), not O(history).
+    */
+  def retain(fs: FileSystem, dir: Path, live: String => Boolean): Unit = {
+    val d = statsDir(dir)
+    if (!fs.exists(d)) return
+    val all = readAll(fs, dir)
+    val kept = all.toSeq.filter { case (n, _) => live(n) }.sortBy(_._1)
+    val old = fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .map(_.getPath)
+    writeCommitStats(fs, dir, kept)
+    old.foreach(fs.delete(_, false))
+    if (kept.isEmpty) fs.delete(d, true)
+  }
+
+  // ---- write-path tracker ------------------------------------------------
+
+  private val KindNone = 0
+  private val KindLong = 1      // byte/short/int/long/date/timestamp(ntz)
+  private val KindDouble = 2    // float widened exactly, double
+  private val KindString = 3
+  private val KindDecimal = 4
+  private val KindBoolean = 5
+
+  private def kindOf(dt: DataType): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => KindLong
+    case FloatType | DoubleType => KindDouble
+    case StringType => KindString
+    case _: DecimalType => KindDecimal
+    case BooleanType => KindBoolean
+    case _ => KindNone
+  }
+
+  /** Running min/max/nullCount over the rows of ONE data file, updated in
+    * the writer's hot loop — per row per column: a null check plus one
+    * compare (what parquet's own page stats do anyway). UTF8String keys
+    * are cloned on keep (row buffers are reused); Decimals are copied to
+    * BigDecimal on keep.
+    */
+  final class Tracker(schema: StructType) {
+    private val n = schema.length
+    private val kinds = schema.fields.map(f => kindOf(f.dataType))
+    private val decScale = schema.fields.map {
+      case StructField(_, d: DecimalType, _, _) => (d.precision, d.scale)
+      case _ => (0, 0)
+    }
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val poisoned = new Array[Boolean](n)
+    private var rows = 0L
+
+    def update(row: InternalRow): Unit = {
+      rows += 1
+      var i = 0
+      while (i < n) {
+        val k = kinds(i)
+        if (k != KindNone) {
+          if (row.isNullAt(i)) nulls(i) += 1
+          else k match {
+            case KindLong =>
+              val v = schema.fields(i).dataType match {
+                case ByteType => row.getByte(i).toLong
+                case ShortType => row.getShort(i).toLong
+                case IntegerType | DateType => row.getInt(i).toLong
+                case _ => row.getLong(i)
+              }
+              if (mins(i) == null || v < mins(i).asInstanceOf[Long]) mins(i) = v
+              if (maxs(i) == null || v > maxs(i).asInstanceOf[Long]) maxs(i) = v
+            case KindDouble =>
+              val v = schema.fields(i).dataType match {
+                case FloatType => row.getFloat(i).toDouble
+                case _ => row.getDouble(i)
+              }
+              if (java.lang.Double.isNaN(v)) poisoned(i) = true
+              else {
+                if (mins(i) == null ||
+                    java.lang.Double.compare(v, mins(i).asInstanceOf[Double]) < 0)
+                  mins(i) = v
+                if (maxs(i) == null ||
+                    java.lang.Double.compare(v, maxs(i).asInstanceOf[Double]) > 0)
+                  maxs(i) = v
+              }
+            case KindString =>
+              val v = row.getUTF8String(i)
+              if (mins(i) == null ||
+                  v.compareTo(mins(i).asInstanceOf[UTF8String]) < 0)
+                mins(i) = v.clone()
+              if (maxs(i) == null ||
+                  v.compareTo(maxs(i).asInstanceOf[UTF8String]) > 0)
+                maxs(i) = v.clone()
+            case KindDecimal =>
+              val (p, s) = decScale(i)
+              val v = row.getDecimal(i, p, s).toJavaBigDecimal
+              if (mins(i) == null ||
+                  v.compareTo(mins(i).asInstanceOf[java.math.BigDecimal]) < 0)
+                mins(i) = v
+              if (maxs(i) == null ||
+                  v.compareTo(maxs(i).asInstanceOf[java.math.BigDecimal]) > 0)
+                maxs(i) = v
+            case KindBoolean =>
+              val v = row.getBoolean(i)
+              if (mins(i) == null || !v) mins(i) = v
+              if (maxs(i) == null || v) maxs(i) = v
+            case _ =>
+          }
+        }
+        i += 1
+      }
+    }
+
+    private def canon(i: Int, a: Any): String = kinds(i) match {
+      case KindLong => a.asInstanceOf[Long].toString
+      case KindDouble => java.lang.Double.toString(a.asInstanceOf[Double])
+      case KindString => a.asInstanceOf[UTF8String].toString
+      case KindDecimal => a.asInstanceOf[java.math.BigDecimal].toPlainString
+      case KindBoolean => a.asInstanceOf[Boolean].toString
+      case _ => throw new IllegalStateException("canon of unsupported kind")
+    }
+
+    def result(size: Long): FileStats = {
+      val cols = schema.fields.indices.flatMap { i =>
+        if (kinds(i) == KindNone) None
+        else {
+          val (mn, mx) =
+            if (poisoned(i) || mins(i) == null) (None, None)
+            else (Some(canon(i, mins(i))), Some(canon(i, maxs(i))))
+          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx))
+        }
+      }.toMap
+      FileStats(size, rows, cols)
+    }
+  }
+
+  // ---- filter evaluation (planning side) ---------------------------------
+
+  /** True iff the recorded stats PROVE no row of the file can satisfy the
+    * conjunction of `filters`. Three-valued and negation-sound: `canDrop`
+    * and `allMatch` are mutually recursive through `Not` (the classic
+    * stats-pruning subtlety — Not(exists-match) is NOT exists-not-match).
+    */
+  def canDrop(filters: Seq[Filter], schema: StructType, st: FileStats): Boolean =
+    st.rows == 0 || filters.exists(f => drop1(f, schema, st))
+
+  private def col(c: String, schema: StructType,
+                  st: FileStats): Option[(DataType, ColStats)] =
+    schema.fields.find(_.name == c).flatMap(f =>
+      st.cols.get(c).map(cs => (f.dataType, cs)))
+
+  private def nullsKnown(cs: ColStats): Boolean = cs.nulls >= 0
+  private def allNull(cs: ColStats, rows: Long): Boolean =
+    nullsKnown(cs) && cs.nulls == rows
+  private def noNulls(cs: ColStats): Boolean = nullsKnown(cs) && cs.nulls == 0
+
+  /** Compare a recorded canonical bound against a filter value under the
+    * column's type; None = not comparable (unexpected value class).
+    */
+  private def cmp(dt: DataType, stored: String, v: Any): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      v match {
+        case n: Number => Some(java.lang.Long.compare(stored.toLong, n.longValue()))
+        case _ => None
+      }
+    case DateType =>
+      val days = v match {
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+        case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
+        case _ => None
+      }
+      days.map(d => java.lang.Long.compare(stored.toLong, d.toLong))
+    case TimestampType =>
+      val micros = v match {
+        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+        case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+        case _ => None
+      }
+      micros.map(m => java.lang.Long.compare(stored.toLong, m))
+    case TimestampNTZType =>
+      v match {
+        case t: java.time.LocalDateTime =>
+          Some(java.lang.Long.compare(stored.toLong,
+            DateTimeUtils.localDateTimeToMicros(t)))
+        case _ => None
+      }
+    case FloatType | DoubleType =>
+      val d = v match {
+        case f: java.lang.Float => Some(f.toDouble)
+        case d: java.lang.Double => Some(d.doubleValue())
+        case _ => None
+      }
+      d.filterNot(java.lang.Double.isNaN)
+        .map(x => java.lang.Double.compare(stored.toDouble, x))
+    case StringType =>
+      v match {
+        case s: String => Some(UTF8String.fromString(stored)
+          .compareTo(UTF8String.fromString(s)))
+        case u: UTF8String => Some(UTF8String.fromString(stored).compareTo(u))
+        case _ => None
+      }
+    case _: DecimalType =>
+      val bd = v match {
+        case b: java.math.BigDecimal => Some(b)
+        case b: BigDecimal => Some(b.bigDecimal)
+        case _ => None
+      }
+      bd.map(b => new java.math.BigDecimal(stored).compareTo(b))
+    case BooleanType =>
+      v match {
+        case b: java.lang.Boolean =>
+          Some(java.lang.Boolean.compare(stored.toBoolean, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** cmp(min, v) when a bound exists. */
+  private def cmpMin(dt: DataType, cs: ColStats, v: Any): Option[Int] =
+    cs.min.flatMap(cmp(dt, _, v))
+  private def cmpMax(dt: DataType, cs: ColStats, v: Any): Option[Int] =
+    cs.max.flatMap(cmp(dt, _, v))
+
+  private def drop1(f: Filter, schema: StructType, st: FileStats): Boolean = f match {
+    case EqualTo(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && (allNull(cs, st.rows) ||
+        cmpMin(dt, cs, v).exists(_ > 0) || cmpMax(dt, cs, v).exists(_ < 0))
+    }
+    case EqualNullSafe(c, v) =>
+      if (v == null) col(c, schema, st).exists { case (_, cs) => noNulls(cs) }
+      else drop1(EqualTo(c, v), schema, st)
+    case In(c, vs) => col(c, schema, st).exists { case (dt, cs) =>
+      vs.nonEmpty && vs.forall(v =>
+        v == null || allNull(cs, st.rows) ||
+          cmpMin(dt, cs, v).exists(_ > 0) || cmpMax(dt, cs, v).exists(_ < 0))
+    }
+    case LessThan(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && (allNull(cs, st.rows) || cmpMin(dt, cs, v).exists(_ >= 0))
+    }
+    case LessThanOrEqual(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && (allNull(cs, st.rows) || cmpMin(dt, cs, v).exists(_ > 0))
+    }
+    case GreaterThan(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && (allNull(cs, st.rows) || cmpMax(dt, cs, v).exists(_ <= 0))
+    }
+    case GreaterThanOrEqual(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && (allNull(cs, st.rows) || cmpMax(dt, cs, v).exists(_ < 0))
+    }
+    case IsNull(c) => col(c, schema, st).exists { case (_, cs) => noNulls(cs) }
+    case IsNotNull(c) =>
+      col(c, schema, st).exists { case (_, cs) => allNull(cs, st.rows) }
+    case StringStartsWith(c, p) => col(c, schema, st).exists { case (dt, cs) =>
+      // every value < p  ⇒  no value can carry prefix p (prefixed ⇒ ≥ p)
+      dt == StringType &&
+        (allNull(cs, st.rows) || cmpMax(dt, cs, p).exists(_ < 0))
+    }
+    case And(l, r) => drop1(l, schema, st) || drop1(r, schema, st)
+    case Or(l, r) => drop1(l, schema, st) && drop1(r, schema, st)
+    case Not(inner) => all1(inner, schema, st)
+    case _ => false
+  }
+
+  /** True iff the stats PROVE every row satisfies `f` (used only to
+    * negate soundly). Conservative: false when unsure.
+    */
+  private def all1(f: Filter, schema: StructType, st: FileStats): Boolean = f match {
+    case EqualTo(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && noNulls(cs) &&
+        cmpMin(dt, cs, v).contains(0) && cmpMax(dt, cs, v).contains(0)
+    }
+    case In(c, vs) => vs.exists(v => all1(EqualTo(c, v), schema, st))
+    case LessThan(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && noNulls(cs) && cmpMax(dt, cs, v).exists(_ < 0)
+    }
+    case LessThanOrEqual(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && noNulls(cs) && cmpMax(dt, cs, v).exists(_ <= 0)
+    }
+    case GreaterThan(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && noNulls(cs) && cmpMin(dt, cs, v).exists(_ > 0)
+    }
+    case GreaterThanOrEqual(c, v) => col(c, schema, st).exists { case (dt, cs) =>
+      v != null && noNulls(cs) && cmpMin(dt, cs, v).exists(_ >= 0)
+    }
+    case IsNull(c) => col(c, schema, st).exists { case (_, cs) => allNull(cs, st.rows) }
+    case IsNotNull(c) => col(c, schema, st).exists { case (_, cs) => noNulls(cs) }
+    case And(l, r) => all1(l, schema, st) && all1(r, schema, st)
+    case Or(l, r) => all1(l, schema, st) || all1(r, schema, st)
+    case Not(inner) => drop1(inner, schema, st)
+    case _ => false
+  }
+
+  // ---- footer lift (maintenance / backfill) ------------------------------
+
+  /** Extract FileStats from one parquet file's FOOTER (metadata pages
+    * only). Used by maintenance rewrites — which go through Spark's
+    * parquet writer, so the values were never seen by a Tracker — and by
+    * `analyzeTable` backfills. Columns whose physical/logical type doesn't
+    * match the catalog's write contract (INT96 timestamps from foreign
+    * tools, decimals) are skipped: absent stats mean footer-probe
+    * fallback, never a wrong answer.
+    */
+  def fromFooter(path: Path, conf: org.apache.hadoop.conf.Configuration,
+                 schema: StructType): FileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+
+    val size = path.getFileSystem(conf).getFileStatus(path).getLen
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = schema.fields.flatMap { f =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == f.name))
+        if (chunks.size != blocks.size) None
+        else {
+          val stats = chunks.map(_.getStatistics)
+          if (stats.exists(s => s == null)) None
+          else {
+            val nulls =
+              if (stats.forall(_.isNumNullsSet)) stats.map(_.getNumNulls).sum
+              else -1L
+            val prim = chunks.head.getPrimitiveType
+            val anno = prim.getLogicalTypeAnnotation
+            def micros: Boolean = anno match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            }
+            // a chunk with no recorded non-null value contributes no bound
+            val valued = stats.filter(_.hasNonNullValue)
+            def canonOf(v0: Any): Option[String] = {
+              val v = v0.asInstanceOf[AnyRef]
+              (f.dataType, prim.getPrimitiveTypeName) match {
+              case (ByteType | ShortType | IntegerType | DateType, INT32) =>
+                Some(v.asInstanceOf[java.lang.Integer].longValue().toString)
+              case (LongType, INT64) =>
+                Some(v.asInstanceOf[java.lang.Long].toString)
+              case (TimestampType | TimestampNTZType, INT64) if micros =>
+                Some(v.asInstanceOf[java.lang.Long].toString)
+              case (FloatType, FLOAT) =>
+                val d = v.asInstanceOf[java.lang.Float].doubleValue()
+                if (java.lang.Double.isNaN(d)) None
+                else Some(java.lang.Double.toString(d))
+              case (DoubleType, DOUBLE) =>
+                val d = v.asInstanceOf[java.lang.Double].doubleValue()
+                if (java.lang.Double.isNaN(d)) None
+                else Some(java.lang.Double.toString(d))
+              case (StringType, BINARY) =>
+                Some(new String(v.asInstanceOf[Binary].getBytes, UTF_8))
+              case (BooleanType, BOOLEAN) =>
+                Some(v.asInstanceOf[java.lang.Boolean].toString)
+              case _ => None
+              }
+            }
+            val minC = valued.map(s => canonOf(s.genericGetMin))
+            val maxC = valued.map(s => canonOf(s.genericGetMax))
+            val (mn, mx) =
+              if (valued.isEmpty || minC.exists(_.isEmpty) || maxC.exists(_.isEmpty))
+                (None, None)
+              else {
+                // merge bounds across row groups with the SAME comparator
+                // the planner uses (canonical-string cmp under f.dataType)
+                def pick(cands: Seq[String], takeMin: Boolean): String =
+                  cands.reduce { (a, b) =>
+                    val c = cmp(f.dataType, a, parseBack(f.dataType, b)).getOrElse(0)
+                    if ((c <= 0) == takeMin) a else b
+                  }
+                (Some(pick(minC.flatten, takeMin = true)),
+                 Some(pick(maxC.flatten, takeMin = false)))
+              }
+            if (mn.isEmpty && nulls < 0) None
+            else Some(f.name -> ColStats(nulls, mn, mx))
+          }
+        }
+      }.toMap
+      FileStats(size, rows, byCol)
+    } finally r.close()
+  }
+
+  /** Turn a canonical string back into a filter-comparable value for the
+    * footer-merge path (cmp's right-hand side).
+    */
+  private def parseBack(dt: DataType, s: String): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.valueOf(s.toLong)
+    case DateType => java.time.LocalDate.ofEpochDay(s.toLong)
+    case TimestampType => DateTimeUtils.microsToInstant(s.toLong)
+    case TimestampNTZType => DateTimeUtils.microsToLocalDateTime(s.toLong)
+    case FloatType | DoubleType => java.lang.Double.valueOf(s.toDouble)
+    case StringType => s
+    case d: DecimalType => new java.math.BigDecimal(s)
+    case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+    case _ => s
+  }
+
+  /** Lift stats for `files` from their footers as ONE distributed job and
+    * append them to the stats log — the backfill verb (`analyzeTable`) and
+    * the maintenance-rewrite hook. Footer reads are per-task metadata IO,
+    * never driver-side.
+    */
+  def liftFromFooters(spark: SparkSession, dir: Path, files: Seq[String],
+                      schema: StructType): Unit = {
+    if (files.isEmpty) return
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val lifted = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { f =>
+        val p = new Path(f)
+        (p.getName, fromFooter(p, conf.value, schema))
+      }
+      .collect().toSeq
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    writeCommitStats(fs, dir, lifted)
+  }
+}

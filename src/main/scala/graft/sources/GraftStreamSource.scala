@@ -77,11 +77,13 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     // far — a skipped compaction's outputs must never be re-emitted by a
     // later append commit's diff, and a CHANGED sidecar on a retained
     // file is a row-level delete this append tail cannot represent
-    var seen: Map[String, Option[String]] = GraftTable.readEntries(fs, dir, s)
-      .map { case (f, dv) => new Path(f).getName -> dv }.toMap
+    var seen: Map[String, (Option[String], Seq[String])] =
+      GraftTable.readFullEntries(fs, dir, s)
+        .map(e => new Path(e.file).getName -> (e.dv, e.eqs)).toMap
     pairs.flatMap { case (_, v) =>
-      val after = GraftTable.readEntries(fs, dir, v)
-      val afterByName = after.map { case (f, dv) => new Path(f).getName -> dv }.toMap
+      val after = GraftTable.readFullEntries(fs, dir, v)
+      val afterByName = after
+        .map(e => new Path(e.file).getName -> (e.dv, e.eqs)).toMap
       if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact)) {
         seen = afterByName // outputs cover already-emitted rows: skip them
         Nil
@@ -92,21 +94,21 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
             s"${removed.toSeq.sorted.take(3).mkString(", ")}… — only append " +
             "commits are streamable here (compactions are skipped as no-ops); " +
             s"for rewrites, tail the change feed: ${table.name()}.changes")
-        val dvChanged = afterByName.exists { case (n, dv) =>
-          seen.contains(n) && seen(n) != dv
+        val maskChanged = afterByName.exists { case (n, masks) =>
+          seen.contains(n) && seen(n) != masks
         }
-        if (dvChanged) throw new IllegalStateException(
-          s"streaming read of ${table.name()}: commit $v changed deletion " +
-            "vectors on already-delivered files — an append tail cannot " +
-            "represent row-level deletes; tail the change feed instead: " +
+        if (maskChanged) throw new IllegalStateException(
+          s"streaming read of ${table.name()}: commit $v changed row-level " +
+            "masks (deletion vectors or equality deletes) on already-" +
+            "delivered files — an append tail cannot represent row-level " +
+            "deletes; tail the change feed instead: " +
             s"${table.name()}.changes")
-        val added = after.filterNot { case (f, _) =>
-          seen.contains(new Path(f).getName)
-        }
+        val added = after.filterNot(e =>
+          seen.contains(new Path(e.file).getName))
         seen = afterByName
-        // a newly-added entry may carry a DV (e.g. committed with deletes
-        // in flight): its VISIBLE rows are the file minus the sidecar
-        added.map { case (f, dv) => GraftFilePartition(f, dv) }
+        // a newly-added entry may carry masks (e.g. committed with
+        // deletes in flight): its VISIBLE rows are the file minus them
+        added.map(e => GraftFilePartition(e.file, e.dv, e.eqs))
       }
     }.toArray
   }

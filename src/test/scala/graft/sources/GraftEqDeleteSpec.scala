@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Equality deletes (upsert-by-key): no target scan, no file rewritten,
+  * stats-scoped mask references, versioned masks (time travel / restore),
+  * precise change images, fold, vacuum expiry, and purge composition.
+  */
+class GraftEqDeleteSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_eq_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+  private def dirOf(t: String) = new org.apache.hadoop.fs.Path(s"$warehouse/db/$t")
+  private def fsOf(t: String) =
+    dirOf(t).getFileSystem(spark.sessionState.newHadoopConf())
+  private def entries(t: String) = {
+    val fs = fsOf(t); val d = dirOf(t)
+    GraftTable.readFullEntries(fs, d, GraftTable.manifestVersions(fs, d).last)
+  }
+  private def eqFilesOnDisk(t: String): Seq[String] =
+    fsOf(t).listStatus(dirOf(t)).toSeq
+      .filter(st => st.isFile && GraftEqDelete.isEq(st.getPath.getName))
+      .map(_.getPath.getName)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft_eq", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_eq.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_eq.db")
+  }
+
+  import spark.implicits._
+
+  test("upsert: LWW state, zero rewrites, stats-scoped mask references") {
+    sql("""CREATE TABLE graft_eq.db.t1 (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t1 SELECT id, concat('old', id) FROM range(0, 100)")
+    sql("INSERT INTO graft_eq.db.t1 SELECT id, concat('old', id) FROM range(1000, 1100)")
+    val before = entries("t1").map(e =>
+      new org.apache.hadoop.fs.Path(e.file).getName ->
+        fsOf("t1").getFileStatus(new org.apache.hadoop.fs.Path(e.file))
+          .getModificationTime).toMap
+
+    // update keys 1050..1059, insert 5000..5004 — all in the SECOND range
+    val changes = spark.range(1050, 1060).toDF("k")
+      .union(spark.range(5000, 5005).toDF("k"))
+      .withColumn("v", concat(lit("new"), col("k")))
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t1", changes, Seq("k"))
+
+    val t = spark.table("graft_eq.db.t1")
+    assert(t.count() == 205) // 200 base + 5 inserts (10 updated in place)
+    assert(t.where(col("k") === 1055).collect().head.getString(1) == "new1055")
+    assert(t.where(col("k") === 5).collect().head.getString(1) == "old5")
+    assert(t.where(col("k") === 5002).collect().head.getString(1) == "new5002")
+    // no pre-existing file was touched
+    before.foreach { case (n, mtime) =>
+      val p = entries("t1").find(e =>
+        new org.apache.hadoop.fs.Path(e.file).getName == n)
+      assert(p.nonEmpty, s"original $n must stay in the manifest")
+      assert(fsOf("t1").getFileStatus(
+        new org.apache.hadoop.fs.Path(p.get.file)).getModificationTime == mtime,
+        s"original $n was rewritten")
+    }
+    // stats scoping: the changed-key box [1050, 5004] is provably
+    // disjoint from the first insert's files (keys < 100) — they carry
+    // NO mask reference; second-range files do
+    val es = entries("t1")
+    val masked = es.filter(_.eqs.nonEmpty)
+    val unmasked = es.filter(e => e.eqs.isEmpty &&
+      before.contains(new org.apache.hadoop.fs.Path(e.file).getName))
+    assert(masked.nonEmpty && unmasked.nonEmpty,
+      s"stats scoping must split the pre-existing files: $es")
+    assert(eqFilesOnDisk("t1").size == 1)
+  }
+
+  test("masks are versioned: time travel resurrects, LWW across upserts") {
+    sql("""CREATE TABLE graft_eq.db.t2 (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t2 VALUES (1, 'v1'), (2, 'v1')") // v2
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t2",
+      Seq((1L, "v2")).toDF("k", "v"), Seq("k"))                   // v3
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t2",
+      Seq((1L, "v3")).toDF("k", "v"), Seq("k"))                   // v4
+    def vOf(q: String) = sql(q).collect().map(_.getString(0)).toSeq
+    assert(vOf("SELECT v FROM graft_eq.db.t2 WHERE k = 1") == Seq("v3"))
+    assert(vOf("SELECT v FROM graft_eq.db.t2 VERSION AS OF 3 WHERE k = 1") ==
+      Seq("v2"), "the middle upsert's state must be addressable")
+    assert(vOf("SELECT v FROM graft_eq.db.t2 VERSION AS OF 2 WHERE k = 1") ==
+      Seq("v1"), "pre-upsert state must resurrect the masked row")
+    assert(spark.table("graft_eq.db.t2").count() == 2)
+    // change feed: the upsert commits carry PRECISE delete images
+    val ch = sql("""SELECT _commit_version, _change_type, k, v
+                   |FROM graft_eq.db.t2.changes ORDER BY 1, 2, 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(ch.contains((3L, "delete", 1L, "v1")))
+    assert(ch.contains((3L, "insert", 1L, "v2")))
+    assert(ch.contains((4L, "delete", 1L, "v2")))
+    assert(ch.contains((4L, "insert", 1L, "v3")))
+    assert(!ch.exists(c => c._2 == "delete" && c._3 == 2L),
+      "the untouched key must produce no delete image")
+  }
+
+  test("append tail fails loudly on an eq commit and points at .changes") {
+    sql("""CREATE TABLE graft_eq.db.t3 (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t3 VALUES (1, 'a')")
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t3",
+      Seq((1L, "b")).toDF("k", "v"), Seq("k"))
+    val q = spark.readStream.table("graft_eq.db.t3")
+      .writeStream.format("memory").queryName("graft_eq_tail").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("changes"),
+      s"the error must route users to the change feed: ${e.getMessage}")
+  }
+
+  test("fold, vacuum expiry, and purge composition") {
+    sql("""CREATE TABLE graft_eq.db.t4 (k BIGINT, email STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t4 SELECT id, concat('u', id, '@x.example') " +
+      "FROM range(0, 50)")
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t4",
+      Seq((7L, "zzsecret@erase.example")).toDF("k", "email"), Seq("k"))
+    assert(entries("t4").exists(_.eqs.nonEmpty))
+    // fold: masks disappear, state identical, commit kind = compact
+    val folded = GraftEqDelete.materializeEqDeletes(spark, s"$warehouse/db/t4")
+    assert(folded >= 1)
+    assert(entries("t4").forall(_.eqs.isEmpty))
+    assert(spark.table("graft_eq.db.t4").count() == 50)
+    assert(spark.table("graft_eq.db.t4").where(col("k") === 7)
+      .collect().head.getString(1) == "zzsecret@erase.example")
+    // vacuum destroys the now-unreferenced eq sidecar
+    GraftMaintenance.vacuum(spark, s"$warehouse/db/t4", keepLast = 1)
+    assert(eqFilesOnDisk("t4").isEmpty,
+      "vacuum must expire unreferenced equality sidecars")
+    // purge the secret: raw-byte erasure must extend to KEY bytes
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t4",
+      Seq((7L, "zzsecret@erase.example")).toDF("k", "email"), Seq("k"))
+    GraftMaintenance.purge(spark, "graft_eq", "db.t4",
+      "email = 'zzsecret@erase.example'")
+    assert(GraftMaintenance.purgedCompletely(spark, "graft_eq", "db.t4",
+      "email = 'zzsecret@erase.example'"))
+    assert(eqFilesOnDisk("t4").isEmpty,
+      "purge must destroy equality sidecars (they hold raw key bytes)")
+    def statsBytes = {
+      val d = new java.io.File(s"$warehouse/db/t4/${GraftStats.StatsDirName}")
+      if (!d.exists) "" else d.listFiles().filter(_.isFile).map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .mkString("\n")
+    }
+    assert(!statsBytes.contains("zzsecret"))
+    assert(spark.table("graft_eq.db.t4").count() == 49)
+  }
+
+  test("rejections: non-history, layouts, duplicate keys in the change set") {
+    sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
+    intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
+      Seq((1L, "x")).toDF("k", "v"), Seq("k")))
+    sql("""CREATE TABLE graft_eq.db.dayed (k BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts)) TBLPROPERTIES('history'='true')""".stripMargin)
+    intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.dayed",
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("k", "ts"), Seq("k")))
+    sql("""CREATE TABLE graft_eq.db.t5 (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t5 VALUES (1, 'a')")
+    intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.t5",
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k")))
+  }
+}

@@ -39,7 +39,9 @@ class GraftPartitionSpec extends SparkSpec {
 
   test("partitioned layout: col=value dirs, values from path, round trip") {
     mkTable("p1")
-    val dirs = dir("p1").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    val dirs = dir("p1").listFiles().filter(f => f.isDirectory &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted
     assert(dirs.toSeq == Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03",
       "day=__HIVE_DEFAULT_PARTITION__"))
     val got = sql("SELECT id, day, v FROM graft_part.db.p1 ORDER BY id").collect()
@@ -47,8 +49,9 @@ class GraftPartitionSpec extends SparkSpec {
       Row(3L, "2024-01-02", 30L), Row(4L, "2024-01-02", 40L),
       Row(5L, "2024-01-03", 50L), Row(6L, null, 60L)))
     // the day column is NOT in the parquet bytes (path is the value)
-    val f = dir("p1").listFiles().filter(_.isDirectory).head.listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
+    val f = dir("p1").listFiles().filter(f => f.isDirectory &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
     val phys = spark.read.parquet(f.getAbsolutePath).columns.toSeq
     assert(phys == Seq("id", "v"))
   }
@@ -168,7 +171,8 @@ class GraftPartitionSpec extends SparkSpec {
           |PARTITIONED BY (bucket)""".stripMargin)
     sql("INSERT INTO graft_part.db.p9 VALUES (1, 7, 1), (2, 8, 2)")
     sql("INSERT OVERWRITE graft_part.db.p9 VALUES (3, 9, 3)")
-    val dirs = dir("p9").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    val dirs = dir("p9").listFiles().filter(f => f.isDirectory &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).map(_.getName).sorted
     assert(dirs.toSeq == Seq("bucket=9"))
     assert(sql("SELECT id FROM graft_part.db.p9 WHERE bucket = 9").collect()
       .map(_.getLong(0)).toSeq == Seq(3L))
