@@ -1996,7 +1996,7 @@ object Etl {
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
         |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         | COUNT(*) AS n_events,
-        | SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |WHERE event_id % 5 <> 2
         |  AND ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
@@ -2005,7 +2005,7 @@ object Etl {
 
     "etl_stats_prune" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-        | SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 10 FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2078,7 +2078,7 @@ object Etl {
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
         |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         | COUNT(*) AS n_events,
-        | SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |WHERE ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
         |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)

@@ -1344,20 +1344,31 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     // manifest-lifted sizes (and row counts, when every file has them)
-    // first; per-file getFileStatus only for unrecorded files
+    // first; per-file getFileStatus only for unrecorded files. MOR masks
+    // are honored so heavy delete churn does not overreport to the
+    // planner: DV cardinalities are subtracted (one bitmap read per
+    // masked file — metadata-sized), while equality masks make the row
+    // count UNKNOWN (counting them would mean probing key sets).
     val stats = statsByName
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val perFile = files.map { f =>
-      stats.get(new Path(f).getName) match {
-        case Some(st) => (st.size, Some(st.rows))
+    val live = files.toSet
+    val entries = allEntries.filter(e => live.contains(e.file))
+    val anyEqMask = entries.exists(_.eqs.nonEmpty)
+    val perFile = entries.map { e =>
+      val deleted = e.dv.map { d =>
+        val p = new Path(d)
+        GraftDv.read(p.getFileSystem(conf), p).getLongCardinality
+      }.getOrElse(0L)
+      stats.get(new Path(e.file).getName) match {
+        case Some(st) => (st.size, Some(st.rows - deleted))
         case None =>
-          val p = new Path(f)
+          val p = new Path(e.file)
           (p.getFileSystem(conf).getFileStatus(p).getLen, None)
       }
     }
     val bytes = perFile.map(_._1).sum
     val rows =
-      if (perFile.nonEmpty && perFile.forall(_._2.isDefined))
+      if (perFile.nonEmpty && perFile.forall(_._2.isDefined) && !anyEqMask)
         java.util.OptionalLong.of(perFile.flatMap(_._2).sum)
       else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {

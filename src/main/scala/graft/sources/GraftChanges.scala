@@ -113,15 +113,23 @@ object GraftChanges {
             newlyDeleted.toSeq ++ resurrected.toSeq
           }
         }
-        // files whose EQUALITY mask set grew (upsert-by-key commits): the
-        // delete images are exactly the rows visible at prev that MATCH
-        // the new masks' keys — precise, like the DV diff
+        // files whose EQUALITY mask set changed. Growth (upsert-by-key
+        // commits): the delete images are exactly the rows visible at
+        // prev that MATCH the new masks' keys — precise, like the DV
+        // diff. Shrink (a restore over an eqdelta commit): the rows the
+        // unmasking resurrects — masked at prev, visible at v — are
+        // insert images, mirroring the DV-shrink path above.
         val eqChanges = (before.keySet & after.keySet).toSeq.sorted.flatMap { n =>
           val eB = before(n); val eA = after(n)
           val newEqs = eA.eqs.filterNot(eB.eqs.contains)
-          if (newEqs.isEmpty) Nil
-          else Seq(GraftChangePartition(eB.file, v, Delete, skipDv = eB.dv,
-            skipEqs = eB.eqs, matchEqs = newEqs))
+          val removedEqs = eB.eqs.filterNot(eA.eqs.contains)
+          val masked = if (newEqs.isEmpty) Nil
+            else Seq(GraftChangePartition(eB.file, v, Delete, skipDv = eB.dv,
+              skipEqs = eB.eqs, matchEqs = newEqs))
+          val unmasked = if (removedEqs.isEmpty) Nil
+            else Seq(GraftChangePartition(eA.file, v, Insert, skipDv = eA.dv,
+              skipEqs = eA.eqs, matchEqs = removedEqs))
+          masked ++ unmasked
         }
         inserts ++ deletes ++ dvChanges ++ eqChanges
       }

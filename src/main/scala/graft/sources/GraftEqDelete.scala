@@ -131,19 +131,49 @@ object GraftEqDelete {
     val dir = new Path(t.dir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
 
+    // cast to the exact table types FIRST — the sidecar keys and the
+    // landed row versions must carry table-typed values, same as every
+    // other write path (a raw untyped append would make the read-path
+    // probe compare representations that never match)
+    val casted = changes.select(t.physicalSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
     // LWW needs one row per key IN the change set itself
-    val nRows = changes.count()
-    val nKeys = changes.select(keyCols.map(col): _*).distinct().count()
+    val nRows = casted.count()
+    val nKeys = casted.select(keyCols.map(col): _*).distinct().count()
     require(nRows == nKeys,
       s"upsert: change set has $nRows rows but $nKeys distinct keys — " +
         "collapse to one row per key (latest wins) before upserting")
 
+    // null keys are rejected outright: SQL equality in the fold join and
+    // the stats-scoped reference skip are both null-rejecting, while the
+    // read-path probe matches null==null — admitting them would let a
+    // compact-kind fold resurrect rows
+    val nNullKeys = casted.where(keyCols.map(col(_).isNull)
+      .reduce(_ || _)).count()
+    require(nNullKeys == 0,
+      s"upsert: $nNullKeys change row(s) carry NULL in a key column " +
+        s"(${keyCols.mkString(",")}) — equality-delete keys must be non-null")
+
+    // CHECK / NOT NULL gate: every write path enforces the declared
+    // constraints; an upsert is a write path
+    val violations = t.checks.map { case (_, text) =>
+      org.apache.spark.sql.functions.expr(s"($text) <=> false")
+    } ++ t.schema().fields.filterNot(_.nullable).toSeq
+      .map(f => col(f.name).isNull)
+    violations.reduceOption(_ || _).foreach { bad =>
+      val nBad = casted.where(bad).count()
+      require(nBad == 0,
+        s"upsert refused: $nBad change row(s) violate $catalog.$table's " +
+          "declared CHECK constraints")
+    }
+
     val staging = new Path(dir, s".upsert-${UUID.randomUUID()}")
     val physCols = t.physicalSchema.fieldNames.toSeq
     withMicros(spark) {
-      changes.select(physCols.map(col): _*)
+      casted.select(physCols.map(col): _*)
         .write.mode("overwrite").parquet(new Path(staging, "data").toString)
-      changes.select(keyCols.map(col): _*).distinct().coalesce(1)
+      casted.select(keyCols.map(col): _*).distinct().coalesce(1)
         .write.mode("overwrite").parquet(new Path(staging, "keys").toString)
     }
     def parts(sub: String): Seq[Path] =
@@ -170,7 +200,7 @@ object GraftEqDelete {
     val bounds: Seq[org.apache.spark.sql.sources.Filter] = {
       val aggs = keyCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
         max(col(c)).as(s"mx_$c")))
-      val row = changes.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val row = casted.agg(aggs.head, aggs.tail: _*).collect()(0)
       keyCols.zipWithIndex.flatMap { case (c, i) =>
         val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
         if (mn == null || mx == null) Nil

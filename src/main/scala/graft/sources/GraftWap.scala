@@ -134,9 +134,16 @@ object GraftWap {
     val v = if (hasLayout) {
       // layout routing: the catalog writer owns day/partition/bucket
       // placement (and re-runs the constraint gate per row); its commit
-      // is the atomic manifest append
+      // is the atomic manifest append. The committed version is pinned
+      // by bracketing the append — a racing commit would make the
+      // returned version ambiguous, so it fails loudly instead
+      val v0 = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
       staged(spark, t, token).writeTo(s"$catalog.$table").append()
-      GraftTable.manifestVersions(fs, dir).last
+      val v1 = GraftTable.manifestVersions(fs, dir).last
+      require(v1 == v0 + 1,
+        s"WAP publish: expected exactly one commit ($v0 -> $v1) — " +
+          "a concurrent writer landed between stage and publish")
+      v1
     } else {
       val landed = fs.listStatus(src).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -154,6 +154,28 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.table("graft_cdf.db.r").count() == 30)
   }
 
+  test("restore over an upsert commit resurrects unmasked rows as inserts") {
+    import spark.implicits._
+    sql("""CREATE TABLE graft_cdf.db.ru (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.ru SELECT id, concat('v1-', id) FROM range(0, 20)") // v2
+    GraftEqDelete.upsert(spark, "graft_cdf", "db.ru",
+      Seq((3L, "v2-3"), (100L, "v2-100")).toDF("k", "v"), Seq("k")) // v3 eqdelta
+    GraftMaintenance.restore(spark, s"$warehouse/db/ru", 2L) // v4 shrinks eq set
+    val changes = spark.table("graft_cdf.db.ru.changes")
+    // the unmasking must emit an INSERT image for the resurrected row —
+    // without it the fold contract silently breaks after the restore
+    val v4 = changes.where(col("_commit_version") === 4)
+    assert(v4.where(col("_change_type") === "insert" && col("k") === 3)
+      .count() == 1,
+      "restore over an eq-masked file must resurrect the row as an insert image")
+    val folded = foldTo(changes, spark.table("graft_cdf.db.ru").limit(0))
+    assert(sameRows(folded, spark.table("graft_cdf.db.ru")),
+      "change images across upsert + restore must fold to the table state")
+    assert(spark.table("graft_cdf.db.ru").where(col("k") === 3)
+      .collect().head.getString(1) == "v1-3")
+  }
+
   test("changes table resolves only for history tables; schema is base + meta") {
     sql("CREATE TABLE graft_cdf.db.plain (id BIGINT)")
     val e = intercept[Exception](spark.table("graft_cdf.db.plain.changes").collect())

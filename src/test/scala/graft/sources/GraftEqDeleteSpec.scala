@@ -160,6 +160,32 @@ class GraftEqDeleteSpec extends SparkSpec {
     assert(spark.table("graft_eq.db.t4").count() == 49)
   }
 
+  test("upsert is a first-class write path: CHECK gate, type cast, null keys") {
+    sql("""CREATE TABLE graft_eq.db.t6 (k BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true', 'graft.check.v_pos'='v > 0')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.t6 VALUES (1, 10), (2, 20)")
+    val v0 = GraftTable.manifestVersions(fsOf("t6"), dirOf("t6")).last
+    // a violating change set is refused BEFORE anything lands
+    intercept[IllegalArgumentException](GraftEqDelete.upsert(spark, "graft_eq",
+      "db.t6", Seq((1L, -5L)).toDF("k", "v"), Seq("k")))
+    assert(GraftTable.manifestVersions(fsOf("t6"), dirOf("t6")).last == v0,
+      "a refused upsert must not commit")
+    assert(spark.table("graft_eq.db.t6").where(col("v") < 0).count() == 0)
+    // null key values are rejected: fold joins and stats scoping are
+    // null-rejecting while the probe matches null==null — don't admit them
+    intercept[IllegalArgumentException](GraftEqDelete.upsert(spark, "graft_eq",
+      "db.t6", Seq[(java.lang.Long, java.lang.Long)]((null, 5L))
+        .toDF("k", "v"), Seq("k")))
+    // an INT-typed change set is cast to the table's BIGINT before the
+    // sidecar is written, so the read-path probe masks the old version
+    GraftEqDelete.upsert(spark, "graft_eq", "db.t6",
+      Seq((1, 30)).toDF("k", "v"), Seq("k"))
+    assert(spark.table("graft_eq.db.t6").count() == 2)
+    assert(spark.table("graft_eq.db.t6").where(col("k") === 1)
+      .collect().head.getLong(1) == 30L,
+      "cast keys must probe-match the table's physical representation")
+  }
+
   test("rejections: non-history, layouts, duplicate keys in the change set") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
