@@ -1260,6 +1260,41 @@ object Etl {
               |FROM graft_files('graft_fm', 'db.fm')""".stripMargin)
     },
 
+    // AGGREGATE PUSHDOWN to manifest stats: a global COUNT/MIN/MAX over a
+    // catalog table is answered from the stats log — the plan is a ONE-ROW
+    // metadata scan, asserted in-query two ways (the physical plan carries
+    // the stats-aggregated marker AND zero parquet footers open during
+    // planning+execution). At 100 TB this turns `SELECT count(*) FROM t`
+    // from a full-table scan into a handful of sequential metadata reads.
+    // The oracle recomputes the aggregates from raw orders — the metadata
+    // row must agree with first principles.
+    "etl_agg_pushdown" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ap", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ap.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ap.db")
+      s.sql("DROP TABLE IF EXISTS graft_ap.db.ord")
+      s.sql("CREATE TABLE graft_ap.db.ord (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_ap_orders")
+      s.sql("""INSERT INTO graft_ap.db.ord
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_ap_orders""".stripMargin)
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val q = s.sql("""SELECT count(*) AS n_rows, count(status) AS n_status,
+                      |min(id) AS min_id, max(id) AS max_id,
+                      |min(status) AS min_status, max(status) AS max_status,
+                      |min(cents) AS min_cents, max(cents) AS max_cents
+                      |FROM graft_ap.db.ord""".stripMargin)
+      require(q.queryExecution.executedPlan.toString.contains("stats-aggregated"),
+        "etl_agg_pushdown: the global aggregate must plan as a metadata scan")
+      val rows = q.collect() // force execution before counting probes
+      require(graft.sources.GraftParquetFilters.footerProbes.get() == before,
+        "etl_agg_pushdown: zero parquet footers may open")
+      require(rows.length == 1, "etl_agg_pushdown: one result row")
+      q
+    },
+
     // the change feed over MOR deltas is PRECISE (not file-granular):
     // a DELETE's images come from the deletion-vector DIFF, naming
     // exactly the deleted positions — so the raw feed itself is
@@ -2018,6 +2053,14 @@ object Etl {
 
     "etl_files_meta" ->
       "SELECT COUNT(*) AS n_rows FROM orders",
+
+    "etl_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_orderstatus) AS n_status,
+        | MIN(o_orderkey) AS min_id, MAX(o_orderkey) AS max_id,
+        | MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+        | MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        | MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
+        |FROM orders""".stripMargin,
 
     "etl_mor_time_travel" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -667,25 +667,76 @@ object GraftTable {
   def readEntries(fs: FileSystem, dir: Path, v: Long): Seq[(String, Option[String])] =
     readFullEntries(fs, dir, v).map(e => e.file -> e.dv)
 
-  /** Full manifest entries of version `v` (absolute paths). Line format:
-    * `file[\tdv[\teq1,eq2,...]]` — the dv field may be empty when only
-    * equality masks apply.
-    */
-  def readFullEntries(fs: FileSystem, dir: Path, v: Long): Seq[GraftEntry] = {
+  // --- manifest SEGMENTS (Iceberg's manifest-list shape) ---------------
+  // A version manifest may reference immutable SEGMENT files
+  // (`@<segment-name>` lines) instead of inlining every entry: an append
+  // to a table with S segments and F files writes ONE new segment holding
+  // just the appended entries plus a version file of S+1 refs — O(ΔF + S)
+  // instead of O(F). Unchanged segments are REUSED by reference across
+  // versions (full-containment check at write time), so `snapshots()` and
+  // the change feed parse each segment once per driver (immutable,
+  // uuid-named → cacheable forever). Plain inline manifests (pre-segment
+  // tables) read unchanged; the first commit through this path migrates
+  // them. When the segment list would exceed [[MaxSegments]], the write
+  // compacts all entries into one fresh segment — amortized O(F), the
+  // same rewrite cadence Iceberg's manifest merge applies.
+  val SegmentPrefix = "_graft_segment_"
+  private[sources] val MaxSegments = 32
+  private def isSegmentRef(l: String): Boolean = l.startsWith("@")
+  private def freshSegmentName(): String =
+    s"$SegmentPrefix${UUID.randomUUID().toString.replace("-", "")}.txt"
+
+  /** Raw entry lines of one immutable segment file, cached per driver. */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def segmentLines(fs: FileSystem, dir: Path, name: String): Seq[String] = {
+    val key = new Path(dir, name).toString
+    val cached = segmentCache.get(key)
+    if (cached != null) return cached
+    val in = fs.open(new Path(dir, name))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val kept = lines.filter(_.nonEmpty)
+    if (segmentCache.size > 4096) segmentCache.clear()
+    segmentCache.put(key, kept)
+    kept
+  }
+
+  /** Segment names referenced by version `v` (empty for inline manifests). */
+  def segmentRefs(fs: FileSystem, dir: Path, v: Long): Seq[String] =
+    rawManifestLines(fs, dir, v).filter(isSegmentRef).map(_.substring(1))
+
+  private def rawManifestLines(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(dir, v))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.nonEmpty).map { l =>
-      val parts = l.split("\t", -1)
-      val dv = parts.lift(1).filter(_.nonEmpty)
-        .map(d => new Path(dir, d).toString)
-      val eqs = parts.lift(2).filter(_.nonEmpty).toSeq
-        .flatMap(_.split(",")).filter(_.nonEmpty)
-        .map(e => new Path(dir, e).toString)
-      GraftEntry(new Path(dir, parts(0)).toString, dv, eqs)
-    }
+    lines.filter(_.nonEmpty)
   }
+
+  private def parseEntryLine(dir: Path, l: String): GraftEntry = {
+    val parts = l.split("\t", -1)
+    val dv = parts.lift(1).filter(_.nonEmpty)
+      .map(d => new Path(dir, d).toString)
+    val eqs = parts.lift(2).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+      .map(e => new Path(dir, e).toString)
+    GraftEntry(new Path(dir, parts(0)).toString, dv, eqs)
+  }
+
+  /** Full manifest entries of version `v` (absolute paths). Entry line
+    * format: `file[\tdv[\teq1,eq2,...]]` — the dv field may be empty when
+    * only equality masks apply; `@segment` lines expand to the segment's
+    * entries.
+    */
+  def readFullEntries(fs: FileSystem, dir: Path, v: Long): Seq[GraftEntry] =
+    rawManifestLines(fs, dir, v).flatMap { l =>
+      if (isSegmentRef(l))
+        segmentLines(fs, dir, l.substring(1)).map(parseEntryLine(dir, _))
+      else Seq(parseEntryLine(dir, l))
+    }
 
   def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] =
     readEntries(fs, dir, v).map(_._1)
@@ -708,23 +759,54 @@ object GraftTable {
     writeFullEntries(fs, dir, v,
       entries.map { case (f, dv) => GraftEntry(f, dv) })
 
-  def writeFullEntries(fs: FileSystem, dir: Path, v: Long,
-                       entries: Seq[GraftEntry]): Unit = {
+  private def entryLine(dir: Path, e: GraftEntry): String = {
     // entries are dir-relative (plain names for flat tables, col=value/
     // subpaths for partitioned ones); DV and equality sidecars live at
     // the root. Trailing empty fields are omitted, so tables without
     // masks keep the original 1/2-field line format byte-for-byte.
-    val bytes = entries
-      .map { e =>
-        val eqPart =
-          if (e.eqs.isEmpty) ""
-          else "\t" + e.eqs.map(x => relativize(dir, new Path(x))).sorted
-            .mkString(",")
-        val dvPart = e.dv.map(d => "\t" + relativize(dir, new Path(d)))
-          .getOrElse(if (e.eqs.isEmpty) "" else "\t")
-        relativize(dir, new Path(e.file)) + dvPart + eqPart
+    val eqPart =
+      if (e.eqs.isEmpty) ""
+      else "\t" + e.eqs.map(x => relativize(dir, new Path(x))).sorted
+        .mkString(",")
+    val dvPart = e.dv.map(d => "\t" + relativize(dir, new Path(d)))
+      .getOrElse(if (e.eqs.isEmpty) "" else "\t")
+    relativize(dir, new Path(e.file)) + dvPart + eqPart
+  }
+
+  private def writeSegment(fs: FileSystem, dir: Path,
+                           lines: Seq[String]): String = {
+    val name = freshSegmentName()
+    val out = fs.create(new Path(dir, name), false)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    segmentCache.put(new Path(dir, name).toString, lines.sorted)
+    name
+  }
+
+  def writeFullEntries(fs: FileSystem, dir: Path, v: Long,
+                       entries: Seq[GraftEntry]): Unit = {
+    val lines = entries.map(entryLine(dir, _))
+    val lineSet = lines.toSet
+    // reuse the previous version's segments whose entries ALL survive
+    // verbatim (file + masks): the commit then writes only the residual
+    val prevSegs: Seq[(String, Seq[String])] =
+      manifestVersions(fs, dir).filter(_ < v).lastOption.toSeq.flatMap { pv =>
+        segmentRefs(fs, dir, pv).map(n => n -> segmentLines(fs, dir, n))
       }
-      .sorted.mkString("\n").getBytes("UTF-8")
+    val covered = scala.collection.mutable.Set.empty[String]
+    val reused = prevSegs.filter { case (_, segLines) =>
+      val ok = segLines.nonEmpty && segLines.forall(l =>
+        lineSet.contains(l) && !covered.contains(l))
+      if (ok) covered ++= segLines
+      ok
+    }.map(_._1)
+    val residual = lines.filterNot(covered.contains).distinct
+    val refs =
+      if (reused.size + (if (residual.nonEmpty) 1 else 0) > MaxSegments)
+        Seq(writeSegment(fs, dir, lines.distinct)) // amortized compaction
+      else if (residual.nonEmpty) reused :+ writeSegment(fs, dir, residual)
+      else reused
+    val bytes = refs.sorted.map("@" + _).mkString("\n").getBytes("UTF-8")
     val target = manifestPath(dir, v)
     if (fs.getScheme == "file") {
       val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
@@ -998,12 +1080,14 @@ class GraftRowLevelOperation(table: GraftTable,
 
 class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggPlanned: Option[GraftAggPushdown.Planned] = None
   // the COPY-ON-WRITE rewrite scan (ReplaceData); a merge-on-read delta
   // scan is row-level too but never rewrites whole groups
   private def cowRewrite = op.exists(_.isInstanceOf[GraftRowLevelOperation])
@@ -1056,7 +1140,32 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  /** Global COUNT/MIN/MAX answered from the stats log (GraftAggPushdown):
+    * COMPLETE pushdown — Spark consumes the one-row result directly, no
+    * partial/final aggregation and no data-file tasks. Refused (ordinary
+    * scan) whenever any soundness gate fails; Spark only attempts the
+    * pushdown when no Filter survives below the Aggregate, re-checked
+    * here defensively.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPlanAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPlanAgg(agg)
+
+  private def tryPlanAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (op.isDefined || pushed.nonEmpty || partFilters.nonEmpty ||
+        dayFilters.nonEmpty) return false
+    if (aggPlanned.isEmpty)
+      aggPlanned = GraftAggPushdown.plan(SparkSession.active, table, agg)
+    aggPlanned.nonEmpty
+  }
+
   override def build(): Scan = {
+    aggPlanned.foreach(p => return new GraftAggScan(table.name(), p))
     val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
       dayFilters)
     op.foreach {

@@ -528,6 +528,17 @@ object GraftMaintenance {
       fs.delete(GraftTable.manifestPath(dir, v), false)
       fs.delete(GraftTable.commitKindPath(dir, v), false)
     }
+    // manifest segments are immutable and shared across versions: delete
+    // the ones no retained version references (AFTER the expired version
+    // files are gone, so a crash between the two deletes leaves only
+    // unreferenced-but-present segments — never a dangling reference)
+    val referencedSegs = versions.filter(keep.contains)
+      .flatMap(GraftTable.segmentRefs(fs, dir, _)).toSet
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(GraftTable.SegmentPrefix) &&
+        !referencedSegs.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
     // expired files take their statistics with them (min/max hold real
     // data values — PURGE's erasure guarantee extends to the stats log)
     if (orphans.nonEmpty) {
