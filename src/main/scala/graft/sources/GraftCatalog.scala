@@ -1030,7 +1030,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, None)
+    new GraftScanBuilder(this, None, GraftStreamLimits.from(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     rejectPinnedWrite()
@@ -1078,7 +1078,8 @@ class GraftRowLevelOperation(table: GraftTable,
     Array(Expressions.column(GraftTable.FileCol))
 }
 
-class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
+class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
+                       streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited)
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1167,7 +1168,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation])
   override def build(): Scan = {
     aggPlanned.foreach(p => return new GraftAggScan(table.name(), p))
     val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
-      dayFilters)
+      dayFilters, streamLimits)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -1356,7 +1357,8 @@ case class GraftBucketedFilePartition(file: String, bucketId: Int,
 class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1398,7 +1400,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     require(table.history,
       s"streaming read of ${table.name()}: only history tables have a commit log")
     new GraftMicroBatchStream(table, required,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      streamLimits)
   }
   override def description(): String =
     s"graft ${table.name()} cols=${required.fieldNames.mkString(",")}" +

@@ -160,18 +160,19 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftChangesScanBuilder(base)
+    new GraftChangesScanBuilder(base, GraftStreamLimits.from(options))
 }
 
-class GraftChangesScanBuilder(base: GraftTable)
+class GraftChangesScanBuilder(base: GraftTable, limits: GraftStreamLimits)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftChanges.schemaFor(base.schema())
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftChangesScan(base, required)
+  override def build(): Scan = new GraftChangesScan(base, required, limits)
 }
 
-class GraftChangesScan(base: GraftTable, required: StructType)
+class GraftChangesScan(base: GraftTable, required: StructType,
+                       limits: GraftStreamLimits = GraftStreamLimits.Unlimited)
   extends Scan with Batch {
 
   private def fs = new Path(base.dir)
@@ -199,7 +200,8 @@ class GraftChangesScan(base: GraftTable, required: StructType)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangesMicroBatchStream(base, required,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      limits)
 }
 
 /** Streaming half: offsets are manifest versions (same resume contract as
@@ -208,8 +210,10 @@ class GraftChangesScan(base: GraftTable, required: StructType)
   * which the append source must refuse.
   */
 class GraftChangesMicroBatchStream(base: GraftTable, required: StructType,
-                                   conf: SerializableHadoopConf)
-  extends MicroBatchStream {
+                                   conf: SerializableHadoopConf,
+                                   limits: GraftStreamLimits = GraftStreamLimits.Unlimited)
+  extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def dir = new Path(base.dir)
   private def fs = dir.getFileSystem(conf.value)
@@ -221,6 +225,25 @@ class GraftChangesMicroBatchStream(base: GraftTable, required: StructType,
         s"streaming changes of ${base.name()}: history table has no manifest")))
 
   override def latestOffset(): Offset = GraftVersionOffset(versions.last)
+
+  /** Admission control (same contract as the append tail): the change
+    * feed of a deep retained log drains across bounded micro-batches —
+    * commit-atomic, offsets stay exact resume points.
+    */
+  override def latestOffset(
+      start: Offset,
+      readLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    if (limits.isUnlimited) GraftVersionOffset(versions.lastOption.getOrElse(s))
+    else GraftVersionOffset(limits.cappedEnd(fs, dir, versions, s))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    GraftVersionOffset(versions.lastOption.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)

@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Stream offset for a graft history table: "consumed through manifest
   * `version`". Manifest versions are the table's commit log, so they are
@@ -11,6 +12,77 @@ import org.apache.spark.sql.types.StructType
   */
 case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/** ADMISSION CONTROL for streaming reads of graft tables — the rate
+  * limits a production tail needs when it first attaches to a table with
+  * deep history (Delta's maxFilesPerTrigger shape): without a cap, the
+  * first micro-batch is the WHOLE retained log in one transaction —
+  * state-store pressure, checkpoint size, and restart cost all spike.
+  *
+  *   - `maxCommitsPerTrigger`: at most N manifest commits per micro-batch;
+  *   - `maxFilesPerTrigger`: stop admitting commits once the batch holds
+  *     at least N added data files (commit-atomic: a commit is never
+  *     split, so a single commit larger than the cap still admits whole —
+  *     offsets stay exact resume points).
+  *
+  * Both caps bound the OFFSET RANGE, never the row set: every commit is
+  * still delivered exactly once, across more, smaller batches.
+  */
+case class GraftStreamLimits(maxCommits: Option[Int], maxFiles: Option[Int]) {
+  def isUnlimited: Boolean = maxCommits.isEmpty && maxFiles.isEmpty
+
+  /** End version for a batch starting AFTER `start`, capped by the limits
+    * (always admits at least one commit when any exists).
+    */
+  def cappedEnd(fs: FileSystem, dir: Path, versions: Seq[Long],
+                start: Long): Long = {
+    val pending = versions.filter(_ > start)
+    if (pending.isEmpty) return start
+    var admitted = pending
+    maxCommits.foreach(n => admitted = admitted.take(math.max(1, n)))
+    maxFiles.foreach { n =>
+      var files = 0L
+      // vacuum may have expired the checkpointed start version — the
+      // baseline is the greatest RETAINED version at or before it
+      var prevNames = versions.filter(_ <= start).lastOption
+        .map(v => GraftTable.readFullEntries(fs, dir, v)
+          .map(e => new Path(e.file).getName).toSet)
+        .getOrElse(Set.empty[String])
+      val taken = Seq.newBuilder[Long]
+      var budgetLeft = true
+      admitted.foreach { v =>
+        if (budgetLeft) {
+          val names = GraftTable.readFullEntries(fs, dir, v)
+            .map(e => new Path(e.file).getName).toSet
+          files += (names -- prevNames).size
+          prevNames = names
+          taken += v
+          if (files >= n) budgetLeft = false
+        }
+      }
+      admitted = taken.result()
+    }
+    admitted.lastOption.getOrElse(start)
+  }
+}
+
+object GraftStreamLimits {
+  val MaxCommitsOption = "maxCommitsPerTrigger"
+  val MaxFilesOption = "maxFilesPerTrigger"
+  val Unlimited: GraftStreamLimits = GraftStreamLimits(None, None)
+
+  def from(options: CaseInsensitiveStringMap): GraftStreamLimits = {
+    def pos(key: String): Option[Int] = Option(options.get(key)).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option $key must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"option $key must be a positive integer, got $n")
+      n
+    }
+    GraftStreamLimits(pos(MaxCommitsOption), pos(MaxFilesOption))
+  }
 }
 
 /** Structured Streaming SOURCE over a graft-catalog HISTORY table — the
@@ -37,8 +109,9 @@ case class GraftVersionOffset(version: Long) extends Offset {
   * same pruned parquet reader the batch scan uses.
   */
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
-                            conf: SerializableHadoopConf)
-  extends MicroBatchStream {
+                            conf: SerializableHadoopConf,
+                            limits: GraftStreamLimits = GraftStreamLimits.Unlimited)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def dir = new Path(table.dir)
   private def fs = dir.getFileSystem(conf.value)
@@ -54,6 +127,21 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       s"streaming read of ${table.name()}: history table has no manifest")))
 
   override def latestOffset(): Offset = GraftVersionOffset(versions.last)
+
+  /** Admission-controlled endpoint: the batch ends at the capped commit,
+    * so a deep retained log drains across bounded micro-batches instead
+    * of one giant first transaction.
+    */
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    if (limits.isUnlimited) GraftVersionOffset(versions.lastOption.getOrElse(s))
+    else GraftVersionOffset(limits.cappedEnd(fs, dir, versions, s))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    GraftVersionOffset(versions.lastOption.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
