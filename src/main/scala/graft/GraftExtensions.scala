@@ -424,6 +424,73 @@ object GraftExtensions {
         Bridge.logicalPlan(Seq((m, f))
           .toDF("manifests_removed", "files_removed"))
       }),
+    ("graft_bloom_build",
+      info("graft_bloom_build",
+        "graft_bloom_build(catalog, table, cols_csv) - build the per-file " +
+          "BLOOM index for point-lookup pruning on non-clustered columns; " +
+          "returns (files_indexed, columns)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bloom_build(catalog, 'ns.t', 'col1,col2')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_bloom_build: catalog"),
+          stringArg(args(1), "graft_bloom_build: table"))
+        val cols = stringArg(args(2), "graft_bloom_build: cols_csv")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val n = graft.sources.GraftBloom.buildIndex(s, t.dir, cols)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((n, cols.mkString(",")))
+          .toDF("files_indexed", "columns"))
+      }),
+    ("graft_set_time_partition",
+      info("graft_set_time_partition",
+        "graft_set_time_partition(catalog, table, spec) - PARTITION " +
+          "EVOLUTION: change the table's hidden time partitioning as a " +
+          "metadata-only commit; spec is 'days(col)' / 'hours(col)' / " +
+          "'months(col)' or 'none'. Old files keep their layout and stay " +
+          "prunable; new writes route through the new spec"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_set_time_partition(catalog, 'ns.t', 'days(col)'|'none')")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_set_time_partition: catalog"),
+          stringArg(args(1), "graft_set_time_partition: table"))
+        val specStr = stringArg(args(2), "graft_set_time_partition: spec").trim
+        val spec =
+          if (specStr.equalsIgnoreCase("none")) None
+          else {
+            val m = "^(hours|days|months)\\(([^)]+)\\)$".r
+            specStr match {
+              case m(unit, c) => Some((c.trim, unit))
+              case _ => throw new IllegalArgumentException(
+                s"graft_set_time_partition: spec '$specStr' is not " +
+                  "unit(col) with unit in hours/days/months, or 'none'")
+            }
+          }
+        graft.sources.GraftMaintenance.setTimePartition(s, t.dir, spec)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((specStr,
+          spec.map(x => s"${x._2}(${x._1})").getOrElse("none")))
+          .toDF("requested", "installed"))
+      }),
+    ("graft_migrate_layout",
+      info("graft_migrate_layout",
+        "graft_migrate_layout(catalog, table) - rewrite files not laid " +
+          "out under the CURRENT time-partition spec into it (the " +
+          "catch-up job after graft_set_time_partition); returns " +
+          "(files_migrated, files_landed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_migrate_layout(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_migrate_layout: catalog"),
+          stringArg(args(1), "graft_migrate_layout: table"))
+        val (m, l) = graft.sources.GraftMaintenance.migrateTimeLayout(s, t.dir)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((m, l)).toDF("files_migrated", "files_landed"))
+      }),
     ("graft_restore",
       info("graft_restore",
         "graft_restore(catalog, table, version_or_tag) - roll a history " +

@@ -1260,6 +1260,178 @@ object Etl {
               |FROM graft_files('graft_fm', 'db.fm')""".stripMargin)
     },
 
+    // PER-FILE BLOOM INDEX: the point lookup min/max stats cannot serve —
+    // the table is clustered by STATUS, so every file's orderkey range
+    // overlaps and a key probe plans the whole table; after
+    // graft_bloom_build (SQL TVF surface), the same probe plans only the
+    // files whose filter fires — asserted in-query (planned < total).
+    // Bloom pruning is sound by construction (no false negatives), so the
+    // oracle replays the raw filter and the values must agree exactly.
+    "etl_bloom_index" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_bi", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_bi.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_bi.db")
+      s.sql("DROP TABLE IF EXISTS graft_bi.db.ord")
+      s.sql("CREATE TABLE graft_bi.db.ord (id BIGINT, status STRING, cents BIGINT)")
+      // cluster by status: 3 statuses × hash-8 → id ranges overlap per file
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("slice", (col("id") % 7).cast("int"))
+        .repartition(8, col("status"), col("slice"))
+        .drop("slice")
+        .writeTo("graft_bi.db.ord").append()
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      val keys = Seq(7L, 193L, 676L, 1321L)
+      val keyList = keys.mkString(", ")
+      val pre = s.sql(
+        s"SELECT * FROM graft_bi.db.ord WHERE id IN ($keyList)")
+      require(pre.rdd.getNumPartitions == total,
+        s"etl_bloom_index: pre-index the probe must plan all $total files " +
+          s"(got ${pre.rdd.getNumPartitions}) — the cluster key must not help")
+      val built = s.sql(
+        "SELECT * FROM graft_bloom_build('graft_bi', 'db.ord', 'id')")
+        .collect()(0).getInt(0)
+      require(built == total, s"etl_bloom_index: indexed $built of $total")
+      val post = s.sql(
+        s"SELECT * FROM graft_bi.db.ord WHERE id IN ($keyList)")
+      require(post.rdd.getNumPartitions < total,
+        s"etl_bloom_index: post-index the probe must prune " +
+          s"(${post.rdd.getNumPartitions} of $total planned)")
+      s.sql(s"""SELECT id, status, cents FROM graft_bi.db.ord
+               |WHERE id IN ($keyList) ORDER BY id""".stripMargin)
+    },
+
+    // RENAME COLUMN as a name-mapping commit (GraftEvolution): epoch 1
+    // lands under 'cents', the rename is metadata-only (asserted: same
+    // file set), epoch 2 lands under 'amount_cents' — and a filtered read
+    // across BOTH epochs serves every pre-rename value under the new name
+    // (no NULL-fill, asserted in-query). The oracle replays the filter
+    // over raw orders with the final column name: values must agree
+    // exactly across the rename boundary.
+    "etl_rename_evolution" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ev", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ev.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ev.db")
+      s.sql("DROP TABLE IF EXISTS graft_ev.db.ren")
+      s.sql("CREATE TABLE graft_ev.db.ren (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_ev_orders")
+      s.sql("""INSERT INTO graft_ev.db.ren
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_ev_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ren")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val before = graft.sources.GraftTable.dataFiles(fs, tdir).toSet
+      s.sql("ALTER TABLE graft_ev.db.ren RENAME COLUMN cents TO amount_cents")
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).toSet == before,
+        "etl_rename_evolution: rename must not touch any data file")
+      s.sql("""INSERT INTO graft_ev.db.ren
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              |FROM graft_ev_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      require(s.table("graft_ev.db.ren")
+        .where(col("amount_cents").isNull).isEmpty,
+        "etl_rename_evolution: pre-rename files must serve values under " +
+          "the new name, never NULL-fill")
+      s.sql("""SELECT id, status, amount_cents FROM graft_ev.db.ren
+              |WHERE amount_cents > 20000000 ORDER BY id""".stripMargin)
+    },
+
+    // PARTITION EVOLUTION: the table starts FLAT, half the events land;
+    // graft_set_time_partition installs days(ts) as a METADATA-ONLY
+    // commit (asserted: same file set); the second half lands day-routed;
+    // graft_migrate_layout then rewrites the flat epoch into the layout —
+    // after which a one-week raw-ts filter plans only day dirs (asserted:
+    // every file carries a ts_day segment, and the week scan plans at
+    // most the dirs a misaligned week can touch). Values are
+    // layout-invariant — the oracle replays the filter over raw events.
+    "etl_partition_evolution" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_pe", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_pe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pe.db")
+      s.sql("DROP TABLE IF EXISTS graft_pe.db.pev")
+      s.sql("CREATE TABLE graft_pe.db.pev (event_id BIGINT, ts TIMESTAMP, cents BIGINT)")
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          (floor(col("value") * 100) + 1).cast("long").as("cents"))
+      events.where(col("event_id") % 2 === 0)
+        .writeTo("graft_pe.db.pev").append()          // flat epoch
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/pev")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val before = graft.sources.GraftTable.dataFiles(fs, tdir).toSet
+      s.sql("SELECT * FROM graft_set_time_partition('graft_pe', 'db.pev', 'days(ts)')")
+        .collect()
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).toSet == before,
+        "etl_partition_evolution: evolution must not move a byte")
+      events.where(col("event_id") % 2 === 1)
+        .writeTo("graft_pe.db.pev").append()          // day-routed epoch
+      val (migrated, _) = graft.sources.GraftMaintenance
+        .migrateTimeLayout(s, tdir.toString)
+      require(migrated == before.size,
+        s"etl_partition_evolution: expected ${before.size} flat files " +
+          s"migrated, got $migrated")
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).forall(f =>
+        graft.sources.GraftDayPartition
+          .unitOfFile(tdir.toString, f, "ts", "days").nonEmpty),
+        "etl_partition_evolution: post-migration every file must carry " +
+          "a day segment")
+      val firstDay = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val week = s.table("graft_pe.db.pev")
+        .where(col("ts") >= date_add(lit(firstDay), 7).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 14).cast("timestamp"))
+      val plannedDirs = week.rdd.getNumPartitions
+      val totalDirs = new java.io.File(tdir.toString)
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("ts_day="))
+      require(plannedDirs <= 7 * 2 && plannedDirs < totalDirs,
+        s"etl_partition_evolution: week scan planned $plannedDirs " +
+          s"partitions over $totalDirs day dirs — evolution+migration " +
+          "must leave the table week-prunable")
+      week.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    },
+
+    // Type WIDENING as metadata-only DDL: epoch 1 lands INT cents, ALTER
+    // COLUMN widens to BIGINT (no file rewritten, asserted), epoch 2
+    // lands beyond-int values — the read up-converts pre-widen INT32
+    // bytes in place (Spark's parquet converter) and the grouped sum is
+    // exact across both epochs. Oracle replays with the same arithmetic.
+    "etl_type_widening" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ev", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ev.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ev.db")
+      s.sql("DROP TABLE IF EXISTS graft_ev.db.wide")
+      s.sql("CREATE TABLE graft_ev.db.wide (id BIGINT, status STRING, cents INT)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_ev_orders")
+      s.sql("""INSERT INTO graft_ev.db.wide
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS INT)
+              |FROM graft_ev_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/wide")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val before = graft.sources.GraftTable.dataFiles(fs, tdir).toSet
+      s.sql("ALTER TABLE graft_ev.db.wide ALTER COLUMN cents TYPE BIGINT")
+      require(graft.sources.GraftTable.dataFiles(fs, tdir).toSet == before,
+        "etl_type_widening: widening must not touch any data file")
+      s.sql("""INSERT INTO graft_ev.db.wide
+              |SELECT o_orderkey, o_orderstatus,
+              |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 10000000000
+              |FROM graft_ev_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("""SELECT status, COUNT(*) AS n_orders,
+              |       SUM(cents) AS sum_cents, MAX(cents) AS max_cents
+              |FROM graft_ev.db.wide GROUP BY status ORDER BY status""".stripMargin)
+    },
+
     // AGGREGATE PUSHDOWN to manifest stats: a global COUNT/MIN/MAX over a
     // catalog table is answered from the stats log — the plan is a ONE-ROW
     // metadata scan, asserted in-query two ways (the physical plan carries
@@ -2053,6 +2225,40 @@ object Etl {
 
     "etl_files_meta" ->
       "SELECT COUNT(*) AS n_rows FROM orders",
+
+    "etl_bloom_index" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey IN (7, 193, 676, 1321)
+        |ORDER BY id""".stripMargin,
+
+    "etl_partition_evolution" ->
+      """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(FLOOR(value * 100) + 1 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= CAST((SELECT d FROM d0) + 7 AS TIMESTAMP)
+        |  AND ts < CAST((SELECT d FROM d0) + 14 AS TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_rename_evolution" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amount_cents
+        |FROM orders WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 20000000
+        |ORDER BY id""".stripMargin,
+
+    "etl_type_widening" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        | CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+        |   THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 10000000000
+        |   END) AS BIGINT) AS sum_cents,
+        | CAST(MAX(CASE WHEN o_orderkey % 2 = 0
+        |   THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 10000000000
+        |   END) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, COUNT(o_orderstatus) AS n_status,

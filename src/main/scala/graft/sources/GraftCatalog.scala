@@ -143,6 +143,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map { case (k, v) => (k.stripPrefix(GraftConstraints.Prefix), v) }
       .sortBy(_._1)
 
+  private def aliasesOf(dir: Path): Map[String, Seq[String]] =
+    GraftEvolution.aliasesOf(GraftTable.readProps(fs, dir))
+
+  private def widenedOf(dir: Path): Set[String] =
+    GraftEvolution.widenedOf(GraftTable.readProps(fs, dir))
+
+  private def pastTimeSpecsOf(dir: Path): Seq[(String, String)] =
+    GraftTable.decodePastTimeSpecs(GraftTable.readProps(fs, dir))
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) {
@@ -165,7 +174,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
       mor = isMor(dir), partitionCols = partCols(dir),
       bucketSpec = bucketSpec(dir), checks = checksOf(dir),
-      dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir))
+      dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir),
+      aliases = aliasesOf(dir), widened = widenedOf(dir),
+      pastTimeSpecs = pastTimeSpecsOf(dir))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -204,7 +215,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       history = true, pinnedVersion = Some(v), mor = isMor(dir),
       partitionCols = partCols(dir), bucketSpec = bucketSpec(dir),
       checks = checksOf(dir), dayCol = dayColOf(dir),
-      timeUnit = timeUnitOf(dir))
+      timeUnit = timeUnitOf(dir), aliases = aliasesOf(dir),
+      widened = widenedOf(dir), pastTimeSpecs = pastTimeSpecsOf(dir))
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -423,48 +435,141 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * path NULL-fills requested-but-absent columns (Spark's clipped
     * parquet schema), so old files surface the new column as NULL.
     * DROP COLUMN is likewise metadata-only (parquet column pruning means
-    * dropped data simply stops being read). Type changes / renames are
-    * rejected: a rename would silently orphan the column's data in every
-    * existing file (parquet matches by name), which is data loss wearing
-    * a metadata costume — lakehouse formats need field IDs for that.
+    * dropped data simply stops being read) — and RETIRES the column's
+    * whole name chain, because re-adding a once-used name would resurrect
+    * the old bytes still sitting in existing files (the hole field IDs
+    * close in other formats; here the retired list closes it).
+    * RENAME COLUMN is a NAME-MAPPING commit ([[GraftEvolution]]): the old
+    * name joins the column's alias chain, the stats/bloom logs re-key,
+    * and the read path resolves per file — old files keep serving the
+    * column's bytes under its new name. Type changes are admitted only
+    * for the WIDENINGS Spark's parquet converters up-convert natively
+    * (byte→short→int→long, float→double); anything else is rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val updated = changes.foldLeft(readSchema(dir)) { (schema, ch) =>
+    val props0 = GraftTable.readProps(fs, dir)
+    def layoutGuard(name: String, verb: String): Unit = {
+      require(!partCols(dir).contains(name),
+        s"graft catalog: cannot $verb partition column $name " +
+          "(the directory layout depends on it)")
+      require(!bucketSpec(dir).exists(_._1 == name),
+        s"graft catalog: cannot $verb bucket column $name " +
+          "(row placement depends on it)")
+      require(!dayColOf(dir).contains(name),
+        s"graft catalog: cannot $verb hidden-time column $name " +
+          "(the day layout derives from it)")
+      require(!pastTimeSpecsOf(dir).exists(_._1 == name),
+        s"graft catalog: cannot $verb column $name — a PAST time-partition " +
+          "spec wrote directory segments under it and pruning resolves " +
+          "them by name")
+    }
+    // live equality-delete masks store key NAMES and typed VALUES in
+    // their sidecars — rename/widen would need a sidecar rewrite, which
+    // is not a metadata-only operation; refuse loudly while any retained
+    // snapshot carries one
+    def eqMaskGuard(verb: String): Unit =
+      if (isHistory(dir) && GraftTable.manifestVersions(fs, dir).exists(v =>
+          GraftTable.readFullEntries(fs, dir, v).exists(_.eqs.nonEmpty)))
+        throw new UnsupportedOperationException(
+          s"graft catalog: cannot $verb on $ident while retained snapshots " +
+            "carry equality-delete masks (sidecars store key names and " +
+            "typed values) — materialize the eq-deletes and vacuum first")
+    case class Evo(schema: StructType, aliases: Map[String, Seq[String]],
+                   retired: Seq[String], widened: Set[String])
+    val evo0 = Evo(readSchema(dir), GraftEvolution.aliasesOf(props0),
+      GraftEvolution.retiredOf(props0), GraftEvolution.widenedOf(props0))
+    val evo = changes.foldLeft(evo0) { (st, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "graft catalog: nested ADD COLUMN not supported")
           require(add.isNullable,
             "graft catalog: added columns must be nullable (existing files NULL-fill)")
-          require(!schema.fieldNames.contains(add.fieldNames().head),
-            s"column ${add.fieldNames().head} already exists")
-          schema.add(StructField(add.fieldNames().head, add.dataType(),
-            nullable = true))
+          val name = add.fieldNames().head
+          require(!st.schema.fieldNames.contains(name),
+            s"column $name already exists")
+          // a once-used name (alias of a live column, or retired by a
+          // DROP) must never be reborn: old files still hold bytes under
+          // it, and the new column would silently serve them instead of
+          // the NULLs an added column promises
+          require(!GraftEvolution.allKnownNames(st.schema, st.aliases,
+              st.retired).contains(name),
+            s"graft catalog: column name $name was previously used on " +
+              s"$ident (rename history or dropped column) — existing " +
+              "files still hold bytes under it; pick a fresh name")
+          st.copy(schema = st.schema.add(
+            StructField(name, add.dataType(), nullable = true)))
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1,
             "graft catalog: nested DROP COLUMN not supported")
           val name = del.fieldNames().head
-          require(!partCols(dir).contains(name),
-            s"graft catalog: cannot drop partition column $name " +
-              "(the directory layout depends on it)")
-          require(!bucketSpec(dir).exists(_._1 == name),
-            s"graft catalog: cannot drop bucket column $name " +
-              "(row placement depends on it)")
-          if (!schema.fieldNames.contains(name)) {
-            if (del.ifExists()) schema
+          layoutGuard(name, "drop")
+          if (!st.schema.fieldNames.contains(name)) {
+            if (del.ifExists()) st
             else throw new IllegalArgumentException(s"no such column: $name")
           } else {
-            require(schema.length > 1, "cannot drop the last column")
-            StructType(schema.fields.filterNot(_.name == name))
+            require(st.schema.length > 1, "cannot drop the last column")
+            // the dropped column's entire name chain is retired
+            st.copy(
+              schema = StructType(st.schema.fields.filterNot(_.name == name)),
+              aliases = st.aliases - name,
+              widened = st.widened - name,
+              retired =
+                (st.retired ++ st.aliases.getOrElse(name, Nil) :+ name).distinct)
+          }
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames().length == 1,
+            "graft catalog: nested RENAME COLUMN not supported")
+          val from = ren.fieldNames().head
+          val to = ren.newName()
+          require(st.schema.fieldNames.contains(from), s"no such column: $from")
+          layoutGuard(from, "rename")
+          eqMaskGuard(s"RENAME COLUMN $from")
+          require(!GraftEvolution.allKnownNames(st.schema, st.aliases,
+              st.retired).contains(to),
+            s"graft catalog: cannot rename $from to $to — the name is (or " +
+              s"once was) in use on $ident and existing files may still " +
+              "hold bytes under it")
+          st.copy(
+            schema = StructType(st.schema.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f)),
+            aliases = (st.aliases - from) +
+              (to -> (st.aliases.getOrElse(from, Nil) :+ from)),
+            widened =
+              if (st.widened.contains(from)) st.widened - from + to
+              else st.widened)
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames().length == 1,
+            "graft catalog: nested ALTER COLUMN TYPE not supported")
+          val name = upd.fieldNames().head
+          require(st.schema.fieldNames.contains(name), s"no such column: $name")
+          layoutGuard(name, "re-type")
+          val from = st.schema(name).dataType
+          val to = upd.newDataType()
+          if (from == to) st
+          else {
+            require(GraftEvolution.canWiden(from, to),
+              s"graft catalog: cannot change $name from ${from.simpleString} " +
+                s"to ${to.simpleString} — only widenings the parquet reader " +
+                "up-converts in place are metadata-only (byte→short→int→" +
+                "long, float→double); anything else rewrites data")
+            eqMaskGuard(s"ALTER COLUMN $name TYPE")
+            st.copy(
+              schema = StructType(st.schema.fields.map(f =>
+                if (f.name == name) f.copy(dataType = to) else f)),
+              widened = st.widened + name)
           }
         case other => throw new UnsupportedOperationException(
-          s"graft catalog: unsupported table change $other (add/drop column only)")
+          s"graft catalog: unsupported table change $other " +
+            "(add/drop/rename column, widening type change)")
       }
     }
-    // dropping a column a CHECK references must fail the DDL, not poison
-    // every future write with an unresolvable constraint
+    val updated = evo.schema
+    // a schema change that breaks a CHECK constraint must fail the DDL,
+    // not poison every future write with an unresolvable constraint —
+    // this also catches renaming/dropping a column a CHECK references
     val checks = checksOf(dir)
     if (checks.nonEmpty)
       try GraftConstraints.validate(SparkSession.active, updated, checks)
@@ -473,6 +578,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: schema change on $ident breaks a CHECK constraint " +
             s"(${e.getMessage}) — drop the constraint first", e)
       }
+    // metadata-log re-keys BEFORE the schema swap becomes visible: stats
+    // bounds and bloom bits are value-canonical, so a rename is a pure
+    // re-label of their column keys
+    evo.aliases.foreach { case (cur, olds) =>
+      if (!evo0.aliases.contains(cur) || evo0.aliases(cur) != olds)
+        olds.lastOption.filterNot(o => evo0.aliases.get(cur).exists(_.contains(o)))
+          .foreach { renamedFrom =>
+            GraftStats.renameColumn(fs, dir, renamedFrom, cur)
+            GraftBloom.renameColumn(fs, dir, renamedFrom, cur)
+          }
+    }
+    val newProps = (props0
+      -- props0.keys.filter(_.startsWith(GraftEvolution.AliasPrefix))
+      - GraftEvolution.RetiredProp - GraftEvolution.WidenedProp)
+      .++(evo.aliases.map { case (cur, olds) =>
+        s"${GraftEvolution.AliasPrefix}$cur" -> GraftEvolution.encodeAliases(olds) })
+      .++(if (evo.retired.nonEmpty)
+            Map(GraftEvolution.RetiredProp ->
+              GraftEvolution.encodeRetired(evo.retired))
+          else Map.empty)
+      .++(if (evo.widened.nonEmpty)
+            Map(GraftEvolution.WidenedProp ->
+              GraftEvolution.encodeWidened(evo.widened))
+          else Map.empty)
+    if (newProps != props0) GraftTable.writeProps(fs, dir, newProps)
     val out = fs.create(metaFile(dir), true)
     try out.write(updated.json.getBytes("UTF-8")) finally out.close()
     loadTable(ident)
@@ -540,6 +670,10 @@ object GraftTable {
   val BucketColProp = "bucket-col"
   val DayColProp = "partition-days-col"
   val TimeUnitProp = "partition-time-unit"
+  // PARTITION EVOLUTION: former time specs, newest first, `col:unit`
+  // URL-encoded per entry — files written under them keep their segment
+  // layout and stay prunable (GraftDayPartition.survivesSpecs)
+  val PastTimeSpecsProp = "partition-time-past"
   val BucketCountProp = "bucket-count"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -609,6 +743,33 @@ object GraftTable {
       }
     }.toMap
   }
+
+  /** The table's declared schema from its meta file (None for plain
+    * parquet directories that never were a catalog table).
+    */
+  def readTableSchema(fs: FileSystem, dir: Path): Option[StructType] = {
+    val p = new Path(dir, MetaFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(DataType.fromJson(json).asInstanceOf[StructType])
+  }
+
+  def decodePastTimeSpecs(props: Map[String, String]): Seq[(String, String)] =
+    props.get(PastTimeSpecsProp).toSeq
+      .flatMap(_.split(";").toSeq.filter(_.nonEmpty))
+      .flatMap { e =>
+        e.split(":", 2) match {
+          case Array(c, u) =>
+            Some(java.net.URLDecoder.decode(c, "UTF-8") -> u)
+          case _ => None
+        }
+      }
+
+  def encodePastTimeSpecs(specs: Seq[(String, String)]): String =
+    specs.map { case (c, u) =>
+      s"${java.net.URLEncoder.encode(c, "UTF-8")}:$u" }.mkString(";")
 
   def writeProps(fs: FileSystem, dir: Path, props: Map[String, String]): Unit = {
     val out = fs.create(new Path(dir, PropsFile), true)
@@ -923,7 +1084,10 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val bucketSpec: Option[(String, Int)] = None,
                  val checks: Seq[(String, String)] = Nil,
                  val dayCol: Option[String] = None,
-                 val timeUnit: String = "days")
+                 val timeUnit: String = "days",
+                 val aliases: Map[String, Seq[String]] = Map.empty,
+                 val widened: Set[String] = Set.empty,
+                 val pastTimeSpecs: Seq[(String, String)] = Nil)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -949,6 +1113,11 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
       m.put(GraftTable.TimeUnitProp, timeUnit)
     }
     checks.foreach { case (n, t) => m.put(s"${GraftConstraints.Prefix}$n", t) }
+    if (pastTimeSpecs.nonEmpty)
+      m.put(GraftTable.PastTimeSpecsProp,
+        GraftTable.encodePastTimeSpecs(pastTimeSpecs))
+    aliases.foreach { case (cur, olds) =>
+      m.put(s"${GraftEvolution.AliasPrefix}$cur", GraftEvolution.encodeAliases(olds)) }
     pinnedVersion.foreach(v => m.put("pinned-version", v.toString))
     m
   }
@@ -1122,10 +1291,12 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
     partFilters = part
     // hidden day partitioning: predicates on the RAW source column prune
     // whole day directories — safe for every scan flavor (same argument
-    // as identity partition pruning: a pruned day holds no matching rows)
-    table.dayCol.foreach { dc =>
+    // as identity partition pruning: a pruned day holds no matching rows).
+    // Partition evolution: PAST specs' columns prune their own files too
+    val specCols = (table.dayCol.toSeq ++ table.pastTimeSpecs.map(_._1)).distinct
+    if (specCols.nonEmpty) {
       dayFilters = rest.filter(f =>
-        f.references.nonEmpty && f.references.forall(_ == dc))
+        f.references.nonEmpty && f.references.forall(specCols.contains))
     }
     if (!cowRewrite) {
       // parquet-pushable filters are judged against the PHYSICAL schema:
@@ -1391,6 +1562,13 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
       p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
   }
 
+  /** Per-file bloom index (point-lookup pruning), read once per scan. */
+  private lazy val bloomIndex: Map[(String, String), Array[Byte]] = {
+    val p = new Path(table.dir)
+    GraftBloom.readAll(
+      p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+
   /** Surviving (affected) files after runtime group filtering. */
   private[sources] def currentFiles: Seq[String] = files
 
@@ -1513,14 +1691,17 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           GraftPartitionPruning.externalValues(table.dir, f, pf)))
       }
     // hidden day-partition pruning: interval logic over the raw column's
-    // per-directory bounds (pure path metadata, zero IO)
-    val partKept = (table.dayCol, dayFilters.isEmpty) match {
-      case (Some(dc), false) =>
-        val dt = table.schema()(dc).dataType
-        partKept0.filter(f => GraftDayPartition.survives(
-          dayFilters.toSeq, table.dir, f, dc, dt, table.timeUnit))
-      case _ => partKept0
-    }
+    // per-directory bounds (pure path metadata, zero IO). With partition
+    // EVOLUTION each file resolves against its own spec (current first,
+    // then past, newest-first); segment-less files are never pruned
+    val timeSpecs: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      (table.dayCol.map(_ -> table.timeUnit).toSeq ++ table.pastTimeSpecs)
+        .flatMap { case (c, u) =>
+          table.schema().fields.find(_.name == c).map(f => (c, u, f.dataType)) }
+    val partKept =
+      if (dayFilters.isEmpty || timeSpecs.isEmpty) partKept0
+      else partKept0.filter(f => GraftDayPartition.survivesSpecs(
+        dayFilters.toSeq, table.dir, f, timeSpecs))
     // whole-file stats skipping is safe for EVERY scan flavor except the
     // COW rewrite read (where carried-over rows live in "non-matching"
     // files' complement — there pushdown is off entirely): a merge-on-read
@@ -1542,18 +1723,38 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
         val keptJudged = judged.filterNot(f => GraftStats.canDrop(
           pushedFilters.toSeq, table.physicalSchema,
           stats(new Path(f).getName)))
+        // footer probes and in-file record filters must not see filters on
+        // RENAMEd columns: parquet treats the (new-named, hence missing)
+        // column as all-null and would wrongly drop matching row groups of
+        // pre-rename files — the stats/bloom logs above are re-keyed at
+        // rename time, so metadata pruning still covers those filters
         val keptUnjudged =
           if (unjudged.isEmpty) unjudged
-          else GraftParquetFilters.predicate(table.physicalSchema, pushedFilters.toSeq) match {
+          else GraftParquetFilters.predicate(table.physicalSchema,
+            GraftEvolution.parquetSafe(pushedFilters.toSeq, table.aliases,
+              table.widened)) match {
             case None => unjudged
             case Some(pred) =>
               val conf = SparkSession.active.sessionState.newHadoopConf()
               unjudged.filter(f =>
                 GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
           }
+        // per-file BLOOM index (point predicates on non-clustered keys —
+        // ranges overlap every file, min/max can't help; the bloom's
+        // no-false-negative guarantee makes the drop provably sound, and
+        // files without an entry are never pruned)
+        val statsKept = keptJudged ++ keptUnjudged
+        val bloomKept =
+          if (bloomIndex.isEmpty) statsKept
+          else {
+            val cache = scala.collection.mutable.Map
+              .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+            statsKept.filterNot(f => GraftBloom.canDrop(pushedFilters.toSeq,
+              table.physicalSchema, bloomIndex, cache, new Path(f).getName))
+          }
         // preserve the deterministic file order (bucket/day grouping
         // downstream is order-insensitive, but stable plans beat racy ones)
-        val keep = (keptJudged ++ keptUnjudged).toSet
+        val keep = bloomKept.toSet
         partKept.filter(keep.contains)
       }
     // deletion-vector sidecars: history tables carry the mapping in the
@@ -1639,20 +1840,24 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
         Array.empty[org.apache.spark.sql.sources.Filter]
       else pushedFilters
     new GraftReaderFactory(required, table.physicalSchema, table.dir,
-      table.partitionFields, readerFilters,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      table.partitionFields,
+      GraftEvolution.parquetSafe(readerFilters.toSeq, table.aliases,
+        table.widened).toArray,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      table.aliases)
   }
 }
 
 class GraftReaderFactory(required: StructType, physicalSchema: StructType,
                          tableDir: String, partFields: Seq[StructField],
                          pushedFilters: Array[org.apache.spark.sql.sources.Filter],
-                         conf: SerializableHadoopConf)
+                         conf: SerializableHadoopConf,
+                         aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftPartition]
     new GraftPartitionReader(required, physicalSchema, tableDir, partFields,
-      pushedFilters, p.file, p.dv, conf, skipEqs = p.eqs)
+      pushedFilters, p.file, p.dv, conf, skipEqs = p.eqs, aliases = aliases)
   }
 }
 
@@ -1672,7 +1877,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
                            conf: SerializableHadoopConf,
                            keepOnly: Option[org.roaringbitmap.longlong.Roaring64Bitmap] = None,
                            skipEqs: Seq[String] = Nil,
-                           matchEqs: Seq[String] = Nil)
+                           matchEqs: Seq[String] = Nil,
+                           aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val partNames = partFields.map(_.name)
@@ -1707,7 +1913,9 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
       set.contains(GraftEqDelete.keyVector(r, idx, dts, copy = false)) })
   private val reader =
     ParquetRowIO.reader(new Path(file), readDataSchema, conf.value,
-      GraftParquetFilters.predicate(physicalSchema, pushedFilters.toSeq))
+      GraftParquetFilters.predicate(physicalSchema,
+        GraftEvolution.parquetSafe(pushedFilters.toSeq, aliases)),
+      aliases)
   private val filePath = UTF8String.fromString(file)
   private val partValues: Array[Any] =
     if (partFields.isEmpty) Array.empty
@@ -1984,8 +2192,11 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       if (truncateAll) {
         val live = staged.map(f => new Path(f).getName).toSet
         GraftStats.retain(fs, dir, live.contains)
-      } else replaced.filter(_.nonEmpty).foreach(gone =>
-        GraftStats.retain(fs, dir, n => !gone.contains(n)))
+        GraftBloom.retain(fs, dir, live.contains)
+      } else replaced.filter(_.nonEmpty).foreach { gone =>
+        GraftStats.retain(fs, dir, n => !gone.contains(n))
+        GraftBloom.retain(fs, dir, n => !gone.contains(n))
+      }
     }
     fs.delete(stagingDir, true)
   }

@@ -196,7 +196,8 @@ class GraftChangesScan(base: GraftTable, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftChangesReaderFactory(required, base.physicalSchema, base.dir,
       base.partitionFields,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      base.aliases)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangesMicroBatchStream(base, required,
@@ -257,7 +258,7 @@ class GraftChangesMicroBatchStream(base: GraftTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftChangesReaderFactory(required, base.physicalSchema, base.dir,
-      base.partitionFields, conf)
+      base.partitionFields, conf, base.aliases)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -267,12 +268,13 @@ class GraftChangesReaderFactory(required: StructType,
                                 physicalSchema: StructType,
                                 tableDir: String,
                                 partFields: Seq[StructField],
-                                conf: SerializableHadoopConf)
+                                conf: SerializableHadoopConf,
+                                aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangePartition]
     new GraftChangeRowReader(required, physicalSchema, tableDir, partFields,
-      p, conf)
+      p, conf, aliases)
   }
 }
 
@@ -283,7 +285,8 @@ class GraftChangesReaderFactory(required: StructType,
 class GraftChangeRowReader(required: StructType, physicalSchema: StructType,
                            tableDir: String, partFields: Seq[StructField],
                            p: GraftChangePartition,
-                           conf: SerializableHadoopConf)
+                           conf: SerializableHadoopConf,
+                           aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val dataRequired = StructType(required.fields.filter(f =>
@@ -291,7 +294,7 @@ class GraftChangeRowReader(required: StructType, physicalSchema: StructType,
   private val keep: Option[Roaring64Bitmap] = p.keepBytes.map(GraftDv.fromBytes)
   private val inner = new GraftPartitionReader(dataRequired, physicalSchema,
     tableDir, partFields, Array.empty, p.file, p.skipDv, conf, keep,
-    skipEqs = p.skipEqs, matchEqs = p.matchEqs)
+    skipEqs = p.skipEqs, matchEqs = p.matchEqs, aliases = aliases)
   private val typeVal = UTF8String.fromString(p.changeType)
   // required index → inner index, or -1 = _change_type, -2 = _commit_version
   private val plan: Array[Int] = {

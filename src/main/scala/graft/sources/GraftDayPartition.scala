@@ -200,6 +200,26 @@ object GraftDayPartition {
       case Some(day) =>
         filters.forall(f => eval(f, col, dt, unit, day).getOrElse(true))
     }
+
+  /** Multi-spec pruning (PARTITION EVOLUTION): a table whose time spec
+    * changed over its life holds files under SEVERAL segment layouts —
+    * each file's path names the spec that wrote it (`<col>_<unit>=N`), so
+    * pruning resolves the file's OWN spec (current first, then past specs
+    * newest-first) and evaluates the interval logic under that unit.
+    * Files predating every spec carry no segment and are never pruned —
+    * exactly Iceberg's void-transform semantics for old partition specs.
+    */
+  def survivesSpecs(filters: Seq[Filter], tableDir: String, file: String,
+                    specs: Seq[(String, String, DataType)]): Boolean =
+    specs.view
+      .flatMap { case (col, unit, dt) =>
+        unitOfFile(tableDir, file, col, unit).map(day => (col, unit, dt, day))
+      }
+      .headOption match {
+        case None => true
+        case Some((col, unit, dt, day)) =>
+          filters.forall(f => eval(f, col, dt, unit, day).getOrElse(true))
+      }
 }
 
 /** `FunctionCatalog` entries for the `hours` / `days` / `months`

@@ -128,6 +128,15 @@ object GraftEqDelete {
     require(keyCols.nonEmpty &&
       keyCols.forall(c => t.schema().fieldNames.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} must exist in the table")
+    // eq sidecars store key NAMES and typed VALUES; rename/widen history
+    // would make the sidecar-vs-file resolution per-epoch. Refused both
+    // ways: alterTable refuses rename/widen while eq masks live, and
+    // upsert refuses while rename/widen history exists
+    require(t.aliases.isEmpty,
+      s"upsert: $catalog.$table carries rename history " +
+        s"(${t.aliases.keys.mkString(",")}) — equality-delete sidecars " +
+        "resolve key names per file and do not compose with name mappings; " +
+        "compact the table to current-schema files first")
     val dir = new Path(t.dir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
 

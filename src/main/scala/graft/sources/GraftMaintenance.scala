@@ -13,6 +13,33 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftMaintenance {
 
+  /** Rewrite-path file reader: on tables with rename/widen/add history the
+    * plain multi-file parquet read matches by NAME against one sampled
+    * schema and silently drops or NULLs the other epochs' columns — this
+    * resolves every current column per schema group (newest alias present,
+    * cast to current physical types) so rewrites land uniform
+    * current-schema files. No-alias tables take the unchanged fast path.
+    */
+  private def evoRead(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                      dir: Path, props: Map[String, String],
+                      files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aliases = GraftEvolution.aliasesOf(props)
+    if (aliases.isEmpty) spark.read.parquet(files: _*)
+    else GraftEvolution.readFilesAs(spark, files,
+      physicalSchemaOf(fs, dir, props), aliases)
+  }
+
+  private def physicalSchemaOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                               props: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val schema = GraftTable.readTableSchema(fs, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a graft catalog table"))
+    val pcols = props.get(GraftTable.PartitionProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name)))
+  }
+
   /** Maintenance rewrites go through Spark's parquet writer, which still
     * defaults timestamps to INT96 — while the catalog's own writer
     * (ParquetRowIO) and its stats-skipping predicates are TIMESTAMP_MICROS.
@@ -77,7 +104,7 @@ object GraftMaintenance {
     if (files.isEmpty) return (0, 0)
     val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(files: _*)
+    val df = evoRead(spark, fs, dir, props, files)
     val shaped =
       if (zorderCols.nonEmpty)
         // multi-dimensional clustering: files become Morton-curve
@@ -116,6 +143,7 @@ object GraftMaintenance {
           val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
         }
         GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
         l
       }
     // compaction wrote through Spark's parquet writer (no in-loop stats
@@ -164,7 +192,7 @@ object GraftMaintenance {
     val landed = rewritten.map { case (b, fls) =>
       val out = new Path(staging, s"b$b")
       withMicrosTimestamps(spark) {
-        spark.read.parquet(fls: _*).coalesce(1)
+        evoRead(spark, fs, dir, props, fls).coalesce(1)
           .sortWithinPartitions(bucketCol)
           .write.mode("overwrite").parquet(out.toString)
       }
@@ -193,6 +221,7 @@ object GraftMaintenance {
       if (replaced.nonEmpty) {
         val gone = replaced.map(f => new Path(f).getName)
         GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
       }
     }
     if (landed.nonEmpty) {
@@ -238,7 +267,7 @@ object GraftMaintenance {
     val landed = rewritten.map { case (daySeg, fls) =>
       val out = new Path(staging, daySeg)
       withMicrosTimestamps(spark) {
-        spark.read.parquet(fls: _*).coalesce(1)
+        evoRead(spark, fs, dir, props, fls).coalesce(1)
           .sortWithinPartitions(dayCol)
           .write.mode("overwrite").parquet(out.toString)
       }
@@ -267,6 +296,7 @@ object GraftMaintenance {
       if (replaced.nonEmpty) {
         val gone = replaced.map(f => new Path(f).getName)
         GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
       }
     }
     if (landed.nonEmpty) {
@@ -339,6 +369,7 @@ object GraftMaintenance {
       if (vanished.nonEmpty) {
         val gone = vanished.toSet
         GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
       }
       if (landed.nonEmpty)
         GraftStats.liftFromFooters(spark, dir, landed.toSeq,
@@ -429,9 +460,38 @@ object GraftMaintenance {
         graft.expressions.BitmapContains(
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_dv"),
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_pos"))))
-    val kept = spark.read.parquet(pairs.map(_._1.toString): _*)
-      .withColumn(DvNameCol, col("_metadata.file_name"))
-      .withColumn("__graft_pos", col("_metadata.row_index"))
+    // rename/widen history: resolve each schema epoch's files separately
+    // (alias → current name, cast to current types) so the fold reads
+    // pre-rename files correctly — the metadata columns ride along inside
+    // each group's projection, BEFORE the union erases them
+    val props = GraftTable.readProps(fs, dir)
+    val aliases = GraftEvolution.aliasesOf(props)
+    val dataPaths = pairs.map(_._1.toString)
+    val grouped: Seq[org.apache.spark.sql.DataFrame] =
+      if (aliases.isEmpty) Seq(spark.read.parquet(dataPaths: _*)
+        .withColumn(DvNameCol, col("_metadata.file_name"))
+        .withColumn("__graft_pos", col("_metadata.row_index")))
+      else {
+        val phys = physicalSchemaOf(fs, dir, props)
+        dataPaths.map(f => f -> spark.read.parquet(f).schema.fieldNames.toSet)
+          .groupBy(_._2).values.map(_.map(_._1)).toSeq
+          .map { group =>
+            val df = spark.read.parquet(group: _*)
+              .withColumn(DvNameCol, col("_metadata.file_name"))
+              .withColumn("__graft_pos", col("_metadata.row_index"))
+            val have = df.columns.toSet
+            df.select(phys.fields.toSeq.map { fld =>
+              val src =
+                if (have.contains(fld.name)) Some(fld.name)
+                else aliases.get(fld.name)
+                  .flatMap(_.reverseIterator.find(have.contains))
+              src.map(n => col(n).cast(fld.dataType).as(fld.name))
+                .getOrElse(org.apache.spark.sql.functions.lit(null)
+                  .cast(fld.dataType).as(fld.name))
+            } ++ Seq(col(DvNameCol), col("__graft_pos")): _*)
+          }
+      }
+    val kept = grouped.reduce(_.union(_))
       .join(broadcast(dvDf), Seq(DvNameCol))
       .where(alive)
       .drop("__graft_dv", "__graft_pos")
@@ -544,6 +604,7 @@ object GraftMaintenance {
     if (orphans.nonEmpty) {
       val gone = orphans.map(f => new Path(f).getName).toSet
       GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
     }
     (expire.size, orphans.size + dvOrphans.size)
   }
@@ -608,8 +669,9 @@ object GraftMaintenance {
     val dir = tableDirOf(spark, catalog, table)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val files = GraftTable.dataFiles(fs, new Path(dir))
+    val props = GraftTable.readProps(fs, new Path(dir))
     files.isEmpty ||
-      spark.read.parquet(files: _*).where(condition).isEmpty
+      evoRead(spark, fs, new Path(dir), props, files).where(condition).isEmpty
   }
 
   /** Remove ORPHAN files from a history table directory: parquet files and
@@ -649,6 +711,7 @@ object GraftMaintenance {
     if (orphans.nonEmpty) {
       val gone = orphans.map(_.getPath.getName).toSet
       GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
     }
     orphans.size
   }
@@ -673,6 +736,166 @@ object GraftMaintenance {
       GraftStats.liftFromFooters(spark, dir, missing,
         spark.read.parquet(missing.head).schema)
     missing.size
+  }
+
+  /** PARTITION EVOLUTION (time specs): change a table's hidden time
+    * partitioning as a METADATA-ONLY commit — `spec = Some((col, unit))`
+    * installs `unit(col)`, `None` drops time partitioning. No data file
+    * moves: files written under former specs keep their directory
+    * segments and stay prunable through the past-spec list
+    * (GraftDayPartition.survivesSpecs); files that predate every spec are
+    * never pruned. New writes route through the NEW layout immediately.
+    * At 100 TB this is Iceberg's marquee DDL: re-partitioning the fact
+    * table without rewriting a byte, with [[migrateTimeLayout]] as the
+    * optional catch-up rewrite.
+    *
+    * Guards (all loud): identity/bucket layouts own the directory
+    * namespace (no composition); the column must exist with a supported
+    * type; every spec this table has ever had must use the SAME column
+    * (segments are resolved by column name — mixing columns would make a
+    * file's spec ambiguous... and no real fact table time-partitions by
+    * two different clocks).
+    */
+  def setTimePartition(spark: SparkSession, tableDir: String,
+                       spec: Option[(String, String)]): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val schema = GraftTable.readTableSchema(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"setTimePartition: $tableDir is not a graft catalog table"))
+    require(!props.contains(GraftTable.PartitionProp) &&
+        !props.contains(GraftTable.BucketColProp),
+      "setTimePartition: identity-partitioned and bucketed tables own " +
+        "their directory/file-name layout — time partitioning does not " +
+        "compose with them")
+    val current = props.get(GraftTable.DayColProp)
+      .map(_ -> props.getOrElse(GraftTable.TimeUnitProp, "days"))
+    val past = GraftTable.decodePastTimeSpecs(props)
+    spec.foreach { case (col, unit) =>
+      require(GraftDayPartition.Units.contains(unit),
+        s"setTimePartition: unknown unit $unit (hours/days/months)")
+      val f = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(
+          s"setTimePartition: column $col is not in the table schema"))
+      require(GraftDayPartition.supported(unit, f.dataType),
+        s"setTimePartition: $unit($col) does not support " +
+          s"${f.dataType.simpleString}")
+      (current.map(_._1).toSeq ++ past.map(_._1)).foreach(prev =>
+        require(prev == col,
+          s"setTimePartition: this table's time specs already use column " +
+            s"$prev — one clock per table (got $col)"))
+    }
+    if (spec == current) return
+    // the outgoing spec joins the past list (newest first); re-installing
+    // a FORMER spec promotes it back out of the list
+    val newPast = (current.toSeq ++ past)
+      .filterNot(spec.contains).distinct
+    val newProps = (props - GraftTable.DayColProp - GraftTable.TimeUnitProp -
+        GraftTable.PastTimeSpecsProp) ++
+      spec.map(s => GraftTable.DayColProp -> s._1) ++
+      spec.filter(_._2 != "days").map(s => GraftTable.TimeUnitProp -> s._2) ++
+      (if (newPast.nonEmpty)
+         Map(GraftTable.PastTimeSpecsProp ->
+           GraftTable.encodePastTimeSpecs(newPast))
+       else Map.empty)
+    GraftTable.writeProps(fs, dir, newProps)
+  }
+
+  /** Catch-up rewrite after [[setTimePartition]]: files NOT laid out
+    * under the CURRENT spec (pre-layout flat files and former-spec
+    * segments) are rewritten into the current layout — one distributed
+    * job, grouped by target segment, committed like a compaction
+    * (history: next manifest, kind=compact — streams skip it; plain:
+    * swap). After it, the whole table prunes under one spec. Returns
+    * (files migrated, files landed).
+    */
+  def migrateTimeLayout(spark: SparkSession, tableDir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val dayCol = props.getOrElse(GraftTable.DayColProp,
+      throw new IllegalArgumentException(
+        s"migrateTimeLayout: $tableDir has no current time partitioning"))
+    val unit = props.getOrElse(GraftTable.TimeUnitProp, "days")
+    // fold row-level masks first so the rewrite reads plain parquet
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, tableDir)
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    if (history && GraftTable.manifestVersions(fs, dir).lastOption.exists(v =>
+        GraftTable.readFullEntries(fs, dir, v).exists(_.eqs.nonEmpty)))
+      GraftEqDelete.materializeEqDeletes(spark, tableDir)
+    val files =
+      if (!history) GraftTable.dataFiles(fs, dir)
+      else GraftTable.manifestVersions(fs, dir).lastOption
+        .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+    val stale = files.filter(f =>
+      GraftDayPartition.unitOfFile(tableDir, f, dayCol, unit).isEmpty)
+    if (stale.isEmpty) return (0, files.size)
+    val schema = GraftTable.readTableSchema(fs, dir).get
+    val dt = schema.fields.find(_.name == dayCol).get.dataType
+    // TZ-independent unit index, matching GraftDayPartition.unitOf (UTC):
+    // micros → epoch day by floor division; months via the calendar of
+    // that epoch DAY (dates are TZ-free), never the session zone
+    val unitExpr = (unit, dt) match {
+      case ("hours", org.apache.spark.sql.types.TimestampType) =>
+        s"FLOOR(unix_micros($dayCol) / 3600000000)"
+      case ("days", org.apache.spark.sql.types.TimestampType) =>
+        s"FLOOR(unix_micros($dayCol) / 86400000000)"
+      case ("days", org.apache.spark.sql.types.DateType) =>
+        s"CAST(datediff($dayCol, DATE '1970-01-01') AS BIGINT)"
+      case ("months", org.apache.spark.sql.types.TimestampType) =>
+        s"""(year(date_add(DATE '1970-01-01',
+           | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1970) * 12
+           | + month(date_add(DATE '1970-01-01',
+           | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1"""
+          .stripMargin.replaceAll("\n", " ")
+      case ("months", org.apache.spark.sql.types.DateType) =>
+        s"(year($dayCol) - 1970) * 12 + month($dayCol) - 1"
+      case other => throw new IllegalStateException(
+        s"migrateTimeLayout: unsupported $other")
+    }
+    val staging = new Path(dir, s".migrate-${UUID.randomUUID()}")
+    withMicrosTimestamps(spark) {
+      evoRead(spark, fs, dir, props, stale)
+        .withColumn("__graft_unit", expr(unitExpr))
+        .repartition(col("__graft_unit"))
+        .write.partitionBy("__graft_unit").mode("overwrite")
+        .parquet(staging.toString)
+    }
+    val landed = fs.listStatus(staging).toSeq
+      .filter(_.isDirectory)
+      .flatMap { seg =>
+        val raw = seg.getPath.getName.stripPrefix("__graft_unit=")
+        val target = new Path(dir, GraftDayPartition.dirName(dayCol, unit,
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw.toLong)))
+        fs.mkdirs(target)
+        fs.listStatus(seg.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map { p =>
+            val tgt = new Path(target,
+              s"part-migrate-${UUID.randomUUID().toString.take(12)}.parquet")
+            fs.rename(p.getPath, tgt)
+            tgt.toString
+          }
+      }
+    fs.delete(staging, true)
+    val staleSet = stale.toSet
+    if (history) {
+      val keep = files.filterNot(staleSet.contains) ++ landed
+      val v = GraftTable.manifestVersions(fs, dir).last
+      GraftTable.writeManifest(fs, dir, v + 1, keep)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    } else {
+      stale.foreach(f => fs.delete(new Path(f), false))
+      val gone = stale.map(f => new Path(f).getName).toSet
+      GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
+    }
+    GraftStats.liftFromFooters(spark, dir, landed,
+      physicalSchemaOf(fs, dir, props))
+    (stale.size, landed.size)
   }
 
   private def tableDirOf(spark: SparkSession, catalog: String,

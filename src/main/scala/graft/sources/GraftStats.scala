@@ -138,6 +138,28 @@ object GraftStats {
     if (kept.isEmpty) fs.delete(d, true)
   }
 
+  /** Re-key one column's stats across the whole log (RENAME COLUMN): the
+    * canonical VALUES are name-independent, so the rewrite is a pure
+    * metadata re-label — recorded bounds stay bit-for-bit valid. One
+    * consolidated log file, like [[retain]].
+    */
+  def renameColumn(fs: FileSystem, dir: Path, from: String, to: String): Unit = {
+    val d = statsDir(dir)
+    if (!fs.exists(d)) return
+    val all = readAll(fs, dir)
+    val renamed = all.toSeq.sortBy(_._1).map { case (n, st) =>
+      n -> st.copy(cols = st.cols.map {
+        case (c, cs) if c == from => to -> cs
+        case other => other
+      })
+    }
+    val old = fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .map(_.getPath)
+    writeCommitStats(fs, dir, renamed)
+    old.foreach(fs.delete(_, false))
+  }
+
   // ---- write-path tracker ------------------------------------------------
 
   private val KindNone = 0

@@ -203,7 +203,7 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, table.physicalSchema, table.dir,
-      table.partitionFields, Array.empty, conf)
+      table.partitionFields, Array.empty, conf, table.aliases)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -69,12 +69,18 @@ object ParquetRowIO {
     * between `read()` calls, per the `PartitionReader.get` contract.
     */
   def reader(path: Path, requestedSchema: StructType, base: Configuration,
-             predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+             predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+             aliases: Map[String, Seq[String]] = Map.empty)
       : ParquetReader[InternalRow] = {
-    val support = new ParquetReadSupport(
-      None, enableVectorizedReader = false,
-      RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
-      RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+    // alias-aware support resolves RENAMEd columns against each file's
+    // actual parquet schema (see GraftEvolution); the plain support is the
+    // exact native-source read path
+    val support: ParquetReadSupport =
+      if (aliases.nonEmpty) new GraftAliasReadSupport(aliases)
+      else new ParquetReadSupport(
+        None, enableVectorizedReader = false,
+        RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
+        RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
     val b = ParquetReader.builder[InternalRow](support, path)
       .withConf(readConf(base, requestedSchema))
     predicate.fold(b)(p =>

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file bloom index: point predicates on non-clustered keys prune
+  * files min/max stats cannot; pruning is provably sound (no false
+  * negatives), unindexed files never prune, vacuum/rewrites retire dead
+  * entries, and every refusal path falls back with the same answer.
+  */
+class GraftBloomSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_bloom_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+  private def planned(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft_bl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_bl.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_bl.db")
+  }
+
+  test("point lookup on a non-clustered key prunes via the bloom index") {
+    sql("CREATE TABLE graft_bl.db.t (id BIGINT, grp BIGINT, v STRING)")
+    // cluster by grp: every file's id range overlaps — stats can't prune id
+    spark.range(0, 8000).toDF("id")
+      .withColumn("grp", col("id") % 64)
+      .withColumn("v", concat(lit("v"), col("id")))
+      .repartition(8, col("grp"))
+      .writeTo("graft_bl.db.t").append()
+    val total = GraftTable.dataFiles(
+      new org.apache.hadoop.fs.Path(s"$warehouse/db/t")
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$warehouse/db/t")).size
+    assert(total >= 4)
+
+    val probe = spark.table("graft_bl.db.t").where(col("id") === 4321)
+    assert(planned(probe) == total,
+      s"pre-index, the id ranges overlap every file — all $total planned")
+
+    val indexed = GraftBloom.buildIndex(spark, s"$warehouse/db/t", Seq("id"))
+    assert(indexed == total)
+    val probe2 = spark.table("graft_bl.db.t").where(col("id") === 4321)
+    assert(planned(probe2) < total,
+      s"post-index, the point lookup must prune (${planned(probe2)} of $total)")
+    assert(probe2.collect().map(_.getString(2)).toSeq == Seq("v4321"))
+
+    // IN-list prunes to the union of candidate files; result exact
+    val in = spark.table("graft_bl.db.t")
+      .where(col("id").isin(17L, 4321L, 7777L))
+    assert(planned(in) < total)
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(17L, 4321L, 7777L))
+
+    // an absent key prunes everything yet returns an exact empty result
+    val miss = spark.table("graft_bl.db.t").where(col("id") === 999999L)
+    assert(miss.collect().isEmpty)
+
+    // range predicates ignore the bloom (stats territory): exact answers
+    assert(spark.table("graft_bl.db.t").where(col("id") < 10).count() == 10)
+  }
+
+  test("string keys and the SQL surface (graft_bloom_build TVF)") {
+    sql("CREATE TABLE graft_bl.db.s (doc STRING, grp BIGINT)")
+    spark.range(0, 4000).toDF("i")
+      .select(concat(lit("doc-"), col("i")).as("doc"), (col("i") % 32).as("grp"))
+      .repartition(4, col("grp"))
+      .writeTo("graft_bl.db.s").append()
+    val r = sql("SELECT * FROM graft_bloom_build('graft_bl', 'db.s', 'doc')")
+      .collect().head
+    assert(r.getInt(0) >= 2 && r.getString(1) == "doc")
+    val total = r.getInt(0)
+    val q = spark.table("graft_bl.db.s").where(col("doc") === "doc-1234")
+    assert(planned(q) < total)
+    assert(q.collect().head.getLong(1) == 1234 % 32)
+  }
+
+  test("new writes after the build are never pruned (no index entry)") {
+    sql("CREATE TABLE graft_bl.db.n (id BIGINT)")
+    spark.range(0, 100).toDF("id").writeTo("graft_bl.db.n").append()
+    GraftBloom.buildIndex(spark, s"$warehouse/db/n", Seq("id"))
+    spark.range(100000, 100100).toDF("id").writeTo("graft_bl.db.n").append()
+    // the new file has no bloom entry: a lookup landing in it must succeed
+    assert(spark.table("graft_bl.db.n").where(col("id") === 100042L)
+      .count() == 1)
+  }
+
+  test("rewrites retire dead entries; unsupported columns refuse loudly") {
+    sql("CREATE TABLE graft_bl.db.rw (id BIGINT, v STRING)")
+    spark.range(0, 500).toDF("id")
+      .withColumn("v", concat(lit("x"), col("id")))
+      .writeTo("graft_bl.db.rw").append()
+    GraftBloom.buildIndex(spark, s"$warehouse/db/rw", Seq("id"))
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/rw")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(GraftBloom.readAll(fs, dir).nonEmpty)
+    // compaction rewrites under fresh names → old entries retire
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/rw")
+    val after = GraftBloom.readAll(fs, dir)
+    val live = GraftTable.dataFiles(fs, dir)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(after.keys.forall { case (f, _) => live.contains(f) },
+      s"dead bloom entries must retire with their files: ${after.keys}")
+    assert(spark.table("graft_bl.db.rw").count() == 500)
+
+    intercept[IllegalArgumentException](
+      GraftBloom.buildIndex(spark, s"$warehouse/db/rw", Seq("nope")))
+  }
+
+  test("history tables: index the current snapshot; vacuum keeps liveness") {
+    sql("""CREATE TABLE graft_bl.db.h (id BIGINT, grp BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 2000).toDF("id").withColumn("grp", col("id") % 32)
+      .repartition(4, col("grp")).writeTo("graft_bl.db.h").append()
+    val n = GraftBloom.buildIndex(spark, s"$warehouse/db/h", Seq("id"))
+    assert(n >= 2)
+    val q = spark.table("graft_bl.db.h").where(col("id") === 777)
+    assert(planned(q) < n && q.count() == 1)
+  }
+}

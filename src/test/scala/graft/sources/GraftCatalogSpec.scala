@@ -377,9 +377,16 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 0)
     sql("ALTER TABLE graft_test.db.ev DROP COLUMN v")
     assert(sql("SELECT * FROM graft_test.db.ev").columns.toSeq == Seq("id", "score"))
-    // rename would orphan data by parquet name-matching: rejected loudly
+    // rename is a name-mapping commit (GraftEvolution): old files keep
+    // serving the column's bytes under the new name, no NULL-fill
+    sql("ALTER TABLE graft_test.db.ev RENAME COLUMN score TO s2")
+    assert(sql("SELECT * FROM graft_test.db.ev").columns.toSeq == Seq("id", "s2"))
+    assert(sql("SELECT count(*) FROM graft_test.db.ev WHERE s2 IS NULL")
+      .head().getLong(0) == 0)
+    // ...but a DROPPED column's name is retired for good: old files still
+    // hold bytes under 'v', so a reborn 'v' would resurrect them
     intercept[Exception] {
-      sql("ALTER TABLE graft_test.db.ev RENAME COLUMN score TO s2")
+      sql("ALTER TABLE graft_test.db.ev ADD COLUMN v STRING")
     }
   }
 
