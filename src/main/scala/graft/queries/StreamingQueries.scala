@@ -325,6 +325,54 @@ object StreamingQueries {
     // files all day, maintenance folds them, time-range readers never
     // scan outside their days. Values are layout-invariant — DuckDB
     // replays the plain filter over raw events.
+    // NATIVE streaming sink: `writeStream.toTable` straight into a graft
+    // history table — no foreachBatch glue. Three micro-batches land as
+    // three append commits whose EXACTLY-ONCE transaction markers ride
+    // inside the manifest's atomic create (asserted in-query: the newest
+    // manifest carries the query's txn marker, and each epoch's commit is
+    // kind=append). The folded table must hash-match the batch oracle.
+    "stream_catalog_sink" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.sink")
+      s.sql("DROP TABLE IF EXISTS graft_wh.sink.ord")
+      s.sql("""CREATE TABLE graft_wh.sink.ord (id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true',
+              |  'graft.check.cents_pos'='cents > 0')""".stripMargin)
+      val feed = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (floor(col("o_totalprice") * 100) + 1).cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, String, Long)]
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("id", "status", "cents")
+          .writeStream
+          .option("checkpointLocation",
+            Etl.scratch(s, s"sink_cp_${java.util.UUID.randomUUID()}"))
+          .toTable("graft_wh.sink.ord")
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/sink/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val vs = graft.sources.GraftTable.manifestVersions(fs, tdir)
+      val appends = vs.count(v => graft.sources.GraftTable
+        .readCommitKind(fs, tdir, v).contains(graft.sources.GraftTable.KindAppend))
+      require(appends >= 3,
+        s"stream_catalog_sink: 3 micro-batches must land as >=3 append " +
+          s"commits (got $appends of versions $vs)")
+      require(graft.sources.GraftTable.manifestMeta(fs, tdir, vs.last)
+        .keys.exists(_.startsWith("txn:")),
+        "stream_catalog_sink: the newest manifest must carry the stream's " +
+          "exactly-once txn marker")
+      s.sql("""SELECT id, status, cents FROM graft_wh.sink.ord
+              |ORDER BY id""".stripMargin)
+    },
+
     "stream_day_ingest" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1608,6 +1656,11 @@ object StreamingQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
         |ups AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'U')
         |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
+    "stream_catalog_sink" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        | CAST(FLOOR(o_totalprice * 100) + 1 AS BIGINT) AS cents
+        |FROM orders ORDER BY id""".stripMargin,
 
     "stream_day_ingest" ->
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events

@@ -890,14 +890,31 @@ object GraftTable {
   /** Full manifest entries of version `v` (absolute paths). Entry line
     * format: `file[\tdv[\teq1,eq2,...]]` — the dv field may be empty when
     * only equality masks apply; `@segment` lines expand to the segment's
-    * entries.
+    * entries; `!key=value` lines are commit METADATA (e.g. streaming
+    * transaction markers), not entries.
     */
   def readFullEntries(fs: FileSystem, dir: Path, v: Long): Seq[GraftEntry] =
     rawManifestLines(fs, dir, v).flatMap { l =>
-      if (isSegmentRef(l))
+      if (isMetaLine(l)) Nil
+      else if (isSegmentRef(l))
         segmentLines(fs, dir, l.substring(1)).map(parseEntryLine(dir, _))
       else Seq(parseEntryLine(dir, l))
     }
+
+  private def isMetaLine(l: String): Boolean = l.startsWith("!")
+
+  /** Commit metadata carried INSIDE the manifest's atomic unit (`!k=v`
+    * lines). The streaming sink's exactly-once marker lives here: being
+    * part of the exclusive manifest create, a transaction id commits (or
+    * doesn't) atomically WITH its files — no second-file race window.
+    */
+  def manifestMeta(fs: FileSystem, dir: Path, v: Long): Map[String, String] =
+    rawManifestLines(fs, dir, v).filter(isMetaLine).flatMap { l =>
+      l.substring(1).split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _ => None
+      }
+    }.toMap
 
   def readManifest(fs: FileSystem, dir: Path, v: Long): Seq[String] =
     readEntries(fs, dir, v).map(_._1)
@@ -945,7 +962,21 @@ object GraftTable {
   }
 
   def writeFullEntries(fs: FileSystem, dir: Path, v: Long,
-                       entries: Seq[GraftEntry]): Unit = {
+                       entries: Seq[GraftEntry]): Unit =
+    writeFullEntries(fs, dir, v, entries, Map.empty)
+
+  def writeFullEntries(fs: FileSystem, dir: Path, v: Long,
+                       entries: Seq[GraftEntry],
+                       meta: Map[String, String]): Unit = {
+    // streaming transaction markers are DURABLE state: every commit
+    // carries the previous manifest's `txn:` entries forward (newer value
+    // wins), so the newest manifest always knows every query's last
+    // committed epoch — vacuum can expire any prefix of the log without
+    // opening a replay-duplication window
+    val carried = manifestVersions(fs, dir).filter(_ < v).lastOption
+      .map(pv => manifestMeta(fs, dir, pv).filter(_._1.startsWith("txn:")))
+      .getOrElse(Map.empty[String, String])
+    val allMeta = carried ++ meta
     val lines = entries.map(entryLine(dir, _))
     val lineSet = lines.toSet
     // reuse the previous version's segments whose entries ALL survive
@@ -967,7 +998,9 @@ object GraftTable {
         Seq(writeSegment(fs, dir, lines.distinct)) // amortized compaction
       else if (residual.nonEmpty) reused :+ writeSegment(fs, dir, residual)
       else reused
-    val bytes = refs.sorted.map("@" + _).mkString("\n").getBytes("UTF-8")
+    val metaLines = allMeta.toSeq.sorted.map { case (k, value) => s"!$k=$value" }
+    val bytes = (metaLines ++ refs.sorted.map("@" + _))
+      .mkString("\n").getBytes("UTF-8")
     val target = manifestPath(dir, v)
     if (fs.getScheme == "file") {
       val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
@@ -1149,9 +1182,12 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     val base: Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE)
-    // manifests are the commit log a streaming read resumes from; plain
-    // tables have none, so only history tables advertise the capability
-    (if (history) base + TableCapability.MICRO_BATCH_READ else base).asJava
+    // manifests are the commit log a streaming read resumes from AND the
+    // atomic unit a streaming WRITE pins its exactly-once marker into;
+    // plain tables have neither, so only history tables advertise both
+    (if (history)
+       base + TableCapability.MICRO_BATCH_READ + TableCapability.STREAMING_WRITE
+     else base).asJava
   }
 
   /** The read snapshot: manifest-driven for history tables (pinned or
@@ -1203,7 +1239,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     rejectPinnedWrite()
-    new GraftWriteBuilder(this, info.schema(), truncate = false)
+    new GraftWriteBuilder(this, info.schema(), truncate = false,
+      queryId = info.queryId())
   }
 
   override def newRowLevelOperationBuilder(
@@ -2047,11 +2084,11 @@ private[sources] trait GraftWriteDistribution
   * previous files when truncating).
   */
 class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
-                        truncate: Boolean)
+                        truncate: Boolean, queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new GraftWriteBuilder(table, writeSchema, truncate = true)
+    new GraftWriteBuilder(table, writeSchema, truncate = true, queryId)
 
   override def build(): Write = {
     val t = table
@@ -2060,7 +2097,130 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
       override def toBatch: BatchWrite =
         new GraftBatchWrite(t, writeSchema, replaceFiles = None,
           truncateAll = truncate)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(t.history,
+          s"streaming write to ${t.name()}: only history tables have the " +
+            "commit log the exactly-once transaction marker lives in — " +
+            "create with TBLPROPERTIES('history'='true')")
+        require(!truncate,
+          s"streaming write to ${t.name()}: append output mode only " +
+            "(Complete mode would truncate the whole table every batch)")
+        new GraftStreamingWrite(t, writeSchema, queryId)
+      }
     }
+  }
+}
+
+/** NATIVE streaming sink (`df.writeStream.toTable("graft.db.t")`):
+  * micro-batch epochs become ordinary append commits, made EXACTLY-ONCE
+  * by a transaction marker (`!txn:<queryId>=<epoch>`) written INSIDE the
+  * manifest's atomic create — the files and the marker commit as one
+  * unit, so there is no two-file race window, and a replayed epoch (the
+  * checkpoint recovery path) is recognized and skipped with its staged
+  * files discarded. This is Delta's `txn` action / the idempotent-sink
+  * contract, on the graft manifest log. Epoch tasks write through the
+  * SAME writer as batch appends: layout routing (identity/bucket/days),
+  * CHECK enforcement, and hot-loop stats tracking all apply per batch.
+  */
+class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
+                          queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  require(queryId != null && queryId.nonEmpty,
+    s"streaming write to ${table.name()}: no query id — the exactly-once " +
+      "marker is keyed by it")
+
+  private val stagingDir =
+    new Path(table.dir, s".staging-stream-${UUID.randomUUID()}")
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+  private def txnKey = s"txn:$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    fs.mkdirs(stagingDir)
+    val proj = table.physicalSchema.fields.map(f => writeSchema.fieldIndex(f.name))
+    val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
+    val bucket = table.bucketSpec.map { case (c, n) =>
+      val i = writeSchema.fieldIndex(c)
+      (i, writeSchema.fields(i).dataType, n)
+    }
+    val day = table.dayCol.map { c =>
+      val i = writeSchema.fieldIndex(c)
+      (i, writeSchema.fields(i).dataType, c, table.timeUnit)
+    }
+    val inner = new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
+      writeSchema, proj, table.partitionFields, partIdx.toArray,
+      new SerializableHadoopConf(hadoopConf), bucket,
+      GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
+      day)
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      inner.createWriter(partitionId, taskId)
+  }
+
+  /** Latest epoch this query ever committed, from the manifest log
+    * (newest-first scan, cached after the first lookup — metadata-only).
+    */
+  private var knownEpoch: Option[Long] = None
+  private def lastCommittedEpoch(fs: FileSystem, dir: Path): Option[Long] = {
+    if (knownEpoch.isEmpty)
+      knownEpoch = GraftTable.manifestVersions(fs, dir).reverseIterator
+        .flatMap(v => GraftTable.manifestMeta(fs, dir, v).get(txnKey))
+        .toSeq.headOption.map(_.toLong)
+    knownEpoch
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    val dir = new Path(table.dir)
+    val staged = messages.flatMap { case GraftCommit(fls, _) => fls }
+    if (lastCommittedEpoch(fs, dir).exists(_ >= epochId)) {
+      // checkpoint-recovery replay of an epoch that already committed:
+      // drop the restaged bytes, change nothing — exactly-once
+      staged.foreach(f => fs.delete(new Path(f), false))
+      return
+    }
+    val stagedStats: Map[String, GraftStats.FileStats] =
+      messages.flatMap { case GraftCommit(_, st) => st }.toMap
+    val landed = staged.toSeq.map { f =>
+      val p = new Path(f)
+      val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
+      if (tgt.getParent != dir) fs.mkdirs(tgt.getParent)
+      fs.rename(p, tgt)
+      tgt.toString
+    }
+    GraftStats.writeCommitStats(fs, dir,
+      stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+    // additive commit with the txn marker in the SAME atomic manifest;
+    // races with other writers retry like any append (additive commits
+    // commute), re-checking the marker against the refreshed log
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
+      val old = if (v == 0L) Nil else GraftTable.readFullEntries(fs, dir, v)
+      try {
+        GraftTable.writeFullEntries(fs, dir, v + 1,
+          old ++ landed.map(GraftTable.GraftEntry(_, None)),
+          Map(txnKey -> epochId.toString))
+        committed = v + 1
+      } catch {
+        case e: java.io.IOException =>
+          if (!fs.exists(GraftTable.manifestPath(dir, v + 1)) || attempt >= 20)
+            throw e
+          attempt += 1
+      }
+    }
+    GraftTable.writeCommitKind(fs, dir, committed, GraftTable.KindAppend)
+    knownEpoch = Some(epochId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    messages.filter(_ != null).flatMap { case GraftCommit(fls, _) => fls }
+      .foreach(f => fs.delete(new Path(f), false))
   }
 }
 
