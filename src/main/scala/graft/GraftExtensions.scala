@@ -442,6 +442,21 @@ object GraftExtensions {
         Bridge.logicalPlan(Seq((n, cols.mkString(",")))
           .toDF("files_indexed", "columns"))
       }),
+    ("graft_analyze_ndv",
+      info("graft_analyze_ndv",
+        "graft_analyze_ndv(catalog, table) - backfill distinct-count " +
+          "sketches for current files whose stats lack them (compaction " +
+          "outputs, pre-NDV tables); returns files_enriched"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_analyze_ndv(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_analyze_ndv: catalog"),
+          stringArg(args(1), "graft_analyze_ndv: table"))
+        val n = graft.sources.GraftStats.analyzeNdv(s,
+          new org.apache.hadoop.fs.Path(t.dir))
+        import s.implicits._
+        Bridge.logicalPlan(Seq(n).toDF("files_enriched"))
+      }),
     ("graft_set_time_partition",
       info("graft_set_time_partition",
         "graft_set_time_partition(catalog, table, spec) - PARTITION " +

@@ -33,6 +33,41 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** EXACT long-window substring dedup (the "shared 50-token span"
+    * training-data pass): pairs of documents sharing at least one exact
+    * `window`-token span, with the count of distinct shared spans. The
+    * classic formulation is a corpus suffix array; the distributed shape
+    * is a POSTINGS join — every `window`-token span (one fused per-row
+    * WordNgrams eval, no token-stream shuffle) becomes a posting, spans
+    * seen by ≥2 docs expand to doc pairs, so the candidate volume is
+    * Σ posting², bounded by `maxPosting` (a span shared by more docs than
+    * that is boilerplate, not duplication — FAIL LOUDLY rather than
+    * silently dropping pairs; raise the cap or pre-strip the boilerplate).
+    * Spans are exact strings, so there is nothing approximate to verify.
+    */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, maxPosting: Int = 64): DataFrame = {
+    require(window >= 2, s"substringPairs: window must be >= 2, got $window")
+    val win = df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextExpressions.wordNgrams(
+        col(textCol), window, distinct = true)).as("w"))
+    val postings = win.groupBy("w")
+      .agg(collect_set(col("id")).as("docs"))
+      .where(size(col("docs")) >= 2)
+    val guarded = postings.withColumn("docs",
+      when(size(col("docs")) <= maxPosting, col("docs"))
+        .otherwise(raise_error(concat(
+          lit(s"substringPairs: a $window-token span is shared by more than " +
+            s"$maxPosting documents ("), size(col("docs")),
+          lit(") — boilerplate; strip it or raise maxPosting")))))
+    guarded
+      .select(col("w"), explode(col("docs")).as("a"), col("docs"))
+      .select(col("w"), col("a"), explode(col("docs")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** Distinct word n-gram shingles of `textCol`. n=1 → token set. Docs
     * with fewer than n tokens (incl. empty text) yield an empty set — the
     * guard matters because sequence(0, size-n) would otherwise descend.

@@ -14,6 +14,17 @@ object DedupQueries {
         .orderBy("fp")
     },
 
+    // exact substring dedup: pairs sharing a 15-token exact span, the
+    // suffix-array pass re-expressed as a bounded postings join — every
+    // emitted pair is exact (spans compared as strings, nothing to
+    // re-verify), and the posting cap fails loudly instead of silently
+    // losing pairs
+    "pipe_substring_dedup" -> { (s, dir) =>
+      Dedup.substringPairs(Tables.documents(s, dir), "doc_id", "text",
+        window = 15, maxPosting = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     "dd_ngram_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairsBlocked(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "source", n = 3, minJaccard = 0.3)
@@ -362,6 +373,16 @@ object DedupQueries {
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
   private val oracleBase: Map[String, String] = Map(
+    // full replay of the 15-token-window postings join: distinct windows
+    // per doc, equality self-join, pair counts
+    "pipe_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $rawToks AS t FROM documents),
+         |win AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+14], ' ') AS w
+         |        FROM toks, UNNEST(generate_series(1, len(t) - 14)) AS g(i))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_windows
+         |FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "dd_er_blocking" ->
       """WITH a AS (SELECT c_custkey AS a_id, c_nationkey AS nat,
         |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS blk

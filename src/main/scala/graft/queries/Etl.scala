@@ -1343,6 +1343,101 @@ object Etl {
               |WHERE amount_cents > 20000000 ORDER BY id""".stripMargin)
     },
 
+    // PLANNER COLUMN STATISTICS from the manifest stats log: the writer's
+    // hot loop tracked per-file HLL distinct-count sketches; the scan
+    // serves their UNION through DSv2 columnStats, so CBO runs on real
+    // cardinalities with no ANALYZE TABLE. In-query: the planner's NDV
+    // estimates for three columns must each land within 5% of the exact
+    // counts (HLL lgK=12 is ±1.6% stderr) AND the CBO row estimate for an
+    // equality filter must reflect them. The RESULT is the exact distinct
+    // counts — the oracle recomputes them from raw orders, proving the
+    // estimates were judged against reality, not against themselves.
+    "etl_cbo_stats" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cb.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cb.db")
+      s.sql("DROP TABLE IF EXISTS graft_cb.db.ord")
+      s.sql("CREATE TABLE graft_cb.db.ord (id BIGINT, status STRING, priority STRING)")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_cb_orders")
+      s.sql("""INSERT INTO graft_cb.db.ord
+              |SELECT o_orderkey, o_orderstatus, o_orderpriority
+              |FROM graft_cb_orders""".stripMargin)
+      val scan = s.table("graft_cb.db.ord")
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[graft.sources.GraftScan].estimateStatistics()
+        }.head
+      import scala.jdk.CollectionConverters._
+      def est(c: String): Long = scan.columnStats().asScala.collectFirst {
+        case (ref, cs) if ref.fieldNames().sameElements(Array(c)) &&
+          cs.distinctCount().isPresent => cs.distinctCount().getAsLong
+      }.getOrElse(throw new IllegalStateException(
+        s"etl_cbo_stats: no NDV estimate served for $c"))
+      val exact = s.sql(
+        """SELECT COUNT(DISTINCT id), COUNT(DISTINCT status),
+          |       COUNT(DISTINCT priority) FROM graft_cb.db.ord""".stripMargin)
+        .collect()(0)
+      Seq(("id", exact.getLong(0)), ("status", exact.getLong(1)),
+        ("priority", exact.getLong(2))).foreach { case (c, x) =>
+        val e = est(c)
+        require(math.abs(e - x) <= math.max(2L, x / 20),
+          s"etl_cbo_stats: planner NDV for $c is $e, exact $x — " +
+            "outside the 5% sketch tolerance")
+      }
+      val prev = s.conf.get("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val rc = s.table("graft_cb.db.ord").where(col("status") === "O")
+          .queryExecution.optimizedPlan.stats.rowCount
+        val n = s.table("graft_cb.db.ord").count()
+        require(rc.exists(r => r > 0 && r < n),
+          s"etl_cbo_stats: CBO filter estimate $rc must scale by the " +
+            s"status cardinality (table has $n rows)")
+      } finally s.conf.set("spark.sql.cbo.enabled", prev)
+      s.sql("""SELECT COUNT(DISTINCT id) AS ndv_id,
+              |       COUNT(DISTINCT status) AS ndv_status,
+              |       COUNT(DISTINCT priority) AS ndv_priority
+              |FROM graft_cb.db.ord""".stripMargin)
+    },
+
+    // COLUMN DEFAULT VALUES end-to-end: the pre-add epoch lands, ADD
+    // COLUMN tier DEFAULT 'standard' commits METADATA-ONLY (asserted:
+    // same file set — pre-add files serve the frozen EXISTENCE default at
+    // read time instead of NULL); an explicit-tier epoch lands; SET
+    // DEFAULT 'silver' then changes the CURRENT default, so a final
+    // omitted-column insert resolves 'silver' while pre-add files keep
+    // serving 'standard'. The oracle recomputes each customer's tier from
+    // which epoch its key routes to — proving the three default regimes
+    // (existence / explicit / current) each produced the right rows.
+    "etl_column_default" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cd.db")
+      s.sql("DROP TABLE IF EXISTS graft_cd.db.cust")
+      s.sql("CREATE TABLE graft_cd.db.cust (id BIGINT, seg STRING)")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
+      cust.where(col("id") % 3 === 0).writeTo("graft_cd.db.cust").append()
+      val (fs, p) = {
+        val path = new org.apache.hadoop.fs.Path(s"$wh/db/cust")
+        (path.getFileSystem(s.sessionState.newHadoopConf()), path)
+      }
+      val before = graft.sources.GraftTable.dataFiles(fs, p).toSet
+      s.sql("ALTER TABLE graft_cd.db.cust ADD COLUMN tier STRING DEFAULT 'standard'")
+      require(graft.sources.GraftTable.dataFiles(fs, p).toSet == before,
+        "etl_column_default: ADD COLUMN DEFAULT must not rewrite any file")
+      cust.where(col("id") % 3 === 1).withColumn("tier", lit("gold"))
+        .writeTo("graft_cd.db.cust").append()
+      s.sql("ALTER TABLE graft_cd.db.cust ALTER COLUMN tier SET DEFAULT 'silver'")
+      cust.where(col("id") % 3 === 2).createOrReplaceTempView("graft_cd_tail")
+      s.sql("INSERT INTO graft_cd.db.cust (id, seg) SELECT id, seg FROM graft_cd_tail")
+      s.sql("""SELECT tier, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id
+              |FROM graft_cd.db.cust GROUP BY tier ORDER BY tier""".stripMargin)
+    },
+
     // PARTITION EVOLUTION: the table starts FLAT, half the events land;
     // graft_set_time_partition installs days(ts) as a METADATA-ONLY
     // commit (asserted: same file set); the second half lands day-routed;
@@ -2231,6 +2326,18 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey IN (7, 193, 676, 1321)
         |ORDER BY id""".stripMargin,
+
+    "etl_cbo_stats" ->
+      """SELECT COUNT(DISTINCT o_orderkey) AS ndv_id,
+        | COUNT(DISTINCT o_orderstatus) AS ndv_status,
+        | COUNT(DISTINCT o_orderpriority) AS ndv_priority
+        |FROM orders""".stripMargin,
+
+    "etl_column_default" ->
+      """SELECT CASE c_custkey % 3 WHEN 0 THEN 'standard'
+        |            WHEN 1 THEN 'gold' ELSE 'silver' END AS tier,
+        | COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+        |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin,
 
     "etl_partition_evolution" ->
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)

@@ -60,6 +60,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
+
+  /** Column DEFAULT values are supported end-to-end: DDL admits them
+    * (this capability gates Spark's parser/analyzer), INSERTs resolve
+    * CURRENT_DEFAULT for omitted columns in the analyzer, and the READ
+    * path serves EXISTS_DEFAULT for files written before the column was
+    * added (GraftPartitionReader) — the metadata-only ADD COLUMN x
+    * DEFAULT v every lakehouse format ships.
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -485,22 +497,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "graft catalog: nested ADD COLUMN not supported")
-          require(add.isNullable,
-            "graft catalog: added columns must be nullable (existing files NULL-fill)")
+          // without a DEFAULT, existing files can only NULL-fill the new
+          // column, so it must be nullable; WITH one, the read path
+          // serves the default for pre-add files and NOT NULL is honest
+          require(add.isNullable || add.defaultValue() != null,
+            "graft catalog: added columns must be nullable (existing " +
+              "files NULL-fill) unless they carry a DEFAULT")
           val name = add.fieldNames().head
           require(!st.schema.fieldNames.contains(name),
             s"column $name already exists")
           // a once-used name (alias of a live column, or retired by a
           // DROP) must never be reborn: old files still hold bytes under
           // it, and the new column would silently serve them instead of
-          // the NULLs an added column promises
+          // the NULLs (or default) an added column promises
           require(!GraftEvolution.allKnownNames(st.schema, st.aliases,
               st.retired).contains(name),
             s"graft catalog: column name $name was previously used on " +
               s"$ident (rename history or dropped column) — existing " +
               "files still hold bytes under it; pick a fresh name")
-          st.copy(schema = st.schema.add(
-            StructField(name, add.dataType(), nullable = true)))
+          // Spark's own fold stamps the CURRENT/EXISTS default metadata
+          // exactly the way its INSERT resolution and our read path read
+          // them back
+          st.copy(schema = org.apache.spark.sql.graftbridge.Bridge
+            .applySchemaChanges(st.schema, Seq(add)))
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1,
             "graft catalog: nested DROP COLUMN not supported")
@@ -561,9 +580,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 if (f.name == name) f.copy(dataType = to) else f)),
               widened = st.widened + name)
           }
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          require(upd.fieldNames().length == 1,
+            "graft catalog: nested ALTER COLUMN DEFAULT not supported")
+          val name = upd.fieldNames().head
+          require(st.schema.fieldNames.contains(name), s"no such column: $name")
+          // changes FUTURE inserts only (CURRENT_DEFAULT); what pre-add
+          // files serve (EXISTS_DEFAULT) was frozen when the column was
+          // added — Spark's fold implements exactly that split
+          st.copy(schema = org.apache.spark.sql.graftbridge.Bridge
+            .applySchemaChanges(st.schema, Seq(upd)))
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other " +
-            "(add/drop/rename column, widening type change)")
+            "(add/drop/rename column, widening type change, column defaults)")
       }
     }
     val updated = evo.schema
@@ -1176,6 +1205,13 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   def physicalSchema: StructType =
     StructType(tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
 
+  /** Existence-default catalyst values (ADD COLUMN ... DEFAULT): what
+    * pre-add files serve instead of NULL. Resolved once per table load.
+    */
+  lazy val existenceDefaults: Map[String, Any] =
+    GraftEvolution.existenceDefaults(physicalSchema)
+  def existenceDefaultCols: Set[String] = existenceDefaults.keySet
+
   /** Partition-column fields in declaration order. */
   def partitionFields: Seq[StructField] = partitionCols.map(tableSchema(_))
   override def capabilities(): util.Set[TableCapability] = {
@@ -1698,10 +1734,49 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
       if (perFile.nonEmpty && perFile.forall(_._2.isDefined) && !anyEqMask)
         java.util.OptionalLong.of(perFile.flatMap(_._2).sum)
       else java.util.OptionalLong.empty()
+    // COLUMN statistics for the cost-based optimizer, straight from the
+    // manifest stats log (an ANALYZE TABLE nobody has to run): per-column
+    // distinct counts are the UNION of the per-file HLL sketches the
+    // writer tracked in its hot loop, null counts are exact sums — served
+    // only when EVERY live file carries stats and no row-level mask could
+    // make them lie (DV/equality deletes remove rows the sketches still
+    // remember). Join reorder and broadcast decisions then run on real
+    // cardinalities instead of defaults.
+    val anyMask = anyEqMask || entries.exists(_.dv.nonEmpty)
+    val colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val fileStats = entries.flatMap(e => stats.get(new Path(e.file).getName))
+      if (!anyMask && entries.nonEmpty && fileStats.size == entries.size) {
+        table.physicalSchema.fields.foreach { f =>
+          val distinct = GraftStats.mergedDistinct(fileStats, f.name)
+          val nullsKnown = fileStats.forall(
+            _.cols.get(f.name).exists(_.nulls >= 0))
+          if (distinct.nonEmpty || nullsKnown) {
+            val nulls =
+              if (nullsKnown) java.util.OptionalLong.of(
+                fileStats.flatMap(_.cols.get(f.name)).map(_.nulls).sum)
+              else java.util.OptionalLong.empty()
+            m.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  distinct.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong = nulls
+              })
+          }
+        }
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
@@ -1769,7 +1844,7 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           if (unjudged.isEmpty) unjudged
           else GraftParquetFilters.predicate(table.physicalSchema,
             GraftEvolution.parquetSafe(pushedFilters.toSeq, table.aliases,
-              table.widened)) match {
+              table.widened, table.existenceDefaultCols)) match {
             case None => unjudged
             case Some(pred) =>
               val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -1879,9 +1954,9 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     new GraftReaderFactory(required, table.physicalSchema, table.dir,
       table.partitionFields,
       GraftEvolution.parquetSafe(readerFilters.toSeq, table.aliases,
-        table.widened).toArray,
+        table.widened, table.existenceDefaultCols).toArray,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      table.aliases)
+      table.aliases, table.existenceDefaults)
   }
 }
 
@@ -1889,12 +1964,14 @@ class GraftReaderFactory(required: StructType, physicalSchema: StructType,
                          tableDir: String, partFields: Seq[StructField],
                          pushedFilters: Array[org.apache.spark.sql.sources.Filter],
                          conf: SerializableHadoopConf,
-                         aliases: Map[String, Seq[String]] = Map.empty)
+                         aliases: Map[String, Seq[String]] = Map.empty,
+                         existDefaults: Map[String, Any] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftPartition]
     new GraftPartitionReader(required, physicalSchema, tableDir, partFields,
-      pushedFilters, p.file, p.dv, conf, skipEqs = p.eqs, aliases = aliases)
+      pushedFilters, p.file, p.dv, conf, skipEqs = p.eqs, aliases = aliases,
+      existDefaults = existDefaults)
   }
 }
 
@@ -1915,7 +1992,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
                            keepOnly: Option[org.roaringbitmap.longlong.Roaring64Bitmap] = None,
                            skipEqs: Seq[String] = Nil,
                            matchEqs: Seq[String] = Nil,
-                           aliases: Map[String, Seq[String]] = Map.empty)
+                           aliases: Map[String, Seq[String]] = Map.empty,
+                           existDefaults: Map[String, Any] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val partNames = partFields.map(_.name)
@@ -1948,11 +2026,18 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
       set.contains(GraftEqDelete.keyVector(r, idx, dts, copy = false)) } ||
     (matchProbes.nonEmpty && !matchProbes.exists { case (idx, dts, set) =>
       set.contains(GraftEqDelete.keyVector(r, idx, dts, copy = false)) })
+  // columns ADDed with a DEFAULT: the ReadSupport reports which requested
+  // fields this FILE lacks under every name; those positions get the
+  // frozen existence default instead of the converter's NULL-fill
+  private val missingRef =
+    if (existDefaults.isEmpty) null
+    else new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
   private val reader =
     ParquetRowIO.reader(new Path(file), readDataSchema, conf.value,
       GraftParquetFilters.predicate(physicalSchema,
-        GraftEvolution.parquetSafe(pushedFilters.toSeq, aliases)),
-      aliases)
+        GraftEvolution.parquetSafe(pushedFilters.toSeq, aliases,
+          defaulted = existDefaults.keySet)),
+      aliases, missingRef)
   private val filePath = UTF8String.fromString(file)
   private val partValues: Array[Any] =
     if (partFields.isEmpty) Array.empty
@@ -1982,9 +2067,24 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
   private val keep: org.roaringbitmap.longlong.Roaring64Bitmap = keepOnly.orNull
   private val hasEq = skipProbes.nonEmpty || matchProbes.nonEmpty
 
+  // (required idx, default value) for columns this file lacks; known only
+  // after the reader opened the footer (first read call), hence lazy
+  private var defaultFill: Array[(Int, Any)] = _
+  private var mustProject: Boolean = needsProject
+  private def resolveDefaults(): Unit = {
+    if (defaultFill != null) return
+    val missing = if (missingRef == null) Set.empty[String] else missingRef.get
+    defaultFill = required.fields.zipWithIndex.collect {
+      case (f, i) if plan(i) >= 0 && missing.contains(f.name) &&
+        existDefaults.contains(f.name) => (i, existDefaults(f.name))
+    }
+    if (defaultFill.nonEmpty) mustProject = true
+  }
+
   override def next(): Boolean = {
     var r = reader.read()
     pos += 1
+    resolveDefaults()
     while (r != null && ((deleted != null && deleted.contains(pos)) ||
         (keep != null && !keep.contains(pos)) ||
         (hasEq && eqMasked(r)))) {
@@ -1992,7 +2092,7 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
       pos += 1
     }
     if (r == null) return false
-    row = if (!needsProject) r else {
+    row = if (!mustProject) r else {
       val out = new GenericInternalRow(plan.length)
       var i = 0
       while (i < plan.length) {
@@ -2005,6 +2105,11 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
         else if (r.isNullAt(plan(i))) out.setNullAt(i)
         else out.update(i, r.get(plan(i), dataSchema.fields(plan(i)).dataType))
         i += 1
+      }
+      var d = 0
+      while (d < defaultFill.length) {
+        out.update(defaultFill(d)._1, defaultFill(d)._2)
+        d += 1
       }
       out
     }

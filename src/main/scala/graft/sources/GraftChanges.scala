@@ -197,7 +197,7 @@ class GraftChangesScan(base: GraftTable, required: StructType,
     new GraftChangesReaderFactory(required, base.physicalSchema, base.dir,
       base.partitionFields,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      base.aliases)
+      base.aliases, base.existenceDefaults)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangesMicroBatchStream(base, required,
@@ -258,7 +258,7 @@ class GraftChangesMicroBatchStream(base: GraftTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftChangesReaderFactory(required, base.physicalSchema, base.dir,
-      base.partitionFields, conf, base.aliases)
+      base.partitionFields, conf, base.aliases, base.existenceDefaults)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -269,12 +269,13 @@ class GraftChangesReaderFactory(required: StructType,
                                 tableDir: String,
                                 partFields: Seq[StructField],
                                 conf: SerializableHadoopConf,
-                                aliases: Map[String, Seq[String]] = Map.empty)
+                                aliases: Map[String, Seq[String]] = Map.empty,
+                                existDefaults: Map[String, Any] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangePartition]
     new GraftChangeRowReader(required, physicalSchema, tableDir, partFields,
-      p, conf, aliases)
+      p, conf, aliases, existDefaults)
   }
 }
 
@@ -286,7 +287,8 @@ class GraftChangeRowReader(required: StructType, physicalSchema: StructType,
                            tableDir: String, partFields: Seq[StructField],
                            p: GraftChangePartition,
                            conf: SerializableHadoopConf,
-                           aliases: Map[String, Seq[String]] = Map.empty)
+                           aliases: Map[String, Seq[String]] = Map.empty,
+                           existDefaults: Map[String, Any] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val dataRequired = StructType(required.fields.filter(f =>
@@ -294,7 +296,8 @@ class GraftChangeRowReader(required: StructType, physicalSchema: StructType,
   private val keep: Option[Roaring64Bitmap] = p.keepBytes.map(GraftDv.fromBytes)
   private val inner = new GraftPartitionReader(dataRequired, physicalSchema,
     tableDir, partFields, Array.empty, p.file, p.skipDv, conf, keep,
-    skipEqs = p.skipEqs, matchEqs = p.matchEqs, aliases = aliases)
+    skipEqs = p.skipEqs, matchEqs = p.matchEqs, aliases = aliases,
+    existDefaults = existDefaults)
   private val typeVal = UTF8String.fromString(p.changeType)
   // required index → inner index, or -1 = _change_type, -2 = _commit_version
   private val plan: Array[Int] = {

@@ -132,6 +132,9 @@ object GraftEqDelete {
     // would make the sidecar-vs-file resolution per-epoch. Refused both
     // ways: alterTable refuses rename/widen while eq masks live, and
     // upsert refuses while rename/widen history exists
+    require(keyCols.forall(c => !t.existenceDefaultCols.contains(c)),
+      s"upsert: key columns ${keyCols.mkString(",")} must not carry " +
+        "existence defaults — pre-add files hold no key bytes to probe")
     require(t.aliases.isEmpty,
       s"upsert: $catalog.$table carries rename history " +
         s"(${t.aliases.keys.mkString(",")}) — equality-delete sidecars " +

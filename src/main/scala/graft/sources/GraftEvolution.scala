@@ -124,14 +124,34 @@ object GraftEvolution {
                      aliased: Set[String]): Boolean =
     f.references.exists(aliased.contains)
 
+  /** `defaulted` = columns with an EXISTENCE default: parquet treats the
+    * column as all-null in pre-add files and would prune row groups whose
+    * rows actually match through the default — same exclusion as renames.
+    */
   def parquetSafe(filters: Seq[org.apache.spark.sql.sources.Filter],
                   aliases: Map[String, Seq[String]],
-                  widened: Set[String] = Set.empty)
+                  widened: Set[String] = Set.empty,
+                  defaulted: Set[String] = Set.empty)
       : Seq[org.apache.spark.sql.sources.Filter] = {
-    val unsafe = aliases.keySet ++ widened
+    val unsafe = aliases.keySet ++ widened ++ defaulted
     if (unsafe.isEmpty) filters
     else filters.filterNot(touchesAliased(_, unsafe))
   }
+
+  /** Existence-default catalyst values per column (empty metadata → no
+    * entry) — what pre-add files must serve instead of NULL.
+    */
+  def existenceDefaults(schema: StructType): Map[String, Any] = {
+    val vals = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValues(schema)
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if vals(i) != null => f.name -> vals(i)
+    }.toMap
+  }
+
+  def hasExistenceDefault(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
 
   /** Maintenance-rewrite reader: the bulk rewrites (compaction, Z-order,
     * DV materialization, purge) read data files through Spark's parquet
@@ -164,7 +184,17 @@ object GraftEvolution {
           if (have.contains(fld.name)) Some(fld.name)
           else aliases.get(fld.name).flatMap(_.reverseIterator.find(have.contains))
         src.map(s => col(s).cast(fld.dataType).as(fld.name))
-          .getOrElse(lit(null).cast(fld.dataType).as(fld.name))
+          .getOrElse {
+            // a column ADDed with a DEFAULT: pre-add files serve the
+            // frozen existence default, not NULL — the rewrite must
+            // materialize the same value the scan was serving
+            if (hasExistenceDefault(fld))
+              org.apache.spark.sql.functions.expr(fld.metadata.getString(
+                org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                  .EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+                .cast(fld.dataType).as(fld.name)
+            else lit(null).cast(fld.dataType).as(fld.name)
+          }
       }: _*)
     }.reduce(_.union(_))
   }
@@ -180,7 +210,8 @@ object GraftEvolution {
   * the file stores the bytes under. Fields absent under every name keep
   * the current name and NULL-fill exactly as before (ADD COLUMN files).
   */
-class GraftAliasReadSupport(aliases: Map[String, Seq[String]])
+class GraftAliasReadSupport(aliases: Map[String, Seq[String]],
+                            missingOut: java.util.concurrent.atomic.AtomicReference[Set[String]] = null)
   extends ParquetReadSupport(
     None, enableVectorizedReader = false,
     RebaseSpec(LegacyBehaviorPolicy.CORRECTED),
@@ -189,7 +220,7 @@ class GraftAliasReadSupport(aliases: Map[String, Seq[String]])
   override def init(context: InitContext): ReadSupport.ReadContext = {
     val conf = context.getConfiguration
     val requestedJson = conf.get(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA)
-    if (requestedJson != null && aliases.nonEmpty) {
+    if (requestedJson != null) {
       val fileCols = {
         val b = Set.newBuilder[String]
         context.getFileSchema.getFields.forEach(f => b += f.getName)
@@ -204,6 +235,13 @@ class GraftAliasReadSupport(aliases: Map[String, Seq[String]])
           .map(old => f.copy(name = old))
           .getOrElse(f)
       })
+      // fields absent from the file under EVERY name: the converter will
+      // NULL-fill them — reported so the reader can substitute existence
+      // defaults (ADD COLUMN ... DEFAULT) for the whole file
+      if (missingOut != null)
+        missingOut.set(requested.fields.zip(remapped.fields).collect {
+          case (orig, eff) if !fileCols.contains(eff.name) => orig.name
+        }.toSet)
       if (remapped != requested)
         conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, remapped.json)
     }

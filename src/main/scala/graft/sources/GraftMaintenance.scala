@@ -24,9 +24,10 @@ object GraftMaintenance {
                       dir: Path, props: Map[String, String],
                       files: Seq[String]): org.apache.spark.sql.DataFrame = {
     val aliases = GraftEvolution.aliasesOf(props)
-    if (aliases.isEmpty) spark.read.parquet(files: _*)
-    else GraftEvolution.readFilesAs(spark, files,
-      physicalSchemaOf(fs, dir, props), aliases)
+    val phys = physicalSchemaOf(fs, dir, props)
+    if (aliases.isEmpty && !phys.fields.exists(GraftEvolution.hasExistenceDefault))
+      spark.read.parquet(files: _*)
+    else GraftEvolution.readFilesAs(spark, files, phys, aliases)
   }
 
   private def physicalSchemaOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path,

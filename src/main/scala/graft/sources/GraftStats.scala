@@ -43,9 +43,14 @@ object GraftStats {
 
   /** nulls = -1 means unknown (footer without null counts). min/max are
     * canonical strings; None = no bound recorded (all-null column, NaN
-    * poisoning, or unsupported type).
+    * poisoning, or unsupported type). `ndv` is a serialized HLL sketch of
+    * the column's distinct values (tracked in the writer's hot loop) —
+    * MERGEABLE across files, so the planner's table-level distinct count
+    * is a metadata union, never a data scan; None for footer-lifted
+    * entries (parquet footers carry no NDV) until `analyzeNdv` backfills.
     */
-  case class ColStats(nulls: Long, min: Option[String], max: Option[String])
+  case class ColStats(nulls: Long, min: Option[String], max: Option[String],
+                      ndv: Option[Array[Byte]] = None)
   case class FileStats(size: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- storage -----------------------------------------------------------
@@ -58,7 +63,9 @@ object GraftStats {
 
   private[sources] def encodeLine(name: String, st: FileStats): String = {
     val cols = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-      s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}"
+      val ndvPart = cs.ndv.map(b =>
+        "," + java.util.Base64.getEncoder.encodeToString(b)).getOrElse("")
+      s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}$ndvPart"
     }.mkString(";")
     s"${enc(name)}\t${st.size}\t${st.rows}\t$cols"
   }
@@ -72,6 +79,9 @@ object GraftStats {
         ce.split(",", -1) match {
           case Array(c, n, mn, mx) =>
             Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx)))
+          case Array(c, n, mn, mx, ndv) =>
+            Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx),
+              Some(java.util.Base64.getDecoder.decode(ndv))))
           case _ => None
         }
       }.toMap
@@ -197,6 +207,16 @@ object GraftStats {
     private val maxs = new Array[Any](n)
     private val poisoned = new Array[Boolean](n)
     private var rows = 0L
+    // distinct-value sketches (long/double/string kinds): one typed HLL
+    // update per non-null value — integrals always widen to LONG and
+    // floats to DOUBLE before hashing, so the bits stay consistent across
+    // the type-widening DDL
+    private val ndvs: Array[org.apache.datasketches.hll.HllSketch] =
+      kinds.map {
+        case KindLong | KindDouble | KindString =>
+          new org.apache.datasketches.hll.HllSketch(NdvLgK)
+        case _ => null
+      }
 
     def update(row: InternalRow): Unit = {
       rows += 1
@@ -215,6 +235,7 @@ object GraftStats {
               }
               if (mins(i) == null || v < mins(i).asInstanceOf[Long]) mins(i) = v
               if (maxs(i) == null || v > maxs(i).asInstanceOf[Long]) maxs(i) = v
+              ndvs(i).update(v)
             case KindDouble =>
               val v = schema.fields(i).dataType match {
                 case FloatType => row.getFloat(i).toDouble
@@ -229,6 +250,7 @@ object GraftStats {
                     java.lang.Double.compare(v, maxs(i).asInstanceOf[Double]) > 0)
                   maxs(i) = v
               }
+              if (!java.lang.Double.isNaN(v)) ndvs(i).update(v)
             case KindString =>
               val v = row.getUTF8String(i)
               if (mins(i) == null ||
@@ -237,6 +259,7 @@ object GraftStats {
               if (maxs(i) == null ||
                   v.compareTo(maxs(i).asInstanceOf[UTF8String]) > 0)
                 maxs(i) = v.clone()
+              ndvs(i).update(v.getBytes)
             case KindDecimal =>
               val (p, s) = decScale(i)
               val v = row.getDecimal(i, p, s).toJavaBigDecimal
@@ -273,11 +296,118 @@ object GraftStats {
           val (mn, mx) =
             if (poisoned(i) || mins(i) == null) (None, None)
             else (Some(canon(i, mins(i))), Some(canon(i, maxs(i))))
-          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx))
+          val ndv = Option(ndvs(i)).map(_.toCompactByteArray)
+          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx, ndv))
         }
       }.toMap
       FileStats(size, rows, cols)
     }
+  }
+
+  // ---- NDV sketches (planner column statistics) --------------------------
+
+  /** lgK=12: ±~1.6%% standard error, ≤2 KB compact per column per file. */
+  val NdvLgK = 12
+
+  /** Table-level distinct-count estimate for `col`: union of every file's
+    * sketch — None unless EVERY file carries one (a partial union is a
+    * silent under-estimate, worse for the planner than no estimate).
+    */
+  def mergedDistinct(stats: Seq[FileStats], col: String): Option[Long] = {
+    val sketches = stats.map(_.cols.get(col).flatMap(_.ndv))
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
+    val u = new org.apache.datasketches.hll.Union(NdvLgK)
+    sketches.flatten.foreach(b => u.update(
+      org.apache.datasketches.hll.HllSketch.heapify(b)))
+    Some(math.round(u.getEstimate))
+  }
+
+  /** Backfill NDV sketches for current files whose stats lack them
+    * (footer-lifted entries from compaction / analyzeTable — parquet
+    * footers carry no NDV): ONE distributed job reads just the eligible
+    * columns of just those files, re-keys nothing (size/rows/min/max are
+    * preserved), and appends the enriched entries (the log's last-wins
+    * order supersedes the sparse ones). Returns files enriched.
+    */
+  def analyzeNdv(spark: SparkSession, dir: Path): Int = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val schema = GraftTable.readTableSchema(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"analyzeNdv: $dir is not a graft catalog table"))
+    val pcols = props.get(GraftTable.PartitionProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val eligible = schema.fields.toSeq
+      .filterNot(f => pcols.contains(f.name))
+      .filter(f => kindOf(f.dataType) match {
+        case KindLong | KindDouble | KindString => true
+        case _ => false
+      })
+    if (eligible.isEmpty) return 0
+    val files =
+      if (props.get(GraftTable.HistoryProp).contains("true"))
+        GraftTable.manifestVersions(fs, dir).lastOption
+          .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+      else GraftTable.dataFiles(fs, dir)
+    val have = readAll(fs, dir)
+    val missing = files.filter { f =>
+      val st = have.get(new Path(f).getName)
+      st.isEmpty || eligible.exists(e =>
+        st.get.cols.get(e.name).forall(_.ndv.isEmpty))
+    }
+    if (missing.isEmpty) return 0
+    val readSchema = StructType(eligible)
+    val aliases = GraftEvolution.aliasesOf(props)
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val names = eligible.map(_.name).toArray
+    val dts = eligible.map(_.dataType).toArray
+    val built = spark.sparkContext
+      .parallelize(missing, math.max(1, math.min(missing.size, 32)))
+      .map { f =>
+        val p = new Path(f)
+        val sketches = dts.map(_ =>
+          new org.apache.datasketches.hll.HllSketch(NdvLgK))
+        val reader = ParquetRowIO.reader(p, readSchema, conf.value, None, aliases)
+        try {
+          var r = reader.read()
+          while (r != null) {
+            var i = 0
+            while (i < dts.length) {
+              if (!r.isNullAt(i)) dts(i) match {
+                case ByteType => sketches(i).update(r.getByte(i).toLong)
+                case ShortType => sketches(i).update(r.getShort(i).toLong)
+                case IntegerType | DateType => sketches(i).update(r.getInt(i).toLong)
+                case LongType | TimestampType | TimestampNTZType =>
+                  sketches(i).update(r.getLong(i))
+                case FloatType =>
+                  val d = r.getFloat(i).toDouble
+                  if (!java.lang.Double.isNaN(d)) sketches(i).update(d)
+                case DoubleType =>
+                  val d = r.getDouble(i)
+                  if (!java.lang.Double.isNaN(d)) sketches(i).update(d)
+                case StringType =>
+                  sketches(i).update(r.getUTF8String(i).getBytes)
+                case _ =>
+              }
+              i += 1
+            }
+            r = reader.read()
+          }
+        } finally reader.close()
+        (p.getName, names.zip(sketches.map(_.toCompactByteArray)).toMap)
+      }
+      .collect().toSeq
+    val enriched = built.map { case (name, ndvByCol) =>
+      val st = have.getOrElse(name, FileStats(
+        fs.getFileStatus(new Path(files.find(f =>
+          new Path(f).getName == name).get)).getLen, -1L, Map.empty))
+      name -> st.copy(cols = names.map { c =>
+        val cs = st.cols.getOrElse(c, ColStats(-1L, None, None))
+        c -> cs.copy(ndv = ndvByCol.get(c))
+      }.toMap ++ st.cols.filterNot(kv => names.contains(kv._1)))
+    }
+    writeCommitStats(fs, dir, enriched)
+    enriched.size
   }
 
   // ---- filter evaluation (planning side) ---------------------------------

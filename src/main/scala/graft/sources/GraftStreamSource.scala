@@ -203,7 +203,8 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, table.physicalSchema, table.dir,
-      table.partitionFields, Array.empty, conf, table.aliases)
+      table.partitionFields, Array.empty, conf, table.aliases,
+      table.existenceDefaults)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

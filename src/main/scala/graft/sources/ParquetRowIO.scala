@@ -70,13 +70,16 @@ object ParquetRowIO {
     */
   def reader(path: Path, requestedSchema: StructType, base: Configuration,
              predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-             aliases: Map[String, Seq[String]] = Map.empty)
+             aliases: Map[String, Seq[String]] = Map.empty,
+             missingOut: java.util.concurrent.atomic.AtomicReference[Set[String]] = null)
       : ParquetReader[InternalRow] = {
     // alias-aware support resolves RENAMEd columns against each file's
-    // actual parquet schema (see GraftEvolution); the plain support is the
-    // exact native-source read path
+    // actual parquet schema and reports requested fields the file lacks
+    // (existence-default fill); the plain support is the exact
+    // native-source read path
     val support: ParquetReadSupport =
-      if (aliases.nonEmpty) new GraftAliasReadSupport(aliases)
+      if (aliases.nonEmpty || missingOut != null)
+        new GraftAliasReadSupport(aliases, missingOut)
       else new ParquetReadSupport(
         None, enableVectorizedReader = false,
         RebaseSpec(LegacyBehaviorPolicy.CORRECTED),

@@ -11,6 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * libraries to lift Catalyst constructs into the public API.
   */
 object Bridge {
+  /** `CatalogV2Util.applySchemaChanges` is private[sql]: Spark's own fold
+    * for DSv2 TableChanges — used for the default-value metadata stamping
+    * (CURRENT/EXISTS keys) so INSERT resolution and the read path agree
+    * byte-for-byte with what the analyzer expects.
+    */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+                         changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      : org.apache.spark.sql.types.StructType =
+    // provider "parquet": the graft catalog's physical format — what
+    // Spark's defaultColumn.allowedProviders allow-list keys on
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .applySchemaChanges(schema, changes, Some("parquet"), "ALTER TABLE")
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -40,6 +53,17 @@ object Bridge {
   def catalogPlugin(spark: SparkSession,
                     name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.sessionState.catalogManager.catalog(name)
+
+  /** Drop every cached catalog INSTANCE (conf entries survive; instances
+    * re-create lazily from the CURRENT conf on next reference). Spark
+    * caches plugin instances by name forever, so a session that re-points
+    * `spark.sql.catalog.<name>.warehouse` — two harnesses sharing one
+    * session, each configuring the same catalog name against its own
+    * scratch dir — silently keeps writing to the FIRST warehouse. Shared-
+    * session test harnesses call this before running inventory queries.
+    */
+  def resetCatalogCache(spark: SparkSession): Unit =
+    spark.sessionState.catalogManager.reset()
 
   /** DataFrame over an RDD[InternalRow] (`df.queryExecution.toRdd` shape):
     * the per-partition imperative operators (GlobalRank) stay in Tungsten

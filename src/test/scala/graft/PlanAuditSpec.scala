@@ -21,6 +21,11 @@ class PlanAuditSpec extends SparkSpec {
     * reachable via `children` — unwrap to the underlying physical plan.
     */
   private def executedPlan(name: String): SparkPlan = {
+    // the suite shares one session with every other spec: drop cached
+    // catalog instances so a query that re-points a catalog name at its
+    // own scratch warehouse actually gets it (instances re-create from
+    // the query's conf.set; a stale cache writes to the OTHER suite's dir)
+    org.apache.spark.sql.graftbridge.Bridge.resetCatalogCache(spark)
     val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planner COLUMN statistics from the manifest stats log: per-file HLL
+  * distinct-count sketches tracked in the writer's hot loop union into
+  * table-level NDV estimates served through DSv2 `columnStats()` — an
+  * ANALYZE TABLE nobody runs. Conservative refusals: masked rows, files
+  * without sketches. `graft_analyze_ndv` backfills; rename re-keys.
+  */
+class GraftColStatsSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_cstats_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft_cs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cs.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_cs.db")
+  }
+
+  private def scanStats(table: String) = {
+    val df = spark.table(table)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[GraftScan].estimateStatistics()
+    }
+    assert(scans.size == 1)
+    scans.head
+  }
+
+  private def distinctOf(st: org.apache.spark.sql.connector.read.Statistics,
+                         col: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    st.columnStats().asScala.collectFirst {
+      case (ref, cs) if ref.fieldNames().sameElements(Array(col)) &&
+        cs.distinctCount().isPresent => cs.distinctCount().getAsLong
+    }
+  }
+
+  test("writer-tracked sketches union into table-level NDV estimates") {
+    sql("CREATE TABLE graft_cs.db.t (id BIGINT, grp BIGINT, s STRING)")
+    // two appends with OVERLAPPING key ranges: per-file counts must union,
+    // not sum (5000+5000 files share 2500 ids → true NDV 7500)
+    spark.range(0, 5000).toDF("id")
+      .withColumn("grp", col("id") % 100)
+      .withColumn("s", concat(lit("u"), col("id") % 997))
+      .writeTo("graft_cs.db.t").append()
+    spark.range(2500, 7500).toDF("id")
+      .withColumn("grp", col("id") % 100)
+      .withColumn("s", concat(lit("u"), col("id") % 997))
+      .writeTo("graft_cs.db.t").append()
+    val st = scanStats("graft_cs.db.t")
+    assert(st.numRows().getAsLong == 10000)
+    val idNdv = distinctOf(st, "id").get
+    assert(math.abs(idNdv - 7500) <= 7500 / 10,
+      s"id NDV estimate $idNdv should be within 10% of 7500 (union, not sum)")
+    val grpNdv = distinctOf(st, "grp").get
+    assert(math.abs(grpNdv - 100) <= 10, s"grp NDV $grpNdv vs 100")
+    val sNdv = distinctOf(st, "s").get
+    assert(math.abs(sNdv - 997) <= 100, s"s NDV $sNdv vs 997")
+    // null counts are exact sums
+    import scala.jdk.CollectionConverters._
+    val nulls = st.columnStats().asScala.collectFirst {
+      case (ref, cs) if ref.fieldNames().sameElements(Array("id")) =>
+        cs.nullCount().getAsLong
+    }
+    assert(nulls.contains(0L))
+  }
+
+  test("CBO sees the estimates as attributeStats on the logical plan") {
+    sql("CREATE TABLE graft_cs.db.cbo (k BIGINT, v STRING)")
+    spark.range(0, 3000).toDF("k")
+      .withColumn("v", concat(lit("x"), col("k") % 50))
+      .writeTo("graft_cs.db.cbo").append()
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val base = spark.table("graft_cs.db.cbo")
+      val stats = base.queryExecution.optimizedPlan.stats
+      val vStat = stats.attributeStats.find(_._1.name == "v").map(_._2)
+      assert(vStat.exists(_.distinctCount.exists(dc =>
+        (dc - BigInt(50)).abs <= 10)),
+        s"CBO must see v's distinct count (~50): got ${stats.attributeStats}")
+      // ...and USE it: the filter estimation scales row count by the
+      // estimated selectivity (3000 rows / ~50 distinct ≈ 60), instead of
+      // the no-stats default
+      val filtered = base.where(col("v") === "x7")
+      val fStats = filtered.queryExecution.optimizedPlan.stats
+      assert(fStats.rowCount.exists(rc => rc >= 20 && rc <= 200),
+        s"CBO filter estimate should be ~60 rows, got ${fStats.rowCount}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  test("compaction loses sketches conservatively; graft_analyze_ndv restores") {
+    sql("CREATE TABLE graft_cs.db.cp (id BIGINT)")
+    spark.range(0, 2000).toDF("id").writeTo("graft_cs.db.cp").append()
+    assert(distinctOf(scanStats("graft_cs.db.cp"), "id").nonEmpty)
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/cp")
+    // footer-lifted entries carry no NDV: refuse rather than under-estimate
+    assert(distinctOf(scanStats("graft_cs.db.cp"), "id").isEmpty,
+      "post-compaction files have no sketches — no estimate beats a wrong one")
+    val n = sql("SELECT * FROM graft_analyze_ndv('graft_cs', 'db.cp')")
+      .collect()(0).getInt(0)
+    assert(n >= 1)
+    val restored = distinctOf(scanStats("graft_cs.db.cp"), "id")
+    assert(restored.exists(ndv => math.abs(ndv - 2000) <= 200),
+      s"backfilled NDV $restored vs 2000")
+  }
+
+  test("masked rows refuse column stats; rename re-keys the sketches") {
+    sql("""CREATE TABLE graft_cs.db.m (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true', 'merge-on-read'='true')""".stripMargin)
+    spark.range(0, 1000).toDF("id").withColumn("v", col("id"))
+      .writeTo("graft_cs.db.m").append()
+    assert(distinctOf(scanStats("graft_cs.db.m"), "id").nonEmpty)
+    sql("DELETE FROM graft_cs.db.m WHERE id % 10 = 0")
+    assert(distinctOf(scanStats("graft_cs.db.m"), "id").isEmpty,
+      "DV-masked files must refuse NDV (sketches remember deleted rows)")
+
+    sql("CREATE TABLE graft_cs.db.rn (a BIGINT)")
+    spark.range(0, 500).toDF("a").writeTo("graft_cs.db.rn").append()
+    sql("ALTER TABLE graft_cs.db.rn RENAME COLUMN a TO b")
+    val ndv = distinctOf(scanStats("graft_cs.db.rn"), "b")
+    assert(ndv.exists(x => math.abs(x - 500) <= 50),
+      s"rename must re-key the sketch (got $ndv under the new name)")
+  }
+}
