@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
+    // native resolution of STORED VIEWS in graft catalogs — the wiring
+    // Spark's dormant DSv2 ViewCatalog interface is missing (see
+    // GraftViewSubstitution); sessions registered imperatively instead
+    // (GraftExtensions.register) reach views through the graft_view TVF
+    ext.injectResolutionRule(s =>
+      new org.apache.spark.sql.graftbridge.GraftViewSubstitution(s))
   }
 }
 
@@ -578,6 +584,185 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq(n).toDF("files_analyzed"))
       }),
+    // --- VIEWS: stored, named SQL definitions in the catalog. These TVFs
+    // are the any-session surface; sessions built with
+    // spark.sql.extensions=graft.GraftExtensions additionally resolve
+    // `SELECT ... FROM cat.db.v` natively (GraftViewSubstitution).
+    ("graft_create_view",
+      info("graft_create_view",
+        "graft_create_view(catalog, view, sql) - store a named view " +
+          "definition (validated by resolving the body now); read it via " +
+          "graft_view(catalog, view) or natively with the extension; " +
+          "returns (view, columns)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_create_view(catalog, 'ns.v', sql)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_create_view: catalog")
+        val vname = stringArg(args(1), "graft_create_view: view")
+        val body = stringArg(args(2), "graft_create_view: sql")
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_create_view: $cat is not a graft catalog ($other)")
+        }
+        // resolving the body NOW validates it and pins the schema users
+        // will see in graft_views; the body re-resolves on every read
+        val resolved = s.sql(body)
+        val parts = vname.split("\\.")
+        require(parts.length >= 2,
+          "graft_create_view: view must be namespace-qualified ('db.v')")
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init, parts.last)
+        plugin.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          ident, body, cat, parts.init, resolved.schema,
+          resolved.schema.fieldNames, Array.empty[String],
+          Array.empty[String], new java.util.HashMap[String, String]()))
+        import s.implicits._
+        Bridge.logicalPlan(Seq((vname,
+          resolved.schema.fieldNames.mkString(","))).toDF("view", "columns"))
+      }),
+    ("graft_view",
+      info("graft_view",
+        "graft_view(catalog, view) - read a stored view: the body " +
+          "re-resolves against the CURRENT base-table state; composes " +
+          "like any table expression (joins, CTEs)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_view(catalog, 'ns.v')")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_view: catalog")
+        val vname = stringArg(args(1), "graft_view: view")
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_view: $cat is not a graft catalog ($other)")
+        }
+        val parts = vname.split("\\.")
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init, parts.last)
+        val v = plugin.loadView(ident)
+        Bridge.logicalPlan(s.sql(v.query()))
+      }),
+    ("graft_views",
+      info("graft_views",
+        "graft_views(catalog, namespace) - stored views of a namespace: " +
+          "(name, columns, sql)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_views(catalog, namespace)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_views: catalog")
+        val ns = stringArg(args(1), "graft_views: namespace")
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_views: $cat is not a graft catalog ($other)")
+        }
+        val rows = plugin.listViews(ns.split("\\."): _*).toSeq.map { id =>
+          val v = plugin.loadView(id)
+          (id.name(), v.schema().fieldNames.mkString(","), v.query())
+        }
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF("name", "columns", "sql"))
+      }),
+    ("graft_drop_view",
+      info("graft_drop_view",
+        "graft_drop_view(catalog, view) - drop a stored view; returns " +
+          "whether it existed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_drop_view(catalog, 'ns.v')")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_drop_view: catalog")
+        val vname = stringArg(args(1), "graft_drop_view: view")
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_drop_view: $cat is not a graft catalog ($other)")
+        }
+        val parts = vname.split("\\.")
+        val dropped = plugin.dropView(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.init, parts.last))
+        import s.implicits._
+        Bridge.logicalPlan(Seq(dropped).toDF("dropped"))
+      }),
+    // --- BRANCHES: isolated write heads. Fork at main's head, commit
+    // through `db.t.branch_<name>` (INSERT/MERGE/UPDATE/DELETE), publish
+    // with a fast-forward or walk away with a drop — the multi-commit
+    // write-audit-publish surface.
+    ("graft_branch",
+      info("graft_branch",
+        "graft_branch(catalog, table, name) - fork branch <name> at the " +
+          "table's current snapshot; write via db.t.branch_<name>; " +
+          "returns (name, base_version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_branch(catalog, 'ns.t', name)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_branch: catalog"),
+          stringArg(args(1), "graft_branch: table"))
+        val name = stringArg(args(2), "graft_branch: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        require(t.history, s"graft_branch: ${t.name()} is not a history " +
+          "table — branches need the commit log")
+        val base = graft.sources.GraftBranch.create(fs, p, name)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((name, base)).toDF("name", "base_version"))
+      }),
+    ("graft_branches",
+      info("graft_branches",
+        "graft_branches(catalog, table) - live branches of a history " +
+          "table: (name, base_version, head_version, commits)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_branches(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_branches: catalog"),
+          stringArg(args(1), "graft_branches: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val rows = graft.sources.GraftBranch.readAll(fs, p).toSeq.sorted
+          .map { case (n, base) =>
+            val (head, _) = graft.sources.GraftBranch.head(fs, p, n)
+            (n, base, head, (head - base))
+          }
+        import s.implicits._
+        Bridge.logicalPlan(
+          rows.toDF("name", "base_version", "head_version", "commits"))
+      }),
+    ("graft_fastforward",
+      info("graft_fastforward",
+        "graft_fastforward(catalog, table, name) - publish branch <name>: " +
+          "main adopts its commits (refused if main diverged); returns " +
+          "(from_version, to_version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_fastforward(catalog, 'ns.t', name)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_fastforward: catalog"),
+          stringArg(args(1), "graft_fastforward: table"))
+        val name = stringArg(args(2), "graft_fastforward: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val (from, to) = graft.sources.GraftBranch.fastForward(fs, p, name)
+        s.catalog.clearCache()
+        import s.implicits._
+        Bridge.logicalPlan(Seq((from, to)).toDF("from_version", "to_version"))
+      }),
+    ("graft_drop_branch",
+      info("graft_drop_branch",
+        "graft_drop_branch(catalog, table, name) - abandon branch <name>: " +
+          "its manifests go, and data files only it referenced are " +
+          "reclaimed; returns (manifests_dropped, files_reclaimed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_drop_branch(catalog, 'ns.t', name)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_drop_branch: catalog"),
+          stringArg(args(1), "graft_drop_branch: table"))
+        val name = stringArg(args(2), "graft_drop_branch: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val (m, f) = graft.sources.GraftBranch.drop(fs, p, name)
+        import s.implicits._
+        Bridge.logicalPlan(
+          Seq((m, f)).toDF("manifests_dropped", "files_reclaimed"))
+      }),
     // --- named snapshot refs (tags): retention by MEANING. A tag makes a
     // snapshot addressable ("VERSION AS OF 'golden'") and vacuum-proof
     // until dropped.
@@ -673,6 +858,57 @@ object GraftExtensions {
           }
         import s.implicits._
         Bridge.logicalPlan(rows.toDF("file", "size_bytes", "row_count", "dv"))
+      }),
+    ("graft_partitions",
+      info("graft_partitions",
+        "graft_partitions(catalog, table) - per-partition rollup of the " +
+          "current snapshot from the manifest + stats log (zero data IO): " +
+          "(partition, files, rows, size_bytes, dv_masked). Partition = " +
+          "the dir segments for identity/time layouts, the bucket id for " +
+          "bucketed ones, '' for flat tables; rows excludes DV-deleted " +
+          "positions; the skew/small-file census OPTIMIZE decisions read"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_partitions(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_partitions: catalog"),
+          stringArg(args(1), "graft_partitions: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val entries = t.history match {
+          case true =>
+            val v = graft.sources.GraftTable.manifestVersions(fs, p).last
+            graft.sources.GraftTable.readFullEntries(fs, p, v)
+          case false => graft.sources.GraftTable.dataFiles(fs, p)
+            .map(graft.sources.GraftTable.GraftEntry(_, None))
+        }
+        val stats = graft.sources.GraftStats.readAll(fs, p)
+        def partOf(f: String): String = {
+          val rel = graft.sources.GraftTable.relativize(
+            p, new org.apache.hadoop.fs.Path(f))
+          val dirs = rel.split("/").init.mkString("/")
+          if (dirs.nonEmpty) dirs
+          else if (t.bucketSpec.nonEmpty)
+            graft.sources.GraftBucket.fileBucketId(
+              new org.apache.hadoop.fs.Path(f).getName)
+              .map(b => s"bucket=$b").getOrElse("")
+          else ""
+        }
+        val rows = entries.groupBy(e => partOf(e.file)).toSeq.map {
+          case (part, es) =>
+            val masked = es.flatMap(_.dv).map { d =>
+              graft.sources.GraftDv.read(fs,
+                new org.apache.hadoop.fs.Path(d)).getLongCardinality
+            }.sum
+            val sts = es.flatMap(e => stats.get(
+              new org.apache.hadoop.fs.Path(e.file).getName))
+            val raw: Option[Long] =
+              if (sts.size == es.size) Some(sts.map(_.rows).sum) else None
+            (part, es.size.toLong, raw.map(_ - masked),
+              sts.map(_.size).sum, masked)
+        }.sortBy(_._1)
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF(
+          "partition", "files", "rows", "size_bytes", "dv_masked"))
       }),
     ("graft_remove_orphans",
       info("graft_remove_orphans",

@@ -1438,6 +1438,122 @@ object Etl {
               |FROM graft_cd.db.cust GROUP BY tier ORDER BY tier""".stripMargin)
     },
 
+    // PARTITIONS metadata table (Iceberg's `.partitions`): per-partition
+    // file/row/byte rollup served ENTIRELY from the manifest + stats log
+    // — zero data IO — on an identity-partitioned history table that took
+    // a COW delete (the rollup must reflect the post-delete snapshot).
+    // The oracle recomputes per-partition row counts from raw orders;
+    // file counts (parallelism-dependent) are asserted > 0 in-query but
+    // not returned.
+    "etl_partitions_meta" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_pm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_pm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pm.db")
+      s.sql("DROP TABLE IF EXISTS graft_pm.db.ord")
+      s.sql("""CREATE TABLE graft_pm.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) PARTITIONED BY (status)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_pm_src")
+      s.sql("INSERT INTO graft_pm.db.ord SELECT * FROM graft_pm_src")
+      s.sql("DELETE FROM graft_pm.db.ord WHERE id % 10 = 3")
+      val meta = s.sql(
+        "SELECT * FROM graft_partitions('graft_pm', 'db.ord')").collect()
+      require(meta.nonEmpty && meta.forall(r =>
+        r.getLong(1) > 0 && r.getLong(3) > 0 && !r.isNullAt(2)),
+        "etl_partitions_meta: every partition must report files, bytes " +
+          "and manifest-lifted rows")
+      s.sql("""SELECT partition, rows AS n_rows
+              |FROM graft_partitions('graft_pm', 'db.ord')
+              |ORDER BY partition""".stripMargin)
+    },
+
+    // CATALOG VIEWS: a stored SQL definition created BEFORE half the data
+    // exists — the second insert proves a view is a DEFINITION that
+    // re-resolves against the current base snapshot, not a frozen result.
+    // Read both ways and PROVEN equal: the graft_view TVF (any session)
+    // and native `FROM graft_vv.db.v` through the GraftViewSubstitution
+    // analyzer rule (this session installs graft.GraftExtensions).
+    "etl_view_sql" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_vv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_vv.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_vv.db")
+      s.sql("DROP TABLE IF EXISTS graft_vv.db.ord")
+      s.sql("""CREATE TABLE graft_vv.db.ord (id BIGINT, status STRING,
+              |prio STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_vv_src")
+      s.sql("""INSERT INTO graft_vv.db.ord
+              |SELECT * FROM graft_vv_src WHERE id % 2 = 0""".stripMargin)
+      s.sql("""SELECT * FROM graft_create_view('graft_vv', 'db.open_by_prio',
+              |'SELECT prio, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |  FROM graft_vv.db.ord WHERE status <> ''F'' GROUP BY prio')
+              |""".stripMargin).collect()
+      s.sql("""INSERT INTO graft_vv.db.ord
+              |SELECT * FROM graft_vv_src WHERE id % 2 = 1""".stripMargin)
+      // the TVF read and the native analyzer-rule read must agree row-set
+      val tvf = s.sql(
+        "SELECT * FROM graft_view('graft_vv', 'db.open_by_prio')")
+        .collect().map(_.toString).sorted.toSeq
+      val native = s.sql("SELECT * FROM graft_vv.db.open_by_prio")
+        .collect().map(_.toString).sorted.toSeq
+      require(tvf == native,
+        "etl_view_sql: TVF and native view reads must return the same rows")
+      s.sql("""SELECT * FROM graft_vv.db.open_by_prio ORDER BY prio""")
+    },
+
+    // BRANCHES — the multi-commit write-audit-publish workflow WAP can't
+    // express: fork 'restate' at main's head, stage TWO commits on it
+    // (an INSERT of the late half and a COW UPDATE restating hot keys),
+    // audit the branch state while MAIN provably serves the pre-branch
+    // snapshot (asserted), then fast-forward — main adopts both commits
+    // atomically-per-manifest-rename. Result reads from MAIN after
+    // publish; the oracle replays insert+restatement over raw orders.
+    "etl_branch_wap" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_bw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_bw.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_bw.db")
+      s.sql("DROP TABLE IF EXISTS graft_bw.db.ord")
+      s.sql("""CREATE TABLE graft_bw.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_bw_src")
+      s.sql("""INSERT INTO graft_bw.db.ord
+              |SELECT * FROM graft_bw_src WHERE id % 2 = 0""".stripMargin)
+      val mainRows = s.table("graft_bw.db.ord").count()
+      s.sql("SELECT * FROM graft_branch('graft_bw', 'db.ord', 'restate')")
+        .collect()
+      s.sql("""INSERT INTO graft_bw.db.ord.branch_restate
+              |SELECT * FROM graft_bw_src WHERE id % 2 = 1""".stripMargin)
+      s.sql("""UPDATE graft_bw.db.ord.branch_restate SET status = 'X'
+              |WHERE id % 100 = 7""".stripMargin)
+      // isolation proof: the branch staged two commits, main didn't move
+      require(s.table("graft_bw.db.ord").count() == mainRows,
+        "etl_branch_wap: main must serve the pre-branch snapshot while " +
+          "the branch stages")
+      require(s.table("graft_bw.db.ord")
+          .where(col("status") === "X").count() == 0,
+        "etl_branch_wap: branch restatement leaked into main")
+      s.sql("SELECT * FROM graft_fastforward('graft_bw', 'db.ord', 'restate')")
+        .collect()
+      s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |FROM graft_bw.db.ord GROUP BY status ORDER BY status""".stripMargin)
+    },
+
     // PARTITION EVOLUTION: the table starts FLAT, half the events land;
     // graft_set_time_partition installs days(ts) as a METADATA-ONLY
     // commit (asserted: same file set); the second half lands day-routed;
@@ -2338,6 +2454,25 @@ object Etl {
         |            WHEN 1 THEN 'gold' ELSE 'silver' END AS tier,
         | COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_id
         |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    "etl_branch_wap" ->
+      """SELECT CASE WHEN o_orderkey % 100 = 7 THEN 'X'
+        |            ELSE o_orderstatus END AS status,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_view_sql" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "etl_partitions_meta" ->
+      """SELECT 'status=' || o_orderstatus AS partition,
+        | COUNT(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
 
     "etl_partition_evolution" ->
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)

@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Named BRANCHES for history tables — Iceberg's branch refs: an isolated
+  * write head forked from a main snapshot, advanced by ordinary commits,
+  * and published back with a fast-forward. The audit workflow tags/WAP
+  * can't express — "stage MANY commits, validate the whole state, then
+  * publish atomically or walk away" — falls out of three verbs:
+  *
+  *   graft_branch(cat, t, name)       -- fork at main's current head
+  *   INSERT/MERGE INTO cat.db.t.branch_<name> ...   -- isolated commits
+  *   graft_fastforward(cat, t, name)  -- publish: main adopts the branch
+  *
+  * Storage: branch manifests live in the table root under a per-branch
+  * file namespace (`_graft_branch_<name>_manifest_<v>.txt` —
+  * GraftTable.manifestPath's branch overload), SHARING the table's data
+  * files and manifest segments; `_graft_branches.txt` records
+  * `name\tbaseVersion` lines (the main version each branch forked at).
+  * Branch versions CONTINUE main's numbering from the base, so a
+  * fast-forward is a pure RENAME of manifests into the main namespace:
+  * no rewrite, no renumbering, and a racing main commit collides on the
+  * exclusive manifest create instead of being silently overwritten.
+  *
+  * Isolation is the whole point: reads and writes of main never see a
+  * branch; a branch read (`db.t.branch_<name>`) resolves the branch head
+  * — or, before the first branch commit, the base main manifest.
+  * Divergence (main advanced past the base) makes fast-forward REFUSE
+  * loudly: replaying branch snapshots over commits they never saw is the
+  * lost-update bug, and an automatic rebase would silently reorder
+  * row-level operations. The honest sequence is branch-drop + re-fork
+  * (Iceberg draws the same line: fast_forward fails unless the target is
+  * an ancestor).
+  */
+object GraftBranch {
+
+  val BranchesFile = "_graft_branches.txt"
+
+  /** SQL identifier suffix: `db.t.branch_<name>` addresses branch <name>. */
+  val IdentPrefix = "branch_"
+
+  /** Branch names become file-name segments between other '_'-delimited
+    * tokens, so '_' (and path/line separators) are excluded to keep the
+    * manifest namespace unambiguous; all-digit names are excluded like
+    * tag names (a future branch-addressable VERSION AS OF must be able
+    * to tell them from versions).
+    */
+  def validate(name: String): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9-]*"),
+      s"branch name '$name' is invalid: use letters, digits and '-', " +
+        "starting with a letter (underscores would be ambiguous inside " +
+        "the manifest file namespace)")
+  }
+
+  def readAll(fs: FileSystem, dir: Path): Map[String, Long] = {
+    val p = new Path(dir, BranchesFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(n, v) => Some(n -> v.toLong)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Main version the branch forked at; None = no such branch. */
+  def baseOf(fs: FileSystem, dir: Path, name: String): Option[Long] =
+    readAll(fs, dir).get(name)
+
+  /** Fork `name` at main's current head. Refuses duplicates — retargeting
+    * a live branch would orphan its commits silently.
+    */
+  def create(fs: FileSystem, dir: Path, name: String): Long = {
+    validate(name)
+    val all = readAll(fs, dir)
+    require(!all.contains(name), s"branch '$name' already exists " +
+      s"(base ${all(name)}); drop it first to re-fork")
+    val base = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot branch: $dir has no snapshot yet (history table with " +
+          "at least one commit required)"))
+    write(fs, dir, all + (name -> base))
+    base
+  }
+
+  /** Branch head version and whether the branch has commits of its own. */
+  def head(fs: FileSystem, dir: Path, name: String): (Long, Boolean) = {
+    val own = GraftTable.manifestVersions(fs, dir, Some(name))
+    own.lastOption match {
+      case Some(v) => (v, true)
+      case None => (baseOf(fs, dir, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' at $dir")), false)
+    }
+  }
+
+  /** Publish: main adopts every branch commit by RENAMING the branch
+    * manifests (and their commit-kind markers) into the main namespace,
+    * oldest first — each rename lands an already-complete snapshot, so a
+    * reader never observes a torn state and a crash mid-way leaves a
+    * shorter but valid fast-forward. Refuses when main moved past the
+    * fork point (divergence) or when a racing commit takes a version the
+    * branch owns (the rename-as-exclusive-create collides). Returns
+    * (fromVersion, toVersion) of main.
+    */
+  def fastForward(fs: FileSystem, dir: Path, name: String): (Long, Long) = {
+    val base = baseOf(fs, dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
+    val mainHead = GraftTable.manifestVersions(fs, dir).last
+    require(mainHead == base,
+      s"fast-forward of '$name' refused: main advanced $base -> $mainHead " +
+        "since the fork — replaying branch snapshots over commits they " +
+        "never saw would lose them; drop the branch and re-fork")
+    val own = GraftTable.manifestVersions(fs, dir, Some(name))
+    if (own.isEmpty) { // nothing to publish; just retire the record
+      write(fs, dir, readAll(fs, dir) - name)
+      return (base, base)
+    }
+    own.foreach { v =>
+      val src = GraftTable.manifestPath(dir, v, Some(name))
+      val dst = GraftTable.manifestPath(dir, v)
+      require(!fs.exists(dst),
+        s"fast-forward of '$name' refused at version $v: a racing main " +
+          "commit took it — the branch no longer fast-forwards cleanly")
+      require(fs.rename(src, dst), s"could not install $dst")
+      val kindSrc = GraftTable.commitKindPath(dir, v, Some(name))
+      if (fs.exists(kindSrc))
+        fs.rename(kindSrc, GraftTable.commitKindPath(dir, v))
+    }
+    write(fs, dir, readAll(fs, dir) - name)
+    (base, own.last)
+  }
+
+  /** Drop the branch: its manifests and kind markers go, and data files /
+    * sidecars referenced ONLY by this branch (not by any main manifest or
+    * any other branch) are deleted with their stats/bloom entries —
+    * staged bytes don't outlive the decision to walk away. Returns
+    * (manifests dropped, data files reclaimed).
+    */
+  def drop(fs: FileSystem, dir: Path, name: String): (Int, Int) = {
+    val all = readAll(fs, dir)
+    require(all.contains(name), s"no branch '$name' at $dir")
+    val own = GraftTable.manifestVersions(fs, dir, Some(name))
+    def names(vs: Seq[Long], b: Option[String]): Set[String] =
+      vs.flatMap(GraftTable.readFullEntries(fs, dir, _, b))
+        .flatMap(e => e.file +: (e.dv.toSeq ++ e.eqs))
+        .map(new Path(_).getName).toSet
+    val mine = names(own, Some(name))
+    val keptElsewhere =
+      names(GraftTable.manifestVersions(fs, dir), None) ++
+        (all.keySet - name).flatMap(b =>
+          names(GraftTable.manifestVersions(fs, dir, Some(b)), Some(b)))
+    val reclaim = mine -- keptElsewhere
+    // walk the table dir for the doomed names (they may sit in partition
+    // subdirs); branch layouts mirror the table's
+    if (reclaim.nonEmpty) {
+      def sweep(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) sweep(st.getPath)
+        else if (st.isFile && reclaim.contains(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
+      sweep(dir)
+      GraftStats.retain(fs, dir, n => !reclaim.contains(n))
+      GraftBloom.retain(fs, dir, n => !reclaim.contains(n))
+    }
+    own.foreach { v =>
+      fs.delete(GraftTable.manifestPath(dir, v, Some(name)), false)
+      fs.delete(GraftTable.commitKindPath(dir, v, Some(name)), false)
+    }
+    write(fs, dir, all - name)
+    (own.size, reclaim.size)
+  }
+
+  /** Every (file/DV/eq-sidecar name, segment name) any live branch
+    * references — vacuum and orphan cleanup must treat these as live, or
+    * expiring a main snapshot could tear the branches forked from it.
+    */
+  def referencedByBranches(fs: FileSystem, dir: Path): (Set[String], Set[String]) = {
+    val all = readAll(fs, dir)
+    if (all.isEmpty) return (Set.empty, Set.empty)
+    val files = scala.collection.mutable.Set.empty[String]
+    val segs = scala.collection.mutable.Set.empty[String]
+    all.foreach { case (b, base) =>
+      val vs = GraftTable.manifestVersions(fs, dir, Some(b)) :+ base
+      vs.distinct.foreach { v =>
+        val branchNs = if (v == base) None else Some(b)
+        GraftTable.readFullEntries(fs, dir, v, branchNs).foreach { e =>
+          files += new Path(e.file).getName
+          e.dv.foreach(d => files += new Path(d).getName)
+          e.eqs.foreach(q => files += new Path(q).getName)
+        }
+        segs ++= GraftTable.segmentRefs(fs, dir, v, branchNs)
+      }
+    }
+    (files.toSet, segs.toSet)
+  }
+
+  private def write(fs: FileSystem, dir: Path, branches: Map[String, Long]): Unit = {
+    val target = new Path(dir, BranchesFile)
+    if (branches.isEmpty) { fs.delete(target, false); return }
+    val bytes = branches.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
+      .mkString("\n").getBytes(UTF_8)
+    val tmp = new Path(dir, s".tmp-branches-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      require(fs.rename(tmp, target), s"could not install $target")
+    }
+  }
+}

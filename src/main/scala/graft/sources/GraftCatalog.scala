@@ -59,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * metadata pointer, orthogonal to the operator semantics proven here).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   /** Column DEFAULT values are supported end-to-end: DDL admits them
     * (this capability gates Spark's parser/analyzer), INSERTs resolve
@@ -92,6 +93,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def metaFile(dir: Path): Path = new Path(dir, GraftTable.MetaFile)
 
   private def isTableDir(dir: Path): Boolean = fs.exists(metaFile(dir))
+
+  // --- ViewCatalog: named view definitions, metadata-only ----------------
+  // CREATE VIEW stores the SQL text + captured resolution context +
+  // declared schema under the namespace dir (`_graft_views/<name>.view`);
+  // Spark's analyzer re-resolves the body against that context on every
+  // read, so views track their base tables' current snapshots (and
+  // compose with the MV rewrite — a view body over an MV-backed base
+  // still rewrites). A name is a table XOR a view: both create paths
+  // refuse the other kind.
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = nsDir(ns)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
+    GraftViews.list(fs, dir).map(Identifier.of(ns, _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(fs, nsDir(ident.namespace()), ident.name())
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View =
+    GraftViews.read(fs, nsDir(ident.namespace()), ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(!isTableDir(tableDir(ident)),
+      s"cannot create view $ident: a TABLE with that name exists")
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace())
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
+    val v = GraftViews.StoredView(ident, info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema(),
+      info.queryColumnNames().toSeq, info.columnAliases().toSeq,
+      info.columnComments().toSeq,
+      info.properties().asScala.toMap)
+    GraftViews.write(fs, ns, v, replace = false)
+    v
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+                           orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(!isTableDir(tableDir(ident)),
+      s"cannot create view $ident: a TABLE with that name exists")
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val v = GraftViews.StoredView(ident, info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema(),
+      info.queryColumnNames().toSeq, info.columnAliases().toSeq,
+      info.columnComments().toSeq,
+      info.properties().asScala.toMap)
+    GraftViews.write(fs, nsDir(ident.namespace()), v, replace = true)
+    v
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*): org.apache.spark.sql.connector.catalog.View = {
+    val cur = GraftViews.read(fs, nsDir(ident.namespace()), ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(cur.props) {
+      case (acc, sp: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty) =>
+        acc + (sp.property() -> sp.value())
+      case (acc, rp: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty) =>
+        acc - rp.property()
+      case (_, other) => throw new IllegalArgumentException(
+        s"graft catalog: unsupported view change $other")
+    }
+    val updated = cur.copy(props = props)
+    GraftViews.write(fs, nsDir(ident.namespace()), updated, replace = true)
+    updated
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(fs, nsDir(ident.namespace()), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val cur = GraftViews.read(fs, nsDir(oldIdent.namespace()), oldIdent)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    require(!isTableDir(tableDir(newIdent)),
+      s"cannot rename view to $newIdent: a TABLE with that name exists")
+    GraftViews.write(fs, nsDir(newIdent.namespace()),
+      cur.copy(ident = newIdent), replace = false)
+    GraftViews.drop(fs, nsDir(oldIdent.namespace()), oldIdent.name())
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
@@ -180,6 +271,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (isTableDir(bdir) && isHistory(bdir))
           return new GraftChangesTable(
             loadTable(baseIdent).asInstanceOf[GraftTable])
+      }
+      // BRANCH surface: `db.t.branch_<name>` reads/writes the named
+      // branch of history table `db.t` — plain SQL reaches it:
+      //   SELECT * FROM graft.db.t.branch_audit
+      //   INSERT INTO graft.db.t.branch_audit ...
+      //   MERGE INTO graft.db.t.branch_audit ...
+      if (ident.name().startsWith(GraftBranch.IdentPrefix) &&
+          ident.namespace().nonEmpty) {
+        val b = ident.name().stripPrefix(GraftBranch.IdentPrefix)
+        val baseIdent = Identifier.of(
+          ident.namespace().init, ident.namespace().last)
+        val bdir = tableDir(baseIdent)
+        if (isTableDir(bdir) && isHistory(bdir) &&
+            GraftBranch.baseOf(fs, bdir, b).nonEmpty) {
+          val base = loadTable(baseIdent).asInstanceOf[GraftTable]
+          return new GraftTable(ident.toString, base.dir, base.schema(),
+            history = true, mor = base.mor,
+            partitionCols = base.partitionCols, bucketSpec = base.bucketSpec,
+            checks = base.checks, dayCol = base.dayCol,
+            timeUnit = base.timeUnit, aliases = base.aliases,
+            widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
+            branch = Some(b))
+        }
       }
       throw new NoSuchTableException(ident)
     }
@@ -311,6 +425,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    require(!viewExists(ident),
+      s"cannot create table $ident: a VIEW with that name exists")
     // IDENTITY partition transforms (PARTITIONED BY (col, ...)) or ONE
     // bucket transform (PARTITIONED BY (bucket(n, col))): identity covers
     // the dominant date/tenant layout with `col=value/` dirs; bucket hashes
@@ -832,14 +948,31 @@ object GraftTable {
   // and time travel resurrects deleted rows exactly.
   private val ManifestRe = """_graft_manifest_(\d+)\.txt""".r
 
-  def manifestPath(dir: Path, v: Long): Path =
-    new Path(dir, f"_graft_manifest_$v%08d.txt")
+  /** Branch manifests live in the SAME table root under a per-branch file
+    * namespace (`_graft_branch_<name>_manifest_<v>.txt`), so entry lines
+    * stay dir-relative and data/segment files are SHARED with main — a
+    * branch commit is exactly a main commit in a different namespace.
+    * Branch names exclude '_' (GraftBranch.validate) so the namespace
+    * parses unambiguously.
+    */
+  def manifestPath(dir: Path, v: Long, branch: Option[String] = None): Path =
+    branch match {
+      case None => new Path(dir, f"_graft_manifest_$v%08d.txt")
+      case Some(b) => new Path(dir, f"_graft_branch_${b}_manifest_$v%08d.txt")
+    }
 
-  def manifestVersions(fs: FileSystem, dir: Path): Seq[Long] =
+  private def branchManifestRe(b: String) =
+    (java.util.regex.Pattern.quote(s"_graft_branch_${b}_manifest_") +
+      """(\d+)\.txt""").r
+
+  def manifestVersions(fs: FileSystem, dir: Path,
+                       branch: Option[String] = None): Seq[Long] = {
+    val re = branch.map(branchManifestRe).getOrElse(ManifestRe)
     fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
-      case ManifestRe(v) if st.isFile => Some(v.toLong)
+      case re(v) if st.isFile => Some(v.toLong)
       case _ => None
     }).sorted
+  }
 
   /** One manifest entry: a data file with its row-level masks — the
     * optional positional deletion-vector sidecar (merge-on-read) and the
@@ -854,8 +987,9 @@ object GraftTable {
     * absolute deletion-vector sidecar). The 2-tuple view of
     * [[readFullEntries]] for call sites that don't touch equality masks.
     */
-  def readEntries(fs: FileSystem, dir: Path, v: Long): Seq[(String, Option[String])] =
-    readFullEntries(fs, dir, v).map(e => e.file -> e.dv)
+  def readEntries(fs: FileSystem, dir: Path, v: Long,
+                  branch: Option[String] = None): Seq[(String, Option[String])] =
+    readFullEntries(fs, dir, v, branch).map(e => e.file -> e.dv)
 
   // --- manifest SEGMENTS (Iceberg's manifest-list shape) ---------------
   // A version manifest may reference immutable SEGMENT files
@@ -895,11 +1029,13 @@ object GraftTable {
   }
 
   /** Segment names referenced by version `v` (empty for inline manifests). */
-  def segmentRefs(fs: FileSystem, dir: Path, v: Long): Seq[String] =
-    rawManifestLines(fs, dir, v).filter(isSegmentRef).map(_.substring(1))
+  def segmentRefs(fs: FileSystem, dir: Path, v: Long,
+                  branch: Option[String] = None): Seq[String] =
+    rawManifestLines(fs, dir, v, branch).filter(isSegmentRef).map(_.substring(1))
 
-  private def rawManifestLines(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
-    val in = fs.open(manifestPath(dir, v))
+  private def rawManifestLines(fs: FileSystem, dir: Path, v: Long,
+                               branch: Option[String] = None): Seq[String] = {
+    val in = fs.open(manifestPath(dir, v, branch))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
@@ -922,8 +1058,9 @@ object GraftTable {
     * entries; `!key=value` lines are commit METADATA (e.g. streaming
     * transaction markers), not entries.
     */
-  def readFullEntries(fs: FileSystem, dir: Path, v: Long): Seq[GraftEntry] =
-    rawManifestLines(fs, dir, v).flatMap { l =>
+  def readFullEntries(fs: FileSystem, dir: Path, v: Long,
+                      branch: Option[String] = None): Seq[GraftEntry] =
+    rawManifestLines(fs, dir, v, branch).flatMap { l =>
       if (isMetaLine(l)) Nil
       else if (isSegmentRef(l))
         segmentLines(fs, dir, l.substring(1)).map(parseEntryLine(dir, _))
@@ -937,8 +1074,9 @@ object GraftTable {
     * part of the exclusive manifest create, a transaction id commits (or
     * doesn't) atomically WITH its files — no second-file race window.
     */
-  def manifestMeta(fs: FileSystem, dir: Path, v: Long): Map[String, String] =
-    rawManifestLines(fs, dir, v).filter(isMetaLine).flatMap { l =>
+  def manifestMeta(fs: FileSystem, dir: Path, v: Long,
+                   branch: Option[String] = None): Map[String, String] =
+    rawManifestLines(fs, dir, v, branch).filter(isMetaLine).flatMap { l =>
       l.substring(1).split("=", 2) match {
         case Array(k, value) => Some(k -> value)
         case _ => None
@@ -994,16 +1132,36 @@ object GraftTable {
                        entries: Seq[GraftEntry]): Unit =
     writeFullEntries(fs, dir, v, entries, Map.empty)
 
+  /** (version, namespace) of the snapshot a commit at `v` on `branch`
+    * builds on: the branch's own previous manifest when it has one, else
+    * the MAIN manifest the branch was forked at (txn carry and segment
+    * reuse then chain across the fork point — segments are shared files).
+    */
+  private def prevRef(fs: FileSystem, dir: Path, v: Long,
+                      branch: Option[String]): Option[(Long, Option[String])] =
+    branch match {
+      case None =>
+        manifestVersions(fs, dir).filter(_ < v).lastOption.map(pv => (pv, None))
+      case Some(b) =>
+        manifestVersions(fs, dir, branch).filter(_ < v).lastOption
+          .map(pv => (pv, branch))
+          .orElse(GraftBranch.baseOf(fs, dir, b).filter(_ > 0L)
+            .map(bv => (bv, None)))
+    }
+
   def writeFullEntries(fs: FileSystem, dir: Path, v: Long,
                        entries: Seq[GraftEntry],
-                       meta: Map[String, String]): Unit = {
+                       meta: Map[String, String],
+                       branch: Option[String] = None): Unit = {
     // streaming transaction markers are DURABLE state: every commit
     // carries the previous manifest's `txn:` entries forward (newer value
     // wins), so the newest manifest always knows every query's last
     // committed epoch — vacuum can expire any prefix of the log without
     // opening a replay-duplication window
-    val carried = manifestVersions(fs, dir).filter(_ < v).lastOption
-      .map(pv => manifestMeta(fs, dir, pv).filter(_._1.startsWith("txn:")))
+    val prev = prevRef(fs, dir, v, branch)
+    val carried = prev
+      .map { case (pv, pb) => manifestMeta(fs, dir, pv, pb)
+        .filter(_._1.startsWith("txn:")) }
       .getOrElse(Map.empty[String, String])
     val allMeta = carried ++ meta
     val lines = entries.map(entryLine(dir, _))
@@ -1011,8 +1169,8 @@ object GraftTable {
     // reuse the previous version's segments whose entries ALL survive
     // verbatim (file + masks): the commit then writes only the residual
     val prevSegs: Seq[(String, Seq[String])] =
-      manifestVersions(fs, dir).filter(_ < v).lastOption.toSeq.flatMap { pv =>
-        segmentRefs(fs, dir, pv).map(n => n -> segmentLines(fs, dir, n))
+      prev.toSeq.flatMap { case (pv, pb) =>
+        segmentRefs(fs, dir, pv, pb).map(n => n -> segmentLines(fs, dir, n))
       }
     val covered = scala.collection.mutable.Set.empty[String]
     val reused = prevSegs.filter { case (_, segLines) =>
@@ -1030,7 +1188,7 @@ object GraftTable {
     val metaLines = allMeta.toSeq.sorted.map { case (k, value) => s"!$k=$value" }
     val bytes = (metaLines ++ refs.sorted.map("@" + _))
       .mkString("\n").getBytes("UTF-8")
-    val target = manifestPath(dir, v)
+    val target = manifestPath(dir, v, branch)
     if (fs.getScheme == "file") {
       val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
       val out = fs.create(tmp, true)
@@ -1055,30 +1213,54 @@ object GraftTable {
     * snapshot-derived replacement over a newer snapshot is a lost update.
     * Returns the committed version.
     */
-  def commitRetrying(fs: FileSystem, dir: Path, maxRetries: Int = 20)(
+  def commitRetrying(fs: FileSystem, dir: Path, maxRetries: Int = 20,
+                     branch: Option[String] = None)(
       update: Seq[String] => Seq[String]): Long = {
     var attempt = 0
     while (true) {
-      val v = manifestVersions(fs, dir).lastOption.getOrElse(0L)
-      val oldEntries = if (v == 0L) Nil else readFullEntries(fs, dir, v)
+      val (v, oldEntries) = headState(fs, dir, branch)
       // the file-list update function preserves the DV/equality masks of
       // every surviving file (additive updates never touch delete state)
       val oldByFile = oldEntries.map(e => e.file -> e).toMap
       try {
         writeFullEntries(fs, dir, v + 1,
           update(oldEntries.map(_.file)).map(f =>
-            oldByFile.getOrElse(f, GraftEntry(f, None))))
+            oldByFile.getOrElse(f, GraftEntry(f, None))),
+          Map.empty, branch)
         return v + 1
       } catch {
         case e: java.io.IOException =>
           // conflict iff the version we raced for now exists; anything
           // else (permissions, disk) stays loud
-          if (!fs.exists(manifestPath(dir, v + 1)) || attempt >= maxRetries)
+          if (!fs.exists(manifestPath(dir, v + 1, branch)) ||
+              attempt >= maxRetries)
             throw e
           attempt += 1
       }
     }
     -1L // unreachable
+  }
+
+  /** Current snapshot of `branch` (main when None): (version, entries).
+    * A branch with no commits of its own reads the MAIN manifest it was
+    * forked at; branch versions CONTINUE main's numbering from there, so
+    * one monotone version axis spans the fork.
+    */
+  def headState(fs: FileSystem, dir: Path,
+                branch: Option[String]): (Long, Seq[GraftEntry]) = branch match {
+    case None =>
+      val v = manifestVersions(fs, dir).lastOption.getOrElse(0L)
+      (v, if (v == 0L) Nil else readFullEntries(fs, dir, v))
+    case Some(b) =>
+      manifestVersions(fs, dir, branch).lastOption match {
+        case Some(v) => (v, readFullEntries(fs, dir, v, branch))
+        case None =>
+          val base = GraftBranch.baseOf(fs, dir, b).getOrElse(
+            throw new IllegalArgumentException(
+              s"no branch '$b' on table at $dir (have: " +
+                s"${GraftBranch.readAll(fs, dir).keys.toSeq.sorted.mkString(", ")})"))
+          (base, if (base == 0L) Nil else readFullEntries(fs, dir, base))
+      }
   }
 
   // --- commit-kind markers ---
@@ -1099,16 +1281,21 @@ object GraftTable {
   val KindRestore = "restore"
   val KindEqDelta = "eqdelta"
 
-  def commitKindPath(dir: Path, v: Long): Path =
-    new Path(dir, f"_graft_commit_$v%08d.txt")
+  def commitKindPath(dir: Path, v: Long, branch: Option[String] = None): Path =
+    branch match {
+      case None => new Path(dir, f"_graft_commit_$v%08d.txt")
+      case Some(b) => new Path(dir, f"_graft_branch_${b}_commit_$v%08d.txt")
+    }
 
-  def writeCommitKind(fs: FileSystem, dir: Path, v: Long, kind: String): Unit = {
-    val out = fs.create(commitKindPath(dir, v), true)
+  def writeCommitKind(fs: FileSystem, dir: Path, v: Long, kind: String,
+                      branch: Option[String] = None): Unit = {
+    val out = fs.create(commitKindPath(dir, v, branch), true)
     try out.write(kind.getBytes("UTF-8")) finally out.close()
   }
 
-  def readCommitKind(fs: FileSystem, dir: Path, v: Long): Option[String] = {
-    val p = commitKindPath(dir, v)
+  def readCommitKind(fs: FileSystem, dir: Path, v: Long,
+                     branch: Option[String] = None): Option[String] = {
+    val p = commitKindPath(dir, v, branch)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
@@ -1149,7 +1336,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val timeUnit: String = "days",
                  val aliases: Map[String, Seq[String]] = Map.empty,
                  val widened: Set[String] = Set.empty,
-                 val pastTimeSpecs: Seq[(String, String)] = Nil)
+                 val pastTimeSpecs: Seq[(String, String)] = Nil,
+                 val branch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1181,6 +1369,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     aliases.foreach { case (cur, olds) =>
       m.put(s"${GraftEvolution.AliasPrefix}$cur", GraftEvolution.encodeAliases(olds)) }
     pinnedVersion.foreach(v => m.put("pinned-version", v.toString))
+    branch.foreach(b => m.put("branch", b))
     m
   }
 
@@ -1240,6 +1429,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     val p = new Path(dir)
     if (!history)
       GraftTable.dataFiles(fs, p).map(GraftTable.GraftEntry(_, None))
+    else if (branch.nonEmpty)
+      GraftTable.headState(fs, p, branch)._2
     else {
       val v = pinnedVersion.getOrElse(
         GraftTable.manifestVersions(fs, p).lastOption.getOrElse(
@@ -1650,6 +1841,10 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(table.history,
       s"streaming read of ${table.name()}: only history tables have a commit log")
+    require(table.branch.isEmpty,
+      s"streaming read of ${table.name()}: branch heads are not tailable " +
+        "(they rename wholesale into main at fast-forward); tail the " +
+        "table and read the branch in batch")
     new GraftMicroBatchStream(table, required,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       streamLimits)
@@ -2210,6 +2405,10 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
         require(!truncate,
           s"streaming write to ${t.name()}: append output mode only " +
             "(Complete mode would truncate the whole table every batch)")
+        require(t.branch.isEmpty,
+          s"streaming write to ${t.name()}: branches are batch write " +
+            "heads — point the stream at the table and stage via " +
+            "foreachBatch if a branch epoch is needed")
         new GraftStreamingWrite(t, writeSchema, queryId)
       }
     }
@@ -2409,12 +2608,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // stale — blind retry there is the lost-update bug.
       val landed: Seq[String] = staged.toSeq.map(f => land(f).toString)
       landStats()
+      // branch writes are the SAME commits in the branch's manifest
+      // namespace: isolation from main comes from the namespace alone
+      val br = table.branch
       if (!truncateAll && replaceFiles.isEmpty) {
-        val cv = GraftTable.commitRetrying(fs, dir)(old => old ++ landed)
-        GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend)
+        val cv = GraftTable.commitRetrying(fs, dir, branch = br)(
+          old => old ++ landed)
+        GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend, br)
       } else {
-        val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
-        val old = if (v == 0L) Nil else GraftTable.readFullEntries(fs, dir, v)
+        val (v, old) = GraftTable.headState(fs, dir, br)
         val newList: Seq[GraftTable.GraftEntry] =
           if (truncateAll) landed.map(GraftTable.GraftEntry(_, None))
           else {
@@ -2424,9 +2626,10 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
             old.filterNot(e => affected.contains(new Path(e.file).getName)) ++
               landed.map(GraftTable.GraftEntry(_, None))
           }
-        GraftTable.writeFullEntries(fs, dir, v + 1, newList)
+        GraftTable.writeFullEntries(fs, dir, v + 1, newList, Map.empty, br)
         GraftTable.writeCommitKind(fs, dir, v + 1,
-          if (truncateAll) GraftTable.KindOverwrite else GraftTable.KindReplace)
+          if (truncateAll) GraftTable.KindOverwrite else GraftTable.KindReplace,
+          br)
       }
     } else {
       // eager commit: delete-then-rename — replaced groups (row-level) or

@@ -209,13 +209,16 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
       landed
     }
     if (table.history) {
-      val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
-        throw new IllegalStateException(
-          s"history table ${table.name()} has no manifest"))
+      // branch deltas read the branch head and commit into the branch
+      // namespace — MERGE INTO db.t.branch_<b> on a MOR table stages DV
+      // sidecars exactly like main, invisible to main until fast-forward
+      val br = table.branch
+      val (v, headEntries) = GraftTable.headState(fs, dir, br)
+      require(v > 0L, s"history table ${table.name()} has no manifest")
       val mergedByName = merged.map { case (f, bm) =>
         new Path(f).getName -> bm
       }
-      val updated = GraftTable.readFullEntries(fs, dir, v).map { e =>
+      val updated = headEntries.map { e =>
         mergedByName.get(new Path(e.file).getName) match {
           case Some(bm) =>
             e.dv.foreach(d => bm.or(GraftDv.read(fs, new Path(d))))
@@ -228,8 +231,8 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
       }
       val landed = landStaged()
       GraftTable.writeFullEntries(fs, dir, v + 1,
-        updated ++ landed.map(GraftTable.GraftEntry(_, None)))
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta)
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)), Map.empty, br)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta, br)
     } else {
       merged.foreach { case (file, bm) =>
         val dvPath = new Path(dir, GraftDv.dvName(new Path(file).getName))

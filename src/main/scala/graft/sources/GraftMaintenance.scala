@@ -265,24 +265,47 @@ object GraftMaintenance {
       .filter(_._1.startsWith(s"${dayCol}_$unitSeg=")) // pre-layout flat files stay
     val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
     val rewritten = byDay.toSeq.sortBy(_._1).filter(_._2.size > 1)
-    val landed = rewritten.map { case (daySeg, fls) =>
-      val out = new Path(staging, daySeg)
+    // ONE distributed job for every multi-file day — not a job per day
+    // (30 days ≙ 30 driver round-trips; 10k day-partitions at the 100 TB
+    // tier ≙ a wall-clock cliff): each row re-derives its unit index with
+    // the same TZ-independent arithmetic the writer routed it by (a row
+    // in ts_day=N has unit(ts)=N by construction), repartition-by-unit
+    // gives one task per day, sortWithinPartitions keeps the in-file
+    // time order, partitionBy lands exactly one file per day dir.
+    val landed: Seq[(Path, Path)] = if (rewritten.isEmpty) Nil else {
+      val schema = GraftTable.readTableSchema(fs, dir).get
+      val dt = schema.fields.find(_.name == dayCol).get.dataType
+      val unit = props.getOrElse(GraftTable.TimeUnitProp, "days")
       withMicrosTimestamps(spark) {
-        evoRead(spark, fs, dir, props, fls).coalesce(1)
+        evoRead(spark, fs, dir, props, rewritten.flatMap(_._2))
+          .withColumn("__graft_unit",
+            org.apache.spark.sql.functions.expr(unitIndexExpr(unit, dt, dayCol)))
+          .repartition(org.apache.spark.sql.functions.col("__graft_unit"))
           .sortWithinPartitions(dayCol)
-          .write.mode("overwrite").parquet(out.toString)
+          .write.partitionBy("__graft_unit").mode("overwrite")
+          .parquet(staging.toString)
       }
-      val part = fs.listStatus(out).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath) match {
-        case Seq(one) => one
-        case many => throw new IllegalStateException(
-          s"day $daySeg compaction produced ${many.size} files")
+      val segs = fs.listStatus(staging).toSeq.filter(_.isDirectory)
+      segs.map { seg =>
+        val raw = seg.getPath.getName.stripPrefix("__graft_unit=")
+        val daySeg = GraftDayPartition.dirName(dayCol, unit,
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw.toLong))
+        val part = fs.listStatus(seg.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath) match {
+          case Seq(one) => one
+          case many => throw new IllegalStateException(
+            s"day $daySeg compaction produced ${many.size} files")
+        }
+        val tgt = new Path(new Path(dir, daySeg),
+          s"part-compact-${UUID.randomUUID()}.parquet")
+        (part, tgt)
       }
-      val tgt = new Path(new Path(dir, daySeg),
-        s"part-compact-${UUID.randomUUID()}.parquet")
-      (part, tgt)
     }
+    require(landed.size == rewritten.size,
+      s"compactDayTable: ${rewritten.size} multi-file days in, " +
+        s"${landed.size} compacted days out — a row re-derived a unit " +
+        "its directory didn't claim")
     val replaced = rewritten.flatMap(_._2).toSet
     if (history) {
       landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
@@ -564,19 +587,27 @@ object GraftMaintenance {
     // state addressable" — its manifest and files survive any keepLast
     // window until the tag is dropped
     val tagged = GraftRefs.readAll(fs, dir).values.toSet
-    val keep = versions.takeRight(keepLast).toSet ++ tagged
+    // live BRANCHES pin their fork-point manifest (their pre-first-commit
+    // head) and everything their own manifests reference — expiring
+    // either would tear the branch
+    val branchBases = GraftBranch.readAll(fs, dir).values.toSet
+    val (branchFiles, branchSegs) = GraftBranch.referencedByBranches(fs, dir)
+    val keep = versions.takeRight(keepLast).toSet ++ tagged ++ branchBases
     val expire = versions.filterNot(keep.contains)
     if (expire.isEmpty) return (0, 0)
     val keptEntries = versions.filter(keep.contains)
       .flatMap(GraftTable.readFullEntries(fs, dir, _))
-    val referenced = keptEntries.map(e => new Path(e.file).getName).toSet
+    val referenced =
+      keptEntries.map(e => new Path(e.file).getName).toSet ++ branchFiles
     val orphans = GraftTable.dataFiles(fs, dir)
       .filterNot(f => referenced.contains(new Path(f).getName))
     orphans.foreach(f => fs.delete(new Path(f), false))
     // deletion-vector and equality-delete sidecars are versioned like
     // data files: expire every sidecar no kept snapshot points at
-    val referencedDv = keptEntries.flatMap(_.dv).map(new Path(_).getName).toSet
-    val referencedEq = keptEntries.flatMap(_.eqs).map(new Path(_).getName).toSet
+    val referencedDv = keptEntries.flatMap(_.dv).map(new Path(_).getName).toSet ++
+      branchFiles
+    val referencedEq = keptEntries.flatMap(_.eqs).map(new Path(_).getName).toSet ++
+      branchFiles
     val dvOrphans = fs.listStatus(dir).toSeq
       .filter(st => st.isFile &&
         ((GraftDv.isDv(st.getPath.getName) &&
@@ -594,7 +625,7 @@ object GraftMaintenance {
     // files are gone, so a crash between the two deletes leaves only
     // unreferenced-but-present segments — never a dangling reference)
     val referencedSegs = versions.filter(keep.contains)
-      .flatMap(GraftTable.segmentRefs(fs, dir, _)).toSet
+      .flatMap(GraftTable.segmentRefs(fs, dir, _)).toSet ++ branchSegs
     fs.listStatus(dir).toSeq
       .filter(st => st.isFile &&
         st.getPath.getName.startsWith(GraftTable.SegmentPrefix) &&
@@ -639,6 +670,12 @@ object GraftMaintenance {
         s"purge: $catalog.$table has snapshot tags ($names) that would " +
           "keep pre-purge snapshots alive — drop them first " +
           "(graft_drop_tag), then purge")
+      val branches = GraftBranch.readAll(fs0, dir0)
+      require(branches.isEmpty,
+        s"purge: $catalog.$table has live branches " +
+          s"(${branches.keys.toSeq.sorted.mkString(", ")}) whose snapshots " +
+          "would keep purged bytes reachable — fast-forward or drop them " +
+          "first (graft_drop_branch), then purge")
     }
     val n = t.where(condition).count()
     spark.sql(s"DELETE FROM $catalog.$table WHERE $condition")
@@ -694,7 +731,8 @@ object GraftMaintenance {
     val referenced: Set[String] = GraftTable.manifestVersions(fs, dir)
       .flatMap(GraftTable.readEntries(fs, dir, _))
       .flatMap { case (f, dv) => Seq(new Path(f).getName) ++
-        dv.map(d => new Path(d).getName) }.toSet
+        dv.map(d => new Path(d).getName) }.toSet ++
+      GraftBranch.referencedByBranches(fs, dir)._1
     val cutoff = System.currentTimeMillis() - graceMillis
     def candidates(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(d).toSeq.flatMap { st =>
@@ -811,6 +849,34 @@ object GraftMaintenance {
     * swap). After it, the whole table prunes under one spec. Returns
     * (files migrated, files landed).
     */
+  /** TZ-independent unit-index SQL, matching GraftDayPartition.unitOf
+    * (UTC): micros → epoch day/hour by floor division; months via the
+    * calendar of that epoch DAY (dates are TZ-free), never the session
+    * zone. The rewrite verbs (compactDayTable, migrateTimeLayout) route
+    * rows by this expression so their one-job repartition agrees with
+    * the writer's directory arithmetic bit-for-bit.
+    */
+  private def unitIndexExpr(unit: String,
+                            dt: org.apache.spark.sql.types.DataType,
+                            dayCol: String): String = (unit, dt) match {
+    case ("hours", org.apache.spark.sql.types.TimestampType) =>
+      s"FLOOR(unix_micros($dayCol) / 3600000000)"
+    case ("days", org.apache.spark.sql.types.TimestampType) =>
+      s"FLOOR(unix_micros($dayCol) / 86400000000)"
+    case ("days", org.apache.spark.sql.types.DateType) =>
+      s"CAST(datediff($dayCol, DATE '1970-01-01') AS BIGINT)"
+    case ("months", org.apache.spark.sql.types.TimestampType) =>
+      s"""(year(date_add(DATE '1970-01-01',
+         | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1970) * 12
+         | + month(date_add(DATE '1970-01-01',
+         | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1"""
+        .stripMargin.replaceAll("\n", " ")
+    case ("months", org.apache.spark.sql.types.DateType) =>
+      s"(year($dayCol) - 1970) * 12 + month($dayCol) - 1"
+    case other => throw new IllegalStateException(
+      s"time-layout rewrite: unsupported $other")
+  }
+
   def migrateTimeLayout(spark: SparkSession, tableDir: String): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, expr}
     val dir = new Path(tableDir)
@@ -836,27 +902,7 @@ object GraftMaintenance {
     if (stale.isEmpty) return (0, files.size)
     val schema = GraftTable.readTableSchema(fs, dir).get
     val dt = schema.fields.find(_.name == dayCol).get.dataType
-    // TZ-independent unit index, matching GraftDayPartition.unitOf (UTC):
-    // micros → epoch day by floor division; months via the calendar of
-    // that epoch DAY (dates are TZ-free), never the session zone
-    val unitExpr = (unit, dt) match {
-      case ("hours", org.apache.spark.sql.types.TimestampType) =>
-        s"FLOOR(unix_micros($dayCol) / 3600000000)"
-      case ("days", org.apache.spark.sql.types.TimestampType) =>
-        s"FLOOR(unix_micros($dayCol) / 86400000000)"
-      case ("days", org.apache.spark.sql.types.DateType) =>
-        s"CAST(datediff($dayCol, DATE '1970-01-01') AS BIGINT)"
-      case ("months", org.apache.spark.sql.types.TimestampType) =>
-        s"""(year(date_add(DATE '1970-01-01',
-           | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1970) * 12
-           | + month(date_add(DATE '1970-01-01',
-           | CAST(FLOOR(unix_micros($dayCol) / 86400000000) AS INT))) - 1"""
-          .stripMargin.replaceAll("\n", " ")
-      case ("months", org.apache.spark.sql.types.DateType) =>
-        s"(year($dayCol) - 1970) * 12 + month($dayCol) - 1"
-      case other => throw new IllegalStateException(
-        s"migrateTimeLayout: unsupported $other")
-    }
+    val unitExpr = unitIndexExpr(unit, dt, dayCol)
     val staging = new Path(dir, s".migrate-${UUID.randomUUID()}")
     withMicrosTimestamps(spark) {
       evoRead(spark, fs, dir, props, stale)

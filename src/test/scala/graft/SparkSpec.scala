@@ -17,6 +17,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // storage-partitioned joins over bucketed graft-catalog tables
     .config("spark.sql.sources.v2.bucketing.enabled", "true")

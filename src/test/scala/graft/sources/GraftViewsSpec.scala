@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Catalog views: stored SQL definitions (DSv2 ViewCatalog storage),
+  * created/listed/dropped through the graft_*view TVFs, and read BOTH
+  * ways — `graft_view(cat, v)` on any session, and natively as
+  * `SELECT ... FROM cat.db.v` through the GraftViewSubstitution analyzer
+  * rule (this suite's session installs graft.GraftExtensions).
+  */
+class GraftViewsSpec extends SparkSpec {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_vw_wh").toFile.getAbsolutePath
+
+  private def sql(q: String) = spark.sql(q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft_vw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_vw.warehouse", warehouse)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_vw.db")
+  }
+
+  test("create, read-through (TVF and native), snapshot tracking") {
+    sql("""CREATE TABLE graft_vw.db.ev (id BIGINT, kind STRING, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 100).toDF("id")
+      .withColumn("kind", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("v", col("id") * 3)
+      .writeTo("graft_vw.db.ev").append()
+    sql("""SELECT * FROM graft_create_view('graft_vw', 'db.ev_a',
+          |'SELECT id, v FROM graft_vw.db.ev WHERE kind = ''a''')""".stripMargin)
+      .collect()
+    assert(sql("SELECT * FROM graft_view('graft_vw', 'db.ev_a')").count() == 50)
+    // NATIVE resolution through the analyzer rule (extensions installed)
+    assert(sql("SELECT * FROM graft_vw.db.ev_a").count() == 50)
+    // a view is a DEFINITION, not a snapshot: new base rows appear
+    spark.range(100, 120).toDF("id")
+      .withColumn("kind", lit("a")).withColumn("v", col("id") * 3)
+      .writeTo("graft_vw.db.ev").append()
+    assert(sql("SELECT * FROM graft_vw.db.ev_a").count() == 70)
+    // aggregation through the view matches the direct query; the view
+    // composes in joins like any relation
+    val viaView = sql("SELECT SUM(v) AS s FROM graft_vw.db.ev_a")
+      .collect()(0).getLong(0)
+    val direct = sql(
+      "SELECT SUM(v) AS s FROM graft_vw.db.ev WHERE kind = 'a'")
+      .collect()(0).getLong(0)
+    assert(viaView == direct)
+    assert(sql(
+      """SELECT COUNT(*) FROM graft_vw.db.ev_a x
+        |JOIN graft_vw.db.ev_a y ON x.id = y.id""".stripMargin)
+      .collect()(0).getLong(0) == 70)
+  }
+
+  test("views over views; listing; drop") {
+    sql("""SELECT * FROM graft_create_view('graft_vw', 'db.ev_top',
+          |'SELECT id FROM graft_vw.db.ev_a WHERE v > 60')""".stripMargin)
+      .collect()
+    assert(sql("SELECT * FROM graft_vw.db.ev_top").count() ==
+      sql("SELECT * FROM graft_vw.db.ev WHERE kind = 'a' AND v > 60").count())
+    val listed = sql("SELECT * FROM graft_views('graft_vw', 'db')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(listed.keySet == Set("ev_a", "ev_top"))
+    assert(listed("ev_a") == "id,v")
+    assert(sql("SELECT * FROM graft_drop_view('graft_vw', 'db.ev_top')")
+      .collect()(0).getBoolean(0))
+    intercept[Exception](sql("SELECT * FROM graft_vw.db.ev_top").collect())
+    // dropping a gone view reports false instead of failing
+    assert(!sql("SELECT * FROM graft_drop_view('graft_vw', 'db.ev_top')")
+      .collect()(0).getBoolean(0))
+  }
+
+  test("creation validates the body and refuses collisions") {
+    // a broken body fails at CREATE, not first read
+    intercept[Exception](sql(
+      "SELECT * FROM graft_create_view('graft_vw', 'db.bad', 'SELECT nope FROM graft_vw.db.ev')")
+      .collect())
+    // view name colliding with a table refuses
+    intercept[Exception](sql(
+      "SELECT * FROM graft_create_view('graft_vw', 'db.ev', 'SELECT 1 AS x')")
+      .collect())
+    // duplicate view refuses
+    intercept[Exception](sql(
+      "SELECT * FROM graft_create_view('graft_vw', 'db.ev_a', 'SELECT 1 AS x')")
+      .collect())
+    // table name colliding with a view refuses
+    intercept[Exception](sql("CREATE TABLE graft_vw.db.ev_a (x BIGINT)"))
+  }
+
+  test("views track lakehouse verbs on the base (DELETE, time travel base)") {
+    val before = sql("SELECT COUNT(*) AS n FROM graft_vw.db.ev_a")
+      .collect()(0).getLong(0)
+    sql("DELETE FROM graft_vw.db.ev WHERE kind = 'a' AND id < 10")
+    assert(sql("SELECT COUNT(*) AS n FROM graft_vw.db.ev_a")
+      .collect()(0).getLong(0) == before - 5)
+  }
+}
