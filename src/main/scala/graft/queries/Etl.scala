@@ -1438,6 +1438,82 @@ object Etl {
               |FROM graft_cd.db.cust GROUP BY tier ORDER BY tier""".stripMargin)
     },
 
+    // GENERATED COLUMNS: `day` and `eur` are engine-computed derivations
+    // (DDL parsed by Spark, computation 100% this engine's — an
+    // unimplemented catalog lands NULLs). The COW UPDATE restates cents
+    // for a slice of rows and the derivation RECOMPUTES through the
+    // rewrite (the invariant can't go stale); the result groups by the
+    // generated day with sums over the generated eur — fully
+    // deterministic, replayed by the oracle from raw events.
+    "etl_generated" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_gq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_gq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gq.db")
+      s.sql("DROP TABLE IF EXISTS graft_gq.db.ev")
+      s.sql("""CREATE TABLE graft_gq.db.ev
+              |(event_id BIGINT, ts TIMESTAMP, cents BIGINT,
+              | day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+              | eur BIGINT GENERATED ALWAYS AS (cents DIV 100))
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          (floor(col("value") * 100) + 1).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_gq_src")
+      s.sql("""INSERT INTO graft_gq.db.ev (event_id, ts, cents)
+              |SELECT * FROM graft_gq_src""".stripMargin)
+      s.sql("UPDATE graft_gq.db.ev SET cents = cents + 10000 WHERE event_id % 7 = 0")
+      require(s.table("graft_gq.db.ev")
+          .where(col("eur") =!= expr("cents DIV 100")).count() == 0,
+        "etl_generated: the derivation must recompute through the COW rewrite")
+      s.sql("""SELECT CAST(day AS STRING) AS day, COUNT(*) AS n,
+              |       CAST(SUM(eur) AS BIGINT) AS sum_eur
+              |FROM graft_gq.db.ev GROUP BY day ORDER BY day""".stripMargin)
+    },
+
+    // IDENTITY COLUMNS: the engine assigns surrogate keys — customers
+    // land WITHOUT ids (three insert shapes: omitted column, DEFAULT,
+    // explicit NULL), two separate commits prove the watermark carries.
+    // Generated values are unique and step-lattice-bound but task-order
+    // dependent, so the in-query asserts the ID PROPERTIES (count ==
+    // distinct == expected, min == START, all on the step lattice) and
+    // the RETURNED result is the deterministic per-segment rollup the
+    // oracle replays from raw customers.
+    "etl_identity" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_idq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_idq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_idq.db")
+      s.sql("DROP TABLE IF EXISTS graft_idq.db.cust")
+      s.sql("""CREATE TABLE graft_idq.db.cust
+              |(sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+              | ckey BIGINT, seg STRING)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("ckey"), col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("graft_idq_src")
+      s.sql("""INSERT INTO graft_idq.db.cust (ckey, seg)
+              |SELECT * FROM graft_idq_src WHERE ckey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_idq.db.cust
+              |SELECT DEFAULT, ckey, seg FROM graft_idq_src
+              |WHERE ckey % 2 = 1""".stripMargin)
+      val n = s.sql("SELECT COUNT(*) FROM graft_idq_src").collect()(0).getLong(0)
+      val props = s.sql(
+        """SELECT COUNT(*) AS n, COUNT(DISTINCT sk) AS d, MIN(sk) AS mn,
+          |       SUM(CASE WHEN (sk - 10) % 2 = 0 AND sk >= 10
+          |                THEN 0 ELSE 1 END) AS off
+          |FROM graft_idq.db.cust""".stripMargin).collect()(0)
+      require(props.getLong(0) == n && props.getLong(1) == n,
+        s"etl_identity: $n rows must carry $n distinct generated keys, " +
+          s"got ${props.getLong(1)} distinct of ${props.getLong(0)}")
+      require(props.getLong(2) == 10L,
+        s"etl_identity: first key must be START WITH 10, got ${props.getLong(2)}")
+      require(props.getLong(3) == 0L,
+        "etl_identity: every key must sit on the START+2k lattice")
+      s.sql("""SELECT seg, COUNT(*) AS n, CAST(SUM(ckey) AS BIGINT) AS sum_key
+              |FROM graft_idq.db.cust GROUP BY seg ORDER BY seg""".stripMargin)
+    },
+
     // PARTITIONS metadata table (Iceberg's `.partitions`): per-partition
     // file/row/byte rollup served ENTIRELY from the manifest + stats log
     // — zero data IO — on an identity-partitioned history table that took
@@ -2473,6 +2549,21 @@ object Etl {
         | COUNT(*) AS n_rows
         |FROM orders WHERE o_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+
+    "etl_identity" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "etl_generated" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         (CAST(FLOOR(value * 100) + 1 AS BIGINT)
+        |          + CASE WHEN event_id % 7 = 0 THEN 10000 ELSE 0 END) AS cents
+        |  FROM events)
+        |SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n,
+        | CAST(SUM(cents // 100) AS BIGINT) AS sum_eur
+        |FROM base GROUP BY 1 ORDER BY day""".stripMargin,
 
     "etl_partition_evolution" ->
       """WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events)

@@ -71,7 +71,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
-      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+      .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS).asJava
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -292,7 +296,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             checks = base.checks, dayCol = base.dayCol,
             timeUnit = base.timeUnit, aliases = base.aliases,
             widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
-            branch = Some(b))
+            branch = Some(b), identity = base.identity,
+            generated = base.generated)
         }
       }
       throw new NoSuchTableException(ident)
@@ -302,7 +307,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketSpec = bucketSpec(dir), checks = checksOf(dir),
       dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir),
       aliases = aliasesOf(dir), widened = widenedOf(dir),
-      pastTimeSpecs = pastTimeSpecsOf(dir))
+      pastTimeSpecs = pastTimeSpecsOf(dir),
+      identity = GraftIdentity.specOf(GraftTable.readProps(fs, dir)),
+      generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -422,6 +429,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Column[]-based create: the ONLY carrier of identity specs (Spark's
+    * StructType conversion drops them) — lift each into table props and
+    * delegate. See [[GraftIdentity]] for the generation contract.
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val ids = columns.filter(_.identityColumnSpec() != null)
+    require(ids.length <= 1,
+      s"graft catalog: at most one identity column, got " +
+        ids.map(_.name()).mkString(", "))
+    val props = new util.HashMap[String, String](properties)
+    ids.headOption.foreach { c =>
+      val sp = c.identityColumnSpec()
+      require(c.dataType() == org.apache.spark.sql.types.LongType,
+        s"graft catalog: identity column ${c.name()} must be BIGINT, " +
+          s"got ${c.dataType()}")
+      require(sp.getStep != 0,
+        s"graft catalog: identity step must be non-zero")
+      props.put(GraftIdentity.ColProp, c.name())
+      props.put(GraftIdentity.StartProp, sp.getStart.toString)
+      props.put(GraftIdentity.StepProp, sp.getStep.toString)
+      props.put(GraftIdentity.ExplicitProp, sp.isAllowExplicitInsert.toString)
+    }
+    columns.filter(_.generationExpression() != null).foreach { c =>
+      require(c.identityColumnSpec() == null,
+        s"graft catalog: ${c.name()} cannot be both identity and generated")
+      props.put(s"${GraftGenerated.Prefix}${c.name()}", c.generationExpression())
+    }
+    createTable(ident, org.apache.spark.sql.graftbridge.Bridge
+      .v2ColumnsToStructType(columns), partitions, props)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -526,6 +567,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.getOrDefault(GraftTable.HistoryProp, "false"))
     val mor = "true".equalsIgnoreCase(
       properties.getOrDefault(GraftTable.MorProp, "false"))
+    val identity = GraftIdentity.specOf(properties.asScala.toMap)
+    val generated = GraftGenerated.specsOf(properties.asScala.toMap)
+    generated.foreach { case (col, text) =>
+      require(schema.fieldNames.contains(col),
+        s"generated column $col not in schema")
+      require(!dayCol.contains(col) && !bucket.exists(_._1 == col),
+        s"graft catalog: generated column $col cannot drive a bucket/" +
+          "hidden-time layout (identity partitioning composes — " +
+          "PARTITIONED BY over a generated day column is the idiom)")
+      // resolves against the NON-generated, non-identity columns only —
+      // a bad expression fails the DDL, not the first insert
+      GraftGenerated.resolve(SparkSession.active, schema, col, text,
+        generated.map(_._1).toSet - col, identity.map(_.col))
+    }
+    identity.foreach { sp =>
+      require(!generated.exists(_._1 == sp.col),
+        s"graft catalog: ${sp.col} cannot be both identity and generated")
+      require(schema.fieldNames.contains(sp.col),
+        s"identity column ${sp.col} not in schema")
+      require(history, "graft catalog: identity columns need a history " +
+        "table (the allocation watermark is commit metadata in the " +
+        "manifest log) — add TBLPROPERTIES('history'='true')")
+      require(!mor, "graft catalog: identity columns on merge-on-read " +
+        "tables are not supported yet (delta-insert generation)")
+      require(!pcols.contains(sp.col) && !bucket.exists(_._1 == sp.col) &&
+        !dayCol.contains(sp.col),
+        s"graft catalog: identity column ${sp.col} cannot also be a " +
+          "layout (partition/bucket/time) column")
+    }
     // merge-on-read COMPOSES with history snapshots (deletion-vector
     // sidecars versioned in the manifest — each delta commit writes a
     // fresh merged sidecar and re-points its entry, so past snapshots
@@ -536,7 +606,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the bNNNNN- prefix; rewrites keep the original name or a
     // prefix-preserving -dvm name)
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
-        dayCol.nonEmpty) {
+        dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty) {
       GraftTable.writeProps(fs, dir, (Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -548,13 +618,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ++ checks.map { case (n, t) => s"${GraftConstraints.Prefix}$n" -> t }
         ++ dayCol.map(GraftTable.DayColProp -> _)
         ++ (if (dayCol.nonEmpty && timeUnit != "days")
-              Map(GraftTable.TimeUnitProp -> timeUnit) else Map.empty)))
+              Map(GraftTable.TimeUnitProp -> timeUnit) else Map.empty)
+        ++ identity.map(sp => Map(
+             GraftIdentity.ColProp -> sp.col,
+             GraftIdentity.StartProp -> sp.start.toString,
+             GraftIdentity.StepProp -> sp.step.toString,
+             GraftIdentity.ExplicitProp -> sp.allowExplicit.toString))
+           .getOrElse(Map.empty)
+        ++ generated.map { case (c, t) =>
+             s"${GraftGenerated.Prefix}$c" -> t }))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
       partitionCols = pcols, bucketSpec = bucket, checks = checks,
-      dayCol = dayCol, timeUnit = timeUnit)
+      dayCol = dayCol, timeUnit = timeUnit, identity = identity,
+      generated = generated)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -582,6 +661,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!partCols(dir).contains(name),
         s"graft catalog: cannot $verb partition column $name " +
           "(the directory layout depends on it)")
+      // engine-computed columns: the identity watermark key and the
+      // generation-expression props embed column names
+      val props0 = GraftTable.readProps(fs, dir)
+      require(!GraftIdentity.specOf(props0).exists(_.col == name),
+        s"graft catalog: cannot $verb identity column $name " +
+          "(the allocation watermark is keyed by its name)")
+      GraftGenerated.specsOf(props0).foreach { case (g, text) =>
+        require(g != name,
+          s"graft catalog: cannot $verb generated column $name")
+        require(!GraftGenerated.referencedCols(SparkSession.active, text)
+            .contains(name),
+          s"graft catalog: cannot $verb column $name — generated column " +
+            s"$g is computed from it ($text)")
+      }
       require(!bucketSpec(dir).exists(_._1 == name),
         s"graft catalog: cannot $verb bucket column $name " +
           "(row placement depends on it)")
@@ -1161,7 +1254,7 @@ object GraftTable {
     val prev = prevRef(fs, dir, v, branch)
     val carried = prev
       .map { case (pv, pb) => manifestMeta(fs, dir, pv, pb)
-        .filter(_._1.startsWith("txn:")) }
+        .filter(kv => kv._1.startsWith("txn:") || kv._1.startsWith("idwm:")) }
       .getOrElse(Map.empty[String, String])
     val allMeta = carried ++ meta
     val lines = entries.map(entryLine(dir, _))
@@ -1337,7 +1430,9 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val aliases: Map[String, Seq[String]] = Map.empty,
                  val widened: Set[String] = Set.empty,
                  val pastTimeSpecs: Seq[(String, String)] = Nil,
-                 val branch: Option[String] = None)
+                 val branch: Option[String] = None,
+                 val identity: Option[GraftIdentity.Spec] = None,
+                 val generated: Seq[(String, String)] = Nil)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -2323,7 +2418,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
   * driver can lift them into the stats log without touching any file.
   */
 case class GraftCommit(files: Seq[String],
-                       stats: Map[String, GraftStats.FileStats] = Map.empty)
+                       stats: Map[String, GraftStats.FileStats] = Map.empty,
+                       idLast: Option[Long] = None)
   extends WriterCommitMessage
 
 /** Clustered-by-partition write distribution: each partition value lands
@@ -2409,6 +2505,10 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
           s"streaming write to ${t.name()}: branches are batch write " +
             "heads — point the stream at the table and stage via " +
             "foreachBatch if a branch epoch is needed")
+        require(t.identity.isEmpty,
+          s"streaming write to ${t.name()}: identity generation needs " +
+            "epoch-serial watermark reads — not wired into the streaming " +
+            "sink yet; use foreachBatch")
         new GraftStreamingWrite(t, writeSchema, queryId)
       }
     }
@@ -2457,7 +2557,8 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
-      day)
+      day, None,
+      GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema))
     (partitionId: Int, taskId: Long, epochId: Long) =>
       inner.createWriter(partitionId, taskId)
   }
@@ -2478,7 +2579,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
                       messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _) => fls }
+    val staged = messages.flatMap { case GraftCommit(fls, _, _) => fls }
     if (lastCommittedEpoch(fs, dir).exists(_ >= epochId)) {
       // checkpoint-recovery replay of an epoch that already committed:
       // drop the restaged bytes, change nothing — exactly-once
@@ -2486,7 +2587,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       return
     }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st) => st }.toMap
+      messages.flatMap { case GraftCommit(_, st, _) => st }.toMap
     val landed = staged.toSeq.map { f =>
       val p = new Path(f)
       val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
@@ -2523,7 +2624,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
-    messages.filter(_ != null).flatMap { case GraftCommit(fls, _) => fls }
+    messages.filter(_ != null).flatMap { case GraftCommit(fls, _, _) => fls }
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -2556,13 +2657,20 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   private val stagingDir = new Path(table.dir, s".staging-${UUID.randomUUID()}")
   private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
 
+  /** (spec, watermark the job allocated against) — commit re-checks it. */
+  @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
     // replacement rows may carry metadata columns (_file) — write only the
     // table's PHYSICAL columns (partition values become directories),
-    // whatever the incoming attribute order
-    val proj = table.physicalSchema.fields.map(f => writeSchema.fieldIndex(f.name))
+    // whatever the incoming attribute order. The identity column may be
+    // wholly absent from the incoming attributes (-1 → generate).
+    val proj = table.physicalSchema.fields.map(f =>
+      if (table.identity.exists(_.col == f.name) &&
+          !writeSchema.fieldNames.contains(f.name)) -1
+      else writeSchema.fieldIndex(f.name))
     val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
     val bucket = table.bucketSpec.map { case (c, n) =>
       val i = writeSchema.fieldIndex(c)
@@ -2572,19 +2680,36 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       val i = writeSchema.fieldIndex(c)
       (i, writeSchema.fields(i).dataType, c, table.timeUnit)
     }
+    // identity allocation plan: appends and INSERT OVERWRITE generate;
+    // row-level REWRITES carry existing values verbatim (replaceFiles)
+    val idGen: Option[GraftIdentity.WriteGen] =
+      if (replaceFiles.nonEmpty) None
+      else table.identity.map { sp =>
+        val dir = new Path(table.dir)
+        val wm0 = GraftIdentity.watermark(
+          GraftIdentity.headMeta(fs, dir, table.branch), sp)
+        idWrite = Some((sp, wm0))
+        GraftIdentity.WriteGen(sp.col,
+          table.physicalSchema.fieldIndex(sp.col),
+          if (writeSchema.fieldNames.contains(sp.col))
+            writeSchema.fieldIndex(sp.col) else -1,
+          wm0, sp.step, info.numPartitions, sp.allowExplicit)
+      }
     new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
-      day)
+      day, idGen,
+      GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema),
+      genStrict = replaceFiles.isEmpty)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _) => fls }
+    val staged = messages.flatMap { case GraftCommit(fls, _, _) => fls }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st) => st }.toMap
+      messages.flatMap { case GraftCommit(_, st, _) => st }.toMap
     // land under the same staging-relative subpath (partition dirs)
     def land(f: String): Path = {
       val p = new Path(f)
@@ -2608,13 +2733,55 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // stale — blind retry there is the lost-update bug.
       val landed: Seq[String] = staged.toSeq.map(f => land(f).toString)
       landStats()
+      // identity watermark: the furthest value any task allocated rides
+      // the SAME atomic manifest create; an identity append that RACED
+      // another identity append fails loudly (its values were allocated
+      // against a watermark that moved), while non-identity appends keep
+      // the plain optimistic retry
+      val idMeta: Map[String, String] = idWrite match {
+        case Some((sp, _)) =>
+          val lasts = messages.flatMap { case GraftCommit(_, _, l) => l }
+          if (lasts.isEmpty) Map.empty
+          else Map(GraftIdentity.wmKey(sp.col) ->
+            (if (sp.step > 0) lasts.max else lasts.min).toString)
+        case None => Map.empty
+      }
+      def checkIdNotRaced(): Unit = idWrite.foreach { case (sp, wm0) =>
+        val cur = GraftIdentity.watermark(
+          GraftIdentity.headMeta(fs, dir, table.branch), sp)
+        if (cur != wm0) throw new IllegalStateException(
+          s"identity allocation on ${table.name()} raced a concurrent " +
+            s"identity write (watermark $wm0 -> $cur since this job " +
+            "planned) — re-run the insert")
+      }
       // branch writes are the SAME commits in the branch's manifest
       // namespace: isolation from main comes from the namespace alone
       val br = table.branch
       if (!truncateAll && replaceFiles.isEmpty) {
-        val cv = GraftTable.commitRetrying(fs, dir, branch = br)(
-          old => old ++ landed)
-        GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend, br)
+        if (idMeta.isEmpty) {
+          val cv = GraftTable.commitRetrying(fs, dir, branch = br)(
+            old => old ++ landed)
+          GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend, br)
+        } else {
+          var attempt = 0
+          var committed = -1L
+          while (committed < 0) {
+            checkIdNotRaced()
+            val (v, old) = GraftTable.headState(fs, dir, br)
+            try {
+              GraftTable.writeFullEntries(fs, dir, v + 1,
+                old ++ landed.map(GraftTable.GraftEntry(_, None)), idMeta, br)
+              committed = v + 1
+            } catch {
+              case e: java.io.IOException =>
+                if (!fs.exists(GraftTable.manifestPath(dir, v + 1, br)) ||
+                    attempt >= 20) throw e
+                attempt += 1
+            }
+          }
+          GraftTable.writeCommitKind(fs, dir, committed,
+            GraftTable.KindAppend, br)
+        }
       } else {
         val (v, old) = GraftTable.headState(fs, dir, br)
         val newList: Seq[GraftTable.GraftEntry] =
@@ -2626,7 +2793,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
             old.filterNot(e => affected.contains(new Path(e.file).getName)) ++
               landed.map(GraftTable.GraftEntry(_, None))
           }
-        GraftTable.writeFullEntries(fs, dir, v + 1, newList, Map.empty, br)
+        if (idMeta.nonEmpty) checkIdNotRaced()
+        GraftTable.writeFullEntries(fs, dir, v + 1, newList, idMeta, br)
         GraftTable.writeCommitKind(fs, dir, v + 1,
           if (truncateAll) GraftTable.KindOverwrite else GraftTable.KindReplace,
           br)
@@ -2681,11 +2849,15 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          conf: SerializableHadoopConf,
                          bucket: Option[(Int, DataType, Int)] = None,
                          violations: Seq[(String, Expression)] = Nil,
-                         day: Option[(Int, DataType, String, String)] = None)
+                         day: Option[(Int, DataType, String, String)] = None,
+                         idGen: Option[GraftIdentity.WriteGen] = None,
+                         genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
+                         genStrict: Boolean = true)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
-      partFields, partIdx, partitionId, taskId, conf, bucket, violations, day)
+      partFields, partIdx, partitionId, taskId, conf, bucket, violations, day,
+      idGen.map(GraftIdentity.taskGen(_, partitionId)), genProjs, genStrict)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -2702,8 +2874,62 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       conf: SerializableHadoopConf,
                       bucket: Option[(Int, DataType, Int)] = None,
                       violations: Seq[(String, Expression)] = Nil,
-                      day: Option[(Int, DataType, String, String)] = None)
+                      day: Option[(Int, DataType, String, String)] = None,
+                      idGen: Option[GraftIdentity.TaskGen] = None,
+                      genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
+                      genStrict: Boolean = true)
   extends DataWriter[InternalRow] {
+
+  /** REWRITE carriers (COW replace, MOR reinsert) arrive with the STALE
+    * derivation in the generated position — recompute silently; only
+    * USER-facing insert paths enforce explicit-value equality.
+    */
+  private[sources] var genCheck: Boolean = genStrict
+
+  // GENERATED columns: computed for every row BEFORE checks and routing
+  // (so CHECKs see computed values and a generated column can be a
+  // partition column); an explicit incoming value must EQUAL the
+  // computed one. One codegen'd projection evaluates all of them.
+  private val genProjection =
+    if (genProjs.isEmpty) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(genProjs.map(_._3))
+  private val genPatched = new GenericInternalRow(writeSchema.length)
+
+  private def withGenerated(record: InternalRow): InternalRow = {
+    if (genProjection == null) return record
+    val gen = genProjection(record)
+    var i = 0
+    while (i < writeSchema.length) {
+      if (record.isNullAt(i)) genPatched.setNullAt(i)
+      else genPatched.update(i, record.get(i, writeSchema.fields(i).dataType))
+      i += 1
+    }
+    var k = 0
+    while (k < genProjs.length) {
+      val (col, idx, _, dt) = genProjs(k)
+      // values read out of the projection's UnsafeRow buffer are
+      // transient — copy before they outlive the next apply
+      val v = if (gen.isNullAt(k)) null
+        else InternalRow.copyValue(gen.get(k, dt))
+      if (genCheck && idx >= 0 && !record.isNullAt(idx)) {
+        val given = record.get(idx, dt)
+        if (v == null || given != v) throw new IllegalStateException(
+          s"generated column $col: explicit value $given does not match " +
+            s"the generation expression's $v — omit the column (or write " +
+            "NULL/DEFAULT) and let the engine compute it")
+      }
+      if (v == null) genPatched.setNullAt(idx) else genPatched.update(idx, v)
+      k += 1
+    }
+    genPatched
+  }
+
+  // identity allocation: NULL at the identity position means generate
+  // (omitted / DEFAULT / explicit NULL all arrive as NULL); strided by
+  // step*numTasks so tasks never collide without coordination
+  private var idNext: Long = idGen.map(_.first).getOrElse(0L)
+  private var idLast: Option[Long] = None
 
   // CHECK / NOT NULL enforcement: driver-bound violation predicates
   // compiled once per writer (codegen'd — zero cost when none declared)
@@ -2712,7 +2938,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       (n, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
     }.toArray
 
-  private val isIdentity = partFields.isEmpty &&
+  private val isIdentity = partFields.isEmpty && idGen.isEmpty &&
     proj.length == writeSchema.length &&
     proj.zipWithIndex.forall { case (p, i) => p == i }
   private val writers =
@@ -2751,7 +2977,8 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     GraftBucket.bucket(dt, v, n)
   }
 
-  override def write(record: InternalRow): Unit = {
+  override def write(record0: InternalRow): Unit = {
+    val record = withGenerated(record0)
     var ci = 0
     while (ci < checkPreds.length) {
       if (checkPreds(ci)._2.eval(record)) {
@@ -2784,7 +3011,21 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       var i = 0
       while (i < proj.length) {
         val src = proj(i)
-        if (record.isNullAt(src)) reuse.setNullAt(i)
+        if (idGen.nonEmpty && i == idGen.get.physIdx) {
+          val g = idGen.get
+          if (g.srcIdx < 0 || record.isNullAt(g.srcIdx)) {
+            reuse.update(i, idNext)
+            idLast = Some(idNext)
+            idNext += g.stride
+          } else {
+            if (!g.allowExplicit) throw new IllegalStateException(
+              s"identity column ${g.col} is GENERATED ALWAYS — explicit " +
+                "values are refused (insert NULL/DEFAULT, or declare it " +
+                "GENERATED BY DEFAULT)")
+            reuse.update(i, record.getLong(g.srcIdx))
+          }
+        }
+        else if (record.isNullAt(src)) reuse.setNullAt(i)
         else reuse.update(i, record.get(src, writeSchema.fields(src).dataType))
         i += 1
       }
@@ -2800,7 +3041,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     val stats = writers.values.map { case (_, p, tracker) =>
       p.toString -> tracker.result(fs.getFileStatus(p).getLen)
     }.toMap
-    GraftCommit(paths.map(_.toString).toSeq, stats)
+    GraftCommit(paths.map(_.toString).toSeq, stats, idLast)
   }
 
   override def abort(): Unit = writers.values.foreach(_._1.close())

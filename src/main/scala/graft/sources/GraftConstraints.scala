@@ -41,27 +41,7 @@ object GraftConstraints {
     */
   def resolve(spark: SparkSession, attrs: Seq[Attribute], name: String,
               text: String): Expression = {
-    val parsed = spark.sessionState.sqlParser.parseExpression(text)
-    val analyzed = Bridge.ofRows(spark,
-      Filter(parsed, LocalRelation(attrs))).queryExecution.analyzed
-    val resolvedCond = analyzed.collectFirst { case Filter(c, _) => c }.getOrElse(
-      throw new IllegalArgumentException(
-        s"CHECK constraint $name ('$text') did not analyze to a row predicate"))
-    // RuntimeReplaceable nodes (BETWEEN, ilike, ...) carry a replacement
-    // the optimizer normally swaps in — eval on the raw node asserts, so
-    // swap here (the ReplaceExpressions rule, scoped to one expr). The
-    // replacement may use Spark 4's With/CommonExpressionRef sharing
-    // (RewriteWithExpression's job) — inline the defs: a constraint is
-    // tiny, re-evaluating a shared subexpression costs nothing
-    val cond = resolvedCond.transformUp {
-      case r: RuntimeReplaceable => r.replacement
-    }.transformUp {
-      case w: With =>
-        val defs = w.defs.map(d => d.id -> d.child).toMap
-        w.child.transformUp {
-          case ref: CommonExpressionRef => defs(ref.id)
-        }
-    }
+    val cond = resolveExpr(spark, attrs, s"CHECK constraint $name", text)
     require(cond.dataType == BooleanType,
       s"CHECK constraint $name ('$text') must be BOOLEAN, is ${cond.dataType.simpleString}")
     require(cond.deterministic,
@@ -70,6 +50,34 @@ object GraftConstraints {
       org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]),
       s"CHECK constraint $name ('$text') cannot aggregate — it is a row predicate")
     cond
+  }
+
+  /** Parse + analyze one scalar expression against a row shape — shared
+    * by CHECK constraints and generated columns. RuntimeReplaceable nodes
+    * (BETWEEN, ilike, ...) carry a replacement the optimizer normally
+    * swaps in — eval on the raw node asserts, so swap here; the
+    * replacement may use Spark 4's With/CommonExpressionRef sharing — the
+    * defs are inlined (these expressions are tiny).
+    */
+  def resolveExpr(spark: SparkSession, attrs: Seq[Attribute], what: String,
+                  text: String): Expression = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(text)
+    val analyzed = Bridge.ofRows(spark,
+      Filter(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        parsed, parsed), LocalRelation(attrs))).queryExecution.analyzed
+    val resolved = analyzed.collectFirst {
+      case Filter(org.apache.spark.sql.catalyst.expressions.EqualTo(l, _), _) => l
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$what ('$text') did not analyze to a row expression"))
+    resolved.transformUp {
+      case r: RuntimeReplaceable => r.replacement
+    }.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: CommonExpressionRef => defs(ref.id)
+        }
+    }
   }
 
   /** Validate every check against a (possibly evolved) schema — used at

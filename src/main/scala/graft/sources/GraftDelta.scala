@@ -161,12 +161,15 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
         val i = rowSchema.fieldIndex(c)
         (i, rowSchema.fields(i).dataType, c, table.timeUnit)
       }
+    val genProjs =
+      if (rowSchema.isEmpty) Nil
+      else GraftGenerated.boundGenerators(SparkSession.active, table, rowSchema)
     new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
       rowSchema, proj,
       if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
       rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
-      new SerializableHadoopConf(hadoopConf), violations, bucket, day)
+      new SerializableHadoopConf(hadoopConf), violations, bucket, day, genProjs)
   }
 
   /** Commit: OR each file's new delete positions into its existing
@@ -258,12 +261,13 @@ class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               conf: SerializableHadoopConf,
                               violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
                               bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
-                              day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None)
+                              day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
+                              genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
       partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf,
-      violations, bucket, day)
+      violations, bucket, day, genProjs)
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -280,13 +284,14 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        conf: SerializableHadoopConf,
                        violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
                        bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
-                       day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None)
+                       day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
+                       genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
   private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
     rowSchema, proj, partFields, partIdx, partitionId, taskId, conf,
-    bucket, violations, day)
+    bucket, violations, day, genProjs = genProjs)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString
@@ -295,13 +300,21 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
+  /** Update-reinserted rows carry the pre-update GENERATED values — the
+    * writer recomputes them instead of enforcing explicit equality.
+    */
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit = {
+    inserts.genCheck = false
+    try inserts.write(row) finally inserts.genCheck = true
+  }
+
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new UnsupportedOperationException(
       "graft delta writer represents updates as delete+insert")
 
   override def commit(): WriterCommitMessage = {
     val (ins, insStats) = inserts.commit() match {
-      case GraftCommit(files, st) => (files, st)
+      case GraftCommit(files, st, _) => (files, st)
     }
     GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap, insStats)
   }

@@ -54,6 +54,14 @@ object Bridge {
                     name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.sessionState.catalogManager.catalog(name)
 
+  /** Columns → StructType including default metadata (CatalogV2Util is
+    * private[sql]); identity specs do NOT survive this conversion — the
+    * catalog must lift them from `Column.identityColumnSpec` first.
+    */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
   /** Drop every cached catalog INSTANCE (conf entries survive; instances
     * re-create lazily from the CURRENT conf on next reference). Spark
     * caches plugin instances by name forever, so a session that re-points
