@@ -1438,6 +1438,40 @@ object Etl {
               |FROM graft_cd.db.cust GROUP BY tier ORDER BY tier""".stripMargin)
     },
 
+    // ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
+    // builds a COMPLETE table (identity layout + history, routed during
+    // the CTAS write itself) in a hidden staged dir and installs it by
+    // rename; REPLACE TABLE AS SELECT then swaps in a restated schema —
+    // a rounding re-expression of the same data, which the oracle
+    // replays from raw orders. In-query asserts: no staged/trash debris
+    // dirs remain and the replaced table reads the NEW schema.
+    "etl_ctas_rtas" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cr.db")
+      s.sql("DROP TABLE IF EXISTS graft_cr.db.ord")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_cr_src")
+      s.sql("""CREATE TABLE graft_cr.db.ord PARTITIONED BY (status)
+              |TBLPROPERTIES('history'='true')
+              |AS SELECT * FROM graft_cr_src""".stripMargin)
+      require(s.table("graft_cr.db.ord").count() > 0,
+        "etl_ctas_rtas: CTAS must land rows")
+      s.sql("""REPLACE TABLE graft_cr.db.ord TBLPROPERTIES('history'='true')
+              |AS SELECT status, COUNT(*) AS n,
+              |   CAST(SUM(cents DIV 100) AS BIGINT) AS eur
+              |FROM graft_cr.db.ord GROUP BY status""".stripMargin)
+      val ns = new java.io.File(s"$wh/db")
+      require(!ns.listFiles().exists(f => f.getName.startsWith(".stage-") ||
+          f.getName.startsWith(".replaced-")),
+        "etl_ctas_rtas: staged/trash dirs must not survive the swap")
+      s.sql("""SELECT status, n, eur FROM graft_cr.db.ord
+              |ORDER BY status""".stripMargin)
+    },
+
     // GENERATED COLUMNS: `day` and `eur` are engine-computed derivations
     // (DDL parsed by Spark, computation 100% this engine's — an
     // unimplemented catalog lands NULLs). The COW UPDATE restates cents
@@ -2554,6 +2588,11 @@ object Etl {
       """SELECT c_mktsegment AS seg, COUNT(*) AS n,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "etl_ctas_rtas" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS eur
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_generated" ->
       """WITH base AS (

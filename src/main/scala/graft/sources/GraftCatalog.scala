@@ -60,7 +60,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   /** Column DEFAULT values are supported end-to-end: DDL admits them
     * (this capability gates Spark's parser/analyzer), INSERTs resolve
@@ -192,7 +193,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsDir(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      // dot dirs are staged CTAS tables / replace trash — not tables yet
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
@@ -463,9 +466,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .v2ColumnsToStructType(columns), partitions, props)
   }
 
+  // --- StagingTableCatalog: atomic CTAS / RTAS --------------------------
+  // The staged table is a COMPLETE graft table built in a hidden sibling
+  // dir (`.stage-<name>-<uuid>/` under the namespace); the CTAS write
+  // runs against it with the full write stack (layout routing, CHECKs,
+  // stats, identity, generated columns), and commitStagedChanges installs
+  // it by directory RENAME — a failed/killed CTAS leaves the namespace
+  // exactly as it was (the staged dir is invisible debris, not a
+  // half-written table). REPLACE swaps directories (old dir → trash dir →
+  // delete), which starts a FRESH history log: CREATE OR REPLACE is a
+  // new-table verb here, documented — the two-rename window is the
+  // local-FS trade a pointer-swap metastore wouldn't have.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, replace = false,
+      orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, replace = true,
+      orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean, orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val finalDir = tableDir(ident)
+    if (!replace && isTableDir(finalDir))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !isTableDir(finalDir))
+      throw new NoSuchTableException(ident)
+    val stagedDir = new Path(finalDir.getParent,
+      s".stage-${ident.name()}-${java.util.UUID.randomUUID().toString.take(12)}")
+    val staged = createTableAt(ident, schema, partitions, properties,
+      stagedDir).asInstanceOf[GraftTable]
+    new GraftStagedTable(this, ident, staged, stagedDir, finalDir, replace, fs)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createTableAt(ident, schema, partitions, properties, tableDir(ident))
+
+  /** Table-create body, parameterized by TARGET DIRECTORY so staged
+    * (atomic CTAS/RTAS) creates can build a complete table in a hidden
+    * sibling dir and commit by rename.
+    */
+  private[sources] def createTableAt(ident: Identifier, schema: StructType,
+                                     partitions: Array[Transform],
+                                     properties: util.Map[String, String],
+                                     dir: Path): Table = {
     require(!viewExists(ident),
       s"cannot create table $ident: a VIEW with that name exists")
     // IDENTITY partition transforms (PARTITIONED BY (col, ...)) or ONE
@@ -550,7 +609,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(pcols.size < schema.length,
       "graft catalog: at least one non-partition column required")
-    val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     // CHECK constraints validate BEFORE any filesystem write — a bad
     // constraint must not leave a half-created table behind
