@@ -584,6 +584,22 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq(n).toDF("files_analyzed"))
       }),
+    ("graft_sync_identity",
+      info("graft_sync_identity",
+        "graft_sync_identity(catalog, table) - advance the identity " +
+          "watermark to the furthest value present (the catch-up after " +
+          "GENERATED BY DEFAULT explicit inserts outran it); metadata-" +
+          "only via the stats log; returns (old_watermark, new_watermark)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sync_identity(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_sync_identity: catalog"),
+          stringArg(args(1), "graft_sync_identity: table"))
+        val (o, n) = graft.sources.GraftIdentity.sync(s, t.dir)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((o, n)).toDF("old_watermark", "new_watermark"))
+      }),
     // --- VIEWS: stored, named SQL definitions in the catalog. These TVFs
     // are the any-session surface; sessions built with
     // spark.sql.extensions=graft.GraftExtensions additionally resolve
@@ -744,6 +760,24 @@ object GraftExtensions {
         s.catalog.clearCache()
         import s.implicits._
         Bridge.logicalPlan(Seq((from, to)).toDF("from_version", "to_version"))
+      }),
+    ("graft_cherrypick",
+      info("graft_cherrypick",
+        "graft_cherrypick(catalog, table, name) - publish an APPEND-only " +
+          "branch onto a main that moved past the fork (additive commits " +
+          "commute); row-level/identity branch commits refuse; returns " +
+          "(files_published, version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_cherrypick(catalog, 'ns.t', name)")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_cherrypick: catalog"),
+          stringArg(args(1), "graft_cherrypick: table"))
+        val name = stringArg(args(2), "graft_cherrypick: name")
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val (n, v) = graft.sources.GraftBranch.cherryPick(fs, p, name)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((n, v)).toDF("files_published", "version"))
       }),
     ("graft_drop_branch",
       info("graft_drop_branch",

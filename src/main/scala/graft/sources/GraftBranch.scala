@@ -137,6 +137,58 @@ object GraftBranch {
     (base, own.last)
   }
 
+  /** CHERRY-PICK: publish a branch whose commits are ALL pure APPENDS
+    * onto a main that has moved past the fork point — the case
+    * fast-forward rightly refuses but that actually commutes: additive
+    * commits don't depend on the snapshot they were planned against, so
+    * re-applying the branch's NET new files onto the current head is
+    * exactly the serial outcome (the same argument commitRetrying's
+    * append retry rests on). Any non-append branch commit (replace/
+    * delta/overwrite/eqdelta — snapshot-derived row-level state) refuses
+    * loudly; identity-allocating branches refuse too (their values were
+    * allocated against the fork-point watermark — main may have moved
+    * it). Commits once (one append of the branch's net additions), then
+    * drops the branch record and namespace; the staged files are already
+    * in the table dir, so this is metadata-only. Returns (files
+    * published, main version committed).
+    */
+  def cherryPick(fs: FileSystem, dir: Path, name: String): (Int, Long) = {
+    val base = baseOf(fs, dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
+    val own = GraftTable.manifestVersions(fs, dir, Some(name))
+    own.foreach { v =>
+      val kind = GraftTable.readCommitKind(fs, dir, v, Some(name))
+      require(kind.contains(GraftTable.KindAppend),
+        s"cherry-pick of '$name' refused: branch commit $v is " +
+          s"${kind.getOrElse("unknown")} — only pure APPENDS commute " +
+          "with a moved main (row-level commits were planned against " +
+          "the fork snapshot); fast-forward before main moves, or drop " +
+          "and re-fork")
+      require(!GraftTable.manifestMeta(fs, dir, v, Some(name)).keys
+          .exists(_.startsWith("idwm:")),
+        s"cherry-pick of '$name' refused: branch commit $v allocated " +
+          "identity values against the fork-point watermark — main may " +
+          "have moved it; drop and re-fork")
+    }
+    if (own.isEmpty) { write(fs, dir, readAll(fs, dir) - name); return (0, -1L) }
+    // net additions = head entries minus the fork-point snapshot
+    val headEntries = GraftTable.readFullEntries(fs, dir, own.last, Some(name))
+    val baseFiles =
+      (if (base == 0L) Nil else GraftTable.readManifest(fs, dir, base)).toSet
+    val added = headEntries.filterNot(e => baseFiles.contains(e.file))
+    require(added.forall(e => e.dv.isEmpty && e.eqs.isEmpty),
+      s"cherry-pick of '$name': appended entries carry row-level masks")
+    val cv = GraftTable.commitRetrying(fs, dir)(old =>
+      old ++ added.map(_.file).filterNot(old.contains))
+    GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend)
+    own.foreach { v =>
+      fs.delete(GraftTable.manifestPath(dir, v, Some(name)), false)
+      fs.delete(GraftTable.commitKindPath(dir, v, Some(name)), false)
+    }
+    write(fs, dir, readAll(fs, dir) - name)
+    (added.size, cv)
+  }
+
   /** Drop the branch: its manifests and kind markers go, and data files /
     * sidecars referenced ONLY by this branch (not by any main manifest or
     * any other branch) are deleted with their stats/bloom entries —

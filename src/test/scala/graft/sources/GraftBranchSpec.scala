@@ -169,6 +169,46 @@ class GraftBranchSpec extends SparkSpec {
     assert(spark.table("graft_br.db.l.branch_load").count() == 40)
   }
 
+  test("cherry-pick publishes append-only branches past a diverged main") {
+    sql("""CREATE TABLE graft_br.db.cp (id BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 10).toDF("id").writeTo("graft_br.db.cp").append()
+    sql("SELECT * FROM graft_branch('graft_br', 'db.cp', 'adds')").collect()
+    spark.range(100, 120).toDF("id").writeTo("graft_br.db.cp.branch_adds").append()
+    spark.range(200, 205).toDF("id").writeTo("graft_br.db.cp.branch_adds").append()
+    // main diverges — fast-forward refuses, cherry-pick commutes
+    spark.range(10, 20).toDF("id").writeTo("graft_br.db.cp").append()
+    intercept[Exception](
+      sql("SELECT * FROM graft_fastforward('graft_br', 'db.cp', 'adds')").collect())
+    val r = sql("SELECT * FROM graft_cherrypick('graft_br', 'db.cp', 'adds')")
+      .collect().head
+    assert(r.getInt(0) > 0)
+    val t = spark.table("graft_br.db.cp")
+    assert(t.count() == 45, s"10 base + 25 branch + 10 diverged, got ${t.count()}")
+    assert(t.agg(sum("id")).collect()(0).getLong(0) ==
+      (0L until 20).sum + (100L until 120).sum + (200L until 205).sum)
+    val (fs, dir) = fsDir("cp")
+    assert(GraftBranch.readAll(fs, dir).isEmpty, "branch record retired")
+  }
+
+  test("cherry-pick refuses row-level branch commits") {
+    sql("""CREATE TABLE graft_br.db.cpr (id BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 10).toDF("id").withColumn("v", lit("x"))
+      .writeTo("graft_br.db.cpr").append()
+    sql("SELECT * FROM graft_branch('graft_br', 'db.cpr', 'mix')").collect()
+    sql("UPDATE graft_br.db.cpr.branch_mix SET v = 'y' WHERE id < 3")
+    spark.range(10, 12).toDF("id").withColumn("v", lit("x"))
+      .writeTo("graft_br.db.cpr").append() // diverge
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft_cherrypick('graft_br', 'db.cpr', 'mix')").collect())
+    assert(e.getMessage.contains("APPEND") || e.getMessage.contains("replace"))
+    // nothing half-applied: main unchanged, branch intact
+    assert(spark.table("graft_br.db.cpr").where(col("v") === "y").count() == 0)
+    assert(spark.table("graft_br.db.cpr.branch_mix")
+      .where(col("v") === "y").count() == 3)
+  }
+
   test("name validation and duplicate refusal") {
     sql("""CREATE TABLE graft_br.db.n (id BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
