@@ -584,6 +584,38 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq(n).toDF("files_analyzed"))
       }),
+    ("graft_clone",
+      info("graft_clone",
+        "graft_clone(catalog, source, dest[, 'shallow'|'deep']) - clone " +
+          "the source's current snapshot as a new table: shallow " +
+          "(default) references source files with zero copy (VACUUM on " +
+          "the source can orphan it — the documented trade), deep copies " +
+          "bytes in one distributed job; returns (files, bytes_copied)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "graft_clone(catalog, 'ns.src', 'ns.dst'[, mode])")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_clone: catalog")
+        val src = graftTableOf(cat, stringArg(args(1), "graft_clone: source"))
+        val dstName = stringArg(args(2), "graft_clone: dest")
+        val mode =
+          if (args.length == 4) stringArg(args(3), "graft_clone: mode")
+          else "shallow"
+        require(mode == "shallow" || mode == "deep",
+          s"graft_clone: mode must be 'shallow' or 'deep', got $mode")
+        // destination dir derives from the source's warehouse layout
+        val srcParts = stringArg(args(1), "graft_clone: source").split("\\.")
+        val dstParts = dstName.split("\\.")
+        require(dstParts.length >= 2,
+          "graft_clone: dest must be namespace-qualified ('ns.t')")
+        val srcDir = new org.apache.hadoop.fs.Path(src.dir)
+        val wh = srcParts.init.foldRight(srcDir.getParent)((_, p) => p.getParent)
+        val dstDir = dstParts.foldLeft(wh)(new org.apache.hadoop.fs.Path(_, _))
+        val (n, b) = graft.sources.GraftClone.clone(
+          s, src.dir, dstDir.toString, mode == "shallow")
+        import s.implicits._
+        Bridge.logicalPlan(Seq((n, b)).toDF("files", "bytes_copied"))
+      }),
     ("graft_sync_identity",
       info("graft_sync_identity",
         "graft_sync_identity(catalog, table) - advance the identity " +

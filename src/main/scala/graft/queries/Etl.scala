@@ -1438,6 +1438,46 @@ object Etl {
               |FROM graft_cd.db.cust GROUP BY tier ORDER BY tier""".stripMargin)
     },
 
+    // SHALLOW CLONE (Delta's CLONE): the dev-table idiom at 100 TB —
+    // `graft_clone` pins the source's snapshot as a NEW table with ZERO
+    // bytes copied (asserted); the clone is then restated independently
+    // (DELETE + append) while the SOURCE provably serves its original
+    // rows (asserted). The result reads the restated clone; the oracle
+    // replays the restatement over raw orders.
+    "etl_clone" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cn", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cn.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cn.db")
+      s.sql("DROP TABLE IF EXISTS graft_cn.db.ord")
+      s.sql("DROP TABLE IF EXISTS graft_cn.db.dev")
+      s.sql("""CREATE TABLE graft_cn.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_cn_src")
+      s.sql("INSERT INTO graft_cn.db.ord SELECT * FROM graft_cn_src")
+      val n0 = s.table("graft_cn.db.ord").count()
+      val cl = s.sql(
+        "SELECT * FROM graft_clone('graft_cn', 'db.ord', 'db.dev', 'shallow')")
+        .collect().head
+      require(cl.getLong(1) == 0L,
+        "etl_clone: a shallow clone must copy zero bytes")
+      // restate the CLONE only: drop low keys, double-charge priority 7s
+      s.sql("DELETE FROM graft_cn.db.dev WHERE id % 10 = 1")
+      s.sql("UPDATE graft_cn.db.dev SET cents = cents * 2 WHERE id % 100 = 7")
+      require(s.table("graft_cn.db.ord").count() == n0 &&
+        s.table("graft_cn.db.ord")
+          .agg(sum(col("cents"))).collect()(0).getLong(0) ==
+        s.sql("SELECT CAST(SUM(cents) AS BIGINT) FROM graft_cn_src")
+          .collect()(0).getLong(0),
+        "etl_clone: restating the clone must not touch the source")
+      s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |FROM graft_cn.db.dev GROUP BY status ORDER BY status""".stripMargin)
+    },
+
     // ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
     // builds a COMPLETE table (identity layout + history, routed during
     // the CTAS write itself) in a hidden staged dir and installs it by
@@ -2593,6 +2633,13 @@ object Etl {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT) AS eur
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_clone" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   * CASE WHEN o_orderkey % 100 = 7 THEN 2 ELSE 1 END) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 1
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_generated" ->
       """WITH base AS (

@@ -1019,7 +1019,11 @@ object GraftTable {
   def relativize(dir: Path, file: Path): String = {
     val d = dir.toUri.getPath.stripSuffix("/")
     val f = file.toUri.getPath
-    if (f.startsWith(d + "/")) f.substring(d.length + 1) else file.getName
+    // FOREIGN paths (outside the table dir) stay ABSOLUTE — shallow
+    // clones reference the source table's files verbatim, and
+    // parseEntryLine's Path(dir, child) resolution keeps absolute
+    // children as-is
+    if (f.startsWith(d + "/")) f.substring(d.length + 1) else f
   }
 
   /** Table properties: newline-separated key=value lines in PropsFile
