@@ -1527,6 +1527,14 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
       m.put(s"${GraftEvolution.AliasPrefix}$cur", GraftEvolution.encodeAliases(olds)) }
     pinnedVersion.foreach(v => m.put("pinned-version", v.toString))
     branch.foreach(b => m.put("branch", b))
+    identity.foreach { sp =>
+      m.put(GraftIdentity.ColProp, sp.col)
+      m.put(GraftIdentity.StartProp, sp.start.toString)
+      m.put(GraftIdentity.StepProp, sp.step.toString)
+      m.put(GraftIdentity.ExplicitProp, sp.allowExplicit.toString)
+    }
+    generated.foreach { case (c, t) =>
+      m.put(s"${GraftGenerated.Prefix}$c", t) }
     m
   }
 
