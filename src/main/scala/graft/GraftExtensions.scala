@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (GraftExtensions.register) reach views through the graft_view TVF
     ext.injectResolutionRule(s =>
       new org.apache.spark.sql.graftbridge.GraftViewSubstitution(s))
+    // native CREATE/DROP/SHOW VIEW DDL on graft catalogs. Injected into
+    // the HINT-resolution batch: it runs BEFORE the Resolution batch
+    // where ResolveSessionCatalog throws MISSING_CATALOG_ABILITY for any
+    // v2 catalog, so the statement is rerouted while it still carries
+    // its UnresolvedIdentifier (see GraftViewDDL)
+    ext.injectHintResolutionRule(s =>
+      new org.apache.spark.sql.graftbridge.GraftViewDDL(s))
   }
 }
 
@@ -653,14 +660,18 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"graft_create_view: $cat is not a graft catalog ($other)")
         }
-        // resolving the body NOW validates it and pins the schema users
-        // will see in graft_views; the body re-resolves on every read
-        val resolved = s.sql(body)
         val parts = vname.split("\\.")
         require(parts.length >= 2,
           "graft_create_view: view must be namespace-qualified ('db.v')")
         val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
           parts.init, parts.last)
+        // resolving the body NOW validates it and pins the schema users
+        // will see in graft_views; resolution runs in the view's OWN
+        // catalog.namespace — the exact context every read will pin —
+        // so an unqualified `FROM t` means the same t at create and read
+        val resolved = Bridge.ofRows(s,
+          org.apache.spark.sql.graftbridge.GraftViewResolution
+            .analyzeInContext(s, cat, parts.init, body))
         plugin.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
           ident, body, cat, parts.init, resolved.schema,
           resolved.schema.fieldNames, Array.empty[String],
@@ -688,7 +699,10 @@ object GraftExtensions {
         val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
           parts.init, parts.last)
         val v = plugin.loadView(ident)
-        Bridge.logicalPlan(s.sql(v.query()))
+        // resolve against the view's RECORDED catalog/namespace, not this
+        // session's current context — same path as the native read
+        org.apache.spark.sql.graftbridge.GraftViewResolution
+          .resolvedBody(s, v)
       }),
     ("graft_views",
       info("graft_views",

@@ -1645,6 +1645,10 @@ object Etl {
         .createOrReplaceTempView("graft_vv_src")
       s.sql("""INSERT INTO graft_vv.db.ord
               |SELECT * FROM graft_vv_src WHERE id % 2 = 0""".stripMargin)
+      // idempotent under bench re-runs: the scratch warehouse is stable per
+      // application, so a prior iteration's view must be dropped first
+      s.sql("SELECT * FROM graft_drop_view('graft_vv', 'db.open_by_prio')")
+        .collect()
       s.sql("""SELECT * FROM graft_create_view('graft_vv', 'db.open_by_prio',
               |'SELECT prio, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
               |  FROM graft_vv.db.ord WHERE status <> ''F'' GROUP BY prio')

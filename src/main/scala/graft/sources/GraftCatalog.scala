@@ -2214,14 +2214,21 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
         // per-file BLOOM index (point predicates on non-clustered keys —
         // ranges overlap every file, min/max can't help; the bloom's
         // no-false-negative guarantee makes the drop provably sound, and
-        // files without an entry are never pruned)
+        // files without an entry are never pruned). Filters touching
+        // existence-default columns are withheld: the index is built from
+        // the raw file bytes (pre-add files read back NULL, not the
+        // default the scan will serve), so for those columns the bloom's
+        // "definitely absent" is a lie — same exclusion parquetSafe
+        // applies to footer probes.
         val statsKept = keptJudged ++ keptUnjudged
+        val bloomSafeFilters = pushedFilters.toSeq.filter(
+          _.references.forall(r => !table.existenceDefaultCols.contains(r)))
         val bloomKept =
-          if (bloomIndex.isEmpty) statsKept
+          if (bloomIndex.isEmpty || bloomSafeFilters.isEmpty) statsKept
           else {
             val cache = scala.collection.mutable.Map
               .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
-            statsKept.filterNot(f => GraftBloom.canDrop(pushedFilters.toSeq,
+            statsKept.filterNot(f => GraftBloom.canDrop(bloomSafeFilters,
               table.physicalSchema, bloomIndex, cache, new Path(f).getName))
           }
         // preserve the deterministic file order (bucket/day grouping
@@ -2674,6 +2681,17 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     var committed = -1L
     while (committed < 0) {
       val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
+      // re-check the marker against the REFRESHED log, not the cached
+      // knownEpoch: after a failover a zombie driver of the same query can
+      // race the replacement — if the refreshed head already carries an
+      // equal-or-newer epoch for this query, the batch landed; unland our
+      // duplicate bytes and change nothing (exactly-once)
+      if (v > 0L && GraftTable.manifestMeta(fs, dir, v).get(txnKey)
+          .exists(_.toLong >= epochId)) {
+        landed.foreach(f => fs.delete(new Path(f), false))
+        knownEpoch = Some(epochId)
+        return
+      }
       val old = if (v == 0L) Nil else GraftTable.readFullEntries(fs, dir, v)
       try {
         GraftTable.writeFullEntries(fs, dir, v + 1,
@@ -2989,7 +3007,12 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
             s"the generation expression's $v — omit the column (or write " +
             "NULL/DEFAULT) and let the engine compute it")
       }
-      if (v == null) genPatched.setNullAt(idx) else genPatched.update(idx, v)
+      // idx < 0 = the incoming row shape omits the generated column
+      // (boundGenerators' "write omits it" case): there is no slot to
+      // patch — the physical projection sources the value downstream
+      if (idx >= 0) {
+        if (v == null) genPatched.setNullAt(idx) else genPatched.update(idx, v)
+      }
       k += 1
     }
     genPatched

@@ -51,18 +51,36 @@ object GraftClone {
     val out = fs.create(new Path(dst, GraftTable.MetaFile), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     GraftTable.writeProps(fs, dst, props)
+    // Destination subpath of a source file. Partitioned layouts live in
+    // the PATH (col=value/, ts_day=N/ segments — parsePartValues reads
+    // them back), so a deep copy must preserve the source-relative
+    // subpath, not flatten to the file name. Foreign absolute entries
+    // (the source is itself a shallow clone) keep exactly their k=v
+    // segments + name — the layout information the reader needs.
+    def subpath(f: String): String = {
+      val rel = GraftTable.relativize(src, new Path(f))
+      if (!rel.startsWith("/")) rel
+      else {
+        val parts = rel.split('/')
+        (parts.dropRight(1).filter(_.contains("=")) :+ parts.last)
+          .mkString("/")
+      }
+    }
     val cloned: Seq[GraftTable.GraftEntry] =
       if (shallow) entries // absolute foreign paths survive entryLine
       else {
         // ONE distributed copy job over data files + sidecars
         val pairs = entries.flatMap(e =>
           (e.file +: (e.dv.toSeq ++ e.eqs)).map { f =>
-            (f, new Path(dst, new Path(f).getName).toString)
+            (f, new Path(dst, subpath(f)).toString)
           })
         val conf = new SerializableHadoopConf(
           spark.sessionState.newHadoopConf())
+        val par = spark.conf.getOption("spark.graft.maintenance.parallelism")
+          .map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
         spark.sparkContext
-          .parallelize(pairs, math.max(1, math.min(pairs.size, 32)))
+          .parallelize(pairs, math.max(1, math.min(pairs.size, par)))
           .foreach { case (from, to) =>
             val p = new Path(from)
             val fsx = p.getFileSystem(conf.value)
@@ -70,7 +88,7 @@ object GraftClone {
               fsx, p, fsx, new Path(to), false, conf.value)
           }
         entries.map { e =>
-          def local(f: String) = new Path(dst, new Path(f).getName).toString
+          def local(f: String) = new Path(dst, subpath(f)).toString
           GraftTable.GraftEntry(local(e.file), e.dv.map(local),
             e.eqs.map(local))
         }
@@ -89,8 +107,8 @@ object GraftClone {
       names.flatMap(n => srcStats.get(n).map(n -> _)))
     val bytes =
       if (shallow) 0L
-      else entries.map(e => fs.getFileStatus(new Path(
-        new Path(dst, new Path(e.file).getName).toString)).getLen).sum
+      else entries.map(e =>
+        fs.getFileStatus(new Path(dst, subpath(e.file))).getLen).sum
     (entries.size, bytes)
   }
 }

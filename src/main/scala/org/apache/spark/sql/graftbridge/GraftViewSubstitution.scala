@@ -18,11 +18,11 @@ import org.apache.spark.sql.connector.catalog.Identifier
   * `spark.sql.extensions=graft.GraftExtensions`; sessions without the
   * extension still reach stored views through the `graft_view` TVF.
   *
-  * The substituted body re-enters resolution, so views over views chain;
-  * a self-referential view fails loudly at the analyzer's iteration
-  * limit rather than looping. View bodies are stored with the catalog
-  * prefix the creator used — fully-qualified references resolve
-  * identically from any session.
+  * The body resolves through [[GraftViewResolution]] — one nested
+  * analyzer run pinned to the view's RECORDED catalog/namespace, so an
+  * unqualified `FROM t` in the body keeps meaning the creator's t, never
+  * the reader's; views over views chain through the re-entrant nested
+  * run, and self-reference fails loudly on the resolution-stack guard.
   */
 class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -32,22 +32,20 @@ class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
         substitute(parts).getOrElse(u)
     }
 
-  private def substitute(parts: Seq[String]): Option[LogicalPlan] =
-    try {
+  private def substitute(parts: Seq[String]): Option[LogicalPlan] = {
+    // catalog lookup errors mean "someone else's relation" — leave those
+    // for the normal resolution rules; errors RESOLVING a view we do own
+    // (bad body, schema drift, recursion) must surface, not be swallowed
+    // into a misleading TABLE_OR_VIEW_NOT_FOUND
+    val view = try {
       spark.sessionState.catalogManager.catalog(parts.head) match {
         case g: graft.sources.GraftCatalog =>
           val ident = Identifier.of(parts.tail.init.toArray, parts.last)
-          if (!g.viewExists(ident)) None
-          else {
-            val v = g.loadView(ident)
-            Some(SubqueryAlias(parts.last,
-              spark.sessionState.sqlParser.parsePlan(v.query())))
-          }
+          if (g.viewExists(ident)) Some(g.loadView(ident)) else None
         case _ => None
       }
-    } catch {
-      // not a registered catalog / no such namespace: someone else's
-      // relation — leave it for the normal resolution rules
-      case _: Exception => None
-    }
+    } catch { case _: Exception => None }
+    view.map(v => SubqueryAlias(parts.last,
+      GraftViewResolution.resolvedBody(spark, v)))
+  }
 }

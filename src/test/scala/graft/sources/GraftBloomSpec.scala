@@ -113,6 +113,34 @@ class GraftBloomSpec extends SparkSpec {
       GraftBloom.buildIndex(spark, s"$warehouse/db/rw", Seq("nope")))
   }
 
+  test("existence-default columns never bloom-prune (pre-add files serve the default)") {
+    sql("CREATE TABLE graft_bl.db.ed (id BIGINT, grp BIGINT)")
+    // pre-add files: written BEFORE the column exists
+    spark.range(0, 1000).toDF("id").withColumn("grp", col("id") % 8)
+      .repartition(4, col("grp")).writeTo("graft_bl.db.ed").append()
+    sql("ALTER TABLE graft_bl.db.ed ADD COLUMNS (w BIGINT DEFAULT 5)")
+    // the index build reads raw file bytes — pre-add files have no w, so
+    // their bloom for w is EMPTY even though the scan serves w=5 for
+    // every row; an unsound pruner would 'prove' absence and drop them
+    GraftBloom.buildIndex(spark, s"$warehouse/db/ed", Seq("w", "id"))
+    // precondition making this a real regression test: the index DOES
+    // carry (file, w) entries for the pre-add files — the hazard exists
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/ed")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(GraftBloom.readAll(fs, dir).keys.exists(_._2 == "w"),
+      "precondition: the build must have indexed the defaulted column")
+    val served = spark.table("graft_bl.db.ed").where(col("w") === 5)
+    assert(served.count() == 1000,
+      "bloom pruning on an existence-default column silently dropped rows")
+    // conjunction with a default-column predicate must not poison the
+    // other side either (And(w=5, id=7): id's bloom may prune, w's never)
+    assert(spark.table("graft_bl.db.ed")
+      .where(col("w") === 5 && col("id") === 7).count() == 1)
+    // sanity: the same index still prunes on the ordinary column
+    val probe = spark.table("graft_bl.db.ed").where(col("id") === 4321)
+    assert(probe.count() == 0)
+  }
+
   test("history tables: index the current snapshot; vacuum keeps liveness") {
     sql("""CREATE TABLE graft_bl.db.h (id BIGINT, grp BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)

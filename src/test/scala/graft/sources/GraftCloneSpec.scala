@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -80,6 +82,50 @@ class GraftCloneSpec extends SparkSpec {
     val ids = spark.table("graft_cl.db.ids2").collect().map(_.getLong(0))
     assert(ids.distinct.length == 4,
       s"clone-side generation must continue past the source watermark: ${ids.toSeq}")
+  }
+
+  test("deep clone preserves identity-partition layout (col=value segments)") {
+    sql("""CREATE TABLE graft_cl.db.psrc (id BIGINT, status STRING)
+          |PARTITIONED BY (status) TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 60).toDF("id")
+      .withColumn("status", when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c"))
+      .writeTo("graft_cl.db.psrc").append()
+    sql("SELECT * FROM graft_clone('graft_cl', 'db.psrc', 'db.pdeep', 'deep')")
+      .collect()
+    // the layout survived: reads parse partition values from the copied
+    // paths (a flattened copy throws 'lacks a status= partition segment')
+    assert(spark.table("graft_cl.db.pdeep").count() == 60)
+    assert(spark.table("graft_cl.db.pdeep")
+      .where(col("status") === "a").count() == 20)
+    assert(spark.table("graft_cl.db.pdeep").groupBy("status").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 20L, "b" -> 20L, "c" -> 20L))
+    // and it IS the partitioned layout on disk, not re-derived metadata
+    val files = Files.walk(java.nio.file.Paths.get(warehouse, "db", "pdeep"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("status=")),
+      s"copied files must keep their status= segment: ${files.take(3).mkString(", ")}")
+  }
+
+  test("deep clone preserves day-partition layout (ts_day segments prune)") {
+    sql("""CREATE TABLE graft_cl.db.dsrc (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts)) TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 48).toDF("id")
+      .withColumn("ts", expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,id)"))
+      .writeTo("graft_cl.db.dsrc").append()
+    sql("SELECT * FROM graft_clone('graft_cl', 'db.dsrc', 'db.ddeep', 'deep')")
+      .collect()
+    assert(spark.table("graft_cl.db.ddeep").count() == 48)
+    val files = Files.walk(java.nio.file.Paths.get(warehouse, "db", "ddeep"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("ts_day=")),
+      s"copied files must keep ts_day= segments: ${files.take(3).mkString(", ")}")
+    // day pruning still works on the clone
+    assert(spark.table("graft_cl.db.ddeep")
+      .where(col("ts") < lit("2024-03-02").cast("timestamp")).count() == 24)
   }
 
   test("refusals: plain source, existing destination") {

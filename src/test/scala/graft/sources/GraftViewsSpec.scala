@@ -93,6 +93,93 @@ class GraftViewsSpec extends SparkSpec {
     intercept[Exception](sql("CREATE TABLE graft_vw.db.ev_a (x BIGINT)"))
   }
 
+  test("unqualified body resolves against the RECORDED context, not the reader's") {
+    // a decoy table named `ev` in the READER's current catalog — if view
+    // resolution leaked the reader's context, the view would read this
+    spark.sql("DROP TABLE IF EXISTS default.ev")
+    spark.range(0, 3).toDF("id")
+      .withColumn("kind", lit("zz")).withColumn("v", lit(-1L))
+      .write.saveAsTable("default.ev")
+    try {
+      sql("""SELECT * FROM graft_create_view('graft_vw', 'db.ev_unq',
+            |'SELECT kind, COUNT(*) AS n FROM ev GROUP BY kind')""".stripMargin)
+        .collect()
+      assert(spark.sessionState.catalogManager.currentCatalog.name() ==
+        "spark_catalog", "precondition: reader session is NOT in graft_vw")
+      val kinds = sql("SELECT * FROM graft_vw.db.ev_unq").collect()
+        .map(_.getString(0)).toSet
+      assert(kinds == Set("a", "b"),
+        s"view read the reader's default.ev decoy, got $kinds")
+      val tvfKinds = sql("SELECT * FROM graft_view('graft_vw', 'db.ev_unq')")
+        .collect().map(_.getString(0)).toSet
+      assert(tvfKinds == Set("a", "b"))
+      // reader context is restored after the pinned resolution
+      assert(spark.sessionState.catalogManager.currentCatalog.name() ==
+        "spark_catalog")
+    } finally spark.sql("DROP TABLE IF EXISTS default.ev")
+  }
+
+  test("native CREATE/SHOW/DROP VIEW DDL routes to the graft catalog") {
+    sql("""CREATE VIEW graft_vw.db.ddl_v AS
+          |SELECT kind, SUM(v) AS sv FROM graft_vw.db.ev GROUP BY kind""".stripMargin)
+    assert(sql("SELECT * FROM graft_vw.db.ddl_v").count() == 2)
+    // IF NOT EXISTS is a no-op on an existing view; plain CREATE refuses
+    sql("CREATE VIEW IF NOT EXISTS graft_vw.db.ddl_v AS SELECT 1 AS x")
+    assert(sql("SELECT * FROM graft_vw.db.ddl_v").columns.toSeq ==
+      Seq("kind", "sv"))
+    intercept[Exception](
+      sql("CREATE VIEW graft_vw.db.ddl_v AS SELECT 1 AS x"))
+    // OR REPLACE swaps the definition
+    sql("""CREATE OR REPLACE VIEW graft_vw.db.ddl_v AS
+          |SELECT kind FROM graft_vw.db.ev GROUP BY kind""".stripMargin)
+    assert(sql("SELECT * FROM graft_vw.db.ddl_v").columns.toSeq == Seq("kind"))
+    val shown = sql("SHOW VIEWS IN graft_vw.db").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("ddl_v"))
+    sql("DROP VIEW graft_vw.db.ddl_v")
+    intercept[Exception](sql("SELECT * FROM graft_vw.db.ddl_v").collect())
+    // IF EXISTS tolerates absence; bare DROP refuses
+    sql("DROP VIEW IF EXISTS graft_vw.db.ddl_v")
+    intercept[Exception](sql("DROP VIEW graft_vw.db.ddl_v"))
+    // session-catalog DDL is untouched by the rerouting rule
+    spark.sql("CREATE OR REPLACE TEMP VIEW ddl_tmp AS SELECT 1 AS x")
+    assert(spark.sql("SELECT * FROM ddl_tmp").count() == 1)
+    spark.sql("DROP VIEW ddl_tmp")
+  }
+
+  test("recursive view definitions fail loudly, not with a stack overflow") {
+    sql("CREATE VIEW graft_vw.db.rec AS SELECT id FROM graft_vw.db.ev")
+    // the REPLACE body resolves against the OLD stored definition, so it
+    // validates; the first READ then hits the cycle guard
+    sql("CREATE OR REPLACE VIEW graft_vw.db.rec AS " +
+      "SELECT id FROM graft_vw.db.rec")
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft_vw.db.rec").collect())
+    assert(e.getMessage != null && e.getMessage.contains("recursive"),
+      s"expected a loud recursion error, got: ${e.getMessage}")
+    sql("DROP VIEW graft_vw.db.rec")
+  }
+
+  test("base-table evolution that changes the view's shape fails loudly") {
+    sql("""CREATE TABLE graft_vw.db.drift (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 5).toDF("id").withColumn("v", col("id") * 2)
+      .writeTo("graft_vw.db.drift").append()
+    sql("CREATE VIEW graft_vw.db.drift_v AS SELECT * FROM graft_vw.db.drift")
+    assert(sql("SELECT * FROM graft_vw.db.drift_v").columns.length == 2)
+    sql("ALTER TABLE graft_vw.db.drift ADD COLUMNS (w BIGINT)")
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft_vw.db.drift_v").collect())
+    assert(e.getMessage.contains("REPLACE"),
+      s"drift must point at re-create, got: ${e.getMessage}")
+    // re-creating adopts the new shape
+    sql("""CREATE OR REPLACE VIEW graft_vw.db.drift_v AS
+          |SELECT * FROM graft_vw.db.drift""".stripMargin)
+    assert(sql("SELECT * FROM graft_vw.db.drift_v").columns.length == 3)
+    sql("DROP VIEW graft_vw.db.drift_v")
+    sql("DROP TABLE graft_vw.db.drift")
+  }
+
   test("views track lakehouse verbs on the base (DELETE, time travel base)") {
     val before = sql("SELECT COUNT(*) AS n FROM graft_vw.db.ev_a")
       .collect()(0).getLong(0)
