@@ -424,15 +424,25 @@ object GraftExtensions {
       }),
     ("graft_vacuum",
       info("graft_vacuum",
-        "graft_vacuum(catalog, table, keep_last) - expire old snapshots of " +
-          "a history table; returns (manifests_removed, files_removed)"),
+        "graft_vacuum(catalog, table, keep_last | older_than_ts) - expire " +
+          "old snapshots of a history table, by count (integer: keep the " +
+          "last N) or by time (timestamp string: expire snapshots " +
+          "committed before it; the current snapshot always survives); " +
+          "returns (manifests_removed, files_removed)"),
       (args: Seq[Expression]) => {
-        require(args.length == 3, "graft_vacuum(catalog, 'ns.t', keep_last)")
+        require(args.length == 3,
+          "graft_vacuum(catalog, 'ns.t', keep_last | 'older-than timestamp')")
         val s = SparkSession.active
         val t = graftTableOf(stringArg(args.head, "graft_vacuum: catalog"),
           stringArg(args(1), "graft_vacuum: table"))
-        val (m, f) = graft.sources.GraftMaintenance.vacuum(s, t.dir,
-          intArg(args(2), "graft_vacuum: keep_last"))
+        val (m, f) = args(2) match {
+          case Literal(ts, org.apache.spark.sql.types.StringType) if ts != null =>
+            val millis = java.sql.Timestamp.valueOf(ts.toString).getTime
+            graft.sources.GraftMaintenance.vacuumOlderThan(s, t.dir, millis)
+          case other =>
+            graft.sources.GraftMaintenance.vacuum(s, t.dir,
+              intArg(other, "graft_vacuum: keep_last"))
+        }
         import s.implicits._
         Bridge.logicalPlan(Seq((m, f))
           .toDF("manifests_removed", "files_removed"))

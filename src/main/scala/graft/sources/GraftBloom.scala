@@ -260,7 +260,7 @@ object GraftBloom {
     val colNames = cols.toArray
     val dts = fields.map(_.dataType).toArray
     val built = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .parallelize(files, GraftMaintenance.parallelism(spark, files.size))
       .flatMap { f =>
         val p = new Path(f)
         val expected = math.max(1000L, rowsByName.getOrElse(p.getName, 1000000L))

@@ -2582,10 +2582,9 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
           s"streaming write to ${t.name()}: branches are batch write " +
             "heads — point the stream at the table and stage via " +
             "foreachBatch if a branch epoch is needed")
-        require(t.identity.isEmpty,
-          s"streaming write to ${t.name()}: identity generation needs " +
-            "epoch-serial watermark reads — not wired into the streaming " +
-            "sink yet; use foreachBatch")
+        // identity tables stream natively: micro-batch epochs are serial,
+        // and each epoch's writer factory re-reads the watermark exactly
+        // like a batch append (see GraftStreamingWrite.idWrite)
         new GraftStreamingWrite(t, writeSchema, queryId)
       }
     }
@@ -2616,11 +2615,25 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
   private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
   private def txnKey = s"txn:$queryId"
 
+  /** Identity state of the CURRENT epoch: (spec, watermark the epoch's
+    * tasks allocate against). Micro-batch execution calls
+    * createStreamingWriterFactory once per epoch with that epoch's
+    * PhysicalWriteInfo, and epochs of one query are serial — so the
+    * per-epoch driver-side watermark read is exactly the batch-append
+    * allocation protocol, once per micro-batch.
+    */
+  @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
-    val proj = table.physicalSchema.fields.map(f => writeSchema.fieldIndex(f.name))
+    // the identity column may be wholly absent from the stream's
+    // attributes (-1 → generate), like the batch append path
+    val proj = table.physicalSchema.fields.map(f =>
+      if (table.identity.exists(_.col == f.name) &&
+          !writeSchema.fieldNames.contains(f.name)) -1
+      else writeSchema.fieldIndex(f.name))
     val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
     val bucket = table.bucketSpec.map { case (c, n) =>
       val i = writeSchema.fieldIndex(c)
@@ -2630,11 +2643,21 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       val i = writeSchema.fieldIndex(c)
       (i, writeSchema.fields(i).dataType, c, table.timeUnit)
     }
+    val idGen: Option[GraftIdentity.WriteGen] = table.identity.map { sp =>
+      val wm0 = GraftIdentity.watermark(
+        GraftIdentity.headMeta(fs, new Path(table.dir), table.branch), sp)
+      idWrite = Some((sp, wm0))
+      GraftIdentity.WriteGen(sp.col,
+        table.physicalSchema.fieldIndex(sp.col),
+        if (writeSchema.fieldNames.contains(sp.col))
+          writeSchema.fieldIndex(sp.col) else -1,
+        wm0, sp.step, info.numPartitions, sp.allowExplicit)
+    }
     val inner = new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
-      day, None,
+      day, idGen,
       GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema))
     (partitionId: Int, taskId: Long, epochId: Long) =>
       inner.createWriter(partitionId, taskId)
@@ -2674,6 +2697,16 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     }
     GraftStats.writeCommitStats(fs, dir,
       stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+    // identity: the furthest value any task allocated this epoch rides
+    // the SAME atomic manifest create as the files and the txn marker
+    val idMeta: Map[String, String] = idWrite match {
+      case Some((sp, _)) =>
+        val lasts = messages.flatMap { case GraftCommit(_, _, l) => l }
+        if (lasts.isEmpty) Map.empty
+        else Map(GraftIdentity.wmKey(sp.col) ->
+          (if (sp.step > 0) lasts.max else lasts.min).toString)
+      case None => Map.empty
+    }
     // additive commit with the txn marker in the SAME atomic manifest;
     // races with other writers retry like any append (additive commits
     // commute), re-checking the marker against the refreshed log
@@ -2692,11 +2725,27 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
         knownEpoch = Some(epochId)
         return
       }
+      // an identity epoch that raced a concurrent identity writer fails
+      // loudly: its values were allocated against a watermark that moved
+      // (the batch path draws the same line); restart replays the epoch
+      // against the fresh watermark under the exactly-once marker
+      idWrite.foreach { case (sp, wm0) =>
+        val cur = GraftIdentity.watermark(
+          GraftIdentity.headMeta(fs, dir, table.branch), sp)
+        if (cur != wm0) {
+          landed.foreach(f => fs.delete(new Path(f), false))
+          throw new IllegalStateException(
+            s"identity allocation on ${table.name()} epoch $epochId " +
+              s"raced a concurrent identity write (watermark $wm0 -> " +
+              s"$cur since this epoch planned) — the epoch replays on " +
+              "restart")
+        }
+      }
       val old = if (v == 0L) Nil else GraftTable.readFullEntries(fs, dir, v)
       try {
         GraftTable.writeFullEntries(fs, dir, v + 1,
           old ++ landed.map(GraftTable.GraftEntry(_, None)),
-          Map(txnKey -> epochId.toString))
+          Map(txnKey -> epochId.toString) ++ idMeta)
         committed = v + 1
       } catch {
         case e: java.io.IOException =>

@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftMaintenance {
 
+  /** Partition count for distributed maintenance jobs (deep-clone copy,
+    * stats/NDV backfill, bloom build): `spark.graft.maintenance.parallelism`
+    * when set, else the cluster's default parallelism — a 1000-executor
+    * cluster spreads the work; local mode keeps its core count. Never a
+    * hardcoded cap.
+    */
+  def parallelism(spark: SparkSession, items: Int): Int = {
+    val par = spark.conf.getOption("spark.graft.maintenance.parallelism")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    math.max(1, math.min(items, par))
+  }
+
   /** Rewrite-path file reader: on tables with rename/widen/add history the
     * plain multi-file parquet read matches by NAME against one sampled
     * schema and silently drops or NULLs the other epochs' columns — this
@@ -578,6 +590,30 @@ object GraftMaintenance {
     */
   def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1)
+    vacuumKeeping(spark, tableDir, _.takeRight(keepLast).toSet)
+  }
+
+  /** Time-based retention (`expire_snapshots(older_than)` / `VACUUM ...
+    * RETAIN n HOURS`): expire every snapshot whose commit time is before
+    * `olderThanMillis` (epoch millis). The CURRENT snapshot always
+    * survives, whatever its age — retention trims history, never the
+    * table. Tagged and branch-pinned snapshots are retention-proof, as
+    * with count-based vacuum.
+    */
+  def vacuumOlderThan(spark: SparkSession, tableDir: String,
+                      olderThanMillis: Long): (Int, Int) = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    vacuumKeeping(spark, tableDir, versions =>
+      versions.filter { v =>
+        val p = GraftTable.manifestPath(dir, v)
+        fs.exists(p) &&
+          fs.getFileStatus(p).getModificationTime >= olderThanMillis
+      }.toSet ++ versions.lastOption)
+  }
+
+  private def vacuumKeeping(spark: SparkSession, tableDir: String,
+                            keepOf: Seq[Long] => Set[Long]): (Int, Int) = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(dir, GraftTable.PropsFile)),
@@ -592,7 +628,7 @@ object GraftMaintenance {
     // either would tear the branch
     val branchBases = GraftBranch.readAll(fs, dir).values.toSet
     val (branchFiles, branchSegs) = GraftBranch.referencedByBranches(fs, dir)
-    val keep = versions.takeRight(keepLast).toSet ++ tagged ++ branchBases
+    val keep = keepOf(versions) ++ tagged ++ branchBases
     val expire = versions.filterNot(keep.contains)
     if (expire.isEmpty) return (0, 0)
     val keptEntries = versions.filter(keep.contains)

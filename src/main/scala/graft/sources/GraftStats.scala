@@ -90,29 +90,68 @@ object GraftStats {
 
   private def statsDir(dir: Path) = new Path(dir, StatsDirName)
 
-  /** Append one commit's stats (no-op on empty). File name is uuid-unique:
-    * append-only, no read-modify-write, concurrent committers can't lose
-    * each other's entries.
+  /** Consolidation threshold: same amortized policy as the manifest's
+    * segment compaction (MaxSegments) — a year of streaming ingest is
+    * 10⁴-10⁵ commits, and scan PLANNING reads this log, so it must stay
+    * O(segments), not O(commits).
+    */
+  private[sources] val MaxStatsFiles = 32
+
+  private def listStatsFiles(fs: FileSystem, d: Path): Seq[Path] =
+    fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .map(_.getPath).sortBy(_.getName)
+
+  /** Raw single-file append — no consolidation. Name ordering IS apply
+    * ordering: the zero-padded millis prefix makes a re-lift of an
+    * in-place rewrite (same data-file name) win over the stale entry.
+    */
+  private def appendStatsFile(fs: FileSystem, d: Path,
+                              entries: Seq[(String, FileStats)],
+                              name: String = f"stats-${System.currentTimeMillis()}%013d-" +
+                                s"${UUID.randomUUID().toString.take(8)}.txt"): Unit = {
+    val out = fs.create(new Path(d, name), false)
+    try out.write(entries.map { case (n, st) => encodeLine(n, st) }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Append one commit's stats (no-op on empty). Append-only, uuid-named,
+    * so concurrent committers can't lose each other's entries. When the
+    * log reaches [[MaxStatsFiles]] files, the write first folds them into
+    * ONE consolidated file — amortized O(live entries), the manifest
+    * segment-compaction cadence — keeping every later scan's planning at
+    * a bounded number of metadata reads. The consolidated file takes the
+    * newest consumed file's name plus a suffix that sorts directly after
+    * it, so entries landed concurrently (strictly newer names) still win.
     */
   def writeCommitStats(fs: FileSystem, dir: Path,
                        entries: Seq[(String, FileStats)]): Unit = {
     if (entries.isEmpty) return
     val d = statsDir(dir)
     fs.mkdirs(d)
-    // zero-padded millis prefix: readAll applies files in name order, so
-    // a re-lift of an in-place rewrite (same file name) wins over the
-    // stale entry it supersedes
-    val out = fs.create(
-      new Path(d, f"stats-${System.currentTimeMillis()}%013d-" +
-        s"${UUID.randomUUID().toString.take(8)}.txt"), false)
-    try out.write(entries.map { case (n, st) => encodeLine(n, st) }
-      .mkString("\n").getBytes(UTF_8))
-    finally out.close()
+    val existing = listStatsFiles(fs, d)
+    if (existing.size >= MaxStatsFiles) {
+      val merged = existing.flatMap { p =>
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.nonEmpty).flatMap(decodeLine)
+      }.toMap
+      // 'c' > '.' byte-wise: sorts after the newest consumed file, before
+      // any strictly-newer timestamped append
+      appendStatsFile(fs, d, merged.toSeq.sortBy(_._1),
+        existing.last.getName.stripSuffix(".txt") + "c.txt")
+      existing.foreach(fs.delete(_, false))
+    }
+    appendStatsFile(fs, d, entries)
   }
 
   /** All recorded stats, keyed by data-file NAME (names are uuid-unique
-    * for the file's lifetime). Reading is O(commits) tiny sequential
-    * metadata reads — the manifest-log cost model, not O(data files).
+    * for the file's lifetime). Reading is O(segments) tiny sequential
+    * metadata reads — writeCommitStats' amortized consolidation bounds
+    * the file count at [[MaxStatsFiles]] regardless of commit count.
     */
   def readAll(fs: FileSystem, dir: Path): Map[String, FileStats] = {
     val d = statsDir(dir)
@@ -140,10 +179,11 @@ object GraftStats {
     if (!fs.exists(d)) return
     val all = readAll(fs, dir)
     val kept = all.toSeq.filter { case (n, _) => live(n) }.sortBy(_._1)
-    val old = fs.listStatus(d).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
-      .map(_.getPath)
-    writeCommitStats(fs, dir, kept)
+    val old = listStatsFiles(fs, d)
+    // raw append, NOT writeCommitStats: this rewrite is already the
+    // consolidation, and the consolidating path would fold the pre-purge
+    // entries into a file the delete below doesn't cover
+    if (kept.nonEmpty) appendStatsFile(fs, d, kept)
     old.foreach(fs.delete(_, false))
     if (kept.isEmpty) fs.delete(d, true)
   }
@@ -163,10 +203,8 @@ object GraftStats {
         case other => other
       })
     }
-    val old = fs.listStatus(d).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
-      .map(_.getPath)
-    writeCommitStats(fs, dir, renamed)
+    val old = listStatsFiles(fs, d)
+    if (renamed.nonEmpty) appendStatsFile(fs, d, renamed)
     old.foreach(fs.delete(_, false))
   }
 
@@ -362,7 +400,7 @@ object GraftStats {
     val names = eligible.map(_.name).toArray
     val dts = eligible.map(_.dataType).toArray
     val built = spark.sparkContext
-      .parallelize(missing, math.max(1, math.min(missing.size, 32)))
+      .parallelize(missing, GraftMaintenance.parallelism(spark, missing.size))
       .map { f =>
         val p = new Path(f)
         val sketches = dts.map(_ =>
@@ -684,7 +722,7 @@ object GraftStats {
     if (files.isEmpty) return
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val lifted = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .parallelize(files, GraftMaintenance.parallelism(spark, files.size))
       .map { f =>
         val p = new Path(f)
         (p.getName, fromFooter(p, conf.value, schema))

@@ -91,4 +91,40 @@ class GraftRefsSpec extends SparkSpec {
     GraftMaintenance.purge(spark, "graft_rf", "db.t3", "k = 1")
     assert(GraftMaintenance.purgedCompletely(spark, "graft_rf", "db.t3", "k = 1"))
   }
+
+  test("time-based retention: expire-by-age spares tags, branches, and the head") {
+    sql("""CREATE TABLE graft_rf.db.t4 (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_rf.db.t4 VALUES (1, 'a')")           // v2
+    sql("INSERT INTO graft_rf.db.t4 VALUES (2, 'b')")           // v3
+    sql("SELECT * FROM graft_tag('graft_rf', 'db.t4', 'golden', 2)").collect()
+    graft.GraftExtensions.register(spark)
+    sql("SELECT * FROM graft_branch('graft_rf', 'db.t4', 'dev')").collect() // pins v3
+    sql("INSERT INTO graft_rf.db.t4 VALUES (3, 'c')")           // v4 (head)
+    // backdate EVERY manifest by an hour — by pure age, all would expire
+    val dir = new java.io.File(tdir("t4"))
+    dir.listFiles().filter(_.getName.startsWith("_graft_manifest"))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 3600 * 1000))
+    val cutoff = new java.sql.Timestamp(
+      System.currentTimeMillis() - 60 * 1000).toString
+    val r = sql("SELECT * FROM graft_vacuum('graft_rf', 'db.t4', " +
+      s"'$cutoff')").collect().head
+    // v1 expires; v2 (tag), v3 (branch base) and v4 (head) survive age
+    assert(r.getInt(0) == 1,
+      s"expected exactly v1 to expire, got ${r.getInt(0)} manifests")
+    assert(sql("SELECT count(*) FROM graft_rf.db.t4 VERSION AS OF 'golden'")
+      .collect().head.getLong(0) == 1)
+    assert(sql("SELECT count(*) FROM graft_rf.db.t4.branch_dev")
+      .collect().head.getLong(0) == 2)
+    assert(sql("SELECT count(*) FROM graft_rf.db.t4")
+      .collect().head.getLong(0) == 3)
+    // a cutoff in the FUTURE still cannot expire the current snapshot
+    val future = new java.sql.Timestamp(
+      System.currentTimeMillis() + 3600 * 1000).toString
+    sql(s"SELECT * FROM graft_vacuum('graft_rf', 'db.t4', '$future')")
+      .collect()
+    assert(sql("SELECT count(*) FROM graft_rf.db.t4")
+      .collect().head.getLong(0) == 3,
+      "the head snapshot must survive any retention cutoff")
+  }
 }

@@ -280,4 +280,34 @@ class GraftStatsSpec extends SparkSpec {
     assert(st.cols("ts").max.get.toLong ==
       nonNull(5).map(_.asInstanceOf[Long]).max)
   }
+
+  test("stats log stays O(segments) across many commits (amortized consolidation)") {
+    sql("""CREATE TABLE graft_st.db.many (id BIGINT, grp BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    val nCommits = 100
+    (0 until nCommits).foreach { i =>
+      spark.range(i * 10L, i * 10L + 10).toDF("id")
+        .withColumn("grp", lit(i.toLong)).coalesce(1)
+        .writeTo("graft_st.db.many").append()
+    }
+    // every scan's PLANNING reads this log — after 100 commits it must
+    // hold a bounded file count, not one file per commit
+    val logFiles = statsDir("many").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    assert(logFiles.length <= GraftStats.MaxStatsFiles + 1,
+      s"stats log grew to ${logFiles.length} files over $nCommits commits")
+    // no entry was lost in the folds: every data file still has stats,
+    // and pruning still plans exactly the matching commit's file
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/many")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val all = GraftStats.readAll(fs, dir)
+    assert(all.size == nCommits,
+      s"expected $nCommits stats entries, got ${all.size}")
+    val (n, probed) = probes(
+      spark.table("graft_st.db.many").where(col("grp") === 42).count())
+    assert(n == 10 && probed == 0,
+      s"pruning after consolidation must stay footer-free (probes=$probed)")
+    assert(planned(
+      spark.table("graft_st.db.many").where(col("grp") === 42)) == 1)
+  }
 }

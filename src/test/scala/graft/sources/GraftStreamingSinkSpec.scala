@@ -162,4 +162,58 @@ class GraftStreamingSinkSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("identity tables stream: per-epoch watermark allocation, unique ids") {
+    sql("""CREATE TABLE graft_ss.db.facts
+          |(id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    // batch-seed some generated ids so the stream must CONTINUE past them
+    sql("INSERT INTO graft_ss.db.facts (v) VALUES ('seed1'), ('seed2')")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = in.toDF()
+      .select(concat(lit("s"), col("value")).as("v"))  // identity col omitted
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssink_idcp").toString)
+      .toTable("graft_ss.db.facts")
+    try {
+      in.addData(0L until 40L: _*)
+      q.processAllAvailable()
+      in.addData(40L until 70L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = spark.table("graft_ss.db.facts")
+    assert(t.count() == 72)
+    // ids are engine-assigned, non-null, and UNIQUE across the batch
+    // seed and both epochs (per-epoch watermark must have advanced)
+    assert(t.where(col("id").isNull).count() == 0)
+    assert(t.select("id").distinct().count() == 72,
+      "identity values must be unique across batch seed + stream epochs")
+    // a later batch insert continues past the stream's watermark
+    sql("INSERT INTO graft_ss.db.facts (v) VALUES ('post')")
+    val t2 = spark.table("graft_ss.db.facts")
+    assert(t2.select("id").distinct().count() == 73)
+    // the published watermark rides the manifest meta like batch commits
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/facts")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = GraftTable.manifestMeta(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last)
+    assert(meta.contains("idwm:id"),
+      s"head manifest must carry the identity watermark, got ${meta.keys}")
+    // GENERATED ALWAYS refuses explicit stream values too
+    val in2 = MemoryStream[Long]
+    val q2 = in2.toDF().select(col("value").as("id"), lit("x").as("v"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssink_idcp2").toString)
+      .toTable("graft_ss.db.facts")
+    val ex = intercept[Exception] {
+      try { in2.addData(9999L); q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(ex.getMessage != null)
+    assert(spark.table("graft_ss.db.facts").where(col("id") === 9999L)
+      .count() == 0, "the refused epoch must not land")
+  }
 }
