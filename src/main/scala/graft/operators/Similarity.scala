@@ -216,4 +216,116 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** HNSW-shaped LAYERED graph-ANN search — the layer stack
+    * [[graphBeamSearch]] lacks. Nodes are promoted to upper levels by a
+    * deterministic 1-in-`promote` rule on the id (level l ⇔ id divisible
+    * by promote^l, capped at `maxLevel`) — the geometric level sizes of
+    * HNSW's exponential assignment, made exactly replayable. Search
+    * descends the stack:
+    *
+    *  - ENTRY: score each query against the (tiny — N/promote^maxLevel)
+    *    top-level node set, keep `upperBeam`.
+    *  - per upper level l = maxLevel-1 … 1: one greedy expand over the
+    *    WITHIN-LEVEL graph (label-blocked top-`degree` among nodes of
+    *    level ≥ l — each level's graph is Σ(block∩level)² pairs to
+    *    build, geometrically cheaper per level), score exactly, keep
+    *    `upperBeam` — HNSW's coarse positioning.
+    *  - LEVEL 0: hand the positioned beam to the full beam search over
+    *    `level0Graph` (the corpus-scale seed graph the flat queries
+    *    use), `rounds` expansions at `beamWidth`, final `topK`.
+    *
+    * Scale: upper-level work is Q·upperBeam·degree rows per level over
+    * geometrically-shrinking node sets; level-0 work is the flat beam
+    * cost — the stack only ADDS a good entry, which is exactly HNSW's
+    * claim. When N/promote is itself too large for blocked within-level
+    * builds, raise `promote` (HNSW's M dial) so layers shrink faster.
+    */
+  def layeredBeamSearch(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        level0Graph: DataFrame, blockCol: String,
+                        promote: Int = 8, maxLevel: Int = 3,
+                        upperBeam: Int = 4, degree: Int = 3,
+                        beamWidth: Int = 8, rounds: Int = 3,
+                        topK: Int = 5): DataFrame = {
+    val v = corpus.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+        Vectors.toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+      .localCheckpoint(eager = true)
+    val q = queries.select(col(idCol).as("q_id"),
+        Vectors.toDoubleArray(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", Vectors.norm(col("q_v")))
+      .localCheckpoint(eager = true)
+    // upper-level beams may CONTAIN the query node itself (a promoted
+    // query is its own best entry — HNSW's entry semantics); only the
+    // final ranking excludes self
+    def score(cand: DataFrame, excludeSelf: Boolean): DataFrame = {
+      val joined = cand
+        .join(v.select(col("__id").as("id"), col("__v"), col("__nrm")), "id")
+        .join(broadcast(q), "q_id")
+      (if (excludeSelf) joined.where(col("id") =!= col("q_id")) else joined)
+        .select(col("q_id"), col("id"),
+          (Vectors.dot(col("q_v"), col("__v")) /
+            (col("q_nrm") * col("__nrm"))).as("cosine"))
+    }
+    def top(scored: DataFrame, k: Int): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+    def levelNodes(l: Int): DataFrame = {
+      val div = math.pow(promote.toDouble, l.toDouble).toLong
+      v.where(col("__id") % div === 0)
+    }
+    // entry: exact over the top level's node set
+    var beam = top(score(q.select(col("q_id")).crossJoin(
+        levelNodes(maxLevel).select(col("__id").as("id"))),
+        excludeSelf = false), upperBeam)
+      .select(col("q_id"), col("id"))
+      .localCheckpoint(eager = true)
+    // greedy descent through the upper levels' within-level graphs
+    for (l <- (maxLevel - 1) to 1 by -1) {
+      val nodes = levelNodes(l)
+      val a = nodes.select(col("__id").as("a_id"), col("__blk").as("a_blk"),
+        col("__v").as("a_v"), col("__nrm").as("a_nrm"))
+      val b = nodes.select(col("__id").as("b_id"), col("__blk").as("b_blk"),
+        col("__v").as("b_v"), col("__nrm").as("b_nrm"))
+      val pairs = a.join(b, col("a_blk") === col("b_blk") &&
+          col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (Vectors.dot(col("a_v"), col("b_v")) /
+            (col("a_nrm") * col("b_nrm"))).as("cosine"))
+      val wl = Window.partitionBy("a_id")
+        .orderBy(col("cosine").desc, col("b_id"))
+      val edges = pairs.withColumn("rank", row_number().over(wl))
+        .where(col("rank") <= degree).select(col("a_id"), col("b_id"))
+      val und = edges.unionAll(edges.select(col("b_id").as("a_id"),
+          col("a_id").as("b_id"))).distinct()
+      val cand = beam.unionAll(
+          beam.join(und.withColumnRenamed("a_id", "id"), "id")
+            .select(col("q_id"), col("b_id").as("id")))
+        .distinct()
+      beam = top(score(cand, excludeSelf = false), upperBeam)
+        .select(col("q_id"), col("id"))
+        .localCheckpoint(eager = true)
+    }
+    // level 0: the flat beam search, entered from the positioned beam
+    val und0 = level0Graph.select(col("a_id"), col("b_id"))
+      .unionAll(level0Graph.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var beam0 = top(score(beam, excludeSelf = false), beamWidth)
+      .select(col("q_id"), col("id"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val cand = beam0.unionAll(
+          beam0.join(und0.withColumnRenamed("a_id", "id"), "id")
+            .select(col("q_id"), col("b_id").as("id")))
+        .distinct()
+      beam0 = top(score(cand, excludeSelf = false), beamWidth)
+        .select(col("q_id"), col("id"))
+        .localCheckpoint(eager = true)
+    }
+    top(score(beam0, excludeSelf = true), topK)
+  }
 }

@@ -1478,6 +1478,37 @@ object Etl {
               |FROM graft_cn.db.dev GROUP BY status ORDER BY status""".stripMargin)
     },
 
+    // EMBEDDINGS IN THE LAKEHOUSE: the engine's flagship payload — an
+    // ARRAY<FLOAT> column — living in a GOVERNED catalog table, not loose
+    // parquet: write through the full stack (stats track the scalars and
+    // skip the array), a row-level DELETE rewrites files with arrays
+    // intact, and exact cosine top-k runs directly over the catalog scan.
+    // The oracle replays the delete + top-k over the raw parquet, so a
+    // single flipped mantissa bit anywhere in the lakehouse round-trip
+    // fails the hash compare.
+    "etl_embed_table" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_em", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_em.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_em.db")
+      s.sql("DROP TABLE IF EXISTS graft_em.db.emb")
+      s.sql("""CREATE TABLE graft_em.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .createOrReplaceTempView("graft_em_src")
+      s.sql("INSERT INTO graft_em.db.emb SELECT * FROM graft_em_src")
+      // a lakehouse verb over the array table: COW rewrite, arrays intact
+      s.sql("DELETE FROM graft_em.db.emb WHERE vec_id % 10 = 3")
+      val t = s.table("graft_em.db.emb")
+      graft.operators.Similarity.topKCosine(
+          t, t.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
     // builds a COMPLETE table (identity layout + history, routed during
     // the CTAS write itself) in a hidden staged dir and installs it by
@@ -2644,6 +2675,22 @@ object Etl {
         |   * CASE WHEN o_orderkey % 100 = 7 THEN 2 ELSE 1 END) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 10 <> 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_embed_table" -> {
+      val dot = SimilarityQueries.dotSql("q.e", "n.e")
+      val qq = SimilarityQueries.dotSql("q.e", "q.e")
+      val nn = SimilarityQueries.dotSql("n.e", "n.e")
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+         |  FROM embeddings WHERE vec_id % 10 <> 3),
+         |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  $dot / (sqrt($qq) * sqrt($nn)) AS cosine
+         | FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+         |ranked AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored)
+         |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
 
     "etl_generated" ->
       """WITH base AS (

@@ -264,6 +264,40 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // HNSW-shaped LAYERED search — the layer stack sim_graph_search lacks:
+    // deterministic 1-in-8 promotion (level l ⇔ id % 8^l = 0, HNSW's
+    // geometric layer sizes made replayable), exact entry over the tiny
+    // top layer, greedy descent through label-blocked within-level
+    // graphs, then the flat level-0 beam over the corpus seed graph. The
+    // oracle replays every layer and round in SQL
+    "sim_hnsw_search" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.layeredBeamSearch(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", seedGraph(emb), blockCol = "label")
+        .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
+    // recall@5 of the layered search vs the exact scan — extends the
+    // measure-don't-guess audit family (IVF, PQ, flat graph) to the
+    // layered structure
+    "sim_hnsw_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val got = Similarity.layeredBeamSearch(emb, q, "vec_id", "embedding",
+          seedGraph(emb), blockCol = "label")
+        .select(col("q_id").as("g_q"), col("id").as("g_id"))
+      val exact = Similarity.topKCosine(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(got,
+          col("q_id") === col("g_q") && col("n_id") === col("g_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("g_id")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    },
+
     // the SQL front door under the value gate: the same engine surface a
     // SQL-only user gets — GraftExtensions-registered vec_cosine (the
     // native codegen'd DotProduct expression, not a UDF) over temp views,
@@ -505,10 +539,10 @@ object SimilarityQueries {
     }
   )
 
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** The LSH plane matrices inlined as SQL literals: `Double.toString`
@@ -577,7 +611,105 @@ object SimilarityQueries {
        |${round(3)}""".stripMargin
   }
 
+  /** Layer-by-layer replay of [[graft.operators.Similarity.layeredBeamSearch]]
+    * with its defaults (promote 8, maxLevel 3, upperBeam 4, degree 3,
+    * beamWidth 8, rounds 3): entry over the % 512 layer (self allowed —
+    * only the final rank excludes the query itself), greedy step through
+    * the % 64 and % 8 within-level label-blocked graphs, then two flat
+    * rounds over the corpus seed graph. Ends at `hb2` (the final beam).
+    */
+  private lazy val hnswSearchCtes: String = {
+    def levelStep(l: Int, div: Long, prevBeam: String): String =
+      s"""lp$l AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cosSql("a.e", "b.e")} AS cosine
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+         |   AND a.vec_id % $div = 0 AND b.vec_id % $div = 0),
+         |le$l AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |    ORDER BY cosine DESC, b_id) AS rank FROM lp$l) WHERE rank <= 3),
+         |lu$l AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a_id, b_id FROM le$l
+         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM le$l)),
+         |lc$l AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM $prevBeam
+         |  UNION ALL SELECT $prevBeam.q_id, lu$l.b_id AS id
+         |  FROM $prevBeam JOIN lu$l ON lu$l.a_id = $prevBeam.id)),
+         |ls$l AS (SELECT c.q_id, c.id, ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM lc$l c JOIN v x ON x.vec_id = c.id
+         | JOIN qf q ON q.q_id = c.q_id),
+         |lb$l AS (SELECT q_id, id FROM (
+         |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ls$l) WHERE rank <= 4)""".stripMargin
+    def flatRound(i: Int, prevBeam: String): String =
+      s"""hc$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM $prevBeam
+         |  UNION ALL SELECT $prevBeam.q_id, und.b_id AS id
+         |  FROM $prevBeam JOIN und ON und.a_id = $prevBeam.id)),
+         |hs$i AS (SELECT c.q_id, c.id, ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM hc$i c JOIN v x ON x.vec_id = c.id
+         | JOIN qf q ON q.q_id = c.q_id),
+         |hb$i AS (SELECT q_id, id FROM (
+         |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM hs$i) WHERE rank <= 8)""".stripMargin
+    s"""v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |qf AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+       |es AS (SELECT qf.q_id, x.vec_id AS id,
+       |  ${cosSql("qf.q_e", "x.e")} AS cosine
+       | FROM qf CROSS JOIN v x WHERE x.vec_id % 512 = 0),
+       |eb AS (SELECT q_id, id FROM (
+       |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM es) WHERE rank <= 4),
+       |${levelStep(2, 64L, "eb")},
+       |${levelStep(1, 8L, "lb2")},
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blocked AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+       |nq AS (SELECT COUNT(*) AS n FROM v),
+       |rnd AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
+       | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
+       |seed AS (SELECT a_id, b_id FROM blocked
+       |  UNION ALL SELECT a_id, b_id FROM rnd),
+       |und AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seed
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
+       |${flatRound(1, "lb1")},
+       |${flatRound(2, "hb1")},
+       |${flatRound(3, "hb2")},
+       |hfin AS (SELECT b.q_id, b.id, ${cosSql("q.q_e", "x.e")} AS cosine
+       | FROM hb3 b JOIN v x ON x.vec_id = b.id
+       | JOIN qf q ON q.q_id = b.q_id WHERE b.id != b.q_id),
+       |hr AS (SELECT q_id, id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank
+       | FROM hfin)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_hnsw_search" ->
+      s"""WITH $hnswSearchCtes
+         |SELECT q_id, id AS n_id, cosine, rank FROM hr WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_hnsw_recall" ->
+      s"""WITH $hnswSearchCtes,
+         |ex AS (SELECT qf.q_id, x.vec_id AS id,
+         |  ${cosSql("qf.q_e", "x.e")} AS cosine
+         | FROM qf CROSS JOIN v x WHERE x.vec_id != qf.q_id),
+         |exact AS (SELECT q_id, id FROM (
+         |  SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ex) WHERE rank <= 5),
+         |got AS (SELECT q_id, id FROM hr WHERE rank <= 5),
+         |hits AS (SELECT exact.q_id, COUNT(got.id) AS n_hit
+         | FROM exact LEFT JOIN got
+         |   ON got.q_id = exact.q_id AND got.id = exact.id
+         | GROUP BY exact.q_id)
+         |SELECT q_id, n_hit, n_hit::DOUBLE / 5.0 AS recall
+         |FROM hits ORDER BY q_id""".stripMargin,
+
     // full value oracle for the IVF probe path: stride centroids, argmax
     // assignment, top-nProbe probing and candidate ranking are all plain
     // SQL over the same IEEE double formulas
