@@ -1509,6 +1509,86 @@ object Etl {
         .orderBy("q_id", "rank")
     },
 
+    // IVF × LAKEHOUSE LAYOUT: the 100 TB ANN-serving shape — embeddings
+    // stored PARTITIONED BY their IVF list assignment, so probing IS
+    // partition pruning: a query's top-nProbe lists become a partition
+    // IN-filter and the scan plans ONLY those lists' files (asserted
+    // in-query: probed lists < total lists and planned splits < total
+    // files). The oracle replays centroid assignment, probing and
+    // in-list ranking in SQL over the raw parquet.
+    "etl_embed_ivf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ei", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ei.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ei.db")
+      s.sql("DROP TABLE IF EXISTS graft_ei.db.emb")
+      s.sql("""CREATE TABLE graft_ei.db.emb (vec_id BIGINT, label BIGINT,
+              |list_id BIGINT, embedding ARRAY<FLOAT>)
+              |PARTITIONED BY (list_id)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val V = graft.functions.Vectors
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.IvfIndex
+        .centroids(emb, "vec_id", "embedding", 32)
+      val listed = graft.operators.IvfIndex
+        .assign(emb, cents, "vec_id", "embedding")
+        .select(col("id").cast("long").as("vec_id"),
+          col("c_id").cast("long").as("list_id"))
+      emb.select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .join(listed, "vec_id")
+        .select(col("vec_id"), col("label"), col("list_id"), col("embedding"))
+        .writeTo("graft_ei.db.emb").append()
+      // probe: top-2 centroids per query — few lists by construction
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("q_id"),
+          V.toDoubleArray(col("embedding")).as("q_v"))
+        .withColumn("q_nrm", V.norm(col("q_v")))
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
+          (V.dot(col("q_v"), col("c_v")) /
+            (col("q_nrm") * col("c_nrm"))).as("p_cos"))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))))
+        .where(col("__pr") <= 2)
+        .select(col("q_id"), col("q_v"), col("q_nrm"),
+          col("c_id").cast("long").as("list_id"))
+        .localCheckpoint(eager = true)
+      // queries × nProbe is tiny by construction — this is the partition
+      // IN-list, not data
+      val probedLists = probes.select("list_id").distinct()
+        .collect().map(_.getLong(0))
+      val totalLists = s.table("graft_ei.db.emb")
+        .select("list_id").distinct().count()
+      require(probedLists.length < totalLists,
+        s"etl_embed_ivf: probing must touch a strict subset of lists " +
+          s"(${probedLists.length} of $totalLists)")
+      val scan = s.table("graft_ei.db.emb")
+        .where(col("list_id").isin(probedLists.map(Long.box): _*))
+      val totalFiles = s.sql(
+        "SELECT * FROM graft_files('graft_ei', 'db.emb')").count()
+      require(scan.rdd.getNumPartitions < totalFiles,
+        s"etl_embed_ivf: the probed scan must plan fewer splits " +
+          s"(${scan.rdd.getNumPartitions}) than the table has files " +
+          s"($totalFiles) — partition pruning is the point")
+      // in-list exact ranking, brute force within the probed lists only
+      val scored = scan
+        .select(col("vec_id").as("n_id"),
+          V.toDoubleArray(col("embedding")).as("n_v"), col("list_id"))
+        .withColumn("n_nrm", V.norm(col("n_v")))
+        .join(broadcast(probes), Seq("list_id"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (V.dot(col("q_v"), col("n_v")) /
+            (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
     // builds a COMPLETE table (identity layout + history, routed during
     // the CTAS write itself) in a hidden staged dir and installs it by
@@ -2689,6 +2769,35 @@ object Etl {
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          | FROM scored)
          |SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
+    "etl_embed_ivf" -> {
+      val cos = SimilarityQueries.cosSql _
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cos("v.e", "c.c_e")} DESC, c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+         |probes AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cos("q.q_e", "c.c_e")} DESC, c.c_id) AS pr
+         |  FROM q CROSS JOIN c) WHERE pr <= 2),
+         |cand AS (SELECT p.q_id, a.id AS n_id
+         |  FROM probes p JOIN asg a ON a.c_id = p.c_id
+         |  WHERE a.id != p.q_id),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |  ${cos("qq.q_e", "nn.e")} AS cosine
+         | FROM cand JOIN q qq ON qq.q_id = cand.q_id
+         |           JOIN v nn ON nn.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM sc)
+         |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
     },
 

@@ -450,6 +450,41 @@ object SimilarityQueries {
         .orderBy("lang", "shard")
     },
 
+    // shard RANDOM-ACCESS READ-BACK (the .idx consumer — the reader half
+    // of the WebDataset round-trip the pack/index/payload trio writes):
+    // sampled members are re-extracted from the CONCATENATED shard
+    // payload purely by their (byte_offset, byte_len) index entry —
+    // byte-based binary substring, no per-member markers — and the
+    // oracle hashes the ORIGINAL text per member, so one wrong offset,
+    // one mis-sorted member, or any multi-byte/UTF-8 length confusion
+    // anywhere in the pack→index→read chain fails the compare
+    "mm_shard_read" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang"), col("text"),
+          length(col("text").cast("binary")).as("byte_len"))
+      val pre = graft.operators.GlobalRank.withGroupedPrefixSum(
+          base, Seq("lang"), Seq(col("id")), col("byte_len"))
+        .withColumn("shard",
+          floor(col("grp_prefix") / lit(4096.0)).cast("long"))
+      val w = Window.partitionBy("lang", "shard")
+      val members = pre.withColumn("byte_offset",
+        col("grp_prefix") - min(col("grp_prefix")).over(w))
+      val payloads = members.groupBy(col("lang"), col("shard"))
+        .agg(expr("cast(array_join(transform(" +
+          "sort_array(collect_list(struct(id, text))), x -> x.text), '') " +
+          "as binary)").as("payload"))
+      members.where(col("id") % 7 === 0)
+        .select(col("lang"), col("shard"), col("id"), col("byte_offset"),
+          col("byte_len"))
+        .join(payloads, Seq("lang", "shard"))
+        .select(col("lang"), col("shard"), col("id"), col("byte_offset"),
+          col("byte_len"),
+          md5(expr("substring(payload, cast(byte_offset + 1 as int), " +
+            "cast(byte_len as int))")).as("member_md5"))
+        .orderBy("lang", "shard", "id")
+    },
+
     // Matryoshka-style two-stage retrieval: coarse top-32 by 16-dim
     // PREFIX cosine (a quarter of the dot-product work; with MRL-trained
     // embeddings the prefix preserves ranking), then exact full-dim
@@ -1160,6 +1195,25 @@ object SimilarityQueries {
         | COUNT(*) AS n_items, SUM(byte_len)::BIGINT AS shard_bytes,
         | md5(string_agg(text, '' ORDER BY id)) AS payload_md5
         |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    // the oracle hashes the ORIGINAL member text — equality proves the
+    // byte-offset extraction reproduced every sampled member exactly
+    "mm_shard_read" ->
+      """WITH m AS (SELECT doc_id AS id, lang, text,
+        |  octet_length(text::BLOB) AS byte_len FROM documents),
+        |p AS (SELECT id, lang, text, byte_len,
+        |  COALESCE(SUM(byte_len) OVER (PARTITION BY lang ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM m),
+        |sh AS (SELECT id, lang, text, byte_len, prefix,
+        |  CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard FROM p),
+        |off AS (SELECT id, lang, text, byte_len, shard,
+        |  (prefix - MIN(prefix) OVER (PARTITION BY lang, shard))::BIGINT
+        |    AS byte_offset
+        | FROM sh)
+        |SELECT lang, shard, id, byte_offset, byte_len,
+        | md5(text) AS member_md5
+        |FROM off WHERE id % 7 = 0 ORDER BY lang, shard, id""".stripMargin,
 
     "sim_mrl_rerank" ->
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

@@ -105,6 +105,32 @@ object TextQueries {
     // — ONE aggregation pass (count-distinct of the fingerprint is the
     // only two-stage agg; swap to approx_count_distinct at 100 TB and the
     // whole card is a single partial-agg scan)
+    // URL-canonicalization dedup (the web-crawl staple: the same page
+    // fetched as http/https, with/without www, mixed-case host, tracking
+    // query params, fragments, trailing slashes — all one document).
+    // URLs are synthesized deterministically from (source, doc_id) so the
+    // CANONICALIZER is the unit under test: lowercase, strip scheme +
+    // www. + query/fragment + trailing slash — an all-codegen
+    // regexp_replace chain, then the dd_exact group-dedup shape (min-id
+    // survivor, linear groupBy). The oracle replays the same chain.
+    "pipe_url_dedup" -> { (s, dir) =>
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, lit("http://WWW."))
+          .otherwise(lit("https://")),
+        col("source"), lit(".Example.com/page/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(raw),
+          "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/+$", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canon_url")
+    },
+
     "pipe_dataset_card" -> { (s, dir) =>
       val nt = size(Text.tokens(col("text")))
       Tables.documents(s, dir)
@@ -1128,6 +1154,21 @@ object TextQueries {
   private[queries] val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   val oracle: Map[String, String] = Map(
+    "pipe_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'http://WWW.' ELSE 'https://' END)
+        |   || source || '.Example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |   || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |   || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |canon AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url), '^https?://', ''), '^www\.', ''),
+        |    '[?#].*$', ''), '/+$', '') AS canon_url
+        | FROM raw)
+        |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
     "ta_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish_tokens

@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SetViewProperties, ShowViews, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
 /** Native view DDL for graft catalogs: `CREATE [OR REPLACE] VIEW
@@ -74,6 +74,17 @@ class GraftViewDDL(spark: SparkSession) extends Rule[LogicalPlan] {
       target(parts).map(t =>
         GraftDropViewCommand(t._1, t._2, ifExists): LogicalPlan)
         .getOrElse(dv)
+    case sp @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
+      target(parts).map(t =>
+        GraftAlterViewCommand(t._1, t._2,
+          props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
+          : LogicalPlan)
+        .getOrElse(sp)
+    case up @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _) =>
+      target(parts).map(t =>
+        GraftAlterViewCommand(t._1, t._2,
+          keys.map(ViewChange.removeProperty)): LogicalPlan)
+        .getOrElse(up)
     case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
         if parts.nonEmpty && graftCatalog(parts.head).isDefined =>
       GraftShowViewsCommand(parts.head, parts.tail, pattern, output)
@@ -110,6 +121,16 @@ case class GraftDropViewCommand(cat: String, ident: Identifier,
     if (!g.dropView(ident) && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
+    Nil
+  }
+}
+
+case class GraftAlterViewCommand(cat: String, ident: Identifier,
+    changes: Seq[ViewChange]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    g.alterView(ident, changes: _*)
     Nil
   }
 }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Catalog views: stored SQL definitions (DSv2 ViewCatalog storage),
   * created/listed/dropped through the graft_*view TVFs, and read BOTH
@@ -145,6 +146,25 @@ class GraftViewsSpec extends SparkSpec {
     spark.sql("CREATE OR REPLACE TEMP VIEW ddl_tmp AS SELECT 1 AS x")
     assert(spark.sql("SELECT * FROM ddl_tmp").count() == 1)
     spark.sql("DROP VIEW ddl_tmp")
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES routes to the graft catalog") {
+    sql("CREATE VIEW graft_vw.db.prop_v AS SELECT id FROM graft_vw.db.ev")
+    sql("ALTER VIEW graft_vw.db.prop_v SET TBLPROPERTIES ('team'='ml', 'tier'='gold')")
+    def props(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      Bridge.catalogPlugin(spark, "graft_vw")
+        .asInstanceOf[GraftCatalog]
+        .loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "prop_v"))
+        .properties().asScala.toMap
+    }
+    assert(props() == Map("team" -> "ml", "tier" -> "gold"))
+    sql("ALTER VIEW graft_vw.db.prop_v UNSET TBLPROPERTIES ('tier')")
+    assert(props() == Map("team" -> "ml"))
+    // the definition still reads after property churn
+    assert(sql("SELECT * FROM graft_vw.db.prop_v").count() > 0)
+    sql("DROP VIEW graft_vw.db.prop_v")
   }
 
   test("recursive view definitions fail loudly, not with a stack overflow") {
