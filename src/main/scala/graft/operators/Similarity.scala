@@ -308,15 +308,18 @@ object Similarity {
         .select(col("q_id"), col("id"))
         .localCheckpoint(eager = true)
     }
-    // level 0: the flat beam search, entered from the positioned beam
+    // level 0: the flat beam search, entered from the positioned beam.
+    // No re-rank stage first: upperBeam <= beamWidth, so the entry beam
+    // IS the round-0 beam — re-scoring it would keep the same set at the
+    // cost of an extra checkpointed job
     val und0 = level0Graph.select(col("a_id"), col("b_id"))
       .unionAll(level0Graph.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
       .distinct()
       .localCheckpoint(eager = true)
-    var beam0 = top(score(beam, excludeSelf = false), beamWidth)
-      .select(col("q_id"), col("id"))
-      .localCheckpoint(eager = true)
+    require(upperBeam <= beamWidth,
+      "layeredBeamSearch: upperBeam must not exceed beamWidth")
+    var beam0 = beam
     for (_ <- 1 to rounds) {
       val cand = beam0.unionAll(
           beam0.join(und0.withColumnRenamed("a_id", "id"), "id")

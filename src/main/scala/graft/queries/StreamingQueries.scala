@@ -373,6 +373,101 @@ object StreamingQueries {
               |ORDER BY id""".stripMargin)
     },
 
+    // STREAMING ANN-INDEX MAINTENANCE: embeddings arrive as micro-batches
+    // and land in the IVF-list-PARTITIONED catalog table etl_embed_ivf
+    // serves from — per batch, the SAME IvfIndex.assign computes the list
+    // and the append routes rows into list_id= partition dirs
+    // (foreachBatch: the assignment argmax needs a non-time window, which
+    // the direct streaming sink cannot express). After three batches the
+    // on-disk layout is asserted partition-routed, and the SAME probe
+    // (top-2 lists per query, partition-pruned scan, exact in-list rank)
+    // must produce the batch pipeline's answer — same oracle SQL.
+    "stream_embed_ivf" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_sei", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sei.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sei.db")
+      s.sql("DROP TABLE IF EXISTS graft_sei.db.emb")
+      s.sql("""CREATE TABLE graft_sei.db.emb (vec_id BIGINT, label BIGINT,
+              |list_id BIGINT, embedding ARRAY<FLOAT>)
+              |PARTITIONED BY (list_id)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val V = graft.functions.Vectors
+      val emb = Tables.embeddings(s, dir)
+      // the centroid set is FIXED index metadata (stride subset) — at
+      // scale it broadcasts to every epoch like any static dim
+      val cents = graft.operators.IvfIndex
+        .centroids(emb, "vec_id", "embedding", 32)
+        .localCheckpoint(eager = true)
+      val feed = emb
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, Seq[Float])]
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("vec_id", "label", "embedding")
+          .writeStream
+          .option("checkpointLocation",
+            Etl.scratch(s, s"sei_cp_${java.util.UUID.randomUUID()}"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val listed = graft.operators.IvfIndex
+              .assign(batch, cents, "vec_id", "embedding")
+              .select(col("id").cast("long").as("vec_id"),
+                col("c_id").cast("long").as("list_id"))
+            batch.join(listed, "vec_id")
+              .select(col("vec_id"), col("label"), col("list_id"),
+                col("embedding").cast("array<float>"))
+              .writeTo("graft_sei.db.emb").append()
+          }
+          .start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      // the stream landed partition-ROUTED: every data file sits in a
+      // list_id= dir (the layout partition pruning needs)
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/emb")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val files = graft.sources.GraftTable.dataFiles(fs, tdir)
+      require(files.nonEmpty && files.forall(_.contains("list_id=")),
+        "stream_embed_ivf: streamed files must land in list_id= dirs")
+      // probe exactly like etl_embed_ivf — pruned scan over the streamed
+      // table must equal the batch pipeline's answer
+      val q2 = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("q_id"),
+          V.toDoubleArray(col("embedding")).as("q_v"))
+        .withColumn("q_nrm", V.norm(col("q_v")))
+      val probes = q2.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
+          (V.dot(col("q_v"), col("c_v")) /
+            (col("q_nrm") * col("c_nrm"))).as("p_cos"))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))))
+        .where(col("__pr") <= 2)
+        .select(col("q_id"), col("q_v"), col("q_nrm"),
+          col("c_id").cast("long").as("list_id"))
+        .localCheckpoint(eager = true)
+      val probedLists = probes.select("list_id").distinct()
+        .collect().map(_.getLong(0))
+      val scored = s.table("graft_sei.db.emb")
+        .where(col("list_id").isin(probedLists.map(Long.box): _*))
+        .select(col("vec_id").as("n_id"),
+          V.toDoubleArray(col("embedding")).as("n_v"), col("list_id"))
+        .withColumn("n_nrm", V.norm(col("n_v")))
+        .join(broadcast(probes), Seq("list_id"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (V.dot(col("q_v"), col("n_v")) /
+            (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+
     "stream_day_ingest" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1433,6 +1528,38 @@ object StreamingQueries {
        |  for i in generate_series(0, 59)])::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical to etl_embed_ivf's oracle: the streamed, per-batch
+    // assigned, partition-routed table must serve the same probe answer
+    // as the batch pipeline
+    "stream_embed_ivf" -> {
+      val cos = graft.queries.SimilarityQueries.cosSql _
+      s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, e AS c_e FROM v WHERE vec_id % 32 = 0),
+         |asg AS (SELECT id, c_id FROM (
+         |  SELECT v.vec_id AS id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cos("v.e", "c.c_e")} DESC, c.c_id) AS rn
+         |  FROM v CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+         |probes AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cos("q.q_e", "c.c_e")} DESC, c.c_id) AS pr
+         |  FROM q CROSS JOIN c) WHERE pr <= 2),
+         |cand AS (SELECT p.q_id, a.id AS n_id
+         |  FROM probes p JOIN asg a ON a.c_id = p.c_id
+         |  WHERE a.id != p.q_id),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |  ${cos("qq.q_e", "nn.e")} AS cosine
+         | FROM cand JOIN q qq ON qq.q_id = cand.q_id
+         |           JOIN v nn ON nn.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM sc)
+         |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
     "stream_ingest_dedup" -> {
       def kf(b: String) =
         s"(SELECT * FROM $b QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)"

@@ -131,6 +131,39 @@ object TextQueries {
         .orderBy("canon_url")
     },
 
+    // PREFERENCE-PAIR construction (the RLHF/DPO data shape: per prompt,
+    // one chosen and one rejected response with a positive margin).
+    // Responses group by a synthetic prompt key; the ranking signal is
+    // the document's length score — the point is the PAIRING operator:
+    // two deterministic extremes per group (ties toward the smaller id),
+    // degenerate groups (margin 0, i.e. no strict preference) dropped.
+    // One groupBy-sized shuffle; windows are bounded per prompt group.
+    "pipe_rlhf_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select((col("doc_id") % 40).as("prompt_id"), col("doc_id"),
+          col("n_chars"))
+      val wUp = Window.partitionBy("prompt_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wDn = Window.partitionBy("prompt_id")
+        .orderBy(col("n_chars").asc, col("doc_id"))
+      val ranked = d
+        .withColumn("r_best", row_number().over(wUp))
+        .withColumn("r_worst", row_number().over(wDn))
+      val chosen = ranked.where(col("r_best") === 1)
+        .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+          col("n_chars").as("chosen_score"))
+      val rejected = ranked.where(col("r_worst") === 1)
+        .select(col("prompt_id"), col("doc_id").as("rejected_id"),
+          col("n_chars").as("rejected_score"))
+      chosen.join(rejected, "prompt_id")
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .where(col("margin") > 0)
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          col("margin"))
+        .orderBy("prompt_id")
+    },
+
     "pipe_dataset_card" -> { (s, dir) =>
       val nt = size(Text.tokens(col("text")))
       Tables.documents(s, dir)
@@ -1154,6 +1187,24 @@ object TextQueries {
   private[queries] val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   val oracle: Map[String, String] = Map(
+    "pipe_rlhf_pairs" ->
+      """WITH d AS (SELECT doc_id % 40 AS prompt_id, doc_id, n_chars
+        |  FROM documents),
+        |r AS (SELECT prompt_id, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |    ORDER BY n_chars DESC, doc_id) AS r_best,
+        |  ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |    ORDER BY n_chars ASC, doc_id) AS r_worst
+        | FROM d),
+        |c AS (SELECT prompt_id, doc_id AS chosen_id, n_chars AS cs
+        |  FROM r WHERE r_best = 1),
+        |j AS (SELECT prompt_id, doc_id AS rejected_id, n_chars AS rs
+        |  FROM r WHERE r_worst = 1)
+        |SELECT c.prompt_id, chosen_id, rejected_id,
+        |  (cs - rs)::BIGINT AS margin
+        |FROM c JOIN j ON c.prompt_id = j.prompt_id
+        |WHERE cs - rs > 0 ORDER BY c.prompt_id""".stripMargin,
+
     "pipe_url_dedup" ->
       """WITH raw AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 3 = 0 THEN 'http://WWW.' ELSE 'https://' END)
