@@ -2695,8 +2695,6 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       fs.rename(p, tgt)
       tgt.toString
     }
-    GraftStats.writeCommitStats(fs, dir,
-      stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
     // identity: the furthest value any task allocated this epoch rides
     // the SAME atomic manifest create as the files and the txn marker
     val idMeta: Map[String, String] = idWrite match {
@@ -2755,6 +2753,11 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       }
     }
     GraftTable.writeCommitKind(fs, dir, committed, GraftTable.KindAppend)
+    // stats land AFTER the manifest commit: a dropped duplicate epoch
+    // (zombie/replay paths above return early) must not leave dangling
+    // stats entries for files it unlanded
+    GraftStats.writeCommitStats(fs, dir,
+      stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
     knownEpoch = Some(epochId)
   }
 

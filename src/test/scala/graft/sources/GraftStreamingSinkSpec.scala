@@ -163,6 +163,48 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("a zombie driver's duplicate epoch is dropped against the refreshed log") {
+    sql("""CREATE TABLE graft_ss.db.zt (id BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = in.toDF().select(col("value").as("id"), lit("a").as("v"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssink_zcp").toString)
+      .toTable("graft_ss.db.zt")
+    try {
+      in.addData(0L until 10L: _*)
+      q.processAllAvailable() // epoch 0 commits; driver caches epoch 0
+      // forge the zombie race: another driver of the SAME query already
+      // committed a newer epoch — its marker sits in the refreshed head,
+      // not in this driver's cache
+      val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/zt")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val (v, entries) = GraftTable.headState(fs, dir, None)
+      GraftTable.writeFullEntries(fs, dir, v + 1, entries,
+        Map(s"txn:${q.id}" -> "5"))
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindAppend)
+      // this driver's epochs 1.. are all <= the raced marker: their
+      // commits must drop (files unlanded), never double-apply
+      in.addData(100L until 110L: _*)
+      q.processAllAvailable()
+      assert(spark.table("graft_ss.db.zt").count() == 10,
+        "an epoch at-or-below the raced marker must not land rows")
+      assert(spark.table("graft_ss.db.zt")
+        .where(col("id") >= 100L).count() == 0)
+      // and the dropped epoch left no unreferenced data files behind
+      val referenced = GraftTable
+        .headState(fs, dir, None)._2.map(e =>
+          new org.apache.hadoop.fs.Path(e.file).getName).toSet
+      val onDisk = GraftTable.dataFiles(fs, dir)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      assert(onDisk == referenced,
+        s"dropped epochs must unland their bytes: ${onDisk -- referenced}")
+    } finally q.stop()
+  }
+
   test("identity tables stream: per-epoch watermark allocation, unique ids") {
     sql("""CREATE TABLE graft_ss.db.facts
           |(id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)
