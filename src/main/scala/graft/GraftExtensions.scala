@@ -914,6 +914,35 @@ object GraftExtensions {
     // with their manifest-lifted statistics — size and row counts come
     // from the stats log, NOT from per-file IO, so this is the
     // prove-the-metadata query (Iceberg's `db.t.files`).
+    ("graft_skip_stats",
+      info("graft_skip_stats",
+        "graft_skip_stats(catalog, table) - file-skipping effectiveness " +
+          "per column from the stats log: (column, files_with_bounds, " +
+          "overlap_fraction). 0.0 = disjoint ranges (point predicates " +
+          "plan ~one file), 1.0 = every file overlaps every other " +
+          "(min/max pruning useless - cluster or Z-order by it). " +
+          "Metadata-only; zero data IO"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_skip_stats(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_skip_stats: catalog"),
+          stringArg(args(1), "graft_skip_stats: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val liveNames: Set[String] =
+          (if (t.history) {
+            val v = graft.sources.GraftTable.manifestVersions(fs, p).last
+            graft.sources.GraftTable.readManifest(fs, p, v)
+          } else graft.sources.GraftTable.dataFiles(fs, p))
+            .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+        val stats = graft.sources.GraftStats.readAll(fs, p)
+          .filter { case (n, _) => liveNames.contains(n) }.values.toSeq
+        val rows = graft.sources.GraftStats
+          .skipEffectiveness(t.physicalSchema, stats)
+        import s.implicits._
+        Bridge.logicalPlan(rows
+          .toDF("column", "files_with_bounds", "overlap_fraction"))
+      }),
     ("graft_files",
       info("graft_files",
         "graft_files(catalog, table) - the current snapshot's data files: " +

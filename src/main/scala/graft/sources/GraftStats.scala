@@ -535,6 +535,87 @@ object GraftStats {
   private def cmpMax(dt: DataType, cs: ColStats, v: Any): Option[Int] =
     cs.max.flatMap(cmp(dt, _, v))
 
+  /** Compare two CANONICAL stored strings of one column — the same
+    * per-type total order [[cmp]] applies between a stored bound and a
+    * probe value, applied bound-vs-bound. None for uncomparable types.
+    */
+  private def cmpCanonical(dt: DataType, a: String, b: String): Option[Int] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
+      case FloatType | DoubleType =>
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      case StringType =>
+        Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      case _: DecimalType =>
+        Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
+      case _ => None
+    }
+
+  /** File-SKIPPING effectiveness report — the metadata-only OPTIMIZE
+    * advisory a 100 TB table needs before deciding WHAT to cluster or
+    * Z-order by. Per comparable column over `live` files' recorded
+    * bounds: the average number of OTHER files a file's [min,max] range
+    * overlaps, as a fraction of (files-1). 0.0 = disjoint ranges (a
+    * point predicate plans ~one file — perfectly clustered); 1.0 = every
+    * range overlaps every other (min/max pruning is useless — the column
+    * is a Z-order/sort candidate, or just not clustered). Computed by a
+    * sort + binary-search sweep over the stats entries — O(F log F)
+    * metadata-scale work on the driver, the same cost class as planning;
+    * zero data IO. Returns (column, filesWithBounds, avgOverlapFraction).
+    */
+  def skipEffectiveness(schema: StructType,
+                        live: Seq[FileStats]): Seq[(String, Int, Double)] =
+    schema.fields.toSeq.flatMap { f =>
+      val dt = f.dataType
+      val comparable = dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | FloatType | DoubleType |
+             StringType | BooleanType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      val ranges =
+        if (!comparable) Nil
+        else live.flatMap(st => st.cols.get(f.name).flatMap(cs =>
+          for { mn <- cs.min; mx <- cs.max } yield (mn, mx)))
+      val n = ranges.size
+      if (!comparable || n == 0) None
+      else if (n < 2) Some((f.name, n, 0.0))
+      else {
+        val ord = new Ordering[String] {
+          def compare(a: String, b: String): Int =
+            cmpCanonical(dt, a, b).getOrElse(0)
+        }
+        val mins = ranges.map(_._1).sorted(ord).toIndexedSeq
+        val maxs = ranges.map(_._2).sorted(ord).toIndexedSeq
+        // files overlapping [mn, mx] = |{min_j <= mx}| - |{max_j < mn}| - 1
+        def countLe(sorted: IndexedSeq[String], v: String): Int = {
+          var lo = 0; var hi = sorted.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ord.compare(sorted(mid), v) <= 0) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        def countLt(sorted: IndexedSeq[String], v: String): Int = {
+          var lo = 0; var hi = sorted.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ord.compare(sorted(mid), v) < 0) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        val totalOverlap = ranges.map { case (mn, mx) =>
+          (countLe(mins, mx) - countLt(maxs, mn) - 1).toLong
+        }.sum
+        Some((f.name, n, totalOverlap.toDouble / (n.toDouble * (n - 1))))
+      }
+    }
+
   private def drop1(f: Filter, schema: StructType, st: FileStats): Boolean = f match {
     case EqualTo(c, v) => col(c, schema, st).exists { case (dt, cs) =>
       v != null && (allNull(cs, st.rows) ||

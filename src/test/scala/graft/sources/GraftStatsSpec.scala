@@ -281,6 +281,39 @@ class GraftStatsSpec extends SparkSpec {
       nonNull(5).map(_.asInstanceOf[Long]).max)
   }
 
+  test("skip-effectiveness report separates clustered from scattered columns") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_st.db.skiprep (seq BIGINT, scat BIGINT, s STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    // 8 files: `seq` ranges are DISJOINT per file (range-clustered),
+    // `scat` spans the full domain in every file (scattered)
+    (0 until 8).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100).toDF("seq")
+        .withColumn("scat", (col("seq") * 37) % 800)
+        .withColumn("s", concat(lit("v"), col("seq")))
+        .coalesce(1)
+        .writeTo("graft_st.db.skiprep").append()
+    }
+    val rep = sql("SELECT * FROM graft_skip_stats('graft_st', 'db.skiprep')")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(rep.keySet == Set("seq", "scat", "s"), s"got ${rep.keySet}")
+    assert(rep("seq")._1 == 8 && rep("scat")._1 == 8)
+    // clustered: zero overlap; scattered: (near-)total overlap
+    assert(rep("seq")._2 == 0.0,
+      s"disjoint per-file ranges must report 0 overlap, got ${rep("seq")._2}")
+    assert(rep("scat")._2 > 0.9,
+      s"full-domain ranges must report ~1 overlap, got ${rep("scat")._2}")
+    // the advisory is actionable: re-clustering by the scattered column
+    // collapses its overlap
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/skiprep",
+      targetBytes = 4096, sortCols = Seq("scat"))
+    val rep2 = sql("SELECT * FROM graft_skip_stats('graft_st', 'db.skiprep')")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep2("scat") < rep("scat")._2 / 2,
+      s"Z-order by scat must collapse its overlap: ${rep("scat")._2} -> ${rep2("scat")}")
+  }
+
   test("stats log stays O(segments) across many commits (amortized consolidation)") {
     sql("""CREATE TABLE graft_st.db.many (id BIGINT, grp BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
