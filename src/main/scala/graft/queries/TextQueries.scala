@@ -96,6 +96,37 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // BM25 ranked retrieval (the inverted-index query shape, as linear
+    // posting shuffles): three multi-term queries broadcast as a tiny
+    // (query_id, term) table; the corpus token stream is semi-joined to
+    // the term set BEFORE any shuffle so the posting exchange carries
+    // hits, not tokens; N/avgdl ride in as a broadcast 1-row aggregate;
+    // rational idf + an order-pinned per-doc score fold keep every double
+    // bit-identical to the oracle. See TextSearch.bm25 for the scale notes.
+    "ta_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val q = Seq((1L, "fast"), (1L, "scan"), (2L, "merge"), (2L, "join"),
+        (2L, "sort"), (3L, "stream"), (3L, "window"), (3L, "dup"))
+        .toDF("query_id", "term")
+      graft.operators.TextSearch.bm25(
+          Tables.documents(s, dir), "doc_id", "text", q)
+        .orderBy("query_id", "rank")
+    },
+
+    // exact positional phrase search: 2- and 3-word literal phrases, per
+    // (phrase, doc) occurrence count + first token position. ONE scan —
+    // the order-preserving WordNgrams arrays make the array index the
+    // position and the phrase filter runs in an array lambda on the scan,
+    // so only surviving hits reach the one groupBy shuffle (no
+    // posexplode+window adjacency, no position self-join).
+    "ta_phrase_search" -> { (s, dir) =>
+      graft.operators.TextSearch.phraseSearch(
+          Tables.documents(s, dir), "doc_id", "text",
+          phrases2 = Seq("merge join", "batch batch"),
+          phrases3 = Seq("key order sort"))
+        .orderBy("phrase", "doc_id")
+    },
+
     // the flagship training-data composition: quality filter -> language
     // filter -> exact dedup (keep first) -> surviving docs. Every stage is
     // a library operator; Catalyst fuses the three scalar filters into the
@@ -1219,6 +1250,49 @@ object TextQueries {
         | FROM raw)
         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "ta_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+         |qt(query_id, term) AS (VALUES (1,'fast'),(1,'scan'),(2,'merge'),(2,'join'),
+         |  (2,'sort'),(3,'stream'),(3,'window'),(3,'dup')),
+         |post AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+         |contrib AS (
+         |  SELECT qt.query_id, p.doc_id, p.term,
+         |    (st.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)
+         |      * (p.tf * 2.5::DOUBLE)
+         |      / (p.tf + 1.5::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / st.avgdl)) AS c
+         |  FROM post p JOIN qt ON p.term = qt.term JOIN dfreq d ON p.term = d.term
+         |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, COUNT(*)::BIGINT AS n_hit,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)), (x, y) -> x + y) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, n_hit, score,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT query_id, doc_id, n_hit, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ta_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g2 AS (SELECT doc_id, unnest([{'pos': i - 1,
+         |    'ph': array_to_string(list_slice(tk, i, i + 1), ' ')}
+         |    for i in generate_series(1, len(tk) - 1)]) AS s
+         |  FROM t WHERE len(tk) >= 2),
+         |g3 AS (SELECT doc_id, unnest([{'pos': i - 1,
+         |    'ph': array_to_string(list_slice(tk, i, i + 2), ' ')}
+         |    for i in generate_series(1, len(tk) - 2)]) AS s
+         |  FROM t WHERE len(tk) >= 3),
+         |hits AS (
+         |  SELECT doc_id, s.pos AS pos, s.ph AS phrase FROM g2
+         |  WHERE s.ph IN ('merge join', 'batch batch')
+         |  UNION ALL
+         |  SELECT doc_id, s.pos, s.ph FROM g3 WHERE s.ph IN ('key order sort'))
+         |SELECT phrase, doc_id, COUNT(*)::BIGINT AS n_occ, MIN(pos)::BIGINT AS first_pos
+         |FROM hits GROUP BY phrase, doc_id ORDER BY phrase, doc_id""".stripMargin,
 
     "ta_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
