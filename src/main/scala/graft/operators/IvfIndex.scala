@@ -264,6 +264,64 @@ object IvfIndex {
         (col("__sx") / col("n_members")).as("mean"))
   }
 
+  /** k-means TRAINING loop: `iters` Lloyd refinements from the stride
+    * seeds, emitting a per-iteration convergence trace —
+    * (iter, c_id, n_members, shift) where `shift` is ‖c_new − c_old‖²
+    * (the quantity a production trainer thresholds to stop early).
+    *
+    * Scale shape per iteration: ONE broadcast-centroid linear pass over
+    * the corpus (the [[assign]] shape — the corpus is prepared once and
+    * localCheckpoint'd, so iterations re-read materialized blocks, not
+    * the parquet scan), one (c_id, pos) shuffle for the ordered-fold
+    * means, and centroid-sized (C rows, C ≈ √N) maintenance joins. The
+    * recomputed centroid ARRAYS are reassembled with a bounded per-
+    * centroid sort (dim entries) and checkpointed — each iteration's
+    * lineage is cut, so the plan does not grow with `iters`.
+    *
+    * Determinism: means use the same member-id-pinned fold as
+    * [[lloydStep]]; `shift` is a pos-pinned left fold of exact squared
+    * differences; a centroid that loses every member simply drops out of
+    * that iteration's trace and the following assignments (both engines
+    * replay the same rule).
+    */
+  def lloydTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                 stride: Long, iters: Int = 3): DataFrame = {
+    val wCum = Window.partitionBy("c_id", "pos").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = corpus
+      .select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true)
+    var cents = centroids(corpus, idCol, vecCol, stride)
+    val trace = (1 to iters).map { it =>
+      val means = assign(v, cents, "id", "v")
+        .select(col("id"), col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("__cum", sum(col("x")).over(wCum))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("id"), col("__cum"))).getField("__cum").as("__sx"))
+        .select(col("c_id"), col("pos"), col("n_members"),
+          (col("__sx") / col("n_members")).as("mean"))
+        .localCheckpoint(eager = true) // C·dim rows; cut the per-iter lineage
+      val old = cents.select(col("c_id"), posexplode(col("c_v")).as(Seq("pos", "old_x")))
+      val shifted = means.join(old, Seq("c_id", "pos"))
+        .select(col("c_id"), col("pos"), col("n_members"),
+          ((col("mean") - col("old_x")) * (col("mean") - col("old_x"))).as("d2"))
+        .groupBy(col("c_id"))
+        .agg(max(col("n_members")).as("n_members"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("d2")))),
+              x => x.getField("d2")),
+            lit(0.0), (acc, x) => acc + x).as("shift"))
+        .select(lit(it).as("iter"), col("c_id"), col("n_members"), col("shift"))
+      cents = means.groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean")).as("c_v"))
+        .withColumn("c_nrm", Vectors.norm(col("c_v")))
+      shifted
+    }
+    trace.reduce(_ unionAll _)
+  }
+
   /** Approximate top-k cosine neighbors via IVF probing. `queries` must be
     * small (broadcast). Output: (q_id, n_id, cosine, rank).
     */

@@ -526,6 +526,22 @@ object SimilarityQueries {
         .orderBy("c_id", "pos")
     },
 
+    // the full k-means TRAINING loop (round 9 — what sim_kmeans_step is
+    // one turn of): three Lloyd iterations from the stride seeds, each
+    // emitting (iter, c_id, n_members, shift=‖c_new − c_old‖²) — the
+    // convergence trace a production trainer thresholds to stop early.
+    // Per iteration: one broadcast-centroid pass over the checkpointed
+    // corpus + one (c_id, pos) fold shuffle; centroid reassembly is a
+    // bounded per-centroid sort and each iteration's lineage is cut, so
+    // the plan does not grow with the iteration count. Every mean is the
+    // member-id-pinned fold and every shift a pos-pinned fold — the
+    // whole 3-deep iteration replays bit-exactly in the oracle
+    "sim_kmeans_train" -> { (s, dir) =>
+      IvfIndex.lloydTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        stride = 32, iters = 3)
+        .orderBy("iter", "c_id")
+    },
+
     // cluster-label purity audit (the "is this clustering meaningful"
     // check run after any IVF/kmeans build): per centroid, member count
     // and the majority label's share. Assignment reuses the broadcast
@@ -579,6 +595,33 @@ object SimilarityQueries {
 
   private[queries] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** One Lloyd iteration's CTE chain for the sim_kmeans_train oracle:
+    * assignment argmax against `prev`, member-id-pinned cumulative-sum
+    * means, pos-pinned ‖c_new − c_old‖² fold, and the next centroid list.
+    */
+  private def lloydIterSql(i: Int, prev: String): String =
+    s"""asg$i AS (SELECT id, c_id, e FROM (
+       |  SELECT v.id, v.e, c.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.id
+       |      ORDER BY ${cosSql("v.e", "c.c_e")} DESC, c.c_id) AS rn
+       |  FROM v CROSS JOIN $prev c) WHERE rn = 1),
+       |x$i AS (SELECT id, c_id, unnest(e) AS xv,
+       |  unnest(generate_series(1, len(e))) AS p FROM asg$i),
+       |cum$i AS (SELECT id, c_id, p, SUM(xv) OVER (PARTITION BY c_id, p
+       |  ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  AS cumsum FROM x$i),
+       |m$i AS (SELECT c_id, p, COUNT(*) AS n_members,
+       |  max_by(cumsum, id) / COUNT(*) AS mean FROM cum$i GROUP BY c_id, p),
+       |o$i AS (SELECT c_id, unnest(c_e) AS ox,
+       |  unnest(generate_series(1, len(c_e))) AS p FROM $prev),
+       |s$i AS (SELECT m.c_id, MAX(m.n_members) AS n_members,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list((m.mean - o.ox) * (m.mean - o.ox) ORDER BY m.p)),
+       |    (x, y) -> x + y) AS shift
+       |  FROM m$i m JOIN o$i o ON m.c_id = o.c_id AND m.p = o.p
+       |  GROUP BY m.c_id),
+       |c$i AS (SELECT c_id, list(mean ORDER BY p) AS c_e FROM m$i GROUP BY c_id)""".stripMargin
 
   /** The LSH plane matrices inlined as SQL literals: `Double.toString`
     * round-trips exactly, so the oracle evaluates the SAME planes the
@@ -1277,6 +1320,18 @@ object SimilarityQueries {
          |SELECT c_id, (p - 1)::INT AS pos, COUNT(*) AS n_members,
          | max_by(cumsum, id) / COUNT(*) AS mean
          |FROM cum GROUP BY c_id, p ORDER BY c_id, pos""".stripMargin,
+
+    "sim_kmeans_train" ->
+      s"""WITH v AS (SELECT vec_id AS id, [x::DOUBLE for x in embedding] AS e
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS c_id, e AS c_e FROM v WHERE id % 32 = 0),
+         |${lloydIterSql(1, "c0")},
+         |${lloydIterSql(2, "c1")},
+         |${lloydIterSql(3, "c2")}
+         |SELECT 1 AS iter, c_id, n_members, shift FROM s1
+         |UNION ALL SELECT 2 AS iter, c_id, n_members, shift FROM s2
+         |UNION ALL SELECT 3 AS iter, c_id, n_members, shift FROM s3
+         |ORDER BY iter, c_id""".stripMargin,
 
     // stub frame-count/hash arithmetic is reproducible in SQL, so the
     // 1->N mapPartitions explosion gets a value-level oracle too
