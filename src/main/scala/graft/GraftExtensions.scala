@@ -465,6 +465,24 @@ object GraftExtensions {
         Bridge.logicalPlan(Seq((n, cols.mkString(",")))
           .toDF("files_indexed", "columns"))
       }),
+    ("graft_trgm_build",
+      info("graft_trgm_build",
+        "graft_trgm_build(catalog, table, cols_csv) - build the per-file " +
+          "TRIGRAM index for substring (LIKE '%needle%') file skipping " +
+          "on string columns; returns (files_indexed, columns)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_trgm_build(catalog, 'ns.t', 'col1,col2')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_trgm_build: catalog"),
+          stringArg(args(1), "graft_trgm_build: table"))
+        val cols = stringArg(args(2), "graft_trgm_build: cols_csv")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val n = graft.sources.GraftBloom.buildTrigramIndex(s, t.dir, cols)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((n, cols.mkString(",")))
+          .toDF("files_indexed", "columns"))
+      }),
     ("graft_analyze_ndv",
       info("graft_analyze_ndv",
         "graft_analyze_ndv(catalog, table) - backfill distinct-count " +

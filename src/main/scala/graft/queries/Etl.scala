@@ -1306,6 +1306,52 @@ object Etl {
                |WHERE id IN ($keyList) ORDER BY id""".stripMargin)
     },
 
+    // per-file TRIGRAM index (round 9 — pg_trgm lifted to the manifest):
+    // substring search (LIKE '%needle%') is the one hot lookup NO other
+    // skipping layer serves — not parquet-convertible (no footer
+    // pruning), not a point value (no value bloom), ranges meaningless.
+    // A per-file bloom over character 3-grams proves "no row can contain
+    // the literal" whenever any probe gram is definitely absent. Docs
+    // cluster by source and each row carries a deterministic
+    // ' tag<source>end' marker, so the needle's source-specific grams
+    // exist in exactly the files holding that source: asserted in-query —
+    // pre-index the LIKE scan plans ALL files, post-index strictly fewer,
+    // same rows either way (the filter stays residual-exact). At 100 TB
+    // this turns a full-corpus regex scan into a handful of files.
+    "etl_text_index" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tx.db")
+      s.sql("DROP TABLE IF EXISTS graft_tx.db.docs")
+      s.sql("CREATE TABLE graft_tx.db.docs " +
+        "(doc_id BIGINT, source STRING, body STRING)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" tag"), col("source"), lit("end")).as("body"))
+        .repartition(8, col("source"))
+        .writeTo("graft_tx.db.docs").append()
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/docs")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      val probe = "SELECT doc_id, source FROM graft_tx.db.docs " +
+        "WHERE body LIKE '%tagsrc7end%'"
+      val pre = s.sql(probe)
+      require(pre.rdd.getNumPartitions == total,
+        s"etl_text_index: pre-index the probe must plan all $total files " +
+          s"(got ${pre.rdd.getNumPartitions})")
+      val built = s.sql(
+        "SELECT * FROM graft_trgm_build('graft_tx', 'db.docs', 'body')")
+        .collect()(0).getInt(0)
+      require(built == total, s"etl_text_index: indexed $built of $total")
+      val post = s.sql(probe)
+      require(post.rdd.getNumPartitions < total,
+        s"etl_text_index: post-index the probe must prune " +
+          s"(${post.rdd.getNumPartitions} of $total planned)")
+      s.sql(s"$probe ORDER BY doc_id")
+    },
+
     // RENAME COLUMN as a name-mapping commit (GraftEvolution): epoch 1
     // lands under 'cents', the rename is metadata-only (asserted: same
     // file set), epoch 2 lands under 'amount_cents' — and a filtered read
@@ -2707,6 +2753,11 @@ object Etl {
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey IN (7, 193, 676, 1321)
         |ORDER BY id""".stripMargin,
+
+    "etl_text_index" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
+        |ORDER BY doc_id""".stripMargin,
 
     "etl_cbo_stats" ->
       """SELECT COUNT(DISTINCT o_orderkey) AS ndv_id,

@@ -6,7 +6,7 @@ import java.util.{Base64, UUID}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
@@ -46,6 +46,22 @@ object GraftBloom {
 
   val BloomDirName = "_graft_bloom"
   val DefaultFpp = 0.01
+
+  /** Key-space marker for per-file TRIGRAM blooms (substring pruning):
+    * entries live under (file, column + TrgmSuffix), sharing the value
+    * blooms' storage, retention and rename machinery. '#' cannot appear
+    * in a parsed column name, so the two key spaces never collide.
+    */
+  val TrgmSuffix = "#trgm"
+
+  /** All character 3-grams of `s` (the pg_trgm idea): a string contains
+    * substring v (|v| ≥ 3) only if it contains EVERY 3-gram of v, so a
+    * per-file bloom over data-side 3-grams proves "no row can contain v"
+    * whenever any probe gram is definitely absent. Shorter strings
+    * contribute nothing / prove nothing (neutral).
+    */
+  def grams(s: String): Seq[String] =
+    if (s == null || s.length < 3) Nil else s.sliding(3).distinct.toSeq
 
   private def bloomDir(dir: Path) = new Path(dir, BloomDirName)
 
@@ -133,6 +149,8 @@ object GraftBloom {
     val all = readAll(fs, dir)
     val renamed = all.toSeq.sortBy(_._1).map {
       case ((f, c), bytes) if c == from => ((f, to), bytes)
+      case ((f, c), bytes) if c == from + TrgmSuffix =>
+        ((f, to + TrgmSuffix), bytes)
       case other => other
     }
     val old = fs.listStatus(d).toSeq
@@ -242,6 +260,9 @@ object GraftBloom {
       supported.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType],
       s"buildIndex: column '${f.name}' has unsupported type " +
         s"${f.dataType.simpleString}"))
+    fields.foreach(f => require(!f.name.contains(TrgmSuffix),
+      s"buildIndex: column name '${f.name}' collides with the reserved " +
+        s"'$TrgmSuffix' key suffix"))
     // pre-rename files are read through the same alias resolution as the
     // scan, so their bits land under the CURRENT column key
     val aliases = GraftEvolution.aliasesOf(props)
@@ -287,6 +308,77 @@ object GraftBloom {
     files.size
   }
 
+  /** Build (or refresh) the per-file TRIGRAM index for string `cols` over
+    * the current snapshot's data files — substring (`LIKE '%needle%'`)
+    * file skipping, the pg_trgm idea lifted to the manifest level. One
+    * distributed job; per file each column's distinct 3-gram set is
+    * collected first (bounded by the character-trigram space, NOT by row
+    * count) and the bloom is sized to it, so filter bytes stay kilobytes
+    * per file regardless of row count. Returns files indexed.
+    */
+  def buildTrigramIndex(spark: SparkSession, tableDir: String,
+                        cols: Seq[String], fpp: Double = DefaultFpp): Int = {
+    require(cols.nonEmpty, "buildTrigramIndex: at least one column")
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val metaPath = new Path(dir, GraftTable.MetaFile)
+    require(fs.exists(metaPath),
+      s"buildTrigramIndex: $tableDir is not a graft catalog table")
+    val schema = {
+      val in = fs.open(metaPath)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      DataType.fromJson(json).asInstanceOf[StructType]
+    }
+    val fields = cols.map(c => schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"buildTrigramIndex: column '$c' is not in the table schema")))
+    fields.foreach(f => require(f.dataType == StringType,
+      s"buildTrigramIndex: column '${f.name}' is " +
+        s"${f.dataType.simpleString}; trigram indexing is for STRING"))
+    fields.foreach(f => require(!f.name.contains(TrgmSuffix),
+      s"buildTrigramIndex: column name '${f.name}' collides with the " +
+        s"reserved '$TrgmSuffix' key suffix"))
+    val aliases = GraftEvolution.aliasesOf(props)
+    val files =
+      if (props.get(GraftTable.HistoryProp).contains("true"))
+        GraftTable.readFullEntries(fs, dir,
+          GraftTable.manifestVersions(fs, dir).last).map(_.file)
+      else GraftTable.dataFiles(fs, dir)
+    if (files.isEmpty) return 0
+    val readSchema = StructType(fields)
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val colNames = cols.toArray
+    val built = spark.sparkContext
+      .parallelize(files, GraftMaintenance.parallelism(spark, files.size))
+      .flatMap { f =>
+        val p = new Path(f)
+        val sets = colNames.map(_ => new scala.collection.mutable.HashSet[String])
+        val reader = ParquetRowIO.reader(p, readSchema, conf.value, None, aliases)
+        try {
+          var r = reader.read()
+          while (r != null) {
+            var i = 0
+            while (i < colNames.length) {
+              if (!r.isNullAt(i))
+                sets(i) ++= grams(r.getUTF8String(i).toString)
+              i += 1
+            }
+            r = reader.read()
+          }
+        } finally reader.close()
+        colNames.indices.map { i =>
+          val bf = BloomFilter.create(math.max(1000L, sets(i).size.toLong), fpp)
+          sets(i).foreach(g => bf.putBinary(g.getBytes(UTF_8)))
+          (p.getName, colNames(i) + TrgmSuffix, bf)
+        }
+      }
+      .collect().toSeq
+    writeEntries(fs, dir, built)
+    files.size
+  }
+
   // ---- planning-side pruning -------------------------------------------
 
   /** True iff the index PROVES no row of `fileName` satisfies the
@@ -317,7 +409,14 @@ object GraftBloom {
         bf <- bloomOf(index, cache, fileName, c)
         canonical <- canonExternal(field.dataType, v)
       } yield !bf.mightContainBinary(canonical.getBytes(UTF_8)))
-        .getOrElse(false)
+        .getOrElse(false) ||
+        // equality implies containment: a trigram index on the column can
+        // also prove a string point predicate empty (covers tables with
+        // only the trigram index built)
+        (v match {
+          case s: String => trgmDrop(c, s, index, cache, fileName)
+          case _ => false
+        })
     case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
       (for {
         field <- schema.fields.find(_.name == c)
@@ -327,11 +426,29 @@ object GraftBloom {
         canons.forall(_.isDefined) &&
           canons.flatten.forall(s => !bf.mightContainBinary(s.getBytes(UTF_8)))
       }).getOrElse(false)
+    // substring predicates against the TRIGRAM blooms: a match must
+    // contain every 3-gram of the literal, so one definitely-absent gram
+    // proves no row of the file matches. =, starts-with and ends-with all
+    // IMPLY contains, so the same probe serves them; literals shorter
+    // than 3 chars yield no gram and stay neutral.
+    case StringContains(c, v) => trgmDrop(c, v, index, cache, fileName)
+    case StringStartsWith(c, v) => trgmDrop(c, v, index, cache, fileName)
+    case StringEndsWith(c, v) => trgmDrop(c, v, index, cache, fileName)
     case org.apache.spark.sql.sources.And(l, r) =>
       drop1(l, schema, index, cache, fileName) ||
         drop1(r, schema, index, cache, fileName)
     // Or/Not and range predicates: neutral (stats handle ranges; a Bloom
     // filter cannot prove anything for negation or ranges)
     case _ => false
+  }
+
+  private def trgmDrop(c: String, v: String,
+                       index: Map[(String, String), Array[Byte]],
+                       cache: scala.collection.mutable.Map[(String, String), BloomFilter],
+                       fileName: String): Boolean = {
+    val gs = grams(v)
+    gs.nonEmpty &&
+      bloomOf(index, cache, fileName, c + TrgmSuffix).exists(bf =>
+        gs.exists(g => !bf.mightContainBinary(g.getBytes(UTF_8))))
   }
 }

@@ -1686,6 +1686,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var substr: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggPlanned: Option[GraftAggPushdown.Planned] = None
   // the COPY-ON-WRITE rewrite scan (ReplaceData); a merge-on-read delta
   // scan is row-level too but never rewrites whole groups
@@ -1735,6 +1736,22 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
       pushed = rest.filter(f =>
         f.references.forall(phys.fieldNames.contains) &&
           GraftParquetFilters.convertible(phys, f))
+      // substring predicates (LIKE '%needle%' / prefix / suffix / string
+      // equality) are NOT parquet-convertible but the per-file TRIGRAM
+      // index can whole-file-prune on them — captured separately, applied
+      // only at file granularity, always residual-exact
+      substr = rest.filter {
+        case org.apache.spark.sql.sources.StringContains(c, v) =>
+          v != null && phys.fields.exists(f =>
+            f.name == c && f.dataType == org.apache.spark.sql.types.StringType)
+        case org.apache.spark.sql.sources.StringStartsWith(c, v) =>
+          v != null && phys.fields.exists(f =>
+            f.name == c && f.dataType == org.apache.spark.sql.types.StringType)
+        case org.apache.spark.sql.sources.StringEndsWith(c, v) =>
+          v != null && phys.fields.exists(f =>
+            f.name == c && f.dataType == org.apache.spark.sql.types.StringType)
+        case _ => false
+      }
     }
     filters // all residual: row-group stats are approximate by design
   }
@@ -1768,7 +1785,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
   override def build(): Scan = {
     aggPlanned.foreach(p => return new GraftAggScan(table.name(), p))
     val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
-      dayFilters, streamLimits)
+      dayFilters, streamLimits, substr)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -1958,7 +1975,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited)
+                streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited,
+                substrFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2018,6 +2036,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     s"graft ${table.name()} cols=${required.fieldNames.mkString(",")}" +
       (if (pushedFilters.nonEmpty)
         s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
+      (if (substrFilters.nonEmpty)
+        s" SubstringFilters: [${substrFilters.mkString(", ")}]" else "") +
       (if (rowLevel) " (row-level)" else "")
 
   override def filterAttributes(): Array[NamedReference] =
@@ -2182,46 +2202,53 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     // prunable
     val cowRewrite = rowLevel && !table.mor
     val kept =
-      if (cowRewrite || pushedFilters.isEmpty) partKept
+      if (cowRewrite || (pushedFilters.isEmpty && substrFilters.isEmpty))
+        partKept
       else {
         // manifest-lifted stats first: a file with recorded stats is
         // judged from metadata alone (canDrop is provably sound, and DVs
         // only remove rows); ONLY files without stats fall back to a
         // footer probe — at 100 TB the planning cost is the stats log,
-        // not O(files) footer opens
-        val stats = statsByName
-        val (judged, unjudged) = partKept.partition(f =>
-          stats.contains(new Path(f).getName))
-        val keptJudged = judged.filterNot(f => GraftStats.canDrop(
-          pushedFilters.toSeq, table.physicalSchema,
-          stats(new Path(f).getName)))
-        // footer probes and in-file record filters must not see filters on
-        // RENAMEd columns: parquet treats the (new-named, hence missing)
-        // column as all-null and would wrongly drop matching row groups of
-        // pre-rename files — the stats/bloom logs above are re-keyed at
-        // rename time, so metadata pruning still covers those filters
-        val keptUnjudged =
-          if (unjudged.isEmpty) unjudged
-          else GraftParquetFilters.predicate(table.physicalSchema,
-            GraftEvolution.parquetSafe(pushedFilters.toSeq, table.aliases,
-              table.widened, table.existenceDefaultCols)) match {
-            case None => unjudged
-            case Some(pred) =>
-              val conf = SparkSession.active.sessionState.newHadoopConf()
-              unjudged.filter(f =>
-                GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
-          }
+        // not O(files) footer opens. Substring-only scans (LIKE '%..%' is
+        // not parquet-convertible) skip straight to the index probes.
+        val statsKept = if (pushedFilters.isEmpty) partKept else {
+          val stats = statsByName
+          val (judged, unjudged) = partKept.partition(f =>
+            stats.contains(new Path(f).getName))
+          val keptJudged = judged.filterNot(f => GraftStats.canDrop(
+            pushedFilters.toSeq, table.physicalSchema,
+            stats(new Path(f).getName)))
+          // footer probes and in-file record filters must not see filters
+          // on RENAMEd columns: parquet treats the (new-named, hence
+          // missing) column as all-null and would wrongly drop matching
+          // row groups of pre-rename files — the stats/bloom logs above
+          // are re-keyed at rename time, so metadata pruning still covers
+          // those filters
+          val keptUnjudged =
+            if (unjudged.isEmpty) unjudged
+            else GraftParquetFilters.predicate(table.physicalSchema,
+              GraftEvolution.parquetSafe(pushedFilters.toSeq, table.aliases,
+                table.widened, table.existenceDefaultCols)) match {
+              case None => unjudged
+              case Some(pred) =>
+                val conf = SparkSession.active.sessionState.newHadoopConf()
+                unjudged.filter(f =>
+                  GraftParquetFilters.fileMayMatch(new Path(f), conf, pred))
+            }
+          keptJudged ++ keptUnjudged
+        }
         // per-file BLOOM index (point predicates on non-clustered keys —
         // ranges overlap every file, min/max can't help; the bloom's
         // no-false-negative guarantee makes the drop provably sound, and
-        // files without an entry are never pruned). Filters touching
-        // existence-default columns are withheld: the index is built from
-        // the raw file bytes (pre-add files read back NULL, not the
-        // default the scan will serve), so for those columns the bloom's
+        // files without an entry are never pruned) + per-file TRIGRAM
+        // index (substring predicates: one definitely-absent 3-gram of
+        // the literal proves no row matches). Filters touching
+        // existence-default columns are withheld: the indexes are built
+        // from the raw file bytes (pre-add files read back NULL, not the
+        // default the scan will serve), so for those columns
         // "definitely absent" is a lie — same exclusion parquetSafe
         // applies to footer probes.
-        val statsKept = keptJudged ++ keptUnjudged
-        val bloomSafeFilters = pushedFilters.toSeq.filter(
+        val bloomSafeFilters = (pushedFilters ++ substrFilters).toSeq.filter(
           _.references.forall(r => !table.existenceDefaultCols.contains(r)))
         val bloomKept =
           if (bloomIndex.isEmpty || bloomSafeFilters.isEmpty) statsKept

@@ -141,6 +141,89 @@ class GraftBloomSpec extends SparkSpec {
     assert(probe.count() == 0)
   }
 
+  test("trigram index: LIKE '%needle%' prunes files; answers stay exact") {
+    sql("CREATE TABLE graft_bl.db.tg (id BIGINT, grp BIGINT, body STRING)")
+    // each row's body carries a group marker; files cluster by grp, so a
+    // marker's grams exist only in its group's file
+    spark.range(0, 4000).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .withColumn("body", concat(lit("lorem ipsum marker"), col("grp"),
+        lit("q row "), col("id")))
+      .repartition(4, col("grp"))
+      .writeTo("graft_bl.db.tg").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/tg")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val total = GraftTable.dataFiles(fs, dir).size
+    assert(total >= 3, s"need multiple files, got $total")
+
+    def probe = spark.table("graft_bl.db.tg")
+      .where(col("body").contains("marker2q"))
+    assert(planned(probe) == total,
+      "pre-index a substring scan cannot prune (LIKE is not parquet-convertible)")
+
+    val r = sql("SELECT * FROM graft_trgm_build('graft_bl', 'db.tg', 'body')")
+      .collect().head
+    assert(r.getInt(0) == total && r.getString(1) == "body")
+
+    assert(planned(probe) < total,
+      s"post-index the substring probe must prune (${planned(probe)} of $total)")
+    assert(probe.count() == 1000, "pruning must not change the answer")
+
+    // an absent needle (grams never written) prunes everything, exactly
+    assert(spark.table("graft_bl.db.tg")
+      .where(col("body").contains("zzqxv")).count() == 0)
+    // literals shorter than 3 chars are gram-less: neutral AND exact
+    val short = spark.table("graft_bl.db.tg").where(col("body").contains("q"))
+    assert(planned(short) == total && short.count() == 4000)
+    // prefix / suffix / equality imply containment: same index serves them
+    assert(spark.table("graft_bl.db.tg")
+      .where(col("body").startsWith("lorem ipsum marker3")).count() == 1000)
+    assert(spark.table("graft_bl.db.tg")
+      .where(col("body").endsWith("row 42")).count() == 1)
+    val eq = spark.table("graft_bl.db.tg")
+      .where(col("body") === "lorem ipsum marker1q row 17")
+    assert(planned(eq) < total && eq.count() == 1)
+
+    // new writes after the build have no entry: never pruned, still found
+    spark.range(0, 1).toDF("id").withColumn("grp", lit(9L))
+      .withColumn("body", lit("fresh needlezx here"))
+      .writeTo("graft_bl.db.tg").append()
+    assert(spark.table("graft_bl.db.tg")
+      .where(col("body").contains("needlezx")).count() == 1)
+  }
+
+  test("trigram entries follow RENAME COLUMN and never prune defaulted columns") {
+    sql("CREATE TABLE graft_bl.db.tr (id BIGINT, grp BIGINT, body STRING)")
+    spark.range(0, 2000).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .withColumn("body", concat(lit("text markx"), col("grp"), lit("w end")))
+      .repartition(4, col("grp"))
+      .writeTo("graft_bl.db.tr").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/tr")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val total = GraftTable.dataFiles(fs, dir).size
+    sql("SELECT * FROM graft_trgm_build('graft_bl', 'db.tr', 'body')").collect()
+    sql("ALTER TABLE graft_bl.db.tr RENAME COLUMN body TO content")
+    val q = spark.table("graft_bl.db.tr")
+      .where(col("content").contains("markx2w"))
+    assert(planned(q) < total,
+      "renamed column must keep pruning (trigram entries re-keyed)")
+    assert(q.count() == 500)
+
+    // existence-default string column: pre-add files read back NULL, so
+    // their trigram bloom is empty even though the scan serves the
+    // default text — pruning on it would silently drop every pre-add row
+    sql("ALTER TABLE graft_bl.db.tr ADD COLUMNS (note STRING DEFAULT 'defaulted-note')")
+    sql("SELECT * FROM graft_trgm_build('graft_bl', 'db.tr', 'note')").collect()
+    assert(spark.table("graft_bl.db.tr")
+      .where(col("note").contains("faulted-no")).count() == 2000,
+      "substring pruning on an existence-default column dropped served rows")
+
+    // non-string columns refuse loudly
+    intercept[IllegalArgumentException](
+      GraftBloom.buildTrigramIndex(spark, s"$warehouse/db/tr", Seq("id")))
+  }
+
   test("history tables: index the current snapshot; vacuum keeps liveness") {
     sql("""CREATE TABLE graft_bl.db.h (id BIGINT, grp BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
