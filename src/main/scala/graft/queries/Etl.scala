@@ -375,6 +375,37 @@ object Etl {
       s.sql("SELECT id, status, cents FROM graft_wh.mrg.snap ORDER BY id")
     },
 
+    // MERGE WITH SCHEMA EVOLUTION (round 9 — the CDC-widening verb: an
+    // upstream feed grows a column and the merge ABSORBS it instead of
+    // failing the pipeline): Spark's analyzer diffs source vs target,
+    // routes the ADD COLUMNS through the catalog's ALTER (the same
+    // GraftEvolution commit ADD COLUMNS uses — existing files read the
+    // new column back as NULL, no rewrite), then runs the ordinary
+    // group-based COW merge against the widened schema; UPDATE SET * /
+    // INSERT * map the new column by name. Unmatched target rows keep
+    // NULL — the oracle replays the widened FULL-join semantics.
+    "etl_merge_evolve" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_me", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_me.warehouse", scratch(s, "wh"))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_me.db")
+      s.sql("DROP TABLE IF EXISTS graft_me.db.t")
+      s.sql("CREATE TABLE graft_me.db.t (id BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .writeTo("graft_me.db.t").append()
+      Tables.orders(s, dir).where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          (floor(col("o_totalprice") * 100).cast("long") + 5).as("cents"),
+          when(col("o_orderkey") % 2 === 0, "web").otherwise("app").as("channel"))
+        .createOrReplaceTempView("graft_me_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_me.db.t t
+              |USING graft_me_src s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("SELECT id, status, cents, channel FROM graft_me.db.t ORDER BY id")
+    },
+
     // MERGE with WHEN NOT MATCHED BY SOURCE — the FULL-SYNC verb (mirror a
     // snapshot into the target: update the overlap, insert the new, delete
     // what the source no longer has). Runs through the same group-based
@@ -2752,6 +2783,21 @@ object Etl {
       """SELECT o_orderkey AS id, o_orderstatus AS status,
         | CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey IN (7, 193, 676, 1321)
+        |ORDER BY id""".stripMargin,
+
+    "etl_merge_evolve" ->
+      """WITH t AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 2 = 0),
+        |s AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 5 AS cents,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+        | FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(s.id, t.id) AS id,
+        |  COALESCE(s.status, t.status) AS status,
+        |  COALESCE(s.cents, t.cents) AS cents,
+        |  s.channel AS channel
+        |FROM t FULL JOIN s ON t.id = s.id
         |ORDER BY id""".stripMargin,
 
     "etl_text_index" ->

@@ -1569,9 +1569,14 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   /** Partition-column fields in declaration order. */
   def partitionFields: Seq[StructField] = partitionCols.map(tableSchema(_))
   override def capabilities(): util.Set[TableCapability] = {
+    // AUTOMATIC_SCHEMA_EVOLUTION: MERGE WITH SCHEMA EVOLUTION may diff the
+    // source schema against ours and route the additions through
+    // alterTable — safe because ADD COLUMNS is an ordinary evolution
+    // commit here (existing files read the new column back as NULL)
     val base: Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // manifests are the commit log a streaming read resumes from AND the
     // atomic unit a streaming WRITE pins its exactly-once marker into;
     // plain tables have neither, so only history tables advertise both

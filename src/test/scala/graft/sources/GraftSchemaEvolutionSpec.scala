@@ -194,6 +194,42 @@ class GraftSchemaEvolutionSpec extends SparkSpec {
       sql("ALTER TABLE graft_evo.db.g3 RENAME COLUMN cents TO amount"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION absorbs new source columns") {
+    sql("CREATE TABLE graft_evo.db.me (id BIGINT, v BIGINT)")
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 10)
+      .writeTo("graft_evo.db.me").append()
+    spark.range(50, 150).toDF("id").withColumn("v", col("id") * 10 + 1)
+      .withColumn("tag", concat(lit("t"), col("id")))
+      .createOrReplaceTempView("me_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_evo.db.me t
+          |USING me_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = spark.table("graft_evo.db.me")
+    assert(t.columns.toSeq == Seq("id", "v", "tag"),
+      "the merge must have widened the table schema")
+    assert(t.count() == 150)
+    // untouched target rows read NULL for the absorbed column; merged and
+    // inserted rows carry the source value
+    assert(t.where(col("id") < 50 && col("tag").isNull).count() == 50)
+    assert(t.where(col("id") >= 50 && col("tag") === concat(lit("t"), col("id")))
+      .count() == 100)
+    assert(t.where(col("id") === 60).collect().head.getLong(1) == 601)
+    // withOUT the clause there is no ambient absorb: Spark's INSERT */
+    // UPDATE SET * expand over TARGET columns only, so the extra source
+    // column is unused and the schema must stay fixed (the evolution is
+    // opt-in per statement — clause AND capability, not capability alone)
+    sql("""MERGE INTO graft_evo.db.me t
+          |USING (SELECT CAST(500 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v,
+          |              'x' AS tag, 'y' AS extra) s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft_evo.db.me").columns.toSeq ==
+      Seq("id", "v", "tag"), "no clause, no evolution")
+    assert(spark.table("graft_evo.db.me").where(col("id") === 500)
+      .collect().head.getString(2) == "x")
+  }
+
   test("history tables: rename composes with snapshots and the changes feed") {
     sql("""CREATE TABLE graft_evo.db.h (id BIGINT, v BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
