@@ -483,6 +483,32 @@ object GraftExtensions {
         Bridge.logicalPlan(Seq((n, cols.mkString(",")))
           .toDF("files_indexed", "columns"))
       }),
+    ("graft_verify_snapshot",
+      info("graft_verify_snapshot",
+        "graft_verify_snapshot(catalog, table [, 'deep']) - audit the " +
+          "current snapshot's metadata against the bytes on disk " +
+          "(existence, recorded sizes, DV/eq sidecars; 'deep' adds a " +
+          "distributed footer row-count check); returns findings " +
+          "(file, problem, expected, actual) - empty means clean"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_verify_snapshot(catalog, 'ns.t'[, 'deep'])")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_verify_snapshot: catalog"),
+          stringArg(args(1), "graft_verify_snapshot: table"))
+        val deep = args.length == 3 && {
+          val m = stringArg(args(2), "graft_verify_snapshot: mode")
+          require(m == "deep" || m == "meta",
+            s"graft_verify_snapshot: mode must be 'deep' or 'meta', got '$m'")
+          m == "deep"
+        }
+        val findings = graft.sources.GraftMaintenance
+          .verifySnapshot(s, t.dir, deep)
+        import s.implicits._
+        Bridge.logicalPlan(findings
+          .toDF("file", "problem", "expected", "actual"))
+      }),
     ("graft_analyze_ndv",
       info("graft_analyze_ndv",
         "graft_analyze_ndv(catalog, table) - backfill distinct-count " +

@@ -791,6 +791,90 @@ object GraftMaintenance {
     orphans.size
   }
 
+  /** SNAPSHOT INTEGRITY AUDIT — the trust-but-verify verb run before
+    * promoting a table, after a migration, or on an incident: does the
+    * CURRENT snapshot's metadata actually describe the bytes on disk?
+    * Returns findings (file, problem, expected, actual); empty = clean.
+    *
+    * Metadata mode checks every live manifest reference — data file
+    * exists, recorded stats size matches the FS length (a truncated or
+    * clobbered file surfaces here), DV sidecars and eq-delete files
+    * exist — with O(files) driver `getFileStatus` calls and ZERO data IO.
+    * `deep` adds ONE distributed footer-read job comparing each file's
+    * parquet row count against the stats log (catches a same-size byte
+    * swap or a stats-log lie the scan planner would silently trust).
+    *
+    * Read-only by design: the audit REPORTS; repair stays with the verbs
+    * that own each artifact (restore/backfill/retain) — an audit that
+    * mutates is one bug away from being the incident.
+    */
+  def verifySnapshot(spark: SparkSession, tableDir: String,
+                     deep: Boolean = false): Seq[(String, String, Long, Long)] = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    val entries: Seq[GraftTable.GraftEntry] =
+      if (history)
+        GraftTable.manifestVersions(fs, dir).lastOption
+          .map(GraftTable.readFullEntries(fs, dir, _)).getOrElse(Nil)
+      else GraftTable.dataFiles(fs, dir).map(f => GraftTable.GraftEntry(f, None))
+    val stats = GraftStats.readAll(fs, dir)
+    val findings = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    entries.foreach { e =>
+      val p = new Path(e.file)
+      val st =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None =>
+          findings += ((p.getName, "missing_data_file", 1L, 0L))
+        case Some(s) =>
+          stats.get(p.getName).foreach { rec =>
+            if (rec.size != s.getLen)
+              findings += ((p.getName, "size_mismatch", rec.size, s.getLen))
+          }
+      }
+      e.dv.foreach { d =>
+        if (!fs.exists(new Path(d)))
+          findings += ((new Path(d).getName, "missing_dv_sidecar", 1L, 0L))
+      }
+      e.eqs.foreach { q =>
+        if (!fs.exists(new Path(q)))
+          findings += ((new Path(q).getName, "missing_eq_delete", 1L, 0L))
+      }
+    }
+    if (deep) {
+      val missing = findings.map(_._1).toSet
+      val targets = entries.map(_.file).filter { f =>
+        val n = new Path(f).getName
+        stats.contains(n) && !missing.contains(n)
+      }
+      if (targets.nonEmpty) {
+        val rowsByName = stats.map { case (n, s) => n -> s.rows }
+        val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+        findings ++= spark.sparkContext
+          .parallelize(targets, parallelism(spark, targets.size))
+          .flatMap { f =>
+            val p = new Path(f)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
+            val actual =
+              try {
+                import scala.jdk.CollectionConverters._
+                r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+              } finally r.close()
+            val expected = rowsByName(p.getName)
+            if (actual != expected)
+              Seq((p.getName, "row_count_mismatch", expected, actual))
+            else Nil
+          }
+          .collect()
+      }
+    }
+    findings.toSeq.sortBy(f => (f._1, f._2))
+  }
+
   /** Backfill manifest-lifted stats for current data files that have no
     * entry (tables written before the stats log existed, or files landed
     * by foreign tools): ONE distributed footer-read job appends their

@@ -76,4 +76,57 @@ class GraftOrphansSpec extends SparkSpec {
     val mor = sql("SELECT * FROM graft_files('graft_or', 'db.t3')").collect()
     assert(mor.exists(r => !r.isNullAt(3)), "DV sidecar must be reported")
   }
+
+  test("snapshot audit: clean table reports nothing; damage and stats lies surface") {
+    sql("""CREATE TABLE graft_or.db.va (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_or.db.va SELECT id, concat('v', id) FROM range(0, 200)")
+    sql("INSERT INTO graft_or.db.va SELECT id, concat('v', id) FROM range(200, 400)")
+    def audit(mode: String = "meta") = sql(
+      s"SELECT * FROM graft_verify_snapshot('graft_or', 'db.va', '$mode')")
+      .collect()
+    assert(audit().isEmpty && audit("deep").isEmpty, "fresh table must be clean")
+
+    // clobber one live data file with junk of a DIFFERENT length: the
+    // metadata audit flags the size mismatch against the stats log
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/va")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = new org.apache.hadoop.fs.Path(
+      GraftTable.dataFiles(fs, dir).head)
+    val origLen = fs.getFileStatus(victim).getLen
+    val out = fs.create(victim, true)
+    out.write("junk".getBytes("UTF-8")); out.close()
+    val f1 = audit()
+    assert(f1.length == 1 && f1.head.getString(1) == "size_mismatch" &&
+      f1.head.getLong(2) == origLen && f1.head.getLong(3) == 4L,
+      s"expected the clobbered file's size finding, got ${f1.toSeq}")
+
+    // delete it outright: missing_data_file (and deep mode must not crash
+    // on — or double-report — a file it cannot open)
+    fs.delete(victim, false)
+    val f2 = audit("deep")
+    assert(f2.length == 1 && f2.head.getString(1) == "missing_data_file",
+      s"expected only the missing-file finding, got ${f2.toSeq}")
+
+    // deep row-count check: lie in the stats log (size kept, rows inflated)
+    sql("""CREATE TABLE graft_or.db.vb (k BIGINT)""")
+    sql("INSERT INTO graft_or.db.vb SELECT id FROM range(0, 50)")
+    val dirB = new org.apache.hadoop.fs.Path(s"$warehouse/db/vb")
+    val fb = GraftTable.dataFiles(fs, dirB).head
+    val name = new org.apache.hadoop.fs.Path(fb).getName
+    val real = GraftStats.readAll(fs, dirB)(name)
+    GraftStats.retain(fs, dirB, _ => false) // drop all entries
+    GraftStats.writeCommitStats(fs, dirB,
+      Seq(name -> real.copy(rows = real.rows + 7)))
+    val fb1 = sql(
+      "SELECT * FROM graft_verify_snapshot('graft_or', 'db.vb', 'deep')")
+      .collect()
+    assert(fb1.length == 1 && fb1.head.getString(1) == "row_count_mismatch" &&
+      fb1.head.getLong(2) == real.rows + 7 && fb1.head.getLong(3) == real.rows,
+      s"expected the stats-log lie to surface, got ${fb1.toSeq}")
+    // metadata mode alone cannot see it (size agrees) — deep is the point
+    assert(sql(
+      "SELECT * FROM graft_verify_snapshot('graft_or', 'db.vb')")
+      .collect().isEmpty)
+  }
 }
