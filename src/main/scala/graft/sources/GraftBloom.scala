@@ -54,6 +54,114 @@ object GraftBloom {
     */
   val TrgmSuffix = "#trgm"
 
+  /** INDEX-ON-WRITE table properties: CSV column lists. Declared columns
+    * get their per-file bloom / trigram entries recorded by the WRITER'S
+    * hot loop and landed with the commit — new files prune immediately,
+    * no separate `graft_*_build` pass, exactly how the stats log already
+    * rides every commit. The build TVFs remain the backfill verbs for
+    * pre-declaration files.
+    */
+  val BloomColsProp = "index.bloom.cols"
+  val TrgmColsProp = "index.trgm.cols"
+
+  /** Parse + validate the index-on-write column declarations against the
+    * physical schema — LOUD at write-builder construction (driver side),
+    * not task time. Returns (bloomCols, trgmCols).
+    */
+  def indexOnWriteCols(props: Map[String, String],
+                       physicalSchema: StructType): (Seq[String], Seq[String]) = {
+    def parse(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val supported = Set[DataType](ByteType, ShortType, IntegerType, LongType,
+      DateType, TimestampType, TimestampNTZType, FloatType, DoubleType,
+      StringType, BooleanType)
+    val b = parse(BloomColsProp)
+    b.foreach { c =>
+      val f = physicalSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$BloomColsProp: column '$c' is not a physical column " +
+            "(partition columns prune by path already)"))
+      require(supported.contains(f.dataType) ||
+          f.dataType.isInstanceOf[DecimalType],
+        s"$BloomColsProp: column '$c' has unsupported type " +
+          s"${f.dataType.simpleString}")
+    }
+    val t = parse(TrgmColsProp)
+    t.foreach { c =>
+      val f = physicalSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$TrgmColsProp: column '$c' is not a physical column"))
+      require(f.dataType == StringType,
+        s"$TrgmColsProp: column '$c' is ${f.dataType.simpleString}; " +
+          "trigram indexing is for STRING")
+    }
+    (b, t)
+  }
+
+  private def bloomBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Append pre-serialized entries (index-on-write commit path). */
+  def writeRawEntries(fs: FileSystem, dir: Path,
+                      entries: Seq[(String, String, Array[Byte])]): Unit = {
+    if (entries.isEmpty) return
+    val d = bloomDir(dir)
+    fs.mkdirs(d)
+    val out = fs.create(
+      new Path(d, f"bloom-${System.currentTimeMillis()}%013d-" +
+        s"${UUID.randomUUID().toString.take(8)}.txt"), false)
+    try out.write(entries.map { case (f, c, bytes) =>
+      s"${enc(f)}\t${enc(c)}\t" + Base64.getEncoder.encodeToString(bytes)
+    }.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Hot-loop index tracker for index-on-write: one per open data file,
+    * updated next to the stats Tracker. Value blooms insert canonical
+    * strings as they stream; trigram columns accumulate the distinct gram
+    * SET (bounded by the character-trigram space, not row count) and
+    * serialize a right-sized bloom at close.
+    */
+  final class WriteTracker(schema: StructType, bloomCols: Seq[String],
+                           trgmCols: Seq[String],
+                           expectedRows: Long = 1000000L,
+                           fpp: Double = DefaultFpp) {
+    private val bIs = bloomCols.map(schema.fieldIndex).toArray
+    private val bDts = bIs.map(i => schema.fields(i).dataType)
+    private val blooms = bIs.map(_ => BloomFilter.create(expectedRows, fpp))
+    private val tIs = trgmCols.map(schema.fieldIndex).toArray
+    private val gramSets =
+      tIs.map(_ => new scala.collection.mutable.HashSet[String])
+
+    def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var i = 0
+      while (i < bIs.length) {
+        if (!row.isNullAt(bIs(i)))
+          canonInternal(bDts(i), row.get(bIs(i), bDts(i)))
+            .foreach(s => blooms(i).putBinary(s.getBytes(UTF_8)))
+        i += 1
+      }
+      var j = 0
+      while (j < tIs.length) {
+        if (!row.isNullAt(tIs(j)))
+          gramSets(j) ++= grams(row.getUTF8String(tIs(j)).toString)
+        j += 1
+      }
+    }
+
+    /** (column key, serialized filter) per declared column. */
+    def result(): Seq[(String, Array[Byte])] =
+      bloomCols.zip(blooms).map { case (c, bf) => c -> bloomBytes(bf) } ++
+        trgmCols.zip(gramSets).map { case (c, set) =>
+          val bf = BloomFilter.create(math.max(1000L, set.size.toLong), fpp)
+          set.foreach(g => bf.putBinary(g.getBytes(UTF_8)))
+          (c + TrgmSuffix) -> bloomBytes(bf)
+        }
+  }
+
   /** All character 3-grams of `s` (the pg_trgm idea): a string contains
     * substring v (|v| ≥ 3) only if it contains EVERY 3-gram of v, so a
     * per-file bloom over data-side 3-grams proves "no row can contain v"

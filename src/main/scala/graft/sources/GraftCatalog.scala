@@ -663,9 +663,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // next to their originals) and with bucketing (delta inserts carry
     // the bNNNNN- prefix; rewrites keep the original name or a
     // prefix-preserving -dvm name)
+    // index-on-write declarations: validated now (against the physical
+    // schema — partition columns prune by path already) and persisted, so
+    // the very first append records its entries
+    val indexProps = properties.asScala.toMap.filter { case (k, _) =>
+      k == GraftBloom.BloomColsProp || k == GraftBloom.TrgmColsProp }
+    if (indexProps.nonEmpty)
+      GraftBloom.indexOnWriteCols(indexProps,
+        StructType(schema.fields.filterNot(f => pcols.contains(f.name))))
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
-        dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty) {
-      GraftTable.writeProps(fs, dir, (Map(
+        dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
+        indexProps.nonEmpty) {
+      GraftTable.writeProps(fs, dir, (indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
         ++ (if (pcols.nonEmpty) Map(GraftTable.PartitionProp -> pcols.mkString(","))
@@ -759,6 +768,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                    retired: Seq[String], widened: Set[String])
     val evo0 = Evo(readSchema(dir), GraftEvolution.aliasesOf(props0),
       GraftEvolution.retiredOf(props0), GraftEvolution.widenedOf(props0))
+    var indexPropChanges: Map[String, Option[String]] = Map.empty
     val evo = changes.foldLeft(evo0) { (st, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
@@ -857,9 +867,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // added — Spark's fold implements exactly that split
           st.copy(schema = org.apache.spark.sql.graftbridge.Bridge
             .applySchemaChanges(st.schema, Seq(upd)))
+        // index-on-write declarations are plain properties: SET/UNSET
+        // here so an existing table can opt in (validated below against
+        // the EVOLVED schema — the same ALTER may add the column)
+        case sp: TableChange.SetProperty
+            if sp.property == GraftBloom.BloomColsProp ||
+              sp.property == GraftBloom.TrgmColsProp =>
+          indexPropChanges += sp.property -> Some(sp.value); st
+        case rp: TableChange.RemoveProperty
+            if rp.property == GraftBloom.BloomColsProp ||
+              rp.property == GraftBloom.TrgmColsProp =>
+          indexPropChanges += rp.property -> None; st
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other " +
-            "(add/drop/rename column, widening type change, column defaults)")
+            "(add/drop/rename column, widening type change, column " +
+            "defaults, index-on-write properties)")
       }
     }
     val updated = evo.schema
@@ -898,6 +920,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Map(GraftEvolution.WidenedProp ->
               GraftEvolution.encodeWidened(evo.widened))
           else Map.empty)
+      .++(indexPropChanges.collect { case (k, Some(v)) => k -> v })
+      .--(indexPropChanges.collect { case (k, None) => k })
+    // validate index-on-write declarations against the EVOLVED physical
+    // schema, loudly, before anything persists
+    if (indexPropChanges.nonEmpty) {
+      val pcols = newProps.get(GraftTable.PartitionProp)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      GraftBloom.indexOnWriteCols(newProps,
+        StructType(updated.fields.filterNot(f => pcols.contains(f.name))))
+    }
     if (newProps != props0) GraftTable.writeProps(fs, dir, newProps)
     val out = fs.create(metaFile(dir), true)
     try out.write(updated.json.getBytes("UTF-8")) finally out.close()
@@ -2528,7 +2560,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
   */
 case class GraftCommit(files: Seq[String],
                        stats: Map[String, GraftStats.FileStats] = Map.empty,
-                       idLast: Option[Long] = None)
+                       idLast: Option[Long] = None,
+                       indexes: Seq[(String, String, Array[Byte])] = Nil)
   extends WriterCommitMessage
 
 /** Clustered-by-partition write distribution: each partition value lands
@@ -2690,7 +2723,9 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
       day, idGen,
-      GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema))
+      GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema),
+      indexCols = GraftBloom.indexOnWriteCols(
+        GraftTable.readProps(fs, new Path(table.dir)), table.physicalSchema))
     (partitionId: Int, taskId: Long, epochId: Long) =>
       inner.createWriter(partitionId, taskId)
   }
@@ -2711,7 +2746,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
                       messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _, _) => fls }
+    val staged = messages.flatMap { case GraftCommit(fls, _, _, _) => fls }
     if (lastCommittedEpoch(fs, dir).exists(_ >= epochId)) {
       // checkpoint-recovery replay of an epoch that already committed:
       // drop the restaged bytes, change nothing — exactly-once
@@ -2719,7 +2754,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       return
     }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st, _) => st }.toMap
+      messages.flatMap { case GraftCommit(_, st, _, _) => st }.toMap
     val landed = staged.toSeq.map { f =>
       val p = new Path(f)
       val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
@@ -2731,7 +2766,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     // the SAME atomic manifest create as the files and the txn marker
     val idMeta: Map[String, String] = idWrite match {
       case Some((sp, _)) =>
-        val lasts = messages.flatMap { case GraftCommit(_, _, l) => l }
+        val lasts = messages.flatMap { case GraftCommit(_, _, l, _) => l }
         if (lasts.isEmpty) Map.empty
         else Map(GraftIdentity.wmKey(sp.col) ->
           (if (sp.step > 0) lasts.max else lasts.min).toString)
@@ -2785,18 +2820,21 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       }
     }
     GraftTable.writeCommitKind(fs, dir, committed, GraftTable.KindAppend)
-    // stats land AFTER the manifest commit: a dropped duplicate epoch
-    // (zombie/replay paths above return early) must not leave dangling
-    // stats entries for files it unlanded
+    // stats (and index-on-write entries) land AFTER the manifest commit:
+    // a dropped duplicate epoch (zombie/replay paths above return early)
+    // must not leave dangling entries for files it unlanded
     GraftStats.writeCommitStats(fs, dir,
       stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+    GraftBloom.writeRawEntries(fs, dir,
+      messages.flatMap { case GraftCommit(_, _, _, idx) => idx }.toSeq
+        .map { case (p, c, b) => (new Path(p).getName, c, b) })
     knownEpoch = Some(epochId)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
-    messages.filter(_ != null).flatMap { case GraftCommit(fls, _, _) => fls }
+    messages.filter(_ != null).flatMap { case GraftCommit(fls, _, _, _) => fls }
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -2873,15 +2911,19 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
       day, idGen,
       GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema),
-      genStrict = replaceFiles.isEmpty)
+      genStrict = replaceFiles.isEmpty,
+      indexCols = GraftBloom.indexOnWriteCols(
+        GraftTable.readProps(
+          stagingDir.getFileSystem(hadoopConf), new Path(table.dir)),
+        table.physicalSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _, _) => fls }
+    val staged = messages.flatMap { case GraftCommit(fls, _, _, _) => fls }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st, _) => st }.toMap
+      messages.flatMap { case GraftCommit(_, st, _, _) => st }.toMap
     // land under the same staging-relative subpath (partition dirs)
     def land(f: String): Path = {
       val p = new Path(f)
@@ -2892,8 +2934,15 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     }
     // stats entries are keyed by landed file NAME (uuid-unique for the
     // file's lifetime; rename preserves the name)
-    def landStats(): Unit = GraftStats.writeCommitStats(fs, dir,
-      stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+    def landStats(): Unit = {
+      GraftStats.writeCommitStats(fs, dir,
+        stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
+      // index-on-write entries (declared bloom/trigram columns) ride the
+      // same commit, keyed by the same landed names
+      GraftBloom.writeRawEntries(fs, dir,
+        messages.flatMap { case GraftCommit(_, _, _, idx) => idx }.toSeq
+          .map { case (p, c, b) => (new Path(p).getName, c, b) })
+    }
     if (table.history) {
       // snapshot commit: staged files land, NOTHING is deleted, and the
       // exclusive create of manifest v+1 is the atomic (and loudly
@@ -2912,7 +2961,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // the plain optimistic retry
       val idMeta: Map[String, String] = idWrite match {
         case Some((sp, _)) =>
-          val lasts = messages.flatMap { case GraftCommit(_, _, l) => l }
+          val lasts = messages.flatMap { case GraftCommit(_, _, l, _) => l }
           if (lasts.isEmpty) Map.empty
           else Map(GraftIdentity.wmKey(sp.col) ->
             (if (sp.step > 0) lasts.max else lasts.min).toString)
@@ -3024,12 +3073,14 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          day: Option[(Int, DataType, String, String)] = None,
                          idGen: Option[GraftIdentity.WriteGen] = None,
                          genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
-                         genStrict: Boolean = true)
+                         genStrict: Boolean = true,
+                         indexCols: (Seq[String], Seq[String]) = (Nil, Nil))
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
       partFields, partIdx, partitionId, taskId, conf, bucket, violations, day,
-      idGen.map(GraftIdentity.taskGen(_, partitionId)), genProjs, genStrict)
+      idGen.map(GraftIdentity.taskGen(_, partitionId)), genProjs, genStrict,
+      indexCols)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -3049,7 +3100,8 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       day: Option[(Int, DataType, String, String)] = None,
                       idGen: Option[GraftIdentity.TaskGen] = None,
                       genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
-                      genStrict: Boolean = true)
+                      genStrict: Boolean = true,
+                      indexCols: (Seq[String], Seq[String]) = (Nil, Nil))
   extends DataWriter[InternalRow] {
 
   /** REWRITE carriers (COW replace, MOR reinsert) arrive with the STALE
@@ -3122,6 +3174,11 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     scala.collection.mutable.LinkedHashMap.empty[String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], Path, GraftStats.Tracker)]
   private val paths = scala.collection.mutable.Buffer.empty[Path]
   private val reuse = new GenericInternalRow(proj.length)
+  // index-on-write: one bloom/trigram tracker per open file, fed in the
+  // hot loop next to the stats Tracker; entries ride the commit message
+  private val hasIndexCols = indexCols._1.nonEmpty || indexCols._2.nonEmpty
+  private val idxByPath =
+    scala.collection.mutable.LinkedHashMap.empty[Path, GraftBloom.WriteTracker]
 
   /** `subdir` routes identity-partition rows into `col=value/` staging
     * subdirs; `namePrefix` routes bucketed rows into `bNNNNN-` files (the
@@ -3168,7 +3225,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       }
       ci += 1
     }
-    val (writer, _, tracker) =
+    val (writer, outPath, tracker) =
       if (bucket.nonEmpty) {
         val b = bucketId(record)
         writers.getOrElseUpdate(s"b$b", open("", GraftBucket.fileName(b, "")))
@@ -3209,6 +3266,10 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
       reuse
     }
     tracker.update(out)
+    if (hasIndexCols)
+      idxByPath.getOrElseUpdate(outPath,
+        new GraftBloom.WriteTracker(physicalSchema, indexCols._1, indexCols._2))
+        .update(out)
     writer.write(out)
   }
 
@@ -3218,7 +3279,10 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     val stats = writers.values.map { case (_, p, tracker) =>
       p.toString -> tracker.result(fs.getFileStatus(p).getLen)
     }.toMap
-    GraftCommit(paths.map(_.toString).toSeq, stats, idLast)
+    val indexes = idxByPath.toSeq.flatMap { case (p, t) =>
+      t.result().map { case (c, bytes) => (p.toString, c, bytes) }
+    }
+    GraftCommit(paths.map(_.toString).toSeq, stats, idLast, indexes)
   }
 
   override def abort(): Unit = writers.values.foreach(_._1.close())

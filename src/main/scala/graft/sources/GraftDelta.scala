@@ -314,7 +314,7 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val (ins, insStats) = inserts.commit() match {
-      case GraftCommit(files, st, _) => (files, st)
+      case GraftCommit(files, st, _, _) => (files, st)
     }
     GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap, insStats)
   }

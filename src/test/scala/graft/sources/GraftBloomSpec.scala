@@ -224,6 +224,62 @@ class GraftBloomSpec extends SparkSpec {
       GraftBloom.buildTrigramIndex(spark, s"$warehouse/db/tr", Seq("id")))
   }
 
+  test("index-on-write: declared columns prune from the first commit") {
+    sql("""CREATE TABLE graft_bl.db.iw (id BIGINT, grp BIGINT, body STRING)
+          |TBLPROPERTIES('index.bloom.cols'='id',
+          |              'index.trgm.cols'='body')""".stripMargin)
+    // NO graft_*_build call anywhere in this test: the writer's hot loop
+    // records the entries and the commit lands them with the files
+    spark.range(0, 4000).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .withColumn("body", concat(lit("row mark"), col("grp"), lit("x id"), col("id")))
+      .repartition(4, col("grp"))
+      .writeTo("graft_bl.db.iw").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/iw")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val total = GraftTable.dataFiles(fs, dir).size
+    assert(total >= 3)
+    assert(GraftBloom.readAll(fs, dir).size == 2 * total,
+      "every committed file must carry its bloom + trigram entry")
+
+    val point = spark.table("graft_bl.db.iw").where(col("id") === 1234)
+    assert(planned(point) < total, "value bloom prunes with zero build calls")
+    assert(point.count() == 1)
+    val like = spark.table("graft_bl.db.iw").where(col("body").contains("mark3x"))
+    assert(planned(like) < total, "trigram prunes with zero build calls")
+    assert(like.count() == 1000)
+
+    // the SECOND commit's files are indexed too — a needle that exists
+    // only in batch 2 is found, and probing it plans fewer than all files
+    spark.range(0, 8).toDF("id").withColumn("grp", lit(7L))
+      .withColumn("body", lit("fresh qqneedle here"))
+      .writeTo("graft_bl.db.iw").append()
+    val total2 = GraftTable.dataFiles(fs, dir).size
+    val fresh = spark.table("graft_bl.db.iw")
+      .where(col("body").contains("qqneedle"))
+    assert(planned(fresh) < total2 && fresh.count() == 8)
+
+    // declaring an unsupported type refuses loudly AT THE DDL
+    val e = intercept[Exception](sql(
+      "ALTER TABLE graft_bl.db.iw SET TBLPROPERTIES('index.trgm.cols'='id')"))
+    assert(e.getMessage.contains("trigram"),
+      s"unexpected refusal: ${e.getMessage.take(200)}")
+    // UNSET stops indexing future writes; existing entries keep pruning
+    sql("ALTER TABLE graft_bl.db.iw UNSET TBLPROPERTIES('index.trgm.cols')")
+    assert(!GraftTable.readProps(fs, dir).contains(GraftBloom.TrgmColsProp),
+      s"UNSET must remove the key; props=${GraftTable.readProps(fs, dir)}")
+    val beforeKeys = GraftBloom.readAll(fs, dir).keySet
+    spark.range(9000, 9002).toDF("id").withColumn("grp", lit(3L))
+      .withColumn("body", lit("post-unset rows"))
+      .writeTo("graft_bl.db.iw").append()
+    val newKeys = GraftBloom.readAll(fs, dir).keySet -- beforeKeys
+    assert(newKeys.nonEmpty && newKeys.forall(_._2 == "id"),
+      s"post-unset commits record only the still-declared bloom column, got $newKeys")
+    assert(spark.table("graft_bl.db.iw")
+      .where(col("body").contains("post-unset")).count() == 2,
+      "unindexed new files are never pruned")
+  }
+
   test("history tables: index the current snapshot; vacuum keeps liveness") {
     sql("""CREATE TABLE graft_bl.db.h (id BIGINT, grp BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)

@@ -146,6 +146,44 @@ class GraftStreamingSinkSpec extends SparkSpec {
       "a CHECK-violating epoch must leave the table unchanged")
   }
 
+  test("index-on-write entries land with each streaming epoch") {
+    sql("""CREATE TABLE graft_ss.db.iw (id BIGINT, body STRING)
+          |TBLPROPERTIES('history'='true',
+          |              'index.bloom.cols'='id',
+          |              'index.trgm.cols'='body')""".stripMargin)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = in.toDF().select(col("value").as("id"),
+        concat(lit("epoch mark"), col("value") % 2, lit("z body")).as("body"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssink_cp_iw").toString)
+      .toTable("graft_ss.db.iw")
+    try {
+      in.addData(0L until 50L: _*)
+      q.processAllAvailable()
+      in.addData(50L until 100L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/iw")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = GraftTable.dataFiles(fs, dir)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val idx = GraftBloom.readAll(fs, dir)
+    // every committed epoch file carries BOTH entries, no build call ever
+    assert(live.nonEmpty && live.forall(n =>
+      idx.contains((n, "id")) && idx.contains((n, "body#trgm"))),
+      s"missing index entries: live=$live idxKeys=${idx.keySet}")
+    // and they prune: an absent key / absent needle plans zero files
+    assert(spark.table("graft_ss.db.iw").where(col("id") === 777777L)
+      .count() == 0)
+    assert(spark.table("graft_ss.db.iw")
+      .where(col("body").contains("zzqxv")).count() == 0)
+    assert(spark.table("graft_ss.db.iw")
+      .where(col("body").contains("mark1z")).count() == 50)
+  }
+
   test("plain tables refuse the streaming sink loudly") {
     sql("CREATE TABLE graft_ss.db.plain (id BIGINT)")
     implicit val sqlCtx = spark.sqlContext
