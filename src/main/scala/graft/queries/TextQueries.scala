@@ -427,6 +427,53 @@ object TextQueries {
         .limit(20)
     },
 
+    // the full BPE TRAINING loop (round 9 — what pipe_bpe_step is one
+    // scoring turn of): three merge rounds over the word-count table,
+    // each picking the max-frequency adjacent symbol pair (ties to the
+    // lexicographic smallest) and APPLYING it before recounting. Words
+    // are boundary-encoded ('|' between symbols, wrapped) so a merge is
+    // TWO nested non-overlapping replace() passes — pass 1 takes the
+    // odd occurrences of a shared-boundary chain, pass 2 the now-isolated
+    // rest, which equals the left-to-right BPE scan exactly (both engines
+    // run the identical string algorithm, so the trace hash-matches).
+    // Scale: every round is ONE pair-count shuffle over the VOCAB (not
+    // the corpus — the corpus is read once into word counts), the chosen
+    // pair is a broadcast 1-row join, and each round's lineage is cut.
+    "pipe_bpe_train" -> { (s, dir) =>
+      val wc0 = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .select(concat(lit("|"),
+          expr("array_join(transform(sequence(1, length(tok)), " +
+            "i -> substring(tok, i, 1)), '|')"), lit("|")).as("seq"), col("c"))
+        .localCheckpoint(eager = true)
+      def step(wc: DataFrame, round: Int): (DataFrame, DataFrame) = {
+        val best = wc
+          .select(col("c"),
+            expr("filter(split(seq, '\\\\|'), x -> x != '')").as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] as a, syms[i] as b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("freq"))
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+        val trace = best.select(lit(round).as("round"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("freq"))
+        val applied = wc.crossJoin(broadcast(best))
+          .select(expr(
+            "replace(replace(seq, concat('|', a, '|', b, '|'), " +
+              "concat('|', a, b, '|')), concat('|', a, '|', b, '|'), " +
+              "concat('|', a, b, '|'))").as("seq"), col("c"))
+          .localCheckpoint(eager = true)
+        (trace, applied)
+      }
+      val (t1, w1) = step(wc0, 1)
+      val (t2, w2) = step(w1, 2)
+      val (t3, _) = step(w2, 3)
+      t1.unionAll(t2).unionAll(t3).orderBy("round")
+    },
+
     // budget-constrained selection: per language, take documents in
     // lexical-diversity order until a fixed token budget fills (greedy,
     // boundary doc included) — the "best docs under an N-token budget"
@@ -1217,6 +1264,24 @@ object TextQueries {
   // DuckDB twin of Text.tokens: split on single spaces, drop empties.
   private[queries] val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
+  /** One BPE training round for the pipe_bpe_train oracle: vocab pair
+    * count, best pair (ties lexicographic), double-replace application.
+    */
+  private def bpeRoundSql(i: Int, prev: String): String =
+    s"""p$i AS (SELECT s.a, s.b, SUM(c)::BIGINT AS freq FROM (
+       |  SELECT c, unnest([{'a': syms[j], 'b': syms[j + 1]}
+       |    for j in generate_series(1, len(syms) - 1)]) AS s
+       |  FROM (SELECT c, list_filter(string_split(seq, '|'), x -> x != '') AS syms
+       |        FROM $prev) WHERE len(syms) >= 2)
+       |  GROUP BY s.a, s.b),
+       |best$i AS (SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1),
+       |w$i AS (SELECT replace(replace(seq,
+       |    '|' || best$i.a || '|' || best$i.b || '|',
+       |    '|' || best$i.a || best$i.b || '|'),
+       |    '|' || best$i.a || '|' || best$i.b || '|',
+       |    '|' || best$i.a || best$i.b || '|') AS seq, c
+       |  FROM $prev CROSS JOIN best$i)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "pipe_rlhf_pairs" ->
       """WITH d AS (SELECT doc_id % 40 AS prompt_id, doc_id, n_chars
@@ -1250,6 +1315,20 @@ object TextQueries {
         | FROM raw)
         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "pipe_bpe_train" ->
+      s"""WITH wc AS (SELECT tok, COUNT(*)::BIGINT AS c FROM (
+         |  SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+         |w0 AS (SELECT '|' || array_to_string(
+         |  [tok[i] for i in generate_series(1, len(tok))], '|') || '|' AS seq, c
+         | FROM wc),
+         |${bpeRoundSql(1, "w0")},
+         |${bpeRoundSql(2, "w1")},
+         |${bpeRoundSql(3, "w2")}
+         |SELECT 1 AS round, a, b, a || b AS merged, freq FROM best1
+         |UNION ALL SELECT 2, a, b, a || b, freq FROM best2
+         |UNION ALL SELECT 3, a, b, a || b, freq FROM best3
+         |ORDER BY round""".stripMargin,
 
     "ta_bm25" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
