@@ -41,13 +41,27 @@ object TextSearch {
     val toks = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col("doc_id"), size(col("__toks")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val termSet = queries.select(col("term")).distinct()
     // posting stream filtered to query terms BEFORE the (doc, term) shuffle
     val post = toks.select(col("doc_id"), explode(col("__toks")).as("term"))
       .join(broadcast(termSet), "term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25FromIndex(post, dl, queries, k1, b, topK)
+  }
+
+  /** BM25 scoring from a MATERIALIZED lexical index — `post` (doc_id,
+    * term, tf) already restricted to the query-term set, `dl` (doc_id,
+    * dl). The streaming twin maintains exactly these two tables
+    * incrementally (documents are append-only, so epoch postings just
+    * union in) and scores from the index alone; [[bm25]] derives them
+    * from the corpus in one pass. Same formula, same pinned fold, same
+    * bit-reproducibility contract.
+    */
+  def bm25FromIndex(post: DataFrame, dl: DataFrame, queries: DataFrame,
+                    k1: Double = 1.5, b: Double = 0.75,
+                    topK: Int = 10): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // df over the filtered postings: |terms| rows, broadcast back
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = post

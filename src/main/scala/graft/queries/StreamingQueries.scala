@@ -1322,6 +1322,52 @@ object StreamingQueries {
     // against stored bucket members, so cross-batch pairs form with exact
     // cosines. DISTINCT collapses multi-table rediscovery of the same
     // pair; the oracle is dd_embed_lsh's, verbatim
+    // STREAMING LEXICAL-INDEX UPKEEP (round 9 — BM25 as a continuously
+    // maintained index, not a batch job): documents feed in three
+    // micro-batches; each epoch computes ONLY ITS OWN postings (token
+    // stream semi-joined to the broadcast query-term set before any
+    // shuffle) and doc lengths, which UNION into the maintained index —
+    // append-only corpora make upkeep a pure accumulate, the same
+    // O(delta) shape as the catalog's stats log. The final ranking runs
+    // from the MAINTAINED index alone (TextSearch.bm25FromIndex — the
+    // batch scorer on the incrementally built tables) and must
+    // hash-match ta_bm25's one-shot batch answer. Lineage is cut per
+    // epoch, so the plan does not grow with stream length.
+    "stream_bm25" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val qterms = Seq((1L, "fast"), (1L, "scan"), (2L, "merge"), (2L, "join"),
+        (2L, "sort"), (3L, "stream"), (3L, "window"), (3L, "dup"))
+        .toDF("query_id", "term")
+      val termSet = qterms.select(col("term")).distinct()
+      val feed = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val in = MemoryStream[(Long, String)]
+      @volatile var post: DataFrame = null // (doc_id, term, tf)
+      @volatile var dls: DataFrame = null // (doc_id, dl)
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val toks = batch.select(col("doc_id"),
+              graft.functions.Text.tokens(col("text")).as("t"))
+            val bd = toks.select(col("doc_id"), size(col("t")).as("dl"))
+            val bp = toks
+              .select(col("doc_id"), explode(col("t")).as("term"))
+              .join(broadcast(termSet), "term")
+              .groupBy(col("doc_id"), col("term"))
+              .agg(count(lit(1)).as("tf"))
+            post = (if (post == null) bp else post.unionAll(bp))
+              .localCheckpoint(true)
+            dls = (if (dls == null) bd else dls.unionAll(bd))
+              .localCheckpoint(true)
+            ()
+          }.start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      graft.operators.TextSearch.bm25FromIndex(post, dls, qterms)
+        .orderBy("query_id", "rank")
+    },
+
     "stream_embed_pairs" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1528,6 +1574,10 @@ object StreamingQueries {
        |  for i in generate_series(0, 59)])::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical to ta_bm25's oracle: the incrementally maintained index
+    // must rank exactly like the one-shot batch scorer
+    "stream_bm25" -> TextQueries.oracle("ta_bm25"),
+
     // identical to etl_embed_ivf's oracle: the streamed, per-batch
     // assigned, partition-routed table must serve the same probe answer
     // as the batch pipeline
