@@ -427,6 +427,52 @@ object TextQueries {
         .limit(20)
     },
 
+    // RAKE keyword extraction (Rose et al. 2010 — the classic unsupervised
+    // keyword pass a corpus card runs): candidate phrases are maximal
+    // stopword-free token runs (gaps-and-islands: run_id = running
+    // stopword count per doc, a bounded per-doc window), word score =
+    // degree/freq over the candidate set (exact integer sums, one double
+    // division), phrase score = the pos-pinned fold of member scores,
+    // identical phrase texts deduped (same words ⇒ same fold ⇒ MIN is
+    // deterministic). The global top-15 is orderBy+limit — Spark's
+    // distributed TakeOrdered, never a single-task global window.
+    "ta_keywords" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val pos = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+          col("tok").isin(stops: _*).as("stop"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val members = pos
+        .withColumn("run_id",
+          sum(when(col("stop"), 1L).otherwise(0L)).over(w))
+        .where(!col("stop"))
+        .select(col("doc_id"), col("run_id"), col("pos"), col("tok"))
+      val phr = members.groupBy(col("doc_id"), col("run_id"))
+        .agg(count(lit(1)).as("len"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("phrase"))
+        .where(col("len").between(1, 4))
+      val pw = members.join(phr, Seq("doc_id", "run_id"))
+      val ws = pw.groupBy(col("tok"))
+        .agg((sum(col("len")).cast("double") / count(lit(1))).as("score"))
+      val ps = pw.join(ws, "tok")
+        .groupBy(col("phrase"), col("doc_id"), col("run_id"))
+        .agg(aggregate(transform(
+            array_sort(collect_list(struct(col("pos"), col("score")))),
+            x => x.getField("score")),
+          lit(0.0), (acc, x) => acc + x).as("pscore"))
+      val top = ps.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), min(col("pscore")).as("score"))
+        .orderBy(col("score").desc, col("phrase")).limit(15)
+      val wr = Window.orderBy(col("score").desc, col("phrase"))
+      top.withColumn("rank", row_number().over(wr)).orderBy("rank")
+    },
+
     // the full BPE TRAINING loop (round 9 — what pipe_bpe_step is one
     // scoring turn of): three merge rounds over the word-count table,
     // each picking the max-frequency adjacent symbol pair (ties to the
@@ -1315,6 +1361,44 @@ object TextQueries {
         | FROM raw)
         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "ta_keywords" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, s.p AS pos, s.tok,
+         |    s.tok IN ('the','a','of','and','to','in','is','it') AS stop
+         |  FROM (SELECT doc_id, unnest([{'p': i, 'tok': tk[i]}
+         |          for i in generate_series(1, len(tk))]) AS s
+         |        FROM (SELECT doc_id, $toksSql AS tk FROM documents)) ),
+         |runs AS (
+         |  SELECT doc_id, pos, tok,
+         |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+         |    stop
+         |  FROM pos),
+         |members AS (SELECT doc_id, run_id, pos, tok FROM runs WHERE NOT stop),
+         |phr AS (
+         |  SELECT doc_id, run_id, COUNT(*) AS len,
+         |    array_to_string(list(tok ORDER BY pos), ' ') AS phrase
+         |  FROM members GROUP BY doc_id, run_id
+         |  HAVING COUNT(*) BETWEEN 1 AND 4),
+         |pw AS (SELECT m.doc_id, m.run_id, m.pos, m.tok, p.len, p.phrase
+         |  FROM members m JOIN phr p
+         |  ON m.doc_id = p.doc_id AND m.run_id = p.run_id),
+         |ws AS (SELECT tok, SUM(len)::DOUBLE / COUNT(*) AS score
+         |  FROM pw GROUP BY tok),
+         |ps AS (
+         |  SELECT pw.phrase, pw.doc_id, pw.run_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(ws.score ORDER BY pw.pos)), (x, y) -> x + y) AS pscore
+         |  FROM pw JOIN ws ON pw.tok = ws.tok
+         |  GROUP BY pw.phrase, pw.doc_id, pw.run_id),
+         |agg AS (SELECT phrase, COUNT(*)::BIGINT AS n_occ, MIN(pscore) AS score
+         |  FROM ps GROUP BY phrase),
+         |r AS (SELECT phrase, n_occ, score,
+         |  ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rank FROM agg)
+         |SELECT phrase, n_occ, score, rank FROM r WHERE rank <= 15
+         |ORDER BY rank""".stripMargin,
 
     "pipe_bpe_train" ->
       s"""WITH wc AS (SELECT tok, COUNT(*)::BIGINT AS c FROM (
