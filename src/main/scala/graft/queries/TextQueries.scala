@@ -520,6 +520,46 @@ object TextQueries {
       t1.unionAll(t2).unionAll(t3).orderBy("round")
     },
 
+    // the ENCODE half of the BPE story (round 9): re-run the 3-round
+    // training loop carrying the raw token, then emit every vocab word's
+    // final SEGMENTATION (symbols after the learned merges) — what a
+    // tokenizer release ships next to its merge table. Same vocab-sized
+    // shuffles as pipe_bpe_train; the corpus is touched once.
+    "pipe_bpe_apply" -> { (s, dir) =>
+      val wc0 = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .select(col("tok"), concat(lit("|"),
+          expr("array_join(transform(sequence(1, length(tok)), " +
+            "i -> substring(tok, i, 1)), '|')"), lit("|")).as("seq"), col("c"))
+        .localCheckpoint(eager = true)
+      def step(wc: DataFrame): DataFrame = {
+        val best = wc
+          .select(col("c"),
+            expr("filter(split(seq, '\\\\|'), x -> x != '')").as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] as a, syms[i] as b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("freq"))
+          .orderBy(col("freq").desc, col("a"), col("b")).limit(1)
+        wc.crossJoin(broadcast(best))
+          .select(col("tok"), expr(
+            "replace(replace(seq, concat('|', a, '|', b, '|'), " +
+              "concat('|', a, b, '|')), concat('|', a, '|', b, '|'), " +
+              "concat('|', a, b, '|'))").as("seq"), col("c"))
+          .localCheckpoint(eager = true)
+      }
+      step(step(step(wc0)))
+        .select(col("tok"), col("c").as("n_occ"),
+          expr("array_join(filter(split(seq, '\\\\|'), x -> x != ''), ' ')")
+            .as("segmentation"),
+          expr("size(filter(split(seq, '\\\\|'), x -> x != ''))")
+            .cast("long").as("n_symbols"))
+        .orderBy("tok")
+    },
+
     // budget-constrained selection: per language, take documents in
     // lexical-diversity order until a fixed token budget fills (greedy,
     // boundary doc included) — the "best docs under an N-token budget"
@@ -1313,7 +1353,9 @@ object TextQueries {
   /** One BPE training round for the pipe_bpe_train oracle: vocab pair
     * count, best pair (ties lexicographic), double-replace application.
     */
-  private def bpeRoundSql(i: Int, prev: String): String =
+  private def bpeRoundSql(i: Int, prev: String,
+                          carryTok: Boolean = false): String = {
+    val tokCol = if (carryTok) "tok, " else ""
     s"""p$i AS (SELECT s.a, s.b, SUM(c)::BIGINT AS freq FROM (
        |  SELECT c, unnest([{'a': syms[j], 'b': syms[j + 1]}
        |    for j in generate_series(1, len(syms) - 1)]) AS s
@@ -1321,12 +1363,13 @@ object TextQueries {
        |        FROM $prev) WHERE len(syms) >= 2)
        |  GROUP BY s.a, s.b),
        |best$i AS (SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1),
-       |w$i AS (SELECT replace(replace(seq,
+       |w$i AS (SELECT ${tokCol}replace(replace(seq,
        |    '|' || best$i.a || '|' || best$i.b || '|',
        |    '|' || best$i.a || best$i.b || '|'),
        |    '|' || best$i.a || '|' || best$i.b || '|',
        |    '|' || best$i.a || best$i.b || '|') AS seq, c
        |  FROM $prev CROSS JOIN best$i)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "pipe_rlhf_pairs" ->
@@ -1399,6 +1442,22 @@ object TextQueries {
          |  ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rank FROM agg)
          |SELECT phrase, n_occ, score, rank FROM r WHERE rank <= 15
          |ORDER BY rank""".stripMargin,
+
+    "pipe_bpe_apply" ->
+      s"""WITH wc AS (SELECT tok, COUNT(*)::BIGINT AS c FROM (
+         |  SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+         |w0 AS (SELECT tok, '|' || array_to_string(
+         |  [tok[i] for i in generate_series(1, len(tok))], '|') || '|' AS seq, c
+         | FROM wc),
+         |${bpeRoundSql(1, "w0", carryTok = true)},
+         |${bpeRoundSql(2, "w1", carryTok = true)},
+         |${bpeRoundSql(3, "w2", carryTok = true)}
+         |SELECT tok, c AS n_occ,
+         |  array_to_string(list_filter(string_split(seq, '|'), x -> x != ''), ' ')
+         |    AS segmentation,
+         |  len(list_filter(string_split(seq, '|'), x -> x != ''))::BIGINT
+         |    AS n_symbols
+         |FROM w3 ORDER BY tok""".stripMargin,
 
     "pipe_bpe_train" ->
       s"""WITH wc AS (SELECT tok, COUNT(*)::BIGINT AS c FROM (
