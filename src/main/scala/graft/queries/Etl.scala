@@ -1383,6 +1383,73 @@ object Etl {
       s.sql(s"$probe ORDER BY doc_id")
     },
 
+    // SUBJECT-ACCESS EXPORT (round 9 — the GDPR Art. 15 twin of
+    // etl_purge's Art. 17 erasure): everything the lakehouse holds about
+    // one subject, as point lookups across tables whose subject-key
+    // columns were declared index-on-write at CREATE — so the export
+    // probes prune files from the tables' very first commits, no build
+    // pass, even though both tables cluster on OTHER keys (subject-key
+    // ranges overlap every file; min/max can't help). Asserted in-query:
+    // each probe plans strictly fewer files than its table holds. At
+    // 100 TB this is the difference between a compliance request reading
+    // kilobytes of metadata + a handful of files vs a full-table scan
+    // per table.
+    "etl_subject_export" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_sx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sx.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sx.db")
+      s.sql("DROP TABLE IF EXISTS graft_sx.db.cust")
+      s.sql("DROP TABLE IF EXISTS graft_sx.db.ord")
+      s.sql("""CREATE TABLE graft_sx.db.cust
+              |(c_custkey BIGINT, c_name STRING, acctbal_cents BIGINT,
+              | c_nationkey BIGINT)
+              |TBLPROPERTIES('index.bloom.cols'='c_custkey')""".stripMargin)
+      s.sql("""CREATE TABLE graft_sx.db.ord
+              |(o_orderkey BIGINT, o_custkey BIGINT, status STRING,
+              | cents BIGINT)
+              |TBLPROPERTIES('index.bloom.cols'='o_custkey')""".stripMargin)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("c_nationkey"))
+        .repartition(8, col("c_nationkey"))
+        .writeTo("graft_sx.db.cust").append()
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("slice", (col("o_orderkey") % 7).cast("int"))
+        .repartition(8, col("status"), col("slice"))
+        .drop("slice")
+        .writeTo("graft_sx.db.ord").append()
+      def files(t: String) = {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/db/$t")
+        graft.sources.GraftTable.dataFiles(
+          p.getFileSystem(s.sessionState.newHadoopConf()), p).size
+      }
+      val subject = 42L
+      val cProbe = s.sql(
+        s"SELECT * FROM graft_sx.db.cust WHERE c_custkey = $subject")
+      require(cProbe.rdd.getNumPartitions < files("cust"),
+        s"etl_subject_export: the customer probe must prune " +
+          s"(${cProbe.rdd.getNumPartitions} of ${files("cust")}) — " +
+          "index-on-write entries exist from the first commit")
+      val oProbe = s.sql(
+        s"SELECT * FROM graft_sx.db.ord WHERE o_custkey = $subject")
+      require(oProbe.rdd.getNumPartitions < files("ord"),
+        s"etl_subject_export: the orders probe must prune " +
+          s"(${oProbe.rdd.getNumPartitions} of ${files("ord")})")
+      s.sql(s"""SELECT 'customer' AS rec_type, c_custkey AS rec_id,
+               |       c_name AS label, acctbal_cents AS amount_cents
+               |FROM graft_sx.db.cust WHERE c_custkey = $subject
+               |UNION ALL
+               |SELECT 'order', o_orderkey, status, cents
+               |FROM graft_sx.db.ord WHERE o_custkey = $subject
+               |ORDER BY rec_type, rec_id""".stripMargin)
+    },
+
     // RENAME COLUMN as a name-mapping commit (GraftEvolution): epoch 1
     // lands under 'cents', the rename is metadata-only (asserted: same
     // file set), epoch 2 lands under 'amount_cents' — and a filtered read
@@ -2799,6 +2866,16 @@ object Etl {
         |  s.channel AS channel
         |FROM t FULL JOIN s ON t.id = s.id
         |ORDER BY id""".stripMargin,
+
+    "etl_subject_export" ->
+      """SELECT 'customer' AS rec_type, c_custkey AS rec_id, c_name AS label,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS amount_cents
+        |FROM customer WHERE c_custkey = 42
+        |UNION ALL
+        |SELECT 'order', o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY rec_type, rec_id""".stripMargin,
 
     "etl_text_index" ->
       """SELECT doc_id, source FROM documents
