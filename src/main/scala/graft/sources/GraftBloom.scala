@@ -344,7 +344,8 @@ object GraftBloom {
     * parquet read per file, executor-side. Returns files indexed.
     */
   def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String],
-                 fpp: Double = DefaultFpp): Int = {
+                 fpp: Double = DefaultFpp,
+                 onlyFiles: Option[Seq[String]] = None): Int = {
     require(cols.nonEmpty, "buildIndex: at least one column")
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -374,11 +375,11 @@ object GraftBloom {
     // pre-rename files are read through the same alias resolution as the
     // scan, so their bits land under the CURRENT column key
     val aliases = GraftEvolution.aliasesOf(props)
-    val files =
+    val files = onlyFiles.getOrElse(
       if (props.get(GraftTable.HistoryProp).contains("true"))
         GraftTable.readFullEntries(fs, dir,
           GraftTable.manifestVersions(fs, dir).last).map(_.file)
-      else GraftTable.dataFiles(fs, dir)
+      else GraftTable.dataFiles(fs, dir))
     if (files.isEmpty) return 0
     // expected insertions from the stats log when recorded; a safe
     // default otherwise (fpp degrades gracefully if exceeded)
@@ -425,7 +426,8 @@ object GraftBloom {
     * per file regardless of row count. Returns files indexed.
     */
   def buildTrigramIndex(spark: SparkSession, tableDir: String,
-                        cols: Seq[String], fpp: Double = DefaultFpp): Int = {
+                        cols: Seq[String], fpp: Double = DefaultFpp,
+                        onlyFiles: Option[Seq[String]] = None): Int = {
     require(cols.nonEmpty, "buildTrigramIndex: at least one column")
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -449,11 +451,11 @@ object GraftBloom {
       s"buildTrigramIndex: column name '${f.name}' collides with the " +
         s"reserved '$TrgmSuffix' key suffix"))
     val aliases = GraftEvolution.aliasesOf(props)
-    val files =
+    val files = onlyFiles.getOrElse(
       if (props.get(GraftTable.HistoryProp).contains("true"))
         GraftTable.readFullEntries(fs, dir,
           GraftTable.manifestVersions(fs, dir).last).map(_.file)
-      else GraftTable.dataFiles(fs, dir)
+      else GraftTable.dataFiles(fs, dir))
     if (files.isEmpty) return 0
     val readSchema = StructType(fields)
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())

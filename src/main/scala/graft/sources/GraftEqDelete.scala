@@ -205,6 +205,7 @@ object GraftEqDelete {
     }
     fs.delete(staging, true)
     GraftStats.liftFromFooters(spark, dir, landed, t.physicalSchema)
+    GraftMaintenance.reindexDeclared(spark, dir, landed)
 
     // stats-scoped references: the changed keys' bounding box (per key
     // column min/max) — a file whose recorded range provably cannot hold
@@ -303,9 +304,11 @@ object GraftEqDelete {
     GraftTable.writeFullEntries(fs, dir, v + 1, updated)
     GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
     val allLanded = rewrittenByName.values.flatten.toSeq
-    if (allLanded.nonEmpty)
+    if (allLanded.nonEmpty) {
       GraftStats.liftFromFooters(spark, dir, allLanded,
         spark.read.parquet(allLanded.head).schema)
+      GraftMaintenance.reindexDeclared(spark, dir, allLanded)
+    }
     masked.size
   }
 

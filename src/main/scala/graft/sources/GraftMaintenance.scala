@@ -25,6 +25,30 @@ object GraftMaintenance {
     math.max(1, math.min(items, par))
   }
 
+  /** Rewrites land files under fresh names with NO index entries — for
+    * tables with DECLARED index-on-write columns, rebuild those files'
+    * entries in one distributed job right after the stats lift, so
+    * "compaction outputs are unindexed until a manual backfill" stops
+    * being true for declared columns (TVF-built indexes on undeclared
+    * columns keep the documented backfill story; unindexed is always
+    * sound — it just prunes nothing).
+    */
+  private[sources] def reindexDeclared(spark: SparkSession, dir: Path,
+                                       landed: Seq[String]): Unit = {
+    if (landed.isEmpty) return
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    def cols(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val b = cols(GraftBloom.BloomColsProp)
+    val t = cols(GraftBloom.TrgmColsProp)
+    if (b.nonEmpty)
+      GraftBloom.buildIndex(spark, dir.toString, b, onlyFiles = Some(landed))
+    if (t.nonEmpty)
+      GraftBloom.buildTrigramIndex(spark, dir.toString, t,
+        onlyFiles = Some(landed))
+  }
+
   /** Rewrite-path file reader: on tables with rename/widen/add history the
     * plain multi-file parquet read matches by NAME against one sampled
     * schema and silently drops or NULLs the other epochs' columns — this
@@ -164,6 +188,7 @@ object GraftMaintenance {
     // just produced, ONE distributed job, so the clustered layout prunes
     // from the metadata log on the very next scan
     GraftStats.liftFromFooters(spark, dir, landed, df.schema)
+    reindexDeclared(spark, dir, landed)
     fs.delete(staging, true)
     (files.size, staged.size)
   }
@@ -241,6 +266,7 @@ object GraftMaintenance {
       val landedPaths = landed.map(_._2._2.toString)
       GraftStats.liftFromFooters(spark, dir, landedPaths,
         spark.read.parquet(landedPaths.head).schema)
+      reindexDeclared(spark, dir, landedPaths)
     }
     fs.delete(staging, true)
     (files.size, files.size - replaced.size + landed.size)
@@ -339,6 +365,7 @@ object GraftMaintenance {
       val landedPaths = landed.map(_._2.toString)
       GraftStats.liftFromFooters(spark, dir, landedPaths,
         spark.read.parquet(landedPaths.head).schema)
+      reindexDeclared(spark, dir, landedPaths)
     }
     fs.delete(staging, true)
     (files.size, files.size - replaced.size + landed.size)
@@ -407,9 +434,11 @@ object GraftMaintenance {
         GraftStats.retain(fs, dir, n => !gone.contains(n))
       GraftBloom.retain(fs, dir, n => !gone.contains(n))
       }
-      if (landed.nonEmpty)
+      if (landed.nonEmpty) {
         GraftStats.liftFromFooters(spark, dir, landed.toSeq,
           spark.read.parquet(landed.head).schema)
+        reindexDeclared(spark, dir, landed.toSeq)
+      }
     }
     dvs.foreach(st => fs.delete(st.getPath, false))
     dvs.size
@@ -458,9 +487,11 @@ object GraftMaintenance {
     GraftTable.writeFullEntries(fs, dir, v + 1, updated)
     GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
     val allLanded = rewrittenByName.values.flatten.toSeq
-    if (allLanded.nonEmpty)
+    if (allLanded.nonEmpty) {
       GraftStats.liftFromFooters(spark, dir, allLanded,
         spark.read.parquet(allLanded.head).schema)
+      reindexDeclared(spark, dir, allLanded)
+    }
     pairs.size
   }
 
@@ -1062,6 +1093,7 @@ object GraftMaintenance {
     }
     GraftStats.liftFromFooters(spark, dir, landed,
       physicalSchemaOf(fs, dir, props))
+    reindexDeclared(spark, dir, landed)
     (stale.size, landed.size)
   }
 

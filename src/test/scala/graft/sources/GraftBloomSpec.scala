@@ -280,6 +280,37 @@ class GraftBloomSpec extends SparkSpec {
       "unindexed new files are never pruned")
   }
 
+  test("compaction re-indexes declared columns; probes keep pruning") {
+    sql("""CREATE TABLE graft_bl.db.cr (id BIGINT, grp BIGINT, body STRING)
+          |TBLPROPERTIES('index.bloom.cols'='id',
+          |              'index.trgm.cols'='body')""".stripMargin)
+    spark.range(0, 4000).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .withColumn("body", concat(lit("cmark"), col("grp"), lit("x ... "), col("id")))
+      .repartition(4, col("grp"))
+      .writeTo("graft_bl.db.cr").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/cr")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // compact to ONE clustered file set under fresh names
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/cr",
+      sortCols = Seq("grp"))
+    val live = GraftTable.dataFiles(fs, dir)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val idx = GraftBloom.readAll(fs, dir)
+    assert(live.forall(n =>
+      idx.contains((n, "id")) && idx.contains((n, "body#trgm"))),
+      s"compaction outputs must be re-indexed: live=$live keys=${idx.keySet}")
+    assert(idx.keys.forall { case (f, _) => live.contains(f) },
+      "pre-compaction entries for destroyed files must retire")
+    // and the rebuilt entries actually answer: absent needles plan nothing
+    assert(spark.table("graft_bl.db.cr").where(col("id") === 999999L)
+      .count() == 0)
+    assert(spark.table("graft_bl.db.cr")
+      .where(col("body").contains("zzqxv")).count() == 0)
+    assert(spark.table("graft_bl.db.cr")
+      .where(col("body").contains("cmark2x")).count() == 1000)
+  }
+
   test("history tables: index the current snapshot; vacuum keeps liveness") {
     sql("""CREATE TABLE graft_bl.db.h (id BIGINT, grp BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
