@@ -1450,6 +1450,62 @@ object Etl {
                |ORDER BY rec_type, rec_id""".stripMargin)
     },
 
+    // DECLARED SORT-ON-WRITE (round 9 — the READ twin of index-on-write):
+    // `write.sort.cols` makes the very first append land RANGE-clustered
+    // files (Spark's own RequiresDistributionAndOrdering contract, the
+    // API Iceberg write sort orders ride), so min/max whole-file skipping
+    // prunes a range predicate with zero OPTIMIZE passes and zero footer
+    // probes. Input arrives round-robin scattered; the engine — not the
+    // query — produces the clustered layout. Asserted in-query: >1 file,
+    // the range probe plans strictly fewer files than the table holds,
+    // planning opens no footers. At 100 TB this is a layout contract the
+    // commit protocol enforces, not a nightly OPTIMIZE chasing the data.
+    "etl_sorted_write" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_sw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sw.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sw.db")
+      s.sql("DROP TABLE IF EXISTS graft_sw.db.ord")
+      s.sql("""CREATE TABLE graft_sw.db.ord
+              |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+              |TBLPROPERTIES('write.sort.cols'='cents')""".stripMargin)
+      // tiny-scale layout guard: keep the ordered write's range shuffle
+      // at its partition count (at real scale AQE coalescing is right)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = s.conf.getOption(coalesceKey)
+      s.conf.set(coalesceKey, "false")
+      try {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(8) // deliberately scattered input
+          .writeTo("graft_sw.db.ord").append()
+      } finally prevCoalesce match {
+        case Some(v) => s.conf.set(coalesceKey, v)
+        case None => s.conf.unset(coalesceKey)
+      }
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      require(total > 1, s"etl_sorted_write: need a multi-file layout ($total)")
+      val maxc = s.table("graft_sw.db.ord")
+        .agg(max(col("cents"))).collect()(0).getLong(0)
+      val (lo, hi) = (maxc / 4, maxc / 3)
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val q = s.table("graft_sw.db.ord")
+        .where(col("cents").between(lo, hi))
+      val plannedFiles = q.rdd.getNumPartitions
+      val probed = graft.sources.GraftParquetFilters.footerProbes.get() - before
+      require(plannedFiles < total,
+        s"etl_sorted_write: the declared layout must prune the range " +
+          s"probe ($plannedFiles of $total planned)")
+      require(probed == 0,
+        s"etl_sorted_write: planning must be metadata-only ($probed footers)")
+      q.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // RENAME COLUMN as a name-mapping commit (GraftEvolution): epoch 1
     // lands under 'cents', the rename is metadata-only (asserted: same
     // file set), epoch 2 lands under 'amount_cents' — and a filtered read
@@ -2881,6 +2937,15 @@ object Etl {
       """SELECT doc_id, source FROM documents
         |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
         |ORDER BY doc_id""".stripMargin,
+
+    "etl_sorted_write" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT MAX(cents) // 4 AS lo, MAX(cents) // 3 AS hi FROM c)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM c, b WHERE cents BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_cbo_stats" ->
       """SELECT COUNT(DISTINCT o_orderkey) AS ndv_id,

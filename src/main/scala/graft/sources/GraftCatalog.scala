@@ -300,7 +300,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             timeUnit = base.timeUnit, aliases = base.aliases,
             widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
             branch = Some(b), identity = base.identity,
-            generated = base.generated)
+            generated = base.generated, sortCols = base.sortCols)
         }
       }
       throw new NoSuchTableException(ident)
@@ -312,7 +312,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       aliases = aliasesOf(dir), widened = widenedOf(dir),
       pastTimeSpecs = pastTimeSpecsOf(dir),
       identity = GraftIdentity.specOf(GraftTable.readProps(fs, dir)),
-      generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)))
+      generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)),
+      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -352,7 +353,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitionCols = partCols(dir), bucketSpec = bucketSpec(dir),
       checks = checksOf(dir), dayCol = dayColOf(dir),
       timeUnit = timeUnitOf(dir), aliases = aliasesOf(dir),
-      widened = widenedOf(dir), pastTimeSpecs = pastTimeSpecsOf(dir))
+      widened = widenedOf(dir), pastTimeSpecs = pastTimeSpecsOf(dir),
+      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)))
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -671,9 +673,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (indexProps.nonEmpty)
       GraftBloom.indexOnWriteCols(indexProps,
         StructType(schema.fields.filterNot(f => pcols.contains(f.name))))
+    // declared sort-on-write: validated now, persisted, so the very
+    // first append already lands range-clustered files (GraftSort)
+    val sortCols = GraftSort.sortColsOf(properties.asScala.toMap)
+    if (sortCols.nonEmpty)
+      GraftSort.validate(sortCols,
+        StructType(schema.fields.filterNot(f => pcols.contains(f.name))),
+        identity.map(_.col), generated.map(_._1).toSet)
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
         dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
-        indexProps.nonEmpty) {
+        indexProps.nonEmpty || sortCols.nonEmpty) {
       GraftTable.writeProps(fs, dir, (indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -693,14 +702,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
              GraftIdentity.ExplicitProp -> sp.allowExplicit.toString))
            .getOrElse(Map.empty)
         ++ generated.map { case (c, t) =>
-             s"${GraftGenerated.Prefix}$c" -> t }))
+             s"${GraftGenerated.Prefix}$c" -> t }
+        ++ (if (sortCols.nonEmpty)
+              Map(GraftSort.SortColsProp -> sortCols.mkString(","))
+            else Map.empty)))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
       partitionCols = pcols, bucketSpec = bucket, checks = checks,
       dayCol = dayCol, timeUnit = timeUnit, identity = identity,
-      generated = generated)
+      generated = generated, sortCols = sortCols)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -872,11 +884,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the EVOLVED schema — the same ALTER may add the column)
         case sp: TableChange.SetProperty
             if sp.property == GraftBloom.BloomColsProp ||
-              sp.property == GraftBloom.TrgmColsProp =>
+              sp.property == GraftBloom.TrgmColsProp ||
+              sp.property == GraftSort.SortColsProp =>
           indexPropChanges += sp.property -> Some(sp.value); st
         case rp: TableChange.RemoveProperty
             if rp.property == GraftBloom.BloomColsProp ||
-              rp.property == GraftBloom.TrgmColsProp =>
+              rp.property == GraftBloom.TrgmColsProp ||
+              rp.property == GraftSort.SortColsProp =>
           indexPropChanges += rp.property -> None; st
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other " +
@@ -899,15 +913,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // metadata-log re-keys BEFORE the schema swap becomes visible: stats
     // bounds and bloom bits are value-canonical, so a rename is a pure
     // re-label of their column keys
+    val renames = scala.collection.mutable.Map[String, String]()
     evo.aliases.foreach { case (cur, olds) =>
       if (!evo0.aliases.contains(cur) || evo0.aliases(cur) != olds)
         olds.lastOption.filterNot(o => evo0.aliases.get(cur).exists(_.contains(o)))
           .foreach { renamedFrom =>
             GraftStats.renameColumn(fs, dir, renamedFrom, cur)
             GraftBloom.renameColumn(fs, dir, renamedFrom, cur)
+            renames += renamedFrom -> cur
           }
     }
-    val newProps = (props0
+    // RENAME COLUMN re-keys CSV column declarations (index-on-write +
+    // sort-on-write) along with the metadata logs — a declaration must
+    // follow its column, not strand on a dead name and fail the next write
+    def rekeyCsv(m: Map[String, String]): Map[String, String] =
+      if (renames.isEmpty) m
+      else m.map {
+        case (k, v) if k == GraftBloom.BloomColsProp ||
+            k == GraftBloom.TrgmColsProp || k == GraftSort.SortColsProp =>
+          k -> v.split(",").map(c => renames.getOrElse(c.trim, c.trim))
+            .mkString(",")
+        case kv => kv
+      }
+    val newProps = rekeyCsv(props0
       -- props0.keys.filter(_.startsWith(GraftEvolution.AliasPrefix))
       - GraftEvolution.RetiredProp - GraftEvolution.WidenedProp)
       .++(evo.aliases.map { case (cur, olds) =>
@@ -922,13 +950,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else Map.empty)
       .++(indexPropChanges.collect { case (k, Some(v)) => k -> v })
       .--(indexPropChanges.collect { case (k, None) => k })
-    // validate index-on-write declarations against the EVOLVED physical
-    // schema, loudly, before anything persists
+    // validate index-on-write + sort-on-write declarations against the
+    // EVOLVED physical schema, loudly, before anything persists
     if (indexPropChanges.nonEmpty) {
       val pcols = newProps.get(GraftTable.PartitionProp)
         .map(_.split(",").toSeq).getOrElse(Nil)
-      GraftBloom.indexOnWriteCols(newProps,
-        StructType(updated.fields.filterNot(f => pcols.contains(f.name))))
+      val phys = StructType(updated.fields.filterNot(f => pcols.contains(f.name)))
+      GraftBloom.indexOnWriteCols(newProps, phys)
+      GraftSort.validate(GraftSort.sortColsOf(newProps), phys,
+        GraftIdentity.specOf(newProps).map(_.col),
+        GraftGenerated.specsOf(newProps).map(_._1).toSet)
     }
     if (newProps != props0) GraftTable.writeProps(fs, dir, newProps)
     val out = fs.create(metaFile(dir), true)
@@ -1526,7 +1557,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val pastTimeSpecs: Seq[(String, String)] = Nil,
                  val branch: Option[String] = None,
                  val identity: Option[GraftIdentity.Spec] = None,
-                 val generated: Seq[(String, String)] = Nil)
+                 val generated: Seq[(String, String)] = Nil,
+                 val sortCols: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1567,6 +1599,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     }
     generated.foreach { case (c, t) =>
       m.put(s"${GraftGenerated.Prefix}$c", t) }
+    if (sortCols.nonEmpty)
+      m.put(GraftSort.SortColsProp, sortCols.mkString(","))
     m
   }
 
@@ -2599,21 +2633,33 @@ private[sources] trait GraftWriteDistribution
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
             Array(t: org.apache.spark.sql.connector.expressions.Expression))
         case None =>
-          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          // declared sort-on-write, no other layout: request a RANGE
+          // shuffle (Distributions.ordered) so files carry DISJOINT
+          // sort-key ranges — min/max skipping prunes a range predicate
+          // to O(matching) files from the very first commit (GraftSort)
+          if (table.sortCols.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .ordered(GraftSort.orders(table.sortCols))
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       }
     }
   override def distributionStrictlyRequired(): Boolean = false
   /** Bucketed tables additionally SORT within each written file by the
     * bucket key (ordering, unlike distribution, is always enforced by
     * Spark) — so a one-file-per-bucket scan can report its ordering and a
-    * storage-partitioned join drops the Sort nodes too.
+    * storage-partitioned join drops the Sort nodes too. Declared
+    * sort-on-write columns APPEND to the required ordering, so layout
+    * tables (partition/bucket/time) still land sorted files within each
+    * unit a task owns.
     */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    table.bucketSpec match {
+    (table.bucketSpec match {
       case Some((c, _)) => Array(Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-      case None => Array.empty
-    }
+      case None => Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    }) ++ GraftSort.orders(
+      table.sortCols.filterNot(c => table.bucketSpec.exists(_._1 == c)))
 }
 
 /** Append / truncate-overwrite write: tasks stage parquet files under

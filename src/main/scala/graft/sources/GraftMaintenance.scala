@@ -142,6 +142,13 @@ object GraftMaintenance {
     val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = evoRead(spark, fs, dir, props, files)
+    // declared sort-on-write (`write.sort.cols`) is the table's layout
+    // contract — an unparameterized compaction honors it instead of
+    // round-robining the declaration away (explicit sortCols/zorderCols
+    // still win: the caller is re-clustering deliberately)
+    val sortCols0 =
+      if (sortCols.isEmpty && zorderCols.isEmpty) GraftSort.sortColsOf(props)
+      else sortCols
     val shaped =
       if (zorderCols.nonEmpty)
         // multi-dimensional clustering: files become Morton-curve
@@ -151,9 +158,9 @@ object GraftMaintenance {
         graft.operators.ZOrder.zorderBy(df,
           zorderCols.map(c => c -> org.apache.spark.sql.functions.col(c)),
           numPartitions = nOut)
-      else if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else if (sortCols0.nonEmpty)
+        df.repartitionByRange(nOut, sortCols0.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols0.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nOut)
     val staging = new Path(dir, s".compact-${UUID.randomUUID()}")
     withMicrosTimestamps(spark) {
