@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // its UnresolvedIdentifier (see GraftViewDDL)
     ext.injectHintResolutionRule(s =>
       new org.apache.spark.sql.graftbridge.GraftViewDDL(s))
+    // governance enforcement: masking / row-filter policies declared on
+    // graft tables rewrite every read (batch + streaming) — see
+    // GraftGovernance for the enforcement-boundary contract
+    ext.injectResolutionRule(s =>
+      new org.apache.spark.sql.graftbridge.GraftGovernanceRule(s))
   }
 }
 

@@ -1450,6 +1450,60 @@ object Etl {
                |ORDER BY rec_type, rec_id""".stripMargin)
     },
 
+    // COLUMN MASKING + ROW FILTER (round 9 — governance policies ON the
+    // table, enforced at READ time by the analyzer rule): c_name shows
+    // only its last 4 chars, c_phone reads as its md5, the balance reads
+    // NULL (type preserved), and MACHINERY-segment rows are filtered out
+    // by the row policy — while the admin bypass session sees raw rows
+    // (asserted in-query: bypass yields strictly more rows and a raw
+    // name differs from its governed form). The oracle replays the exact
+    // mask semantics in DuckDB over raw customer — one divergent md5 or
+    // a filter applied at the wrong level fails the hash compare.
+    "etl_column_mask" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cm.db")
+      s.sql("DROP TABLE IF EXISTS graft_cm.db.cust")
+      s.sql("""CREATE TABLE graft_cm.db.cust
+              |(c_custkey BIGINT, c_name STRING, email STRING,
+              | acctbal_cents BIGINT, c_mktsegment STRING)
+              |TBLPROPERTIES(
+              | 'mask.col.c_name'='last4', 'mask.col.email'='hash',
+              | 'mask.col.acctbal_cents'='null',
+              | 'row.filter'='c_mktsegment <> ''MACHINERY''')""".stripMargin)
+      // the load itself runs under the admin bypass (a governed session
+      // could not see what it inserts anyway; appends stay open, but the
+      // service-session split is the realistic shape)
+      s.conf.set(graft.sources.GraftGovernance.BypassConf, "true")
+      try {
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"),
+            concat(lower(regexp_replace(col("c_name"), " ", ".")),
+              lit("@example.com")).as("email"),
+            floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+            col("c_mktsegment"))
+          .writeTo("graft_cm.db.cust").append()
+        val raw = s.table("graft_cm.db.cust")
+        val rawRows = raw.count()
+        val rawName = raw.where(col("c_custkey") === 1)
+          .select(col("c_name")).collect()(0).getString(0)
+        s.conf.set(graft.sources.GraftGovernance.BypassConf, "false")
+        val gov = s.table("graft_cm.db.cust")
+        require(gov.count() < rawRows,
+          "etl_column_mask: the row filter must hide MACHINERY rows")
+        val govName = gov.where(col("c_custkey") === 1)
+          .select(col("c_name")).collect()
+        govName.headOption.foreach(r => require(r.getString(0) != rawName,
+          "etl_column_mask: governed read must not serve the raw name"))
+      } finally s.conf.unset(graft.sources.GraftGovernance.BypassConf)
+      s.table("graft_cm.db.cust")
+        .where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), col("c_name"), col("email"),
+          col("acctbal_cents"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
     // DECLARED SORT-ON-WRITE (round 9 — the READ twin of index-on-write):
     // `write.sort.cols` makes the very first append land RANGE-clustered
     // files (Spark's own RequiresDistributionAndOrdering contract, the
@@ -2937,6 +2991,21 @@ object Etl {
       """SELECT doc_id, source FROM documents
         |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
         |ORDER BY doc_id""".stripMargin,
+
+    "etl_column_mask" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+        |  lower(replace(c_name, ' ', '.')) || '@example.com' AS email,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |  c_mktsegment FROM customer)
+        |SELECT c_custkey,
+        |  '****' || (CASE WHEN length(c_name) <= 4 THEN c_name
+        |             ELSE substr(c_name, length(c_name) - 3) END) AS c_name,
+        |  md5(email) AS email,
+        |  CAST(NULL AS BIGINT) AS acctbal_cents,
+        |  c_mktsegment
+        |FROM c
+        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 97 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "etl_sorted_write" ->
       """WITH c AS (SELECT o_orderstatus,

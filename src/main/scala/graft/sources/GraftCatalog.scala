@@ -300,7 +300,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             timeUnit = base.timeUnit, aliases = base.aliases,
             widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
             branch = Some(b), identity = base.identity,
-            generated = base.generated, sortCols = base.sortCols)
+            generated = base.generated, sortCols = base.sortCols,
+            maskCols = base.maskCols, rowFilter = base.rowFilter)
         }
       }
       throw new NoSuchTableException(ident)
@@ -313,7 +314,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pastTimeSpecs = pastTimeSpecsOf(dir),
       identity = GraftIdentity.specOf(GraftTable.readProps(fs, dir)),
       generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)),
-      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)))
+      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)),
+      maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
+      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -354,7 +357,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       checks = checksOf(dir), dayCol = dayColOf(dir),
       timeUnit = timeUnitOf(dir), aliases = aliasesOf(dir),
       widened = widenedOf(dir), pastTimeSpecs = pastTimeSpecsOf(dir),
-      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)))
+      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)),
+      // time travel must not be the mask bypass: pinned reads inherit
+      // the governance policies
+      maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
+      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)))
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -680,9 +687,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftSort.validate(sortCols,
         StructType(schema.fields.filterNot(f => pcols.contains(f.name))),
         identity.map(_.col), generated.map(_._1).toSet)
+    // governance policies (masking / row filter): validated now,
+    // enforced on every read by GraftGovernanceRule
+    val govProps = properties.asScala.toMap.filter { case (k, _) =>
+      k.startsWith(GraftGovernance.MaskPrefix) ||
+        k == GraftGovernance.RowFilterProp }
+    if (govProps.nonEmpty)
+      GraftGovernance.validate(govProps, schema, pcols)
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
         dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
-        indexProps.nonEmpty || sortCols.nonEmpty) {
+        indexProps.nonEmpty || sortCols.nonEmpty || govProps.nonEmpty) {
       GraftTable.writeProps(fs, dir, (indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -705,14 +719,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
              s"${GraftGenerated.Prefix}$c" -> t }
         ++ (if (sortCols.nonEmpty)
               Map(GraftSort.SortColsProp -> sortCols.mkString(","))
-            else Map.empty)))
+            else Map.empty)
+        ++ govProps))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
     new GraftTable(ident.toString, dir.toString, schema, history, mor = mor,
       partitionCols = pcols, bucketSpec = bucket, checks = checks,
       dayCol = dayCol, timeUnit = timeUnit, identity = identity,
-      generated = generated, sortCols = sortCols)
+      generated = generated, sortCols = sortCols,
+      maskCols = GraftGovernance.masksOf(govProps),
+      rowFilter = GraftGovernance.rowFilterOf(govProps))
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -885,12 +902,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case sp: TableChange.SetProperty
             if sp.property == GraftBloom.BloomColsProp ||
               sp.property == GraftBloom.TrgmColsProp ||
-              sp.property == GraftSort.SortColsProp =>
+              sp.property == GraftSort.SortColsProp ||
+              sp.property.startsWith(GraftGovernance.MaskPrefix) ||
+              sp.property == GraftGovernance.RowFilterProp =>
           indexPropChanges += sp.property -> Some(sp.value); st
         case rp: TableChange.RemoveProperty
             if rp.property == GraftBloom.BloomColsProp ||
               rp.property == GraftBloom.TrgmColsProp ||
-              rp.property == GraftSort.SortColsProp =>
+              rp.property == GraftSort.SortColsProp ||
+              rp.property.startsWith(GraftGovernance.MaskPrefix) ||
+              rp.property == GraftGovernance.RowFilterProp =>
           indexPropChanges += rp.property -> None; st
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other " +
@@ -923,9 +944,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             renames += renamedFrom -> cur
           }
     }
-    // RENAME COLUMN re-keys CSV column declarations (index-on-write +
-    // sort-on-write) along with the metadata logs — a declaration must
-    // follow its column, not strand on a dead name and fail the next write
+    // RENAME COLUMN re-keys column declarations (index-on-write CSVs,
+    // sort-on-write CSV, per-column mask keys) along with the metadata
+    // logs — a declaration must follow its column, not strand on a dead
+    // name: an index would fail the next write, a MASK would silently
+    // stop masking
     def rekeyCsv(m: Map[String, String]): Map[String, String] =
       if (renames.isEmpty) m
       else m.map {
@@ -933,6 +956,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             k == GraftBloom.TrgmColsProp || k == GraftSort.SortColsProp =>
           k -> v.split(",").map(c => renames.getOrElse(c.trim, c.trim))
             .mkString(",")
+        case (k, v) if k.startsWith(GraftGovernance.MaskPrefix) =>
+          val c = k.stripPrefix(GraftGovernance.MaskPrefix)
+          s"${GraftGovernance.MaskPrefix}${renames.getOrElse(c, c)}" -> v
         case kv => kv
       }
     val newProps = rekeyCsv(props0
@@ -960,6 +986,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftSort.validate(GraftSort.sortColsOf(newProps), phys,
         GraftIdentity.specOf(newProps).map(_.col),
         GraftGenerated.specsOf(newProps).map(_._1).toSet)
+    }
+    // governance policies must survive EVERY change here (mask keys were
+    // re-keyed with their renamed columns above; a DROP that strands a
+    // mask, a rename that breaks the row filter, or a bad SET all fail
+    // the DDL — the CHECK-constraint discipline)
+    try GraftGovernance.validate(newProps, updated,
+      newProps.get(GraftTable.PartitionProp)
+        .map(_.split(",").toSeq).getOrElse(Nil))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"graft catalog: change on $ident breaks a governance policy " +
+          s"(${e.getMessage}) — drop the mask/row-filter first", e)
     }
     if (newProps != props0) GraftTable.writeProps(fs, dir, newProps)
     val out = fs.create(metaFile(dir), true)
@@ -1558,7 +1596,9 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val branch: Option[String] = None,
                  val identity: Option[GraftIdentity.Spec] = None,
                  val generated: Seq[(String, String)] = Nil,
-                 val sortCols: Seq[String] = Nil)
+                 val sortCols: Seq[String] = Nil,
+                 val maskCols: Map[String, String] = Map.empty,
+                 val rowFilter: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1601,6 +1641,9 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
       m.put(s"${GraftGenerated.Prefix}$c", t) }
     if (sortCols.nonEmpty)
       m.put(GraftSort.SortColsProp, sortCols.mkString(","))
+    maskCols.foreach { case (c, p) =>
+      m.put(s"${GraftGovernance.MaskPrefix}$c", p) }
+    rowFilter.foreach(m.put(GraftGovernance.RowFilterProp, _))
     m
   }
 
@@ -1709,6 +1752,9 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     rejectPinnedWrite()
+    // a row-level rewrite reads raw bytes and re-persists what it read —
+    // under a masked session it would corrupt or leak; admin bypass only
+    GraftGovernance.refuseRawPath(this, s"${info.command()} (row-level rewrite)")
     if (mor) () => new GraftDeltaOperation(this, info.command())
     else () => new GraftRowLevelOperation(this, info.command())
   }

@@ -159,8 +159,13 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a changelog replays raw pre/post row images by design — refused on
+    // masked / row-filtered tables outside the admin bypass (the same
+    // line Databricks draws for CDF × row filters)
+    GraftGovernance.refuseRawPath(base, "the change feed")
     new GraftChangesScanBuilder(base, GraftStreamLimits.from(options))
+  }
 }
 
 class GraftChangesScanBuilder(base: GraftTable, limits: GraftStreamLimits)
