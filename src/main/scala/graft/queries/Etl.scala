@@ -1450,6 +1450,50 @@ object Etl {
                |ORDER BY rec_type, rec_id""".stripMargin)
     },
 
+    // PUSHED LIMIT AS A BOUNDED FILE PLAN (round 9): `LIMIT n` over a
+    // bare scan keeps only the file prefix whose stats-log row counts
+    // PROVABLY cover n — on a 10⁵-file table the peek-at-the-data query
+    // plans O(1) files instead of O(files), from metadata alone (zero
+    // footer probes, asserted in-query along with planned < total).
+    // Spark keeps its own Limit above the scan, so the answer is exact;
+    // masked or stats-less files guarantee nothing and disable the
+    // truncation (GraftLimitSpec). The oracle replays LEAST(n, count).
+    "etl_limit_scan" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ls", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ls.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ls.db")
+      s.sql("DROP TABLE IF EXISTS graft_ls.db.ord")
+      s.sql("""CREATE TABLE graft_ls.db.ord
+              |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(8)
+        .writeTo("graft_ls.db.ord").append()
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      require(total > 1, s"etl_limit_scan: need a multi-file layout ($total)")
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val limited = s.table("graft_ls.db.ord").limit(500)
+      val planned = limited.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size }.getOrElse(-1)
+        case p => p.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size }.getOrElse(-1)
+      }
+      require(planned >= 0 && planned < total,
+        s"etl_limit_scan: the pushed limit must bound the file plan " +
+          s"($planned of $total planned)")
+      require(graft.sources.GraftParquetFilters.footerProbes.get() == before,
+        "etl_limit_scan: limit planning must be metadata-only")
+      limited.agg(count(lit(1)).as("n_rows"))
+    },
+
     // COLUMN MASKING + ROW FILTER (round 9 — governance policies ON the
     // table, enforced at READ time by the analyzer rule): c_name shows
     // only its last 4 chars, c_phone reads as its md5, the balance reads
@@ -2991,6 +3035,9 @@ object Etl {
       """SELECT doc_id, source FROM documents
         |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
         |ORDER BY doc_id""".stripMargin,
+
+    "etl_limit_scan" ->
+      "SELECT LEAST(500, COUNT(*)) AS n_rows FROM orders",
 
     "etl_column_mask" ->
       """WITH c AS (SELECT c_custkey, c_name,

@@ -1797,9 +1797,11 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
                        streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited)
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = table.schema()
+  private var limitRows: Option[Int] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -1875,6 +1877,24 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  /** LIMIT pushdown as a BOUNDED FILE PLAN: a bare `LIMIT n` scan of a
+    * 10⁵-file table should plan O(1) files, not O(files). The plan keeps
+    * a prefix of files whose stats-log row counts PROVABLY cover n
+    * (files with a deletion vector / equality mask or without recorded
+    * stats guarantee nothing — conservative, zero extra IO), and returns
+    * `false` so Spark keeps its own Limit for exactness. Sound only for
+    * a bare scan: any data/layout filter means the matching rows may all
+    * live in the files a truncated plan would drop (Spark only pushes a
+    * limit whose child is the relation, re-checked here defensively).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (op.isEmpty && pushed.isEmpty && substr.isEmpty &&
+        partFilters.isEmpty && dayFilters.isEmpty && aggPlanned.isEmpty &&
+        n > 0)
+      limitRows = Some(n)
+    false // partial: the scan serves AT LEAST n rows, Spark trims exactly
+  }
+
   /** Global COUNT/MIN/MAX answered from the stats log (GraftAggPushdown):
     * COMPLETE pushdown — Spark consumes the one-row result directly, no
     * partial/final aggregation and no data-file tasks. Refused (ordinary
@@ -1902,7 +1922,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
   override def build(): Scan = {
     aggPlanned.foreach(p => return new GraftAggScan(table.name(), p))
     val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
-      dayFilters, streamLimits, substr)
+      dayFilters, streamLimits, substr, limitRows)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -2093,7 +2113,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited,
-                substrFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                substrFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                limitRows: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2401,7 +2422,27 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     val eqByName: Map[String, Seq[String]] =
       allEntries.collect { case e if e.eqs.nonEmpty =>
         new Path(e.file).getName -> e.eqs }.toMap
-    kept.map { f =>
+    // pushed LIMIT: keep a prefix of files whose stats-log row counts
+    // PROVABLY cover it (masked / stats-less files guarantee nothing);
+    // if the whole table cannot prove coverage, plan everything — Spark's
+    // Limit above trims exactly either way
+    val limited = limitRows match {
+      case Some(n) if !rowLevel =>
+        val stats = statsByName
+        var acc = 0L
+        val prefix = kept.takeWhile { f =>
+          val take = acc < n
+          if (take) {
+            val name = new Path(f).getName
+            if (!dvByName.contains(name) && !eqByName.contains(name))
+              acc += stats.get(name).map(_.rows).getOrElse(0L)
+          }
+          take
+        }
+        if (acc >= n) prefix else kept
+      case _ => kept
+    }
+    limited.map { f =>
       val name = new Path(f).getName
       table.bucketSpec match {
         case Some(_) =>
