@@ -1450,6 +1450,61 @@ object Etl {
                |ORDER BY rec_type, rec_id""".stripMargin)
     },
 
+    // IDENTITY × MERGE-ON-READ (round 9 — the streaming-fact-table shape:
+    // a surrogate-keyed table absorbing CDC merges as delta commits):
+    // MERGE inserts ALLOCATE surrogate keys through the same watermark
+    // protocol as batch appends (published inside the delta manifest,
+    // race-checked), while update-REINSERTED rows carry their existing
+    // key — a surrogate key survives its row's update. Asserted in-query:
+    // every key unique, zero keys re-keyed across the merge (distributed
+    // time-travel join, no driver collect). The oracle replays the merge
+    // as a FULL JOIN over raw orders — key columns excluded (allocation
+    // order is parallelism-dependent; the key INVARIANTS are the asserts).
+    "etl_identity_mor" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_im", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_im.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_im.db")
+      s.sql("DROP TABLE IF EXISTS graft_im.db.fact")
+      s.sql("""CREATE TABLE graft_im.db.fact
+              |(sk BIGINT GENERATED ALWAYS AS IDENTITY, ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','merge-on-read'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_im_base")
+      s.sql("INSERT INTO graft_im.db.fact (ckey, cents) SELECT * FROM graft_im_base")
+      val v1 = s.sql("SELECT max(version) FROM graft_history('graft_im', 'db.fact')")
+        .collect()(0).getLong(0)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 < 2)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+        .createOrReplaceTempView("graft_im_src")
+      s.sql("""MERGE INTO graft_im.db.fact t USING graft_im_src s ON t.ckey = s.ckey
+              |WHEN MATCHED THEN UPDATE SET cents = s.cents
+              |WHEN NOT MATCHED THEN INSERT (ckey, cents) VALUES (s.ckey, s.cents)
+              |""".stripMargin)
+      val uniq = s.sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT sk) AS d
+                        |FROM graft_im.db.fact""".stripMargin).collect()(0)
+      require(uniq.getLong(0) == uniq.getLong(1),
+        s"etl_identity_mor: surrogate keys must stay unique across the " +
+          s"merge (${uniq.getLong(1)} distinct of ${uniq.getLong(0)})")
+      val rekeyed = s.sql(
+        s"""SELECT COUNT(*) FROM
+           |  (SELECT ckey, sk FROM graft_im.db.fact VERSION AS OF $v1) b
+           |  JOIN graft_im.db.fact a ON a.ckey = b.ckey AND a.sk <> b.sk
+           |""".stripMargin).collect()(0).getLong(0)
+      require(rekeyed == 0L,
+        s"etl_identity_mor: $rekeyed updated rows were re-keyed — the " +
+          "delta reinsert must carry the surrogate key")
+      s.sql("""SELECT ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_im.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
+    },
+
     // PUSHED LIMIT AS A BOUNDED FILE PLAN (round 9): `LIMIT n` over a
     // bare scan keeps only the file prefix whose stats-log row counts
     // PROVABLY cover n — on a 10⁵-file table the peek-at-the-data query
@@ -3035,6 +3090,20 @@ object Etl {
       """SELECT doc_id, source FROM documents
         |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
         |ORDER BY doc_id""".stripMargin,
+
+    "etl_identity_mor" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |src AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 < 2),
+        |merged AS (SELECT COALESCE(s.ckey, b.ckey) AS ckey,
+        |  COALESCE(s.cents, b.cents) AS cents
+        |  FROM base b FULL JOIN src s ON b.ckey = s.ckey)
+        |SELECT ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_limit_scan" ->
       "SELECT LEAST(500, COUNT(*)) AS n_rows FROM orders",

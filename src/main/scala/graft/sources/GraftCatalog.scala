@@ -656,8 +656,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(history, "graft catalog: identity columns need a history " +
         "table (the allocation watermark is commit metadata in the " +
         "manifest log) — add TBLPROPERTIES('history'='true')")
-      require(!mor, "graft catalog: identity columns on merge-on-read " +
-        "tables are not supported yet (delta-insert generation)")
       require(!pcols.contains(sp.col) && !bucket.exists(_._1 == sp.col) &&
         !dayCol.contains(sp.col),
         s"graft catalog: identity column ${sp.col} cannot also be a " +
@@ -3243,6 +3241,12 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     */
   private[sources] var genCheck: Boolean = genStrict
 
+  /** MOR reinsert carrier: an update-reinserted row keeps its EXISTING
+    * identity value verbatim (a surrogate key must survive its row's
+    * update) — neither allocated nor refused as explicit.
+    */
+  private[sources] var idCarry: Boolean = false
+
   // GENERATED columns: computed for every row BEFORE checks and routing
   // (so CHECKs see computed values and a generated column can be a
   // partition column); an explicit incoming value must EQUAL the
@@ -3380,7 +3384,10 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
         val src = proj(i)
         if (idGen.nonEmpty && i == idGen.get.physIdx) {
           val g = idGen.get
-          if (g.srcIdx < 0 || record.isNullAt(g.srcIdx)) {
+          if (idCarry && g.srcIdx >= 0 && !record.isNullAt(g.srcIdx)) {
+            // update-reinserted row: its surrogate key survives the update
+            reuse.update(i, record.getLong(g.srcIdx))
+          } else if (g.srcIdx < 0 || record.isNullAt(g.srcIdx)) {
             reuse.update(i, idNext)
             idLast = Some(idNext)
             idNext += g.stride

@@ -119,7 +119,8 @@ class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   */
 case class GraftDeltaCommit(inserted: Seq[String],
                             deletes: Map[String, Array[Byte]],
-                            stats: Map[String, GraftStats.FileStats] = Map.empty)
+                            stats: Map[String, GraftStats.FileStats] = Map.empty,
+                            idLast: Option[Long] = None)
   extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
@@ -128,6 +129,11 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
   private val stagingDir =
     new Path(table.dir, s".staging-${java.util.UUID.randomUUID()}")
   private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  /** (spec, watermark the job allocated against) — commit re-checks it
+    * (the batch-append identity protocol, on the delta path).
+    */
+  @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
@@ -164,12 +170,30 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val genProjs =
       if (rowSchema.isEmpty) Nil
       else GraftGenerated.boundGenerators(SparkSession.active, table, rowSchema)
+    // identity on the DELTA path: genuine inserts (MERGE ... INSERT)
+    // allocate against the head watermark exactly like a batch append;
+    // update-REINSERTED rows carry their existing key (idCarry). A pure
+    // DELETE plans no data columns and allocates nothing.
+    val idGen: Option[GraftIdentity.WriteGen] =
+      if (rowSchema.isEmpty) None
+      else table.identity.map { sp =>
+        val dir = new Path(table.dir)
+        val wm0 = GraftIdentity.watermark(
+          GraftIdentity.headMeta(fs, dir, table.branch), sp)
+        idWrite = Some((sp, wm0))
+        GraftIdentity.WriteGen(sp.col,
+          table.physicalSchema.fieldIndex(sp.col),
+          if (rowSchema.fieldNames.contains(sp.col))
+            rowSchema.fieldIndex(sp.col) else -1,
+          wm0, sp.step, info.numPartitions, sp.allowExplicit)
+      }
     new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
       rowSchema, proj,
       if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
       rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
-      new SerializableHadoopConf(hadoopConf), violations, bucket, day, genProjs)
+      new SerializableHadoopConf(hadoopConf), violations, bucket, day, genProjs,
+      idGen)
   }
 
   /** Commit: OR each file's new delete positions into its existing
@@ -186,9 +210,11 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val merged = mutable.Map.empty[String, Roaring64Bitmap]
     val staged = mutable.Buffer.empty[String]
     val stagedStats = mutable.Map.empty[String, GraftStats.FileStats]
-    messages.foreach { case GraftDeltaCommit(ins, dels, sts) =>
+    val idLasts = mutable.Buffer.empty[Long]
+    messages.foreach { case GraftDeltaCommit(ins, dels, sts, idl) =>
       staged ++= ins
       stagedStats ++= sts
+      idLasts ++= idl
       dels.foreach { case (file, bytes) =>
         val bm = GraftDv.fromBytes(bytes)
         merged.get(file) match {
@@ -233,8 +259,23 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
         }
       }
       val landed = landStaged()
+      // identity watermark rides the SAME manifest as the delta commit;
+      // a delta that allocated against a watermark a concurrent identity
+      // write moved fails loudly (re-run re-reads the fresh head)
+      val idMeta: Map[String, String] = idWrite match {
+        case Some((sp, wm0)) if idLasts.nonEmpty =>
+          val cur = GraftIdentity.watermark(
+            GraftIdentity.headMeta(fs, dir, table.branch), sp)
+          if (cur != wm0) throw new IllegalStateException(
+            s"identity allocation on ${table.name()} raced a concurrent " +
+              s"identity write (watermark $wm0 -> $cur since this delta " +
+              "planned) — re-run the statement")
+          Map(GraftIdentity.wmKey(sp.col) ->
+            (if (sp.step > 0) idLasts.max else idLasts.min).toString)
+        case _ => Map.empty
+      }
       GraftTable.writeFullEntries(fs, dir, v + 1,
-        updated ++ landed.map(GraftTable.GraftEntry(_, None)), Map.empty, br)
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)), idMeta, br)
       GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta, br)
     } else {
       merged.foreach { case (file, bm) =>
@@ -262,12 +303,14 @@ class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
                               bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
                               day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
-                              genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil)
+                              genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil,
+                              idGen: Option[GraftIdentity.WriteGen] = None)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
       partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf,
-      violations, bucket, day, genProjs)
+      violations, bucket, day, genProjs,
+      idGen.map(GraftIdentity.taskGen(_, partitionId)))
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -285,13 +328,14 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
                        bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
                        day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
-                       genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil)
+                       genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil,
+                       idGen: Option[GraftIdentity.TaskGen] = None)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
   private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
     rowSchema, proj, partFields, partIdx, partitionId, taskId, conf,
-    bucket, violations, day, genProjs = genProjs)
+    bucket, violations, day, idGen = idGen, genProjs = genProjs)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString
@@ -301,11 +345,15 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
   /** Update-reinserted rows carry the pre-update GENERATED values — the
-    * writer recomputes them instead of enforcing explicit equality.
+    * writer recomputes them instead of enforcing explicit equality — and
+    * keep their IDENTITY value verbatim (a surrogate key survives its
+    * row's update; idCarry bypasses both allocation and the GENERATED
+    * ALWAYS explicit-value refusal for exactly this carrier path).
     */
   override def reinsert(meta: InternalRow, row: InternalRow): Unit = {
     inserts.genCheck = false
-    try inserts.write(row) finally inserts.genCheck = true
+    inserts.idCarry = true
+    try inserts.write(row) finally { inserts.genCheck = true; inserts.idCarry = false }
   }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
@@ -313,10 +361,11 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
       "graft delta writer represents updates as delete+insert")
 
   override def commit(): WriterCommitMessage = {
-    val (ins, insStats) = inserts.commit() match {
-      case GraftCommit(files, st, _, _) => (files, st)
+    val (ins, insStats, idl) = inserts.commit() match {
+      case GraftCommit(files, st, l, _) => (files, st, l)
     }
-    GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap, insStats)
+    GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap,
+      insStats, idl)
   }
 
   override def abort(): Unit = inserts.abort()
