@@ -1549,6 +1549,61 @@ object Etl {
       limited.agg(count(lit(1)).as("n_rows"))
     },
 
+    // PUSHED TOP-N AS A BOUNDED FILE PLAN (round 9 — the sort-on-write
+    // payoff): `ORDER BY cents LIMIT 100` on a declared-sort table plans
+    // only the RANGE HEAD — the stats log proves which files can hold a
+    // top-100 row (cutoff = far bound of the first files covering 100
+    // guaranteed rows), everything else is skipped from metadata alone
+    // (planned < total and zero footer probes asserted in-query). Spark's
+    // Sort+Limit stays above the reduced scan, so ties and ordering are
+    // exact — the oracle replays the identical ORDER BY ... LIMIT with a
+    // unique tie-break key in DuckDB.
+    "etl_topn_scan" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_tn", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tn.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tn.db")
+      s.sql("DROP TABLE IF EXISTS graft_tn.db.ord")
+      s.sql("""CREATE TABLE graft_tn.db.ord
+              |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+              |TBLPROPERTIES('write.sort.cols'='cents')""".stripMargin)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = s.conf.getOption(coalesceKey)
+      s.conf.set(coalesceKey, "false")
+      try {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(8)
+          .writeTo("graft_tn.db.ord").append()
+      } finally prevCoalesce match {
+        case Some(v) => s.conf.set(coalesceKey, v)
+        case None => s.conf.unset(coalesceKey)
+      }
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val total = graft.sources.GraftTable.dataFiles(fs, tdir).size
+      require(total > 1, s"etl_topn_scan: need a multi-file layout ($total)")
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val q = s.table("graft_tn.db.ord")
+        .orderBy(col("cents"), col("o_orderkey")).limit(100)
+      val planned = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size }.getOrElse(-1)
+        case p => p.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size }.getOrElse(-1)
+      }
+      require(planned >= 0 && planned < total,
+        s"etl_topn_scan: the pushed top-N must bound the file plan " +
+          s"($planned of $total planned)")
+      require(graft.sources.GraftParquetFilters.footerProbes.get() == before,
+        "etl_topn_scan: top-N planning must be metadata-only")
+      q
+    },
+
     // COLUMN MASKING + ROW FILTER (round 9 — governance policies ON the
     // table, enforced at READ time by the analyzer rule): c_name shows
     // only its last 4 chars, c_phone reads as its md5, the balance reads
@@ -3107,6 +3162,11 @@ object Etl {
 
     "etl_limit_scan" ->
       "SELECT LEAST(500, COUNT(*)) AS n_rows FROM orders",
+
+    "etl_topn_scan" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY cents, o_orderkey LIMIT 100""".stripMargin,
 
     "etl_column_mask" ->
       """WITH c AS (SELECT c_custkey, c_name,

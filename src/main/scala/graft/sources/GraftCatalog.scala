@@ -1796,10 +1796,12 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = table.schema()
   private var limitRows: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // (col, asc, n)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -1893,6 +1895,53 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
     false // partial: the scan serves AT LEAST n rows, Spark trims exactly
   }
 
+  /** TOP-N pushdown as a BOUNDED FILE PLAN (the sort-on-write payoff):
+    * `ORDER BY c LIMIT n` keeps only the files that can hold a top-n row,
+    * judged from the stats log — on a range-clustered table that is the
+    * range head/tail, O(n/rows-per-file) files instead of O(files). The
+    * push is PARTIAL (Spark still sorts and limits above, so ties and
+    * ordering stay exact); only the FIRST sort key prunes — later keys
+    * break ties inside rows the first key already admitted. Accepted only
+    * for a bare scan and the natural null placements (ASC NULLS FIRST /
+    * DESC NULLS LAST — Spark's defaults); the plan-time algorithm in
+    * [[GraftScan.planInputPartitions]] keeps every file that MIGHT hold a
+    * candidate (stats-less, null-carrying under ASC, bound overlapping
+    * the provable cutoff), so a non-clustered table degrades to the full
+    * plan, never to a wrong answer.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (op.nonEmpty || pushed.nonEmpty || substr.nonEmpty ||
+        partFilters.nonEmpty || dayFilters.nonEmpty || aggPlanned.nonEmpty ||
+        orders.isEmpty || n <= 0) return false
+    val o = orders.head
+    val colName = o.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val dt = table.physicalSchema.fields.find(_.name == colName)
+      .map(_.dataType).getOrElse(return false)
+    val asc = o.direction() == SortDirection.ASCENDING
+    val naturalNulls =
+      if (asc) o.nullOrdering() == NullOrdering.NULLS_FIRST
+      else o.nullOrdering() == NullOrdering.NULLS_LAST
+    if (!naturalNulls) return false
+    // type must be bound-comparable (the tracked canonical kinds)
+    val probe = dt match {
+      case org.apache.spark.sql.types.StringType => "a"
+      case org.apache.spark.sql.types.BooleanType => "true"
+      case _ => "0"
+    }
+    if (GraftStats.cmpStored(dt, probe, probe).isEmpty) return false
+    topN = Some((colName, asc, n))
+    true // partial: Spark keeps its Sort + Limit above the reduced scan
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   /** Global COUNT/MIN/MAX answered from the stats log (GraftAggPushdown):
     * COMPLETE pushdown — Spark consumes the one-row result directly, no
     * partial/final aggregation and no data-file tasks. Refused (ordinary
@@ -1920,7 +1969,7 @@ class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
   override def build(): Scan = {
     aggPlanned.foreach(p => return new GraftAggScan(table.name(), p))
     val scan = new GraftScan(table, required, op.isDefined, pushed, partFilters,
-      dayFilters, streamLimits, substr, limitRows)
+      dayFilters, streamLimits, substr, limitRows, topN)
     op.foreach {
       // first-built scan wins: the rewrite builds the ReplaceData read
       // before the optimizer derives the filter subquery from the same
@@ -2112,7 +2161,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                 dayFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 streamLimits: GraftStreamLimits = GraftStreamLimits.Unlimited,
                 substrFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                limitRows: Option[Int] = None)
+                limitRows: Option[Int] = None,
+                topN: Option[(String, Boolean, Int)] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2420,6 +2470,74 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     val eqByName: Map[String, Seq[String]] =
       allEntries.collect { case e if e.eqs.nonEmpty =>
         new Path(e.file).getName -> e.eqs }.toMap
+    // pushed TOP-N: keep only the files that can hold a top-n row.
+    // Provable cutoff: walk files by their leading-key bound (min under
+    // ASC, max under DESC), accumulate GUARANTEED rows (masked/stats-less
+    // files guarantee nothing; DESC subtracts nulls — they sort last)
+    // until n is covered; the prefix's far bound is the cutoff, and the
+    // kept set is every file whose near bound reaches it, plus every
+    // file that might hold candidates invisibly (no stats / no bounds /
+    // nulls under ASC — nulls sort first). If coverage is unprovable,
+    // everything is planned; Spark's Sort+Limit above stays exact.
+    val topNKept = topN match {
+      case Some((c, asc, n)) if !rowLevel =>
+        val stats = statsByName
+        val dt = table.physicalSchema.fields.find(_.name == c).map(_.dataType)
+        def boundsOf(f: String): Option[GraftStats.ColStats] =
+          stats.get(new Path(f).getName).flatMap(_.cols.get(c))
+        def masked(f: String): Boolean = {
+          val name = new Path(f).getName
+          dvByName.contains(name) || eqByName.contains(name)
+        }
+        val (judgeable, mustKeep) = dt match {
+          case None => (Nil, kept) // renamed/partition column: keep all
+          case Some(_) => kept.partition { f =>
+            boundsOf(f).exists(cs => cs.min.nonEmpty && cs.max.nonEmpty &&
+              // ASC: null rows sort FIRST — a file with (or with unknown)
+              // nulls always holds candidates
+              (!asc || cs.nulls == 0))
+          }
+        }
+        if (judgeable.isEmpty) kept
+        else {
+          val d = dt.get
+          def near(cs: GraftStats.ColStats) = if (asc) cs.min.get else cs.max.get
+          def far(cs: GraftStats.ColStats) = if (asc) cs.max.get else cs.min.get
+          def lte(a: String, b: String): Boolean =
+            GraftStats.cmpStored(d, a, b).exists(v => if (asc) v <= 0 else v >= 0)
+          val inOrder = judgeable.sortWith((a, b) =>
+            GraftStats.cmpStored(d, near(boundsOf(a).get), near(boundsOf(b).get))
+              .exists(v => if (asc) v < 0 else v > 0))
+          var acc = mustKeep.map { f =>
+            if (masked(f)) 0L
+            else stats.get(new Path(f).getName).map { st =>
+              val nulls = st.cols.get(c).map(_.nulls).getOrElse(-1L)
+              if (asc) st.rows
+              else if (nulls >= 0) st.rows - nulls else 0L
+            }.getOrElse(0L)
+          }.sum
+          var cut: Option[String] = None
+          val it = inOrder.iterator
+          while (cut.isEmpty && it.hasNext) {
+            val f = it.next()
+            val cs = boundsOf(f).get
+            if (!masked(f)) {
+              val rows = stats(new Path(f).getName).rows
+              acc += (if (asc) rows
+                      else if (cs.nulls >= 0) rows - cs.nulls else 0L)
+            }
+            if (acc >= n) cut = Some(far(cs))
+          }
+          cut match {
+            case None => kept // coverage unprovable: plan everything
+            case Some(cv) =>
+              val keepSet = (mustKeep ++
+                judgeable.filter(f => lte(near(boundsOf(f).get), cv))).toSet
+              kept.filter(keepSet.contains)
+          }
+        }
+      case _ => kept
+    }
     // pushed LIMIT: keep a prefix of files whose stats-log row counts
     // PROVABLY cover it (masked / stats-less files guarantee nothing);
     // if the whole table cannot prove coverage, plan everything — Spark's
@@ -2428,7 +2546,7 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
       case Some(n) if !rowLevel =>
         val stats = statsByName
         var acc = 0L
-        val prefix = kept.takeWhile { f =>
+        val prefix = topNKept.takeWhile { f =>
           val take = acc < n
           if (take) {
             val name = new Path(f).getName
@@ -2437,8 +2555,8 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           }
           take
         }
-        if (acc >= n) prefix else kept
-      case _ => kept
+        if (acc >= n) prefix else topNKept
+      case _ => topNKept
     }
     limited.map { f =>
       val name = new Path(f).getName

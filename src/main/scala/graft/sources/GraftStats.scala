@@ -468,6 +468,25 @@ object GraftStats {
     nullsKnown(cs) && cs.nulls == rows
   private def noNulls(cs: ColStats): Boolean = nullsKnown(cs) && cs.nulls == 0
 
+  /** Compare two recorded CANONICAL bounds under the column's type (both
+    * sides came from the same Tracker encoding); None = type outside the
+    * tracked kinds. String order is UTF8String binary order — the same
+    * order Spark sorts by, so top-N planning agrees with the Sort above.
+    */
+  def cmpStored(dt: DataType, a: String, b: String): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType =>
+      Some(java.lang.Long.compare(a.toLong, b.toLong))
+    case FloatType | DoubleType =>
+      Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+    case StringType =>
+      Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    case _: DecimalType =>
+      Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+    case BooleanType => Some(a.compareTo(b)) // "false" < "true"
+    case _ => None
+  }
+
   /** Compare a recorded canonical bound against a filter value under the
     * column's type; None = not comparable (unexpected value class).
     */

@@ -63,6 +63,52 @@ class GraftLimitSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("ORDER BY LIMIT on a declared-sort table plans only the range head/tail") {
+    sql("CREATE TABLE graft_lm.db.s (k BIGINT, v STRING) " +
+      s"TBLPROPERTIES('${GraftSort.SortColsProp}'='k')")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try {
+      spark.range(0, 400).selectExpr(
+          "CAST(id * 2654435761 % 400 AS BIGINT) AS k", "concat('v', id) AS v")
+        .repartition(3)
+        .writeTo("graft_lm.db.s").append()
+    } finally spark.conf.unset(coalesceKey)
+    val tdir = new org.apache.hadoop.fs.Path(s"$warehouse/db/s")
+    val total = GraftTable.dataFiles(
+      tdir.getFileSystem(spark.sessionState.newHadoopConf()), tdir).size
+    assert(total > 1)
+    val asc = spark.table("graft_lm.db.s").orderBy("k").limit(50)
+    assert(scanPartitions(asc) < total,
+      s"${scanPartitions(asc)} of $total planned for the ASC head")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 50L))
+    val desc = spark.table("graft_lm.db.s")
+      .orderBy(org.apache.spark.sql.functions.col("k").desc).limit(50)
+    assert(scanPartitions(desc) < total,
+      s"${scanPartitions(desc)} of $total planned for the DESC tail")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (399L to 350L by -1L))
+  }
+
+  test("top-N keeps null-carrying files under ASC and overlapping tables stay exact") {
+    sql("CREATE TABLE graft_lm.db.nl (k BIGINT, v STRING)")
+    spark.range(0, 100, 1, 1).selectExpr("id AS k", "'a' AS v")
+      .writeTo("graft_lm.db.nl").append()
+    spark.range(0, 10, 1, 1).selectExpr("CAST(NULL AS BIGINT) AS k", "'n' AS v")
+      .writeTo("graft_lm.db.nl").append()
+    spark.range(50, 150, 1, 1).selectExpr("id AS k", "'b' AS v") // overlaps
+      .writeTo("graft_lm.db.nl").append()
+    // NULLS FIRST: the 10 nulls are the top of the ASC order
+    val top = spark.table("graft_lm.db.nl").orderBy("k").limit(12)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(top.count(_ == -1L) == 10 && top.sorted.toSeq.drop(10) == Seq(0L, 1L))
+    // DESC over overlapping ranges: exact regardless of what was pruned
+    val d = spark.table("graft_lm.db.nl")
+      .orderBy(org.apache.spark.sql.functions.col("k").desc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(d == Seq(149L, 148L, 147L))
+  }
+
   test("masked files guarantee nothing: MOR deletes keep the plan full and exact") {
     sql("CREATE TABLE graft_lm.db.m (k BIGINT, v STRING) " +
       "TBLPROPERTIES('history'='true', 'merge-on-read'='true')")
