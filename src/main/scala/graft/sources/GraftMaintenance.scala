@@ -232,13 +232,17 @@ object GraftMaintenance {
     val rewritten = byBucket.toSeq.sortBy(_._1).filter(_._2.size > 1)
     // keep the per-file key sort the catalog writer guarantees — the scan
     // reports ordering on one-file-per-bucket layouts, so an unsorted
-    // compacted file would silently break merge joins
+    // compacted file would silently break merge joins. Declared
+    // sort-on-write columns append after the bucket key, exactly like the
+    // writer's required ordering (GraftSort)
     val bucketCol = props(GraftTable.BucketColProp)
+    val unitSort = bucketCol +:
+      GraftSort.sortColsOf(props).filterNot(_ == bucketCol)
     val landed = rewritten.map { case (b, fls) =>
       val out = new Path(staging, s"b$b")
       withMicrosTimestamps(spark) {
         evoRead(spark, fs, dir, props, fls).coalesce(1)
-          .sortWithinPartitions(bucketCol)
+          .sortWithinPartitions(unitSort.map(org.apache.spark.sql.functions.col): _*)
           .write.mode("overwrite").parquet(out.toString)
       }
       val part = fs.listStatus(out).toSeq
@@ -326,7 +330,11 @@ object GraftMaintenance {
           .withColumn("__graft_unit",
             org.apache.spark.sql.functions.expr(unitIndexExpr(unit, dt, dayCol)))
           .repartition(org.apache.spark.sql.functions.col("__graft_unit"))
-          .sortWithinPartitions(dayCol)
+          // in-file time order first, declared sort-on-write columns after
+          // (the writer's required ordering, preserved by maintenance)
+          .sortWithinPartitions((dayCol +:
+            GraftSort.sortColsOf(props).filterNot(_ == dayCol))
+            .map(org.apache.spark.sql.functions.col): _*)
           .write.partitionBy("__graft_unit").mode("overwrite")
           .parquet(staging.toString)
       }
