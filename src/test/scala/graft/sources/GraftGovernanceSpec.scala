@@ -79,6 +79,11 @@ class GraftGovernanceSpec extends SparkSpec {
     // aggregates see masked values too
     assert(sql("SELECT sum(balance) FROM graft_gv.db.cust")
       .collect()(0).isNullAt(0))
+    // the stats-log COUNT(*) pushdown must NOT bypass the row filter:
+    // the governed Filter sits between Aggregate and relation, so the
+    // count is computed over visible rows, not manifest row counts
+    assert(sql("SELECT count(*) FROM graft_gv.db.cust")
+      .collect()(0).getLong(0) == 2L)
   }
 
   test("time travel and SELECT via DataFrame API inherit the policies") {

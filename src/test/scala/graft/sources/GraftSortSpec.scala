@@ -180,6 +180,28 @@ class GraftSortSpec extends SparkSpec {
     assert(e5.getMessage.contains("not a physical column"))
   }
 
+  test("the native streaming sink honors the declared ordering per epoch") {
+    sql("CREATE TABLE graft_so.db.st (k BIGINT, v STRING) " +
+      s"TBLPROPERTIES('history'='true', '${GraftSort.SortColsProp}'='k')")
+    val ck = Files.createTempDirectory("graft_sort_ck").toFile.getAbsolutePath
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "200").option("numPartitions", "4").load()
+      .selectExpr("(value * 2654435761) % 1000 AS k", "concat('v', value) AS v")
+    val q = src.writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_so.db.st")
+    q.awaitTermination(120000)
+    assert(sql("SELECT count(*) FROM graft_so.db.st")
+      .collect()(0).getLong(0) >= 200L)
+    // every landed file is internally sorted by the declared column —
+    // the epoch's write request carried the same required ordering as a
+    // batch append
+    dataFiles("st").foreach { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"streamed file $f is not sorted")
+    }
+  }
+
   test("RENAME COLUMN re-keys the declaration") {
     sql("CREATE TABLE graft_so.db.s5 (k BIGINT, v STRING) " +
       s"TBLPROPERTIES('${GraftSort.SortColsProp}'='k')")
