@@ -452,6 +452,30 @@ object GraftExtensions {
         Bridge.logicalPlan(Seq((m, f))
           .toDF("manifests_removed", "files_removed"))
       }),
+    ("graft_apply_retention",
+      info("graft_apply_retention",
+        "graft_apply_retention(catalog, table) - apply the table's " +
+          "DECLARED retention policy (retention.keep-last floor and/or " +
+          "retention.max-age-ms; a snapshot expires only when both " +
+          "allow); refuses tables with no declaration; returns " +
+          "(keep_last, max_age_ms, manifests_removed, files_removed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_apply_retention(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_apply_retention: catalog"),
+          stringArg(args(1), "graft_apply_retention: table"))
+        val fs = new org.apache.hadoop.fs.Path(t.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val (kl, ma) = graft.sources.GraftRetention.of(
+          graft.sources.GraftTable.readProps(fs,
+            new org.apache.hadoop.fs.Path(t.dir)))
+        val (m, f) = graft.sources.GraftMaintenance.applyRetention(s, t.dir)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((kl.map(_.toLong).getOrElse(-1L),
+            ma.getOrElse(-1L), m, f))
+          .toDF("keep_last", "max_age_ms", "manifests_removed", "files_removed"))
+      }),
     ("graft_bloom_build",
       info("graft_bloom_build",
         "graft_bloom_build(catalog, table, cols_csv) - build the per-file " +

@@ -1450,6 +1450,45 @@ object Etl {
                |ORDER BY rec_type, rec_id""".stripMargin)
     },
 
+    // DECLARED RETENTION POLICY (round 9 — the declared-contract family's
+    // maintenance member): the snapshot-retention dial lives ON the table
+    // (retention.keep-last / retention.max-age-ms), and ONE argument-less
+    // verb applies it — no operator remembering the right VACUUM number
+    // per table across a 10⁴-table lakehouse. Asserted in-query: the
+    // apply expires exactly the beyond-floor manifests, the declared
+    // floor survives, and the CURRENT data is untouched (retention trims
+    // history, never the table — the oracle replays the full ingest).
+    "retention_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_rp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rp.db")
+      s.sql("DROP TABLE IF EXISTS graft_rp.db.ord")
+      s.sql("""CREATE TABLE graft_rp.db.ord
+              |(id BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES('history'='true', 'retention.keep-last'='2')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_rp_src")
+      (0 until 3).foreach(i =>
+        s.sql(s"INSERT INTO graft_rp.db.ord SELECT * FROM graft_rp_src WHERE id % 3 = $i"))
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val before = graft.sources.GraftTable.manifestVersions(fs, tdir).size
+      val r = s.sql("SELECT * FROM graft_apply_retention('graft_rp', 'db.ord')")
+        .collect()(0)
+      val after = graft.sources.GraftTable.manifestVersions(fs, tdir).size
+      require(after == 2 && r.getInt(2) == before - 2,
+        s"retention_sql_surface: keep-last=2 over $before manifests must " +
+          s"leave 2 (left $after, removed ${r.getInt(2)})")
+      s.sql("""SELECT status, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_rp.db.ord GROUP BY status ORDER BY status""".stripMargin)
+    },
+
     // IDENTITY × MERGE-ON-READ (round 9 — the streaming-fact-table shape:
     // a surrogate-keyed table absorbing CDC merges as delta commits):
     // MERGE inserts ALLOCATE surrogate keys through the same watermark
@@ -3145,6 +3184,12 @@ object Etl {
       """SELECT doc_id, source FROM documents
         |WHERE (text || ' tag' || source || 'end') LIKE '%tagsrc7end%'
         |ORDER BY doc_id""".stripMargin,
+
+    "retention_sql_surface" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_identity_mor" ->
       """WITH base AS (SELECT o_orderkey AS ckey,

@@ -692,9 +692,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         k == GraftGovernance.RowFilterProp }
     if (govProps.nonEmpty)
       GraftGovernance.validate(govProps, schema, pcols)
+    // declared retention policy: validated now, applied by
+    // graft_apply_retention / GraftMaintenance.applyRetention
+    val retProps = properties.asScala.toMap.filter { case (k, _) =>
+      GraftRetention.isRetentionProp(k) }
+    if (retProps.nonEmpty) {
+      GraftRetention.validate(retProps)
+      require(history, "graft catalog: retention policies need a history " +
+        "table (snapshots are what retention expires) — add " +
+        "TBLPROPERTIES('history'='true')")
+    }
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
         dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
-        indexProps.nonEmpty || sortCols.nonEmpty || govProps.nonEmpty) {
+        indexProps.nonEmpty || sortCols.nonEmpty || govProps.nonEmpty ||
+        retProps.nonEmpty) {
       GraftTable.writeProps(fs, dir, (indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
@@ -718,7 +729,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ++ (if (sortCols.nonEmpty)
               Map(GraftSort.SortColsProp -> sortCols.mkString(","))
             else Map.empty)
-        ++ govProps))
+        ++ govProps ++ retProps))
       if (history)
         GraftTable.writeManifest(fs, dir, 1L, Nil) // v1 = the empty table
     }
@@ -902,14 +913,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               sp.property == GraftBloom.TrgmColsProp ||
               sp.property == GraftSort.SortColsProp ||
               sp.property.startsWith(GraftGovernance.MaskPrefix) ||
-              sp.property == GraftGovernance.RowFilterProp =>
+              sp.property == GraftGovernance.RowFilterProp ||
+              GraftRetention.isRetentionProp(sp.property) =>
           indexPropChanges += sp.property -> Some(sp.value); st
         case rp: TableChange.RemoveProperty
             if rp.property == GraftBloom.BloomColsProp ||
               rp.property == GraftBloom.TrgmColsProp ||
               rp.property == GraftSort.SortColsProp ||
               rp.property.startsWith(GraftGovernance.MaskPrefix) ||
-              rp.property == GraftGovernance.RowFilterProp =>
+              rp.property == GraftGovernance.RowFilterProp ||
+              GraftRetention.isRetentionProp(rp.property) =>
           indexPropChanges += rp.property -> None; st
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other " +
@@ -984,6 +997,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftSort.validate(GraftSort.sortColsOf(newProps), phys,
         GraftIdentity.specOf(newProps).map(_.col),
         GraftGenerated.specsOf(newProps).map(_._1).toSet)
+      GraftRetention.validate(newProps)
+      if (newProps.keys.exists(GraftRetention.isRetentionProp))
+        require(newProps.get(GraftTable.HistoryProp).contains("true"),
+          "graft catalog: retention policies need a history table")
     }
     // governance policies must survive EVERY change here (mask keys were
     // re-keyed with their renamed columns above; a DROP that strands a

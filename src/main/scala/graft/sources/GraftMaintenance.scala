@@ -639,6 +639,37 @@ object GraftMaintenance {
     vacuumKeeping(spark, tableDir, _.takeRight(keepLast).toSet)
   }
 
+  /** Apply the table's DECLARED retention policy ([[GraftRetention]]):
+    * `retention.keep-last` is a floor (keep at least the N newest
+    * snapshots) and `retention.max-age-ms` keeps everything younger —
+    * a snapshot expires only when BOTH policies allow it. The current
+    * snapshot, tags and branch pins survive regardless (vacuumKeeping's
+    * contract). Refuses loudly when the table declares nothing: an
+    * undeclared expiry should be an explicit `graft_vacuum`, not a
+    * default silently eating history.
+    */
+  def applyRetention(spark: SparkSession, tableDir: String): (Int, Int) = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    val (keepLast, maxAge) = GraftRetention.of(props)
+    require(keepLast.nonEmpty || maxAge.nonEmpty,
+      s"applyRetention: $tableDir declares no retention policy — SET " +
+        s"TBLPROPERTIES('${GraftRetention.KeepLastProp}'=N) and/or " +
+        s"('${GraftRetention.MaxAgeProp}'=ms), or call graft_vacuum " +
+        "explicitly")
+    val cutoff = maxAge.map(System.currentTimeMillis() - _)
+    vacuumKeeping(spark, tableDir, versions => {
+      val byCount = keepLast.map(n => versions.takeRight(n).toSet)
+        .getOrElse(Set.empty[Long])
+      val byAge = cutoff.map(c => versions.filter { v =>
+        val p = GraftTable.manifestPath(dir, v)
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime >= c
+      }.toSet).getOrElse(Set.empty[Long])
+      byCount ++ byAge ++ versions.lastOption
+    })
+  }
+
   /** Time-based retention (`expire_snapshots(older_than)` / `VACUUM ...
     * RETAIN n HOURS`): expire every snapshot whose commit time is before
     * `olderThanMillis` (epoch millis). The CURRENT snapshot always
@@ -1125,6 +1156,51 @@ object GraftMaintenance {
       }
       case other => throw new IllegalArgumentException(
         s"purge: catalog $catalog is ${other.getClass.getName}")
+    }
+  }
+}
+
+/** Declared snapshot-retention policy — table properties the maintenance
+  * verb [[GraftMaintenance.applyRetention]] (and the
+  * `graft_apply_retention` TVF) enforce, completing the declared-contract
+  * family (sort-on-write, index-on-write, masking): the retention dial
+  * lives ON the table, not in whoever remembers to run VACUUM with the
+  * right number.
+  *
+  *  - `retention.keep-last` = N — keep at least the N newest snapshots;
+  *  - `retention.max-age-ms` = ms — keep every snapshot younger than ms;
+  *  - both declared: a snapshot expires only when BOTH allow it;
+  *  - the current snapshot, tags and branch pins always survive.
+  *
+  * Validated LOUDLY at CREATE / ALTER SET (positive integers), never at
+  * apply time.
+  */
+object GraftRetention {
+
+  val KeepLastProp = "retention.keep-last"
+  val MaxAgeProp = "retention.max-age-ms"
+
+  def isRetentionProp(k: String): Boolean =
+    k == KeepLastProp || k == MaxAgeProp
+
+  def of(props: Map[String, String]): (Option[Int], Option[Long]) =
+    (props.get(KeepLastProp).map(_.trim.toInt),
+      props.get(MaxAgeProp).map(_.trim.toLong))
+
+  def validate(props: Map[String, String]): Unit = {
+    props.get(KeepLastProp).foreach { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$KeepLastProp: '$v' is not an integer")
+      }
+      require(n >= 1, s"$KeepLastProp: must keep at least 1 snapshot, got $n")
+    }
+    props.get(MaxAgeProp).foreach { v =>
+      val ms = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxAgeProp: '$v' is not a long (epoch-relative milliseconds)")
+      }
+      require(ms > 0, s"$MaxAgeProp: must be a positive age, got $ms")
     }
   }
 }
