@@ -1016,6 +1016,85 @@ object GraftExtensions {
         Bridge.logicalPlan(rows
           .toDF("column", "files_with_bounds", "overlap_fraction"))
       }),
+    // measure-don't-guess, closed into a RECOMMENDATION: the skip-overlap
+    // measurement joined with what the table already DECLARES (layout
+    // columns, write.sort.cols, index.bloom/trgm.cols), so the operator of
+    // a 10⁴-table lakehouse reads one row per column and knows whether to
+    // declare clustering, an index, or nothing. Metadata-only.
+    ("graft_layout_advice",
+      info("graft_layout_advice",
+        "graft_layout_advice(catalog, table) - per-column layout health: " +
+          "(column, files_with_bounds, overlap_fraction, declared, " +
+          "advice). Joins skip-overlap measurement with the table's " +
+          "declarations (layout/sort/index) into a recommendation. " +
+          "Metadata-only; zero data IO"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_layout_advice(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_layout_advice: catalog"),
+          stringArg(args(1), "graft_layout_advice: table"))
+        val p = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val props = graft.sources.GraftTable.readProps(fs, p)
+        val (bloomCols, trgmCols) = (
+          props.get(graft.sources.GraftBloom.BloomColsProp).toSeq
+            .flatMap(_.split(",")).map(_.trim).toSet,
+          props.get(graft.sources.GraftBloom.TrgmColsProp).toSeq
+            .flatMap(_.split(",")).map(_.trim).toSet)
+        val liveNames: Set[String] =
+          (if (t.history) {
+            val v = graft.sources.GraftTable.manifestVersions(fs, p).last
+            graft.sources.GraftTable.readManifest(fs, p, v)
+          } else graft.sources.GraftTable.dataFiles(fs, p))
+            .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+        val stats = graft.sources.GraftStats.readAll(fs, p)
+          .filter { case (n, _) => liveNames.contains(n) }.values.toSeq
+        val overlap = graft.sources.GraftStats
+          .skipEffectiveness(t.physicalSchema, stats)
+          .map { case (c, n, f) => c -> (n, f) }.toMap
+        val layoutOf: String => Option[String] = c =>
+          if (t.partitionCols.contains(c)) Some("partition")
+          else if (t.bucketSpec.exists(_._1 == c)) Some("bucket")
+          else if (t.dayCol.contains(c)) Some("time")
+          else None
+        val rows = t.schema().fields.toSeq.map { f =>
+          val c = f.name
+          val decl = (layoutOf(c).toSeq ++
+            (if (t.sortCols.contains(c)) Seq("sort") else Nil) ++
+            (if (bloomCols.contains(c)) Seq("bloom") else Nil) ++
+            (if (trgmCols.contains(c)) Seq("trgm") else Nil)).mkString(",")
+          val (nb, ov) = overlap.getOrElse(c, (0, Double.NaN))
+          val advice = layoutOf(c) match {
+            case Some(l) => s"$l layout column - prunes by placement already"
+            case None if ov.isNaN =>
+              "no comparable bounds - min/max skipping not applicable"
+            case None if ov <= 0.2 =>
+              if (t.sortCols.contains(c))
+                "clustered and declared - skipping holds behind every write"
+              else
+                "clustered today - declare write.sort.cols to keep it " +
+                  "behind writes and compaction"
+            case None =>
+              val range =
+                if (t.sortCols.contains(c))
+                  "declared sort not yet materialized - compact to cluster"
+                else "range scans: declare write.sort.cols"
+              val point =
+                if (bloomCols.contains(c)) "point lookups covered (bloom)"
+                else "point lookups: declare index.bloom.cols"
+              val sub =
+                if (f.dataType == org.apache.spark.sql.types.StringType)
+                  (if (trgmCols.contains(c)) "; substring covered (trgm)"
+                   else "; substring: declare index.trgm.cols")
+                else ""
+              s"scattered - $range; $point$sub"
+          }
+          (c, nb, ov, decl, advice)
+        }
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF(
+          "column", "files_with_bounds", "overlap_fraction", "declared", "advice"))
+      }),
     ("graft_files",
       info("graft_files",
         "graft_files(catalog, table) - the current snapshot's data files: " +

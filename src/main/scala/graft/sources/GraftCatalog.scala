@@ -316,7 +316,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)),
       sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)),
       maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
-      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)))
+      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
+      retention = GraftTable.readProps(fs, dir)
+        .filter { case (k, _) => GraftRetention.isRetentionProp(k) })
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -738,7 +740,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dayCol = dayCol, timeUnit = timeUnit, identity = identity,
       generated = generated, sortCols = sortCols,
       maskCols = GraftGovernance.masksOf(govProps),
-      rowFilter = GraftGovernance.rowFilterOf(govProps))
+      rowFilter = GraftGovernance.rowFilterOf(govProps),
+      retention = retProps)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -1613,7 +1616,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val generated: Seq[(String, String)] = Nil,
                  val sortCols: Seq[String] = Nil,
                  val maskCols: Map[String, String] = Map.empty,
-                 val rowFilter: Option[String] = None)
+                 val rowFilter: Option[String] = None,
+                 val retention: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1659,6 +1663,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     maskCols.foreach { case (c, p) =>
       m.put(s"${GraftGovernance.MaskPrefix}$c", p) }
     rowFilter.foreach(m.put(GraftGovernance.RowFilterProp, _))
+    retention.foreach { case (k, v) => m.put(k, v) }
     m
   }
 

@@ -180,6 +180,42 @@ class GraftSortSpec extends SparkSpec {
     assert(e5.getMessage.contains("not a physical column"))
   }
 
+  test("graft_layout_advice closes measurement into a recommendation") {
+    graft.GraftExtensions.register(spark)
+    // scattered, undeclared: the advice must point at the declarations
+    sql("CREATE TABLE graft_so.db.adv (k BIGINT, s STRING)")
+    (0 until 3).foreach { i =>
+      spark.range(0, 300, 1, 1)
+        .selectExpr("(id * 2654435761) % 1000 AS k", "concat('s', id) AS s")
+        .writeTo("graft_so.db.adv").append()
+    }
+    val rows = sql("SELECT * FROM graft_layout_advice('graft_so', 'db.adv')")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getString(3), r.getString(4))).toMap
+    val (ovK, declK, advK) = rows("k")
+    assert(ovK > 0.5 && declK == "" && advK.contains("write.sort.cols") &&
+      advK.contains("index.bloom.cols"), s"k: $advK")
+    assert(rows("s")._3.contains("index.trgm.cols"), "string column advises trgm")
+    // declared + clustered: the advice says the contract holds
+    sql(s"ALTER TABLE graft_so.db.adv SET TBLPROPERTIES('${GraftSort.SortColsProp}'='k')")
+    multiFile {
+      GraftMaintenance.compactTable(spark, s"$warehouse/db/adv",
+        targetBytes = 16L << 10)
+    }
+    val after = sql("SELECT * FROM graft_layout_advice('graft_so', 'db.adv')")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getString(3),
+        r.getString(4))).toMap
+    assert(after("k")._1 <= 0.2 && after("k")._2 == "sort" &&
+      after("k")._3.contains("declared"), s"k after: ${after("k")}")
+    // layout columns are labelled, not advised
+    sql("CREATE TABLE graft_so.db.advp (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.range(0, 50, 1, 1).selectExpr("id AS k", "concat('p', id % 2) AS p")
+      .writeTo("graft_so.db.advp").append()
+    val lp = sql("SELECT * FROM graft_layout_advice('graft_so', 'db.advp')")
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(lp("p")._1 == "partition" && lp("p")._2.contains("placement"))
+  }
+
   test("the native streaming sink honors the declared ordering per epoch") {
     sql("CREATE TABLE graft_so.db.st (k BIGINT, v STRING) " +
       s"TBLPROPERTIES('history'='true', '${GraftSort.SortColsProp}'='k')")
