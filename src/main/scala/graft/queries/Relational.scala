@@ -1627,6 +1627,33 @@ object Relational {
     // 100 TB variant shredding stores hot fields columnar so the scan
     // prunes like any column. q12/q48 are the string-JSON twins; this is
     // the path a lakehouse actually lands event payloads on
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE — the iterative-closure
+    // surface q45_hierarchy/q67_bfs_reach hand-roll with driver loops,
+    // expressed declaratively): customers form a deterministic binary
+    // referral tree (parent(k) = k DIV 2), and the recursion walks each
+    // seed's ancestor chain to the root. Spark executes each recursion
+    // level as a DISTRIBUTED self-join union — the frontier shrinks
+    // geometrically (≤ log₂ maxkey levels), so at 100 TB this is
+    // iterative BFS with no driver-side row movement; termination is by
+    // value (chain reaches key 1) with a depth guard. The oracle replays
+    // the identical recursion in DuckDB.
+    "q70_recursive_cte" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q70_cust")
+      s.sql("""WITH RECURSIVE chain(ck, root, depth, bal) AS (
+              |  SELECT c_custkey, c_custkey, 0,
+              |         CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+              |  FROM q70_cust WHERE c_custkey % 97 = 0
+              |  UNION ALL
+              |  SELECT c.c_custkey, ch.root, ch.depth + 1,
+              |         CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)
+              |  FROM chain ch JOIN q70_cust c ON c.c_custkey = ch.ck DIV 2
+              |  WHERE ch.ck > 1 AND ch.depth < 25
+              |)
+              |SELECT root, COUNT(*) AS chain_len, MAX(depth) AS max_depth,
+              |       CAST(SUM(bal) AS BIGINT) AS chain_bal_cents
+              |FROM chain GROUP BY root ORDER BY root""".stripMargin)
+    },
+
     "q69_variant" -> { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), parse_json(col("props")).as("v"))
@@ -2669,6 +2696,21 @@ object Relational {
         | (((rank - 1) * 4) // n_total + 1)::INT AS bucket4,
         | CAST(rank - 1 AS DOUBLE) / (n_total - 1) AS pr
         |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "q70_recursive_cte" ->
+      """WITH RECURSIVE chain(ck, root, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |         CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.root, ch.depth + 1,
+        |         CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)
+        |  FROM chain ch JOIN customer c ON c.c_custkey = ch.ck // 2
+        |  WHERE ch.ck > 1 AND ch.depth < 25
+        |)
+        |SELECT root, COUNT(*) AS chain_len, MAX(depth) AS max_depth,
+        |       CAST(SUM(bal) AS BIGINT) AS chain_bal_cents
+        |FROM chain GROUP BY root ORDER BY root""".stripMargin,
 
     "q69_variant" ->
       """WITH e AS (SELECT event_type,
