@@ -1819,6 +1819,94 @@ object Relational {
           min(when(cum >= expr("(9 * wtot + 9) DIV 10"), col("price_cents")))
             .as("wp90_cents"))
         .orderBy("flag")
+    },
+
+    // TPC-H Q6 shape (forecast revenue change): the pure scan-filter-agg
+    // probe. The three predicates all push to the parquet scan (year
+    // bounds as a shipdate range would at a real layout; discount/quantity
+    // as row-group min/max prunes) and the whole plan is one codegen'd
+    // stage with a partial+final agg — the shape that must stay
+    // shuffle-free at 100 TB. Revenue is exact per-row cents.
+    "q89_forecast_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) === 1996 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year), adapted to
+    // the star schema at hand: no partsupp table, so unit supply cost is
+    // half the part's retail price. Profit stays exact: both terms floor
+    // to cents per row BEFORE the sum, so association can't drift. The
+    // name-filtered part dim and the supplier→nation dim broadcast; the
+    // fact table never shuffles until the final small groupBy.
+    "q90_product_profit" -> { (s, dir) =>
+      val widgetParts = Tables.part(s, dir)
+        .where(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"), col("n_name").as("nation"))
+      val profit =
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long") -
+        floor(col("p_retailprice") * col("l_quantity") * 50).cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("sk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).as("profit_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q12 shape (shipmode × order-priority split), adapted: the
+    // schema carries no l_shipmode, so the line's return flag plays the
+    // class axis. One fact⋈fact-dim join and conditional counts — the
+    // canonical "wide scan, narrow answer" report
+    "q91_priority_lines" -> { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) === 1997 && col("l_quantity") >= 25)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(high, 0L).otherwise(1L)).as("low_lines"))
+        .orderBy("ship_class")
+    },
+
+    // TPC-H Q20 shape (suppliers with excess stock of a part family),
+    // adapted without partsupp: a supplier qualifies if, for some
+    // 'large %' part, its own 1997 shipped volume exceeds 20% of that
+    // part's total 1997 volume. Quantities compare as exact integer
+    // cents ×5 — no float decides membership. The per-part total is a
+    // RE-aggregate of the (part, supplier) rollup (tiny), joined back on
+    // the partkey the rollup is already clustered by — the fact table is
+    // scanned once and shuffled once.
+    "q92_excess_suppliers" -> { (s, dir) =>
+      val largeKeys = Tables.part(s, dir)
+        .where(col("p_name").startsWith("large"))
+        .select(col("p_partkey"))
+      val perSupp = Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) === 1997)
+        .join(broadcast(largeKeys), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("qc"))
+        .localCheckpoint(eager = true)
+      val perPart = perSupp.groupBy(col("l_partkey"))
+        .agg(sum(col("qc")).as("tc"))
+      val excess = perSupp.join(perPart, "l_partkey")
+        .where(col("qc") * 5 > col("tc"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
     }
   )
 
@@ -2797,7 +2885,52 @@ object Relational {
         |   THEN price_cents END) AS wmedian_cents,
         | MIN(CASE WHEN cum_before + wsum >= (9 * wtot + 9) // 10
         |   THEN price_cents END) AS wp90_cents
-        |FROM p GROUP BY flag ORDER BY flag""".stripMargin
+        |FROM p GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q89_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE YEAR(l_shipdate) = 1996
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q90_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |        - CAST(FLOOR(p_retailprice * l_quantity * 50) AS BIGINT)) AS BIGINT) AS profit_cents,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q91_priority_lines" ->
+      """SELECT l_returnflag AS ship_class,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE YEAR(l_shipdate) = 1997 AND l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_excess_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE YEAR(l_shipdate) = 1997 AND p_name LIKE 'large%'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(qc) AS tc FROM ps GROUP BY 1),
+        |ex AS (SELECT DISTINCT l_suppkey FROM ps JOIN pt USING (l_partkey)
+        |       WHERE qc * 5 > tc)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+        |ORDER BY s_suppkey""".stripMargin
     )
 
   /** The *_sql_surface twins assert SQL-text authorship produces the
