@@ -301,7 +301,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
             branch = Some(b), identity = base.identity,
             generated = base.generated, sortCols = base.sortCols,
-            maskCols = base.maskCols, rowFilter = base.rowFilter)
+            maskCols = base.maskCols, rowFilter = base.rowFilter,
+            rowLineage = base.rowLineage)
         }
       }
       throw new NoSuchTableException(ident)
@@ -318,7 +319,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
       rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
       retention = GraftTable.readProps(fs, dir)
-        .filter { case (k, _) => GraftRetention.isRetentionProp(k) })
+        .filter { case (k, _) => GraftRetention.isRetentionProp(k) },
+      rowLineage = GraftRowId.enabled(GraftTable.readProps(fs, dir)))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -363,7 +365,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // time travel must not be the mask bypass: pinned reads inherit
       // the governance policies
       maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
-      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)))
+      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
+      rowLineage = GraftRowId.enabled(GraftTable.readProps(fs, dir)))
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -694,6 +697,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         k == GraftGovernance.RowFilterProp }
     if (govProps.nonEmpty)
       GraftGovernance.validate(govProps, schema, pcols)
+    // ROW LINEAGE: declared at birth only (every data file must carry the
+    // hidden id column — a later opt-in would leave pre-feature files
+    // serving NULL ids, a silent lineage gap)
+    val rowid = GraftRowId.enabled(properties.asScala.toMap)
+    if (rowid) {
+      require(history, "graft catalog: row lineage needs a history table " +
+        "(the id watermark is commit metadata in the manifest log) — add " +
+        "TBLPROPERTIES('history'='true')")
+      require(!schema.fieldNames.contains(GraftRowId.Col),
+        s"graft catalog: column name ${GraftRowId.Col} is reserved by row " +
+          "lineage — rename the column or drop the rowid property")
+    }
     // declared retention policy: validated now, applied by
     // graft_apply_retention / GraftMaintenance.applyRetention
     val retProps = properties.asScala.toMap.filter { case (k, _) =>
@@ -707,10 +722,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (history || mor || pcols.nonEmpty || bucket.nonEmpty || checks.nonEmpty ||
         dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
         indexProps.nonEmpty || sortCols.nonEmpty || govProps.nonEmpty ||
-        retProps.nonEmpty) {
+        retProps.nonEmpty || rowid) {
       GraftTable.writeProps(fs, dir, (indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
-        GraftTable.MorProp -> mor.toString).filter(_._2 == "true")
+        GraftTable.MorProp -> mor.toString,
+        GraftRowId.Prop -> rowid.toString).filter(_._2 == "true")
         ++ (if (pcols.nonEmpty) Map(GraftTable.PartitionProp -> pcols.mkString(","))
             else Map.empty)
         ++ bucket.map { case (c, n) => Map(
@@ -741,7 +757,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       generated = generated, sortCols = sortCols,
       maskCols = GraftGovernance.masksOf(govProps),
       rowFilter = GraftGovernance.rowFilterOf(govProps),
-      retention = retProps)
+      retention = retProps, rowLineage = rowid)
   }
 
   /** Schema evolution, metadata-only (the footer-merge discipline of
@@ -1617,7 +1633,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val sortCols: Seq[String] = Nil,
                  val maskCols: Map[String, String] = Map.empty,
                  val rowFilter: Option[String] = None,
-                 val retention: Map[String, String] = Map.empty)
+                 val retention: Map[String, String] = Map.empty,
+                 val rowLineage: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1632,6 +1649,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
     val m = new util.HashMap[String, String]()
     if (history) m.put(GraftTable.HistoryProp, "true")
     if (mor) m.put(GraftTable.MorProp, "true")
+    if (rowLineage) m.put(GraftRowId.Prop, "true")
     if (partitionCols.nonEmpty)
       m.put(GraftTable.PartitionProp, partitionCols.mkString(","))
     bucketSpec.foreach { case (c, n) =>
@@ -1758,7 +1776,16 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "row position within its data file (merge-on-read row id)"
-    })
+    }) ++ (if (!rowLineage) Array.empty[MetadataColumn] else Array[MetadataColumn](
+    new MetadataColumn {
+      override def name(): String = GraftRowId.Col
+      override def dataType(): DataType = org.apache.spark.sql.types.LongType
+      // nullable: a COW MERGE's not-matched source rows carry NULL here
+      // (that null is the "mint a fresh id" signal on the write side)
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "stable row identifier (row lineage) — survives every rewrite of the row's bytes"
+    }))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None, GraftStreamLimits.from(options))
@@ -2820,7 +2847,8 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
 case class GraftCommit(files: Seq[String],
                        stats: Map[String, GraftStats.FileStats] = Map.empty,
                        idLast: Option[Long] = None,
-                       indexes: Seq[(String, String, Array[Byte])] = Nil)
+                       indexes: Seq[(String, String, Array[Byte])] = Nil,
+                       rowLast: Option[Long] = None)
   extends WriterCommitMessage
 
 /** Clustered-by-partition write distribution: each partition value lands
@@ -3017,7 +3045,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
                       messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _, _, _) => fls }
+    val staged = messages.flatMap { case g: GraftCommit => g.files }
     if (lastCommittedEpoch(fs, dir).exists(_ >= epochId)) {
       // checkpoint-recovery replay of an epoch that already committed:
       // drop the restaged bytes, change nothing — exactly-once
@@ -3025,7 +3053,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       return
     }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st, _, _) => st }.toMap
+      messages.flatMap { case g: GraftCommit => g.stats }.toMap
     val landed = staged.toSeq.map { f =>
       val p = new Path(f)
       val tgt = new Path(dir, GraftTable.relativize(stagingDir, p))
@@ -3037,7 +3065,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     // the SAME atomic manifest create as the files and the txn marker
     val idMeta: Map[String, String] = idWrite match {
       case Some((sp, _)) =>
-        val lasts = messages.flatMap { case GraftCommit(_, _, l, _) => l }
+        val lasts = messages.flatMap { case g: GraftCommit => g.idLast }
         if (lasts.isEmpty) Map.empty
         else Map(GraftIdentity.wmKey(sp.col) ->
           (if (sp.step > 0) lasts.max else lasts.min).toString)
@@ -3097,7 +3125,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     GraftStats.writeCommitStats(fs, dir,
       stagedStats.toSeq.map { case (p, st) => new Path(p).getName -> st })
     GraftBloom.writeRawEntries(fs, dir,
-      messages.flatMap { case GraftCommit(_, _, _, idx) => idx }.toSeq
+      messages.flatMap { case g: GraftCommit => g.indexes }.toSeq
         .map { case (p, c, b) => (new Path(p).getName, c, b) })
     knownEpoch = Some(epochId)
   }
@@ -3105,7 +3133,7 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
-    messages.filter(_ != null).flatMap { case GraftCommit(fls, _, _, _) => fls }
+    messages.filter(_ != null).flatMap { case g: GraftCommit => g.files }
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -3141,17 +3169,30 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   /** (spec, watermark the job allocated against) — commit re-checks it. */
   @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
 
+  /** Row-lineage watermark the job allocated against — commit re-checks. */
+  @volatile private var rowWrite: Option[Long] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
+    // row lineage: the physical file schema gains the trailing hidden id;
+    // a COW rewrite's incoming attributes include the projected `_row_id`
+    // metadata column (carry), a plain append's never do (allocate)
+    val ioSchema =
+      if (table.rowLineage) GraftRowId.ioSchema(table.physicalSchema)
+      else table.physicalSchema
     // replacement rows may carry metadata columns (_file) — write only the
     // table's PHYSICAL columns (partition values become directories),
     // whatever the incoming attribute order. The identity column may be
     // wholly absent from the incoming attributes (-1 → generate).
+    val rowSrcIdx =
+      if (writeSchema.fieldNames.contains(GraftRowId.Col))
+        writeSchema.fieldIndex(GraftRowId.Col) else -1
     val proj = table.physicalSchema.fields.map(f =>
       if (table.identity.exists(_.col == f.name) &&
           !writeSchema.fieldNames.contains(f.name)) -1
-      else writeSchema.fieldIndex(f.name))
+      else writeSchema.fieldIndex(f.name)) ++
+      (if (table.rowLineage) Array(rowSrcIdx) else Array.empty[Int])
     val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
     val bucket = table.bucketSpec.map { case (c, n) =>
       val i = writeSchema.fieldIndex(c)
@@ -3176,7 +3217,19 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
             writeSchema.fieldIndex(sp.col) else -1,
           wm0, sp.step, info.numPartitions, sp.allowExplicit)
       }
-    new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
+    // row lineage: every batch flavor (append, overwrite, COW replace)
+    // may mint ids — appends for every row, COW replaces only for
+    // merge-inserted rows (carried rows arrive with a non-null source)
+    val rowGen: Option[GraftIdentity.WriteGen] =
+      if (!table.rowLineage) None
+      else {
+        val wm0 = GraftRowId.watermark(
+          GraftIdentity.headMeta(fs, new Path(table.dir), table.branch))
+        rowWrite = Some(wm0)
+        Some(GraftRowId.writeGen(wm0, rowSrcIdx, ioSchema.length - 1,
+          info.numPartitions))
+      }
+    new GraftWriterFactory(stagingDir.toString, ioSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
@@ -3186,15 +3239,16 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       indexCols = GraftBloom.indexOnWriteCols(
         GraftTable.readProps(
           stagingDir.getFileSystem(hadoopConf), new Path(table.dir)),
-        table.physicalSchema))
+        table.physicalSchema),
+      rowGen = rowGen)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     val dir = new Path(table.dir)
-    val staged = messages.flatMap { case GraftCommit(fls, _, _, _) => fls }
+    val staged = messages.flatMap { case g: GraftCommit => g.files }
     val stagedStats: Map[String, GraftStats.FileStats] =
-      messages.flatMap { case GraftCommit(_, st, _, _) => st }.toMap
+      messages.flatMap { case g: GraftCommit => g.stats }.toMap
     // land under the same staging-relative subpath (partition dirs)
     def land(f: String): Path = {
       val p = new Path(f)
@@ -3211,7 +3265,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // index-on-write entries (declared bloom/trigram columns) ride the
       // same commit, keyed by the same landed names
       GraftBloom.writeRawEntries(fs, dir,
-        messages.flatMap { case GraftCommit(_, _, _, idx) => idx }.toSeq
+        messages.flatMap { case g: GraftCommit => g.indexes }.toSeq
           .map { case (p, c, b) => (new Path(p).getName, c, b) })
     }
     if (table.history) {
@@ -3232,7 +3286,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // the plain optimistic retry
       val idMeta: Map[String, String] = idWrite match {
         case Some((sp, _)) =>
-          val lasts = messages.flatMap { case GraftCommit(_, _, l, _) => l }
+          val lasts = messages.flatMap { case g: GraftCommit => g.idLast }
           if (lasts.isEmpty) Map.empty
           else Map(GraftIdentity.wmKey(sp.col) ->
             (if (sp.step > 0) lasts.max else lasts.min).toString)
@@ -3345,13 +3399,14 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          idGen: Option[GraftIdentity.WriteGen] = None,
                          genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
                          genStrict: Boolean = true,
-                         indexCols: (Seq[String], Seq[String]) = (Nil, Nil))
+                         indexCols: (Seq[String], Seq[String]) = (Nil, Nil),
+                         rowGen: Option[GraftIdentity.WriteGen] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
       partFields, partIdx, partitionId, taskId, conf, bucket, violations, day,
       idGen.map(GraftIdentity.taskGen(_, partitionId)), genProjs, genStrict,
-      indexCols)
+      indexCols, rowGen.map(GraftIdentity.taskGen(_, partitionId)))
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -3372,7 +3427,8 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       idGen: Option[GraftIdentity.TaskGen] = None,
                       genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
                       genStrict: Boolean = true,
-                      indexCols: (Seq[String], Seq[String]) = (Nil, Nil))
+                      indexCols: (Seq[String], Seq[String]) = (Nil, Nil),
+                      rowGen: Option[GraftIdentity.TaskGen] = None)
   extends DataWriter[InternalRow] {
 
   /** REWRITE carriers (COW replace, MOR reinsert) arrive with the STALE
@@ -3437,6 +3493,14 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
   private var idNext: Long = idGen.map(_.first).getOrElse(0L)
   private var idLast: Option[Long] = None
 
+  // ROW LINEAGE allocation state (same strided protocol); `rowCarry` is
+  // the MOR reinsert side-channel — the original row's id arrives in the
+  // delta writer's METADATA row, not the data row, so the delta writer
+  // pins it here for the one write it wraps
+  private var rowNext: Long = rowGen.map(_.first).getOrElse(0L)
+  private var rowLast: Option[Long] = None
+  private[sources] var rowCarry: Option[Long] = None
+
   // CHECK / NOT NULL enforcement: driver-bound violation predicates
   // compiled once per writer (codegen'd — zero cost when none declared)
   private val checkPreds: Array[(String, BasePredicate)] =
@@ -3445,7 +3509,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     }.toArray
 
   private val isIdentity = partFields.isEmpty && idGen.isEmpty &&
-    proj.length == writeSchema.length &&
+    rowGen.isEmpty && proj.length == writeSchema.length &&
     proj.zipWithIndex.forall { case (p, i) => p == i }
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, (org.apache.parquet.hadoop.ParquetWriter[InternalRow], Path, GraftStats.Tracker)]
@@ -3539,6 +3603,21 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
             reuse.update(i, record.getLong(g.srcIdx))
           }
         }
+        else if (rowGen.nonEmpty && i == rowGen.get.physIdx) {
+          // row lineage: MOR reinserts carry via the metadata side-channel;
+          // COW rewrites carry the projected metadata column; a NULL there
+          // (merge-inserted row) — or no source at all (plain append) —
+          // mints the next strided id
+          val g = rowGen.get
+          if (rowCarry.isDefined) reuse.update(i, rowCarry.get)
+          else if (g.srcIdx >= 0 && !record.isNullAt(g.srcIdx))
+            reuse.update(i, record.getLong(g.srcIdx))
+          else {
+            reuse.update(i, rowNext)
+            rowLast = Some(rowNext)
+            rowNext += g.stride
+          }
+        }
         else if (record.isNullAt(src)) reuse.setNullAt(i)
         else reuse.update(i, record.get(src, writeSchema.fields(src).dataType))
         i += 1
@@ -3562,7 +3641,7 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
     val indexes = idxByPath.toSeq.flatMap { case (p, t) =>
       t.result().map { case (c, bytes) => (p.toString, c, bytes) }
     }
-    GraftCommit(paths.map(_.toString).toSeq, stats, idLast, indexes)
+    GraftCommit(paths.map(_.toString).toSeq, stats, idLast, indexes, rowLast)
   }
 
   override def abort(): Unit = writers.values.foreach(_._1.close())
