@@ -362,7 +362,7 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     val (ins, insStats, idl) = inserts.commit() match {
-      case GraftCommit(files, st, l, _) => (files, st, l)
+      case GraftCommit(files, st, l, _, _) => (files, st, l)
     }
     GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap,
       insStats, idl)
