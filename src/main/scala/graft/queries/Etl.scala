@@ -1544,6 +1544,72 @@ object Etl {
               |FROM graft_im.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // ROW LINEAGE (round 10): stable `_row_id` assigned once at first
+    // insert and preserved through every rewrite — here a COW UPDATE then
+    // a COW MERGE restate most of the table's bytes, and the asserts
+    // prove (distributed time-travel joins, no driver collect) that ids
+    // stayed unique, NO surviving row was re-identified, and every
+    // merge-inserted row minted ABOVE the pre-merge watermark. At 100 TB
+    // this is what turns "which rows changed between v1 and v2" into an
+    // id join instead of a full-column compare. The oracle replays the
+    // update+merge over raw orders — id-free output (allocation order is
+    // parallelism-dependent; the id INVARIANTS are the asserts).
+    "etl_row_lineage" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_rl", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rl.db")
+      s.sql("DROP TABLE IF EXISTS graft_rl.db.fact")
+      s.sql("""CREATE TABLE graft_rl.db.fact (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_rl_base")
+      s.sql("INSERT INTO graft_rl.db.fact SELECT * FROM graft_rl_base")
+      val v1 = s.sql("SELECT max(version) FROM graft_history('graft_rl', 'db.fact')")
+        .collect()(0).getLong(0)
+      val wm1 = s.sql("SELECT max(_row_id) FROM graft_rl.db.fact")
+        .collect()(0).getLong(0) // bounded: one scalar
+      // COW UPDATE rewrites whole files — every id must ride the rewrite
+      s.sql("UPDATE graft_rl.db.fact SET cents = cents + 5 WHERE ckey % 2 = 0")
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 < 2)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+        .createOrReplaceTempView("graft_rl_src")
+      s.sql("""MERGE INTO graft_rl.db.fact t USING graft_rl_src s ON t.ckey = s.ckey
+              |WHEN MATCHED AND s.ckey % 2 = 1 THEN UPDATE SET cents = s.cents
+              |WHEN NOT MATCHED THEN INSERT (ckey, cents) VALUES (s.ckey, s.cents)
+              |""".stripMargin)
+      val uniq = s.sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT _row_id) AS d
+                        |FROM graft_rl.db.fact""".stripMargin).collect()(0)
+      require(uniq.getLong(0) == uniq.getLong(1),
+        s"etl_row_lineage: row ids must stay unique across rewrites " +
+          s"(${uniq.getLong(1)} distinct of ${uniq.getLong(0)})")
+      val reId = s.sql(
+        s"""SELECT COUNT(*) FROM
+           |  (SELECT ckey, _row_id FROM graft_rl.db.fact VERSION AS OF $v1) b
+           |  JOIN graft_rl.db.fact a ON a.ckey = b.ckey AND a._row_id <> b._row_id
+           |""".stripMargin).collect()(0).getLong(0)
+      require(reId == 0L,
+        s"etl_row_lineage: $reId surviving rows were re-identified — COW " +
+          "rewrites must carry _row_id verbatim")
+      val lowMint = s.sql(
+        s"""SELECT COUNT(*) FROM graft_rl.db.fact a
+           |LEFT ANTI JOIN (SELECT ckey FROM graft_rl.db.fact VERSION AS OF $v1) b
+           |  ON a.ckey = b.ckey
+           |WHERE a._row_id <= $wm1""".stripMargin).collect()(0).getLong(0)
+      require(lowMint == 0L,
+        s"etl_row_lineage: $lowMint merge-inserted rows minted at or " +
+          "below the pre-merge watermark — ids were reused")
+      s.sql("""SELECT ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_rl.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
+    },
+
     // PUSHED LIMIT AS A BOUNDED FILE PLAN (round 9): `LIMIT n` over a
     // bare scan keeps only the file prefix whose stats-log row counts
     // PROVABLY cover n — on a 10⁵-file table the peek-at-the-data query
@@ -3201,6 +3267,26 @@ object Etl {
         |merged AS (SELECT COALESCE(s.ckey, b.ckey) AS ckey,
         |  COALESCE(s.cents, b.cents) AS cents
         |  FROM base b FULL JOIN src s ON b.ckey = s.ckey)
+        |SELECT ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_row_lineage" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (SELECT ckey,
+        |  CASE WHEN ckey % 2 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM base),
+        |src AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 < 2),
+        |merged AS (SELECT COALESCE(b.ckey, s.ckey) AS ckey,
+        |  CASE WHEN b.ckey IS NOT NULL AND s.ckey IS NOT NULL
+        |         AND b.ckey % 2 = 1 THEN s.cents
+        |       WHEN b.ckey IS NOT NULL THEN b.cents
+        |       ELSE s.cents END AS cents
+        |  FROM upd b FULL JOIN src s ON b.ckey = s.ckey)
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,

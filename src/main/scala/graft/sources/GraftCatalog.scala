@@ -1834,10 +1834,15 @@ class GraftRowLevelOperation(table: GraftTable,
     new GraftReplaceDataWriteBuilder(table, info.schema(), this)
 
   /** Keep `_file` flowing through the rewritten plan so the runtime
-    * group-filter subquery can project it.
+    * group-filter subquery can project it — and on row-lineage tables
+    * `_row_id` too, so a COW rewrite CARRIES every surviving row's id
+    * (matched rows arrive with their id non-null; a MERGE's not-matched
+    * inserts arrive NULL there, which is the writer's mint signal).
     */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(GraftTable.FileCol))
+    Array(Expressions.column(GraftTable.FileCol)) ++
+      (if (table.rowLineage) Array(Expressions.column(GraftRowId.Col))
+       else Array.empty[NamedReference])
 }
 
 class GraftScanBuilder(table: GraftTable, op: Option[RowLevelOperation],
@@ -2988,16 +2993,27 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     */
   @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
 
+  /** Row-lineage watermark the CURRENT epoch allocates against — same
+    * per-epoch protocol as identity (epochs of one query are serial).
+    */
+  @volatile private var rowWrite: Option[Long] = None
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
     fs.mkdirs(stagingDir)
+    // row lineage: streamed appends are plain inserts — every row mints
+    // a fresh id (streams never carry `_row_id`; srcIdx = -1)
+    val ioSchema =
+      if (table.rowLineage) GraftRowId.ioSchema(table.physicalSchema)
+      else table.physicalSchema
     // the identity column may be wholly absent from the stream's
     // attributes (-1 → generate), like the batch append path
     val proj = table.physicalSchema.fields.map(f =>
       if (table.identity.exists(_.col == f.name) &&
           !writeSchema.fieldNames.contains(f.name)) -1
-      else writeSchema.fieldIndex(f.name))
+      else writeSchema.fieldIndex(f.name)) ++
+      (if (table.rowLineage) Array(-1) else Array.empty[Int])
     val partIdx = table.partitionFields.map(f => writeSchema.fieldIndex(f.name))
     val bucket = table.bucketSpec.map { case (c, n) =>
       val i = writeSchema.fieldIndex(c)
@@ -3017,12 +3033,22 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
           writeSchema.fieldIndex(sp.col) else -1,
         wm0, sp.step, info.numPartitions, sp.allowExplicit)
     }
-    val inner = new GraftWriterFactory(stagingDir.toString, table.physicalSchema,
+    val rowGen: Option[GraftIdentity.WriteGen] =
+      if (!table.rowLineage) None
+      else {
+        val wm0 = GraftRowId.watermark(
+          GraftIdentity.headMeta(fs, new Path(table.dir), table.branch))
+        rowWrite = Some(wm0)
+        Some(GraftRowId.writeGen(wm0, -1, ioSchema.length - 1,
+          info.numPartitions))
+      }
+    val inner = new GraftWriterFactory(stagingDir.toString, ioSchema,
       writeSchema, proj, table.partitionFields, partIdx.toArray,
       new SerializableHadoopConf(hadoopConf), bucket,
       GraftConstraints.violationPredicates(SparkSession.active, table, writeSchema),
       day, idGen,
       GraftGenerated.boundGenerators(SparkSession.active, table, writeSchema),
+      rowGen = rowGen,
       indexCols = GraftBloom.indexOnWriteCols(
         GraftTable.readProps(fs, new Path(table.dir)), table.physicalSchema))
     (partitionId: Int, taskId: Long, epochId: Long) =>
@@ -3063,14 +3089,23 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
     }
     // identity: the furthest value any task allocated this epoch rides
     // the SAME atomic manifest create as the files and the txn marker
-    val idMeta: Map[String, String] = idWrite match {
+    val idMeta: Map[String, String] = (idWrite match {
       case Some((sp, _)) =>
         val lasts = messages.flatMap { case g: GraftCommit => g.idLast }
-        if (lasts.isEmpty) Map.empty
+        if (lasts.isEmpty) Map.empty[String, String]
         else Map(GraftIdentity.wmKey(sp.col) ->
           (if (sp.step > 0) lasts.max else lasts.min).toString)
-      case None => Map.empty
-    }
+      case None => Map.empty[String, String]
+    }) ++ (rowWrite match {
+      // row lineage: the epoch's furthest minted id rides the same
+      // atomic manifest create (an epoch that minted nothing writes no
+      // key — carry-forward keeps the old watermark)
+      case Some(_) =>
+        val lasts = messages.flatMap { case g: GraftCommit => g.rowLast }
+        if (lasts.isEmpty) Map.empty[String, String]
+        else Map(GraftRowId.WmKey -> lasts.max.toString)
+      case None => Map.empty[String, String]
+    })
     // additive commit with the txn marker in the SAME atomic manifest;
     // races with other writers retry like any append (additive commits
     // commute), re-checking the marker against the refreshed log
@@ -3103,6 +3138,18 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
               s"raced a concurrent identity write (watermark $wm0 -> " +
               s"$cur since this epoch planned) — the epoch replays on " +
               "restart")
+        }
+      }
+      // row-id allocation races fail the same loud way as identity
+      rowWrite.foreach { wm0 =>
+        val cur = GraftRowId.watermark(
+          GraftIdentity.headMeta(fs, dir, table.branch))
+        if (cur != wm0) {
+          landed.foreach(f => fs.delete(new Path(f), false))
+          throw new IllegalStateException(
+            s"row-id allocation on ${table.name()} epoch $epochId raced " +
+              s"a concurrent lineage write (watermark $wm0 -> $cur since " +
+              "this epoch planned) — the epoch replays on restart")
         }
       }
       val old = if (v == 0L) Nil else GraftTable.readFullEntries(fs, dir, v)
@@ -3188,6 +3235,11 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val rowSrcIdx =
       if (writeSchema.fieldNames.contains(GraftRowId.Col))
         writeSchema.fieldIndex(GraftRowId.Col) else -1
+    // COW rewrite: carried rows arrive via the TWO-ARG write — their
+    // metadata row is shaped by requiredMetadataAttributes, i.e.
+    // [_file, _row_id] on a lineage table, so the id sits at index 1
+    val metaRowIdIdx =
+      if (table.rowLineage && replaceFiles.nonEmpty) 1 else -1
     val proj = table.physicalSchema.fields.map(f =>
       if (table.identity.exists(_.col == f.name) &&
           !writeSchema.fieldNames.contains(f.name)) -1
@@ -3240,7 +3292,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
         GraftTable.readProps(
           stagingDir.getFileSystem(hadoopConf), new Path(table.dir)),
         table.physicalSchema),
-      rowGen = rowGen)
+      rowGen = rowGen, metaRowIdIdx = metaRowIdIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3284,21 +3336,42 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // another identity append fails loudly (its values were allocated
       // against a watermark that moved), while non-identity appends keep
       // the plain optimistic retry
-      val idMeta: Map[String, String] = idWrite match {
+      val idMeta: Map[String, String] = (idWrite match {
         case Some((sp, _)) =>
           val lasts = messages.flatMap { case g: GraftCommit => g.idLast }
-          if (lasts.isEmpty) Map.empty
+          if (lasts.isEmpty) Map.empty[String, String]
           else Map(GraftIdentity.wmKey(sp.col) ->
             (if (sp.step > 0) lasts.max else lasts.min).toString)
-        case None => Map.empty
-      }
-      def checkIdNotRaced(): Unit = idWrite.foreach { case (sp, wm0) =>
-        val cur = GraftIdentity.watermark(
-          GraftIdentity.headMeta(fs, dir, table.branch), sp)
-        if (cur != wm0) throw new IllegalStateException(
-          s"identity allocation on ${table.name()} raced a concurrent " +
-            s"identity write (watermark $wm0 -> $cur since this job " +
-            "planned) — re-run the insert")
+        case None => Map.empty[String, String]
+      }) ++ (rowWrite match {
+        // row lineage: the job's furthest MINTED id rides the same atomic
+        // manifest create. A job that minted nothing (pure-carry COW
+        // rewrite) writes no key — `idwm:` carry-forward keeps the old
+        // watermark, so the line never regresses.
+        case Some(_) =>
+          val lasts = messages.flatMap { case g: GraftCommit => g.rowLast }
+          if (lasts.isEmpty) Map.empty[String, String]
+          else Map(GraftRowId.WmKey -> lasts.max.toString)
+        case None => Map.empty[String, String]
+      })
+      def checkIdNotRaced(): Unit = {
+        idWrite.foreach { case (sp, wm0) =>
+          val cur = GraftIdentity.watermark(
+            GraftIdentity.headMeta(fs, dir, table.branch), sp)
+          if (cur != wm0) throw new IllegalStateException(
+            s"identity allocation on ${table.name()} raced a concurrent " +
+              s"identity write (watermark $wm0 -> $cur since this job " +
+              "planned) — re-run the insert")
+        }
+        // row-id mints drew against the planned watermark the same way
+        rowWrite.foreach { wm0 =>
+          val cur = GraftRowId.watermark(
+            GraftIdentity.headMeta(fs, dir, table.branch))
+          if (cur != wm0) throw new IllegalStateException(
+            s"row-id allocation on ${table.name()} raced a concurrent " +
+              s"lineage write (watermark $wm0 -> $cur since this job " +
+              "planned) — re-run the statement")
+        }
       }
       // branch writes are the SAME commits in the branch's manifest
       // namespace: isolation from main comes from the namespace alone
@@ -3400,13 +3473,15 @@ class GraftWriterFactory(stagingDir: String, physicalSchema: StructType,
                          genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
                          genStrict: Boolean = true,
                          indexCols: (Seq[String], Seq[String]) = (Nil, Nil),
-                         rowGen: Option[GraftIdentity.WriteGen] = None)
+                         rowGen: Option[GraftIdentity.WriteGen] = None,
+                         metaRowIdIdx: Int = -1)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, physicalSchema, writeSchema, proj,
       partFields, partIdx, partitionId, taskId, conf, bucket, violations, day,
       idGen.map(GraftIdentity.taskGen(_, partitionId)), genProjs, genStrict,
-      indexCols, rowGen.map(GraftIdentity.taskGen(_, partitionId)))
+      indexCols, rowGen.map(GraftIdentity.taskGen(_, partitionId)),
+      metaRowIdIdx)
 }
 
 /** Writes one parquet part file per non-empty task (lazily created — empty
@@ -3428,8 +3503,22 @@ class GraftDataWriter(stagingDir: String, physicalSchema: StructType,
                       genProjs: Seq[(String, Int, Expression, DataType)] = Nil,
                       genStrict: Boolean = true,
                       indexCols: (Seq[String], Seq[String]) = (Nil, Nil),
-                      rowGen: Option[GraftIdentity.TaskGen] = None)
+                      rowGen: Option[GraftIdentity.TaskGen] = None,
+                      metaRowIdIdx: Int = -1)
   extends DataWriter[InternalRow] {
+
+  /** COW ReplaceData delivers CARRIED rows through the two-arg overload
+    * (the row's metadata attributes ride the first argument); the default
+    * implementation DROPS the metadata row, which on a lineage table
+    * would silently re-mint every rewritten row's id. Pin the carried
+    * `_row_id` for this one write. Merge-inserted rows arrive through the
+    * one-arg overload (no metadata) and mint normally.
+    */
+  override def write(meta: InternalRow, record: InternalRow): Unit =
+    if (metaRowIdIdx >= 0 && meta != null && !meta.isNullAt(metaRowIdIdx)) {
+      rowCarry = Some(meta.getLong(metaRowIdIdx))
+      try write(record) finally rowCarry = None
+    } else write(record)
 
   /** REWRITE carriers (COW replace, MOR reinsert) arrive with the STALE
     * derivation in the generated position — recompute silently; only

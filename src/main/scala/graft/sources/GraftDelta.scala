@@ -96,7 +96,14 @@ class GraftDeltaOperation(table: GraftTable, cmd: RowLevelOperation.Command)
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
-  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  /** On row-lineage tables the rewrite plan carries `_row_id` as a
+    * metadata attribute: an UPDATE's reinserted row keeps its id (read
+    * from the metadata row), a MERGE's genuine inserts arrive without one
+    * and mint. Non-lineage tables need no metadata beyond the row id.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (table.rowLineage) Array(Expressions.column(GraftRowId.Col))
+    else Array.empty
 }
 
 class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
@@ -105,7 +112,9 @@ class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     override def toBatch: DeltaBatchWrite = {
       val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
         new IllegalStateException("delta write without a row-id schema"))
-      new GraftDeltaBatchWrite(table, info.schema(), rowIdSchema)
+      val metaSchema: StructType =
+        info.metadataSchema().orElse(new StructType())
+      new GraftDeltaBatchWrite(table, info.schema(), rowIdSchema, metaSchema)
     }
   }
 }
@@ -120,11 +129,14 @@ class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 case class GraftDeltaCommit(inserted: Seq[String],
                             deletes: Map[String, Array[Byte]],
                             stats: Map[String, GraftStats.FileStats] = Map.empty,
-                            idLast: Option[Long] = None)
+                            idLast: Option[Long] = None,
+                            rowLast: Option[Long] = None)
   extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
-                           rowIdSchema: StructType) extends DeltaBatchWrite {
+                           rowIdSchema: StructType,
+                           metaSchema: StructType = new StructType())
+  extends DeltaBatchWrite {
 
   private val stagingDir =
     new Path(table.dir, s".staging-${java.util.UUID.randomUUID()}")
@@ -134,6 +146,9 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     * (the batch-append identity protocol, on the delta path).
     */
   @volatile private var idWrite: Option[(GraftIdentity.Spec, Long)] = None
+
+  /** Row-lineage watermark the job's genuine inserts minted against. */
+  @volatile private var rowWrite: Option[Long] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val fs = stagingDir.getFileSystem(hadoopConf)
@@ -187,13 +202,34 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
             rowSchema.fieldIndex(sp.col) else -1,
           wm0, sp.step, info.numPartitions, sp.allowExplicit)
       }
-    new GraftDeltaWriterFactory(stagingDir.toString, table.physicalSchema,
-      rowSchema, proj,
+    // row lineage: insert files carry the trailing hidden id; genuine
+    // inserts mint against the head watermark (srcIdx = -1 — the DATA row
+    // never carries `_row_id`), update-reinserts carry the original id
+    // from the METADATA row (rowCarry side-channel). Pure DELETEs write
+    // no files and allocate nothing.
+    val ioSchema =
+      if (table.rowLineage && rowSchema.nonEmpty)
+        GraftRowId.ioSchema(table.physicalSchema)
+      else table.physicalSchema
+    val rowGen: Option[GraftIdentity.WriteGen] =
+      if (!table.rowLineage || rowSchema.isEmpty) None
+      else {
+        val wm0 = GraftRowId.watermark(
+          GraftIdentity.headMeta(fs, new Path(table.dir), table.branch))
+        rowWrite = Some(wm0)
+        Some(GraftRowId.writeGen(wm0, -1, ioSchema.length - 1,
+          info.numPartitions))
+      }
+    val metaRowIdIdx =
+      if (table.rowLineage && metaSchema.fieldNames.contains(GraftRowId.Col))
+        metaSchema.fieldIndex(GraftRowId.Col) else -1
+    new GraftDeltaWriterFactory(stagingDir.toString, ioSchema,
+      rowSchema, if (rowGen.isEmpty) proj else proj ++ Array(-1),
       if (rowSchema.isEmpty) Nil else table.partitionFields, partIdx,
       rowIdSchema.fieldIndex(GraftTable.FileCol),
       rowIdSchema.fieldIndex(GraftTable.PosCol),
       new SerializableHadoopConf(hadoopConf), violations, bucket, day, genProjs,
-      idGen)
+      idGen, rowGen, metaRowIdIdx)
   }
 
   /** Commit: OR each file's new delete positions into its existing
@@ -211,10 +247,12 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
     val staged = mutable.Buffer.empty[String]
     val stagedStats = mutable.Map.empty[String, GraftStats.FileStats]
     val idLasts = mutable.Buffer.empty[Long]
-    messages.foreach { case GraftDeltaCommit(ins, dels, sts, idl) =>
+    val rowLasts = mutable.Buffer.empty[Long]
+    messages.foreach { case GraftDeltaCommit(ins, dels, sts, idl, rl) =>
       staged ++= ins
       stagedStats ++= sts
       idLasts ++= idl
+      rowLasts ++= rl
       dels.foreach { case (file, bytes) =>
         val bm = GraftDv.fromBytes(bytes)
         merged.get(file) match {
@@ -262,7 +300,7 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
       // identity watermark rides the SAME manifest as the delta commit;
       // a delta that allocated against a watermark a concurrent identity
       // write moved fails loudly (re-run re-reads the fresh head)
-      val idMeta: Map[String, String] = idWrite match {
+      val idMeta: Map[String, String] = (idWrite match {
         case Some((sp, wm0)) if idLasts.nonEmpty =>
           val cur = GraftIdentity.watermark(
             GraftIdentity.headMeta(fs, dir, table.branch), sp)
@@ -272,8 +310,22 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
               "planned) — re-run the statement")
           Map(GraftIdentity.wmKey(sp.col) ->
             (if (sp.step > 0) idLasts.max else idLasts.min).toString)
-        case _ => Map.empty
-      }
+        case _ => Map.empty[String, String]
+      }) ++ (rowWrite match {
+        // a delta whose genuine inserts minted row ids advances the
+        // lineage watermark under the same loud race rule; a pure
+        // delete/reinsert delta (no mints) writes no key — carry-forward
+        // keeps the old line
+        case Some(wm0) if rowLasts.nonEmpty =>
+          val cur = GraftRowId.watermark(
+            GraftIdentity.headMeta(fs, dir, table.branch))
+          if (cur != wm0) throw new IllegalStateException(
+            s"row-id allocation on ${table.name()} raced a concurrent " +
+              s"lineage write (watermark $wm0 -> $cur since this delta " +
+              "planned) — re-run the statement")
+          Map(GraftRowId.WmKey -> rowLasts.max.toString)
+        case _ => Map.empty[String, String]
+      })
       GraftTable.writeFullEntries(fs, dir, v + 1,
         updated ++ landed.map(GraftTable.GraftEntry(_, None)), idMeta, br)
       GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta, br)
@@ -304,13 +356,16 @@ class GraftDeltaWriterFactory(stagingDir: String, physicalSchema: StructType,
                               bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
                               day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
                               genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil,
-                              idGen: Option[GraftIdentity.WriteGen] = None)
+                              idGen: Option[GraftIdentity.WriteGen] = None,
+                              rowGen: Option[GraftIdentity.WriteGen] = None,
+                              metaRowIdIdx: Int = -1)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stagingDir, physicalSchema, rowSchema, proj,
       partFields, partIdx, fileIdx, posIdx, partitionId, taskId, conf,
       violations, bucket, day, genProjs,
-      idGen.map(GraftIdentity.taskGen(_, partitionId)))
+      idGen.map(GraftIdentity.taskGen(_, partitionId)),
+      rowGen.map(GraftIdentity.taskGen(_, partitionId)), metaRowIdIdx)
 }
 
 /** Accumulates delete positions per data file in Roaring bitmaps and
@@ -329,13 +384,16 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
                        bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
                        day: Option[(Int, org.apache.spark.sql.types.DataType, String, String)] = None,
                        genProjs: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.types.DataType)] = Nil,
-                       idGen: Option[GraftIdentity.TaskGen] = None)
+                       idGen: Option[GraftIdentity.TaskGen] = None,
+                       rowGen: Option[GraftIdentity.TaskGen] = None,
+                       metaRowIdIdx: Int = -1)
   extends DeltaWriter[InternalRow] {
 
   private val deletes = mutable.Map.empty[String, Roaring64Bitmap]
   private val inserts = new GraftDataWriter(stagingDir, physicalSchema,
     rowSchema, proj, partFields, partIdx, partitionId, taskId, conf,
-    bucket, violations, day, idGen = idGen, genProjs = genProjs)
+    bucket, violations, day, idGen = idGen, genProjs = genProjs,
+    rowGen = rowGen)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(fileIdx).toString
@@ -353,7 +411,19 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
   override def reinsert(meta: InternalRow, row: InternalRow): Unit = {
     inserts.genCheck = false
     inserts.idCarry = true
-    try inserts.write(row) finally { inserts.genCheck = true; inserts.idCarry = false }
+    // row lineage: the original row's id rides the METADATA row — pin it
+    // for this one write so the reinsert keeps its identity instead of
+    // minting (a NULL there would be a lineage bug, so fail loudly)
+    if (metaRowIdIdx >= 0) {
+      require(!meta.isNullAt(metaRowIdIdx),
+        "row-lineage reinsert without a carried _row_id — the rewrite " +
+          "plan lost the metadata column")
+      inserts.rowCarry = Some(meta.getLong(metaRowIdIdx))
+    }
+    try inserts.write(row) finally {
+      inserts.genCheck = true; inserts.idCarry = false
+      inserts.rowCarry = None
+    }
   }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
@@ -361,11 +431,11 @@ class GraftDeltaWriter(stagingDir: String, physicalSchema: StructType,
       "graft delta writer represents updates as delete+insert")
 
   override def commit(): WriterCommitMessage = {
-    val (ins, insStats, idl) = inserts.commit() match {
-      case GraftCommit(files, st, l, _, _) => (files, st, l)
+    val (ins, insStats, idl, rl) = inserts.commit() match {
+      case GraftCommit(files, st, l, _, r) => (files, st, l, r)
     }
     GraftDeltaCommit(ins, deletes.view.mapValues(GraftDv.toBytes).toMap,
-      insStats, idl)
+      insStats, idl, rl)
   }
 
   override def abort(): Unit = inserts.abort()

@@ -73,8 +73,12 @@ object GraftMaintenance {
       throw new IllegalStateException(s"$dir is not a graft catalog table"))
     val pcols = props.get(GraftTable.PartitionProp)
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    org.apache.spark.sql.types.StructType(
+    val declared = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => pcols.contains(f.name)))
+    // row lineage: the hidden `_row_id` column is part of every data
+    // file's PHYSICAL shape — maintenance rewrites must read and carry it
+    // (projecting it away here would silently erase lineage on compaction)
+    if (GraftRowId.enabled(props)) GraftRowId.ioSchema(declared) else declared
   }
 
   /** Maintenance rewrites go through Spark's parquet writer, which still
