@@ -1202,6 +1202,24 @@ object GraftExtensions {
       }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')
+    ("graft_row_diff",
+      info("graft_row_diff",
+        "graft_row_diff(catalog, table, v_from, v_to) - per-_row_id " +
+          "before/after change images between two retained snapshots of " +
+          "a row-lineage table: base columns + _row_id + _change_type " +
+          "(insert | delete | update_preimage | update_postimage). Reads " +
+          "only the files the manifest diff names; identity is the row " +
+          "id, so COW rewrites classify as updates, compaction as nothing"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_row_diff(catalog, 'ns.t', v_from, v_to)")
+        val t = graftTableOf(stringArg(args.head, "graft_row_diff: catalog"),
+          stringArg(args(1), "graft_row_diff: table"))
+        Bridge.logicalPlan(graft.sources.GraftRowDiff.diff(
+          SparkSession.active, t,
+          intArg(args(2), "graft_row_diff: v_from").toLong,
+          intArg(args(3), "graft_row_diff: v_to").toLong))
+      }),
     ("graft_history",
       info("graft_history",
         "graft_history(catalog, table) - snapshot log of a history table: " +

@@ -1610,6 +1610,51 @@ object Etl {
               |FROM graft_rl.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // ROW-ID CHANGE DIFF (round 10): "which rows changed between v1 and
+    // v2" answered from the graft_row_diff TVF — an ID JOIN over only the
+    // files the manifest diff names, not a full-column compare of two
+    // snapshots. A COW UPDATE, a COW DELETE and an append run between the
+    // two versions; the diff must classify them as update_pre/postimage
+    // pairs (same _row_id, because the rewrite CARRIED it), deletes with
+    // the v1 image, and inserts — which the DuckDB oracle replays from
+    // raw orders by KEY. If lineage broke (ids re-minted on rewrite), the
+    // updates would classify as insert+delete and every group would
+    // mismatch: the oracle verifies carry semantics end-to-end.
+    "etl_row_diff" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_rd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rd.db")
+      s.sql("DROP TABLE IF EXISTS graft_rd.db.fact")
+      s.sql("""CREATE TABLE graft_rd.db.fact (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_rd_base")
+      s.sql("INSERT INTO graft_rd.db.fact SELECT * FROM graft_rd_base")
+      val v1 = s.sql("SELECT max(version) FROM graft_history('graft_rd', 'db.fact')")
+        .collect()(0).getLong(0)
+      s.sql("UPDATE graft_rd.db.fact SET cents = cents + 5 WHERE ckey % 2 = 0")
+      s.sql("DELETE FROM graft_rd.db.fact WHERE ckey % 7 = 0")
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+        .createOrReplaceTempView("graft_rd_ins")
+      s.sql("INSERT INTO graft_rd.db.fact SELECT * FROM graft_rd_ins")
+      val v2 = s.sql("SELECT max(version) FROM graft_history('graft_rd', 'db.fact')")
+        .collect()(0).getLong(0)
+      s.sql(
+        s"""SELECT _change_type, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(ckey) AS BIGINT) AS sum_key
+           |FROM graft_row_diff('graft_rd', 'db.fact', $v1, $v2)
+           |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+    },
+
     // PUSHED LIMIT AS A BOUNDED FILE PLAN (round 9): `LIMIT n` over a
     // bare scan keeps only the file prefix whose stats-log row counts
     // PROVABLY cover n — on a 10⁵-file table the peek-at-the-data query
@@ -3290,6 +3335,28 @@ object Etl {
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_row_diff" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |ins AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |chg AS (
+        |  SELECT ckey, cents, 'update_preimage' AS _change_type
+        |    FROM base WHERE ckey % 2 = 0 AND ckey % 7 <> 0
+        |  UNION ALL
+        |  SELECT ckey, cents + 5, 'update_postimage'
+        |    FROM base WHERE ckey % 2 = 0 AND ckey % 7 <> 0
+        |  UNION ALL
+        |  SELECT ckey, cents, 'delete' FROM base WHERE ckey % 7 = 0
+        |  UNION ALL
+        |  SELECT ckey, cents, 'insert' FROM ins)
+        |SELECT _change_type, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(ckey) AS BIGINT) AS sum_key
+        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_limit_scan" ->
       "SELECT LEAST(500, COUNT(*)) AS n_rows FROM orders",

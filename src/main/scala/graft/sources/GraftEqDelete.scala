@@ -125,6 +125,12 @@ object GraftEqDelete {
       s"upsert: $catalog.$table has a partition/bucket/time layout — " +
         "equality-delete upserts compose with flat history tables only " +
         "for now (layout-routed appends + eq sidecars are future work)")
+    require(!t.rowLineage,
+      s"upsert: $catalog.$table is a row-lineage table — equality-delete " +
+        "upserts mask rows by VALUE, which breaks the one-id-per-row " +
+        "contract (the masked row and its replacement would carry " +
+        "different ids with no carry path); use MERGE INTO, which " +
+        "preserves _row_id through the delta writer")
     require(keyCols.nonEmpty &&
       keyCols.forall(c => t.schema().fieldNames.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} must exist in the table")

@@ -224,6 +224,65 @@ class GraftRowIdSpec extends SparkSpec {
       "post-restore mints must clear the pre-restore watermark")
   }
 
+  test("graft_row_diff classifies by id: insert/delete/update, compaction silent") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_rid.db.dif (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_rid.db.dif SELECT id, concat('v', id) FROM range(0, 100)")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/dif")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def headV = GraftTable.manifestVersions(fs, dir).last
+    val v1 = headV
+    // one COW update, one delete, one insert between v1 and head
+    sql("UPDATE graft_rid.db.dif SET v = 'u' WHERE k BETWEEN 10 AND 19")
+    sql("DELETE FROM graft_rid.db.dif WHERE k < 5")
+    sql("INSERT INTO graft_rid.db.dif VALUES (200, 'n'), (201, 'n')")
+    val v2 = headV
+    val d = spark.sql(
+      s"SELECT * FROM graft_row_diff('graft_rid', 'db.dif', $v1, $v2)")
+    val byType = d.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 2L, "delete" -> 5L,
+      "update_preimage" -> 10L, "update_postimage" -> 10L), s"got $byType")
+    // updates pair up on the SAME id with before/after images
+    val upd = d.where(col("_change_type").startsWith("update"))
+      .groupBy("_row_id").agg(countDistinct("v").as("imgs"), count(lit(1)).as("n"))
+      .collect()
+    assert(upd.length == 10 && upd.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
+    // deleted ids surface the BEFORE image
+    assert(d.where(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+    // compaction between two versions is change-free by construction
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/dif")
+    val v3 = headV
+    assert(spark.sql(
+      s"SELECT * FROM graft_row_diff('graft_rid', 'db.dif', $v2, $v3)")
+      .count() == 0, "a compaction commit must diff to nothing")
+    // MOR deltas classify identically (delete via DV, update via reinsert)
+    sql("""CREATE TABLE graft_rid.db.difm (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true','mor'='true')""".stripMargin)
+    sql("INSERT INTO graft_rid.db.difm SELECT id, 'a' FROM range(0, 50)")
+    val mdir = new org.apache.hadoop.fs.Path(s"$warehouse/db/difm")
+    val m1 = GraftTable.manifestVersions(fs, mdir).last
+    sql("DELETE FROM graft_rid.db.difm WHERE k >= 45")
+    sql("UPDATE graft_rid.db.difm SET v = 'b' WHERE k < 3")
+    val m2 = GraftTable.manifestVersions(fs, mdir).last
+    val md = spark.sql(
+      s"SELECT * FROM graft_row_diff('graft_rid', 'db.difm', $m1, $m2)")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(md == Map("delete" -> 5L,
+      "update_preimage" -> 3L, "update_postimage" -> 3L), s"got $md")
+    // refusals: non-lineage table, unretained version
+    sql("CREATE TABLE graft_rid.db.plain (k BIGINT) TBLPROPERTIES('history'='true')")
+    sql("INSERT INTO graft_rid.db.plain VALUES (1)")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_row_diff('graft_rid', 'db.plain', 1, 2)").collect())
+    assert(e.getMessage.contains("row-lineage"))
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_row_diff('graft_rid', 'db.dif', $v1, 99999)").collect())
+  }
+
   test("ids survive a streaming sink's epochs without reuse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
