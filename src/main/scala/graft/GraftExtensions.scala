@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Session extension wiring for the graft custom expressions, so SQL users
@@ -1202,6 +1203,75 @@ object GraftExtensions {
       }),
     // DESCRIBE HISTORY for graft-catalog snapshot tables:
     //   SELECT * FROM graft_history('graft_wh', 'db.t')
+    ("graft_ann_build",
+      info("graft_ann_build",
+        "graft_ann_build(catalog, corpus_table, graph_table, id_col, " +
+          "vec_col, block_col, k, iters) - build the NN-descent k-NN " +
+          "graph of a corpus table and PERSIST it as a catalog history " +
+          "table of directed edges (a_id, b_id, cosine, rank) — build " +
+          "once, probe many; returns (nodes, edges)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8,
+          "graft_ann_build(catalog, 'ns.corpus', 'ns.graph', id_col, " +
+            "vec_col, block_col, k, iters)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_ann_build: catalog")
+        val corpusTbl = stringArg(args(1), "graft_ann_build: corpus_table")
+        val graphTbl = stringArg(args(2), "graft_ann_build: graph_table")
+        val idCol = stringArg(args(3), "graft_ann_build: id_col")
+        val vecCol = stringArg(args(4), "graft_ann_build: vec_col")
+        val blockCol = stringArg(args(5), "graft_ann_build: block_col")
+        val k = intArg(args(6), "graft_ann_build: k")
+        val iters = intArg(args(7), "graft_ann_build: iters")
+        val corpus = s.table(s"$cat.$corpusTbl")
+        val edges = graft.operators.AnnIndex.buildEdges(
+          corpus, idCol, vecCol, blockCol, k, iters)
+        s.sql(s"DROP TABLE IF EXISTS $cat.$graphTbl")
+        s.sql(s"""CREATE TABLE $cat.$graphTbl
+                 |(a_id BIGINT, b_id BIGINT, cosine DOUBLE, rank INT)
+                 |TBLPROPERTIES('history'='true')""".stripMargin)
+        edges.select(col("a_id").cast("long"), col("b_id").cast("long"),
+            col("cosine").cast("double"), col("rank").cast("int"))
+          .writeTo(s"$cat.$graphTbl").append()
+        val g = s.table(s"$cat.$graphTbl")
+        val nodes = g.select(countDistinct(col("a_id"))).collect()(0).getLong(0)
+        val nEdges = g.count()
+        import s.implicits._
+        Bridge.logicalPlan(Seq((nodes, nEdges)).toDF("nodes", "edges"))
+      }),
+    ("graft_ann_refresh",
+      info("graft_ann_refresh",
+        "graft_ann_refresh(catalog, corpus_table, graph_table, id_col, " +
+          "vec_col, k) - incrementally index corpus rows the persisted " +
+          "graph has never seen: each new id is positioned by a beam " +
+          "search over the EXISTING graph (the HNSW insert shape) and " +
+          "appended as forward + reverse edges; returns (new_nodes, " +
+          "edges_added)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_ann_refresh(catalog, 'ns.corpus', 'ns.graph', id_col, " +
+            "vec_col, k)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_ann_refresh: catalog")
+        val corpusTbl = stringArg(args(1), "graft_ann_refresh: corpus_table")
+        val graphTbl = stringArg(args(2), "graft_ann_refresh: graph_table")
+        val idCol = stringArg(args(3), "graft_ann_refresh: id_col")
+        val vecCol = stringArg(args(4), "graft_ann_refresh: vec_col")
+        val k = intArg(args(5), "graft_ann_refresh: k")
+        val corpus = s.table(s"$cat.$corpusTbl")
+        val graph = s.table(s"$cat.$graphTbl")
+        val newNodes = corpus.join(graph.select(col("a_id")).distinct(),
+          corpus(idCol) === col("a_id"), "left_anti").count()
+        val add = graft.operators.AnnIndex.refreshEdges(
+            corpus, graph, idCol, vecCol, k)
+          .select(col("a_id").cast("long"), col("b_id").cast("long"),
+            col("cosine").cast("double"), col("rank").cast("int"))
+          .localCheckpoint(eager = true) // one computation: counted AND appended
+        val nAdd = add.count()
+        add.writeTo(s"$cat.$graphTbl").append()
+        import s.implicits._
+        Bridge.logicalPlan(Seq((newNodes, nAdd)).toDF("new_nodes", "edges_added"))
+      }),
     ("graft_row_diff",
       info("graft_row_diff",
         "graft_row_diff(catalog, table, v_from, v_to) - per-_row_id " +

@@ -264,6 +264,50 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // PERSISTENT GRAPH-ANN (round 10): graft_ann_build materializes the
+    // NN-descent k-NN graph as a CATALOG history table — build once,
+    // probe many — and the search half READS it instead of rebuilding the
+    // graph inside every query plan (the structural gap the in-plan
+    // sim_graph_search/sim_nn_descent pair left). Asserted in-query: the
+    // probe over the PERSISTED graph row-matches the in-plan twin both
+    // ways (the persisted table IS the descent output, bit-for-bit). The
+    // oracle replays seed → one descent step → beam search in SQL.
+    "sim_ann_persist" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ap", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ap.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ap.db")
+      s.sql("DROP TABLE IF EXISTS graft_ap.db.emb")
+      s.sql("""CREATE TABLE graft_ap.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .writeTo("graft_ap.db.emb").append()
+      s.sql("""SELECT * FROM graft_ann_build('graft_ap', 'db.emb', 'db.knn',
+              |'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+      val corpus = s.table("graft_ap.db.emb")
+      val q = corpus.where(col("vec_id") < 10)
+      val entries = corpus.where(col("vec_id") % 100 === 0)
+      def probe(graph: org.apache.spark.sql.DataFrame) =
+        Similarity.graphBeamSearch(corpus, q, "vec_id", "embedding",
+          graph.select(col("a_id"), col("b_id")), entries,
+          beamWidth = 8, rounds = 3, topK = 5)
+      val persisted = probe(s.table("graft_ap.db.knn"))
+        .localCheckpoint(eager = true)
+      val twin = probe(graft.operators.AnnIndex.buildEdges(
+        corpus, "vec_id", "embedding", "label", k = 3, iters = 1))
+      require(persisted.exceptAll(twin).count() == 0 &&
+          twin.exceptAll(persisted).count() == 0,
+        "sim_ann_persist: the probe over the PERSISTED graph must match " +
+          "the in-plan twin exactly")
+      persisted
+        .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // HNSW-shaped LAYERED search — the layer stack sim_graph_search lacks:
     // deterministic 1-in-8 promotion (level l ⇔ id % 8^l = 0, HNSW's
     // geometric layer sizes made replayable), exact entry over the tiny
@@ -645,6 +689,70 @@ object SimilarityQueries {
     * scoring, three expand/score/keep-8 rounds) as a WITH-body shared by
     * the sim_graph_search oracle and the sim_graph_recall audit.
     */
+  /** Replay of the PERSISTED graph-ANN probe: the stored graph is seed →
+    * ONE NN-descent refinement (exactly the sim_nn_descent oracle's
+    * pipeline up to `g`), then the same entry + 3 expand/score/keep-8
+    * rounds the flat beam replay uses — over the refined graph instead of
+    * the raw seed.
+    */
+  private lazy val annPersistCtes: String = {
+    def round(i: Int): String =
+      s"""c$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM b${i - 1}
+         |  UNION ALL SELECT b${i - 1}.q_id, und.b_id AS id
+         |  FROM b${i - 1} JOIN und ON und.a_id = b${i - 1}.id)),
+         |s$i AS (SELECT c.q_id, c.id,
+         |  ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM c$i c JOIN v x ON x.vec_id = c.id
+         | JOIN qf q ON q.q_id = c.q_id WHERE c.id != c.q_id),
+         |b$i AS (SELECT q_id, id, cosine, rank FROM (
+         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM s$i) WHERE rank <= 8)""".stripMargin
+    s"""v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${dotSql("a.e", "b.e")} /
+       |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+       | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blocked AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+       |nq AS (SELECT COUNT(*) AS n FROM v),
+       |rnd AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
+       | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
+       |seed AS (SELECT a_id, b_id FROM blocked
+       |  UNION ALL SELECT a_id, b_id FROM rnd),
+       |und0 AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seed
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
+       |nn AS (SELECT e1.a_id, e2.b_id FROM und0 e1
+       |  JOIN und0 e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM und0 UNION ALL SELECT a_id, b_id FROM nn)),
+       |sc AS (SELECT c.a_id, c.b_id,
+       |  ${dotSql("a.e", "b.e")} /
+       |   (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cosine
+       | FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id),
+       |g AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM sc) WHERE rank <= 3),
+       |und AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM g
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM g)),
+       |qf AS (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+       |s0 AS (SELECT qf.q_id, x.vec_id AS id,
+       |  ${cosSql("qf.q_e", "x.e")} AS cosine
+       | FROM qf CROSS JOIN v x
+       | WHERE x.vec_id % 100 = 0 AND x.vec_id != qf.q_id),
+       |b0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM s0) WHERE rank <= 8),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   private lazy val graphSearchCtes: String = {
     def round(i: Int): String =
       s"""c$i AS (SELECT DISTINCT q_id, id FROM (
@@ -1093,6 +1201,11 @@ object SimilarityQueries {
     // blocked ∪ pseudo-random graph, replayed round by round
     "sim_graph_search" ->
       s"""WITH $graphSearchCtes
+         |SELECT q_id, id AS n_id, cosine, rank FROM b3 WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ann_persist" ->
+      s"""WITH $annPersistCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM b3 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
