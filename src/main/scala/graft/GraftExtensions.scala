@@ -891,6 +891,34 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq((from, to)).toDF("from_version", "to_version"))
       }),
+    ("graft_publish_together",
+      info("graft_publish_together",
+        "graft_publish_together(catalog, 'ns.t1,ns.t2,...', name) - " +
+          "fast-forward branch <name> across N tables as one two-phase " +
+          "publish: EVERY table is validated (branch exists, main not " +
+          "diverged) before ANY publishes — one bad table vetoes the " +
+          "whole thing with zero published. List tables UPSTREAM-FIRST: " +
+          "the only observable intermediate states are list prefixes, so " +
+          "a reader never sees a derived table's new snapshot next to " +
+          "its source's old one; returns (table, from_version, " +
+          "to_version) per table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_publish_together(catalog, 'ns.t1,ns.t2,...', name)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_publish_together: catalog")
+        val tbls = stringArg(args(1), "graft_publish_together: tables")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val name = stringArg(args(2), "graft_publish_together: name")
+        require(tbls.nonEmpty, "graft_publish_together: empty table list")
+        val dirs = tbls.map(t => t ->
+          new org.apache.hadoop.fs.Path(graftTableOf(cat, t).dir))
+        val fs = dirs.head._2.getFileSystem(s.sessionState.newHadoopConf())
+        val done = graft.sources.GraftBranch.publishTogether(fs, dirs, name)
+        s.catalog.clearCache()
+        import s.implicits._
+        Bridge.logicalPlan(done.toDF("table", "from_version", "to_version"))
+      }),
     ("graft_cherrypick",
       info("graft_cherrypick",
         "graft_cherrypick(catalog, table, name) - publish an APPEND-only " +

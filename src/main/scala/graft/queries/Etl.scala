@@ -1610,6 +1610,66 @@ object Etl {
               |FROM graft_rl.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
+    // verb — bronze and silver stage a release on the SAME branch name,
+    // and graft_publish_together fast-forwards both as one two-phase
+    // operation (validate ALL before ANY renames; apply upstream-first,
+    // so the only intermediate states a reader can observe are list
+    // prefixes — sources newer than derived, the lag state every pipeline
+    // passes through, never the reverse). Asserted in-query: main of
+    // BOTH tables is the pre-release state right up to the publish, both
+    // advance after, branch records retire. The oracle replays base +
+    // staged slices for both tables from raw orders.
+    "etl_publish_together" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_pt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_pt.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pt.db")
+      s.sql("DROP TABLE IF EXISTS graft_pt.db.bronze")
+      s.sql("DROP TABLE IF EXISTS graft_pt.db.silver")
+      s.sql("""CREATE TABLE graft_pt.db.bronze (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      s.sql("""CREATE TABLE graft_pt.db.silver (grp BIGINT, n BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      def slice(m: Int) = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === m)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy((col("ckey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      slice(0).writeTo("graft_pt.db.bronze").append()
+      agg(slice(0)).writeTo("graft_pt.db.silver").append()
+      val bBase = s.table("graft_pt.db.bronze").count()
+      val sBase = s.table("graft_pt.db.silver").count()
+      // stage the release: bronze gets the new slice, silver its delta agg
+      s.sql("SELECT * FROM graft_branch('graft_pt', 'db.bronze', 'rel')").collect()
+      s.sql("SELECT * FROM graft_branch('graft_pt', 'db.silver', 'rel')").collect()
+      slice(1).writeTo("graft_pt.db.bronze.branch_rel").append()
+      agg(slice(1)).writeTo("graft_pt.db.silver.branch_rel").append()
+      require(s.table("graft_pt.db.bronze").count() == bBase &&
+          s.table("graft_pt.db.silver").count() == sBase,
+        "etl_publish_together: staged commits must stay invisible to main")
+      val receipts = s.sql("""SELECT * FROM graft_publish_together('graft_pt',
+          |'db.bronze,db.silver', 'rel')""".stripMargin).collect()
+      require(receipts.length == 2 &&
+          receipts.forall(r => r.getLong(2) > r.getLong(1)),
+        "etl_publish_together: both tables must advance")
+      require(s.table("graft_pt.db.bronze").count() > bBase &&
+          s.table("graft_pt.db.silver").count() > sBase,
+        "etl_publish_together: the release must be live on main after")
+      s.sql("""SELECT b.grp, b.bn, b.bcents, sv.sn, sv.scents FROM
+              |  (SELECT ckey % 5 AS grp, COUNT(*) AS bn,
+              |     CAST(SUM(cents) AS BIGINT) AS bcents
+              |   FROM graft_pt.db.bronze GROUP BY ckey % 5) b
+              |JOIN
+              |  (SELECT grp, CAST(SUM(n) AS BIGINT) AS sn,
+              |     CAST(SUM(cents) AS BIGINT) AS scents
+              |   FROM graft_pt.db.silver GROUP BY grp) sv
+              |ON b.grp = sv.grp ORDER BY b.grp""".stripMargin)
+    },
+
     // ROW-ID CHANGE DIFF (round 10): "which rows changed between v1 and
     // v2" answered from the graft_row_diff TVF — an ID JOIN over only the
     // files the manifest diff names, not a full-column compare of two
@@ -3335,6 +3395,20 @@ object Etl {
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_publish_together" ->
+      """WITH bron AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 <= 1)
+        |SELECT b.grp, b.bn, b.bcents, sv.sn, sv.scents FROM
+        |  (SELECT ckey % 5 AS grp, COUNT(*) AS bn,
+        |     CAST(SUM(cents) AS BIGINT) AS bcents
+        |   FROM bron GROUP BY 1) b
+        |JOIN
+        |  (SELECT ckey % 5 AS grp, COUNT(*) AS sn,
+        |     CAST(SUM(cents) AS BIGINT) AS scents
+        |   FROM bron GROUP BY 1) sv
+        |ON b.grp = sv.grp ORDER BY b.grp""".stripMargin,
 
     "etl_row_diff" ->
       """WITH base AS (SELECT o_orderkey AS ckey,

@@ -137,6 +137,72 @@ object GraftBranch {
     (base, own.last)
   }
 
+  /** MULTI-TABLE PUBLISH: fast-forward the SAME branch name across N
+    * tables as one two-phase operation — the cross-table consistency verb
+    * a medallion pipeline needs to move bronze→silver→gold together.
+    *
+    * Phase 1 validates EVERY table before ANY rename: branch exists, main
+    * has not diverged past the fork point, and no branch manifest version
+    * is already taken on main. Any failure refuses loudly with ZERO
+    * tables published. Phase 2 applies the fast-forwards in the CALLER'S
+    * list order.
+    *
+    * Consistency contract (the fast-forward oldest-first argument,
+    * generalized): list tables UPSTREAM-FIRST (sources before derived).
+    * Per-table publish is atomic (exclusive manifest rename), so the only
+    * observable intermediate states are PREFIXES of the list — states
+    * where some sources are newer than their derived tables, which is
+    * exactly the lag state every pipeline passes through between runs. A
+    * reader can therefore never observe a DERIVED table's new snapshot
+    * next to its SOURCE's old one. If a racing main commit lands between
+    * the phases, the per-table fast-forward itself refuses at that table
+    * (nothing is overwritten) and the error names the already-published
+    * prefix — a valid pipeline state — and the unpublished suffix to
+    * re-stage and retry.
+    */
+  def publishTogether(fs: FileSystem,
+                      tables: Seq[(String, Path)],
+                      name: String): Seq[(String, Long, Long)] = {
+    require(tables.nonEmpty, "publishTogether: no tables")
+    // phase 1: every table must be cleanly fast-forwardable BEFORE any
+    // rename — one diverged table vetoes the whole publish
+    tables.foreach { case (ident, dir) =>
+      val base = baseOf(fs, dir, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"publish of '$name' refused with ZERO tables published: " +
+            s"$ident has no branch '$name'"))
+      val mainHead = GraftTable.manifestVersions(fs, dir).last
+      require(mainHead == base,
+        s"publish of '$name' refused with ZERO tables published: main of " +
+          s"$ident advanced $base -> $mainHead since the fork — drop the " +
+          "branch, re-fork and re-stage")
+      GraftTable.manifestVersions(fs, dir, Some(name)).foreach { v =>
+        require(!fs.exists(GraftTable.manifestPath(dir, v)),
+          s"publish of '$name' refused with ZERO tables published: " +
+            s"$ident main version $v already exists")
+      }
+    }
+    // phase 2: apply in list order (upstream-first). A race that slipped
+    // between the phases makes fastForward refuse AT its table; the
+    // published prefix is a valid upstream-first pipeline state.
+    val done = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    tables.foreach { case (ident, dir) =>
+      try {
+        val (from, to) = fastForward(fs, dir, name)
+        done += ((ident, from, to))
+      } catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"publish of '$name' stopped at $ident: ${e.getMessage}. " +
+              s"Published prefix (a valid upstream-first state): " +
+              s"${done.map(_._1).mkString(", ")}; re-stage and retry the " +
+              s"suffix: ${tables.map(_._1).dropWhile(t => done.exists(_._1 == t)).mkString(", ")}",
+            e)
+      }
+    }
+    done.toSeq
+  }
+
   /** CHERRY-PICK: publish a branch whose commits are ALL pure APPENDS
     * onto a main that has moved past the fork point — the case
     * fast-forward rightly refuses but that actually commutes: additive
