@@ -1610,6 +1610,59 @@ object Etl {
               |FROM graft_rl.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // ROW-STABLE CDC (round 10): the changes feed on a lineage table
+    // carries `_row_id`, so a downstream consumer can FOLD each commit's
+    // images into net per-row changes with zero key knowledge — a COW
+    // rewrite's carried rows collapse to 'carried' (same id, same
+    // payload), genuine updates classify by id (same id, new payload).
+    // The WHERE-less update rewrites every file, making the fold
+    // deterministic; the oracle replays all three commits by key.
+    "etl_changes_rowid" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_cr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cr.db")
+      s.sql("DROP TABLE IF EXISTS graft_cr.db.fact")
+      s.sql("""CREATE TABLE graft_cr.db.fact (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_cr_base")
+      s.sql("INSERT INTO graft_cr.db.fact SELECT * FROM graft_cr_base")
+      s.sql("""UPDATE graft_cr.db.fact
+              |SET cents = cents + CASE WHEN ckey % 2 = 0 THEN 5 ELSE 0 END""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+        .createOrReplaceTempView("graft_cr_ins")
+      s.sql("INSERT INTO graft_cr.db.fact SELECT * FROM graft_cr_ins")
+      // dense-rank the (3) distinct versions, not the feed rows — the
+      // window runs over a bounded dimension, never the data
+      s.sql("""WITH d AS (SELECT _commit_version,
+              |    CAST(DENSE_RANK() OVER (ORDER BY _commit_version) AS BIGINT) AS step
+              |  FROM (SELECT DISTINCT _commit_version
+              |        FROM graft_cr.db.fact.changes)),
+              |f AS (SELECT c.cents, c._row_id, c._change_type, d.step
+              |  FROM graft_cr.db.fact.changes c
+              |  JOIN d ON c._commit_version = d._commit_version),
+              |n AS (SELECT step, _row_id,
+              |    MAX(CASE WHEN _change_type = 'insert' THEN cents END) AS after_c,
+              |    MAX(CASE WHEN _change_type = 'delete' THEN cents END) AS before_c
+              |  FROM f GROUP BY step, _row_id)
+              |SELECT step,
+              |  CASE WHEN before_c IS NULL THEN 'insert'
+              |       WHEN after_c IS NULL THEN 'delete'
+              |       WHEN before_c = after_c THEN 'carried'
+              |       ELSE 'update' END AS net,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(COALESCE(after_c, before_c)) AS BIGINT) AS sum_cents
+              |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -3395,6 +3448,26 @@ object Etl {
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_changes_rowid" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |ins AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |out AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'insert' AS net,
+        |    COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM base
+        |  UNION ALL
+        |  SELECT 2, 'carried', COUNT(*), CAST(SUM(cents) AS BIGINT)
+        |    FROM base WHERE ckey % 2 <> 0
+        |  UNION ALL
+        |  SELECT 2, 'update', COUNT(*), CAST(SUM(cents + 5) AS BIGINT)
+        |    FROM base WHERE ckey % 2 = 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', COUNT(*), CAST(SUM(cents) AS BIGINT) FROM ins)
+        |SELECT step, net, n, sum_cents FROM out ORDER BY step, net""".stripMargin,
 
     "etl_publish_together" ->
       """WITH bron AS (SELECT o_orderkey AS ckey,

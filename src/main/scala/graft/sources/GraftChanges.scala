@@ -55,8 +55,16 @@ object GraftChanges {
   val Insert = "insert"
   val Delete = "delete"
 
-  def schemaFor(base: StructType): StructType =
-    StructType(base.fields.toSeq :+
+  /** Changelog schema: base columns (+ `_row_id` on row-lineage tables —
+    * the change feed then carries STABLE row identity, so a COW rewrite's
+    * carried delete+insert pair is id-correlatable downstream and a
+    * consumer can fold commits into net per-row changes without any key
+    * knowledge) + change type + commit version.
+    */
+  def schemaFor(base: StructType, rowLineage: Boolean = false): StructType =
+    StructType(base.fields.toSeq ++
+      (if (rowLineage) Seq(StructField(GraftRowId.Col, LongType,
+        nullable = false)) else Nil) :+
       StructField(TypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))
 
@@ -155,7 +163,8 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
     s"${base.name()}: only history tables have a commit log to serve changes from")
 
   override def name(): String = s"${base.name()}.${GraftChanges.Suffix}"
-  override def schema(): StructType = GraftChanges.schemaFor(base.schema())
+  override def schema(): StructType =
+    GraftChanges.schemaFor(base.schema(), base.rowLineage)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
@@ -170,7 +179,8 @@ class GraftChangesTable(base: GraftTable) extends Table with SupportsRead {
 
 class GraftChangesScanBuilder(base: GraftTable, limits: GraftStreamLimits)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = GraftChanges.schemaFor(base.schema())
+  private var required: StructType =
+    GraftChanges.schemaFor(base.schema(), base.rowLineage)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new GraftChangesScan(base, required, limits)

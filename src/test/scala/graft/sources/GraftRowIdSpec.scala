@@ -283,6 +283,41 @@ class GraftRowIdSpec extends SparkSpec {
       s"SELECT * FROM graft_row_diff('graft_rid', 'db.dif', $v1, 99999)").collect())
   }
 
+  test("the changes feed carries stable row identity on lineage tables") {
+    sql("""CREATE TABLE graft_rid.db.cdc (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_rid.db.cdc SELECT id, concat('v', id) FROM range(0, 40)")
+    val baseIds = ids("graft_rid.db.cdc")
+    // WHERE-less COW update: every file rewrites, evens change payload
+    sql("UPDATE graft_rid.db.cdc SET v = CASE WHEN k % 2 = 0 THEN 'u' ELSE v END")
+    val ch = spark.table("graft_rid.db.cdc.changes")
+    assert(ch.schema.fieldNames.toSeq ==
+      Seq("k", "v", "_row_id", "_change_type", "_commit_version"))
+    val updV = ch.agg(max("_commit_version")).collect()(0).getLong(0)
+    // fold the rewrite commit's images by id: same id + same payload =
+    // carried, same id + differing payload = a genuine update — the
+    // correlation ONLY stable row identity makes possible
+    val net = ch.where(col("_commit_version") === updV)
+      .groupBy("_row_id")
+      .agg(max(when(col("_change_type") === "insert", col("v"))).as("after_v"),
+        max(when(col("_change_type") === "delete", col("v"))).as("before_v"),
+        first("k").as("k"))
+    val classes = net.select(col("k"),
+        when(col("before_v").isNull, "insert")
+          .when(col("after_v").isNull, "delete")
+          .when(col("before_v") === col("after_v"), "carried")
+          .otherwise("update").as("net"))
+      .groupBy("net").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes == Map("update" -> 20L, "carried" -> 20L), s"got $classes")
+    // the ids in the feed are the TABLE's ids, verbatim
+    val feedIds = ch.where(col("_commit_version") === updV &&
+        col("_change_type") === "insert")
+      .select(col("k"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feedIds == baseIds)
+  }
+
   test("ids survive a streaming sink's epochs without reuse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
