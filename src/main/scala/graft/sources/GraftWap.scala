@@ -129,8 +129,13 @@ object GraftWap {
     val fs = fsOf(spark, t)
     val src = wapDir(t, token)
     val dir = new Path(t.dir)
+    // row-lineage tables ALWAYS re-route through the catalog writer:
+    // staged plain parquet has no `_row_id` column, so a fast-path move
+    // would land files serving NULL ids — a silent lineage gap (the
+    // refusal matrix GraftRowId documents)
     val hasLayout =
-      t.partitionCols.nonEmpty || t.bucketSpec.nonEmpty || t.dayCol.nonEmpty
+      t.partitionCols.nonEmpty || t.bucketSpec.nonEmpty || t.dayCol.nonEmpty ||
+        t.rowLineage
     val v = if (hasLayout) {
       // layout routing: the catalog writer owns day/partition/bucket
       // placement (and re-runs the constraint gate per row); its commit

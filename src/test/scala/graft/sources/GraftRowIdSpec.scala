@@ -318,6 +318,35 @@ class GraftRowIdSpec extends SparkSpec {
     assert(feedIds == baseIds)
   }
 
+  test("WAP and CTAS route lineage rows through the writer (no NULL-id files)") {
+    import spark.implicits._
+    // WAP on a FLAT lineage table must NOT fast-path-move the staged
+    // plain parquet in (it has no _row_id column) — it re-routes through
+    // the catalog writer, which mints
+    sql("""CREATE TABLE graft_rid.db.wapt (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_rid.db.wapt SELECT id, 'a' FROM range(0, 20)")
+    val wm = spark.table("graft_rid.db.wapt")
+      .agg(max("_row_id")).collect()(0).getLong(0)
+    val batch = (100L until 130L).map(i => (i, s"w$i")).toDF("k", "v")
+    val token = GraftWap.stage(spark, "graft_rid", "db.wapt", batch)
+    GraftWap.publish(spark, "graft_rid", "db.wapt", token)
+    val t = spark.table("graft_rid.db.wapt").select("k", "_row_id")
+    assert(t.count() == 50)
+    assert(t.where(col("_row_id").isNull).count() == 0,
+      "WAP-published rows must carry minted ids, never NULL")
+    assert(t.select("_row_id").distinct().count() == 50)
+    assert(t.where(col("k") >= 100).agg(min("_row_id")).collect()(0).getLong(0) > wm)
+    // CTAS with the rowid property writes through the staged table's
+    // full write stack — ids minted at birth
+    sql("""CREATE TABLE graft_rid.db.ct
+          |TBLPROPERTIES('history'='true','rowid'='true')
+          |AS SELECT id AS k, concat('c', id) AS v FROM range(0, 25)""".stripMargin)
+    val ct = spark.table("graft_rid.db.ct").select("_row_id")
+    assert(ct.count() == 25 && ct.distinct().count() == 25)
+    assert(spark.table("graft_rid.db.ct").where(col("_row_id").isNull).count() == 0)
+  }
+
   test("ids survive a streaming sink's epochs without reuse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
