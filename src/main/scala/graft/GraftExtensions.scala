@@ -1310,13 +1310,28 @@ object GraftExtensions {
           "id, so COW rewrites classify as updates, compaction as nothing"),
       (args: Seq[Expression]) => {
         require(args.length == 4,
-          "graft_row_diff(catalog, 'ns.t', v_from, v_to)")
+          "graft_row_diff(catalog, 'ns.t', v_from, v_to) — versions are " +
+            "integer literals or tag names")
         val t = graftTableOf(stringArg(args.head, "graft_row_diff: catalog"),
           stringArg(args(1), "graft_row_diff: table"))
+        val dir = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = dir.getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf())
+        // a version bound is a number or a TAG name — the same named-ref
+        // resolution the time-travel surface uses
+        def versionArg(e: Expression, which: String): Long = e match {
+          case Literal(v: Number, _) => v.longValue()
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            graft.sources.GraftRefs.resolve(fs, dir, s.toString).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_row_diff: $which '$s' is not a tag of ${t.name()}"))
+          case other => throw new IllegalArgumentException(
+            s"graft_row_diff: $which must be an integer or tag-name " +
+              s"literal, got $other")
+        }
         Bridge.logicalPlan(graft.sources.GraftRowDiff.diff(
           SparkSession.active, t,
-          intArg(args(2), "graft_row_diff: v_from").toLong,
-          intArg(args(3), "graft_row_diff: v_to").toLong))
+          versionArg(args(2), "v_from"), versionArg(args(3), "v_to")))
       }),
     ("graft_history",
       info("graft_history",

@@ -258,6 +258,69 @@ object StreamingQueries {
     // replays the merge arithmetic). This is the flagship lakehouse loop
     // closed: stream_catalog_upsert WRITES merges, this reads them back
     // incrementally.
+    // ROW-STABLE STREAMING CDC (round 10): tail the change feed of a
+    // ROW-LINEAGE table and fold each commit's images by `_row_id` alone
+    // — no business key anywhere in the fold. A COW rewrite's carried
+    // pair replaces idempotently (same id out, same id in), an update
+    // replaces by id, a delete-only id leaves; the id-keyed state must
+    // land exactly on the table (asserted both directions INCLUDING the
+    // ids). stream_catalog_cdf does the multiset fold; this is the
+    // keyed-by-lineage twin — the consumer shape row ids exist for.
+    "stream_row_cdc" -> { (s, dir) =>
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mrg")
+      s.sql("DROP TABLE IF EXISTS graft_wh.mrg.rcdc")
+      s.sql("""CREATE TABLE graft_wh.mrg.rcdc (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_rcdc_orders")
+      @volatile var state: DataFrame =
+        s.sql("SELECT ckey, cents, _row_id FROM graft_wh.mrg.rcdc LIMIT 0")
+      val q = withFewPartitions(s) {
+        s.readStream.table("graft_wh.mrg.rcdc.changes")
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            val versions = batch.select("_commit_version").distinct()
+              .collect().map(_.getLong(0)).sorted
+            versions.foreach { v =>
+              val ofV = batch.where(col("_commit_version") === v)
+              // the fold key IS the row id: ids with a delete image
+              // leave, insert images land — updates replace by identity
+              val deadIds = ofV.where(col("_change_type") === "delete")
+                .select(col("_row_id").as("__dead"))
+              val ins = ofV.where(col("_change_type") === "insert")
+                .select(col("ckey"), col("cents"), col("_row_id"))
+              state = state
+                .join(deadIds, state("_row_id") === col("__dead"), "left_anti")
+                .unionAll(ins).localCheckpoint(eager = true)
+            }
+            batch.unpersist()
+            ()
+          }.start()
+      }
+      try {
+        s.sql("""INSERT INTO graft_wh.mrg.rcdc
+                |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                |FROM graft_rcdc_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        q.processAllAvailable()
+        s.sql("""UPDATE graft_wh.mrg.rcdc
+                |SET cents = cents + CASE WHEN ckey % 2 = 0 THEN 5 ELSE 0 END
+                |""".stripMargin)
+        q.processAllAvailable()
+        s.sql("DELETE FROM graft_wh.mrg.rcdc WHERE ckey % 7 = 0")
+        q.processAllAvailable()
+      } finally q.stop()
+      val tbl = s.sql("SELECT ckey, cents, _row_id FROM graft_wh.mrg.rcdc")
+      require(state.exceptAll(tbl).isEmpty && tbl.exceptAll(state).isEmpty,
+        "stream_row_cdc: the id-keyed fold must land on the table state, " +
+          "ids included")
+      state.groupBy((col("ckey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .orderBy("grp")
+    },
+
     "stream_catalog_cdf" -> { (s, dir) =>
       val wh = Etl.scratch(s, "wh")
       s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.GraftCatalog")
@@ -1647,6 +1710,17 @@ object StreamingQueries {
       """SELECT event_id, user_id FROM events
         |WHERE event_id % 5 = 0 AND event_id < 25000
         |ORDER BY event_id""".stripMargin,
+
+    "stream_row_cdc" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 3 = 0),
+        |fin AS (SELECT ckey,
+        |  cents + CASE WHEN ckey % 2 = 0 THEN 5 ELSE 0 END AS cents
+        | FROM base WHERE ckey % 7 <> 0)
+        |SELECT ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_catalog_cdf" ->
       """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,

@@ -273,6 +273,14 @@ class GraftRowIdSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(md == Map("delete" -> 5L,
       "update_preimage" -> 3L, "update_postimage" -> 3L), s"got $md")
+    // tag names resolve as version bounds, same as time travel
+    sql(s"SELECT * FROM graft_tag('graft_rid', 'db.dif', 'pre', $v1)").collect()
+    sql(s"SELECT * FROM graft_tag('graft_rid', 'db.dif', 'post', $v2)").collect()
+    val byTag = spark.sql(
+      "SELECT * FROM graft_row_diff('graft_rid', 'db.dif', 'pre', 'post')")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag == byType, "tag bounds must diff identically to versions")
     // refusals: non-lineage table, unretained version
     sql("CREATE TABLE graft_rid.db.plain (k BIGINT) TBLPROPERTIES('history'='true')")
     sql("INSERT INTO graft_rid.db.plain VALUES (1)")
