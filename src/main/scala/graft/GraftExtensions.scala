@@ -707,6 +707,35 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq((n, b)).toDF("files", "bytes_copied"))
       }),
+    ("graft_register",
+      info("graft_register",
+        "graft_register(catalog, table, location) - adopt an EXISTING " +
+          "graft table directory under the catalog as `table`: metadata-" +
+          "only (a one-line pointer stub in the warehouse; zero bytes " +
+          "copied — the 100 TB adopt verb). Reads/DML/maintenance/time " +
+          "travel follow the pointer; DROP TABLE unregisters (external " +
+          "bytes survive, re-registerable); returns (table, location)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_register(catalog, 'ns.t', location)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_register: catalog")
+        val tname = stringArg(args(1), "graft_register: table")
+        val loc = stringArg(args(2), "graft_register: location")
+        val plugin = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_register: $cat is not a graft catalog ($other)")
+        }
+        val parts = tname.split("\\.")
+        require(parts.length >= 2,
+          "graft_register: table must be namespace-qualified ('ns.t')")
+        plugin.registerTable(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.init, parts.last), loc)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((tname, loc)).toDF("table", "location"))
+      }),
     ("graft_sync_identity",
       info("graft_sync_identity",
         "graft_sync_identity(catalog, table) - advance the identity " +

@@ -2149,6 +2149,121 @@ object Etl {
               |FROM graft_cn.db.dev GROUP BY status ORDER BY status""".stripMargin)
     },
 
+    // WRITE-SERIALIZABLE REPLACE (round 10): a row-level COW rewrite
+    // whose scan→commit window is crossed by a racing PURE APPEND no
+    // longer dies — the commit validates that every file it read is
+    // VERBATIM in the head snapshot (same entry, same DV/eq masks) and
+    // rebases; a racing rewrite of a read file still fails loudly (the
+    // lost-update case). This is the 100 TB production race: a 3-hour
+    // DELETE racing a streaming ingest. The race is created
+    // DETERMINISTICALLY via the one-shot commit interposer (the test
+    // seam — the racing INSERT runs inside the DELETE's commit, after
+    // its scan), and the appended batch deliberately MATCHES the delete
+    // predicate: rows the DELETE's snapshot never saw must survive
+    // (WriteSerializable — Delta's default isolation). Oracle replays
+    // both effects over raw orders.
+    "etl_replace_rebase" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_wsr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wsr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wsr.db")
+      s.sql("DROP TABLE IF EXISTS graft_wsr.db.acc")
+      s.sql("""CREATE TABLE graft_wsr.db.acc (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_wsr_src")
+      s.sql("INSERT INTO graft_wsr.db.acc SELECT * FROM graft_wsr_src")
+      val racedN = s.sql(
+        "SELECT COUNT(*) FROM graft_wsr_src WHERE id % 100 = 2")
+        .collect()(0).getLong(0)
+      graft.sources.GraftBatchWrite.replaceInterposer = Some(() =>
+        s.sql("""INSERT INTO graft_wsr.db.acc
+                |SELECT id + 10000000, status, cents FROM graft_wsr_src
+                |WHERE id % 100 = 2""".stripMargin))
+      s.sql("DELETE FROM graft_wsr.db.acc WHERE id % 10 = 2")
+      require(graft.sources.GraftBatchWrite.replaceInterposer.isEmpty,
+        "etl_replace_rebase: the racing append must have fired inside " +
+          "the DELETE's commit")
+      val survivors = s.table("graft_wsr.db.acc")
+        .where(col("id") >= 10000000L).count()
+      require(survivors == racedN,
+        s"etl_replace_rebase: all $racedN raced rows must survive the " +
+          s"rebased DELETE even though they match its predicate (the " +
+          s"DELETE's snapshot predates them) — got $survivors")
+      s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |FROM graft_wsr.db.acc GROUP BY status ORDER BY status""".stripMargin)
+    },
+
+    // REGISTERED EXTERNAL TABLES (round 10 — `graft_register`): adopt an
+    // EXISTING table directory into the catalog by writing only a one-line
+    // pointer stub in the warehouse (Iceberg's register_table / Hive
+    // EXTERNAL shape — the metadata-only "adopt a 100 TB table" verb; at
+    // scale the alternative is a 100 TB copy). The query proves the whole
+    // lifecycle: a self-contained table is materialized OUTSIDE the
+    // warehouse (deep clone), registered, READ through the catalog,
+    // RESTATED through the catalog (row-level DELETE + UPDATE follow the
+    // pointer — the COW rewrites land at the external location while the
+    // warehouse stub stays exactly one pointer file, asserted on disk),
+    // UNREGISTERED by DROP TABLE (external bytes survive — asserted), and
+    // re-registered, after which the restated state is still served. The
+    // oracle replays the restatement over raw orders.
+    "etl_register" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "reg_wh")
+      val ext = scratch(s, "reg_ext") + "/lineord"
+      s.conf.set("spark.sql.catalog.graft_rg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rg.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rg.db")
+      s.sql("DROP TABLE IF EXISTS graft_rg.db.src")
+      s.sql("DROP TABLE IF EXISTS graft_rg.db.ext")
+      val fs = new org.apache.hadoop.fs.Path(ext)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ext), true) // bench re-runs
+      s.sql("""CREATE TABLE graft_rg.db.src (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_rg_src")
+      s.sql("INSERT INTO graft_rg.db.src SELECT * FROM graft_rg_src")
+      val n0 = s.table("graft_rg.db.src").count()
+      // the to-be-adopted table: self-contained bytes OUTSIDE the warehouse
+      graft.sources.GraftClone.clone(s, s"$wh/db/src", ext, shallow = false)
+      val reg = s.sql(
+        s"SELECT * FROM graft_register('graft_rg', 'db.ext', '$ext')")
+        .collect().head
+      require(reg.getString(1) == ext, "etl_register: echo the location")
+      require(s.table("graft_rg.db.ext").count() == n0,
+        "etl_register: the adopted table must serve the full snapshot")
+      // DML follows the pointer: restate the EXTERNAL table only
+      s.sql("DELETE FROM graft_rg.db.ext WHERE id % 10 = 4")
+      s.sql("UPDATE graft_rg.db.ext SET cents = cents * 2 WHERE id % 100 = 13")
+      val stubLs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$wh/db/ext"))
+        .map(_.getPath.getName).toSet
+      require(stubLs == Set(graft.sources.GraftTable.LocationFile),
+        s"etl_register: the warehouse stub must stay exactly one pointer " +
+          s"file after DML — got $stubLs (a rewrite leaked into the " +
+          "warehouse)")
+      // DROP TABLE = UNREGISTER: external bytes survive, re-registerable
+      s.sql("DROP TABLE graft_rg.db.ext")
+      require(!s.catalog.tableExists("graft_rg.db.ext"),
+        "etl_register: DROP must remove the catalog entry")
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          ext + "/" + graft.sources.GraftTable.MetaFile)),
+        "etl_register: DROP on a registered table must NOT delete the " +
+          "external bytes (the external-table contract)")
+      s.sql(s"SELECT * FROM graft_register('graft_rg', 'db.ext', '$ext')")
+      require(s.table("graft_rg.db.src").count() == n0,
+        "etl_register: restating the adopted table must not touch the " +
+          "managed source it was cloned from")
+      s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |FROM graft_rg.db.ext GROUP BY status ORDER BY status""".stripMargin)
+    },
+
     // EMBEDDINGS IN THE LAKEHOUSE: the engine's flagship payload — an
     // ARRAY<FLOAT> column — living in a GOVERNED catalog table, not loose
     // parquet: write through the full stack (stats track the scalars and
@@ -3583,6 +3698,23 @@ object Etl {
         | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
         |   * CASE WHEN o_orderkey % 100 = 7 THEN 2 ELSE 1 END) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 10 <> 1
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_replace_rebase" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |kept AS (SELECT * FROM base WHERE id % 10 <> 2),
+        |raced AS (SELECT id + 10000000 AS id, status, cents FROM base
+        |  WHERE id % 100 = 2)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_register" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   * CASE WHEN o_orderkey % 100 = 13 THEN 2 ELSE 1 END) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 4
         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_embed_table" -> {

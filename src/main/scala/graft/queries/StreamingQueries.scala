@@ -531,6 +531,96 @@ object StreamingQueries {
         .orderBy("q_id", "rank")
     },
 
+    // STREAMING GRAPH-ANN UPKEEP (round 10 — the persisted-index twin of
+    // stream_embed_ivf): embeddings arrive as THREE micro-batches into a
+    // catalog corpus table; epoch 1 BUILDS the NN-descent graph table
+    // (graft_ann_build), each later epoch incrementally places only its
+    // new vectors by beam search over the EXISTING graph and APPENDS
+    // forward+reverse edges (graft_ann_refresh — the HNSW insert shape;
+    // per-epoch cost O(new · beam · degree), never a rebuild). The hard
+    // invariant is asserted in-query, exactly: the streamed graph must be
+    // bit-identical (double cosines included) to the batch-SEQUENTIAL
+    // twin — buildEdges over batch 1, then refreshEdges over each prefix
+    // with the growing graph — because both paths run the same
+    // deterministic plans over the same float inputs; and every corpus
+    // node must hold forward edges. The driver-gate output is the
+    // per-epoch ingest ledger (new_nodes, indexed_total), which the
+    // oracle derives from the corpus count alone (chunking is
+    // N/3+1-sized by construction).
+    "stream_ann_upkeep" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_sau", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sau.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sau.db")
+      s.sql("DROP TABLE IF EXISTS graft_sau.db.emb")
+      s.sql("DROP TABLE IF EXISTS graft_sau.db.knn")
+      s.sql("""CREATE TABLE graft_sau.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+      val feed = emb.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        .sortBy(_._1)
+      val receipts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val in = MemoryStream[(Long, Long, Seq[Float])]
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("vec_id", "label", "embedding")
+          .writeStream
+          .option("checkpointLocation",
+            Etl.scratch(s, s"sau_cp_${java.util.UUID.randomUUID()}"))
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            batch.select(col("vec_id"), col("label"),
+                col("embedding").cast("array<float>"))
+              .writeTo("graft_sau.db.emb").append()
+            val r =
+              if (!s.catalog.tableExists("graft_sau.db.knn"))
+                s.sql("""SELECT * FROM graft_ann_build('graft_sau',
+                    |'db.emb', 'db.knn', 'vec_id', 'embedding', 'label',
+                    |3, 1)""".stripMargin).collect()(0)
+              else
+                s.sql("""SELECT * FROM graft_ann_refresh('graft_sau',
+                    |'db.emb', 'db.knn', 'vec_id', 'embedding',
+                    |3)""".stripMargin).collect()(0)
+            receipts += ((epoch + 1, r.getLong(0),
+              s.table("graft_sau.db.emb").count()))
+            ()
+          }
+          .start()
+        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+      }
+      // batch-SEQUENTIAL twin: same build + placement calls, same order
+      val bounds = feed.grouped(feed.length / 3 + 1).map(_.last._1).toSeq
+      val c1 = emb.where(col("vec_id") <= bounds(0))
+      val c12 = emb.where(col("vec_id") <= bounds(1))
+      def typed(g: DataFrame) =
+        g.select(col("a_id").cast("long"), col("b_id").cast("long"),
+          col("cosine").cast("double"), col("rank").cast("int"))
+      val g1 = typed(graft.operators.AnnIndex.buildEdges(
+        c1, "vec_id", "embedding", "label", k = 3, iters = 1))
+        .localCheckpoint(eager = true)
+      val g2 = g1.unionAll(typed(graft.operators.AnnIndex.refreshEdges(
+          c12, g1, "vec_id", "embedding", 3)))
+        .localCheckpoint(eager = true)
+      val g3 = g2.unionAll(typed(graft.operators.AnnIndex.refreshEdges(
+          emb, g2, "vec_id", "embedding", 3)))
+        .localCheckpoint(eager = true)
+      val streamed = s.table("graft_sau.db.knn")
+      require(streamed.exceptAll(g3).count() == 0 &&
+          g3.exceptAll(streamed).count() == 0,
+        "stream_ann_upkeep: the streamed graph must equal the " +
+          "batch-sequential build+refresh twin exactly")
+      require(streamed.select(countDistinct(col("a_id")))
+          .collect()(0).getLong(0) == feed.length,
+        "stream_ann_upkeep: every corpus node must hold forward edges")
+      receipts.toSeq.toDF("epoch", "new_nodes", "indexed_total")
+        .orderBy("epoch")
+    },
+
     "stream_day_ingest" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -1644,6 +1734,20 @@ object StreamingQueries {
     // identical to etl_embed_ivf's oracle: the streamed, per-batch
     // assigned, partition-routed table must serve the same probe answer
     // as the batch pipeline
+    // the per-epoch ingest ledger: chunk sizes are N/3+1 by construction
+    // (integer division), epochs 1..3 — the graph-equality invariant
+    // itself is asserted in-query (no SQL analog: it compares two
+    // engine-built graphs bit-for-bit)
+    "stream_ann_upkeep" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+        |c AS (SELECT CAST(FLOOR(n / 3) + 1 AS BIGINT) AS c, n FROM n)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS epoch, c AS new_nodes,
+        |         c AS indexed_total FROM c
+        |  UNION ALL SELECT 2, c, 2 * c FROM c
+        |  UNION ALL SELECT 3, n - 2 * c, n FROM c)
+        |ORDER BY epoch""".stripMargin,
+
     "stream_embed_ivf" -> {
       val cos = graft.queries.SimilarityQueries.cosSql _
       s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),

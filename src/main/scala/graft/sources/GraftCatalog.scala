@@ -91,13 +91,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fs: FileSystem =
     warehouse.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-  private def tableDir(ident: Identifier): Path =
+  /** Raw warehouse path of `ident` — the POINTER STUB for registered
+    * external tables, the table dir itself otherwise. Catalog-structure
+    * ops (drop, rename, register) act here; data ops go through
+    * [[tableDir]] which follows the pointer.
+    */
+  private def stubDir(ident: Identifier): Path =
     new Path((ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _)).toString)
+  private def tableDir(ident: Identifier): Path = resolveDir(stubDir(ident))
+  /** Follow a `_graft_location` pointer (a table REGISTERED at an external
+    * location — Iceberg's register_table / Delta's LOCATION shape): the
+    * warehouse holds only the one-line pointer file; schema, manifest log
+    * and data all live at the registered location. Non-stub dirs resolve
+    * to themselves, so every existing table is unaffected. One extra
+    * `exists` per metadata resolution — driver-side, against the catalog
+    * FS, the same cost class as the readProps calls that follow it (a
+    * production deployment would hold the pointer in its metastore row).
+    */
+  private def resolveDir(stub: Path): Path = {
+    val ptr = new Path(stub, GraftTable.LocationFile)
+    if (!fs.exists(ptr)) stub
+    else {
+      val in = fs.open(ptr)
+      val loc =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      new Path(loc)
+    }
+  }
+  private def isRegistered(ident: Identifier): Boolean =
+    fs.exists(new Path(stubDir(ident), GraftTable.LocationFile))
   private def nsDir(ns: Array[String]): Path =
     new Path(ns.foldLeft(warehouse)(new Path(_, _)).toString)
   private def metaFile(dir: Path): Path = new Path(dir, GraftTable.MetaFile)
 
-  private def isTableDir(dir: Path): Boolean = fs.exists(metaFile(dir))
+  private def isTableDir(dir: Path): Boolean = fs.exists(metaFile(resolveDir(dir)))
 
   // --- ViewCatalog: named view definitions, metadata-only ----------------
   // CREATE VIEW stores the SQL text + captured resolution context +
@@ -1040,17 +1068,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val dir = tableDir(ident)
-    isTableDir(dir) && fs.delete(dir, true)
+    // DROP on a REGISTERED table is UNREGISTER: only the warehouse pointer
+    // stub is deleted — the external location's metadata and data survive
+    // and stay re-registerable (the external-table contract; Iceberg and
+    // Hive EXTERNAL drop the same way). Managed tables delete fully.
+    if (isRegistered(ident)) fs.delete(stubDir(ident), true)
+    else {
+      val dir = stubDir(ident)
+      isTableDir(dir) && fs.delete(dir, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!isTableDir(tableDir(oldIdent)))
+    if (!isTableDir(stubDir(oldIdent)))
       throw new NoSuchTableException(oldIdent)
-    if (isTableDir(tableDir(newIdent)))
+    if (isTableDir(stubDir(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
-    fs.mkdirs(tableDir(newIdent).getParent)
-    fs.rename(tableDir(oldIdent), tableDir(newIdent))
+    // renaming a registered table moves only the pointer stub — external
+    // bytes never move on a catalog rename
+    fs.mkdirs(stubDir(newIdent).getParent)
+    fs.rename(stubDir(oldIdent), stubDir(newIdent))
+  }
+
+  /** Register an EXISTING graft table directory as `ident` (external
+    * location): validates the location is a table, then writes only a
+    * one-line pointer stub under the warehouse. Zero bytes copied, zero
+    * data files touched — the metadata-only "adopt a 100 TB table"
+    * verb (Iceberg's register_table). Reads, DML, maintenance and
+    * time travel all follow the pointer; DROP TABLE unregisters.
+    */
+  def registerTable(ident: Identifier, location: String): Unit = {
+    val loc = new Path(location)
+    require(fs.exists(new Path(loc, GraftTable.MetaFile)),
+      s"graft_register: $location is not a graft table directory " +
+        "(no schema file) — register adopts existing tables, it does " +
+        "not create them")
+    val stub = stubDir(ident)
+    if (isTableDir(stub) || isRegistered(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new IllegalArgumentException(
+        s"graft_register: a VIEW named $ident exists")
+    fs.mkdirs(stub)
+    val out = fs.create(new Path(stub, GraftTable.LocationFile), false)
+    try out.write(loc.toString.getBytes("UTF-8")) finally out.close()
   }
 
   // --- namespaces: directories without a table meta file ---
@@ -1092,6 +1153,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftTable {
   val MetaFile = "_graft_table.json"
+  /** One-line pointer stub for REGISTERED external tables: the warehouse
+    * path holds only this file; everything else lives at the location it
+    * names (GraftCatalog.resolveDir follows it).
+    */
+  val LocationFile = "_graft_location"
   val PropsFile = "_graft_props.txt"
   val FileCol = "_file"
   val PosCol = "_pos"
@@ -2240,6 +2306,16 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
   private val allFiles: Seq[String] = allEntries.map(_.file)
   @volatile private var files: Seq[String] = allFiles
 
+  /** Scan-time snapshot entries keyed by file NAME — the read set a
+    * row-level commit validates against the head snapshot (see the
+    * write-serializable replace loop in [[GraftBatchWrite]]): an affected
+    * file whose head entry differs from this one (rewritten, masked by a
+    * new DV, or gone) was concurrently modified, and committing the
+    * rewrite would lose that update.
+    */
+  private[sources] lazy val snapshotEntryByName: Map[String, GraftTable.GraftEntry] =
+    allEntries.map(e => (new Path(e.file).getName, e)).toMap
+
   /** Manifest-lifted per-file stats, read once per scan (a handful of
     * sequential metadata-log reads — never per data file).
     */
@@ -3200,15 +3276,27 @@ class GraftReplaceDataWriteBuilder(table: GraftTable, writeSchema: StructType,
         val scan = op.configuredScan.getOrElse(throw new IllegalStateException(
           "row-level write built before its scan — no affected groups known"))
         new GraftBatchWrite(t, writeSchema,
-          replaceFiles = Some(() => scan.currentFiles), truncateAll = false)
+          replaceFiles = Some(() => scan.currentFiles), truncateAll = false,
+          replaceScan = Some(scan))
       }
     }
   }
 }
 
+object GraftBatchWrite {
+  /** TEST SEAM: interposed ONCE at the start of a row-level replace
+    * commit, then cleared — the deterministic way for specs and
+    * driver-gate queries to land a racing commit inside the scan→commit
+    * window the write-serializable validation exists for. Production
+    * never sets it.
+    */
+  @volatile private[graft] var replaceInterposer: Option[() => Unit] = None
+}
+
 class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
                       replaceFiles: Option[() => Seq[String]],
-                      truncateAll: Boolean) extends BatchWrite {
+                      truncateAll: Boolean,
+                      replaceScan: Option[GraftScan] = None) extends BatchWrite {
 
   private val stagingDir = new Path(table.dir, s".staging-${UUID.randomUUID()}")
   private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
@@ -3402,21 +3490,72 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
             GraftTable.KindAppend, br)
         }
       } else {
-        val (v, old) = GraftTable.headState(fs, dir, br)
-        val newList: Seq[GraftTable.GraftEntry] =
-          if (truncateAll) landed.map(GraftTable.GraftEntry(_, None))
-          else {
-            // surviving files keep their DV/equality masks; replaced ones
-            // drop (their rows were read mask-filtered and rewritten)
-            val affected = replaceFiles.get().map(new Path(_).getName).toSet
-            old.filterNot(e => affected.contains(new Path(e.file).getName)) ++
-              landed.map(GraftTable.GraftEntry(_, None))
+        // WRITE-SERIALIZABLE REPLACE (row-level COW): the rewrite's file
+        // list was derived from the SCAN-time snapshot; commits that land
+        // in the scan→commit window are fine iff they left every affected
+        // file's entry VERBATIM (same file, same DV, same equality masks
+        // — a racing pure append, or a rewrite of disjoint files). Those
+        // commits rebase: the head's untouched entries survive filterNot
+        // and the replace retries the exclusive create against the new
+        // head — the 3-hour DELETE racing a streaming append commits
+        // instead of dying (Delta's WriteSerializable default). A racing
+        // commit that DID touch an affected file (rewrote it, masked rows
+        // with a new DV, or removed it) is a real lost-update conflict
+        // and fails loudly — blind retry there would resurrect its
+        // deletions or duplicate its rewrites. INSERT OVERWRITE
+        // (truncateAll) carries no read set and keeps the single-shot
+        // loud behavior.
+        val ip = GraftBatchWrite.replaceInterposer
+        GraftBatchWrite.replaceInterposer = None
+        ip.foreach(_())
+        val affected: Set[String] =
+          if (truncateAll) Set.empty
+          else replaceFiles.get().map(new Path(_).getName).toSet
+        val scanEntries = replaceScan.map(_.snapshotEntryByName)
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          val (v, old) = GraftTable.headState(fs, dir, br)
+          scanEntries.foreach { se =>
+            val headByName =
+              old.map(e => (new Path(e.file).getName, e)).toMap
+            affected.foreach { n =>
+              if (headByName.get(n) != se.get(n))
+                throw new IllegalStateException(
+                  s"concurrent update conflict on ${table.name()}: data " +
+                    s"file $n was read by this row-level rewrite but a " +
+                    "racing commit " +
+                    (if (headByName.contains(n)) "modified its delete state"
+                     else "rewrote or removed it") +
+                    " — committing would lose that update; re-run the " +
+                    "statement against the current snapshot")
+            }
           }
-        if (idMeta.nonEmpty) checkIdNotRaced()
-        GraftTable.writeFullEntries(fs, dir, v + 1, newList, idMeta, br)
-        GraftTable.writeCommitKind(fs, dir, v + 1,
-          if (truncateAll) GraftTable.KindOverwrite else GraftTable.KindReplace,
-          br)
+          val newList: Seq[GraftTable.GraftEntry] =
+            if (truncateAll) landed.map(GraftTable.GraftEntry(_, None))
+            else {
+              // surviving files keep their DV/equality masks; replaced
+              // ones drop (their rows were read mask-filtered + rewritten)
+              old.filterNot(e => affected.contains(new Path(e.file).getName)) ++
+                landed.map(GraftTable.GraftEntry(_, None))
+            }
+          if (idMeta.nonEmpty) checkIdNotRaced()
+          try {
+            GraftTable.writeFullEntries(fs, dir, v + 1, newList, idMeta, br)
+            GraftTable.writeCommitKind(fs, dir, v + 1,
+              if (truncateAll) GraftTable.KindOverwrite
+              else GraftTable.KindReplace, br)
+            committed = true
+          } catch {
+            case e: java.io.IOException =>
+              // retry only a validated row-level replace that lost the
+              // version race; overwrites and non-collision IO stay loud
+              if (scanEntries.isEmpty || attempt >= 20 ||
+                  !fs.exists(GraftTable.manifestPath(dir, v + 1, br)))
+                throw e
+              attempt += 1
+          }
+        }
       }
     } else {
       // eager commit: delete-then-rename — replaced groups (row-level) or

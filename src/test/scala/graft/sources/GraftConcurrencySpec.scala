@@ -113,9 +113,10 @@ class GraftConcurrencySpec extends SparkSpec {
   }
 
   test("replace (row-level) commits do not silently retry") {
-    // the retry loop is append-only by construction: a ReplaceData write
-    // goes through the direct writeManifest path, whose exclusive create
-    // throws on a version collision
+    // the low-level exclusive create stays loud on a version collision —
+    // the VALIDATED retry above it (write-serializable replace) is the
+    // only caller allowed to go around again, and only after proving the
+    // racing commit left its read set untouched
     val dir = new Path(s"$warehouse/db/h")
     val f = fs(dir)
     val v = GraftTable.manifestVersions(f, dir).last
@@ -123,5 +124,47 @@ class GraftConcurrencySpec extends SparkSpec {
     intercept[java.io.IOException] {
       GraftTable.writeManifest(f, dir, v + 1, Nil)
     }
+  }
+
+  test("write-serializable replace: rebases across a racing pure append") {
+    sql("""CREATE TABLE graft_cc.db.ws (id BIGINT, v STRING)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cc.db.ws SELECT id, 'base' FROM range(0, 100)")
+    // interpose an APPEND inside the DELETE's scan→commit window — the
+    // deterministic version of a streaming ingest racing a long rewrite.
+    // The appended batch even matches the DELETE predicate: rows the
+    // DELETE's snapshot never saw must SURVIVE (WriteSerializable)
+    GraftBatchWrite.replaceInterposer = Some(() =>
+      sql("INSERT INTO graft_cc.db.ws SELECT id, 'raced' FROM range(1000, 1020)"))
+    sql("DELETE FROM graft_cc.db.ws WHERE id % 10 = 3")
+    assert(GraftBatchWrite.replaceInterposer.isEmpty, "interposer must fire")
+    val got = sql("SELECT v, count(*) FROM graft_cc.db.ws GROUP BY v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("base" -> 90L, "raced" -> 20L),
+      s"the delete must apply to its snapshot AND the racing append must " +
+        s"survive untouched: $got")
+  }
+
+  test("write-serializable replace: a racing rewrite of a read file fails loudly") {
+    sql("""CREATE TABLE graft_cc.db.ws2 (id BIGINT, v STRING)
+          |TBLPROPERTIES ('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cc.db.ws2 SELECT id, 'base' FROM range(0, 100)")
+    // the racing commit REWRITES rows in the same files the outer DELETE
+    // read — committing the outer rewrite would resurrect them
+    GraftBatchWrite.replaceInterposer = Some(() =>
+      sql("UPDATE graft_cc.db.ws2 SET v = 'won' WHERE id % 10 = 7"))
+    val e = intercept[Exception] {
+      sql("DELETE FROM graft_cc.db.ws2 WHERE id % 10 = 3")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("concurrent update conflict")),
+      s"expected a loud conflict, got: ${chain(e).mkString(" | ")}")
+    // the racing UPDATE's effect is intact; the refused DELETE applied
+    // nothing
+    val got = sql("SELECT v, count(*) FROM graft_cc.db.ws2 GROUP BY v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("base" -> 90L, "won" -> 10L),
+      s"the losing rewrite must leave no effect: $got")
   }
 }
