@@ -736,6 +736,48 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq((tname, loc)).toDF("table", "location"))
       }),
+    ("graft_fsck",
+      info("graft_fsck",
+        "graft_fsck(catalog, table) - integrity audit: every retained " +
+          "manifest entry resolves to real bytes (main + branches), " +
+          "segment refs open, orphan debris is counted, head stats " +
+          "coverage and tag targets are checked. ONE driver listing, " +
+          "zero data IO. Returns (check, status, n) rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_fsck(catalog, 'ns.t')")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_fsck: catalog"),
+          stringArg(args(1), "graft_fsck: table"))
+        val rows = graft.sources.GraftFsck.audit(s, t.dir)
+          .map(f => (f.check, f.status, f.n))
+        import s.implicits._
+        Bridge.logicalPlan(rows.toDF("check", "status", "n"))
+      }),
+    ("graft_replicate",
+      info("graft_replicate",
+        "graft_replicate(catalog, table, dest_location) - incrementally " +
+          "mirror the table's COMMIT HISTORY (manifests, branches, tags, " +
+          "sidecars, stats) to dest_location: the DR / multi-region sync " +
+          "verb. Re-running copies only new commits' bytes (O(delta)); " +
+          "crash-safe oldest-first ordering keeps the mirror a readable " +
+          "prefix of the source's history at every instant; adopt the " +
+          "mirror anywhere via graft_register. Returns (versions_synced, " +
+          "files_copied, bytes_copied, head_version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_replicate(catalog, 'ns.t', dest_location)")
+        val s = SparkSession.active
+        val t = graftTableOf(
+          stringArg(args.head, "graft_replicate: catalog"),
+          stringArg(args(1), "graft_replicate: table"))
+        val dest = stringArg(args(2), "graft_replicate: dest_location")
+        val r = graft.sources.GraftReplicate.replicate(s, t.dir, dest)
+        import s.implicits._
+        Bridge.logicalPlan(Seq(
+          (r.versionsSynced, r.filesCopied, r.bytesCopied, r.headVersion))
+          .toDF("versions_synced", "files_copied", "bytes_copied",
+            "head_version"))
+      }),
     ("graft_sync_identity",
       info("graft_sync_identity",
         "graft_sync_identity(catalog, table) - advance the identity " +

@@ -2264,6 +2264,145 @@ object Etl {
               |FROM graft_rg.db.ext GROUP BY status ORDER BY status""".stripMargin)
     },
 
+    // INCREMENTAL CROSS-WAREHOUSE REPLICATION (round 10 — the DR /
+    // multi-region mirror verb; graft_register's composition partner):
+    // `graft_replicate` ships the table's COMMIT HISTORY to a second
+    // location — not a snapshot pin (that's clone) but the manifest log
+    // itself, so time travel and TAG reads work on the mirror verbatim
+    // (asserted: the mirror serves the source's 'base' tag). Re-syncing
+    // after one more commit ships exactly that commit (asserted:
+    // versions_synced == 1), and a sync with nothing new copies ZERO
+    // files and ZERO bytes (asserted idempotence) — at 100 TB the
+    // steady-state sync cost is O(day's commits), never O(table). The
+    // registered mirror serves each new head with no re-registration.
+    // Oracle replays insert + COW update + delete over raw orders
+    // AGAINST THE MIRROR's bytes.
+    "etl_replicate" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "rp_wh")
+      val mirror = scratch(s, "rp_mirror") + "/ord"
+      s.conf.set("spark.sql.catalog.graft_rp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rp.db")
+      s.sql("DROP TABLE IF EXISTS graft_rp.db.ord")
+      s.sql("DROP TABLE IF EXISTS graft_rp.db.mirror")
+      val fs = new org.apache.hadoop.fs.Path(mirror)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mirror), true) // bench re-runs
+      s.sql("""CREATE TABLE graft_rp.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_rp_src")
+      s.sql("INSERT INTO graft_rp.db.ord SELECT * FROM graft_rp_src") // v2
+      s.sql("SELECT * FROM graft_tag('graft_rp', 'db.ord', 'base')").collect()
+      s.sql("UPDATE graft_rp.db.ord SET cents = cents * 2 WHERE id % 100 = 11") // v3
+      val r1 = s.sql(
+        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        .collect().head
+      require(r1.getLong(0) >= 3 && r1.getLong(2) > 0,
+        s"etl_replicate: the first sync must ship the full history " +
+          s"(${r1.getLong(0)} versions, ${r1.getLong(2)} bytes)")
+      s.sql(s"SELECT * FROM graft_register('graft_rp', 'db.mirror', '$mirror')")
+        .collect()
+      // the mirror carries HISTORY, not a snapshot: the source's tag
+      // resolves on the mirror and serves the pre-update state
+      val srcBase = s.sql("""SELECT CAST(SUM(cents) AS BIGINT)
+          |FROM graft_rp.db.ord VERSION AS OF 'base'""".stripMargin)
+        .collect()(0).getLong(0)
+      val mirBase = s.sql("""SELECT CAST(SUM(cents) AS BIGINT)
+          |FROM graft_rp.db.mirror VERSION AS OF 'base'""".stripMargin)
+        .collect()(0).getLong(0)
+      require(srcBase == mirBase,
+        "etl_replicate: the mirror must serve the source's tagged snapshot")
+      // the source moves on; the second sync is INCREMENTAL
+      s.sql("DELETE FROM graft_rp.db.ord WHERE id % 10 = 6") // v4
+      val r2 = s.sql(
+        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        .collect().head
+      require(r2.getLong(0) == 1,
+        s"etl_replicate: the re-sync must ship exactly the one new " +
+          s"commit (got ${r2.getLong(0)})")
+      val r3 = s.sql(
+        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        .collect().head
+      require(r3.getLong(1) == 0 && r3.getLong(2) == 0,
+        s"etl_replicate: a no-change sync must copy zero files and zero " +
+          s"bytes (got ${r3.getLong(1)} files, ${r3.getLong(2)} bytes)")
+      require(s.table("graft_rp.db.mirror").count() ==
+          s.table("graft_rp.db.ord").count(),
+        "etl_replicate: the registered mirror must serve the new head " +
+          "with no re-registration")
+      s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+              |FROM graft_rp.db.mirror GROUP BY status ORDER BY status"""
+        .stripMargin)
+    },
+
+    // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
+    // the truth about the bytes? ONE driver listing + the manifest log,
+    // zero data IO. The query builds a known commit shape (single-file
+    // commits via repartition(1), COW rewrite, tag), plants failed-task
+    // DEBRIS (an unreferenced parquet — storage leak, invisible to
+    // readers) and then DAMAGES history (deletes a file only the tagged
+    // v2 snapshot references). fsck must (a) pass the healthy table
+    // while counting the one orphan, (b) flag exactly the one missing
+    // file afterwards — asserted row by row; the phased report is the
+    // output. At 100 TB this is O(files) path set-arithmetic, the same
+    // order as planning one scan.
+    "etl_fsck" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "fk_wh")
+      s.conf.set("spark.sql.catalog.graft_fk", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_fk.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fk.db")
+      s.sql("DROP TABLE IF EXISTS graft_fk.db.ord")
+      s.sql("""CREATE TABLE graft_fk.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      ord.where(col("id") % 2 === 0).repartition(1)
+        .writeTo("graft_fk.db.ord").append() // v2: one file
+      s.sql("SELECT * FROM graft_tag('graft_fk', 'db.ord', 'keep')").collect()
+      s.sql("UPDATE graft_fk.db.ord SET cents = cents + 1 WHERE id % 10 = 0") // v3: rewrite
+      ord.where(col("id") % 2 === 1).repartition(1)
+        .writeTo("graft_fk.db.ord").append() // v4: one more file
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      // failed-task debris: on disk, in no manifest, invisible to readers
+      val junk = new org.apache.hadoop.fs.Path(tdir, "part-debris.parquet")
+      val out = fs.create(junk, true)
+      out.write(Array[Byte](80, 65, 82, 49)); out.close()
+      def audit(): Map[String, (String, Long)] =
+        graft.sources.GraftFsck.audit(s, tdir.toString)
+          .map(f => f.check -> (f.status, f.n)).toMap
+      val healthy = audit()
+      require(healthy("missing_files") == ("ok", 0L) &&
+          healthy("segments_broken") == ("ok", 0L) &&
+          healthy("orphan_files") == ("warn", 1L) &&
+          healthy("stats_missing") == ("ok", 0L) &&
+          healthy("refs_dangling") == ("ok", 0L) &&
+          healthy("entries_resolve") == ("ok", 4L),
+        s"etl_fsck: healthy table misreported — $healthy")
+      // damage: drop the file only the TAGGED v2 snapshot references
+      // (the head never sees it; only an audit can catch this)
+      val v2file = graft.sources.GraftTable
+        .readFullEntries(fs, tdir, 2L).head.file
+      require(fs.delete(new org.apache.hadoop.fs.Path(v2file), false),
+        "etl_fsck: test setup — v2 file must exist before the damage")
+      val damaged = audit()
+      require(damaged("missing_files") == ("fail", 1L) &&
+          damaged("entries_resolve")._1 == "fail" &&
+          damaged("orphan_files") == ("warn", 1L),
+        s"etl_fsck: the audit must flag exactly the one lost file — $damaged")
+      import s.implicits._
+      (healthy.toSeq.map { case (c, (st, n)) => ("healthy", c, st, n) } ++
+        damaged.toSeq.map { case (c, (st, n)) => ("damaged", c, st, n) })
+        .toDF("phase", "check", "status", "n")
+        .orderBy("phase", "check")
+    },
+
     // EMBEDDINGS IN THE LAKEHOUSE: the engine's flagship payload — an
     // ARRAY<FLOAT> column — living in a GOVERNED catalog table, not loose
     // parquet: write through the full stack (stats track the scalars and
@@ -3709,6 +3848,32 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // the counts are pinned by construction (single-file commits, one
+    // planted orphan, one deleted v2-only file) and asserted in-query
+    // before this report is emitted
+    "etl_fsck" ->
+      """SELECT * FROM (VALUES
+        | ('damaged','entries_resolve','fail',CAST(4 AS BIGINT)),
+        | ('damaged','missing_files','fail',CAST(1 AS BIGINT)),
+        | ('damaged','orphan_files','warn',CAST(1 AS BIGINT)),
+        | ('damaged','refs_dangling','ok',CAST(0 AS BIGINT)),
+        | ('damaged','segments_broken','ok',CAST(0 AS BIGINT)),
+        | ('damaged','stats_missing','ok',CAST(0 AS BIGINT)),
+        | ('healthy','entries_resolve','ok',CAST(4 AS BIGINT)),
+        | ('healthy','missing_files','ok',CAST(0 AS BIGINT)),
+        | ('healthy','orphan_files','warn',CAST(1 AS BIGINT)),
+        | ('healthy','refs_dangling','ok',CAST(0 AS BIGINT)),
+        | ('healthy','segments_broken','ok',CAST(0 AS BIGINT)),
+        | ('healthy','stats_missing','ok',CAST(0 AS BIGINT))
+        |) t(phase, "check", status, n) ORDER BY phase, "check"""".stripMargin,
+
+    "etl_replicate" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |   * CASE WHEN o_orderkey % 100 = 11 THEN 2 ELSE 1 END) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 6
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_register" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
