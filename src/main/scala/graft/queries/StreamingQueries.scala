@@ -436,6 +436,78 @@ object StreamingQueries {
               |ORDER BY id""".stripMargin)
     },
 
+    // STREAMING INGEST WITH A FOLLOWING DR MIRROR (round 10 — the
+    // replication twin of stream_catalog_sink): each micro-batch lands as
+    // one exactly-once append commit, and after every epoch
+    // `graft_replicate` ships exactly that commit to the mirror (epoch 1
+    // also carries the CREATE — asserted: versions_synced is 2,1,1), the
+    // REGISTERED mirror serving each epoch's cumulative rows with no
+    // re-registration. After the last epoch the mirror must equal the
+    // source row-for-row (exceptAll both ways) and one more sync must
+    // copy ZERO bytes — the steady-state cost of following a 100 TB
+    // streaming ingest is O(epoch's files), and the mirror is a valid
+    // readable table BETWEEN every pair of copies (the crash-prefix
+    // contract). Output is the per-epoch ledger; the oracle derives it
+    // from the orders count and the N/3+1 chunking by construction.
+    "stream_replicate" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      val mirror = Etl.scratch(s, "sr_mirror") + "/ord"
+      s.conf.set("spark.sql.catalog.graft_sr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sr.db")
+      s.sql("DROP TABLE IF EXISTS graft_sr.db.ord")
+      s.sql("DROP TABLE IF EXISTS graft_sr.db.mirror")
+      val mfs = new org.apache.hadoop.fs.Path(mirror)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      mfs.delete(new org.apache.hadoop.fs.Path(mirror), true) // bench re-runs
+      s.sql("""CREATE TABLE graft_sr.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      val feed = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, String, Long)]
+      val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("id", "status", "cents")
+          .writeStream
+          .option("checkpointLocation",
+            Etl.scratch(s, s"sr_cp_${java.util.UUID.randomUUID()}"))
+          .toTable("graft_sr.db.ord")
+        try {
+          var epoch = 0L
+          feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+            in.addData(chunk.toSeq); q.processAllAvailable()
+            epoch += 1
+            val r = graft.sources.GraftReplicate
+              .replicate(s, s"$wh/db/ord", mirror)
+            if (epoch == 1L)
+              s.sql("SELECT * FROM graft_register(" +
+                s"'graft_sr', 'db.mirror', '$mirror')").collect()
+            ledger += ((epoch, r.versionsSynced,
+              s.table("graft_sr.db.mirror").count()))
+          }
+        } finally q.stop()
+      }
+      require(ledger.map(_._2) == Seq(2L, 1L, 1L),
+        s"stream_replicate: each epoch must sync exactly its own commit " +
+          s"(epoch 1 plus the CREATE) — got ${ledger.map(_._2)}")
+      val src = s.table("graft_sr.db.ord")
+      val mir = s.table("graft_sr.db.mirror")
+      require(src.exceptAll(mir).isEmpty && mir.exceptAll(src).isEmpty,
+        "stream_replicate: the mirror must equal the source row-for-row")
+      val r4 = graft.sources.GraftReplicate.replicate(s, s"$wh/db/ord", mirror)
+      require(r4.filesCopied == 0 && r4.bytesCopied == 0,
+        s"stream_replicate: following a quiet stream must be free ($r4)")
+      ledger.toSeq.toDF("epoch", "versions_synced", "rows_mirrored")
+        .orderBy("epoch")
+    },
+
     // STREAMING ANN-INDEX MAINTENANCE: embeddings arrive as micro-batches
     // and land in the IVF-list-PARTITIONED catalog table etl_embed_ivf
     // serves from — per batch, the SAME IvfIndex.assign computes the list
@@ -1738,6 +1810,20 @@ object StreamingQueries {
     // (integer division), epochs 1..3 — the graph-equality invariant
     // itself is asserted in-query (no SQL analog: it compares two
     // engine-built graphs bit-for-bit)
+    // ledger shape derived from the orders count and the N/3+1 chunking
+    // by construction; versions_synced pinned by the 1-commit-per-epoch
+    // exactly-once sink (epoch 1 also ships the CREATE manifest)
+    "stream_replicate" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM orders),
+        |c AS (SELECT CAST(FLOOR(n / 3) + 1 AS BIGINT) AS c, n FROM n)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS epoch,
+        |         CAST(2 AS BIGINT) AS versions_synced,
+        |         c AS rows_mirrored FROM c
+        |  UNION ALL SELECT 2, 1, 2 * c FROM c
+        |  UNION ALL SELECT 3, 1, n FROM c)
+        |ORDER BY epoch""".stripMargin,
+
     "stream_ann_upkeep" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
         |c AS (SELECT CAST(FLOOR(n / 3) + 1 AS BIGINT) AS c, n FROM n)
