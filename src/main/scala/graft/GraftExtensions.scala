@@ -736,6 +736,45 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq((tname, loc)).toDF("table", "location"))
       }),
+    ("graft_export",
+      info("graft_export",
+        "graft_export(catalog, table, dest[, version_or_tag]) - write the " +
+          "Hive symlink-manifest layout for one pinned snapshot: per-" +
+          "partition manifest files of absolute parquet paths + " +
+          "schema.json, KB-scale metadata, zero data copied — any " +
+          "external engine reads the snapshot with no graft code. " +
+          "Refuses row-masked (DV/equality) snapshots and stale " +
+          "existence-defaults (external readers would serve wrong rows). " +
+          "Returns (files, partition_dirs, version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "graft_export(catalog, 'ns.t', dest[, version_or_tag])")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_export: catalog"),
+          stringArg(args(1), "graft_export: table"))
+        val dest = stringArg(args(2), "graft_export: dest")
+        val fsx = new org.apache.hadoop.fs.Path(t.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val ver: Option[Long] = args.drop(3).headOption.map {
+          case e if e.dataType == org.apache.spark.sql.types.StringType =>
+            val name = stringArg(e, "graft_export: version_or_tag")
+            try name.toLong catch {
+              case _: NumberFormatException =>
+                graft.sources.GraftRefs.resolve(fsx,
+                  new org.apache.hadoop.fs.Path(t.dir), name).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"graft_export: '$name' is neither a version nor a tag"))
+            }
+          case e => intArg(e, "graft_export: version").toLong
+        }
+        val (files, parts) =
+          graft.sources.GraftExport.exportSnapshot(s, t.dir, dest, ver)
+        val v = ver.getOrElse(graft.sources.GraftTable.manifestVersions(
+          fsx, new org.apache.hadoop.fs.Path(t.dir)).last)
+        import s.implicits._
+        Bridge.logicalPlan(Seq((files, parts, v))
+          .toDF("files", "partition_dirs", "version"))
+      }),
     ("graft_fsck",
       info("graft_fsck",
         "graft_fsck(catalog, table) - integrity audit: every retained " +

@@ -2339,6 +2339,86 @@ object Etl {
         .stripMargin)
     },
 
+    // OPEN-FORMAT SNAPSHOT EXPORT (round 10 — Delta's GENERATE
+    // symlink_format_manifest): `graft_export` writes, for one pinned
+    // snapshot, the Hive symlink-manifest tree (per-partition `manifest`
+    // files of absolute parquet paths + schema.json) any external engine
+    // reads with ZERO graft code — KB-scale metadata, no data copied.
+    // The read-back below IS that external reader: schema.json + the
+    // concatenated manifests + plain spark.read.parquet with basePath
+    // partition parsing — no catalog, no graft classes on the path. The
+    // refusal twin: a MOR table with live DV masks refuses loudly (a raw
+    // parquet reader would resurrect the deleted rows — the silent-wrong
+    // state the verb exists to prevent). Oracle replays insert + COW
+    // delete over raw orders; the values flow through the EXPORTED view
+    // of the bytes.
+    "etl_export" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "ex_wh")
+      val dest = scratch(s, "ex_dest") + "/snap"
+      s.conf.set("spark.sql.catalog.graft_ex", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ex.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ex.db")
+      s.sql("DROP TABLE IF EXISTS graft_ex.db.ord")
+      s.sql("DROP TABLE IF EXISTS graft_ex.db.mor")
+      s.sql("""CREATE TABLE graft_ex.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) PARTITIONED BY (status)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_ex_src")
+      s.sql("""INSERT INTO graft_ex.db.ord
+              |SELECT id, status, cents FROM graft_ex_src""".stripMargin) // v2
+      s.sql("DELETE FROM graft_ex.db.ord WHERE id % 10 = 8") // v3 COW
+      val r = s.sql(
+        s"SELECT * FROM graft_export('graft_ex', 'db.ord', '$dest')")
+        .collect().head
+      require(r.getInt(0) > 0 && r.getInt(1) == 3 && r.getLong(2) == 3L,
+        s"etl_export: expected per-status manifest dirs at v3 — got $r")
+      // the refusal twin: live DV masks must refuse (raw readers would
+      // resurrect the deleted rows)
+      s.sql("""CREATE TABLE graft_ex.db.mor (id BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','merge-on-read'='true')"""
+        .stripMargin)
+      s.sql("""INSERT INTO graft_ex.db.mor
+              |SELECT id, cents FROM graft_ex_src WHERE id < 500""".stripMargin)
+      s.sql("DELETE FROM graft_ex.db.mor WHERE id % 3 = 0")
+      val refused = try {
+        s.sql(s"SELECT * FROM graft_export('graft_ex', 'db.mor', " +
+          s"'${scratch(s, "ex_dest")}/mor')").collect(); false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("RESURRECT")
+      }
+      require(refused,
+        "etl_export: a DV-masked snapshot must refuse the export")
+      // THE EXTERNAL READER: schema.json + manifests + plain parquet —
+      // zero graft code on the read path
+      val fs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val schema = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dest, "schema.json"))
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+      val paths = graft.sources.GraftExport.manifestPaths(
+        fs, new org.apache.hadoop.fs.Path(dest))
+      require(paths.size == r.getInt(0),
+        s"etl_export: manifests must list every exported file " +
+          s"(${paths.size} vs ${r.getInt(0)})")
+      val ext = s.read.schema(schema)
+        .option("basePath", s"$wh/db/ord")
+        .parquet(paths: _*)
+      require(ext.count() == s.table("graft_ex.db.ord").count(),
+        "etl_export: the external read must serve exactly the snapshot")
+      ext.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+        .orderBy("status")
+    },
+
     // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
     // the truth about the bytes? ONE driver listing + the manifest log,
     // zero data IO. The query builds a known commit shape (single-file
@@ -3848,6 +3928,12 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_export" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 <> 8
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the counts are pinned by construction (single-file commits, one
     // planted orphan, one deleted v2-only file) and asserted in-query
