@@ -1025,9 +1025,56 @@ object GraftExtensions {
           new org.apache.hadoop.fs.Path(graftTableOf(cat, t).dir))
         val fs = dirs.head._2.getFileSystem(s.sessionState.newHadoopConf())
         val done = graft.sources.GraftBranch.publishTogether(fs, dirs, name)
+        // record the consistent coordinates this publish produced (see
+        // GraftBranch.recordGroup — written after the last fast-forward,
+        // so a crash loses only the record, never the publish)
+        Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog =>
+            graft.sources.GraftBranch.recordGroup(fs, g.warehouseDir, name,
+              done.map { case (t, _, to) => (t, to) })
+          case _ => ()
+        }
         s.catalog.clearCache()
         import s.implicits._
         Bridge.logicalPlan(done.toDF("table", "from_version", "to_version"))
+      }),
+    ("graft_group",
+      info("graft_group",
+        "graft_group(catalog[, group_id]) - the consistent read " +
+          "coordinates a graft_publish_together recorded: (group_id, " +
+          "branch, table, version) rows for the LATEST group (or the " +
+          "given id). Pin each table with VERSION AS OF its version for " +
+          "a cross-table-consistent read that stays correct while heads " +
+          "move on"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "graft_group(catalog[, group_id])")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_group: catalog")
+        val g = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_group: $cat is ${other.getClass.getName}, not a " +
+              "GraftCatalog")
+        }
+        val fsx = g.warehouseDir
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val groups = graft.sources.GraftBranch.readGroups(fsx, g.warehouseDir)
+        require(groups.nonEmpty,
+          s"graft_group: no publish groups recorded in catalog $cat")
+        val chosen = args.drop(1).headOption match {
+          case None => groups.last
+          case Some(e) =>
+            val id = intArg(e, "graft_group: group_id").toLong
+            groups.find(_._1 == id).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_group: no group $id (have " +
+                  s"${groups.map(_._1).mkString(", ")})"))
+        }
+        import s.implicits._
+        Bridge.logicalPlan(chosen._3
+          .map { case (t, v) => (chosen._1, chosen._2, t, v) }
+          .toDF("group_id", "branch", "table", "version"))
       }),
     ("graft_cherrypick",
       info("graft_cherrypick",

@@ -2281,61 +2281,61 @@ object Etl {
       graft.GraftExtensions.register(s)
       val wh = scratch(s, "rp_wh")
       val mirror = scratch(s, "rp_mirror") + "/ord"
-      s.conf.set("spark.sql.catalog.graft_rp", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_rp.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rp.db")
-      s.sql("DROP TABLE IF EXISTS graft_rp.db.ord")
-      s.sql("DROP TABLE IF EXISTS graft_rp.db.mirror")
+      s.conf.set("spark.sql.catalog.graft_rpl", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rpl.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rpl.db")
+      s.sql("DROP TABLE IF EXISTS graft_rpl.db.ord")
+      s.sql("DROP TABLE IF EXISTS graft_rpl.db.mirror")
       val fs = new org.apache.hadoop.fs.Path(mirror)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(mirror), true) // bench re-runs
-      s.sql("""CREATE TABLE graft_rp.db.ord (id BIGINT, status STRING,
+      s.sql("""CREATE TABLE graft_rpl.db.ord (id BIGINT, status STRING,
               |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
       Tables.orders(s, dir)
         .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
           floor(col("o_totalprice") * 100).cast("long").as("cents"))
-        .createOrReplaceTempView("graft_rp_src")
-      s.sql("INSERT INTO graft_rp.db.ord SELECT * FROM graft_rp_src") // v2
-      s.sql("SELECT * FROM graft_tag('graft_rp', 'db.ord', 'base')").collect()
-      s.sql("UPDATE graft_rp.db.ord SET cents = cents * 2 WHERE id % 100 = 11") // v3
+        .createOrReplaceTempView("graft_rpl_src")
+      s.sql("INSERT INTO graft_rpl.db.ord SELECT * FROM graft_rpl_src") // v2
+      s.sql("SELECT * FROM graft_tag('graft_rpl', 'db.ord', 'base')").collect()
+      s.sql("UPDATE graft_rpl.db.ord SET cents = cents * 2 WHERE id % 100 = 11") // v3
       val r1 = s.sql(
-        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        s"SELECT * FROM graft_replicate('graft_rpl', 'db.ord', '$mirror')")
         .collect().head
       require(r1.getLong(0) >= 3 && r1.getLong(2) > 0,
         s"etl_replicate: the first sync must ship the full history " +
           s"(${r1.getLong(0)} versions, ${r1.getLong(2)} bytes)")
-      s.sql(s"SELECT * FROM graft_register('graft_rp', 'db.mirror', '$mirror')")
+      s.sql(s"SELECT * FROM graft_register('graft_rpl', 'db.mirror', '$mirror')")
         .collect()
       // the mirror carries HISTORY, not a snapshot: the source's tag
       // resolves on the mirror and serves the pre-update state
       val srcBase = s.sql("""SELECT CAST(SUM(cents) AS BIGINT)
-          |FROM graft_rp.db.ord VERSION AS OF 'base'""".stripMargin)
+          |FROM graft_rpl.db.ord VERSION AS OF 'base'""".stripMargin)
         .collect()(0).getLong(0)
       val mirBase = s.sql("""SELECT CAST(SUM(cents) AS BIGINT)
-          |FROM graft_rp.db.mirror VERSION AS OF 'base'""".stripMargin)
+          |FROM graft_rpl.db.mirror VERSION AS OF 'base'""".stripMargin)
         .collect()(0).getLong(0)
       require(srcBase == mirBase,
         "etl_replicate: the mirror must serve the source's tagged snapshot")
       // the source moves on; the second sync is INCREMENTAL
-      s.sql("DELETE FROM graft_rp.db.ord WHERE id % 10 = 6") // v4
+      s.sql("DELETE FROM graft_rpl.db.ord WHERE id % 10 = 6") // v4
       val r2 = s.sql(
-        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        s"SELECT * FROM graft_replicate('graft_rpl', 'db.ord', '$mirror')")
         .collect().head
       require(r2.getLong(0) == 1,
         s"etl_replicate: the re-sync must ship exactly the one new " +
           s"commit (got ${r2.getLong(0)})")
       val r3 = s.sql(
-        s"SELECT * FROM graft_replicate('graft_rp', 'db.ord', '$mirror')")
+        s"SELECT * FROM graft_replicate('graft_rpl', 'db.ord', '$mirror')")
         .collect().head
       require(r3.getLong(1) == 0 && r3.getLong(2) == 0,
         s"etl_replicate: a no-change sync must copy zero files and zero " +
           s"bytes (got ${r3.getLong(1)} files, ${r3.getLong(2)} bytes)")
-      require(s.table("graft_rp.db.mirror").count() ==
-          s.table("graft_rp.db.ord").count(),
+      require(s.table("graft_rpl.db.mirror").count() ==
+          s.table("graft_rpl.db.ord").count(),
         "etl_replicate: the registered mirror must serve the new head " +
           "with no re-registration")
       s.sql("""SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
-              |FROM graft_rp.db.mirror GROUP BY status ORDER BY status"""
+              |FROM graft_rpl.db.mirror GROUP BY status ORDER BY status"""
         .stripMargin)
     },
 
@@ -2417,6 +2417,82 @@ object Etl {
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).cast("long").as("cents"))
         .orderBy("status")
+    },
+
+    // CONSISTENCY GROUPS (round 10 — the READ half of multi-table
+    // publish): graft_publish_together now RECORDS the consistent
+    // coordinates it produced (one immutable group file per publish,
+    // exclusive-create id allocation), and `graft_group` serves them —
+    // so a reader pins every table with VERSION AS OF and gets the
+    // cross-table-consistent state EVEN AFTER heads move on (asserted:
+    // a post-publish noise commit is visible at po's head but absent at
+    // the group pin, and the group-pinned derived table ROLLS UP to
+    // exactly the group-pinned source aggregation — the invariant mixed
+    // heads break). Without this verb, atomic publish is write-side
+    // only: the moment the next single-table commit lands, readers are
+    // back to guessing. Oracle replays the full source aggregation over
+    // raw orders against the group-pinned derived table.
+    "etl_snapshot_group" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "sg_wh")
+      s.conf.set("spark.sql.catalog.graft_sg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sg.warehouse", wh)
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // groups persist in the warehouse across bench re-runs; start clean
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/${graft.sources.GraftBranch.GroupsDirName}"), true)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sg.db")
+      s.sql("DROP TABLE IF EXISTS graft_sg.db.po")
+      s.sql("DROP TABLE IF EXISTS graft_sg.db.pa")
+      s.sql("""CREATE TABLE graft_sg.db.po (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      s.sql("""CREATE TABLE graft_sg.db.pa (status STRING, n BIGINT,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_sg_src")
+      s.sql("""INSERT INTO graft_sg.db.po
+              |SELECT * FROM graft_sg_src WHERE id % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_sg.db.pa
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_sg_src WHERE id % 2 = 0 GROUP BY status""".stripMargin)
+      // stage the second half on a branch across BOTH tables, publish as
+      // one group (upstream-first: source before derived)
+      s.sql("SELECT * FROM graft_branch('graft_sg', 'db.po', 'rel')").collect()
+      s.sql("SELECT * FROM graft_branch('graft_sg', 'db.pa', 'rel')").collect()
+      s.sql("""INSERT INTO graft_sg.db.po.branch_rel
+              |SELECT * FROM graft_sg_src WHERE id % 2 = 1""".stripMargin)
+      s.sql("""INSERT INTO graft_sg.db.pa.branch_rel
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_sg_src WHERE id % 2 = 1 GROUP BY status""".stripMargin)
+      s.sql("SELECT * FROM graft_publish_together(" +
+        "'graft_sg', 'db.po,db.pa', 'rel')").collect()
+      // heads move on — the state every pipeline is in between runs
+      s.sql("INSERT INTO graft_sg.db.po VALUES (-1, 'NOISE', 0)")
+      val grp = s.sql("SELECT * FROM graft_group('graft_sg')")
+        .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+      require(grp.keySet == Set("db.po", "db.pa"),
+        s"etl_snapshot_group: the group must cover both tables ($grp)")
+      val poG = s.sql(
+        s"SELECT * FROM graft_sg.db.po VERSION AS OF ${grp("db.po")}")
+      require(s.table("graft_sg.db.po").where(col("status") === "NOISE")
+          .count() == 1 &&
+          poG.where(col("status") === "NOISE").count() == 0,
+        "etl_snapshot_group: the group pin must exclude the post-publish " +
+          "commit the head serves")
+      val paG = s.sql(
+        s"""SELECT status, CAST(SUM(n) AS BIGINT) AS n,
+           |CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM graft_sg.db.pa VERSION AS OF ${grp("db.pa")}
+           |GROUP BY status""".stripMargin)
+      val fromPo = poG.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      require(paG.exceptAll(fromPo).isEmpty && fromPo.exceptAll(paG).isEmpty,
+        "etl_snapshot_group: the group-pinned derived table must roll up " +
+          "to exactly the group-pinned source aggregation")
+      paG.orderBy("status")
     },
 
     // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
@@ -3928,6 +4004,11 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_snapshot_group" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_export" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

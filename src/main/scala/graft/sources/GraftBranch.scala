@@ -203,6 +203,78 @@ object GraftBranch {
     done.toSeq
   }
 
+  // --- consistency groups ---
+  // A multi-table publish is only half the story: readers ALSO need the
+  // coordinates of the consistent state it produced, or they are back to
+  // reading mixed heads the moment the next single-table commit lands.
+  // `recordGroup` writes one immutable file per publish under the
+  // warehouse's `_graft_groups/` — `branch=<name>` + `table=version`
+  // lines — allocated by EXCLUSIVE CREATE so racing publishes take
+  // distinct ids. A reader resolves the latest (or any) group and pins
+  // every table with VERSION AS OF — a cross-table-consistent read that
+  // stays correct while heads move on. The record is written AFTER the
+  // last fast-forward: a crash in between loses only the record (the
+  // publish itself is valid; readers keep the previous group — staler
+  // but still consistent). Long-lived groups should tag their versions:
+  // vacuum pins tags, not group files.
+
+  val GroupsDirName = "_graft_groups"
+  private val GroupRe = """group-(\d+)\.txt""".r
+
+  private def groupPath(wh: Path, id: Long) =
+    new Path(new Path(wh, GroupsDirName), f"group-$id%08d.txt")
+
+  /** All recorded groups, oldest first: (id, branch, (table, version)*). */
+  def readGroups(fs: FileSystem,
+                 wh: Path): Seq[(Long, String, Seq[(String, Long)])] = {
+    val d = new Path(wh, GroupsDirName)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case GroupRe(id) =>
+          val in = fs.open(st.getPath)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          val branch = lines.collectFirst {
+            case l if l.startsWith("branch=") => l.stripPrefix("branch=")
+          }.getOrElse("")
+          val tables = lines.filterNot(_.startsWith("branch="))
+            .flatMap(_.split("=", 2) match {
+              case Array(t, v) => Some(t -> v.toLong)
+              case _ => None
+            })
+          Some((id.toLong, branch, tables))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Record one publish's consistent coordinates; returns the group id. */
+  def recordGroup(fs: FileSystem, wh: Path, branch: String,
+                  published: Seq[(String, Long)]): Long = {
+    val d = new Path(wh, GroupsDirName)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val content = (s"branch=$branch" +:
+      published.map { case (t, v) => s"$t=$v" }).mkString("\n")
+    var id = readGroups(fs, wh).lastOption.map(_._1).getOrElse(0L) + 1
+    var attempts = 0
+    while (true) {
+      try {
+        val out = fs.create(groupPath(wh, id), false) // exclusive
+        try out.write(content.getBytes(UTF_8)) finally out.close()
+        return id
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          require(attempts < 100,
+            s"recordGroup: cannot allocate a group id at $d: ${e.getMessage}")
+          id += 1 // a racing publish took it
+      }
+    }
+    id // unreachable
+  }
+
   /** CHERRY-PICK: publish a branch whose commits are ALL pure APPENDS
     * onto a main that has moved past the fork point — the case
     * fast-forward rightly refuses but that actually commutes: additive

@@ -89,6 +89,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** Warehouse root — catalog-scoped metadata (consistency groups) lives
+    * directly under it.
+    */
+  def warehouseDir: Path = warehouse
+
   private def fs: FileSystem =
     warehouse.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
   /** Raw warehouse path of `ident` — the POINTER STUB for registered

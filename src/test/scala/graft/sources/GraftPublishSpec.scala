@@ -91,4 +91,33 @@ class GraftPublishSpec extends SparkSpec {
     assert(e.getMessage.contains("ZERO tables published"))
     assert(spark.table("graft_pub.db.b3").count() == 4)
   }
+
+  test("each publish records a consistency group; old groups stay " +
+    "readable after heads move on") {
+    mk("b4", 6); mk("s4", 3)
+    def stage(extra: Int): Unit = {
+      sql("SELECT * FROM graft_branch('graft_pub', 'db.b4', 'rel')").collect()
+      sql("SELECT * FROM graft_branch('graft_pub', 'db.s4', 'rel')").collect()
+      sql(s"INSERT INTO graft_pub.db.b4.branch_rel VALUES ($extra, 'n')")
+      sql(s"INSERT INTO graft_pub.db.s4.branch_rel VALUES ($extra, 'n')")
+      sql("""SELECT * FROM graft_publish_together('graft_pub',
+            |'db.b4,db.s4', 'rel')""".stripMargin).collect()
+    }
+    stage(100)
+    val g1 = sql("SELECT * FROM graft_group('graft_pub')").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(g1.map(_._2).toSet == Set("db.b4", "db.s4"))
+    stage(200)
+    val g2 = sql("SELECT * FROM graft_group('graft_pub')").collect()
+    assert(g2.head.getLong(0) == g1.head._1 + 1,
+      "the second publish must allocate the next group id")
+    // the OLD group, read by id, pins the pre-second-publish state
+    val old = sql(s"SELECT * FROM graft_group('graft_pub', ${g1.head._1})")
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    val b4old = spark.sql(
+      s"SELECT count(*) FROM graft_pub.db.b4 VERSION AS OF ${old("db.b4")}")
+      .collect()(0).getLong(0)
+    assert(b4old == 7, s"group 1 must pin the first publish's state ($b4old)")
+    assert(spark.table("graft_pub.db.b4").count() == 8)
+  }
 }
