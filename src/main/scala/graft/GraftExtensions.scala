@@ -817,6 +817,53 @@ object GraftExtensions {
           .toDF("versions_synced", "files_copied", "bytes_copied",
             "head_version"))
       }),
+    ("graft_replicate_group",
+      info("graft_replicate_group",
+        "graft_replicate_group(catalog, dest_root[, group_id]) - " +
+          "replicate EVERY table of a consistency group (latest or the " +
+          "given id) under dest_root laid out as a WAREHOUSE, group " +
+          "coordinates installed last: point a catalog's warehouse at " +
+          "dest_root and failover lands on the exact cross-table state " +
+          "the pipeline last published. Re-runs are per-table O(delta). " +
+          "Returns (group_id, table, versions_synced, files_copied, " +
+          "bytes_copied) per table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_replicate_group(catalog, dest_root[, group_id])")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_replicate_group: catalog")
+        val dest = stringArg(args(1), "graft_replicate_group: dest_root")
+        val g = Bridge.catalogPlugin(s, cat) match {
+          case g: graft.sources.GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"graft_replicate_group: $cat is ${other.getClass.getName}, " +
+              "not a GraftCatalog")
+        }
+        val fsx = g.warehouseDir
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val groups = graft.sources.GraftBranch.readGroups(fsx, g.warehouseDir)
+        require(groups.nonEmpty,
+          s"graft_replicate_group: no publish groups recorded in $cat")
+        val chosen = args.drop(2).headOption match {
+          case None => groups.last
+          case Some(e) =>
+            val id = intArg(e, "graft_replicate_group: group_id").toLong
+            groups.find(_._1 == id).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_replicate_group: no group $id (have " +
+                  s"${groups.map(_._1).mkString(", ")})"))
+        }
+        val tables = chosen._3.map { case (t, v) =>
+          (t, graftTableOf(cat, t).dir, v)
+        }
+        val reports = graft.sources.GraftReplicate.replicateGroup(
+          s, g.warehouseDir, dest, chosen._1, chosen._2, tables)
+        import s.implicits._
+        Bridge.logicalPlan(reports.map { case (t, r) =>
+          (chosen._1, t, r.versionsSynced, r.filesCopied, r.bytesCopied)
+        }.toDF("group_id", "table", "versions_synced", "files_copied",
+          "bytes_copied"))
+      }),
     ("graft_sync_identity",
       info("graft_sync_identity",
         "graft_sync_identity(catalog, table) - advance the identity " +

@@ -2495,6 +2495,103 @@ object Etl {
       paG.orderBy("status")
     },
 
+    // DR-SITE GROUP REPLICATION (round 10 — replication × consistency
+    // groups, the full failover story): `graft_replicate_group` mirrors
+    // EVERY table of the latest publish group under one root laid out as
+    // a WAREHOUSE, installing the group's coordinates LAST — so a
+    // catalog pointed at that root serves the tables DIRECTLY (no
+    // registration) and `graft_group` on the DR catalog returns the
+    // exact cross-table state the pipeline last published. Asserted: the
+    // consistency invariant holds ON THE DR SITE at the group pin
+    // (derived rolls up to source exactly); after the source takes a
+    // post-publish noise commit, a re-sync ships only that delta — the
+    // DR head follows, the group pin stays consistent — and a third sync
+    // copies ZERO bytes. Failover lands on a real released state, never
+    // a torn one. Oracle replays the source aggregation over raw orders
+    // against the DR site's bytes.
+    "etl_dr_group" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "dg_wh")
+      val drRoot = scratch(s, "dg_dr")
+      s.conf.set("spark.sql.catalog.graft_dg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dg.warehouse", wh)
+      s.conf.set("spark.sql.catalog.graft_dgm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dgm.warehouse", drRoot)
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // bench re-runs: recreated source tables would diverge from a
+      // stale mirror (replicate refuses), and group ids would stack
+      fs.delete(new org.apache.hadoop.fs.Path(drRoot), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/${graft.sources.GraftBranch.GroupsDirName}"), true)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dg.db")
+      s.sql("DROP TABLE IF EXISTS graft_dg.db.po")
+      s.sql("DROP TABLE IF EXISTS graft_dg.db.pa")
+      s.sql("""CREATE TABLE graft_dg.db.po (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      s.sql("""CREATE TABLE graft_dg.db.pa (status STRING, n BIGINT,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("id") % 7 =!= 3)
+        .createOrReplaceTempView("graft_dg_src")
+      s.sql("""INSERT INTO graft_dg.db.po
+              |SELECT * FROM graft_dg_src WHERE id % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_dg.db.pa
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_dg_src WHERE id % 2 = 0 GROUP BY status""".stripMargin)
+      s.sql("SELECT * FROM graft_branch('graft_dg', 'db.po', 'rel')").collect()
+      s.sql("SELECT * FROM graft_branch('graft_dg', 'db.pa', 'rel')").collect()
+      s.sql("""INSERT INTO graft_dg.db.po.branch_rel
+              |SELECT * FROM graft_dg_src WHERE id % 2 = 1""".stripMargin)
+      s.sql("""INSERT INTO graft_dg.db.pa.branch_rel
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_dg_src WHERE id % 2 = 1 GROUP BY status""".stripMargin)
+      s.sql("SELECT * FROM graft_publish_together(" +
+        "'graft_dg', 'db.po,db.pa', 'rel')").collect()
+      val rep = s.sql(
+        s"SELECT * FROM graft_replicate_group('graft_dg', '$drRoot')")
+        .collect()
+      require(rep.length == 2 && rep.map(_.getLong(4)).sum > 0,
+        s"etl_dr_group: the first group sync must ship both tables' bytes")
+      // the DR site is a warehouse: tables resolve directly, and the
+      // group coordinates are THERE
+      val grp = s.sql("SELECT * FROM graft_group('graft_dgm')")
+        .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+      require(grp.keySet == Set("db.po", "db.pa"),
+        s"etl_dr_group: the DR group must cover both tables ($grp)")
+      // the source takes a post-publish commit; the DR head follows on
+      // re-sync, the group pin must NOT
+      s.sql("INSERT INTO graft_dg.db.po VALUES (-1, 'NOISE', 0)")
+      s.sql(s"SELECT * FROM graft_replicate_group('graft_dg', '$drRoot')")
+        .collect()
+      require(s.table("graft_dgm.db.po").where(col("status") === "NOISE")
+          .count() == 1,
+        "etl_dr_group: the re-synced DR head must serve the new commit")
+      val poG = s.sql(
+        s"SELECT * FROM graft_dgm.db.po VERSION AS OF ${grp("db.po")}")
+      require(poG.where(col("status") === "NOISE").count() == 0,
+        "etl_dr_group: the DR group pin must exclude the post-publish " +
+          "commit")
+      val r3 = s.sql(
+        s"SELECT * FROM graft_replicate_group('graft_dg', '$drRoot')")
+        .collect()
+      require(r3.map(_.getLong(4)).sum == 0 && r3.map(_.getLong(3)).sum == 0,
+        "etl_dr_group: a quiet group must sync for free")
+      val paG = s.sql(
+        s"""SELECT status, CAST(SUM(n) AS BIGINT) AS n,
+           |CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM graft_dgm.db.pa VERSION AS OF ${grp("db.pa")}
+           |GROUP BY status""".stripMargin)
+      val fromPo = poG.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      require(paG.exceptAll(fromPo).isEmpty && fromPo.exceptAll(paG).isEmpty,
+        "etl_dr_group: the DR-site group pin must satisfy the derived-" +
+          "equals-source invariant")
+      paG.orderBy("status")
+    },
+
     // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
     // the truth about the bytes? ONE driver listing + the manifest log,
     // zero data IO. The query builds a known commit shape (single-file
@@ -4004,6 +4101,12 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_dr_group" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 7 <> 3
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_snapshot_group" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -227,4 +227,44 @@ object GraftReplicate {
       bytesCopied = copiedBytes,
       headVersion = head)
   }
+
+  /** GROUP REPLICATION — the full DR-site verb: replicate EVERY table of
+    * one consistency group (see [[GraftBranch.recordGroup]]) under
+    * `destRoot`, laid out as a WAREHOUSE (`destRoot/<ns>/<table>`), then
+    * install the group's coordinate file last. The destination is
+    * therefore a complete, self-describing graft catalog: point
+    * `spark.sql.catalog.dr.warehouse` at it and the tables resolve
+    * directly — no per-table registration — and `graft_group('dr')`
+    * serves the SAME consistent read coordinates the source published,
+    * so a failover lands on the exact cross-table state the pipeline
+    * last released, never a torn one.
+    *
+    * Ordering composes both crash contracts: tables sync in the group's
+    * recorded (upstream-first) order, each internally oldest-commit-
+    * first, and the group file arrives LAST — the DR site never
+    * advertises a group before every table of it is readable. Re-runs
+    * are the per-table O(delta) sync; a quiet group costs zero bytes.
+    *
+    * @param tables the group's (ident, resolved source dir) in recorded
+    *               order — the caller resolves idents (registered
+    *               external tables follow their pointers here)
+    */
+  def replicateGroup(spark: SparkSession, warehouse: Path, destRoot: String,
+                     groupId: Long, branch: String,
+                     tables: Seq[(String, String, Long)]): Seq[(String, Report)] = {
+    val dest = new Path(destRoot)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val reports = tables.map { case (ident, srcDir, _) =>
+      val sub = ident.split('.').foldLeft(dest)(new Path(_, _))
+      ident -> replicate(spark, srcDir, sub.toString)
+    }
+    // every table of the group is readable at the mirror — NOW advertise
+    val gd = new Path(dest, GraftBranch.GroupsDirName)
+    if (!fs.exists(gd)) fs.mkdirs(gd)
+    val content = (s"branch=$branch" +:
+      tables.map { case (t, _, v) => s"$t=$v" }).mkString("\n")
+    val out = fs.create(new Path(gd, f"group-$groupId%08d.txt"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    reports
+  }
 }
