@@ -736,6 +736,30 @@ object GraftExtensions {
         import s.implicits._
         Bridge.logicalPlan(Seq((tname, loc)).toDF("table", "location"))
       }),
+    ("graft_optimize",
+      info("graft_optimize",
+        "graft_optimize(catalog, table[, min_files]) - census-driven " +
+          "SELECTIVE compaction for identity-partitioned tables: only " +
+          "partitions holding >= min_files files (default 2) are " +
+          "rewritten, each to ONE file, in ONE distributed job — " +
+          "O(debris), not O(table). Declared sort order preserved, MOR " +
+          "masks folded first, stats footer-lifted. Returns (partition, " +
+          "files_before, files_after) per compacted partition"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_optimize(catalog, 'ns.t'[, min_files])")
+        val s = SparkSession.active
+        val t = graftTableOf(stringArg(args.head, "graft_optimize: catalog"),
+          stringArg(args(1), "graft_optimize: table"))
+        val minFiles = args.drop(2).headOption
+          .map(intArg(_, "graft_optimize: min_files")).getOrElse(2)
+        val census = graft.sources.GraftMaintenance
+          .optimizeTable(s, t.dir, minFiles)
+        s.catalog.clearCache()
+        import s.implicits._
+        Bridge.logicalPlan(census
+          .toDF("partition", "files_before", "files_after"))
+      }),
     ("graft_export",
       info("graft_export",
         "graft_export(catalog, table, dest[, version_or_tag]) - write the " +

@@ -2592,6 +2592,81 @@ object Etl {
       paG.orderBy("status")
     },
 
+    // SELECTIVE OPTIMIZE (round 10 — Delta's OPTIMIZE for the identity-
+    // partitioned layout compactTable rightly refuses to bulk-rewrite):
+    // trickle ingest fragments ONE hot partition; `graft_optimize` reads
+    // the file census from the manifest and rewrites ONLY partitions at
+    // >= min_files, each to one file, in ONE distributed job — cost
+    // O(debris), not O(table). Asserted: exactly the hot partition
+    // compacts (census says (F, 3, 1)), the cold partitions' head files
+    // are UNTOUCHED (same entries before/after), the commit is
+    // kind=compact (row-multiset neutral — the pre-optimize snapshot
+    // serves identical content), and the post-optimize scan of the hot
+    // partition plans exactly ONE file. Oracle replays the three insert
+    // slices over raw orders.
+    "etl_optimize" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "op_wh")
+      s.conf.set("spark.sql.catalog.graft_op", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_op.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_op.db")
+      s.sql("DROP TABLE IF EXISTS graft_op.db.ord")
+      s.sql("""CREATE TABLE graft_op.db.ord (id BIGINT, status STRING,
+              |cents BIGINT) PARTITIONED BY (status)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      // three trickle batches; the third hits ONLY the hot partition, so
+      // F holds 3 files and the others 2 (single-task writes: one file
+      // per partition per batch)
+      ord.where(col("id") % 3 === 0).repartition(1)
+        .writeTo("graft_op.db.ord").append()
+      ord.where(col("id") % 3 === 1).repartition(1)
+        .writeTo("graft_op.db.ord").append()
+      ord.where(col("id") % 3 === 2 && col("status") === "F").repartition(1)
+        .writeTo("graft_op.db.ord").append()
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      def headByPart(): Map[String, Set[String]] = {
+        val v = graft.sources.GraftTable.manifestVersions(fs, tdir).last
+        graft.sources.GraftTable.readManifest(fs, tdir, v)
+          .groupBy(f => new org.apache.hadoop.fs.Path(f).getParent.getName)
+          .map { case (p, fl) => p -> fl.toSet }
+      }
+      val before = headByPart()
+      require(before("status=F").size == 3 &&
+          before("status=O").size == 2 && before("status=P").size == 2,
+        s"etl_optimize: trickle setup must fragment only F " +
+          s"(${before.view.mapValues(_.size).toMap})")
+      val vPre = graft.sources.GraftTable.manifestVersions(fs, tdir).last
+      val census = s.sql(
+        "SELECT * FROM graft_optimize('graft_op', 'db.ord', 3)").collect()
+      require(census.length == 1 && census.head.getString(0) == "status=F" &&
+          census.head.getInt(1) == 3 && census.head.getInt(2) == 1,
+        s"etl_optimize: exactly the hot partition must compact " +
+          s"(${census.mkString(", ")})")
+      val after = headByPart()
+      require(after("status=F").size == 1 &&
+          after("status=O") == before("status=O") &&
+          after("status=P") == before("status=P"),
+        "etl_optimize: cold partitions' head entries must be UNTOUCHED")
+      require(graft.sources.GraftTable.readCommitKind(fs, tdir,
+          vPre + 1).contains(graft.sources.GraftTable.KindCompact),
+        "etl_optimize: the rewrite must commit as kind=compact")
+      // row-multiset neutrality: the pre-optimize snapshot equals head
+      val head = s.table("graft_op.db.ord")
+      val pre = s.sql(s"SELECT * FROM graft_op.db.ord VERSION AS OF $vPre")
+      require(head.exceptAll(pre).isEmpty && pre.exceptAll(head).isEmpty,
+        "etl_optimize: OPTIMIZE must not change the row multiset")
+      val planned = head.where(col("status") === "F").rdd.getNumPartitions
+      require(planned == 1,
+        s"etl_optimize: the hot partition must now scan ONE file ($planned)")
+      head.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+        .orderBy("status")
+    },
+
     // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
     // the truth about the bytes? ONE driver listing + the manifest log,
     // zero data IO. The query builds a known commit shape (single-file
@@ -4101,6 +4176,13 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_optimize" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 2 OR o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_dr_group" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -390,6 +390,124 @@ object GraftMaintenance {
     (files.size, files.size - replaced.size + landed.size)
   }
 
+  /** OPTIMIZE — census-driven SELECTIVE compaction for identity-
+    * partitioned tables (the layout [[compactTable]] rightly refuses to
+    * bulk-rewrite): only partitions holding >= `minFiles` files are
+    * touched, each folded to ONE file, everything else — files, layout,
+    * history — untouched. This is Delta's OPTIMIZE shape: streaming/
+    * trickle ingest fragments a few hot partitions all day; the fix must
+    * cost O(debris), not O(table).
+    *
+    * One distributed job regardless of how many partitions qualify
+    * (the compactDayTable argument): each selected file's rows are routed
+    * by a broadcast (file name → partition subpath) lookup — file names
+    * are uuid-unique, and identity-partition values live in the PATH, not
+    * the rows, so the lookup IS the partition recovery — then
+    * repartition-by-subpath + partitionBy lands exactly one file per
+    * selected partition dir. Declared `write.sort.cols` ordering is
+    * preserved inside the rewritten files; MOR deletion vectors and
+    * equality masks are folded first (the rewrite reads plain parquet);
+    * stats for the new files are footer-lifted in one job so pruning
+    * serves from metadata on the next scan. History tables commit ONE
+    * kind=compact manifest (old snapshots keep their files); plain tables
+    * swap files and retire the replaced stats/bloom entries.
+    *
+    * Returns the census of what was done: (partition, files_before,
+    * files_after) per compacted partition — empty means nothing qualified.
+    */
+  def optimizeTable(spark: SparkSession, tableDir: String,
+                    minFiles: Int = 2): Seq[(String, Int, Int)] = {
+    require(minFiles >= 2, s"optimizeTable: minFiles must be >= 2")
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = GraftTable.readProps(fs, dir)
+    require(props.contains(GraftTable.PartitionProp) &&
+        !props.contains(GraftTable.DayColProp) &&
+        !props.contains(GraftTable.BucketColProp),
+      "optimizeTable: identity-partitioned tables only — flat tables use " +
+        "compactTable, days() layouts compactDayTable, bucketed tables " +
+        "compactBucketedTable")
+    val history = props.get(GraftTable.HistoryProp).contains("true")
+    if (props.get(GraftTable.MorProp).contains("true"))
+      materializeDeletes(spark, tableDir)
+    if (history && GraftTable.manifestVersions(fs, dir).lastOption.exists(v =>
+        GraftTable.readFullEntries(fs, dir, v).exists(_.eqs.nonEmpty)))
+      GraftEqDelete.materializeEqDeletes(spark, tableDir)
+    val files =
+      if (!history) GraftTable.dataFiles(fs, dir)
+      else GraftTable.manifestVersions(fs, dir).lastOption
+        .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
+    if (files.isEmpty) return Nil
+    val byPart = files
+      .groupBy(f => GraftTable.relativize(dir, new Path(f).getParent))
+      .filter(_._1.contains("=")) // pre-layout flat debris stays
+    val selected = byPart.filter(_._2.size >= minFiles)
+    if (selected.isEmpty) return Nil
+    val selFiles = selected.values.flatten.toSeq
+    val lookup = selected.toSeq.flatMap { case (p, fl) =>
+      fl.map(f => (new Path(f).getName, p))
+    }
+    val staging = new Path(dir, s".optimize-${UUID.randomUUID()}")
+    val routed = {
+      import spark.implicits._
+      val lk = lookup.toDF("__fn", "__graft_part")
+      evoRead(spark, fs, dir, props, selFiles)
+        .withColumn("__fn",
+          org.apache.spark.sql.functions.col("_metadata.file_name"))
+        .join(org.apache.spark.sql.functions.broadcast(lk), "__fn")
+        .drop("__fn")
+    }
+    val sortCols = GraftSort.sortColsOf(props)
+    withMicrosTimestamps(spark) {
+      val shaped = routed.repartition(
+        org.apache.spark.sql.functions.col("__graft_part"))
+      (if (sortCols.nonEmpty)
+        shaped.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else shaped)
+        .write.partitionBy("__graft_part").mode("overwrite")
+        .parquet(staging.toString)
+    }
+    val landed: Seq[(Path, Path)] = fs.listStatus(staging).toSeq
+      .filter(_.isDirectory).map { seg =>
+        val sub = GraftTable.unescapeSeg(
+          seg.getPath.getName.stripPrefix("__graft_part="))
+        val part = fs.listStatus(seg.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath) match {
+          case Seq(one) => one
+          case many => throw new IllegalStateException(
+            s"optimize of $sub produced ${many.size} files")
+        }
+        (part, new Path(new Path(dir, sub),
+          s"part-optimize-${UUID.randomUUID()}.parquet"))
+      }
+    require(landed.size == selected.size,
+      s"optimizeTable: ${selected.size} partitions in, ${landed.size} " +
+        "out — a row routed to a partition its file didn't claim")
+    val replaced = selFiles.toSet
+    if (history) {
+      landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
+      val keep = files.filterNot(replaced.contains) ++
+        landed.map(_._2.toString)
+      val v = GraftTable.manifestVersions(fs, dir).last
+      GraftTable.writeManifest(fs, dir, v + 1, keep)
+      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    } else {
+      replaced.foreach(f => fs.delete(new Path(f), false))
+      landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
+      val gone = replaced.map(f => new Path(f).getName)
+      GraftStats.retain(fs, dir, n => !gone.contains(n))
+      GraftBloom.retain(fs, dir, n => !gone.contains(n))
+    }
+    val landedPaths = landed.map(_._2.toString)
+    GraftStats.liftFromFooters(spark, dir, landedPaths,
+      spark.read.parquet(landedPaths.head).schema)
+    reindexDeclared(spark, dir, landedPaths)
+    fs.delete(staging, true)
+    selected.toSeq.sortBy(_._1).map { case (p, fl) => (p, fl.size, 1) }
+  }
+
   /** Fold merge-on-read deletion vectors into their data files: each file
     * with a sidecar is rewritten without its deleted positions and the
     * sidecar removed — after this the directory is again directly readable
