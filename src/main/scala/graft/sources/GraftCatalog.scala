@@ -333,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             timeUnit = base.timeUnit, aliases = base.aliases,
             widened = base.widened, pastTimeSpecs = base.pastTimeSpecs,
             branch = Some(b), identity = base.identity,
+            requiredWriter = base.requiredWriter,
             generated = base.generated, sortCols = base.sortCols,
             maskCols = base.maskCols, rowFilter = base.rowFilter,
             rowLineage = base.rowLineage)
@@ -340,7 +341,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       throw new NoSuchTableException(ident)
     }
+    GraftTable.enforceRead(GraftTable.readProps(fs, dir), ident.toString)
     new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
+      requiredWriter = GraftTable.requiredFormat(
+        GraftTable.readProps(fs, dir))._2,
       mor = isMor(dir), partitionCols = partCols(dir),
       bucketSpec = bucketSpec(dir), checks = checksOf(dir),
       dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir),
@@ -387,7 +391,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (correct answers, full-scan plans), and dropping mor/checks would
     * mis-read a merge-on-read history snapshot.
     */
-  private def pinnedTable(ident: Identifier, dir: Path, v: Long): GraftTable =
+  private def pinnedTable(ident: Identifier, dir: Path, v: Long): GraftTable = {
+    GraftTable.enforceRead(GraftTable.readProps(fs, dir), ident.toString)
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
       history = true, pinnedVersion = Some(v), mor = isMor(dir),
       partitionCols = partCols(dir), bucketSpec = bucketSpec(dir),
@@ -400,6 +405,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
       rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
       rowLineage = GraftRowId.enabled(GraftTable.readProps(fs, dir)))
+  }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
     * manifest committed at-or-before t — commit wall-clock is the manifest
@@ -756,7 +762,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         dayCol.nonEmpty || identity.nonEmpty || generated.nonEmpty ||
         indexProps.nonEmpty || sortCols.nonEmpty || govProps.nonEmpty ||
         retProps.nonEmpty || rowid) {
-      GraftTable.writeProps(fs, dir, (indexProps ++ Map(
+      GraftTable.writeProps(fs, dir, GraftTable.stampFormat(indexProps ++ Map(
         GraftTable.HistoryProp -> history.toString,
         GraftTable.MorProp -> mor.toString,
         GraftRowId.Prop -> rowid.toString).filter(_._2 == "true")
@@ -1178,6 +1184,73 @@ object GraftTable {
   val PastTimeSpecsProp = "partition-time-past"
   val BucketCountProp = "bucket-count"
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  // --- format / protocol versioning (Delta's reader/writer protocol,
+  // Iceberg's format-version) ---
+  // A build that doesn't understand a table's features must refuse, not
+  // mis-read: a DV-unaware reader would RESURRECT deleted rows, a
+  // lineage-unaware writer would silently re-mint row ids, a CHECK-
+  // unaware writer would land unvalidated rows. Each capability maps to
+  // a version; tables stamp the requirement at CREATE (computed from
+  // their declared features, so hand-stamping is never needed) and every
+  // load recomputes the floor from the feature props themselves —
+  // legacy tables without stamps enforce identically. Readers refuse
+  // requirements above SupportedReader at load; writers refuse above
+  // SupportedWriter at write-build time (reads of such tables still
+  // work — the Delta reader/writer split). Raising a stamp BY HAND
+  // (TBLPROPERTIES) is the forward-compat escape hatch: it fences old
+  // builds off a table before migrating it to features they predate.
+  //   reader 1: COW history/plain   2: +MOR row masks   3: +row lineage
+  //   writer 1: plain appends       2: +declared write contracts
+  //            (CHECKs, identity, generated, sort-on-write)   3: +lineage
+  val FormatReaderProp = "graft.format.reader"
+  val FormatWriterProp = "graft.format.writer"
+  val SupportedReader = 3
+  val SupportedWriter = 3
+
+  private def computedFormat(props: Map[String, String]): (Int, Int) = {
+    val mor = props.get(MorProp).contains("true")
+    val rowid = props.get(GraftRowId.Prop).contains("true")
+    val reader = if (rowid) 3 else if (mor) 2 else 1
+    val writerContracts = props.contains(GraftIdentity.ColProp) ||
+      props.contains(GraftSort.SortColsProp) ||
+      props.keys.exists(k => k.startsWith(GraftConstraints.Prefix) ||
+        k.startsWith(GraftGenerated.Prefix))
+    (reader, math.max(reader, if (writerContracts) 2 else 1))
+  }
+
+  /** Effective (reader, writer) requirement: the computed feature floor,
+    * raised by any explicit stamp.
+    */
+  def requiredFormat(props: Map[String, String]): (Int, Int) = {
+    val (cr, cw) = computedFormat(props)
+    (math.max(cr, props.get(FormatReaderProp).map(_.trim.toInt).getOrElse(1)),
+      math.max(cw, props.get(FormatWriterProp).map(_.trim.toInt).getOrElse(1)))
+  }
+
+  /** CREATE-time stamping: explicit only when above the floor every build
+    * supports implicitly (keeps legacy prop files byte-stable).
+    */
+  def stampFormat(props: Map[String, String]): Map[String, String] = {
+    val (r, w) = requiredFormat(props)
+    props ++
+      (if (r > 1) Map(FormatReaderProp -> r.toString) else Map.empty) ++
+      (if (w > 1) Map(FormatWriterProp -> w.toString) else Map.empty)
+  }
+
+  def enforceRead(props: Map[String, String], what: String): Unit = {
+    val r = requiredFormat(props)._1
+    require(r <= SupportedReader,
+      s"$what requires format reader version $r; this build supports " +
+        s"<= $SupportedReader — upgrade the engine before reading (a " +
+        "version-blind read would silently serve wrong rows)")
+  }
+
+  def enforceWrite(requiredWriter: Int, what: String): Unit =
+    require(requiredWriter <= SupportedWriter,
+      s"$what requires format writer version $requiredWriter; this build " +
+        s"supports <= $SupportedWriter — the table stays readable, but " +
+        "writing from this build would break contracts it cannot see")
 
   /** Partition-value ↔ path-segment codec, delegated to Spark's own Hive
     * path escaping so `spark.read.parquet(tableDir)` partition discovery
@@ -1705,7 +1778,8 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
                  val maskCols: Map[String, String] = Map.empty,
                  val rowFilter: Option[String] = None,
                  val retention: Map[String, String] = Map.empty,
-                 val rowLineage: Boolean = false)
+                 val rowLineage: Boolean = false,
+                 val requiredWriter: Int = 1)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1863,6 +1937,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     rejectPinnedWrite()
+    GraftTable.enforceWrite(requiredWriter, ident)
     new GraftWriteBuilder(this, info.schema(), truncate = false,
       queryId = info.queryId())
   }
@@ -1870,6 +1945,7 @@ class GraftTable(ident: String, val dir: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     rejectPinnedWrite()
+    GraftTable.enforceWrite(requiredWriter, ident)
     // a row-level rewrite reads raw bytes and re-persists what it read —
     // under a masked session it would corrupt or leak; admin bypass only
     GraftGovernance.refuseRawPath(this, s"${info.command()} (row-level rewrite)")
