@@ -72,6 +72,30 @@ object GraftExtensions {
   /** Resolve `catalog`.`ns.table` to its GraftTable (shared by the
     * maintenance TVFs).
     */
+  /** Resolve a consistency group: the catalog's latest, or the given id. */
+  private def resolveGroup(s: SparkSession, cat: String,
+                           idArg: Option[Expression], what: String)
+      : (Long, String, Seq[(String, Long)]) = {
+    val g = Bridge.catalogPlugin(s, cat) match {
+      case g: graft.sources.GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"$what: $cat is ${other.getClass.getName}, not a GraftCatalog")
+    }
+    val fsx = g.warehouseDir.getFileSystem(s.sessionState.newHadoopConf())
+    val groups = graft.sources.GraftBranch.readGroups(fsx, g.warehouseDir)
+    require(groups.nonEmpty,
+      s"$what: no publish groups recorded in catalog $cat")
+    idArg match {
+      case None => groups.last
+      case Some(e) =>
+        val id = intArg(e, s"$what: group_id").toLong
+        groups.find(_._1 == id).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: no group $id (have " +
+              s"${groups.map(_._1).mkString(", ")})"))
+    }
+  }
+
   private def graftTableOf(cat: String, tbl: String): graft.sources.GraftTable = {
     val s = SparkSession.active
     val plugin = Bridge.catalogPlugin(s, cat) match {
@@ -858,25 +882,13 @@ object GraftExtensions {
         val cat = stringArg(args.head, "graft_replicate_group: catalog")
         val dest = stringArg(args(1), "graft_replicate_group: dest_root")
         val g = Bridge.catalogPlugin(s, cat) match {
-          case g: graft.sources.GraftCatalog => g
+          case gc: graft.sources.GraftCatalog => gc
           case other => throw new IllegalArgumentException(
             s"graft_replicate_group: $cat is ${other.getClass.getName}, " +
               "not a GraftCatalog")
         }
-        val fsx = g.warehouseDir
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val groups = graft.sources.GraftBranch.readGroups(fsx, g.warehouseDir)
-        require(groups.nonEmpty,
-          s"graft_replicate_group: no publish groups recorded in $cat")
-        val chosen = args.drop(2).headOption match {
-          case None => groups.last
-          case Some(e) =>
-            val id = intArg(e, "graft_replicate_group: group_id").toLong
-            groups.find(_._1 == id).getOrElse(
-              throw new IllegalArgumentException(
-                s"graft_replicate_group: no group $id (have " +
-                  s"${groups.map(_._1).mkString(", ")})"))
-        }
+        val chosen = resolveGroup(s, cat, args.drop(2).headOption,
+          "graft_replicate_group")
         val tables = chosen._3.map { case (t, v) =>
           (t, graftTableOf(cat, t).dir, v)
         }
@@ -887,6 +899,56 @@ object GraftExtensions {
           (chosen._1, t, r.versionsSynced, r.filesCopied, r.bytesCopied)
         }.toDF("group_id", "table", "versions_synced", "files_copied",
           "bytes_copied"))
+      }),
+    ("graft_export_group",
+      info("graft_export_group",
+        "graft_export_group(catalog, dest_root[, group_id]) - symlink-" +
+          "manifest export of EVERY table of a publish group at its " +
+          "group version, marker file installed last: external engines " +
+          "get a cross-table-CONSISTENT read set with zero graft code. " +
+          "Returns (group_id, table, files, partition_dirs) per table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_export_group(catalog, dest_root[, group_id])")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_export_group: catalog")
+        val dest = stringArg(args(1), "graft_export_group: dest_root")
+        val chosen = resolveGroup(s, cat, args.drop(2).headOption,
+          "graft_export_group")
+        val tables = chosen._3.map { case (t, v) =>
+          (t, graftTableOf(cat, t).dir, v)
+        }
+        val reports = graft.sources.GraftExport.exportGroup(
+          s, dest, chosen._1, chosen._2, tables)
+        import s.implicits._
+        Bridge.logicalPlan(reports.map { case (t, f, p) =>
+          (chosen._1, t, f, p)
+        }.toDF("group_id", "table", "files", "partition_dirs"))
+      }),
+    ("graft_rollback_group",
+      info("graft_rollback_group",
+        "graft_rollback_group(catalog[, group_id]) - undo to the last " +
+          "released state: restore EVERY table of a publish group to " +
+          "its group version, derived-first (reverse publish order), " +
+          "each an ordinary kind=restore commit — history intact, " +
+          "already-current tables skipped. Returns (table, restored_to, " +
+          "new_version) per table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "graft_rollback_group(catalog[, group_id])")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_rollback_group: catalog")
+        val chosen = resolveGroup(s, cat, args.drop(1).headOption,
+          "graft_rollback_group")
+        val tables = chosen._3.map { case (t, v) =>
+          (t, new org.apache.hadoop.fs.Path(graftTableOf(cat, t).dir), v)
+        }
+        val fsx = tables.head._2
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val done = graft.sources.GraftBranch.rollbackGroup(s, fsx, tables)
+        s.catalog.clearCache()
+        import s.implicits._
+        Bridge.logicalPlan(done.toDF("table", "restored_to", "new_version"))
       }),
     ("graft_sync_identity",
       info("graft_sync_identity",
@@ -1122,26 +1184,8 @@ object GraftExtensions {
           "graft_group(catalog[, group_id])")
         val s = SparkSession.active
         val cat = stringArg(args.head, "graft_group: catalog")
-        val g = Bridge.catalogPlugin(s, cat) match {
-          case g: graft.sources.GraftCatalog => g
-          case other => throw new IllegalArgumentException(
-            s"graft_group: $cat is ${other.getClass.getName}, not a " +
-              "GraftCatalog")
-        }
-        val fsx = g.warehouseDir
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val groups = graft.sources.GraftBranch.readGroups(fsx, g.warehouseDir)
-        require(groups.nonEmpty,
-          s"graft_group: no publish groups recorded in catalog $cat")
-        val chosen = args.drop(1).headOption match {
-          case None => groups.last
-          case Some(e) =>
-            val id = intArg(e, "graft_group: group_id").toLong
-            groups.find(_._1 == id).getOrElse(
-              throw new IllegalArgumentException(
-                s"graft_group: no group $id (have " +
-                  s"${groups.map(_._1).mkString(", ")})"))
-        }
+        val chosen = resolveGroup(s, cat, args.drop(1).headOption,
+          "graft_group")
         import s.implicits._
         Bridge.logicalPlan(chosen._3
           .map { case (t, v) => (chosen._1, chosen._2, t, v) }

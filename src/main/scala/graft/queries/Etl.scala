@@ -2667,6 +2667,158 @@ object Etl {
         .orderBy("status")
     },
 
+    // GROUP EXPORT (round 10 — consistency groups × open-format export):
+    // external engines don't speak the catalog, but BI on a medallion
+    // pipeline still needs a CONSISTENT multi-table read set.
+    // `graft_export_group` writes symlink-manifest trees for every table
+    // of the latest publish group AT ITS GROUP VERSION, marker last —
+    // so even after the source takes a post-release commit (asserted:
+    // head differs from the export), the exported pair satisfies the
+    // derived-equals-source invariant, verified here by an external
+    // reader that uses ONLY the manifests + plain parquet. Oracle
+    // replays the released aggregation over raw orders.
+    "etl_export_group" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "eg_wh")
+      val dest = scratch(s, "eg_dest")
+      s.conf.set("spark.sql.catalog.graft_eg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_eg.warehouse", wh)
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/${graft.sources.GraftBranch.GroupsDirName}"), true)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_eg.db")
+      s.sql("DROP TABLE IF EXISTS graft_eg.db.po")
+      s.sql("DROP TABLE IF EXISTS graft_eg.db.pa")
+      s.sql("""CREATE TABLE graft_eg.db.po (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      s.sql("""CREATE TABLE graft_eg.db.pa (status STRING, n BIGINT,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("id") % 11 =!= 5)
+        .createOrReplaceTempView("graft_eg_src")
+      s.sql("INSERT INTO graft_eg.db.po SELECT * FROM graft_eg_src")
+      s.sql("""INSERT INTO graft_eg.db.pa
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_eg_src GROUP BY status""".stripMargin)
+      s.sql("SELECT * FROM graft_branch('graft_eg', 'db.po', 'rel')").collect()
+      s.sql("SELECT * FROM graft_branch('graft_eg', 'db.pa', 'rel')").collect()
+      s.sql("SELECT * FROM graft_publish_together(" +
+        "'graft_eg', 'db.po,db.pa', 'rel')").collect()
+      // the release moves on AFTER the group was recorded
+      s.sql("INSERT INTO graft_eg.db.po VALUES (-1, 'NOISE', 0)")
+      val rep = s.sql(
+        s"SELECT * FROM graft_export_group('graft_eg', '$dest')").collect()
+      require(rep.length == 2 && rep.forall(_.getInt(2) > 0),
+        s"etl_export_group: both tables must export files")
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dest/${graft.sources.GraftBranch.GroupsDirName}")),
+        "etl_export_group: the group marker must land")
+      // THE EXTERNAL READER: manifests + plain parquet, nothing else
+      val poX = s.read.parquet(graft.sources.GraftExport.manifestPaths(
+        fs, new org.apache.hadoop.fs.Path(s"$dest/db/po")): _*)
+      val paX = s.read.parquet(graft.sources.GraftExport.manifestPaths(
+        fs, new org.apache.hadoop.fs.Path(s"$dest/db/pa")): _*)
+      require(poX.where(col("status") === "NOISE").count() == 0 &&
+          s.table("graft_eg.db.po").where(col("status") === "NOISE")
+            .count() == 1,
+        "etl_export_group: the export must pin the RELEASED state, not " +
+          "the moved-on head")
+      val fromPo = poX.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      val paAgg = paX.groupBy(col("status"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+      require(paAgg.exceptAll(fromPo).isEmpty && fromPo.exceptAll(paAgg).isEmpty,
+        "etl_export_group: the exported pair must satisfy the derived-" +
+          "equals-source invariant")
+      paAgg.orderBy("status")
+    },
+
+    // GROUP ROLLBACK (round 10 — the undo of a bad release): post-release
+    // commits corrupt BOTH tables of a published group;
+    // `graft_rollback_group` restores every table to its group version,
+    // DERIVED-FIRST (reverse publish order — the observable intermediate
+    // states keep sources at-or-ahead of derived, the ordinary lag
+    // shape), each as an ordinary kind=restore COMMIT: the bad state
+    // stays time-travelable (asserted), heads serve exactly the released
+    // state again (asserted: the consistency invariant holds at head),
+    // and a second rollback is a no-op (asserted: zero new commits).
+    // Oracle replays the released source aggregation over raw orders.
+    "etl_rollback_group" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "rb_wh")
+      s.conf.set("spark.sql.catalog.graft_rb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rb.warehouse", wh)
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/${graft.sources.GraftBranch.GroupsDirName}"), true)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rb.db")
+      s.sql("DROP TABLE IF EXISTS graft_rb.db.po")
+      s.sql("DROP TABLE IF EXISTS graft_rb.db.pa")
+      s.sql("""CREATE TABLE graft_rb.db.po (id BIGINT, status STRING,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      s.sql("""CREATE TABLE graft_rb.db.pa (status STRING, n BIGINT,
+              |cents BIGINT) TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("id") % 13 =!= 4)
+        .createOrReplaceTempView("graft_rb_src")
+      s.sql("INSERT INTO graft_rb.db.po SELECT * FROM graft_rb_src")
+      s.sql("""INSERT INTO graft_rb.db.pa
+              |SELECT status, COUNT(*), CAST(SUM(cents) AS BIGINT)
+              |FROM graft_rb_src GROUP BY status""".stripMargin)
+      s.sql("SELECT * FROM graft_branch('graft_rb', 'db.po', 'rel')").collect()
+      s.sql("SELECT * FROM graft_branch('graft_rb', 'db.pa', 'rel')").collect()
+      s.sql("SELECT * FROM graft_publish_together(" +
+        "'graft_rb', 'db.po,db.pa', 'rel')").collect()
+      // the bad morning: corrupting commits land on BOTH tables
+      s.sql("INSERT INTO graft_rb.db.po VALUES (-1, 'NOISE', 0)")
+      s.sql("INSERT INTO graft_rb.db.pa VALUES ('NOISE', 1, 0)")
+      val badPo = s.table("graft_rb.db.po").count()
+      val done = s.sql("SELECT * FROM graft_rollback_group('graft_rb')")
+        .collect()
+      require(done.length == 2 && done.head.getString(0) == "db.pa",
+        s"etl_rollback_group: rollback must run DERIVED-FIRST " +
+          s"(${done.map(_.getString(0)).mkString(", ")})")
+      require(done.forall(r => r.getLong(2) > r.getLong(1)),
+        "etl_rollback_group: each rollback is a new restore COMMIT")
+      require(s.table("graft_rb.db.po").where(col("status") === "NOISE")
+          .count() == 0 &&
+          s.table("graft_rb.db.pa").where(col("status") === "NOISE")
+            .count() == 0,
+        "etl_rollback_group: heads must serve the released state again")
+      // history intact: the retracted state is still one VERSION AS OF away
+      val badV = done.find(_.getString(0) == "db.po").get.getLong(2) - 1
+      require(s.sql(s"SELECT * FROM graft_rb.db.po VERSION AS OF $badV")
+          .count() == badPo,
+        "etl_rollback_group: the bad state must stay time-travelable")
+      // idempotence: nothing to undo -> no new commits
+      val heads = done.map(r => r.getString(0) -> r.getLong(2)).toMap
+      val again = s.sql("SELECT * FROM graft_rollback_group('graft_rb')")
+        .collect()
+      require(again.forall(r => r.getLong(2) == r.getLong(1) ||
+          r.getLong(2) == heads(r.getString(0))) && {
+        val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/po")
+        graft.sources.GraftTable.manifestVersions(fs, tdir).last ==
+          heads("db.po")
+      }, "etl_rollback_group: a second rollback must be a no-op")
+      val fromPo = s.table("graft_rb.db.po").groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      val paAgg = s.sql("""SELECT status, CAST(SUM(n) AS BIGINT) AS n,
+          |CAST(SUM(cents) AS BIGINT) AS cents
+          |FROM graft_rb.db.pa GROUP BY status""".stripMargin)
+      require(paAgg.exceptAll(fromPo).isEmpty && fromPo.exceptAll(paAgg).isEmpty,
+        "etl_rollback_group: the restored heads must satisfy the " +
+          "derived-equals-source invariant")
+      fromPo.orderBy("status")
+    },
+
     // INTEGRITY AUDIT (round 10 — `graft_fsck`): is the metadata telling
     // the truth about the bytes? ONE driver listing + the manifest log,
     // zero data IO. The query builds a known commit shape (single-file
@@ -4176,6 +4328,18 @@ object Etl {
         |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM raced)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "etl_export_group" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 11 <> 5
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "etl_rollback_group" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 13 <> 4
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "etl_optimize" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

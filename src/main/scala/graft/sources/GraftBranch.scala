@@ -275,6 +275,34 @@ object GraftBranch {
     id // unreachable
   }
 
+  /** GROUP ROLLBACK — the undo of a bad release: restore EVERY table of
+    * a recorded group to its group version, in REVERSE list order. The
+    * ordering argument is publish's, mirrored: the group lists tables
+    * upstream-first, so rolling back DERIVED-FIRST means every
+    * observable intermediate state has sources at-or-ahead-of their
+    * derived tables (the ordinary lag state) — never a source rolled
+    * back under a derived table still serving data built from the
+    * now-retracted commits. Each per-table restore is an ordinary
+    * kind=restore COMMIT (history intact, time travel to the bad state
+    * still works, the changes feed shows the retraction); tables already
+    * AT their group version are skipped. Returns (table, restored_to,
+    * new_version) per table, reverse order — new_version == the
+    * unchanged head for skipped tables.
+    */
+  def rollbackGroup(spark: org.apache.spark.sql.SparkSession,
+                    fs: FileSystem,
+                    tables: Seq[(String, Path, Long)]): Seq[(String, Long, Long)] =
+    tables.reverse.map { case (ident, dir, v) =>
+      val head = GraftTable.manifestVersions(fs, dir).last
+      // skip on CONTENT, not version number: the head after a previous
+      // rollback is a restore commit whose entries already equal the
+      // group state — re-restoring would mint no-op commits forever
+      val current = GraftTable.readFullEntries(fs, dir, head)
+      if (head == v || current == GraftTable.readFullEntries(fs, dir, v))
+        (ident, v, head)
+      else (ident, v, GraftMaintenance.restore(spark, dir.toString, v))
+    }
+
   /** CHERRY-PICK: publish a branch whose commits are ALL pure APPENDS
     * onto a main that has moved past the fork point — the case
     * fast-forward rightly refuses but that actually commutes: additive

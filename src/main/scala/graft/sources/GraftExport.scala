@@ -112,6 +112,43 @@ object GraftExport {
     (entries.size, byPart.size)
   }
 
+  /** GROUP EXPORT — the interop face of consistency groups: symlink-
+    * manifest trees for EVERY table of one publish group, each pinned at
+    * its group version, under `destRoot/<ns>/<table>`, with the group's
+    * coordinate file installed LAST (`_graft_groups/`) — external
+    * engines get a CROSS-TABLE-CONSISTENT read set (the exact state the
+    * pipeline released), and a consumer that checks the marker first
+    * never reads a half-written export. Per-table refusals (DV masks,
+    * stale defaults, foreign refs) abort before the marker lands; the
+    * error names the failed table and the partial tree is simply
+    * re-exported on retry (exports are replace-on-write).
+    */
+  def exportGroup(spark: SparkSession, destRoot: String, groupId: Long,
+                  branch: String,
+                  tables: Seq[(String, String, Long)]): Seq[(String, Int, Int)] = {
+    val dest = new Path(destRoot)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val reports = tables.map { case (ident, srcDir, v) =>
+      val sub = ident.split('.').foldLeft(dest)(new Path(_, _))
+      val (files, parts) =
+        try exportSnapshot(spark, srcDir, sub.toString, Some(v))
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"graft_export_group: export of $ident failed — no group " +
+              s"marker was written (consumers see nothing): ${e.getMessage}",
+            e)
+        }
+      (ident, files, parts)
+    }
+    val gd = new Path(dest, GraftBranch.GroupsDirName)
+    if (!fs.exists(gd)) fs.mkdirs(gd)
+    val content = (s"branch=$branch" +:
+      tables.map { case (t, _, v) => s"$t=$v" }).mkString("\n")
+    val out = fs.create(new Path(gd, f"group-$groupId%08d.txt"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    reports
+  }
+
   /** Every data-file path listed by an export (the external reader's
     * contract: concat the manifests, read the parquet).
     */
