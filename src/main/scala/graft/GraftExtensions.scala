@@ -69,9 +69,6 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
-  /** Resolve `catalog`.`ns.table` to its GraftTable (shared by the
-    * maintenance TVFs).
-    */
   /** Resolve a consistency group: the catalog's latest, or the given id. */
   private def resolveGroup(s: SparkSession, cat: String,
                            idArg: Option[Expression], what: String)
@@ -96,6 +93,9 @@ object GraftExtensions {
     }
   }
 
+  /** Resolve `catalog`.`ns.table` to its GraftTable (shared by the
+    * maintenance TVFs).
+    */
   private def graftTableOf(cat: String, tbl: String): graft.sources.GraftTable = {
     val s = SparkSession.active
     val plugin = Bridge.catalogPlugin(s, cat) match {
@@ -815,10 +815,8 @@ object GraftExtensions {
             }
           case e => intArg(e, "graft_export: version").toLong
         }
-        val (files, parts) =
+        val (files, parts, v) =
           graft.sources.GraftExport.exportSnapshot(s, t.dir, dest, ver)
-        val v = ver.getOrElse(graft.sources.GraftTable.manifestVersions(
-          fsx, new org.apache.hadoop.fs.Path(t.dir)).last)
         import s.implicits._
         Bridge.logicalPlan(Seq((files, parts, v))
           .toDF("files", "partition_dirs", "version"))
@@ -881,19 +879,13 @@ object GraftExtensions {
         val s = SparkSession.active
         val cat = stringArg(args.head, "graft_replicate_group: catalog")
         val dest = stringArg(args(1), "graft_replicate_group: dest_root")
-        val g = Bridge.catalogPlugin(s, cat) match {
-          case gc: graft.sources.GraftCatalog => gc
-          case other => throw new IllegalArgumentException(
-            s"graft_replicate_group: $cat is ${other.getClass.getName}, " +
-              "not a GraftCatalog")
-        }
         val chosen = resolveGroup(s, cat, args.drop(2).headOption,
           "graft_replicate_group")
         val tables = chosen._3.map { case (t, v) =>
           (t, graftTableOf(cat, t).dir, v)
         }
         val reports = graft.sources.GraftReplicate.replicateGroup(
-          s, g.warehouseDir, dest, chosen._1, chosen._2, tables)
+          s, dest, chosen._1, chosen._2, tables)
         import s.implicits._
         Bridge.logicalPlan(reports.map { case (t, r) =>
           (chosen._1, t, r.versionsSynced, r.filesCopied, r.bytesCopied)
@@ -943,9 +935,7 @@ object GraftExtensions {
         val tables = chosen._3.map { case (t, v) =>
           (t, new org.apache.hadoop.fs.Path(graftTableOf(cat, t).dir), v)
         }
-        val fsx = tables.head._2
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val done = graft.sources.GraftBranch.rollbackGroup(s, fsx, tables)
+        val done = graft.sources.GraftBranch.rollbackGroup(s, tables)
         s.catalog.clearCache()
         import s.implicits._
         Bridge.logicalPlan(done.toDF("table", "restored_to", "new_version"))
@@ -1163,7 +1153,11 @@ object GraftExtensions {
         // so a crash loses only the record, never the publish)
         Bridge.catalogPlugin(s, cat) match {
           case g: graft.sources.GraftCatalog =>
-            graft.sources.GraftBranch.recordGroup(fs, g.warehouseDir, name,
+            // the warehouse may live on a different filesystem than the
+            // first (possibly registered-external) table
+            val whFs = g.warehouseDir
+              .getFileSystem(s.sessionState.newHadoopConf())
+            graft.sources.GraftBranch.recordGroup(whFs, g.warehouseDir, name,
               done.map { case (t, _, to) => (t, to) })
           case _ => ()
         }

@@ -250,13 +250,45 @@ object GraftBranch {
     }.sortBy(_._1)
   }
 
+  private def groupContent(branch: String,
+                           tables: Seq[(String, Long)]): String =
+    (s"branch=$branch" +: tables.map { case (t, v) => s"$t=$v" })
+      .mkString("\n")
+
+  /** Install a group file with a KNOWN id at `root` (mirror / export
+    * sites re-advertising a source group): byte-equal existing files are
+    * left alone, otherwise the content lands via tmp + rename so a
+    * concurrent reader never parses a truncated coordinate line. ONE
+    * serialization (shared with [[recordGroup]]) — the readers' parser
+    * has a single writer format to track.
+    */
+  def installGroupFile(fs: FileSystem, root: Path, id: Long, branch: String,
+                       tables: Seq[(String, Long)]): Unit = {
+    val d = new Path(root, GroupsDirName)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val target = new Path(d, f"group-$id%08d.txt")
+    val bytes = groupContent(branch, tables).getBytes(UTF_8)
+    if (fs.exists(target)) {
+      val in = fs.open(target)
+      val existing =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          new java.io.DataInputStream(in))
+        finally in.close()
+      if (java.util.Arrays.equals(existing, bytes)) return
+      fs.delete(target, false)
+    }
+    val tmp = new Path(d, s".tmp-group-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    require(fs.rename(tmp, target), s"could not install $target")
+  }
+
   /** Record one publish's consistent coordinates; returns the group id. */
   def recordGroup(fs: FileSystem, wh: Path, branch: String,
                   published: Seq[(String, Long)]): Long = {
     val d = new Path(wh, GroupsDirName)
     if (!fs.exists(d)) fs.mkdirs(d)
-    val content = (s"branch=$branch" +:
-      published.map { case (t, v) => s"$t=$v" }).mkString("\n")
+    val content = groupContent(branch, published)
     var id = readGroups(fs, wh).lastOption.map(_._1).getOrElse(0L) + 1
     var attempts = 0
     while (true) {
@@ -290,9 +322,11 @@ object GraftBranch {
     * unchanged head for skipped tables.
     */
   def rollbackGroup(spark: org.apache.spark.sql.SparkSession,
-                    fs: FileSystem,
                     tables: Seq[(String, Path, Long)]): Seq[(String, Long, Long)] =
     tables.reverse.map { case (ident, dir, v) =>
+      // per-table FS: a group may span registered external tables on
+      // other filesystems
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val head = GraftTable.manifestVersions(fs, dir).last
       // skip on CONTENT, not version number: the head after a previous
       // rollback is a restore commit whose entries already equal the

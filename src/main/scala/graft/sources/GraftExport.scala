@@ -38,9 +38,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftExport {
 
-  /** Returns (files exported, partition dirs written). */
+  /** Returns (files exported, partition dirs written, pinned version) —
+    * the version comes from HERE, not from a re-read of the head, so a
+    * racing commit can never make the caller record a pin the export
+    * does not actually contain.
+    */
   def exportSnapshot(spark: SparkSession, srcDir: String, destDir: String,
-                     version: Option[Long] = None): (Int, Int) = {
+                     version: Option[Long] = None): (Int, Int, Long) = {
     val src = new Path(srcDir)
     val dest = new Path(destDir)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
@@ -109,7 +113,7 @@ object GraftExport {
     try mout.write(
       s"table=$srcDir\nversion=$v\nfiles=${entries.size}\n".getBytes("UTF-8"))
     finally mout.close()
-    (entries.size, byPart.size)
+    (entries.size, byPart.size, v)
   }
 
   /** GROUP EXPORT — the interop face of consistency groups: symlink-
@@ -130,7 +134,7 @@ object GraftExport {
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     val reports = tables.map { case (ident, srcDir, v) =>
       val sub = ident.split('.').foldLeft(dest)(new Path(_, _))
-      val (files, parts) =
+      val (files, parts, _) =
         try exportSnapshot(spark, srcDir, sub.toString, Some(v))
         catch {
           case e: Exception => throw new IllegalStateException(
@@ -140,12 +144,8 @@ object GraftExport {
         }
       (ident, files, parts)
     }
-    val gd = new Path(dest, GraftBranch.GroupsDirName)
-    if (!fs.exists(gd)) fs.mkdirs(gd)
-    val content = (s"branch=$branch" +:
-      tables.map { case (t, _, v) => s"$t=$v" }).mkString("\n")
-    val out = fs.create(new Path(gd, f"group-$groupId%08d.txt"), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    GraftBranch.installGroupFile(fs, dest, groupId, branch,
+      tables.map { case (t, _, v) => (t, v) })
     reports
   }
 

@@ -13,6 +13,19 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftMaintenance {
 
+  /** Maintenance verbs rewrite files and commit manifests through the
+    * filesystem, bypassing the catalog's write builders — so the writer
+    * protocol fence (GraftTable.enforceWrite) must be re-applied HERE, or
+    * a raised `graft.format.writer` stamp would stop INSERTs while
+    * optimize/restore/compact kept mutating the fenced table.
+    */
+  private def enforceWriterFence(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: Path, what: String): Unit = {
+    val props = GraftTable.readProps(fs, dir)
+    GraftTable.enforceWrite(GraftTable.requiredFormat(props)._2,
+      s"$what on $dir")
+  }
+
   /** Partition count for distributed maintenance jobs (deep-clone copy,
     * stats/NDV backfill, bloom build): `spark.graft.maintenance.parallelism`
     * when set, else the cluster's default parallelism — a 1000-executor
@@ -117,6 +130,7 @@ object GraftMaintenance {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val props = GraftTable.readProps(fs, dir)
+    enforceWriterFence(fs, dir, "compactTable")
     val history = props.get(GraftTable.HistoryProp).contains("true")
     require(!props.contains(GraftTable.PartitionProp),
       "compactTable: partitioned tables need per-partition compaction " +
@@ -217,6 +231,7 @@ object GraftMaintenance {
     val props = GraftTable.readProps(fs, dir)
     require(props.contains(GraftTable.BucketColProp),
       s"compactBucketedTable: $tableDir is not a bucketed table")
+    enforceWriterFence(fs, dir, "compactBucketedTable")
     // merge-on-read: fold deletion vectors first (keeps names / commits a
     // compact-kind manifest), so the per-bucket rewrite reads plain files
     if (props.get(GraftTable.MorProp).contains("true"))
@@ -302,6 +317,7 @@ object GraftMaintenance {
     val dayCol = props.getOrElse(GraftTable.DayColProp,
       throw new IllegalArgumentException(
         s"compactDayTable: $tableDir is not a time-partitioned table"))
+    enforceWriterFence(fs, dir, "compactDayTable")
     val unitSeg = GraftDayPartition.Units(
       props.getOrElse(GraftTable.TimeUnitProp, "days"))
     // merge-on-read: fold deletion vectors first, so the per-day rewrite
@@ -427,6 +443,7 @@ object GraftMaintenance {
       "optimizeTable: identity-partitioned tables only — flat tables use " +
         "compactTable, days() layouts compactDayTable, bucketed tables " +
         "compactBucketedTable")
+    enforceWriterFence(fs, dir, "graft_optimize")
     val history = props.get(GraftTable.HistoryProp).contains("true")
     if (props.get(GraftTable.MorProp).contains("true"))
       materializeDeletes(spark, tableDir)
@@ -438,6 +455,15 @@ object GraftMaintenance {
       else GraftTable.manifestVersions(fs, dir).lastOption
         .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
     if (files.isEmpty) return Nil
+    // a SHALLOW CLONE's entries are absolute paths into the SOURCE —
+    // rewriting them here would land part-optimize files inside the
+    // source's partition dirs, where the source's own orphan cleanup
+    // later deletes them (silent clone data loss); refuse loudly
+    files.find(f => GraftTable.relativize(dir, new Path(f)).startsWith("/"))
+      .foreach(f => throw new IllegalArgumentException(
+        s"optimizeTable: $tableDir references foreign files (e.g. $f) — " +
+          "a shallow clone cannot be compacted in place; " +
+          "graft_clone(..., 'deep') first"))
     val byPart = files
       .groupBy(f => GraftTable.relativize(dir, new Path(f).getParent))
       .filter(_._1.contains("=")) // pre-layout flat debris stays
@@ -528,6 +554,7 @@ object GraftMaintenance {
   def materializeDeletes(spark: SparkSession, tableDir: String): Int = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    enforceWriterFence(fs, dir, "materializeDeletes")
     val props = GraftTable.readProps(fs, dir)
     if (props.get(GraftTable.HistoryProp).contains("true"))
       return materializeDeletesHistory(spark, fs, dir)
@@ -737,6 +764,7 @@ object GraftMaintenance {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(dir, GraftTable.PropsFile)),
       s"restore: $tableDir is not a history table")
+    enforceWriterFence(fs, dir, "restore")
     val versions = GraftTable.manifestVersions(fs, dir)
     require(versions.contains(version),
       s"restore: version $version not in ${versions.mkString("[", ",", "]")}" +
@@ -817,6 +845,10 @@ object GraftMaintenance {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(dir, GraftTable.PropsFile)),
       s"vacuum: $tableDir is not a history table")
+    // deletion is the most dangerous verb to run against a format from
+    // the future: files this build can't recognize as referenced (a new
+    // sidecar kind) would be reaped as orphans
+    enforceWriterFence(fs, dir, "vacuum")
     val versions = GraftTable.manifestVersions(fs, dir)
     // TAGGED snapshots are retention-proof: a named ref means "keep this
     // state addressable" — its manifest and files survive any keepLast

@@ -97,23 +97,42 @@ object GraftReplicate {
     walk(dir)
   }
 
-  private def copyOne(fs: FileSystem, src: Path, dst: Path): Long = {
+  /** Atomic single-file copy, cross-filesystem: bytes land in a dot-tmp
+    * next to the target and RENAME in, so a concurrent mirror reader (or
+    * a crash) never observes a truncated manifest/schema/refs file —
+    * load-bearing for the readable-prefix contract, since the mirror's
+    * head IS the max manifest version present.
+    */
+  private def atomicCopy(srcFs: FileSystem, src: Path,
+                         dstFs: FileSystem, dst: Path): Long = {
     val parent = dst.getParent
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
-      fs.getConf)
-    fs.getFileStatus(dst).getLen
+    if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
+    val tmp = new Path(parent,
+      s".tmp-repl-${java.util.UUID.randomUUID()}")
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, tmp, false, true,
+      dstFs.getConf)
+    if (dstFs.exists(dst)) dstFs.delete(dst, false)
+    require(dstFs.rename(tmp, dst), s"graft_replicate: could not install $dst")
+    dstFs.getFileStatus(dst).getLen
   }
 
-  private def sameBytes(fs: FileSystem, a: Path, b: Path): Boolean = {
-    def read(p: Path): Array[Byte] = {
-      val in = fs.open(p)
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-        new java.io.DataInputStream(in))
-      finally in.close()
-    }
-    java.util.Arrays.equals(read(a), read(b))
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      new java.io.DataInputStream(in))
+    finally in.close()
   }
+
+  /** Copy `src` over `dst` only when the bytes differ; returns bytes
+    * moved (0 = already identical). Mutable head files (schema, props,
+    * refs) go through this, so a no-change sync truly copies NOTHING and
+    * the report counts metadata that actually changed.
+    */
+  private def copyIfChanged(srcFs: FileSystem, src: Path,
+                            dstFs: FileSystem, dst: Path): Long =
+    if (dstFs.exists(dst) &&
+        java.util.Arrays.equals(readAll(srcFs, src), readAll(dstFs, dst))) 0L
+    else atomicCopy(srcFs, src, dstFs, dst)
 
   /** Sync `dstDir` to mirror the table at `srcDir`. Idempotent; returns
     * what this call actually moved.
@@ -121,19 +140,25 @@ object GraftReplicate {
   def replicate(spark: SparkSession, srcDir: String, dstDir: String): Report = {
     val src = new Path(srcDir)
     val dst = new Path(dstDir)
-    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new Path(src, GraftTable.MetaFile)),
+    // the whole point is CROSS-warehouse: source and destination may live
+    // on different filesystems (hdfs -> s3a, file -> hdfs), so each side
+    // resolves its own
+    val conf0 = spark.sessionState.newHadoopConf()
+    val srcFs = src.getFileSystem(conf0)
+    val dstFs = dst.getFileSystem(conf0)
+    require(srcFs.exists(new Path(src, GraftTable.MetaFile)),
       s"graft_replicate: $srcDir is not a graft table")
-    val props = GraftTable.readProps(fs, src)
+    val props = GraftTable.readProps(srcFs, src)
     require(props.get(GraftTable.HistoryProp).contains("true"),
       s"graft_replicate: $srcDir is not a history table — a mirror " +
         "follows COMMITS, which plain directory-listing tables don't have")
-    require(src.toUri.getPath != dst.toUri.getPath,
+    require(src.toUri != dst.toUri ||
+        srcFs.getUri != dstFs.getUri,
       "graft_replicate: source and destination are the same directory")
     // a SHALLOW CLONE's manifests reference foreign absolute paths — a
     // mirror of those references is not self-contained (the DR hazard
     // squared); deep-clone first, then replicate the deep copy
-    val (hv, headEntries) = GraftTable.headState(fs, src, None)
+    val (hv, headEntries) = GraftTable.headState(srcFs, src, None)
     if (hv > 0) {
       val foreign = headEntries.iterator
         .flatMap(e => e.file +: (e.dv.toSeq ++ e.eqs))
@@ -147,19 +172,20 @@ object GraftReplicate {
     // --- divergence gate: every manifest version present on BOTH sides
     // must be byte-identical (versions are immutable once committed; a
     // mismatch means dst mirrors some OTHER table or a rewritten fork)
-    if (fs.exists(new Path(dst, GraftTable.MetaFile))) {
-      val common = GraftTable.manifestVersions(fs, src)
-        .toSet.intersect(GraftTable.manifestVersions(fs, dst).toSet)
+    if (dstFs.exists(new Path(dst, GraftTable.MetaFile))) {
+      val common = GraftTable.manifestVersions(srcFs, src)
+        .toSet.intersect(GraftTable.manifestVersions(dstFs, dst).toSet)
       common.toSeq.sorted.lastOption.foreach { v =>
-        require(sameBytes(fs, GraftTable.manifestPath(src, v),
-          GraftTable.manifestPath(dst, v)),
+        require(java.util.Arrays.equals(
+          readAll(srcFs, GraftTable.manifestPath(src, v)),
+          readAll(dstFs, GraftTable.manifestPath(dst, v))),
           s"graft_replicate: $dstDir diverges from $srcDir at version $v " +
             "— refusing to overwrite a non-mirror")
       }
     }
 
-    val srcFiles = listAll(fs, src)
-    val dstFiles = listAll(fs, dst).toMap
+    val srcFiles = listAll(srcFs, src)
+    val dstFiles = listAll(dstFs, dst).toMap
 
     def needed(rel: String, len: Long): Boolean =
       !dstFiles.get(rel).contains(len)
@@ -171,7 +197,7 @@ object GraftReplicate {
 
     // --- phase 1: bulk immutables, ONE distributed copy job
     val toCopy = bulk.filter((needed _).tupled)
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val conf = new SerializableHadoopConf(conf0)
     val srcStr = src.toString
     val dstStr = dst.toString
     val copiedBytes =
@@ -184,12 +210,20 @@ object GraftReplicate {
           .map { rel =>
             val from = new Path(srcStr, rel)
             val to = new Path(dstStr, rel)
-            val fsx = from.getFileSystem(conf.value)
+            val fsFrom = from.getFileSystem(conf.value)
+            val fsTo = to.getFileSystem(conf.value)
             val parent = to.getParent
-            if (parent != null && !fsx.exists(parent)) fsx.mkdirs(parent)
-            org.apache.hadoop.fs.FileUtil.copy(fsx, from, fsx, to, false,
-              true, conf.value)
-            fsx.getFileStatus(to).getLen
+            if (parent != null && !fsTo.exists(parent)) fsTo.mkdirs(parent)
+            // tmp + rename even for adds: a re-copy of a changed-length
+            // stats/index twin must never expose a truncated file
+            val tmp = new Path(parent,
+              s".tmp-repl-${java.util.UUID.randomUUID()}")
+            org.apache.hadoop.fs.FileUtil.copy(fsFrom, from, fsTo, tmp,
+              false, true, conf.value)
+            if (fsTo.exists(to)) fsTo.delete(to, false)
+            if (!fsTo.rename(tmp, to))
+              throw new java.io.IOException(s"could not install $to")
+            fsTo.getFileStatus(to).getLen
           }.sum().toLong
       }
 
@@ -199,32 +233,38 @@ object GraftReplicate {
       rel.startsWith("_") => rel }.toSet
     dstFiles.keys.filter(rel => rel.contains("/") && rel.startsWith("_"))
       .filterNot(srcMeta.contains)
-      .foreach(rel => fs.delete(new Path(dst, rel), false))
+      .foreach(rel => dstFs.delete(new Path(dst, rel), false))
 
-    // --- phase 3: schema + props (overwrite — evolution mutates in place)
+    // --- phase 3: schema + props (changed bytes only — see copyIfChanged)
     var metaBytes = 0L
-    mutableHead.filter(_._1 != GraftRefs.RefsFile).foreach { case (rel, _) =>
-      metaBytes += copyOne(fs, new Path(src, rel), new Path(dst, rel))
+    var metaFiles = 0L
+    def syncMutable(rel: String): Unit = {
+      val moved = copyIfChanged(srcFs, new Path(src, rel),
+        dstFs, new Path(dst, rel))
+      if (moved > 0) { metaBytes += moved; metaFiles += 1 }
     }
+    mutableHead.filter(_._1 != GraftRefs.RefsFile)
+      .foreach { case (rel, _) => syncMutable(rel) }
 
     // --- phase 4: commit files, oldest first, kind before manifest
     val newCommits = commits.filter((needed _).tupled)
       .sortBy(f => commitKey(f._1))
+    var commitBytes = 0L
     newCommits.foreach { case (rel, _) =>
-      copyOne(fs, new Path(src, rel), new Path(dst, rel))
+      commitBytes += atomicCopy(srcFs, new Path(src, rel),
+        dstFs, new Path(dst, rel))
     }
 
     // --- phase 5: refs last (a tag must never dangle)
-    mutableHead.find(_._1 == GraftRefs.RefsFile).foreach { case (rel, _) =>
-      metaBytes += copyOne(fs, new Path(src, rel), new Path(dst, rel))
-    }
+    mutableHead.find(_._1 == GraftRefs.RefsFile)
+      .foreach { case (rel, _) => syncMutable(rel) }
 
-    val head = GraftTable.manifestVersions(fs, src).lastOption.getOrElse(0L)
+    val head = GraftTable.manifestVersions(srcFs, src).lastOption.getOrElse(0L)
     Report(
       versionsSynced = newCommits.map(f => commitKey(f._1))
         .count(_._3 == 1).toLong,
-      filesCopied = (toCopy.size + newCommits.size).toLong,
-      bytesCopied = copiedBytes,
+      filesCopied = toCopy.size + newCommits.size + metaFiles,
+      bytesCopied = copiedBytes + commitBytes + metaBytes,
       headVersion = head)
   }
 
@@ -249,7 +289,7 @@ object GraftReplicate {
     *               order — the caller resolves idents (registered
     *               external tables follow their pointers here)
     */
-  def replicateGroup(spark: SparkSession, warehouse: Path, destRoot: String,
+  def replicateGroup(spark: SparkSession, destRoot: String,
                      groupId: Long, branch: String,
                      tables: Seq[(String, String, Long)]): Seq[(String, Report)] = {
     val dest = new Path(destRoot)
@@ -259,12 +299,8 @@ object GraftReplicate {
       ident -> replicate(spark, srcDir, sub.toString)
     }
     // every table of the group is readable at the mirror — NOW advertise
-    val gd = new Path(dest, GraftBranch.GroupsDirName)
-    if (!fs.exists(gd)) fs.mkdirs(gd)
-    val content = (s"branch=$branch" +:
-      tables.map { case (t, _, v) => s"$t=$v" }).mkString("\n")
-    val out = fs.create(new Path(gd, f"group-$groupId%08d.txt"), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    GraftBranch.installGroupFile(fs, dest, groupId, branch,
+      tables.map { case (t, _, v) => (t, v) })
     reports
   }
 }

@@ -63,7 +63,7 @@ class GraftExportSpec extends SparkSpec {
     assert(e.getMessage.contains("existence default"), e.getMessage)
     // a COW rewrite materializes the default physically
     sql("UPDATE graft_ex2.db.t2 SET v = 'y' WHERE id >= 0")
-    val (files, _) = GraftExport.exportSnapshot(
+    val (files, _, _) = GraftExport.exportSnapshot(
       spark, s"$warehouse/db/t2", s"$outside/t2")
     assert(files > 0)
     val got = spark.read.parquet(

@@ -78,6 +78,24 @@ class GraftFormatSpec extends SparkSpec {
     assert(e2.getMessage.contains("format writer version 99"), e2.getMessage)
   }
 
+  test("maintenance verbs honor the writer fence too") {
+    sql("""CREATE TABLE graft_fv.db.m9 (id BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 8).toDF("id").writeTo("graft_fv.db.m9").append()
+    spark.range(8, 12).toDF("id").writeTo("graft_fv.db.m9").append()
+    raise("m9", GraftTable.FormatWriterProp -> "99")
+    spark.catalog.clearCache()
+    val dir = s"$warehouse/db/m9"
+    val e1 = intercept[Exception](GraftMaintenance.restore(spark, dir, 2L))
+    assert(e1.getMessage.contains("format writer version 99"), e1.getMessage)
+    val e2 = intercept[Exception](GraftMaintenance.vacuum(spark, dir))
+    assert(e2.getMessage.contains("format writer version 99"), e2.getMessage)
+    val e3 = intercept[Exception](GraftMaintenance.compactTable(spark, dir))
+    assert(e3.getMessage.contains("format writer version 99"), e3.getMessage)
+    assert(spark.table("graft_fv.db.m9").count() == 12,
+      "the fenced table must stay readable and untouched")
+  }
+
   test("legacy unstamped feature tables enforce their computed floor") {
     sql("""CREATE TABLE graft_fv.db.lg (id BIGINT)
           |TBLPROPERTIES('history'='true','merge-on-read'='true')"""

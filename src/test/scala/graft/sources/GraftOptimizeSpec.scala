@@ -88,6 +88,24 @@ class GraftOptimizeSpec extends SparkSpec {
       .collect()(0).getLong(0) == pre)
   }
 
+  test("shallow clones refuse in-place optimize (foreign-dir data loss)") {
+    sql("""CREATE TABLE graft_op2.db.h2 (id BIGINT, seg STRING, v BIGINT)
+          |PARTITIONED BY (seg) TBLPROPERTIES('history'='true')"""
+      .stripMargin)
+    frag("h2", 2)
+    GraftClone.clone(spark, s"$warehouse/db/h2", s"$warehouse/db/h2s",
+      shallow = true)
+    val e = intercept[IllegalArgumentException] {
+      GraftMaintenance.optimizeTable(spark, s"$warehouse/db/h2s")
+    }
+    assert(e.getMessage.contains("foreign"), e.getMessage)
+    // and the source's partition dirs hold no part-optimize debris
+    val dir = new Path(s"$warehouse/db/h2")
+    assert(!GraftTable.dataFiles(fs, dir)
+      .exists(_.contains("part-optimize")),
+      "a refused optimize must not have touched the clone SOURCE")
+  }
+
   test("other layouts are routed to their own verbs") {
     sql("CREATE TABLE graft_op2.db.flat (id BIGINT)")
     spark.range(0, 5).toDF("id").writeTo("graft_op2.db.flat").append()
