@@ -184,6 +184,19 @@ object GraftReplicate {
       }
     }
 
+    // a crashed previous sync may have stranded tmp files (they are
+    // dot-prefixed — invisible to every reader — but they are storage);
+    // concurrent syncs of one mirror are undefined anyway, so the new
+    // sync owns the namespace and sweeps them
+    if (dstFs.exists(dst)) {
+      def sweep(d: Path): Unit = dstFs.listStatus(d).foreach { st =>
+        if (st.isDirectory) sweep(st.getPath)
+        else if (st.getPath.getName.startsWith(".tmp-repl-"))
+          dstFs.delete(st.getPath, false)
+      }
+      sweep(dst)
+    }
+
     val srcFiles = listAll(srcFs, src)
     val dstFiles = listAll(dstFs, dst).toMap
 
