@@ -31,9 +31,10 @@ import org.apache.spark.sql.SparkSession
   *      EXACTLY — add missing, drop extra — because consolidation and
   *      RENAME-COLUMN re-key them in place and a stale twin must not
   *      shadow the rewrite;
-  *   3. schema + props (so evolved columns resolve before any manifest
-  *      that references them arrives — the state the source itself passed
-  *      through right after its ALTER);
+  *   3. schema + props + branch records, content-compared (so evolved
+  *      columns resolve before any manifest that references them arrives,
+  *      and a re-forked branch base — a same-length in-place rewrite the
+  *      length gate cannot see — lands before the branch manifests);
   *   4. manifests + commit kinds, OLDEST version first, kind before its
   *      manifest (main and every branch namespace);
   *   5. refs (tags/branches) last, so a name never dangles.
@@ -60,7 +61,13 @@ object GraftReplicate {
   case class Report(versionsSynced: Long, filesCopied: Long,
                     bytesCopied: Long, headVersion: Long)
 
-  private val MutableHead = Set(GraftTable.MetaFile, GraftTable.PropsFile)
+  // Head files that are REWRITTEN IN PLACE by the source (schema, props,
+  // branch records, refs): presence+length can never prove them current —
+  // a branch drop + re-fork rewrites a base version at identical byte
+  // length ('dev\t3' -> 'dev\t9') — so every one of them syncs through
+  // copyIfChanged's content comparison, never the length-gated bulk phase.
+  private val MutableHead = Set(GraftTable.MetaFile, GraftTable.PropsFile,
+    GraftBranch.BranchesFile)
   private val CommitRe = """_graft_(?:manifest|commit)_(\d+)\.txt""".r
   private val BranchCommitRe =
     """_graft_branch_(.+?)_(?:manifest|commit)_(\d+)\.txt""".r
@@ -81,20 +88,37 @@ object GraftReplicate {
     case _ => throw new IllegalArgumentException(s"not a commit file: $n")
   }
 
-  /** All files under `dir` as (relative path, length), committed state
-    * only: dot-prefixed entries (WAP staging, tmp files) are skipped at
-    * every level.
+  /** Listing calls made by [[listAll]] since JVM start — spec-asserted to
+    * stay CONSTANT per sync (2: one source, one destination) regardless of
+    * file count or directory depth, so a regression back to per-directory
+    * walking is caught, not re-discovered at the 10⁶-file mirror.
     */
-  private def listAll(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
-    if (!fs.exists(dir)) return Nil
-    def walk(d: Path): Seq[(String, Long)] =
-      fs.listStatus(d).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath)
-        else Seq((GraftTable.relativize(dir, st.getPath), st.getLen))
-      }
-    walk(dir)
+  private[sources] val listingCalls = new java.util.concurrent.atomic.AtomicLong
+
+  /** All files under `dir` as (relative path, length) in committed state
+    * (any dot-prefixed path segment — WAP staging, tmp files — skipped),
+    * plus the stranded `.tmp-repl-*` files of a crashed previous sync.
+    *
+    * ONE `listFiles(recursive)` enumeration, not a per-directory
+    * `listStatus` walk: on object stores that is a flat paginated LIST
+    * (O(files/page) round trips), and even on HDFS it pipelines — the
+    * serial O(directories) RPC chain the old walk paid is gone, which at a
+    * 10⁶-file mirror was the sync's entire wall clock.
+    */
+  private def listAll(fs: FileSystem, dir: Path): (Seq[(String, Long)], Seq[Path]) = {
+    if (!fs.exists(dir)) return (Nil, Nil)
+    listingCalls.incrementAndGet()
+    val files = Seq.newBuilder[(String, Long)]
+    val tmps = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = GraftTable.relativize(dir, st.getPath)
+      if (rel.split('/').exists(_.startsWith("."))) {
+        if (st.getPath.getName.startsWith(".tmp-repl-")) tmps += st.getPath
+      } else files += ((rel, st.getLen))
+    }
+    (files.result(), tmps.result())
   }
 
   /** Atomic single-file copy, cross-filesystem: bytes land in a dot-tmp
@@ -169,36 +193,46 @@ object GraftReplicate {
           "self-contained; graft_clone(..., 'deep') it first")
     }
 
-    // --- divergence gate: every manifest version present on BOTH sides
-    // must be byte-identical (versions are immutable once committed; a
-    // mismatch means dst mirrors some OTHER table or a rewritten fork)
-    if (dstFs.exists(new Path(dst, GraftTable.MetaFile))) {
-      val common = GraftTable.manifestVersions(srcFs, src)
-        .toSet.intersect(GraftTable.manifestVersions(dstFs, dst).toSet)
-      common.toSeq.sorted.lastOption.foreach { v =>
-        require(java.util.Arrays.equals(
-          readAll(srcFs, GraftTable.manifestPath(src, v)),
-          readAll(dstFs, GraftTable.manifestPath(dst, v))),
-          s"graft_replicate: $dstDir diverges from $srcDir at version $v " +
-            "— refusing to overwrite a non-mirror")
+    val (srcFiles, _) = listAll(srcFs, src)
+    val (dstList, strandedTmps) = listAll(dstFs, dst)
+    val dstFiles = dstList.toMap
+
+    // --- divergence gate: a manifest version present on BOTH sides must
+    // be byte-identical (versions are immutable once committed; a mismatch
+    // means dst mirrors some OTHER table or a rewritten fork). Checked per
+    // NAMESPACE — main and every branch — at the highest common version of
+    // each, so a mirror whose main happens to agree cannot smuggle in a
+    // diverged branch history. Namespaces come from the listings already
+    // in hand (zero extra listing RPCs; 2 small reads per namespace).
+    if (dstFiles.contains(GraftTable.MetaFile)) {
+      def manifestsByNs(files: Seq[(String, Long)]): Map[String, Seq[Long]] =
+        files.collect {
+          case (rel, _) if !rel.contains("/") && isCommitFile(rel) &&
+            rel.contains("_manifest_") => commitKey(rel)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      def path(root: Path, ns: String, v: Long): Path =
+        GraftTable.manifestPath(root, v, Some(ns).filter(_.nonEmpty))
+      val srcNs = manifestsByNs(srcFiles)
+      val dstNs = manifestsByNs(dstList)
+      (srcNs.keySet intersect dstNs.keySet).toSeq.sorted.foreach { ns =>
+        val common = srcNs(ns).toSet intersect dstNs(ns).toSet
+        common.toSeq.sorted.lastOption.foreach { v =>
+          require(java.util.Arrays.equals(
+            readAll(srcFs, path(src, ns, v)),
+            readAll(dstFs, path(dst, ns, v))),
+            s"graft_replicate: $dstDir diverges from $srcDir at " +
+              (if (ns.isEmpty) s"version $v" else s"branch '$ns' version $v") +
+              " — refusing to overwrite a non-mirror")
+        }
       }
     }
 
     // a crashed previous sync may have stranded tmp files (they are
     // dot-prefixed — invisible to every reader — but they are storage);
     // concurrent syncs of one mirror are undefined anyway, so the new
-    // sync owns the namespace and sweeps them
-    if (dstFs.exists(dst)) {
-      def sweep(d: Path): Unit = dstFs.listStatus(d).foreach { st =>
-        if (st.isDirectory) sweep(st.getPath)
-        else if (st.getPath.getName.startsWith(".tmp-repl-"))
-          dstFs.delete(st.getPath, false)
-      }
-      sweep(dst)
-    }
-
-    val srcFiles = listAll(srcFs, src)
-    val dstFiles = listAll(dstFs, dst).toMap
+    // sync owns the namespace and sweeps them (collected by the same
+    // listing pass that enumerated the mirror)
+    strandedTmps.foreach(dstFs.delete(_, false))
 
     def needed(rel: String, len: Long): Boolean =
       !dstFiles.get(rel).contains(len)
@@ -248,7 +282,10 @@ object GraftReplicate {
       .filterNot(srcMeta.contains)
       .foreach(rel => dstFs.delete(new Path(dst, rel), false))
 
-    // --- phase 3: schema + props (changed bytes only — see copyIfChanged)
+    // --- phase 3: schema + props + branch records (changed bytes only —
+    // see copyIfChanged; branch records BEFORE the branch manifests of
+    // phase 4, so a re-forked base never resolves against manifests that
+    // haven't arrived)
     var metaBytes = 0L
     var metaFiles = 0L
     def syncMutable(rel: String): Unit = {
@@ -256,8 +293,16 @@ object GraftReplicate {
         dstFs, new Path(dst, rel))
       if (moved > 0) { metaBytes += moved; metaFiles += 1 }
     }
+    // branch/tag records are HEAD state, not history: when the source
+    // retired its last branch (file deleted), a kept mirror copy would
+    // advertise phantom branches over stale fork bases — retire it too
+    def retireIfGone(rel: String): Unit =
+      if (!srcFiles.exists(_._1 == rel) && dstFiles.contains(rel)) {
+        dstFs.delete(new Path(dst, rel), false); metaFiles += 1
+      }
     mutableHead.filter(_._1 != GraftRefs.RefsFile)
       .foreach { case (rel, _) => syncMutable(rel) }
+    retireIfGone(GraftBranch.BranchesFile)
 
     // --- phase 4: commit files, oldest first, kind before manifest
     val newCommits = commits.filter((needed _).tupled)
@@ -271,6 +316,7 @@ object GraftReplicate {
     // --- phase 5: refs last (a tag must never dangle)
     mutableHead.find(_._1 == GraftRefs.RefsFile)
       .foreach { case (rel, _) => syncMutable(rel) }
+    retireIfGone(GraftRefs.RefsFile)
 
     val head = GraftTable.manifestVersions(srcFs, src).lastOption.getOrElse(0L)
     Report(

@@ -106,6 +106,67 @@ class GraftReplicateSpec extends SparkSpec {
     assert(e2.getMessage.contains("foreign"), e2.getMessage)
   }
 
+  test("a same-length branch re-fork propagates (content, not length, " +
+    "gates the branch record) and a source branch drop retires the " +
+    "mirror's record") {
+    val src = makeTable("h6", 40) // v1 create, v2 append
+    val sp = new Path(src)
+    GraftBranch.create(fs, sp, "dev") // record: dev -> 2
+    val mir = s"$outside/h6"
+    GraftReplicate.replicate(spark, src, mir)
+    assert(GraftBranch.readAll(fs, new Path(mir)) == Map("dev" -> 2L))
+
+    // drop + advance one commit + re-fork: the record becomes 'dev\t3' —
+    // SAME byte length as 'dev\t2', the exact shape a presence+length
+    // gate silently skips, leaving branch reads at a stale fork base
+    GraftBranch.drop(fs, sp, "dev")
+    sql("UPDATE graft_rp2.db.h6 SET v = 'Z' WHERE id = 1") // v3
+    GraftBranch.create(fs, sp, "dev") // record: dev -> 3
+    GraftReplicate.replicate(spark, src, mir)
+    assert(GraftBranch.readAll(fs, new Path(mir)) == Map("dev" -> 3L),
+      "the re-forked base must reach the mirror despite identical length")
+
+    // head-state retirement: the source dropping its last branch must not
+    // leave the mirror advertising a phantom one
+    GraftBranch.drop(fs, sp, "dev")
+    GraftReplicate.replicate(spark, src, mir)
+    assert(GraftBranch.readAll(fs, new Path(mir)).isEmpty,
+      "mirror must retire the branches record the source deleted")
+  }
+
+  test("a sync costs exactly two listing calls, independent of file " +
+    "count (flat recursive enumeration, not a per-directory walk)") {
+    val src = makeTable("h8", 60)
+    sql("UPDATE graft_rp2.db.h8 SET v = 'W' WHERE id % 7 = 0") // v3: more files
+    val mir = s"$outside/h8"
+    GraftReplicate.replicate(spark, src, mir)
+    val before = GraftReplicate.listingCalls.get()
+    GraftReplicate.replicate(spark, src, mir)
+    assert(GraftReplicate.listingCalls.get() - before == 2,
+      "one listFiles(recursive) per side — a regression to tree-walking " +
+        "would be O(directories) serial RPCs at a real mirror")
+  }
+
+  test("divergence in a BRANCH namespace refuses the sync even when main " +
+    "agrees") {
+    val src = makeTable("h9", 30)
+    val sp = new Path(src)
+    GraftBranch.create(fs, sp, "dev")
+    spark.range(100, 110).toDF("id")
+      .withColumn("v", concat(lit("b"), col("id")))
+      .writeTo("graft_rp2.db.h9.branch_dev").append() // branch commit v3
+    val mir = s"$outside/h9"
+    GraftReplicate.replicate(spark, src, mir)
+    val bm = GraftTable.manifestVersions(fs, new Path(mir), Some("dev")).last
+    val p = GraftTable.manifestPath(new Path(mir), bm, Some("dev"))
+    val out = fs.create(p, true)
+    out.write("@_graft_segment_tampered.txt".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      GraftReplicate.replicate(spark, src, mir)
+    }
+    assert(e.getMessage.contains("branch 'dev'"), e.getMessage)
+  }
+
   test("stale derivable metadata on the mirror is dropped, not shadowed") {
     val src = makeTable("h5", 80)
     val mir = s"$outside/h5"
