@@ -47,7 +47,13 @@ object GraftExport {
                      version: Option[Long] = None): (Int, Int, Long) = {
     val src = new Path(srcDir)
     val dest = new Path(destDir)
-    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    // the export's headline use case is INTEROP — table on one store, the
+    // symlink tree on another (hdfs -> s3a/file) — so each side resolves
+    // its OWN FileSystem; one shared handle would throw Hadoop's
+    // "Wrong FS" the moment the schemes differ
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = src.getFileSystem(conf)
+    val dstFs = dest.getFileSystem(conf)
     val props = GraftTable.readProps(fs, src)
     require(props.get(GraftTable.HistoryProp).contains("true"),
       s"graft_export: $srcDir is not a history table — an export pins a " +
@@ -96,20 +102,23 @@ object GraftExport {
       rel.split('/').dropRight(1).filter(_.contains("=")).mkString("/")
     }
 
-    if (fs.exists(dest)) fs.delete(dest, true) // re-export replaces
-    fs.mkdirs(dest)
+    if (dstFs.exists(dest)) dstFs.delete(dest, true) // re-export replaces
+    dstFs.mkdirs(dest)
     val byPart = entries.groupBy(e => relDir(e.file))
     byPart.foreach { case (part, es) =>
       val d = if (part.isEmpty) dest else new Path(dest, part)
-      if (!fs.exists(d)) fs.mkdirs(d)
-      val out = fs.create(new Path(d, "manifest"), true)
+      if (!dstFs.exists(d)) dstFs.mkdirs(d)
+      val out = dstFs.create(new Path(d, "manifest"), true)
+      // paths are qualified against the SOURCE filesystem — they point
+      // into the table, and the external reader needs the full scheme to
+      // reach across stores
       try out.write(es.map(e => fs.makeQualified(new Path(e.file)).toString)
         .sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    val sout = fs.create(new Path(dest, "schema.json"), true)
+    val sout = dstFs.create(new Path(dest, "schema.json"), true)
     try sout.write(schema.json.getBytes("UTF-8")) finally sout.close()
-    val mout = fs.create(new Path(dest, "_graft_export.txt"), true)
+    val mout = dstFs.create(new Path(dest, "_graft_export.txt"), true)
     try mout.write(
       s"table=$srcDir\nversion=$v\nfiles=${entries.size}\n".getBytes("UTF-8"))
     finally mout.close()

@@ -72,6 +72,27 @@ class GraftExportSpec extends SparkSpec {
       "the rewritten files must carry the materialized default")
   }
 
+  test("export reaches a DESTINATION on a different filesystem (the " +
+    "interop case: table on one store, symlink tree on another)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    sql("""CREATE TABLE graft_ex2.db.t5 (id BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 25).toDF("id").withColumn("v", lit("c"))
+      .coalesce(1).writeTo("graft_ex2.db.t5").append()
+    val dest = s"graftfs://$outside/t5x" // same disk, DIFFERENT scheme
+    val (files, _, v) = GraftExport.exportSnapshot(
+      spark, s"$warehouse/db/t5", dest)
+    assert(files > 0 && v == 2L)
+    // the tree landed (visible through the plain local fs) and its
+    // manifest paths are qualified against the SOURCE scheme, so an
+    // external reader on the destination store can reach the data
+    assert(fs.exists(new Path(s"$outside/t5x/_graft_export.txt")))
+    val paths = GraftExport.manifestPaths(fs, new Path(s"$outside/t5x"))
+    assert(paths.forall(_.startsWith("file:")), paths.take(2).toString)
+    assert(spark.read.parquet(paths: _*).count() == 25)
+  }
+
   test("shallow-clone foreign references refuse") {
     sql("""CREATE TABLE graft_ex2.db.t3 (id BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
