@@ -291,13 +291,20 @@ object GraftBranch {
     val content = groupContent(branch, published)
     var id = readGroups(fs, wh).lastOption.map(_._1).getOrElse(0L) + 1
     var attempts = 0
+    // id allocation serializes on the SAME pluggable atomic primitive as
+    // manifest commits (GraftCommitPrimitive): on the local filesystem a
+    // raw create(overwrite=false) is check-then-open — two racing
+    // publishes could both pass the check and clobber each other's
+    // coordinates — and on object stores the primitive is a conditional
+    // PUT. Only a genuine ALREADY-EXISTS advances the id; any other IO
+    // failure (permissions, disk) stays loud immediately.
     while (true) {
       try {
-        val out = fs.create(groupPath(wh, id), false) // exclusive
-        try out.write(content.getBytes(UTF_8)) finally out.close()
+        GraftCommitPrimitive.forFs(fs).commit(fs, groupPath(wh, id),
+          content.getBytes(UTF_8))
         return id
       } catch {
-        case e: java.io.IOException =>
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           attempts += 1
           require(attempts < 100,
             s"recordGroup: cannot allocate a group id at $d: ${e.getMessage}")

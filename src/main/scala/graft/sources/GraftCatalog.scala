@@ -1523,12 +1523,10 @@ object GraftTable {
   /** Exclusive create: a concurrent committer racing to the same version
     * fails LOUDLY here instead of silently clobbering the snapshot — the
     * optimistic-concurrency commit point every table format centers on.
-    *
-    * On HDFS-like filesystems `create(overwrite=false)` IS the atomic
-    * primitive; on the LOCAL filesystem Hadoop's create is check-then-open
-    * (two racing committers can both pass the check), so there the bytes
-    * go to a temp file and a hard LINK into place is the commit — POSIX
-    * `link(2)` fails with EEXIST atomically.
+    * The atomic primitive itself is store-dependent and PLUGGABLE
+    * ([[GraftCommitPrimitive]]): HDFS-like `create(overwrite=false)`,
+    * POSIX hard-link on the local filesystem (whose Hadoop `create` is
+    * check-then-open), or a conditional PUT on rename-less object stores.
     */
   def writeManifest(fs: FileSystem, dir: Path, v: Long, files: Seq[String]): Unit =
     writeEntries(fs, dir, v, files.map(_ -> None))
@@ -1622,19 +1620,10 @@ object GraftTable {
     val metaLines = allMeta.toSeq.sorted.map { case (k, value) => s"!$k=$value" }
     val bytes = (metaLines ++ refs.sorted.map("@" + _))
       .mkString("\n").getBytes("UTF-8")
-    val target = manifestPath(dir, v, branch)
-    if (fs.getScheme == "file") {
-      val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
-      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
-      try java.nio.file.Files.createLink(nioTarget, nioTmp)
-      finally fs.delete(tmp, false)
-    } else {
-      val out = fs.create(target, false)
-      try out.write(bytes) finally out.close()
-    }
+    // THE commit point: the store-appropriate atomic exclusive create
+    // (see GraftCommitPrimitive — pluggable per store; conditional-PUT
+    // shaped on rename-less object stores)
+    GraftCommitPrimitive.forFs(fs).commit(fs, manifestPath(dir, v, branch), bytes)
   }
 
   /** Optimistic-concurrency commit loop for ADDITIVE commits: read the

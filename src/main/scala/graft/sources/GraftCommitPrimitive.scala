@@ -1,0 +1,166 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+
+/** The ATOMIC EXCLUSIVE-CREATE every commit in this engine serializes on
+  * (manifests, consistency-group files), extracted behind an interface
+  * because the right primitive is a property of the STORE, not of the
+  * engine:
+  *
+  *  - HDFS-like filesystems: `create(overwrite=false)` enters the
+  *    namespace atomically at the namenode — [[CreateExclusiveCommit]].
+  *  - POSIX local disks: Hadoop's local `create` is check-then-open (two
+  *    racing committers can both pass the check and clobber each other),
+  *    but `link(2)` fails with EEXIST atomically — [[HardLinkCommit]]
+  *    writes a tmp and hard-links it into place.
+  *  - Rename-less object stores (S3, GCS): neither primitive exists, but
+  *    both now expose a CONDITIONAL WRITE (S3 `If-None-Match: *` PUT, GCS
+  *    `ifGenerationMatch=0`) — [[ConditionalPutCommit]] is that shape: one
+  *    all-or-nothing full-bytes PUT that fails when the key exists,
+  *    delegated to a [[ConditionalStore]] SPI so a deployment plugs its
+  *    store's SDK call without touching the engine. The bundled
+  *    [[LocalGenerationStore]] implements the same contract over the local
+  *    disk (tmp + exclusive hard link), which is what the protocol spec
+  *    races against.
+  *
+  * Contract, identical across implementations: `commit` installs the FULL
+  * byte content at `target` if and only if nothing exists there, never
+  * exposes a partial file at `target`, and throws Hadoop's
+  * [[FileAlreadyExistsException]] (an IOException — the type
+  * `commitRetrying`'s conflict loop keys on) when a racing committer won.
+  * Every caller treats that exception as "re-read the head and re-derive",
+  * which is the whole optimistic-concurrency protocol.
+  *
+  * Selection: `graft.commit.primitive` in the Hadoop conf (settable as
+  * `spark.hadoop.graft.commit.primitive`) — `create`, `link`, `condput`,
+  * or a [[CommitPrimitive]] class name. Default keeps today's behavior:
+  * `link` on `file://`, `create` everywhere else. A deployment on raw S3
+  * sets `condput` plus `graft.commit.condput.store=<its SDK impl>` and
+  * every table commit in the warehouse serializes store-side.
+  */
+trait CommitPrimitive {
+  def name: String
+
+  /** Install `bytes` at `target` iff absent — atomic, all-or-nothing.
+    * @throws FileAlreadyExistsException when a racing committer won
+    */
+  def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit
+}
+
+/** HDFS-shaped: the filesystem's own exclusive create IS atomic. (On
+  * stores where it is check-then-open — Hadoop's local FS — this primitive
+  * is NOT safe; the protocol spec demonstrates the double-win.)
+  */
+final class CreateExclusiveCommit extends CommitPrimitive {
+  val name = "create"
+  def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(target, false)
+    try out.write(bytes) finally out.close()
+  }
+}
+
+/** POSIX-shaped: full bytes to a tmp file, then `link(2)` into place —
+  * the link fails with EEXIST atomically, and the target only ever
+  * appears with complete content.
+  */
+final class HardLinkCommit extends CommitPrimitive {
+  val name = "link"
+  def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent,
+      s".tmp-commit-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new FileAlreadyExistsException(
+          s"$target: a racing committer won this version")
+    } finally fs.delete(tmp, false)
+  }
+}
+
+/** The conditional-write SPI an object-store deployment implements with
+  * its SDK (S3 `PutObject` + `If-None-Match: *`, GCS insert with
+  * `ifGenerationMatch=0`): one atomic full-bytes PUT that reports whether
+  * the precondition held. Implementations must be all-or-nothing — the
+  * key either holds the complete bytes or does not exist.
+  */
+trait ConditionalStore {
+  /** @return false iff the key already existed (precondition failed) */
+  def putIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean
+}
+
+/** Local-disk model of the conditional-PUT contract (tmp + exclusive hard
+  * link): same observable semantics as a generation-0 precondition —
+  * all-or-nothing content, exactly one winner — so the commit protocol is
+  * testable against the object-store shape with zero external services.
+  */
+final class LocalGenerationStore extends ConditionalStore {
+  def putIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent,
+      s".tmp-condput-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally fs.delete(tmp, false)
+  }
+}
+
+/** Object-store-shaped commit: one conditional PUT. The store hook is
+  * pluggable by class name (`graft.commit.condput.store`).
+  */
+final class ConditionalPutCommit(store: ConditionalStore) extends CommitPrimitive {
+  val name = "condput"
+  def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+    if (!store.putIfAbsent(fs, target, bytes))
+      throw new FileAlreadyExistsException(
+        s"$target: conditional PUT precondition failed — a racing " +
+          "committer won this version")
+}
+
+object GraftCommitPrimitive {
+  val ConfKey = "graft.commit.primitive"
+  val StoreConfKey = "graft.commit.condput.store"
+
+  /** Resolve the primitive for one filesystem. Cheap (no reflection on
+    * the default paths), called per commit.
+    */
+  def forFs(fs: FileSystem): CommitPrimitive = {
+    val conf = fs.getConf
+    Option(if (conf == null) null else conf.get(ConfKey)) match {
+      case None | Some("") =>
+        // getUri never throws (getScheme is unimplemented on some
+        // FileSystem subclasses, RawLocalFileSystem included)
+        if (fs.getUri.getScheme == "file") Link else Create
+      case Some("create") => Create
+      case Some("link") => Link
+      case Some("condput") => new ConditionalPutCommit(storeFrom(conf))
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[CommitPrimitive]
+    }
+  }
+
+  private def storeFrom(conf: Configuration): ConditionalStore =
+    Option(conf.get(StoreConfKey)).filter(_.nonEmpty) match {
+      case None => new LocalGenerationStore
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[ConditionalStore]
+    }
+
+  private val Create = new CreateExclusiveCommit
+  private val Link = new HardLinkCommit
+}
