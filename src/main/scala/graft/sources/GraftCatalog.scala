@@ -277,20 +277,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def dayColOf(dir: Path): Option[String] =
     GraftTable.readProps(fs, dir).get(GraftTable.DayColProp)
 
-  private def timeUnitOf(dir: Path): String =
-    GraftTable.readProps(fs, dir).getOrElse(GraftTable.TimeUnitProp, "days")
-
   private def checksOf(dir: Path): Seq[(String, String)] =
-    GraftTable.readProps(fs, dir).toSeq
+    checksFrom(GraftTable.readProps(fs, dir))
+
+  private def checksFrom(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq
       .filter(_._1.startsWith(GraftConstraints.Prefix))
       .map { case (k, v) => (k.stripPrefix(GraftConstraints.Prefix), v) }
       .sortBy(_._1)
-
-  private def aliasesOf(dir: Path): Map[String, Seq[String]] =
-    GraftEvolution.aliasesOf(GraftTable.readProps(fs, dir))
-
-  private def widenedOf(dir: Path): Set[String] =
-    GraftEvolution.widenedOf(GraftTable.readProps(fs, dir))
 
   private def pastTimeSpecsOf(dir: Path): Seq[(String, String)] =
     GraftTable.decodePastTimeSpecs(GraftTable.readProps(fs, dir))
@@ -341,23 +335,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       throw new NoSuchTableException(ident)
     }
-    GraftTable.enforceRead(GraftTable.readProps(fs, dir), ident.toString)
-    new GraftTable(ident.toString, dir.toString, readSchema(dir), isHistory(dir),
-      requiredWriter = GraftTable.requiredFormat(
-        GraftTable.readProps(fs, dir))._2,
-      mor = isMor(dir), partitionCols = partCols(dir),
-      bucketSpec = bucketSpec(dir), checks = checksOf(dir),
-      dayCol = dayColOf(dir), timeUnit = timeUnitOf(dir),
-      aliases = aliasesOf(dir), widened = widenedOf(dir),
-      pastTimeSpecs = pastTimeSpecsOf(dir),
-      identity = GraftIdentity.specOf(GraftTable.readProps(fs, dir)),
-      generated = GraftGenerated.specsOf(GraftTable.readProps(fs, dir)),
-      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)),
-      maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
-      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
-      retention = GraftTable.readProps(fs, dir)
+    // ONE props read serves the whole load (each helper re-reading the
+    // file was ~15 metadata RPCs per load on an object store)
+    val props = GraftTable.readProps(fs, dir)
+    GraftTable.enforceRead(props, ident.toString)
+    new GraftTable(ident.toString, dir.toString, readSchema(dir),
+      history = props.get(GraftTable.HistoryProp).contains("true"),
+      requiredWriter = GraftTable.requiredFormat(props, ident.toString)._2,
+      mor = props.get(GraftTable.MorProp).contains("true"),
+      partitionCols = props.get(GraftTable.PartitionProp)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      bucketSpec = for (c <- props.get(GraftTable.BucketColProp);
+                        n <- props.get(GraftTable.BucketCountProp))
+        yield (c, n.toInt),
+      checks = checksFrom(props),
+      dayCol = props.get(GraftTable.DayColProp),
+      timeUnit = props.getOrElse(GraftTable.TimeUnitProp, "days"),
+      aliases = GraftEvolution.aliasesOf(props),
+      widened = GraftEvolution.widenedOf(props),
+      pastTimeSpecs = GraftTable.decodePastTimeSpecs(props),
+      identity = GraftIdentity.specOf(props),
+      generated = GraftGenerated.specsOf(props),
+      sortCols = GraftSort.sortColsOf(props),
+      maskCols = GraftGovernance.masksOf(props),
+      rowFilter = GraftGovernance.rowFilterOf(props),
+      retention = props
         .filter { case (k, _) => GraftRetention.isRetentionProp(k) },
-      rowLineage = GraftRowId.enabled(GraftTable.readProps(fs, dir)))
+      rowLineage = GraftRowId.enabled(props))
   }
 
   /** Time travel (`VERSION AS OF n`) on history tables: pins the read to
@@ -392,19 +396,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * mis-read a merge-on-read history snapshot.
     */
   private def pinnedTable(ident: Identifier, dir: Path, v: Long): GraftTable = {
-    GraftTable.enforceRead(GraftTable.readProps(fs, dir), ident.toString)
+    val props = GraftTable.readProps(fs, dir) // one read, see loadTable
+    GraftTable.enforceRead(props, ident.toString)
     new GraftTable(ident.toString, dir.toString, readSchema(dir),
-      history = true, pinnedVersion = Some(v), mor = isMor(dir),
-      partitionCols = partCols(dir), bucketSpec = bucketSpec(dir),
-      checks = checksOf(dir), dayCol = dayColOf(dir),
-      timeUnit = timeUnitOf(dir), aliases = aliasesOf(dir),
-      widened = widenedOf(dir), pastTimeSpecs = pastTimeSpecsOf(dir),
-      sortCols = GraftSort.sortColsOf(GraftTable.readProps(fs, dir)),
+      history = true, pinnedVersion = Some(v),
+      mor = props.get(GraftTable.MorProp).contains("true"),
+      partitionCols = props.get(GraftTable.PartitionProp)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      bucketSpec = for (c <- props.get(GraftTable.BucketColProp);
+                        n <- props.get(GraftTable.BucketCountProp))
+        yield (c, n.toInt),
+      checks = checksFrom(props),
+      dayCol = props.get(GraftTable.DayColProp),
+      timeUnit = props.getOrElse(GraftTable.TimeUnitProp, "days"),
+      aliases = GraftEvolution.aliasesOf(props),
+      widened = GraftEvolution.widenedOf(props),
+      pastTimeSpecs = GraftTable.decodePastTimeSpecs(props),
+      sortCols = GraftSort.sortColsOf(props),
       // time travel must not be the mask bypass: pinned reads inherit
       // the governance policies
-      maskCols = GraftGovernance.masksOf(GraftTable.readProps(fs, dir)),
-      rowFilter = GraftGovernance.rowFilterOf(GraftTable.readProps(fs, dir)),
-      rowLineage = GraftRowId.enabled(GraftTable.readProps(fs, dir)))
+      maskCols = GraftGovernance.masksOf(props),
+      rowFilter = GraftGovernance.rowFilterOf(props),
+      rowLineage = GraftRowId.enabled(props))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the LATEST
@@ -1220,12 +1233,23 @@ object GraftTable {
   }
 
   /** Effective (reader, writer) requirement: the computed feature floor,
-    * raised by any explicit stamp.
+    * raised by any explicit stamp. A malformed stamp (the documented
+    * escape hatch is hand-edited TBLPROPERTIES) refuses with the property
+    * and table named — not a bare NumberFormatException on every
+    * subsequent load.
     */
-  def requiredFormat(props: Map[String, String]): (Int, Int) = {
+  def requiredFormat(props: Map[String, String],
+                     context: String = "table"): (Int, Int) = {
     val (cr, cw) = computedFormat(props)
-    (math.max(cr, props.get(FormatReaderProp).map(_.trim.toInt).getOrElse(1)),
-      math.max(cw, props.get(FormatWriterProp).map(_.trim.toInt).getOrElse(1)))
+    def stamp(key: String): Int = props.get(key).map { raw =>
+      require(raw.trim.matches("\\d{1,4}"),
+        s"$context: property $key='$raw' is not a plain version number — " +
+          "fix the hand-stamped value (ALTER TABLE ... SET TBLPROPERTIES " +
+          s"('$key'='3'))")
+      raw.trim.toInt
+    }.getOrElse(1)
+    (math.max(cr, stamp(FormatReaderProp)),
+      math.max(cw, stamp(FormatWriterProp)))
   }
 
   /** CREATE-time stamping: explicit only when above the floor every build
@@ -1239,7 +1263,7 @@ object GraftTable {
   }
 
   def enforceRead(props: Map[String, String], what: String): Unit = {
-    val r = requiredFormat(props)._1
+    val r = requiredFormat(props, what)._1
     require(r <= SupportedReader,
       s"$what requires format reader version $r; this build supports " +
         s"<= $SupportedReader — upgrade the engine before reading (a " +

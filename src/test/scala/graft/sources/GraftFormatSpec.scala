@@ -62,6 +62,18 @@ class GraftFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("format reader version 99"), e.getMessage)
   }
 
+  test("a malformed hand-stamped requirement refuses with the property " +
+    "and table named, not a raw NumberFormatException") {
+    sql("""CREATE TABLE graft_fv.db.bad (id BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    raise("bad", GraftTable.FormatReaderProp -> "three")
+    spark.catalog.clearCache()
+    val e = intercept[Exception](spark.table("graft_fv.db.bad").count())
+    assert(e.getMessage.contains(GraftTable.FormatReaderProp) &&
+      e.getMessage.contains("'three'") && e.getMessage.contains("bad"),
+      e.getMessage)
+  }
+
   test("a too-new writer stamp keeps reads alive and refuses writes") {
     sql("""CREATE TABLE graft_fv.db.w9 (id BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)
