@@ -1663,6 +1663,84 @@ object Etl {
               |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     },
 
+    // LINEAGE-PRESERVING EQUALITY-DELETE UPSERT (round 11): the streaming-
+    // upsert-into-a-lineage-table fast path round 10 still refused. One
+    // O(change-set) eqdelta commit masks old row versions by KEY and
+    // reinserts replacements that CARRY the masked row's `_row_id`
+    // (resolved by a column-pruned, key-range-filtered scan — never a
+    // full-row read); only genuinely new keys mint, and the watermark
+    // advance rides the same atomic manifest create. Asserted in-query:
+    // ids unique, ZERO re-mints across the upsert, every new key minted
+    // above the old watermark, and graft_row_diff classifies the carried
+    // ids as UPDATES (not delete+insert churn). The oracle replays the
+    // upsert as a FULL JOIN over raw orders.
+    "etl_eq_upsert_rowid" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_equ", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_equ.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_equ.db")
+      s.sql("DROP TABLE IF EXISTS graft_equ.db.fact")
+      s.sql("""CREATE TABLE graft_equ.db.fact (ckey BIGINT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_equ_base")
+      s.sql("INSERT INTO graft_equ.db.fact SELECT * FROM graft_equ_base")
+      val v1 = s.sql("SELECT max(version) FROM graft_history('graft_equ', 'db.fact')")
+        .collect()(0).getLong(0)
+      val wm1 = s.sql("SELECT max(_row_id) FROM graft_equ.db.fact")
+        .collect()(0).getLong(0) // bounded: one scalar
+      // change set: keys % 6 = 0 UPDATE existing rows, keys % 3 = 1 are
+      // genuine inserts — one row per key (orderkey is unique)
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1 || col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_equ", "db.fact",
+        changes, Seq("ckey"))
+      val v2 = s.sql("SELECT max(version) FROM graft_history('graft_equ', 'db.fact')")
+        .collect()(0).getLong(0)
+      val uniq = s.sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT _row_id) AS d
+                        |FROM graft_equ.db.fact""".stripMargin).collect()(0)
+      require(uniq.getLong(0) == uniq.getLong(1),
+        s"etl_eq_upsert_rowid: ids must stay unique " +
+          s"(${uniq.getLong(1)} distinct of ${uniq.getLong(0)})")
+      val reId = s.sql(
+        s"""SELECT COUNT(*) FROM
+           |  (SELECT ckey, _row_id FROM graft_equ.db.fact VERSION AS OF $v1) b
+           |  JOIN graft_equ.db.fact a ON a.ckey = b.ckey AND a._row_id <> b._row_id
+           |""".stripMargin).collect()(0).getLong(0)
+      require(reId == 0L,
+        s"etl_eq_upsert_rowid: $reId upserted rows were re-minted — the " +
+          "eq-delete reinsert must carry _row_id")
+      val lowMint = s.sql(
+        s"""SELECT COUNT(*) FROM graft_equ.db.fact a
+           |LEFT ANTI JOIN (SELECT ckey FROM graft_equ.db.fact VERSION AS OF $v1) b
+           |  ON a.ckey = b.ckey
+           |WHERE a._row_id <= $wm1""".stripMargin).collect()(0).getLong(0)
+      require(lowMint == 0L,
+        s"etl_eq_upsert_rowid: $lowMint new keys minted at or below the " +
+          "pre-upsert watermark — ids were reused")
+      // the row diff must see carried ids as UPDATES, never delete+insert
+      val diffTypes = s.sql(
+        s"SELECT _change_type, COUNT(*) AS n FROM " +
+          s"graft_row_diff('graft_equ', 'db.fact', $v1, $v2) GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(diffTypes.getOrElse("delete", 0L) == 0L &&
+        diffTypes.getOrElse("update_preimage", 0L) ==
+          diffTypes.getOrElse("update_postimage", 0L) &&
+        diffTypes.getOrElse("update_preimage", 0L) > 0L &&
+        diffTypes.getOrElse("insert", 0L) > 0L,
+        s"etl_eq_upsert_rowid: diff must classify carried ids as updates " +
+          s"and minted ids as inserts, got $diffTypes")
+      s.sql("""SELECT ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_equ.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -4179,6 +4257,20 @@ object Etl {
         |       WHEN b.ckey IS NOT NULL THEN b.cents
         |       ELSE s.cents END AS cents
         |  FROM upd b FULL JOIN src s ON b.ckey = s.ckey)
+        |SELECT ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_eq_upsert_rowid" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 1 OR o_orderkey % 6 = 0),
+        |merged AS (SELECT COALESCE(c.ckey, b.ckey) AS ckey,
+        |  COALESCE(c.cents, b.cents) AS cents
+        |  FROM base b FULL JOIN chg c ON b.ckey = c.ckey)
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,

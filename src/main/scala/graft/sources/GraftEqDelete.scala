@@ -125,12 +125,10 @@ object GraftEqDelete {
       s"upsert: $catalog.$table has a partition/bucket/time layout — " +
         "equality-delete upserts compose with flat history tables only " +
         "for now (layout-routed appends + eq sidecars are future work)")
-    require(!t.rowLineage,
-      s"upsert: $catalog.$table is a row-lineage table — equality-delete " +
-        "upserts mask rows by VALUE, which breaks the one-id-per-row " +
-        "contract (the masked row and its replacement would carry " +
-        "different ids with no carry path); use MERGE INTO, which " +
-        "preserves _row_id through the delta writer")
+    // ROW LINEAGE composes (see below): the reinserted row version CARRIES
+    // the masked row's _row_id — an upsert of an existing key is the same
+    // row — and only genuinely new keys mint fresh ids, exactly the
+    // DeltaWriter.reinsert contract re-expressed on the eq-delete path.
     require(keyCols.nonEmpty &&
       keyCols.forall(c => t.schema().fieldNames.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} must exist in the table")
@@ -186,10 +184,76 @@ object GraftEqDelete {
           "declared CHECK constraints")
     }
 
+    // stats-scoped references need the changed keys' bounding box (per key
+    // column min/max); the lineage carry scan below reuses it to prune
+    val keyMinMax: Seq[(String, Any, Any)] = {
+      val aggs = keyCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c")))
+      val row = casted.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keyCols.zipWithIndex.map { case (c, i) =>
+        (c, row.get(2 * i), row.get(2 * i + 1))
+      }
+    }
+    val bounds: Seq[org.apache.spark.sql.sources.Filter] =
+      keyMinMax.flatMap { case (c, mn, mx) =>
+        if (mn == null || mx == null) Nil
+        else Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(c, mn),
+          org.apache.spark.sql.sources.LessThanOrEqual(c, mx))
+      }
+
+    // ROW LINEAGE CARRY: join the change set against the CURRENT visible
+    // (key, _row_id) projection — column-pruned AND key-range-filtered, so
+    // stats skipping reads only the files that could hold a changed key
+    // (the same set that will gain the eq reference). Matched keys carry
+    // their id (several visible rows may share a key — the upserted row
+    // adopts the OLDEST identity, deterministically); unmatched keys mint
+    // fresh ids above the head watermark, which advances in the SAME
+    // atomic manifest commit as the files. Cost: O(change set + pruned key
+    // columns), never a full-row table scan.
+    val carryCol = "__graft_carry"
+    val (toLand, rowWmMeta): (DataFrame, Map[String, String]) =
+      if (!t.rowLineage) (casted, Map.empty)
+      else {
+        val wm0 = GraftRowId.watermark(
+          GraftIdentity.headMeta(fs, dir, None))
+        var existing = spark.table(s"$catalog.$table")
+          .select((col(GraftRowId.Col) +: keyCols.map(col)): _*)
+        keyMinMax.foreach { case (c, mn, mx) =>
+          if (mn != null && mx != null)
+            existing = existing.where(col(c) >= lit(mn) && col(c) <= lit(mx))
+        }
+        val carried = existing
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col(GraftRowId.Col)).as(carryCol))
+        // no broadcast hint: the carried side is bounded by the distinct
+        // keys in the scanned range, which a wide change set can grow past
+        // broadcast size — AQE picks the strategy per actual size
+        val joined = casted.join(carried, keyCols, "left")
+        val nFresh = joined.where(col(carryCol).isNull).count()
+        // fresh ids: wm0 + dense 1..nFresh by key order — deterministic,
+        // and the window sorts only the (bounded) change set
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(keyCols.map(col): _*)
+        val matched = joined.where(col(carryCol).isNotNull)
+          .withColumn(GraftRowId.Col, col(carryCol))
+        val fresh = joined.where(col(carryCol).isNull)
+          .withColumn(GraftRowId.Col,
+            lit(wm0) + org.apache.spark.sql.functions.row_number().over(w)
+              .cast("long"))
+        val unioned = matched.unionByName(fresh).drop(carryCol)
+        (unioned,
+          if (nFresh == 0) Map.empty[String, String]
+          else Map(GraftRowId.WmKey -> (wm0 + nFresh).toString))
+      }
+    val ioSchema =
+      if (t.rowLineage) GraftRowId.ioSchema(t.physicalSchema)
+      else t.physicalSchema
+
     val staging = new Path(dir, s".upsert-${UUID.randomUUID()}")
-    val physCols = t.physicalSchema.fieldNames.toSeq
+    val physCols = ioSchema.fieldNames.toSeq
     withMicros(spark) {
-      casted.select(physCols.map(col): _*)
+      toLand.select(physCols.map(col): _*)
         .write.mode("overwrite").parquet(new Path(staging, "data").toString)
       casted.select(keyCols.map(col): _*).distinct().coalesce(1)
         .write.mode("overwrite").parquet(new Path(staging, "keys").toString)
@@ -210,24 +274,11 @@ object GraftEqDelete {
         s"upsert: key sidecar staged ${many.size} parts")
     }
     fs.delete(staging, true)
-    GraftStats.liftFromFooters(spark, dir, landed, t.physicalSchema)
+    GraftStats.liftFromFooters(spark, dir, landed, ioSchema)
     GraftMaintenance.reindexDeclared(spark, dir, landed)
 
-    // stats-scoped references: the changed keys' bounding box (per key
-    // column min/max) — a file whose recorded range provably cannot hold
-    // any changed key skips the reference entirely
-    val bounds: Seq[org.apache.spark.sql.sources.Filter] = {
-      val aggs = keyCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
-        max(col(c)).as(s"mx_$c")))
-      val row = casted.agg(aggs.head, aggs.tail: _*).collect()(0)
-      keyCols.zipWithIndex.flatMap { case (c, i) =>
-        val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
-        if (mn == null || mx == null) Nil
-        else Seq(
-          org.apache.spark.sql.sources.GreaterThanOrEqual(c, mn),
-          org.apache.spark.sql.sources.LessThanOrEqual(c, mx))
-      }
-    }
+    // a file whose recorded range provably cannot hold any changed key
+    // skips the eq reference entirely
     val stats = GraftStats.readAll(fs, dir)
     val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
       throw new IllegalStateException(s"$catalog.$table has no manifest"))
@@ -238,8 +289,11 @@ object GraftEqDelete {
           .exists(st => GraftStats.canDrop(bounds, t.physicalSchema, st))
       if (skippable) e else e.copy(eqs = e.eqs :+ eqTarget.toString)
     }
+    // the lineage watermark (when this upsert minted ids) rides the SAME
+    // exclusive manifest create as the files — a racing committer makes
+    // this fail loudly and nothing of the allocation is visible
     GraftTable.writeFullEntries(fs, dir, v + 1,
-      updated ++ landed.map(GraftTable.GraftEntry(_, None)))
+      updated ++ landed.map(GraftTable.GraftEntry(_, None)), rowWmMeta)
     GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindEqDelta)
     v + 1
   }

@@ -61,22 +61,40 @@ object GraftRowDiff {
         s"(have ${versions.headOption.getOrElse(0L)}..${versions.lastOption.getOrElse(0L)})"))
     val from = GraftTable.readFullEntries(fs, dir, vFrom)
     val to = GraftTable.readFullEntries(fs, dir, vTo)
-    require((from ++ to).forall(_.eqs.isEmpty),
-      s"graft_row_diff: ${t.name()} carries equality-delete masks — " +
-        "lineage tables refuse equality-delete upserts, so this manifest " +
-        "predates the feature; materialize the masks first")
     def key(e: GraftTable.GraftEntry) = new Path(e.file).getName
     val fromByName = from.map(e => key(e) -> e).toMap
     val toByName = to.map(e => key(e) -> e).toMap
-    // unchanged (same file, same DV ref) cancels out of the diff unread
-    val changedFrom = from.filterNot(e => toByName.get(key(e)).exists(_.dv == e.dv))
-    val changedTo = to.filterNot(e => fromByName.get(key(e)).exists(_.dv == e.dv))
+    // unchanged (same file, same DV ref, same eq references) contributes
+    // identical (id → row) pairs to both sides and cancels out UNREAD
+    def sameMasks(a: GraftTable.GraftEntry, b: GraftTable.GraftEntry) =
+      a.dv == b.dv && a.eqs.toSet == b.eqs.toSet
+    val changedFrom = from.filterNot(e =>
+      toByName.get(key(e)).exists(sameMasks(e, _)))
+    val changedTo = to.filterNot(e =>
+      fromByName.get(key(e)).exists(sameMasks(e, _)))
 
     val readSchema = StructType(t.schema().fields.toSeq :+
       StructField(GraftRowId.Col, org.apache.spark.sql.types.LongType))
     val cols = t.schema().fieldNames.toSeq
 
-    def side(entries: Seq[GraftTable.GraftEntry]): DataFrame = {
+    // one bounded read per distinct equality-mask set (usually 1): eq
+    // masks apply per FILE, so files sharing a reference set read and
+    // anti-join together, exactly the materializeEqDeletes grouping. The
+    // eq key sidecars are change-set-sized — they broadcast.
+    def side(entries: Seq[GraftTable.GraftEntry]): DataFrame =
+      entries.groupBy(_.eqs.toSet).toSeq.sortBy(_._1.toSeq.sorted.mkString)
+        .map { case (eqSet, group) =>
+          eqSet.toSeq.sorted.foldLeft(sideUnmasked(group)) { (df, eq) =>
+            val keys = spark.read.parquet(eq)
+            df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+          }
+        }
+        .reduceOption(_ unionAll _)
+        .getOrElse(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          readSchema))
+
+    def sideUnmasked(entries: Seq[GraftTable.GraftEntry]): DataFrame = {
       if (entries.isEmpty)
         return spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), readSchema)

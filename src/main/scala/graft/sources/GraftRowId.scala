@@ -30,9 +30,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Declared at CREATE (`TBLPROPERTIES('rowid'='true')`) on HISTORY tables
   * only; enabling on an existing table is refused (pre-feature files would
   * serve NULL ids — silent lineage gaps). Paths that land files without
-  * running the catalog writer refuse or re-route: equality-delete upserts
-  * refuse lineage tables; WAP publish always routes staged rows through
-  * the writer.
+  * running the catalog writer carry or re-route: equality-delete upserts
+  * carry the masked row's id through their reinsert (and mint only for
+  * genuinely new keys — [[GraftEqDelete.upsert]]); WAP publish always
+  * routes staged rows through the writer.
   */
 object GraftRowId {
 

@@ -378,4 +378,57 @@ class GraftRowIdSpec extends SparkSpec {
     assert(got.distinct().count() == 80,
       "streamed epochs must mint unique ids across micro-batches")
   }
+
+  test("equality-delete upsert carries ids: updated keys KEEP their id, " +
+    "only genuinely new keys mint, diff classifies updates as updates") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    sql("""CREATE TABLE graft_rid.db.equ (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_rid.db.equ SELECT id, concat('v', id) FROM range(0, 100)")
+    val before = ids("graft_rid.db.equ")
+    val wm = before.values.max
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/equ")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = GraftTable.manifestVersions(fs, dir).last
+    // 3 updates + 2 genuine inserts, ONE O(change-set) eqdelta commit
+    GraftEqDelete.upsert(spark, "graft_rid", "db.equ",
+      Seq((10L, "u10"), (20L, "u20"), (30L, "u30"), (500L, "n1"), (501L, "n2"))
+        .toDF("k", "v"), Seq("k"))
+    val after = ids("graft_rid.db.equ")
+    assert(after.size == 102 &&
+      after.values.toSeq.distinct.size == 102, "ids must stay unique")
+    Seq(10L, 20L, 30L).foreach(k =>
+      assert(after(k) == before(k), s"upsert of existing k=$k re-minted"))
+    (before.keySet -- Set(10L, 20L, 30L)).foreach(k =>
+      assert(after(k) == before(k), s"untouched k=$k changed id"))
+    Seq(500L, 501L).foreach(k =>
+      assert(after(k) > wm, s"new key k=$k must mint above the watermark"))
+    assert(spark.table("graft_rid.db.equ").where(col("k") === 10L)
+      .collect().head.getString(1) == "u10", "LWW value must win")
+    // the watermark advanced by exactly the number of MINTS (2), riding
+    // the eqdelta manifest
+    assert(GraftRowId.watermark(
+      GraftIdentity.headMeta(fs, dir, None)) == wm + 2)
+    // row diff classifies by id: the 3 carried ids pair as updates, the
+    // 2 minted ids are inserts — no phantom delete+insert churn
+    val v2 = GraftTable.manifestVersions(fs, dir).last
+    val byType = spark.sql(
+      s"SELECT * FROM graft_row_diff('graft_rid', 'db.equ', $v1, $v2)")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 2L,
+      "update_preimage" -> 3L, "update_postimage" -> 3L), s"got $byType")
+    // an update-only upsert mints nothing: watermark carried unchanged
+    GraftEqDelete.upsert(spark, "graft_rid", "db.equ",
+      Seq((10L, "uu")).toDF("k", "v"), Seq("k"))
+    assert(GraftRowId.watermark(
+      GraftIdentity.headMeta(fs, dir, None)) == wm + 2)
+    val after2 = ids("graft_rid.db.equ")
+    assert(after2 == after, "a pure-update upsert must not move any id")
+    // folding the eq masks into rewritten files carries ids verbatim
+    GraftEqDelete.materializeEqDeletes(spark, s"$warehouse/db/equ")
+    assert(ids("graft_rid.db.equ") == after2,
+      "materializeEqDeletes must preserve the hidden id column")
+  }
 }
