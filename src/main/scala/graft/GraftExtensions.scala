@@ -1527,6 +1527,14 @@ object GraftExtensions {
         edges.select(col("a_id").cast("long"), col("b_id").cast("long"),
             col("cosine").cast("double"), col("rank").cast("int"))
           .writeTo(s"$cat.$graphTbl").append()
+        // stamp the full-build baseline: graft_ann_optimize's bounded
+        // re-descent reads only edges committed AFTER this version
+        val builtV = graft.sources.GraftTable.manifestVersions(
+          new org.apache.hadoop.fs.Path(graftTableOf(cat, graphTbl).dir)
+            .getFileSystem(s.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(graftTableOf(cat, graphTbl).dir)).last
+        s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
+          s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$builtV')")
         val g = s.table(s"$cat.$graphTbl")
         val nodes = g.select(countDistinct(col("a_id"))).collect()(0).getLong(0)
         val nEdges = g.count()
@@ -1565,6 +1573,69 @@ object GraftExtensions {
         add.writeTo(s"$cat.$graphTbl").append()
         import s.implicits._
         Bridge.logicalPlan(Seq((newNodes, nAdd)).toDF("new_nodes", "edges_added"))
+      }),
+    ("graft_ann_optimize",
+      info("graft_ann_optimize",
+        "graft_ann_optimize(catalog, corpus_table, graph_table, id_col, " +
+          "vec_col, block_col, k) - bounded re-descent over the region refreshes " +
+          "touched since the last full build/optimize (changes-feed " +
+          "bounded read, O(touched) not O(corpus)): beam-placed " +
+          "neighborhoods and slot-valued reverse edges re-rank to a " +
+          "clean per-node top-k; untouched nodes keep their edges " +
+          "verbatim; returns (appended_edges, touched_region, edges_after)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "graft_ann_optimize(catalog, 'ns.corpus', 'ns.graph', id_col, " +
+            "vec_col, block_col, k)")
+        val s = SparkSession.active
+        val cat = stringArg(args.head, "graft_ann_optimize: catalog")
+        val corpusTbl = stringArg(args(1), "graft_ann_optimize: corpus_table")
+        val graphTbl = stringArg(args(2), "graft_ann_optimize: graph_table")
+        val idCol = stringArg(args(3), "graft_ann_optimize: id_col")
+        val vecCol = stringArg(args(4), "graft_ann_optimize: vec_col")
+        val blockCol = stringArg(args(5), "graft_ann_optimize: block_col")
+        val k = intArg(args(6), "graft_ann_optimize: k")
+        val t = graftTableOf(cat, graphTbl)
+        val dir = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+        val builtV = graft.sources.GraftTable.readProps(fs, dir)
+          .get(graft.operators.AnnIndex.BuiltVersionProp).map(_.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft_ann_optimize: $cat.$graphTbl carries no " +
+              s"'${graft.operators.AnnIndex.BuiltVersionProp}' baseline — " +
+              "run graft_ann_build once (pre-baseline graphs cannot bound " +
+              "the touched region)"))
+        import s.implicits._
+        // the changes feed bounds this read to the files refreshes
+        // APPENDED after the baseline (manifest diff — O(touched))
+        val appended = s.sql(
+          s"""SELECT a_id, b_id FROM $cat.$graphTbl.changes
+             |WHERE _commit_version > $builtV
+             |  AND _change_type = 'insert'""".stripMargin)
+          .localCheckpoint(eager = true)
+        val nAppended = appended.count()
+        if (nAppended == 0) {
+          // quiet since the baseline: nothing to re-descend, zero writes
+          Bridge.logicalPlan(Seq((0L, 0L,
+            s.table(s"$cat.$graphTbl").count()))
+            .toDF("appended_edges", "touched_region", "edges_after"))
+        } else {
+          val corpus = s.table(s"$cat.$corpusTbl")
+          val graph = s.table(s"$cat.$graphTbl")
+          val optimized = graft.operators.AnnIndex.optimizeEdges(
+              corpus, graph, appended, idCol, vecCol, blockCol, k)
+            .select(col("a_id").cast("long"), col("b_id").cast("long"),
+              col("cosine").cast("double"), col("rank").cast("int"))
+            .localCheckpoint(eager = true) // breaks the self-read lineage
+          val touched = graft.operators.AnnIndex.lastScopeSize.get()
+          optimized.writeTo(s"$cat.$graphTbl")
+            .overwrite(org.apache.spark.sql.functions.lit(true))
+          val newHead = graft.sources.GraftTable.manifestVersions(fs, dir).last
+          s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
+            s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$newHead')")
+          Bridge.logicalPlan(Seq((nAppended, touched, optimized.count()))
+            .toDF("appended_edges", "touched_region", "edges_after"))
+        }
       }),
     ("graft_row_diff",
       info("graft_row_diff",

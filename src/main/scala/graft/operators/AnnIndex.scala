@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Table property recording the graph version of the last FULL build or
+    * optimize — the baseline `graft_ann_optimize` bounds its changes-feed
+    * read against.
+    */
+  val BuiltVersionProp = "ann.built.version"
+
+  /** Size of the last [[optimizeEdges]] touched region (driver-side probe
+    * for the TVF report and the O(touched) spec assertion).
+    */
+  val lastScopeSize = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Seed edges: block-local exact top-k ∪ deterministic pseudo-random
     * long links ((id·131 + t·9973) mod N) — the cross-block links descent
     * needs to propagate good neighbors (see [[Similarity.nnDescentStep]]).
@@ -62,9 +73,73 @@ object AnnIndex {
     * edges, and the reverses keep it reachable. Returns the edge rows to
     * APPEND — existing edges are untouched. Reverse edges carry the same
     * exact cosine; their `rank` is the forward rank (a slot, not a claim
-    * of being the neighbor's true k-NN — descent on the next full build
-    * re-ranks them).
+    * of being the neighbor's true k-NN — [[optimizeEdges]]' bounded
+    * re-descent, or the next full build, re-ranks them).
     */
+  /** BOUNDED RE-DESCENT ([[refreshEdges]]'s compaction analog): after
+    * refresh-only epochs the graph accumulates un-descended state — new
+    * nodes hold beam-placed (approximate) neighborhoods, and their reverse
+    * edges sit on recipients as SLOTS (rank copied from the forward edge,
+    * not the recipient's true k-NN rank) whose quality decays the longer
+    * rebuilds are deferred. This runs NN-descent restricted to the TOUCHED
+    * REGION — every node whose edge set changed since the last full
+    * build/optimize (`appended`: the changes-feed rows, O(touched) read by
+    * the manifest diff) plus its current one-hop neighbors, the nodes
+    * whose true top-k the newcomers can enter — and re-ranks exactly those
+    * nodes' edges to a clean top-k. Every node OUTSIDE the region keeps
+    * its edges verbatim (spec-asserted byte equality), so the job's work
+    * is O(touched · k²), never O(corpus): the full `graft_ann_build` is
+    * only needed when the touched region IS the corpus.
+    *
+    * The region re-SEEDS like a build — block-local exact top-k over the
+    * REGION's corpus rows (Σ region-block², bounded by the region, never
+    * the corpus) union its current edges (incl. links to nodes outside
+    * the region, which keep it navigable toward the untouched graph) —
+    * then `iters` descent refinements run over that subgraph (two-hop
+    * candidate expansion; candidates scored exactly, id-equi-joined
+    * against the corpus). Without the re-seed, descent could only refine
+    * the beam-placed candidates and the region would probe WORSE than a
+    * rebuild. Returns the REPLACEMENT edge set for the whole graph.
+    */
+  def optimizeEdges(corpus: DataFrame, graph: DataFrame, appended: DataFrame,
+                    idCol: String, vecCol: String, blockCol: String, k: Int,
+                    iters: Int = 1): DataFrame = {
+    require(iters >= 1, "graph-ANN optimize: at least one descent iteration")
+    val touched0 = appended.select(col("a_id"))
+      .unionAll(appended.select(col("b_id").as("a_id"))).distinct()
+    val und = graph.select(col("a_id"), col("b_id"))
+      .unionAll(graph.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // one hop out: nodes whose true top-k a newcomer can enter
+    val scope = touched0
+      .unionAll(und.join(touched0.withColumnRenamed("a_id", "t_id"),
+        col("a_id") === col("t_id"), "left_semi").select(col("b_id").as("a_id")))
+      .distinct()
+      .localCheckpoint(eager = true) // reused by the joins below
+    lastScopeSize.set(scope.count())
+    val subEdges = graph.join(scope.withColumnRenamed("a_id", "s_id"),
+        col("a_id") === col("s_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    val scopeCorpus = corpus.join(scope.withColumnRenamed("a_id", "s_id"),
+      corpus(idCol) === col("s_id"), "left_semi")
+    val seeded = Similarity.knnJoinBlocked(scopeCorpus, idCol, vecCol,
+        blockCol, k).select(col("a_id"), col("b_id"))
+      .unionAll(subEdges)
+    var g = seeded
+    for (_ <- 1 until iters)
+      g = Similarity.nnDescentStep(corpus, idCol, vecCol, g, k)
+        .select(col("a_id"), col("b_id"))
+    val redone = Similarity.nnDescentStep(corpus, idCol, vecCol, g, k)
+      // descent symmetrizes, so it also emits rows for nodes one hop
+      // OUTSIDE the region — those keep their existing edges instead
+      .join(scope.withColumnRenamed("a_id", "s_id"),
+        col("a_id") === col("s_id"), "left_semi")
+    val kept = graph.join(scope.withColumnRenamed("a_id", "s_id"),
+        col("a_id") === col("s_id"), "left_anti")
+      .select(col("a_id"), col("b_id"), col("cosine"), col("rank"))
+    kept.unionAll(
+      redone.select(col("a_id"), col("b_id"), col("cosine"), col("rank")))
+  }
+
   def refreshEdges(corpus: DataFrame, graph: DataFrame, idCol: String,
                    vecCol: String, k: Int, beamWidth: Int = 8,
                    rounds: Int = 3, entryMod: Long = 100L): DataFrame = {

@@ -308,6 +308,63 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // BOUNDED RE-DESCENT (round 11): graft_ann_optimize is the compaction
+    // verb for refresh-accumulated graphs — build over 3/4 of the corpus,
+    // refresh-insert the rest (beam placement leaves approximate
+    // neighborhoods + slot-valued reverse edges past the k-degree
+    // budget), then optimize re-seeds and re-descends ONLY the touched
+    // region (changes-feed-bounded read; untouched nodes keep their edges
+    // verbatim) and re-ranks every region node to a clean top-k. Asserted
+    // in-query: the touched region is a strict subset of the corpus, and
+    // every node ends with distinct ranks 1..deg ≤ k. The oracle replays
+    // the WHOLE pipeline in SQL — build(base) → beam placement →
+    // re-seeded region descent → final beam probe — so the optimized
+    // graph's bytes (not just its shape) are value-checked.
+    "sim_ann_optimize" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ao", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ao.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ao.db")
+      s.sql("DROP TABLE IF EXISTS graft_ao.db.emb")
+      s.sql("DROP TABLE IF EXISTS graft_ao.db.knn")
+      s.sql("""CREATE TABLE graft_ao.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+      emb.where(col("vec_id") % 4 =!= 3).writeTo("graft_ao.db.emb").append()
+      s.sql("""SELECT * FROM graft_ann_build('graft_ao', 'db.emb', 'db.knn',
+              |'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+      emb.where(col("vec_id") % 4 === 3).writeTo("graft_ao.db.emb").append()
+      s.sql("""SELECT * FROM graft_ann_refresh('graft_ao', 'db.emb',
+              |'db.knn', 'vec_id', 'embedding', 3)""".stripMargin).collect()
+      val r = s.sql("""SELECT * FROM graft_ann_optimize('graft_ao', 'db.emb',
+              |'db.knn', 'vec_id', 'embedding', 'label', 3)""".stripMargin)
+        .collect()(0)
+      val n = s.table("graft_ao.db.emb").count()
+      require(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(1) < n,
+        s"sim_ann_optimize: the touched region must be a non-empty strict " +
+          s"subset of the $n-node corpus, got $r")
+      val g = s.table("graft_ao.db.knn")
+      val dirty = g.groupBy("a_id")
+        .agg(count(lit(1)).as("deg"), countDistinct(col("rank")).as("ranks"),
+          max(col("rank")).as("maxr"))
+        .where(col("deg") > 3 || col("ranks") =!= col("deg") ||
+          col("maxr") > col("deg")).count()
+      require(dirty == 0,
+        s"sim_ann_optimize: $dirty nodes kept slot ranks / over-degree " +
+          "edges — optimize must leave a clean ranked top-k everywhere")
+      val corpus = s.table("graft_ao.db.emb")
+      Similarity.graphBeamSearch(corpus, corpus.where(col("vec_id") < 10),
+          "vec_id", "embedding", g.select(col("a_id"), col("b_id")),
+          corpus.where(col("vec_id") % 100 === 0), beamWidth = 8,
+          rounds = 3, topK = 5)
+        .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // HNSW-shaped LAYERED search — the layer stack sim_graph_search lacks:
     // deterministic 1-in-8 promotion (level l ⇔ id % 8^l = 0, HNSW's
     // geometric layer sizes made replayable), exact entry over the tiny
@@ -751,6 +808,135 @@ object SimilarityQueries {
        |${round(1)},
        |${round(2)},
        |${round(3)}""".stripMargin
+  }
+
+  /** Full replay of the sim_ann_optimize pipeline: build over the 3/4
+    * base corpus (block-local top-3 ∪ arithmetic pseudo-random links →
+    * one descent step), refresh beam placement of the held-out quarter
+    * (fwd + slot rev edges), the bounded re-descent (touched region =
+    * appended endpoints + one hop; region re-seed ∪ region subgraph →
+    * one descent step over the FULL corpus; untouched edges verbatim),
+    * and the final 3-round beam probe over the optimized graph. Every
+    * stage mirrors the Scala operator step-for-step so the oracle
+    * value-checks the optimized graph's bytes end-to-end.
+    */
+  private lazy val annOptimizeCtes: String = {
+    // one beam-search round: expand `prev` with `und` neighbors, score
+    // against `qSrc` (q_id, q_e), keep top-8
+    def beamRound(prefix: String, i: Int, und: String, qSrc: String): String =
+      s"""${prefix}c$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM ${prefix}b${i - 1}
+         |  UNION ALL SELECT p.q_id, u.b_id AS id
+         |  FROM ${prefix}b${i - 1} p JOIN $und u ON u.a_id = p.id)),
+         |${prefix}s$i AS (SELECT c.q_id, c.id,
+         |  ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM ${prefix}c$i c JOIN v x ON x.vec_id = c.id
+         | JOIN $qSrc q ON q.q_id = c.q_id WHERE c.id != c.q_id),
+         |${prefix}b$i AS (SELECT q_id, id, cosine, rank FROM (
+         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ${prefix}s$i) WHERE rank <= 8)"""
+        .stripMargin
+    s"""v AS MATERIALIZED (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |vb AS MATERIALIZED (SELECT * FROM v WHERE vec_id % 4 != 3),
+       |pb AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM vb a JOIN vb b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blockedb AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM pb) WHERE rank <= 3),
+       |nqb AS (SELECT COUNT(*) AS n FROM vb),
+       |rndb AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nqb.n AS b_id
+       | FROM vb a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nqb
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nqb.n != a.vec_id),
+       |seedb AS MATERIALIZED (SELECT a_id, b_id FROM blockedb
+       |  UNION ALL SELECT a_id, b_id FROM rndb),
+       |undb AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seedb
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seedb)),
+       |nnb AS (SELECT e1.a_id, e2.b_id FROM undb e1
+       |  JOIN undb e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+       |candb AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM undb UNION ALL SELECT a_id, b_id FROM nnb)),
+       |scb AS (SELECT c.a_id, c.b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM candb c JOIN vb a ON a.vec_id = c.a_id
+       | JOIN vb b ON b.vec_id = c.b_id),
+       |g0 AS MATERIALIZED (SELECT a_id, b_id, cosine, rank FROM (
+       |  SELECT a_id, b_id, cosine, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM scb) WHERE rank <= 3),
+       |idx AS MATERIALIZED (SELECT DISTINCT a_id FROM g0),
+       |rqf AS MATERIALIZED (SELECT vec_id AS q_id, e AS q_e FROM v
+       | WHERE vec_id NOT IN (SELECT a_id FROM idx)),
+       |entr AS (SELECT a_id FROM idx WHERE a_id % 100 = 0),
+       |undr AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM g0
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM g0)),
+       |rs0 AS (SELECT q.q_id, en.a_id AS id,
+       |  ${cosSql("q.q_e", "x.e")} AS cosine
+       | FROM rqf q CROSS JOIN entr en JOIN v x ON x.vec_id = en.a_id
+       | WHERE en.a_id != q.q_id),
+       |rb0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM rs0) WHERE rank <= 8),
+       |${beamRound("r", 1, "undr", "rqf")},
+       |${beamRound("r", 2, "undr", "rqf")},
+       |${beamRound("r", 3, "undr", "rqf")},
+       |found AS (SELECT q_id, id, cosine, rank FROM rb3 WHERE rank <= 3),
+       |app AS MATERIALIZED (SELECT q_id AS a_id, id AS b_id, cosine, rank FROM found
+       |  UNION ALL SELECT id AS a_id, q_id AS b_id, cosine, rank FROM found),
+       |g1 AS MATERIALIZED (SELECT * FROM g0 UNION ALL SELECT * FROM app),
+       |t0 AS MATERIALIZED (SELECT DISTINCT a_id FROM (
+       |  SELECT a_id FROM app UNION ALL SELECT b_id AS a_id FROM app)),
+       |und1 AS (SELECT a_id, b_id FROM g1
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM g1),
+       |scope AS MATERIALIZED (SELECT DISTINCT a_id FROM (
+       |  SELECT a_id FROM t0
+       |  UNION ALL SELECT u.b_id AS a_id FROM und1 u
+       |    JOIN t0 ON u.a_id = t0.a_id)),
+       |sub AS MATERIALIZED (SELECT a_id, b_id FROM g1
+       | WHERE a_id IN (SELECT a_id FROM scope)),
+       |sv AS MATERIALIZED (SELECT * FROM v WHERE vec_id IN (SELECT a_id FROM scope)),
+       |rp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM sv a JOIN sv b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |rsd AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM rp) WHERE rank <= 3),
+       |seeded AS MATERIALIZED (SELECT a_id, b_id FROM rsd
+       |  UNION ALL SELECT a_id, b_id FROM sub),
+       |und2 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seeded
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seeded)),
+       |nn2 AS (SELECT e1.a_id, e2.b_id FROM und2 e1
+       |  JOIN und2 e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+       |cand2 AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM und2 UNION ALL SELECT a_id, b_id FROM nn2)),
+       |sc2 AS (SELECT c.a_id, c.b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM cand2 c JOIN v a ON a.vec_id = c.a_id
+       | JOIN v b ON b.vec_id = c.b_id),
+       |redone AS (SELECT a_id, b_id, cosine, rank FROM (
+       |  SELECT a_id, b_id, cosine, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM sc2) WHERE rank <= 3
+       |  AND a_id IN (SELECT a_id FROM scope)),
+       |g2 AS MATERIALIZED (SELECT a_id, b_id, cosine, rank FROM g1
+       |  WHERE a_id NOT IN (SELECT a_id FROM scope)
+       |  UNION ALL SELECT a_id, b_id, cosine, rank FROM redone),
+       |und3 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM g2
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM g2)),
+       |fqf AS MATERIALIZED (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+       |fs0 AS (SELECT q.q_id, x.vec_id AS id,
+       |  ${cosSql("q.q_e", "x.e")} AS cosine
+       | FROM fqf q CROSS JOIN v x
+       | WHERE x.vec_id % 100 = 0 AND x.vec_id != q.q_id),
+       |fb0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM fs0) WHERE rank <= 8),
+       |${beamRound("f", 1, "und3", "fqf")},
+       |${beamRound("f", 2, "und3", "fqf")},
+       |${beamRound("f", 3, "und3", "fqf")}""".stripMargin
   }
 
   private lazy val graphSearchCtes: String = {
@@ -1207,6 +1393,11 @@ object SimilarityQueries {
     "sim_ann_persist" ->
       s"""WITH $annPersistCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM b3 WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ann_optimize" ->
+      s"""WITH $annOptimizeCtes
+         |SELECT q_id, id AS n_id, cosine, rank FROM fb3 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "sim_sql_surface" ->

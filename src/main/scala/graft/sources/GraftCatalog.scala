@@ -985,6 +985,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               sp.property == GraftSort.SortColsProp ||
               sp.property.startsWith(GraftGovernance.MaskPrefix) ||
               sp.property == GraftGovernance.RowFilterProp ||
+              sp.property.startsWith("ann.") || // ANN index maintenance state
               GraftRetention.isRetentionProp(sp.property) =>
           indexPropChanges += sp.property -> Some(sp.value); st
         case rp: TableChange.RemoveProperty
@@ -993,6 +994,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               rp.property == GraftSort.SortColsProp ||
               rp.property.startsWith(GraftGovernance.MaskPrefix) ||
               rp.property == GraftGovernance.RowFilterProp ||
+              rp.property.startsWith("ann.") ||
               GraftRetention.isRetentionProp(rp.property) =>
           indexPropChanges += rp.property -> None; st
         case other => throw new UnsupportedOperationException(

@@ -99,4 +99,113 @@ class AnnIndexSpec extends SparkSpec {
     assert(r2.getLong(0) == 0 && r2.getLong(1) == 0)
     assert(spark.table("graft_ann.db.knn2").count() == beforeCount + r.getLong(1))
   }
+
+  /** 200 vectors in 10 CONTIGUOUS clusters of 20 (cluster = id / 20) with
+    * small deterministic jitter — a corpus where near-neighbor structure
+    * is real, so probe recall measures the graph, not tie-breaking luck
+    * (the modular corpus above ties so heavily that even a full rebuild
+    * probes at ~44% recall).
+    */
+  private def clustered = {
+    import spark.implicits._
+    (0L until 200L).map { i =>
+      val c = (i / 20).toInt
+      val center = Array((c % 3) * 5f, ((c / 3) % 3) * 5f,
+        (c % 2) * 5f, ((c + 1) % 3) * 5f)
+      val v = center.zipWithIndex.map { case (x, j) =>
+        x + ((i * 13 + j * 7) % 11).toFloat * 0.01f }
+      (i, c.toLong, v)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("optimize re-descends ONLY the refresh-touched region: untouched " +
+    "edges verbatim, slots re-ranked, probe quality = full rebuild") {
+    val corpus = clustered
+    sql("""CREATE TABLE graft_ann.db.emb3 (vec_id BIGINT, label BIGINT,
+          |embedding ARRAY<FLOAT>) TBLPROPERTIES('history'='true')""".stripMargin)
+    corpus.where(col("vec_id") < 150).writeTo("graft_ann.db.emb3").append()
+    sql("""SELECT * FROM graft_ann_build('graft_ann', 'db.emb3',
+        |'db.knn3', 'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+    corpus.where(col("vec_id") >= 150).writeTo("graft_ann.db.emb3").append()
+    sql("""SELECT * FROM graft_ann_refresh('graft_ann', 'db.emb3',
+        |'db.knn3', 'vec_id', 'embedding', 3)""".stripMargin).collect()
+    val refreshed = spark.table("graft_ann.db.knn3").localCheckpoint(true)
+    val opt = sql("""SELECT * FROM graft_ann_optimize('graft_ann', 'db.emb3',
+        |'db.knn3', 'vec_id', 'embedding', 'label', 3)""".stripMargin).collect()(0)
+    assert(opt.getLong(0) > 0, "the refresh appended edges to re-descend")
+    assert(opt.getLong(1) < 200,
+      s"the touched region must stay a strict subset of the corpus: $opt")
+    val after = spark.table("graft_ann.db.knn3").localCheckpoint(true)
+
+    // the touched region, recomputed independently: appended edge
+    // endpoints plus their one-hop neighbors over the refreshed graph
+    val appended = refreshed.exceptAll(
+      sql("SELECT * FROM graft_ann.db.knn3 VERSION AS OF 2"))
+    val touched0 = appended.select(col("a_id"))
+      .unionAll(appended.select(col("b_id").as("a_id"))).distinct()
+    val und = refreshed.select(col("a_id"), col("b_id"))
+      .unionAll(refreshed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val scope = touched0.unionAll(
+        und.join(touched0.withColumnRenamed("a_id", "t_id"),
+          col("a_id") === col("t_id"), "left_semi")
+          .select(col("b_id").as("a_id")))
+      .distinct().localCheckpoint(true)
+    assert(scope.count() == opt.getLong(1),
+      "the TVF-reported region must be the touched+neighbors set")
+    // every node OUTSIDE the region kept its edges verbatim — the job
+    // replaced O(touched), not O(corpus)
+    val keptBefore = refreshed.join(scope.withColumnRenamed("a_id", "s_id"),
+      col("a_id") === col("s_id"), "left_anti")
+    val keptAfter = after.join(scope.withColumnRenamed("a_id", "s_id"),
+      col("a_id") === col("s_id"), "left_anti")
+    assert(keptBefore.exceptAll(keptAfter).count() == 0 &&
+      keptAfter.exceptAll(keptBefore).count() == 0,
+      "untouched nodes' edges must survive optimize byte-for-byte")
+    // slot cleanup: every node now holds a clean ranked top-k (the
+    // refreshed graph had slot reverse edges past k on recipients)
+    assert(refreshed.groupBy("a_id").count()
+      .where(col("count") > 3).count() > 0,
+      "precondition: refresh left over-degree recipients to clean up")
+    val deg = after.groupBy("a_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("rank")).as("ranks"),
+        max(col("rank")).as("maxr"))
+    assert(deg.where(col("n") > 3 || col("ranks") =!= col("n") ||
+      col("maxr") > col("n")).count() == 0,
+      "every node must end with distinct ranks 1..deg, deg <= k")
+    // probe quality: re-ranking the touched region must not lose recall
+    // vs the refreshed (slot-carrying) graph, and must answer at full-
+    // rebuild quality (recall vs the exact top-5; graphs are seeded
+    // differently so edge sets — not quality — may differ)
+    val emb3 = spark.table("graft_ann.db.emb3")
+    // queries from BOTH regimes: built nodes and refresh-inserted nodes
+    val q = corpus.where(col("vec_id").isin(0L, 1L, 2L, 160L, 170L))
+    val entries = corpus.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.topKCosine(emb3, q, "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("e_q"), col("n_id").as("e_id"))
+      .localCheckpoint(true)
+    def hits(g: org.apache.spark.sql.DataFrame): Long =
+      Similarity.graphBeamSearch(emb3, q, "vec_id", "embedding",
+          g.select("a_id", "b_id"), entries, beamWidth = 8, rounds = 3,
+          topK = 5)
+        .join(exact, col("q_id") === col("e_q") && col("id") === col("e_id"),
+          "left_semi").count()
+    val optHits = hits(after)
+    val rebuilt = AnnIndex.buildEdges(emb3, "vec_id", "embedding", "label",
+      k = 3, iters = 1)
+    val rebuiltHits = hits(rebuilt)
+    // NOT compared against the refreshed graph: its slot edges leave
+    // recipients OVER the k-degree budget, so it probes with more paths
+    // than any built graph would — the fair twin is the full rebuild at
+    // the same degree budget
+    assert(optHits >= rebuiltHits,
+      s"the optimized graph must probe at full-rebuild recall " +
+        s"(opt $optHits vs rebuilt $rebuiltHits of ${5 * 5})")
+    // quiet optimize: nothing appended since the new baseline -> no-op
+    val opt2 = sql("""SELECT * FROM graft_ann_optimize('graft_ann', 'db.emb3',
+        |'db.knn3', 'vec_id', 'embedding', 'label', 3)""".stripMargin).collect()(0)
+    assert(opt2.getLong(0) == 0)
+    val after2 = spark.table("graft_ann.db.knn3")
+    assert(after.exceptAll(after2).count() == 0 &&
+      after2.exceptAll(after).count() == 0, "a quiet optimize writes nothing")
+  }
 }
