@@ -1647,24 +1647,44 @@ object GraftExtensions {
           "id, so COW rewrites classify as updates, compaction as nothing"),
       (args: Seq[Expression]) => {
         require(args.length == 4,
-          "graft_row_diff(catalog, 'ns.t', v_from, v_to) — versions are " +
-            "integer literals or tag names")
+          "graft_row_diff(catalog, 'ns.t', v_from, v_to) — bounds are " +
+            "integer versions, tag names, or timestamps")
         val t = graftTableOf(stringArg(args.head, "graft_row_diff: catalog"),
           stringArg(args(1), "graft_row_diff: table"))
         val dir = new org.apache.hadoop.fs.Path(t.dir)
         val fs = dir.getFileSystem(
           SparkSession.active.sessionState.newHadoopConf())
-        // a version bound is a number or a TAG name — the same named-ref
-        // resolution the time-travel surface uses
+        // a version bound is a number, a TAG name, or a TIMESTAMP — tags
+        // resolve through the same named-ref machinery as VERSION AS OF,
+        // timestamps through the same at-or-before rule as TIMESTAMP AS
+        // OF (GraftTable.versionAtOrBefore), so the diff verbs can never
+        // drift from the time-travel surface
+        def atOrBefore(millis: Long, which: String, shown: Any): Long =
+          graft.sources.GraftTable.versionAtOrBefore(fs, dir, millis)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft_row_diff: ${t.name()} has no snapshot at or before " +
+                s"$which '$shown'"))
         def versionArg(e: Expression, which: String): Long = e match {
+          case Literal(us: Long, org.apache.spark.sql.types.TimestampType) =>
+            atOrBefore(us / 1000L, which, java.time.Instant.ofEpochMilli(us / 1000L))
           case Literal(v: Number, _) => v.longValue()
           case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
-            graft.sources.GraftRefs.resolve(fs, dir, s.toString).getOrElse(
-              throw new IllegalArgumentException(
-                s"graft_row_diff: $which '$s' is not a tag of ${t.name()}"))
+            graft.sources.GraftRefs.resolve(fs, dir, s.toString).orElse {
+              // not a tag: try it as a timestamp string (driver-local
+              // wall clock, like the manifest modification times it
+              // compares against); a PARSE failure falls through to the
+              // combined refusal, an out-of-range timestamp stays loud
+              (try Some(java.sql.Timestamp.valueOf(s.toString).getTime)
+               catch { case _: IllegalArgumentException => None })
+                .map(ms => atOrBefore(ms, which, s))
+            }.getOrElse(throw new IllegalArgumentException(
+              s"graft_row_diff: $which '$s' is neither a tag of " +
+                s"${t.name()} (tags: ${graft.sources.GraftRefs
+                  .readAll(fs, dir).keys.toSeq.sorted.mkString(", ")}) " +
+                "nor a 'yyyy-mm-dd hh:mm:ss[.f]' timestamp"))
           case other => throw new IllegalArgumentException(
-            s"graft_row_diff: $which must be an integer or tag-name " +
-              s"literal, got $other")
+            s"graft_row_diff: $which must be an integer, tag-name or " +
+              s"timestamp literal, got $other")
         }
         Bridge.logicalPlan(graft.sources.GraftRowDiff.diff(
           SparkSession.active, t,

@@ -1838,12 +1838,34 @@ object Etl {
       s.sql("INSERT INTO graft_rd.db.fact SELECT * FROM graft_rd_ins")
       val v2 = s.sql("SELECT max(version) FROM graft_history('graft_rd', 'db.fact')")
         .collect()(0).getLong(0)
-      s.sql(
+      val byVersion = s.sql(
         s"""SELECT _change_type, COUNT(*) AS n,
            |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
            |  CAST(SUM(ckey) AS BIGINT) AS sum_key
            |FROM graft_row_diff('graft_rd', 'db.fact', $v1, $v2)
            |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+        .localCheckpoint(eager = true)
+      // TIMESTAMP bounds (round 11): the same diff addressed by the
+      // commits' wall-clock times must resolve to the same versions via
+      // the at-or-before rule TIMESTAMP AS OF uses — proven identical
+      val ts = s.sql(
+        s"""SELECT version, committed_at
+           |FROM graft_history('graft_rd', 'db.fact')
+           |WHERE version IN ($v1, $v2)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byTimestamp = s.sql(
+        s"""SELECT _change_type, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(ckey) AS BIGINT) AS sum_key
+           |FROM graft_row_diff('graft_rd', 'db.fact',
+           |  '${new java.sql.Timestamp(ts(v1))}',
+           |  '${new java.sql.Timestamp(ts(v2))}')
+           |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      require(byVersion.exceptAll(byTimestamp).count() == 0 &&
+        byTimestamp.exceptAll(byVersion).count() == 0,
+        "etl_row_diff: timestamp bounds must resolve to the identical " +
+          "diff (at-or-before rule, same as TIMESTAMP AS OF)")
+      byVersion
     },
 
     // PUSHED LIMIT AS A BOUNDED FILE PLAN (round 9): `LIMIT n` over a

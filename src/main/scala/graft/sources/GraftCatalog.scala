@@ -432,10 +432,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$ident is not a history table — create it with TBLPROPERTIES " +
         s"('${GraftTable.HistoryProp}'='true') to enable TIMESTAMP AS OF")
     val tsMillis = timestampMicros / 1000L
-    val v = GraftTable.manifestVersions(fs, dir)
-      .filter(v => fs.getFileStatus(GraftTable.manifestPath(dir, v))
-        .getModificationTime <= tsMillis)
-      .lastOption.getOrElse(throw new IllegalArgumentException(
+    val v = GraftTable.versionAtOrBefore(fs, dir, tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
         s"$ident has no snapshot at or before timestamp $tsMillis ms"))
     pinnedTable(ident, dir, v)
   }
@@ -1424,6 +1422,19 @@ object GraftTable {
   private def branchManifestRe(b: String) =
     (java.util.regex.Pattern.quote(s"_graft_branch_${b}_manifest_") +
       """(\d+)\.txt""").r
+
+  /** Latest manifest version committed at-or-before `tsMillis` — commit
+    * wall-clock is the manifest file's modification time, the SAME
+    * at-or-before rule `TIMESTAMP AS OF` time travel applies; every
+    * timestamp-bounded surface (time travel, `graft_row_diff`) resolves
+    * through here so they can never drift apart.
+    */
+  def versionAtOrBefore(fs: FileSystem, dir: Path,
+                        tsMillis: Long): Option[Long] =
+    manifestVersions(fs, dir)
+      .filter(v => fs.getFileStatus(manifestPath(dir, v))
+        .getModificationTime <= tsMillis)
+      .lastOption
 
   def manifestVersions(fs: FileSystem, dir: Path,
                        branch: Option[String] = None): Seq[Long] = {

@@ -281,6 +281,32 @@ class GraftRowIdSpec extends SparkSpec {
       .groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byTag == byType, "tag bounds must diff identically to versions")
+    // TIMESTAMP bounds resolve through the TIMESTAMP AS OF at-or-before
+    // rule — the commits' own wall-clock times address the same diff
+    val ts = spark.sql(
+      s"""SELECT version, committed_at
+         |FROM graft_history('graft_rid', 'db.dif')
+         |WHERE version IN ($v1, $v2)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byTs = spark.sql(
+      s"""SELECT * FROM graft_row_diff('graft_rid', 'db.dif',
+         |  '${new java.sql.Timestamp(ts(v1))}',
+         |  '${new java.sql.Timestamp(ts(v2))}')""".stripMargin)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTs == byType, "timestamp bounds must diff identically")
+    // a string that is neither a tag nor a timestamp refuses with BOTH
+    // resolutions named
+    val eTs = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_row_diff('graft_rid', 'db.dif', 'nope', 'post')")
+      .collect())
+    assert(eTs.getMessage.contains("neither a tag") &&
+      eTs.getMessage.contains("timestamp"), eTs.getMessage)
+    // a pre-first-commit timestamp refuses loudly
+    val eEarly = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_row_diff('graft_rid', 'db.dif', " +
+        "'1999-01-01 00:00:00', 'post')").collect())
+    assert(eEarly.getMessage.contains("at or before"), eEarly.getMessage)
     // refusals: non-lineage table, unretained version
     sql("CREATE TABLE graft_rid.db.plain (k BIGINT) TBLPROPERTIES('history'='true')")
     sql("INSERT INTO graft_rid.db.plain VALUES (1)")
