@@ -635,9 +635,17 @@ object StreamingQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").cast("long"), col("label").cast("long"),
           col("embedding"))
-      val feed = emb.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
-        .sortBy(_._1)
+      // harness-only driver traffic is BOUNDED: the MemoryStream feed
+      // pulls one epoch chunk at a time through a partition-streamed
+      // iterator (never a whole-table collect), and the epoch boundaries
+      // are two scalars computed distributedly
+      val n = emb.count().toInt
+      val per = n / 3 + 1
+      val bounds = emb.select(col("vec_id"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+        .where(col("rn") === per || col("rn") === math.min(2 * per, n))
+        .orderBy("rn").collect().map(_.getLong(0)).toSeq
       val receipts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       val in = MemoryStream[(Long, Long, Seq[Float])]
       withFewPartitions(s) {
@@ -663,10 +671,12 @@ object StreamingQueries {
             ()
           }
           .start()
-        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+        import scala.jdk.CollectionConverters._
+        val rows = emb.orderBy("vec_id").toLocalIterator().asScala
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        foldBatches(in, rows.grouped(per).map(_.toSeq), q)
       }
       // batch-SEQUENTIAL twin: same build + placement calls, same order
-      val bounds = feed.grouped(feed.length / 3 + 1).map(_.last._1).toSeq
       val c1 = emb.where(col("vec_id") <= bounds(0))
       val c12 = emb.where(col("vec_id") <= bounds(1))
       def typed(g: DataFrame) =
@@ -687,7 +697,7 @@ object StreamingQueries {
         "stream_ann_upkeep: the streamed graph must equal the " +
           "batch-sequential build+refresh twin exactly")
       require(streamed.select(countDistinct(col("a_id")))
-          .collect()(0).getLong(0) == feed.length,
+          .collect()(0).getLong(0) == n,
         "stream_ann_upkeep: every corpus node must hold forward edges")
       receipts.toSeq.toDF("epoch", "new_nodes", "indexed_total")
         .orderBy("epoch")
