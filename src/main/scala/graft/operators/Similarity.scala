@@ -33,6 +33,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** FILTERED ANN — top-k under a metadata PREDICATE (the production
+    * "vector search WHERE tenant = ..." shape every vector store ships).
+    * Dispatch on MEASURED selectivity, the two classic regimes:
+    *
+    *  - SELECTIVE predicate (matches ≤ `bruteForceMax`): exact brute-force
+    *    top-k over the filtered subset — one column-pruned scan of the
+    *    matching rows, O(|matches|·Q). Pre-filtering beats any index once
+    *    the subset is small; an over-fetched graph probe would mostly
+    *    surface non-matching candidates and underfill.
+    *  - BROAD predicate: graph beam search with OVER-FETCH — the beam runs
+    *    at width k·`overFetch` so enough candidates survive the
+    *    post-filter, then matching candidates re-rank to the top-k.
+    *    Approximate like every graph probe (a query whose true neighbors
+    *    all fail the predicate can underfill — the documented over-fetch
+    *    trade); per-round cost Q·(k·overFetch)·degree, independent of
+    *    corpus size.
+    *
+    * The dispatch count is one column-pruned COUNT of the predicate —
+    * at 100 TB that is a stats/partition-pruned metadata-weight scan, and
+    * the threshold is the caller's (size it to the brute-force budget).
+    * Output: (mode, q_id, n_id, cosine, rank) — `mode` says which regime
+    * answered, so audits can tell exact from approximate rows.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, graph: DataFrame, entries: DataFrame,
+                   predicate: org.apache.spark.sql.Column, k: Int,
+                   overFetch: Int = 4, rounds: Int = 3,
+                   bruteForceMax: Long = 10000L): DataFrame = {
+    require(k >= 1 && overFetch >= 1, "filteredTopK: k, overFetch >= 1")
+    val matching = corpus.where(predicate)
+    if (matching.count() <= bruteForceMax)
+      topKCosine(matching, queries, idCol, vecCol, k)
+        .select(lit("exact").as("mode"), col("q_id"), col("n_id"),
+          col("cosine"), col("rank"))
+    else {
+      val wide = graphBeamSearch(corpus, queries, idCol, vecCol, graph,
+        entries, beamWidth = k * overFetch, rounds = rounds,
+        topK = k * overFetch)
+      val ids = matching.select(col(idCol).as("id"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+      wide.select(col("q_id"), col("id"), col("cosine"))
+        .join(ids, Seq("id"), "left_semi")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(lit("beam").as("mode"), col("q_id"), col("id").as("n_id"),
+          col("cosine"), col("rank"))
+    }
+  }
+
   /** Exact cosine RANGE search: every corpus neighbor with cosine ≥ tau
     * per query row (the FAISS range_search twin of [[topKCosine]]).
     * Same broadcast-query scan shape — one corpus pass, no shuffle of the

@@ -264,6 +264,39 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // FILTERED ANN (round 11): "vector search WHERE ..." — the dispatch
+    // every production vector store makes, re-expressed on measured
+    // selectivity: the label predicate (~N/10 rows, under the N/5 budget)
+    // brute-forces the filtered subset EXACTLY, the parity predicate
+    // (N/2 rows) beam-searches with 4× over-fetch and post-filters.
+    // Ratio-stable thresholds keep the dispatch identical at every scale
+    // (asserted in-query), and the oracle replays BOTH regimes: exact
+    // subset top-k, and the 20-wide beam → parity filter → re-rank.
+    "sim_ann_filtered" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val g = seedGraph(emb)
+      val entries = emb.where(col("vec_id") % 100 === 0)
+      val bfMax = emb.count() / 5
+      val selective = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+        g, entries, col("label") === 3, k = 5, overFetch = 4, rounds = 3,
+        bruteForceMax = bfMax)
+      val broad = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+        g, entries, col("vec_id") % 2 === 0, k = 5, overFetch = 4,
+        rounds = 3, bruteForceMax = bfMax)
+      val modes = (selective.select("mode")
+        .unionAll(broad.select("mode"))).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(modes == Seq("beam", "exact"),
+        s"sim_ann_filtered: the selectivity dispatch must route the " +
+          s"label predicate exact and the parity predicate to the beam, " +
+          s"got $modes")
+      // every broad answer must satisfy the predicate (post-filter proof)
+      require(broad.where(col("n_id") % 2 =!= 0).count() == 0,
+        "sim_ann_filtered: a beam answer escaped the predicate")
+      selective.unionAll(broad).orderBy("mode", "q_id", "rank")
+    },
+
     // PERSISTENT GRAPH-ANN (round 10): graft_ann_build materializes the
     // NN-descent k-NN graph as a CATALOG history table — build once,
     // probe many — and the search half READS it instead of rebuilding the
@@ -808,6 +841,65 @@ object SimilarityQueries {
        |${round(1)},
        |${round(2)},
        |${round(3)}""".stripMargin
+  }
+
+  /** Replay of sim_ann_filtered's two regimes: `xr` = exact ranked top-k
+    * over the label-3 subset; `pf` = the 20-wide (k·overFetch) beam over
+    * the SEED graph, parity-post-filtered and re-ranked.
+    */
+  private lazy val annFilteredCtes: String = {
+    def round(i: Int): String =
+      s"""wc$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM wb${i - 1}
+         |  UNION ALL SELECT p.q_id, u.b_id AS id
+         |  FROM wb${i - 1} p JOIN und u ON u.a_id = p.id)),
+         |ws$i AS (SELECT c.q_id, c.id,
+         |  ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM wc$i c JOIN v x ON x.vec_id = c.id
+         | JOIN qf q ON q.q_id = c.q_id WHERE c.id != c.q_id),
+         |wb$i AS (SELECT q_id, id, cosine, rank FROM (
+         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ws$i) WHERE rank <= 20)"""
+        .stripMargin
+    s"""v AS MATERIALIZED (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |qf AS MATERIALIZED (SELECT vec_id AS q_id, e AS q_e FROM v WHERE vec_id < 10),
+       |m3 AS (SELECT vec_id, e FROM v WHERE label = 3),
+       |xs AS (SELECT qf.q_id, m3.vec_id AS n_id,
+       |  ${cosSql("qf.q_e", "m3.e")} AS cosine
+       | FROM qf CROSS JOIN m3 WHERE m3.vec_id != qf.q_id),
+       |xr AS (SELECT q_id, n_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, n_id) AS rank FROM xs),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blocked AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM p) WHERE rank <= 3),
+       |nq AS (SELECT COUNT(*) AS n FROM v),
+       |rnd AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nq.n AS b_id
+       | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nq
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nq.n != a.vec_id),
+       |seed AS (SELECT a_id, b_id FROM blocked
+       |  UNION ALL SELECT a_id, b_id FROM rnd),
+       |und AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seed
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seed)),
+       |ws0 AS (SELECT qf.q_id, x.vec_id AS id,
+       |  ${cosSql("qf.q_e", "x.e")} AS cosine
+       | FROM qf CROSS JOIN v x
+       | WHERE x.vec_id % 100 = 0 AND x.vec_id != qf.q_id),
+       |wb0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM ws0) WHERE rank <= 20),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |pf AS (SELECT q_id, id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank
+       | FROM wb3 WHERE id % 2 = 0)""".stripMargin
   }
 
   /** Full replay of the sim_ann_optimize pipeline: build over the 3/4
@@ -1399,6 +1491,19 @@ object SimilarityQueries {
       s"""WITH $annOptimizeCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM fb3 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // both dispatch regimes replayed: exact top-5 over the label-3
+    // subset, and the 20-wide beam over the seed graph → parity filter →
+    // re-rank to 5
+    "sim_ann_filtered" ->
+      s"""WITH $annFilteredCtes
+         |SELECT * FROM (
+         |  SELECT 'exact' AS mode, q_id, n_id, cosine, rank FROM xr
+         |   WHERE rank <= 5
+         |  UNION ALL
+         |  SELECT 'beam' AS mode, q_id, id AS n_id, cosine, rank FROM pf
+         |   WHERE rank <= 5)
+         |ORDER BY mode, q_id, rank""".stripMargin,
 
     "sim_sql_surface" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings)

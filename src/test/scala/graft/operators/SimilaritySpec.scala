@@ -23,6 +23,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filteredTopK: selective predicates brute-force exactly, broad " +
+    "predicates beam with over-fetch and never leak a non-matching row") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 5)
+    val graph = Similarity.knnJoinBlocked(emb, "vec_id", "embedding",
+      "label", k = 3).select($"a_id", $"b_id")
+    val entries = emb.where($"vec_id" % 100 === 0)
+    // SELECTIVE: routed to the exact scan — row-identical to topKCosine
+    // over the pre-filtered subset
+    val sel = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+      graph, entries, $"label" === 3, k = 4, bruteForceMax = 1000)
+    assert(sel.select("mode").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("exact"))
+    val twin = Similarity.topKCosine(emb.where($"label" === 3), q,
+      "vec_id", "embedding", k = 4)
+      .select(lit("exact").as("mode"), $"q_id", $"n_id", $"cosine", $"rank")
+    assert(sel.exceptAll(twin).count() == 0 && twin.exceptAll(sel).count() == 0)
+    // BROAD: beam path; every answer satisfies the predicate, ranks are
+    // a clean re-ranked 1..m per query with m <= k
+    val broad = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+      graph, entries, $"vec_id" % 2 === 0, k = 4, bruteForceMax = 10)
+    assert(broad.select("mode").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("beam"))
+    assert(broad.where($"n_id" % 2 =!= 0).count() == 0,
+      "a beam answer escaped the predicate")
+    broad.collect().groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size) && ranks.size <= 4, ranks)
+    }
+  }
+
   test("vec_dot: mismatched lengths yield NULL, equal lengths the exact fold") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), // 32.0
