@@ -96,6 +96,48 @@ object GraftExtensions {
   /** Resolve `catalog`.`ns.table` to its GraftTable (shared by the
     * maintenance TVFs).
     */
+  /** A commit BOUND for the diff/changes verbs: an integer version, a
+    * TAG name (the named-ref resolution VERSION AS OF uses), or a
+    * TIMESTAMP (literal, or a 'yyyy-mm-dd hh:mm:ss[.f]' string tried
+    * after tags; driver-local wall clock, like the manifest modification
+    * times it compares against) resolved through
+    * [[graft.sources.GraftTable.versionAtOrBefore]] — the SAME
+    * at-or-before rule as TIMESTAMP AS OF, one code path for every
+    * timestamp-bounded surface.
+    */
+  private def resolveVersionBound(t: graft.sources.GraftTable,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path,
+                                  e: Expression, which: String,
+                                  fname: String): Long = {
+    def atOrBefore(millis: Long, shown: Any): Long =
+      graft.sources.GraftTable.versionAtOrBefore(fs, dir, millis)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fname: ${t.name()} has no snapshot at or before " +
+            s"$which '$shown'"))
+    e match {
+      case Literal(us: Long, org.apache.spark.sql.types.TimestampType) =>
+        atOrBefore(us / 1000L, java.time.Instant.ofEpochMilli(us / 1000L))
+      case Literal(v: Number, _) => v.longValue()
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        graft.sources.GraftRefs.resolve(fs, dir, s.toString).orElse {
+          // not a tag: try it as a timestamp string; a PARSE failure
+          // falls through to the combined refusal, an out-of-range
+          // timestamp stays loud
+          (try Some(java.sql.Timestamp.valueOf(s.toString).getTime)
+           catch { case _: IllegalArgumentException => None })
+            .map(ms => atOrBefore(ms, s))
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$fname: $which '$s' is neither a tag of " +
+            s"${t.name()} (tags: ${graft.sources.GraftRefs
+              .readAll(fs, dir).keys.toSeq.sorted.mkString(", ")}) " +
+            "nor a 'yyyy-mm-dd hh:mm:ss[.f]' timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"$fname: $which must be an integer, tag-name or " +
+          s"timestamp literal, got $other")
+    }
+  }
+
   private def graftTableOf(cat: String, tbl: String): graft.sources.GraftTable = {
     val s = SparkSession.active
     val plugin = Bridge.catalogPlugin(s, cat) match {
@@ -1654,41 +1696,42 @@ object GraftExtensions {
         val dir = new org.apache.hadoop.fs.Path(t.dir)
         val fs = dir.getFileSystem(
           SparkSession.active.sessionState.newHadoopConf())
-        // a version bound is a number, a TAG name, or a TIMESTAMP — tags
-        // resolve through the same named-ref machinery as VERSION AS OF,
-        // timestamps through the same at-or-before rule as TIMESTAMP AS
-        // OF (GraftTable.versionAtOrBefore), so the diff verbs can never
-        // drift from the time-travel surface
-        def atOrBefore(millis: Long, which: String, shown: Any): Long =
-          graft.sources.GraftTable.versionAtOrBefore(fs, dir, millis)
-            .getOrElse(throw new IllegalArgumentException(
-              s"graft_row_diff: ${t.name()} has no snapshot at or before " +
-                s"$which '$shown'"))
-        def versionArg(e: Expression, which: String): Long = e match {
-          case Literal(us: Long, org.apache.spark.sql.types.TimestampType) =>
-            atOrBefore(us / 1000L, which, java.time.Instant.ofEpochMilli(us / 1000L))
-          case Literal(v: Number, _) => v.longValue()
-          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
-            graft.sources.GraftRefs.resolve(fs, dir, s.toString).orElse {
-              // not a tag: try it as a timestamp string (driver-local
-              // wall clock, like the manifest modification times it
-              // compares against); a PARSE failure falls through to the
-              // combined refusal, an out-of-range timestamp stays loud
-              (try Some(java.sql.Timestamp.valueOf(s.toString).getTime)
-               catch { case _: IllegalArgumentException => None })
-                .map(ms => atOrBefore(ms, which, s))
-            }.getOrElse(throw new IllegalArgumentException(
-              s"graft_row_diff: $which '$s' is neither a tag of " +
-                s"${t.name()} (tags: ${graft.sources.GraftRefs
-                  .readAll(fs, dir).keys.toSeq.sorted.mkString(", ")}) " +
-                "nor a 'yyyy-mm-dd hh:mm:ss[.f]' timestamp"))
-          case other => throw new IllegalArgumentException(
-            s"graft_row_diff: $which must be an integer, tag-name or " +
-              s"timestamp literal, got $other")
-        }
+        def versionArg(e: Expression, which: String): Long =
+          resolveVersionBound(t, fs, dir, e, which, "graft_row_diff")
         Bridge.logicalPlan(graft.sources.GraftRowDiff.diff(
           SparkSession.active, t,
           versionArg(args(2), "v_from"), versionArg(args(3), "v_to")))
+      }),
+    ("graft_changes",
+      info("graft_changes",
+        "graft_changes(catalog, table, from, to) - the change feed of a " +
+          "history table bounded by two commits (each an integer " +
+          "version, tag name, or timestamp resolved at-or-before): the " +
+          "row images of the commits that move the table FROM the first " +
+          "bound's state TO the second's — the positional twin of " +
+          "graft_row_diff's bounds, (from, to]"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_changes(catalog, 'ns.t', from, to) — bounds are " +
+            "integer versions, tag names, or timestamps")
+        val cat = stringArg(args.head, "graft_changes: catalog")
+        val tbl = stringArg(args(1), "graft_changes: table")
+        val t = graftTableOf(cat, tbl)
+        val dir = new org.apache.hadoop.fs.Path(t.dir)
+        val fs = dir.getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf())
+        val vFrom = resolveVersionBound(t, fs, dir, args(2), "from",
+          "graft_changes")
+        val vTo = resolveVersionBound(t, fs, dir, args(3), "to",
+          "graft_changes")
+        require(vFrom <= vTo,
+          s"graft_changes: from-bound $vFrom must not exceed to-bound $vTo")
+        val s = SparkSession.active
+        Bridge.logicalPlan(s.table(s"$cat.$tbl.${graft.sources.GraftChanges.Suffix}")
+          .where(org.apache.spark.sql.functions
+            .col(graft.sources.GraftChanges.VersionCol) > vFrom &&
+            org.apache.spark.sql.functions
+              .col(graft.sources.GraftChanges.VersionCol) <= vTo))
       }),
     ("graft_history",
       info("graft_history",

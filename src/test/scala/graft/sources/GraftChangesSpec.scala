@@ -176,6 +176,45 @@ class GraftChangesSpec extends SparkSpec {
       .collect().head.getString(1) == "v1-3")
   }
 
+  test("graft_changes bounds the feed by version, tag or timestamp — one " +
+    "at-or-before rule with the time-travel surface") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_cdf.db.tb (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.tb SELECT id, id FROM range(0, 50)") // v2
+    sql("INSERT INTO graft_cdf.db.tb SELECT id, id FROM range(50, 80)") // v3
+    sql("DELETE FROM graft_cdf.db.tb WHERE id < 10") // v4
+    sql("SELECT * FROM graft_tag('graft_cdf', 'db.tb', 'mid', 2)").collect()
+    val byVersion = spark.sql(
+      "SELECT * FROM graft_changes('graft_cdf', 'db.tb', 2, 4)")
+    // (from, to]: exactly the commits that move state v2 -> v4
+    assert(byVersion.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    val manual = spark.table("graft_cdf.db.tb.changes")
+      .where(col("_commit_version") > 2 && col("_commit_version") <= 4)
+    assert(sameRows(byVersion, manual))
+    // tag bound = its version; timestamp bounds resolve at-or-before
+    val byTag = spark.sql(
+      "SELECT * FROM graft_changes('graft_cdf', 'db.tb', 'mid', 4)")
+    assert(sameRows(byTag, byVersion))
+    val ts = spark.sql(
+      """SELECT version, committed_at FROM graft_history('graft_cdf', 'db.tb')
+        |WHERE version IN (2, 4)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byTs = spark.sql(
+      s"""SELECT * FROM graft_changes('graft_cdf', 'db.tb',
+         |  '${new java.sql.Timestamp(ts(2L))}',
+         |  '${new java.sql.Timestamp(ts(4L))}')""".stripMargin)
+    assert(sameRows(byTs, byVersion))
+    // refusals: inverted bounds, neither-tag-nor-timestamp strings
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_changes('graft_cdf', 'db.tb', 4, 2)").collect())
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_changes('graft_cdf', 'db.tb', 'nope', 4)")
+      .collect())
+    assert(e.getMessage.contains("neither a tag"), e.getMessage)
+  }
+
   test("changes table resolves only for history tables; schema is base + meta") {
     sql("CREATE TABLE graft_cdf.db.plain (id BIGINT)")
     val e = intercept[Exception](spark.table("graft_cdf.db.plain.changes").collect())
