@@ -69,6 +69,13 @@ final class CreateExclusiveCommit extends CommitPrimitive {
 final class HardLinkCommit extends CommitPrimitive {
   val name = "link"
   def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    // link(2) is a LOCAL-disk primitive: misconfiguring it onto a remote
+    // store would link paths on the driver's own disk — refuse clearly
+    // instead of committing somewhere the table is not
+    val scheme = fs.getUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"graft.commit.primitive=link requires a local filesystem, " +
+        s"got scheme '$scheme' — use 'create' or 'condput'")
     val tmp = new Path(target.getParent,
       s".tmp-commit-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)

@@ -211,12 +211,21 @@ object GraftEqDelete {
     // fresh ids above the head watermark, which advances in the SAME
     // atomic manifest commit as the files. Cost: O(change set + pruned key
     // columns), never a full-row table scan.
+    // the WHOLE upsert is planned against one pinned snapshot and commits
+    // exactly v0+1: a concurrent commit of ANY kind takes that version
+    // first and the exclusive manifest create fails loudly — without the
+    // pin, a racing lineage write could land between our watermark read
+    // and a late head re-read, and the fresh ids minted here would
+    // COLLIDE with its allocations
+    val v0 = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
+      throw new IllegalStateException(s"$catalog.$table has no manifest"))
     val carryCol = "__graft_carry"
     val (toLand, rowWmMeta): (DataFrame, Map[String, String]) =
       if (!t.rowLineage) (casted, Map.empty)
       else {
+        // watermark OF the pinned snapshot, not of whatever is newest
         val wm0 = GraftRowId.watermark(
-          GraftIdentity.headMeta(fs, dir, None))
+          GraftTable.manifestMeta(fs, dir, v0))
         var existing = spark.table(s"$catalog.$table")
           .select((col(GraftRowId.Col) +: keyCols.map(col)): _*)
         keyMinMax.foreach { case (c, mn, mx) =>
@@ -280,9 +289,7 @@ object GraftEqDelete {
     // a file whose recorded range provably cannot hold any changed key
     // skips the eq reference entirely
     val stats = GraftStats.readAll(fs, dir)
-    val v = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
-      throw new IllegalStateException(s"$catalog.$table has no manifest"))
-    val old = GraftTable.readFullEntries(fs, dir, v)
+    val old = GraftTable.readFullEntries(fs, dir, v0)
     val updated = old.map { e =>
       val skippable = bounds.nonEmpty &&
         stats.get(new Path(e.file).getName)
@@ -290,12 +297,13 @@ object GraftEqDelete {
       if (skippable) e else e.copy(eqs = e.eqs :+ eqTarget.toString)
     }
     // the lineage watermark (when this upsert minted ids) rides the SAME
-    // exclusive manifest create as the files — a racing committer makes
-    // this fail loudly and nothing of the allocation is visible
-    GraftTable.writeFullEntries(fs, dir, v + 1,
+    // exclusive manifest create as the files — a racing committer takes
+    // v0+1 first, this create fails loudly, and nothing of the
+    // allocation is visible
+    GraftTable.writeFullEntries(fs, dir, v0 + 1,
       updated ++ landed.map(GraftTable.GraftEntry(_, None)), rowWmMeta)
-    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindEqDelta)
-    v + 1
+    GraftTable.writeCommitKind(fs, dir, v0 + 1, GraftTable.KindEqDelta)
+    v0 + 1
   }
 
   /** Fold equality masks into rewritten data files (the eq analog of
