@@ -1741,6 +1741,73 @@ object Etl {
               |FROM graft_equ.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // PARTITIONED EQUALITY-DELETE UPSERT (round 11): the upsert composes
+    // with VALUE-PARTITIONED layouts — change rows land under their
+    // col=value/ directories via the same Hive path escaping the table
+    // writer uses (pruning and partition parsing see upserted files like
+    // appended ones), and masking stays GLOBAL by key: an update that
+    // MOVES a row's partition (seg flips for ckey%6=0 here) lands in the
+    // new partition while the old version is masked wherever it lives —
+    // exactly upsert semantics, impossible to express as a
+    // partition-local operation. Asserted in-query: every data file
+    // lives under a seg= directory and the moved keys serve ONLY their
+    // new partition. The oracle replays the upsert as a FULL JOIN.
+    "etl_eq_upsert_part" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_eqp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_eqp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_eqp.db")
+      s.sql("DROP TABLE IF EXISTS graft_eqp.db.fact")
+      s.sql("""CREATE TABLE graft_eqp.db.fact
+              |(ckey BIGINT, cents BIGINT, seg STRING)
+              |PARTITIONED BY (seg)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      val segOf = org.apache.spark.sql.functions.when(
+        col("o_orderkey") % 4 < 2, lit("p0")).otherwise(lit("p1"))
+      val segFlipped = org.apache.spark.sql.functions.when(
+        col("o_orderkey") % 4 < 2, lit("p1")).otherwise(lit("p0"))
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          segOf.as("seg"))
+        .createOrReplaceTempView("graft_eqp_base")
+      s.sql("INSERT INTO graft_eqp.db.fact SELECT * FROM graft_eqp_base")
+      // ckey % 6 = 0 UPDATE + MOVE partitions; ckey % 3 = 1 fresh inserts
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1 || col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"),
+          org.apache.spark.sql.functions.when(col("o_orderkey") % 6 === 0,
+            segFlipped).otherwise(segOf).as("seg"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_eqp", "db.fact",
+        changes, Seq("ckey"))
+      // every live data file sits in its col=value directory — the
+      // layout contract pruning rests on
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/fact")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      val files = graft.sources.GraftTable.readFullEntries(tfs, tdir, head)
+        .map(_.file)
+      require(files.nonEmpty && files.forall(_.contains("seg=")),
+        "etl_eq_upsert_part: every data file (appended AND upserted) " +
+          "must live under its partition directory")
+      // moved keys serve ONLY their new partition (global masking)
+      val wrongSide = s.sql(
+        """SELECT COUNT(*) FROM graft_eqp.db.fact
+          |WHERE ckey % 6 = 0 AND
+          |  seg = (CASE WHEN ckey % 4 < 2 THEN 'p0' ELSE 'p1' END)
+          |""".stripMargin).collect()(0).getLong(0)
+      require(wrongSide == 0L,
+        s"etl_eq_upsert_part: $wrongSide moved rows still visible in " +
+          "their OLD partition — masking must be global by key")
+      s.sql("""SELECT seg, ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_eqp.db.fact GROUP BY seg, ckey % 5
+              |ORDER BY seg, grp""".stripMargin)
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -4296,6 +4363,25 @@ object Etl {
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_eq_upsert_part" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 4 < 2 THEN 'p0' ELSE 'p1' END AS seg
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN
+        |    (CASE WHEN o_orderkey % 4 < 2 THEN 'p1' ELSE 'p0' END)
+        |  WHEN o_orderkey % 4 < 2 THEN 'p0' ELSE 'p1' END AS seg
+        |  FROM orders WHERE o_orderkey % 3 = 1 OR o_orderkey % 6 = 0),
+        |merged AS (SELECT COALESCE(c.ckey, b.ckey) AS ckey,
+        |  COALESCE(c.cents, b.cents) AS cents,
+        |  COALESCE(c.seg, b.seg) AS seg
+        |  FROM base b FULL JOIN chg c ON b.ckey = c.ckey)
+        |SELECT seg, ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "etl_changes_rowid" ->
       """WITH base AS (SELECT o_orderkey AS ckey,

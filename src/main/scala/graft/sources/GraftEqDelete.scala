@@ -111,9 +111,17 @@ object GraftEqDelete {
     * carry exactly one row per key (last-writer-wins needs a writer-side
     * order; enforce it before calling). Returns the committed version.
     *
-    * Flat history tables only for now: identity/bucket/days() layouts
-    * route appends through their own writers — composing those with the
-    * eq sidecar commit is future work, rejected loudly here.
+    * Flat AND value-partitioned history tables (round 11): partitioned
+    * change rows land under their `col=value/` directories (Spark's own
+    * Hive path escaping — the layout the table's writer produces), and
+    * the upsert stays one atomic commit. Masking is BY KEY, globally: a
+    * row whose partitioning attribute changed lands in its NEW partition
+    * while the old version — wherever it lives — is masked, which is
+    * exactly upsert semantics. Partition COLUMNS are refused as keys
+    * (their values live in path segments, not row bytes — the per-file
+    * key probe could never see them). bucket/days()/identity layouts
+    * still route through their own writers — composing those with the eq
+    * sidecar commit stays future work, rejected loudly here.
     */
   def upsert(spark: SparkSession, catalog: String, table: String,
              changes: DataFrame, keyCols: Seq[String]): Long = {
@@ -121,10 +129,16 @@ object GraftEqDelete {
     require(t.history,
       s"upsert: $catalog.$table is not a history table — equality deletes " +
         "are versioned in the manifest, which only history tables have")
-    require(t.partitionCols.isEmpty && t.bucketSpec.isEmpty && t.dayCol.isEmpty,
-      s"upsert: $catalog.$table has a partition/bucket/time layout — " +
-        "equality-delete upserts compose with flat history tables only " +
-        "for now (layout-routed appends + eq sidecars are future work)")
+    require(t.bucketSpec.isEmpty && t.dayCol.isEmpty,
+      s"upsert: $catalog.$table has a bucket/time layout — those route " +
+        "appends through their own derived-layout writers; composing " +
+        "them with the eq sidecar commit is future work, rejected " +
+        "loudly (flat and value-partitioned tables compose)")
+    require(keyCols.forall(c => !t.partitionCols.contains(c)),
+      s"upsert: key columns ${keyCols.mkString(",")} include a PARTITION " +
+        "column — partition values live in path segments, not row bytes, " +
+        "so the per-file key probe could never match them; key on " +
+        "physical columns (or MERGE INTO)")
     // ROW LINEAGE composes (see below): the reinserted row version CARRIES
     // the masked row's _row_id — an upsert of an existing key is the same
     // row — and only genuinely new keys mint fresh ids, exactly the
@@ -150,8 +164,10 @@ object GraftEqDelete {
     // cast to the exact table types FIRST — the sidecar keys and the
     // landed row versions must carry table-typed values, same as every
     // other write path (a raw untyped append would make the read-path
-    // probe compare representations that never match)
-    val casted = changes.select(t.physicalSchema.fields.map(f =>
+    // probe compare representations that never match). The LOGICAL
+    // schema: partition columns ride along to route the staging write,
+    // then live in path segments, not file bytes
+    val casted = changes.select(t.schema().fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
     // LWW needs one row per key IN the change set itself
@@ -262,23 +278,40 @@ object GraftEqDelete {
     val staging = new Path(dir, s".upsert-${UUID.randomUUID()}")
     val physCols = ioSchema.fieldNames.toSeq
     withMicros(spark) {
-      toLand.select(physCols.map(col): _*)
-        .write.mode("overwrite").parquet(new Path(staging, "data").toString)
+      // partitionBy routes each change row into its col=value/ directory
+      // with Spark's own Hive path escaping — byte-identical layout to
+      // the table writer's, so partition pruning and parsePartValues see
+      // upserted files exactly like appended ones (flat tables: no-op)
+      toLand.select((physCols ++ t.partitionCols).map(col): _*)
+        .write.partitionBy(t.partitionCols: _*).mode("overwrite")
+        .parquet(new Path(staging, "data").toString)
       casted.select(keyCols.map(col): _*).distinct().coalesce(1)
         .write.mode("overwrite").parquet(new Path(staging, "keys").toString)
     }
-    def parts(sub: String): Seq[Path] =
-      fs.listStatus(new Path(staging, sub)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-    val landed = parts("data").map { p =>
-      val tgt = new Path(dir,
+    // (file, partition subpath) pairs — recursion only descends the
+    // col=value/ levels partitionBy wrote
+    def parts(sub: String): Seq[(Path, String)] = {
+      def walk(d: Path, rel: String): Seq[(Path, String)] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.contains("="))
+            walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+          else if (st.isFile && n.endsWith(".parquet"))
+            Seq((st.getPath, rel))
+          else Nil
+        }
+      walk(new Path(staging, sub), "")
+    }
+    val landed = parts("data").map { case (p, rel) =>
+      val parent = if (rel.isEmpty) dir else new Path(dir, rel)
+      if (parent != dir && !fs.exists(parent)) fs.mkdirs(parent)
+      val tgt = new Path(parent,
         s"part-upsert-${UUID.randomUUID().toString.take(12)}.parquet")
       fs.rename(p, tgt); tgt.toString
     }
     val eqTarget = new Path(dir, freshName())
     parts("keys") match {
-      case Seq(one) => fs.rename(one, eqTarget)
+      case Seq((one, _)) => fs.rename(one, eqTarget)
       case many => throw new IllegalStateException(
         s"upsert: key sidecar staged ${many.size} parts")
     }
@@ -350,12 +383,16 @@ object GraftEqDelete {
         val name = new Path(e.file).getName
         // part file names are [A-Za-z0-9.-] — no partition-value escaping
         val sub = new Path(out, s"__graft_src=$name")
+        // the rewrite lands in the SOURCE file's own directory, so a
+        // partitioned file keeps its col=value/ segments (parsePartValues
+        // derives partition values from the path; flat tables: the root)
+        val srcParent = new Path(e.file).getParent
         val landed =
           if (!fs.exists(sub)) Nil // fully-masked file vanishes
           else fs.listStatus(sub).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .map(_.getPath).zipWithIndex.map { case (p, i) =>
-              val tgt = new Path(dir,
+              val tgt = new Path(srcParent,
                 s"${name.stripSuffix(".parquet")}-eqm$i-" +
                   s"${UUID.randomUUID().toString.take(8)}.parquet")
               fs.rename(p, tgt); tgt.toString

@@ -186,6 +186,45 @@ class GraftEqDeleteSpec extends SparkSpec {
       "cast keys must probe-match the table's physical representation")
   }
 
+  test("upsert composes with VALUE-PARTITIONED tables: change rows land " +
+    "in their col=value dirs, masks stay global, the fold keeps layout") {
+    sql("""CREATE TABLE graft_eq.db.pt (k BIGINT, v STRING, seg STRING)
+          |PARTITIONED BY (seg) TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_eq.db.pt VALUES
+          |(1, 'a', 'x'), (2, 'b', 'x'), (3, 'c', 'y')""".stripMargin)
+    // k=2 UPDATES and MOVES partition x -> y; k=10 is a genuine insert
+    GraftEqDelete.upsert(spark, "graft_eq", "db.pt",
+      Seq((2L, "B", "y"), (10L, "n", "x")).toDF("k", "v", "seg"), Seq("k"))
+    val t = spark.table("graft_eq.db.pt")
+    assert(t.count() == 4)
+    val k2 = t.where(col("k") === 2).collect().head
+    assert(k2.getString(1) == "B" && k2.getString(2) == "y",
+      "the upserted row must serve its NEW partition value")
+    assert(t.where(col("seg") === "x").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 10L),
+      "the old partition must not resurrect the moved row")
+    // upserted files live under their col=value directories (the layout
+    // the table writer produces — pruning and parsePartValues intact)
+    val dir = dirOf("pt"); val fs = fsOf("pt")
+    def headFiles = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).map(_.file)
+    assert(headFiles.filter(_.contains("part-upsert"))
+      .forall(_.contains("seg=")), headFiles.mkString("\n"))
+    // partition columns are refused as keys, loudly
+    val e = intercept[IllegalArgumentException](GraftEqDelete.upsert(
+      spark, "graft_eq", "db.pt",
+      Seq((9L, "z", "x")).toDF("k", "v", "seg"), Seq("seg")))
+    assert(e.getMessage.contains("PARTITION"), e.getMessage)
+    // the fold rewrites masked files IN their partitions and drops masks
+    val before = t.orderBy("k").collect().toSeq
+    GraftEqDelete.materializeEqDeletes(spark, dir.toString)
+    val after = spark.table("graft_eq.db.pt")
+    assert(after.orderBy("k").collect().toSeq == before)
+    assert(headFiles.forall(_.contains("seg=")), headFiles.mkString("\n"))
+    assert(GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).forall(_.eqs.isEmpty))
+  }
+
   test("rejections: non-history, layouts, duplicate keys in the change set") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
