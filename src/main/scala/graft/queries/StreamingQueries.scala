@@ -217,6 +217,103 @@ object StreamingQueries {
     // ride on the catalog's copy-on-write MERGE + the committed-batch
     // marker, and the final TABLE state must equal the one-shot batch
     // fold (same oracle as stream_cdc_apply)
+    // STREAMED EQ-DELETE UPSERT (round 11): the eqdelta fast path driven
+    // from a stream — three micro-batches of keyed changes, each applied
+    // as ONE O(change-set) equality-delete commit against a table that is
+    // VALUE-PARTITIONED and ROW-LINEAGE at once (the strongest
+    // composition this round added). Asserted in-query after the stream:
+    // ids stay unique, ZERO updated keys re-minted across three epochs
+    // (the carry survives per-batch), every commit is kind=eqdelta (the
+    // O(batch) path, never a rewrite), and every file sits in its
+    // partition directory. Keys are disjoint across batches, so the
+    // folded state equals one big upsert — the oracle replays it as the
+    // same FULL JOIN as etl_eq_upsert_part's.
+    "stream_eq_upsert" -> { (s, dir) =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_squ", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_squ.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_squ.db")
+      s.sql("DROP TABLE IF EXISTS graft_squ.db.fact")
+      s.sql("""CREATE TABLE graft_squ.db.fact
+              |(ckey BIGINT, cents BIGINT, seg STRING)
+              |PARTITIONED BY (seg)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      val segOf = when(col("o_orderkey") % 4 < 2, lit("p0")).otherwise(lit("p1"))
+      val segFlipped =
+        when(col("o_orderkey") % 4 < 2, lit("p1")).otherwise(lit("p0"))
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          segOf.as("seg"))
+        .createOrReplaceTempView("graft_squ_base")
+      s.sql("INSERT INTO graft_squ.db.fact SELECT * FROM graft_squ_base")
+      val v1 = s.sql(
+        "SELECT max(version) FROM graft_history('graft_squ', 'db.fact')")
+        .collect()(0).getLong(0)
+      // each key appears ONCE across all batches (LWW holds per batch AND
+      // the fold equals one big upsert); key-bounded so the driver feed
+      // stays small at every scale
+      val changes = Tables.orders(s, dir)
+        .where((col("o_orderkey") % 3 === 1 || col("o_orderkey") % 6 === 0)
+          && col("o_orderkey") < 30000)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"),
+          when(col("o_orderkey") % 6 === 0, segFlipped)
+            .otherwise(segOf).as("seg"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1)
+      val in = MemoryStream[(Long, Long, String)]
+      withFewPartitions(s) {
+        val q = in.toDF().toDF("ckey", "cents", "seg")
+          .writeStream
+          .option("checkpointLocation",
+            Etl.scratch(s, s"squ_cp_${java.util.UUID.randomUUID()}"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              graft.sources.GraftEqDelete.upsert(s, "graft_squ", "db.fact",
+                batch, Seq("ckey"))
+            ()
+          }
+          .start()
+        foldBatches(in, changes.grouped(changes.length / 3 + 1).map(_.toSeq), q)
+      }
+      // every epoch was the O(batch) eqdelta commit, never a rewrite
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/fact")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val kinds = graft.sources.GraftTable.manifestVersions(tfs, tdir)
+        .filter(_ > v1)
+        .flatMap(v => graft.sources.GraftTable.readCommitKind(tfs, tdir, v))
+      require(kinds.nonEmpty &&
+        kinds.forall(_ == graft.sources.GraftTable.KindEqDelta),
+        s"stream_eq_upsert: every streamed epoch must commit as eqdelta, " +
+          s"got $kinds")
+      val uniq = s.sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT _row_id) AS d
+                        |FROM graft_squ.db.fact""".stripMargin).collect()(0)
+      require(uniq.getLong(0) == uniq.getLong(1),
+        "stream_eq_upsert: ids must stay unique across streamed epochs")
+      val reId = s.sql(
+        s"""SELECT COUNT(*) FROM
+           |  (SELECT ckey, _row_id FROM graft_squ.db.fact VERSION AS OF $v1) b
+           |  JOIN graft_squ.db.fact a
+           |    ON a.ckey = b.ckey AND a._row_id <> b._row_id
+           |""".stripMargin).collect()(0).getLong(0)
+      require(reId == 0L,
+        s"stream_eq_upsert: $reId updated keys re-minted — the lineage " +
+          "carry must survive every micro-batch")
+      val head = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      require(graft.sources.GraftTable.readFullEntries(tfs, tdir, head)
+          .forall(_.file.contains("seg=")),
+        "stream_eq_upsert: every file must sit in its partition directory")
+      s.sql("""SELECT seg, ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_squ.db.fact GROUP BY seg, ckey % 5
+              |ORDER BY seg, grp""".stripMargin)
+    },
+
     "stream_catalog_upsert" -> { (s, dir) =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -2095,6 +2192,27 @@ object StreamingQueries {
         | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "stream_eq_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 4 < 2 THEN 'p0' ELSE 'p1' END AS seg
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN
+        |    (CASE WHEN o_orderkey % 4 < 2 THEN 'p1' ELSE 'p0' END)
+        |  WHEN o_orderkey % 4 < 2 THEN 'p0' ELSE 'p1' END AS seg
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 1 OR o_orderkey % 6 = 0)
+        |    AND o_orderkey < 30000),
+        |merged AS (SELECT COALESCE(c.ckey, b.ckey) AS ckey,
+        |  COALESCE(c.cents, b.cents) AS cents,
+        |  COALESCE(c.seg, b.seg) AS seg
+        |  FROM base b FULL JOIN chg c ON b.ckey = c.ckey)
+        |SELECT seg, ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_catalog_upsert" ->
       """WITH ch AS (SELECT o_custkey AS c_custkey, 'upd_' || o_orderkey AS c_name,
