@@ -1808,6 +1808,91 @@ object Etl {
               |ORDER BY seg, grp""".stripMargin)
     },
 
+    // HIDDEN-TIME EQUALITY-DELETE UPSERT (round 12): the upsert composes
+    // with days() layouts — the canonical 100 TB streaming fact table,
+    // which until this round had to give up the O(change-set) eq commit
+    // and route through MOR MERGE (target scan) or COW (file rewrites).
+    // Change rows land in their ts_day=N/ directories via the SAME
+    // TZ-independent unit arithmetic the table writer uses; masking stays
+    // GLOBAL by key — an update that MOVES a row's timestamp one day
+    // forward lands in the NEW day dir while the old version is masked in
+    // its old day — and day PRUNING survives: a one-week scan over the
+    // upserted table must plan at most 7 day directories (asserted from
+    // the scan's own planned input partitions, not file listings). The
+    // oracle replays the upsert as a FULL JOIN over raw events.
+    "etl_eq_upsert_days" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_eqd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_eqd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_eqd.db")
+      s.sql("DROP TABLE IF EXISTS graft_eqd.db.fact")
+      s.sql("""CREATE TABLE graft_eqd.db.fact
+              |(event_id BIGINT, ts TIMESTAMP, cents BIGINT)
+              |PARTITIONED BY (days(ts))
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.events(s, dir)
+        .where(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("ts"),
+          (floor(col("value") * 100) + 1).cast("long").as("cents"))
+        .writeTo("graft_eqd.db.fact").append()
+      // change set: event_id % 6 = 0 keys UPDATE and MOVE one day
+      // forward; % 3 = 1 keys are fresh inserts — one row per key
+      val changes = Tables.events(s, dir)
+        .where(col("event_id") % 3 === 1 || col("event_id") % 6 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 6 === 0,
+            col("ts") + expr("INTERVAL 1 DAY")).otherwise(col("ts")).as("ts"),
+          ((floor(col("value") * 100) + 1).cast("long") + 7).as("cents"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_eqd", "db.fact",
+        changes, Seq("event_id"))
+      // every data file (appended AND upserted) sits in its ts_day= dir —
+      // the layout contract day pruning rests on
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/fact")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      val files = graft.sources.GraftTable.readFullEntries(tfs, tdir, head)
+        .map(_.file)
+      require(files.nonEmpty && files.forall(_.contains("ts_day=")),
+        "etl_eq_upsert_days: every data file (appended AND upserted) " +
+          "must live in its day directory")
+      // moved keys serve ONLY their shifted timestamp: the old version —
+      // one day dir over — is masked globally by key
+      val stale = s.table("graft_eqd.db.fact").as("f")
+        .join(Tables.events(s, dir).select(col("event_id"),
+          col("ts").as("ts0")), "event_id")
+        .where(col("event_id") % 6 === 0 && col("ts") === col("ts0"))
+        .count()
+      require(stale == 0L,
+        s"etl_eq_upsert_days: $stale moved rows still serve their OLD " +
+          "day — masking must be global across day dirs")
+      // day pruning survives the upsert: the scan's own planned input
+      // partitions for a one-week predicate touch at most 7 day dirs
+      val firstDay = Tables.events(s, dir)
+        .agg(min(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val week = s.table("graft_eqd.db.fact")
+        .where(col("ts") >= date_add(lit(firstDay), 7).cast("timestamp") &&
+          col("ts") < date_add(lit(firstDay), 14).cast("timestamp"))
+      val scan = week.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head
+      val plannedDays = scan.toBatch.planInputPartitions().toSeq.collect {
+        case p: graft.sources.GraftFilePartition =>
+          p.file.split('/').find(_.startsWith("ts_day=")).getOrElse("?")
+      }.distinct.size
+      val totalDirs = tfs.listStatus(tdir).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("ts_day="))
+      require(plannedDays <= 7 && plannedDays < totalDirs,
+        s"etl_eq_upsert_days: week scan planned $plannedDays of " +
+          s"$totalDirs day dirs — pruning must survive the eq upsert")
+      s.table("graft_eqd.db.fact")
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy("day")
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -4382,6 +4467,22 @@ object Etl {
         |SELECT seg, ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "etl_eq_upsert_days" ->
+      """WITH base AS (SELECT event_id, ts,
+        |  CAST(FLOOR(value * 100) + 1 AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 3 = 0),
+        |chg AS (SELECT event_id,
+        |  CASE WHEN event_id % 6 = 0 THEN ts + INTERVAL 1 DAY ELSE ts END AS ts,
+        |  CAST(FLOOR(value * 100) + 1 AS BIGINT) + 7 AS cents
+        |  FROM events WHERE event_id % 3 = 1 OR event_id % 6 = 0),
+        |merged AS (SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+        |  COALESCE(c.ts, b.ts) AS ts,
+        |  COALESCE(c.cents, b.cents) AS cents
+        |  FROM base b FULL JOIN chg c ON b.event_id = c.event_id)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_changes_rowid" ->
       """WITH base AS (SELECT o_orderkey AS ckey,

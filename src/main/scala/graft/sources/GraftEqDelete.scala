@@ -119,9 +119,22 @@ object GraftEqDelete {
     * while the old version — wherever it lives — is masked, which is
     * exactly upsert semantics. Partition COLUMNS are refused as keys
     * (their values live in path segments, not row bytes — the per-file
-    * key probe could never see them). bucket/days()/identity layouts
-    * still route through their own writers — composing those with the eq
-    * sidecar commit stays future work, rejected loudly here.
+    * key probe could never see them).
+    *
+    * HIDDEN-TIME layouts (`days()`/`hours()`/`months()`, round 12): the
+    * canonical 100 TB streaming fact table composes too. Change rows are
+    * routed into their `<col>_<unit>=N/` directories by the SAME
+    * TZ-independent unit arithmetic the table writer and the compaction
+    * rewrites use (bit-for-bit agreement — see
+    * GraftMaintenance.unitIndexExpr), so day pruning sees upserted files
+    * exactly like appended ones, and an update that MOVES a row's
+    * timestamp across days lands in its new day while the old version is
+    * masked globally by key. The time column itself MAY be a key: unlike
+    * value-partition columns its raw values live in the row bytes, which
+    * is what the per-file probe reads. Only bucket() layouts still route
+    * through their own writer — the bucket id rides in the FILE NAME,
+    * which this staging write cannot thread per-row without reimplementing
+    * the writer's task-level naming; rejected loudly (MERGE covers it).
     */
   def upsert(spark: SparkSession, catalog: String, table: String,
              changes: DataFrame, keyCols: Seq[String]): Long = {
@@ -129,11 +142,11 @@ object GraftEqDelete {
     require(t.history,
       s"upsert: $catalog.$table is not a history table — equality deletes " +
         "are versioned in the manifest, which only history tables have")
-    require(t.bucketSpec.isEmpty && t.dayCol.isEmpty,
-      s"upsert: $catalog.$table has a bucket/time layout — those route " +
-        "appends through their own derived-layout writers; composing " +
-        "them with the eq sidecar commit is future work, rejected " +
-        "loudly (flat and value-partitioned tables compose)")
+    require(t.bucketSpec.isEmpty,
+      s"upsert: $catalog.$table has a bucket layout — bucket ids ride in " +
+        "file NAMES the task-level writer allocates; composing that with " +
+        "the eq sidecar commit is future work, rejected loudly (flat, " +
+        "value-partitioned and days()/hours()/months() tables compose)")
     require(keyCols.forall(c => !t.partitionCols.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} include a PARTITION " +
         "column — partition values live in path segments, not row bytes, " +
@@ -169,47 +182,56 @@ object GraftEqDelete {
     // then live in path segments, not file bytes
     val casted = changes.select(t.schema().fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // the change set is O(change), not O(table) — cache it: it feeds the
+    // validation aggregate, the lineage carry join and TWO staging writes
+    casted.persist()
 
-    // LWW needs one row per key IN the change set itself
-    val nRows = casted.count()
-    val nKeys = casted.select(keyCols.map(col): _*).distinct().count()
+    // ALL change-set validation in ONE aggregate pass (round 12 — the
+    // five separate driver actions were ~3× of the streaming caller's
+    // per-epoch overhead): row count, distinct-key count (LWW needs one
+    // row per key), null-key count, constraint violations, and the per-
+    // key-column min/max bounding box the stats-scoped references and
+    // the lineage carry scan prune with
+    val nullKeyPred = keyCols.map(col(_).isNull).reduce(_ || _)
+    val violations = (t.checks.map { case (_, text) =>
+      org.apache.spark.sql.functions.expr(s"($text) <=> false")
+    } ++ t.schema().fields.filterNot(_.nullable).toSeq
+      .map(f => col(f.name).isNull)).reduceOption(_ || _)
+    val sumIf = (p: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(p, 1L).otherwise(0L))
+    val aggCols = Seq(
+      org.apache.spark.sql.functions.count(lit(1L)).as("__n"),
+      org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.struct(keyCols.map(col): _*)).as("__k"),
+      sumIf(nullKeyPred).as("__nullkeys"),
+      sumIf(violations.getOrElse(lit(false))).as("__bad")) ++
+      keyCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"),
+        max(col(c)).as(s"__mx_$c")))
+    val vRow = casted.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nRows = vRow.getLong(0)
+    val nKeys = vRow.getLong(1)
     require(nRows == nKeys,
       s"upsert: change set has $nRows rows but $nKeys distinct keys — " +
         "collapse to one row per key (latest wins) before upserting")
-
     // null keys are rejected outright: SQL equality in the fold join and
     // the stats-scoped reference skip are both null-rejecting, while the
     // read-path probe matches null==null — admitting them would let a
     // compact-kind fold resurrect rows
-    val nNullKeys = casted.where(keyCols.map(col(_).isNull)
-      .reduce(_ || _)).count()
+    val nNullKeys = if (vRow.isNullAt(2)) 0L else vRow.getLong(2)
     require(nNullKeys == 0,
       s"upsert: $nNullKeys change row(s) carry NULL in a key column " +
         s"(${keyCols.mkString(",")}) — equality-delete keys must be non-null")
-
     // CHECK / NOT NULL gate: every write path enforces the declared
     // constraints; an upsert is a write path
-    val violations = t.checks.map { case (_, text) =>
-      org.apache.spark.sql.functions.expr(s"($text) <=> false")
-    } ++ t.schema().fields.filterNot(_.nullable).toSeq
-      .map(f => col(f.name).isNull)
-    violations.reduceOption(_ || _).foreach { bad =>
-      val nBad = casted.where(bad).count()
-      require(nBad == 0,
-        s"upsert refused: $nBad change row(s) violate $catalog.$table's " +
-          "declared CHECK constraints")
-    }
-
-    // stats-scoped references need the changed keys' bounding box (per key
-    // column min/max); the lineage carry scan below reuses it to prune
-    val keyMinMax: Seq[(String, Any, Any)] = {
-      val aggs = keyCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
-        max(col(c)).as(s"mx_$c")))
-      val row = casted.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nBad = if (vRow.isNullAt(3)) 0L else vRow.getLong(3)
+    require(nBad == 0,
+      s"upsert refused: $nBad change row(s) violate $catalog.$table's " +
+        "declared CHECK constraints")
+    val keyMinMax: Seq[(String, Any, Any)] =
       keyCols.zipWithIndex.map { case (c, i) =>
-        (c, row.get(2 * i), row.get(2 * i + 1))
+        (c, vRow.get(4 + 2 * i), vRow.get(4 + 2 * i + 1))
       }
-    }
     val bounds: Seq[org.apache.spark.sql.sources.Filter] =
       keyMinMax.flatMap { case (c, mn, mx) =>
         if (mn == null || mx == null) Nil
@@ -236,6 +258,7 @@ object GraftEqDelete {
     val v0 = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
       throw new IllegalStateException(s"$catalog.$table has no manifest"))
     val carryCol = "__graft_carry"
+    val cached = scala.collection.mutable.Buffer[DataFrame](casted)
     val (toLand, rowWmMeta): (DataFrame, Map[String, String]) =
       if (!t.rowLineage) (casted, Map.empty)
       else {
@@ -253,8 +276,11 @@ object GraftEqDelete {
           .agg(min(col(GraftRowId.Col)).as(carryCol))
         // no broadcast hint: the carried side is bounded by the distinct
         // keys in the scanned range, which a wide change set can grow past
-        // broadcast size — AQE picks the strategy per actual size
-        val joined = casted.join(carried, keyCols, "left")
+        // broadcast size — AQE picks the strategy per actual size. Cached:
+        // the fresh-count action and the staging write both read it, and
+        // re-planning it would re-run the carry scan
+        val joined = casted.join(carried, keyCols, "left").persist()
+        cached += joined
         val nFresh = joined.where(col(carryCol).isNull).count()
         // fresh ids: wm0 + dense 1..nFresh by key order — deterministic,
         // and the window sorts only the (bounded) change set
@@ -277,13 +303,29 @@ object GraftEqDelete {
 
     val staging = new Path(dir, s".upsert-${UUID.randomUUID()}")
     val physCols = ioSchema.fieldNames.toSeq
+    // hidden-time layouts: the staging write partitions by the SAME
+    // TZ-independent unit index the table writer derives (the raw column
+    // stays in the row bytes — only the synthetic routing column is
+    // consumed by partitionBy), and landing translates each
+    // `__graft_unit=N` staging segment into the table's `<col>_<unit>=N`
+    // directory name
+    val unitColName = "__graft_unit"
+    val stagePartCols =
+      if (t.dayCol.nonEmpty) Seq(unitColName) else t.partitionCols
+    val stageDf = t.dayCol match {
+      case Some(c) =>
+        val dt = t.schema().fields.find(_.name == c).get.dataType
+        toLand.select(physCols.map(col) :+ org.apache.spark.sql.functions
+          .expr(GraftMaintenance.unitIndexExpr(t.timeUnit, dt, c))
+          .as(unitColName): _*)
+      case None => toLand.select((physCols ++ t.partitionCols).map(col): _*)
+    }
     withMicros(spark) {
       // partitionBy routes each change row into its col=value/ directory
       // with Spark's own Hive path escaping — byte-identical layout to
       // the table writer's, so partition pruning and parsePartValues see
       // upserted files exactly like appended ones (flat tables: no-op)
-      toLand.select((physCols ++ t.partitionCols).map(col): _*)
-        .write.partitionBy(t.partitionCols: _*).mode("overwrite")
+      stageDf.write.partitionBy(stagePartCols: _*).mode("overwrite")
         .parquet(new Path(staging, "data").toString)
       casted.select(keyCols.map(col): _*).distinct().coalesce(1)
         .write.mode("overwrite").parquet(new Path(staging, "keys").toString)
@@ -302,7 +344,19 @@ object GraftEqDelete {
         }
       walk(new Path(staging, sub), "")
     }
-    val landed = parts("data").map { case (p, rel) =>
+    // staging segment -> table directory segment (identity except under
+    // a time layout, where the synthetic unit index becomes the writer's
+    // own directory name — null timestamps share Spark's null-partition
+    // constant, so the null day dir round-trips too)
+    def targetRel(rel: String): String = t.dayCol match {
+      case Some(c) if rel.nonEmpty =>
+        val raw = rel.stripPrefix(s"$unitColName=")
+        GraftDayPartition.dirName(c, t.timeUnit,
+          if (raw == GraftTable.NullPartition) None else Some(raw.toLong))
+      case _ => rel
+    }
+    val landed = parts("data").map { case (p, rel0) =>
+      val rel = targetRel(rel0)
       val parent = if (rel.isEmpty) dir else new Path(dir, rel)
       if (parent != dir && !fs.exists(parent)) fs.mkdirs(parent)
       val tgt = new Path(parent,
@@ -332,10 +386,14 @@ object GraftEqDelete {
     // the lineage watermark (when this upsert minted ids) rides the SAME
     // exclusive manifest create as the files — a racing committer takes
     // v0+1 first, this create fails loudly, and nothing of the
-    // allocation is visible
-    GraftTable.writeFullEntries(fs, dir, v0 + 1,
-      updated ++ landed.map(GraftTable.GraftEntry(_, None)), rowWmMeta)
-    GraftTable.writeCommitKind(fs, dir, v0 + 1, GraftTable.KindEqDelta)
+    // allocation is visible. The change-set caches are released either
+    // way (a streaming caller retries the epoch after a lost race; its
+    // JVM must not accumulate per-attempt cache)
+    try {
+      GraftTable.writeFullEntries(fs, dir, v0 + 1,
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)), rowWmMeta)
+      GraftTable.writeCommitKind(fs, dir, v0 + 1, GraftTable.KindEqDelta)
+    } finally cached.foreach(_.unpersist(false))
     v0 + 1
   }
 

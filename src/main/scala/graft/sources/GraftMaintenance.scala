@@ -1207,9 +1207,9 @@ object GraftMaintenance {
     * rows by this expression so their one-job repartition agrees with
     * the writer's directory arithmetic bit-for-bit.
     */
-  private def unitIndexExpr(unit: String,
-                            dt: org.apache.spark.sql.types.DataType,
-                            dayCol: String): String = (unit, dt) match {
+  private[sources] def unitIndexExpr(unit: String,
+                                     dt: org.apache.spark.sql.types.DataType,
+                                     dayCol: String): String = (unit, dt) match {
     case ("hours", org.apache.spark.sql.types.TimestampType) =>
       s"FLOOR(unix_micros($dayCol) / 3600000000)"
     case ("days", org.apache.spark.sql.types.TimestampType) =>

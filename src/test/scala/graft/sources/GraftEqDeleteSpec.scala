@@ -225,15 +225,82 @@ class GraftEqDeleteSpec extends SparkSpec {
       GraftTable.manifestVersions(fs, dir).last).forall(_.eqs.isEmpty))
   }
 
-  test("rejections: non-history, layouts, duplicate keys in the change set") {
+  test("upsert composes with days() HIDDEN-TIME tables: change rows land " +
+    "in ts_day= dirs, day moves mask globally, the fold keeps layout") {
+    sql("""CREATE TABLE graft_eq.db.dt (k BIGINT, ts TIMESTAMP, v STRING)
+          |PARTITIONED BY (days(ts)) TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_eq.db.dt VALUES
+          |(1, TIMESTAMP '2026-03-01 08:00:00', 'a'),
+          |(2, TIMESTAMP '2026-03-01 09:00:00', 'b'),
+          |(3, TIMESTAMP '2026-03-02 10:00:00', 'c')""".stripMargin)
+    // k=2 UPDATES and MOVES day 2026-03-01 -> 2026-03-03; k=10 inserts
+    GraftEqDelete.upsert(spark, "graft_eq", "db.dt",
+      Seq((2L, java.sql.Timestamp.valueOf("2026-03-03 09:00:00"), "B"),
+        (10L, java.sql.Timestamp.valueOf("2026-03-02 11:00:00"), "n"))
+        .toDF("k", "ts", "v"), Seq("k"))
+    val t = spark.table("graft_eq.db.dt")
+    assert(t.count() == 4)
+    val k2 = t.where(col("k") === 2).collect().head
+    assert(k2.getString(2) == "B" &&
+      k2.getTimestamp(1) == java.sql.Timestamp.valueOf("2026-03-03 09:00:00"),
+      "the upserted row must serve its NEW day")
+    assert(t.where(col("ts") < lit("2026-03-02").cast("timestamp"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the old day must not resurrect the moved row")
+    // upserted files live in the writer's own ts_day=N directories with
+    // the SAME unit arithmetic (UTC epoch day — spec-pinned values)
+    val dir = dirOf("dt"); val fs = fsOf("dt")
+    def headFiles = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).map(_.file)
+    val upserted = headFiles.filter(_.contains("part-upsert"))
+    assert(upserted.nonEmpty && upserted.forall(_.contains("ts_day=")),
+      headFiles.mkString("\n"))
+    val d20260303 = java.time.LocalDate.of(2026, 3, 3).toEpochDay
+    assert(upserted.exists(_.contains(s"ts_day=$d20260303/")),
+      s"the moved row must land in its new day dir ($d20260303): $upserted")
+    // day pruning sees upserted files like appended ones: a one-day scan
+    // plans only that day's files
+    val oneDay = spark.table("graft_eq.db.dt")
+      .where(col("ts") >= lit("2026-03-03").cast("timestamp") &&
+        col("ts") < lit("2026-03-04").cast("timestamp"))
+    val scan = oneDay.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.head
+    val plannedFiles = scan.toBatch.planInputPartitions().toSeq.collect {
+      case p: GraftFilePartition => p.file
+    }
+    assert(plannedFiles.nonEmpty &&
+      plannedFiles.forall(_.contains(s"ts_day=$d20260303/")),
+      s"pruning must plan only the probed day: $plannedFiles")
+    // the time column is NOT refused as a key (raw values live in row
+    // bytes, unlike value-partition columns whose values are path-only)
+    GraftEqDelete.upsert(spark, "graft_eq", "db.dt",
+      Seq((java.sql.Timestamp.valueOf("2026-03-02 10:00:00"), 3L, "c2"))
+        .toDF("ts", "k", "v"), Seq("k", "ts"))
+    assert(spark.table("graft_eq.db.dt").where(col("k") === 3)
+      .collect().head.getString(2) == "c2")
+    // the fold rewrites masked files IN their day dirs and drops masks
+    val before = spark.table("graft_eq.db.dt").orderBy("k").collect().toSeq
+    GraftEqDelete.materializeEqDeletes(spark, dir.toString)
+    assert(spark.table("graft_eq.db.dt").orderBy("k").collect().toSeq == before)
+    assert(headFiles.forall(_.contains("ts_day=")), headFiles.mkString("\n"))
+    assert(GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).forall(_.eqs.isEmpty))
+  }
+
+  test("rejections: non-history, bucket layout, duplicate keys in the change set") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
       Seq((1L, "x")).toDF("k", "v"), Seq("k")))
-    sql("""CREATE TABLE graft_eq.db.dayed (k BIGINT, ts TIMESTAMP)
-          |PARTITIONED BY (days(ts)) TBLPROPERTIES('history'='true')""".stripMargin)
-    intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.dayed",
-      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
-        .toDF("k", "ts"), Seq("k")))
+    sql("""CREATE TABLE graft_eq.db.bucketed (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, k))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.bucketed VALUES (1, 'a')")
+    val eb = intercept[IllegalArgumentException](GraftEqDelete.upsert(
+      spark, "graft_eq", "db.bucketed",
+      Seq((1L, "x")).toDF("k", "v"), Seq("k")))
+    assert(eb.getMessage.contains("bucket"), eb.getMessage)
     sql("""CREATE TABLE graft_eq.db.t5 (k BIGINT, v STRING)
           |TBLPROPERTIES('history'='true')""".stripMargin)
     sql("INSERT INTO graft_eq.db.t5 VALUES (1, 'a')")
