@@ -99,12 +99,26 @@ object GraftExtensions {
   /** A commit BOUND for the diff/changes verbs: an integer version, a
     * TAG name (the named-ref resolution VERSION AS OF uses), or a
     * TIMESTAMP (literal, or a 'yyyy-mm-dd hh:mm:ss[.f]' string tried
-    * after tags; driver-local wall clock, like the manifest modification
-    * times it compares against) resolved through
+    * after tags — parsed in the SESSION time zone, exactly like a
+    * TIMESTAMP literal resolves, so the two spellings can never name
+    * different versions when spark.sql.session.timeZone differs from
+    * the JVM default) resolved through
     * [[graft.sources.GraftTable.versionAtOrBefore]] — the SAME
     * at-or-before rule as TIMESTAMP AS OF, one code path for every
     * timestamp-bounded surface.
     */
+  /** Timestamp-string → epoch millis under the SESSION time zone (the
+    * rule TIMESTAMP literals resolve by — Spark's own parser, so the
+    * string and literal spellings of one instant always agree); None on
+    * a parse failure.
+    */
+  private def sessionTsMillis(s: String): Option[Long] =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone))
+      .map(_ / 1000L)
+
   private def resolveVersionBound(t: graft.sources.GraftTable,
                                   fs: org.apache.hadoop.fs.FileSystem,
                                   dir: org.apache.hadoop.fs.Path,
@@ -124,9 +138,7 @@ object GraftExtensions {
           // not a tag: try it as a timestamp string; a PARSE failure
           // falls through to the combined refusal, an out-of-range
           // timestamp stays loud
-          (try Some(java.sql.Timestamp.valueOf(s.toString).getTime)
-           catch { case _: IllegalArgumentException => None })
-            .map(ms => atOrBefore(ms, s))
+          sessionTsMillis(s.toString).map(ms => atOrBefore(ms, s))
         }.getOrElse(throw new IllegalArgumentException(
           s"$fname: $which '$s' is neither a tag of " +
             s"${t.name()} (tags: ${graft.sources.GraftRefs
@@ -509,7 +521,10 @@ object GraftExtensions {
           stringArg(args(1), "graft_vacuum: table"))
         val (m, f) = args(2) match {
           case Literal(ts, org.apache.spark.sql.types.StringType) if ts != null =>
-            val millis = java.sql.Timestamp.valueOf(ts.toString).getTime
+            val millis = sessionTsMillis(ts.toString).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_vacuum: '$ts' is not a 'yyyy-mm-dd hh:mm:ss[.f]' " +
+                  "timestamp"))
             graft.sources.GraftMaintenance.vacuumOlderThan(s, t.dir, millis)
           case other =>
             graft.sources.GraftMaintenance.vacuum(s, t.dir,
@@ -1672,7 +1687,16 @@ object GraftExtensions {
           val touched = graft.operators.AnnIndex.lastScopeSize.get()
           optimized.writeTo(s"$cat.$graphTbl")
             .overwrite(org.apache.spark.sql.functions.lit(true))
-          val newHead = graft.sources.GraftTable.manifestVersions(fs, dir).last
+          // stamp the overwrite's OWN committed version (thread-local
+          // from the batch write), never a re-listed head: a concurrent
+          // graph commit landing between the overwrite and the stamp
+          // would otherwise get baselined-over and its appended edges
+          // silently skipped by every future optimize
+          val newHead = graft.sources.GraftBatchWrite
+            .lastCommittedVersion.get()
+          require(newHead > 0,
+            s"graft_ann_optimize: the overwrite of $cat.$graphTbl did " +
+              "not report its committed version")
           s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
             s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$newHead')")
           Bridge.logicalPlan(Seq((nAppended, touched, optimized.count()))

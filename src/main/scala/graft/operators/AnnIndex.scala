@@ -29,10 +29,13 @@ object AnnIndex {
     */
   val BuiltVersionProp = "ann.built.version"
 
-  /** Size of the last [[optimizeEdges]] touched region (driver-side probe
-    * for the TVF report and the O(touched) spec assertion).
+  /** Size of the last [[optimizeEdges]] touched region on THIS thread
+    * (driver-side probe for the TVF report and the O(touched) spec
+    * assertion) — thread-local, not a JVM global: concurrent optimizes
+    * must not misreport each other's touched_region.
     */
-  val lastScopeSize = new java.util.concurrent.atomic.AtomicLong(-1L)
+  val lastScopeSize: ThreadLocal[Long] =
+    new ThreadLocal[Long] { override def initialValue(): Long = -1L }
 
   /** Seed edges: block-local exact top-k ∪ deterministic pseudo-random
     * long links ((id·131 + t·9973) mod N) — the cross-block links descent

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Diagnostic: counted-dispatch fallbacks [[filteredTopK]] ran on THIS
+    * thread (the stats-estimated path must plan zero count jobs —
+    * gate/spec-asserted). Thread-local, not a JVM global: concurrent
+    * queries in one bench/verify JVM must not read each other's counts.
+    */
+  val countedDispatches: ThreadLocal[Long] =
+    new ThreadLocal[Long] { override def initialValue(): Long = 0L }
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (it is broadcast). Output: (q_id, n_id, cosine, rank); the raw
     * IEEE cosine with id tiebreak makes the ranking deterministic (the
@@ -50,9 +58,18 @@ object Similarity {
     *    trade); per-round cost Q·(k·overFetch)·degree, independent of
     *    corpus size.
     *
-    * The dispatch count is one column-pruned COUNT of the predicate —
-    * at 100 TB that is a stats/partition-pruned metadata-weight scan, and
-    * the threshold is the caller's (size it to the brute-force budget).
+    * The dispatch is STATS-FIRST (round 12): pass `estimateMatches` —
+    * e.g. rows/NDV from the catalog's manifest-lifted sketches
+    * (GraftStats.headEqualityEstimate) — and the regime choice costs a
+    * METADATA read, the way a production vector store estimates
+    * selectivity from column statistics. Without an estimate the
+    * fallback is one column-pruned COUNT of the predicate (still a
+    * stats/partition-pruned metadata-weight scan at 100 TB); the
+    * `countedDispatches` thread-local counts those fallbacks so callers
+    * can ASSERT the estimated path planned zero count jobs. An estimate
+    * that errs high only routes to the beam (approximate but cheap);
+    * one that errs low brute-forces a bigger subset (exact but slower) —
+    * either way the ANSWER contract of the chosen regime holds.
     * Output: (mode, q_id, n_id, cosine, rank) — `mode` says which regime
     * answered, so audits can tell exact from approximate rows.
     */
@@ -60,10 +77,17 @@ object Similarity {
                    vecCol: String, graph: DataFrame, entries: DataFrame,
                    predicate: org.apache.spark.sql.Column, k: Int,
                    overFetch: Int = 4, rounds: Int = 3,
-                   bruteForceMax: Long = 10000L): DataFrame = {
+                   bruteForceMax: Long = 10000L,
+                   estimateMatches: Option[Long] = None): DataFrame = {
     require(k >= 1 && overFetch >= 1, "filteredTopK: k, overFetch >= 1")
     val matching = corpus.where(predicate)
-    if (matching.count() <= bruteForceMax)
+    val selective = estimateMatches match {
+      case Some(est) => est <= bruteForceMax
+      case None =>
+        countedDispatches.set(countedDispatches.get + 1)
+        matching.count() <= bruteForceMax
+    }
+    if (selective)
       topKCosine(matching, queries, idCol, vecCol, k)
         .select(lit("exact").as("mode"), col("q_id"), col("n_id"),
           col("cosine"), col("rank"))

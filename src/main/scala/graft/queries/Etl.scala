@@ -2272,9 +2272,15 @@ object Etl {
     // cardinalities with no ANALYZE TABLE. In-query: the planner's NDV
     // estimates for three columns must each land within 5% of the exact
     // counts (HLL lgK=12 is ±1.6% stderr) AND the CBO row estimate for an
-    // equality filter must reflect them. The RESULT is the exact distinct
-    // counts — the oracle recomputes them from raw orders, proving the
-    // estimates were judged against reality, not against themselves.
+    // equality filter must reflect them. Round 12: a MOR DELETE then
+    // masks rows and the estimates must STAY LIVE as declared
+    // over-approximations (bounded between the post-delete exact and the
+    // pre-delete sketch ceiling) with the CBO filter estimate still
+    // scaling — the pre-round-12 refusal stripped cardinalities from
+    // every actively-upserted table until a fold. The RESULT is the
+    // post-delete exact distinct counts — the oracle recomputes them
+    // from raw orders, proving the estimates were judged against
+    // reality, not against themselves.
     "etl_cbo_stats" -> { (s, dir) =>
       graft.GraftExtensions.register(s)
       val wh = scratch(s, "wh")
@@ -2282,43 +2288,64 @@ object Etl {
       s.conf.set("spark.sql.catalog.graft_cb.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cb.db")
       s.sql("DROP TABLE IF EXISTS graft_cb.db.ord")
-      s.sql("CREATE TABLE graft_cb.db.ord (id BIGINT, status STRING, priority STRING)")
+      s.sql("""CREATE TABLE graft_cb.db.ord
+              |(id BIGINT, status STRING, priority STRING)
+              |TBLPROPERTIES('history'='true','merge-on-read'='true')"""
+        .stripMargin)
       Tables.orders(s, dir).createOrReplaceTempView("graft_cb_orders")
       s.sql("""INSERT INTO graft_cb.db.ord
               |SELECT o_orderkey, o_orderstatus, o_orderpriority
               |FROM graft_cb_orders""".stripMargin)
-      val scan = s.table("graft_cb.db.ord")
+      import scala.jdk.CollectionConverters._
+      def scanStats() = s.table("graft_cb.db.ord")
         .queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
             r.scan.asInstanceOf[graft.sources.GraftScan].estimateStatistics()
         }.head
-      import scala.jdk.CollectionConverters._
-      def est(c: String): Long = scan.columnStats().asScala.collectFirst {
+      def est(st: org.apache.spark.sql.connector.read.Statistics,
+              c: String): Long = st.columnStats().asScala.collectFirst {
         case (ref, cs) if ref.fieldNames().sameElements(Array(c)) &&
           cs.distinctCount().isPresent => cs.distinctCount().getAsLong
       }.getOrElse(throw new IllegalStateException(
         s"etl_cbo_stats: no NDV estimate served for $c"))
+      def cboEstimate(): Option[BigInt] = {
+        val prev = s.conf.get("spark.sql.cbo.enabled")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try s.table("graft_cb.db.ord").where(col("status") === "O")
+          .queryExecution.optimizedPlan.stats.rowCount
+        finally s.conf.set("spark.sql.cbo.enabled", prev)
+      }
+      val scan = scanStats()
       val exact = s.sql(
         """SELECT COUNT(DISTINCT id), COUNT(DISTINCT status),
           |       COUNT(DISTINCT priority) FROM graft_cb.db.ord""".stripMargin)
         .collect()(0)
       Seq(("id", exact.getLong(0)), ("status", exact.getLong(1)),
         ("priority", exact.getLong(2))).foreach { case (c, x) =>
-        val e = est(c)
+        val e = est(scan, c)
         require(math.abs(e - x) <= math.max(2L, x / 20),
           s"etl_cbo_stats: planner NDV for $c is $e, exact $x — " +
             "outside the 5% sketch tolerance")
       }
-      val prev = s.conf.get("spark.sql.cbo.enabled")
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      try {
-        val rc = s.table("graft_cb.db.ord").where(col("status") === "O")
-          .queryExecution.optimizedPlan.stats.rowCount
-        val n = s.table("graft_cb.db.ord").count()
-        require(rc.exists(r => r > 0 && r < n),
-          s"etl_cbo_stats: CBO filter estimate $rc must scale by the " +
-            s"status cardinality (table has $n rows)")
-      } finally s.conf.set("spark.sql.cbo.enabled", prev)
+      val n = s.table("graft_cb.db.ord").count()
+      require(cboEstimate().exists(r => r > 0 && r < n),
+        s"etl_cbo_stats: CBO filter estimate must scale by the " +
+          s"status cardinality (table has $n rows)")
+      // mask phase: a MOR DELETE lands DV sidecars; NDVs stay served as
+      // over-approximations bounded by [post-delete exact, pre-delete
+      // sketch + tolerance], and CBO keeps a scaling filter estimate
+      s.sql("DELETE FROM graft_cb.db.ord WHERE id % 10 = 0")
+      val postExactId = s.sql(
+        "SELECT COUNT(DISTINCT id) FROM graft_cb.db.ord")
+        .collect()(0).getLong(0)
+      val maskedEst = est(scanStats(), "id")
+      require(maskedEst >= postExactId &&
+        maskedEst <= exact.getLong(0) + math.max(2L, exact.getLong(0) / 20),
+        s"etl_cbo_stats: masked NDV $maskedEst must stay live as an " +
+          s"over-approximation in [$postExactId, ~${exact.getLong(0)}]")
+      val n2 = s.table("graft_cb.db.ord").count()
+      require(cboEstimate().exists(r => r > 0 && r < n2),
+        "etl_cbo_stats: CBO must keep scaling estimates under masks")
       s.sql("""SELECT COUNT(DISTINCT id) AS ndv_id,
               |       COUNT(DISTINCT status) AS ndv_status,
               |       COUNT(DISTINCT priority) AS ndv_priority
@@ -4576,7 +4603,7 @@ object Etl {
       """SELECT COUNT(DISTINCT o_orderkey) AS ndv_id,
         | COUNT(DISTINCT o_orderstatus) AS ndv_status,
         | COUNT(DISTINCT o_orderpriority) AS ndv_priority
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
 
     "etl_column_default" ->
       """SELECT CASE c_custkey % 3 WHEN 0 THEN 'standard'

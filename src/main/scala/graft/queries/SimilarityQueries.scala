@@ -264,26 +264,58 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
-    // FILTERED ANN (round 11): "vector search WHERE ..." — the dispatch
-    // every production vector store makes, re-expressed on measured
-    // selectivity: the label predicate (~N/10 rows, under the N/5 budget)
-    // brute-forces the filtered subset EXACTLY, the parity predicate
-    // (N/2 rows) beam-searches with 4× over-fetch and post-filters.
-    // Ratio-stable thresholds keep the dispatch identical at every scale
-    // (asserted in-query), and the oracle replays BOTH regimes: exact
-    // subset top-k, and the 20-wide beam → parity filter → re-rank.
+    // FILTERED ANN (round 11; round 12 makes the dispatch STATS-FIRST):
+    // "vector search WHERE ..." — the regime choice every production
+    // vector store makes, now costed as a METADATA read: the label
+    // predicate's selectivity (~N/10 rows, under the N/5 budget) comes
+    // off the manifest stats log as rows/NDV (headEqualityEstimate) and
+    // brute-forces the filtered subset EXACTLY with ZERO count jobs
+    // (thread-local probe-counter asserted); the parity predicate is not
+    // an equality on a stats column, so it takes the counted FALLBACK
+    // (counter-asserted too) and beam-searches with 4× over-fetch +
+    // post-filter. The brute-force budget itself is the stats row count
+    // — the whole selective dispatch never touches data. Ratio-stable
+    // thresholds keep the dispatch identical at every scale; the oracle
+    // replays BOTH regimes: exact subset top-k, and the 20-wide beam →
+    // parity filter → re-rank.
     "sim_ann_filtered" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_af", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_af.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_af.db")
+      s.sql("DROP TABLE IF EXISTS graft_af.db.emb")
+      s.sql("""CREATE TABLE graft_af.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .writeTo("graft_af.db.emb").append()
+      val emb = s.table("graft_af.db.emb")
       val q = emb.where(col("vec_id") < 10)
       val g = seedGraph(emb)
       val entries = emb.where(col("vec_id") % 100 === 0)
-      val bfMax = emb.count() / 5
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/emb")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val (rowsEst, perLabel) = graft.sources.GraftStats
+        .headEqualityEstimate(tfs, tdir, "label")
+        .getOrElse(throw new IllegalStateException(
+          "sim_ann_filtered: the manifest stats must serve a label NDV"))
+      val bfMax = rowsEst / 5
+      val c0 = Similarity.countedDispatches.get
       val selective = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
         g, entries, col("label") === 3, k = 5, overFetch = 4, rounds = 3,
-        bruteForceMax = bfMax)
+        bruteForceMax = bfMax, estimateMatches = Some(perLabel))
+      require(Similarity.countedDispatches.get == c0,
+        "sim_ann_filtered: the stats-estimated dispatch must plan ZERO " +
+          "count jobs")
       val broad = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
         g, entries, col("vec_id") % 2 === 0, k = 5, overFetch = 4,
         rounds = 3, bruteForceMax = bfMax)
+      require(Similarity.countedDispatches.get == c0 + 1,
+        "sim_ann_filtered: a predicate without an estimate must take " +
+          "the counted fallback, exactly once")
       val modes = (selective.select("mode")
         .unionAll(broad.select("mode"))).distinct()
         .collect().map(_.getString(0)).sorted.toSeq

@@ -634,12 +634,11 @@ object StreamingQueries {
       val cents = graft.operators.IvfIndex
         .centroids(emb, "vec_id", "embedding", 32)
         .localCheckpoint(eager = true)
-      val feed = emb
-        .select(col("vec_id").cast("long"), col("label").cast("long"),
-          col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
-        .sortBy(_._1)
+      // harness-only driver traffic is BOUNDED: the MemoryStream feed
+      // pulls one epoch chunk at a time through a partition-streamed
+      // iterator (never a whole-table collect) — the stream_ann_upkeep
+      // shape
+      val nEmb = emb.count().toInt
       val in = MemoryStream[(Long, Long, Seq[Float])]
       withFewPartitions(s) {
         val q = in.toDF().toDF("vec_id", "label", "embedding")
@@ -657,7 +656,13 @@ object StreamingQueries {
               .writeTo("graft_sei.db.emb").append()
           }
           .start()
-        foldBatches(in, feed.grouped(feed.length / 3 + 1).map(_.toSeq), q)
+        import scala.jdk.CollectionConverters._
+        val rows = emb
+          .select(col("vec_id").cast("long"), col("label").cast("long"),
+            col("embedding"))
+          .orderBy("vec_id").toLocalIterator().asScala
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        foldBatches(in, rows.grouped(nEmb / 3 + 1).map(_.toSeq), q)
       }
       // the stream landed partition-ROUTED: every data file sits in a
       // list_id= dir (the layout partition pruning needs)

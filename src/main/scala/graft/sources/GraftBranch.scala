@@ -309,6 +309,15 @@ object GraftBranch {
           require(attempts < 100,
             s"recordGroup: cannot allocate a group id at $d: ${e.getMessage}")
           id += 1 // a racing publish took it
+        case e: java.io.IOException if fs.exists(groupPath(wh, id)) =>
+          // an FS whose exclusive create signals an existing file with a
+          // plain IOException (older/third-party Hadoop impls permit it):
+          // the id IS taken — same benign race, advance; anything else
+          // (permissions, disk) fell through and stays loud
+          attempts += 1
+          require(attempts < 100,
+            s"recordGroup: cannot allocate a group id at $d: ${e.getMessage}")
+          id += 1
       }
     }
     id // unreachable
@@ -364,7 +373,7 @@ object GraftBranch {
       throw new IllegalArgumentException(s"no branch '$name' at $dir"))
     val own = GraftTable.manifestVersions(fs, dir, Some(name))
     own.foreach { v =>
-      val kind = GraftTable.readCommitKind(fs, dir, v, Some(name))
+      val kind = GraftTable.commitKind(fs, dir, v, Some(name))
       require(kind.contains(GraftTable.KindAppend),
         s"cherry-pick of '$name' refused: branch commit $v is " +
           s"${kind.getOrElse("unknown")} — only pure APPENDS commute " +
@@ -385,7 +394,8 @@ object GraftBranch {
     val added = headEntries.filterNot(e => baseFiles.contains(e.file))
     require(added.forall(e => e.dv.isEmpty && e.eqs.isEmpty),
       s"cherry-pick of '$name': appended entries carry row-level masks")
-    val cv = GraftTable.commitRetrying(fs, dir)(old =>
+    val cv = GraftTable.commitRetrying(fs, dir,
+      meta = GraftTable.kindMeta(GraftTable.KindAppend))(old =>
       old ++ added.map(_.file).filterNot(old.contains))
     GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend)
     own.foreach { v =>

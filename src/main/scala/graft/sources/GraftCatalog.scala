@@ -1134,8 +1134,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"graft_register: a VIEW named $ident exists")
     fs.mkdirs(stub)
-    val out = fs.create(new Path(stub, GraftTable.LocationFile), false)
-    try out.write(loc.toString.getBytes("UTF-8")) finally out.close()
+    // the pointer install serializes on the SAME pluggable atomic
+    // primitive as manifest commits (GraftCommitPrimitive): a raw
+    // create(overwrite=false) is check-then-open on local-FS-like
+    // stores, so two racing registers could both pass the existence
+    // checks above and silently clobber each other's pointer — with the
+    // primitive exactly one wins and the loser fails with the standard
+    // already-exists error
+    try GraftCommitPrimitive.forFs(fs).commit(fs,
+      new Path(stub, GraftTable.LocationFile),
+      loc.toString.getBytes("UTF-8"))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
   }
 
   // --- namespaces: directories without a table meta file ---
@@ -1427,7 +1439,9 @@ object GraftTable {
     * wall-clock is the manifest file's modification time, the SAME
     * at-or-before rule `TIMESTAMP AS OF` time travel applies; every
     * timestamp-bounded surface (time travel, `graft_row_diff`) resolves
-    * through here so they can never drift apart.
+    * through here so they can never drift apart. Mtimes are strictly
+    * monotonic per table (writeFullEntries bumps same-ms ties), so a
+    * commit's own committed_at always resolves back to that commit.
     */
   def versionAtOrBefore(fs: FileSystem, dir: Path,
                         tsMillis: Long): Option[Long] =
@@ -1661,6 +1675,20 @@ object GraftTable {
     // (see GraftCommitPrimitive — pluggable per store; conditional-PUT
     // shaped on rename-less object stores)
     GraftCommitPrimitive.forFs(fs).commit(fs, manifestPath(dir, v, branch), bytes)
+    // commit wall-clock IS the manifest mtime, and every timestamp
+    // surface (TIMESTAMP AS OF, graft_row_diff/graft_changes bounds)
+    // resolves at-or-before on it: enforce STRICT monotonicity per
+    // table, because two commits landing in the same millisecond would
+    // make the earlier one's own committed_at resolve to the later
+    // version (post-commit metadata touch-up — the version race was
+    // already decided at the create above)
+    prev.foreach { case (pv, pb) =>
+      val cur = manifestPath(dir, v, branch)
+      val prevMtime =
+        fs.getFileStatus(manifestPath(dir, pv, pb)).getModificationTime
+      if (fs.getFileStatus(cur).getModificationTime <= prevMtime)
+        fs.setTimes(cur, prevMtime + 1, -1)
+    }
   }
 
   /** Optimistic-concurrency commit loop for ADDITIVE commits: read the
@@ -1674,7 +1702,8 @@ object GraftTable {
     * Returns the committed version.
     */
   def commitRetrying(fs: FileSystem, dir: Path, maxRetries: Int = 20,
-                     branch: Option[String] = None)(
+                     branch: Option[String] = None,
+                     meta: Map[String, String] = Map.empty)(
       update: Seq[String] => Seq[String]): Long = {
     var attempt = 0
     while (true) {
@@ -1686,7 +1715,7 @@ object GraftTable {
         writeFullEntries(fs, dir, v + 1,
           update(oldEntries.map(_.file)).map(f =>
             oldByFile.getOrElse(f, GraftEntry(f, None))),
-          Map.empty, branch)
+          meta, branch)
         return v + 1
       } catch {
         case e: java.io.IOException =>
@@ -1752,6 +1781,41 @@ object GraftTable {
     val out = fs.create(commitKindPath(dir, v, branch), true)
     try out.write(kind.getBytes("UTF-8")) finally out.close()
   }
+
+  /** `!kind=` manifest meta key (round 12): the commit kind riding INSIDE
+    * the manifest's atomic create. The `_graft_commit_<v>.txt` marker is
+    * still written for compatibility (replication ships it kind-first,
+    * vacuum retires it, pre-meta mirrors read it), but consumers resolve
+    * the meta FIRST — closing the crash window where a manifest landed
+    * without its marker and a torn COMPACTION read as a data commit,
+    * making `.changes` and the streaming tail emit the entire rewritten
+    * table as spurious change images. Not carried forward between
+    * commits (the txn:/idwm: carry filter excludes it): each manifest
+    * states its own kind or none.
+    */
+  val KindMetaKey = "kind"
+
+  def kindMeta(kind: String): Map[String, String] = Map(KindMetaKey -> kind)
+
+  /** Commit `entries` at `v` with the kind ATOMIC in the manifest meta,
+    * plus the compatibility kind file (written after the commit point,
+    * as before — but no reader depends on it for new commits).
+    */
+  def commitWithKind(fs: FileSystem, dir: Path, v: Long,
+                     entries: Seq[GraftEntry], kind: String,
+                     meta: Map[String, String] = Map.empty,
+                     branch: Option[String] = None): Unit = {
+    writeFullEntries(fs, dir, v, entries, meta + (KindMetaKey -> kind), branch)
+    writeCommitKind(fs, dir, v, kind, branch)
+  }
+
+  /** Resolve a commit's kind: manifest meta first (atomic with the
+    * commit), the marker file as fallback for pre-meta commits.
+    */
+  def commitKind(fs: FileSystem, dir: Path, v: Long,
+                 branch: Option[String] = None): Option[String] =
+    manifestMeta(fs, dir, v, branch).get(KindMetaKey)
+      .orElse(readCommitKind(fs, dir, v, branch))
 
   def readCommitKind(fs: FileSystem, dir: Path, v: Long,
                      branch: Option[String] = None): Option[String] = {
@@ -2541,20 +2605,27 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     // manifest stats log (an ANALYZE TABLE nobody has to run): per-column
     // distinct counts are the UNION of the per-file HLL sketches the
     // writer tracked in its hot loop, null counts are exact sums — served
-    // only when EVERY live file carries stats and no row-level mask could
-    // make them lie (DV/equality deletes remove rows the sketches still
-    // remember). Join reorder and broadcast decisions then run on real
-    // cardinalities instead of defaults.
+    // when EVERY live file carries stats. Row-level masks (DV/equality
+    // deletes) remove rows the sketches still remember, so under ANY
+    // mask the union is served as a declared OVER-approximation (round
+    // 12): an NDV that only over-counts is sound for selectivity and
+    // broadcast decisions (it under-estimates per-value match counts,
+    // never fabricates rows), and refusing — the pre-round-12 behavior —
+    // stripped planner cardinalities from every actively-upserted table
+    // until a fold. Null counts are NOT servable under masks (a masked
+    // row may have been one of the nulls; an over-counted nullCount
+    // would make IsNotNull selectivity fabricate row reductions), so
+    // they stay exact-or-absent.
     val anyMask = anyEqMask || entries.exists(_.dv.nonEmpty)
     val colStats: java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val m = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       val fileStats = entries.flatMap(e => stats.get(new Path(e.file).getName))
-      if (!anyMask && entries.nonEmpty && fileStats.size == entries.size) {
+      if (entries.nonEmpty && fileStats.size == entries.size) {
         table.physicalSchema.fields.foreach { f =>
           val distinct = GraftStats.mergedDistinct(fileStats, f.name)
-          val nullsKnown = fileStats.forall(
+          val nullsKnown = !anyMask && fileStats.forall(
             _.cols.get(f.name).exists(_.nulls >= 0))
           if (distinct.nonEmpty || nullsKnown) {
             val nulls =
@@ -3339,7 +3410,8 @@ class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
       try {
         GraftTable.writeFullEntries(fs, dir, v + 1,
           old ++ landed.map(GraftTable.GraftEntry(_, None)),
-          Map(txnKey -> epochId.toString) ++ idMeta)
+          Map(txnKey -> epochId.toString) ++ idMeta ++
+            GraftTable.kindMeta(GraftTable.KindAppend))
         committed = v + 1
       } catch {
         case e: java.io.IOException =>
@@ -3398,6 +3470,16 @@ object GraftBatchWrite {
     * never sets it.
     */
   @volatile private[graft] var replaceInterposer: Option[() => Unit] = None
+
+  /** Version of the most recent HISTORY-table manifest commit THIS
+    * thread's batch write landed (V2 command commits execute on the
+    * caller's thread): a verb that just issued `writeTo(...).overwrite`
+    * stamps metadata with ITS OWN commit instead of re-listing a head a
+    * concurrent writer may have moved past it — the graft_ann_optimize
+    * baseline-stamp race. -1 = no batch commit on this thread yet.
+    */
+  val lastCommittedVersion: ThreadLocal[Long] =
+    new ThreadLocal[Long] { override def initialValue(): Long = -1L }
 }
 
 class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
@@ -3573,9 +3655,11 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       val br = table.branch
       if (!truncateAll && replaceFiles.isEmpty) {
         if (idMeta.isEmpty) {
-          val cv = GraftTable.commitRetrying(fs, dir, branch = br)(
+          val cv = GraftTable.commitRetrying(fs, dir, branch = br,
+            meta = GraftTable.kindMeta(GraftTable.KindAppend))(
             old => old ++ landed)
           GraftTable.writeCommitKind(fs, dir, cv, GraftTable.KindAppend, br)
+          GraftBatchWrite.lastCommittedVersion.set(cv)
         } else {
           var attempt = 0
           var committed = -1L
@@ -3584,7 +3668,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
             val (v, old) = GraftTable.headState(fs, dir, br)
             try {
               GraftTable.writeFullEntries(fs, dir, v + 1,
-                old ++ landed.map(GraftTable.GraftEntry(_, None)), idMeta, br)
+                old ++ landed.map(GraftTable.GraftEntry(_, None)),
+                idMeta ++ GraftTable.kindMeta(GraftTable.KindAppend), br)
               committed = v + 1
             } catch {
               case e: java.io.IOException =>
@@ -3595,6 +3680,7 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
           }
           GraftTable.writeCommitKind(fs, dir, committed,
             GraftTable.KindAppend, br)
+          GraftBatchWrite.lastCommittedVersion.set(committed)
         }
       } else {
         // WRITE-SERIALIZABLE REPLACE (row-level COW): the rewrite's file
@@ -3647,11 +3733,14 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
                 landed.map(GraftTable.GraftEntry(_, None))
             }
           if (idMeta.nonEmpty) checkIdNotRaced()
+          val replKind =
+            if (truncateAll) GraftTable.KindOverwrite
+            else GraftTable.KindReplace
           try {
-            GraftTable.writeFullEntries(fs, dir, v + 1, newList, idMeta, br)
-            GraftTable.writeCommitKind(fs, dir, v + 1,
-              if (truncateAll) GraftTable.KindOverwrite
-              else GraftTable.KindReplace, br)
+            GraftTable.writeFullEntries(fs, dir, v + 1, newList,
+              idMeta ++ GraftTable.kindMeta(replKind), br)
+            GraftTable.writeCommitKind(fs, dir, v + 1, replKind, br)
+            GraftBatchWrite.lastCommittedVersion.set(v + 1)
             committed = true
           } catch {
             case e: java.io.IOException =>

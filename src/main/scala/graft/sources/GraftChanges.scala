@@ -86,7 +86,7 @@ object GraftChanges {
     val pairs = versions.zip(versions.tail)
       .filter { case (_, v) => v > fromExclusive && v <= toInclusive }
     pairs.flatMap { case (prev, v) =>
-      if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact))
+      if (GraftTable.commitKind(fs, dir, v).contains(GraftTable.KindCompact))
         Nil // multiset-neutral reorganization: nothing changed, emit nothing
       else {
         val before = GraftTable.readFullEntries(fs, dir, prev)

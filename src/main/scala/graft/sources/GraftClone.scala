@@ -97,8 +97,8 @@ object GraftClone {
     // manifest, so generated keys continue past the source's
     val carried = GraftIdentity.headMeta(fs, src, None)
       .filter(kv => kv._1.startsWith("idwm:"))
-    GraftTable.writeFullEntries(fs, dst, 1L, cloned, carried)
-    GraftTable.writeCommitKind(fs, dst, 1L, GraftTable.KindAppend)
+    GraftTable.commitWithKind(fs, dst, 1L, cloned, GraftTable.KindAppend,
+      carried)
     // lift the source's stats for the referenced files (names are
     // uuid-unique — keys stay valid whether referenced or copied)
     val srcStats = GraftStats.readAll(fs, src)

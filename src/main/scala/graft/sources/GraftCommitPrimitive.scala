@@ -10,8 +10,10 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   * because the right primitive is a property of the STORE, not of the
   * engine:
   *
-  *  - HDFS-like filesystems: `create(overwrite=false)` enters the
-  *    namespace atomically at the namenode — [[CreateExclusiveCommit]].
+  *  - HDFS-like filesystems: tmp bytes + a namenode-atomic `rename` that
+  *    fails when the target exists (Iceberg's HadoopTableOperations
+  *    shape) — [[CreateExclusiveCommit]]. All-or-nothing content AND
+  *    exclusive entry in one namespace operation.
   *  - POSIX local disks: Hadoop's local `create` is check-then-open (two
   *    racing committers can both pass the check and clobber each other),
   *    but `link(2)` fails with EEXIST atomically — [[HardLinkCommit]]
@@ -50,15 +52,31 @@ trait CommitPrimitive {
   def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit
 }
 
-/** HDFS-shaped: the filesystem's own exclusive create IS atomic. (On
-  * stores where it is check-then-open — Hadoop's local FS — this primitive
-  * is NOT safe; the protocol spec demonstrates the double-win.)
+/** HDFS-shaped: full bytes to a tmp file, then one namenode-atomic
+  * `rename` that FAILS when the target exists — all-or-nothing (a
+  * mid-write crash leaves only tmp debris, never a torn manifest visible
+  * at a taken version — the window streaming bytes straight into an
+  * exclusive create had) AND exclusive (HDFS rename onto an existing
+  * file returns false; the loser maps to the standard conflict). On
+  * stores without an atomic namespace this primitive is NOT safe —
+  * POSIX rename silently overwrites (the protocol spec demonstrates the
+  * double-win), which is why `link` is the local default and `condput`
+  * the object-store one.
   */
 final class CreateExclusiveCommit extends CommitPrimitive {
   val name = "create"
   def commit(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
-    val out = fs.create(target, false)
+    if (fs.exists(target)) // cheap pre-probe; the rename is the real gate
+      throw new FileAlreadyExistsException(
+        s"$target: a racing committer won this version")
+    val tmp = new Path(target.getParent, s".tmp-commit-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    try {
+      if (!fs.rename(tmp, target))
+        throw new FileAlreadyExistsException(
+          s"$target: a racing committer won this version")
+    } finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 }
 

@@ -326,9 +326,9 @@ class GraftDeltaBatchWrite(table: GraftTable, rowSchema: StructType,
           Map(GraftRowId.WmKey -> rowLasts.max.toString)
         case _ => Map.empty[String, String]
       })
-      GraftTable.writeFullEntries(fs, dir, v + 1,
-        updated ++ landed.map(GraftTable.GraftEntry(_, None)), idMeta, br)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindDelta, br)
+      GraftTable.commitWithKind(fs, dir, v + 1,
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)),
+        GraftTable.KindDelta, idMeta, br)
     } else {
       merged.foreach { case (file, bm) =>
         val dvPath = new Path(dir, GraftDv.dvName(new Path(file).getName))

@@ -390,9 +390,9 @@ object GraftEqDelete {
     // way (a streaming caller retries the epoch after a lost race; its
     // JVM must not accumulate per-attempt cache)
     try {
-      GraftTable.writeFullEntries(fs, dir, v0 + 1,
-        updated ++ landed.map(GraftTable.GraftEntry(_, None)), rowWmMeta)
-      GraftTable.writeCommitKind(fs, dir, v0 + 1, GraftTable.KindEqDelta)
+      GraftTable.commitWithKind(fs, dir, v0 + 1,
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)),
+        GraftTable.KindEqDelta, rowWmMeta)
     } finally cached.foreach(_.unpersist(false))
     v0 + 1
   }
@@ -464,8 +464,8 @@ object GraftEqDelete {
       else rewrittenByName(new Path(e.file).getName)
         .map(GraftTable.GraftEntry(_, None))
     }
-    GraftTable.writeFullEntries(fs, dir, v + 1, updated)
-    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    GraftTable.commitWithKind(fs, dir, v + 1, updated,
+      GraftTable.KindCompact)
     val allLanded = rewrittenByName.values.flatten.toSeq
     if (allLanded.nonEmpty) {
       GraftStats.liftFromFooters(spark, dir, allLanded,

@@ -195,8 +195,8 @@ object GraftMaintenance {
           val tgt = new Path(dir, p.getName); fs.rename(p, tgt); tgt.toString
         }
         val v = GraftTable.manifestVersions(fs, dir).last
-        GraftTable.writeManifest(fs, dir, v + 1, l)
-        GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+        GraftTable.commitWithKind(fs, dir, v + 1,
+          l.map(GraftTable.GraftEntry(_, None)), GraftTable.KindCompact)
         l
       } else {
         val gone = files.map(f => new Path(f).getName).toSet
@@ -281,8 +281,8 @@ object GraftMaintenance {
       val keep = files.filterNot(replaced.contains) ++
         landed.map(_._2._2.toString)
       val v = GraftTable.manifestVersions(fs, dir).last
-      GraftTable.writeManifest(fs, dir, v + 1, keep)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+      GraftTable.commitWithKind(fs, dir, v + 1,
+        keep.map(GraftTable.GraftEntry(_, None)), GraftTable.KindCompact)
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (_, (src, tgt)) => fs.rename(src, tgt) }
@@ -385,8 +385,8 @@ object GraftMaintenance {
       val keep = files.filterNot(replaced.contains) ++
         landed.map(_._2.toString)
       val v = GraftTable.manifestVersions(fs, dir).last
-      GraftTable.writeManifest(fs, dir, v + 1, keep)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+      GraftTable.commitWithKind(fs, dir, v + 1,
+        keep.map(GraftTable.GraftEntry(_, None)), GraftTable.KindCompact)
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
@@ -517,8 +517,8 @@ object GraftMaintenance {
       val keep = files.filterNot(replaced.contains) ++
         landed.map(_._2.toString)
       val v = GraftTable.manifestVersions(fs, dir).last
-      GraftTable.writeManifest(fs, dir, v + 1, keep)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+      GraftTable.commitWithKind(fs, dir, v + 1,
+        keep.map(GraftTable.GraftEntry(_, None)), GraftTable.KindCompact)
     } else {
       replaced.foreach(f => fs.delete(new Path(f), false))
       landed.foreach { case (src, tgt) => fs.rename(src, tgt) }
@@ -648,8 +648,8 @@ object GraftMaintenance {
       else rewrittenByName(new Path(e.file).getName)
         .map(f => GraftTable.GraftEntry(f, None, e.eqs))
     }
-    GraftTable.writeFullEntries(fs, dir, v + 1, updated)
-    GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+    GraftTable.commitWithKind(fs, dir, v + 1, updated,
+      GraftTable.KindCompact)
     val allLanded = rewrittenByName.values.flatten.toSeq
     if (allLanded.nonEmpty) {
       GraftStats.liftFromFooters(spark, dir, allLanded,
@@ -772,9 +772,8 @@ object GraftMaintenance {
     val next = versions.last + 1
     // restore the ENTRIES (files + their deletion-vector state), so a
     // merge-on-read table rolls back its delete state too
-    GraftTable.writeFullEntries(fs, dir, next,
-      GraftTable.readFullEntries(fs, dir, version))
-    GraftTable.writeCommitKind(fs, dir, next, GraftTable.KindRestore)
+    GraftTable.commitWithKind(fs, dir, next,
+      GraftTable.readFullEntries(fs, dir, version), GraftTable.KindRestore)
     next
   }
 
@@ -1283,8 +1282,8 @@ object GraftMaintenance {
     if (history) {
       val keep = files.filterNot(staleSet.contains) ++ landed
       val v = GraftTable.manifestVersions(fs, dir).last
-      GraftTable.writeManifest(fs, dir, v + 1, keep)
-      GraftTable.writeCommitKind(fs, dir, v + 1, GraftTable.KindCompact)
+      GraftTable.commitWithKind(fs, dir, v + 1,
+        keep.map(GraftTable.GraftEntry(_, None)), GraftTable.KindCompact)
     } else {
       stale.foreach(f => fs.delete(new Path(f), false))
       val gone = stale.map(f => new Path(f).getName).toSet

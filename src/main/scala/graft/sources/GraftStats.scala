@@ -351,6 +351,31 @@ object GraftStats {
     * sketch — None unless EVERY file carries one (a partial union is a
     * silent under-estimate, worse for the planner than no estimate).
     */
+  /** Metadata-only (head row count, per-value match estimate) for an
+    * EQUALITY predicate on `col`: rows / NDV over the HEAD snapshot's
+    * manifest-lifted sketches. None when any live file lacks stats or
+    * the column has no sketch — callers fall back to a counted dispatch.
+    * Row-level masks are tolerated as over-counts: for a dispatch
+    * decision (brute-force the subset vs probe an index) an estimate
+    * that errs HIGH only routes to the index, never to an oversized
+    * exact scan — the safe direction.
+    */
+  def headEqualityEstimate(fs: FileSystem, dir: Path,
+                           col: String): Option[(Long, Long)] = {
+    val versions = GraftTable.manifestVersions(fs, dir)
+    val files =
+      if (versions.nonEmpty)
+        GraftTable.readFullEntries(fs, dir, versions.last).map(_.file)
+      else GraftTable.dataFiles(fs, dir)
+    if (files.isEmpty) return None
+    val all = readAll(fs, dir)
+    val fileStats = files.flatMap(f => all.get(new Path(f).getName))
+    if (fileStats.size != files.size) return None
+    val rows = fileStats.map(_.rows).sum
+    mergedDistinct(fileStats, col).filter(_ > 0)
+      .map(ndv => (rows, math.max(1L, rows / ndv)))
+  }
+
   def mergedDistinct(stats: Seq[FileStats], col: String): Option[Long] = {
     val sketches = stats.map(_.cols.get(col).flatMap(_.ndv))
     if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None

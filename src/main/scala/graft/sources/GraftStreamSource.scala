@@ -172,7 +172,7 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       val after = GraftTable.readFullEntries(fs, dir, v)
       val afterByName = after
         .map(e => new Path(e.file).getName -> (e.dv, e.eqs)).toMap
-      if (GraftTable.readCommitKind(fs, dir, v).contains(GraftTable.KindCompact)) {
+      if (GraftTable.commitKind(fs, dir, v).contains(GraftTable.KindCompact)) {
         seen = afterByName // outputs cover already-emitted rows: skip them
         Nil
       } else {

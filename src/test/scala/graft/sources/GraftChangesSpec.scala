@@ -107,6 +107,47 @@ class GraftChangesSpec extends SparkSpec {
       s"append tail across a compaction must deliver each row once, got $r")
   }
 
+  test("the commit kind is ATOMIC with the manifest: a compaction whose " +
+    "marker file is lost (the old crash window) still skips everywhere") {
+    sql("""CREATE TABLE graft_cdf.db.kc (id BIGINT, v BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_cdf.db.kc SELECT id, id FROM range(0, 50)")
+    sql("INSERT INTO graft_cdf.db.kc SELECT id, id FROM range(50, 100)")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/kc")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    GraftMaintenance.compactTable(spark, dir.toString)
+    val vCompact = GraftTable.manifestVersions(fs, dir).last
+    // simulate the crash between manifest create and marker write: the
+    // marker never landed. Pre-round-12 this made the ENTIRE rewritten
+    // table replay as spurious change images downstream — exactly once,
+    // after an unlucky crash
+    assert(fs.delete(GraftTable.commitKindPath(dir, vCompact), false))
+    assert(GraftTable.commitKind(fs, dir, vCompact)
+      .contains(GraftTable.KindCompact),
+      "the kind must resolve from the manifest's own !kind= meta")
+    assert(spark.table("graft_cdf.db.kc.changes")
+      .where(col("_commit_version") === vCompact).count() == 0,
+      "a marker-less compaction must STILL emit zero change images")
+    // the append tail skips it too (no spurious re-delivery, no failure)
+    val sink = "graft_cdf_kind_sink"
+    val q = spark.readStream.table("graft_cdf.db.kc")
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(sink).collect().head.getLong(0) == 100L,
+      "the marker-less compaction must not re-deliver rows to the tail")
+    // back-compat: a pre-meta commit (kind file only) still resolves
+    val entries = GraftTable.readFullEntries(fs, dir, vCompact)
+    GraftTable.writeFullEntries(fs, dir, vCompact + 1, entries)
+    GraftTable.writeCommitKind(fs, dir, vCompact + 1, GraftTable.KindCompact)
+    assert(GraftTable.commitKind(fs, dir, vCompact + 1)
+      .contains(GraftTable.KindCompact),
+      "old commits without !kind= meta must fall back to the marker file")
+    assert(spark.table("graft_cdf.db.kc.changes")
+      .where(col("_commit_version") === vCompact + 1).count() == 0)
+  }
+
   test("the change feed is streamable: a MERGEd table tails to its own state") {
     sql("""CREATE TABLE graft_cdf.db.m (id BIGINT, v BIGINT)
           |TBLPROPERTIES('history'='true')""".stripMargin)

@@ -58,13 +58,17 @@ class GraftCommitProtocolSpec extends AnyFunSuite {
     ((0 to 1).map(outcomes.get), bytes)
   }
 
-  test("create-exclusive on a check-then-open filesystem DOUBLE-WINS — " +
-    "the documented hazard the pluggable primitive exists to close") {
+  test("the HDFS-shaped create primitive DOUBLE-WINS on a POSIX-rename " +
+    "filesystem — the documented hazard link/condput exist to close") {
+    // rename(2) silently overwrites an existing destination, so without
+    // an atomic namespace both committers' renames 'succeed' (on HDFS
+    // the second rename would return false and lose loudly). Same
+    // silent-clobber class as the old check-then-open window — which is
+    // why 'create' is never the default on file:// stores
     val (outcomes, _) = race(new CreateExclusiveCommit,
       new Path(s"$root/naive.txt"), syncInCheck = true)
     assert(outcomes.forall(_.isEmpty),
-      s"both committers must pass the existence check and 'succeed' — " +
-        s"no loser, silent clobber: $outcomes")
+      s"both committers must 'succeed' — no loser, silent clobber: $outcomes")
   }
 
   test("the hard-link primitive serializes the same race: one winner, " +
@@ -183,6 +187,14 @@ class CheckThenOpenFs extends RawLocalFileSystem {
         blockSize, progress)
     } else super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+  }
+
+  // the create primitive commits via rename: the barrier HERE guarantees
+  // both committers pass their existence pre-probe before either
+  // renames — the deterministic version of the POSIX overwrite race
+  override def rename(src: Path, dst: Path): Boolean = {
+    CheckThenOpenFs.barrier.foreach(_.await(10, TimeUnit.SECONDS))
+    super.rename(src, dst)
   }
 }
 

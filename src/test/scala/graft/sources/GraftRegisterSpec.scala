@@ -116,4 +116,44 @@ class GraftRegisterSpec extends SparkSpec {
     sql("DROP TABLE graft_rg2.db.t4a")
     assert(spark.table("graft_rg2.db.t4b").count() == 5)
   }
+
+  test("two racing registers serialize on the commit primitive: one " +
+    "winner, one loud TableAlreadyExists, the pointer never clobbered") {
+    // DDL-time pointer installs take the SAME pluggable atomic create as
+    // manifest commits (round 12): on the local fs the link primitive is
+    // genuinely atomic, so whatever the interleaving — loser caught by
+    // the pre-check or by the exclusive install — exactly one register
+    // wins and the stub holds exactly the winner's location
+    val extA = makeExternal("regrace_a", 5)
+    val extB = makeExternal("regrace_b", 7)
+    val cat = org.apache.spark.sql.graftbridge.Bridge
+      .catalogPlugin(spark, "graft_rg2").asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "regrace")
+    val start = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes =
+      new java.util.concurrent.ConcurrentHashMap[Int, Option[Throwable]]()
+    val threads = Seq(extA, extB).zipWithIndex.map { case (loc, i) =>
+      val t = new Thread(() => {
+        start.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        outcomes.put(i,
+          try { cat.registerTable(ident, loc); None }
+          catch { case e: Throwable => Some(e) })
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    val losers = (0 to 1).flatMap(i => outcomes.get(i).map(i -> _))
+    assert(losers.size == 1, s"exactly one register must lose: $outcomes")
+    assert(losers.head._2.isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+      losers.head._2.toString)
+    val winner = 1 - losers.head._1
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$warehouse/db/regrace/${GraftTable.LocationFile}")), "UTF-8")
+    assert(ptr == Seq(extA, extB)(winner),
+      s"pointer '$ptr' must be exactly the winner's location")
+    assert(spark.table("graft_rg2.db.regrace").count() == Seq(5L, 7L)(winner))
+  }
 }
