@@ -1893,6 +1893,61 @@ object Etl {
         .orderBy("day")
     },
 
+    // BUCKETED EQUALITY-DELETE UPSERT (round 12, completing the layout
+    // matrix — no layout refuses the O(change-set) commit anymore):
+    // change rows route through a synthetic bucket column hashed with the
+    // SAME pinned-seed Murmur3 the writer and the storage-partitioned-
+    // join machinery use, and land under bucket-prefixed FILE NAMES at
+    // the table root — asserted in-query: every row of every upserted
+    // file hashes to exactly the bucket its file name claims (the
+    // invariant SPJ placement plans on), in ONE distributed job over the
+    // upserted files. The oracle replays the upsert as a FULL JOIN.
+    "etl_eq_upsert_bucket" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_eqb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_eqb.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_eqb.db")
+      s.sql("DROP TABLE IF EXISTS graft_eqb.db.fact")
+      s.sql("""CREATE TABLE graft_eqb.db.fact (ckey BIGINT, cents BIGINT)
+              |PARTITIONED BY (bucket(8, ckey))
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_eqb_base")
+      s.sql("INSERT INTO graft_eqb.db.fact SELECT * FROM graft_eqb_base")
+      val changes = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1 || col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_eqb", "db.fact",
+        changes, Seq("ckey"))
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/fact")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      val upserted = graft.sources.GraftTable.readFullEntries(tfs, tdir, head)
+        .map(_.file).filter(_.contains("part-upsert"))
+      require(upserted.nonEmpty,
+        "etl_eq_upsert_bucket: the upsert must land change files")
+      val claimOf = org.apache.spark.sql.functions.udf((n: String) =>
+        graft.sources.GraftBucket.fileBucketId(n).getOrElse(-1))
+      val hashOf = org.apache.spark.sql.functions.udf((k: Long) =>
+        graft.sources.GraftBucket.bucket(
+          org.apache.spark.sql.types.LongType, k, 8))
+      val wrong = s.read.parquet(upserted: _*)
+        .withColumn("__f", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .where(hashOf(col("ckey")) =!= claimOf(col("__f"))).count()
+      require(wrong == 0,
+        s"etl_eq_upsert_bucket: $wrong upserted rows sit in a file whose " +
+          "name claims a different bucket — SPJ placement would lie")
+      s.sql("""SELECT ckey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_eqb.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -2013,6 +2068,9 @@ object Etl {
            |  '${new java.sql.Timestamp(ts(v1))}',
            |  '${new java.sql.Timestamp(ts(v2))}')
            |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+        // a 4-row aggregate: checkpoint so the two-way equality assert
+        // replays the timestamp-bounded diff ONCE, not twice
+        .localCheckpoint(eager = true)
       require(byVersion.exceptAll(byTimestamp).count() == 0 &&
         byTimestamp.exceptAll(byVersion).count() == 0,
         "etl_row_diff: timestamp bounds must resolve to the identical " +
@@ -4508,6 +4566,20 @@ object Etl {
         |  COALESCE(c.cents, b.cents) AS cents
         |  FROM base b FULL JOIN chg c ON b.event_id = c.event_id)
         |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_eq_upsert_bucket" ->
+      """WITH base AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |chg AS (SELECT o_orderkey AS ckey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 1 OR o_orderkey % 6 = 0),
+        |merged AS (SELECT COALESCE(c.ckey, b.ckey) AS ckey,
+        |  COALESCE(c.cents, b.cents) AS cents
+        |  FROM base b FULL JOIN chg c ON b.ckey = c.ckey)
+        |SELECT ckey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -131,10 +131,16 @@ object GraftEqDelete {
     * timestamp across days lands in its new day while the old version is
     * masked globally by key. The time column itself MAY be a key: unlike
     * value-partition columns its raw values live in the row bytes, which
-    * is what the per-file probe reads. Only bucket() layouts still route
-    * through their own writer — the bucket id rides in the FILE NAME,
-    * which this staging write cannot thread per-row without reimplementing
-    * the writer's task-level naming; rejected loudly (MERGE covers it).
+    * is what the per-file probe reads.
+    *
+    * BUCKET layouts (round 12, completing the matrix): the bucket id
+    * rides in the FILE NAME (`b00003-part-...`), so the staging write
+    * partitions by a synthetic bucket column computed with the SAME
+    * pinned-seed Murmur3 the writer and the storage-partitioned-join
+    * machinery hash with, and landing renames each staged file into its
+    * bucket-prefixed name at the table root — every upserted file claims
+    * exactly the bucket its rows hash to, so SPJ placement and
+    * bucket-prefix pruning hold over upserted files like appended ones.
     */
   def upsert(spark: SparkSession, catalog: String, table: String,
              changes: DataFrame, keyCols: Seq[String]): Long = {
@@ -142,11 +148,6 @@ object GraftEqDelete {
     require(t.history,
       s"upsert: $catalog.$table is not a history table — equality deletes " +
         "are versioned in the manifest, which only history tables have")
-    require(t.bucketSpec.isEmpty,
-      s"upsert: $catalog.$table has a bucket layout — bucket ids ride in " +
-        "file NAMES the task-level writer allocates; composing that with " +
-        "the eq sidecar commit is future work, rejected loudly (flat, " +
-        "value-partitioned and days()/hours()/months() tables compose)")
     require(keyCols.forall(c => !t.partitionCols.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} include a PARTITION " +
         "column — partition values live in path segments, not row bytes, " +
@@ -310,15 +311,51 @@ object GraftEqDelete {
     // `__graft_unit=N` staging segment into the table's `<col>_<unit>=N`
     // directory name
     val unitColName = "__graft_unit"
-    val stagePartCols =
-      if (t.dayCol.nonEmpty) Seq(unitColName) else t.partitionCols
+    val bucketColName = "__graft_bucket"
+    // bucket routing: the SAME pinned-seed Murmur3 the writer hashes with
+    // (string keys hash their UTF-8 bytes — representation-identical to
+    // the internal UTF8String the writer sees)
+    val bucketCol: Option[org.apache.spark.sql.Column] =
+      t.bucketSpec.map { case (c, n) =>
+        val dt = t.schema().fields.find(_.name == c).get.dataType
+        import org.apache.spark.sql.functions.udf
+        val u = dt match {
+          case org.apache.spark.sql.types.LongType =>
+            udf((v: java.lang.Long) => if (v == null) 0
+              else GraftBucket.bucket(dt, v.longValue(), n))
+          case org.apache.spark.sql.types.IntegerType =>
+            udf((v: java.lang.Integer) => if (v == null) 0
+              else GraftBucket.bucket(dt, v.intValue(), n))
+          case org.apache.spark.sql.types.StringType =>
+            udf((v: String) => if (v == null) 0
+              else GraftBucket.bucket(dt, UTF8String.fromString(v), n))
+          case other => throw new IllegalArgumentException(
+            s"upsert: bucket key type $other is unsupported")
+        }
+        u(col(c)).as(bucketColName)
+      }
+    val stagePartCols: Seq[String] =
+      if (t.dayCol.nonEmpty) Seq(unitColName)
+      else t.partitionCols ++ bucketCol.map(_ => bucketColName)
     val stageDf = t.dayCol match {
       case Some(c) =>
         val dt = t.schema().fields.find(_.name == c).get.dataType
         toLand.select(physCols.map(col) :+ org.apache.spark.sql.functions
           .expr(GraftMaintenance.unitIndexExpr(t.timeUnit, dt, c))
           .as(unitColName): _*)
-      case None => toLand.select((physCols ++ t.partitionCols).map(col): _*)
+      case None =>
+        val base = toLand.select((physCols ++ t.partitionCols).map(col) ++
+          bucketCol.toSeq: _*)
+        t.bucketSpec match {
+          // one whole bucket per task, rows KEY-SORTED within it: the
+          // write path always sorts within bucket files and the scan's
+          // outputOrdering claims that order when a bucket holds one
+          // file — an unsorted upserted file would silently break a
+          // storage-partitioned merge join
+          case Some((c, _)) => base.repartition(col(bucketColName))
+            .sortWithinPartitions(col(bucketColName), col(c))
+          case None => base
+        }
     }
     withMicros(spark) {
       // partitionBy routes each change row into its col=value/ directory
@@ -347,20 +384,29 @@ object GraftEqDelete {
     // staging segment -> table directory segment (identity except under
     // a time layout, where the synthetic unit index becomes the writer's
     // own directory name — null timestamps share Spark's null-partition
-    // constant, so the null day dir round-trips too)
-    def targetRel(rel: String): String = t.dayCol match {
-      case Some(c) if rel.nonEmpty =>
-        val raw = rel.stripPrefix(s"$unitColName=")
-        GraftDayPartition.dirName(c, t.timeUnit,
-          if (raw == GraftTable.NullPartition) None else Some(raw.toLong))
-      case _ => rel
+    // constant, so the null day dir round-trips too); the synthetic
+    // bucket segment becomes a FILE-NAME prefix, not a directory
+    def targetRel(rel: String): (String, Option[Int]) = {
+      val segs = rel.split('/').filter(_.nonEmpty)
+      val (bSegs, rest) = segs.partition(_.startsWith(s"$bucketColName="))
+      val bucketId = bSegs.headOption
+        .map(_.stripPrefix(s"$bucketColName=").toInt)
+      val dirRel = t.dayCol match {
+        case Some(c) if rest.nonEmpty =>
+          val raw = rest.head.stripPrefix(s"$unitColName=")
+          GraftDayPartition.dirName(c, t.timeUnit,
+            if (raw == GraftTable.NullPartition) None else Some(raw.toLong))
+        case _ => rest.mkString("/")
+      }
+      (dirRel, bucketId)
     }
     val landed = parts("data").map { case (p, rel0) =>
-      val rel = targetRel(rel0)
+      val (rel, bucketId) = targetRel(rel0)
       val parent = if (rel.isEmpty) dir else new Path(dir, rel)
       if (parent != dir && !fs.exists(parent)) fs.mkdirs(parent)
+      val base = s"part-upsert-${UUID.randomUUID().toString.take(12)}.parquet"
       val tgt = new Path(parent,
-        s"part-upsert-${UUID.randomUUID().toString.take(12)}.parquet")
+        bucketId.map(GraftBucket.fileName(_, base)).getOrElse(base))
       fs.rename(p, tgt); tgt.toString
     }
     val eqTarget = new Path(dir, freshName())

@@ -289,18 +289,55 @@ class GraftEqDeleteSpec extends SparkSpec {
       GraftTable.manifestVersions(fs, dir).last).forall(_.eqs.isEmpty))
   }
 
-  test("rejections: non-history, bucket layout, duplicate keys in the change set") {
+  test("upsert composes with BUCKET layouts: upserted files claim exactly " +
+    "the bucket their rows hash to, masks stay global") {
+    sql("""CREATE TABLE graft_eq.db.bk (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, k))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.bk SELECT id, concat('old', id) FROM range(0, 50)")
+    GraftEqDelete.upsert(spark, "graft_eq", "db.bk",
+      Seq((7L, "NEW7"), (100L, "n100")).toDF("k", "v"), Seq("k"))
+    val t = spark.table("graft_eq.db.bk")
+    assert(t.count() == 51)
+    assert(t.where(col("k") === 7).collect().head.getString(1) == "NEW7")
+    assert(t.where(col("k") === 100).collect().head.getString(1) == "n100")
+    // every upserted file carries a bucket-prefixed NAME, and every row
+    // inside hashes to exactly that bucket — the invariant
+    // storage-partitioned joins plan on
+    val dir = dirOf("bk"); val fs = fsOf("bk")
+    val upserted = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last)
+      .map(_.file).filter(_.contains("part-upsert"))
+    assert(upserted.nonEmpty)
+    upserted.foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      val claimed = GraftBucket.fileBucketId(name)
+      assert(claimed.nonEmpty, s"upserted file $name must claim a bucket")
+      val wrong = spark.read.parquet(f).collect().count { r =>
+        GraftBucket.bucket(org.apache.spark.sql.types.LongType,
+          r.getLong(r.fieldIndex("k")), 4) != claimed.get
+      }
+      assert(wrong == 0, s"$name holds $wrong rows outside its bucket")
+    }
+    // the fold keeps bucket-claimed names (rewrites prepend the source
+    // name) and drops masks
+    val before = t.orderBy("k").collect().toSeq
+    GraftEqDelete.materializeEqDeletes(spark, dir.toString)
+    assert(spark.table("graft_eq.db.bk").orderBy("k").collect().toSeq
+      == before)
+    GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).foreach { e =>
+      assert(e.eqs.isEmpty)
+      assert(GraftBucket.fileBucketId(
+        new org.apache.hadoop.fs.Path(e.file).getName).nonEmpty,
+        s"post-fold file ${e.file} lost its bucket claim")
+    }
+  }
+
+  test("rejections: non-history, duplicate keys in the change set") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
       Seq((1L, "x")).toDF("k", "v"), Seq("k")))
-    sql("""CREATE TABLE graft_eq.db.bucketed (k BIGINT, v STRING)
-          |PARTITIONED BY (bucket(4, k))
-          |TBLPROPERTIES('history'='true')""".stripMargin)
-    sql("INSERT INTO graft_eq.db.bucketed VALUES (1, 'a')")
-    val eb = intercept[IllegalArgumentException](GraftEqDelete.upsert(
-      spark, "graft_eq", "db.bucketed",
-      Seq((1L, "x")).toDF("k", "v"), Seq("k")))
-    assert(eb.getMessage.contains("bucket"), eb.getMessage)
     sql("""CREATE TABLE graft_eq.db.t5 (k BIGINT, v STRING)
           |TBLPROPERTIES('history'='true')""".stripMargin)
     sql("INSERT INTO graft_eq.db.t5 VALUES (1, 'a')")
