@@ -1683,11 +1683,20 @@ object GraftTable {
     // version (post-commit metadata touch-up — the version race was
     // already decided at the create above)
     prev.foreach { case (pv, pb) =>
-      val cur = manifestPath(dir, v, branch)
-      val prevMtime =
-        fs.getFileStatus(manifestPath(dir, pv, pb)).getModificationTime
-      if (fs.getFileStatus(cur).getModificationTime <= prevMtime)
-        fs.setTimes(cur, prevMtime + 1, -1)
+      try {
+        val cur = manifestPath(dir, v, branch)
+        val prevMtime =
+          fs.getFileStatus(manifestPath(dir, pv, pb)).getModificationTime
+        if (fs.getFileStatus(cur).getModificationTime <= prevMtime)
+          fs.setTimes(cur, prevMtime + 1, -1)
+      } catch {
+        // BEST-EFFORT: stores without setTimes (some object-store
+        // connectors) keep today's behavior — a same-ms tie resolves
+        // at-or-before to the later version, which is still a correct
+        // "latest at that instant" answer; the commit itself already
+        // succeeded above and must never fail on this touch-up
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+      }
     }
   }
 
