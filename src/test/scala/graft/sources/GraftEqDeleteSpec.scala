@@ -334,6 +334,73 @@ class GraftEqDeleteSpec extends SparkSpec {
     }
   }
 
+  test("upsert composes days() WITH row lineage: the carry scan runs " +
+    "over the day layout, reinserts keep ids, mints stay above the line") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_eq.db.dtr (k BIGINT, ts TIMESTAMP, v STRING)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("""INSERT INTO graft_eq.db.dtr VALUES
+          |(1, TIMESTAMP '2026-04-01 08:00:00', 'a'),
+          |(2, TIMESTAMP '2026-04-01 09:00:00', 'b'),
+          |(3, TIMESTAMP '2026-04-02 10:00:00', 'c')""".stripMargin)
+    val idsBefore = spark.table("graft_eq.db.dtr")
+      .select(col("k"), col(GraftRowId.Col))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=2 UPDATES and MOVES a day; k=10 is a genuine insert
+    GraftEqDelete.upsert(spark, "graft_eq", "db.dtr",
+      Seq((2L, java.sql.Timestamp.valueOf("2026-04-03 09:00:00"), "B"),
+        (10L, java.sql.Timestamp.valueOf("2026-04-02 11:00:00"), "n"))
+        .toDF("k", "ts", "v"), Seq("k"))
+    val after = spark.table("graft_eq.db.dtr")
+      .select(col("k"), col(GraftRowId.Col))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 4 && after.values.toSeq.distinct.size == 4,
+      s"ids must stay unique: $after")
+    assert(after(2L) == idsBefore(2L),
+      "the day-moved reinsert must CARRY the masked row's _row_id")
+    assert(after(1L) == idsBefore(1L) && after(3L) == idsBefore(3L))
+    assert(after(10L) > idsBefore.values.max,
+      "the genuine insert must mint ABOVE the pre-upsert watermark")
+    // the moved row's bytes live in the NEW day dir (lineage + layout)
+    val fs = fsOf("dtr"); val dir = dirOf("dtr")
+    val d = java.time.LocalDate.of(2026, 4, 3).toEpochDay
+    val moved = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last)
+      .map(_.file).filter(_.contains(s"ts_day=$d/"))
+    assert(moved.nonEmpty, "the moved row must land in its new day dir")
+  }
+
+  test("upsert composes with PARTITION EVOLUTION: pre-spec flat files " +
+    "gain masks, change rows land under the CURRENT day layout") {
+    graft.GraftExtensions.register(spark)
+    sql("""CREATE TABLE graft_eq.db.ev (k BIGINT, ts TIMESTAMP, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_eq.db.ev VALUES
+          |(1, TIMESTAMP '2026-05-01 08:00:00', 'a'),
+          |(2, TIMESTAMP '2026-05-02 09:00:00', 'b')""".stripMargin)
+    // evolve flat -> days(ts): old files stay segment-less
+    sql("SELECT * FROM graft_set_time_partition('graft_eq', 'db.ev', " +
+      "'days(ts)')").collect()
+    GraftEqDelete.upsert(spark, "graft_eq", "db.ev",
+      Seq((2L, java.sql.Timestamp.valueOf("2026-05-02 09:00:00"), "B"),
+        (9L, java.sql.Timestamp.valueOf("2026-05-03 10:00:00"), "n"))
+        .toDF("k", "ts", "v"), Seq("k"))
+    val t = spark.table("graft_eq.db.ev")
+    assert(t.count() == 3)
+    assert(t.where(col("k") === 2).collect().head.getString(2) == "B")
+    val fs = fsOf("ev"); val dir = dirOf("ev")
+    val head = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last)
+    // upserted files carry day segments (current spec); pre-spec files
+    // stay flat and masked (stats may skip the provably-disjoint one)
+    val upserted = head.map(_.file).filter(_.contains("part-upsert"))
+    assert(upserted.nonEmpty && upserted.forall(_.contains("ts_day=")),
+      upserted.mkString("\n"))
+    assert(head.exists(e => !e.file.contains("ts_day=") && e.eqs.nonEmpty),
+      s"a pre-spec flat file holding a changed key must carry the mask: $head")
+  }
+
   test("rejections: non-history, duplicate keys in the change set") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
