@@ -211,6 +211,17 @@ object GraftEqDelete {
         max(col(c)).as(s"__mx_$c")))
     val vRow = casted.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val nRows = vRow.getLong(0)
+    // an empty change set is a NO-OP, not a commit: landing a zero-key
+    // sidecar would hang a pointless mask reference on every live file
+    // (the stats box is empty, so nothing is provably skippable) and a
+    // zero-part key stage has nothing to install. Returns the current
+    // head version.
+    if (nRows == 0) {
+      casted.unpersist(false)
+      val dir0 = new Path(t.dir)
+      val fs0 = dir0.getFileSystem(spark.sessionState.newHadoopConf())
+      return GraftTable.manifestVersions(fs0, dir0).lastOption.getOrElse(0L)
+    }
     val nKeys = vRow.getLong(1)
     require(nRows == nKeys,
       s"upsert: change set has $nRows rows but $nKeys distinct keys — " +

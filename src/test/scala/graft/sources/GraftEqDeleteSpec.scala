@@ -401,7 +401,7 @@ class GraftEqDeleteSpec extends SparkSpec {
       s"a pre-spec flat file holding a changed key must carry the mask: $head")
   }
 
-  test("rejections: non-history, duplicate keys in the change set") {
+  test("rejections: non-history, duplicate keys; empty change set is a no-op") {
     sql("CREATE TABLE graft_eq.db.plain (k BIGINT, v STRING)")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.plain",
       Seq((1L, "x")).toDF("k", "v"), Seq("k")))
@@ -410,5 +410,14 @@ class GraftEqDeleteSpec extends SparkSpec {
     sql("INSERT INTO graft_eq.db.t5 VALUES (1, 'a')")
     intercept[Exception](GraftEqDelete.upsert(spark, "graft_eq", "db.t5",
       Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k")))
+    // empty change set: zero commits, zero masks, head version returned
+    val fs = fsOf("t5"); val dir = dirOf("t5")
+    val v0 = GraftTable.manifestVersions(fs, dir).last
+    val r = GraftEqDelete.upsert(spark, "graft_eq", "db.t5",
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq("k"))
+    assert(r == v0, "an empty upsert must return the head, not commit")
+    assert(GraftTable.manifestVersions(fs, dir).last == v0)
+    assert(GraftTable.readFullEntries(fs, dir, v0).forall(_.eqs.isEmpty),
+      "an empty upsert must hang no mask references")
   }
 }
