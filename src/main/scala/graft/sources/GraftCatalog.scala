@@ -1762,15 +1762,17 @@ object GraftTable {
   }
 
   // --- commit-kind markers ---
-  // `_graft_commit_<v>.txt` records WHAT a commit was (append / replace /
-  // overwrite / delta / compact / restore), written right after the
-  // manifest's atomic create. Pure observability plus one load-bearing
-  // bit: `compact` marks a commit as a row-multiset-NEUTRAL
-  // reorganization, which is what lets streaming readers skip it instead
-  // of failing (append tail) or re-emitting the whole table (change
-  // feed). The marker is written after the commit point, so a reader may
-  // briefly see a manifest without one — every consumer treats a missing
-  // marker conservatively (unknown ≠ compact).
+  // WHAT a commit was (append / replace / overwrite / delta / compact /
+  // restore). Pure observability plus one load-bearing bit: `compact`
+  // marks a commit as a row-multiset-NEUTRAL reorganization, which is
+  // what lets streaming readers skip it instead of failing (append
+  // tail) or re-emitting the whole table (change feed). Since round 12
+  // the kind rides INSIDE the manifest as `!kind=` meta — atomic with
+  // the commit (resolve via [[commitKind]]); the
+  // `_graft_commit_<v>.txt` marker file is still written right after
+  // the create for compatibility (pre-meta commits, replication's
+  // kind-before-manifest shipping order, vacuum bookkeeping). A
+  // missing kind resolves conservatively (unknown ≠ compact).
   val KindAppend = "append"
   val KindReplace = "replace"
   val KindOverwrite = "overwrite"

@@ -164,4 +164,31 @@ class GraftColStatsSpec extends SparkSpec {
     assert(ndv.exists(x => math.abs(x - 500) <= 50),
       s"rename must re-key the sketch (got $ndv under the new name)")
   }
+
+  test("headEqualityEstimate: rows/NDV from the stats log, metadata-only; " +
+    "None when a live file lacks stats or the column has no sketch") {
+    sql("""CREATE TABLE graft_cs.db.est (k BIGINT, grp BIGINT)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 1000).toDF("k")
+      .withColumn("grp", col("k") % 10)
+      .writeTo("graft_cs.db.est").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/est")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (rows, perGrp) = GraftStats.headEqualityEstimate(fs, dir, "grp")
+      .getOrElse(fail("estimate must be served from the stats log"))
+    assert(rows == 1000L)
+    assert(perGrp >= 80 && perGrp <= 120,
+      s"rows/NDV for a 10-value column over 1000 rows should be ~100, " +
+        s"got $perGrp")
+    // a unique key estimates to ~1 per value
+    val (_, perKey) = GraftStats.headEqualityEstimate(fs, dir, "k").get
+    assert(perKey >= 1 && perKey <= 2, s"unique-key estimate: $perKey")
+    // no sketch for the column (never tracked) -> None, counted fallback
+    assert(GraftStats.headEqualityEstimate(fs, dir, "nope").isEmpty)
+    // a live file WITHOUT stats (foreign-registered bytes, simulated by
+    // retiring the entry) -> None — a partial union would silently lie
+    GraftStats.retain(fs, dir, _ => false)
+    assert(GraftStats.headEqualityEstimate(fs, dir, "grp").isEmpty,
+      "files without stats entries must refuse the estimate")
+  }
 }
