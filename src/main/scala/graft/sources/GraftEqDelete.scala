@@ -218,12 +218,17 @@ object GraftEqDelete {
     // head version.
     if (nRows == 0) {
       casted.unpersist(false)
-      val dir0 = new Path(t.dir)
-      val fs0 = dir0.getFileSystem(spark.sessionState.newHadoopConf())
-      return GraftTable.manifestVersions(fs0, dir0).lastOption.getOrElse(0L)
+      return GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
+    }
+    // a refused change set releases its cache before throwing — the
+    // streaming caller's failed epoch must not accumulate per-attempt
+    // cached plans
+    def refused(msg: String): Nothing = {
+      casted.unpersist(false)
+      throw new IllegalArgumentException(msg)
     }
     val nKeys = vRow.getLong(1)
-    require(nRows == nKeys,
+    if (nRows != nKeys) refused(
       s"upsert: change set has $nRows rows but $nKeys distinct keys — " +
         "collapse to one row per key (latest wins) before upserting")
     // null keys are rejected outright: SQL equality in the fold join and
@@ -231,13 +236,13 @@ object GraftEqDelete {
     // read-path probe matches null==null — admitting them would let a
     // compact-kind fold resurrect rows
     val nNullKeys = if (vRow.isNullAt(2)) 0L else vRow.getLong(2)
-    require(nNullKeys == 0,
+    if (nNullKeys != 0) refused(
       s"upsert: $nNullKeys change row(s) carry NULL in a key column " +
         s"(${keyCols.mkString(",")}) — equality-delete keys must be non-null")
     // CHECK / NOT NULL gate: every write path enforces the declared
     // constraints; an upsert is a write path
     val nBad = if (vRow.isNullAt(3)) 0L else vRow.getLong(3)
-    require(nBad == 0,
+    if (nBad != 0) refused(
       s"upsert refused: $nBad change row(s) violate $catalog.$table's " +
         "declared CHECK constraints")
     val keyMinMax: Seq[(String, Any, Any)] =
