@@ -361,7 +361,19 @@ object GraftStats {
     * exact scan — the safe direction.
     */
   def headEqualityEstimate(fs: FileSystem, dir: Path,
-                           col: String): Option[(Long, Long)] = {
+                           col: String): Option[(Long, Long)] =
+    headEqualityEstimate(fs, dir, Seq(col))
+
+  /** Conjunctive form — `col1 = a AND col2 = b AND ...`: rows / Π NDVᵢ
+    * under the standard CBO independence assumption (correlated columns
+    * make the product UNDER-estimate, which for the dispatch only means
+    * an exact scan of a somewhat larger subset — never a wrong answer).
+    * None when ANY column lacks a sketch: a partial product would claim
+    * unearned selectivity.
+    */
+  def headEqualityEstimate(fs: FileSystem, dir: Path,
+                           cols: Seq[String]): Option[(Long, Long)] = {
+    require(cols.nonEmpty, "headEqualityEstimate: at least one column")
     val versions = GraftTable.manifestVersions(fs, dir)
     val files =
       if (versions.nonEmpty)
@@ -372,8 +384,12 @@ object GraftStats {
     val fileStats = files.flatMap(f => all.get(new Path(f).getName))
     if (fileStats.size != files.size) return None
     val rows = fileStats.map(_.rows).sum
-    mergedDistinct(fileStats, col).filter(_ > 0)
-      .map(ndv => (rows, math.max(1L, rows / ndv)))
+    val ndvs = cols.map(c => mergedDistinct(fileStats, c).filter(_ > 0))
+    if (ndvs.exists(_.isEmpty)) return None
+    // fold with a running cap at the row count — Π NDV over many columns
+    // can overflow a Long long before it stops mattering
+    val est = ndvs.flatten.foldLeft(rows.toDouble)((acc, n) => acc / n)
+    Some((rows, math.max(1L, est.toLong)))
   }
 
   def mergedDistinct(stats: Seq[FileStats], col: String): Option[Long] = {

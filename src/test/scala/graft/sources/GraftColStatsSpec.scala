@@ -183,8 +183,16 @@ class GraftColStatsSpec extends SparkSpec {
     // a unique key estimates to ~1 per value
     val (_, perKey) = GraftStats.headEqualityEstimate(fs, dir, "k").get
     assert(perKey >= 1 && perKey <= 2, s"unique-key estimate: $perKey")
-    // no sketch for the column (never tracked) -> None, counted fallback
+    // conjunctive estimate: rows / (NDV(grp) * NDV(k)) under the
+    // independence assumption, floored at 1 — the "tenant = X AND
+    // label = Y" vector-store dispatch shape
+    val (_, perBoth) = GraftStats
+      .headEqualityEstimate(fs, dir, Seq("grp", "k")).get
+    assert(perBoth == 1L, s"1000/(10*~1000) must floor to 1, got $perBoth")
+    // no sketch for ANY named column -> None, counted fallback (a
+    // partial product would claim unearned selectivity)
     assert(GraftStats.headEqualityEstimate(fs, dir, "nope").isEmpty)
+    assert(GraftStats.headEqualityEstimate(fs, dir, Seq("grp", "nope")).isEmpty)
     // a live file WITHOUT stats (foreign-registered bytes, simulated by
     // retiring the entry) -> None — a partial union would silently lie
     GraftStats.retain(fs, dir, _ => false)
