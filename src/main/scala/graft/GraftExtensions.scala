@@ -1685,6 +1685,11 @@ object GraftExtensions {
               col("cosine").cast("double"), col("rank").cast("int"))
             .localCheckpoint(eager = true) // breaks the self-read lineage
           val touched = graft.operators.AnnIndex.lastScopeSize.get()
+          // reset the thread-local FIRST: it retains the version of any
+          // earlier commit on this thread, and the require below must
+          // verify THIS overwrite reported its own commit, not pass on
+          // a stale value
+          graft.sources.GraftBatchWrite.lastCommittedVersion.set(-1L)
           optimized.writeTo(s"$cat.$graphTbl")
             .overwrite(org.apache.spark.sql.functions.lit(true))
           // stamp the overwrite's OWN committed version (thread-local

@@ -76,7 +76,14 @@ final class CreateExclusiveCommit extends CommitPrimitive {
       if (!fs.rename(tmp, target))
         throw new FileAlreadyExistsException(
           s"$target: a racing committer won this version")
-    } finally if (fs.exists(tmp)) fs.delete(tmp, false)
+    } finally {
+      // BEST-EFFORT: after a successful rename the manifest has landed —
+      // a transient IOException from the cleanup probe must not make the
+      // caller's retry loop re-apply a commit that already won (tmp
+      // debris is dot-prefixed and filtered from every listing)
+      try if (fs.exists(tmp)) fs.delete(tmp, false)
+      catch { case _: java.io.IOException => }
+    }
   }
 }
 

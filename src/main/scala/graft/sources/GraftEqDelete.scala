@@ -186,6 +186,12 @@ object GraftEqDelete {
     // the change set is O(change), not O(table) — cache it: it feeds the
     // validation aggregate, the lineage carry join and TWO staging writes
     casted.persist()
+    // EVERY cached frame is released on EVERY exit — success, refusal, or
+    // an unexpected throw anywhere in the staging path (one finally around
+    // the whole post-persist body): a retrying streaming caller's failed
+    // epochs must not accumulate per-attempt cached plans
+    val cached = scala.collection.mutable.Buffer[DataFrame](casted)
+    try {
 
     // ALL change-set validation in ONE aggregate pass (round 12 — the
     // five separate driver actions were ~3× of the streaming caller's
@@ -216,17 +222,11 @@ object GraftEqDelete {
     // (the stats box is empty, so nothing is provably skippable) and a
     // zero-part key stage has nothing to install. Returns the current
     // head version.
-    if (nRows == 0) {
-      casted.unpersist(false)
+    if (nRows == 0)
+      // the enclosing finally releases the cache on this return too
       return GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(0L)
-    }
-    // a refused change set releases its cache before throwing — the
-    // streaming caller's failed epoch must not accumulate per-attempt
-    // cached plans
-    def refused(msg: String): Nothing = {
-      casted.unpersist(false)
+    def refused(msg: String): Nothing =
       throw new IllegalArgumentException(msg)
-    }
     val nKeys = vRow.getLong(1)
     if (nRows != nKeys) refused(
       s"upsert: change set has $nRows rows but $nKeys distinct keys — " +
@@ -275,7 +275,6 @@ object GraftEqDelete {
     val v0 = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
       throw new IllegalStateException(s"$catalog.$table has no manifest"))
     val carryCol = "__graft_carry"
-    val cached = scala.collection.mutable.Buffer[DataFrame](casted)
     val (toLand, rowWmMeta): (DataFrame, Map[String, String]) =
       if (!t.rowLineage) (casted, Map.empty)
       else {
@@ -448,15 +447,12 @@ object GraftEqDelete {
     // the lineage watermark (when this upsert minted ids) rides the SAME
     // exclusive manifest create as the files — a racing committer takes
     // v0+1 first, this create fails loudly, and nothing of the
-    // allocation is visible. The change-set caches are released either
-    // way (a streaming caller retries the epoch after a lost race; its
-    // JVM must not accumulate per-attempt cache)
-    try {
-      GraftTable.commitWithKind(fs, dir, v0 + 1,
-        updated ++ landed.map(GraftTable.GraftEntry(_, None)),
-        GraftTable.KindEqDelta, rowWmMeta)
-    } finally cached.foreach(_.unpersist(false))
+    // allocation is visible
+    GraftTable.commitWithKind(fs, dir, v0 + 1,
+      updated ++ landed.map(GraftTable.GraftEntry(_, None)),
+      GraftTable.KindEqDelta, rowWmMeta)
     v0 + 1
+    } finally cached.foreach(_.unpersist(false))
   }
 
   /** Fold equality masks into rewritten data files (the eq analog of

@@ -347,10 +347,6 @@ object GraftStats {
   /** lgK=12: ±~1.6%% standard error, ≤2 KB compact per column per file. */
   val NdvLgK = 12
 
-  /** Table-level distinct-count estimate for `col`: union of every file's
-    * sketch — None unless EVERY file carries one (a partial union is a
-    * silent under-estimate, worse for the planner than no estimate).
-    */
   /** Metadata-only (head row count, per-value match estimate) for an
     * EQUALITY predicate on `col`: rows / NDV over the HEAD snapshot's
     * manifest-lifted sketches. None when any live file lacks stats or
@@ -386,12 +382,18 @@ object GraftStats {
     val rows = fileStats.map(_.rows).sum
     val ndvs = cols.map(c => mergedDistinct(fileStats, c).filter(_ > 0))
     if (ndvs.exists(_.isEmpty)) return None
-    // fold with a running cap at the row count — Π NDV over many columns
-    // can overflow a Long long before it stops mattering
+    // fold by DIVIDING the row count through each NDV (never materialize
+    // Π NDV itself — over many columns the product overflows a Long long
+    // before it stops mattering); est <= rows holds because every NDV is
+    // filtered to > 0 above
     val est = ndvs.flatten.foldLeft(rows.toDouble)((acc, n) => acc / n)
     Some((rows, math.max(1L, est.toLong)))
   }
 
+  /** Table-level distinct-count estimate for `col`: union of every file's
+    * sketch — None unless EVERY file carries one (a partial union is a
+    * silent under-estimate, worse for the planner than no estimate).
+    */
   def mergedDistinct(stats: Seq[FileStats], col: String): Option[Long] = {
     val sketches = stats.map(_.cols.get(col).flatMap(_.ndv))
     if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
