@@ -1948,6 +1948,84 @@ object Etl {
               |FROM graft_eqb.db.fact GROUP BY ckey % 5 ORDER BY grp""".stripMargin)
     },
 
+    // SCHEMA-EVOLVED EQUALITY-DELETE UPSERT (round 13): the flagship
+    // O(change-set) CDC commit survives the ordinary multi-year schema
+    // lifecycle — RENAME COLUMN and type WIDENING — in BOTH orders.
+    // Upsert A's sidecar stores the OLD name at the NARROW type; the
+    // table is then renamed + widened, and upsert B keys on the renamed
+    // BIGINT column. Every probe resolves per sidecar exactly like the
+    // data read path resolves files: stored name through the alias chain
+    // to the current column, values up-converted to the current width
+    // (GraftEqDelete.keySet). Asserted in-query: time travel to the
+    // pre-evolution snapshot serves upsert A's state, no pre-evolution
+    // file is ever rewritten, and both upserts' masks hold at head. The
+    // oracle replays both upserts as chained FULL JOINs.
+    "etl_eq_upsert_evolved" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_eqe", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_eqe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_eqe.db")
+      s.sql("DROP TABLE IF EXISTS graft_eqe.db.fact")
+      s.sql("""CREATE TABLE graft_eqe.db.fact (ckey INT, cents BIGINT)
+              |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").cast("int").as("ckey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_eqe_base")
+      s.sql("INSERT INTO graft_eqe.db.fact SELECT * FROM graft_eqe_base")
+      // upsert A keys on the PRE-evolution column (ckey INT): its sidecar
+      // stores name 'ckey' with INT32 values
+      val chgA = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").cast("int").as("ckey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 7).as("cents"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_eqe", "db.fact",
+        chgA, Seq("ckey"))
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/db/fact")
+      val tfs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+      val vA = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      val filesA = graft.sources.GraftTable.readFullEntries(tfs, tdir, vA)
+        .map(_.file).toSet
+      // ordinary lifecycle DDL, both metadata-only
+      s.sql("ALTER TABLE graft_eqe.db.fact RENAME COLUMN ckey TO okey")
+      s.sql("ALTER TABLE graft_eqe.db.fact ALTER COLUMN okey TYPE BIGINT")
+      // upsert B keys on the renamed, widened column: %3=1 fresh inserts
+      // (+11), %6=3 updates of rows upsert A never touched (+13)
+      val chgB = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 3 === 1 || col("o_orderkey") % 6 === 3)
+        .select(col("o_orderkey").as("okey"),
+          (floor(col("o_totalprice") * 100).cast("long") +
+            when(col("o_orderkey") % 3 === 1, 11).otherwise(13)).as("cents"))
+      graft.sources.GraftEqDelete.upsert(s, "graft_eqe", "db.fact",
+        chgB, Seq("okey"))
+      // no pre-evolution file was rewritten — both commits are O(change)
+      val head = graft.sources.GraftTable.manifestVersions(tfs, tdir).last
+      val filesHead = graft.sources.GraftTable.readFullEntries(tfs, tdir, head)
+        .map(_.file).toSet
+      require(filesA.subsetOf(filesHead),
+        "etl_eq_upsert_evolved: the evolved upsert must not rewrite files")
+      // time travel BEFORE the evolution serves upsert A's state (and
+      // only it) through the current schema
+      val tt = s.sql(s"SELECT COUNT(*) AS n, " +
+          "SUM(CASE WHEN okey % 6 = 3 THEN cents ELSE 0 END) AS raw3 " +
+          s"FROM graft_eqe.db.fact VERSION AS OF $vA").collect()(0)
+      val ttNow = s.sql("SELECT COUNT(*) AS n, " +
+          "SUM(CASE WHEN okey % 6 = 3 THEN cents ELSE 0 END) AS upd3 " +
+          "FROM graft_eqe.db.fact WHERE okey % 3 = 0").collect()(0)
+      require(tt.getLong(0) == ttNow.getLong(0),
+        "etl_eq_upsert_evolved: upsert B must mask, not grow, the %3=0 keys")
+      val n3 = s.table("graft_eqe.db.fact")
+        .where(col("okey") % 6 === 3).count()
+      require(ttNow.getLong(1) == tt.getLong(1) + 13L * n3,
+        "etl_eq_upsert_evolved: time travel must serve the pre-B cents " +
+          "while head serves the +13 updates")
+      s.sql("""SELECT okey % 5 AS grp, COUNT(*) AS n,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM graft_eqe.db.fact GROUP BY okey % 5 ORDER BY grp""".stripMargin)
+    },
+
     // MULTI-TABLE ATOMIC PUBLISH (round 10): the medallion consistency
     // verb — bronze and silver stage a release on the SAME branch name,
     // and graft_publish_together fast-forwards both as one two-phase
@@ -4580,6 +4658,24 @@ object Etl {
         |  COALESCE(c.cents, b.cents) AS cents
         |  FROM base b FULL JOIN chg c ON b.ckey = c.ckey)
         |SELECT ckey % 5 AS grp, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_eq_upsert_evolved" ->
+      """WITH base AS (SELECT o_orderkey AS okey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |a AS (SELECT okey,
+        |  CASE WHEN okey % 6 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base),
+        |chg AS (SELECT o_orderkey AS okey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) +
+        |    CASE WHEN o_orderkey % 3 = 1 THEN 11 ELSE 13 END AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 1 OR o_orderkey % 6 = 3),
+        |merged AS (SELECT COALESCE(c.okey, a.okey) AS okey,
+        |  COALESCE(c.cents, a.cents) AS cents
+        |  FROM a FULL JOIN chg c ON a.okey = c.okey)
+        |SELECT okey % 5 AS grp, COUNT(*) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -860,17 +860,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "spec wrote directory segments under it and pruning resolves " +
           "them by name")
     }
-    // live equality-delete masks store key NAMES and typed VALUES in
-    // their sidecars — rename/widen would need a sidecar rewrite, which
-    // is not a metadata-only operation; refuse loudly while any retained
-    // snapshot carries one
-    def eqMaskGuard(verb: String): Unit =
-      if (isHistory(dir) && GraftTable.manifestVersions(fs, dir).exists(v =>
-          GraftTable.readFullEntries(fs, dir, v).exists(_.eqs.nonEmpty)))
-        throw new UnsupportedOperationException(
-          s"graft catalog: cannot $verb on $ident while retained snapshots " +
-            "carry equality-delete masks (sidecars store key names and " +
-            "typed values) — materialize the eq-deletes and vacuum first")
+    // live equality-delete masks compose with rename/widen (round 13):
+    // sidecars store the key names and typed values of their upsert
+    // epoch, and the read path resolves them per sidecar exactly like it
+    // resolves data files — stored name through the alias chain to the
+    // current column, values up-converted to the current width
+    // (GraftEqDelete.keySet)
     case class Evo(schema: StructType, aliases: Map[String, Seq[String]],
                    retired: Seq[String], widened: Set[String])
     val evo0 = Evo(readSchema(dir), GraftEvolution.aliasesOf(props0),
@@ -929,7 +924,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val to = ren.newName()
           require(st.schema.fieldNames.contains(from), s"no such column: $from")
           layoutGuard(from, "rename")
-          eqMaskGuard(s"RENAME COLUMN $from")
           require(!GraftEvolution.allKnownNames(st.schema, st.aliases,
               st.retired).contains(to),
             s"graft catalog: cannot rename $from to $to — the name is (or " +
@@ -958,7 +952,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s"to ${to.simpleString} — only widenings the parquet reader " +
                 "up-converts in place are metadata-only (byte→short→int→" +
                 "long, float→double); anything else rewrites data")
-            eqMaskGuard(s"ALTER COLUMN $name TYPE")
             st.copy(
               schema = StructType(st.schema.fields.map(f =>
                 if (f.name == name) f.copy(dataType = to) else f)),
@@ -2989,11 +2982,13 @@ class GraftPartitionReader(required: StructType, physicalSchema: StructType,
       !partNames.contains(f.name)))
   // equality masks (per-executor cached key sets): the key columns must
   // be READ even when the query prunes them — they ride the read schema
-  // as trailing fields and are never emitted
+  // as trailing fields and are never emitted. Sidecar key names resolve
+  // through the alias chains (an upsert's sidecar may predate a RENAME)
+  // and values are read at current width — keySet returns CURRENT names.
   private val skipEqSets: Seq[(Array[String], Set[Vector[Any]])] =
-    skipEqs.map(GraftEqDelete.keySet(_, physicalSchema, conf.value))
+    skipEqs.map(GraftEqDelete.keySet(_, physicalSchema, aliases, conf.value))
   private val matchEqSets: Seq[(Array[String], Set[Vector[Any]])] =
-    matchEqs.map(GraftEqDelete.keySet(_, physicalSchema, conf.value))
+    matchEqs.map(GraftEqDelete.keySet(_, physicalSchema, aliases, conf.value))
   private val extraKeyFields: Array[StructField] =
     (skipEqSets ++ matchEqSets).flatMap(_._1).distinct
       .filterNot(n => dataSchema.fieldNames.contains(n))

@@ -43,36 +43,79 @@ object GraftEqDelete {
   private def freshName(): String =
     s"$Prefix${UUID.randomUUID().toString.replace("-", "")}.eqdel"
 
-  /** Per-executor cache of eq-file key sets (files are immutable and
-    * uuid-named; a set is a few KB to a few MB — the change-set size).
+  /** Per-executor cache of eq-file key sets, keyed by (file, resolved
+    * name/type signature): the FILE is immutable and uuid-named, but the
+    * name RESOLUTION is not — a RENAME or type WIDENING after the upsert
+    * changes what the sidecar's stored names mean, and a stale entry
+    * would probe under the wrong name or at the wrong width. A set is a
+    * few KB to a few MB — the change-set size.
     */
   private val cache =
     new ConcurrentHashMap[String, (Array[String], Set[Vector[Any]])]()
 
-  /** (key column names, key tuple set) of one eq file. Key VALUES use the
-    * same InternalRow representations the data reader produces
-    * (UTF8String / Long / ...), so probe equality is representation-exact.
-    */
-  def keySet(eqFile: String, physicalSchema: StructType,
-             conf: org.apache.hadoop.conf.Configuration): (Array[String], Set[Vector[Any]]) = {
-    val cached = cache.get(eqFile)
-    if (cached != null) return cached
-    val p = new Path(eqFile)
-    val names: Array[String] = {
+  /** Footer column names of one eq file (immutable — cached forever). */
+  private val storedNamesCache = new ConcurrentHashMap[String, Array[String]]()
+
+  private def storedNames(eqFile: String,
+                          conf: org.apache.hadoop.conf.Configuration): Array[String] =
+    storedNamesCache.computeIfAbsent(eqFile, { _ =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(eqFile), conf))
       try {
         import scala.jdk.CollectionConverters._
         r.getFooter.getFileMetaData.getSchema.getFields.asScala
           .map(_.getName).toArray
       } finally r.close()
-    }
-    val schema = StructType(names.map(n => physicalSchema.fields
-      .find(_.name == n).getOrElse(throw new IllegalStateException(
-        s"equality-delete file $eqFile keys on column '$n' which is not " +
-          "in the table's physical schema (dropped?) — fold the masks " +
-          "(materializeEqDeletes) before evolving key columns"))))
-    val reader = ParquetRowIO.reader(p, schema, conf, None)
+    })
+
+  def keySet(eqFile: String, physicalSchema: StructType,
+             conf: org.apache.hadoop.conf.Configuration): (Array[String], Set[Vector[Any]]) =
+    keySet(eqFile, physicalSchema, Map.empty, conf)
+
+  /** (CURRENT key column names, key tuple set) of one eq file. Key VALUES
+    * use the same InternalRow representations the data reader produces
+    * (UTF8String / Long / ...), so probe equality is representation-exact.
+    *
+    * Sidecars store the key names and typed values of their UPSERT EPOCH;
+    * schema evolution after the upsert is resolved here, the same way the
+    * data read path resolves files (GraftAliasReadSupport):
+    *  - a stored name absent from the current schema resolves through the
+    *    alias chains (a RENAME after the upsert) to the column's current
+    *    name — the returned names are always CURRENT, which is what the
+    *    probe's read schema keys on;
+    *  - values are read at the column's CURRENT type (a WIDENING after
+    *    the upsert): parquet matches the sidecar bytes by stored name and
+    *    the converter up-converts, exactly as it does for pre-widen data
+    *    files.
+    * A stored name that resolves to NO current column (dropped) still
+    * refuses: those masks must be folded before the DROP.
+    */
+  def keySet(eqFile: String, physicalSchema: StructType,
+             aliases: Map[String, Seq[String]],
+             conf: org.apache.hadoop.conf.Configuration): (Array[String], Set[Vector[Any]]) = {
+    val stored = storedNames(eqFile, conf)
+    val resolved: Array[(String, org.apache.spark.sql.types.StructField)] =
+      stored.map { n =>
+        val cur = physicalSchema.fields.find(_.name == n)
+          .orElse(aliases.collectFirst {
+            case (c, olds) if olds.contains(n) => c
+          }.flatMap(c => physicalSchema.fields.find(_.name == c)))
+          .getOrElse(throw new IllegalStateException(
+            s"equality-delete file $eqFile keys on column '$n' which is " +
+              "not in the table's physical schema under any name " +
+              "(dropped?) — fold the masks (materializeEqDeletes) before " +
+              "dropping key columns"))
+        (n, cur)
+      }
+    val sig = resolved.map { case (n, f) =>
+      s"$n>${f.name}:${f.dataType.simpleString}" }.mkString(s"$eqFile|", ",", "")
+    val cached = cache.get(sig)
+    if (cached != null) return cached
+    // request the STORED name (what the sidecar file holds bytes under)
+    // at the CURRENT type (what the data probe compares against)
+    val schema = StructType(resolved.map { case (n, f) => f.copy(name = n) })
+    val reader = ParquetRowIO.reader(new Path(eqFile), schema, conf, None)
     val set = Set.newBuilder[Vector[Any]]
     try {
       var r = reader.read()
@@ -82,8 +125,8 @@ object GraftEqDelete {
         r = reader.read()
       }
     } finally reader.close()
-    val built = (names, set.result())
-    cache.put(eqFile, built)
+    val built = (resolved.map(_._2.name), set.result())
+    cache.put(sig, built)
     built
   }
 
@@ -160,18 +203,16 @@ object GraftEqDelete {
     require(keyCols.nonEmpty &&
       keyCols.forall(c => t.schema().fieldNames.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} must exist in the table")
-    // eq sidecars store key NAMES and typed VALUES; rename/widen history
-    // would make the sidecar-vs-file resolution per-epoch. Refused both
-    // ways: alterTable refuses rename/widen while eq masks live, and
-    // upsert refuses while rename/widen history exists
     require(keyCols.forall(c => !t.existenceDefaultCols.contains(c)),
       s"upsert: key columns ${keyCols.mkString(",")} must not carry " +
         "existence defaults — pre-add files hold no key bytes to probe")
-    require(t.aliases.isEmpty,
-      s"upsert: $catalog.$table carries rename history " +
-        s"(${t.aliases.keys.mkString(",")}) — equality-delete sidecars " +
-        "resolve key names per file and do not compose with name mappings; " +
-        "compact the table to current-schema files first")
+    // RENAME/WIDEN history composes (round 13): the sidecar this upsert
+    // writes stores CURRENT names and CURRENT-typed values; pre-evolution
+    // files are probed through the same per-file alias resolution and
+    // up-conversion the data read path applies. The inverse order — an
+    // upsert whose sidecar predates a later rename/widen — resolves in
+    // [[keySet]] (stored name → alias chain → current column, values read
+    // at the current width).
     val dir = new Path(t.dir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -477,17 +518,53 @@ object GraftEqDelete {
     val masked = entries.filter(_.eqs.nonEmpty)
     if (masked.isEmpty) return 0
     val staging = new Path(dir, s".eqfold-${UUID.randomUUID()}")
+    // RENAME/WIDEN history: the fold forward-maps every column to its
+    // CURRENT name and width (old files hold bytes under former names and
+    // narrower types; the sidecar keys may be either epoch), so the
+    // anti-join compares like-for-like and rewritten files land at the
+    // current schema — the fold doubles as the compact-to-current remedy.
+    // Columns outside the current schema (dropped-column bytes) ride
+    // along verbatim, exactly as the un-evolved fold kept them.
+    val aliases = GraftEvolution.aliasesOf(props)
+    val widened = GraftEvolution.widenedOf(props)
+    val evolved = aliases.nonEmpty || widened.nonEmpty
+    val curTypes: Map[String, DataType] =
+      GraftTable.readTableSchema(fs, dir).map(_.fields.toSeq).getOrElse(Nil)
+        .map(f => f.name -> f.dataType).toMap +
+        (GraftRowId.Col -> org.apache.spark.sql.types.LongType)
+    def forward(n: String): String =
+      if (curTypes.contains(n)) n
+      else aliases.collectFirst {
+        case (c, olds) if olds.contains(n) => c }.getOrElse(n)
+    def toCurrent(df: DataFrame, passthrough: Set[String]): DataFrame =
+      df.select(df.columns.toSeq.map { c =>
+        if (passthrough.contains(c)) col(c)
+        else {
+          val cur = forward(c)
+          curTypes.get(cur).map(t => col(c).cast(t).as(cur)).getOrElse(col(c))
+        }
+      }: _*)
     // group files sharing a mask set: one read + anti-join job per group,
-    // survivors staged per source file so boundaries (and counts) hold
+    // survivors staged per source file so boundaries (and counts) hold.
+    // On an evolved table, files of different DDL epochs cannot share one
+    // multi-file read (parquet matches by name against one sampled
+    // footer) — subgroup by each file's own (name, type) shape first
     val rewrittenByName = scala.collection.mutable.Map.empty[String, Seq[String]]
     masked.groupBy(_.eqs.toSet).foreach { case (eqSet, group) =>
-      var df = spark.read.parquet(group.map(_.file): _*)
+      val subgroups: Seq[Seq[GraftTable.GraftEntry]] =
+        if (!evolved) Seq(group)
+        else group.groupBy(e => spark.read.parquet(e.file).schema
+          .map(f => (f.name, f.dataType))).values.toSeq
+      subgroups.foreach { sub =>
+      var df = spark.read.parquet(sub.map(_.file): _*)
         .withColumn("__graft_src",
           org.apache.spark.sql.functions.element_at(
             org.apache.spark.sql.functions.split(
               col("_metadata.file_path"), "/"), -1))
+      if (evolved) df = toCurrent(df, passthrough = Set("__graft_src"))
       eqSet.toSeq.sorted.foreach { eq =>
-        val keys = spark.read.parquet(eq)
+        val keys0 = spark.read.parquet(eq)
+        val keys = if (evolved) toCurrent(keys0, Set.empty) else keys0
         df = df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
       }
       val out = new Path(staging, UUID.randomUUID().toString.take(8))
@@ -495,7 +572,7 @@ object GraftEqDelete {
         df.write.partitionBy("__graft_src").mode("overwrite")
           .parquet(out.toString)
       }
-      group.foreach { e =>
+      sub.foreach { e =>
         val name = new Path(e.file).getName
         // part file names are [A-Za-z0-9.-] — no partition-value escaping
         val sub = new Path(out, s"__graft_src=$name")
@@ -514,6 +591,7 @@ object GraftEqDelete {
               fs.rename(p, tgt); tgt.toString
             }
         rewrittenByName(name) = landed
+      }
       }
     }
     fs.delete(staging, true)

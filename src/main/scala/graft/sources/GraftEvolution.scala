@@ -38,8 +38,11 @@ import org.apache.spark.sql.types._
   *    rename or widen — directory names and bucket hashes embed them;
   *  - a CHECK constraint referencing the column blocks the ALTER (drop
   *    the constraint first; silent rewrite would re-type user DDL);
-  *  - live equality-delete masks block both verbs (eq sidecars store key
-  *    names and typed values: remapping them is a rewrite, not metadata);
+  *  - live equality-delete masks COMPOSE with both verbs (round 13): a
+  *    sidecar stores the key names and typed values of its upsert epoch,
+  *    and the read path resolves each sidecar like it resolves data
+  *    files — stored name through the alias chain to the current column,
+  *    values up-converted to the current width (GraftEqDelete.keySet);
   *  - a name is never reused: ADD COLUMN refuses any name that is a
   *    CURRENT alias or was EVER dropped/retired — old files still hold
   *    bytes under those names, and a reborn column would resurrect them

@@ -420,4 +420,92 @@ class GraftEqDeleteSpec extends SparkSpec {
     assert(GraftTable.readFullEntries(fs, dir, v0).forall(_.eqs.isEmpty),
       "an empty upsert must hang no mask references")
   }
+
+  test("upsert composes with RENAME/WIDEN history: upsert on the renamed " +
+      "key probes pre-evolution files through alias + up-conversion") {
+    sql("""CREATE TABLE graft_eq.db.evo1 (k INT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.evo1 SELECT CAST(id AS INT), concat('old', id) FROM range(0, 100)")
+    sql("ALTER TABLE graft_eq.db.evo1 RENAME COLUMN k TO key2")
+    sql("ALTER TABLE graft_eq.db.evo1 ALTER COLUMN key2 TYPE BIGINT")
+    val fs = fsOf("evo1"); val dir = dirOf("evo1")
+    val preFiles = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).map(_.file).toSet
+    val v1 = GraftTable.manifestVersions(fs, dir).last
+    // update keys 40..49 (pre-evolution bytes live under 'k' as INT32),
+    // insert a beyond-int key — the widened epoch
+    val changes = spark.range(40, 50).toDF("key2")
+      .union(Seq(5000000000L).toDF("key2"))
+      .withColumn("v", concat(lit("new"), col("key2")))
+    GraftEqDelete.upsert(spark, "graft_eq", "db.evo1", changes, Seq("key2"))
+    val t = spark.table("graft_eq.db.evo1")
+    assert(t.count() == 101)
+    assert(t.where(col("key2") === 45).collect().head.getString(1) == "new45",
+      "pre-rename INT32 rows must be masked by the current-name sidecar")
+    assert(t.where(col("key2") === 5).collect().head.getString(1) == "old5")
+    assert(t.where(col("key2") === 5000000000L).count() == 1,
+      "the beyond-int insert must land at the widened type")
+    // no pre-evolution file was rewritten — the upsert stays O(change-set)
+    val nowFiles = GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).map(_.file).toSet
+    assert(preFiles.subsetOf(nowFiles), "upsert must not rewrite old files")
+    // lineage carried: the updated keys keep their ids
+    val reId = spark.sql(
+      s"""SELECT COUNT(*) FROM
+         |  (SELECT key2, _row_id FROM graft_eq.db.evo1 VERSION AS OF $v1) b
+         |  JOIN graft_eq.db.evo1 a ON a.key2 = b.key2 AND a._row_id <> b._row_id
+         |""".stripMargin).collect()(0).getLong(0)
+    assert(reId == 0L, "upserted rows on an evolved table must carry _row_id")
+    // time travel to the pre-upsert snapshot resurrects the old versions
+    assert(spark.sql(s"SELECT v FROM graft_eq.db.evo1 VERSION AS OF $v1 " +
+      "WHERE key2 = 45").collect().head.getString(0) == "old45")
+  }
+
+  test("upsert composes with RENAME/WIDEN history the INVERSE way: a " +
+      "sidecar written BEFORE the rename keeps masking after it") {
+    sql("""CREATE TABLE graft_eq.db.evo2 (k INT, v STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.evo2 SELECT CAST(id AS INT), concat('old', id) FROM range(0, 100)")
+    val changes = spark.range(10, 20).toDF("k")
+      .withColumn("v", concat(lit("new"), col("k")))
+    GraftEqDelete.upsert(spark, "graft_eq", "db.evo2", changes, Seq("k"))
+    // the sidecar now stores name 'k' at INT32; rename + widen AFTER it
+    sql("ALTER TABLE graft_eq.db.evo2 RENAME COLUMN k TO id")
+    sql("ALTER TABLE graft_eq.db.evo2 ALTER COLUMN id TYPE BIGINT")
+    val t = spark.table("graft_eq.db.evo2")
+    assert(t.count() == 100)
+    assert(t.where(col("id") === 15).collect().head.getString(1) == "new15",
+      "the pre-rename sidecar must resolve through the alias chain")
+    assert(t.where(col("id") === 95).collect().head.getString(1) == "old95")
+    // the changes feed still serves the upsert's delete images, under
+    // CURRENT names (matchEqs probes resolve like skipEqs)
+    val fs = fsOf("evo2"); val dir = dirOf("evo2")
+    val vHead = GraftTable.manifestVersions(fs, dir).last
+    val dels = spark.sql(
+      s"""SELECT id FROM graft_changes('graft_eq', 'db.evo2', 0, $vHead)
+         |WHERE _change_type = 'delete'""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(dels == (10L until 20L).toSet,
+      s"delete images must be the masked keys under the current name, got $dels")
+    // fold on the evolved table: anti-join compares like-for-like and
+    // lands CURRENT-schema files (name 'id', INT64)
+    assert(GraftEqDelete.materializeEqDeletes(spark, dir.toString) > 0)
+    val head = entries("evo2")
+    assert(head.forall(_.eqs.isEmpty), "fold must clear every mask reference")
+    // REWRITTEN files land at the current schema (name 'id', INT64);
+    // stats-skipped files never carried the mask and legitimately keep
+    // their old-epoch bytes — the alias read path serves them
+    val folded = head.map(_.file).filter(_.contains("-eqm"))
+    assert(folded.nonEmpty, "the fold must have rewritten the masked files")
+    folded.foreach { f =>
+      val sch = spark.read.parquet(f).schema
+      assert(sch.fieldNames.contains("id") && !sch.fieldNames.contains("k"),
+        s"folded file $f must land at the current schema")
+      assert(sch("id").dataType == org.apache.spark.sql.types.LongType)
+    }
+    val t2 = spark.table("graft_eq.db.evo2")
+    assert(t2.count() == 100)
+    assert(t2.where(col("id") === 15).collect().head.getString(1) == "new15")
+    assert(t2.where(col("id") === 95).collect().head.getString(1) == "old95")
+  }
 }
