@@ -166,6 +166,20 @@ object GraftExtensions {
     }
   }
 
+  /** Head manifest version of an ANN corpus table, when it is a graft
+    * HISTORY table (the shape whose `.changes` feed delete-aware ANN
+    * maintenance reads) — None for anything else.
+    */
+  private def annCorpusHead(s: SparkSession, cat: String,
+                            corpusTbl: String): Option[Long] =
+    scala.util.Try(graftTableOf(cat, corpusTbl)).toOption
+      .filter(_.history)
+      .flatMap { ct =>
+        val cdir = new org.apache.hadoop.fs.Path(ct.dir)
+        val cfs = cdir.getFileSystem(s.sessionState.newHadoopConf())
+        graft.sources.GraftTable.manifestVersions(cfs, cdir).lastOption
+      }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> columns"),
@@ -1590,8 +1604,15 @@ object GraftExtensions {
           new org.apache.hadoop.fs.Path(graftTableOf(cat, graphTbl).dir)
             .getFileSystem(s.sessionState.newHadoopConf()),
           new org.apache.hadoop.fs.Path(graftTableOf(cat, graphTbl).dir)).last
+        // also stamp the CORPUS version this graph reflects (when the
+        // corpus is a history catalog table): optimize reads the corpus
+        // changes feed after it to find DELETED vectors — O(changed)
+        val corpusStamp = annCorpusHead(s, cat, corpusTbl).map(v =>
+          s", '${graft.operators.AnnIndex.CorpusVersionProp}'='$v'")
+          .getOrElse("")
         s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
-          s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$builtV')")
+          s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$builtV'" +
+          corpusStamp + ")")
         val g = s.table(s"$cat.$graphTbl")
         val nodes = g.select(countDistinct(col("a_id"))).collect()(0).getLong(0)
         val nEdges = g.count()
@@ -1639,7 +1660,11 @@ object GraftExtensions {
           "bounded read, O(touched) not O(corpus)): beam-placed " +
           "neighborhoods and slot-valued reverse edges re-rank to a " +
           "clean per-node top-k; untouched nodes keep their edges " +
-          "verbatim; returns (appended_edges, touched_region, edges_after)"),
+          "verbatim. DELETED corpus vectors (corpus changes feed after " +
+          "the ann.corpus.version baseline; post-purge: id sweep) lose " +
+          "every edge row and their bereaved neighbors re-descend; " +
+          "returns (appended_edges, touched_region, edges_after, " +
+          "dead_nodes)"),
       (args: Seq[Expression]) => {
         require(args.length == 7,
           "graft_ann_optimize(catalog, 'ns.corpus', 'ns.graph', id_col, " +
@@ -1671,16 +1696,77 @@ object GraftExtensions {
              |  AND _change_type = 'insert'""".stripMargin)
           .localCheckpoint(eager = true)
         val nAppended = appended.count()
-        if (nAppended == 0) {
+        // DELETED corpus vectors since the graph's corpus baseline
+        // (round 13): read the CORPUS changes feed — O(changed), never an
+        // O(corpus) id sweep — and net out per id (an update emits
+        // delete+insert in one commit and stays alive; a later re-insert
+        // revives). Dead ids lose every edge row, both directions, and
+        // their bereaved neighbors join the re-descent scope.
+        val corpusV0 = graft.sources.GraftTable.readProps(fs, dir)
+          .get(graft.operators.AnnIndex.CorpusVersionProp).map(_.toLong)
+        val corpusHead = annCorpusHead(s, cat, corpusTbl)
+        val corpusRetained: Seq[Long] = corpusHead.toSeq.flatMap { _ =>
+          val ct = graftTableOf(cat, corpusTbl)
+          val cdir = new org.apache.hadoop.fs.Path(ct.dir)
+          graft.sources.GraftTable.manifestVersions(
+            cdir.getFileSystem(s.sessionState.newHadoopConf()), cdir)
+        }
+        def nonEmptyOpt(d: org.apache.spark.sql.DataFrame) =
+          if (d.isEmpty) None else Some(d)
+        val dead: Option[org.apache.spark.sql.DataFrame] =
+          (corpusV0, corpusHead) match {
+            case (Some(v0), Some(head))
+                if head > v0 && corpusRetained.contains(v0) =>
+              val chg = s.sql(
+                s"""SELECT $idCol, _change_type, _commit_version
+                   |FROM $cat.$corpusTbl.changes
+                   |WHERE _commit_version > $v0""".stripMargin)
+              nonEmptyOpt(chg
+                .groupBy(col(idCol).cast("long").as("a_id"))
+                .agg(org.apache.spark.sql.functions.max(
+                  org.apache.spark.sql.functions.struct(
+                    col("_commit_version"),
+                    org.apache.spark.sql.functions.when(
+                      col("_change_type") === "insert", 1).otherwise(0)
+                      .as("ins"))).as("m"))
+                .where(col("m.ins") === 0).select(col("a_id"))
+                .localCheckpoint(eager = true))
+            case (Some(v0), Some(head)) if head != v0 =>
+              // the baseline snapshot is no longer retained — an
+              // etl_purge vacuumed it (purge keeps only the head), so
+              // the delete window is unreadable. Fall back to the sound
+              // sweep: indexed ids with no corpus row. Costs one
+              // column-pruned id scan — the price of a purge, never of
+              // routine maintenance.
+              nonEmptyOpt(s.table(s"$cat.$graphTbl")
+                .select(col("a_id")).distinct()
+                .join(s.table(s"$cat.$corpusTbl")
+                  .select(col(idCol).cast("long").as("c_id")),
+                  col("a_id") === col("c_id"), "left_anti")
+                .select(col("a_id")).localCheckpoint(eager = true))
+            case _ => None
+          }
+        val nDead = dead.map(_.count()).getOrElse(0L)
+        // advance the corpus baseline even on a no-op pass: net-alive
+        // change windows (pure appends, in-place updates) never need
+        // re-reading
+        def stampCorpus(): Unit = corpusHead.foreach(h =>
+          if (!corpusV0.contains(h))
+            s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
+              s"'${graft.operators.AnnIndex.CorpusVersionProp}'='$h')"))
+        if (nAppended == 0 && nDead == 0) {
           // quiet since the baseline: nothing to re-descend, zero writes
+          stampCorpus()
           Bridge.logicalPlan(Seq((0L, 0L,
-            s.table(s"$cat.$graphTbl").count()))
-            .toDF("appended_edges", "touched_region", "edges_after"))
+            s.table(s"$cat.$graphTbl").count(), 0L))
+            .toDF("appended_edges", "touched_region", "edges_after",
+              "dead_nodes"))
         } else {
           val corpus = s.table(s"$cat.$corpusTbl")
           val graph = s.table(s"$cat.$graphTbl")
           val optimized = graft.operators.AnnIndex.optimizeEdges(
-              corpus, graph, appended, idCol, vecCol, blockCol, k)
+              corpus, graph, appended, idCol, vecCol, blockCol, k,
+              iters = 1, dead = dead)
             .select(col("a_id").cast("long"), col("b_id").cast("long"),
               col("cosine").cast("double"), col("rank").cast("int"))
             .localCheckpoint(eager = true) // breaks the self-read lineage
@@ -1704,8 +1790,11 @@ object GraftExtensions {
               "not report its committed version")
           s.sql(s"ALTER TABLE $cat.$graphTbl SET TBLPROPERTIES(" +
             s"'${graft.operators.AnnIndex.BuiltVersionProp}'='$newHead')")
-          Bridge.logicalPlan(Seq((nAppended, touched, optimized.count()))
-            .toDF("appended_edges", "touched_region", "edges_after"))
+          stampCorpus()
+          Bridge.logicalPlan(Seq((nAppended, touched, optimized.count(),
+              nDead))
+            .toDF("appended_edges", "touched_region", "edges_after",
+              "dead_nodes"))
         }
       }),
     ("graft_row_diff",

@@ -29,6 +29,15 @@ object AnnIndex {
     */
   val BuiltVersionProp = "ann.built.version"
 
+  /** Table property recording the CORPUS version the graph last reflected
+    * (stamped by build, advanced by optimize): `graft_ann_optimize` reads
+    * the corpus changes feed after this version to find DELETED vectors —
+    * O(changed), never an O(corpus) id sweep — and drops their edges.
+    * Absent when the corpus is not a history catalog table (no changes
+    * feed to read; deletes are then invisible to maintenance).
+    */
+  val CorpusVersionProp = "ann.corpus.version"
+
   /** Size of the last [[optimizeEdges]] touched region on THIS thread
     * (driver-side probe for the TVF report and the O(touched) spec
     * assertion) — thread-local, not a JVM global: concurrent optimizes
@@ -104,22 +113,56 @@ object AnnIndex {
     * the beam-placed candidates and the region would probe WORSE than a
     * rebuild. Returns the REPLACEMENT edge set for the whole graph.
     */
+  /** DEAD-NODE handling (round 13): `dead` carries the ids of corpus rows
+    * DELETED (or purged) since the graph's corpus baseline — one column
+    * `a_id`. Every edge touching a dead id is dropped (both directions:
+    * the dead node's own rows AND the reverse slots it planted on
+    * others), and each BEREAVED node — a live node that lost a neighbor —
+    * joins the re-descent scope so its top-k heals instead of silently
+    * shrinking. Bereaved nodes get NO one-hop expansion: a deletion
+    * cannot ENTER anyone else's top-k, unlike an appended newcomer.
+    * After this runs, no row of the replacement edge set carries a dead
+    * id — the purge-completeness contract for a derived vector index.
+    */
   def optimizeEdges(corpus: DataFrame, graph: DataFrame, appended: DataFrame,
                     idCol: String, vecCol: String, blockCol: String, k: Int,
-                    iters: Int = 1): DataFrame = {
+                    iters: Int = 1, dead: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "graph-ANN optimize: at least one descent iteration")
+    val deadIds = dead.map(_.select(col("a_id")).distinct()
+      .localCheckpoint(eager = true))
+    def dropDead(df: DataFrame): DataFrame = deadIds match {
+      case Some(d) =>
+        val dd = d.withColumnRenamed("a_id", "d_id")
+        df.join(dd, df("a_id") === col("d_id"), "left_anti")
+          .join(dd, df("b_id") === col("d_id"), "left_anti")
+      case None => df
+    }
+    val gLive = dropDead(
+      graph.select(col("a_id"), col("b_id"), col("cosine"), col("rank")))
+    val bereaved: Option[DataFrame] = deadIds.map { d =>
+      val dd = d.withColumnRenamed("a_id", "d_id")
+      graph.join(dd, col("b_id") === col("d_id"), "left_semi")
+        .select(col("a_id"))
+        .unionAll(graph.join(dd, col("a_id") === col("d_id"), "left_semi")
+          .select(col("b_id").as("a_id")))
+    }
     val touched0 = appended.select(col("a_id"))
       .unionAll(appended.select(col("b_id").as("a_id"))).distinct()
-    val und = graph.select(col("a_id"), col("b_id"))
-      .unionAll(graph.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val und = gLive.select(col("a_id"), col("b_id"))
+      .unionAll(gLive.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // one hop out: nodes whose true top-k a newcomer can enter
-    val scope = touched0
+    val withHop = touched0
       .unionAll(und.join(touched0.withColumnRenamed("a_id", "t_id"),
         col("a_id") === col("t_id"), "left_semi").select(col("b_id").as("a_id")))
-      .distinct()
+    val withBereaved = bereaved.fold(withHop)(withHop.unionAll)
+    // dead ids never enter the scope — they have no corpus row to score
+    val scope = deadIds.fold(withBereaved)(d =>
+        withBereaved.join(d.withColumnRenamed("a_id", "d_id"),
+          withBereaved("a_id") === col("d_id"), "left_anti"))
+      .select(col("a_id")).distinct()
       .localCheckpoint(eager = true) // reused by the joins below
     lastScopeSize.set(scope.count())
-    val subEdges = graph.join(scope.withColumnRenamed("a_id", "s_id"),
+    val subEdges = gLive.join(scope.withColumnRenamed("a_id", "s_id"),
         col("a_id") === col("s_id"), "left_semi")
       .select(col("a_id"), col("b_id"))
     val scopeCorpus = corpus.join(scope.withColumnRenamed("a_id", "s_id"),
@@ -136,7 +179,7 @@ object AnnIndex {
       // OUTSIDE the region — those keep their existing edges instead
       .join(scope.withColumnRenamed("a_id", "s_id"),
         col("a_id") === col("s_id"), "left_semi")
-    val kept = graph.join(scope.withColumnRenamed("a_id", "s_id"),
+    val kept = gLive.join(scope.withColumnRenamed("a_id", "s_id"),
         col("a_id") === col("s_id"), "left_anti")
       .select(col("a_id"), col("b_id"), col("cosine"), col("rank"))
     kept.unionAll(

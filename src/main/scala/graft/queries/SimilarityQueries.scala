@@ -430,6 +430,68 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     },
 
+    // DELETE-AWARE ANN MAINTENANCE (round 13; the composition gap the
+    // persisted graph index had): corpus rows DELETED after the build
+    // left dangling edge rows in the knn table forever — results stayed
+    // correct (the probe's score join drops dead candidates) but
+    // navigability decayed and purged ids lingered with their cosines.
+    // graft_ann_optimize now reads the CORPUS changes feed after its
+    // ann.corpus.version baseline (O(changed); post-purge vacuum: a
+    // sound id sweep), drops every edge touching a dead id in BOTH
+    // positions, and re-descends exactly the BEREAVED nodes — each
+    // live node that lost a neighbor — so their top-k heals. Asserted
+    // in-query: zero dead ids anywhere in the healed graph, the
+    // re-descent region is the bereaved strict subset, every node ends
+    // with a clean ranked top-k. The oracle replays build → delete →
+    // heal → probe in SQL, value-checking the healed graph's bytes.
+    "sim_ann_delete" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val wh = Etl.scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_ad", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ad.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ad.db")
+      s.sql("DROP TABLE IF EXISTS graft_ad.db.emb")
+      s.sql("DROP TABLE IF EXISTS graft_ad.db.knn")
+      s.sql("""CREATE TABLE graft_ad.db.emb (vec_id BIGINT, label BIGINT,
+              |embedding ARRAY<FLOAT>)
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding"))
+        .writeTo("graft_ad.db.emb").append()
+      s.sql("""SELECT * FROM graft_ann_build('graft_ad', 'db.emb', 'db.knn',
+              |'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+      s.sql("DELETE FROM graft_ad.db.emb WHERE vec_id % 10 = 7")
+      val r = s.sql("""SELECT * FROM graft_ann_optimize('graft_ad', 'db.emb',
+              |'db.knn', 'vec_id', 'embedding', 'label', 3)""".stripMargin)
+        .collect()(0)
+      val n = s.table("graft_ad.db.emb").count()
+      require(r.getLong(0) == 0 && r.getLong(3) > 0,
+        s"sim_ann_delete: no appends, only deletes to heal, got $r")
+      require(r.getLong(1) > 0 && r.getLong(1) < n,
+        s"sim_ann_delete: the bereaved region must be a non-empty strict " +
+          s"subset of the $n survivors, got $r")
+      val g = s.table("graft_ad.db.knn")
+      require(g.where(col("a_id") % 10 === 7 || col("b_id") % 10 === 7)
+        .count() == 0,
+        "sim_ann_delete: dead ids must vanish from both edge positions")
+      val dirty = g.groupBy("a_id")
+        .agg(count(lit(1)).as("deg"), countDistinct(col("rank")).as("ranks"),
+          max(col("rank")).as("maxr"))
+        .where(col("deg") > 3 || col("ranks") =!= col("deg") ||
+          col("maxr") > col("deg")).count()
+      require(dirty == 0,
+        s"sim_ann_delete: $dirty healed nodes kept slot ranks / " +
+          "over-degree edges")
+      val corpus = s.table("graft_ad.db.emb")
+      Similarity.graphBeamSearch(corpus, corpus.where(col("vec_id") < 10),
+          "vec_id", "embedding", g.select(col("a_id"), col("b_id")),
+          corpus.where(col("vec_id") % 100 === 0), beamWidth = 8,
+          rounds = 3, topK = 5)
+        .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // HNSW-shaped LAYERED search — the layer stack sim_graph_search lacks:
     // deterministic 1-in-8 promotion (level l ⇔ id % 8^l = 0, HNSW's
     // geometric layer sizes made replayable), exact entry over the tiny
@@ -1063,6 +1125,110 @@ object SimilarityQueries {
        |${beamRound("f", 3, "und3", "fqf")}""".stripMargin
   }
 
+  /** Full replay of the sim_ann_delete pipeline: build over the WHOLE
+    * corpus (block-local top-3 ∪ arithmetic pseudo-random links → one
+    * descent step), delete the vec_id %% 10 = 7 slice, the heal (drop
+    * every edge touching a dead id both ways; re-descend exactly the
+    * bereaved nodes — region re-seed over survivor corpus rows ∪ the
+    * region's live edges → one descent step scored against SURVIVORS;
+    * every non-bereaved edge verbatim), and the final 3-round beam probe
+    * over the healed graph. Mirrors AnnIndex.optimizeEdges' dead path
+    * step-for-step so the oracle value-checks the healed graph's bytes.
+    */
+  private lazy val annDeleteCtes: String = {
+    def beamRound(prefix: String, i: Int, und: String, qSrc: String): String =
+      s"""${prefix}c$i AS (SELECT DISTINCT q_id, id FROM (
+         |  SELECT q_id, id FROM ${prefix}b${i - 1}
+         |  UNION ALL SELECT p.q_id, u.b_id AS id
+         |  FROM ${prefix}b${i - 1} p JOIN $und u ON u.a_id = p.id)),
+         |${prefix}s$i AS (SELECT c.q_id, c.id,
+         |  ${cosSql("q.q_e", "x.e")} AS cosine
+         | FROM ${prefix}c$i c JOIN vd x ON x.vec_id = c.id
+         | JOIN $qSrc q ON q.q_id = c.q_id WHERE c.id != c.q_id),
+         |${prefix}b$i AS (SELECT q_id, id, cosine, rank FROM (
+         |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, id) AS rank FROM ${prefix}s$i) WHERE rank <= 8)"""
+        .stripMargin
+    s"""v AS MATERIALIZED (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+       |vd AS MATERIALIZED (SELECT * FROM v WHERE vec_id % 10 != 7),
+       |pb AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |blockedb AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM pb) WHERE rank <= 3),
+       |nqb AS (SELECT COUNT(*) AS n FROM v),
+       |rndb AS (SELECT a.vec_id AS a_id,
+       |  (a.vec_id * 131 + t.t * 9973) % nqb.n AS b_id
+       | FROM v a CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t CROSS JOIN nqb
+       | WHERE (a.vec_id * 131 + t.t * 9973) % nqb.n != a.vec_id),
+       |seedb AS MATERIALIZED (SELECT a_id, b_id FROM blockedb
+       |  UNION ALL SELECT a_id, b_id FROM rndb),
+       |undb AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seedb
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seedb)),
+       |nnb AS (SELECT e1.a_id, e2.b_id FROM undb e1
+       |  JOIN undb e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+       |candb AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM undb UNION ALL SELECT a_id, b_id FROM nnb)),
+       |scb AS (SELECT c.a_id, c.b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM candb c JOIN v a ON a.vec_id = c.a_id
+       | JOIN v b ON b.vec_id = c.b_id),
+       |g0 AS MATERIALIZED (SELECT a_id, b_id, cosine, rank FROM (
+       |  SELECT a_id, b_id, cosine, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM scb) WHERE rank <= 3),
+       |gl AS MATERIALIZED (SELECT * FROM g0
+       | WHERE a_id % 10 != 7 AND b_id % 10 != 7),
+       |scope AS MATERIALIZED (SELECT DISTINCT a_id FROM (
+       |  SELECT a_id FROM g0 WHERE b_id % 10 = 7
+       |  UNION ALL SELECT b_id AS a_id FROM g0 WHERE a_id % 10 = 7)
+       | WHERE a_id % 10 != 7),
+       |sub AS MATERIALIZED (SELECT a_id, b_id FROM gl
+       | WHERE a_id IN (SELECT a_id FROM scope)),
+       |sv AS MATERIALIZED (SELECT * FROM vd WHERE vec_id IN (SELECT a_id FROM scope)),
+       |rp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM sv a JOIN sv b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |rsd AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM rp) WHERE rank <= 3),
+       |seeded AS MATERIALIZED (SELECT a_id, b_id FROM rsd
+       |  UNION ALL SELECT a_id, b_id FROM sub),
+       |und2 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM seeded
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM seeded)),
+       |nn2 AS (SELECT e1.a_id, e2.b_id FROM und2 e1
+       |  JOIN und2 e2 ON e1.b_id = e2.a_id WHERE e1.a_id != e2.b_id),
+       |cand2 AS (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM und2 UNION ALL SELECT a_id, b_id FROM nn2)),
+       |sc2 AS (SELECT c.a_id, c.b_id,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       | FROM cand2 c JOIN vd a ON a.vec_id = c.a_id
+       | JOIN vd b ON b.vec_id = c.b_id),
+       |redone AS (SELECT a_id, b_id, cosine, rank FROM (
+       |  SELECT a_id, b_id, cosine, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rank FROM sc2) WHERE rank <= 3
+       |  AND a_id IN (SELECT a_id FROM scope)),
+       |g2 AS MATERIALIZED (SELECT a_id, b_id, cosine, rank FROM gl
+       |  WHERE a_id NOT IN (SELECT a_id FROM scope)
+       |  UNION ALL SELECT a_id, b_id, cosine, rank FROM redone),
+       |und3 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT a_id, b_id FROM g2
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM g2)),
+       |fqf AS MATERIALIZED (SELECT vec_id AS q_id, e AS q_e FROM vd WHERE vec_id < 10),
+       |fs0 AS (SELECT q.q_id, x.vec_id AS id,
+       |  ${cosSql("q.q_e", "x.e")} AS cosine
+       | FROM fqf q CROSS JOIN vd x
+       | WHERE x.vec_id % 100 = 0 AND x.vec_id != q.q_id),
+       |fb0 AS (SELECT q_id, id, cosine, rank FROM (
+       |  SELECT q_id, id, cosine, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, id) AS rank FROM fs0) WHERE rank <= 8),
+       |${beamRound("f", 1, "und3", "fqf")},
+       |${beamRound("f", 2, "und3", "fqf")},
+       |${beamRound("f", 3, "und3", "fqf")}""".stripMargin
+  }
+
   private lazy val graphSearchCtes: String = {
     def round(i: Int): String =
       s"""c$i AS (SELECT DISTINCT q_id, id FROM (
@@ -1521,6 +1687,11 @@ object SimilarityQueries {
 
     "sim_ann_optimize" ->
       s"""WITH $annOptimizeCtes
+         |SELECT q_id, id AS n_id, cosine, rank FROM fb3 WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ann_delete" ->
+      s"""WITH $annDeleteCtes
          |SELECT q_id, id AS n_id, cosine, rank FROM fb3 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 

@@ -208,4 +208,102 @@ class AnnIndexSpec extends SparkSpec {
     assert(after.exceptAll(after2).count() == 0 &&
       after2.exceptAll(after).count() == 0, "a quiet optimize writes nothing")
   }
+
+  test("optimize heals DELETES: dead ids vanish from the graph, only " +
+    "bereaved nodes re-descend, probe quality = rebuild on survivors") {
+    val corpus = clustered
+    sql("""CREATE TABLE graft_ann.db.emb4 (vec_id BIGINT, label BIGINT,
+          |embedding ARRAY<FLOAT>) TBLPROPERTIES('history'='true')""".stripMargin)
+    corpus.writeTo("graft_ann.db.emb4").append()
+    sql("""SELECT * FROM graft_ann_build('graft_ann', 'db.emb4',
+        |'db.knn4', 'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+    val before = spark.table("graft_ann.db.knn4").localCheckpoint(true)
+    sql("DELETE FROM graft_ann.db.emb4 WHERE vec_id % 10 = 7")
+    val opt = sql("""SELECT * FROM graft_ann_optimize('graft_ann', 'db.emb4',
+        |'db.knn4', 'vec_id', 'embedding', 'label', 3)""".stripMargin).collect()(0)
+    assert(opt.getLong(3) == 20, s"20 deleted vectors must report dead: $opt")
+    assert(opt.getLong(1) > 0 && opt.getLong(1) < 180,
+      s"the re-descent region must be the bereaved strict subset: $opt")
+    val after = spark.table("graft_ann.db.knn4").localCheckpoint(true)
+    // the purge-completeness contract for a derived index: NO edge row
+    // carries a dead id, in either position, with its cosine
+    assert(after.where(col("a_id") % 10 === 7 || col("b_id") % 10 === 7)
+      .count() == 0, "dead ids must vanish from both edge positions")
+    // only bereaved nodes changed: everyone who never touched a dead id
+    // keeps their edges byte-for-byte
+    val deadSet = spark.range(0, 200).select(col("id").as("d_id"))
+      .where(col("d_id") % 10 === 7)
+    val bereaved = before.join(deadSet, col("b_id") === col("d_id"), "left_semi")
+      .select(col("a_id"))
+      .unionAll(before.join(deadSet, col("a_id") === col("d_id"), "left_semi")
+        .select(col("b_id").as("a_id")))
+      .distinct().where(col("a_id") % 10 =!= 7)
+      .withColumnRenamed("a_id", "s_id").localCheckpoint(true)
+    val keptBefore = before
+      .where(col("a_id") % 10 =!= 7 && col("b_id") % 10 =!= 7)
+      .join(bereaved, col("a_id") === col("s_id"), "left_anti")
+    val keptAfter = after.join(bereaved, col("a_id") === col("s_id"), "left_anti")
+    assert(keptBefore.exceptAll(keptAfter).count() == 0 &&
+      keptAfter.exceptAll(keptBefore).count() == 0,
+      "non-bereaved nodes' edges must survive delete maintenance verbatim")
+    // probe quality on the SURVIVOR corpus: the healed graph answers at
+    // rebuild-on-survivors recall (same degree budget; seeds differ so
+    // edge sets may differ — quality is the contract)
+    val emb4 = spark.table("graft_ann.db.emb4")
+    val q = corpus.where(col("vec_id").isin(0L, 1L, 21L, 41L, 61L))
+    val entries = emb4.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.topKCosine(emb4, q, "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("e_q"), col("n_id").as("e_id"))
+      .localCheckpoint(true)
+    def hits(g: org.apache.spark.sql.DataFrame): Long =
+      Similarity.graphBeamSearch(emb4, q, "vec_id", "embedding",
+          g.select("a_id", "b_id"), entries, beamWidth = 8, rounds = 3,
+          topK = 5)
+        .join(exact, col("q_id") === col("e_q") && col("id") === col("e_id"),
+          "left_semi").count()
+    val healedHits = hits(after)
+    val rebuilt = AnnIndex.buildEdges(emb4, "vec_id", "embedding", "label",
+      k = 3, iters = 1)
+    val rebuiltHits = hits(rebuilt)
+    assert(healedHits >= rebuiltHits,
+      s"the healed graph must probe at rebuild-on-survivors recall " +
+        s"(healed $healedHits vs rebuilt $rebuiltHits of ${5 * 5})")
+    // the corpus baseline advanced: a second optimize is a no-op
+    val opt2 = sql("""SELECT * FROM graft_ann_optimize('graft_ann', 'db.emb4',
+        |'db.knn4', 'vec_id', 'embedding', 'label', 3)""".stripMargin).collect()(0)
+    assert(opt2.getLong(0) == 0 && opt2.getLong(3) == 0,
+      s"nothing new to process after the heal: $opt2")
+    val after2 = spark.table("graft_ann.db.knn4")
+    assert(after.exceptAll(after2).count() == 0 &&
+      after2.exceptAll(after).count() == 0)
+  }
+
+  test("PURGE composes: after etl_purge of a vector's subject, no row of " +
+    "the knn table carries its id (vacuumed baseline -> id sweep)") {
+    val corpus = clustered
+    sql("""CREATE TABLE graft_ann.db.emb5 (vec_id BIGINT, label BIGINT,
+          |embedding ARRAY<FLOAT>) TBLPROPERTIES('history'='true')""".stripMargin)
+    corpus.writeTo("graft_ann.db.emb5").append()
+    sql("""SELECT * FROM graft_ann_build('graft_ann', 'db.emb5',
+        |'db.knn5', 'vec_id', 'embedding', 'label', 3, 1)""".stripMargin).collect()
+    // Art. 17 erasure of subject ids 60..79 — purge vacuums to the head
+    // snapshot, so the changes window is GONE and maintenance must fall
+    // back to the id sweep
+    val purged = graft.sources.GraftMaintenance.purge(spark, "graft_ann",
+      "db.emb5", "vec_id >= 60 AND vec_id < 80")
+    assert(purged == 20)
+    assert(graft.sources.GraftMaintenance.purgedCompletely(spark,
+      "graft_ann", "db.emb5", "vec_id >= 60 AND vec_id < 80"))
+    val opt = sql("""SELECT * FROM graft_ann_optimize('graft_ann', 'db.emb5',
+        |'db.knn5', 'vec_id', 'embedding', 'label', 3)""".stripMargin).collect()(0)
+    assert(opt.getLong(3) == 20, s"the sweep must find the purged ids: $opt")
+    val knn = spark.table("graft_ann.db.knn5")
+    assert(knn.where((col("a_id") >= 60 && col("a_id") < 80) ||
+        (col("b_id") >= 60 && col("b_id") < 80)).count() == 0,
+      "no knn row may carry a purged id — the derived index must forget")
+    // the graph remains navigable: every surviving node keeps a full top-k
+    val deg = knn.groupBy("a_id").count()
+    assert(deg.count() == 180 && deg.agg(min("count")).collect()(0).getLong(0) == 3,
+      "every survivor must keep k healed edges")
+  }
 }
