@@ -38,10 +38,15 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   *
   * Selection: `graft.commit.primitive` in the Hadoop conf (settable as
   * `spark.hadoop.graft.commit.primitive`) — `create`, `link`, `condput`,
-  * or a [[CommitPrimitive]] class name. Default keeps today's behavior:
-  * `link` on `file://`, `create` everywhere else. A deployment on raw S3
-  * sets `condput` plus `graft.commit.condput.store=<its SDK impl>` and
-  * every table commit in the warehouse serializes store-side.
+  * or a [[CommitPrimitive]] class name. Undeclared, the primitive is
+  * DISPATCHED BY FILESYSTEM SCHEME (round 13): `link` on `file://`,
+  * `condput` on object-store schemes (s3/s3a/gs/abfs/... — their rename
+  * is copy+delete, the same double-win hazard as POSIX; requires the
+  * deployment's `graft.commit.condput.store` SDK hook, refused loudly
+  * without one), `create` on hdfs-shaped atomic namespaces and anything
+  * unknown. A deployment on raw S3 just sets
+  * `graft.commit.condput.store=<its SDK impl>` and every table commit
+  * in the warehouse serializes store-side.
   */
 trait CommitPrimitive {
   def name: String
@@ -166,28 +171,71 @@ object GraftCommitPrimitive {
   val ConfKey = "graft.commit.primitive"
   val StoreConfKey = "graft.commit.condput.store"
 
+  /** Hadoop schemes whose `rename` is a non-atomic copy+delete (or
+    * plain PUT) with NO exclusive-destination guarantee: the `create`
+    * primitive would double-win on them exactly like POSIX rename
+    * (spec-demonstrated). Their safe primitive is the conditional PUT.
+    */
+  val ObjectStoreSchemes: Set[String] = Set("s3", "s3a", "s3n", "gs",
+    "gcs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "cosn",
+    "swift", "obs")
+
   /** Resolve the primitive for one filesystem. Cheap (no reflection on
     * the default paths), called per commit.
     */
   def forFs(fs: FileSystem): CommitPrimitive = {
     val conf = fs.getConf
     Option(if (conf == null) null else conf.get(ConfKey)) match {
-      case None | Some("") =>
-        // getUri never throws (getScheme is unimplemented on some
-        // FileSystem subclasses, RawLocalFileSystem included)
-        if (fs.getUri.getScheme == "file") Link else Create
+      case None | Some("") => defaultFor(fs)
       case Some("create") => Create
       case Some("link") => Link
-      case Some("condput") => new ConditionalPutCommit(storeFrom(conf))
+      case Some("condput") => new ConditionalPutCommit(storeFrom(fs.getConf))
       case Some(cls) =>
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[CommitPrimitive]
     }
   }
 
-  private def storeFrom(conf: Configuration): ConditionalStore =
-    Option(conf.get(StoreConfKey)).filter(_.nonEmpty) match {
-      case None => new LocalGenerationStore
+  /** SCHEME DISPATCH when nothing is declared (round 13 — the primitive
+    * is a property of the STORE, so the store picks it): `link(2)` on the
+    * local filesystem (POSIX rename silently overwrites — `create` would
+    * double-win); conditional PUT on rename-less object stores (same
+    * double-win hazard; requires the deployment's
+    * `graft.commit.condput.store` SDK hook and refuses loudly without
+    * one — a silent fallback would be the exact unsafety this dispatch
+    * closes); exclusive-rename `create` on HDFS-shaped atomic namespaces
+    * (hdfs/viewfs/webhdfs and anything unknown — the conservative prior
+    * default, correct wherever rename is namespace-atomic and
+    * destination-exclusive).
+    */
+  private def defaultFor(fs: FileSystem): CommitPrimitive = {
+    // getUri never throws (getScheme is unimplemented on some
+    // FileSystem subclasses, RawLocalFileSystem included)
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") Link
+    else if (ObjectStoreSchemes.contains(scheme.toLowerCase))
+      new ConditionalPutCommit(storeFrom(fs.getConf, requireStore = Some(scheme)))
+    else Create
+  }
+
+  /** `requireStore`: set when SCHEME dispatch picked condput — the local
+    * generation shim links paths on the driver's own disk, which on a
+    * real object store would commit somewhere the table is not; an
+    * explicit `graft.commit.primitive=condput` keeps the shim (the
+    * protocol spec races against it).
+    */
+  private def storeFrom(conf: Configuration,
+                        requireStore: Option[String] = None): ConditionalStore =
+    Option(if (conf == null) null else conf.get(StoreConfKey))
+      .filter(_.nonEmpty) match {
+      case None =>
+        requireStore.foreach(scheme => throw new IllegalStateException(
+          s"graft commit: scheme '$scheme' needs a conditional-PUT store " +
+            s"hook — set $StoreConfKey to your store SDK's " +
+            "putIfAbsent implementation (S3 If-None-Match PUT, GCS " +
+            "ifGenerationMatch=0); the local shim cannot serialize " +
+            "commits on a remote store"))
+        new LocalGenerationStore
       case Some(cls) =>
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[ConditionalStore]

@@ -166,6 +166,56 @@ class GraftCommitProtocolSpec extends AnyFunSuite {
     fs3.initialize(URI.create("file:///"), conf3)
     assert(GraftCommitPrimitive.forFs(fs3).name == "create")
   }
+
+  test("two racing committers through the DEFAULT (undeclared) primitive " +
+    "on the local filesystem get exactly one winner") {
+    // no graft.commit.primitive anywhere: the scheme dispatch must pick
+    // a primitive that serializes POSIX — the whole point of dispatching
+    // by store instead of defaulting to the HDFS-shaped create
+    val fs = freshFs()
+    assert(Option(fs.getConf.get(GraftCommitPrimitive.ConfKey)).isEmpty)
+    val target = new Path(s"$root/default.txt")
+    val (outcomes, bytes) = race(GraftCommitPrimitive.forFs(fs), target,
+      syncInCheck = false)
+    val losers = outcomes.flatten
+    assert(losers.size == 1,
+      s"the default primitive must serialize local racers: $outcomes")
+    assert(losers.head.isInstanceOf[FileAlreadyExistsException], losers.head)
+    val winner = outcomes.indexWhere(_.isEmpty)
+    assert(bytes == s"committer-$winner",
+      s"installed bytes must be the winner's, untorn: '$bytes'")
+  }
+
+  test("SCHEME dispatch: object stores default to condput (refusing " +
+    "loudly without an SDK store hook); hdfs-shaped schemes to create") {
+    // an object-store scheme with a configured store hook -> condput
+    val confS3 = new Configuration()
+    confS3.set(GraftCommitPrimitive.StoreConfKey,
+      classOf[LocalGenerationStore].getName)
+    val s3 = new SchemeFs("s3a")
+    s3.initialize(URI.create("file:///"), confS3)
+    assert(GraftCommitPrimitive.forFs(s3).name == "condput")
+    // without the hook: a LOUD refusal — the local generation shim links
+    // paths on the driver's own disk, which on a real object store would
+    // commit somewhere the table is not
+    val bare = new SchemeFs("gs")
+    bare.initialize(URI.create("file:///"), new Configuration())
+    val e = intercept[IllegalStateException](GraftCommitPrimitive.forFs(bare))
+    assert(e.getMessage.contains(GraftCommitPrimitive.StoreConfKey))
+    // hdfs-shaped atomic namespaces (and unknown schemes) keep create
+    val hdfs = new SchemeFs("hdfs")
+    hdfs.initialize(URI.create("file:///"), new Configuration())
+    assert(GraftCommitPrimitive.forFs(hdfs).name == "create")
+    val odd = new SchemeFs("someFs")
+    odd.initialize(URI.create("file:///"), new Configuration())
+    assert(GraftCommitPrimitive.forFs(odd).name == "create")
+    // an EXPLICIT condput keeps the local shim (what this spec races)
+    val confExplicit = new Configuration()
+    confExplicit.set(GraftCommitPrimitive.ConfKey, "condput")
+    val exp = new SchemeFs("file")
+    exp.initialize(URI.create("file:///"), confExplicit)
+    assert(GraftCommitPrimitive.forFs(exp).name == "condput")
+  }
 }
 
 /** A filesystem whose exclusive create is deliberately CHECK-THEN-OPEN
@@ -200,4 +250,11 @@ class CheckThenOpenFs extends RawLocalFileSystem {
 
 object CheckThenOpenFs {
   @volatile var barrier: Option[CyclicBarrier] = None
+}
+
+/** Local filesystem wearing an arbitrary scheme — lets the spec drive
+  * the scheme dispatch without any remote store.
+  */
+class SchemeFs(scheme: String) extends RawLocalFileSystem {
+  override def getUri: URI = URI.create(s"$scheme:///")
 }
