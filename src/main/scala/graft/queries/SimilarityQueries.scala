@@ -316,6 +316,25 @@ object SimilarityQueries {
       require(Similarity.countedDispatches.get == c0 + 1,
         "sim_ann_filtered: a predicate without an estimate must take " +
           "the counted fallback, exactly once")
+      // RANGE phase (round 13): `vec_id < N/10` is costed off the merged
+      // KLL quantile sketches (headRangeEstimate — rank(hi) - rank(lo),
+      // ±~1.65% rank error), again with ZERO count jobs; ~10% of the
+      // corpus is under the 20% brute-force budget, so the dispatch
+      // routes exact
+      val cut = rowsEst / 10
+      val (_, rangeEst) = graft.sources.GraftStats
+        .headRangeEstimate(tfs, tdir, "vec_id", None,
+          Some((cut.toDouble, false)))
+        .getOrElse(throw new IllegalStateException(
+          "sim_ann_filtered: the manifest stats must serve a vec_id " +
+            "quantile sketch"))
+      val c1 = Similarity.countedDispatches.get
+      val ranged = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+        g, entries, col("vec_id") < cut, k = 5, overFetch = 4, rounds = 3,
+        bruteForceMax = bfMax, estimateMatches = Some(rangeEst))
+      require(Similarity.countedDispatches.get == c1,
+        "sim_ann_filtered: the KLL-estimated range dispatch must plan " +
+          "ZERO count jobs")
       val modes = (selective.select("mode")
         .unionAll(broad.select("mode"))).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
@@ -323,10 +342,19 @@ object SimilarityQueries {
         s"sim_ann_filtered: the selectivity dispatch must route the " +
           s"label predicate exact and the parity predicate to the beam, " +
           s"got $modes")
+      require(ranged.select("mode").distinct().collect()
+          .map(_.getString(0)).toSeq == Seq("exact"),
+        "sim_ann_filtered: the ~10% range subset must brute-force exact")
       // every broad answer must satisfy the predicate (post-filter proof)
       require(broad.where(col("n_id") % 2 =!= 0).count() == 0,
         "sim_ann_filtered: a beam answer escaped the predicate")
-      selective.unionAll(broad).orderBy("mode", "q_id", "rank")
+      selective.select(lit("eq").as("phase"), col("mode"), col("q_id"),
+          col("n_id"), col("cosine"), col("rank"))
+        .unionAll(broad.select(lit("parity").as("phase"), col("mode"),
+          col("q_id"), col("n_id"), col("cosine"), col("rank")))
+        .unionAll(ranged.select(lit("range").as("phase"), col("mode"),
+          col("q_id"), col("n_id"), col("cosine"), col("rank")))
+        .orderBy("phase", "q_id", "rank")
     },
 
     // PERSISTENT GRAPH-ANN (round 10): graft_ann_build materializes the
@@ -964,6 +992,14 @@ object SimilarityQueries {
        |xr AS (SELECT q_id, n_id, cosine,
        |  ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cosine DESC, n_id) AS rank FROM xs),
+       |rsub AS (SELECT vec_id, e FROM v
+       | WHERE vec_id < (SELECT CAST(FLOOR(COUNT(*) / 10) AS BIGINT) FROM v)),
+       |rgs AS (SELECT qf.q_id, rsub.vec_id AS n_id,
+       |  ${cosSql("qf.q_e", "rsub.e")} AS cosine
+       | FROM qf CROSS JOIN rsub WHERE rsub.vec_id != qf.q_id),
+       |rgr AS (SELECT q_id, n_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, n_id) AS rank FROM rgs),
        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  ${cosSql("a.e", "b.e")} AS cosine
        | FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id),
@@ -1701,12 +1737,15 @@ object SimilarityQueries {
     "sim_ann_filtered" ->
       s"""WITH $annFilteredCtes
          |SELECT * FROM (
-         |  SELECT 'exact' AS mode, q_id, n_id, cosine, rank FROM xr
-         |   WHERE rank <= 5
+         |  SELECT 'eq' AS phase, 'exact' AS mode, q_id, n_id, cosine, rank
+         |   FROM xr WHERE rank <= 5
          |  UNION ALL
-         |  SELECT 'beam' AS mode, q_id, id AS n_id, cosine, rank FROM pf
-         |   WHERE rank <= 5)
-         |ORDER BY mode, q_id, rank""".stripMargin,
+         |  SELECT 'parity' AS phase, 'beam' AS mode, q_id, id AS n_id,
+         |    cosine, rank FROM pf WHERE rank <= 5
+         |  UNION ALL
+         |  SELECT 'range' AS phase, 'exact' AS mode, q_id, n_id, cosine,
+         |    rank FROM rgr WHERE rank <= 5)
+         |ORDER BY phase, q_id, rank""".stripMargin,
 
     "sim_sql_surface" ->
       s"""WITH v AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e FROM embeddings)

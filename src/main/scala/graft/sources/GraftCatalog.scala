@@ -455,7 +455,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         stats.get(new Path(f).getName).map(_.size)
           .getOrElse(fs.getFileStatus(new Path(f)).getLen)
       }.sum
-      (v, fs.getFileStatus(GraftTable.manifestPath(dir, v)).getModificationTime,
+      (v, GraftTable.commitTimeMillis(fs, dir, v),
         files.size.toLong, bytes)
     }
   }
@@ -1428,19 +1428,42 @@ object GraftTable {
     (java.util.regex.Pattern.quote(s"_graft_branch_${b}_manifest_") +
       """(\d+)\.txt""").r
 
+  /** `!ts=` manifest meta key (round 13): the commit wall-clock stamped
+    * INSIDE the manifest's atomic unit. Structural fix for the two mtime
+    * limitations: stores without `setTimes` could not disambiguate
+    * same-millisecond commit pairs (the monotonic touch-up was a no-op),
+    * and replication/restore of manifest FILES reset their mtimes —
+    * meta stamps ride the bytes, so commit times survive copies and are
+    * portable to object stores.
+    */
+  val TsMetaKey = "ts"
+
+  /** Commit wall-clock of version `v`: the `!ts=` meta stamp when the
+    * manifest carries one, else the file's modification time (pre-round-
+    * 13 manifests and foreign copies). Every timestamp surface
+    * (TIMESTAMP AS OF, `graft_history`, `graft_row_diff`/`graft_changes`
+    * bounds, age-based retention) reads through here so they can never
+    * drift apart.
+    */
+  def commitTimeMillis(fs: FileSystem, dir: Path, v: Long,
+                       branch: Option[String] = None): Long =
+    manifestMeta(fs, dir, v, branch).get(TsMetaKey)
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(fs.getFileStatus(manifestPath(dir, v, branch))
+        .getModificationTime)
+
   /** Latest manifest version committed at-or-before `tsMillis` — commit
-    * wall-clock is the manifest file's modification time, the SAME
-    * at-or-before rule `TIMESTAMP AS OF` time travel applies; every
-    * timestamp-bounded surface (time travel, `graft_row_diff`) resolves
-    * through here so they can never drift apart. Mtimes are strictly
+    * wall-clock is [[commitTimeMillis]] (the `!ts=` meta stamp, mtime for
+    * pre-meta manifests), the SAME at-or-before rule `TIMESTAMP AS OF`
+    * time travel applies; every timestamp-bounded surface resolves
+    * through here so they can never drift apart. Stamps are strictly
     * monotonic per table (writeFullEntries bumps same-ms ties), so a
     * commit's own committed_at always resolves back to that commit.
     */
   def versionAtOrBefore(fs: FileSystem, dir: Path,
                         tsMillis: Long): Option[Long] =
     manifestVersions(fs, dir)
-      .filter(v => fs.getFileStatus(manifestPath(dir, v))
-        .getModificationTime <= tsMillis)
+      .filter(v => commitTimeMillis(fs, dir, v) <= tsMillis)
       .lastOption
 
   def manifestVersions(fs: FileSystem, dir: Path,
@@ -1639,7 +1662,15 @@ object GraftTable {
       .map { case (pv, pb) => manifestMeta(fs, dir, pv, pb)
         .filter(kv => kv._1.startsWith("txn:") || kv._1.startsWith("idwm:")) }
       .getOrElse(Map.empty[String, String])
-    val allMeta = carried ++ meta
+    // commit wall-clock INSIDE the atomic unit, strictly monotonic per
+    // table (same-ms successor bumps by 1): timestamp addressability no
+    // longer depends on the store honoring setTimes, and survives
+    // manifest-file copies (clone keeps source history times — the
+    // snapshot-semantics answer)
+    val prevTs = prev.map { case (pv, pb) => commitTimeMillis(fs, dir, pv, pb) }
+    val tsStamp = math.max(System.currentTimeMillis(),
+      prevTs.map(_ + 1L).getOrElse(Long.MinValue))
+    val allMeta = carried ++ meta + (TsMetaKey -> tsStamp.toString)
     val lines = entries.map(entryLine(dir, _))
     val lineSet = lines.toSet
     // reuse the previous version's segments whose entries ALL survive
@@ -2631,6 +2662,36 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
           val distinct = GraftStats.mergedDistinct(fileStats, f.name)
           val nullsKnown = !anyMask && fileStats.forall(
             _.cols.get(f.name).exists(_.nulls >= 0))
+          // RANGE selectivity (round 13): an equi-height histogram cut
+          // from the merged per-file KLL quantile sketches (boundaries at
+          // i/B ranks, bin NDV = distinct/B under the equi-height
+          // assumption) — Catalyst's FilterEstimation then costs
+          // BETWEEN / > / < predicates from metadata alone. Served under
+          // row-level masks on the same over-approximation argument as
+          // NDV: masked rows shift the SHAPE slightly but fabricate no
+          // selectivity class.
+          val histo: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+            distinct.filter(_ > 0).flatMap(d =>
+              GraftStats.mergedKll(fileStats, f.name)
+                .filterNot(_.isEmpty).map { sk =>
+                  val nBins = 32
+                  import org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE
+                  val bounds = (0 to nBins).map(i =>
+                    sk.getQuantile(i.toDouble / nBins, INCLUSIVE)).toArray
+                  val perBinNdv = math.max(1L, d / nBins)
+                  val binArr = (0 until nBins).map { i =>
+                    new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                      override def lo(): Double = bounds(i)
+                      override def hi(): Double = bounds(i + 1)
+                      override def ndv(): Long = perBinNdv
+                    }
+                  }.toArray
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = sk.getN.toDouble / nBins
+                    override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+                  }
+                })
           if (distinct.nonEmpty || nullsKnown) {
             val nulls =
               if (nullsKnown) java.util.OptionalLong.of(
@@ -2642,6 +2703,10 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
                   distinct.map(java.util.OptionalLong.of)
                     .getOrElse(java.util.OptionalLong.empty())
                 override def nullCount(): java.util.OptionalLong = nulls
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  histo.map(java.util.Optional.of(_))
+                    .getOrElse(java.util.Optional.empty())
               })
           }
         }

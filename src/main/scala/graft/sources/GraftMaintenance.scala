@@ -812,8 +812,8 @@ object GraftMaintenance {
       val byCount = keepLast.map(n => versions.takeRight(n).toSet)
         .getOrElse(Set.empty[Long])
       val byAge = cutoff.map(c => versions.filter { v =>
-        val p = GraftTable.manifestPath(dir, v)
-        fs.exists(p) && fs.getFileStatus(p).getModificationTime >= c
+        fs.exists(GraftTable.manifestPath(dir, v)) &&
+          GraftTable.commitTimeMillis(fs, dir, v) >= c
       }.toSet).getOrElse(Set.empty[Long])
       byCount ++ byAge ++ versions.lastOption
     })
@@ -832,9 +832,8 @@ object GraftMaintenance {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     vacuumKeeping(spark, tableDir, versions =>
       versions.filter { v =>
-        val p = GraftTable.manifestPath(dir, v)
-        fs.exists(p) &&
-          fs.getFileStatus(p).getModificationTime >= olderThanMillis
+        fs.exists(GraftTable.manifestPath(dir, v)) &&
+          GraftTable.commitTimeMillis(fs, dir, v) >= olderThanMillis
       }.toSet ++ versions.lastOption)
   }
 

@@ -50,7 +50,8 @@ object GraftStats {
     * entries (parquet footers carry no NDV) until `analyzeNdv` backfills.
     */
   case class ColStats(nulls: Long, min: Option[String], max: Option[String],
-                      ndv: Option[Array[Byte]] = None)
+                      ndv: Option[Array[Byte]] = None,
+                      kll: Option[Array[Byte]] = None)
   case class FileStats(size: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- storage -----------------------------------------------------------
@@ -63,9 +64,15 @@ object GraftStats {
 
   private[sources] def encodeLine(name: String, st: FileStats): String = {
     val cols = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-      val ndvPart = cs.ndv.map(b =>
-        "," + java.util.Base64.getEncoder.encodeToString(b)).getOrElse("")
-      s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}$ndvPart"
+      val b64 = (b: Array[Byte]) => java.util.Base64.getEncoder.encodeToString(b)
+      // positional tail fields: ndv (HLL), then kll (quantiles) — a
+      // present kll forces an (possibly empty) ndv slot; absent tails
+      // are omitted so pre-sketch lines stay byte-identical
+      val tail =
+        if (cs.kll.nonEmpty)
+          "," + cs.ndv.map(b64).getOrElse("") + "," + b64(cs.kll.get)
+        else cs.ndv.map(b => "," + b64(b)).getOrElse("")
+      s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}$tail"
     }.mkString(";")
     s"${enc(name)}\t${st.size}\t${st.rows}\t$cols"
   }
@@ -82,6 +89,12 @@ object GraftStats {
           case Array(c, n, mn, mx, ndv) =>
             Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx),
               Some(java.util.Base64.getDecoder.decode(ndv))))
+          case Array(c, n, mn, mx, ndv, kll) =>
+            Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx),
+              Some(ndv).filter(_.nonEmpty)
+                .map(java.util.Base64.getDecoder.decode),
+              Some(kll).filter(_.nonEmpty)
+                .map(java.util.Base64.getDecoder.decode)))
           case _ => None
         }
       }.toMap
@@ -255,6 +268,18 @@ object GraftStats {
           new org.apache.datasketches.hll.HllSketch(NdvLgK)
         case _ => null
       }
+    // quantile sketches (NUMERIC kinds): one KLL update per non-null
+    // value — integrals widen to long then double (exact to 2^53, far
+    // beyond any selectivity need), floats to double exactly, so rank
+    // queries stay consistent across the type-widening DDL. Strings and
+    // decimals are skipped: range selectivity on them falls back to the
+    // counted dispatch, min/max pruning still applies.
+    private val klls: Array[org.apache.datasketches.kll.KllDoublesSketch] =
+      kinds.map {
+        case KindLong | KindDouble =>
+          org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(KllK)
+        case _ => null
+      }
 
     def update(row: InternalRow): Unit = {
       rows += 1
@@ -274,6 +299,7 @@ object GraftStats {
               if (mins(i) == null || v < mins(i).asInstanceOf[Long]) mins(i) = v
               if (maxs(i) == null || v > maxs(i).asInstanceOf[Long]) maxs(i) = v
               ndvs(i).update(v)
+              klls(i).update(v.toDouble)
             case KindDouble =>
               val v = schema.fields(i).dataType match {
                 case FloatType => row.getFloat(i).toDouble
@@ -288,7 +314,7 @@ object GraftStats {
                     java.lang.Double.compare(v, maxs(i).asInstanceOf[Double]) > 0)
                   maxs(i) = v
               }
-              if (!java.lang.Double.isNaN(v)) ndvs(i).update(v)
+              if (!java.lang.Double.isNaN(v)) { ndvs(i).update(v); klls(i).update(v) }
             case KindString =>
               val v = row.getUTF8String(i)
               if (mins(i) == null ||
@@ -335,7 +361,8 @@ object GraftStats {
             if (poisoned(i) || mins(i) == null) (None, None)
             else (Some(canon(i, mins(i))), Some(canon(i, maxs(i))))
           val ndv = Option(ndvs(i)).map(_.toCompactByteArray)
-          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx, ndv))
+          val kll = Option(klls(i)).map(_.toByteArray)
+          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx, ndv, kll))
         }
       }.toMap
       FileStats(size, rows, cols)
@@ -346,6 +373,12 @@ object GraftStats {
 
   /** lgK=12: ±~1.6%% standard error, ≤2 KB compact per column per file. */
   val NdvLgK = 12
+
+  /** KLL k=200: ±~1.65%% normalized rank error, ≤3 KB per numeric column
+    * per file — the quantile twin of the NDV sketch, serving RANGE
+    * selectivities the way HLL serves equality.
+    */
+  val KllK = 200
 
   /** Metadata-only (head row count, per-value match estimate) for an
     * EQUALITY predicate on `col`: rows / NDV over the HEAD snapshot's
@@ -401,6 +434,63 @@ object GraftStats {
     sketches.flatten.foreach(b => u.update(
       org.apache.datasketches.hll.HllSketch.heapify(b)))
     Some(math.round(u.getEstimate))
+  }
+
+  /** Table-level quantile sketch for `col`: merge of every file's KLL —
+    * None unless EVERY file carries one (same partial-merge refusal as
+    * [[mergedDistinct]]: a partial merge silently misranks).
+    */
+  def mergedKll(stats: Seq[FileStats],
+                col: String): Option[org.apache.datasketches.kll.KllDoublesSketch] = {
+    val sketches = stats.map(_.cols.get(col).flatMap(_.kll))
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
+    val m = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(KllK)
+    sketches.flatten.foreach(b => m.merge(
+      org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))))
+    Some(m)
+  }
+
+  /** Metadata-only (head row count, matching-row estimate) for a RANGE
+    * predicate on `col` — the quantile twin of [[headEqualityEstimate]]:
+    * the fraction between the bounds comes off the HEAD snapshot's
+    * merged KLL ranks (±~1.65%% normalized rank error), never a count
+    * job. Each bound is (value, inclusive); None means unbounded on that
+    * side. Returns None when any live file lacks a sketch for the column
+    * (callers fall back to the counted dispatch). Row-level masks are
+    * tolerated as over-counts, same argument as the equality estimate:
+    * for a dispatch decision an estimate that errs HIGH only routes to
+    * the index, never to an oversized exact scan.
+    */
+  def headRangeEstimate(fs: FileSystem, dir: Path, col: String,
+                        lower: Option[(Double, Boolean)],
+                        upper: Option[(Double, Boolean)]): Option[(Long, Long)] = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "headRangeEstimate: at least one bound")
+    val versions = GraftTable.manifestVersions(fs, dir)
+    val files =
+      if (versions.nonEmpty)
+        GraftTable.readFullEntries(fs, dir, versions.last).map(_.file)
+      else GraftTable.dataFiles(fs, dir)
+    if (files.isEmpty) return None
+    val all = readAll(fs, dir)
+    val fileStats = files.flatMap(f => all.get(new Path(f).getName))
+    if (fileStats.size != files.size) return None
+    val rows = fileStats.map(_.rows).sum
+    mergedKll(fileStats, col).map { sk =>
+      if (sk.isEmpty) (rows, 0L)
+      else {
+        import org.apache.datasketches.quantilescommon.QuantileSearchCriteria._
+        // getRank(v, INCLUSIVE) = fraction <= v; EXCLUSIVE = fraction < v.
+        // [lo <= x] subtracts the fraction STRICTLY below lo, so an
+        // inclusive lower bound uses the EXCLUSIVE rank (and vice versa)
+        val ub = upper.map { case (v, incl) =>
+          sk.getRank(v, if (incl) INCLUSIVE else EXCLUSIVE) }.getOrElse(1.0)
+        val lb = lower.map { case (v, incl) =>
+          sk.getRank(v, if (incl) EXCLUSIVE else INCLUSIVE) }.getOrElse(0.0)
+        (rows, math.round(sk.getN * math.max(0.0, ub - lb)))
+      }
+    }
   }
 
   /** Backfill NDV sketches for current files whose stats lack them

@@ -199,4 +199,58 @@ class GraftColStatsSpec extends SparkSpec {
     assert(GraftStats.headEqualityEstimate(fs, dir, "grp").isEmpty,
       "files without stats entries must refuse the estimate")
   }
+
+  test("headRangeEstimate: KLL ranks from the stats log serve BETWEEN / " +
+    "> selectivities metadata-only; histogram rides the scan stats") {
+    sql("""CREATE TABLE graft_cs.db.rng (k BIGINT, x DOUBLE, s STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    // two files, 0..999 — the merge across files is part of the contract
+    spark.range(0, 500).toDF("k")
+      .withColumn("x", col("k") * 0.5).withColumn("s", col("k").cast("string"))
+      .writeTo("graft_cs.db.rng").append()
+    spark.range(500, 1000).toDF("k")
+      .withColumn("x", col("k") * 0.5).withColumn("s", col("k").cast("string"))
+      .writeTo("graft_cs.db.rng").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/rng")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // k BETWEEN 100 AND 299 -> ~200 of 1000 (±~1.65% rank error each side)
+    val (rows, between) = GraftStats.headRangeEstimate(fs, dir, "k",
+      Some((100.0, true)), Some((299.0, true)))
+      .getOrElse(fail("range estimate must be served from the stats log"))
+    assert(rows == 1000L)
+    assert(between >= 160 && between <= 240,
+      s"[100, 299] over uniform 0..999 should estimate ~200, got $between")
+    // k > 900 (exclusive lower) -> ~99
+    val (_, above) = GraftStats.headRangeEstimate(fs, dir, "k",
+      Some((900.0, false)), None).get
+    assert(above >= 60 && above <= 140, s"k > 900 should be ~99, got $above")
+    // double column: x < 100.0 -> ~200 (x = k/2)
+    val (_, below) = GraftStats.headRangeEstimate(fs, dir, "x",
+      None, Some((100.0, false))).get
+    assert(below >= 160 && below <= 240, s"x < 100 should be ~200, got $below")
+    // an empty selection estimates ~0
+    val (_, none) = GraftStats.headRangeEstimate(fs, dir, "k",
+      Some((5000.0, false)), None).get
+    assert(none <= 40, s"k > 5000 should estimate ~0, got $none")
+    // strings carry no quantile sketch -> None, counted fallback
+    assert(GraftStats.headRangeEstimate(fs, dir, "s",
+      Some((0.0, true)), None).isEmpty)
+    // the scan's CBO statistics serve an equi-height histogram cut from
+    // the same sketches: 32 bins, height = rows/32, monotone bounds
+    val st = scanStats("graft_cs.db.rng")
+    val ref = org.apache.spark.sql.connector.expressions.Expressions.column("k")
+    val cs = st.columnStats().get(ref)
+    assert(cs != null && cs.histogram().isPresent,
+      "numeric columns with full sketch coverage must serve a histogram")
+    val h = cs.histogram().get()
+    assert(h.bins().length == 32)
+    assert(math.abs(h.height() - 1000.0 / 32) < 0.01)
+    assert(h.bins().forall(b => b.lo() <= b.hi()))
+    assert(h.bins().head.lo() == 0.0 && h.bins().last.hi() == 999.0,
+      s"histogram must span the data: ${h.bins().head.lo()}..${h.bins().last.hi()}")
+    // strings: no histogram
+    val csS = st.columnStats().get(
+      org.apache.spark.sql.connector.expressions.Expressions.column("s"))
+    assert(csS == null || !csS.histogram().isPresent)
+  }
 }

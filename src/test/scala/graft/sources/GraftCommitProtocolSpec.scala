@@ -216,6 +216,48 @@ class GraftCommitProtocolSpec extends AnyFunSuite {
     exp.initialize(URI.create("file:///"), confExplicit)
     assert(GraftCommitPrimitive.forFs(exp).name == "condput")
   }
+
+  test("TIMESTAMP AS OF resolves a same-millisecond commit pair through " +
+    "!ts= meta stamps alone — setTimes stubbed out, mtimes ignored") {
+    val fs = new NoSetTimesFs
+    fs.initialize(URI.create("file:///"), new Configuration())
+    val dir = new Path(s"$root/tsmeta")
+    fs.mkdirs(dir)
+    GraftTable.writeFullEntries(fs, dir, 1,
+      Seq(GraftTable.GraftEntry(s"$root/tsmeta/a.parquet", None)))
+    // force the same-millisecond condition deterministically: move v1's
+    // stamp into the future, so v2's strictly-monotonic stamp lands
+    // exactly one milli later regardless of wall clock
+    val t1 = System.currentTimeMillis() + 600000L
+    rewriteTs(fs, GraftTable.manifestPath(dir, 1), t1)
+    GraftTable.writeFullEntries(fs, dir, 2,
+      Seq(GraftTable.GraftEntry(s"$root/tsmeta/b.parquet", None)))
+    assert(NoSetTimesFs.attempts.get() >= 0) // the stub is in play
+    assert(GraftTable.commitTimeMillis(fs, dir, 2) == t1 + 1,
+      "the successor of a same-ms pair must stamp exactly one milli later")
+    // at-or-before resolves EACH commit of the pair to itself...
+    assert(GraftTable.versionAtOrBefore(fs, dir, t1).contains(1L))
+    assert(GraftTable.versionAtOrBefore(fs, dir, t1 + 1).contains(2L))
+    // ...and the pre-pair instant resolves to NOTHING: both manifest
+    // FILES' mtimes are in the past (now), so an mtime-based resolution
+    // would wrongly return version 2 — meta-first is load-bearing here
+    assert(GraftTable.versionAtOrBefore(fs, dir, t1 - 1).isEmpty,
+      "resolution must read the meta stamps, not the file mtimes")
+  }
+
+  private def rewriteTs(fs: org.apache.hadoop.fs.FileSystem, mp: Path,
+                        toMillis: Long): Unit = {
+    val in = fs.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val out = lines.map(l =>
+      if (l.startsWith(s"!${GraftTable.TsMetaKey}="))
+        s"!${GraftTable.TsMetaKey}=$toMillis"
+      else l)
+    val os = fs.create(mp, true)
+    try os.write(out.mkString("\n").getBytes("UTF-8")) finally os.close()
+  }
 }
 
 /** A filesystem whose exclusive create is deliberately CHECK-THEN-OPEN
@@ -257,4 +299,19 @@ object CheckThenOpenFs {
   */
 class SchemeFs(scheme: String) extends RawLocalFileSystem {
   override def getUri: URI = URI.create(s"$scheme:///")
+}
+
+/** Local filesystem WITHOUT setTimes — the object-store shape whose
+  * connectors cannot touch mtimes; commit-time machinery must not
+  * depend on it.
+  */
+class NoSetTimesFs extends RawLocalFileSystem {
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = {
+    NoSetTimesFs.attempts.incrementAndGet()
+    throw new UnsupportedOperationException("setTimes unsupported (stub)")
+  }
+}
+
+object NoSetTimesFs {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }

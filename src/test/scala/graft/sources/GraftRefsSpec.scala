@@ -101,10 +101,21 @@ class GraftRefsSpec extends SparkSpec {
     graft.GraftExtensions.register(spark)
     sql("SELECT * FROM graft_branch('graft_rf', 'db.t4', 'dev')").collect() // pins v3
     sql("INSERT INTO graft_rf.db.t4 VALUES (3, 'c')")           // v4 (head)
-    // backdate EVERY manifest by an hour — by pure age, all would expire
+    // backdate EVERY manifest by an hour — by pure age, all would expire.
+    // Commit wall-clock rides the !ts= meta stamp (round 13), so aging a
+    // snapshot means rewriting the stamp, not touching the file mtime
     val dir = new java.io.File(tdir("t4"))
     dir.listFiles().filter(_.getName.startsWith("_graft_manifest"))
-      .foreach(f => f.setLastModified(System.currentTimeMillis() - 3600 * 1000))
+      .foreach { f =>
+        val aged = (System.currentTimeMillis() - 3600 * 1000).toString
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        val out = new java.util.ArrayList[String]()
+        lines.forEach(l => out.add(
+          if (l.startsWith(s"!${GraftTable.TsMetaKey}="))
+            s"!${GraftTable.TsMetaKey}=$aged"
+          else l))
+        java.nio.file.Files.write(f.toPath, out)
+      }
     val cutoff = new java.sql.Timestamp(
       System.currentTimeMillis() - 60 * 1000).toString
     val r = sql("SELECT * FROM graft_vacuum('graft_rf', 'db.t4', " +

@@ -18,6 +18,22 @@ class GraftRetentionSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(s"$warehouse/db/$t")
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
+
+  /** Backdate a commit by rewriting its `!ts=` meta stamp (round 13:
+    * commit wall-clock rides the manifest bytes, so mtime edits no
+    * longer age a snapshot — rewriting the stamp is how a test does).
+    */
+  private def backdate(fs: org.apache.hadoop.fs.FileSystem,
+                       mp: org.apache.hadoop.fs.Path, toMillis: Long): Unit = {
+    val in = fs.open(mp)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val out = lines.map(l =>
+      if (l.startsWith(s"!${GraftTable.TsMetaKey}=")) s"!${GraftTable.TsMetaKey}=$toMillis" else l)
+    val os = fs.create(mp, true)
+    try os.write(out.mkString("\n").getBytes("UTF-8")) finally os.close()
+  }
   private def manifests(t: String): Seq[Long] = {
     val (fs, p) = fsOf(t)
     GraftTable.manifestVersions(fs, p)
@@ -55,8 +71,8 @@ class GraftRetentionSpec extends SparkSpec {
     // backdate every manifest two hours: all outside the window — the
     // CURRENT snapshot must survive anyway
     manifests("ma").foreach { v =>
-      val mp = GraftTable.manifestPath(p, v)
-      fs.setTimes(mp, System.currentTimeMillis() - 7200000L, -1)
+      backdate(fs, GraftTable.manifestPath(p, v),
+        System.currentTimeMillis() - 7200000L)
     }
     sql("SELECT * FROM graft_apply_retention('graft_rt', 'db.ma')").collect()
     assert(manifests("ma").size == 1, "only the current snapshot survives")
@@ -74,8 +90,8 @@ class GraftRetentionSpec extends SparkSpec {
     // backdate all but the last TWO manifests; the third-newest stays
     // young, so max-age protects it even though keep-last would drop it
     vs.dropRight(3).foreach { v =>
-      fs.setTimes(GraftTable.manifestPath(p, v),
-        System.currentTimeMillis() - 7200000L, -1)
+      backdate(fs, GraftTable.manifestPath(p, v),
+        System.currentTimeMillis() - 7200000L)
     }
     // tag the OLDEST (backdated) snapshot: retention-proof by meaning
     sql(s"SELECT * FROM graft_tag('graft_rt', 'db.bt', 'golden', ${vs.head})")
