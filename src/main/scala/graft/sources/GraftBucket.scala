@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftBucket {
   val FunctionName = "bucket"
-  private val Seed = 42
+  /** Pinned across JVMs/writers — part of the on-disk contract; the
+    * native BucketId expression's codegen embeds the same constant. */
+  private[graft] val Seed = 42
 
   /** File-name prefix carrying the bucket id (`b00003-part-....parquet`).
     * Encoding the bucket in the NAME (not a directory) keeps the directory

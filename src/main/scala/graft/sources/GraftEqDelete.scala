@@ -312,7 +312,19 @@ object GraftEqDelete {
     // first and the exclusive manifest create fails loudly — without the
     // pin, a racing lineage write could land between our watermark read
     // and a late head re-read, and the fresh ids minted here would
-    // COLLIDE with its allocations
+    // COLLIDE with its allocations.
+    // OPTIMISTIC RETRY over ADDITIVE winners (round 13): when the create
+    // loses to commits that are ALL pure APPENDs (kinds readable — the
+    // `!kind=` meta), the serial order "their appends first, then this
+    // upsert" is well-defined: the attempt's landed files are retracted,
+    // everything snapshot-derived (watermark, carry scan, stats scoping,
+    // mask references) re-derives against the winner's snapshot — the
+    // cached change set is reused — and the commit re-tries at the new
+    // head, exactly like the append-commit retry loop. Any non-additive
+    // winner (another upsert, a compaction, a replace, a schema change)
+    // keeps the loud refusal: replaying a snapshot-derived replacement
+    // over one of those is a lost update.
+    def attemptOnce(): Long = {
     val v0 = GraftTable.manifestVersions(fs, dir).lastOption.getOrElse(
       throw new IllegalStateException(s"$catalog.$table has no manifest"))
     val carryCol = "__graft_carry"
@@ -368,27 +380,20 @@ object GraftEqDelete {
     // directory name
     val unitColName = "__graft_unit"
     val bucketColName = "__graft_bucket"
-    // bucket routing: the SAME pinned-seed Murmur3 the writer hashes with
-    // (string keys hash their UTF-8 bytes — representation-identical to
-    // the internal UTF8String the writer sees)
+    // bucket routing: the SAME pinned-seed Murmur3 the writer hashes
+    // with, as the NATIVE codegen'd BucketId expression (round 13 — a
+    // per-row Scala UDF was the last UDF on a write path): the generated
+    // code emits the identical Murmur3_x86_32 calls the write path
+    // makes, so routed placement is bit-for-bit the writer's
     val bucketCol: Option[org.apache.spark.sql.Column] =
       t.bucketSpec.map { case (c, n) =>
         val dt = t.schema().fields.find(_.name == c).get.dataType
-        import org.apache.spark.sql.functions.udf
-        val u = dt match {
-          case org.apache.spark.sql.types.LongType =>
-            udf((v: java.lang.Long) => if (v == null) 0
-              else GraftBucket.bucket(dt, v.longValue(), n))
-          case org.apache.spark.sql.types.IntegerType =>
-            udf((v: java.lang.Integer) => if (v == null) 0
-              else GraftBucket.bucket(dt, v.intValue(), n))
-          case org.apache.spark.sql.types.StringType =>
-            udf((v: String) => if (v == null) 0
-              else GraftBucket.bucket(dt, UTF8String.fromString(v), n))
-          case other => throw new IllegalArgumentException(
-            s"upsert: bucket key type $other is unsupported")
-        }
-        u(col(c)).as(bucketColName)
+        require(GraftBucket.supportedKeyType(dt),
+          s"upsert: bucket key type $dt is unsupported")
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.BucketId(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(c)), n))
+          .as(bucketColName)
       }
     val stagePartCols: Seq[String] =
       if (t.dayCol.nonEmpty) Seq(unitColName)
@@ -489,12 +494,74 @@ object GraftEqDelete {
     // exclusive manifest create as the files — a racing committer takes
     // v0+1 first, this create fails loudly, and nothing of the
     // allocation is visible
-    GraftTable.commitWithKind(fs, dir, v0 + 1,
-      updated ++ landed.map(GraftTable.GraftEntry(_, None)),
-      GraftTable.KindEqDelta, rowWmMeta)
-    v0 + 1
+    preCommitHook()
+    try {
+      GraftTable.commitWithKind(fs, dir, v0 + 1,
+        updated ++ landed.map(GraftTable.GraftEntry(_, None)),
+        GraftTable.KindEqDelta, rowWmMeta)
+      v0 + 1
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        // this attempt's landed files and sidecar are unreferenced by
+        // any manifest — retract them (and their lifted stats/index
+        // entries) before the caller decides whether to re-derive
+        val gone = landed :+ eqTarget.toString
+        gone.foreach { f =>
+          try fs.delete(new Path(f), false)
+          catch { case _: java.io.IOException => }
+        }
+        val goneNames = gone.map(new Path(_).getName).toSet
+        try {
+          GraftStats.retain(fs, dir, n => !goneNames.contains(n))
+          GraftBloom.retain(fs, dir, n => !goneNames.contains(n))
+        } catch { case _: java.io.IOException => }
+        throw new UpsertRace(v0, e)
+    }
+    } // attemptOnce
+
+    var raceCause: Throwable = null
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      try return attemptOnce()
+      catch {
+        case r: UpsertRace =>
+          val intervening = GraftTable.manifestVersions(fs, dir)
+            .filter(_ > r.pinned)
+          val allAppend = intervening.nonEmpty && intervening.forall(w =>
+            GraftTable.commitKind(fs, dir, w)
+              .contains(GraftTable.KindAppend))
+          // an append that merge-evolved the schema is NOT replayable:
+          // the staged rows were cast to the pinned schema
+          val schemaStable =
+            tableOf(spark, catalog, table).schema() == t.schema()
+          if (!allAppend || !schemaStable) throw new IllegalStateException(
+            s"upsert: $catalog.$table commit race lost to a non-additive " +
+              "winner (or the schema moved) — a snapshot-derived upsert " +
+              "cannot replay over it; re-run the epoch against the new " +
+              "head", r.getCause)
+          raceCause = r.getCause
+      }
+    }
+    throw new IllegalStateException(
+      s"upsert: $catalog.$table lost the commit race on every retry",
+      raceCause)
     } finally cached.foreach(_.unpersist(false))
   }
+
+  /** Internal signal: the exclusive create at `pinned`+1 lost a race and
+    * this attempt's files were retracted; the retry loop decides whether
+    * the winner was additive enough to re-derive over.
+    */
+  private final class UpsertRace(val pinned: Long, cause: Throwable)
+    extends Exception(cause)
+
+  /** TEST HOOK: runs between an attempt's staging and its exclusive
+    * manifest create — the only deterministic way to interleave a racing
+    * committer inside the optimistic window (same pattern as the commit
+    * protocol spec's barrier filesystem). No-op in production.
+    */
+  private[sources] var preCommitHook: () => Unit = () => ()
 
   /** Fold equality masks into rewritten data files (the eq analog of
     * materializeDeletes): every masked entry's file is rewritten without

@@ -860,6 +860,13 @@ object GraftStats {
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
+      // a ZERO-row-group file (Spark's writer emits one for an empty
+      // task output, e.g. the empty matched side of a lineage upsert's
+      // union): rows = 0, honest empty per-column entries — without the
+      // guard, chunks.head below dereferences an empty list
+      if (blocks.isEmpty)
+        return FileStats(size, 0L, schema.fields.map(f =>
+          f.name -> ColStats(0L, None, None)).toMap)
       val byCol = schema.fields.flatMap { f =>
         val chunks = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == f.name))

@@ -258,4 +258,56 @@ class GraftBucketSpec extends SparkSpec {
             |PARTITIONED BY (bucket(4, k))""".stripMargin)
     }
   }
+
+  test("BucketId expression: bit-identical to GraftBucket.bucket for " +
+    "every key type, null -> 0, codegen-native (no ScalaUDF in the plan)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val n = 8
+    def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
+      Bridge.column(graft.expressions.BucketId(Bridge.expression(c), nb))
+    // long keys, incl. null
+    val longs = Seq[java.lang.Long](1L, 42L, -7L, 0L, null).toDF("k")
+      .select(col("k"), bucketOf(col("k"), n).as("b")).collect()
+    longs.foreach { r =>
+      val expect =
+        if (r.isNullAt(0)) 0
+        else GraftBucket.bucket(org.apache.spark.sql.types.LongType,
+          r.getLong(0), n)
+      assert(r.getInt(1) == expect, s"long ${r.get(0)}")
+    }
+    // int keys
+    val ints = Seq[java.lang.Integer](3, -100, null).toDF("k")
+      .select(col("k"), bucketOf(col("k"), n).as("b")).collect()
+    ints.foreach { r =>
+      val expect =
+        if (r.isNullAt(0)) 0
+        else GraftBucket.bucket(org.apache.spark.sql.types.IntegerType,
+          r.getInt(0), n)
+      assert(r.getInt(1) == expect, s"int ${r.get(0)}")
+    }
+    // string keys hash their UTF-8 bytes
+    val strs = Seq("alpha", "", null).toDF("k")
+      .select(col("k"), bucketOf(col("k"), n).as("b")).collect()
+    strs.foreach { r =>
+      val expect =
+        if (r.isNullAt(0)) 0
+        else GraftBucket.bucket(org.apache.spark.sql.types.StringType,
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), n)
+      assert(r.getInt(1) == expect, s"str ${r.get(0)}")
+    }
+    // the routing plan is native: the expression shows by name, and no
+    // ScalaUDF appears anywhere (the write-path audit this closes)
+    val df = spark.range(0, 100).toDF("k")
+      .select(col("k"), bucketOf(col("k"), n).as("b"))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_bucket_id"), planStr)
+    assert(!planStr.contains("ScalaUDF"), planStr)
+    // wrong key type refuses at analysis
+    val bad = intercept[Exception](
+      Seq(1.5d).toDF("k").select(bucketOf(col("k"), n)).collect())
+    assert(bad.getMessage.toLowerCase.contains("bigint") ||
+      bad.getMessage.contains("graft_bucket_id"))
+  }
 }

@@ -421,6 +421,83 @@ class GraftEqDeleteSpec extends SparkSpec {
       "an empty upsert must hang no mask references")
   }
 
+  test("upsert RETRIES over a racing APPEND winner (re-derived, both " +
+      "land, result = sequential replay); non-additive winners refuse") {
+    sql("""CREATE TABLE graft_eq.db.race (k BIGINT, v STRING)
+          |TBLPROPERTIES('history'='true','rowid'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.race SELECT id, concat('old', id) FROM range(0, 50)")
+    val fs = fsOf("race"); val dir = dirOf("race")
+    val v0 = GraftTable.manifestVersions(fs, dir).last
+    // a pure APPEND lands INSIDE the upsert's optimistic window (between
+    // staging and the exclusive create) — the only deterministic
+    // interleaving; it also mints row ids, so the retry must re-derive
+    // the watermark or fresh keys would collide
+    var fired = false
+    GraftEqDelete.preCommitHook = () => {
+      if (!fired) {
+        fired = true
+        sql("INSERT INTO graft_eq.db.race SELECT id, concat('app', id) FROM range(100, 120)")
+      }
+    }
+    try {
+      val changes = spark.range(10, 20).toDF("k")
+        .union(spark.range(200, 205).toDF("k"))
+        .withColumn("v", concat(lit("new"), col("k")))
+      val committed = GraftEqDelete.upsert(spark, "graft_eq", "db.race",
+        changes, Seq("k"))
+      // the append took v0+1; the re-derived upsert landed at v0+2
+      assert(committed == v0 + 2, s"expected v0+2=${v0 + 2}, got $committed")
+      assert(GraftTable.commitKind(fs, dir, v0 + 1)
+        .contains(GraftTable.KindAppend))
+      assert(GraftTable.commitKind(fs, dir, v0 + 2)
+        .contains(GraftTable.KindEqDelta))
+    } finally GraftEqDelete.preCommitHook = () => ()
+    val t = spark.table("graft_eq.db.race")
+    // sequential replay: 50 base + 20 appended + 5 fresh inserts
+    assert(t.count() == 75, s"got ${t.count()}")
+    assert(t.where(col("k") === 15).collect().head.getString(1) == "new15")
+    assert(t.where(col("k") === 110).collect().head.getString(1) == "app110")
+    assert(t.where(col("k") === 202).collect().head.getString(1) == "new202")
+    // lineage: ids stayed unique across the race (the retry re-read the
+    // append's advanced watermark before minting)
+    val uniq = sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT _row_id) AS d
+                    |FROM graft_eq.db.race""".stripMargin).collect()(0)
+    assert(uniq.getLong(0) == uniq.getLong(1),
+      s"ids must stay unique across the raced retry: $uniq")
+    // the lost attempt's landed files were retracted: every table file is
+    // referenced by the head manifest
+    val head = GraftTable.manifestVersions(fs, dir).last
+    val referenced = GraftTable.readFullEntries(fs, dir, head)
+      .map(e => new org.apache.hadoop.fs.Path(e.file).getName).toSet
+    val onDisk = fs.listStatus(dir).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet")).map(_.getPath.getName)
+    val orphans = onDisk.filterNot { n =>
+      referenced.contains(n) || GraftTable.manifestVersions(fs, dir)
+        .exists(v => GraftTable.readFullEntries(fs, dir, v)
+          .exists(e => new org.apache.hadoop.fs.Path(e.file).getName == n))
+    }
+    assert(orphans.isEmpty,
+      s"the lost attempt must retract its landed files, found $orphans")
+    // a NON-additive winner (a racing upsert) keeps the loud refusal
+    var fired2 = false
+    GraftEqDelete.preCommitHook = () => {
+      if (!fired2) {
+        fired2 = true
+        GraftEqDelete.preCommitHook = () => () // the inner upsert runs clean
+        GraftEqDelete.upsert(spark, "graft_eq", "db.race",
+          Seq((300L, "x")).toDF("k", "v"), Seq("k"))
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        GraftEqDelete.upsert(spark, "graft_eq", "db.race",
+          Seq((301L, "y")).toDF("k", "v"), Seq("k"))
+      }
+      assert(e.getMessage.contains("non-additive"),
+        s"a racing eqdelta winner must refuse loudly: ${e.getMessage}")
+    } finally GraftEqDelete.preCommitHook = () => ()
+  }
+
   test("upsert composes with RENAME/WIDEN history: upsert on the renamed " +
       "key probes pre-evolution files through alias + up-conversion") {
     sql("""CREATE TABLE graft_eq.db.evo1 (k INT, v STRING)
