@@ -398,12 +398,79 @@ object GraftEqDelete {
     val stagePartCols: Seq[String] =
       if (t.dayCol.nonEmpty) Seq(unitColName)
       else t.partitionCols ++ bucketCol.map(_ => bucketColName)
+    // SKEW-AWARE STAGING (round 13): routing concentrates rows by unit —
+    // the bucket path repartitions one task per bucket (the key-sorted
+    // single-file invariant) and a hidden-time change set can pile into
+    // one day — so a change set big enough to matter (> maxTaskRows)
+    // counts rows per routing unit (one aggregate over the cached change
+    // set; skipped entirely below the threshold) and SALTS the staging
+    // repartition: unit u splits into ceil(rows(u)/maxTaskRows) groups
+    // keyed by the deterministic key hash, bounding the worst staging
+    // task at O(maxTaskRows) instead of O(change set). A salted bucket
+    // lands >1 file — the scan's outputOrdering claims per-file key
+    // order only for single-file buckets, so storage-partitioned merge
+    // plans degrade gracefully rather than break; each salted file is
+    // still key-sorted within itself.
+    val maxTaskRows: Long = spark.conf.getOption(StageMaxTaskRowsKey)
+      .orElse(Option(fs.getConf.get(StageMaxTaskRowsKey)))
+      .map(_.toLong).getOrElse(DefaultStageMaxTaskRows)
+    require(maxTaskRows > 0, s"$StageMaxTaskRowsKey must be positive")
+    // target-slot column + shuffle width for frame `d` routed by `unit`;
+    // None when no unit exceeds the bound (the common CDC epoch — the
+    // plan is untouched). Each HEAVY unit (at most nRows/maxTaskRows of
+    // them by construction — the when-chain stays small) owns an EXACT
+    // contiguous slot range [off, off+span) salted by the key hash;
+    // every light unit shares a trailing region spread by UNIT hash, so
+    // a light unit stays WHOLE in one slot (a light bucket keeps its
+    // single key-sorted file and the merge-join ordering claim). The
+    // range repartition places ~one slot per task — hash-partitioning
+    // here would collide slots and re-concentrate the heavy unit.
+    def slotFor(d: DataFrame, unit: String)
+        : Option[(org.apache.spark.sql.Column, Int)] =
+      if (nRows <= maxTaskRows) None
+      else {
+        import org.apache.spark.sql.functions.{pmod, when, hash => mh}
+        def spanOf(n: Long) = math.ceil(n.toDouble / maxTaskRows).toInt
+        val counts = d.groupBy(col(unit)).count().collect()
+        val heavy = counts.filter(r => spanOf(r.getLong(1)) > 1)
+        if (heavy.isEmpty) None
+        else {
+          val kh = mh(keyCols.map(col): _*)
+          val heavySlots = heavy.map(r => (r, spanOf(r.getLong(1))))
+          val heavyWidth = heavySlots.map(_._2).sum
+          val lightRows = counts.map(_.getLong(1)).sum -
+            heavy.map(_.getLong(1)).sum
+          val lightWidth = math.max(1,
+            math.ceil(lightRows.toDouble / maxTaskRows).toInt)
+          val lightIdx = lit(heavyWidth) +
+            pmod(mh(col(unit)), lit(lightWidth))
+          var off = 0
+          val idx = heavySlots.foldLeft(lightIdx) { case (acc, (r, span)) =>
+            val cond =
+              if (r.isNullAt(0)) col(unit).isNull
+              else col(unit) <=> lit(r.get(0))
+            val slot = lit(off) + pmod(kh, lit(span))
+            off += span
+            when(cond, slot).otherwise(acc)
+          }
+          Some((idx, heavyWidth + lightWidth))
+        }
+      }
     val stageDf = t.dayCol match {
       case Some(c) =>
         val dt = t.schema().fields.find(_.name == c).get.dataType
-        toLand.select(physCols.map(col) :+ org.apache.spark.sql.functions
+        val routed = toLand.select(physCols.map(col) :+
+          org.apache.spark.sql.functions
           .expr(GraftMaintenance.unitIndexExpr(t.timeUnit, dt, c))
           .as(unitColName): _*)
+        // no repartition in the common case: upstream tasks each write
+        // their slice of a day (parallelism preserved). Only a skewed
+        // heavy change set pays the routing shuffle, which then bounds
+        // both the worst task AND the files-per-day at ceil(day/bound).
+        slotFor(routed, unitColName) match {
+          case Some((slot, width)) => routed.repartitionByRange(width, slot)
+          case None => routed
+        }
       case None =>
         val base = toLand.select((physCols ++ t.partitionCols).map(col) ++
           bucketCol.toSeq: _*)
@@ -413,8 +480,12 @@ object GraftEqDelete {
           // outputOrdering claims that order when a bucket holds one
           // file — an unsorted upserted file would silently break a
           // storage-partitioned merge join
-          case Some((c, _)) => base.repartition(col(bucketColName))
-            .sortWithinPartitions(col(bucketColName), col(c))
+          case Some((c, _)) => slotFor(base, bucketColName) match {
+            case Some((slot, width)) => base.repartitionByRange(width, slot)
+              .sortWithinPartitions(col(bucketColName), col(c))
+            case None => base.repartition(col(bucketColName))
+              .sortWithinPartitions(col(bucketColName), col(c))
+          }
           case None => base
         }
     }
@@ -548,6 +619,14 @@ object GraftEqDelete {
       raceCause)
     } finally cached.foreach(_.unpersist(false))
   }
+
+  /** Upper bound on rows a single staging-write task may carry before
+    * the router salts its unit (day / bucket) across several tasks.
+    * Session conf first, Hadoop conf fallback. The default targets a
+    * few hundred MB of write work per task at typical row widths.
+    */
+  val StageMaxTaskRowsKey = "graft.upsert.stage.maxTaskRows"
+  val DefaultStageMaxTaskRows = 4000000L
 
   /** Internal signal: the exclusive create at `pinned`+1 lost a race and
     * this attempt's files were retracted; the retry loop decides whether

@@ -585,4 +585,88 @@ class GraftEqDeleteSpec extends SparkSpec {
     assert(t2.where(col("id") === 15).collect().head.getString(1) == "new15")
     assert(t2.where(col("id") === 95).collect().head.getString(1) == "old95")
   }
+
+  test("skew-aware staging: a heavy routing unit salts across tasks " +
+      "(per-file rows bounded), buckets stay key-sorted, small change " +
+      "sets keep the single-file plan") {
+    val bound = 25L
+    // BUCKET layout: 2 buckets, a 200-row change set -> ~100 rows per
+    // bucket, span ceil(100/25)=4 -> several files per bucket, each one
+    // staging task's slice
+    sql("""CREATE TABLE graft_eq.db.skb (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(2, k))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("INSERT INTO graft_eq.db.skb SELECT id, concat('old', id) FROM range(0, 50)")
+    spark.conf.set(GraftEqDelete.StageMaxTaskRowsKey, bound.toString)
+    try {
+      GraftEqDelete.upsert(spark, "graft_eq", "db.skb",
+        spark.range(0, 200).toDF("k")
+          .withColumn("v", concat(lit("new"), col("k"))), Seq("k"))
+      val dir = dirOf("skb"); val fs = fsOf("skb")
+      val upserted = GraftTable.readFullEntries(fs, dir,
+        GraftTable.manifestVersions(fs, dir).last)
+        .map(_.file).filter(_.contains("part-upsert"))
+      val byBucket = upserted.groupBy(f => GraftBucket.fileBucketId(
+        new org.apache.hadoop.fs.Path(f).getName).get)
+      assert(byBucket.exists(_._2.size > 1),
+        s"a heavy bucket must split across several staged files: $byBucket")
+      upserted.foreach { f =>
+        val rows = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+        // the worst staging task is O(bound) — 3x slack for hash spread
+        assert(rows.length <= 3 * bound,
+          s"$f carries ${rows.length} rows; staging task bound was $bound")
+        assert(rows.toSeq == rows.toSeq.sorted,
+          s"salted bucket file $f must stay key-sorted within itself")
+        val claimed = GraftBucket.fileBucketId(
+          new org.apache.hadoop.fs.Path(f).getName).get
+        assert(rows.forall(k => GraftBucket.bucket(
+          org.apache.spark.sql.types.LongType, k, 2) == claimed),
+          s"$f holds rows outside its claimed bucket")
+      }
+      val t = spark.table("graft_eq.db.skb")
+      assert(t.count() == 200)
+      assert(t.where(col("k") === 7).collect().head.getString(1) == "new7")
+      assert(t.where(col("k") === 150).collect().head.getString(1) == "new150")
+
+      // DAY layout: all 200 change rows in ONE day -> that day dir gains
+      // several bounded files instead of one giant task's output
+      sql("""CREATE TABLE graft_eq.db.skd (k BIGINT, ts TIMESTAMP, v STRING)
+            |PARTITIONED BY (days(ts))
+            |TBLPROPERTIES('history'='true')""".stripMargin)
+      sql("""INSERT INTO graft_eq.db.skd
+            |SELECT id, timestamp'2024-03-01 12:00:00', concat('old', id)
+            |FROM range(0, 20)""".stripMargin)
+      GraftEqDelete.upsert(spark, "graft_eq", "db.skd",
+        spark.range(0, 200).toDF("k")
+          .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-03-01 09:30:00")))
+          .withColumn("v", concat(lit("new"), col("k"))), Seq("k"))
+      val dird = dirOf("skd"); val fsd = fsOf("skd")
+      val upsertedD = GraftTable.readFullEntries(fsd, dird,
+        GraftTable.manifestVersions(fsd, dird).last)
+        .map(_.file).filter(_.contains("part-upsert"))
+      assert(upsertedD.size > 1,
+        s"the heavy day must split across several files: $upsertedD")
+      assert(upsertedD.forall(_.contains("ts_day=")),
+        s"salted day files must land in their day dir: $upsertedD")
+      upsertedD.foreach { f =>
+        val n = spark.read.parquet(f).count()
+        assert(n <= 3 * bound, s"$f carries $n rows; bound was $bound")
+      }
+      val td = spark.table("graft_eq.db.skd")
+      assert(td.count() == 200)
+      assert(td.where(col("k") === 5).collect().head.getString(2) == "new5")
+    } finally spark.conf.unset(GraftEqDelete.StageMaxTaskRowsKey)
+    // below the threshold the plan is untouched: a small bucket upsert
+    // stays one file per touched bucket
+    GraftEqDelete.upsert(spark, "graft_eq", "db.skb",
+      Seq((7L, "AGAIN7")).toDF("k", "v"), Seq("k"))
+    val dir = dirOf("skb"); val fs = fsOf("skb")
+    val head = GraftTable.manifestVersions(fs, dir).last
+    val lastUpsert = GraftTable.readFullEntries(fs, dir, head)
+      .map(_.file).filter(_.contains("part-upsert"))
+      .filterNot(f => GraftTable.readFullEntries(fs, dir, head - 1)
+        .exists(_.file == f))
+    assert(lastUpsert.size == 1,
+      s"an unsalted single-bucket upsert lands exactly one file: $lastUpsert")
+  }
 }
