@@ -2425,12 +2425,14 @@ object Etl {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cb.db")
       s.sql("DROP TABLE IF EXISTS graft_cb.db.ord")
       s.sql("""CREATE TABLE graft_cb.db.ord
-              |(id BIGINT, status STRING, priority STRING)
+              |(id BIGINT, status STRING, priority STRING,
+              | price DECIMAL(12,2))
               |TBLPROPERTIES('history'='true','merge-on-read'='true')"""
         .stripMargin)
       Tables.orders(s, dir).createOrReplaceTempView("graft_cb_orders")
       s.sql("""INSERT INTO graft_cb.db.ord
-              |SELECT o_orderkey, o_orderstatus, o_orderpriority
+              |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+              |       CAST(o_totalprice AS DECIMAL(12,2))
               |FROM graft_cb_orders""".stripMargin)
       import scala.jdk.CollectionConverters._
       def scanStats() = s.table("graft_cb.db.ord")
@@ -2467,6 +2469,34 @@ object Etl {
       require(cboEstimate().exists(r => r > 0 && r < n),
         s"etl_cbo_stats: CBO filter estimate must scale by the " +
           s"status cardinality (table has $n rows)")
+      // RANGE phase (round 13, pre-mask): the writer's quantile sketches
+      // serve BETWEEN / < selectivities metadata-only for STRING columns
+      // (UTF8-binary-order KllItemsSketch) and DECIMAL columns (the
+      // doubles sketch through the order-preserving double image) —
+      // each within the ±~1.65%-per-bound rank error of the exact count
+      val tdir2 = new org.apache.hadoop.fs.Path(s"$wh/db/ord")
+      val tfs2 = tdir2.getFileSystem(s.sessionState.newHadoopConf())
+      val exactPrio = s.table("graft_cb.db.ord")
+        .where(col("priority") < "3").count()
+      val (rngRows, prioEst) = graft.sources.GraftStats
+        .headRangeEstimateStr(tfs2, tdir2, "priority",
+          None, Some(("3", false)))
+        .getOrElse(throw new IllegalStateException(
+          "etl_cbo_stats: the stats log must serve a STRING quantile " +
+            "sketch for priority"))
+      require(math.abs(prioEst - exactPrio) <= math.max(2L, rngRows / 20),
+        s"etl_cbo_stats: string range estimate $prioEst vs exact " +
+          s"$exactPrio (rows $rngRows)")
+      val exactPrice = s.table("graft_cb.db.ord")
+        .where(col("price") < 50000).count()
+      val (_, priceEst) = graft.sources.GraftStats
+        .headRangeEstimate(tfs2, tdir2, "price", None, Some((50000.0, false)))
+        .getOrElse(throw new IllegalStateException(
+          "etl_cbo_stats: the stats log must serve a DECIMAL quantile " +
+            "sketch for price"))
+      require(math.abs(priceEst - exactPrice) <= math.max(2L, rngRows / 20),
+        s"etl_cbo_stats: decimal range estimate $priceEst vs exact " +
+          s"$exactPrice (rows $rngRows)")
       // mask phase: a MOR DELETE lands DV sidecars; NDVs stay served as
       // over-approximations bounded by [post-delete exact, pre-delete
       // sketch + tolerance], and CBO keeps a scaling filter estimate

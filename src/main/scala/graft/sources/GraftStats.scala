@@ -51,7 +51,8 @@ object GraftStats {
     */
   case class ColStats(nulls: Long, min: Option[String], max: Option[String],
                       ndv: Option[Array[Byte]] = None,
-                      kll: Option[Array[Byte]] = None)
+                      kll: Option[Array[Byte]] = None,
+                      kllStr: Option[Array[Byte]] = None)
   case class FileStats(size: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- storage -----------------------------------------------------------
@@ -65,11 +66,17 @@ object GraftStats {
   private[sources] def encodeLine(name: String, st: FileStats): String = {
     val cols = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
       val b64 = (b: Array[Byte]) => java.util.Base64.getEncoder.encodeToString(b)
-      // positional tail fields: ndv (HLL), then kll (quantiles) — a
-      // present kll forces an (possibly empty) ndv slot; absent tails
-      // are omitted so pre-sketch lines stay byte-identical
+      // positional tail fields: ndv (HLL), then kll (numeric quantiles,
+      // KllDoublesSketch bytes), then kllStr (STRING quantiles,
+      // KllItemsSketch[UTF8String] bytes — a separate slot because the
+      // two sketch types must never be heapified as each other) — a
+      // present later slot forces (possibly empty) earlier slots; absent
+      // tails are omitted so pre-sketch lines stay byte-identical
       val tail =
-        if (cs.kll.nonEmpty)
+        if (cs.kllStr.nonEmpty)
+          "," + cs.ndv.map(b64).getOrElse("") + "," +
+            cs.kll.map(b64).getOrElse("") + "," + b64(cs.kllStr.get)
+        else if (cs.kll.nonEmpty)
           "," + cs.ndv.map(b64).getOrElse("") + "," + b64(cs.kll.get)
         else cs.ndv.map(b => "," + b64(b)).getOrElse("")
       s"${enc(c)},${cs.nulls},${encOpt(cs.min)},${encOpt(cs.max)}$tail"
@@ -94,6 +101,14 @@ object GraftStats {
               Some(ndv).filter(_.nonEmpty)
                 .map(java.util.Base64.getDecoder.decode),
               Some(kll).filter(_.nonEmpty)
+                .map(java.util.Base64.getDecoder.decode)))
+          case Array(c, n, mn, mx, ndv, kll, kls) =>
+            Some(dec(c) -> ColStats(n.toLong, decOpt(mn), decOpt(mx),
+              Some(ndv).filter(_.nonEmpty)
+                .map(java.util.Base64.getDecoder.decode),
+              Some(kll).filter(_.nonEmpty)
+                .map(java.util.Base64.getDecoder.decode),
+              Some(kls).filter(_.nonEmpty)
                 .map(java.util.Base64.getDecoder.decode)))
           case _ => None
         }
@@ -258,26 +273,48 @@ object GraftStats {
     private val maxs = new Array[Any](n)
     private val poisoned = new Array[Boolean](n)
     private var rows = 0L
-    // distinct-value sketches (long/double/string kinds): one typed HLL
-    // update per non-null value — integrals always widen to LONG and
-    // floats to DOUBLE before hashing, so the bits stay consistent across
-    // the type-widening DDL
+    // distinct-value sketches (long/double/string/decimal kinds): one
+    // typed HLL update per non-null value — integrals always widen to
+    // LONG and floats to DOUBLE before hashing, so the bits stay
+    // consistent across the type-widening DDL; decimals hash their
+    // DOUBLE image (round 13 — stable under precision widening; distinct
+    // decimals collapsing to one double under-count NDV by exactly the
+    // mass a rank estimate tolerates)
     private val ndvs: Array[org.apache.datasketches.hll.HllSketch] =
       kinds.map {
-        case KindLong | KindDouble | KindString =>
+        case KindLong | KindDouble | KindString | KindDecimal =>
           new org.apache.datasketches.hll.HllSketch(NdvLgK)
         case _ => null
       }
     // quantile sketches (NUMERIC kinds): one KLL update per non-null
     // value — integrals widen to long then double (exact to 2^53, far
     // beyond any selectivity need), floats to double exactly, so rank
-    // queries stay consistent across the type-widening DDL. Strings and
-    // decimals are skipped: range selectivity on them falls back to the
-    // counted dispatch, min/max pruning still applies.
+    // queries stay consistent across the type-widening DDL. Decimals
+    // ride the SAME doubles sketch through doubleValue() (round 13) —
+    // the mapping is order-preserving up to double rounding, which can
+    // only blur a rank by the mass of near-equal values, exactly the
+    // kind of error a selectivity estimate tolerates (and precision
+    // widening leaves the double image unchanged).
     private val klls: Array[org.apache.datasketches.kll.KllDoublesSketch] =
       kinds.map {
-        case KindLong | KindDouble =>
+        case KindLong | KindDouble | KindDecimal =>
           org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(KllK)
+        case _ => null
+      }
+    // STRING quantile sketches (round 13): a KllItemsSketch over
+    // UTF8String in Spark's own sort order (unsigned UTF-8 byte compare
+    // — UTF8String.compareTo, also the order cmpStored prunes with), so
+    // range selectivity on string columns is servable metadata-first
+    // like the numeric kinds. Items are cloned before update: the
+    // sketch retains references, and the row's string points into a
+    // reused buffer.
+    private val kllStrs: Array[
+        org.apache.datasketches.kll.KllItemsSketch[UTF8String]] =
+      kinds.map {
+        case KindString =>
+          org.apache.datasketches.kll.KllItemsSketch.newHeapInstance(
+            KllK, java.util.Comparator.naturalOrder[UTF8String](),
+            Utf8ItemsSerDe)
         case _ => null
       }
 
@@ -324,6 +361,7 @@ object GraftStats {
                   v.compareTo(maxs(i).asInstanceOf[UTF8String]) > 0)
                 maxs(i) = v.clone()
               ndvs(i).update(v.getBytes)
+              kllStrs(i).update(v.clone())
             case KindDecimal =>
               val (p, s) = decScale(i)
               val v = row.getDecimal(i, p, s).toJavaBigDecimal
@@ -333,6 +371,9 @@ object GraftStats {
               if (maxs(i) == null ||
                   v.compareTo(maxs(i).asInstanceOf[java.math.BigDecimal]) > 0)
                 maxs(i) = v
+              val dv = v.doubleValue()
+              ndvs(i).update(dv)
+              klls(i).update(dv)
             case KindBoolean =>
               val v = row.getBoolean(i)
               if (mins(i) == null || !v) mins(i) = v
@@ -362,7 +403,9 @@ object GraftStats {
             else (Some(canon(i, mins(i))), Some(canon(i, maxs(i))))
           val ndv = Option(ndvs(i)).map(_.toCompactByteArray)
           val kll = Option(klls(i)).map(_.toByteArray)
-          Some(schema.fields(i).name -> ColStats(nulls(i), mn, mx, ndv, kll))
+          val kllStr = Option(kllStrs(i)).map(_.toByteArray)
+          Some(schema.fields(i).name ->
+            ColStats(nulls(i), mn, mx, ndv, kll, kllStr))
         }
       }.toMap
       FileStats(size, rows, cols)
@@ -451,6 +494,72 @@ object GraftStats {
     Some(m)
   }
 
+  /** Length-prefixed UTF-8 item codec for the string quantile sketch.
+    * Lengths are written in the platform's native order — the same
+    * convention the library's own ArrayOfStringsSerDe uses — because
+    * Memory.wrap reads native-order by default; the sketch bytes are a
+    * single-machine artifact of one write task, never compared across
+    * endianness.
+    */
+  private[sources] object Utf8ItemsSerDe
+      extends org.apache.datasketches.common.ArrayOfItemsSerDe[UTF8String] {
+    import org.apache.datasketches.memory.Memory
+    private val order = java.nio.ByteOrder.nativeOrder()
+    override def serializeToByteArray(item: UTF8String): Array[Byte] = {
+      val b = item.getBytes
+      java.nio.ByteBuffer.allocate(4 + b.length).order(order)
+        .putInt(b.length).put(b).array()
+    }
+    // the odd parameter type satisfies scalac's view of the Java
+    // signature `byte[] serializeToByteArray(T[])` at T = UTF8String
+    override def serializeToByteArray(
+        items: Array[UTF8String with Object]): Array[Byte] = {
+      val out = java.nio.ByteBuffer
+        .allocate(items.map(i => 4 + i.numBytes()).sum).order(order)
+      items.foreach { i => val b = i.getBytes; out.putInt(b.length).put(b) }
+      out.array()
+    }
+    override def deserializeFromMemory(mem: Memory, offsetBytes: Long,
+                                       numItems: Int): Array[UTF8String] = {
+      val out = new Array[UTF8String](numItems)
+      var off = offsetBytes
+      var i = 0
+      while (i < numItems) {
+        val len = mem.getInt(off); off += 4
+        val b = new Array[Byte](len)
+        mem.getByteArray(off, b, 0, len); off += len
+        out(i) = UTF8String.fromBytes(b)
+        i += 1
+      }
+      out
+    }
+    override def sizeOf(item: UTF8String): Int = 4 + item.numBytes()
+    override def sizeOf(mem: Memory, offsetBytes: Long, numItems: Int): Int = {
+      var off = offsetBytes; var i = 0
+      while (i < numItems) { off += 4 + mem.getInt(off); i += 1 }
+      (off - offsetBytes).toInt
+    }
+    override def toString(item: UTF8String): String = item.toString
+    override def getClassOfT: Class[UTF8String] = classOf[UTF8String]
+  }
+
+  /** Table-level STRING quantile sketch for `col`: merge of every file's
+    * KllItemsSketch[UTF8String] — same every-file-or-None refusal as
+    * [[mergedKll]].
+    */
+  def mergedKllStr(stats: Seq[FileStats], col: String)
+      : Option[org.apache.datasketches.kll.KllItemsSketch[UTF8String]] = {
+    val sketches = stats.map(_.cols.get(col).flatMap(_.kllStr))
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
+    val cmp = java.util.Comparator.naturalOrder[UTF8String]()
+    val m = org.apache.datasketches.kll.KllItemsSketch
+      .newHeapInstance(KllK, cmp, Utf8ItemsSerDe)
+    sketches.flatten.foreach(b => m.merge(
+      org.apache.datasketches.kll.KllItemsSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b), cmp, Utf8ItemsSerDe)))
+    Some(m)
+  }
+
   /** Metadata-only (head row count, matching-row estimate) for a RANGE
     * predicate on `col` — the quantile twin of [[headEqualityEstimate]]:
     * the fraction between the bounds comes off the HEAD snapshot's
@@ -493,6 +602,43 @@ object GraftStats {
     }
   }
 
+  /** STRING twin of [[headRangeEstimate]] (distinct name — the bound
+    * tuples erase identically): match estimate for `col BETWEEN lo AND
+    * hi` / one-sided ranges on a STRING column, ranks off the merged
+    * KllItemsSketch in UTF8String binary order — exactly the order
+    * Spark sorts and [[cmpStored]] prunes with.
+    */
+  def headRangeEstimateStr(fs: FileSystem, dir: Path, col: String,
+                           lower: Option[(String, Boolean)],
+                           upper: Option[(String, Boolean)]): Option[(Long, Long)] = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "headRangeEstimateStr: at least one bound")
+    val versions = GraftTable.manifestVersions(fs, dir)
+    val files =
+      if (versions.nonEmpty)
+        GraftTable.readFullEntries(fs, dir, versions.last).map(_.file)
+      else GraftTable.dataFiles(fs, dir)
+    if (files.isEmpty) return None
+    val all = readAll(fs, dir)
+    val fileStats = files.flatMap(f => all.get(new Path(f).getName))
+    if (fileStats.size != files.size) return None
+    val rows = fileStats.map(_.rows).sum
+    mergedKllStr(fileStats, col).map { sk =>
+      if (sk.isEmpty) (rows, 0L)
+      else {
+        import org.apache.datasketches.quantilescommon.QuantileSearchCriteria._
+        // same bound/criteria algebra as the numeric twin
+        val ub = upper.map { case (v, incl) =>
+          sk.getRank(UTF8String.fromString(v),
+            if (incl) INCLUSIVE else EXCLUSIVE) }.getOrElse(1.0)
+        val lb = lower.map { case (v, incl) =>
+          sk.getRank(UTF8String.fromString(v),
+            if (incl) EXCLUSIVE else INCLUSIVE) }.getOrElse(0.0)
+        (rows, math.round(sk.getN * math.max(0.0, ub - lb)))
+      }
+    }
+  }
+
   /** Backfill NDV sketches for current files whose stats lack them
     * (footer-lifted entries from compaction / analyzeTable — parquet
     * footers carry no NDV): ONE distributed job reads just the eligible
@@ -511,7 +657,7 @@ object GraftStats {
     val eligible = schema.fields.toSeq
       .filterNot(f => pcols.contains(f.name))
       .filter(f => kindOf(f.dataType) match {
-        case KindLong | KindDouble | KindString => true
+        case KindLong | KindDouble | KindString | KindDecimal => true
         case _ => false
       })
     if (eligible.isEmpty) return 0
@@ -521,10 +667,18 @@ object GraftStats {
           .map(GraftTable.readManifest(fs, dir, _)).getOrElse(Nil)
       else GraftTable.dataFiles(fs, dir)
     val have = readAll(fs, dir)
+    // a file needs the pass when any eligible column lacks EITHER sketch
+    // kind it should carry — the NDV or (round 13) its quantile twin
+    // (doubles for numeric/decimal, items for string)
     val missing = files.filter { f =>
       val st = have.get(new Path(f).getName)
-      st.isEmpty || eligible.exists(e =>
-        st.get.cols.get(e.name).forall(_.ndv.isEmpty))
+      st.isEmpty || eligible.exists { e =>
+        val cs = st.get.cols.get(e.name)
+        cs.forall(_.ndv.isEmpty) || (kindOf(e.dataType) match {
+          case KindString => cs.forall(_.kllStr.isEmpty)
+          case _ => cs.forall(_.kll.isEmpty)
+        })
+      }
     }
     if (missing.isEmpty) return 0
     val readSchema = StructType(eligible)
@@ -538,6 +692,20 @@ object GraftStats {
         val p = new Path(f)
         val sketches = dts.map(_ =>
           new org.apache.datasketches.hll.HllSketch(NdvLgK))
+        // quantile twins, rebuilt in the SAME single pass (round 13 —
+        // compaction/footer-lift loses them like the NDVs): doubles for
+        // numeric/decimal kinds, UTF8-ordered items for strings
+        val kllDs = dts.map(dt => kindOf(dt) match {
+          case KindLong | KindDouble | KindDecimal =>
+            org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(KllK)
+          case _ => null
+        })
+        val kllSs = dts.map(dt => kindOf(dt) match {
+          case KindString => org.apache.datasketches.kll.KllItemsSketch
+            .newHeapInstance(KllK,
+              java.util.Comparator.naturalOrder[UTF8String](), Utf8ItemsSerDe)
+          case _ => null
+        })
         val reader = ParquetRowIO.reader(p, readSchema, conf.value, None, aliases)
         try {
           var r = reader.read()
@@ -545,19 +713,36 @@ object GraftStats {
             var i = 0
             while (i < dts.length) {
               if (!r.isNullAt(i)) dts(i) match {
-                case ByteType => sketches(i).update(r.getByte(i).toLong)
-                case ShortType => sketches(i).update(r.getShort(i).toLong)
-                case IntegerType | DateType => sketches(i).update(r.getInt(i).toLong)
+                case ByteType =>
+                  val v = r.getByte(i).toLong
+                  sketches(i).update(v); kllDs(i).update(v.toDouble)
+                case ShortType =>
+                  val v = r.getShort(i).toLong
+                  sketches(i).update(v); kllDs(i).update(v.toDouble)
+                case IntegerType | DateType =>
+                  val v = r.getInt(i).toLong
+                  sketches(i).update(v); kllDs(i).update(v.toDouble)
                 case LongType | TimestampType | TimestampNTZType =>
-                  sketches(i).update(r.getLong(i))
+                  val v = r.getLong(i)
+                  sketches(i).update(v); kllDs(i).update(v.toDouble)
                 case FloatType =>
                   val d = r.getFloat(i).toDouble
-                  if (!java.lang.Double.isNaN(d)) sketches(i).update(d)
+                  if (!java.lang.Double.isNaN(d)) {
+                    sketches(i).update(d); kllDs(i).update(d)
+                  }
                 case DoubleType =>
                   val d = r.getDouble(i)
-                  if (!java.lang.Double.isNaN(d)) sketches(i).update(d)
+                  if (!java.lang.Double.isNaN(d)) {
+                    sketches(i).update(d); kllDs(i).update(d)
+                  }
+                case dt: DecimalType =>
+                  val d = r.getDecimal(i, dt.precision, dt.scale)
+                    .toJavaBigDecimal.doubleValue()
+                  sketches(i).update(d); kllDs(i).update(d)
                 case StringType =>
-                  sketches(i).update(r.getUTF8String(i).getBytes)
+                  val v = r.getUTF8String(i)
+                  sketches(i).update(v.getBytes)
+                  kllSs(i).update(v.clone())
                 case _ =>
               }
               i += 1
@@ -565,16 +750,22 @@ object GraftStats {
             r = reader.read()
           }
         } finally reader.close()
-        (p.getName, names.zip(sketches.map(_.toCompactByteArray)).toMap)
+        val byCol = names.indices.map { i =>
+          names(i) -> (sketches(i).toCompactByteArray,
+            Option(kllDs(i)).map(_.toByteArray),
+            Option(kllSs(i)).map(_.toByteArray))
+        }.toMap
+        (p.getName, byCol)
       }
       .collect().toSeq
-    val enriched = built.map { case (name, ndvByCol) =>
+    val enriched = built.map { case (name, byCol) =>
       val st = have.getOrElse(name, FileStats(
         fs.getFileStatus(new Path(files.find(f =>
           new Path(f).getName == name).get)).getLen, -1L, Map.empty))
       name -> st.copy(cols = names.map { c =>
         val cs = st.cols.getOrElse(c, ColStats(-1L, None, None))
-        c -> cs.copy(ndv = ndvByCol.get(c))
+        val (ndvB, kllB, klsB) = byCol(c)
+        c -> cs.copy(ndv = Some(ndvB), kll = kllB, kllStr = klsB)
       }.toMap ++ st.cols.filterNot(kv => names.contains(kv._1)))
     }
     writeCommitStats(fs, dir, enriched)

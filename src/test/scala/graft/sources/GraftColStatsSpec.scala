@@ -232,7 +232,8 @@ class GraftColStatsSpec extends SparkSpec {
     val (_, none) = GraftStats.headRangeEstimate(fs, dir, "k",
       Some((5000.0, false)), None).get
     assert(none <= 40, s"k > 5000 should estimate ~0, got $none")
-    // strings carry no quantile sketch -> None, counted fallback
+    // the NUMERIC estimate refuses on a string column (its sketch lives
+    // in the separate string slot — see headRangeEstimateStr)
     assert(GraftStats.headRangeEstimate(fs, dir, "s",
       Some((0.0, true)), None).isEmpty)
     // the scan's CBO statistics serve an equi-height histogram cut from
@@ -252,5 +253,74 @@ class GraftColStatsSpec extends SparkSpec {
     val csS = st.columnStats().get(
       org.apache.spark.sql.connector.expressions.Expressions.column("s"))
     assert(csS == null || !csS.histogram().isPresent)
+  }
+
+  test("range selectivity on STRING and DECIMAL columns (round 13): the " +
+    "string twin ranks in UTF8 binary order, decimals ride the doubles " +
+    "sketch and serve a histogram") {
+    sql("""CREATE TABLE graft_cs.db.rng2 (k BIGINT, s STRING, d DECIMAL(10,2))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 500).toDF("k")
+      .withColumn("s", col("k").cast("string"))
+      .withColumn("d", (col("k") / 4).cast("decimal(10,2)"))
+      .writeTo("graft_cs.db.rng2").append()
+    spark.range(500, 1000).toDF("k")
+      .withColumn("s", col("k").cast("string"))
+      .withColumn("d", (col("k") / 4).cast("decimal(10,2)"))
+      .writeTo("graft_cs.db.rng2").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/rng2")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // s BETWEEN '2' AND '5': decimal-string LEXICOGRAPHIC order — "2",
+    // "20".."299" (111), likewise for 3 and 4, plus "5" itself = 334
+    val (rows, sBetween) = GraftStats.headRangeEstimateStr(fs, dir, "s",
+      Some(("2", true)), Some(("5", true)))
+      .getOrElse(fail("string range estimate must be served"))
+    assert(rows == 1000L)
+    assert(sBetween >= 280 && sBetween <= 390,
+      s"s in ['2','5'] lexicographically is 334 exact, got $sBetween")
+    // one-sided: s < '1' -> just "0" (1 row, rank error only)
+    val (_, sBelow) = GraftStats.headRangeEstimateStr(fs, dir, "s",
+      None, Some(("1", false))).get
+    assert(sBelow <= 40, s"s < '1' is 1 row exact, got $sBelow")
+    // string twin refuses on a numeric column (sketch slots are typed)
+    assert(GraftStats.headRangeEstimateStr(fs, dir, "k",
+      Some(("0", true)), None).isEmpty)
+    // DECIMAL rides the numeric estimate through doubleValue():
+    // d < 100.00 (= k < 400) -> ~400 of 1000
+    val (_, dBelow) = GraftStats.headRangeEstimate(fs, dir, "d",
+      None, Some((100.0, false)))
+      .getOrElse(fail("decimal range estimate must be served"))
+    assert(dBelow >= 350 && dBelow <= 450,
+      s"d < 100.00 is 400 exact, got $dBelow")
+    // and the scan's CBO statistics now serve a decimal histogram
+    val st = scanStats("graft_cs.db.rng2")
+    val csD = st.columnStats().get(
+      org.apache.spark.sql.connector.expressions.Expressions.column("d"))
+    assert(csD != null && csD.histogram().isPresent,
+      "decimal columns with full sketch coverage must serve a histogram")
+    val h = csD.histogram().get()
+    assert(h.bins().forall(b => b.lo() <= b.hi()))
+    assert(math.abs(h.bins().head.lo() - 0.0) < 0.01 &&
+      math.abs(h.bins().last.hi() - 249.75) < 0.01,
+      s"decimal histogram must span the data: " +
+        s"${h.bins().head.lo()}..${h.bins().last.hi()}")
+    // compaction loses ALL sketches conservatively; one analyze pass now
+    // rebuilds the quantile twins (string items + decimal doubles)
+    // alongside the NDVs
+    GraftMaintenance.compactTable(spark, s"$warehouse/db/rng2")
+    assert(GraftStats.headRangeEstimateStr(fs, dir, "s",
+      Some(("2", true)), Some(("5", true))).isEmpty,
+      "post-compaction files carry no sketches — refuse, don't guess")
+    assert(GraftStats.headRangeEstimate(fs, dir, "d",
+      None, Some((100.0, false))).isEmpty)
+    sql("SELECT * FROM graft_analyze_ndv('graft_cs', 'db.rng2')").collect()
+    val (_, sAgain) = GraftStats.headRangeEstimateStr(fs, dir, "s",
+      Some(("2", true)), Some(("5", true)))
+      .getOrElse(fail("analyze must restore the string quantile sketch"))
+    assert(sAgain >= 280 && sAgain <= 390, s"restored string estimate $sAgain")
+    val (_, dAgain) = GraftStats.headRangeEstimate(fs, dir, "d",
+      None, Some((100.0, false)))
+      .getOrElse(fail("analyze must restore the decimal quantile sketch"))
+    assert(dAgain >= 350 && dAgain <= 450, s"restored decimal estimate $dAgain")
   }
 }
