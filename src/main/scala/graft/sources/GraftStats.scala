@@ -361,7 +361,7 @@ object GraftStats {
                   v.compareTo(maxs(i).asInstanceOf[UTF8String]) > 0)
                 maxs(i) = v.clone()
               ndvs(i).update(v.getBytes)
-              kllStrs(i).update(v.clone())
+              kllStrs(i).update(strSketchItem(v))
             case KindDecimal =>
               val (p, s) = decScale(i)
               val v = row.getDecimal(i, p, s).toJavaBigDecimal
@@ -422,6 +422,27 @@ object GraftStats {
     * selectivities the way HLL serves equality.
     */
   val KllK = 200
+
+  /** Code-point cap on STRING quantile-sketch items (≤4× in bytes):
+    * items are truncated to this prefix at UPDATE and PROBE alike —
+    * prefix truncation is order-preserving, so ranks blur only by the
+    * mass of values sharing the bound's prefix. Without the cap a
+    * long-text column (the documents table) would RETAIN whole
+    * documents in the sketch: ~500 retained items × multi-KB texts is
+    * a megabyte of stats-log per file per column and a hot-loop clone
+    * of every text — the cap bounds both at ~16-64 bytes per item.
+    */
+  val StrSketchPrefix = 16
+
+  /** Truncate a sketch item to [[StrSketchPrefix]] code points, always
+    * returning a FRESH string safe to retain (substring's full-cover
+    * fast path may return the receiver, which points into a reused row
+    * buffer).
+    */
+  private[sources] def strSketchItem(v: UTF8String): UTF8String = {
+    val t = v.substring(0, StrSketchPrefix)
+    if (t eq v) t.clone() else t
+  }
 
   /** Metadata-only (head row count, per-value match estimate) for an
     * EQUALITY predicate on `col`: rows / NDV over the HEAD snapshot's
@@ -627,12 +648,15 @@ object GraftStats {
       if (sk.isEmpty) (rows, 0L)
       else {
         import org.apache.datasketches.quantilescommon.QuantileSearchCriteria._
-        // same bound/criteria algebra as the numeric twin
+        // same bound/criteria algebra as the numeric twin; bounds are
+        // truncated to the SAME prefix the items were sketched at
+        // (order-preserving — ranks blur only within the bound's
+        // shared-prefix mass)
         val ub = upper.map { case (v, incl) =>
-          sk.getRank(UTF8String.fromString(v),
+          sk.getRank(strSketchItem(UTF8String.fromString(v)),
             if (incl) INCLUSIVE else EXCLUSIVE) }.getOrElse(1.0)
         val lb = lower.map { case (v, incl) =>
-          sk.getRank(UTF8String.fromString(v),
+          sk.getRank(strSketchItem(UTF8String.fromString(v)),
             if (incl) EXCLUSIVE else INCLUSIVE) }.getOrElse(0.0)
         (rows, math.round(sk.getN * math.max(0.0, ub - lb)))
       }
@@ -742,7 +766,7 @@ object GraftStats {
                 case StringType =>
                   val v = r.getUTF8String(i)
                   sketches(i).update(v.getBytes)
-                  kllSs(i).update(v.clone())
+                  kllSs(i).update(strSketchItem(v))
                 case _ =>
               }
               i += 1

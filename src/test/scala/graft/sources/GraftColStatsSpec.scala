@@ -323,4 +323,37 @@ class GraftColStatsSpec extends SparkSpec {
       .getOrElse(fail("analyze must restore the decimal quantile sketch"))
     assert(dAgain >= 350 && dAgain <= 450, s"restored decimal estimate $dAgain")
   }
+
+  test("string sketch items are PREFIX-TRUNCATED: long-text columns cost " +
+    "bytes-per-item, not documents-per-item, and prefix-distinct bounds " +
+    "still rank") {
+    sql("""CREATE TABLE graft_cs.db.txt (id BIGINT, text STRING)
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    // 500 multi-KB documents in three prefix classes (a/b/c...)
+    spark.range(0, 500).toDF("id")
+      .withColumn("text", concat(
+        element_at(array(lit("alpha"), lit("beta"), lit("gamma")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")),
+        lit("-"), col("id").cast("string"), lit("-"),
+        expr("repeat('x', 2000)")))
+      .writeTo("graft_cs.db.txt").append()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/txt")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // the retained sketch is truncated items, never whole documents:
+    // 500 live rows × 2KB would be ~1MB untruncated; the cap keeps the
+    // serialized sketch under a few tens of KB
+    val stats = GraftStats.readAll(fs, dir)
+    val sketchBytes = stats.values.flatMap(_.cols.get("text"))
+      .flatMap(_.kllStr).map(_.length).sum
+    assert(sketchBytes > 0 && sketchBytes < 64 * 1024,
+      s"truncated text sketch must stay small, got $sketchBytes bytes")
+    // bounds that differ inside the prefix window rank fine: everything
+    // below 'beta' is the 'alpha-*' class (~167 of 500)
+    val (rows, below) = GraftStats.headRangeEstimateStr(fs, dir, "text",
+      None, Some(("beta", false)))
+      .getOrElse(fail("long-text column must still serve range estimates"))
+    assert(rows == 500L)
+    assert(below >= 130 && below <= 200,
+      s"text < 'beta' is the alpha class (~167), got $below")
+  }
 }
