@@ -590,6 +590,10 @@ object GraftEqDelete {
     }
     } // attemptOnce
 
+    // frames cached by a LOST attempt (its carry join) are released
+    // eagerly before the re-derive — only the shared change set below
+    // this mark survives across attempts
+    val sharedCached = cached.size
     var raceCause: Throwable = null
     var attempt = 0
     while (attempt < 5) {
@@ -597,6 +601,8 @@ object GraftEqDelete {
       try return attemptOnce()
       catch {
         case r: UpsertRace =>
+          while (cached.size > sharedCached)
+            cached.remove(cached.size - 1).unpersist(false)
           val intervening = GraftTable.manifestVersions(fs, dir)
             .filter(_ > r.pinned)
           val allAppend = intervening.nonEmpty && intervening.forall(w =>
