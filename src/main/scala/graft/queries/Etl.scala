@@ -835,6 +835,73 @@ object Etl {
               |GROUP BY c.seg ORDER BY c.seg""".stripMargin)
     },
 
+    // BUCKET PRUNING (round 13): an equality / IN predicate on the bucket
+    // key keeps only the files whose NAME claims one of the literals'
+    // buckets — pure file-name metadata, zero stats/footer IO, the bucket
+    // analog of partition-directory pruning. At 100 TB a point lookup on
+    // a bucket(1024) fact table plans 1/1024th of the files before any
+    // other pruning runs. Asserted in-query: the point scan plans ONLY
+    // the probed key's bucket, strictly fewer files than the table holds,
+    // with ZERO footer probes; the IN scan plans only the union of its
+    // literals' buckets. The oracle replays the lookup over raw orders.
+    "etl_bucket_prune" -> { (s, dir) =>
+      val wh = scratch(s, "wh")
+      s.conf.set("spark.sql.catalog.graft_bpr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_bpr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_bpr.db")
+      s.sql("DROP TABLE IF EXISTS graft_bpr.db.ord")
+      s.sql("""CREATE TABLE graft_bpr.db.ord
+              |(k BIGINT, cust BIGINT, price DOUBLE)
+              |PARTITIONED BY (bucket(8, k))
+              |TBLPROPERTIES('history'='true')""".stripMargin)
+      Tables.orders(s, dir).createOrReplaceTempView("graft_bpr_orders")
+      // two appends -> two files per bucket, so "one bucket" is provably
+      // fewer files than "one file"
+      s.sql("""INSERT INTO graft_bpr.db.ord
+              |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+              |FROM graft_bpr_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_bpr.db.ord
+              |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+              |FROM graft_bpr_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      // deterministic probe keys at every scale: the three smallest
+      val keys = s.sql(
+        "SELECT k FROM graft_bpr.db.ord ORDER BY k LIMIT 3")
+        .collect().map(_.getLong(0)).toSeq
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Int)] = {
+        val scan = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }.head
+        scan.toBatch.planInputPartitions().toSeq.collect {
+          case p: graft.sources.GraftBucketedFilePartition => (p.file, p.bucketId)
+        }
+      }
+      val total = plannedOf(s.table("graft_bpr.db.ord")).size
+      val lt = org.apache.spark.sql.types.LongType
+      val b0 = graft.sources.GraftBucket.bucket(lt, keys.head, 8)
+      val before = graft.sources.GraftParquetFilters.footerProbes.get()
+      val point = plannedOf(
+        s.table("graft_bpr.db.ord").where(col("k") === keys.head))
+      val probed = graft.sources.GraftParquetFilters.footerProbes.get() - before
+      require(point.nonEmpty && point.forall(_._2 == b0),
+        s"etl_bucket_prune: point lookup must plan only bucket $b0, got " +
+          point.map(_._2).distinct.mkString(","))
+      require(point.size < total,
+        s"etl_bucket_prune: bucket cut must beat the full plan " +
+          s"(${point.size} of $total)")
+      require(probed == 0,
+        s"etl_bucket_prune: pruning must be name+stats metadata only " +
+          s"($probed footer probes)")
+      val targets = keys.map(graft.sources.GraftBucket.bucket(lt, _, 8)).toSet
+      val inPlan = plannedOf(
+        s.table("graft_bpr.db.ord").where(col("k").isin(keys: _*)))
+      require(inPlan.nonEmpty && inPlan.forall(p => targets.contains(p._2)),
+        s"etl_bucket_prune: IN must plan only buckets $targets")
+      s.table("graft_bpr.db.ord").where(col("k").isin(keys: _*))
+        .select(col("k"), col("cust"), col("price"))
+        .orderBy("k")
+    },
+
     // SQL UPDATE through the same row-level path (group-based COW +
     // runtime group filtering); oracle replays the assignment as CASE
     "etl_update_where" -> { (s, dir) =>
@@ -5118,6 +5185,14 @@ object Etl {
         | CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_bucket_prune" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        | CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+        |ORDER BY k""".stripMargin,
 
     "etl_update_where" ->
       """SELECT o_orderkey AS id,

@@ -2764,19 +2764,51 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
     // deletion vectors only ever REMOVE rows, so a stats-pruned file stays
     // prunable
     val cowRewrite = rowLevel && !table.mor
+    // BUCKET pruning (round 13 — pure file-NAME metadata, zero IO): an
+    // equality / IN predicate on the bucket key admits only the buckets
+    // its literals hash to, so a point lookup on a bucket(n) table plans
+    // ~1/n of the files BEFORE any stats or footer probe — the bucket
+    // analog of partition-directory pruning, same soundness class (the
+    // pruned file's name claims a bucket the key provably doesn't hash
+    // to; NULL literals never equality-match, and `IN` lists intersect
+    // conjunctively — an all-NULL IN matches nothing and prunes
+    // everything). Files without a bucket claim are never pruned, and
+    // the COW-rewrite scan pushes no filters, so carried rows are safe.
+    val bucketTargets: Option[Set[Int]] = table.bucketSpec.flatMap {
+      case (c, n) =>
+        val dt = table.physicalSchema.fields.find(_.name == c).get.dataType
+        def idOf(v: Any): Int = v match {
+          case s: String => GraftBucket.bucket(dt, UTF8String.fromString(s), n)
+          case other => GraftBucket.bucket(dt, other, n)
+        }
+        val sets = pushedFilters.toSeq.collect {
+          case org.apache.spark.sql.sources.EqualTo(`c`, v) if v != null =>
+            Set(idOf(v))
+          case org.apache.spark.sql.sources.EqualNullSafe(`c`, v) if v != null =>
+            Set(idOf(v))
+          case org.apache.spark.sql.sources.In(`c`, vs) =>
+            vs.toSeq.filter(_ != null).map(idOf).toSet
+        }
+        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
     val kept =
       if (cowRewrite || (pushedFilters.isEmpty && substrFilters.isEmpty))
         partKept
       else {
+        val bucketKept = bucketTargets match {
+          case Some(t) => partKept.filter(f =>
+            GraftBucket.fileBucketId(new Path(f).getName).forall(t.contains))
+          case None => partKept
+        }
         // manifest-lifted stats first: a file with recorded stats is
         // judged from metadata alone (canDrop is provably sound, and DVs
         // only remove rows); ONLY files without stats fall back to a
         // footer probe — at 100 TB the planning cost is the stats log,
         // not O(files) footer opens. Substring-only scans (LIKE '%..%' is
         // not parquet-convertible) skip straight to the index probes.
-        val statsKept = if (pushedFilters.isEmpty) partKept else {
+        val statsKept = if (pushedFilters.isEmpty) bucketKept else {
           val stats = statsByName
-          val (judged, unjudged) = partKept.partition(f =>
+          val (judged, unjudged) = bucketKept.partition(f =>
             stats.contains(new Path(f).getName))
           val keptJudged = judged.filterNot(f => GraftStats.canDrop(
             pushedFilters.toSeq, table.physicalSchema,
@@ -2824,7 +2856,7 @@ class GraftScan(table: GraftTable, required: StructType, rowLevel: Boolean,
         // preserve the deterministic file order (bucket/day grouping
         // downstream is order-insensitive, but stable plans beat racy ones)
         val keep = bloomKept.toSet
-        partKept.filter(keep.contains)
+        bucketKept.filter(keep.contains)
       }
     // deletion-vector sidecars: history tables carry the mapping in the
     // manifest (versioned per snapshot — the scan's entries already

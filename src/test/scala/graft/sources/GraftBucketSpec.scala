@@ -310,4 +310,74 @@ class GraftBucketSpec extends SparkSpec {
     assert(bad.getMessage.toLowerCase.contains("bigint") ||
       bad.getMessage.contains("graft_bucket_id"))
   }
+
+  test("bucket pruning: equality / IN predicates on the bucket key plan " +
+      "only the claimed buckets' files, conjunctions intersect, other " +
+      "predicates leave the bucket set alone") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    sql("""CREATE TABLE graft_bk.db.pr (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(8, k))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    // two appends -> two files per bucket
+    sql("INSERT INTO graft_bk.db.pr SELECT id, concat('a', id) FROM range(0, 400)")
+    sql("INSERT INTO graft_bk.db.pr SELECT id, concat('b', id) FROM range(400, 800)")
+    def planned(df: DataFrame): Seq[(String, Int)] = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head
+      scan.toBatch.planInputPartitions().toSeq.collect {
+        case p: GraftBucketedFilePartition => (p.file, p.bucketId)
+      }
+    }
+    val all = planned(spark.table("graft_bk.db.pr"))
+    assert(all.size == 16, s"expected 16 files, planned ${all.size}")
+    val lt = org.apache.spark.sql.types.LongType
+    // point lookup: only the key's bucket is planned — 1/8 of the files
+    // from pure name metadata
+    val b7 = GraftBucket.bucket(lt, 7L, 8)
+    val point = planned(spark.table("graft_bk.db.pr").where(col("k") === 7))
+    assert(point.nonEmpty && point.forall(_._2 == b7),
+      s"point lookup must plan only bucket $b7: $point")
+    assert(point.size <= all.count(_._2 == b7))
+    assert(spark.table("graft_bk.db.pr").where(col("k") === 7)
+      .collect().map(_.getString(1)).sorted.toSeq == Seq("a7"))
+    // IN list: the union of the literals' buckets
+    val targets = Set(7L, 500L).map(GraftBucket.bucket(lt, _, 8))
+    val inPlan = planned(spark.table("graft_bk.db.pr")
+      .where(col("k").isin(7L, 500L)))
+    assert(inPlan.nonEmpty && inPlan.forall(p => targets.contains(p._2)),
+      s"IN must plan only buckets $targets: $inPlan")
+    assert(spark.table("graft_bk.db.pr").where(col("k").isin(7L, 500L))
+      .count() == 2)
+    // composite predicates keep the bucket cut: an equality AND a range
+    // on the key still plan only the equality's bucket (contradictory
+    // equality pairs never reach the scan — Catalyst folds them to an
+    // empty relation; the defensive set-intersection in the scan covers
+    // any pushdown shape that does survive)
+    val conj = planned(spark.table("graft_bk.db.pr")
+      .where(col("k") === 7 && col("k") < 100))
+    assert(conj.nonEmpty && conj.forall(_._2 == b7),
+      s"equality+range must plan only bucket $b7: $conj")
+    // a predicate off the bucket key leaves the bucket set alone (stats
+    // may still prune, but multiple buckets survive)
+    val off = planned(spark.table("graft_bk.db.pr").where(col("v") >= "a"))
+    assert(off.map(_._2).distinct.size > 1,
+      "non-key predicates must not bucket-prune")
+    // string bucket keys hash their UTF-8 bytes — same pruning
+    sql("""CREATE TABLE graft_bk.db.prs (s STRING, v BIGINT)
+          |PARTITIONED BY (bucket(4, s))
+          |TBLPROPERTIES('history'='true')""".stripMargin)
+    spark.range(0, 100).select(concat(lit("key"), col("id")).as("s"),
+      col("id").as("v")).writeTo("graft_bk.db.prs").append()
+    val bs = GraftBucket.bucket(org.apache.spark.sql.types.StringType,
+      org.apache.spark.unsafe.types.UTF8String.fromString("key42"), 4)
+    val sPlan = planned(spark.table("graft_bk.db.prs")
+      .where(col("s") === "key42"))
+    assert(sPlan.nonEmpty && sPlan.forall(_._2 == bs),
+      s"string point lookup must plan only bucket $bs: $sPlan")
+    assert(spark.table("graft_bk.db.prs").where(col("s") === "key42")
+      .collect().map(_.getLong(1)).toSeq == Seq(42L))
+  }
 }
