@@ -248,6 +248,22 @@ object GraftEqDelete {
     val sumIf = (p: org.apache.spark.sql.Column) =>
       org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.when(p, 1L).otherwise(0L))
+    // when the table's bucket column IS one of the upsert keys, the
+    // distinct change-key BUCKETS ride the same single aggregate pass
+    // (bounded by the bucket count): any row matching a change key shares
+    // its bucket value, so files claiming OTHER buckets provably hold no
+    // matching rows and skip the eq reference entirely — the bucket
+    // analog of the stats-box skip below, from file names alone
+    val bucketKeyCol: Option[(String, Int)] =
+      t.bucketSpec.filter { case (c, _) => keyCols.contains(c) }
+    val bucketAgg = bucketKeyCol.map { case (c, n) =>
+      val dt = t.schema().fields.find(_.name == c).get.dataType
+      org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.BucketId(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(c)), n)))
+        .as("__buckets")
+    }
     val aggCols = Seq(
       org.apache.spark.sql.functions.count(lit(1L)).as("__n"),
       org.apache.spark.sql.functions.count_distinct(
@@ -255,7 +271,7 @@ object GraftEqDelete {
       sumIf(nullKeyPred).as("__nullkeys"),
       sumIf(violations.getOrElse(lit(false))).as("__bad")) ++
       keyCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"),
-        max(col(c)).as(s"__mx_$c")))
+        max(col(c)).as(s"__mx_$c"))) ++ bucketAgg
     val vRow = casted.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val nRows = vRow.getLong(0)
     // an empty change set is a NO-OP, not a commit: landing a zero-key
@@ -297,6 +313,12 @@ object GraftEqDelete {
           org.apache.spark.sql.sources.GreaterThanOrEqual(c, mn),
           org.apache.spark.sql.sources.LessThanOrEqual(c, mx))
       }
+    // the buckets the change keys hash to (None when the bucket column
+    // is not a key); null keys were refused above, so every key
+    // contributed a real bucket id
+    val changeBuckets: Option[Set[Int]] = bucketKeyCol.map { _ =>
+      vRow.getSeq[Int](4 + 2 * keyCols.size).toSet
+    }
 
     // ROW LINEAGE CARRY: join the change set against the CURRENT visible
     // (key, _row_id) projection — column-pruned AND key-range-filtered, so
@@ -552,14 +574,20 @@ object GraftEqDelete {
     GraftMaintenance.reindexDeclared(spark, dir, landed)
 
     // a file whose recorded range provably cannot hold any changed key
-    // skips the eq reference entirely
+    // skips the eq reference entirely; on a bucket-keyed table, so does
+    // any file whose NAME claims a bucket no change key hashes to (pure
+    // metadata, composes with the stats box)
     val stats = GraftStats.readAll(fs, dir)
     val old = GraftTable.readFullEntries(fs, dir, v0)
     val updated = old.map { e =>
-      val skippable = bounds.nonEmpty &&
-        stats.get(new Path(e.file).getName)
+      val name = new Path(e.file).getName
+      val statsSkip = bounds.nonEmpty &&
+        stats.get(name)
           .exists(st => GraftStats.canDrop(bounds, t.physicalSchema, st))
-      if (skippable) e else e.copy(eqs = e.eqs :+ eqTarget.toString)
+      val bucketSkip = changeBuckets.exists(bs =>
+        GraftBucket.fileBucketId(name).exists(b => !bs.contains(b)))
+      if (statsSkip || bucketSkip) e
+      else e.copy(eqs = e.eqs :+ eqTarget.toString)
     }
     // the lineage watermark (when this upsert minted ids) rides the SAME
     // exclusive manifest create as the files — a racing committer takes

@@ -305,6 +305,20 @@ class GraftEqDeleteSpec extends SparkSpec {
     // inside hashes to exactly that bucket — the invariant
     // storage-partitioned joins plan on
     val dir = dirOf("bk"); val fs = fsOf("bk")
+    // bucket-scoped masking (round 13): the eq reference lands ONLY on
+    // files whose bucket some change key hashes to — other buckets'
+    // files provably hold no matching rows and stay reference-free
+    val lt = org.apache.spark.sql.types.LongType
+    val touched = Set(7L, 100L).map(GraftBucket.bucket(lt, _, 4))
+    GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).foreach { e =>
+      val n = new org.apache.hadoop.fs.Path(e.file).getName
+      GraftBucket.fileBucketId(n).foreach { b =>
+        if (!touched.contains(b))
+          assert(e.eqs.isEmpty,
+            s"$n claims untouched bucket $b yet carries an eq reference")
+      }
+    }
     val upserted = GraftTable.readFullEntries(fs, dir,
       GraftTable.manifestVersions(fs, dir).last)
       .map(_.file).filter(_.contains("part-upsert"))
