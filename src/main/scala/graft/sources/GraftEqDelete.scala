@@ -264,6 +264,22 @@ object GraftEqDelete {
             org.apache.spark.sql.graftbridge.Bridge.expression(col(c)), n)))
         .as("__buckets")
     }
+    // likewise for hidden-time layouts whose TIME column is a key: the
+    // distinct change-key day/hour/month units (the stats box spans
+    // min..max CONTIGUOUSLY — a change set touching January and December
+    // boxes the whole year; the unit SET skips every day between). One
+    // layout owner per table, so at most one of these aggregates exists.
+    val dayKeyCol: Option[(String, String,
+        org.apache.spark.sql.types.DataType)] =
+      t.dayCol.filter(keyCols.contains).map { c =>
+        (c, t.timeUnit, t.schema().fields.find(_.name == c).get.dataType)
+      }
+    val unitAgg = dayKeyCol.map { case (c, u, dt) =>
+      org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.functions
+          .expr(GraftMaintenance.unitIndexExpr(u, dt, c)).cast("long"))
+        .as("__units")
+    }
     val aggCols = Seq(
       org.apache.spark.sql.functions.count(lit(1L)).as("__n"),
       org.apache.spark.sql.functions.count_distinct(
@@ -271,7 +287,7 @@ object GraftEqDelete {
       sumIf(nullKeyPred).as("__nullkeys"),
       sumIf(violations.getOrElse(lit(false))).as("__bad")) ++
       keyCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"),
-        max(col(c)).as(s"__mx_$c"))) ++ bucketAgg
+        max(col(c)).as(s"__mx_$c"))) ++ bucketAgg ++ unitAgg
     val vRow = casted.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val nRows = vRow.getLong(0)
     // an empty change set is a NO-OP, not a commit: landing a zero-key
@@ -313,11 +329,15 @@ object GraftEqDelete {
           org.apache.spark.sql.sources.GreaterThanOrEqual(c, mn),
           org.apache.spark.sql.sources.LessThanOrEqual(c, mx))
       }
-    // the buckets the change keys hash to (None when the bucket column
-    // is not a key); null keys were refused above, so every key
-    // contributed a real bucket id
+    // the buckets / time units the change keys route to (None when the
+    // layout column is not a key); null keys were refused above, so
+    // every key contributed a real id. The two layouts are exclusive,
+    // so both read the same positional slot.
     val changeBuckets: Option[Set[Int]] = bucketKeyCol.map { _ =>
       vRow.getSeq[Int](4 + 2 * keyCols.size).toSet
+    }
+    val changeUnits: Option[Set[Long]] = dayKeyCol.map { _ =>
+      vRow.getSeq[Long](4 + 2 * keyCols.size).toSet
     }
 
     // ROW LINEAGE CARRY: join the change set against the CURRENT visible
@@ -586,7 +606,19 @@ object GraftEqDelete {
           .exists(st => GraftStats.canDrop(bounds, t.physicalSchema, st))
       val bucketSkip = changeBuckets.exists(bs =>
         GraftBucket.fileBucketId(name).exists(b => !bs.contains(b)))
-      if (statsSkip || bucketSkip) e
+      // day-dir scope: a file in a unit no change key routes to holds no
+      // matching rows; the null-day dir is skippable too (keys are
+      // non-null, and a NULL timestamp never equality-matches one);
+      // segment-less files (pre-evolution, past specs) are never skipped
+      val daySkip = dayKeyCol.exists { case (c, u, _) =>
+        changeUnits.exists(us =>
+          GraftDayPartition.unitOfFile(t.dir, e.file, c, u) match {
+            case Some(Some(unit)) => !us.contains(unit)
+            case Some(None) => true
+            case None => false
+          })
+      }
+      if (statsSkip || bucketSkip || daySkip) e
       else e.copy(eqs = e.eqs :+ eqTarget.toString)
     }
     // the lineage watermark (when this upsert minted ids) rides the SAME

@@ -348,6 +348,39 @@ class GraftEqDeleteSpec extends SparkSpec {
     }
   }
 
+  test("day-scoped masking: when the TIME column is a key, eq references " +
+      "land only on the change set's day dirs (stats boxes span " +
+      "min..max; the unit SET skips every day between)") {
+    sql("""CREATE TABLE graft_eq.db.dts (k BIGINT, ts TIMESTAMP, v STRING)
+          |PARTITIONED BY (days(ts)) TBLPROPERTIES('history'='true')""".stripMargin)
+    sql("""INSERT INTO graft_eq.db.dts VALUES
+          |(1, TIMESTAMP '2026-03-01 08:00:00', 'a'),
+          |(2, TIMESTAMP '2026-03-02 09:00:00', 'b'),
+          |(3, TIMESTAMP '2026-03-05 10:00:00', 'c')""".stripMargin)
+    // keys (k, ts) touching ONLY day 03-02: days 03-01 and 03-05 must
+    // stay reference-free even though the (k, ts) stats box [2..2]x
+    // [03-02..03-02]... — make the box WIDE on k so only the day set
+    // can skip: keys 1 and 3 with day-2 timestamps
+    GraftEqDelete.upsert(spark, "graft_eq", "db.dts",
+      Seq((2L, java.sql.Timestamp.valueOf("2026-03-02 09:00:00"), "B"),
+        (9L, java.sql.Timestamp.valueOf("2026-03-02 23:00:00"), "n"))
+        .toDF("k", "ts", "v"), Seq("k", "ts"))
+    val dir = dirOf("dts"); val fs = fsOf("dts")
+    val day2 = java.time.LocalDate.of(2026, 3, 2).toEpochDay
+    GraftTable.readFullEntries(fs, dir,
+      GraftTable.manifestVersions(fs, dir).last).foreach { e =>
+      if (!e.file.contains(s"ts_day=$day2/"))
+        assert(e.eqs.isEmpty,
+          s"${e.file} is outside the change set's day yet carries a " +
+            "reference")
+    }
+    // the masked day still serves the update; other days untouched
+    val t = spark.table("graft_eq.db.dts")
+    assert(t.count() == 4)
+    assert(t.where(col("k") === 2).collect().head.getString(2) == "B")
+    assert(t.where(col("k") === 1).collect().head.getString(2) == "a")
+  }
+
   test("upsert composes days() WITH row lineage: the carry scan runs " +
     "over the day layout, reinserts keep ids, mints stay above the line") {
     graft.GraftExtensions.register(spark)
