@@ -1534,13 +1534,36 @@ object GraftTable {
                   branch: Option[String] = None): Seq[String] =
     rawManifestLines(fs, dir, v, branch).filter(isSegmentRef).map(_.substring(1))
 
+  /** Committed manifests are immutable (the exclusive create IS the
+    * commit point), so their lines are cacheable per driver. The entry is
+    * validated against the file's (mtime, length) from one getFileStatus,
+    * so drop-and-recreate at the same path, the post-commit setTimes
+    * monotonicity touch-up, and vacuum all invalidate naturally. This
+    * bounds every timestamp surface (commitTimeMillis, versionAtOrBefore,
+    * graft_history) and every snapshot read (readFullEntries) at one
+    * manifest READ per version per driver — repeat lookups cost a stat,
+    * the same price the pre-meta mtime path paid.
+    */
+  private case class CachedManifest(mtime: Long, len: Long, lines: Seq[String])
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
+
   private def rawManifestLines(fs: FileSystem, dir: Path, v: Long,
                                branch: Option[String] = None): Seq[String] = {
-    val in = fs.open(manifestPath(dir, v, branch))
+    val p = manifestPath(dir, v, branch)
+    val st = fs.getFileStatus(p)
+    val key = p.toString
+    val cached = manifestCache.get(key)
+    if (cached != null && cached.mtime == st.getModificationTime &&
+        cached.len == st.getLen) return cached.lines
+    val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.nonEmpty)
+    val kept = lines.filter(_.nonEmpty)
+    if (manifestCache.size > 8192) manifestCache.clear()
+    manifestCache.put(key, CachedManifest(st.getModificationTime, st.getLen, kept))
+    kept
   }
 
   private def parseEntryLine(dir: Path, l: String): GraftEntry = {

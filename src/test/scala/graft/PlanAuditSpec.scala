@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions.col
   * broadcast, scaling sides not broadcast. Guard them like unit tests so
   * a refactor can't silently regress them.
   */
+@org.scalatest.tags.Slow
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

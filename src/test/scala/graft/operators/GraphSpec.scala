@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * cadence actually bounds lineage (an un-checkpointed loop's recompute
   * tree doubles per round — it would not finish 1000 rounds).
   */
+@org.scalatest.tags.Slow
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 
+@org.scalatest.tags.Slow
 class HierarchySpec extends SparkSpec {
   import spark.implicits._
 

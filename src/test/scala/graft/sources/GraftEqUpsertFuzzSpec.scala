@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * interleaved between upserts, partition/day moves on re-upserted
   * keys) where the interactions live.
   */
+@org.scalatest.tags.Slow
 class GraftEqUpsertFuzzSpec extends SparkSpec {
 
   import spark.implicits._
