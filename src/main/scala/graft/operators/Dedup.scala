@@ -287,7 +287,15 @@ object Dedup {
       .distinct() // re-assert set semantics over the HASHED domain
       .localCheckpoint(eager = true)
     val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // the per-doc rebuild (collect_list + array_sort over every shingle of
+    // the doc) is CPU-bound while its shuffled bytes are small — AQE's
+    // byte-based coalescing packs it onto 1-2 tasks and serializes seconds
+    // of sort work. An explicit repartition on the group key pins the
+    // aggregation's parallelism to the session shuffle width (the agg
+    // reuses the partitioning, no extra exchange).
     val docs = posts.join(freq, "h")
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("id"),
@@ -304,6 +312,18 @@ object Dedup {
           lit(tau) * greatest(col("a_sz"), col("b_sz")).cast("double"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+      // the exact-Jaccard verify below is CPU-bound per candidate (an
+      // array_intersect over full token arrays), but its shuffled BYTES
+      // are tiny (two longs per pair) — AQE's byte-based coalescing packs
+      // it onto 1-2 tasks and serializes seconds of verify work. An
+      // explicit partition count pins verify parallelism to the session's
+      // shuffle width (scale-adaptive, not a local constant). Partition by
+      // struct(a,b), NOT (a,b): the same distribution, but a partitioning
+      // expression distinct from the distinct-aggregate's, so the
+      // optimizer can't remove this exchange as redundant and AQE can't
+      // coalesce it (REPARTITION_BY_NUM).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        struct(col("a_id"), col("b_id")))
     cand
       .join(docs.select(col("id").as("a_id"), col("tk").as("a_tk"), col("sz").as("a_sz")), "a_id")
       .join(docs.select(col("id").as("b_id"), col("tk").as("b_tk"), col("sz").as("b_sz")), "b_id")
@@ -312,6 +332,13 @@ object Dedup {
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= tau)
+      // materialize the verified pairs behind one exchange: callers
+      // ORDER BY the result, and a range sort SAMPLES its child before
+      // partitioning it — without this boundary the sampling pass
+      // re-executes the whole candidate-verify map stage (measured as a
+      // duplicated multi-second job)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        struct(col("a_id"), col("b_id")))
   }
 
   /** Sorted-neighborhood dedup blocking (the classic SNM): docs are

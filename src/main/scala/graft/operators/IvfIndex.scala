@@ -78,13 +78,26 @@ object IvfIndex {
              vecCol: String): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), Vectors.toDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
-    val scored = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("nrm"), col("c_id"),
-        (Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("cosine"))
-    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    // score with the vector payload PROJECTED AWAY before any exchange
+    // (guide: project before the exchange): the former row_number window
+    // shuffled every (row x centroid) candidate WITH its full vector —
+    // C x corpus bytes. Here the argmax runs over three scalars per
+    // candidate as a partial-aggregating max over (cosine, -c_id), which
+    // also collapses the C-way explosion map-side; the winning vector is
+    // re-attached by one id-equi-join (the payload crosses the wire at
+    // most once, and not at all when the narrow winner set broadcasts).
+    // max(struct) reproduces the window's (cosine DESC, c_id ASC) choice
+    // exactly, including NaN-sorts-largest.
+    val winners = v.crossJoin(broadcast(cents))
+      .select(col("id"),
+        (Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("cosine"),
+        col("c_id"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cosine"), (-col("c_id")).as("__negc"))).as("__m"))
+      .select(col("id").as("__wid"), (-col("__m.__negc")).as("c_id"),
+        col("__m.cosine").as("cosine"))
+    v.join(winners, col("id") === col("__wid")).drop("__wid")
+      .select(col("id"), col("v"), col("nrm"), col("c_id"), col("cosine"))
   }
 
   /** Product-quantization encode: split each vector into `m` contiguous
@@ -114,9 +127,15 @@ object IvfIndex {
     val scored = corpusSubs.join(broadcast(codebook), col("sub_id") === col("c_sub"))
       .select(col("id"), col("sub_id"), col("c_id"),
         sqDist(col("sv"), col("cv")).as("d2"))
-    val w = Window.partitionBy("id", "sub_id").orderBy(col("d2").asc, col("c_id"))
-    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col("id"), col("sub_id"), col("c_id").as("code"), col("d2"))
+    // argmin per (id, sub) as a partial-aggregating min over (d2, c_id) —
+    // same rationale as [[assign]]: collapse the k-way candidate explosion
+    // map-side instead of shuffling it through a row_number window.
+    // min(struct) reproduces (d2 ASC, c_id ASC) exactly (NaN sorts largest,
+    // so it loses the min unless every candidate is NaN — as in the window).
+    scored.groupBy(col("id"), col("sub_id"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("__m"))
+      .select(col("id"), col("sub_id"), col("__m.c_id").as("code"),
+        col("__m.d2").as("d2"))
   }
 
   /** ADC (asymmetric distance computation) top-k search over PQ codes —

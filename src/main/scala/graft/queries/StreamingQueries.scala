@@ -1633,6 +1633,13 @@ object StreamingQueries {
       }
       val cand = s.table(name)
         .select(col("aId").as("a_id"), col("bId").as("b_id")).distinct()
+        // exact-Jaccard verify is CPU-bound per pair over tiny shuffled
+        // bytes: pin its parallelism to the session shuffle width so AQE's
+        // byte-based coalescing can't serialize it (same fix as
+        // Dedup.prefixJaccardPairs; struct(a,b) so the exchange isn't
+        // removed as redundant with the distinct's partitioning)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          struct(col("a_id"), col("b_id")))
       val shing = docs.select(col("doc_id").as("id"),
           graft.expressions.TextExpressions.wordNgrams(
             col("text"), 3, distinct = true).as("arr"))
