@@ -388,12 +388,24 @@ object SimilarityQueries {
         Similarity.graphBeamSearch(corpus, q, "vec_id", "embedding",
           graph.select(col("a_id"), col("b_id")), entries,
           beamWidth = 8, rounds = 3, topK = 5)
-      val persisted = probe(s.table("graft_ap.db.knn"))
-        .localCheckpoint(eager = true)
-      val twin = probe(graft.operators.AnnIndex.buildEdges(
-        corpus, "vec_id", "embedding", "label", k = 3, iters = 1))
-      require(persisted.exceptAll(twin).count() == 0 &&
-          twin.exceptAll(persisted).count() == 0,
+      // the persisted-graph probe and the twin rebuild+probe are
+      // INDEPENDENT job chains (guide §2.6 overlap independent jobs):
+      // run them from two driver threads so the second chain's jobs
+      // back-fill executors the first one leaves idle — same plans, same
+      // results, about half the sequential wall-clock
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val persistedF = Future(probe(s.table("graft_ap.db.knn"))
+        .localCheckpoint(eager = true))
+      val twinF = Future(probe(graft.operators.AnnIndex.buildEdges(
+          corpus, "vec_id", "embedding", "label", k = 3, iters = 1))
+        .localCheckpoint(eager = true))
+      val persisted = Await.result(persistedF, Duration.Inf)
+      val twin = Await.result(twinF, Duration.Inf)
+      val diffAF = Future(persisted.exceptAll(twin).count())
+      val diffB = twin.exceptAll(persisted).count()
+      require(Await.result(diffAF, Duration.Inf) == 0 && diffB == 0,
         "sim_ann_persist: the probe over the PERSISTED graph must match " +
           "the in-plan twin exactly")
       persisted
@@ -436,16 +448,21 @@ object SimilarityQueries {
       val r = s.sql("""SELECT * FROM graft_ann_optimize('graft_ao', 'db.emb',
               |'db.knn', 'vec_id', 'embedding', 'label', 3)""".stripMargin)
         .collect()(0)
-      val n = s.table("graft_ao.db.emb").count()
-      require(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(1) < n,
-        s"sim_ann_optimize: the touched region must be a non-empty strict " +
-          s"subset of the $n-node corpus, got $r")
+      // the corpus count and the rank-hygiene audit are independent
+      // actions (guide §2.6): overlap them from two driver threads
+      val nF = scala.concurrent.Future(s.table("graft_ao.db.emb").count())(
+        scala.concurrent.ExecutionContext.global)
       val g = s.table("graft_ao.db.knn")
       val dirty = g.groupBy("a_id")
         .agg(count(lit(1)).as("deg"), countDistinct(col("rank")).as("ranks"),
           max(col("rank")).as("maxr"))
         .where(col("deg") > 3 || col("ranks") =!= col("deg") ||
           col("maxr") > col("deg")).count()
+      val n = scala.concurrent.Await.result(nF,
+        scala.concurrent.duration.Duration.Inf)
+      require(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(1) < n,
+        s"sim_ann_optimize: the touched region must be a non-empty strict " +
+          s"subset of the $n-node corpus, got $r")
       require(dirty == 0,
         s"sim_ann_optimize: $dirty nodes kept slot ranks / over-degree " +
           "edges — optimize must leave a clean ranked top-k everywhere")
@@ -493,21 +510,28 @@ object SimilarityQueries {
       val r = s.sql("""SELECT * FROM graft_ann_optimize('graft_ad', 'db.emb',
               |'db.knn', 'vec_id', 'embedding', 'label', 3)""".stripMargin)
         .collect()(0)
-      val n = s.table("graft_ad.db.emb").count()
-      require(r.getLong(0) == 0 && r.getLong(3) > 0,
-        s"sim_ann_delete: no appends, only deletes to heal, got $r")
-      require(r.getLong(1) > 0 && r.getLong(1) < n,
-        s"sim_ann_delete: the bereaved region must be a non-empty strict " +
-          s"subset of the $n survivors, got $r")
+      // the survivor count, the dead-id sweep and the rank-hygiene audit
+      // are independent actions (guide §2.6): overlap them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val nF = Future(s.table("graft_ad.db.emb").count())
       val g = s.table("graft_ad.db.knn")
-      require(g.where(col("a_id") % 10 === 7 || col("b_id") % 10 === 7)
-        .count() == 0,
-        "sim_ann_delete: dead ids must vanish from both edge positions")
+      val deadEdgesF = Future(
+        g.where(col("a_id") % 10 === 7 || col("b_id") % 10 === 7).count())
       val dirty = g.groupBy("a_id")
         .agg(count(lit(1)).as("deg"), countDistinct(col("rank")).as("ranks"),
           max(col("rank")).as("maxr"))
         .where(col("deg") > 3 || col("ranks") =!= col("deg") ||
           col("maxr") > col("deg")).count()
+      val n = Await.result(nF, Duration.Inf)
+      require(r.getLong(0) == 0 && r.getLong(3) > 0,
+        s"sim_ann_delete: no appends, only deletes to heal, got $r")
+      require(r.getLong(1) > 0 && r.getLong(1) < n,
+        s"sim_ann_delete: the bereaved region must be a non-empty strict " +
+          s"subset of the $n survivors, got $r")
+      require(Await.result(deadEdgesF, Duration.Inf) == 0,
+        "sim_ann_delete: dead ids must vanish from both edge positions")
       require(dirty == 0,
         s"sim_ann_delete: $dirty healed nodes kept slot ranks / " +
           "over-degree edges")
