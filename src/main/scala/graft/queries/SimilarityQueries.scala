@@ -303,19 +303,6 @@ object SimilarityQueries {
         .getOrElse(throw new IllegalStateException(
           "sim_ann_filtered: the manifest stats must serve a label NDV"))
       val bfMax = rowsEst / 5
-      val c0 = Similarity.countedDispatches.get
-      val selective = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
-        g, entries, col("label") === 3, k = 5, overFetch = 4, rounds = 3,
-        bruteForceMax = bfMax, estimateMatches = Some(perLabel))
-      require(Similarity.countedDispatches.get == c0,
-        "sim_ann_filtered: the stats-estimated dispatch must plan ZERO " +
-          "count jobs")
-      val broad = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
-        g, entries, col("vec_id") % 2 === 0, k = 5, overFetch = 4,
-        rounds = 3, bruteForceMax = bfMax)
-      require(Similarity.countedDispatches.get == c0 + 1,
-        "sim_ann_filtered: a predicate without an estimate must take " +
-          "the counted fallback, exactly once")
       // RANGE phase (round 13): `vec_id < N/10` is costed off the merged
       // KLL quantile sketches (headRangeEstimate — rank(hi) - rank(lo),
       // ±~1.65% rank error), again with ZERO count jobs; ~10% of the
@@ -328,11 +315,38 @@ object SimilarityQueries {
         .getOrElse(throw new IllegalStateException(
           "sim_ann_filtered: the manifest stats must serve a vec_id " +
             "quantile sketch"))
-      val c1 = Similarity.countedDispatches.get
-      val ranged = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
-        g, entries, col("vec_id") < cut, k = 5, overFetch = 4, rounds = 3,
-        bruteForceMax = bfMax, estimateMatches = Some(rangeEst))
-      require(Similarity.countedDispatches.get == c1,
+      // the three dispatch phases are INDEPENDENT job chains: run each on
+      // its own driver thread (guide §2.6) and materialize its (tiny)
+      // answer once, so the mode/post-filter asserts and the final union
+      // read the checkpoint instead of re-executing the pipeline. The
+      // counted-dispatch assertion moves to a per-thread DELTA of the
+      // thread-local counter — the same zero-count-jobs proof, measured
+      // on the thread that ran the dispatch.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def phase(pred: org.apache.spark.sql.Column, est: Option[Long]) =
+        Future {
+          val c = Similarity.countedDispatches.get
+          val df = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+            g, entries, pred, k = 5, overFetch = 4, rounds = 3,
+            bruteForceMax = bfMax, estimateMatches = est)
+            .localCheckpoint(eager = true)
+          (df, Similarity.countedDispatches.get - c)
+        }
+      val selectiveF = phase(col("label") === 3, Some(perLabel))
+      val broadF = phase(col("vec_id") % 2 === 0, None)
+      val rangedF = phase(col("vec_id") < cut, Some(rangeEst))
+      val (selective, selCounts) = Await.result(selectiveF, Duration.Inf)
+      val (broad, broadCounts) = Await.result(broadF, Duration.Inf)
+      val (ranged, rangedCounts) = Await.result(rangedF, Duration.Inf)
+      require(selCounts == 0,
+        "sim_ann_filtered: the stats-estimated dispatch must plan ZERO " +
+          "count jobs")
+      require(broadCounts == 1,
+        "sim_ann_filtered: a predicate without an estimate must take " +
+          "the counted fallback, exactly once")
+      require(rangedCounts == 0,
         "sim_ann_filtered: the KLL-estimated range dispatch must plan " +
           "ZERO count jobs")
       val modes = (selective.select("mode")
