@@ -348,14 +348,15 @@ object Similarity {
       val div = math.pow(promote.toDouble, l.toDouble).toLong
       v.where(col("__id") % div === 0)
     }
-    // entry: exact over the top level's node set
-    var beam = top(score(q.select(col("q_id")).crossJoin(
-        levelNodes(maxLevel).select(col("__id").as("id"))),
-        excludeSelf = false), upperBeam)
-      .select(col("q_id"), col("id"))
-      .localCheckpoint(eager = true)
-    // greedy descent through the upper levels' within-level graphs
-    for (l <- (maxLevel - 1) to 1 by -1) {
+    // the within-level graphs and the level-0 adjacency depend only on
+    // the corpus — NOT on the beams — so build them all concurrently
+    // while the (data-dependent, inherently sequential) descent walks
+    // down (guide §2.6 overlap independent jobs): same plans, same edges,
+    // the builds back-fill cores the per-level beam jobs leave idle
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def levelUnd(l: Int): DataFrame = {
       val nodes = levelNodes(l)
       val a = nodes.select(col("__id").as("a_id"), col("__blk").as("a_blk"),
         col("__v").as("a_v"), col("__nrm").as("a_nrm"))
@@ -370,8 +371,26 @@ object Similarity {
         .orderBy(col("cosine").desc, col("b_id"))
       val edges = pairs.withColumn("rank", row_number().over(wl))
         .where(col("rank") <= degree).select(col("a_id"), col("b_id"))
-      val und = edges.unionAll(edges.select(col("b_id").as("a_id"),
+      edges.unionAll(edges.select(col("b_id").as("a_id"),
           col("a_id").as("b_id"))).distinct()
+        .localCheckpoint(eager = true)
+    }
+    val undF: Map[Int, Future[DataFrame]] =
+      ((maxLevel - 1) to 1 by -1).map(l => l -> Future(levelUnd(l))).toMap
+    val und0F = Future(level0Graph.select(col("a_id"), col("b_id"))
+      .unionAll(level0Graph.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(eager = true))
+    // entry: exact over the top level's node set
+    var beam = top(score(q.select(col("q_id")).crossJoin(
+        levelNodes(maxLevel).select(col("__id").as("id"))),
+        excludeSelf = false), upperBeam)
+      .select(col("q_id"), col("id"))
+      .localCheckpoint(eager = true)
+    // greedy descent through the upper levels' within-level graphs
+    for (l <- (maxLevel - 1) to 1 by -1) {
+      val und = Await.result(undF(l), Duration.Inf)
       val cand = beam.unionAll(
           beam.join(und.withColumnRenamed("a_id", "id"), "id")
             .select(col("q_id"), col("b_id").as("id")))
@@ -384,11 +403,7 @@ object Similarity {
     // No re-rank stage first: upperBeam <= beamWidth, so the entry beam
     // IS the round-0 beam — re-scoring it would keep the same set at the
     // cost of an extra checkpointed job
-    val und0 = level0Graph.select(col("a_id"), col("b_id"))
-      .unionAll(level0Graph.select(col("b_id").as("a_id"),
-        col("a_id").as("b_id")))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val und0 = Await.result(und0F, Duration.Inf)
     require(upperBeam <= beamWidth,
       "layeredBeamSearch: upperBeam must not exceed beamWidth")
     var beam0 = beam
