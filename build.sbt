@@ -34,9 +34,14 @@ val jdk17AddOpens = Seq(
 // operator suites and the randomized fuzz — are excluded by default and
 // run via `sbt testAll` (or `testOnly` by name), keeping the default
 // signal green AND meaningful (~12 min, 64 suites).
+// NOTE: the exclusion also applies to `testOnly`, so `testOnly <a Slow
+// suite>` runs 0 tests — use `testSlow`, or prefix with
+// `; set Test / testOptions := Seq()` to run one by name.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
   "-l", "org.scalatest.tags.Slow")
 addCommandAlias("testAll", "; set Test / testOptions := Seq(); test")
+addCommandAlias("testSlow",
+  """; set Test / testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "org.scalatest.tags.Slow")); test""")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
